@@ -1,0 +1,72 @@
+"""Sources and sinks (SURVEY.md §2B E1).
+
+The reference's only IO is a CSV write (/root/reference/src/main.py:15) and
+joblib/JSON sinks (/root/reference/src/model_saving.py:6-14). Here parquet is
+the default interchange format — columnar, splittable, schema-full, and the
+only format where Catalyst's predicate pushdown / column pruning reach the
+scan. CSV/JSON are kept as explicit-schema compatibility paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the standard tables with its declared schema.
+
+    The declared schema is applied post-scan via column casts only where the
+    parquet physical type differs (e.g. events.ts is INT64(ns) on disk and
+    Spark reads it natively); parquet self-describes, so we read without
+    inference and verify names match the contract in ``schemas.TABLES``.
+    """
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {sorted(schemas.TABLES)}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = [f.name for f in schemas.TABLES[name]]
+    if df.columns != expected:
+        raise ValueError(f"{name}: schema drift — got {df.columns}, expected {expected}")
+    if name == "events":
+        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
+        # truncate to µs — identical to DuckDB's read of the same file.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view for the SQL surface."""
+    for name in names or list(schemas.TABLES):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV scan with a declared schema (never inferSchema in production —
+    inference is a full extra pass over 100 TB)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Default sink. ``partition_by`` enables partition pruning for readers
+    (e.g. feature-store outputs partitioned by date bucket, SURVEY.md §4)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Reference-parity CSV export (/root/reference/src/main.py:15)."""
+    df.write.mode("overwrite").option("header", True).csv(path)

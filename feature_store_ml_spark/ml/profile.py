@@ -1,0 +1,80 @@
+"""Profile API — the engine's answer to the reference's EDA module
+(R15–R17; /root/reference/src/data_exploration.py). Instead of matplotlib
+windows, every profile op returns a DataFrame (computation, not
+presentation — SURVEY.md §2A R19 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Fixed-width histogram (R16 analog of sns.histplot,
+    /root/reference/src/data_exploration.py:16-17).
+
+    Two jobs: an exact min/max aggregate, then one groupBy on the bin id —
+    both fully distributed, no driver-side data. The max value is clamped
+    into the last bin (right-closed top edge).
+    """
+    lo, hi = df.select(F.min(col), F.max(col)).first()
+    width = (hi - lo) / nbins or 1.0
+    bin_id = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(nbins - 1)
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation (R17 analog of features_df.corr(),
+    /root/reference/src/data_exploration.py:33), as a long-form DataFrame
+    (col_a, col_b, corr).
+
+    All C(n,2) corr aggregates run in ONE job/projection — a single pass
+    over the data, matching ml.stat.Correlation's efficiency while staying
+    SQL-expressible for the oracle.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) as (col_a, col_b, corr)"
+    )
+
+
+def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column count/mean/stddev/min/max in one pass (R19 profile)."""
+    rows = []
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev(c), 6).alias(f"{c}__std"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__count`, `{c}__mean`, `{c}__std`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as (column, n, mean, std, min, max)"
+    )

@@ -1,0 +1,249 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+SURVEY.md §2B E9. The scale story, per variant:
+
+- exact:        hash-shuffle on the fingerprint — one shuffle, fully
+                distributed, the 100 TB workhorse.
+- jaccard:      exact pairwise Jaccard via shingle self-join. Quadratic in
+                documents *per shared shingle* — correct but only viable as
+                a verifier or behind a candidate filter. Hot (high
+                document-frequency) shingles are droppable via ``max_df``;
+                at web scale you ALWAYS cap df (a shingle shared by 1M docs
+                contributes 10^12 pairs and zero information).
+- minhash_lsh:  the scale path. Signatures are computed entirely inside a
+                single projection (array expressions — no explode, no
+                shuffle), then one explode-on-bands + groupBy buckets
+                candidates. Expected cost ~ O(N · bands) shuffle rows.
+- simhash:      64-bit signature via per-bit majority vote of token hashes;
+                near-dup = Hamming distance ≤ k, candidates via 4-chunk
+                banding (pigeonhole: distance ≤ 3 ⇒ one 16-bit chunk equal).
+
+All hash functions are Spark's xxhash64 — deterministic across runs and
+cluster layouts, so signatures are reproducible (required for incremental
+dedup of a growing corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-content fingerprint."""
+    fp = df.withColumn("fingerprint", T.fingerprint(F.col(text_col)))
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "fingerprint"], "inner")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-``n``-gram Jaccard similarity for all pairs sharing ≥1
+    shingle; returns pairs (id_a < id_b) with jaccard ≥ threshold.
+
+    Plan shape: project shingles → explode → (optional df-cap) →
+    self-equi-join on shingle → count intersections → join back sizes.
+    Every join is an equi-join (shuffle-hash / sort-merge capable).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), T.word_shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    exploded = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        counts = exploded.groupBy("shingle").count().where(F.col("count") <= max_df)
+        exploded = exploded.join(F.broadcast(counts.select("shingle")), "shingle")
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """num_hashes minhash values as an array<bigint>, computed with array
+    expressions only — zero shuffles, zero Python.
+
+    Hash family: xxhash64(seed_i ‖ shingle). Independent-ish seeded family;
+    deterministic everywhere.
+
+    NB: seeds are bound via a closure factory, NOT a ``lambda s, i=i`` default
+    arg — PySpark inspects lambda arity and would pass the array index as the
+    second parameter, silently shadowing the seed.
+    """
+
+    def hasher(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hasher(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    # Materialize the shingle array as a named column first: the 64 minhash
+    # expressions then share ONE shingle computation instead of Catalyst
+    # inlining (and re-evaluating) the normalize+split+distinct tree 64×.
+    sh = df.select(
+        F.col(id_col).alias("id"), T.word_shingles(F.col(text_col), n).alias("sh")
+    )
+    return sh.select("id", _minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash-LSH, scored by estimated Jaccard
+    (fraction of agreeing minhashes), filtered at ``threshold``.
+
+    bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5.
+    The bucket join shuffles ~N·bands small rows; signatures ride along so
+    scoring needs no second join back to the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens, computed per-row with array
+    expressions (no shuffle): bit j of the signature is the majority vote of
+    bit j across xxhash64(token) for every distinct token."""
+    toks = F.array_distinct(T.words(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(64):
+        vote = F.aggregate(hashes, F.lit(0), voter(j))
+        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for bcol in bits[1:]:
+        sig = sig.bitwiseOR(bcol)
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates by pigeonhole banding: split 64 bits into (max_hamming + 1)
+    chunks; any pair within distance ≤ max_hamming agrees exactly on at
+    least one chunk → equi-join per chunk, then verify with bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = simhash(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.chunk", "ck.key")
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns — SURVEY.md §2B E10.
+
+Two tiers, same semantics:
+
+- ``cosine_topk``     exact brute force. The QUERY side is broadcast (it is
+                      the small side by construction); the corpus streams
+                      through map tasks — no shuffle until the final
+                      per-query top-k, which WindowGroupLimit keeps tiny.
+                      At 100 TB corpus × small query batch this is actually
+                      the right plan: embarrassingly parallel scan.
+- ``lsh_topk``        approximate, for query sets too large to broadcast:
+                      random-hyperplane LSH (signed projections) buckets
+                      both sides; only same-bucket pairs are scored. All
+                      projection math is array expressions — JVM-side.
+
+Dot products use ``zip_with`` + ``aggregate`` over array<double> — stays
+inside whole-stage codegen; no Pandas round-trip for a 64-float dot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — self-matches excluded.
+    Ranking is on the ROUNDED similarity with id tie-break, so the result is
+    a total order reproducible across engines (oracle-safe).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (xorshift-free, pure python
+    LCG so no numpy dependency at module import in executors)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i), packed into
+    a bigint. Pure array expressions."""
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vd, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = pairs agreeing on the full signature
+    in ANY of ``n_tables`` independent hyperplane tables, scored exactly.
+
+    Shuffle cost ~ N · n_tables bucket rows instead of N · |Q| pairs. Recall
+    rises with n_tables; precision with n_planes.
+    """
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
+        )
+        tables = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+            tables.append(
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col(f"{prefix}_vec"), planes).alias("bucket"),
+                )
+            )
+        return out.select(
+            f"{prefix}_id", f"{prefix}_vec", F.explode(F.array(*tables)).alias("tb")
+        ).select(f"{prefix}_id", f"{prefix}_vec", "tb.table", "tb.bucket")
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    cand = (
+        cb.join(qb, ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_vec"), F.col("neighbor_vec")), round_scale).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

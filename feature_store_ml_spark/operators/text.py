@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM training-data pipelines — SURVEY.md §2B E11.
+
+Everything here is built-in-expression-only (JVM-side, whole-stage codegen):
+no Python UDFs in any hot path. Each op is a column factory (returns a
+Column) so callers compose them into a single projection — one pass over
+100 TB of text, not one pass per statistic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list (public-domain English function words).
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from",
+]
+
+# Marker words for the n-gram-free language-ID heuristic. Deterministic and
+# SQL-expressible; accuracy is secondary to having a well-defined, testable
+# scoring function (real corpora would use char-n-gram profiles).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-ish markers
+}
+
+_WORD_RE = r"[a-z0-9]+"
+# BPE-ish tokenizer: words, numbers, or single non-space symbols — the same
+# shape GPT-2's pre-tokenizer splits on, minus unicode categories.
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim. The
+    canonical form used for hashing/dedup so trivial formatting differences
+    don't defeat exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def words(text: Column) -> Column:
+    """Array of lowercase word tokens (whitespace/punct split)."""
+    return F.filter(F.split(normalize(text), " "), lambda w: w != F.lit(""))
+
+
+def n_tokens_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), 0))
+
+
+def stopword_ratio(tokens: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(tokens) > 0, n_sw / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(tokens: Column) -> Column:
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(tokens) > 0, total.cast("double") / F.size(tokens)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(F.length(text) > 0, n_punct.cast("double") / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, sane stopword
+    density, low punctuation noise. Weights are arbitrary but fixed —
+    downstream filters select on thresholds of this score."""
+    toks = words(text)
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    sw = stopword_ratio(toks)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3)) / F.lit(0.3)
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.3 * F.greatest(sw_score, F.lit(0.0)) + 0.3 * punct_score, 6
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: score = count of marker-word hits per language
+    over the token array; argmax wins, ties broken by language code order,
+    zero hits → 'und' (BCP-47 undetermined)."""
+    toks = words(text)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs: max score, then max lang — make tie
+    # order deterministic by comparing on (score, negated-rank) instead.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. Stable across
+    engines (md5 is md5 everywhere) → exact-dedup key and oracle-checkable."""
+    return F.md5(normalize(text))
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text — the input to
+    MinHash/Jaccard near-dup. Built with sequence+transform (JVM-side),
+    no explode until the caller needs one."""
+    norm = normalize(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
+            lambda i: norm.substr(i + 1, F.lit(n)),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of the normalized text."""
+    toks = words(text)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " "))),
+    )

@@ -1,0 +1,1247 @@
+"""The engine's named query catalog (SURVEY.md §2C naming contract).
+
+Every entry pairs a Spark implementation with (where SQL-expressible) a
+DuckDB oracle SQL string. The driver runs both at sf0.01 and compares
+row-count + schema + order-insensitive value-hash, so the catalog follows
+three disciplines throughout:
+
+1. **Exact aggregates.** ``SUM`` over doubles is order-dependent in the
+   16th digit; across two engines that flips rounded values. So every large
+   sum goes through exact decimal accumulation:
+   ``CAST(CAST(SUM(CAST(x AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)`` — bit-identical in
+   Spark and DuckDB regardless of partitioning/order. Averages are
+   ``exact_sum / count``. Small-n float reductions (64-dim dot products)
+   instead round at a scale (1e-6) far above their error (~1e-13).
+2. **Total ordering.** Every LIMIT / row_number ranks on deterministic
+   (exact or pre-rounded) values with a unique-key tie-break.
+3. **Matched names and types.** Every computed column is aliased
+   identically on both sides; oracle casts paper over dialect width
+   differences (DuckDB ``count`` → BIGINT vs Spark INT etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import dedup, features, multimodal, similarity, text, windows
+from .operators.asof import asof_join
+from .ml import pipeline, profile
+from .streaming import events as streaming_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def dsum(expr: str) -> F.Column:
+    """Order-independent exact sum of a double expression (see module doc)."""
+    # string-mediated decimal->double: DuckDB's direct decimal->double cast
+    # is not correctly rounded (1 ulp off Spark's); both engines render the
+    # decimal to the same string and parse strings correctly-rounded.
+    return F.expr(
+        f"cast(cast(sum(cast(({expr}) as decimal(30,8))) as string) as double)"
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — scan, projection, filter (predicates push to the parquet scan)
+# ---------------------------------------------------------------------------
+
+@register(
+    "e2_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND l_returnflag IN ('A', 'R')
+      AND l_quantity > 25
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def e2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_quantity") > 25)
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 — joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "e3_join_broadcast",
+    """
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def e3_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star join: fact table joined through orders to broadcast
+    dims. nation/region/customer are broadcast (< threshold), so the only
+    shuffle is lineitem⋈orders on the orderkey — at 100 TB that is the
+    minimal-shuffle plan for this query."""
+    li, o, c, n, r = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        li.join(o.where(F.col("o_orderdate") >= "1996-01-01"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "e3_join_outer",
+    """
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def e3_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "e3_join_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def e3_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    return c.where(F.col("c_mktsegment") == "BUILDING").join(
+        o.where(F.col("o_orderstatus") == "F"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "e3_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def e3_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no open order. (Unrestricted 'no orders at all' is
+    vacuous on this corpus — every customer has orders.)"""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O"), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "e3_join_range",
+    """
+    SELECT band, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM lineitem
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0),
+                 ('high', 25.0, 40.0), ('bulk', 40.0, 1e9)) AS bands(band, lo, hi)
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def e3_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: fact rows against a tiny band table. The band side
+    is broadcast, so the non-equi condition runs as a broadcast nested loop
+    over 4 rows — the right plan (never a cartesian shuffle)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 40.0), ("bulk", 40.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("total_price"))
+    )
+
+
+@register(
+    "e3_join_asof",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts AS view_ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_event_id
+    FROM clicks c
+    ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.view_ts <= c.ts
+    """,
+)
+def e3_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-window algorithm, operators/asof.py): for each
+    click, the user's most recent view at-or-before it. Oracle is DuckDB's
+    native ASOF JOIN."""
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="view_ts", direction="backward"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 — aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "e4_agg_groupby",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def e4_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    sum_price = dsum("o_totalprice")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        sum_price.alias("sum_price"),
+        (sum_price / F.count("*")).alias("avg_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "e4_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def e4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "sum_price"
+    )
+
+
+@register(
+    "e4_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def e4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+
+
+@register(
+    "e4_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def e4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS STRING) AS DOUBLE) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "e4_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def e4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("e4_approx_count_distinct", None)  # HLL sketches differ per engine
+def e4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No oracle: sketch estimates
+    are engine-specific; tests assert relative error vs exact instead."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5/E6 — windows, sort, top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "e5_window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+             CAST(RANK() OVER w AS INT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS INT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def e5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "e5_window_lag",
+    """
+    SELECT event_id, user_id,
+           LAG(event_id) OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e5_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "e5_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             AS running_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             AS trailing3_spend
+    FROM orders
+    """,
+)
+def e5_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(30,8)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("string").cast("double").alias("running_spend"),
+        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("string").cast("double").alias("trailing3_spend"),
+    )
+
+
+@register(
+    "e6_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def e6_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs this as TakeOrderedAndProject — per-partition
+    heaps + a k-row merge on the driver; no global sort at any scale."""
+    (o,) = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "e6_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def e6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return windows.top_k_per_group(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        k=5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "e7_set_ops",
+    """
+    WITH f_custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+         b_custs AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM f_custs INTERSECT SELECT custkey FROM b_custs)
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (SELECT custkey FROM b_custs EXCEPT SELECT custkey FROM f_custs)
+    UNION ALL
+    SELECT 'union' AS op, custkey FROM (SELECT custkey FROM f_custs UNION SELECT custkey FROM b_custs)
+    """,
+)
+def e7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    f_custs = (
+        o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey")).distinct()
+    )
+    b_custs = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        f_custs.intersect(b_custs).select(F.lit("intersect").alias("op"), "custkey")
+        .unionByName(b_custs.exceptAll(f_custs).distinct().select(F.lit("except").alias("op"), "custkey"))
+        .unionByName(f_custs.union(b_custs).distinct().select(F.lit("union").alias("op"), "custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — scalar function library
+# ---------------------------------------------------------------------------
+
+@register(
+    "e8_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTRING(p_name, 1, 5) AS name_head,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(STRPOS(p_name, 'a') AS INT) AS first_a
+    FROM part
+    """,
+)
+def e8_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    )
+
+
+@register(
+    "e8_date_funcs",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS n,
+           CAST(MIN(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INT) AS min_days_since_epoch_start,
+           CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INT) AS max_days_since_epoch_start
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def e8_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(days).alias("min_days_since_epoch_start"),
+            F.max(days).alias("max_days_since_epoch_start"),
+        )
+    )
+
+
+@register(
+    "e8_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 0) AS price_round,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           CAST(CEIL(l_quantity / 10) AS BIGINT) AS qty_decile_ceil,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile_floor,
+           CAST(l_quantity AS INT) % 7 AS qty_mod7
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def e8_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_decile_ceil"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile_floor"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "e8_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS head,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def e8_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("head"),
+        F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("vsum"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "e8_json_funcs",
+    """
+    SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def e8_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E9 — deduplication
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators.text.normalize / fingerprint.
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+@register(
+    "e9_dedup_exact",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+         keep AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+    SELECT doc_id, fingerprint FROM keep
+    """,
+)
+def e9_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("doc_id", "fingerprint")
+
+
+_SHINGLE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh
+    )
+"""
+
+@register(
+    "e9_dedup_jaccard",
+    _SHINGLE_SQL
+    + """
+    , inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.2
+    """,
+)
+def e9_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, n=3, threshold=0.2)
+
+
+@register("e9_dedup_minhash", None)  # xxhash64 family — not reproducible in SQL
+def e9_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates. Rows-only check; tests verify the
+    LSH candidates against exact Jaccard (recall on known near-dups)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.2)
+
+
+@register("e9_dedup_simhash", None)
+def e9_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# E10 — similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "e10_knn_brute",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  ROUND(
+                    list_sum(list_transform(range(1, 1 + len(qv)),
+                             i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                  6) AS cos_sim
+           FROM c CROSS JOIN q
+           WHERE neighbor_id <> query_id
+         )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def e10_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register("e10_knn_lsh", None)  # approximate: engine-specific bucketing
+def e10_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN. Rows-only; tests measure recall@k against
+    the exact brute-force result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# E11 — text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '')"
+_SW_LIST = "['" + "', '".join(
+    ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+     "for", "on", "with", "as", "at", "by", "be", "this", "that", "from"]
+) + "']"
+
+@register(
+    "e11_text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, text, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(LENGTH(text) AS INT) AS n_chars_actual,
+           CAST(len(toks) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_tokens_bpe,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS stopword_ratio
+    FROM t
+    """,
+)
+def e11_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = text.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_words"),
+        text.n_tokens_bpe(F.col("text")).alias("n_tokens_bpe"),
+        text.mean_word_len(toks).alias("mean_word_len"),
+        text.stopword_ratio(toks).alias("stopword_ratio"),
+    )
+
+
+@register("e11_quality_score", None)  # composite heuristic; tests pin values
+def e11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register("e11_lang_id", None)  # argmax-over-structs; unit-tested instead
+def e11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the labeled lang column: confusion counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "e11_fingerprint",
+    f"""
+    SELECT source, CAST(COUNT(DISTINCT md5({_NORM_SQL})) AS BIGINT) AS n_unique_fp,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def e11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(text.fingerprint(F.col("text"))).alias("n_unique_fp"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E12 — feature-store ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "e12_tumbling_features",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e12_tumbling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = features.tumbling_features(ev, "1 hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.expr("cast(cast(cast(sum_value as decimal(30,8)) as string) as double)").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "e12_rolling_features",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS VARCHAR) AS DOUBLE) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def e12_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("string").cast("double").alias("sum_trailing"),
+    )
+
+
+@register(
+    "e12_pit_join",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS feat_ts,
+             COUNT(*) AS day_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, d.feat_ts, d.day_events, d.day_value
+    FROM purchases p
+    ASOF LEFT JOIN daily d ON p.user_id = d.user_id AND d.feat_ts <= p.ts
+    """,
+)
+def e12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join: each purchase gets the latest
+    COMPLETED day's features (available at end-of-day), never future data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            (F.date_trunc("day", "ts").cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY")).alias("feat_ts"),
+        )
+        .agg(F.count("*").alias("day_events"), dsum("value").alias("day_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = features.point_in_time_join(
+        purchases, daily, keys=["user_id"], label_ts="ts", feature_ts="feat_ts"
+    )
+    return joined.select("event_id", "user_id", "feat_ts", "day_events", "day_value")
+
+
+@register(
+    "e12_sessionize",
+    """
+    WITH lagged AS (
+      SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def e12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.sessionize(
+        ev, "user_id", "ts", gap="INTERVAL 30 MINUTES", tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", F.col("session_id").cast("bigint").alias("session_id"))
+
+
+# ---------------------------------------------------------------------------
+# E13 — streaming parity (batch-equivalent oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "e13_stream_window",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e13_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual Structured Streaming execution (replayed source → watermarked
+    tumbling agg → memory sink); oracle is the batch formulation — parity by
+    construction."""
+    return streaming_events.stream_window_counts(spark, sf_dir, "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# E14 — multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "e14_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(24 + octet_length(encode(text)) AS INT) AS n_bytes,
+           'fakeimg' AS format,
+           CAST((LENGTH(text) * 7919 + 13) % 1920 + 1 AS INT) AS width,
+           CAST((LENGTH(text) * 104729 + 17) % 1080 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def e14_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end: synthesize binary image payloads,
+    then decode metadata via Arrow-batched mapInPandas. The oracle predicts
+    the decoded metadata analytically."""
+    d = load_table(spark, sf_dir, "documents")
+    with_img = multimodal.attach_fake_image(d)
+    return multimodal.decode_image_meta(with_img)
+
+
+# ---------------------------------------------------------------------------
+# R-series — reference-parity pipeline (SURVEY.md §2A)
+# ---------------------------------------------------------------------------
+
+@register("r01_synthetic_source", None)  # generator: no oracle table
+def r01_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R3: seeded distributed synthetic classification dataset — class
+    balance + feature means per class (deterministic by seed)."""
+    feats = pipeline.generate_features(spark, n_rows=1000, seed=42)
+    return feats.groupBy("target").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("feature_0"), 4).alias("mean_f0"),
+        F.round(F.avg("feature_1"), 4).alias("mean_f1"),
+    )
+
+
+@register("r10_accuracy", None)  # model scoring: not SQL-expressible
+def r10_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7-R10: split/fit/predict/accuracy on the synthetic dataset."""
+    feats = pipeline.generate_features(spark, n_rows=1000, seed=42)
+    _, _, accuracy, _ = pipeline.train_and_evaluate(feats, seed=42)
+    return spark.createDataFrame([(accuracy,)], "accuracy double")
+
+
+@register("r11_class_report", None)
+def r11_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: per-class precision/recall/F1/support."""
+    feats = pipeline.generate_features(spark, n_rows=1000, seed=42)
+    _, _, _, report = pipeline.train_and_evaluate(feats, seed=42)
+    return report.select(
+        "class",
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+        "support",
+    )
+
+
+@register(
+    "r16_histogram",
+    """
+    WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+         b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,
+                      lo, hi
+               FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+    SELECT bin,
+           ROUND(lo + bin * ((hi - lo) / 10), 6) AS bin_lo,
+           ROUND(lo + (bin + 1) * ((hi - lo) / 10), 6) AS bin_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bin, lo, hi
+    """,
+)
+def r16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.histogram(li, "l_extendedprice", nbins=10)
+
+
+@register(
+    "r17_correlation",
+    """
+    SELECT col_a, col_b, ROUND(corr_val, 4) AS corr FROM (
+      SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, corr(l_quantity, l_quantity) AS corr_val FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_extendedprice', corr(l_quantity, l_extendedprice) FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_extendedprice', corr(l_extendedprice, l_extendedprice) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', 'l_discount', corr(l_discount, l_discount) FROM lineitem
+    )
+    """,
+)
+def r17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Headline multi-operator queries (TPC-H-shaped; bench workload)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, map-side partial agg on 2 low-cardinality
+    keys — the canonical 'is partial aggregation working' benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the join-order stress test. Catalyst + AQE pick broadcast
+    for supplier/nation; the customer⋈orders⋈lineitem chain shuffles on
+    custkey then orderkey."""
+    li, o, c, s, n = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The settings here are the scale-critical defaults; on a real 1000-executor
+cluster only ``shuffle.partitions`` (sized to ~128 MB per task of shuffle
+data) and memory knobs change — the plan-shaping configs (AQE, skew join,
+broadcast threshold) carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test parallelism; the driver runs bench with SPARK_GRAFT_CPUS.
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "feature_store_ml_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Scale rationale per config:
+    - AQE on: runtime re-planning coalesces small shuffle partitions and
+      switches sort-merge → broadcast when post-filter sizes allow; the skew
+      flags split hot partitions so one straggler task doesn't gate a stage.
+    - ``shuffle.partitions`` ≈ cores locally; at 100 TB you size it to
+      total-shuffle-bytes / 128MB and let AQE coalesce down.
+    - Arrow on: every pandas_udf / toPandas crosses JVM↔Python in columnar
+      batches instead of pickled rows.
+    - Session timezone pinned UTC so timestamp semantics match the DuckDB
+      oracle and are cluster-location-independent.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark's reader
+        # has no ns timestamp type, so read as long and convert in io.sources.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,91 @@
+"""Structured Streaming twins of the event aggregations — SURVEY.md §2B E13.
+
+Batch/stream parity by construction: the windowed-aggregate EXPRESSIONS are
+shared with operators.features.tumbling_features; only the source
+(readStream) and sink (memory table for tests; kafka/files in production)
+differ. Watermarks bound state so a 100 TB/day stream's window state stays
+O(windows-in-flight), not O(history).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table as a bounded stream (one file). ts arrives as
+    raw nanos (nanosAsLong) exactly like the batch path."""
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    df = (
+        spark.readStream.schema(raw_schema)
+        # FileStreamSource takes a directory; glob-filter to the events file.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so the
+    # values equal the batch path's NTZ readings.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark: late rows
+    beyond the watermark are dropped and window state is evicted — the
+    bounded-state requirement for unbounded input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal accumulation → order/batch-independent result
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key semantics: drop duplicate event_ids
+    arriving within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive a (bounded) streaming query to completion through a memory sink
+    and return the materialized result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str, window_len: str = "1 hour") -> DataFrame:
+    """End-to-end: replayed stream → watermarked tumbling agg → memory sink.
+    Returns the same rows the batch tumbling_features query produces (the
+    oracle SQL is the batch formulation)."""
+    # complete mode: append mode would withhold windows the watermark hasn't
+    # closed when the bounded replay ends (the last <watermark> hours).
+    out = run_stream_to_table(
+        spark, windowed_counts(_streaming_events(spark, sf_dir), window_len), mode="complete"
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,98 @@
+"""Local replica of the driver's correctness gate: run every catalog query
+on Spark AND its DuckDB oracle, compare row-count + schema-width +
+order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from feature_store_ml_spark import queries as catalog  # noqa: E402
+from feature_store_ml_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes enough to hash values."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> int:
+    return int(pd.util.hash_pandas_object(canon(df), index=False).sum())
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("oracle_check")
+    q = catalog.queries()
+    o = catalog.oracle_sql()
+
+    failures = []
+    for name, fn in q.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        if name not in o:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            if len(sdf) == 0 and name != "e3_join_anti":
+                print(f"  WARN: zero rows")
+            continue
+        try:
+            ddf = con.sql(o[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: duckdb oracle raised")
+            traceback.print_exc()
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rowcount {len(sdf)} vs {len(ddf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems:
+            cs, cd = canon(sdf), canon(ddf)
+            if value_hash(cs) != value_hash(cd):
+                problems.append("value-hash mismatch")
+                diff = cs.compare(cd) if cs.shape == cd.shape else None
+                if diff is not None and not diff.empty:
+                    print(diff.head(10))
+        status = "ok   " if not problems else "FAIL "
+        print(f"{status} {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s) {'; '.join(problems)}")
+        if problems:
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
