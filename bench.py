@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop datasource sink — the full plan
+executes (nothing pruned because nothing is observed), no bytes hit disk and
+no rows cross to the driver, so the number is engine time, not IO/pickle
+time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feature_store_ml_spark import queries as catalog  # noqa: E402
+from feature_store_ml_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "e3_join_broadcast",
+    "e3_join_asof",
+    "e4_cube",
+    "e5_window_rank",
+    "e6_topk",
+    "e9_dedup_exact",
+    "e9_dedup_minhash",
+    "e10_knn_brute",
+    "e11_text_stats",
+    "e12_rolling_features",
+    "e12_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    q = catalog.queries()
+    # JVM/codegen warm-up on the smallest query so q1 doesn't pay session
+    # startup; not counted.
+    q["e6_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

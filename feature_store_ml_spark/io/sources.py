@@ -19,13 +19,24 @@ from .. import schemas
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     """Load one of the standard tables with its declared schema.
 
     The declared schema is applied post-scan via column casts only where the
     parquet physical type differs (e.g. events.ts is INT64(ns) on disk and
     Spark reads it natively); parquet self-describes, so we read without
     inference and verify names match the contract in ``schemas.TABLES``.
+
+    ``parallelize``: a parquet scan can't split below a row group, so a
+    table written as one fat row group (this corpus) pins every downstream
+    map-side stage to ONE task no matter how many cores exist. When the
+    scan yields far fewer partitions than the cluster has slots, insert a
+    round-robin repartition — predicates and column pruning still push
+    below the exchange, so the shuffle carries only filtered/pruned rows.
+    On production multi-file tables (100 TB = thousands of row groups)
+    the condition is false and this is a no-op.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(schemas.TABLES)}")
@@ -39,6 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if parallelize:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, par // 4):
+            df = df.repartition(par)
     return df
 
 

@@ -53,7 +53,8 @@ def jaccard_pairs(
     self-equi-join on shingle → count intersections → join back sizes.
     Every join is an equi-join (shuffle-hash / sort-merge capable).
     """
-    sh = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"), T.word_shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sz", F.size("sh"))
     exploded = sh.select("id", "sz", F.explode("sh").alias("shingle"))
@@ -82,29 +83,6 @@ def jaccard_pairs(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """num_hashes minhash values as an array<bigint>, computed with array
-    expressions only — zero shuffles, zero Python.
-
-    Hash family: xxhash64(seed_i ‖ shingle). Independent-ish seeded family;
-    deterministic everywhere.
-
-    NB: seeds are bound via a closure factory, NOT a ``lambda s, i=i`` default
-    arg — PySpark inspects lambda arity and would pass the array index as the
-    second parameter, silently shadowing the seed.
-    """
-
-    def hasher(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, hasher(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,13 +90,37 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    # Materialize the shingle array as a named column first: the 64 minhash
-    # expressions then share ONE shingle computation instead of Catalyst
-    # inlining (and re-evaluating) the normalize+split+distinct tree 64×.
-    sh = df.select(
-        F.col(id_col).alias("id"), T.word_shingles(F.col(text_col), n).alias("sh")
+    """num_hashes minhash values per doc as an array<bigint>.
+
+    Formulation: explode shingles → groupBy(doc) with ``num_hashes``
+    min(xxhash64(seed_i ‖ shingle)) aggregates. The shingle tree is evaluated
+    exactly ONCE per document (a pure-projection formulation gets inlined by
+    CollapseProject into one copy per hash — 64× recomputation); the min
+    aggregates combine map-side, so the shuffle carries only
+    |docs| × num_hashes longs per partition, not the exploded shingles.
+
+    Hash family: xxhash64(seed_i ‖ shingle) — deterministic across runs,
+    partitionings and cluster layouts (required for incremental dedup).
+
+    The input is hash-repartitioned on the doc id first: document corpora
+    often arrive as few fat files (here: one), which would pin this
+    CPU-bound stage to one task; the groupBy(id) then reuses that
+    partitioning, so the repartition shuffle replaces (not adds to) the
+    aggregation shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
     )
-    return sh.select("id", _minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,7 +140,12 @@ def minhash_lsh_pairs(
     scoring needs no second join back to the corpus.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # Persist the signature stage: without a barrier, CollapseProject inlines
+    # the 64-minhash expression into every band-hash reference (16×
+    # recomputation of the whole shingle+hash tree). In production the
+    # signature table is materialized anyway (it's what incremental dedup
+    # diffs against); signatures are 64×8B per doc — tiny next to the text.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     banded = sigs.select(
         "id",
         "sig",
@@ -187,6 +194,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """64-bit SimHash over word tokens, computed per-row with array
     expressions (no shuffle): bit j of the signature is the majority vote of
     bit j across xxhash64(token) for every distinct token."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, id_col)  # spread CPU-bound bit-votes (see minhash)
     toks = F.array_distinct(T.words(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -219,7 +228,9 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sigs = simhash(df, id_col, text_col)
+    # Same barrier rationale as minhash_lsh_pairs: stop the 64-bit-vote
+    # expression being inlined into every chunk extraction.
+    sigs = simhash(df, id_col, text_col).cache()
     chunks = sigs.select(
         "id",
         "simhash",

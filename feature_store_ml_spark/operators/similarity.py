@@ -123,9 +123,11 @@ def lsh_topk(
     rises with n_tables; precision with n_planes.
     """
     def banded(df: DataFrame, prefix: str) -> DataFrame:
+        # cache: stops per-table bucket expressions re-deriving the input
+        # projection n_tables times after CollapseProject inlining.
         out = df.select(
             F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
-        )
+        ).cache()
         tables = []
         for t in range(n_tables):
             planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)

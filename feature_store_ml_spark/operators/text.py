@@ -107,29 +107,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text))
 
 
+def _sliding_join(items: Column, n: int, sep: str) -> Column:
+    """n-gram shingles of an array via zip_with over shifted slices.
+
+    Why not ``transform(sequence(0, k-n), i -> slice(items, i+1, n))``: a
+    lambda body's child expressions are re-evaluated per element, so the
+    whole upstream tokenize tree would run once PER SHINGLE (measured ~10x
+    slowdown). zip_with evaluates each input array exactly once per row;
+    n-1 zips -> the tree runs O(n) times per row total.
+    """
+    out = items
+    for k in range(1, n):
+        shifted = F.slice(items, k + 1, F.greatest(F.size(items) - k, F.lit(0)))
+        # concat propagates null at the ragged tail (zip_with pads with null)
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of the normalized text — the input to
-    MinHash/Jaccard near-dup. Built with sequence+transform (JVM-side),
-    no explode until the caller needs one."""
-    norm = normalize(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
-            lambda i: norm.substr(i + 1, F.lit(n)),
-        )
-    )
+    MinHash/Jaccard near-dup."""
+    chars = F.filter(F.split(normalize(text), ""), lambda c: c != F.lit(""))
+    return F.array_distinct(_sliding_join(chars, n, ""))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined) of the normalized text."""
+    """Distinct word n-gram shingles (space-joined) of the normalized text.
+    Documents shorter than n words yield one whole-text shingle."""
     toks = words(text)
-    k = F.size(toks)
     return F.array_distinct(
-        F.when(
-            k >= n,
-            F.transform(
-                F.sequence(F.lit(0), k - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(toks, " "))),
+        F.when(F.size(toks) >= n, _sliding_join(toks, n, " ")).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
     )

@@ -322,7 +322,7 @@ def e4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (li,) = _t(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_rf"),
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
@@ -709,7 +709,7 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
     """,
 )
 def e9_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
     return dedup.exact_dedup(d).select("doc_id", "fingerprint")
 
 
@@ -1047,7 +1047,7 @@ def e14_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing end-to-end: synthesize binary image payloads,
     then decode metadata via Arrow-batched mapInPandas. The oracle predicts
     the decoded metadata analytically."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
     with_img = multimodal.attach_fake_image(d)
     return multimodal.decode_image_meta(with_img)
 
@@ -1105,7 +1105,7 @@ def r11_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     return profile.histogram(li, "l_extendedprice", nbins=10)
 
 
@@ -1128,7 +1128,7 @@ def r16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def r17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     return profile.correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
@@ -1158,7 +1158,7 @@ def r17_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one scan, map-side partial agg on 2 low-cardinality
     keys — the canonical 'is partial aggregation working' benchmark."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz"))
