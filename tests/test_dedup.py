@@ -1,0 +1,89 @@
+"""Dedup operator tests: known near-duplicates, idempotence, LSH recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "The quick brown fox jumps over the lazy dog near the river bank!"),  # exact dup of 0 after normalize
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "spark query engines need shuffles and partitions for scale work"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # identical to 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs).toPandas()
+    # 0, 2, 5 normalize to the same content -> one representative (min id = 0)
+    assert set(kept.doc_id) == {0, 1, 3, 4}
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = dedup.exact_dedup(docs)
+    twice = dedup.exact_dedup(once.select("doc_id", "text"))
+    assert sorted(r.doc_id for r in twice.collect()) == sorted(
+        r.doc_id for r in once.collect()
+    )
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).toPandas()
+    keyed = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    assert keyed[(0, 5)] == 1.0  # identical
+    assert keyed[(0, 2)] == 1.0  # identical after normalization
+    assert (0, 1) in keyed and 0.6 < keyed[(0, 1)] < 1.0  # one word differs
+    assert (0, 3) not in keyed  # unrelated
+
+
+def test_jaccard_max_df_prunes_hot_shingles(spark, docs):
+    # with a df cap of 1, every shared shingle is dropped -> no pairs
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1, max_df=1)
+    assert pairs.count() == 0
+
+
+def test_minhash_recall_of_exact_pairs(spark, docs):
+    """LSH candidates must include every high-similarity pair found by the
+    exact computation (on this tiny set)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact <= lsh
+
+
+def test_minhash_estimate_close_to_exact(spark, docs):
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    assert est[(0, 5)] == 1.0
+    assert abs(est[(0, 1)] - 0.75) < 0.25  # 64 hashes: +-2 sigma tolerance
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(0, 5)] == 0  # identical docs -> identical signature
+    assert pairs[(0, 2)] == 0  # normalization-identical
+    assert (0, 1) in pairs  # near-dup within 16 bits
+    assert (0, 3) not in pairs  # unrelated text far apart
+
+
+def test_signatures_deterministic_across_partitionings(spark, docs):
+    a = dedup.minhash_signatures(docs).orderBy("id").collect()
+    b = dedup.minhash_signatures(docs.repartition(7)).orderBy("id").collect()
+    assert [r.sig for r in a] == [r.sig for r in b]

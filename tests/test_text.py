@@ -1,0 +1,94 @@
+"""Text operator edge cases: empty/punct-only/short inputs, shingle shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.operators import text
+
+
+def run(spark, col_expr, rows, schema="text string"):
+    df = spark.createDataFrame(rows, schema)
+    return [r.out for r in df.select(col_expr.alias("out")).collect()]
+
+
+def test_normalize(spark):
+    vals = run(
+        spark,
+        text.normalize(F.col("text")),
+        [("  Hello,   WORLD!! 42 ",), ("...",), ("",)],
+    )
+    assert vals == ["hello world 42", "", ""]
+
+
+def test_words_empty_and_punct(spark):
+    vals = run(spark, text.words(F.col("text")), [("a b c",), ("!!!",), ("",)])
+    assert vals == [["a", "b", "c"], [], []]
+
+
+def test_word_shingles_shapes(spark):
+    vals = run(
+        spark,
+        text.word_shingles(F.col("text"), 3),
+        [("a b c d",), ("a b",), ("",), ("a a a a",)],
+    )
+    assert vals[0] == ["a b c", "b c d"]
+    assert vals[1] == ["a b"]  # shorter than n -> whole text
+    assert vals[2] == [""]
+    assert vals[3] == ["a a a"]  # distinct collapses repeats
+
+
+def test_char_shingles(spark):
+    vals = run(spark, text.char_shingles(F.col("text"), 3), [("abcd",)])
+    assert vals[0] == ["abc", "bcd"]
+
+
+def test_bpe_token_count(spark):
+    vals = run(
+        spark,
+        text.n_tokens_bpe(F.col("text")),
+        [("hello world",), ("foo123 bar!?",), ("",)],
+    )
+    assert vals == [2, 5, 0]  # foo|123|bar|!|?
+
+
+def test_stopword_ratio_bounds(spark):
+    toks = text.words(F.col("text"))
+    vals = run(
+        spark,
+        text.stopword_ratio(toks),
+        [("the of and",), ("spark flink trino",), ("",)],
+    )
+    assert vals[0] == 1.0
+    assert vals[1] == 0.0
+    assert vals[2] == 0.0
+
+
+def test_quality_score_in_unit_interval(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(text.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    vals = run(
+        spark,
+        text.lang_id(F.col("text")),
+        [
+            ("the cat and the dog is here",),
+            ("der hund und die katze ist nicht da",),
+            ("xyzzy plugh",),
+        ],
+    )
+    assert vals == ["en", "de", "und"]
+
+
+def test_fingerprint_normalization_invariance(spark):
+    vals = run(
+        spark,
+        text.fingerprint(F.col("text")),
+        [("Hello,  World!",), ("hello world",), ("goodbye world",)],
+    )
+    assert vals[0] == vals[1]
+    assert vals[0] != vals[2]

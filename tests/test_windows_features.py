@@ -1,0 +1,79 @@
+"""Window compositions and feature-store operators on micro-fixtures."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.operators import features, windows
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_top_k_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 3, 3), ("h", 9, 4)],
+        "grp string, score int, id int",
+    )
+    out = windows.top_k_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], k=2
+    ).toPandas()
+    g = out[out.grp == "g"].sort_values("rn")
+    assert list(g.id) == [1, 2]  # tie on score broken by id
+    assert list(out[out.grp == "h"].id) == [4]
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, ts(0), 1),
+        (1, ts(10), 2),   # same session (10 min gap)
+        (1, ts(50), 3),   # new session (40 min gap > 30)
+        (2, ts(0), 4),    # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    out = windows.sessionize(df, "user_id", "ts", tiebreak="event_id").toPandas()
+    sessions = dict(zip(out.event_id, out.session_id))
+    assert sessions[1] == sessions[2] == 1
+    assert sessions[3] == 2
+    assert sessions[4] == 1
+
+
+def test_rolling_features_window_boundary(spark):
+    rows = [
+        (1, ts(0), 10.0, 1),
+        (1, ts(30), 20.0, 2),
+        (1, dt.datetime(2024, 1, 1, 1, 0), 30.0, 3),  # exactly 3600s after first
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double, event_id long")
+    out = features.rolling_features(df, trailing_seconds=3600).toPandas()
+    got = dict(zip(out.event_id, out.n_trailing))
+    assert got[1] == 1
+    assert got[2] == 2
+    assert got[3] == 3  # boundary inclusive: event at exactly -3600s counts
+
+
+def test_forward_fill(spark):
+    rows = [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None), (2, 1, None)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = features.forward_fill(df, ["k"], "t", ["v"]).toPandas()
+    byrow = {(r.k, r.t): r.v for r in out.itertuples()}
+    assert byrow[(1, 1)] is None or byrow[(1, 1)] != byrow[(1, 1)]  # NaN before first obs
+    assert byrow[(1, 3)] == 5.0 and byrow[(1, 4)] == 5.0
+    import math
+    assert math.isnan(byrow[(2, 1)]) or byrow[(2, 1)] is None  # other key untouched
+
+
+def test_point_in_time_no_future_leakage(spark):
+    labels = spark.createDataFrame(
+        [(1, ts(30), 100)], "user_id long, ts timestamp_ntz, label_id long"
+    )
+    feats = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(31), 999.0)],
+        "user_id long, feat_ts timestamp_ntz, feat double",
+    )
+    out = features.point_in_time_join(
+        labels, feats, keys=["user_id"], label_ts="ts", feature_ts="feat_ts"
+    ).toPandas()
+    assert out.feat.iloc[0] == 1.0  # NOT the future value 999
