@@ -1245,3 +1245,227 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog extensions (round 1, batch 2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "e5_window_ntile_firstlast",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def e5_window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.last("o_orderkey").over(w_full).alias("priciest_order"),
+    )
+
+
+@register(
+    "e7_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS VARCHAR) AS DOUBLE) AS sum_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def e7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one output column per status value. Spark's .pivot() with an
+    explicit value list — no extra distinct-values job, map-side combine
+    intact. (Never call pivot without the value list at scale: the implicit
+    distinct is a full extra pass.)"""
+    (o,) = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "cast(cast(coalesce(sum(cast(o_totalprice as decimal(30,8))), 0) as string) as double)"
+            ).alias("sum"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_sum").alias("sum_f"),
+    )
+
+
+@register(
+    "e4_median_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def e4_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated). Note for 100 TB: exact percentile
+    is a sort-heavy aggregate; production rollups should prefer
+    approx_percentile (t-digest) — kept exact here for oracle parity, with
+    the approx twin in e4_approx_count_distinct's rows-only pattern."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+    )
+
+
+@register(
+    "e8_map_funcs",
+    """
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(props->>'$.k' AS INT) AS k_val,
+           array_to_string(json_keys(props), ',') AS key_list
+    FROM events
+    """,
+)
+def e8_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string → MapType → map_keys/element_at (E8 map surface)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+    )
+
+
+@register(
+    "e10_centroids",
+    """
+    SELECT label, CAST(dim AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS centroid
+    FROM '__embeddings__' AS e, range(1, 65) AS r(dim)
+    GROUP BY label, dim
+    """.replace("'__embeddings__' AS e", "embeddings AS e"),
+)
+def e10_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long-form (label, dim, centroid): vector
+    aggregation via posexplode + groupBy — partial aggregation applies
+    per (label, dim), so this scales to any corpus without collecting
+    vectors anywhere."""
+    (e,) = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "centroid")
+    )
+
+
+@register(
+    "e12_session_stats",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    ),
+    sessioned AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def e12_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization → per-session rollup (duration, volume): the classic
+    two-window + one-agg pipeline, all on the single user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = windows.sessionize(
+        ev, "user_id", "ts", gap="INTERVAL 30 MINUTES", tiebreak="event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+            dsum("value").alias("session_value"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue this year."""
+    li, o, c, n = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
