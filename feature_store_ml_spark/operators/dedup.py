@@ -258,3 +258,68 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a near-dup
+    pair list → (id, cluster_id=min id in component).
+
+    Distributed min-label propagation: each iteration is one equi-join +
+    one groupBy (both hash-shuffles on the id), so an iteration costs
+    O(|E|) shuffled rows; iterations needed = component diameter, which for
+    dedup graphs is tiny (near-dup clusters are dense). The driver only
+    runs the convergence loop — a count per iteration — never the data.
+
+    This is the standard "small-star" style loop (cf. the GraphFrames /
+    Hash-to-Min literature) without the GraphX dependency.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).cache()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (the cluster min id) per duplicate cluster;
+    rows not in any cluster pass through."""
+    reps = clusters.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    in_cluster = clusters.select(F.col("id").alias(id_col))
+    survivors = df.join(in_cluster, id_col, "left_anti").select(df["*"]).union(
+        df.join(reps, id_col, "left_semi")
+    )
+    return survivors

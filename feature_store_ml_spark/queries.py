@@ -1469,3 +1469,159 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "e9_dedup_clusters",
+    # the transitive-closure CTE needs RECURSIVE on the WITH clause
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    )
+    SELECT u AS id, MIN(label) AS cluster_id FROM walk GROUP BY u
+    """,
+)
+def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via distributed min-label
+    propagation (operators/dedup.py::connected_components). Oracle: DuckDB
+    recursive-CTE transitive closure over the same exact-Jaccard pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "e13_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_id, event_type, value, s.window_start
+      FROM events, (VALUES (0), (1)) AS offs(k),
+      LATERAL (SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k * INTERVAL 30 MINUTES AS window_start) s
+      WHERE ts >= s.window_start AND ts < s.window_start + INTERVAL 60 MINUTES
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def e13_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows every 30 min —
+    each event lands in 2 windows. Same F.window expression runs under
+    Structured Streaming with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sv").cast("string").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, qty_sum
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN (
+      SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS qty_sum
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 120
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate subquery + HAVING + join-back + top-k."""
+    li, o, c = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("q"))
+        .where(F.col("q") > 120)
+        .select("l_orderkey", F.col("q").cast("string").cast("double").alias("qty_sum"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "qty_sum")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "e2_null_safe",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             NULLIF(l_returnflag, 'N') AS rf,
+             NULLIF(l_linestatus, 'O') AS ls
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           (rf IS NOT DISTINCT FROM ls) AS flags_same,
+           (rf IS DISTINCT FROM ls) AS flags_differ,
+           COALESCE(rf, ls, 'none') AS first_flag,
+           (rf IS NULL AND ls IS NULL) AS both_null
+    FROM t
+    """,
+)
+def e2_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe predicate surface (<=> / IS [NOT] DISTINCT FROM, COALESCE,
+    null-aware booleans) — exercised by synthesizing nulls via NULLIF."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rf = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    ls = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return li.where(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        rf.eqNullSafe(ls).alias("flags_same"),
+        (~rf.eqNullSafe(ls)).alias("flags_differ"),
+        F.coalesce(rf, ls, F.lit("none")).alias("first_flag"),
+        (rf.isNull() & ls.isNull()).alias("both_null"),
+    )
+
+
+@register("e13_stream_ewma", None)  # recursive per-event state: not SQL-expressible
+def e13_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    EWMA of event values. Verified against a batch replica of the recurrence
+    in tests/test_stateful_pandas.py."""
+    return streaming_events.stream_ewma(spark, sf_dir, alpha=0.3)
+
+
+@register("e14_knn_pandas_udf", None)  # np.round ties differ from SQL round
+def e14_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Pandas-UDF k-NN (Arrow batches + one numpy matmul per
+    batch) — the E14 'fast Python path' twin of e10_knn_brute; equality with
+    the expression form is unit-tested."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pandas(e, e.where(F.col("vec_id") < 10), k=5)

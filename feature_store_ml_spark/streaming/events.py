@@ -89,3 +89,59 @@ def stream_window_counts(spark: SparkSession, sf_dir: str, window_len: str = "1 
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+def ewma_per_user(
+    events: DataFrame,
+    alpha: float = 0.3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: exponentially-weighted moving
+    average of ``value`` per user, via applyInPandasWithState.
+
+    State per user = (last_ewma, n_seen) — O(1) per key regardless of
+    stream length; the watermark bounds how long idle keys are retained.
+    Emits one row per input event with the updated EWMA. This is the
+    escape hatch for semantics Spark's built-in windowed aggs can't
+    express (recursive per-event state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, event_id long, ewma double, n_seen long"
+    state_schema = "ewma double, n_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            ewma, n_seen = state.get
+        else:
+            ewma, n_seen = None, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                ewma = r.value if ewma is None else alpha * r.value + (1 - alpha) * ewma
+                n_seen += 1
+                out.append((user_id, r.event_id, ewma, n_seen))
+        state.update((ewma, n_seen))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma", "n_seen"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFrame:
+    """End-to-end stateful streaming run of the per-user EWMA."""
+    return run_stream_to_table(
+        spark, ewma_per_user(_streaming_events(spark, sf_dir), alpha=alpha)
+    )
