@@ -140,3 +140,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.array(F.array_join(toks, " "))
         )
     )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Exact TF-IDF, long form (id, term, tf, df, tfidf).
+
+    tf = term frequency in the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). Composition: explode tokens → per-(doc,term) counts →
+    document frequency by term → join. All equi-joins/aggs; the df table is
+    broadcast when small. No MLlib HashingTF — exact terms, no collisions,
+    and SQL-expressible for the oracle.
+    """
+    n_docs = df.count()
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return tf.join(docfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )

@@ -851,7 +851,30 @@ def e11_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e11_quality_score", None)  # composite heuristic; tests pin values
+@register(
+    "e11_quality_score",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             LEAST(LENGTH(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END AS sw,
+             CASE WHEN LENGTH(text) > 0 THEN
+               CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / LENGTH(text)
+             ELSE 0.0 END AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(0.4 * len_score
+                 + 0.3 * GREATEST(1.0 - ABS(sw - 0.3) / 0.3, 0.0)
+                 + 0.3 * (1.0 - LEAST(pr * 5, 1.0)), 6) AS quality
+    FROM parts
+    """,
+)
 def e11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -859,9 +882,33 @@ def e11_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e11_lang_id", None)  # argmax-over-structs; unit-tested instead
+@register(
+    "e11_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    scored AS (
+      SELECT lang,
+             list_max([
+               {{'score': len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))), 'lang': 'de'}},
+               {{'score': len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))), 'lang': 'en'}},
+               {{'score': len(list_filter(toks, x -> list_contains(['el','la','que','es','los'], x))), 'lang': 'es'}},
+               {{'score': len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))), 'lang': 'fr'}},
+               {{'score': len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))), 'lang': 'zh'}}
+             ]) AS best
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
 def e11_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID vs the labeled lang column: confusion counts."""
+    """Marker-word language ID vs the labeled lang column: confusion counts.
+    Oracle replicates the argmax via struct GREATEST — struct comparison is
+    field-order lexicographic (score, then lang) in both engines, so ties
+    resolve identically."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", text.lang_id(F.col("text")).alias("predicted"))
@@ -1625,3 +1672,57 @@ def e14_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expression form is unit-tested."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_pandas(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "e11_tfidf",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+         tok AS (SELECT doc_id AS id, unnest(toks) AS term FROM t),
+         tf AS (SELECT id, term, COUNT(*) AS tf FROM tok GROUP BY id, term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         docfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM tf GROUP BY term)
+    SELECT id, term, tf, df,
+           ROUND(tf * (LN((n_docs + 1) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN docfreq USING (term), n
+    """,
+)
+def e11_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text.tfidf(d)
+
+
+@register(
+    "e15_feature_transformers",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, CAST(RANK() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS INT) AS segment_idx
+      FROM customer GROUP BY c_mktsegment
+    ),
+    stats AS (
+      SELECT AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sigma FROM customer
+    )
+    SELECT c_custkey,
+           seg.segment_idx,
+           ROUND((c_acctbal - mu) / sigma, 6) AS acctbal_scaled,
+           CAST(CASE WHEN c_acctbal < 0 THEN 0
+                     WHEN c_acctbal < 2500 THEN 1
+                     WHEN c_acctbal < 5000 THEN 2
+                     WHEN c_acctbal < 7500 THEN 3
+                     ELSE 4 END AS INT) AS acctbal_bucket
+    FROM customer JOIN seg USING (c_mktsegment), stats
+    """,
+)
+def e15_feature_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib feature transformers (StringIndexer / StandardScaler /
+    Bucketizer) fit+transform on the customer table, vector outputs
+    unpacked. Oracle replicates each transformer in SQL: frequencyDesc
+    indexing = rank over counts (alphabetical tie-break matches MLlib),
+    z-score with sample stddev, explicit-split bucketing. The
+    QuantileDiscretizer column is excluded from the oracle comparison
+    (approx-quantile split points are engine-specific)."""
+    from .ml import transformers
+
+    c = load_table(spark, sf_dir, "customer")
+    _, feats = transformers.customer_features(c)
+    return feats.select("c_custkey", "segment_idx", "acctbal_scaled", "acctbal_bucket")
