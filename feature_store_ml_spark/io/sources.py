@@ -52,7 +52,15 @@ def load_table(
         )
     if parallelize:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, par // 4):
+        # file-size heuristic instead of df.rdd.getNumPartitions(): the RDD
+        # bridge costs a full planning round-trip per call; a stat() is free.
+        # A table under maxPartitionBytes scans as ~1 partition.
+        try:
+            n_bytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        except OSError:
+            n_bytes = None
+        max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        if n_bytes is not None and n_bytes / max_part < max(2, par // 4):
             df = df.repartition(par)
     return df
 

@@ -1726,3 +1726,63 @@ def e15_feature_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     _, feats = transformers.customer_features(c)
     return feats.select("c_custkey", "segment_idx", "acctbal_scaled", "acctbal_bucket")
+
+
+@register(
+    "r19_profile",
+    """
+    SELECT col AS column, n, mean, std, min, max FROM (
+      SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
+             ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+             MIN(l_quantity) AS min, MAX(l_quantity) AS max FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(l_extendedprice),
+             ROUND(AVG(l_extendedprice), 6), ROUND(STDDEV_SAMP(l_extendedprice), 6),
+             MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(l_discount),
+             ROUND(AVG(l_discount), 6), ROUND(STDDEV_SAMP(l_discount), 6),
+             MIN(l_discount), MAX(l_discount) FROM lineitem
+    )
+    """,
+)
+def r19_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19 profile API: per-column summary stats in one pass
+    (ml/profile.py::summary_stats)."""
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    return profile.summary_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@register(
+    "e9_dedup_embedding",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(range(1, 1 + len(a.embedding)),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+    """,
+)
+def e9_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup): exact all-pairs at
+    test scale — the correctness anchor for the LSH-bucketed variant
+    (e10_knn_lsh machinery applies unchanged when N grows)."""
+    e = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.35)
+    )
