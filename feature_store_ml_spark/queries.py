@@ -1786,3 +1786,55 @@ def e9_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.35)
     )
+
+
+@register(
+    "e13_session_window",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS session_value
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+)
+def e13_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window — the streaming-capable
+    form): gap-merged sessions per user. Oracle derives identical sessions
+    via the lag/cumsum formulation (session end = last event + gap).
+    events has no equal-(user,ts) duplicates, so the lag tiebreak in the
+    oracle is only belt-and-braces."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("sv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            F.col("sv").cast("string").cast("double").alias("session_value"),
+        )
+    )

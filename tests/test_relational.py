@@ -1,0 +1,42 @@
+"""Bucketed co-located joins and salted skew joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import load_table
+from feature_store_ml_spark.operators import relational
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    relational.write_bucketed(li, "li_b", "l_orderkey", 8)
+    relational.write_bucketed(o, "o_b", "o_orderkey", 8)
+    j = spark.table("li_b").join(
+        spark.table("o_b"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    # disable broadcast so the bucketing (not a broadcast) avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: 90% of rows share key 1
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("payload"))
+    plain = fact.join(dim, "k").select("rowid", "payload")
+    salted = relational.salted_join(fact, dim, "k").select("rowid", "payload")
+    a = sorted(plain.collect(), key=lambda r: r.rowid)
+    b = sorted(salted.collect(), key=lambda r: r.rowid)
+    assert a == b
