@@ -40,15 +40,27 @@ def load_table(
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(schemas.TABLES)}")
+    if name == "events":
+        # events.ts is INT64 TIMESTAMP(NANOS) on disk — Spark's reader
+        # rejects it outright without this legacy conf. Our session builder
+        # sets it, but the DRIVER's verify harness supplies its own vanilla
+        # session, so set it defensively here (runtime-settable).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = [f.name for f in schemas.TABLES[name]]
     if df.columns != expected:
         raise ValueError(f"{name}: schema drift — got {df.columns}, expected {expected}")
     if name == "events":
-        # ts arrives as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-        # truncate to µs — identical to DuckDB's read of the same file.
+        # nanos → µs-precision TIMESTAMP_NTZ via pure interval arithmetic.
+        # (timestamp_micros(..).cast('timestamp_ntz') would go through the
+        # SESSION TIMEZONE and shift values under a non-UTC session.)
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts",
+            F.expr(
+                "cast('1970-01-01' as timestamp_ntz) + make_dt_interval("
+                "cast(ts div 86400000000000 as int), 0, 0, "
+                "cast((ts % 86400000000000) div 1000 as double) / 1000000.0)"
+            ),
         )
     if parallelize:
         par = spark.sparkContext.defaultParallelism

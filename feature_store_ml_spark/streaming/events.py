@@ -21,6 +21,11 @@ def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as a bounded stream (one file). ts arrives as
     raw nanos (nanosAsLong) exactly like the batch path."""
     raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # Defensive for driver-supplied vanilla sessions: the nanos column needs
+    # the legacy conf, and the watermark/window path goes through
+    # TimestampType whose rendering depends on the session timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = (
         spark.readStream.schema(raw_schema)
         # FileStreamSource takes a directory; glob-filter to the events file.
