@@ -78,3 +78,33 @@ def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_expr}) as (column, n, mean, std, min, max)"
     )
+
+
+def kde(df: DataFrame, col: str, grid: list[float], bandwidth: float) -> DataFrame:
+    """Gaussian kernel density estimate evaluated at fixed grid points
+    (R16's KDE overlay, /root/reference/src/data_exploration.py:16-17
+    `kde=True`) — as ONE aggregate pass: density(g) = avg(K((g-x)/h))/h.
+
+    Expression-only (no RDD KernelDensity, no driver sample): each grid
+    point is an aggregate column, so the whole curve costs a single
+    map-side-combined scan regardless of data size.
+    """
+    import math
+
+    inv = 1.0 / (bandwidth * math.sqrt(2.0 * math.pi))
+    aggs = [
+        F.round(
+            F.avg(
+                F.exp(
+                    -F.pow((F.lit(g) - F.col(col)) / F.lit(bandwidth), 2) / 2
+                )
+            )
+            * inv,
+            8,
+        ).alias(f"d_{i}")
+        for i, g in enumerate(grid)
+    ]
+    wide = df.where(F.col(col).isNotNull()).agg(*aggs)
+    # NB: a bare 10000.0 literal parses as DECIMAL in Spark SQL — cast.
+    stack = ", ".join(f"cast({g!r} as double), `d_{i}`" for i, g in enumerate(grid))
+    return wide.selectExpr(f"stack({len(grid)}, {stack}) as (x, density)")

@@ -1838,3 +1838,25 @@ def e13_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sv").cast("string").cast("double").alias("session_value"),
         )
     )
+
+
+@register(
+    "r16_kde",
+    """
+    WITH g AS (SELECT unnest([10000.0, 25000.0, 40000.0, 55000.0, 70000.0, 85000.0]) AS x)
+    SELECT x,
+           ROUND(AVG(EXP(-POW((x - l_extendedprice) / 15000.0, 2) / 2))
+                 / (15000.0 * SQRT(2 * PI())), 8) AS density
+    FROM lineitem, g
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY x
+    """,
+)
+def r16_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16's KDE overlay as a single-pass aggregate (ml/profile.py::kde)."""
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
+    return profile.kde(
+        li, "l_extendedprice",
+        grid=[10000.0, 25000.0, 40000.0, 55000.0, 70000.0, 85000.0],
+        bandwidth=15000.0,
+    )
