@@ -1860,3 +1860,58 @@ def r16_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid=[10000.0, 25000.0, 40000.0, 55000.0, 70000.0, 85000.0],
         bandwidth=15000.0,
     )
+
+
+@register(
+    "e1_csv_roundtrip",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def e1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 non-parquet scan path: export customer to CSV, re-scan it with a
+    DECLARED schema (no inference pass), aggregate. The oracle aggregates
+    the parquet original — proving the CSV round-trip is lossless.
+    CSV doubles survive because Spark writes round-trippable repr."""
+    import tempfile
+
+    from .io import sources
+
+    c = load_table(spark, sf_dir, "customer")
+    path = f"{tempfile.gettempdir()}/fsml_csv_roundtrip"
+    sources.write_csv(c, path)
+    back = sources.read_csv(
+        spark,
+        path,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+@register(
+    "e7_set_ops_all",
+    """
+    WITH hi AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 30000),
+         f  AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'intersect_all' AS op, custkey
+    FROM (SELECT custkey FROM hi INTERSECT ALL SELECT custkey FROM f)
+    UNION ALL
+    SELECT 'except_all' AS op, custkey
+    FROM (SELECT custkey FROM hi EXCEPT ALL SELECT custkey FROM f)
+    """,
+)
+def e7_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities — distinct from e7_set_ops' set semantics."""
+    (o,) = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 30000).select(F.col("o_custkey").alias("custkey"))
+    f = o.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return (
+        hi.intersectAll(f).select(F.lit("intersect_all").alias("op"), "custkey")
+        .unionByName(hi.exceptAll(f).select(F.lit("except_all").alias("op"), "custkey"))
+    )

@@ -1,0 +1,81 @@
+"""Property-based checks (hypothesis) — SURVEY.md §5.4 algebraic invariants.
+
+max_examples kept small: each example crosses into the JVM; the properties
+target structural invariants, not numeric fuzz.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.operators import dedup, windows
+from feature_store_ml_spark.operators.asof import asof_join
+
+DOC = st.text(alphabet="ab cd", min_size=0, max_size=40)
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(DOC, min_size=1, max_size=8))
+@SETTINGS
+def test_exact_dedup_idempotent_and_subset(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = dedup.exact_dedup(df)
+    ids = {r.doc_id for r in once.collect()}
+    assert ids <= set(range(len(texts)))
+    twice = dedup.exact_dedup(once.select("doc_id", "text"))
+    assert {r.doc_id for r in twice.collect()} == ids
+    # distinct normalized contents == number of survivors
+    n_norm = df.select(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("n")
+    ).distinct().count()
+    assert len(ids) == n_norm
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_asof_join_picks_max_ts_at_or_before(spark, rows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)], "k string, ts long, lid int"
+    )
+    right_rows = sorted({(k, t) for k, t in rows})
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right_rows], "k string, ts long, v double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts").collect()
+    by_key = {}
+    for k, t in right_rows:
+        by_key.setdefault(k, []).append(t)
+    for r in out:
+        candidates = [t for t in by_key.get(r.k, []) if t <= r.ts]
+        expected = float(max(candidates)) if candidates else None
+        assert r.v == expected, (r, expected)
+
+
+@given(
+    vals=st.lists(st.integers(0, 5), min_size=1, max_size=20),
+    k=st.integers(1, 4),
+)
+@SETTINGS
+def test_topk_rank_bounds_and_count(spark, vals, k):
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v int, id int"
+    )
+    out = windows.top_k_per_group(
+        df, [F.lit(1)], [F.col("v").desc(), F.col("id")], k=k
+    ).toPandas()
+    assert len(out) == min(k, len(vals))
+    assert out.rn.between(1, k).all()
+    # the selected values are the k largest (as a multiset)
+    assert sorted(out.v, reverse=True) == sorted(vals, reverse=True)[: len(out)]
