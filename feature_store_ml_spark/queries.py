@@ -1915,3 +1915,11 @@ def e7_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.intersectAll(f).select(F.lit("intersect_all").alias("op"), "custkey")
         .unionByName(hi.exceptAll(f).select(F.lit("except_all").alias("op"), "custkey"))
     )
+
+
+@register("e10_knn_ivf", None)  # k-means init is engine-specific
+def e10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) ANN — the clustered-corpus complement
+    to e10_knn_lsh; recall vs exact brute force is unit-tested."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)

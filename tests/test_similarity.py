@@ -54,3 +54,18 @@ def test_lsh_recall_on_real_embeddings(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"recall@5 = {recall}"
+
+
+def test_ivf_recall_on_real_embeddings(spark, sf_dir):
+    """IVF with n_probe=4/16 clusters must beat random candidate recall by a
+    wide margin even on this weakly-clustered corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # n_probe/n_clusters = 25% of corpus scanned; random candidates would
+    # give ~0.25 recall — require meaningfully better
+    assert recall >= 0.4, f"recall@5 = {recall}"
