@@ -59,14 +59,27 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Per-column count/mean/stddev/min/max in one pass (R19 profile)."""
-    rows = []
+    """Per-column count/mean/stddev/min/max in one pass (R19 profile).
+
+    mean/std are derived from EXACT decimal sums (Σx, Σx²) rather than
+    float avg/stddev aggregates: float accumulation is partition-order
+    dependent, so the same query on the same data can round differently
+    under a different parallelism — unacceptable for a correctness-gated
+    profile. sqrt((Σx² - (Σx)²/n)/(n-1)) on exact sums is deterministic.
+    (No catastrophic cancellation risk at these column scales; a shifted
+    formulation would be the fix if a column ever needed it.)
+    """
     aggs = []
     for c in cols:
+        s1 = F.expr(f"cast(cast(sum(cast({c} as decimal(30,8))) as string) as double)")
+        s2 = F.expr(
+            f"cast(cast(sum(cast({c} * {c} as decimal(38,10))) as string) as double)"
+        )
+        n = F.count(c)
         aggs += [
-            F.count(c).alias(f"{c}__count"),
-            F.round(F.avg(c), 6).alias(f"{c}__mean"),
-            F.round(F.stddev(c), 6).alias(f"{c}__std"),
+            n.alias(f"{c}__count"),
+            F.round(s1 / n, 6).alias(f"{c}__mean"),
+            F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias(f"{c}__std"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
         ]

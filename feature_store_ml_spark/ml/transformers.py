@@ -67,7 +67,10 @@ def customer_features(customer: DataFrame) -> tuple[PipelineModel, DataFrame]:
     out = model.transform(customer).select(
         "c_custkey",
         F.col("segment_idx").cast("int").alias("segment_idx"),
-        F.round(vector_to_array("_acctbal_scaled_vec")[0], 6).alias("acctbal_scaled"),
+        # round 4, not 6: MLlib's fit computes mean/std with float partial
+        # aggregation (partition-order dependent in the last ulps); a wider
+        # rounding margin keeps the z-scores partition-invariant
+        F.round(vector_to_array("_acctbal_scaled_vec")[0], 4).alias("acctbal_scaled"),
         F.col("acctbal_bucket").cast("int").alias("acctbal_bucket"),
         F.col("acctbal_quartile").cast("int").alias("acctbal_quartile"),
     )

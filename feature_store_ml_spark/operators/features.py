@@ -34,7 +34,10 @@ def tumbling_features(
         events.groupBy(F.window(ts_col, window_len).alias("w"), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
+            # exact decimal accumulation: a double sum is partition-order
+            # dependent, so results would vary with parallelism (and drift
+            # from the streaming twin, which also sums decimal)
+            F.sum(F.col(value_col).cast("decimal(30,8)")).alias("sum_value"),
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )

@@ -1704,7 +1704,7 @@ def e11_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_custkey,
            seg.segment_idx,
-           ROUND((c_acctbal - mu) / sigma, 6) AS acctbal_scaled,
+           ROUND((c_acctbal - mu) / sigma, 4) AS acctbal_scaled,
            CAST(CASE WHEN c_acctbal < 0 THEN 0
                      WHEN c_acctbal < 2500 THEN 1
                      WHEN c_acctbal < 5000 THEN 2
@@ -1731,19 +1731,27 @@ def e15_feature_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r19_profile",
     """
-    SELECT col AS column, n, mean, std, min, max FROM (
+    WITH ex AS (
       SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
-             ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
-             MIN(l_quantity) AS min, MAX(l_quantity) AS max FROM lineitem
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS s2,
+             MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem
       UNION ALL
       SELECT 'l_extendedprice', COUNT(l_extendedprice),
-             ROUND(AVG(l_extendedprice), 6), ROUND(STDDEV_SAMP(l_extendedprice), 6),
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE),
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE),
              MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
       UNION ALL
       SELECT 'l_discount', COUNT(l_discount),
-             ROUND(AVG(l_discount), 6), ROUND(STDDEV_SAMP(l_discount), 6),
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE),
+             CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE),
              MIN(l_discount), MAX(l_discount) FROM lineitem
     )
+    SELECT col AS column, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std,
+           mn AS min, mx AS max
+    FROM ex
     """,
 )
 def r19_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
