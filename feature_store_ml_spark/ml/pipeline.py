@@ -139,6 +139,10 @@ class RunPaths:
         return os.path.join(self.root, "model_runs", "predictions.parquet")
 
     @property
+    def performance_metrics(self) -> str:
+        return os.path.join(self.root, "model_runs", "performance_metrics.parquet")
+
+    @property
     def run_info(self) -> str:
         return os.path.join(self.root, "model_runs", "run_info.json")
 
@@ -158,6 +162,9 @@ def run_pipeline(spark: SparkSession, out_root: str, n_rows: int = 100, seed: in
         F.col("target").alias("Actual"),
         F.col("prediction").cast("int").alias("Predicted"),
     ).write.mode("overwrite").parquet(paths.predictions)
+    # R11 sink: the classification report (reference writes it into
+    # performance_metrics; /root/reference/src/main.py:31-38 records the path)
+    report.write.mode("overwrite").parquet(paths.performance_metrics)
 
     run_info = {
         "model_type": "RandomForestClassifier",
@@ -165,6 +172,7 @@ def run_pipeline(spark: SparkSession, out_root: str, n_rows: int = 100, seed: in
         "feature_store_path": paths.feature_store,
         "accuracy": accuracy,
         "predictions_path": paths.predictions,
+        "performance_metrics_path": paths.performance_metrics,
     }
     os.makedirs(os.path.dirname(paths.run_info), exist_ok=True)
     with open(paths.run_info, "w") as f:

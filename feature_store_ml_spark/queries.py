@@ -1931,3 +1931,91 @@ def e10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     to e10_knn_lsh; recall vs exact brute force is unit-tested."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "e8_string_funcs2",
+    """
+    SELECT p_partkey,
+           starts_with(p_name, 'a') AS name_starts_a,
+           contains(p_name, 'old') AS name_has_old,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           translate(p_brand, '#', '_') AS brand_t,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_x2,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(encode(p_brand)) AS brand_b64,
+           CAST(octet_length(encode(p_name)) AS INT) AS name_bytes
+    FROM part
+    """,
+)
+def e8_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-library breadth: case/pad/translate/reverse/repeat, edit
+    distance (levenshtein — the fuzzy-match primitive), crypto hashes,
+    base64, byte length."""
+    (p,) = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.startswith(F.col("p_name"), F.lit("a")).alias("name_starts_a"),
+        F.contains(F.col("p_name"), F.lit("old")).alias("name_has_old"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+        F.base64(F.encode("p_brand", "utf-8")).alias("brand_b64"),
+        F.octet_length("p_name").alias("name_bytes"),
+    )
+
+
+@register(
+    "e8_conditional_trig",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS qty_class,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           ROUND(SIN(l_quantity), 6) AS qty_sin,
+           ROUND(COS(l_quantity), 6) AS qty_cos,
+           ROUND(ATAN2(l_quantity, l_extendedprice), 6) AS qty_atan2,
+           ROUND(EXP(l_discount), 6) AS disc_exp,
+           IFNULL(NULLIF(l_returnflag, 'N'), 'none') AS rf_or_none,
+           GREATEST(l_quantity, 25.0) AS qty_floor25,
+           LEAST(l_quantity, 25.0) AS qty_cap25
+    FROM lineitem WHERE l_orderkey % 100 = 1
+    """,
+)
+def e8_conditional_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 100 == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_class"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.round(F.sin("l_quantity"), 6).alias("qty_sin"),
+        F.round(F.cos("l_quantity"), 6).alias("qty_cos"),
+        F.round(F.atan2("l_quantity", "l_extendedprice"), 6).alias("qty_atan2"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("rf_or_none"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_cap25"),
+    )
+
+
+@register("e4_approx_percentile", None)  # t-digest sketch: engine-specific
+def e4_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path (constant-memory sketch) alongside the
+    exact e4_median_percentiles; tests bound its error vs exact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+    )
