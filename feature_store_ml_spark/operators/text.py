@@ -175,3 +175,29 @@ def tfidf(
             6,
         ).alias("tfidf"),
     )
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS algorithm): hash every char k-gram, then keep the minimum hash of
+    each sliding window of ``window`` consecutive hashes; the distinct mins
+    are the fingerprint set. Guarantees any match of length ≥ k+window-1
+    shares a fingerprint, at ~2/(window+1) sampling density.
+
+    All array expressions: k-gram build and window-min both use the shifted
+    zip_with pattern (O(k+window) tree evaluations per row, never
+    per-position). Hash = xxhash64 → deterministic across runs/layouts.
+    """
+    norm = normalize(text)
+    chars = F.filter(F.split(norm, ""), lambda c: c != F.lit(""))
+    grams = _sliding_join(chars, k, "")  # ordered, NOT distinct
+    # docs shorter than k chars: fingerprint the whole normalized text
+    grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    mins = hashes
+    for j in range(1, window):
+        shifted = F.slice(hashes, j + 1, F.greatest(F.size(hashes) - j, F.lit(0)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    # drop the ragged tail (partial windows); short docs keep one window
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
+    return F.array_distinct(F.slice(mins, 1, n_windows))

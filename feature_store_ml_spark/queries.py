@@ -2019,3 +2019,60 @@ def e4_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
     )
+
+
+@register(
+    "e14_resize_meta",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             (LENGTH(text) * 7919 + 13) % 1920 + 1 AS w,
+             (LENGTH(text) * 104729 + 17) % 1080 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN GREATEST(w, h) <= 256 THEN w
+                ELSE GREATEST(CAST(FLOOR(w * (256.0 / GREATEST(w, h))) AS INT), 1) END AS INT) AS width,
+           CAST(CASE WHEN GREATEST(w, h) <= 256 THEN h
+                ELSE GREATEST(CAST(FLOOR(h * (256.0 / GREATEST(w, h))) AS INT), 1) END AS INT) AS height
+    FROM src
+    """,
+)
+def e14_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform chain: synthesize binary image → resize
+    (mapInPandas, binary in/out) → decode metadata. Oracle predicts the
+    resized dims analytically — proving the binary transform pipeline
+    end-to-end."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    resized = multimodal.resize_image(multimodal.attach_fake_image(d), max_side=256)
+    return multimodal.decode_image_meta(resized).select("doc_id", "width", "height")
+
+
+@register("e14_frame_sample", None)  # 1->N binary explode: shapes tested in pytest
+def e14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one binary container row → N frame rows
+    via mapInPandas (the decode-explode shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    vids = multimodal.attach_fake_image(d).withColumnRenamed("image", "video")
+    frames = multimodal.sample_frames(vids, n_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("total_frame_bytes"),
+    )
+
+
+@register("e11_winnowing", None)  # xxhash64 fingerprints: not SQL-reproducible
+def e11_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — overlap counts
+    between sources; the plagiarism/near-dup detection primitive. Verified
+    against a pure-python reference implementation in tests."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    fps = d.select(
+        "doc_id", "source", F.explode(text.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("n_fingerprints"))
+    )

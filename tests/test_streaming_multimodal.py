@@ -55,3 +55,33 @@ def test_multimodal_unknown_format_raises(spark):
     with pytest.raises(Exception) as ei:
         multimodal.decode_image_meta(df).collect()
     assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+
+
+def test_resize_respects_max_side(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 50), (2, "y" * 400)], "doc_id long, text string"
+    )
+    resized = multimodal.resize_image(multimodal.attach_fake_image(df), max_side=100)
+    meta = multimodal.decode_image_meta(resized).toPandas().set_index("doc_id")
+    assert (meta[["width", "height"]].max(axis=1) <= 100).all()
+    # aspect ratio approximately preserved for the downscaled row
+    orig_w = (400 * 7919 + 13) % 1920 + 1
+    orig_h = (400 * 104729 + 17) % 1080 + 1
+    got = meta.loc[2]
+    assert abs(got.width / got.height - orig_w / orig_h) < 0.1
+
+
+def test_sample_frames_shape(spark):
+    df = spark.createDataFrame([(1, "hello world " * 20)], "doc_id long, text string")
+    vids = multimodal.attach_fake_image(df).withColumnRenamed("image", "video")
+    frames = multimodal.sample_frames(vids, n_frames=4, fps=2.0).toPandas()
+    assert list(frames.frame_idx) == [0, 1, 2, 3]
+    assert list(frames.ts_ms) == [0, 500, 1000, 1500]
+    assert (frames.frame.map(len) > 0).all()
+
+
+def test_audio_stub_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"RIFF----"))], "doc_id long, audio binary")
+    with pytest.raises(Exception) as ei:
+        multimodal.audio_features(df).collect()
+    assert "torchaudio" in str(ei.value) or "NotImplementedError" in str(ei.value)

