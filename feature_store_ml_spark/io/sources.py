@@ -105,3 +105,37 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 def write_csv(df: DataFrame, path: str) -> None:
     """Reference-parity CSV export (/root/reference/src/main.py:15)."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown properties as parquet."""
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan. Without partitioning options a JDBC read is ONE task —
+    always pass (partition_column, bounds, num_partitions) for any table
+    that matters. No JDBC driver jars ship in this image; the call fails at
+    connect time, not import time, so it is safely stubbed for tests."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
