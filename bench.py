@@ -36,8 +36,14 @@ HEADLINE = [
     "e9_dedup_minhash",
     "e10_knn_brute",
     "e11_text_stats",
+    "e11_tfidf",
     "e12_rolling_features",
     "e12_sessionize",
+    "e13_session_window",
+    "e14_resize_meta",
+    "e15_feature_transformers",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 
 
