@@ -97,7 +97,10 @@ def asof_join(
         # among equal-ts rights the greatest tiebreak sorts last → wins.
         order = [F.col(_TS).asc_nulls_first(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
     else:
-        order = [F.col(_TS).desc_nulls_last(), F.col(_SIDE).asc(), F.col(_TIE).desc()]
+        # rows scan in ts-desc order, so the nearest right at-or-after the
+        # left row is the LAST right seen; among equal-ts rights the greatest
+        # tiebreak must sort last (asc, same as backward) so last() wins it.
+        order = [F.col(_TS).desc_nulls_last(), F.col(_SIDE).asc(), F.col(_TIE).asc()]
 
     w = (
         Window.partitionBy(*keys)

@@ -44,23 +44,40 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact word-``n``-gram Jaccard similarity for all pairs sharing ≥1
     shingle; returns pairs (id_a < id_b) with jaccard ≥ threshold.
 
-    Plan shape: project shingles → explode → (optional df-cap) →
-    self-equi-join on shingle → count intersections → join back sizes.
-    Every join is an equi-join (shuffle-hash / sort-merge capable).
+    ``max_df`` (default 1000) drops shingles shared by more than that many
+    documents BEFORE the self-join — a shingle shared by 1M docs contributes
+    10^12 join rows and zero signal, so at scale the cap is mandatory
+    (pass ``None`` only on corpora small enough to enumerate all pairs).
+    Jaccard is then computed EXACTLY over the capped shingle universe: both
+    the intersection counts and the set sizes come from the surviving
+    shingles, so numerator and denominator agree. Residual bias vs uncapped
+    Jaccard: pairs whose overlap lives mostly in ubiquitous (df > max_df)
+    shingles score lower and may drop below threshold — by construction,
+    since those shingles carry no discriminating information.
+
+    Plan shape: project shingles → explode → (df-cap) → per-doc capped
+    sizes (window over the existing id partitioning) → self-equi-join on
+    shingle → count intersections. Every join is an equi-join
+    (shuffle-hash / sort-merge capable).
     """
+    from pyspark.sql import Window
+
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"), T.word_shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sz", F.size("sh"))
-    exploded = sh.select("id", "sz", F.explode("sh").alias("shingle"))
+    )
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         counts = exploded.groupBy("shingle").count().where(F.col("count") <= max_df)
         exploded = exploded.join(F.broadcast(counts.select("shingle")), "shingle")
+    # capped set size per doc — shingles are distinct per doc, so a plain
+    # count over the id partition is |capped shingle set|
+    exploded = exploded.withColumn("sz", F.count("*").over(Window.partitionBy("id")))
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
     )

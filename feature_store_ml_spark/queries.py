@@ -727,8 +727,22 @@ _SHINGLE_SQL = f"""
              ELSE [array_to_string(t, ' ')] END AS shingles
       FROM toks
     ),
+    ex0 AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ),
+    -- df-cap: drop shingles shared by more than max_df docs, then size each
+    -- doc's shingle set over the SAME capped universe (numerator and
+    -- denominator of jaccard must agree). max_df=5 here is deliberately
+    -- below the sf0.01 max df (7) so the correctness gate exercises the
+    -- drop path; the API default is 1000 (see operators/dedup.py).
+    hot AS (
+      SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) > 5
+    ),
     ex AS (
-      SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS shingle FROM sh
+      SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY doc_id) AS sz,
+             shingle
+      FROM ex0 ANTI JOIN hot USING (shingle)
     )
 """
 
@@ -749,8 +763,10 @@ _SHINGLE_SQL = f"""
     """,
 )
 def e9_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df=5 < the sf0.01 max shingle df (7): the driver check exercises
+    # the hot-shingle drop + capped-size recompute, not just the code path.
     d = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, n=3, threshold=0.2)
+    return dedup.jaccard_pairs(d, n=3, threshold=0.2, max_df=5)
 
 
 @register("e9_dedup_minhash", None)  # xxhash64 family — not reproducible in SQL
@@ -1550,7 +1566,7 @@ def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (operators/dedup.py::connected_components). Oracle: DuckDB
     recursive-CTE transitive closure over the same exact-Jaccard pairs."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2)
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2, max_df=5)
     return dedup.connected_components(pairs)
 
 

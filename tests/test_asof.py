@@ -53,6 +53,27 @@ def test_forward(spark):
     assert got[4] == 400.0
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_tiebreak_greatest_wins(spark, direction):
+    """Duplicate (key, ts) right rows: the greatest right_tiebreak value must
+    win in BOTH directions (forward regression: desc tie ordering picked the
+    smallest)."""
+    left = spark.createDataFrame([("a", 10, 1)], "k string, ts long, left_id int")
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 1, 111.0),
+            ("a", 10, 3, 333.0),  # greatest seq → must be the match
+            ("a", 10, 2, 222.0),
+        ],
+        "k string, ts long, seq int, px double",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", direction=direction, right_tiebreak="seq"
+    ).toPandas()
+    assert out.px.iloc[0] == 333.0
+    assert out.seq.iloc[0] == 3
+
+
 def test_tolerance(spark):
     left, right = make_frames(spark)
     out = asof_join(

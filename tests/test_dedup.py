@@ -49,6 +49,24 @@ def test_jaccard_max_df_prunes_hot_shingles(spark, docs):
     assert pairs.count() == 0
 
 
+def test_jaccard_capped_denominator_consistent(spark):
+    """With max_df active, set sizes must come from the CAPPED shingle
+    universe: two docs identical except for shingles dropped by the cap
+    must score jaccard == 1.0 over the surviving shingles (not < 1 from
+    uncapped denominators)."""
+    # "alpha beta gamma" appears in 3 docs (df=3 > cap 2) -> dropped; the
+    # remaining shingle sets of docs 0 and 1 are identical.
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma entirely other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_pairs(df, threshold=0.5, max_df=2).toPandas()
+    keyed = {(a, b): j for a, b, j in pairs.itertuples(index=False)}
+    assert keyed[(0, 1)] == 1.0
+
+
 def test_minhash_recall_of_exact_pairs(spark, docs):
     """LSH candidates must include every high-similarity pair found by the
     exact computation (on this tiny set)."""
