@@ -277,6 +277,70 @@ def simhash_pairs(
     )
 
 
+def embedding_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs — the DEFAULT scale path.
+
+    Candidates are pairs agreeing on all ``n_planes`` hyperplane signs in ANY
+    of ``n_tables`` independent tables (same random-hyperplane machinery as
+    ``similarity.lsh_topk``); each candidate is then exact-verified with
+    ``cosine >= threshold``. Shuffle cost ~ N·n_tables bucket rows — never
+    the O(N²) all-pairs join (that form survives only as the small-N oracle
+    twin, queries.py::e9_dedup_embedding).
+
+    Recall math (random-hyperplane collision prob p = (1 - θ/π)^n_planes per
+    table, θ = arccos(threshold)): at threshold 0.9, 8 planes → p ≈ 0.29,
+    8 tables → recall ≈ 1-(1-p)^8 ≈ 0.93; raise n_tables for more. Lower
+    thresholds need FEWER planes (collisions get rare fast) — at 0.35 use
+    n_planes 2-4.
+
+    Returns (id_a < id_b, cos_sim). Feed into ``connected_components`` +
+    ``dedup_by_clusters`` to drop duplicates.
+    """
+    from .similarity import _hyperplanes, cosine, lsh_bucket
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).cache()
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(F.col("vec"), planes).alias("bucket"),
+            )
+        )
+    banded = base.select(
+        "id", "vec", F.explode(F.array(*tables)).alias("tb")
+    ).select("id", "vec", "tb.table", "tb.bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_scale).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

@@ -1795,9 +1795,11 @@ def r19_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e9_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup): exact all-pairs at
-    test scale — the correctness anchor for the LSH-bucketed variant
-    (e10_knn_lsh machinery applies unchanged when N grows)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs — the small-N ORACLE
+    TWIN only. The production semantic-dedup entry point is
+    ``dedup.embedding_dups`` (LSH-bucketed, registered as
+    e9_dedup_embedding_lsh): this O(N²) broadcast form exists to anchor its
+    recall and would OOM/blow up at real corpus sizes."""
     e = load_table(spark, sf_dir, "embeddings", parallelize=True)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -1810,6 +1812,18 @@ def e9_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= 0.35)
     )
+
+
+@register("e9_dedup_embedding_lsh", None)  # engine-specific LSH bucketing
+def e9_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed semantic dedup — the DEFAULT scale path (shuffle ~
+    N·n_tables rows, no all-pairs). Rows-only here; recall vs the exact
+    twin is pytest-asserted on clustered synthetic vectors
+    (tests/test_dedup.py::test_embedding_dups_recall)."""
+    e = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    # the synthetic corpus peaks at cos≈0.51, so probe at 0.35 with few
+    # planes (low thresholds need fewer sign-bits — see embedding_dups doc)
+    return dedup.embedding_dups(e, threshold=0.35, n_planes=2, n_tables=8)
 
 
 @register(

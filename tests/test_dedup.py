@@ -67,6 +67,54 @@ def test_jaccard_capped_denominator_consistent(spark):
     assert keyed[(0, 1)] == 1.0
 
 
+def test_embedding_dups_recall(spark):
+    """LSH-bucketed semantic dedup must recover (nearly) all true high-cosine
+    pairs found by the exact all-pairs computation, on clustered synthetic
+    vectors with genuine near-duplicates."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    # 40 clusters: one base vector + 2 noisy copies each (noise norm ~0.24
+    # vs unit base -> intra-cluster cos ~0.94-0.97), plus 80 unrelated
+    # random vectors.
+    for _ in range(40):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + 0.03 * rng.randn(64)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    for _ in range(80):
+        v = rng.randn(64)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from feature_store_ml_spark.operators.similarity import cosine
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cs"))
+        .where(F.col("cs") >= 0.9)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dups(df, threshold=0.9, n_tables=16).collect()
+    }
+    assert exact, "fixture must contain true near-dup pairs"
+    assert got <= exact | got  # sanity
+    # every LSH pair is exact-verified, so no false positives
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
 def test_minhash_recall_of_exact_pairs(spark, docs):
     """LSH candidates must include every high-similarity pair found by the
     exact computation (on this tiny set)."""
