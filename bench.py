@@ -43,6 +43,7 @@ HEADLINE = [
     "e14_resize_meta",
     "e15_feature_transformers",
     "q10_returned_items",
+    "q17_small_quantity",
     "q18_large_orders",
 ]
 

@@ -173,18 +173,30 @@ def cosine_topk_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Vectorized Pandas-UDF twin of cosine_topk (E14 surface): the scoring
     runs in numpy over Arrow batches — one matrix multiply per (partition ×
     query-block) instead of per-element expression evaluation. Used when the
     expression form (cosine_topk) is measured slower, e.g. very wide
     vectors; semantics identical.
+
+    The QUERY side is collected to the driver and broadcast (that is the
+    point: small query batch × huge corpus). ``max_queries`` makes misuse
+    fail loudly instead of OOMing the driver — for large query sets use
+    ``lsh_topk`` or ``cosine_topk``.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas collects the query side to the driver; got "
+            f"more than max_queries={max_queries} rows. Use cosine_topk / "
+            f"lsh_topk for large query sets, or raise max_queries explicitly."
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

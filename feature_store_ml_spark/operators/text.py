@@ -155,8 +155,13 @@ def tfidf(
     document frequency by term → join. All equi-joins/aggs; the df table is
     broadcast when small. No MLlib HashingTF — exact terms, no collisions,
     and SQL-expressible for the oracle.
+
+    N (the document count) is a 1-row aggregate cross-joined into the plan —
+    no ``df.count()`` driver action, so the whole computation stays lazy and
+    runs as one job (the N subquery prunes to the id column's parquet
+    metadata, not a second full scan of the text).
     """
-    n_docs = df.count()
+    ndocs = df.agg(F.count("*").alias("__n_docs"))
     toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     docfreq = (
@@ -164,16 +169,25 @@ def tfidf(
         .agg(F.countDistinct("id").alias("df"))
         .where(F.col("df") >= min_df)
     )
-    return tf.join(docfreq, "term").select(
-        "id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
-            6,
-        ).alias("tfidf"),
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs") + 1).cast("double") / (F.col("df") + 1)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
 
 

@@ -2106,3 +2106,57 @@ def e11_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_docs")
         .agg(F.count("*").alias("n_fingerprints"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 — correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT p_partkey,
+           COUNT(*) AS n_below,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS below_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    GROUP BY p_partkey
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below 20% of their part's average quantity
+    — the correlated-scalar-subquery pattern, decorrelated the way Catalyst
+    (and every optimizer since Kim's classic rewrite) executes it: the
+    per-part average is ONE map-side-combined aggregation over the
+    brand-filtered subset, joined back on the part key. The brand filter is
+    broadcast and applied BEFORE the aggregation, so the threshold is never
+    computed for parts that can't qualify; the join-back side is ≤ one row
+    per filtered part, which AQE broadcasts. At 100 TB: one scan of the
+    (pruned) fact, one small shuffle, zero correlated re-execution."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    pf = p.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    lif = (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    thresh = lif.groupBy("l_partkey").agg(
+        (F.lit(0.2) * dsum("l_quantity") / F.count("*")).alias("qty_thresh")
+    )
+    return (
+        lif.join(thresh, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_below"), dsum("l_extendedprice").alias("below_revenue"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("n_below"),
+            "below_revenue",
+        )
+    )

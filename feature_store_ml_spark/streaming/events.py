@@ -110,11 +110,40 @@ def ewma_per_user(
     escape hatch for semantics Spark's built-in windowed aggs can't
     express (recursive per-event state).
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     output_schema = "user_id long, event_id long, ewma double, n_seen long"
     state_schema = "ewma double, n_seen long"
+
+    def ewma_scan(values: "np.ndarray", e0: float | None) -> "np.ndarray":
+        """Vectorized EWMA recurrence via the closed form
+        e_i = β^i (e_0 + α Σ_{j≤i} β^(-j) v_j), evaluated in chunks sized so
+        β^(-chunk) stays far from double overflow (the β^(-j) growth is the
+        standard numerical hazard of this formulation). Within a chunk it is
+        one cumsum + two multiplies — no per-row Python."""
+        beta = 1.0 - alpha
+        out = np.empty(len(values), dtype=np.float64)
+        start = 0
+        if e0 is None:
+            if len(values) == 0:
+                return out
+            out[0] = e0 = float(values[0])  # first event seeds the series
+            start = 1
+        if beta <= 0.0:  # alpha == 1: ewma is just the value
+            out[start:] = values[start:]
+            return out
+        # keep beta**-chunk below ~1e200: chunk ≈ 200·ln10 / -ln(beta)
+        chunk = int(np.clip(460.0 / max(-np.log(beta), 1e-9), 1, 65536))
+        e = float(e0)
+        for s in range(start, len(values), chunk):
+            v = values[s : s + chunk]
+            j = np.arange(1, len(v) + 1, dtype=np.float64)
+            bpow = beta**j
+            out[s : s + len(v)] = bpow * (e + alpha * np.cumsum(v / bpow))
+            e = out[s + len(v) - 1]
+        return out
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
@@ -122,15 +151,28 @@ def ewma_per_user(
             ewma, n_seen = state.get
         else:
             ewma, n_seen = None, 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples():
-                ewma = r.value if ewma is None else alpha * r.value + (1 - alpha) * ewma
-                n_seen += 1
-                out.append((user_id, r.event_id, ewma, n_seen))
-        state.update((ewma, n_seen))
-        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma", "n_seen"])
+        # concat THEN sort: the group's rows may arrive split across chunks,
+        # and the recurrence needs one global (ts, event_id) order.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((ewma, n_seen))
+            yield pd.DataFrame(
+                {"user_id": [], "event_id": [], "ewma": [], "n_seen": []}
+            )
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy(np.float64)
+        e_arr = ewma_scan(vals, ewma)
+        n_arr = n_seen + np.arange(1, len(vals) + 1, dtype=np.int64)
+        state.update((float(e_arr[-1]), int(n_seen + len(vals))))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma": e_arr,
+                "n_seen": n_arr,
+            }
+        )
 
     return (
         events.withWatermark("ts", watermark)

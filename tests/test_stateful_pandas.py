@@ -33,6 +33,16 @@ def test_stream_ewma_matches_batch_recurrence(spark, sf_dir):
     assert (max_seen == counts).all()
 
 
+def test_pandas_knn_guard_rejects_large_query_side(spark, sf_dir):
+    """The driver-collect of the query side must fail loudly past
+    max_queries, not OOM the driver."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_pandas(emb, emb, k=5, max_queries=10).toPandas()
+
+
 def test_pandas_knn_matches_expression_knn(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
