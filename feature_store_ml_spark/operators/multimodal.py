@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-partition flow, partition sizing — is real and tested; the actual
-image/audio decode is STUBBED (the decode libs are not in this container):
-``decode_image_meta`` parses a deterministic fake header instead of calling
-Pillow, and raises ``NotImplementedError`` for payloads that don't carry it.
+partition flow, partition sizing — is real and tested. IMAGE decode is
+STUBBED (Pillow is not in this container): ``decode_image_meta`` parses a
+deterministic fake header and raises ``NotImplementedError`` for payloads
+that don't carry it. AUDIO decode is REAL for RIFF/WAVE PCM — a pure-python
+chunk parser + numpy PCM stats (``audio_features``); compressed codecs
+raise NotImplementedError where torchaudio/librosa would plug in.
 
 At scale: binary payloads dominate row size, so ops here set
 ``maxRecordsPerBatch`` guidance (docstring) and never shuffle the payload —
@@ -141,18 +143,119 @@ def sample_frames(
     return df.select(id_col, F.col(bin_col)).mapInPandas(_batches, FRAME_SCHEMA)
 
 
-def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio") -> DataFrame:
-    """Audio feature extraction stub: the real path (torchaudio/librosa
-    MFCCs) is not in this container — raises NotImplementedError at decode,
-    with the batch plumbing in place."""
+def synth_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+    duration_ms: int = 250,
+) -> DataFrame:
+    """Attach a deterministic PCM16 mono WAV payload per row (RIFF/WAVE
+    container, real header + real samples): a sine whose frequency and
+    amplitude derive from the row id. Stands in for ingested audio so the
+    decode path below runs end-to-end on genuine WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    def _wav_bytes(doc_id: int) -> bytes:
+        n = sample_rate * duration_ms // 1000
+        freq = 100.0 + (doc_id * 37) % 900
+        amp = 0.2 + ((doc_id * 13) % 7) / 10.0
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        pcm = (np.sin(2 * np.pi * freq * t) * amp * 32767.0).astype("<i2")
+        data = pcm.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raise NotImplementedError(
-                "audio decode requires torchaudio/librosa — not in this container"
-            )
-            yield pdf  # pragma: no cover
+            out = pdf.copy()
+            out["audio"] = [_wav_bytes(int(i)) for i in pdf[id_col]]
+            yield out
 
-    return df.select(id_col, bin_col).mapInPandas(
-        _batches, "doc_id long, n_samples int, mfcc array<double>"
+    import pyspark.sql.types as ty
+
+    schema = ty.StructType(
+        df.select(id_col).schema.fields + [ty.StructField("audio", ty.BinaryType())]
     )
+    return df.select(id_col).mapInPandas(_batches, schema)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int, n_samples long, "
+    "duration_ms long, rms double, peak double, zcr double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio") -> DataFrame:
+    """Audio feature extraction over binary WAV columns — a real pure-python
+    RIFF/WAVE parser (chunk walk → fmt/data) + numpy PCM stats, no external
+    audio libs. Features per row: sample_rate, channels, bit depth, sample
+    count, duration, RMS, peak, zero-crossing rate (all channels mixed to
+    mono for the signal stats; PCM16/PCM8 supported). Non-WAV payloads and
+    compressed codecs raise NotImplementedError — the slot where
+    torchaudio/librosa plug in for MFCCs.
+
+    Scale shape: mapInPandas, Arrow-batched, payload never shuffled — the
+    binary column is dropped after feature extraction, so only the small
+    numeric features move."""
+    import struct
+
+    import numpy as np
+
+    def _decode_one(doc_id: int, payload: bytes):
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "non-WAV audio payload: compressed codecs need torchaudio/librosa"
+            )
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16):
+            raise NotImplementedError(
+                f"only PCM8/PCM16 WAV decoded here (fmt={audio_fmt}, bits={bits})"
+            )
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        else:  # PCM8 is unsigned, midpoint 128
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        if n_ch > 1:
+            x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+        n = len(x)
+        if n == 0:
+            rms = peak = zcr = 0.0
+        else:
+            rms = float(np.sqrt(np.mean(x * x)))
+            peak = float(np.max(np.abs(x)))
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+        return (
+            doc_id, rate, n_ch, bits, n, int(n * 1000 / rate) if rate else 0,
+            round(rms, 6), round(peak, 6), round(zcr, 6),
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "sample_rate", "n_channels", "bits", "n_samples",
+            "duration_ms", "rms", "peak", "zcr",
+        ]
+        for pdf in it:
+            rows = [
+                _decode_one(int(i), bytes(p))
+                for i, p in zip(pdf[id_col], pdf[bin_col])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, AUDIO_SCHEMA)

@@ -2160,3 +2160,15 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_revenue",
         )
     )
+
+
+@register("e14_audio_features", None)  # binary WAV synthesis+decode: not SQL-expressible
+def e14_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end on REAL WAV bytes: synthesize a
+    deterministic PCM16 payload per document, then decode it back with the
+    pure-python RIFF parser and compute PCM stats (rms/peak/zcr). The
+    payload never shuffles — features are extracted in the same mapInPandas
+    pass that would run a real torchaudio decode."""
+    d = load_table(spark, sf_dir, "documents")
+    wavs = multimodal.synth_wav(d)
+    return multimodal.audio_features(wavs)

@@ -80,8 +80,76 @@ def test_sample_frames_shape(spark):
     assert (frames.frame.map(len) > 0).all()
 
 
-def test_audio_stub_raises(spark):
-    df = spark.createDataFrame([(1, bytearray(b"RIFF----"))], "doc_id long, audio binary")
+def test_audio_non_wav_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"OggS----"))], "doc_id long, audio binary")
     with pytest.raises(Exception) as ei:
         multimodal.audio_features(df).collect()
     assert "torchaudio" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def _make_wav(rate, pcm, n_channels=1, bits=16):
+    """Hand-rolled reference WAV writer (independent of synth_wav)."""
+    import struct
+
+    data = pcm.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, rate,
+            rate * n_channels * bits // 8, n_channels * bits // 8, bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_audio_features_known_sine(spark):
+    """PCM16 sine with known amplitude: rms ~ A/sqrt(2), peak ~ A, zcr ~
+    2*freq/rate, exact n_samples/duration."""
+    import numpy as np
+
+    rate, freq, amp, n = 8000, 440.0, 0.5, 8000
+    t = np.arange(n) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [(7, bytearray(_make_wav(rate, pcm)))], "doc_id long, audio binary"
+    )
+    out = multimodal.audio_features(df).toPandas().iloc[0]
+    assert (out.sample_rate, out.n_channels, out.bits) == (8000, 1, 16)
+    assert out.n_samples == n and out.duration_ms == 1000
+    assert abs(out.rms - amp / np.sqrt(2)) < 0.01
+    assert abs(out.peak - amp) < 0.01
+    assert abs(out.zcr - 2 * freq / rate) < 0.005
+
+
+def test_audio_features_stereo_mixdown(spark):
+    """Stereo L=+x, R=-x mixes to ~silence; equal channels mix to the mono
+    signal."""
+    import numpy as np
+
+    rate, n = 8000, 4000
+    x = (np.sin(2 * np.pi * 200 * np.arange(n) / rate) * 0.4 * 32767).astype("<i2")
+    opposite = np.empty(2 * n, dtype="<i2")
+    opposite[0::2], opposite[1::2] = x, -x
+    df = spark.createDataFrame(
+        [(1, bytearray(_make_wav(rate, opposite, n_channels=2)))],
+        "doc_id long, audio binary",
+    )
+    out = multimodal.audio_features(df).toPandas().iloc[0]
+    assert out.n_channels == 2 and out.n_samples == n
+    assert out.rms < 0.001  # opposite channels cancel
+
+
+def test_synth_wav_roundtrip(spark):
+    """synth_wav payloads decode back through audio_features with the
+    advertised rate/duration."""
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    out = multimodal.audio_features(multimodal.synth_wav(df)).toPandas()
+    assert len(out) == 5
+    assert (out.sample_rate == 8000).all()
+    assert (out.duration_ms == 250).all()
+    assert (out.rms > 0.1).all()  # real non-silent samples
