@@ -18,6 +18,23 @@ from .. import schemas
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
+
+def _parse_bytes(conf_value: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf ('134217728', '128m', '128MB', '1g')
+    the way Spark's JavaUtils.byteStringAsBytes does; fall back to
+    ``default`` on anything unparseable rather than raising mid-plan."""
+    s = conf_value.strip().lower()
+    try:
+        if s.endswith("b") and not s[:-1].isdigit():
+            s = s[:-1]  # 'mb' / 'kb' → 'm' / 'k'
+        if s and s[-1] in _SIZE_SUFFIX:
+            return int(s[:-1]) * _SIZE_SUFFIX[s[-1]]
+        return int(s.rstrip("b") or default)
+    except (ValueError, TypeError):
+        return default
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
@@ -71,7 +88,9 @@ def load_table(
             n_bytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
         except OSError:
             n_bytes = None
-        max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        max_part = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
         if n_bytes is not None and n_bytes / max_part < max(2, par // 4):
             df = df.repartition(par)
     return df

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import text as T
+from ._lifecycle import autorelease
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -202,9 +203,10 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(num_hashes),
     )
-    return est.where(F.col("est_jaccard") >= threshold).select(
+    out = est.where(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
+    return autorelease(out, sigs)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -267,7 +269,7 @@ def simhash_pairs(
     ).select("id", "simhash", "ck.chunk", "ck.key")
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key")
-    return (
+    out = (
         a.join(b, ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -275,6 +277,7 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return autorelease(out, sigs)
 
 
 def embedding_dups(
@@ -331,14 +334,12 @@ def embedding_dups(
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_scale).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= threshold)
-    )
+    out = cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), round_scale).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)
+    return autorelease(out, base)
 
 
 def connected_components(
@@ -390,7 +391,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    return autorelease(out, edges, labels)
 
 
 def dedup_by_clusters(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:

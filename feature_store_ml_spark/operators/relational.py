@@ -43,8 +43,16 @@ def salted_join(
     the (smaller) dim side is exploded k ways so every (key, salt) bucket
     joins. Shuffle load for a hot key spreads across k partitions at the
     cost of k× the dim side — the standard trade when one key holds >1/k
-    of the data. Results are identical to the plain join (salt is internal).
+    of the data. Results are identical to the plain join (salt is internal)
+    for ``how`` in ('inner', 'left'); 'right'/'full' would emit each
+    unmatched dim row k times (it exists k ways pre-join), so those modes
+    are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "exploded dim side duplicates unmatched rows under right/full"
+        )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(42) * salt_buckets).cast("int")
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._lifecycle import autorelease
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -127,12 +129,15 @@ def lsh_topk(
     — recall stays >0.99 while random-pair collisions drop geometrically,
     which is what keeps the candidate set sub-quadratic at 100 TB.
     """
+    cached_stages: list[DataFrame] = []
+
     def banded(df: DataFrame, prefix: str) -> DataFrame:
         # cache: stops per-table bucket expressions re-deriving the input
         # projection n_tables times after CollapseProject inlining.
         out = df.select(
             F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
         ).cache()
+        cached_stages.append(out)
         tables = []
         for t in range(n_tables):
             planes = _hyperplanes(dim, n_planes, seed=42 + 1000 * t)
@@ -164,7 +169,8 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return autorelease(out, *cached_stages)
 
 
 def cosine_topk_pandas(
@@ -295,4 +301,5 @@ def ivf_topk(
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+    return autorelease(out, assigned)

@@ -138,6 +138,20 @@ def test_minhash_estimate_close_to_exact(spark, docs):
     assert abs(est[(0, 1)] - 0.75) < 0.25  # 64 hashes: +-2 sigma tolerance
 
 
+def test_cached_intermediates_release(spark, docs):
+    """Operator caches (the CollapseProject barriers) must be releasable:
+    release(out) unpersists them so long-lived sessions don't accumulate
+    executor memory across calls."""
+    from feature_store_ml_spark.operators._lifecycle import release
+
+    out = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    out.count()  # materialize through the cache
+    cached = out._cached_intermediates
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    release(out)
+    assert all(not c.storageLevel.useMemory for c in cached)
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
