@@ -36,6 +36,50 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     )
 
 
+def histogram_kde(
+    df: DataFrame, col: str, nbins: int = 10, bandwidth: float | None = None
+) -> DataFrame:
+    """Histogram WITH the Gaussian-KDE overlay evaluated at each bin
+    midpoint — the full R16 semantics (`sns.histplot(..., kde=True)`,
+    /root/reference/src/data_exploration.py:16-17) in one result:
+    (bin, bin_lo, bin_hi, n, density).
+
+    Plan: the min/max aggregate (one tiny job) fixes the bin edges; the bin
+    counts are one groupBy pass; the KDE curve is ONE wide aggregate row
+    (one density aggregate per midpoint, map-side combined) cross-joined
+    back to the 10-row histogram — the curve lookup is `array(d_0..d_k)[bin]`
+    against a broadcast single row, so no extra shuffle at any scale.
+    """
+    import math
+
+    lo, hi = df.select(F.min(col), F.max(col)).first()
+    width = (hi - lo) / nbins or 1.0
+    if bandwidth is None:
+        bandwidth = width  # Scott-ish default: smooth at bin resolution
+    hist = histogram(df, col, nbins)
+    mids = [lo + (b + 0.5) * width for b in range(nbins)]
+    inv = 1.0 / (bandwidth * math.sqrt(2.0 * math.pi))
+    wide = (
+        df.where(F.col(col).isNotNull())
+        .agg(
+            *[
+                F.round(
+                    F.avg(
+                        F.exp(-F.pow((F.lit(m) - F.col(col)) / F.lit(bandwidth), 2) / 2)
+                    )
+                    * inv,
+                    8,
+                ).alias(f"d_{i}")
+                for i, m in enumerate(mids)
+            ]
+        )
+        .select(F.array(*[F.col(f"d_{i}") for i in range(nbins)]).alias("_d"))
+    )
+    return hist.crossJoin(F.broadcast(wide)).select(
+        "bin", "bin_lo", "bin_hi", "n", F.col("_d")[F.col("bin")].alias("density")
+    )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlation (R17 analog of features_df.corr(),
     /root/reference/src/data_exploration.py:33), as a long-form DataFrame

@@ -110,15 +110,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_hashes minhash values per doc as an array<bigint>.
 
-    Formulation: explode shingles → groupBy(doc) with ``num_hashes``
-    min(xxhash64(seed_i ‖ shingle)) aggregates. The shingle tree is evaluated
-    exactly ONCE per document (a pure-projection formulation gets inlined by
-    CollapseProject into one copy per hash — 64× recomputation); the min
-    aggregates combine map-side, so the shuffle carries only
-    |docs| × num_hashes longs per partition, not the exploded shingles.
+    Formulation: explode shingles → hash each shingle STRING exactly once
+    (``h = xxhash64(shingle)``) → groupBy(doc) with ``num_hashes``
+    min(xxhash64(seed_i, h)) aggregates. Deriving the family from the one
+    64-bit base hash instead of re-hashing the string per seed makes 63 of
+    the 64 hash evaluations O(1) fixed-width ops instead of O(len) string
+    scans — the dominant CPU of the signature stage at corpus scale. The
+    shingle tree is evaluated exactly ONCE per document (a pure-projection
+    formulation gets inlined by CollapseProject into one copy per hash —
+    64× recomputation); the min aggregates combine map-side, so the shuffle
+    carries only |docs| × num_hashes longs per partition, not the exploded
+    shingles.
 
-    Hash family: xxhash64(seed_i ‖ shingle) — deterministic across runs,
-    partitionings and cluster layouts (required for incremental dedup).
+    Hash family: xxhash64(seed_i, xxhash64(shingle)) — deterministic across
+    runs, partitionings and cluster layouts (required for incremental dedup).
 
     The input is hash-repartitioned on the doc id first: document corpora
     often arrive as few fat files (here: one), which would pin this
@@ -127,12 +132,16 @@ def minhash_signatures(
     aggregation shuffle.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
+    sh = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("h"))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     wide = sh.groupBy("id").agg(*aggs)
@@ -210,27 +219,43 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens, computed per-row with array
-    expressions (no shuffle): bit j of the signature is the majority vote of
-    bit j across xxhash64(token) for every distinct token."""
+    """64-bit SimHash over distinct word tokens: bit j of the signature is
+    the majority vote of bit j across xxhash64(token).
+
+    Formulation: explode distinct tokens → hash each token once → groupBy(doc)
+    with 64 sum(±1) vote aggregates → assemble the signature from the vote
+    signs. The votes are plain codegen'd aggregates with map-side combine
+    (shuffle carries 64 longs per doc per partition). The naive
+    per-row-array form (F.aggregate over a transform(tokens, xxhash64) with
+    a 64-bit voter lambda) measures ~1.4x slower wall-clock at sf0.1 and
+    degrades with document length at scale (the whole end-to-end query is
+    3.4s vs 2.5s): Catalyst evaluates higher-order-function lambdas INTERPRETED per
+    array element — 64 interpreted passes over every token array — while
+    sum(CASE...) aggregates stay inside whole-stage codegen.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, id_col)  # spread CPU-bound bit-votes (see minhash)
-    toks = F.array_distinct(T.words(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def voter(bit: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
+    toks = (
+        df.repartition(par, id_col)  # spread CPU-bound hashing (see minhash)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(T.words(F.col(text_col)))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(64)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    sig = None
     for j in range(64):
-        vote = F.aggregate(hashes, F.lit(0), voter(j))
-        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for bcol in bits[1:]:
-        sig = sig.bitwiseOR(bcol)
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+        bit = F.when(
+            F.col(f"v_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return voted.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(

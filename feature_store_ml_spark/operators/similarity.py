@@ -13,8 +13,15 @@ Two tiers, same semantics:
                       both sides; only same-bucket pairs are scored. All
                       projection math is array expressions — JVM-side.
 
-Dot products use ``zip_with`` + ``aggregate`` over array<double> — stays
-inside whole-stage codegen; no Pandas round-trip for a 64-float dot.
+Dot products use ``zip_with`` + ``aggregate`` over array<double>. Catalyst
+evaluates higher-order-function lambdas interpreted (not codegen'd), but this
+is still the measured-fastest expression form at dim=64: an unrolled
+``a[0]*b[0]+...+a[63]*b[63]`` getItem chain — fully codegen'd — benchmarks
+~1.3x SLOWER (0.29s vs 0.22s for 10 dots/row over 2k rows at sf0.1) because
+per-element bounds/null checks and a huge generated method beat the lambda
+interpreter's overhead. No Pandas round-trip for a 64-float dot either way;
+``cosine_topk_pandas`` exists for the regime (very wide vectors) where Arrow
+batching wins.
 """
 
 from __future__ import annotations

@@ -395,17 +395,32 @@ def e4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderkey, o_totalprice,
              CAST(ROW_NUMBER() OVER w AS INT) AS rn,
              CAST(RANK() OVER w AS INT) AS rnk,
-             CAST(DENSE_RANK() OVER w AS INT) AS drnk
+             CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               AS running_spend,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+               AS trailing3_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     ) WHERE rn <= 3
     """,
 )
 def e5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions AND running/sliding frame aggregates in one driver
+    row (merged from the former e5_window_frames — one registry slot so the
+    family fits the driver's correctness window). The two window specs share
+    the partition key, so the plan has ONE exchange and two sorts; frame
+    sums are computed over the full partition before the rank filter."""
     (o,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(30,8)")
     return (
         o.select(
             "o_custkey",
@@ -414,6 +429,10 @@ def e5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
+            F.sum(dec).over(wf.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("string").cast("double").alias("running_spend"),
+            F.sum(dec).over(wf.rowsBetween(-2, 0))
+            .cast("string").cast("double").alias("trailing3_spend"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -440,33 +459,6 @@ def e5_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
         (us - F.lag(us).over(w)).alias("gap_us"),
-    )
-
-
-@register(
-    "e5_window_frames",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
-             AS running_spend,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
-             AS trailing3_spend
-    FROM orders
-    """,
-)
-def e5_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (o,) = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    dec = F.col("o_totalprice").cast("decimal(30,8)")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("string").cast("double").alias("running_spend"),
-        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("string").cast("double").alias("trailing3_spend"),
     )
 
 
@@ -1230,17 +1222,31 @@ def r11_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
          b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS INT) AS bin,
                       lo, hi
-               FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
-    SELECT bin,
-           ROUND(lo + bin * ((hi - lo) / 10), 6) AS bin_lo,
-           ROUND(lo + (bin + 1) * ((hi - lo) / 10), 6) AS bin_hi,
-           COUNT(*) AS n
-    FROM b GROUP BY bin, lo, hi
+               FROM lineitem, mm WHERE l_extendedprice IS NOT NULL),
+         h AS (SELECT bin,
+                      ROUND(lo + bin * ((hi - lo) / 10), 6) AS bin_lo,
+                      ROUND(lo + (bin + 1) * ((hi - lo) / 10), 6) AS bin_hi,
+                      COUNT(*) AS n
+               FROM b GROUP BY bin, lo, hi),
+         g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         k AS (SELECT g.bin,
+                      ROUND(AVG(EXP(-POW((mm.lo + (g.bin + 0.5) * ((mm.hi - mm.lo) / 10)
+                                          - l_extendedprice) / 15000.0, 2) / 2))
+                            / (15000.0 * SQRT(2 * PI())), 8) AS density
+               FROM lineitem, mm, g
+               WHERE l_extendedprice IS NOT NULL
+               GROUP BY g.bin)
+    SELECT h.bin, h.bin_lo, h.bin_hi, h.n, k.density
+    FROM h JOIN k ON h.bin = k.bin
     """,
 )
 def r16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full R16 semantics in one driver row: histogram bins plus the
+    Gaussian-KDE overlay density at each bin midpoint (merged from the
+    former r16_kde, whose fixed-grid variant this supersedes — one registry
+    slot so the family fits the driver's correctness window)."""
     li = load_table(spark, sf_dir, "lineitem", parallelize=True)
-    return profile.histogram(li, "l_extendedprice", nbins=10)
+    return profile.histogram_kde(li, "l_extendedprice", nbins=10, bandwidth=15000.0)
 
 
 @register(
@@ -1712,6 +1718,95 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of per-branch conjunctions spanning
+    BOTH join sides. The optimizer-literacy point: Catalyst extracts the
+    common single-side factors from the OR (brand IN (...) onto part,
+    quantity range onto lineitem) and pushes them below the join, so the
+    join only sees pre-filtered rows; the full disjunction is re-checked
+    above. part is dimension-sized → broadcast."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    branch = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(branch)
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    """
+    WITH thr AS (
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: an UNCORRELATED scalar subquery (global average
+    balance) used as a filter threshold, plus NOT EXISTS (anti join) —
+    wealthy customers who never placed an urgent order, per nation. (This
+    corpus has no orderless customers at any SF, so the anti join is scoped
+    to urgent orders to keep the result non-trivial.) The 1-row aggregate is
+    cross-joined (broadcast, no shuffle) rather than collected, so the plan
+    stays fully lazy; the anti join shuffles on the customer key.
+
+    The threshold is derived from an exact decimal sum then divided in
+    DOUBLE (identical IEEE operands → identical comparison outcome in every
+    engine) — a float-accumulated AVG could flip customers sitting exactly
+    at the threshold between runs."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    thr = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg((dsum("c_acctbal") / F.count("*")).alias("avg_bal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.where(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
     "e2_null_safe",
     """
     WITH t AS (
@@ -1950,28 +2045,6 @@ def e13_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r16_kde",
-    """
-    WITH g AS (SELECT unnest([10000.0, 25000.0, 40000.0, 55000.0, 70000.0, 85000.0]) AS x)
-    SELECT x,
-           ROUND(AVG(EXP(-POW((x - l_extendedprice) / 15000.0, 2) / 2))
-                 / (15000.0 * SQRT(2 * PI())), 8) AS density
-    FROM lineitem, g
-    WHERE l_extendedprice IS NOT NULL
-    GROUP BY x
-    """,
-)
-def r16_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R16's KDE overlay as a single-pass aggregate (ml/profile.py::kde)."""
-    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
-    return profile.kde(
-        li, "l_extendedprice",
-        grid=[10000.0, 25000.0, 40000.0, 55000.0, 70000.0, 85000.0],
-        bandwidth=15000.0,
-    )
-
-
-@register(
     "e1_csv_roundtrip",
     """
     SELECT c_mktsegment, COUNT(*) AS n,
@@ -2165,7 +2238,6 @@ _FINAL_ORDER = [
     # -- round-2 priority: oracle-backed queries that missed round 1's window
     "e11_tfidf",
     "e15_feature_transformers",
-    "r16_kde",
     "r19_profile",
     "e1_csv_roundtrip",
     "e9_dedup_clusters",
@@ -2182,6 +2254,8 @@ _FINAL_ORDER = [
     "e10_centroids",
     "q10_returned_items",
     "q17_small_quantity",   # new this round: correlated-subquery shape
+    "q19_disjunctive_predicates",  # new: disjunction spanning both join sides
+    "q22_sales_opportunity",       # new: uncorrelated scalar subquery + anti join
     "q18_large_orders",
     "e14_resize_meta",
     # -- round-1-green keepers
@@ -2196,7 +2270,6 @@ _FINAL_ORDER = [
     "e4_cube",
     "e4_count_distinct",
     "e5_window_rank",
-    "e5_window_frames",
     "e6_topk_per_group",
     "e7_pivot",
     "e8_array_funcs",

@@ -1,0 +1,51 @@
+"""CBO statistics: external-table registration, ANALYZE, and the resulting
+optimizer behavior (stats-driven broadcast without an explicit hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark import plans
+
+
+@pytest.fixture(scope="module")
+def cbo_tables(spark, sf_dir):
+    names = plans.register_external_tables(
+        spark, sf_dir, ["nation", "region", "customer", "orders"]
+    )
+    plans.analyze_tables(
+        spark,
+        names,
+        columns={"orders": ["o_custkey"], "customer": ["c_custkey", "c_nationkey"]},
+    )
+    plans.enable_cbo(spark)
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_stats_recorded(spark, cbo_tables):
+    st = plans.table_stats(spark, "orders")
+    assert "statistics" in st
+    assert "rows" in st["statistics"]  # e.g. "424999 bytes, 15000 rows"
+
+
+def test_stats_drive_broadcast_without_hint(spark, cbo_tables):
+    # no broadcast() hint anywhere: the analyzed rowCount/sizeInBytes of
+    # nation (25 rows) must put it under the broadcast threshold
+    df = spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
+
+
+def test_column_stats_present(spark, cbo_tables):
+    rows = spark.sql("DESCRIBE EXTENDED customer c_custkey").collect()
+    kv = {r.info_name: r.info_value for r in rows}
+    assert kv.get("distinct_count") not in (None, "NULL")
