@@ -2,12 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-partition flow, partition sizing — is real and tested. IMAGE decode is
-STUBBED (Pillow is not in this container): ``decode_image_meta`` parses a
-deterministic fake header and raises ``NotImplementedError`` for payloads
-that don't carry it. AUDIO decode is REAL for RIFF/WAVE PCM — a pure-python
-chunk parser + numpy PCM stats (``audio_features``); compressed codecs
-raise NotImplementedError where torchaudio/librosa would plug in.
+partition flow, partition sizing — is real and tested. IMAGE decode is REAL
+for P6 PPM (netpbm) — pure-python header parse + numpy raster stats and a
+genuine nearest-neighbor resize (``image_features`` / ``resize_ppm``);
+compressed formats (JPEG/PNG) raise NotImplementedError where Pillow would
+plug in, and ``decode_image_meta``/``resize_image`` keep the fake-header
+variant for payloads synthesized from text. AUDIO decode is REAL for
+RIFF/WAVE PCM — a pure-python chunk parser + numpy PCM stats
+(``audio_features``); compressed codecs raise NotImplementedError where
+torchaudio/librosa would plug in.
 
 At scale: binary payloads dominate row size, so ops here set
 ``maxRecordsPerBatch`` guidance (docstring) and never shuffle the payload —
@@ -141,6 +144,141 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame", "ts_ms"])
 
     return df.select(id_col, F.col(bin_col)).mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def synth_ppm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a REAL P6 PPM (netpbm) image payload per row: genuine binary
+    header + RGB raster, dimensions and pixel pattern derived
+    deterministically from the row id. Like synth_wav for audio, this makes
+    the image path end-to-end real — the decoder below parses an actual
+    public image format, not a fake magic."""
+    import numpy as np
+
+    def _ppm_bytes(doc_id: int) -> bytes:
+        w = 8 + (doc_id * 7) % 25  # 8..32
+        h = 6 + (doc_id * 11) % 19  # 6..24
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), doc_id % 256, dtype=np.uint8)
+        raster = np.dstack([r, g, b]).tobytes()
+        return f"P6\n{w} {h}\n255\n".encode() + raster
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["image"] = [_ppm_bytes(int(i)) for i in pdf[id_col]]
+            yield out
+
+    import pyspark.sql.types as ty
+
+    schema = ty.StructType(
+        df.select(id_col).schema.fields + [ty.StructField("image", ty.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def _parse_ppm(payload: bytes):
+    """Minimal P6 parser: 'P6' magic, whitespace/comment-tolerant header
+    (width height maxval), then the binary RGB raster. Returns
+    (width, height, maxval, ndarray[h,w,3] uint8)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise NotImplementedError(
+            "real JPEG/PNG decode requires Pillow — only P6 PPM parsed here"
+        )
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, maxval, raster.reshape(h, w, 3)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, maxval int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, luma_mean double, luma_std double"
+)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "image") -> DataFrame:
+    """Image feature extraction over binary P6 PPM columns — real parse +
+    numpy channel stats, no Pillow. Per row: dimensions, per-channel means,
+    Rec.601 luma mean/std (the standard brightness stats used for
+    filtering/clustering training images). Non-PPM payloads raise
+    NotImplementedError — the slot where Pillow/libjpeg plugs in.
+
+    Scale shape: mapInPandas, Arrow-batched, payload never shuffled."""
+    import numpy as np
+
+    def _one(doc_id: int, payload: bytes):
+        w, h, maxval, px = _parse_ppm(payload)
+        fl = px.astype(np.float64)
+        mr, mg, mb = fl[:, :, 0].mean(), fl[:, :, 1].mean(), fl[:, :, 2].mean()
+        luma = 0.299 * fl[:, :, 0] + 0.587 * fl[:, :, 1] + 0.114 * fl[:, :, 2]
+        return (
+            doc_id, w, h, maxval, w * h,
+            round(float(mr), 6), round(float(mg), 6), round(float(mb), 6),
+            round(float(luma.mean()), 6), round(float(luma.std()), 6),
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "width", "height", "maxval", "n_pixels",
+            "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std",
+        ]
+        for pdf in it:
+            rows = [_one(int(i), bytes(p)) for i, p in zip(pdf[id_col], pdf[bin_col])]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_ppm(
+    df: DataFrame, max_side: int = 16, id_col: str = "doc_id", bin_col: str = "image"
+) -> DataFrame:
+    """REAL aspect-preserving nearest-neighbor resize of P6 PPM payloads —
+    numpy index sampling, binary in → binary out, the genuine article (not
+    the fake-header rewrite in resize_image). Output rows carry the resized
+    PPM bytes + new dims."""
+    import numpy as np
+
+    def _one(payload: bytes):
+        w, h, maxval, px = _parse_ppm(payload)
+        scale = min(1.0, max_side / max(w, h))
+        nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+        xi = np.minimum((np.arange(nw) / scale).astype(int), w - 1) if scale < 1.0 else np.arange(nw)
+        yi = np.minimum((np.arange(nh) / scale).astype(int), h - 1) if scale < 1.0 else np.arange(nh)
+        out = px[np.ix_(yi, xi)]
+        return f"P6\n{nw} {nh}\n{maxval}\n".encode() + out.tobytes(), nw, nh
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [_one(bytes(p)) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "image": [r[0] for r in res],
+                    "width": [r[1] for r in res],
+                    "height": [r[2] for r in res],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, RESIZED_SCHEMA)
 
 
 def synth_wav(

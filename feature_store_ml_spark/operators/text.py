@@ -191,6 +191,82 @@ def tfidf(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4/Gopher-style repetition metrics per document (Raffel et al. 2020
+    §2.2; Rae et al. 2021 Gopher table A1 — the published training-data
+    repetition filters), word-token level:
+
+    - ``dup_word_frac``:  1 − |distinct tokens| / |tokens|
+    - ``top_bigram_frac``: occurrences of the most frequent bigram / total
+      bigram positions (Gopher drops docs where the top 2-gram covers too
+      much of the text)
+    - ``dup_5gram_frac``: 1 − |distinct 5-grams| / |5-gram positions|
+      (Gopher's duplicate-n-gram rule)
+    - ``keep``: the composite Gopher-ish filter verdict at fixed thresholds
+
+    Plan shape: the per-row fractions are single-projection array
+    expressions (zero shuffle); only the top-bigram mode needs distribution
+    — explode bigrams → count per (doc, bigram) → max per doc → join back.
+    Two shuffles on the doc id total, independent of corpus size. A per-row
+    ``transform(distinct, g -> count occurrences)`` formulation would be
+    O(m²) per document and is exactly what this avoids.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("toks")
+    )
+    bigrams = _sliding_join(F.col("toks"), 2, " ")
+    grams5 = _sliding_join(F.col("toks"), 5, " ")
+
+    def dup_frac(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) > 0,
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    stats = base.select(
+        "id",
+        F.size("toks").alias("n_tokens"),
+        F.round(dup_frac(F.col("toks")), 6).alias("dup_word_frac"),
+        F.round(dup_frac(grams5), 6).alias("dup_5gram_frac"),
+        (F.size(bigrams)).alias("_n_bigrams"),
+    )
+    top = (
+        base.select("id", F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top_bg"))
+    )
+    out = (
+        stats.join(top, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "dup_word_frac",
+            F.round(
+                F.when(
+                    F.col("_n_bigrams") > 0,
+                    F.coalesce(F.col("_top_bg"), F.lit(0)).cast("double")
+                    / F.col("_n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            "dup_5gram_frac",
+        )
+    )
+    # the top-bigram rule only fires on docs long enough for the ratio to
+    # be meaningful (a SHORT doc of all-unique bigrams still has top frac
+    # 1/(n-1)); Gopher likewise gates repetition rules on minimum length.
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") < 0.5)
+        & ((F.col("n_tokens") < 20) | (F.col("top_bigram_frac") < 0.1))
+        & (F.col("dup_5gram_frac") < 0.6),
+    )
+
+
 def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
     MOSS algorithm): hash every char k-gram, then keep the minimum hash of

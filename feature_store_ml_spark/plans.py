@@ -22,17 +22,24 @@ from . import schemas
 
 
 def register_external_tables(
-    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None,
+    database: str = "cbo",
 ) -> list[str]:
     """Register the corpus parquet files as EXTERNAL catalog tables (no data
-    movement — the files stay where they are). Idempotent."""
+    movement — the files stay where they are). Idempotent.
+
+    Tables are qualified into their own ``database``: statistics only attach
+    to catalog tables, and an unqualified name would be shadowed by any
+    same-named TEMP VIEW in the session (temp views win name resolution),
+    which breaks ANALYZE with a views-unsupported error."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     out = []
     for name in names or list(schemas.TABLES):
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {name} USING parquet "
+            f"CREATE TABLE IF NOT EXISTS {database}.{name} USING parquet "
             f"LOCATION '{sf_dir}/{name}.parquet'"
         )
-        out.append(name)
+        out.append(f"{database}.{name}")
     return out
 
 

@@ -96,6 +96,59 @@ def stream_window_counts(spark: SparkSession, sf_dir: str, window_len: str = "1 
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join: each left event pairs with right events for
+    the same user in the trailing ``horizon_minutes`` (view→click style
+    attribution).
+
+    Both sides are watermarked and the join condition bounds event time in
+    BOTH directions — that is what lets Spark evict buffered state: a right
+    row can be dropped once the left watermark passes right.ts + horizon,
+    so state is O(events in horizon), not O(stream). An unbounded condition
+    would buffer both streams forever and is the classic stream-join OOM.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+    )
+    return joined.select(
+        "l_id",
+        "r_id",
+        F.col("l_user").alias("user_id"),
+        (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    )
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end stream-stream join run: clicks joined to the user's views
+    in the preceding 30 min, replayed through a real Structured Streaming
+    query. The batch oracle is the identical range join in SQL."""
+    ev = _streaming_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    views = ev.where(F.col("event_type") == "view")
+    out = run_stream_to_table(
+        spark, stream_stream_interval_join(clicks, views), mode="append"
+    )
+    return out.select("l_id", "r_id", "user_id", "gap_us")
+
+
 def ewma_per_user(
     events: DataFrame,
     alpha: float = 0.3,

@@ -15,7 +15,10 @@ def cbo_tables(spark, sf_dir):
     plans.analyze_tables(
         spark,
         names,
-        columns={"orders": ["o_custkey"], "customer": ["c_custkey", "c_nationkey"]},
+        columns={
+            "cbo.orders": ["o_custkey"],
+            "cbo.customer": ["c_custkey", "c_nationkey"],
+        },
     )
     plans.enable_cbo(spark)
     yield names
@@ -24,7 +27,7 @@ def cbo_tables(spark, sf_dir):
 
 
 def test_stats_recorded(spark, cbo_tables):
-    st = plans.table_stats(spark, "orders")
+    st = plans.table_stats(spark, "cbo.orders")
     assert "statistics" in st
     assert "rows" in st["statistics"]  # e.g. "424999 bytes, 15000 rows"
 
@@ -35,8 +38,8 @@ def test_stats_drive_broadcast_without_hint(spark, cbo_tables):
     df = spark.sql(
         """
         SELECT n_name, COUNT(*) AS n
-        FROM orders JOIN customer ON o_custkey = c_custkey
-                    JOIN nation   ON c_nationkey = n_nationkey
+        FROM cbo.orders JOIN cbo.customer ON o_custkey = c_custkey
+                    JOIN cbo.nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
         """
     )
@@ -46,6 +49,6 @@ def test_stats_drive_broadcast_without_hint(spark, cbo_tables):
 
 
 def test_column_stats_present(spark, cbo_tables):
-    rows = spark.sql("DESCRIBE EXTENDED customer c_custkey").collect()
+    rows = spark.sql("DESCRIBE EXTENDED cbo.customer c_custkey").collect()
     kv = {r.info_name: r.info_value for r in rows}
     assert kv.get("distinct_count") not in (None, "NULL")

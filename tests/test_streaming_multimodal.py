@@ -153,3 +153,86 @@ def test_synth_wav_roundtrip(spark):
     assert (out.sample_rate == 8000).all()
     assert (out.duration_ms == 250).all()
     assert (out.rms > 0.1).all()  # real non-silent samples
+
+
+def test_stream_stream_join_batch_parity(spark, sf_dir):
+    """The streaming interval join must produce exactly the rows the batch
+    range join produces on the same bounded input."""
+    from pyspark.sql import functions as F
+    from feature_store_ml_spark.io.sources import load_table
+    from feature_store_ml_spark.streaming import events as ev
+
+    streamed = ev.stream_click_attribution(spark, sf_dir).toPandas()
+
+    b = load_table(spark, sf_dir, "events")
+    c = b.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("u"), F.col("ts").alias("l_ts")
+    )
+    v = b.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("u2"), F.col("ts").alias("r_ts")
+    )
+    batch = (
+        c.join(
+            v,
+            (F.col("u") == F.col("u2"))
+            & (F.col("r_ts") <= F.col("l_ts"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "l_id", "r_id", F.col("u").alias("user_id"),
+            (F.unix_micros(F.col("l_ts").cast("timestamp")) -
+             F.unix_micros(F.col("r_ts").cast("timestamp"))).alias("gap_us"),
+        )
+        .toPandas()
+    )
+    key = ["l_id", "r_id"]
+    s = streamed.sort_values(key, ignore_index=True)
+    t = batch.sort_values(key, ignore_index=True)
+    assert s[["l_id", "r_id", "user_id", "gap_us"]].equals(
+        t[["l_id", "r_id", "user_id", "gap_us"]]
+    )
+
+
+def test_ppm_image_features_known_image(spark):
+    """Hand-built 2x2 P6 PPM (with a header comment) -> exact channel stats."""
+    import numpy as np
+    from feature_store_ml_spark.operators import multimodal as mm
+
+    raster = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  255, 255, 255])
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    df = spark.createDataFrame([(1, ppm)], "doc_id long, image binary")
+    r = mm.image_features(df).first()
+    assert (r.width, r.height, r.maxval, r.n_pixels) == (2, 2, 255, 4)
+    assert r.mean_r == 127.5 and r.mean_g == 127.5 and r.mean_b == 127.5
+    luma = 0.299 * np.array([255, 0, 0, 255]) + 0.587 * np.array([0, 255, 0, 255]) \
+        + 0.114 * np.array([0, 0, 255, 255])
+    assert abs(r.luma_mean - luma.mean()) < 1e-6
+    assert abs(r.luma_std - luma.std()) < 1e-6
+
+
+def test_ppm_resize_real_raster(spark):
+    from feature_store_ml_spark.operators import multimodal as mm
+
+    d = spark.range(5).withColumnRenamed("id", "doc_id")
+    big = mm.synth_ppm(d)
+    small = mm.resize_ppm(big, max_side=4)
+    rows = small.collect()
+    for r in rows:
+        assert max(r.width, r.height) <= 4
+        # payload is a real PPM whose raster length matches the new dims
+        w, h, maxval, px = mm._parse_ppm(bytes(r.image))
+        assert (w, h) == (r.width, r.height)
+        assert px.shape == (h, w, 3)
+    # resized image still decodes through the feature extractor
+    feats = mm.image_features(small).collect()
+    assert len(feats) == 5
+
+
+def test_ppm_non_ppm_raises(spark):
+    import pytest as _pytest
+    from feature_store_ml_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"\x89PNG....")], "doc_id long, image binary")
+    with _pytest.raises(Exception, match="Pillow"):
+        mm.image_features(df).collect()

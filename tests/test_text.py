@@ -133,3 +133,34 @@ def test_winnowing_deterministic_across_partitionings(spark):
     a = df.select("doc_id", text.winnow_fingerprints(F.col("text")).alias("f")).orderBy("doc_id").collect()
     b = df.repartition(7).select("doc_id", text.winnow_fingerprints(F.col("text")).alias("f")).orderBy("doc_id").collect()
     assert [r.f for r in a] == [r.f for r in b]
+
+
+def test_repetition_stats_known_values(spark):
+    texts = [
+        (0, "a b c d e f g h"),                  # all unique: dup fracs 0
+        (1, "x y x y x y x y"),                  # one bigram everywhere
+        (2, "w w w w w w"),                      # single repeated token
+        (3, ""),                                  # empty doc
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r.id: r for r in text.repetition_stats(df).collect()}
+    assert rows[0].dup_word_frac == 0.0 and rows[0].keep
+    # doc 1: 8 tokens, 2 distinct -> dup_word 0.75; 7 bigram slots, top one
+    # ('x y') occurs 4 times -> 4/7
+    assert rows[1].dup_word_frac == 0.75
+    assert abs(rows[1].top_bigram_frac - 4 / 7) < 1e-6
+    assert not rows[1].keep
+    # doc 2: top bigram 'w w' covers every slot
+    assert rows[2].top_bigram_frac == 1.0
+    assert rows[2].dup_5gram_frac == 0.5  # 2 slots, 1 distinct
+    # empty doc: all fracs 0, kept
+    assert rows[3].n_tokens == 0 and rows[3].dup_word_frac == 0.0 and rows[3].keep
+
+
+def test_repetition_stats_no_row_explosion(spark):
+    # grain preserved: one output row per input doc
+    df = spark.createDataFrame(
+        [(i, "alpha beta alpha beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert text.repetition_stats(df).count() == 30

@@ -38,8 +38,14 @@ def value_hash(df: pd.DataFrame) -> int:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     con = duckdb.connect()
     for t in TABLES:
@@ -50,6 +56,7 @@ def main() -> int:
     o = catalog.oracle_sql()
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in q.items():
         if only and name not in only:
             continue
@@ -60,11 +67,15 @@ def main() -> int:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
             failures.append(name)
+            results[name] = {"err": "spark_raised"}
             continue
         if name not in o:
             print(f"rows-only  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             if len(sdf) == 0 and name != "e3_join_anti":
                 print(f"  WARN: zero rows")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             ddf = con.sql(o[name]).df()
@@ -72,6 +83,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb oracle raised")
             traceback.print_exc()
             failures.append(name)
+            results[name] = {"err": "oracle_raised"}
             continue
         problems = []
         if len(sdf) != len(ddf):
@@ -89,7 +101,21 @@ def main() -> int:
         print(f"{status} {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s) {'; '.join(problems)}")
         if problems:
             failures.append(name)
+        results[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": not any(p.startswith("columns") for p in problems),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(ddf),
+            "err": "; ".join(problems) or None,
+        }
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=2)
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
