@@ -291,3 +291,56 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     # drop the ragged tail (partial windows); short docs keep one window
     n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(1))
     return F.array_distinct(F.slice(mins, 1, n_windows))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — regex patterns restricted to the syntax subset
+# Java regex (Spark) and RE2 (DuckDB) interpret identically, so every scan
+# count and every redacted string is oracle-checkable across engines.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    # order matters for redaction: ssn before phone (a phone regex with
+    # flexible groups could otherwise eat part of an SSN), email before
+    # anything that could match its digits.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts as columns (one projection, zero shuffle —
+    compose into a select like every other op here)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII hit with its [KIND] placeholder, applied in the
+    declared pattern order. Redaction-before-training is the standard
+    pipeline position (the scan counts feed filtering thresholds; the
+    redacted text is what ships)."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Scan + redact in one pass: per-doc counts of each PII kind, a total,
+    and the redacted text. Pure column expressions — at 100 TB this is scan
+    bandwidth, nothing else."""
+    counts = pii_counts(F.col(text_col))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        total.alias("n_pii"),
+        pii_redact(F.col(text_col)).alias("redacted"),
+    )

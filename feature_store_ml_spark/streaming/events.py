@@ -64,6 +64,25 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming deduplication: replay events and emit each
+    (user_id, event_type) key once via dropDuplicatesWithinWatermark — the
+    bounded-state streaming dedup (state evicts once the watermark passes a
+    key's last sighting + horizon, so memory is O(keys-in-horizon), not
+    O(stream)). The horizon here exceeds the corpus' 30-day span, making the
+    result exactly DISTINCT(user_id, event_type) — the oracle — while still
+    exercising the real stateful operator. Only key columns are emitted:
+    WHICH physical row survives depends on micro-batch arrival order and is
+    not part of the operator's contract."""
+    ev = _streaming_events(spark, sf_dir).select("ts", "user_id", "event_type")
+    deduped = (
+        ev.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_table(spark, deduped, mode="append")
+
+
 def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive a (bounded) streaming query to completion through a memory sink
     and return the materialized result as a batch DataFrame."""
