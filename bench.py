@@ -45,6 +45,11 @@ HEADLINE = [
     "q10_returned_items",
     "q17_small_quantity",
     "q18_large_orders",
+    # round-2 joiners (first pins recorded in BASELINE.md round-2 section)
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_sole_late_supplier",
+    "e11_pii_scan",
 ]
 
 

@@ -431,3 +431,50 @@ def dedup_by_clusters(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
         df.join(reps, id_col, "left_semi")
     )
     return survivors
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_overlap`` distinct word ``n``-grams with an evaluation corpus —
+    the published method for scrubbing eval leakage from training data
+    (Brown et al. 2020, GPT-3 appendix C n-gram overlap; Dodge et al. 2021
+    C4 benchmark-contamination analysis).
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle set —
+    eval suites are tiny next to a training corpus, so that set broadcasts —
+    and the corpus side explodes shingles ONCE, hash-semi-joins against the
+    broadcast, and aggregates per document. Cost is one pass + one agg on
+    the doc id; nothing pairwise, nothing all-pairs. Every doc comes back
+    with its overlap count and verdict (zero-overlap docs included via the
+    left join), so the same output drives both filtering and reporting.
+    """
+    d_sh = docs.select(
+        F.col(id_col), F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(T.word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce(F.col("_n"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -167,3 +167,27 @@ def test_signatures_deterministic_across_partitionings(spark, docs):
     a = dedup.minhash_signatures(docs).orderBy("id").collect()
     b = dedup.minhash_signatures(docs.repartition(7)).orderBy("id").collect()
     assert [r.sig for r in a] == [r.sig for r in b]
+
+
+def test_decontaminate_planted(spark):
+    from feature_store_ml_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over a fence"),   # shares trigrams
+            (2, "completely unrelated text about spark"),  # none
+            (3, "the quick brown fox jumps over the lazy dog entirely"),  # near-copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.decontaminate(docs, bench, min_overlap=2).collect()}
+    assert out[3].contaminated and out[3].n_overlap >= 6
+    assert out[1].contaminated  # "quick brown fox", "brown fox jumps", ...
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    # broadcast on the benchmark side, no corpus self-join
+    plan = dedup.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
