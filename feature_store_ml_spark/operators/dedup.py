@@ -150,6 +150,31 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature table into (id, sig, band, bucket) LSH rows —
+    bucket = xxhash64 of the band's signature slice. Shared by the batch
+    pair-finder and the incremental path so both sides of an incremental
+    join band identically (a must: bucket ids are only meaningful within
+    one banding scheme)."""
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,23 +198,7 @@ def minhash_lsh_pairs(
     # signature table is materialized anyway (it's what incremental dedup
     # diffs against); signatures are 64×8B per doc — tiny next to the text.
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _banded(sigs, bands, rows_per_band)
     a = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )
@@ -478,3 +487,54 @@ def decontaminate(
             (F.coalesce(F.col("_n"), F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of NEW documents against an EXISTING corpus
+    signature index — the growing-corpus workflow: signatures are computed
+    once per document ever (minhash_signatures output persisted as a table,
+    64×8 B/doc), and each ingest batch hashes only ITS text, bands both
+    sides with the identical scheme, and joins on (band, bucket).
+
+    Cost: O(|batch|) hashing + a join whose left side is |batch|·bands rows
+    against the (pre-bucketed, ideally bucket-partitioned) index — nothing
+    touches the corpus text again. Returns (new_id, corpus_id,
+    est_jaccard ≥ threshold): everything a dedup-on-ingest gate needs.
+
+    Determinism makes this sound: xxhash64 signatures are identical across
+    runs/layouts, so an index built last month buckets exactly like a batch
+    hashed today.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes).cache()
+    a = _banded(new_sigs, bands, rows_per_band).select(
+        F.col("id").alias("new_id"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = _banded(corpus_sigs, bands, rows_per_band).select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .select("new_id", "corpus_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.lit(num_hashes),
+    )
+    out = est.where(F.col("est_jaccard") >= threshold).select(
+        "new_id", "corpus_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+    return autorelease(out, new_sigs)
