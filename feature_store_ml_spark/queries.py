@@ -2870,6 +2870,80 @@ def e13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q20_dominant_supplier",
+    """
+    WITH pv AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS supp_vol
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_vol
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_parts
+    FROM pv
+      JOIN pt USING (l_partkey)
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_type = 'LARGE' AND supp_vol > 0.10 * total_vol
+    GROUP BY 1, 2
+    """,
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a correlated AGGREGATE comparison — suppliers
+    providing >10% of a part's total shipped volume, counted per supplier
+    over one part type. Decorrelated the standard way: both aggregation
+    levels ((part,supp) and (part)) come from the SAME scan, then join on
+    the part key — the per-part total reuses the finer agg's shuffle
+    partitioning, so the comparison adds no extra exchange of lineitem.
+    Both volumes are exact-decimal sums, so the 0.25× comparison sees
+    bit-identical operands in both engines."""
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pv = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity").alias("supp_vol"))
+    pt = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        dsum("l_quantity").alias("total_vol")
+    )
+    return (
+        pv.join(pt, F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("supp_vol") > 0.10 * F.col("total_vol"))
+        .join(F.broadcast(p.where(F.col("p_type") == "LARGE")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register("e17_pack_documents", None)  # FFD packing: procedural, not SQL-expressible
+def e17_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → 256-token FFD shards (deterministic
+    hash-bucketed first-fit-decreasing in applyInPandas). Invariants
+    (every doc exactly once, budget respected, layout-independence, ≥70%
+    fill) are pytest-verified; the assignment itself is procedural."""
+    from .operators import packing
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(text.words(F.col("text"))).alias("n_tokens")
+    )
+    return packing.pack_documents(d, budget=256, n_buckets=8)
+
+
+@register("e9_dedup_incremental", None)  # xxhash64 signature family — not SQL
+def e9_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: every 5th document plays an ingest batch
+    matched against the signature index of the rest — no corpus re-hash.
+    Equality with the batch LSH pairs crossing the split is pytest-proven
+    (test_incremental_matches_batch_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus_sigs = dedup.minhash_signatures(d.where(F.col("doc_id") % 5 != 0))
+    return dedup.minhash_lsh_incremental(
+        d.where(F.col("doc_id") % 5 == 0), corpus_sigs, threshold=0.2
+    )
+
+
+@register(
     "e9_decontaminate",
     f"""
     WITH toks AS (
@@ -2970,13 +3044,13 @@ _FINAL_ORDER = [
     "e11_pii_scan",
     "e13_stream_dedup",
     "e9_decontaminate",
+    "q20_dominant_supplier",
     # -- round-1-green keepers
     "e3_join_broadcast",
     "e3_join_asof",
     "e4_cube",
     "e5_window_rank",
     "e9_dedup_exact",
-    "e10_knn_brute",
     "e11_text_stats",
     "e13_stream_window",
     "q1_pricing_summary",
@@ -2998,6 +3072,7 @@ _FINAL_ORDER = [
     "e8_array_funcs",
     "e8_json_funcs",
     "e3_join_range",
+    "e10_knn_brute",
     "e9_dedup_jaccard",
     "e11_lang_id",
     "e12_sessionize",
@@ -3029,6 +3104,8 @@ _FINAL_ORDER = [
     "e14_frame_sample",
     "e14_audio_features",
     "e14_image_features",
+    "e17_pack_documents",
+    "e9_dedup_incremental",
     "r01_synthetic_source",
     "r10_accuracy",
     "r11_class_report",
@@ -3054,7 +3131,7 @@ def _apply_final_order() -> None:
         raise RuntimeError(
             f"window waste: rows-only queries in the first 50: {first50_rows_only}"
         )
-    assert n_oracle_tail <= 28, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 29, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
