@@ -264,3 +264,35 @@ def stream_ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFra
     return run_stream_to_table(
         spark, ewma_per_user(_streaming_events(spark, sf_dir), alpha=alpha)
     )
+
+
+def run_stream_foreach_batch_idempotent(
+    spark: SparkSession, streaming_df: DataFrame, out_dir: str
+) -> list[int]:
+    """Exactly-once file sink via foreachBatch: each micro-batch overwrites
+    its OWN directory ``epoch=<batch_id>`` — Spark replays a failed batch
+    under the SAME batch id, so a retry overwrites its partial output
+    instead of appending a duplicate (the documented idempotent-foreachBatch
+    recipe; the built-in file sink gets this from its commit log, but
+    foreachBatch is what you use when the target is a JDBC table, a Delta
+    MERGE, or any store needing custom write logic).
+
+    Returns the processed batch ids. Bounded replay (availableNow) for
+    tests; the function body is what a production continuous query runs.
+    """
+    import uuid as _uuid
+
+    seen: list[int] = []
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={batch_id}")
+
+    q = (
+        streaming_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

@@ -236,3 +236,26 @@ def test_ppm_non_ppm_raises(spark):
     df = spark.createDataFrame([(1, b"\x89PNG....")], "doc_id long, image binary")
     with _pytest.raises(Exception, match="Pillow"):
         mm.image_features(df).collect()
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """foreachBatch epoch-dir sink: rows written == rows streamed, and
+    re-running the same bounded query with a fresh checkpoint overwrites
+    epoch dirs rather than duplicating rows."""
+    from feature_store_ml_spark.streaming import events as ev
+
+    out = str(tmp_path / "sink")
+    s = ev._streaming_events(spark, sf_dir).select("event_id", "user_id", "value")
+    ids1 = ev.run_stream_foreach_batch_idempotent(spark, s, out)
+    assert ids1  # at least one micro-batch ran
+    from feature_store_ml_spark.io import load_table
+    n_expected = load_table(spark, sf_dir, "events").count()
+    got = spark.read.parquet(f"{out}/epoch=*")
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
+
+    # second run: same epoch ids -> same dirs overwritten, no duplication
+    ids2 = ev.run_stream_foreach_batch_idempotent(spark, s, out)
+    assert ids2 == ids1
+    again = spark.read.parquet(f"{out}/epoch=*")
+    assert again.count() == n_expected
