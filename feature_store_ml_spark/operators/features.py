@@ -112,3 +112,69 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def resample_grid(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key regular time grid spanning each key's observed range:
+    (keys..., grid_ts). Built with sequence()+explode — one row per grid
+    point, generated distributed (no driver-side date math). The grid is
+    aligned to step boundaries (date_trunc of the key's min), so two runs
+    over overlapping data produce identical grid points — required for
+    incremental feature backfill."""
+    bounds = df.groupBy(*keys).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    return bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("grid_ts"),
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cols: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample irregular observations onto a regular grid, carrying the
+    last observation at-or-before each grid point forward (the feature-store
+    serving semantic: 'value as of HH:00'). Implementation: union grid rows
+    with observations, one per-key window sort, last(ignorenulls) over the
+    preceding frame, keep grid rows — ONE shuffle on the key, no
+    range-join blow-up (same union-window trick as the as-of join,
+    operators/asof.py)."""
+    grid = resample_grid(df, keys, ts_col, step)
+    g = grid.select(
+        *keys,
+        F.col("grid_ts").alias(ts_col),
+        F.lit(1).alias("_is_grid"),
+        *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in cols],
+    )
+    obs = df.select(
+        *keys, ts_col, F.lit(0).alias("_is_grid"), *cols
+    )
+    # observations sort BEFORE the grid row at equal ts (_is_grid ascending
+    # puts obs first => last() at a grid point sees a same-instant obs)
+    unioned = obs.unionByName(g)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("_is_grid"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *keys,
+        F.col(ts_col),
+        F.col("_is_grid"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in cols],
+    )
+    return filled.where(F.col("_is_grid") == 1).drop("_is_grid").withColumnRenamed(
+        ts_col, "grid_ts"
+    )

@@ -79,3 +79,33 @@ def test_topk_rank_bounds_and_count(spark, vals, k):
     assert out.rn.between(1, k).all()
     # the selected values are the k largest (as a multiset)
     assert sorted(out.v, reverse=True) == sorted(vals, reverse=True)[: len(out)]
+
+
+def test_hash_sample_nesting(spark, sf_dir):
+    """Threshold sampling is monotone: the 10% sample is a subset of the
+    20% sample under the same seed — the property that lets you reuse one
+    hash for a whole ladder of sample sizes (seeded df.sample lacks it)."""
+    from feature_store_ml_spark.io import load_table
+    from feature_store_ml_spark.operators import sampling
+
+    c = load_table(spark, sf_dir, "customer")
+    small = {r.c_custkey for r in sampling.hash_sample(c, "c_custkey", 0.1, seed=3).select("c_custkey").collect()}
+    big = {r.c_custkey for r in sampling.hash_sample(c, "c_custkey", 0.2, seed=3).select("c_custkey").collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_pii_redaction_idempotent(spark):
+    """redact(redact(x)) == redact(x): placeholders must not re-match any
+    PII pattern (a '[EMAIL]' that looked like a phone would corrupt text
+    on every pipeline re-run)."""
+    from pyspark.sql import functions as F
+    from feature_store_ml_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a@b.io call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    once = df.select(text.pii_redact(F.col("text")).alias("text"))
+    twice = once.select(text.pii_redact(F.col("text")).alias("text"))
+    assert once.first().text == twice.first().text

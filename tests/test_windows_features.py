@@ -77,3 +77,42 @@ def test_point_in_time_no_future_leakage(spark):
         labels, feats, keys=["user_id"], label_ts="ts", feature_ts="feat_ts"
     ).toPandas()
     assert out.feat.iloc[0] == 1.0  # NOT the future value 999
+
+
+def test_resample_ffill_known(spark):
+    from datetime import datetime
+    from feature_store_ml_spark.operators import features as FE
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 2, 15), 20.0),
+        (1, datetime(2024, 1, 1, 5, 0), 30.0),   # exactly on a grid point
+        (2, datetime(2024, 1, 1, 1, 45), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.grid_ts.hour): r.value
+        for r in FE.resample_ffill(df, ["user_id"], "ts", ["value"], "1 hour").collect()
+    }
+    # user 1: grid 00..05; 00:00 precedes first obs -> null
+    assert out[(1, 0)] is None
+    assert out[(1, 1)] == 10.0 and out[(1, 2)] == 10.0
+    assert out[(1, 3)] == 20.0 and out[(1, 4)] == 20.0
+    assert out[(1, 5)] == 30.0  # same-instant observation is visible
+    # user 2: grid only spans its own range (01:00..01:45)
+    assert out[(2, 1)] is None
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_resample_single_shuffle(spark, sf_dir):
+    from feature_store_ml_spark.io import load_table
+    from feature_store_ml_spark.operators import features as FE
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    plan = (
+        FE.resample_ffill(ev, ["user_id"], "ts", ["value"], "1 day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # grid agg + window fill both hash-partition on user_id; the window
+    # must not introduce a range exchange of the unioned data
+    assert "Exchange rangepartitioning" not in plan
