@@ -344,3 +344,23 @@ def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         total.alias("n_pii"),
         pii_redact(F.col(text_col)).alias("redacted"),
     )
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Decompose a URL into host / registered domain / path / query — the
+    inputs of the standard training-data domain filters (C4 blocklists by
+    domain, Dolma/RefinedWeb URL dedup). Spark's parse_url is a JVM
+    built-in; the registered domain is the last two host labels (good
+    enough without a public-suffix list, which would be a lookup join)."""
+    host = F.parse_url(url, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    ).otherwise(host)
+    return {
+        "host": host,
+        "domain": domain,
+        "path": F.parse_url(url, F.lit("PATH")),
+        "query": F.parse_url(url, F.lit("QUERY")),
+    }
