@@ -158,3 +158,23 @@ def test_zorder_validation(spark):
         layout.zorder_key(df, [], bits=4)
     with pytest.raises(ValueError):
         layout.zorder_key(df, ["x"], bits=64)
+
+
+def test_empty_input_edges(spark):
+    """New operators must not blow up on empty inputs (a real pipeline's
+    first day, an empty partition, a filter that matched nothing)."""
+    from feature_store_ml_spark.operators import dedup, packing, sampling
+    from feature_store_ml_spark.operators import features as FE
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.decontaminate(empty_docs, empty_docs).count() == 0
+
+    empty_tok = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert packing.pack_documents(empty_tok, 128).count() == 0
+
+    empty_c = spark.createDataFrame([], "c_custkey long, c_acctbal double")
+    assert sampling.hash_sample(empty_c, "c_custkey", 0.5).count() == 0
+    assert sampling.stratified_sample(empty_c, "c_acctbal", "c_custkey", 3).count() == 0
+
+    empty_ts = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    assert FE.resample_ffill(empty_ts, ["user_id"], "ts", ["value"]).count() == 0
