@@ -2870,6 +2870,50 @@ def e13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e4_linreg",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM s
+    """,
+)
+def e4_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price ~ quantity) from sufficient
+    statistics: ONE aggregate pass collects exact-decimal Σx, Σy, Σxy, Σx²,
+    and slope/intercept are derived in closed form — the map-side-combinable
+    formulation that makes distributed regression a single shuffle (the
+    built-in regr_slope/regr_intercept aggregates accumulate in
+    order-dependent doubles, which cannot hash-match across engines; this
+    derivation is bit-stable)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum("l_quantity * l_extendedprice").alias("sxy"),
+        dsum("l_quantity * l_quantity").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = [F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"]]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
     "e11_url_extract",
     """
     WITH synth AS (
@@ -3232,10 +3276,10 @@ _FINAL_ORDER = [
     "e5_window_distribution",
     "e12_resample",
     "e11_url_extract",
+    "e4_linreg",
     # -- round-1-green keepers
     "e3_join_broadcast",
     "e3_join_asof",
-    "e13_stream_window",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3249,6 +3293,7 @@ _FINAL_ORDER = [
     "e5_window_rank",
     "e9_dedup_exact",
     "e11_text_stats",
+    "e13_stream_window",
     "e3_join_outer",
     "e3_join_semi",
     "e3_join_anti",
@@ -3320,7 +3365,7 @@ def _apply_final_order() -> None:
         raise RuntimeError(
             f"window waste: rows-only queries in the first 50: {first50_rows_only}"
         )
-    assert n_oracle_tail <= 33, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 34, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
