@@ -78,3 +78,19 @@ def table_stats(spark: SparkSession, name: str) -> dict[str, str]:
         if r.col_name == "Statistics":
             out["statistics"] = r.data_type
     return out
+
+
+def with_metrics(df, name: str, *metrics):
+    """Attach zero-cost pipeline metrics to a DataFrame via the Observation
+    API: the metric aggregates are computed AS A SIDE EFFECT of whatever
+    action the caller runs — no second scan, no extra job. This is how a
+    production ingest reports rows-in / rows-dropped / quality tallies at
+    100 TB without paying for a monitoring pass.
+
+    Returns (df, observation); read ``observation.get`` AFTER an action.
+    Metrics must be aggregate expressions (count/sum/min/max...).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -52,3 +52,26 @@ def test_column_stats_present(spark, cbo_tables):
     rows = spark.sql("DESCRIBE EXTENDED cbo.customer c_custkey").collect()
     kv = {r.info_name: r.info_value for r in rows}
     assert kv.get("distinct_count") not in (None, "NULL")
+
+
+def test_with_metrics_single_scan(spark, sf_dir):
+    """Observation metrics ride the caller's action: one job, one scan,
+    metrics ready afterwards."""
+    from pyspark.sql import functions as F
+    from feature_store_ml_spark.io import load_table
+    from feature_store_ml_spark import plans
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df, obs = plans.with_metrics(
+        li,
+        "ingest",
+        F.count("*").alias("rows_in"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("high_discount"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+    out = df.where(F.col("l_quantity") > 10).groupBy("l_returnflag").count().collect()
+    assert len(out) > 0
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert 0 < m["high_discount"] < m["rows_in"]
+    assert m["first_ship"] is not None
