@@ -125,6 +125,15 @@ def minhash_signatures(
     Hash family: xxhash64(seed_i, xxhash64(shingle)) — deterministic across
     runs, partitionings and cluster layouts (required for incremental dedup).
 
+    Measured-and-rejected alternative: a fully per-row formulation
+    (``transform(sequence(0,63), i -> array_min(transform(hashes, ...)))``,
+    zero shuffle) produces identical signatures but ran 25× SLOWER at sf0.1
+    (34 s vs 1.4 s steady-state): lambda-bound array expressions are
+    evaluated interpreted per element and defeat codegen's common-
+    subexpression elimination, so the shingle tree re-derives per seed.
+    The explode+agg form keeps every hash evaluation inside codegen'd
+    aggregates and combines map-side.
+
     The input is hash-repartitioned on the doc id first: document corpora
     often arrive as few fat files (here: one), which would pin this
     CPU-bound stage to one task; the groupBy(id) then reuses that

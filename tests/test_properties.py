@@ -109,3 +109,24 @@ def test_pii_redaction_idempotent(spark):
     once = df.select(text.pii_redact(F.col("text")).alias("text"))
     twice = once.select(text.pii_redact(F.col("text")).alias("text"))
     assert once.first().text == twice.first().text
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=50, max_value=400),
+)
+@SETTINGS
+def test_packing_invariants_random(spark, tokens, budget):
+    """FFD packing under random sizes: every doc exactly once; no multi-doc
+    shard over budget; any doc alone in an over-budget shard is itself
+    over budget (the documented oversized-doc escape hatch)."""
+    from feature_store_ml_spark.operators import packing
+
+    df = spark.createDataFrame(list(enumerate(tokens)), "doc_id long, n_tokens long")
+    out = packing.pack_documents(df, budget, n_buckets=4).toPandas()
+    assert sorted(out.doc_id) == list(range(len(tokens)))
+    g = out.groupby("shard_id").agg(tot=("n_tokens", "sum"), n=("n_tokens", "size"))
+    over = g[(g.tot > budget)]
+    assert (over.n == 1).all()
+    solo_over = out[out.shard_id.isin(over.index)]
+    assert (solo_over.n_tokens > budget).all()
