@@ -296,3 +296,34 @@ def run_stream_foreach_batch_idempotent(
     )
     q.awaitTermination()
     return seen
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the workhorse streaming pattern: each incoming
+    event is enriched against a STATIC (batch) dimension, here the user's
+    historical profile (event count + lifetime exact-decimal value sum)
+    precomputed from the same corpus. The static side needs no watermark
+    and no state: Spark plans it as an ordinary (broadcast when small)
+    join against each micro-batch, so the streaming state is zero — this
+    is why reference-data enrichment belongs in a stream-static join, not
+    a stream-stream one. Output: one enriched row per event above the
+    user's historical mean."""
+    from ..io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    profile = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_hist"),
+        F.expr(
+            "cast(cast(sum(cast(value as decimal(30,8))) as string) as double)"
+        ).alias("hist_sum"),
+    )
+    ev = _streaming_events(spark, sf_dir).select("event_id", "user_id", "value")
+    enriched = ev.join(profile, "user_id").where(
+        F.col("value") > F.col("hist_sum") / F.col("n_hist")
+    )
+    out = run_stream_to_table(
+        spark,
+        enriched.select("event_id", "user_id", "value", "n_hist", "hist_sum"),
+        mode="append",
+    )
+    return out
