@@ -397,3 +397,104 @@ def audio_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "audio"
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real video path: PPMV — a trivial but GENUINE container (magic + frame
+# index + concatenated P6 PPM frames). Like WAV/PPM above, the point is that
+# every stage parses real bytes end-to-end: synth builds an actual container,
+# frame sampling reads the index and slices real frames, and each extracted
+# frame decodes through the SAME image_features parser. Swapping PPMV for
+# MP4 means replacing _read_ppmv with a pyav demux — the Spark plumbing
+# (schema, Arrow batching, payload-never-shuffles) is identical.
+# ---------------------------------------------------------------------------
+
+_PPMV_MAGIC = b"PPMV"
+
+
+def _ppmv_bytes(frames: list[bytes], fps_milli: int) -> bytes:
+    import struct
+
+    head = _PPMV_MAGIC + struct.pack("<II", len(frames), fps_milli)
+    index = b"".join(struct.pack("<I", len(f)) for f in frames)
+    return head + index + b"".join(frames)
+
+
+def _read_ppmv(payload: bytes):
+    """Returns (fps_milli, [frame_bytes...]). Raises on bad magic — same
+    honesty contract as the PPM/WAV parsers."""
+    import struct
+
+    if payload[:4] != _PPMV_MAGIC:
+        raise NotImplementedError(
+            "real MP4/WebM demux requires pyav — only PPMV containers parsed here"
+        )
+    n, fps_milli = struct.unpack_from("<II", payload, 4)
+    lengths = struct.unpack_from(f"<{n}I", payload, 12)
+    pos = 12 + 4 * n
+    frames = []
+    for ln in lengths:
+        frames.append(payload[pos : pos + ln])
+        pos += ln
+    return fps_milli, frames
+
+
+def synth_ppmv(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 8, fps: float = 4.0
+) -> DataFrame:
+    """Attach a real PPMV video payload per row: n_frames genuine P6 frames
+    whose pixel pattern varies per (row id, frame index) — a deterministic
+    moving gradient."""
+    import numpy as np
+
+    def _frame(doc_id: int, idx: int) -> bytes:
+        w = 8 + (doc_id * 7) % 17  # 8..24, constant per video
+        h = 6 + (doc_id * 11) % 13  # 6..18
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = ((xx + idx) * 255 // max(w - 1, 1) % 256).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), (doc_id + idx) % 256, dtype=np.uint8)
+        raster = np.dstack([r, g, b]).tobytes()
+        return f"P6\n{w} {h}\n255\n".encode() + raster
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["video"] = [
+                _ppmv_bytes(
+                    [_frame(int(i), k) for k in range(n_frames)], int(fps * 1000)
+                )
+                for i in pdf[id_col]
+            ]
+            yield out
+
+    import pyspark.sql.types as ty
+
+    schema = ty.StructType(
+        df.select(id_col).schema.fields + [ty.StructField("video", ty.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def sample_frames_ppmv(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id", bin_col: str = "video"
+) -> DataFrame:
+    """REAL frame sampling: demux the PPMV container, keep every k-th frame
+    as its actual P6 bytes with a true timestamp from the container fps.
+    1→N explode inside mapInPandas; the video payload enters Python once
+    per row and is dropped before anything wide — frames (small) are what
+    flow on. Each output frame decodes through image_features unchanged."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                fps_milli, frames = _read_ppmv(bytes(payload))
+                for idx in range(0, len(frames), every_k):
+                    ts_ms = int(idx * 1000_000 / max(fps_milli, 1))
+                    rows.append((int(doc_id), idx, frames[idx], ts_ms))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "ts_ms"]
+            )
+
+    return df.mapInPandas(_batches, FRAME_SCHEMA)

@@ -2869,6 +2869,21 @@ def e13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stream_dedup_keys(spark, sf_dir)
 
 
+@register("e14_video_frames", None)  # binary container demux: not SQL-expressible
+def e14_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline on a REAL (if minimal) container format: synthesize a
+    PPMV payload per document (indexed concatenation of genuine P6 frames),
+    demux every 2nd frame with true container-fps timestamps, decode each
+    extracted frame through the real PPM parser. Swapping PPMV for MP4 is
+    one pyav call — the Spark plumbing is format-agnostic."""
+    d = load_table(spark, sf_dir, "documents")
+    vids = multimodal.synth_ppmv(d, n_frames=6)
+    frames = multimodal.sample_frames_ppmv(vids, every_k=2)
+    return multimodal.image_features(
+        frames.selectExpr("doc_id", "frame_idx", "frame as image"),
+    )
+
+
 @register(
     "e13_stream_static_join",
     """
@@ -3360,6 +3375,7 @@ _FINAL_ORDER = [
     "e14_frame_sample",
     "e14_audio_features",
     "e14_image_features",
+    "e14_video_frames",
     "e17_pack_documents",
     "e9_dedup_incremental",
     "e4_sketch_rollup",

@@ -178,3 +178,45 @@ def test_empty_input_edges(spark):
 
     empty_ts = spark.createDataFrame([], "user_id long, ts timestamp, value double")
     assert FE.resample_ffill(empty_ts, ["user_id"], "ts", ["value"]).count() == 0
+
+
+def test_zorder_parquet_rowgroup_skipping(spark, tmp_path):
+    """End-to-end proof of the z-order claim: after writing the clustered
+    layout as parquet, BOTH columns' per-file min/max stats are tight, so a
+    range predicate on either column can skip most files (parquet readers
+    prune on exactly these stats)."""
+    import pyarrow.parquet as pq
+    import random, glob
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(20_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = str(tmp_path / "z")
+    layout.zorder_layout(df, ["x", "y"], n_partitions=16, bits=10).write.parquet(out)
+
+    spans = {"x": [], "y": []}
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                spans[name].append(st.max - st.min)
+    for name, ss in spans.items():
+        avg = sum(ss) / len(ss)
+        # global span is ~10k; clustered row groups must be far tighter
+        assert avg < 6_000, (name, avg)
+
+    # control: a layout sorted on x alone leaves y unclustered
+    ctrl = str(tmp_path / "ctrl")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(ctrl)
+    y_spans = []
+    for f in glob.glob(f"{ctrl}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "y":
+                    y_spans.append(col.statistics.max - col.statistics.min)
+    assert sum(y_spans) / len(y_spans) > 9_000  # un-z-ordered: full range

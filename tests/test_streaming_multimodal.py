@@ -259,3 +259,36 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
     assert ids2 == ids1
     again = spark.read.parquet(f"{out}/epoch=*")
     assert again.count() == n_expected
+
+
+def test_ppmv_video_end_to_end(spark):
+    """Real video path: synth PPMV container -> demux every 2nd frame ->
+    every frame decodes through the real PPM image parser."""
+    from feature_store_ml_spark.operators import multimodal as mm
+
+    d = spark.range(4).withColumnRenamed("id", "doc_id")
+    vids = mm.synth_ppmv(d, n_frames=8, fps=4.0)
+    frames = mm.sample_frames_ppmv(vids, every_k=2)
+    rows = frames.collect()
+    assert len(rows) == 4 * 4  # 8 frames, every 2nd
+    assert sorted({r.frame_idx for r in rows}) == [0, 2, 4, 6]
+    # timestamps derive from container fps (4 fps -> 250ms per frame)
+    assert {r.ts_ms for r in rows if r.frame_idx == 2} == {500}
+    # each sampled frame is a genuine P6 image: decode + stats
+    feats = mm.image_features(
+        frames.selectExpr("doc_id", "frame as image")
+    ).collect()
+    assert len(feats) == 16
+    assert all(f.n_pixels == f.width * f.height for f in feats)
+    # frames differ over time (moving gradient): mean_b varies with idx
+    fr = {(r.doc_id, r.frame_idx): r.frame for r in rows}
+    assert fr[(1, 0)] != fr[(1, 2)]
+
+
+def test_ppmv_bad_magic_raises(spark):
+    import pytest as _pytest
+    from feature_store_ml_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42")], "doc_id long, video binary")
+    with _pytest.raises(Exception, match="pyav"):
+        mm.sample_frames_ppmv(df).collect()
