@@ -36,6 +36,34 @@ def _parse_bytes(conf_value: str, default: int = 128 << 20) -> int:
         return default
 
 
+def _events_ts_to_ntz(observed_dtype: str):
+    """Normalize events.ts to µs-precision TIMESTAMP_NTZ regardless of the
+    corpus generation's on-disk physical type (the test corpus has shipped
+    both INT64 TIMESTAMP(NANOS) — read as ``bigint`` under ``nanosAsLong`` —
+    and native ``timestamp[us]``). Dispatch on the OBSERVED Spark dtype, not
+    an assumption about the file:
+
+    - ``bigint``: raw nanos → NTZ via pure interval arithmetic.
+      (timestamp_micros(..).cast('timestamp_ntz') would go through the
+      SESSION TIMEZONE and shift values under a non-UTC session.)
+    - ``timestamp_ntz``: already the contract type — pass through.
+    - ``timestamp``: session-tz-tagged; under a pinned-UTC session the cast
+      is wall-clock-preserving. Accepted for robustness.
+    """
+    if observed_dtype == "bigint":
+        return F.expr(
+            "cast('1970-01-01' as timestamp_ntz) + make_dt_interval("
+            "cast(ts div 86400000000000 as int), 0, 0, "
+            "cast((ts % 86400000000000) div 1000 as double) / 1000000.0)"
+        )
+    if observed_dtype in ("timestamp_ntz", "timestamp"):
+        return F.col("ts").cast("timestamp_ntz")
+    raise TypeError(
+        f"events.ts: unsupported on-disk type {observed_dtype!r}; "
+        "expected bigint (legacy nanos) or timestamp[_ntz]"
+    )
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
@@ -58,27 +86,17 @@ def load_table(
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(schemas.TABLES)}")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) on disk — Spark's reader
-        # rejects it outright without this legacy conf. Our session builder
-        # sets it, but the DRIVER's verify harness supplies its own vanilla
-        # session, so set it defensively here (runtime-settable).
+        # Older corpus generations store events.ts as INT64 TIMESTAMP(NANOS),
+        # which Spark's reader rejects outright without this legacy conf. It
+        # is a no-op for native timestamp[us] files, so set it defensively —
+        # the DRIVER's verify harness supplies its own vanilla session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = [f.name for f in schemas.TABLES[name]]
     if df.columns != expected:
         raise ValueError(f"{name}: schema drift — got {df.columns}, expected {expected}")
     if name == "events":
-        # nanos → µs-precision TIMESTAMP_NTZ via pure interval arithmetic.
-        # (timestamp_micros(..).cast('timestamp_ntz') would go through the
-        # SESSION TIMEZONE and shift values under a non-UTC session.)
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "cast('1970-01-01' as timestamp_ntz) + make_dt_interval("
-                "cast(ts div 86400000000000 as int), 0, 0, "
-                "cast((ts % 86400000000000) div 1000 as double) / 1000000.0)"
-            ),
-        )
+        df = df.withColumn("ts", _events_ts_to_ntz(dict(df.dtypes)["ts"]))
     if parallelize:
         par = spark.sparkContext.defaultParallelism
         # file-size heuristic instead of df.rdd.getNumPartitions(): the RDD

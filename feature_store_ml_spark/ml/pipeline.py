@@ -59,6 +59,36 @@ def generate_features(
     return df.select(*FEATURE_COLS, "target")
 
 
+def _drop_training_summary(model) -> None:
+    """Detach the JVM-side training summary from a fitted MLlib model.
+
+    We never read the summary (metrics are recomputed SQL-side below), but it
+    pins ``predictions.sparkSession`` into the model object, and the model is
+    captured whole in the prediction UDF's task closure. Classic
+    ``SparkSession.observationManager`` is a LAZY val of a non-serializable
+    class: it stays null (and harmless) until the first ``Dataset.observe``
+    in the session initializes it, after which serializing the session —
+    i.e. running ``model.transform(...)`` on a summary-bearing model — throws
+    ``NotSerializableException: ObservationManager``. Dropping the unused
+    summary removes the session from the closure graph entirely, so the
+    pipeline is immune to Observation use anywhere else in the session.
+
+    The Scala member is ``private[classification] var trainingSummary`` —
+    package-private, which is public in bytecode, so the generated
+    ``trainingSummary_$eq`` setter is reachable from py4j. Best-effort: on a
+    Spark build where the member moved, we keep the summary (only costs
+    compatibility with sessions that used observe).
+    """
+    try:
+        from pyspark import SparkContext
+
+        jvm = SparkContext._active_spark_context._jvm
+        scala_none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        getattr(model._java_obj, "trainingSummary_$eq")(scala_none)
+    except Exception:
+        pass
+
+
 def train_and_evaluate(
     features: DataFrame, seed: int = 42, num_trees: int = 100
 ) -> tuple[RandomForestClassificationModel, DataFrame, float, DataFrame]:
@@ -75,6 +105,7 @@ def train_and_evaluate(
         labelCol="target", featuresCol="features", numTrees=num_trees, seed=seed
     )
     model = rf.fit(assembler.transform(train))
+    _drop_training_summary(model)
     scored = model.transform(assembler.transform(test))
     accuracy = (
         scored.select(

@@ -74,8 +74,15 @@ def jaccard_pairs(
     )
     exploded = sh.select("id", F.explode("sh").alias("shingle"))
     if max_df is not None:
-        counts = exploded.groupBy("shingle").count().where(F.col("count") <= max_df)
-        exploded = exploded.join(F.broadcast(counts.select("shingle")), "shingle")
+        # Broadcast the HOT set (df > max_df) and anti-join it away. The hot
+        # set is small BY CONSTRUCTION (≤ |corpus shingle occurrences|/max_df
+        # distinct values — pigeonhole), so it broadcasts at any corpus size;
+        # broadcasting the kept set would ship ≈ every distinct shingle in
+        # the corpus to every executor.
+        hot = exploded.groupBy("shingle").count().where(F.col("count") > max_df)
+        exploded = exploded.join(
+            F.broadcast(hot.select("shingle")), "shingle", "left_anti"
+        )
     # capped set size per doc — shingles are distinct per doc, so a plain
     # count over the id partition is |capped shingle set|
     exploded = exploded.withColumn("sz", F.count("*").over(Window.partitionBy("id")))

@@ -18,23 +18,34 @@ from ..schemas import EVENTS
 
 
 def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the events table as a bounded stream (one file). ts arrives as
-    raw nanos (nanosAsLong) exactly like the batch path."""
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
-    # Defensive for driver-supplied vanilla sessions: the nanos column needs
-    # the legacy conf, and the watermark/window path goes through
-    # TimestampType whose rendering depends on the session timezone.
+    """Replay the events table as a bounded stream (one file).
+
+    The readStream schema is DERIVED from the batch file's footer (one cheap
+    batch-scan plan, no data read) rather than hard-coded — the corpus has
+    shipped ts as both INT64 TIMESTAMP(NANOS) (reads as ``bigint`` under
+    ``nanosAsLong``) and native ``timestamp[us]`` (reads as timestamp_ntz),
+    and a stale hard-coded ``ts long`` silently misparses the µs corpus
+    ~1000× compressed. Either generation is normalized to a watermark-able
+    TIMESTAMP whose UTC wall-clock equals the batch path's NTZ readings.
+    """
+    # Defensive for driver-supplied vanilla sessions: legacy-nanos files need
+    # the conf (no-op for µs files), and the watermark/window path goes
+    # through TimestampType whose rendering depends on the session timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     df = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(batch_schema)
         # FileStreamSource takes a directory; glob-filter to the events file.
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so the
-    # values equal the batch path's NTZ readings.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_dtype = dict((f.name, f.dataType.simpleString()) for f in batch_schema)["ts"]
+    if ts_dtype == "bigint":  # legacy nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp_ntz (or timestamp): session tz is pinned UTC, so the cast is
+    # wall-clock-preserving and matches the batch path's NTZ values.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

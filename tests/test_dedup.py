@@ -49,6 +49,22 @@ def test_jaccard_max_df_prunes_hot_shingles(spark, docs):
     assert pairs.count() == 0
 
 
+def test_jaccard_df_cap_broadcasts_hot_set(spark, docs):
+    """The df-cap must be planned as a broadcast LEFT ANTI join against the
+    HOT (df > max_df) shingle set — the side that is small by construction.
+    Broadcasting the kept set instead ships ~every distinct shingle in the
+    corpus to every executor and OOMs at scale."""
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_df=1000)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the broadcast build side must be the aggregated (hot-set) subtree, and
+    # the probe side must NOT be behind a broadcast exchange
+    import re
+
+    anti = plan[plan.index("LeftAnti"):]
+    assert re.search(r"BroadcastExchange", anti), anti[:500]
+
+
 def test_jaccard_capped_denominator_consistent(spark):
     """With max_df active, set sizes must come from the CAPPED shingle
     universe: two docs identical except for shingles dropped by the cap
