@@ -47,8 +47,9 @@ def is_delta_table(path: str) -> bool:
     return any(name.endswith(".json") or ".checkpoint." in name for name in os.listdir(log))
 
 
-def _active_files(path: str) -> list[str]:
-    """Replay the Delta JSON commit log and return live data-file paths.
+def _replay_log(path: str) -> tuple[list[str], dict]:
+    """Replay the Delta JSON commit log; return (live data-file paths,
+    last metaData action).
 
     Actions are replayed in version order; `add` inserts a path, `remove`
     retires it (last action wins, per PROTOCOL.md action reconciliation).
@@ -66,6 +67,7 @@ def _active_files(path: str) -> list[str]:
             "package on the classpath"
         )
     live: dict[str, None] = {}
+    meta: dict = {}
     for name in versions:
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
@@ -81,11 +83,17 @@ def _active_files(path: str) -> list[str]:
                             "(deletion vectors / column mapping) the fallback "
                             "does not implement"
                         )
+                elif "metaData" in action:
+                    meta = action["metaData"]
                 elif "add" in action:
                     live[action["add"]["path"]] = None
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    return [os.path.join(path, p) for p in live]
+    return [os.path.join(path, p) for p in live], meta
+
+
+def _active_files(path: str) -> list[str]:
+    return _replay_log(path)[0]
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
@@ -103,13 +111,50 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
-    files = _active_files(path)
+    files, meta = _replay_log(path)
     if not files:
         raise ValueError(
             f"{path}: snapshot is empty and the parquet fallback cannot "
             "produce a schema-only DataFrame"
         )
-    return spark.read.parquet(*files)
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        return spark.read.parquet(*files)
+    # Partitioned table: partition values live in file PATHS (Hive layout)
+    # or the log's add.partitionValues, NOT in the parquet files — a bare
+    # multi-file read would silently return a schema MISSING those columns.
+    # When the layout is Hive-style (delta-spark's writer default), a
+    # basePath read recovers them; otherwise fail loudly rather than hand
+    # back the wrong schema.
+    rel = [os.path.relpath(f, path) for f in files]
+    hive_style = all(
+        all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(part_cols))
+        for r in rel
+        if len(r.split(os.sep)) > len(part_cols)
+    ) and all(len(r.split(os.sep)) > len(part_cols) for r in rel)
+    if not hive_style:
+        raise NotImplementedError(
+            f"{path}: partitioned Delta table ({part_cols}) without "
+            "Hive-style directory layout — the fallback cannot reconstruct "
+            "partition columns; read with delta-spark on the classpath"
+        )
+    df = spark.read.option("basePath", path).parquet(*files)
+    # align column order and partition-column types with the declared schema
+    # (directory-derived values are type-INFERRED and land at the end)
+    try:
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c) if c in part_cols and isinstance(types[c], str) else F.col(c)
+                for c in names
+            ]
+        )
+    except (KeyError, ValueError, TypeError):
+        return df
 
 
 def read_table_auto(spark: SparkSession, path: str) -> DataFrame:

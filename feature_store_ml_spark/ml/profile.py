@@ -17,8 +17,16 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     Two jobs: an exact min/max aggregate, then one groupBy on the bin id —
     both fully distributed, no driver-side data. The max value is clamped
     into the last bin (right-closed top edge).
+
+    Empty / all-null column: returns an empty frame with the histogram
+    schema (min/max aggregate over zero rows yields NULL bounds — there is
+    no bin range to define).
     """
     lo, hi = df.select(F.min(col), F.max(col)).first()
+    if lo is None or hi is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin int, bin_lo double, bin_hi double, n long"
+        )
     width = (hi - lo) / nbins or 1.0
     bin_id = F.least(
         F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(nbins - 1)
@@ -53,6 +61,10 @@ def histogram_kde(
     import math
 
     lo, hi = df.select(F.min(col), F.max(col)).first()
+    if lo is None or hi is None:  # empty / all-null column: no bin range
+        return df.sparkSession.createDataFrame(
+            [], "bin int, bin_lo double, bin_hi double, n long, density double"
+        )
     width = (hi - lo) / nbins or 1.0
     if bandwidth is None:
         bandwidth = width  # Scott-ish default: smooth at bin resolution

@@ -162,8 +162,46 @@ def minhash_signatures(
     ]
     wide = sh.groupBy("id").agg(*aggs)
     return wide.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(
+            "sig", metadata=_sig_family(n, num_hashes)
+        ),
     )
+
+
+#: bump when the hash family / shingle normalization changes incompatibly
+MINHASH_FAMILY_VERSION = 1
+
+
+def _sig_family(n: int, num_hashes: int) -> dict:
+    """Signature-family stamp, carried as `sig` column METADATA — Spark
+    persists column metadata through parquet, so a signature index written
+    last month self-describes its family. Two signature tables are
+    join-compatible iff their stamps are equal; silently mixing families
+    (different shingle n, hash count, or a re-seeded hash family after a
+    version bump) yields estimated Jaccards that are pure noise."""
+    return {
+        "minhash_family": f"xxhash64-rehash-v{MINHASH_FAMILY_VERSION}",
+        "shingle_n": n,
+        "num_hashes": num_hashes,
+    }
+
+
+def _check_sig_family(sigs: DataFrame, n: int, num_hashes: int, side: str) -> None:
+    """Fail loudly when a signature table's stamp contradicts the requested
+    parameters. Unstamped tables (pre-versioning, or hand-built in tests)
+    pass — the stamp is a tripwire, not a gate on legacy data."""
+    meta = sigs.schema["sig"].metadata if "sig" in sigs.columns else {}
+    if not meta or "minhash_family" not in meta:
+        return
+    want = _sig_family(n, num_hashes)
+    got = {k: meta.get(k) for k in want}
+    if got != want:
+        raise ValueError(
+            f"minhash signature-family mismatch on {side}: table carries "
+            f"{got}, caller requested {want} — recompute one side or pass "
+            "matching (n, num_hashes)"
+        )
 
 
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -531,6 +569,7 @@ def minhash_lsh_incremental(
     hashed today.
     """
     rows_per_band = num_hashes // bands
+    _check_sig_family(corpus_sigs, n, num_hashes, side="corpus_sigs")
     new_sigs = minhash_signatures(new_docs, id_col, text_col, n, num_hashes).cache()
     a = _banded(new_sigs, bands, rows_per_band).select(
         F.col("id").alias("new_id"), F.col("sig").alias("sig_a"), "band", "bucket"

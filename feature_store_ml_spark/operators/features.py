@@ -114,6 +114,25 @@ def forward_fill(
     return out
 
 
+_STEP_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800
+}
+
+
+def _step_micros(step: str) -> int:
+    """Parse a fixed-length step ('1 hour', '90 minutes', '1 day') to µs.
+    Variable-length units (month, year) are rejected: an epoch-aligned grid
+    needs a constant step."""
+    parts = step.strip().lower().split()
+    n, unit = (1, parts[0]) if len(parts) == 1 else (int(parts[0]), parts[1])
+    unit = unit.rstrip("s")
+    if unit not in _STEP_UNIT_SECONDS:
+        raise ValueError(
+            f"resample step {step!r}: unit must be one of {sorted(_STEP_UNIT_SECONDS)}"
+        )
+    return n * _STEP_UNIT_SECONDS[unit] * 1_000_000
+
+
 def resample_grid(
     df: DataFrame,
     keys: list[str],
@@ -122,12 +141,30 @@ def resample_grid(
 ) -> DataFrame:
     """Per-key regular time grid spanning each key's observed range:
     (keys..., grid_ts). Built with sequence()+explode — one row per grid
-    point, generated distributed (no driver-side date math). The grid is
-    aligned to step boundaries (date_trunc of the key's min), so two runs
-    over overlapping data produce identical grid points — required for
-    incremental feature backfill."""
+    point, generated distributed (no driver-side date math).
+
+    Grid points are EPOCH-ALIGNED: each is an exact multiple of ``step``
+    since 1970-01-01, with the per-key start = the largest such multiple ≤
+    the key's min(ts). Anchoring to the observed min instead (previous
+    formulation) makes every grid point a function of whichever row happens
+    to arrive first — prepending one earlier observation in a backfill
+    shifts the entire grid and invalidates previously-materialized feature
+    rows. Epoch alignment keeps existing grid points fixed under any data
+    arrival order; new data only ever extends the grid."""
+    step_us = _step_micros(step)
+    dt = df.schema[ts_col].dataType.simpleString()
     bounds = df.groupBy(*keys).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("_lo"), F.max(ts_col).alias("_hi")
+        F.min(ts_col).alias("_min"), F.max(ts_col).alias("_hi")
+    )
+    # floor(_min to an epoch multiple of step), in pure wall-clock µs
+    # arithmetic (timestampdiff/timestampadd) — no session-timezone pass.
+    bounds = bounds.withColumn(
+        "_lo",
+        F.expr(
+            f"timestampadd(MICROSECOND, "
+            f"-(timestampdiff(MICROSECOND, cast('1970-01-01' as {dt}), _min) % {step_us}), "
+            f"_min)"
+        ),
     )
     return bounds.select(
         *keys,

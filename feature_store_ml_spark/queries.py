@@ -3000,7 +3000,9 @@ def e11_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e12_resample",
     """
     WITH bounds AS (
-      SELECT user_id, date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi
+      -- epoch-aligned grid origin: for a 1-day step, the largest day
+      -- multiple since epoch <= min(ts) is midnight of min(ts)'s day
+      SELECT user_id, date_trunc('day', MIN(ts)) AS lo, MAX(ts) AS hi
       FROM events GROUP BY 1
     ),
     grid AS (

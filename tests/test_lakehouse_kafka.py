@@ -100,6 +100,72 @@ def test_unsupported_reader_version_fails_loud(spark, tmp_path):
         lakehouse.read_delta(spark, root)
 
 
+def _make_partitioned_delta_table(spark, root, hive_layout=True):
+    """Partitioned Delta table per the protocol: partition values live in
+    the directory names (Hive layout) and add.partitionValues — NOT in the
+    parquet files themselves."""
+    os.makedirs(root, exist_ok=True)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    }
+    adds = []
+    for day in (1, 2):
+        rel_dir = f"day={day}" if hive_layout else f"d{day}"
+        os.makedirs(os.path.join(root, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/part-00000.parquet"
+        spark.range(day * 10, day * 10 + 5).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).toPandas().to_parquet(os.path.join(root, rel))
+        adds.append(
+            {"add": {"path": rel, "partitionValues": {"day": str(day)}, "dataChange": True}}
+        )
+    _write_commit(
+        log,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "test-table",
+                    "schemaString": json.dumps(schema),
+                    "partitionColumns": ["day"],
+                    "format": {"provider": "parquet", "options": {}},
+                }
+            },
+        ]
+        + adds,
+    )
+    return root
+
+
+def test_partitioned_delta_reconstructs_partition_column(spark, tmp_path):
+    """Round-3 ADVICE finding: the fallback used to silently DROP partition
+    columns (they live in paths, not files) — wrong schema, no error. A
+    Hive-layout table must come back with the partition column, correctly
+    typed per the declared schema, in declared column order."""
+    root = _make_partitioned_delta_table(spark, str(tmp_path / "p"))
+    df = lakehouse.read_delta(spark, root)
+    assert df.columns == ["id", "v", "day"]
+    assert df.schema["day"].dataType.typeName() == "integer"
+    got = {(r.id, r.day) for r in df.collect()}
+    assert got == {(i, 1) for i in range(10, 15)} | {(i, 2) for i in range(20, 25)}
+
+
+def test_partitioned_delta_non_hive_layout_fails_loud(spark, tmp_path):
+    root = _make_partitioned_delta_table(
+        spark, str(tmp_path / "nh"), hive_layout=False
+    )
+    with pytest.raises(NotImplementedError, match="partition"):
+        lakehouse.read_delta(spark, root)
+
+
 def test_read_table_auto_sniffs_format(spark, tmp_path, sf_dir):
     delta_root = _make_delta_table(spark, str(tmp_path / "d"))
     assert lakehouse.read_table_auto(spark, delta_root).count() == 30

@@ -63,6 +63,20 @@ def test_histogram_counts(spark):
     assert out.bin_lo.iloc[0] == 0.0 and out.bin_hi.iloc[-1] == 99.0
 
 
+def test_histogram_empty_and_all_null_input(spark):
+    """Empty / all-null columns must return an empty histogram frame, not
+    TypeError on the undefined (NULL) min/max bounds."""
+    empty = spark.createDataFrame([], "x double")
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    for df in (empty, nulls):
+        h = profile.histogram(df, "x")
+        assert h.count() == 0
+        assert h.columns == ["bin", "bin_lo", "bin_hi", "n"]
+        k = profile.histogram_kde(df, "x")
+        assert k.count() == 0
+        assert k.columns == ["bin", "bin_lo", "bin_hi", "n", "density"]
+
+
 def test_correlation_identity_and_sign(spark):
     df = spark.range(50).select(
         F.col("id").cast("double").alias("a"),

@@ -100,3 +100,25 @@ def test_incremental_matches_batch_pairs(spark, sf_dir):
             crossing[(new_id, corpus_id)] = r.est_jaccard
     assert inc == crossing
     corpus_sigs.unpersist()
+
+
+def test_incremental_rejects_mismatched_signature_family(spark, sf_dir):
+    """A persisted signature index stamps its family (hash version, shingle
+    n, hash count) in column metadata; joining a batch hashed with different
+    parameters must fail loudly — mixed-family est_jaccard is pure noise."""
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    sigs_n3 = dedup.minhash_signatures(d, n=3)
+    with pytest.raises(ValueError, match="signature-family mismatch"):
+        dedup.minhash_lsh_incremental(d, sigs_n3, n=2)
+
+
+def test_signature_family_survives_parquet(spark, sf_dir, tmp_path):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    p = str(tmp_path / "sigs.parquet")
+    dedup.minhash_signatures(d, n=3).write.parquet(p)
+    back = spark.read.parquet(p)
+    meta = back.schema["sig"].metadata
+    assert meta.get("minhash_family", "").startswith("xxhash64-rehash-v")
+    assert meta.get("shingle_n") == 3
+    with pytest.raises(ValueError, match="signature-family mismatch"):
+        dedup.minhash_lsh_incremental(d, back, n=2)

@@ -104,6 +104,39 @@ def test_resample_ffill_known(spark):
     assert len([k for k in out if k[0] == 2]) == 1
 
 
+def test_resample_grid_backfill_stable(spark):
+    """Epoch-aligned grid: prepending EARLIER observations must leave every
+    previously-emitted grid point in place (only extend the grid backward).
+    A min(ts)-anchored grid fails this with any step that isn't a divisor
+    of the truncation unit — here 90 minutes."""
+    from datetime import datetime
+    from feature_store_ml_spark.operators import features as FE
+
+    base = [
+        (1, datetime(2024, 1, 1, 3, 40), 1.0),
+        (1, datetime(2024, 1, 1, 9, 10), 2.0),
+    ]
+    df = spark.createDataFrame(base, "user_id long, ts timestamp, value double")
+    g1 = {r.grid_ts for r in FE.resample_grid(df, ["user_id"], "ts", "90 minutes").collect()}
+
+    earlier = [(1, datetime(2024, 1, 1, 0, 55), 0.5)] + base
+    df2 = spark.createDataFrame(earlier, "user_id long, ts timestamp, value double")
+    g2 = {r.grid_ts for r in FE.resample_grid(df2, ["user_id"], "ts", "90 minutes").collect()}
+
+    assert g1 <= g2, sorted(g1 - g2)
+    # and the points really are epoch multiples of 90 min
+    for t in g2:
+        assert (t.hour * 60 + t.minute) % 90 == 0 and t.second == 0
+
+
+def test_resample_step_unit_rejects_variable_units(spark):
+    import pytest as _pytest
+    from feature_store_ml_spark.operators import features as FE
+
+    with _pytest.raises(ValueError):
+        FE._step_micros("1 month")
+
+
 def test_resample_single_shuffle(spark, sf_dir):
     from feature_store_ml_spark.io import load_table
     from feature_store_ml_spark.operators import features as FE
