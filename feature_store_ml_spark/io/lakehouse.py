@@ -16,12 +16,12 @@ pruning and partition pruning all still apply — the fallback only resolves
 WHICH files are live; the scan itself is a first-class parquet scan.
 
 Limitations of the fallback (documented, fail-loud):
-- JSON commits only; parquet checkpoint files (`*.checkpoint.parquet`) are
-  not parsed. Tables whose older commits were compacted into a checkpoint
-  raise rather than silently returning a partial snapshot.
 - No time travel / versionAsOf (reads latest), no deletion vectors, no
   column mapping. Tables using those reader features raise via the
   protocol's `minReaderVersion` guard.
+(Checkpoint files ARE supported: a checkpoint is itself parquet holding the
+reconciled action state, parsed driver-side with pyarrow, then later JSON
+commits are replayed on top.)
 """
 
 from __future__ import annotations
@@ -47,27 +47,76 @@ def is_delta_table(path: str) -> bool:
     return any(name.endswith(".json") or ".checkpoint." in name for name in os.listdir(log))
 
 
+def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
+    """Locate the newest checkpoint: returns (version, parquet part files).
+    Handles both single-file ``<v>.checkpoint.parquet`` and multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet`` names. (-1, []) when none exist."""
+    parts: dict[int, list[str]] = {}
+    for name in os.listdir(log):
+        if ".checkpoint." not in name or not name.endswith(".parquet"):
+            continue
+        head = name.split(".checkpoint.", 1)[0]
+        if head.isdigit():
+            parts.setdefault(int(head), []).append(name)
+    if not parts:
+        return -1, []
+    v = max(parts)
+    return v, sorted(os.path.join(log, n) for n in parts[v])
+
+
+def _replay_checkpoint(files: list[str], path: str) -> tuple[dict, dict]:
+    """Load a checkpoint's reconciled state driver-side with pyarrow (a
+    checkpoint IS a parquet file of action structs, PROTOCOL.md §checkpoints).
+    Metadata-only and O(#files) — the same driver work any Delta reader's
+    snapshot build does. Returns (live add-paths map, metaData)."""
+    import pyarrow.parquet as pq
+
+    live: dict[str, None] = {}
+    meta: dict = {}
+    for f in files:
+        for row in pq.read_table(f).to_pylist():
+            protocol = row.get("protocol")
+            if protocol and protocol.get("minReaderVersion") is not None:
+                v = protocol["minReaderVersion"]
+                if v > _MAX_SUPPORTED_READER_VERSION:
+                    raise NotImplementedError(
+                        f"{path}: minReaderVersion={v} needs reader features "
+                        "the fallback does not implement"
+                    )
+            md = row.get("metaData")
+            if md and md.get("id") is not None:
+                meta = {k: v for k, v in md.items() if v is not None}
+            add = row.get("add")
+            if add and add.get("path") is not None:
+                live[add["path"]] = None
+            # remove actions in a checkpoint are vacuum tombstones — the
+            # add set is already reconciled; nothing to subtract.
+    return live, meta
+
+
 def _replay_log(path: str) -> tuple[list[str], dict]:
-    """Replay the Delta JSON commit log; return (live data-file paths,
+    """Replay the Delta transaction log; return (live data-file paths,
     last metaData action).
 
-    Actions are replayed in version order; `add` inserts a path, `remove`
+    Snapshot = newest checkpoint (reconciled parquet state) + JSON commits
+    AFTER it, replayed in version order; `add` inserts a path, `remove`
     retires it (last action wins, per PROTOCOL.md action reconciliation).
     """
     log = _delta_log_dir(path)
-    versions = sorted(
-        name for name in os.listdir(log) if name.endswith(".json") and name[:20].isdigit()
-    )
-    if not versions:
-        raise ValueError(f"{path}: _delta_log contains no JSON commits")
-    if any(".checkpoint." in name for name in os.listdir(log)):
-        raise NotImplementedError(
-            f"{path}: table has checkpoint files; the pure-python fallback "
-            "replays JSON commits only — read this table with the delta-spark "
-            "package on the classpath"
-        )
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
     live: dict[str, None] = {}
     meta: dict = {}
+    if ckpt_files:
+        live, meta = _replay_checkpoint(ckpt_files, path)
+    versions = sorted(
+        name
+        for name in os.listdir(log)
+        if name.endswith(".json")
+        and name[:20].isdigit()
+        and int(name[:20]) > ckpt_version
+    )
+    if not versions and not ckpt_files:
+        raise ValueError(f"{path}: _delta_log contains no JSON commits")
     for name in versions:
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
@@ -158,8 +207,156 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
-    """Format sniffer: Delta if `_delta_log` is present, bare parquet
-    otherwise — lets pipeline code take a path of either layout."""
+    """Format sniffer: Delta if `_delta_log` is present, Iceberg if a
+    `metadata/*.metadata.json` is, bare parquet otherwise — lets pipeline
+    code take a path of any of the three layouts."""
     if is_delta_table(path):
         return read_delta(spark, path)
+    from . import iceberg
+
+    if iceberg.is_iceberg_table(path):
+        return iceberg.read_iceberg(spark, path)
     return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------- writer ----
+
+
+def _next_version(log: str) -> int:
+    versions = [
+        int(name[:20])
+        for name in os.listdir(log)
+        if name.endswith(".json") and name[:20].isdigit()
+    ]
+    return max(versions) + 1 if versions else 0
+
+
+def write_delta(
+    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Write a DataFrame to a Delta table via the open commit protocol:
+    parquet data files + one JSON commit carrying `add` (and, on overwrite,
+    `remove`) actions. Native `format("delta")` when the jar is present;
+    otherwise a pure-python log append that both this module's fallback
+    reader and any real Delta reader can consume (minReader/WriterVersion
+    1/2, no advanced table features).
+
+    Returns the committed version number.
+
+    Scale/correctness notes:
+    - The DATA write is a normal distributed ``df.write.parquet`` into a
+      staging dir — executors do all the IO; only the file RENAMES and the
+      commit append run on the driver (O(#files), metadata-only — the same
+      work any Delta writer's driver does).
+    - Readers never see a partial write: data files are invisible until the
+      commit JSON appears, and the commit is written to a temp name then
+      atomically renamed (same-filesystem ``os.rename``).
+    - SINGLE WRITER assumption, fail-loud: if the target version file
+      already exists at rename time the commit raises instead of clobbering
+      — real multi-writer Delta needs a coordinated log store (the
+      LogStore/commit-coordinator protocol), which a filesystem rename
+      cannot provide on eventually-consistent object stores.
+    - Unpartitioned tables only (partitionBy requires per-file
+      partitionValues bookkeeping; not implemented — fail-loud).
+    """
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_delta: mode must be append|overwrite, got {mode!r}")
+    try:
+        df.write.format("delta").mode(mode).save(path)
+        return _next_version(_delta_log_dir(path)) - 1
+    except Exception as exc:
+        if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
+            raise
+
+    os.makedirs(path, exist_ok=True)
+    log = _delta_log_dir(path)
+    os.makedirs(log, exist_ok=True)
+    existing = is_delta_table(path)
+    prior_files: list[str] = []
+    if existing:
+        prior_live, meta = _replay_log(path)
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                f"{path}: writing to a PARTITIONED Delta table is not "
+                "implemented in the fallback writer"
+            )
+        if mode == "overwrite":
+            prior_files = [os.path.relpath(f, path) for f in prior_live]
+
+    # 1. distributed data write into a staging dir
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(staging)
+    # 2. driver-side metadata: move data files into the table root under
+    #    unique names (uuid prefix — two concurrent stages can't collide)
+    adds = []
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        src = os.path.join(staging, name)
+        size = os.path.getsize(src)
+        os.rename(src, os.path.join(path, final))
+        adds.append(
+            {
+                "add": {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for leftover in os.listdir(staging):  # _SUCCESS, .crc files
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    # 3. commit: protocol+metaData on table creation, removes on overwrite
+    actions: list[dict] = []
+    if not existing:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    actions.extend(
+        {"remove": {"path": p, "dataChange": True, "deletionTimestamp": now_ms}}
+        for p in prior_files
+    )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    )
+    version = _next_version(log)
+    final_commit = os.path.join(log, f"{version:020d}.json")
+    tmp_commit = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp_commit, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    if os.path.exists(final_commit):
+        os.remove(tmp_commit)
+        raise RuntimeError(
+            f"{path}: version {version} was committed concurrently — "
+            "the fallback writer is single-writer"
+        )
+    os.rename(tmp_commit, final_commit)
+    return version

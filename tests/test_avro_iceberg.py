@@ -1,0 +1,252 @@
+"""avro_lite decoder correctness (against hand-computed spec byte vectors,
+not just our own writer) and the pure-python Iceberg snapshot reader."""
+
+import io
+import json
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import avro_lite, iceberg
+
+
+# ----------------------------------------------------------- avro_lite ----
+
+
+def test_zigzag_long_spec_vectors():
+    """Byte vectors straight from the Avro spec's varint/zigzag table —
+    the decoder must agree with the SPEC, independent of our writer."""
+    vectors = {
+        0: b"\x00",
+        -1: b"\x01",
+        1: b"\x02",
+        -2: b"\x03",
+        2: b"\x04",
+        -64: b"\x7f",
+        64: b"\x80\x01",
+        8192: b"\x80\x80\x01",
+    }
+    for value, raw in vectors.items():
+        assert avro_lite._read_long(io.BytesIO(raw)) == value
+        out = io.BytesIO()
+        avro_lite._write_long(out, value)
+        assert out.getvalue() == raw, value
+
+
+def test_record_union_array_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": {"type": "array", "items": "long"}},
+            {"name": "d", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": "boolean"},
+            {"name": "f", "type": "double"},
+        ],
+    }
+    records = [
+        {"a": 1, "b": "x", "c": [1, 2, 3], "d": {"k": "v"}, "e": True, "f": 1.5},
+        {"a": -5, "b": None, "c": [], "d": {}, "e": False, "f": -0.25},
+    ]
+    p = str(tmp_path / "t.avro")
+    avro_lite.write_container(p, schema, records)
+    assert avro_lite.read_container(p) == records
+
+
+def test_nested_record_reference_by_name(tmp_path):
+    """A named record type used again by name (Iceberg manifests do this
+    with the data_file record)."""
+    inner = {
+        "type": "record",
+        "name": "inner",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {"name": "first", "type": inner},
+            {"name": "second", "type": ["null", "inner"]},
+        ],
+    }
+    records = [{"first": {"x": 1}, "second": {"x": 2}}]
+    p = str(tmp_path / "n.avro")
+    avro_lite.write_container(p, schema, records)
+    assert avro_lite.read_container(p) == records
+
+
+def test_deflate_codec(tmp_path):
+    """Hand-assemble a deflate-codec container; the reader must inflate."""
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    body = io.BytesIO()
+    for v in (7, -9):
+        avro_lite._write_datum(body, {"a": v}, schema, {})
+    comp = zlib.compressobj(wbits=-15)
+    payload = comp.compress(body.getvalue()) + comp.flush()
+    sync = b"0123456789abcdef"
+    p = str(tmp_path / "d.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"Obj\x01")
+        avro_lite._write_long(fh, 2)
+        avro_lite._write_bytes(fh, b"avro.schema")
+        avro_lite._write_bytes(fh, json.dumps(schema).encode())
+        avro_lite._write_bytes(fh, b"avro.codec")
+        avro_lite._write_bytes(fh, b"deflate")
+        avro_lite._write_long(fh, 0)
+        fh.write(sync)
+        avro_lite._write_long(fh, 2)
+        avro_lite._write_bytes(fh, payload)
+        fh.write(sync)
+    assert avro_lite.read_container(p) == [{"a": 7}, {"a": -9}]
+
+
+def test_corrupt_sync_marker_detected(tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    p = str(tmp_path / "c.avro")
+    avro_lite.write_container(p, schema, [{"a": 1}])
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="sync"):
+        avro_lite.read_container(p)
+
+
+# ------------------------------------------------------------- iceberg ----
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": ["null", "int"]},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": ["null", "int"]},
+    ],
+}
+
+
+def _make_iceberg_table(spark, root, deleted_file=None, delete_manifest=False):
+    """Hand-build an Iceberg table per the public spec: parquet data files,
+    Avro manifest + manifest list, JSON metadata + version hint."""
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    entries = []
+    for i in range(3):
+        rel = os.path.join(data_dir, f"f{i}.parquet")
+        spark.range(i * 10, (i + 1) * 10).select(F.col("id")).toPandas().to_parquet(rel)
+        entries.append(
+            {
+                "status": 2 if i == deleted_file else 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{os.path.abspath(rel)}",
+                    "file_format": "PARQUET",
+                    "record_count": 10,
+                    "file_size_in_bytes": os.path.getsize(rel),
+                },
+            }
+        )
+    manifest = os.path.join(meta_dir, "m0.avro")
+    avro_lite.write_container(manifest, _MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(meta_dir, "snap-1.avro")
+    avro_lite.write_container(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"file:{os.path.abspath(manifest)}",
+                "manifest_length": os.path.getsize(manifest),
+                "content": 1 if delete_manifest else 0,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t",
+        "location": f"file:{os.path.abspath(root)}",
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": f"file:{os.path.abspath(mlist)}"}
+        ],
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    return root
+
+
+def test_iceberg_reads_live_snapshot(spark, tmp_path):
+    root = _make_iceberg_table(spark, str(tmp_path / "t"))
+    df = iceberg.read_iceberg(spark, root)
+    assert sorted(r.id for r in df.collect()) == list(range(30))
+
+
+def test_iceberg_skips_deleted_entries(spark, tmp_path):
+    root = _make_iceberg_table(spark, str(tmp_path / "t"), deleted_file=0)
+    df = iceberg.read_iceberg(spark, root)
+    assert sorted(r.id for r in df.collect()) == list(range(10, 30))
+
+
+def test_iceberg_delete_manifests_fail_loud(spark, tmp_path):
+    root = _make_iceberg_table(spark, str(tmp_path / "t"), delete_manifest=True)
+    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+        iceberg.read_iceberg(spark, root)
+
+
+def test_iceberg_relocated_table_resolves_paths(spark, tmp_path):
+    """Metadata written with absolute URIs from another machine must still
+    resolve after the table directory is moved (URI re-rooting)."""
+    import shutil
+
+    orig = _make_iceberg_table(spark, str(tmp_path / "orig"))
+    moved = str(tmp_path / "moved")
+    shutil.move(orig, moved)
+    df = iceberg.read_iceberg(spark, moved)
+    assert sorted(r.id for r in df.collect()) == list(range(30))
+
+
+def test_iceberg_pushdown_reaches_scan(spark, tmp_path):
+    root = _make_iceberg_table(spark, str(tmp_path / "t"))
+    plan = (
+        iceberg.read_iceberg(spark, root)
+        .where(F.col("id") > 20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,20)]" in plan
+
+
+def test_non_iceberg_dir_rejected(spark, tmp_path):
+    os.makedirs(tmp_path / "x")
+    assert not iceberg.is_iceberg_table(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        iceberg.read_iceberg(spark, str(tmp_path / "x"))

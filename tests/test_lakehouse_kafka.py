@@ -82,12 +82,78 @@ def test_non_delta_dir_rejected(spark, tmp_path):
         lakehouse.read_delta(spark, str(tmp_path / "plain"))
 
 
-def test_checkpoint_tables_fail_loud(spark, tmp_path):
-    root = _make_delta_table(spark, str(tmp_path / "t"))
-    open(
-        os.path.join(root, "_delta_log", f"{0:020d}.checkpoint.parquet"), "wb"
-    ).close()
-    with pytest.raises(NotImplementedError, match="checkpoint"):
+def test_checkpointed_table_reads_snapshot_plus_tail(spark, tmp_path):
+    """Checkpoint parquet (reconciled state) + post-checkpoint JSON commits
+    must merge into one snapshot: files added in the checkpoint survive
+    unless a later commit removes them, and later adds appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ck")
+    os.makedirs(root)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    names = []
+    for i in range(3):
+        name = f"part-{i:05d}.parquet"
+        spark.range(i * 10, (i + 1) * 10).select(F.col("id")).toPandas().to_parquet(
+            os.path.join(root, name)
+        )
+        names.append(name)
+    # checkpoint at version 1: protocol + metaData + adds of files 0,1.
+    # NB every row carries every action column (pyarrow's from_pylist
+    # derives the schema from the first row) — which also matches real
+    # checkpoints, where absent actions are null struct cells.
+    def _row(**kv):
+        base = {"protocol": None, "metaData": None, "add": None, "remove": None}
+        base.update(kv)
+        return base
+
+    rows = [
+        _row(protocol={"minReaderVersion": 1, "minWriterVersion": 2}),
+        _row(
+            metaData={
+                "id": "ck-table",
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+                    ]}
+                ),
+                "partitionColumns": [],
+            }
+        ),
+        _row(add={"path": names[0], "dataChange": True}),
+        _row(add={"path": names[1], "dataChange": True}),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    # version 2 (after checkpoint): remove file 0, add file 2
+    _write_commit(
+        log,
+        2,
+        [
+            {"remove": {"path": names[0], "dataChange": True}},
+            {"add": {"path": names[2], "dataChange": True}},
+        ],
+    )
+    df = lakehouse.read_delta(spark, root)
+    assert sorted(r.id for r in df.collect()) == list(range(10, 30))
+
+
+def test_checkpoint_unsupported_reader_version_fails_loud(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ck3")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    pq.write_table(
+        pa.Table.from_pylist([{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}]),
+        os.path.join(log, f"{0:020d}.checkpoint.parquet"),
+    )
+    with pytest.raises(NotImplementedError, match="minReaderVersion"):
         lakehouse.read_delta(spark, root)
 
 
@@ -171,6 +237,71 @@ def test_read_table_auto_sniffs_format(spark, tmp_path, sf_dir):
     assert lakehouse.read_table_auto(spark, delta_root).count() == 30
     plain = lakehouse.read_table_auto(spark, f"{sf_dir}/part.parquet")
     assert "p_partkey" in plain.columns
+
+
+def test_delta_write_create_and_append(spark, tmp_path):
+    root = str(tmp_path / "w")
+    v0 = lakehouse.write_delta(
+        spark, spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")), root
+    )
+    assert v0 == 0
+    v1 = lakehouse.write_delta(
+        spark,
+        spark.range(10, 20).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        mode="append",
+    )
+    assert v1 == 1
+    back = lakehouse.read_delta(spark, root)
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+def test_delta_write_overwrite_retires_old_files(spark, tmp_path):
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)
+    lakehouse.write_delta(
+        spark, spark.range(100, 105).select("id"), root, mode="overwrite"
+    )
+    back = lakehouse.read_delta(spark, root)
+    assert sorted(r.id for r in back.collect()) == list(range(100, 105))
+    # the retired files stay on disk (vacuum's job) but are log-dead
+    files, _ = lakehouse._replay_log(root)
+    assert all("part-" in f for f in files)
+
+
+def test_delta_write_commit_is_protocol_shaped(spark, tmp_path):
+    """The commit log we emit must carry protocol/metaData/add actions in
+    the open-spec shape (so a real delta reader can consume the table)."""
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert "add" in kinds and "commitInfo" in kinds
+    meta = actions[1]["metaData"]
+    assert meta["partitionColumns"] == []
+    assert json.loads(meta["schemaString"])["fields"][0]["name"] == "id"
+    add = next(a for a in actions if "add" in a)["add"]
+    assert add["size"] > 0 and add["partitionValues"] == {}
+
+
+def test_delta_write_single_writer_conflict(spark, tmp_path):
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    # simulate a concurrent committer grabbing version 1
+    _write_commit(os.path.join(root, "_delta_log"), 1, [{"commitInfo": {}}])
+    import unittest.mock as mock
+
+    with mock.patch.object(lakehouse, "_next_version", return_value=1):
+        with pytest.raises(RuntimeError, match="single-writer"):
+            lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
+
+
+def test_delta_write_to_partitioned_table_fails_loud(spark, tmp_path):
+    root = _make_partitioned_delta_table(spark, str(tmp_path / "p"))
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
 
 
 # ------------------------------------------------------------------ orc ----
