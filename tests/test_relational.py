@@ -28,6 +28,18 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_b")
 
 
+def test_q11_reuses_exchange(spark, sf_dir):
+    """q11's per-part aggregate and grand total must share ONE lineitem
+    scan+shuffle: AQE dedups the identical aggregate subtree via exchange
+    reuse at runtime. If this regresses the fact table is scanned twice."""
+    from feature_store_ml_spark import queries as Q
+
+    df = Q.queries()["q11_important_parts"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     # skewed fact: 90% of rows share key 1
     fact = spark.range(2000).select(
