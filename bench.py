@@ -50,6 +50,10 @@ HEADLINE = [
     "q8_market_share",
     "q21_sole_late_supplier",
     "e11_pii_scan",
+    # round-4 joiners (first pins recorded in BASELINE.md round-4 section)
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q13_customer_distribution",
 ]
 
 

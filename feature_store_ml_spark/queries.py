@@ -3398,7 +3398,6 @@ _FINAL_ORDER = [
     "e4_median_percentiles",
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
     "e8_map_funcs",
-    "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
     "e10_centroids",
     "q10_returned_items",
@@ -3442,9 +3441,11 @@ _FINAL_ORDER = [
     "e3_join_broadcast",
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
-    # q1/q3/q5 rotated just past the boundary in round 4 to make room for
-    # the new TPC-H shapes: all three are driver-green in rounds 1 AND 3
-    # and stay locally hash-checked every round.
+    # Rotated just past the boundary in round 4 to make room for the new
+    # TPC-H shapes (q11-q13) while keeping the round-3-broken-now-fixed
+    # e3_join_asof in-window: q1/q3/q5 and e8_string_funcs are driver-green
+    # in rounds 1 AND 3 and stay locally hash-checked every round.
+    "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
