@@ -3338,6 +3338,43 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'BrandA'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — grouped COUNT(DISTINCT) with a NOT IN exclusion
+    subquery (lineitem's (partkey, suppkey) pairs stand in for partsupp;
+    the complaint-supplier filter becomes a negative-balance filter on the
+    columns this corpus has). Plan: the excluded-supplier set is tiny →
+    broadcast LEFT ANTI join (NOT IN decorrelated; s_suppkey is non-null
+    by schema so anti-join and NOT-IN agree); part is filtered BEFORE its
+    broadcast; the distinct-count shuffles (group keys, suppkey) once
+    partially aggregated."""
+    p, li, s = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    excl = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.where(
+        (F.col("p_brand") != "BrandA")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "q13_customer_distribution",
     """
     WITH per_cust AS (
@@ -3398,7 +3435,6 @@ _FINAL_ORDER = [
     "e4_median_percentiles",
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
     "e8_map_funcs",
-    "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
     "e10_centroids",
     "q10_returned_items",
     "q17_small_quantity",   # new this round: correlated-subquery shape
@@ -3423,6 +3459,7 @@ _FINAL_ORDER = [
     "q11_important_parts",
     "q12_shipping_delay",
     "q13_customer_distribution",
+    "q16_parts_supplier_relationship",
     # -- new this round: sampling / PII / streaming-dedup surface
     "e16_hash_sample",
     "e16_stratified_sample",
@@ -3442,10 +3479,11 @@ _FINAL_ORDER = [
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
     # Rotated just past the boundary in round 4 to make room for the new
-    # TPC-H shapes (q11-q13) while keeping the round-3-broken-now-fixed
-    # e3_join_asof in-window: q1/q3/q5 and e8_string_funcs are driver-green
-    # in rounds 1 AND 3 and stay locally hash-checked every round.
+    # TPC-H shapes (q11-q13, q16) while keeping the round-3-broken-now-fixed
+    # e3_join_asof in-window: q1/q3/q5 and e8_string/math_funcs are
+    # driver-green in rounds 1 AND 3 and stay locally hash-checked.
     "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
+    "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
