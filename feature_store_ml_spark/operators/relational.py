@@ -10,6 +10,14 @@ need explicit engine support:
 - ``salted_join``: pre-AQE skew handling for keys so hot that even AQE's
   partition splitting leaves a straggler (or when AQE is off, e.g. inside
   streaming). Explodes the dimension side k ways, salts the fact side.
+- ``enable_runtime_bloom_filters``: runtime row-level semi-join pruning.
+  When a selective filter sits on one side of a shuffle join, Catalyst
+  builds a bloom filter of that side's join keys and injects
+  ``might_contain(...)`` into the OTHER side's scan — rows that cannot
+  join are dropped at the scan, before the shuffle. At 100 TB this is the
+  difference between shuffling the whole fact table and shuffling the few
+  percent that survive the dimension filter. Off by default in Spark;
+  the thresholds below make it fire for warehouse-shaped plans.
 """
 
 from __future__ import annotations
@@ -61,3 +69,29 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def enable_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_threshold: str = "100MB",
+    application_side_scan_threshold: str = "10GB",
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter join pruning (module doc).
+
+    ``creation_side_threshold``: max estimated size of the FILTERED side a
+    bloom filter will be built from (building costs one pass over it).
+    ``application_side_scan_threshold``: min scan size of the pruned side —
+    below this the shuffle is cheap enough that the filter isn't worth its
+    build. Defaults suit a warehouse where dims are ≤100 MB filtered and
+    facts are ≥10 GB; local tests lower the application threshold because
+    the corpus is tiny. Runtime-settable, harmless to call repeatedly.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )

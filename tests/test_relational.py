@@ -40,6 +40,37 @@ def test_q11_reuses_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """With bloom-filter pruning enabled and a selective filter on the
+    orders side of a shuffle join, the lineitem side must gain a
+    might_contain(bloom) predicate BELOW the join — rows that cannot join
+    die at the scan instead of crossing the shuffle."""
+    from feature_store_ml_spark.io import load_table
+
+    relational.enable_runtime_bloom_filters(
+        spark, application_side_scan_threshold="0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:800]
+        assert "bloom_filter_agg" in plan
+        # and the result is identical to the unfiltered-planner join
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_salted_join_matches_plain_join(spark):
     # skewed fact: 90% of rows share key 1
     fact = spark.range(2000).select(
