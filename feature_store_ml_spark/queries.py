@@ -1930,6 +1930,55 @@ def e14_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e10_knn_quantized",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> floor(CAST(x AS DOUBLE) * 127
+                          / GREATEST(list_max(list_transform(embedding,
+                                     y -> abs(CAST(y AS DOUBLE)))), 1e-30)
+                          + 0.5)) AS qvec
+      FROM embeddings
+    ),
+    nq AS (
+      SELECT vec_id, qvec,
+             SQRT(list_sum(list_transform(qvec, x -> x * x))) AS qnorm
+      FROM qz
+    ),
+    q AS (SELECT vec_id AS query_id, qvec AS q_vec, qnorm AS q_norm
+          FROM nq WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, 1 + len(q_vec)),
+                        i -> q_vec[i] * qvec[i]))
+               / GREATEST(q_norm * qnorm, 1e-30),
+             6) AS qcos_sim
+      FROM nq CROSS JOIN q
+      WHERE vec_id <> query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, qcos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY qcos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def e10_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized exact top-k (operators/similarity.py::quantize_int8):
+    the embedding-search scale path — quarter the scan bytes, integer dot
+    products, per-vector scales cancel in cosine. Deterministic arithmetic
+    end to end (floor quantization, exact integer dots, IEEE div), so
+    unlike most ANN variants this one carries a full value-hash oracle.
+    Recall vs float cosine is pytest-verified separately."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_int8(e)
+    return similarity.cosine_topk_quantized(qz, qz.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
     "e11_tfidf",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -3432,10 +3481,10 @@ _FINAL_ORDER = [
     "e13_sliding_window",
     "e12_session_stats",
     "e2_null_safe",
-    "e4_median_percentiles",
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
     "e8_map_funcs",
     "e10_centroids",
+    "e10_knn_quantized",    # new in round 4: oracle-backed int8 ANN
     "q10_returned_items",
     "q17_small_quantity",   # new this round: correlated-subquery shape
     "q19_disjunctive_predicates",  # new: disjunction spanning both join sides
@@ -3484,6 +3533,7 @@ _FINAL_ORDER = [
     # driver-green in rounds 1 AND 3 and stay locally hash-checked.
     "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
+    "e4_median_percentiles",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -42,6 +42,31 @@ def test_self_excluded(spark, vecs):
     assert not (out.neighbor_id == out.query_id).any()
 
 
+def test_quantized_recall_on_real_embeddings(spark, sf_dir):
+    """int8-quantized exact search vs float cosine: with ~0.4% per-component
+    rounding error the top-5 sets should match almost everywhere — require
+    recall ≥ 0.9 (in practice ~1.0 on this corpus)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    qz = similarity.quantize_int8(emb)
+    quant = similarity.cosine_topk_quantized(
+        qz, qz.where(F.col("vec_id") < 20), k=5
+    ).select("query_id", "neighbor_id")
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"quantized recall@5 = {recall}"
+
+
+def test_quantized_vectors_bounded(spark, vecs):
+    qz = similarity.quantize_int8(vecs).toPandas()
+    for row in qz.itertuples():
+        assert max(abs(v) for v in row.qvec) <= 127
+        # at least one component hits full scale (symmetric maxabs scaling)
+        assert max(abs(v) for v in row.qvec) == 127 or all(v == 0 for v in row.qvec)
+
+
 def test_lsh_recall_on_real_embeddings(spark, sf_dir):
     """LSH top-5 recall on the driver corpus. True-neighbor cosines here are
     only ~0.3 (near-random vectors — adversarial for LSH), so the defaults
