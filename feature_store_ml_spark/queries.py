@@ -1158,6 +1158,75 @@ def e12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e12_pit_multi",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS feat_ts,
+             COUNT(*) AS day_events,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT user_id,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS hfeat_ts,
+             COUNT(*) AS hour_events
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    s1 AS (
+      SELECT p.event_id, p.user_id, p.ts, d.day_events, d.day_value
+      FROM purchases p
+      ASOF LEFT JOIN daily d ON p.user_id = d.user_id AND d.feat_ts <= p.ts
+    )
+    SELECT s1.event_id, s1.user_id, s1.day_events, s1.day_value, h.hour_events
+    FROM s1
+    ASOF LEFT JOIN hourly h ON s1.user_id = h.user_id AND h.hfeat_ts <= s1.ts
+    """,
+)
+def e12_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature-group point-in-time join — the REAL feature-store
+    serving-prep shape: one label table enriched against SEVERAL feature
+    groups on different cadences (end-of-day activity features + end-of-
+    hour click features), each as-of its own availability timestamp, no
+    future leakage from either group. Two chained union-window as-of
+    joins = two shuffles on user_id total (the second reuses the first's
+    output partitioning modulo the union), vs the 2·O(|labels|·|features|)
+    a naive range-join stack would cost. Oracle: two chained DuckDB native
+    ASOF LEFT JOINs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        (
+            F.date_trunc("day", "ts").cast("timestamp_ntz") + F.expr("INTERVAL 1 DAY")
+        ).alias("feat_ts"),
+    ).agg(F.count("*").alias("day_events"), dsum("value").alias("day_value"))
+    hourly = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            "user_id",
+            (
+                F.date_trunc("hour", "ts").cast("timestamp_ntz")
+                + F.expr("INTERVAL 1 HOUR")
+            ).alias("hfeat_ts"),
+        )
+        .agg(F.count("*").alias("hour_events"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    s1 = features.point_in_time_join(
+        purchases, daily, keys=["user_id"], label_ts="ts", feature_ts="feat_ts"
+    ).select("event_id", "user_id", "ts", "day_events", "day_value")
+    s2 = features.point_in_time_join(
+        s1, hourly, keys=["user_id"], label_ts="ts", feature_ts="hfeat_ts"
+    )
+    return s2.select("event_id", "user_id", "day_events", "day_value", "hour_events")
+
+
+@register(
     "e12_sessionize",
     """
     WITH lagged AS (
@@ -3480,7 +3549,6 @@ _FINAL_ORDER = [
     "e13_session_window",
     "e13_sliding_window",
     "e12_session_stats",
-    "e2_null_safe",
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
     "e8_map_funcs",
     "e10_centroids",
@@ -3519,6 +3587,7 @@ _FINAL_ORDER = [
     "q20_dominant_supplier",
     "e18_data_quality",
     "e5_window_distribution",
+    "e12_pit_multi",        # new in round 4: multi-feature-group PIT join
     "e12_resample",
     "e11_url_extract",
     "e4_linreg",
@@ -3534,6 +3603,7 @@ _FINAL_ORDER = [
     "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
     "e4_median_percentiles",
+    "e2_null_safe",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -3619,7 +3689,7 @@ def _apply_final_order() -> None:
         raise RuntimeError(
             f"window waste: rows-only queries in the first 50: {first50_rows_only}"
         )
-    assert n_oracle_tail <= 40, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 45, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
