@@ -231,8 +231,36 @@ def _next_version(log: str) -> int:
     return max(versions) + 1 if versions else 0
 
 
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed `txn` version for ``app_id`` in the table's log
+    (-1 when none): the Delta protocol's idempotent-writer handshake —
+    a streaming sink records (appId, batchId) in each commit and skips
+    batches it already wrote."""
+    if not is_delta_table(path):
+        return -1
+    log = _delta_log_dir(path)
+    best = -1
+    for name in sorted(os.listdir(log)):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    best = max(best, int(txn.get("version", -1)))
+    return best
+
+
 def write_delta(
-    spark: SparkSession, df: DataFrame, path: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -258,11 +286,21 @@ def write_delta(
       cannot provide on eventually-consistent object stores.
     - Unpartitioned tables only (partitionBy requires per-file
       partitionValues bookkeeping; not implemented — fail-loud).
+    - ``txn``: optional (app_id, version) recorded as a protocol `txn`
+      action. When the table already holds a txn for this app at ≥ this
+      version, the write is SKIPPED (returns that committed version) —
+      the exactly-once handshake a streaming foreachBatch sink relies on
+      to make micro-batch retries idempotent.
     """
     import uuid
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: mode must be append|overwrite, got {mode!r}")
+    if txn is not None:
+        app_id, txn_version = txn
+        committed = last_txn_version(path, app_id)
+        if committed >= txn_version:
+            return committed
     try:
         df.write.format("delta").mode(mode).save(path)
         return _next_version(_delta_log_dir(path)) - 1
@@ -331,6 +369,10 @@ def write_delta(
                     "createdTime": now_ms,
                 }
             }
+        )
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
         )
     actions.extend(
         {"remove": {"path": p, "dataChange": True, "deletionTimestamp": now_ms}}

@@ -523,6 +523,51 @@ def run_stream_foreach_batch_idempotent(
     return seen
 
 
+def stream_to_delta(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """Exactly-once streaming → Delta sink via foreachBatch + the Delta
+    protocol's `txn` handshake: every micro-batch commit records
+    (app_id, batch_id); Spark replays a failed batch under the SAME id, and
+    ``write_delta`` skips any batch the log already holds — so a crash
+    between "data written" and "checkpoint advanced" cannot duplicate rows.
+    This is the real recipe for streaming feature materialization into a
+    lakehouse table (the built-in file sink's commit log gives the same
+    guarantee for plain files; Delta gets it from txn actions).
+
+    Bounded replay (availableNow) for tests; returns processed batch ids.
+    """
+    import uuid as _uuid
+
+    from ..io.lakehouse import write_delta
+
+    seen: list[int] = []
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            table_path,
+            mode="append",
+            txn=(app_id, batch_id),
+        )
+
+    ckpt = checkpoint_dir or f"{table_path}/_checkpoint_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the workhorse streaming pattern: each incoming
     event is enriched against a STATIC (batch) dimension, here the user's

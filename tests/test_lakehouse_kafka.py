@@ -298,6 +298,53 @@ def test_delta_write_single_writer_conflict(spark, tmp_path):
             lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
 
 
+def test_delta_txn_makes_writes_idempotent(spark, tmp_path):
+    """The protocol txn handshake: re-writing the same (appId, version)
+    must be a no-op — the exactly-once guarantee a streaming foreachBatch
+    sink depends on when a micro-batch is replayed after a crash."""
+    root = str(tmp_path / "w")
+    df = spark.range(10).select("id")
+    v0 = lakehouse.write_delta(spark, df, root, txn=("appA", 0))
+    assert lakehouse.read_delta(spark, root).count() == 10
+    # replay of batch 0 (same app, same version): skipped
+    v_again = lakehouse.write_delta(spark, df, root, txn=("appA", 0))
+    assert v_again == v0
+    assert lakehouse.read_delta(spark, root).count() == 10
+    # batch 1 goes through; another app's version counter is independent
+    lakehouse.write_delta(spark, df, root, txn=("appA", 1))
+    lakehouse.write_delta(spark, df, root, txn=("appB", 0))
+    assert lakehouse.read_delta(spark, root).count() == 30
+    assert lakehouse.last_txn_version(root, "appA") == 1
+    assert lakehouse.last_txn_version(root, "appB") == 0
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path, sf_dir):
+    """End-to-end: a real Structured Streaming replay materializes into a
+    Delta table through the txn-guarded foreachBatch sink; re-running the
+    same stream with the SAME checkpoint adds nothing, and a simulated
+    batch replay (same batch id) adds nothing."""
+    from feature_store_ml_spark.streaming import events as ev
+
+    table = str(tmp_path / "delta_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev._streaming_events(spark, sf_dir).select("event_id", "user_id", "value")
+    batches = ev.stream_to_delta(spark, stream, table, app_id="e2e", checkpoint_dir=ckpt)
+    assert batches
+    n = lakehouse.read_delta(spark, table).count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # same checkpoint -> source has no new data -> no new batches, no rows
+    stream2 = ev._streaming_events(spark, sf_dir).select("event_id", "user_id", "value")
+    ev.stream_to_delta(spark, stream2, table, app_id="e2e", checkpoint_dir=ckpt)
+    assert lakehouse.read_delta(spark, table).count() == n
+    # simulated replay of an already-committed batch id: txn skips it
+    some = spark.range(5).select(
+        F.col("id").alias("event_id"), F.col("id").alias("user_id"),
+        F.col("id").cast("double").alias("value"),
+    )
+    lakehouse.write_delta(spark, some, table, txn=("e2e", max(batches)))
+    assert lakehouse.read_delta(spark, table).count() == n
+
+
 def test_delta_write_to_partitioned_table_fails_loud(spark, tmp_path):
     root = _make_partitioned_delta_table(spark, str(tmp_path / "p"))
     with pytest.raises(NotImplementedError, match="PARTITIONED"):
