@@ -219,6 +219,120 @@ def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_delta(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE-style bin-packing compaction: rewrite the table's live data
+    files into ``target_files`` larger ones and commit remove(old)+add(new)
+    with ``dataChange: false`` (the protocol's marker that a commit
+    rearranges bytes without changing rows — streaming readers skip it).
+
+    THE maintenance operation for streaming ingest: a foreachBatch sink
+    writes one file per micro-batch, and a day of 1-minute batches is 1440
+    tiny files whose per-file open/footer cost dominates scans. Run
+    compaction on a schedule (or when live-file count crosses a threshold)
+    — readers before/after see identical rows.
+
+    The rewrite itself is a distributed read+write of the live set; only
+    renames and the commit append touch the driver. Returns the committed
+    version. Fail-loud on partitioned tables (same limit as write_delta).
+    """
+    import uuid
+    import time as _time
+
+    files, meta = _replay_log(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            f"{path}: compaction of partitioned tables is not implemented"
+        )
+    if not files:
+        raise ValueError(f"{path}: nothing to compact (empty snapshot)")
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    spark.read.parquet(*files).coalesce(target_files).write.parquet(staging)
+    now_ms = int(_time.time() * 1000)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        size = os.path.getsize(os.path.join(staging, name))
+        os.rename(os.path.join(staging, name), os.path.join(path, final))
+        adds.append(
+            {
+                "add": {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    actions = (
+        [
+            {
+                "remove": {
+                    "path": os.path.relpath(f, path),
+                    "dataChange": False,
+                    "deletionTimestamp": now_ms,
+                }
+            }
+            for f in files
+        ]
+        + adds
+        + [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {"targetFiles": str(target_files)},
+                }
+            }
+        ]
+    )
+    log = _delta_log_dir(path)
+    version = _next_version(log)
+    final_commit = os.path.join(log, f"{version:020d}.json")
+    tmp = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    if os.path.exists(final_commit):
+        os.remove(tmp)
+        raise RuntimeError(f"{path}: version {version} committed concurrently")
+    os.rename(tmp, final_commit)
+    return version
+
+
+def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
+    """Delete data files no commit references anymore (the tombstones left
+    by overwrites and compactions). Without vacuum a streaming+OPTIMIZE
+    table grows without bound — the LOG stays small but dead bytes pile up.
+
+    This fallback implements retention=0 relative to the CURRENT snapshot
+    (single-writer, no time travel — matching this module's reader); real
+    multi-reader deployments keep a retention window so in-flight queries
+    pinned to old snapshots don't lose files mid-scan. Returns the deleted
+    (or would-delete, under ``dry_run``) paths.
+    """
+    live, _ = _replay_log(path)
+    live_names = {os.path.relpath(f, path) for f in live}
+    doomed = [
+        name
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+        and os.path.isfile(os.path.join(path, name))
+        and name not in live_names
+    ]
+    if not dry_run:
+        for name in doomed:
+            os.remove(os.path.join(path, name))
+    return sorted(doomed)
+
+
 # --------------------------------------------------------------- writer ----
 
 

@@ -345,6 +345,48 @@ def test_stream_to_delta_exactly_once(spark, tmp_path, sf_dir):
     assert lakehouse.read_delta(spark, table).count() == n
 
 
+def test_delta_compact_and_vacuum(spark, tmp_path):
+    """Streaming-shaped table (one file per batch) -> OPTIMIZE-style
+    compaction (rows identical, fewer files, dataChange:false commit) ->
+    vacuum removes the dead bytes and the table still reads clean."""
+    root = str(tmp_path / "w")
+    for batch in range(5):
+        lakehouse.write_delta(
+            spark,
+            spark.range(batch * 10, batch * 10 + 10).select("id").coalesce(1),
+            root,
+            txn=("ingest", batch),
+        )
+    files_before, _ = lakehouse._replay_log(root)
+    assert len(files_before) == 5
+    v = lakehouse.compact_delta(spark, root, target_files=1)
+    files_after, _ = lakehouse._replay_log(root)
+    assert len(files_after) == 1
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(range(50))
+    # the compaction commit must be dataChange:false throughout
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a or "remove" in a:
+                assert (a.get("add") or a.get("remove"))["dataChange"] is False
+    # txn history survives compaction (exactly-once bookkeeping intact)
+    assert lakehouse.last_txn_version(root, "ingest") == 4
+    # vacuum: 5 dead files deleted, live file kept, reads still green
+    dead = lakehouse.vacuum_delta(root)
+    assert len(dead) == 5
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(range(50))
+
+
+def test_delta_vacuum_dry_run_keeps_files(spark, tmp_path):
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="overwrite")
+    would = lakehouse.vacuum_delta(root, dry_run=True)
+    assert would
+    for name in would:
+        assert os.path.exists(os.path.join(root, name))
+
+
 def test_delta_write_to_partitioned_table_fails_loud(spark, tmp_path):
     root = _make_partitioned_delta_table(spark, str(tmp_path / "p"))
     with pytest.raises(NotImplementedError, match="PARTITIONED"):
