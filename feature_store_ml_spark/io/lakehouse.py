@@ -94,27 +94,48 @@ def _replay_checkpoint(files: list[str], path: str) -> tuple[dict, dict]:
     return live, meta
 
 
-def _replay_log(path: str) -> tuple[list[str], dict]:
+def _replay_log(path: str, max_version: int | None = None) -> tuple[list[str], dict]:
     """Replay the Delta transaction log; return (live data-file paths,
     last metaData action).
 
     Snapshot = newest checkpoint (reconciled parquet state) + JSON commits
     AFTER it, replayed in version order; `add` inserts a path, `remove`
     retires it (last action wins, per PROTOCOL.md action reconciliation).
+    ``max_version`` stops the replay at that commit (time travel); a
+    checkpoint NEWER than max_version cannot be used (its state already
+    contains later commits), so the full JSON history must still exist —
+    fail-loud otherwise.
     """
     log = _delta_log_dir(path)
     ckpt_version, ckpt_files = _latest_checkpoint(log)
+    if max_version is not None and ckpt_version > max_version:
+        ckpt_version, ckpt_files = -1, []  # replay from JSON only
     live: dict[str, None] = {}
     meta: dict = {}
     if ckpt_files:
         live, meta = _replay_checkpoint(ckpt_files, path)
-    versions = sorted(
+    all_json = sorted(
         name
         for name in os.listdir(log)
-        if name.endswith(".json")
-        and name[:20].isdigit()
-        and int(name[:20]) > ckpt_version
+        if name.endswith(".json") and name[:20].isdigit()
     )
+    if max_version is not None:
+        if not any(int(n[:20]) == max_version for n in all_json):
+            raise ValueError(
+                f"{path}: version {max_version} not in the log "
+                f"(earliest JSON commit: {all_json[0][:20] if all_json else 'none'})"
+            )
+        if all_json and int(all_json[0][:20]) > 0 and not ckpt_files:
+            raise ValueError(
+                f"{path}: cannot time-travel to {max_version} — commits "
+                "before the retained checkpoint were cleaned up"
+            )
+    versions = [
+        name
+        for name in all_json
+        if int(name[:20]) > ckpt_version
+        and (max_version is None or int(name[:20]) <= max_version)
+    ]
     if not versions and not ckpt_files:
         raise ValueError(f"{path}: _delta_log contains no JSON commits")
     for name in versions:
@@ -145,9 +166,15 @@ def _active_files(path: str) -> list[str]:
     return _replay_log(path)[0]
 
 
-def read_delta(spark: SparkSession, path: str) -> DataFrame:
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a Delta table: native `format("delta")` when the jar is present,
     else the pure-python log replay + parquet scan fallback.
+
+    ``version``: time travel — read the snapshot AS OF that commit
+    (requires the JSON history back to it; vacuumed file or cleaned-log
+    reads fail loudly rather than returning a partial snapshot).
 
     An empty snapshot (all files removed) still returns a DataFrame with the
     table schema when the native reader is available; the fallback raises —
@@ -156,16 +183,28 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     if not is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table (no _delta_log)")
     try:
-        return spark.read.format("delta").load(path)
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load(path)
     except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
-    files, meta = _replay_log(path)
+    files, meta = _replay_log(path, max_version=version)
     if not files:
         raise ValueError(
             f"{path}: snapshot is empty and the parquet fallback cannot "
             "produce a schema-only DataFrame"
         )
+    if version is not None:
+        # fail at plan time if a time-traveled file was vacuumed, instead
+        # of a mid-scan FileNotFound
+        gone = [f for f in files if not os.path.exists(f)]
+        if gone:
+            raise ValueError(
+                f"{path}: snapshot v{version} references vacuumed files "
+                f"(e.g. {os.path.basename(gone[0])}) — history is gone"
+            )
     part_cols = meta.get("partitionColumns") or []
     if not part_cols:
         return spark.read.parquet(*files)
@@ -427,13 +466,32 @@ def write_delta(
     os.makedirs(log, exist_ok=True)
     existing = is_delta_table(path)
     prior_files: list[str] = []
+    table_meta: dict = {}
     if existing:
         prior_live, meta = _replay_log(path)
+        table_meta = meta
         if meta.get("partitionColumns"):
             raise NotImplementedError(
                 f"{path}: writing to a PARTITIONED Delta table is not "
                 "implemented in the fallback writer"
             )
+        if mode == "append" and meta.get("schemaString"):
+            # Delta validates appends against the table schema — without
+            # this, a drifted producer writes files the declared schema
+            # cannot read back (silent corruption). Schema EVOLUTION
+            # (mergeSchema) is a metaData-rewrite feature this fallback
+            # does not implement, so mismatches fail loudly.
+            from pyspark.sql.types import StructType
+
+            declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+            if got != want:
+                raise ValueError(
+                    f"{path}: append schema mismatch — table declares "
+                    f"{want}, batch carries {got}; schema evolution is not "
+                    "implemented (rewrite via mode='overwrite')"
+                )
         if mode == "overwrite":
             prior_files = [os.path.relpath(f, path) for f in prior_live]
 
@@ -468,14 +526,18 @@ def write_delta(
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
 
-    # 3. commit: protocol+metaData on table creation, removes on overwrite
+    # 3. commit: protocol+metaData on table creation; metaData re-emitted on
+    #    overwrite (an overwrite may change the schema — real readers take
+    #    the LAST metaData action, so this keeps them agreeing with the
+    #    files); removes on overwrite
     actions: list[dict] = []
     if not existing:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if not existing or mode == "overwrite":
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": table_meta.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": [],

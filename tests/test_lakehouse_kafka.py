@@ -377,6 +377,37 @@ def test_delta_compact_and_vacuum(spark, tmp_path):
     assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(range(50))
 
 
+def test_delta_time_travel(spark, tmp_path):
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)           # v0
+    lakehouse.write_delta(spark, spark.range(10, 20).select("id"), root)       # v1
+    lakehouse.write_delta(spark, spark.range(99, 101).select("id"), root,
+                          mode="overwrite")                                    # v2
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root, version=0).collect()) == list(range(10))
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root, version=1).collect()) == list(range(20))
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == [99, 100]
+    with pytest.raises(ValueError, match="version 9 not in the log"):
+        lakehouse.read_delta(spark, root, version=9)
+    # vacuum kills the history -> time travel to v1 must fail loudly
+    lakehouse.vacuum_delta(root)
+    with pytest.raises(ValueError, match="vacuumed"):
+        lakehouse.read_delta(spark, root, version=1).collect()
+
+
+def test_delta_append_schema_mismatch_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    drifted = spark.range(5).select(F.col("id"), F.lit("x").alias("extra"))
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        lakehouse.write_delta(spark, drifted, root, mode="append")
+    # overwrite MAY change the schema — and must rewrite metaData to match
+    lakehouse.write_delta(spark, drifted, root, mode="overwrite")
+    _, meta = lakehouse._replay_log(root)
+    names = [f["name"] for f in json.loads(meta["schemaString"])["fields"]]
+    assert names == ["id", "extra"]
+    assert lakehouse.read_delta(spark, root).columns == ["id", "extra"]
+
+
 def test_delta_vacuum_dry_run_keeps_files(spark, tmp_path):
     root = str(tmp_path / "w")
     lakehouse.write_delta(spark, spark.range(5).select("id"), root)
