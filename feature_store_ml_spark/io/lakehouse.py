@@ -258,6 +258,63 @@ def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_delta_changes(
+    spark: SparkSession, path: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Incremental consumption: the rows ADDED by commits in
+    ``(since_version, to_version]`` — the "process only data that arrived
+    since my last run" primitive an incremental feature/training pipeline
+    checkpoints on (store the version you processed; next run reads the
+    delta, not the table).
+
+    Append-only discipline is enforced: if any commit in the range REMOVES
+    files with ``dataChange: true`` (an overwrite/delete rewrote history),
+    incremental reading is ill-defined and this raises — re-read the full
+    snapshot instead. Compaction commits (``dataChange: false``) are
+    invisible here, exactly like Delta CDF treats them.
+    """
+    log = _delta_log_dir(path)
+    all_json = sorted(
+        name
+        for name in os.listdir(log)
+        if name.endswith(".json") and name[:20].isdigit()
+    )
+    hi = to_version if to_version is not None else (
+        int(all_json[-1][:20]) if all_json else -1
+    )
+    added: list[str] = []
+    for name in all_json:
+        v = int(name[:20])
+        if v <= since_version or v > hi:
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("dataChange", True):
+                    added.append(os.path.join(path, action["add"]["path"]))
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    raise ValueError(
+                        f"{path}: commit {v} removed data files "
+                        "(overwrite/delete) — the append-only incremental "
+                        "read is ill-defined; re-read the full snapshot"
+                    )
+    if not added:
+        # nothing new: empty frame with the TABLE schema, so downstream
+        # unions/writes stay well-typed without a special case
+        from pyspark.sql.types import StructType
+
+        _, meta = _replay_log(path)
+        if not meta.get("schemaString"):
+            raise ValueError(f"{path}: no new files and no declared schema")
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(meta["schemaString"]))
+        )
+    return spark.read.parquet(*added)
+
+
 def compact_delta(
     spark: SparkSession, path: str, target_files: int = 1
 ) -> int:

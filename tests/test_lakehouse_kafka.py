@@ -377,6 +377,28 @@ def test_delta_compact_and_vacuum(spark, tmp_path):
     assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(range(50))
 
 
+def test_delta_incremental_changes(spark, tmp_path):
+    """Checkpointed incremental consumption: each run reads only commits
+    after the version it last processed; compactions are invisible;
+    history rewrites fail loudly."""
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)          # v0
+    lakehouse.write_delta(spark, spark.range(10, 20).select("id"), root)      # v1
+    v2 = lakehouse.write_delta(spark, spark.range(20, 25).select("id"), root) # v2
+    inc = lakehouse.read_delta_changes(spark, root, since_version=0)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 25))
+    # nothing new after v2 -> empty frame, correct schema
+    empty = lakehouse.read_delta_changes(spark, root, since_version=v2)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    # compaction commits are dataChange:false -> invisible to incremental
+    lakehouse.compact_delta(spark, root)
+    assert lakehouse.read_delta_changes(spark, root, since_version=v2).count() == 0
+    # an overwrite breaks append-only history -> fail loud
+    lakehouse.write_delta(spark, spark.range(3).select("id"), root, mode="overwrite")
+    with pytest.raises(ValueError, match="append-only"):
+        lakehouse.read_delta_changes(spark, root, since_version=0)
+
+
 def test_delta_time_travel(spark, tmp_path):
     root = str(tmp_path / "w")
     lakehouse.write_delta(spark, spark.range(10).select("id"), root)           # v0

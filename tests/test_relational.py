@@ -71,6 +71,48 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         )
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's first line of defense against join skew is AQE's
+    runtime skew split (salting is the fallback for skew beyond it): with
+    a 90%-one-key fact table, the executed sort-merge join must carry the
+    skew=true marker, i.e. the hot partition was subdivided at runtime.
+    Thresholds are lowered so local-scale data exhibits the behavior."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k")
+        # collect() (not count()) so THIS df's own AQE execution finalizes
+        assert len(j.collect()) == 200_000
+        plan = (
+            j._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in plan, plan[:600]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_join_matches_plain_join(spark):
     # skewed fact: 90% of rows share key 1
     fact = spark.range(2000).select(
