@@ -91,21 +91,21 @@ def is_iceberg_table(path: str) -> bool:
         return False
 
 
-def _live_data_files(table_root: str) -> list[str]:
-    """Walk metadata json -> manifest list -> manifests; return live
-    parquet data-file paths of the current snapshot."""
+def _load_metadata(table_root: str) -> dict:
     with open(latest_metadata_path(table_root)) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version", 1)
     if fv > 2:
         raise NotImplementedError(f"{table_root}: iceberg format-version {fv} > 2")
-    snap_id = meta.get("current-snapshot-id")
-    if snap_id in (None, -1):
-        return []
+    return meta
+
+
+def _snapshot_files(meta: dict, snap_id: int, table_root: str) -> list[str]:
+    """Live parquet data-file paths of one snapshot (manifest-list walk)."""
     snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     snap = snapshots.get(snap_id)
     if snap is None:
-        raise ValueError(f"{table_root}: current snapshot {snap_id} not in metadata")
+        raise ValueError(f"{table_root}: snapshot {snap_id} not in metadata")
     manifest_list = _localize(snap["manifest-list"], table_root)
     files: list[str] = []
     for entry in avro_lite.read_container(manifest_list):
@@ -132,6 +132,78 @@ def _live_data_files(table_root: str) -> list[str]:
                 )
             files.append(_localize(df_struct["file_path"], table_root))
     return files
+
+
+def _live_data_files(table_root: str) -> list[str]:
+    """Live parquet data-file paths of the CURRENT snapshot."""
+    meta = _load_metadata(table_root)
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        return []
+    return _snapshot_files(meta, snap_id, table_root)
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: rows in data files that joined the table
+    between two snapshots (``from`` exclusive → ``to``/current inclusive) —
+    the Iceberg twin of ``lakehouse.read_delta_changes``; checkpoint the
+    snapshot id you processed, read only the diff next run.
+
+    Append-only discipline enforced: if a file live at ``from`` is gone at
+    ``to``, history was rewritten (compaction/delete) and the diff no
+    longer equals "new rows" — fail loudly, re-read the snapshot."""
+    meta = _load_metadata(path)
+    to_id = to_snapshot_id if to_snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    old = set(_snapshot_files(meta, from_snapshot_id, path))
+    new = _snapshot_files(meta, to_id, path)
+    gone = old - set(new)
+    if gone:
+        raise ValueError(
+            f"{path}: {len(gone)} files live at snapshot {from_snapshot_id} "
+            f"are gone at {to_id} — history rewritten; incremental read is "
+            "ill-defined, re-read the full snapshot"
+        )
+    added = [f for f in new if f not in old]
+    if not added:
+        # empty frame with the table schema (declared in metadata json)
+        from pyspark.sql.types import StructType
+
+        schema_field = meta.get("schemas")
+        current = None
+        if schema_field:
+            sid = meta.get("current-schema-id", 0)
+            current = next((s for s in schema_field if s.get("schema-id") == sid), None)
+        current = current or meta.get("schema")
+        if current is None:
+            raise ValueError(f"{path}: no new files and no declared schema")
+        # iceberg primitive names -> spark JSON type names
+        tmap = {"int": "integer", "timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
+        spark_fields = []
+        for f in current["fields"]:
+            t = f["type"]
+            if not isinstance(t, str):
+                raise NotImplementedError(
+                    f"{path}: nested iceberg type in empty-diff schema: {t}"
+                )
+            spark_fields.append(
+                {
+                    "name": f["name"],
+                    "type": tmap.get(t, t),
+                    "nullable": not f.get("required", False),
+                    "metadata": {},
+                }
+            )
+        return spark.createDataFrame(
+            [], StructType.fromJson({"type": "struct", "fields": spark_fields})
+        )
+    return spark.read.parquet(*added)
 
 
 def read_iceberg(spark: SparkSession, path: str) -> DataFrame:

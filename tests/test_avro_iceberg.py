@@ -203,6 +203,92 @@ def _make_iceberg_table(spark, root, deleted_file=None, delete_manifest=False):
     return root
 
 
+def _make_two_snapshot_table(spark, root, rewrite_history=False):
+    """Snapshot 1 = files 0,1 (manifest m0); snapshot 2 = m0 + m1(file 2)
+    — the append pattern. With rewrite_history, snapshot 2 instead drops
+    m0 (as a compaction would)."""
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    def _entry(i, rel):
+        return {
+            "status": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file:{os.path.abspath(rel)}",
+                "file_format": "PARQUET",
+                "record_count": 10,
+                "file_size_in_bytes": os.path.getsize(rel),
+            },
+        }
+
+    rels = []
+    for i in range(3):
+        rel = os.path.join(data_dir, f"f{i}.parquet")
+        spark.range(i * 10, (i + 1) * 10).select(F.col("id")).toPandas().to_parquet(rel)
+        rels.append(rel)
+    m0 = os.path.join(meta_dir, "m0.avro")
+    avro_lite.write_container(m0, _MANIFEST_SCHEMA, [_entry(i, rels[i]) for i in (0, 1)])
+    m1 = os.path.join(meta_dir, "m1.avro")
+    avro_lite.write_container(m1, _MANIFEST_SCHEMA, [_entry(2, rels[2])])
+
+    def _mlist(path, manifests):
+        avro_lite.write_container(
+            path,
+            _MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"file:{os.path.abspath(m)}",
+                    "manifest_length": os.path.getsize(m),
+                    "content": 0,
+                }
+                for m in manifests
+            ],
+        )
+
+    s1 = os.path.join(meta_dir, "snap-1.avro")
+    _mlist(s1, [m0])
+    s2 = os.path.join(meta_dir, "snap-2.avro")
+    _mlist(s2, [m1] if rewrite_history else [m0, m1])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "t2",
+        "location": f"file:{os.path.abspath(root)}",
+        "current-snapshot-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {"schema-id": 0, "type": "struct",
+             "fields": [{"id": 1, "name": "id", "type": "long", "required": False}]}
+        ],
+        "snapshots": [
+            {"snapshot-id": 1, "manifest-list": f"file:{os.path.abspath(s1)}"},
+            {"snapshot-id": 2, "manifest-list": f"file:{os.path.abspath(s2)}"},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    return root
+
+
+def test_iceberg_incremental_changes(spark, tmp_path):
+    root = _make_two_snapshot_table(spark, str(tmp_path / "t"))
+    inc = iceberg.read_iceberg_changes(spark, root, from_snapshot_id=1)
+    assert sorted(r.id for r in inc.collect()) == list(range(20, 30))
+    # diff of a snapshot against itself: empty frame, declared schema
+    empty = iceberg.read_iceberg_changes(spark, root, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["id"]
+
+
+def test_iceberg_incremental_rejects_rewritten_history(spark, tmp_path):
+    root = _make_two_snapshot_table(spark, str(tmp_path / "t"), rewrite_history=True)
+    with pytest.raises(ValueError, match="history rewritten"):
+        iceberg.read_iceberg_changes(spark, root, from_snapshot_id=1)
+
+
 def test_iceberg_reads_live_snapshot(spark, tmp_path):
     root = _make_iceberg_table(spark, str(tmp_path / "t"))
     df = iceberg.read_iceberg(spark, root)
