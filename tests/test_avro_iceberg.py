@@ -115,6 +115,45 @@ def test_corrupt_sync_marker_detected(tmp_path):
         avro_lite.read_container(p)
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _RECORD = st.fixed_dictionaries(
+        {
+            "a": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "b": st.one_of(st.none(), st.text(max_size=40)),
+            "c": st.lists(
+                st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=10
+            ),
+            "d": st.booleans(),
+            "e": st.floats(allow_nan=False, width=64),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(_RECORD, max_size=25))
+    def test_avro_roundtrip_property(tmp_path_factory, records):
+        """Any record list survives write->read bit-exactly (zigzag longs at
+        both 64-bit extremes, empty arrays, null unions, float payloads)."""
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "c", "type": {"type": "array", "items": "int"}},
+                {"name": "d", "type": "boolean"},
+                {"name": "e", "type": "double"},
+            ],
+        }
+        p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+        avro_lite.write_container(p, schema, records)
+        assert avro_lite.read_container(p) == records
+
+except ImportError:  # hypothesis is in the image; belt-and-braces
+    pass
+
+
 # ------------------------------------------------------------- iceberg ----
 
 _MANIFEST_SCHEMA = {

@@ -59,6 +59,18 @@ def test_quantized_recall_on_real_embeddings(spark, sf_dir):
     assert recall >= 0.9, f"quantized recall@5 = {recall}"
 
 
+def test_quantized_cosine_scale_invariant(spark):
+    """Per-vector symmetric quantization must make cosine scale-invariant:
+    scaling any vector by a positive constant yields the IDENTICAL qvec
+    (the scale divides out in maxabs), hence identical similarities."""
+    rows = [(0, [1.0, -2.0, 3.0, 0.5]), (1, [2.0, -4.0, 6.0, 1.0]),  # 2x of 0
+            (2, [-0.1, 0.2, -0.3, -0.05])]                            # -0.1x of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qz = {r.vec_id: list(r.qvec) for r in similarity.quantize_int8(df).collect()}
+    assert qz[0] == qz[1]  # positive scaling: identical quantized vector
+    assert qz[2] == [-v for v in qz[0]]  # negation flips signs exactly
+
+
 def test_quantized_vectors_bounded(spark, vecs):
     qz = similarity.quantize_int8(vecs).toPandas()
     for row in qz.itertuples():
