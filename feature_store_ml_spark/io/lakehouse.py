@@ -316,12 +316,20 @@ def read_delta_changes(
 
 
 def compact_delta(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 << 20,
 ) -> int:
     """OPTIMIZE-style bin-packing compaction: rewrite the table's live data
     files into ``target_files`` larger ones and commit remove(old)+add(new)
     with ``dataChange: false`` (the protocol's marker that a commit
     rearranges bytes without changing rows — streaming readers skip it).
+
+    ``target_files`` defaults to ceil(live bytes / target_file_bytes) —
+    sized from the DATA, because the write parallelism equals the output
+    file count (one task per file): pinning it to a small constant on a
+    big table would funnel the rewrite through a handful of tasks.
 
     THE maintenance operation for streaming ingest: a foreachBatch sink
     writes one file per micro-batch, and a day of 1-minute batches is 1440
@@ -343,6 +351,9 @@ def compact_delta(
         )
     if not files:
         raise ValueError(f"{path}: nothing to compact (empty snapshot)")
+    if target_files is None:
+        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        target_files = max(1, -(-total // target_file_bytes))
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     spark.read.parquet(*files).coalesce(target_files).write.parquet(staging)
     now_ms = int(_time.time() * 1000)
