@@ -89,3 +89,64 @@ def deterministic_split(
             F.lit("test"),
         ).otherwise(F.lit("train")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic data-mixture sampling: downsample each source so the
+    output approximates ``target_rows`` distributed per ``weights`` — the
+    training-corpus composition step (a Pile/LLaMA-style source mixture),
+    as a pure two-pass distributed plan:
+
+      pass 1: one tiny per-source count aggregate (driver gets |sources|
+              rows — mixture specs are dozens of sources, never large);
+      pass 2: a stateless hash-Bernoulli filter with a PER-SOURCE rate
+              ``min(1, target_rows·w_s / n_s)``, compiled into a CASE
+              expression — no shuffle, no join, layout-independent.
+
+    Same content-hash discipline as ``hash_sample``: a document's verdict
+    depends only on (seed, key), so recompaction/repartitioning/cluster
+    size never change the sample, and reruns are reproducible. Sources
+    missing from ``weights`` are dropped (weight 0). A source with fewer
+    rows than its quota keeps everything (rate clamps at 1) — the mixture
+    then under-fills like every real under-represented source does;
+    callers rebalance weights if that matters.
+
+    Expected (not exact) counts per source, like Bernoulli sampling
+    everywhere; exact-count mixtures would need a per-source total order
+    (stratified_sample's rank machinery) at one shuffle of cost.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights sum to zero")
+    counts = {
+        r["src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        # driver-side by design: |sources| rows, not data
+    }
+    verdict = None
+    for src, w in weights.items():
+        n = counts.get(src, 0)
+        if n == 0 or w == 0:
+            continue
+        rate = min(1.0, (target_rows * w / total_w) / n)
+        cond = (F.col(source_col) == src) & (
+            _bucket_hex(F.col(key_col), seed) < F.lit(_threshold_hex(rate))
+        )
+        verdict = cond if verdict is None else (verdict | cond)
+    if verdict is None:
+        raise ValueError("no overlap between weights and observed sources")
+    return df.where(verdict)

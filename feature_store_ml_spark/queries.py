@@ -2848,6 +2848,46 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "e16_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             printf('%08x', CAST(round(
+               LEAST(1.0, (40 * CASE source WHEN 'src0' THEN 0.5
+                                            WHEN 'src1' THEN 0.3
+                                            ELSE 0.2 END) / n)
+               * 4294967296) AS BIGINT)) AS t
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substring(md5('0|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+    """,
+)
+def e16_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixture composition (operators/sampling.py::
+    mixture_sample): downsample three sources toward a 50/30/20 mixture of
+    ~40 docs via per-source deterministic hash-Bernoulli rates computed
+    from one count aggregate — no shuffle on the data path, verdicts are
+    content-hash (layout/rerun-independent). The oracle recomputes the
+    identical per-source hex thresholds in SQL, so selection matches
+    row-for-row, not just in expectation."""
+    d = load_table(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d,
+        source_col="source",
+        key_col="doc_id",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        target_rows=40,
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
     "e16_hash_sample",
     """
     SELECT l_returnflag, COUNT(*) AS n,
@@ -3580,7 +3620,7 @@ _FINAL_ORDER = [
     # -- new this round: sampling / PII / streaming-dedup surface
     "e16_hash_sample",
     "e16_stratified_sample",
-    "e16_deterministic_split",
+    "e16_mixture_sample",   # new in round 4: data-mixture composition
     "e11_pii_scan",
     "e13_stream_dedup",
     "e9_decontaminate",
@@ -3604,6 +3644,7 @@ _FINAL_ORDER = [
     "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
     "e4_median_percentiles",
     "e2_null_safe",
+    "e16_deterministic_split",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

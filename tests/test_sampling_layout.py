@@ -11,6 +11,56 @@ from feature_store_ml_spark.operators import layout, sampling, text
 # sampling
 # ---------------------------------------------------------------------------
 
+def test_mixture_sample_hits_weights(spark):
+    """With large per-source populations the realized mixture must land
+    near the requested weights, selection must be layout-independent, and
+    unlisted sources must be dropped entirely."""
+    rows = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = sampling.mixture_sample(
+        rows, "source", "doc_id",
+        weights={"s0": 0.6, "s1": 0.4}, target_rows=5_000,
+    )
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "s2" not in got  # weight 0 -> dropped
+    assert abs(got["s0"] / 5_000 - 0.6) < 0.05
+    assert abs(got["s1"] / 5_000 - 0.4) < 0.05
+    # layout independence: a repartitioned input selects the same doc_ids
+    out2 = sampling.mixture_sample(
+        rows.repartition(17), "source", "doc_id",
+        weights={"s0": 0.6, "s1": 0.4}, target_rows=5_000,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_mixture_sample_clamps_underfilled_source(spark):
+    rows = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, "rare").otherwise("common").alias("source"),
+    )
+    out = sampling.mixture_sample(
+        rows, "source", "doc_id",
+        weights={"rare": 0.5, "common": 0.5}, target_rows=80,
+    )
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["rare"] == 10  # quota 40 > population 10 -> rate clamps to 1
+
+
+def test_mixture_sample_validation(spark):
+    rows = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    )
+    with pytest.raises(ValueError, match="target_rows"):
+        sampling.mixture_sample(rows, "source", "doc_id", {"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="negative"):
+        sampling.mixture_sample(rows, "source", "doc_id", {"a": -1.0}, 10)
+    with pytest.raises(ValueError, match="no overlap"):
+        sampling.mixture_sample(rows, "source", "doc_id", {"zzz": 1.0}, 10)
+
 def test_hash_sample_fraction_and_determinism(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = c.count()
