@@ -44,6 +44,9 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -51,7 +54,20 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        # driver-robustness mode: the driver supplies its OWN session —
+        # bare confs, non-UTC timezone. Every query must still hash-match.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.shuffle.partitions", "8")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     q = catalog.queries()
     o = catalog.oracle_sql()
 
