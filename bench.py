@@ -54,6 +54,10 @@ HEADLINE = [
     "q11_important_parts",
     "q12_shipping_delay",
     "q13_customer_distribution",
+    "q16_parts_supplier_relationship",
+    "e10_knn_quantized",
+    "e12_pit_multi",
+    "e16_mixture_sample",
 ]
 
 
