@@ -364,3 +364,45 @@ def url_parts(url: Column) -> dict[str, Column]:
         "path": F.parse_url(url, F.lit("PATH")),
         "query": F.parse_url(url, F.lit("QUERY")),
     }
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: score each document by the
+    mean log-probability of its tokens under the CORPUS's own unigram
+    distribution (add-one smoothed). CCNet buckets documents into
+    head/middle/tail by LM perplexity and trains on the head; with no
+    external LM in this environment, the corpus unigram model is the
+    standard self-contained stand-in — gibberish and boilerplate-repetition
+    both land in the tail, fluent text in the head.
+
+    Output: (id, n_tokens, logprob) with logprob = mean over tokens of
+    ln((count(tok)+1)/(N+V)); higher = more typical text.
+
+    Plan shape (same class as tfidf's): explode tokens once → per-token
+    corpus counts (map-side-combined) → join counts back by token (the one
+    heavy shuffle, on token instances — broadcastable instead when the
+    vocab fits) → broadcast the tiny (N, V) scalar → one groupBy(doc)
+    mean. The corpus text is scanned ONCE; the unigram model is |vocab|
+    rows of state — why unigram, not n-gram, is the self-scoring default
+    at 100 TB."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok"))
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_total"), F.count("*").alias("v_size")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.log((F.col("tf") + 1).cast("double") / (F.col("n_total") + F.col("v_size"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )

@@ -1191,11 +1191,11 @@ def e12_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving-prep shape: one label table enriched against SEVERAL feature
     groups on different cadences (end-of-day activity features + end-of-
     hour click features), each as-of its own availability timestamp, no
-    future leakage from either group. Two chained union-window as-of
-    joins = two shuffles on user_id total (the second reuses the first's
-    output partitioning modulo the union), vs the 2·O(|labels|·|features|)
-    a naive range-join stack would cost. Oracle: two chained DuckDB native
-    ASOF LEFT JOINs."""
+    future leakage from either group. Cost is LINEAR in feature groups:
+    one aggregate shuffle per group + one union-window co-shuffle per
+    as-of join (4 exchanges here — see PLANS.md), vs the
+    O(|labels|·|features|) per group a naive range-join stack would cost.
+    Oracle: two chained DuckDB native ASOF LEFT JOINs."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id",
@@ -2045,6 +2045,30 @@ def e10_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qz = similarity.quantize_int8(e)
     return similarity.cosine_topk_quantized(qz, qz.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "e11_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    totals AS (SELECT SUM(tf) AS n_total, COUNT(*) AS v_size FROM vocab)
+    SELECT id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(LN((tf + 1.0) / (n_total + v_size))), 6) AS logprob
+    FROM tok JOIN vocab USING (tok), totals
+    GROUP BY id
+    """,
+)
+def e11_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-scored LM quality proxy: mean corpus-unigram token
+    log-probability per document (operators/text.py::unigram_logprob) —
+    the perplexity-bucketing stand-in when no external LM exists. Plan is
+    tfidf-class: one text scan, one token-count shuffle, one join back."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text.unigram_logprob(d)
 
 
 @register(
@@ -3593,7 +3617,7 @@ _FINAL_ORDER = [
     "e8_map_funcs",
     "e10_centroids",
     "e10_knn_quantized",    # new in round 4: oracle-backed int8 ANN
-    "q10_returned_items",
+    "e11_unigram_logprob",  # new in round 4: CCNet-style LM quality proxy
     "q17_small_quantity",   # new this round: correlated-subquery shape
     "q19_disjunctive_predicates",  # new: disjunction spanning both join sides
     "q22_sales_opportunity",       # new: uncorrelated scalar subquery + anti join
@@ -3645,6 +3669,7 @@ _FINAL_ORDER = [
     "e4_median_percentiles",
     "e2_null_safe",
     "e16_deterministic_split",
+    "q10_returned_items",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -164,3 +164,19 @@ def test_repetition_stats_no_row_explosion(spark):
         "doc_id long, text string",
     )
     assert text.repetition_stats(df).count() == 30
+
+
+def test_unigram_logprob_ranks_typical_above_rare(spark):
+    """Documents made of corpus-typical tokens must outscore documents of
+    corpus-rare tokens — the property the CCNet-style head/tail bucketing
+    rests on. Common words repeat across docs; the rare doc's vocabulary
+    appears once in the corpus."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((100, "zxqv wplk mnbt rrgh aazz qqee ttyy uuii oopp"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r.logprob for r in text.unigram_logprob(df).collect()}
+    typical = out[0]
+    rare = out[100]
+    assert typical > rare
+    # identical docs score identically (content-determined, not layout)
+    assert out[0] == out[5]
