@@ -593,3 +593,50 @@ def minhash_lsh_incremental(
         "new_id", "corpus_id", F.round("est_jaccard", 6).alias("est_jaccard")
     )
     return autorelease(out, new_sigs)
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Cross-document shared-SPAN detection — the candidate filter for
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": exact duplicated spans, not whole-doc
+    similarity, drive memorization). Built on winnowing fingerprints
+    (operators/text.py::winnow_fingerprints, MOSS guarantee: any shared
+    literal span of length ≥ k+window-1 chars — 23 at the defaults, a
+    sentence fragment, not a stopword — shares ≥1 fingerprint), so
+    two docs sharing ≥``min_shared`` fingerprints very likely share long
+    literal spans — the pairs to route into an exact substring verifier.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b, n_shared ≥ min_shared.
+
+    Scale shape: fingerprints sample ~2/(window+1) of positions (not every
+    k-gram), the ``max_df`` hot-set is broadcast and anti-joined away
+    (boilerplate spans — same shape as the jaccard df-cap, small by
+    pigeonhole), and the pair join is bucketed by fingerprint — expected
+    cost Σ df² over KEPT fingerprints, capped by max_df, never corpus².
+    """
+    fps = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(T.winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_df is not None:
+        hot = fps.groupBy("fp").count().where(F.col("count") > max_df)
+        fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

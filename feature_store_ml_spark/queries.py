@@ -2366,6 +2366,18 @@ def e11_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e9_span_dedup", None)  # xxhash64 winnowing: not SQL-reproducible
+def e9_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup candidates (operators/dedup.py::
+    shared_span_pairs): document pairs sharing ≥2 winnowing fingerprints,
+    i.e. likely sharing long literal character spans — the Lee-et-al
+    "duplicated training spans" detection surface, distinct from whole-doc
+    similarity. Pytest-verified: injected shared spans are found, span
+    guarantee honored, layout-independent."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return dedup.shared_span_pairs(d, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # q17 — correlated scalar subquery (TPC-H Q17 shape)
 # ---------------------------------------------------------------------------
@@ -3720,6 +3732,7 @@ _FINAL_ORDER = [
     "e10_knn_lsh",
     "e10_knn_ivf",
     "e11_winnowing",
+    "e9_span_dedup",
     "e13_stream_ewma",
     "e14_knn_pandas_udf",
     "e14_frame_sample",

@@ -49,6 +49,34 @@ def test_jaccard_max_df_prunes_hot_shingles(spark, docs):
     assert pairs.count() == 0
 
 
+def test_shared_span_pairs_finds_injected_span(spark):
+    """Two documents sharing one long literal span (otherwise unrelated
+    text) must pair up; documents with no shared spans must not. Winnowing
+    guarantee: a shared span of length >= k+window-1 chars shares a
+    fingerprint, so a ~60-char span clears min_shared=2 comfortably."""
+    span = "this exact sentence is duplicated verbatim across two documents"
+    rows = [
+        (0, "completely original opening text. " + span + " and a unique tail here."),
+        (1, "different beginning for doc one. " + span + " with another distinct end."),
+        (2, "nothing in common with the others at all, fully novel words only."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.shared_span_pairs(df, min_shared=2).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_shared_span_pairs_layout_independent(spark):
+    span = "a shared literal span long enough to fingerprint reliably"
+    rows = [(i, f"doc {i} unique prefix. {span}. unique suffix {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.shared_span_pairs(df, min_shared=2)
+                   .select("id_a", "id_b", "n_shared").collect()))
+    b = sorted(map(tuple, dedup.shared_span_pairs(df.repartition(7), min_shared=2)
+                   .select("id_a", "id_b", "n_shared").collect()))
+    assert a == b and len(a) == 15  # all C(6,2) pairs share the span
+
+
 def test_jaccard_df_cap_broadcasts_hot_set(spark, docs):
     """The df-cap must be planned as a broadcast LEFT ANTI join against the
     HOT (df > max_df) shingle set — the side that is small by construction.
