@@ -116,6 +116,46 @@ class FeatureStore:
         )
         return path
 
+    def materialize_upsert(
+        self, spark: SparkSession, source: DataFrame, name: str, run_version: int
+    ) -> str:
+        """Keyed mutation — the feature store's canonical write: upsert the
+        LATEST feature value per entity key. Unlike ``materialize`` (full
+        table rewrite) or ``materialize_incremental`` (append-only, dedup
+        deferred to read time), this keeps the table at one row per key:
+        the batch is reduced to its newest row per key (by ``ts_col``, ties
+        broken by content hash so reruns are deterministic), then MERGEd —
+        matched entities updated in place, new entities inserted — via the
+        protocol-compliant copy-on-write merge (io/lakehouse.merge_delta),
+        which rewrites only the data files containing matched keys.
+
+        Idempotent per ``run_version`` through the same txn handshake as
+        the other materializers: a retried run whose merge already
+        committed is a no-op.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        g = self.groups[name]
+        path = g.table_path(self.root)
+        out = g.validate(g.build(source))
+        w = Window.partitionBy(*g.keys).orderBy(
+            F.col(g.ts_col).desc(), F.xxhash64(*out.columns).desc()
+        )
+        latest = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        lakehouse.merge_delta(
+            spark,
+            latest,
+            path,
+            keys=list(g.keys),
+            txn=(f"fs::{g.name}", run_version),
+        )
+        return path
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return lakehouse.read_delta(spark, self.groups[name].table_path(self.root))
 

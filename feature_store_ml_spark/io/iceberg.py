@@ -206,6 +206,281 @@ def read_iceberg_changes(
     return spark.read.parquet(*added)
 
 
+# ---------------------------------------------------------------- writer ----
+# Append/create path: parquet data files + Avro manifest + manifest list +
+# a new metadata.json version, all per the public table spec. Same division
+# of labor as every Iceberg writer: executors write the data (distributed
+# df.write.parquet), the driver writes O(#files) metadata.
+
+#: spark simpleString -> iceberg primitive (spec §Schemas)
+_SPARK_TO_ICEBERG = {
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_fields(df: DataFrame) -> list[dict]:
+    out = []
+    for i, f in enumerate(df.schema.fields, start=1):
+        t = f.dataType.simpleString()
+        if t not in _SPARK_TO_ICEBERG:
+            raise NotImplementedError(
+                f"write_iceberg: spark type {t!r} (column {f.name!r}) has no "
+                "iceberg primitive mapping in this writer"
+            )
+        out.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG[t],
+            }
+        )
+    return out
+
+
+def _manifest_entry_schema(fv: int) -> dict:
+    data_file_fields = [
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]
+    if fv == 1:
+        data_file_fields.append({"name": "block_size_in_bytes", "type": "long"})
+    else:
+        data_file_fields.insert(0, {"name": "content", "type": "int"})
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {"type": "record", "name": "r2", "fields": data_file_fields},
+            },
+        ],
+    }
+
+
+def _manifest_file_schema(fv: int) -> dict:
+    fields = [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ]
+    if fv >= 2:
+        fields[3:3] = [
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "min_sequence_number", "type": "long"},
+        ]
+    return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    format_version: int = 1,
+) -> int:
+    """Append ``df`` to an Iceberg table at ``path`` (creating the table on
+    first write), per the public spec: new parquet data files under
+    ``data/``, one Avro manifest of ADDED entries, a manifest list carrying
+    the prior snapshot's manifests plus the new one, and a new
+    ``vN.metadata.json`` with the snapshot appended — readable by this
+    module's reader AND any real Iceberg reader (unpartitioned,
+    format-version 1 or 2).
+
+    Returns the new snapshot id. Scale/correctness shape mirrors
+    lakehouse.write_delta: distributed data write, driver-side O(#files)
+    metadata, atomic rename commit with a single-writer version conflict
+    check (real multi-writer Iceberg swaps metadata pointers through a
+    catalog's atomic compare-and-swap; a filesystem rename is the
+    HadoopCatalog equivalent).
+    """
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if format_version not in (1, 2):
+        raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    existing = is_iceberg_table(path)
+    prior_meta: dict = {}
+    prior_version = 0
+    declared: dict = {}
+    if existing:
+        mp = latest_metadata_path(path)
+        with open(mp) as fh:
+            prior_meta = json.load(fh)
+        fv = prior_meta.get("format-version", 1)
+        if fv != format_version:
+            raise ValueError(
+                f"{path}: table is format-version {fv}, append requested {format_version}"
+            )
+        specs = prior_meta.get("partition-specs") or []
+        if any(s.get("fields") for s in specs):
+            raise NotImplementedError(
+                f"{path}: appending to a PARTITIONED Iceberg table is not implemented"
+            )
+        head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+        prior_version = int(head) if head.isdigit() else 0
+        sid = prior_meta.get("current-schema-id", 0)
+        declared = next(
+            (s for s in prior_meta.get("schemas", []) if s.get("schema-id") == sid),
+            prior_meta.get("schema"),
+        )
+        if declared is None:
+            raise ValueError(f"{path}: no declared schema in table metadata")
+        want = [(f["name"], f["type"]) for f in declared["fields"]]
+        got = [(f.name, _SPARK_TO_ICEBERG.get(f.dataType.simpleString()))
+               for f in df.schema.fields]
+        if got != want:
+            raise ValueError(
+                f"{path}: append schema mismatch — table declares {want}, "
+                f"batch carries {got}"
+            )
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    # 1. distributed data write, then driver-side move into data/
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    df.write.parquet(staging)
+    data_files: list[tuple[str, int, int]] = []  # (abs path, rows, bytes)
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        os.rename(os.path.join(staging, name), final)
+        data_files.append(
+            (final, pq.ParquetFile(final).metadata.num_rows, os.path.getsize(final))
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    now_ms = int(_time.time() * 1000)
+    snapshots = list(prior_meta.get("snapshots", []))
+    snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+
+    # 2. manifest of ADDED entries
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest,
+        _manifest_entry_schema(format_version),
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    **({"content": 0} if format_version >= 2 else {}),
+                    "file_path": f"file:{f}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
+                },
+            }
+            for f, rows, size in data_files
+        ],
+    )
+
+    # 3. manifest list: prior snapshot's manifests + the new one
+    prior_manifests: list[dict] = []
+    cur = prior_meta.get("current-snapshot-id")
+    if cur not in (None, -1) and snapshots:
+        prior_snap = next(s for s in snapshots if s["snapshot-id"] == cur)
+        for e in avro_lite.read_container(_localize(prior_snap["manifest-list"], path)):
+            prior_manifests.append(e)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    new_entry = {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+    }
+    if format_version >= 2:
+        new_entry.update(content=0, sequence_number=seq, min_sequence_number=seq)
+    mf_schema = _manifest_file_schema(format_version)
+    keep = {f["name"] for f in mf_schema["fields"]}
+    avro_lite.write_container(
+        mlist,
+        mf_schema,
+        [{k: e.get(k, 0) for k in keep} for e in prior_manifests] + [new_entry],
+    )
+
+    # 4. new metadata version, committed by atomic rename (single-writer)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file:{mlist}",
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    if format_version >= 2:
+        snapshot["sequence-number"] = seq
+    fields = declared["fields"] if existing else _iceberg_fields(df)
+    meta = {
+        "format-version": format_version,
+        "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(
+            f.get("id", i) for i, f in enumerate(fields, start=1)
+        ),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots + [snapshot],
+    }
+    if format_version >= 2:
+        meta["last-sequence-number"] = seq
+    else:
+        # v1 readers may look at the legacy singular fields
+        meta["schema"] = {"type": "struct", "fields": fields}
+        meta["partition-spec"] = []
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"{path}: metadata v{new_version} was committed concurrently — "
+            "this writer is single-writer (a catalog CAS is the multi-writer path)"
+        )
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return snap_id
+
+
 def read_iceberg(spark: SparkSession, path: str) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed

@@ -282,6 +282,19 @@ def read_delta_changes(
     hi = to_version if to_version is not None else (
         int(all_json[-1][:20]) if all_json else -1
     )
+    # Every version in (since_version, hi] must still exist as a JSON commit:
+    # checkpointed-then-cleaned commits would otherwise be SILENTLY skipped
+    # (this scanner reads JSON only) and the incremental read would miss
+    # rows. Same fail-loud contract as the time-travel path.
+    have = {int(n[:20]) for n in all_json}
+    gone = sorted(set(range(since_version + 1, hi + 1)) - have)
+    if gone:
+        raise ValueError(
+            f"{path}: commits {gone[:5]}{'...' if len(gone) > 5 else ''} in "
+            f"({since_version}, {hi}] are not in the JSON log (cleaned up "
+            "after checkpointing, or never committed) — the incremental "
+            "read would silently miss their rows; re-read the full snapshot"
+        )
     added: list[str] = []
     for name in all_json:
         v = int(name[:20])
@@ -523,7 +536,16 @@ def write_delta(
         if committed >= txn_version:
             return committed
     try:
-        df.write.format("delta").mode(mode).save(path)
+        writer = df.write.format("delta").mode(mode)
+        if txn is not None:
+            # record the (appId, version) handshake natively too — without
+            # these options a delta-spark deployment would re-apply retried
+            # micro-batches (at-least-once), silently breaking the
+            # exactly-once contract stream_to_delta documents.
+            writer = writer.option("txnAppId", txn[0]).option(
+                "txnVersion", str(txn[1])
+            )
+        writer.save(path)
         return _next_version(_delta_log_dir(path)) - 1
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
@@ -646,3 +668,246 @@ def write_delta(
         )
     os.rename(tmp_commit, final_commit)
     return version
+
+
+def _commit(path: str, actions: list[dict]) -> int:
+    """Append one commit to the log: temp-file write + atomic rename, with
+    the single-writer conflict check every commit path shares."""
+    import uuid
+
+    log = _delta_log_dir(path)
+    version = _next_version(log)
+    final_commit = os.path.join(log, f"{version:020d}.json")
+    tmp_commit = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp_commit, "w", encoding="utf-8") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    if os.path.exists(final_commit):
+        os.remove(tmp_commit)
+        raise RuntimeError(
+            f"{path}: version {version} was committed concurrently — "
+            "the fallback writer is single-writer"
+        )
+    os.rename(tmp_commit, final_commit)
+    return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    when_matched: str = "update",
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Keyed MERGE — the Delta table's mutation primitive (upsert / delete
+    by key), implemented the way every copy-on-write Delta engine does it:
+    rewrite ONLY the data files that contain matched keys, and commit the
+    swap as `remove`(touched) + `add`(rewritten) actions (PROTOCOL.md —
+    a MERGE is just an atomic file-set substitution in the log).
+
+    Semantics:
+    - ``when_matched='update'``: target rows whose ``keys`` appear in
+      ``source`` are REPLACED by the source row (whole-row update); source
+      rows with no match are INSERTED. This is
+      ``whenMatchedUpdateAll + whenNotMatchedInsertAll`` — the canonical
+      feature-store write ("upsert latest feature values per entity").
+    - ``when_matched='delete'``: matched target rows are deleted; unmatched
+      source rows are ignored (only ``keys`` columns of ``source`` are
+      read). The GDPR-erasure / retention shape.
+    - NULL keys never match (SQL join semantics): a null-keyed target row
+      is never updated or deleted.
+    - ``source`` must be UNIQUE per ``keys`` — two source rows matching one
+      target row make the result order-dependent, so that raises (the same
+      cardinality error real Delta MERGE throws).
+
+    Scale shape (how this survives 100 TB):
+    - Touched-file discovery is a distributed semi-join of the live file
+      set against the (typically small) source key set, using the parquet
+      ``_metadata.file_path`` column — AQE broadcasts the key side. Only
+      the DISTINCT matched file paths reach the driver: O(#touched files),
+      metadata-sized, never rows.
+    - The rewrite reads ONLY touched files (anti-join out the matched keys,
+      union the source) — a daily upsert touching 1% of files rewrites 1%
+      of the table, not all of it.
+    - The commit is the same atomic rename + single-writer conflict check
+      as write_delta; ``txn`` gives the identical idempotent-retry
+      handshake (a retried merge with a committed (app_id, version) is a
+      no-op returning the committed version).
+
+    Returns the committed version. Fail-loud: partitioned tables (same
+    limit as write_delta), schema drift on update, duplicate source keys.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"merge_delta: when_matched must be update|delete, got {when_matched!r}"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge_delta: source is missing key columns {missing}")
+    if txn is not None:
+        committed = last_txn_version(path, txn[0])
+        if committed >= txn[1]:
+            return committed
+    if not is_delta_table(path):
+        if when_matched == "delete":
+            raise ValueError(f"{path}: cannot delete from a non-existent table")
+        # first merge into an empty location is a plain create
+        return write_delta(spark, source, path, mode="append", txn=txn)
+
+    try:  # native MERGE when delta-spark is importable (jar on classpath)
+        from delta.tables import DeltaTable  # type: ignore
+
+        if txn is not None:
+            raise NotImplementedError(
+                "merge_delta: the native DeltaTable merge builder cannot "
+                "record a txn action — retry idempotency would silently "
+                "degrade; drop txn or use the fallback writer"
+            )
+        tgt = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        m = tgt.alias("t").merge(source.alias("s"), cond)
+        if when_matched == "update":
+            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        else:
+            m.whenMatchedDelete().execute()
+        return _next_version(_delta_log_dir(path)) - 1
+    except ImportError:
+        pass
+
+    from pyspark.sql import functions as F
+
+    files, meta = _replay_log(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            f"{path}: MERGE into a PARTITIONED Delta table is not "
+            "implemented in the fallback writer"
+        )
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    table_cols = [f.name for f in declared.fields]
+    if when_matched == "update":
+        got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+        if got != want:
+            raise ValueError(
+                f"{path}: merge source schema mismatch — table declares "
+                f"{want}, source carries {got}"
+            )
+
+    src_keys = source.select(*keys).distinct()
+    dup = (
+        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_delta: source has multiple rows per key — the merge "
+            "result would be order-dependent (same error as Delta's "
+            "MERGE cardinality check); de-duplicate the source first"
+        )
+
+    if not files:
+        touched_abs: list[str] = []
+    else:
+        from urllib.parse import unquote, urlparse
+
+        target = spark.read.parquet(*files)
+        touched_abs = [
+            unquote(urlparse(r["_fp"]).path)
+            for r in (
+                target.select(*keys, F.col("_metadata.file_path").alias("_fp"))
+                .join(src_keys, on=list(keys), how="left_semi")
+                .select("_fp")
+                .distinct()
+                .collect()  # O(#touched files) — driver metadata, never rows
+            )
+        ]
+
+    if when_matched == "update":
+        new_rows = source.select(*table_cols)
+        if touched_abs:
+            kept = spark.read.parquet(*touched_abs).join(
+                src_keys, on=list(keys), how="left_anti"
+            )
+            new_rows = kept.select(*table_cols).unionByName(new_rows)
+    else:
+        if not touched_abs:
+            # nothing matched: no file changes; still record txn if asked
+            if txn is not None:
+                now_ms = int(__import__("time").time() * 1000)
+                return _commit(
+                    path,
+                    [
+                        {"txn": {"appId": txn[0], "version": int(txn[1]),
+                                 "lastUpdated": now_ms}},
+                        {"commitInfo": {"timestamp": now_ms, "operation": "MERGE",
+                                        "operationParameters": {"matched": "0"}}},
+                    ],
+                )
+            return _next_version(_delta_log_dir(path)) - 1
+        new_rows = spark.read.parquet(*touched_abs).join(
+            src_keys, on=list(keys), how="left_anti"
+        ).select(*table_cols)
+
+    import uuid
+    import time as _time
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    new_rows.write.parquet(staging)
+    now_ms = int(_time.time() * 1000)
+    adds = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        if os.path.getsize(src) == 0:
+            os.remove(src)
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        size = os.path.getsize(src)
+        os.rename(src, os.path.join(path, final))
+        adds.append(
+            {
+                "add": {
+                    "path": final,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+
+    actions: list[dict] = []
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
+    actions.extend(
+        {
+            "remove": {
+                "path": os.path.relpath(f, path),
+                "dataChange": True,
+                "deletionTimestamp": now_ms,
+            }
+        }
+        for f in touched_abs
+    )
+    actions.extend(adds)
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
+                    "matchedAction": when_matched,
+                },
+            }
+        }
+    )
+    return _commit(path, actions)

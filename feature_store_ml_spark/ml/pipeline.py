@@ -59,7 +59,7 @@ def generate_features(
     return df.select(*FEATURE_COLS, "target")
 
 
-def _drop_training_summary(model) -> None:
+def _drop_training_summary(model) -> bool:
     """Detach the JVM-side training summary from a fitted MLlib model.
 
     We never read the summary (metrics are recomputed SQL-side below), but it
@@ -77,7 +77,9 @@ def _drop_training_summary(model) -> None:
     package-private, which is public in bytecode, so the generated
     ``trainingSummary_$eq`` setter is reachable from py4j. Best-effort: on a
     Spark build where the member moved, we keep the summary (only costs
-    compatibility with sessions that used observe).
+    compatibility with sessions that used observe) — but WARN, because the
+    observation-poisoning bug silently returns with it; returns whether the
+    detach happened so tests can pin it on the current Spark build.
     """
     try:
         from pyspark import SparkContext
@@ -85,8 +87,18 @@ def _drop_training_summary(model) -> None:
         jvm = SparkContext._active_spark_context._jvm
         scala_none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
         getattr(model._java_obj, "trainingSummary_$eq")(scala_none)
-    except Exception:
-        pass
+        return True
+    except Exception as exc:
+        import warnings
+
+        warnings.warn(
+            "trainingSummary detach failed "
+            f"({type(exc).__name__}: {exc}); model.transform will raise "
+            "NotSerializableException in sessions that used Dataset.observe",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return False
 
 
 def train_and_evaluate(

@@ -1227,6 +1227,61 @@ def e12_pit_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e12_feature_upsert",
+    """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_spent,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def e12_feature_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-after-MERGE — the feature store's keyed-mutation write
+    (io/lakehouse.merge_delta): materialize per-customer order-history
+    features from pre-1995 orders into a Delta table, then MERGE refreshed
+    full-history values for the customers with 1995+ activity (matched
+    keys updated in place, newly active customers inserted, dormant
+    customers' rows untouched). Reading the table back must equal the
+    full-history aggregate per customer (the oracle) — dormant customers'
+    pre-1995 values ARE their full-history values, so any merge defect
+    (dropped unmatched rows, appended instead of replaced, missed
+    inserts) breaks the row count or the hash.
+
+    Scale shape: the merge rewrites only data files containing matched
+    keys (copy-on-write at file granularity); touched-file discovery is a
+    distributed semi-join with O(#files) driver metadata."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+
+    def feat(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    path = f"{tempfile.gettempdir()}/fsml_feature_upsert"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = "1995-01-01"
+    lakehouse.write_delta(spark, feat(o.where(F.col("o_orderdate") < cut)), path)
+    active = o.join(
+        o.where(F.col("o_orderdate") >= cut).select("o_custkey").distinct(),
+        "o_custkey",
+        "left_semi",
+    )
+    lakehouse.merge_delta(
+        spark, feat(active), path, keys=["o_custkey"], txn=("e12_upsert", 1)
+    )
+    return lakehouse.read_delta(spark, path)
+
+
+@register(
     "e12_sessionize",
     """
     WITH lagged AS (
@@ -2290,6 +2345,43 @@ def e1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e1_iceberg_snapshot_diff",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def e1_iceberg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE path (io/iceberg.write_iceberg) proven by incremental
+    read-after-write: create a v2 table from pre-1997 orders, append the
+    1997+ orders as a second snapshot, then snapshot-diff between the two
+    engine-written snapshots — the diff must equal exactly the appended
+    rows (the oracle's filter on the source parquet). Exercises manifest +
+    manifest-list Avro emission, metadata.json versioning, and the
+    manifest-list walk of read_iceberg_changes end-to-end."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_diff"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = "1997-01-01"
+    s1 = iceberg.write_iceberg(
+        spark, o.where(F.col("o_orderdate") < cut).select(*cols), path,
+        format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark, o.where(F.col("o_orderdate") >= cut).select(*cols), path,
+        format_version=2,
+    )
+    return iceberg.read_iceberg_changes(spark, path, from_snapshot_id=s1)
+
+
 @register("e10_knn_ivf", None)  # k-means init is engine-specific
 def e10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) ANN — the clustered-corpus complement
@@ -2890,14 +2982,23 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, COUNT(*) AS n FROM documents
       WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
     ),
-    thr AS (
+    rates AS (
       SELECT source,
-             printf('%08x', CAST(round(
+             CAST(round(
                LEAST(1.0, (40 * CASE source WHEN 'src0' THEN 0.5
                                             WHEN 'src1' THEN 0.3
                                             ELSE 0.2 END) / n)
-               * 4294967296) AS BIGINT)) AS t
+               * 4294967296) AS BIGINT) AS b
       FROM counts
+    ),
+    -- rate clamped to 1.0 must render as the Spark sentinel 'gggggggg'
+    -- (sorts after every hex digit), NOT printf('%08x', 2^32)='100000000',
+    -- whose 9-char lexicographic compare silently drops ~94% of rows
+    thr AS (
+      SELECT source,
+             CASE WHEN b >= 4294967296 THEN 'gggggggg'
+                  ELSE printf('%08x', b) END AS t
+      FROM rates
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN thr ON d.source = thr.source
@@ -3615,29 +3716,38 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FINAL_ORDER = [
-    # -- round-2 priority: oracle-backed queries that missed round 1's window
-    "e11_tfidf",
-    "e15_feature_transformers",
-    "r19_profile",
-    "e1_csv_roundtrip",
-    "e9_dedup_clusters",
-    "e9_dedup_embedding",
-    "e13_session_window",
-    "e13_sliding_window",
-    "e12_session_stats",
-    "e7_set_ops",           # merged: includes former e7_set_ops_all branches
-    "e8_map_funcs",
-    "e10_centroids",
-    "e10_knn_quantized",    # new in round 4: oracle-backed int8 ANN
-    "e11_unigram_logprob",  # new in round 4: CCNet-style LM quality proxy
-    "q17_small_quantity",   # new this round: correlated-subquery shape
-    "q19_disjunctive_predicates",  # new: disjunction spanning both join sides
-    "q22_sales_opportunity",       # new: uncorrelated scalar subquery + anti join
+    # -- new in round 5: Delta MERGE + Iceberg write read-after-write
+    "e12_feature_upsert",
+    "e1_iceberg_snapshot_diff",
+    # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
+    #    driver verification is stale (rotated out in r4, or never in a
+    #    window since round 1) come IN for independent re-confirmation;
+    #    the 11 rotated OUT (below the boundary) are all driver-green in
+    #    rounds 2 AND 4 with their operator family still represented
+    #    in-window, and stay hash-checked every round by the local sweep
+    #    (tools/check_oracle.py → CORRECTNESS_LOCAL.json, gated by
+    #    tests/test_rotation_gate.py).
+    "e2_null_safe",
+    "e4_median_percentiles",
+    "e5_window_lag",
+    "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
+    "e8_date_funcs",
+    "e8_array_funcs",
+    "e8_json_funcs",
+    "e9_dedup_jaccard",
+    "e12_tumbling_features",
+    "e12_rolling_features",
+    # -- kept in-window from round 4
+    "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
+    "e11_unigram_logprob",  # round 4: CCNet-style LM quality proxy
+    "q17_small_quantity",   # correlated-subquery shape
+    "q19_disjunctive_predicates",  # disjunction spanning both join sides
+    "q22_sales_opportunity",       # uncorrelated scalar subquery + anti join
     "q18_large_orders",
     "e14_resize_meta",
-    "e11_repetition",        # new this round: Gopher-style repetition filters
-    "e13_stream_stream_join",  # new: watermarked stream-stream interval join
-    # -- new this round: the remaining classic TPC-H access shapes
+    "e11_repetition",        # Gopher-style repetition filters
+    "e13_stream_stream_join",  # watermarked stream-stream interval join
+    # -- the classic TPC-H access shapes
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -3647,23 +3757,21 @@ _FINAL_ORDER = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q21_sole_late_supplier",
-    # -- new in round 4: the last SQL-expressible TPC-H shapes (no partsupp
-    #    / shipmode columns in this corpus; adapted like q2/q9)
     "q11_important_parts",
     "q12_shipping_delay",
     "q13_customer_distribution",
     "q16_parts_supplier_relationship",
-    # -- new this round: sampling / PII / streaming-dedup surface
+    # -- sampling / PII / streaming-dedup surface
     "e16_hash_sample",
     "e16_stratified_sample",
-    "e16_mixture_sample",   # new in round 4: data-mixture composition
+    "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_dedup",
     "e9_decontaminate",
     "q20_dominant_supplier",
     "e18_data_quality",
     "e5_window_distribution",
-    "e12_pit_multi",        # new in round 4: multi-feature-group PIT join
+    "e12_pit_multi",        # multi-feature-group PIT join
     "e12_resample",
     "e11_url_extract",
     "e4_linreg",
@@ -3672,14 +3780,22 @@ _FINAL_ORDER = [
     "e3_join_broadcast",
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
-    # Rotated just past the boundary in round 4 to make room for the new
-    # TPC-H shapes (q11-q13, q16) while keeping the round-3-broken-now-fixed
-    # e3_join_asof in-window: q1/q3/q5 and e8_string/math_funcs are
-    # driver-green in rounds 1 AND 3 and stay locally hash-checked.
-    "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
+    # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
+    # in-window; locally hash-checked every round — see rotation note above):
+    "e7_set_ops",           # merged: includes former e7_set_ops_all branches
+    "e11_tfidf",
+    "e15_feature_transformers",
+    "r19_profile",
+    "e1_csv_roundtrip",
+    "e9_dedup_clusters",
+    "e9_dedup_embedding",
+    "e13_session_window",
+    "e13_sliding_window",
+    "e12_session_stats",
+    "e8_map_funcs",
+    "e10_centroids",
+    # Rotated out in round 4 (driver-green rounds 1 AND 3):
     "e8_math_funcs",        # merged: includes former e8_conditional_trig columns
-    "e4_median_percentiles",
-    "e2_null_safe",
     "e16_deterministic_split",
     "q10_returned_items",
     "q1_pricing_summary",
@@ -3702,11 +3818,8 @@ _FINAL_ORDER = [
     "e4_count_distinct",
     "e6_topk_per_group",
     "e7_pivot",
-    "e8_array_funcs",
-    "e8_json_funcs",
     "e3_join_range",
     "e10_knn_brute",
-    "e9_dedup_jaccard",
     "e11_lang_id",
     "e12_sessionize",
     "e14_multimodal_meta",
@@ -3714,14 +3827,10 @@ _FINAL_ORDER = [
     "r17_correlation",
     "e4_rollup",
     "e4_grouping_sets",
-    "e5_window_lag",
-    "e8_date_funcs",
     "e5_window_ntile_firstlast",
     "e6_topk",
     "e11_quality_score",
     "e11_fingerprint",
-    "e12_tumbling_features",
-    "e12_rolling_features",
     "e12_pit_join",
     # rows-only (no oracle by design)
     "e4_approx_count_distinct",

@@ -540,9 +540,13 @@ def stream_to_delta(
     guarantee for plain files; Delta gets it from txn actions).
 
     Bounded replay (availableNow) for tests; returns processed batch ids.
-    """
-    import uuid as _uuid
 
+    The default checkpoint location is STABLE per (table, app_id):
+    a fresh-random default would restart batch ids at 0 on the next
+    invocation, and the txn skip (committed >= batch_id) would then
+    silently drop every new batch — data loss reported as success. Pass
+    ``checkpoint_dir`` explicitly only as the same-pairing it replaces.
+    """
     from ..io.lakehouse import write_delta
 
     seen: list[int] = []
@@ -557,7 +561,7 @@ def stream_to_delta(
             txn=(app_id, batch_id),
         )
 
-    ckpt = checkpoint_dir or f"{table_path}/_checkpoint_{_uuid.uuid4().hex[:8]}"
+    ckpt = checkpoint_dir or f"{table_path}/_checkpoint_{app_id}"
     q = (
         streaming_df.writeStream.foreachBatch(_write)
         .option("checkpointLocation", ckpt)

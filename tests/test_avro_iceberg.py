@@ -375,3 +375,73 @@ def test_non_iceberg_dir_rejected(spark, tmp_path):
     assert not iceberg.is_iceberg_table(str(tmp_path / "x"))
     with pytest.raises(ValueError, match="not an Iceberg table"):
         iceberg.read_iceberg(spark, str(tmp_path / "x"))
+
+
+# ----------------------------------------------------------- write path ----
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_iceberg_write_read_roundtrip(spark, tmp_path, fv):
+    """Read-your-own-write at both format versions: create + two appends,
+    every snapshot resolvable through the normal metadata walk."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / f"w{fv}")
+    a = spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    b = spark.range(10, 20).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    s1 = iceberg.write_iceberg(spark, a, root, format_version=fv)
+    s2 = iceberg.write_iceberg(spark, b, root, format_version=fv)
+    assert s2 != s1
+    got = {(r.id, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {(i, i * 2) for i in range(20)}
+    meta = iceberg._load_metadata(root)
+    assert meta["format-version"] == fv
+    assert meta["current-snapshot-id"] == s2
+    assert len(meta["snapshots"]) == 2
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_iceberg_write_then_incremental_diff(spark, tmp_path, fv):
+    """Snapshot-diff over an ENGINE-written table: the rows added between
+    two of our own snapshots come back exactly."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / f"w{fv}")
+    s1 = iceberg.write_iceberg(
+        spark, spark.range(0, 10).select("id"), root, format_version=fv
+    )
+    iceberg.write_iceberg(
+        spark, spark.range(10, 25).select("id"), root, format_version=fv
+    )
+    inc = iceberg.read_iceberg_changes(spark, root, from_snapshot_id=s1)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 25))
+
+
+def test_iceberg_write_schema_mismatch_fails_loud(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "w")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root)
+    drifted = spark.range(5).select(F.col("id").cast("int").alias("id"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.write_iceberg(spark, drifted, root)
+
+
+def test_iceberg_write_version_conflict_fails_loud(spark, tmp_path):
+    import os as _os
+    import unittest.mock as mock
+
+    root = str(tmp_path / "w")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root)
+    # simulate a concurrent committer having grabbed v2 already
+    with open(_os.path.join(root, "metadata", "v2.metadata.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="single-writer"):
+        iceberg.write_iceberg(spark, spark.range(5).select("id"), root)
+
+
+def test_iceberg_format_version_drift_rejected(spark, tmp_path):
+    root = str(tmp_path / "w")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root, format_version=1)
+    with pytest.raises(ValueError, match="format-version"):
+        iceberg.write_iceberg(spark, spark.range(5).select("id"), root, format_version=2)

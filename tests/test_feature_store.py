@@ -126,6 +126,39 @@ def test_duplicate_registration_rejected(spark, tmp_path):
         fs.register(_rowlocal_group())
 
 
+def test_materialize_upsert_keeps_latest_per_key(spark, tmp_path):
+    """The keyed-mutation write: upsert batch 2 over batch 1 leaves ONE row
+    per entity holding the newest value — matched entities updated in
+    place, new entities inserted, untouched entities preserved."""
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(_rowlocal_group())
+    day1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10), 1.0), (2, datetime(2024, 1, 1, 11), 2.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    # user 1 has TWO rows in the batch: only the newest survives the upsert
+    day2 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2, 8), 5.0),
+            (1, datetime(2024, 1, 2, 9), 3.0),
+            (3, datetime(2024, 1, 2, 9), 7.0),
+        ],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    fs.materialize_upsert(spark, day1, "row_local", run_version=1)
+    fs.materialize_upsert(spark, day2, "row_local", run_version=2)
+    got = {(r.user_id, r.double_value) for r in fs.read(spark, "row_local").collect()}
+    assert got == {(1, 6.0), (2, 4.0), (3, 14.0)}  # user 1 updated, 2 kept, 3 new
+    # retried run (same run_version): table unchanged
+    stale = spark.createDataFrame(
+        [(1, datetime(2024, 1, 3, 0), 99.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    fs.materialize_upsert(spark, stale, "row_local", run_version=2)
+    got2 = {(r.user_id, r.double_value) for r in fs.read(spark, "row_local").collect()}
+    assert got2 == got
+
+
 def test_serve_multiple_groups_different_cadences(spark, tmp_path, sf_dir):
     fs = FeatureStore(root=str(tmp_path / "fs"))
     fs.register(_daily_group())

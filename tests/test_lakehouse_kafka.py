@@ -318,6 +318,146 @@ def test_delta_txn_makes_writes_idempotent(spark, tmp_path):
     assert lakehouse.last_txn_version(root, "appB") == 0
 
 
+def _read_commit(root, version):
+    with open(os.path.join(root, "_delta_log", f"{version:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    """whenMatchedUpdateAll + whenNotMatchedInsertAll: matched keys get the
+    source row, unmatched source keys are inserted, untouched target rows
+    survive — one row per key afterwards."""
+    root = str(tmp_path / "m")
+    base = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    lakehouse.write_delta(spark, base, root)
+    src = spark.range(5, 15).select(F.col("id"), F.lit(-1).cast("bigint").alias("v"))
+    v = lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: r.v for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {**{i: i * 2 for i in range(5)}, **{i: -1 for i in range(5, 15)}}
+    ops = [a["commitInfo"]["operation"] for a in _read_commit(root, v) if "commitInfo" in a]
+    assert ops == ["MERGE"]
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write at FILE granularity: a merge whose keys live in one
+    data file removes/rewrites that file only — the other files keep their
+    identity (the property that makes a 1%-of-keys upsert rewrite 1% of a
+    100 TB table, not all of it)."""
+    root = str(tmp_path / "m")
+    a = spark.range(0, 10).select(F.col("id"), F.col("id").alias("v")).coalesce(1)
+    b = spark.range(10, 20).select(F.col("id"), F.col("id").alias("v")).coalesce(1)
+    lakehouse.write_delta(spark, a, root)
+    files_after_a = set(lakehouse._active_files(root))
+    lakehouse.write_delta(spark, b, root, mode="append")
+    files_b = set(lakehouse._active_files(root)) - files_after_a
+    assert len(files_after_a) == 1 and len(files_b) == 1
+    src = spark.createDataFrame([(15, -1)], "id long, v long")
+    v = lakehouse.merge_delta(spark, src, root, keys=["id"])
+    removed = {
+        a["remove"]["path"] for a in _read_commit(root, v) if "remove" in a
+    }
+    assert removed == {os.path.relpath(f, root) for f in files_b}
+    assert files_after_a <= set(lakehouse._active_files(root))  # untouched
+    got = {r.id: r.v for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[15] == -1 and got[14] == 14 and len(got) == 20
+
+
+def test_merge_delete_by_key(spark, tmp_path):
+    root = str(tmp_path / "m")
+    base = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    lakehouse.write_delta(spark, base, root)
+    doomed = spark.createDataFrame([(3,), (7,), (99,)], "id long")
+    lakehouse.merge_delta(spark, doomed, root, keys=["id"], when_matched="delete")
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == [
+        0, 1, 2, 4, 5, 6, 8, 9,
+    ]
+
+
+def test_merge_duplicate_source_keys_fail_loud(spark, tmp_path):
+    """Two source rows matching one target row = order-dependent result;
+    same cardinality error real Delta MERGE raises."""
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    dup = spark.createDataFrame([(1,), (1,)], "id long")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        lakehouse.merge_delta(spark, dup, root, keys=["id"])
+
+
+def test_merge_txn_idempotent_retry(spark, tmp_path):
+    """A retried merge with an already-committed (appId, version) is a
+    no-op — the exactly-once handshake shared with write_delta."""
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(spark, spark.range(10).select(
+        F.col("id"), F.lit(0).cast("bigint").alias("v")), root)
+    src = spark.createDataFrame([(1, 100)], "id long, v long")
+    v1 = lakehouse.merge_delta(spark, src, root, keys=["id"], txn=("up", 1))
+    again = lakehouse.merge_delta(
+        spark, spark.createDataFrame([(1, 999)], "id long, v long"),
+        root, keys=["id"], txn=("up", 1),
+    )
+    assert again == v1
+    got = {r.id: r.v for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[1] == 100  # the replayed merge did NOT re-apply
+    assert lakehouse.last_txn_version(root, "up") == 1
+
+
+def test_merge_concurrent_writer_conflict(spark, tmp_path):
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    _write_commit(os.path.join(root, "_delta_log"), 1, [{"commitInfo": {}}])
+    import unittest.mock as mock
+
+    with mock.patch.object(lakehouse, "_next_version", return_value=1):
+        with pytest.raises(RuntimeError, match="single-writer"):
+            lakehouse.merge_delta(
+                spark, spark.createDataFrame([(1,)], "id long"), root, keys=["id"]
+            )
+
+
+def test_merge_schema_mismatch_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(
+        spark, spark.range(5).select(F.col("id"), F.lit(0.0).alias("v")), root
+    )
+    drifted = spark.createDataFrame([(1, "oops")], "id long, v string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        lakehouse.merge_delta(spark, drifted, root, keys=["id"])
+
+
+def test_merge_delete_nothing_matched_records_txn(spark, tmp_path):
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    miss = spark.createDataFrame([(99,)], "id long")
+    lakehouse.merge_delta(
+        spark, miss, root, keys=["id"], when_matched="delete", txn=("gc", 3)
+    )
+    assert lakehouse.read_delta(spark, root).count() == 5
+    assert lakehouse.last_txn_version(root, "gc") == 3
+
+
+def test_merge_into_missing_table_creates_on_update_only(spark, tmp_path):
+    root = str(tmp_path / "new")
+    src = spark.range(3).select(F.col("id"))
+    lakehouse.merge_delta(spark, src, root, keys=["id"])  # create
+    assert lakehouse.read_delta(spark, root).count() == 3
+    with pytest.raises(ValueError, match="non-existent"):
+        lakehouse.merge_delta(
+            spark, src, str(tmp_path / "absent"), keys=["id"], when_matched="delete"
+        )
+
+
+def test_read_delta_changes_cleaned_history_fails_loud(spark, tmp_path):
+    """Commits missing from the JSON log (checkpointed then cleaned) must
+    raise, not silently skip their rows."""
+    root = str(tmp_path / "w")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="not in the JSON log"):
+        lakehouse.read_delta_changes(spark, root, since_version=0)
+
+
 def test_stream_to_delta_exactly_once(spark, tmp_path, sf_dir):
     """End-to-end: a real Structured Streaming replay materializes into a
     Delta table through the txn-guarded foreachBatch sink; re-running the

@@ -38,6 +38,31 @@ def test_train_accuracy_high(spark):
     assert rep.support.sum() == scored.count()
 
 
+def test_training_summary_detach_succeeds_on_this_spark(spark):
+    """The observation-poisoning immunity (ml/pipeline.py::
+    _drop_training_summary) depends on the package-private
+    ``trainingSummary_$eq`` setter existing in this Spark build. The detach
+    is best-effort-with-warning at runtime; HERE it must actually succeed —
+    if Spark renames the member, this test (not a prod serialization crash)
+    is the signal."""
+    import warnings
+
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = pipeline.generate_features(spark, 50, seed=1)
+    assembled = VectorAssembler(
+        inputCols=pipeline.FEATURE_COLS, outputCol="features"
+    ).transform(feats)
+    model = RandomForestClassifier(
+        labelCol="target", featuresCol="features", numTrees=2, seed=1
+    ).fit(assembled)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any detach warning -> failure
+        assert pipeline._drop_training_summary(model) is True
+    assert not model.hasSummary
+
+
 def test_split_fractions(spark):
     feats = pipeline.generate_features(spark, 2000, seed=42)
     train, test = feats.randomSplit([0.8, 0.2], seed=42)
