@@ -181,15 +181,57 @@ def synth_ppm(
     return df.select(id_col).mapInPandas(_batches, schema)
 
 
+def pillow_available() -> bool:
+    """Probe for an optional Pillow install — same gating pattern as the
+    Kafka-jar probe (streaming/kafka.py): the engine's plumbing never
+    assumes the dependency; paths needing it fail loudly when absent and
+    light up unchanged when present."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _decode_compressed(payload: bytes):
+    """JPEG/PNG → (width, height, maxval, ndarray[h,w,3] uint8) via Pillow
+    when installed; fail-loud otherwise. A real 100 TB multimodal corpus is
+    JPEG/PNG, not PPM — this is the production branch, probe-gated because
+    this container ships no Pillow."""
+    import io as _io
+
+    import numpy as np
+
+    if not pillow_available():
+        raise NotImplementedError(
+            "JPEG/PNG decode requires Pillow (pip install pillow) — "
+            "not in this container; only P6 PPM decodes without it"
+        )
+    import PIL.Image
+
+    img = PIL.Image.open(_io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    return img.width, img.height, 255, arr
+
+
 def _parse_ppm(payload: bytes):
     """Minimal P6 parser: 'P6' magic, whitespace/comment-tolerant header
     (width height maxval), then the binary RGB raster. Returns
-    (width, height, maxval, ndarray[h,w,3] uint8)."""
+    (width, height, maxval, ndarray[h,w,3] uint8). JPEG/PNG payloads route
+    to the probe-gated Pillow branch; anything else fails loudly."""
     import numpy as np
 
+    if payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC:
+        return _decode_compressed(payload)
     if payload[:2] != b"P6":
         raise NotImplementedError(
-            "real JPEG/PNG decode requires Pillow — only P6 PPM parsed here"
+            "unrecognized image payload — P6 PPM decodes natively, JPEG/PNG "
+            "via the optional Pillow branch; other formats are unsupported"
         )
     pos, fields = 2, []
     while len(fields) < 3:
@@ -207,6 +249,68 @@ def _parse_ppm(payload: bytes):
     w, h, maxval = fields
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, maxval, raster.reshape(h, w, 3)
+
+
+def _png_bytes(raster) -> bytes:
+    """Encode an ndarray[h,w,3] uint8 as a REAL PNG (8-bit RGB, no
+    interlace) with only the stdlib — PNG is just zlib-compressed filtered
+    scanlines plus CRC-framed chunks (RFC 2083). Produces bytes any PNG
+    reader (including the optional Pillow decode branch) accepts."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = raster.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    scanlines = b"".join(
+        b"\x00" + raster[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PNG payload per row (same deterministic gradient as
+    synth_ppm, encoded through the stdlib PNG writer above). Decoding these
+    back requires the optional Pillow branch — exactly the asymmetry of a
+    real ingest pipeline, where the corpus arrives compressed."""
+    import numpy as np
+
+    def _raster(doc_id: int):
+        w = 8 + (doc_id * 7) % 25
+        h = 6 + (doc_id * 11) % 19
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), doc_id % 256, dtype=np.uint8)
+        return np.dstack([r, g, b])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["image"] = [_png_bytes(_raster(int(i))) for i in pdf[id_col]]
+            yield out
+
+    import pyspark.sql.types as ty
+
+    schema = ty.StructType(
+        df.select(id_col).schema.fields + [ty.StructField("image", ty.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_batches, schema)
 
 
 IMAGE_FEATURES_SCHEMA = (

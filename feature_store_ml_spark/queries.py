@@ -2538,11 +2538,18 @@ def e14_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("e14_image_features", None)  # binary PPM synthesis+decode: not SQL-expressible
 def e14_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image pipeline end-to-end on REAL P6 PPM bytes: synthesize a genuine
-    netpbm payload per document, nearest-neighbor-resize it (real numpy
-    raster work, not a header rewrite), then decode channel/luma stats —
-    all in mapInPandas passes that never shuffle the payload."""
+    """Image pipeline end-to-end on REAL image bytes: synthesize a genuine
+    payload per document, nearest-neighbor-resize (real numpy raster work,
+    not a header rewrite), then decode channel/luma stats — all in
+    mapInPandas passes that never shuffle the payload. When the optional
+    Pillow probe lights up, the pipeline runs on real compressed PNGs
+    through the Pillow decode branch instead of raw P6 PPM — same rasters,
+    same stats, production codec path (this container has no Pillow, so
+    the driver exercises the PPM leg)."""
     d = load_table(spark, sf_dir, "documents")
+    if multimodal.pillow_available():
+        imgs = multimodal.synth_png(d)
+        return multimodal.image_features(imgs)
     ppms = multimodal.synth_ppm(d)
     return multimodal.image_features(multimodal.resize_ppm(ppms, max_side=16))
 

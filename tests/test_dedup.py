@@ -235,3 +235,56 @@ def test_decontaminate_planted(spark):
     # broadcast on the benchmark side, no corpus self-join
     plan = dedup.decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_lsh_hot_bucket_engages_aqe_skew_split(spark):
+    """SCALE.md's skew story, pinned: a near-duplicate cluster of ~10% of
+    the corpus lands every one of its docs in the SAME bucket of every
+    band, so the LSH bucket self-join gets a pathologically hot key. With
+    the broadcast path disabled and test-scaled AQE skew thresholds (the
+    mechanism is byte-threshold-gated; production sizes are far past it),
+    the executed plan must show the skew split actually engaged
+    (skew=true on the sort-merge join) — bounding per-task input — and
+    the pair output must still be exactly the hot cluster's pairs."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        # thresholds are COMPRESSED shuffle bytes; identical signatures
+        # compress ~100x, so the test-scale knobs sit in the KB range
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = [
+            (i, "the exact same hot duplicate text repeated across the cluster")
+            for i in range(150)
+        ]
+        cold = [
+            (1000 + i, f"unique cold document number {i} carrying words {i*7} {i*13} {i*29}")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+        pairs = dedup.minhash_lsh_pairs(df, num_hashes=64, bands=2, threshold=0.9)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}  # collect: AQE final plan
+        assert got == {(a, b) for a in range(150) for b in range(150) if a < b}
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in final, f"AQE skew split did not engage:\n{final[:2000]}"
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

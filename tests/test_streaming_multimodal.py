@@ -292,3 +292,62 @@ def test_ppmv_bad_magic_raises(spark):
     df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42")], "doc_id long, video binary")
     with _pytest.raises(Exception, match="pyav"):
         mm.sample_frames_ppmv(df).collect()
+
+
+# ------------------------------------------------- optional Pillow branch ----
+
+
+def test_synth_png_is_wellformed_png(spark):
+    """The stdlib PNG encoder must emit spec-valid chunks: magic, CRC-framed
+    IHDR/IDAT/IEND, dims matching the synth gradient — checked by a pure
+    chunk walk, no Pillow needed."""
+    import struct
+    import zlib
+
+    row = (
+        multimodal.synth_png(spark.createDataFrame([(3,)], "doc_id long"))
+        .collect()[0]
+    )
+    payload = bytes(row.image)
+    assert payload[:8] == multimodal._PNG_MAGIC
+    pos, chunks = 8, []
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(ctype + data) & 0xFFFFFFFF, f"bad CRC in {ctype}"
+        chunks.append((ctype, data))
+        pos += 12 + ln
+    assert [c for c, _ in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    w, h = struct.unpack(">II", chunks[0][1][:8])
+    assert (w, h) == (8 + 3 * 7 % 25, 6 + 3 * 11 % 19)
+    # IDAT inflates to h scanlines of 1 filter byte + 3w pixels
+    assert len(zlib.decompress(chunks[1][1])) == h * (1 + 3 * w)
+
+
+@pytest.mark.skipif(
+    multimodal.pillow_available(), reason="Pillow installed: fail-loud leg n/a"
+)
+def test_png_without_pillow_fails_loud(spark):
+    pngs = multimodal.synth_png(spark.createDataFrame([(1,)], "doc_id long"))
+    with pytest.raises(Exception, match="Pillow"):
+        multimodal.image_features(pngs).collect()
+
+
+@pytest.mark.skipif(
+    not multimodal.pillow_available(), reason="Pillow not in this container"
+)
+def test_png_decode_with_pillow_matches_ppm(spark):
+    """With Pillow present the compressed branch must yield EXACTLY the
+    stats of the uncompressed PPM of the same raster (PNG is lossless)."""
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    via_png = (
+        multimodal.image_features(multimodal.synth_png(ids))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    via_ppm = (
+        multimodal.image_features(multimodal.synth_ppm(ids))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert via_png.equals(via_ppm)
