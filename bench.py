@@ -58,6 +58,11 @@ HEADLINE = [
     "e10_knn_quantized",
     "e12_pit_multi",
     "e16_mixture_sample",
+    # round-5 joiners (first pins recorded in BASELINE.md round-5 section):
+    # lakehouse write paths — these bench the MERGE rewrite and the Iceberg
+    # append + snapshot-diff, not just reads
+    "e12_feature_upsert",
+    "e1_iceberg_snapshot_diff",
 ]
 
 

@@ -333,6 +333,7 @@ def compact_delta(
     path: str,
     target_files: int | None = None,
     target_file_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE-style bin-packing compaction: rewrite the table's live data
     files into ``target_files`` larger ones and commit remove(old)+add(new)
@@ -349,6 +350,13 @@ def compact_delta(
     tiny files whose per-file open/footer cost dominates scans. Run
     compaction on a schedule (or when live-file count crosses a threshold)
     — readers before/after see identical rows.
+
+    ``zorder_by``: OPTIMIZE ZORDER BY — instead of plain bin-packing, the
+    rewrite clusters rows along the Morton curve over the given (numeric)
+    columns (operators/layout.zorder_layout: one range-partition sort), so
+    the compacted files carry tight min/max stats on EVERY listed column
+    and multi-dimension predicates skip whole files at scan time. Same
+    commit shape (dataChange: false) — readers see identical rows, faster.
 
     The rewrite itself is a distributed read+write of the live set; only
     renames and the commit append touch the driver. Returns the committed
@@ -368,7 +376,14 @@ def compact_delta(
         total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
         target_files = max(1, -(-total // target_file_bytes))
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    spark.read.parquet(*files).coalesce(target_files).write.parquet(staging)
+    live = spark.read.parquet(*files)
+    if zorder_by:
+        from ..operators.layout import zorder_layout
+
+        rewritten = zorder_layout(live, zorder_by, target_files)
+    else:
+        rewritten = live.coalesce(target_files)
+    rewritten.write.parquet(staging)
     now_ms = int(_time.time() * 1000)
     adds = []
     for name in sorted(os.listdir(staging)):
@@ -440,16 +455,18 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
     """
     live, _ = _replay_log(path)
     live_names = {os.path.relpath(f, path) for f in live}
-    doomed = [
-        name
-        for name in os.listdir(path)
-        if name.endswith(".parquet")
-        and os.path.isfile(os.path.join(path, name))
-        and name not in live_names
-    ]
+    doomed: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        # metadata/staging/checkpoint dirs are not data space (Hive
+        # partition dirs are col=value, never underscore-prefixed)
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        for name in filenames:
+            rel = os.path.relpath(os.path.join(dirpath, name), path)
+            if name.endswith(".parquet") and rel not in live_names:
+                doomed.append(rel)
     if not dry_run:
-        for name in doomed:
-            os.remove(os.path.join(path, name))
+        for rel in doomed:
+            os.remove(os.path.join(path, rel))
     return sorted(doomed)
 
 
@@ -489,12 +506,29 @@ def last_txn_version(path: str, app_id: str) -> int:
     return best
 
 
+def _hive_partition_values(rel_dir: str) -> dict[str, str | None]:
+    """Parse Hive-style directory components (``k=v/k2=v2``) into the
+    protocol's partitionValues map. Values are URL-unescaped (Spark escapes
+    special chars when writing dir names); the Hive null sentinel maps to
+    JSON null, as the spec requires."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for comp in rel_dir.split(os.sep):
+        if not comp or "=" not in comp:
+            continue
+        k, v = comp.split("=", 1)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return out
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -518,8 +552,12 @@ def write_delta(
       — real multi-writer Delta needs a coordinated log store (the
       LogStore/commit-coordinator protocol), which a filesystem rename
       cannot provide on eventually-consistent object stores.
-    - Unpartitioned tables only (partitionBy requires per-file
-      partitionValues bookkeeping; not implemented — fail-loud).
+    - ``partition_by``: Hive-layout partitioned write — data files land
+      under ``col=value/`` dirs with per-file `partitionValues` in the add
+      actions (the protocol's partition bookkeeping), so both this
+      module's reader (basePath reconstruction) and real Delta readers
+      prune partitions. Appends must repeat the table's declared
+      partitioning — changing it requires overwrite.
     - ``txn``: optional (app_id, version) recorded as a protocol `txn`
       action. When the table already holds a txn for this app at ≥ this
       version, the write is SKIPPED (returns that committed version) —
@@ -537,6 +575,8 @@ def write_delta(
             return committed
     try:
         writer = df.write.format("delta").mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         if txn is not None:
             # record the (appId, version) handshake natively too — without
             # these options a delta-spark deployment would re-apply retried
@@ -560,10 +600,12 @@ def write_delta(
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                f"{path}: writing to a PARTITIONED Delta table is not "
-                "implemented in the fallback writer"
+        declared_parts = meta.get("partitionColumns") or []
+        if mode == "append" and declared_parts != (partition_by or []):
+            raise ValueError(
+                f"{path}: append partitioning {partition_by or []} does not "
+                f"match the table's declared partitionColumns "
+                f"{declared_parts}; repartitioning requires mode='overwrite'"
             )
         if mode == "append" and meta.get("schemaString"):
             # Delta validates appends against the table schema — without
@@ -585,36 +627,45 @@ def write_delta(
         if mode == "overwrite":
             prior_files = [os.path.relpath(f, path) for f in prior_live]
 
-    # 1. distributed data write into a staging dir
+    # 1. distributed data write into a staging dir (Hive layout when
+    #    partitioned — executors write straight into col=value/ dirs)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(staging)
+    stage_writer = df.write
+    if partition_by:
+        stage_writer = stage_writer.partitionBy(*partition_by)
+    stage_writer.parquet(staging)
     # 2. driver-side metadata: move data files into the table root under
-    #    unique names (uuid prefix — two concurrent stages can't collide)
+    #    unique names (uuid prefix — two concurrent stages can't collide),
+    #    preserving partition dirs; each add records its partitionValues
     adds = []
+    import shutil
     import time as _time
 
     now_ms = int(_time.time() * 1000)
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, name)
-        size = os.path.getsize(src)
-        os.rename(src, os.path.join(path, final))
-        adds.append(
-            {
-                "add": {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
+    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            final_rel = os.path.join(rel_dir, f"part-{uuid.uuid4().hex}.parquet")
+            src = os.path.join(dirpath, name)
+            size = os.path.getsize(src)
+            os.makedirs(os.path.dirname(os.path.join(path, final_rel)) or path,
+                        exist_ok=True)
+            os.rename(src, os.path.join(path, final_rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel.replace(os.sep, "/"),
+                        "partitionValues": _hive_partition_values(rel_dir),
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
                 }
-            }
-        )
-    for leftover in os.listdir(staging):  # _SUCCESS, .crc files
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+            )
+    shutil.rmtree(staging)  # _SUCCESS, .crc files, emptied partition dirs
 
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
@@ -630,7 +681,7 @@ def write_delta(
                     "id": table_meta.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -796,16 +847,39 @@ def merge_delta(
                 f"{want}, source carries {got}"
             )
 
-    src_keys = source.select(*keys).distinct()
-    dup = (
-        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
-        raise ValueError(
-            "merge_delta: source has multiple rows per key — the merge "
-            "result would be order-dependent (same error as Delta's "
-            "MERGE cardinality check); de-duplicate the source first"
+    # One aggregation serves both the cardinality check and the key set
+    # (distinct by construction), persisted because it probes the target
+    # twice (semi-join discovery, anti-join rewrite) — without the persist
+    # a derived source would recompute per action.
+    key_counts = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        dup = key_counts.where(F.col("_n") > 1).limit(1).count()
+        if dup:
+            raise ValueError(
+                "merge_delta: source has multiple rows per key — the merge "
+                "result would be order-dependent (same error as Delta's "
+                "MERGE cardinality check); de-duplicate the source first"
+            )
+        src_keys = key_counts.select(*keys)
+        return _merge_rewrite(
+            spark, source, path, keys, when_matched, txn, files, table_cols, src_keys
         )
+    finally:
+        key_counts.unpersist()
+
+
+def _merge_rewrite(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    when_matched: str,
+    txn: tuple[str, int] | None,
+    files: list[str],
+    table_cols: list[str],
+    src_keys: DataFrame,
+) -> int:
+    from pyspark.sql import functions as F
 
     if not files:
         touched_abs: list[str] = []

@@ -580,9 +580,12 @@ def test_delta_vacuum_dry_run_keeps_files(spark, tmp_path):
         assert os.path.exists(os.path.join(root, name))
 
 
-def test_delta_write_to_partitioned_table_fails_loud(spark, tmp_path):
+def test_delta_append_must_repeat_declared_partitioning(spark, tmp_path):
+    """Appending to a partitioned table without repeating its declared
+    partitioning (or with a different one) must fail — a flat append into
+    a Hive-layout table would silently break partition pruning."""
     root = _make_partitioned_delta_table(spark, str(tmp_path / "p"))
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+    with pytest.raises(ValueError, match="partitionColumns"):
         lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
 
 
@@ -668,3 +671,115 @@ def test_parsed_kafka_frame_feeds_windowed_agg(spark):
     out = ev.windowed_counts(kafka.parse_event_json(raw), "1 hour")
     total = out.agg(F.sum("n_events").alias("n")).first().n
     assert total == 120
+
+
+# ---------------------------------------------------- partitioned writes ----
+
+
+def test_delta_partitioned_write_read_roundtrip(spark, tmp_path):
+    """Hive-layout partitioned write: files land under col=value dirs, add
+    actions carry partitionValues, and the fallback reader reconstructs the
+    partition column with its declared type and position."""
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)], "id long, grp string, v double"
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "grp", "v"]
+    assert {(r.id, r.grp) for r in back.collect()} == {
+        (i, "ab"[i % 2]) for i in range(20)
+    }
+    adds = [a["add"] for a in _read_commit(root, 0) if "add" in a]
+    assert adds and all(a["path"].startswith("grp=") for a in adds)
+    assert {a["partitionValues"]["grp"] for a in adds} == {"a", "b"}
+
+
+def test_delta_partitioned_append_enforces_partitioning(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(2, "b")], "id long, grp string"),
+        root, mode="append", partition_by=["grp"],
+    )
+    assert lakehouse.read_delta(spark, root).count() == 2
+    with pytest.raises(ValueError, match="partitionColumns"):
+        lakehouse.write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, grp string"),
+            root, mode="append",
+        )
+
+
+def test_delta_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """The point of partitioning: a filter on the partition column must
+    reach the scan as a PartitionFilter (directory pruning), not a row
+    filter over all bytes."""
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(30)], "id long, grp string"
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    q = lakehouse.read_delta(spark, root).where(F.col("grp") == "a")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "grp" in plan.split("PartitionFilters", 1)[1][:200], plan
+    assert q.count() == 10
+
+
+def test_delta_partitioned_null_partition_value(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, grp string")
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    adds = [a["add"] for a in _read_commit(root, 0) if "add" in a]
+    assert any(a["partitionValues"]["grp"] is None for a in adds)
+    back = lakehouse.read_delta(spark, root)
+    assert {(r.id, r.grp) for r in back.collect()} == {(1, "a"), (2, None)}
+
+
+def test_delta_vacuum_reaches_partition_dirs(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    lakehouse.write_delta(spark, df, root, mode="overwrite", partition_by=["grp"])
+    doomed = lakehouse.vacuum_delta(root)
+    assert doomed and all("grp=" in d for d in doomed)
+    assert lakehouse.read_delta(spark, root).count() == 2  # live set intact
+
+
+def test_merge_into_partitioned_table_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        lakehouse.merge_delta(spark, df, root, keys=["id"])
+
+
+def test_compact_zorder_preserves_rows_and_clusters(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: compaction with zorder_by rewrites the live set
+    clustered along the Morton curve — same rows, dataChange:false commit,
+    and each output file's per-column min/max span is a fraction of the
+    global span on BOTH columns (the property that makes row-group skipping
+    work on either predicate)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "z")
+    # two appends of interleaved (x, y) so pre-compaction files span everything
+    a = spark.range(0, 1000).selectExpr("id % 100 as x", "cast(id / 10 as long) as y")
+    b = spark.range(1000, 2000).selectExpr("id % 100 as x", "cast(id / 10 as long) as y")
+    lakehouse.write_delta(spark, a, root)
+    lakehouse.write_delta(spark, b, root, mode="append")
+    v = lakehouse.compact_delta(spark, root, target_files=4, zorder_by=["x", "y"])
+    acts = _read_commit(root, v)
+    assert all(
+        a[k]["dataChange"] is False for a in acts for k in ("add", "remove") if k in a
+    )
+    live = lakehouse._active_files(root)
+    assert len(live) == 4
+    assert lakehouse.read_delta(spark, root).count() == 2000
+    # clustering: average per-file span must be well under the global span
+    spans = []
+    for f in live:
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans.append(((max(xs) - min(xs)) / 99.0 + (max(ys) - min(ys)) / 199.0) / 2)
+    assert sum(spans) / len(spans) < 0.8, spans

@@ -19,9 +19,14 @@ from feature_store_ml_spark import queries as catalog
 ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_LOCAL.json")
 
 
-def test_rotated_out_queries_are_swept_and_green():
+def _load_results() -> dict:
     with open(ARTIFACT, encoding="utf-8") as fh:
-        local = json.load(fh)
+        doc = json.load(fh)
+    return doc.get("results", doc)  # tool nests under "results"
+
+
+def test_rotated_out_queries_are_swept_and_green():
+    local = _load_results()
     names = list(catalog.queries())
     oracled = set(catalog.oracle_sql())
     tail_oracled = [n for n in names[50:] if n in oracled]
@@ -46,13 +51,14 @@ def test_rotated_out_queries_are_swept_and_green():
 def test_sweep_artifact_not_red_anywhere():
     """The sweep artifact must carry no failures at all — red entries for
     in-window queries would mean the driver gate is about to fail too."""
-    with open(ARTIFACT, encoding="utf-8") as fh:
-        local = json.load(fh)
-    red = [
-        n
-        for n, r in local.items()
-        if r.get("err")
-        or not (r.get("rows_match") and r.get("schema_match"))
-        or (r.get("hash_match") is False)
-    ]
+    local = _load_results()
+    red = []
+    for n, r in local.items():
+        if r.get("err") == "no_oracle":  # rows-only by design: ran = green
+            if r.get("spark_rows") is None:
+                red.append(n)
+        elif r.get("err") or not (
+            r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+        ):
+            red.append(n)
     assert not red, f"local sweep artifact records failures: {red}"
