@@ -750,6 +750,7 @@ def merge_delta(
     keys: list[str],
     when_matched: str = "update",
     txn: tuple[str, int] | None = None,
+    newer_wins_col: str | None = None,
 ) -> int:
     """Keyed MERGE — the Delta table's mutation primitive (upsert / delete
     by key), implemented the way every copy-on-write Delta engine does it:
@@ -771,6 +772,13 @@ def merge_delta(
     - ``source`` must be UNIQUE per ``keys`` — two source rows matching one
       target row make the result order-dependent, so that raises (the same
       cardinality error real Delta MERGE throws).
+    - ``newer_wins_col`` (update mode only): CONDITIONAL update — a matched
+      target row is replaced only when the source row is STRICTLY newer on
+      this column (ties keep the target), i.e. Delta's
+      ``whenMatchedUpdateAll(condition="s.ts > t.ts")``. This makes
+      repeated merges ORDER-INDEPENDENT: applying batches in any order
+      converges to the same latest-per-key table — the property a
+      streaming upsert sink needs when micro-batches are not time-ordered.
 
     Scale shape (how this survives 100 TB):
     - Touched-file discovery is a distributed semi-join of the live file
@@ -792,6 +800,12 @@ def merge_delta(
     if when_matched not in ("update", "delete"):
         raise ValueError(
             f"merge_delta: when_matched must be update|delete, got {when_matched!r}"
+        )
+    if newer_wins_col is not None and when_matched != "update":
+        raise ValueError("merge_delta: newer_wins_col requires when_matched='update'")
+    if newer_wins_col is not None and newer_wins_col not in source.columns:
+        raise ValueError(
+            f"merge_delta: newer_wins_col {newer_wins_col!r} not in source columns"
         )
     missing = [k for k in keys if k not in source.columns]
     if missing:
@@ -819,7 +833,12 @@ def merge_delta(
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         m = tgt.alias("t").merge(source.alias("s"), cond)
         if when_matched == "update":
-            m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+            upd_cond = (
+                f"s.{newer_wins_col} > t.{newer_wins_col}"
+                if newer_wins_col is not None
+                else None
+            )
+            m.whenMatchedUpdateAll(condition=upd_cond).whenNotMatchedInsertAll().execute()
         else:
             m.whenMatchedDelete().execute()
         return _next_version(_delta_log_dir(path)) - 1
@@ -862,7 +881,8 @@ def merge_delta(
             )
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
-            spark, source, path, keys, when_matched, txn, files, table_cols, src_keys
+            spark, source, path, keys, when_matched, txn, files, table_cols,
+            src_keys, newer_wins_col,
         )
     finally:
         key_counts.unpersist()
@@ -878,6 +898,7 @@ def _merge_rewrite(
     files: list[str],
     table_cols: list[str],
     src_keys: DataFrame,
+    newer_wins_col: str | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -898,13 +919,40 @@ def _merge_rewrite(
             )
         ]
 
-    if when_matched == "update":
+    if when_matched == "update" and newer_wins_col is None:
         new_rows = source.select(*table_cols)
         if touched_abs:
             kept = spark.read.parquet(*touched_abs).join(
                 src_keys, on=list(keys), how="left_anti"
             )
             new_rows = kept.select(*table_cols).unionByName(new_rows)
+    elif when_matched == "update":
+        # conditional update (strictly-newer wins, ties keep target): the
+        # matched subset is decided by a per-key window over target∪source
+        # — one shuffle on keys, bounded by the touched-file row count.
+        # Unmatched target rows bypass the window untouched.
+        from pyspark.sql import Window
+
+        src_tagged = source.select(*table_cols).withColumn("_src", F.lit(1))
+        if touched_abs:
+            tgt = spark.read.parquet(*touched_abs).select(*table_cols)
+            matched_tgt = tgt.join(src_keys, on=list(keys), how="left_semi")
+            unmatched_tgt = tgt.join(src_keys, on=list(keys), how="left_anti")
+            cand = matched_tgt.withColumn("_src", F.lit(0)).unionByName(src_tagged)
+        else:
+            unmatched_tgt = None
+            cand = src_tagged
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(newer_wins_col).desc(), F.col("_src").asc()
+        )
+        winners = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*table_cols)
+        )
+        new_rows = (
+            winners if unmatched_tgt is None else unmatched_tgt.unionByName(winners)
+        )
     else:
         if not touched_abs:
             # nothing matched: no file changes; still record txn if asked

@@ -529,6 +529,9 @@ def stream_to_delta(
     table_path: str,
     app_id: str,
     checkpoint_dir: str | None = None,
+    mode: str = "append",
+    keys: list[str] | None = None,
+    order_col: str | None = None,
 ) -> list[int]:
     """Exactly-once streaming → Delta sink via foreachBatch + the Delta
     protocol's `txn` handshake: every micro-batch commit records
@@ -546,13 +549,48 @@ def stream_to_delta(
     invocation, and the txn skip (committed >= batch_id) would then
     silently drop every new batch — data loss reported as success. Pass
     ``checkpoint_dir`` explicitly only as the same-pairing it replaces.
+
+    ``mode="upsert"`` (requires ``keys`` + ``order_col``): each micro-batch
+    is reduced to its newest row per key (by ``order_col``, content-hash
+    tie-break) and MERGEd with strictly-newer-wins semantics
+    (lakehouse.merge_delta newer_wins_col) instead of appended. Because
+    the conditional merge is order-independent, the table converges to the
+    GLOBAL latest row per key even though the replay's micro-batches are
+    file-ordered, not time-ordered — the streaming feature-materialization
+    shape ("current value per entity"), with the same per-batch txn
+    exactly-once guarantee.
     """
-    from ..io.lakehouse import write_delta
+    from ..io.lakehouse import merge_delta, write_delta
+
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"stream_to_delta: mode must be append|upsert, got {mode!r}")
+    if mode == "upsert" and (not keys or not order_col):
+        raise ValueError("stream_to_delta: upsert mode requires keys and order_col")
 
     seen: list[int] = []
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen.append(batch_id)
+        if mode == "upsert":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), F.xxhash64(*batch_df.columns).desc()
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            merge_delta(
+                batch_df.sparkSession,
+                latest,
+                table_path,
+                keys=list(keys),
+                txn=(app_id, batch_id),
+                newer_wins_col=order_col,
+            )
+            return
         write_delta(
             batch_df.sparkSession,
             batch_df,

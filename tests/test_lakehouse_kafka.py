@@ -783,3 +783,94 @@ def test_compact_zorder_preserves_rows_and_clusters(spark, tmp_path):
         xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
         spans.append(((max(xs) - min(xs)) / 99.0 + (max(ys) - min(ys)) / 199.0) / 2)
     assert sum(spans) / len(spans) < 0.8, spans
+
+
+# ------------------------------------------------- conditional merge ----
+
+
+def test_merge_newer_wins_condition(spark, tmp_path):
+    """whenMatchedUpdateAll(condition='s.ts > t.ts'): strictly-newer source
+    rows replace, older/equal ones keep the target, unmatched insert."""
+    root = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, 10, "t1"), (2, 20, "t2"), (3, 30, "t3")], "id long, ts long, v string"
+    )
+    lakehouse.write_delta(spark, base, root)
+    src = spark.createDataFrame(
+        [(1, 15, "s1"), (2, 20, "s2"), (3, 5, "s3"), (4, 1, "s4")],
+        "id long, ts long, v string",
+    )
+    lakehouse.merge_delta(spark, src, root, keys=["id"], newer_wins_col="ts")
+    got = {r.id: (r.ts, r.v) for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {
+        1: (15, "s1"),  # strictly newer: replaced
+        2: (20, "t2"),  # tie: target kept
+        3: (30, "t3"),  # older: target kept
+        4: (1, "s4"),   # unmatched: inserted
+    }
+
+
+def test_merge_newer_wins_is_order_independent(spark, tmp_path):
+    """Applying the same batches in different orders must converge to the
+    same latest-per-key table — the property the streaming upsert sink
+    relies on when micro-batches are not time-ordered."""
+    batches = [
+        [(1, 3, "a3"), (2, 1, "b1")],
+        [(1, 1, "a1"), (3, 2, "c2")],
+        [(1, 2, "a2"), (2, 4, "b4"), (3, 1, "c1")],
+    ]
+    results = []
+    for order in ([0, 1, 2], [2, 0, 1]):
+        root = str(tmp_path / f"m{order[0]}{order[1]}")
+        for i in order:
+            df = spark.createDataFrame(batches[i], "id long, ts long, v string")
+            lakehouse.merge_delta(spark, df, root, keys=["id"], newer_wins_col="ts")
+        results.append(
+            {r.id: (r.ts, r.v) for r in lakehouse.read_delta(spark, root).collect()}
+        )
+    assert results[0] == results[1] == {1: (3, "a3"), 2: (4, "b4"), 3: (2, "c2")}
+
+
+def test_merge_newer_wins_requires_update_mode(spark, tmp_path):
+    root = str(tmp_path / "m")
+    lakehouse.write_delta(spark, spark.range(3).select("id"), root)
+    with pytest.raises(ValueError, match="newer_wins_col"):
+        lakehouse.merge_delta(
+            spark, spark.range(3).select("id"), root, keys=["id"],
+            when_matched="delete", newer_wins_col="id",
+        )
+
+
+def test_stream_to_delta_upsert_latest_per_key(spark, tmp_path, sf_dir):
+    """Streaming feature materialization: a real Structured Streaming
+    replay upserts into a Delta table keyed by user — the table ends at ONE
+    row per user holding that user's max event timestamp, regardless of
+    micro-batch order, and a rerun with the same checkpoint changes
+    nothing."""
+    from feature_store_ml_spark.streaming import events as ev
+
+    table = str(tmp_path / "latest")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev._streaming_events(spark, sf_dir).select("user_id", "ts", "value")
+    ev.stream_to_delta(
+        spark, stream, table, app_id="up1", checkpoint_dir=ckpt,
+        mode="upsert", keys=["user_id"], order_col="ts",
+    )
+    got = lakehouse.read_delta(spark, table).toPandas()
+    assert got.user_id.is_unique
+    from feature_store_ml_spark.io import load_table
+    expected = (
+        load_table(spark, sf_dir, "events").groupBy("user_id")
+        .agg(F.max("ts").alias("ts")).toPandas()
+    )
+    merged = got.merge(expected, on="user_id", suffixes=("", "_want"))
+    assert len(merged) == len(expected)
+    assert (merged.ts == merged.ts_want).all()
+    # rerun: same checkpoint => no new batches; table unchanged
+    stream2 = ev._streaming_events(spark, sf_dir).select("user_id", "ts", "value")
+    again = ev.stream_to_delta(
+        spark, stream2, table, app_id="up1", checkpoint_dir=ckpt,
+        mode="upsert", keys=["user_id"], order_col="ts",
+    )
+    assert again == []
+    assert lakehouse.read_delta(spark, table).count() == len(expected)
