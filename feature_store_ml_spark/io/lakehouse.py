@@ -207,6 +207,16 @@ def read_delta(
             )
     part_cols = meta.get("partitionColumns") or []
     if not part_cols:
+        # Read with the DECLARED schema when the log carries one: after
+        # schema evolution (mergeSchema append) older files miss the new
+        # columns, and a bare multi-file read would silently adopt the
+        # first file's schema — the declared schema makes parquet fill the
+        # missing columns with null, exactly like delta-spark.
+        if meta.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            return spark.read.schema(declared).parquet(*files)
         return spark.read.parquet(*files)
     # Partitioned table: partition values live in file PATHS (Hive layout)
     # or the log's add.partitionValues, NOT in the parquet files — a bare
@@ -479,20 +489,36 @@ def _next_version(log: str) -> int:
         for name in os.listdir(log)
         if name.endswith(".json") and name[:20].isdigit()
     ]
-    return max(versions) + 1 if versions else 0
+    # after log cleanup the checkpoint may be the newest version marker —
+    # without it the next commit would restart at 0 and corrupt the table
+    ckpt_version, _ = _latest_checkpoint(log)
+    versions.append(ckpt_version)
+    newest = max(versions)
+    return newest + 1 if newest >= 0 else 0
 
 
-def last_txn_version(path: str, app_id: str) -> int:
-    """Highest committed `txn` version for ``app_id`` in the table's log
-    (-1 when none): the Delta protocol's idempotent-writer handshake —
-    a streaming sink records (appId, batchId) in each commit and skips
-    batches it already wrote."""
-    if not is_delta_table(path):
-        return -1
+def _collect_txns(path: str) -> dict[str, int]:
+    """Latest `txn` version per appId, reconciled from the newest
+    checkpoint (which preserves txn actions — PROTOCOL.md requires it,
+    else log cleanup would silently reset the exactly-once handshake) plus
+    the JSON commits after it."""
     log = _delta_log_dir(path)
-    best = -1
+    best: dict[str, int] = {}
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    if ckpt_files:
+        import pyarrow.parquet as pq
+
+        for f in ckpt_files:
+            for row in pq.read_table(f).to_pylist():
+                t = row.get("txn")
+                if t and t.get("appId") is not None:
+                    best[t["appId"]] = max(
+                        best.get(t["appId"], -1), int(t.get("version", -1))
+                    )
     for name in sorted(os.listdir(log)):
         if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        if int(name[:20]) <= ckpt_version:
             continue
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
@@ -501,9 +527,122 @@ def last_txn_version(path: str, app_id: str) -> int:
                     continue
                 action = json.loads(line)
                 txn = action.get("txn")
-                if txn and txn.get("appId") == app_id:
-                    best = max(best, int(txn.get("version", -1)))
+                if txn and txn.get("appId") is not None:
+                    best[txn["appId"]] = max(
+                        best.get(txn["appId"], -1), int(txn.get("version", -1))
+                    )
     return best
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed `txn` version for ``app_id`` in the table's log
+    (-1 when none): the Delta protocol's idempotent-writer handshake —
+    a streaming sink records (appId, batchId) in each commit and skips
+    batches it already wrote. Survives checkpoint + log cleanup (txn state
+    is carried into checkpoints)."""
+    if not is_delta_table(path):
+        return -1
+    return _collect_txns(path).get(app_id, -1)
+
+
+def checkpoint_delta(path: str) -> int:
+    """Write a checkpoint of the CURRENT snapshot (PROTOCOL.md
+    §checkpoints): one ``<v>.checkpoint.parquet`` holding the reconciled
+    action state — protocol, metaData, every live `add` (with its
+    partitionValues, re-derived from the Hive path), and the latest `txn`
+    per appId — plus the ``_last_checkpoint`` pointer real readers consult.
+
+    This bounds log-replay cost: a streaming sink committing once a minute
+    accumulates 1440 JSON commits a day, and every snapshot build replays
+    all of them; after a checkpoint, readers parse ONE parquet plus the
+    JSON tail. Pair with ``cleanup_delta_log`` to actually drop the old
+    JSON files. Driver-side and O(#live files + #apps) — the same
+    materialization every Delta writer's checkpointing does.
+
+    Returns the checkpointed version. No-op (returns the existing
+    checkpoint version) when nothing was committed since the last one.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = _delta_log_dir(path)
+    ckpt_version, _ = _latest_checkpoint(log)
+    json_versions = [
+        int(n[:20])
+        for n in os.listdir(log)
+        if n.endswith(".json") and n[:20].isdigit()
+    ]
+    if not json_versions or max(json_versions) <= ckpt_version:
+        return ckpt_version  # nothing new since the last checkpoint
+    version = max(json_versions)
+    files, meta = _replay_log(path)
+    txns = _collect_txns(path)
+    base = {"protocol": None, "metaData": None, "add": None, "txn": None}
+    rows: list[dict] = [
+        {**base, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    ]
+    if meta:
+        keep = ("id", "name", "description", "schemaString",
+                "partitionColumns", "createdTime")
+        md = {k: meta[k] for k in keep if k in meta}
+        # parquet cannot hold empty structs; keep format as provider-only
+        provider = (meta.get("format") or {}).get("provider", "parquet")
+        md["format"] = {"provider": provider}
+        rows.append({**base, "metaData": md})
+    for app_id, v in sorted(txns.items()):
+        rows.append({**base, "txn": {"appId": app_id, "version": v}})
+    now_ms = int(__import__("time").time() * 1000)
+    for f in files:
+        rel = os.path.relpath(f, path)
+        rows.append(
+            {
+                **base,
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    # None (not {}) when unpartitioned: parquet rejects
+                    # empty structs; readers treat absent as no partitions
+                    "partitionValues": _hive_partition_values(
+                        os.path.dirname(rel)
+                    ) or None,
+                    "size": os.path.getsize(f) if os.path.exists(f) else 0,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                },
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
+
+
+def cleanup_delta_log(path: str) -> list[str]:
+    """Delete JSON commits already captured by the newest checkpoint (and
+    superseded older checkpoints). The forward path stays intact — readers
+    resolve checkpoint + JSON tail; incremental reads and time travel into
+    the cleaned range FAIL LOUDLY (read_delta_changes' contiguity check,
+    the time-travel guard) instead of returning partial history. Returns
+    the deleted file names."""
+    log = _delta_log_dir(path)
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    if ckpt_version < 0:
+        return []
+    doomed = [
+        n
+        for n in os.listdir(log)
+        if (n.endswith(".json") and n[:20].isdigit() and int(n[:20]) <= ckpt_version)
+        or (
+            ".checkpoint." in n
+            and n.endswith(".parquet")
+            and os.path.join(log, n) not in ckpt_files
+        )
+    ]
+    for n in doomed:
+        os.remove(os.path.join(log, n))
+    return sorted(doomed)
 
 
 def _hive_partition_values(rel_dir: str) -> dict[str, str | None]:
@@ -529,6 +668,7 @@ def write_delta(
     mode: str = "append",
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -597,6 +737,7 @@ def write_delta(
     existing = is_delta_table(path)
     prior_files: list[str] = []
     table_meta: dict = {}
+    evolved_schema_json: str | None = None
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
@@ -610,20 +751,49 @@ def write_delta(
         if mode == "append" and meta.get("schemaString"):
             # Delta validates appends against the table schema — without
             # this, a drifted producer writes files the declared schema
-            # cannot read back (silent corruption). Schema EVOLUTION
-            # (mergeSchema) is a metaData-rewrite feature this fallback
-            # does not implement, so mismatches fail loudly.
-            from pyspark.sql.types import StructType
+            # cannot read back (silent corruption). With ``merge_schema``
+            # (Delta's mergeSchema) the batch may ADD nullable columns:
+            # the commit re-emits metaData with the widened schema and the
+            # reader backfills old files with null. Dropping or re-typing
+            # a column stays fail-loud either way.
+            from pyspark.sql.types import StructField, StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
             got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
             want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
-            if got != want:
+            if got != want and not merge_schema:
                 raise ValueError(
                     f"{path}: append schema mismatch — table declares "
-                    f"{want}, batch carries {got}; schema evolution is not "
-                    "implemented (rewrite via mode='overwrite')"
+                    f"{want}, batch carries {got}; pass merge_schema=True "
+                    "to add columns, or rewrite via mode='overwrite'"
                 )
+            if got != want:
+                if partition_by:
+                    raise NotImplementedError(
+                        f"{path}: schema evolution on a partitioned append "
+                        "is not implemented"
+                    )
+                got_map = dict(got)
+                for n, t in want:
+                    if n not in got_map:
+                        raise ValueError(
+                            f"{path}: schema evolution cannot DROP column "
+                            f"{n!r} — the batch must carry every declared column"
+                        )
+                    if got_map[n] != t:
+                        raise ValueError(
+                            f"{path}: schema evolution cannot change column "
+                            f"{n!r} from {t} to {got_map[n]}"
+                        )
+                declared_names = {n for n, _ in want}
+                new_fields = [
+                    StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name not in declared_names
+                ]
+                evolved = StructType(list(declared.fields) + new_fields)
+                df = df.select(*[fld.name for fld in evolved.fields])
+                evolved_schema_json = evolved.json()
         if mode == "overwrite":
             prior_files = [os.path.relpath(f, path) for f in prior_live]
 
@@ -684,6 +854,21 @@ def write_delta(
                     "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": now_ms,
+                }
+            }
+        )
+    elif evolved_schema_json is not None:
+        # schema evolution: re-emit metaData with the widened schema (same
+        # table id) — readers take the LAST metaData action
+        actions.append(
+            {
+                "metaData": {
+                    "id": table_meta.get("id") or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved_schema_json,
+                    "partitionColumns": table_meta.get("partitionColumns") or [],
+                    "configuration": table_meta.get("configuration") or {},
+                    "createdTime": table_meta.get("createdTime") or now_ms,
                 }
             }
         )
@@ -881,7 +1066,7 @@ def merge_delta(
             )
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
-            spark, source, path, keys, when_matched, txn, files, table_cols,
+            spark, source, path, keys, when_matched, txn, files, declared,
             src_keys, newer_wins_col,
         )
     finally:
@@ -896,18 +1081,19 @@ def _merge_rewrite(
     when_matched: str,
     txn: tuple[str, int] | None,
     files: list[str],
-    table_cols: list[str],
-    src_keys: DataFrame,
+    declared,  # StructType — files are read with it so post-evolution
+    src_keys: DataFrame,  # tables backfill missing columns as null
     newer_wins_col: str | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
+    table_cols = [f.name for f in declared.fields]
     if not files:
         touched_abs: list[str] = []
     else:
         from urllib.parse import unquote, urlparse
 
-        target = spark.read.parquet(*files)
+        target = spark.read.schema(declared).parquet(*files)
         touched_abs = [
             unquote(urlparse(r["_fp"]).path)
             for r in (
@@ -922,7 +1108,7 @@ def _merge_rewrite(
     if when_matched == "update" and newer_wins_col is None:
         new_rows = source.select(*table_cols)
         if touched_abs:
-            kept = spark.read.parquet(*touched_abs).join(
+            kept = spark.read.schema(declared).parquet(*touched_abs).join(
                 src_keys, on=list(keys), how="left_anti"
             )
             new_rows = kept.select(*table_cols).unionByName(new_rows)
@@ -935,7 +1121,7 @@ def _merge_rewrite(
 
         src_tagged = source.select(*table_cols).withColumn("_src", F.lit(1))
         if touched_abs:
-            tgt = spark.read.parquet(*touched_abs).select(*table_cols)
+            tgt = spark.read.schema(declared).parquet(*touched_abs).select(*table_cols)
             matched_tgt = tgt.join(src_keys, on=list(keys), how="left_semi")
             unmatched_tgt = tgt.join(src_keys, on=list(keys), how="left_anti")
             cand = matched_tgt.withColumn("_src", F.lit(0)).unionByName(src_tagged)
@@ -968,7 +1154,7 @@ def _merge_rewrite(
                     ],
                 )
             return _next_version(_delta_log_dir(path)) - 1
-        new_rows = spark.read.parquet(*touched_abs).join(
+        new_rows = spark.read.schema(declared).parquet(*touched_abs).join(
             src_keys, on=list(keys), how="left_anti"
         ).select(*table_cols)
 

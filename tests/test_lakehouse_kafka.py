@@ -874,3 +874,144 @@ def test_stream_to_delta_upsert_latest_per_key(spark, tmp_path, sf_dir):
     )
     assert again == []
     assert lakehouse.read_delta(spark, table).count() == len(expected)
+
+
+# ------------------------------------------------- schema evolution ----
+
+
+def test_delta_schema_evolution_append(spark, tmp_path):
+    """mergeSchema append: a batch with an extra column widens the declared
+    schema (metaData re-emitted), and the reader backfills old files with
+    null for the new column."""
+    root = str(tmp_path / "ev")
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"), root
+    )
+    batch2 = spark.createDataFrame(
+        [(3, 30.0, "new")], "id long, v double, tag string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        lakehouse.write_delta(spark, batch2, root, mode="append")
+    lakehouse.write_delta(spark, batch2, root, mode="append", merge_schema=True)
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "v", "tag"]
+    got = {r.id: r.tag for r in back.collect()}
+    assert got == {1: None, 2: None, 3: "new"}
+    # the widened schema is now the declared one: plain appends must carry it
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(4, 40.0, "t4")], "id long, v double, tag string"),
+        root, mode="append",
+    )
+    assert lakehouse.read_delta(spark, root).count() == 4
+
+
+def test_delta_schema_evolution_rejects_drop_and_retype(spark, tmp_path):
+    root = str(tmp_path / "ev")
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(1, 10.0)], "id long, v double"), root
+    )
+    with pytest.raises(ValueError, match="DROP"):
+        lakehouse.write_delta(
+            spark, spark.createDataFrame([(2,)], "id long"), root,
+            mode="append", merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="cannot change column"):
+        lakehouse.write_delta(
+            spark, spark.createDataFrame([(2, "s")], "id long, v string"), root,
+            mode="append", merge_schema=True,
+        )
+
+
+def test_merge_into_evolved_table(spark, tmp_path):
+    """MERGE after evolution: touched files written BEFORE the widening
+    lack the new column; the rewrite must read them with the declared
+    schema (null backfill) instead of crashing or silently dropping it."""
+    root = str(tmp_path / "ev")
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"), root
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(3, 30.0, "t3")], "id long, v double, tag string"),
+        root, mode="append", merge_schema=True,
+    )
+    src = spark.createDataFrame(
+        [(1, 99.0, "upd"), (4, 44.0, "ins")], "id long, v double, tag string"
+    )
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: (r.v, r.tag) for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {
+        1: (99.0, "upd"),
+        2: (20.0, None),  # pre-evolution row survives with null backfill
+        3: (30.0, "t3"),
+        4: (44.0, "ins"),
+    }
+
+
+# --------------------------------------------- checkpoint writer/cleanup ----
+
+
+def test_checkpoint_write_cleanup_roundtrip(spark, tmp_path):
+    """The log-lifecycle loop: commits → checkpoint → JSON cleanup. The
+    snapshot, the txn handshake, and the next-version counter must all
+    survive on the checkpoint alone."""
+    root = str(tmp_path / "ck")
+    df = spark.range(10).select("id")
+    lakehouse.write_delta(spark, df, root)
+    lakehouse.write_delta(spark, df, root, mode="append", txn=("app", 7))
+    lakehouse.write_delta(spark, df, root, mode="append")
+    v = lakehouse.checkpoint_delta(root)
+    assert v == 2
+    removed = lakehouse.cleanup_delta_log(root)
+    assert [n for n in removed if n.endswith(".json")] == [
+        f"{i:020d}.json" for i in range(3)
+    ]
+    # snapshot intact from checkpoint alone
+    assert lakehouse.read_delta(spark, root).count() == 30
+    # txn handshake survives cleanup (exactly-once would silently break otherwise)
+    assert lakehouse.last_txn_version(root, "app") == 7
+    again = lakehouse.write_delta(spark, df, root, mode="append", txn=("app", 7))
+    assert again == 7  # still skipped
+    assert lakehouse.read_delta(spark, root).count() == 30
+    # next commit continues the version sequence (not 0)
+    v3 = lakehouse.write_delta(spark, df, root, mode="append")
+    assert v3 == 3
+    assert lakehouse.read_delta(spark, root).count() == 40
+
+
+def test_checkpoint_noop_when_nothing_new(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    v1 = lakehouse.checkpoint_delta(root)
+    v2 = lakehouse.checkpoint_delta(root)
+    assert v1 == v2 == 0
+
+
+def test_cleanup_blocks_incremental_into_cleaned_range(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    df = spark.range(5).select("id")
+    lakehouse.write_delta(spark, df, root)
+    lakehouse.write_delta(spark, df, root, mode="append")
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    lakehouse.write_delta(spark, df, root, mode="append")
+    with pytest.raises(ValueError, match="not in the JSON log"):
+        lakehouse.read_delta_changes(spark, root, since_version=0)
+    # the uncleaned tail still reads incrementally
+    inc = lakehouse.read_delta_changes(spark, root, since_version=1)
+    assert inc.count() == 5
+
+
+def test_checkpoint_partitioned_table_preserves_partition_values(spark, tmp_path):
+    root = str(tmp_path / "ckp")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "id long, grp string"
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    back = lakehouse.read_delta(spark, root)
+    assert {(r.id, r.grp) for r in back.collect()} == {
+        (i, "ab"[i % 2]) for i in range(10)
+    }
