@@ -481,6 +481,81 @@ def write_iceberg(
     return snap_id
 
 
+def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
+    """Snapshot expiration — Iceberg's table-maintenance twin of Delta
+    vacuum + log cleanup: keep only the newest ``keep`` snapshots, write a
+    new metadata version without the expired ones, and delete every file
+    only they referenced (their manifest lists, manifests, and data files
+    not live in any kept snapshot). Without this, an append-every-minute
+    table accumulates unbounded metadata AND unbounded dead data bytes.
+
+    Driver-side and metadata-sized (same walk the reader does); the
+    deletes are local-filesystem here, object-store deletes in production.
+    Incremental reads FROM an expired snapshot fail loudly afterwards
+    (snapshot id no longer in metadata) — same honesty contract as the
+    Delta cleanup path. Returns {"snapshots": [...ids], "files": [...]}.
+    """
+    import uuid
+
+    meta = _load_metadata(path)
+    snapshots = sorted(meta.get("snapshots", []), key=lambda s: s["snapshot-id"])
+    if keep < 1:
+        raise ValueError("expire_iceberg_snapshots: keep must be >= 1")
+    if len(snapshots) <= keep:
+        return {"snapshots": [], "files": []}
+    kept, expired = snapshots[-keep:], snapshots[:-keep]
+
+    def _snapshot_refs(snap: dict) -> tuple[set[str], set[str]]:
+        """(metadata files, data files) one snapshot references."""
+        mlist = _localize(snap["manifest-list"], path)
+        meta_files, data_files = {mlist}, set()
+        for entry in avro_lite.read_container(mlist):
+            mp = _localize(entry["manifest_path"], path)
+            meta_files.add(mp)
+            for m in avro_lite.read_container(mp):
+                if m.get("status") != _STATUS_DELETED:
+                    data_files.add(_localize(m["data_file"]["file_path"], path))
+        return meta_files, data_files
+
+    kept_meta: set[str] = set()
+    kept_data: set[str] = set()
+    for s in kept:
+        mf, df_ = _snapshot_refs(s)
+        kept_meta |= mf
+        kept_data |= df_
+    doomed_files: set[str] = set()
+    for s in expired:
+        mf, df_ = _snapshot_refs(s)
+        doomed_files |= (mf - kept_meta) | (df_ - kept_data)
+
+    # new metadata version: kept snapshots only (atomic rename commit)
+    mp = latest_metadata_path(path)
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    meta["snapshots"] = kept
+    meta_dir = os.path.join(path, "metadata")
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"{path}: metadata v{new_version} was committed concurrently"
+        )
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    for f in sorted(doomed_files):
+        if os.path.exists(f):
+            os.remove(f)
+    return {
+        "snapshots": [s["snapshot-id"] for s in expired],
+        "files": sorted(doomed_files),
+    }
+
+
 def read_iceberg(spark: SparkSession, path: str) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed

@@ -445,3 +445,42 @@ def test_iceberg_format_version_drift_rejected(spark, tmp_path):
     iceberg.write_iceberg(spark, spark.range(5).select("id"), root, format_version=1)
     with pytest.raises(ValueError, match="format-version"):
         iceberg.write_iceberg(spark, spark.range(5).select("id"), root, format_version=2)
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """Snapshot expiration: old snapshots leave the metadata (their
+    manifest lists deleted), the current snapshot still reads every row
+    (append-only: data files are shared forward through reused manifests),
+    and incremental reads FROM an expired snapshot fail loudly."""
+    root = str(tmp_path / "w")
+    s1 = iceberg.write_iceberg(spark, spark.range(0, 10).select("id"), root)
+    s2 = iceberg.write_iceberg(spark, spark.range(10, 20).select("id"), root)
+    s3 = iceberg.write_iceberg(spark, spark.range(20, 30).select("id"), root)
+    report = iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert report["snapshots"] == [s1, s2]
+    assert report["files"]  # the expired snapshots' manifest lists
+    meta = iceberg._load_metadata(root)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [s3]
+    assert sorted(r.id for r in iceberg.read_iceberg(spark, root).collect()) == list(
+        range(30)
+    )
+    with pytest.raises(ValueError, match="not in metadata"):
+        iceberg.read_iceberg_changes(spark, root, from_snapshot_id=s1)
+
+
+def test_iceberg_expire_keeps_requested_window(spark, tmp_path):
+    root = str(tmp_path / "w")
+    ids = [
+        iceberg.write_iceberg(spark, spark.range(i * 5, (i + 1) * 5).select("id"), root)
+        for i in range(4)
+    ]
+    iceberg.expire_iceberg_snapshots(root, keep=2)
+    meta = iceberg._load_metadata(root)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == ids[-2:]
+    # diff between the two KEPT snapshots still works
+    inc = iceberg.read_iceberg_changes(spark, root, from_snapshot_id=ids[-2])
+    assert sorted(r.id for r in inc.collect()) == list(range(15, 20))
+    # no-op when nothing to expire
+    assert iceberg.expire_iceberg_snapshots(root, keep=5) == {
+        "snapshots": [], "files": [],
+    }

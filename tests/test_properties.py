@@ -130,3 +130,56 @@ def test_packing_invariants_random(spark, tokens, budget):
     assert (over.n == 1).all()
     solo_over = out[out.shard_id.isin(over.index)]
     assert (solo_over.n_tokens > budget).all()
+
+
+@given(
+    data=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from("pqr"), st.integers(0, 30), st.integers(0, 99)
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_newer_wins_matches_reference_model(spark, tmp_path_factory, data):
+    """Conditional MERGE (newer-wins) vs a driver-side reference model:
+    after any sequence of keyed batches, the table holds exactly
+    max-ts-per-key (strictly-newer replaces; within-batch keys unique by
+    construction; (key, ts) pairs globally unique so ties can't make the
+    model ambiguous)."""
+    from feature_store_ml_spark.io import lakehouse
+
+    seen_kts: set = set()
+    batches = []
+    for raw in data:
+        seen_k: set = set()
+        batch = []
+        for k, t, v in raw:
+            if k in seen_k or (k, t) in seen_kts:
+                continue
+            seen_k.add(k)
+            seen_kts.add((k, t))
+            batch.append((k, t, v))
+        if batch:
+            batches.append(batch)
+    if not batches:
+        return
+    root = str(tmp_path_factory.mktemp("merge")) + "/t"
+    model: dict = {}
+    for b in batches:
+        df = spark.createDataFrame(b, "k string, ts long, v long")
+        lakehouse.merge_delta(spark, df, root, keys=["k"], newer_wins_col="ts")
+        for k, t, v in b:
+            if k not in model or t > model[k][0]:
+                model[k] = (t, v)
+    got = {r.k: (r.ts, r.v) for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == model
