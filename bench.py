@@ -63,6 +63,7 @@ HEADLINE = [
     # append + snapshot-diff, not just reads
     "e12_feature_upsert",
     "e1_iceberg_snapshot_diff",
+    "e1_delta_partitioned",
 ]
 
 
