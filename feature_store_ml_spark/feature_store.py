@@ -159,6 +159,22 @@ class FeatureStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return lakehouse.read_delta(spark, self.groups[name].table_path(self.root))
 
+    def maintain(self, name: str) -> dict:
+        """Table maintenance for one group — the scheduled job a streaming
+        or daily materialization needs to stay healthy: checkpoint the log
+        (bounds snapshot-build cost), drop the JSON commits the checkpoint
+        captured, and vacuum dead data files (upsert/overwrite tombstones).
+        All driver-side metadata work; returns what was done."""
+        path = self.groups[name].table_path(self.root)
+        version = lakehouse.checkpoint_delta(path)
+        cleaned = lakehouse.cleanup_delta_log(path)
+        vacuumed = lakehouse.vacuum_delta(path)
+        return {
+            "checkpoint_version": version,
+            "log_files_removed": cleaned,
+            "data_files_removed": vacuumed,
+        }
+
     def serve(
         self,
         spark: SparkSession,

@@ -159,6 +159,39 @@ def test_materialize_upsert_keeps_latest_per_key(spark, tmp_path):
     assert got2 == got
 
 
+def test_maintain_checkpoints_cleans_and_vacuums(spark, tmp_path):
+    """The scheduled-maintenance loop on a mutated feature table: after
+    several upserts, maintain() checkpoints the log, drops captured JSON
+    commits, and vacuums merge tombstones — and the table still reads the
+    same rows with its txn handshake intact."""
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(_rowlocal_group())
+    for rv, day in ((1, 1), (2, 2), (3, 3)):
+        batch = spark.createDataFrame(
+            [(1, datetime(2024, 1, day, 9), float(day)),
+             (2, datetime(2024, 1, day, 9), float(day * 10))],
+            "user_id long, ts timestamp_ntz, value double",
+        )
+        fs.materialize_upsert(spark, batch, "row_local", run_version=rv)
+    before = {(r.user_id, r.double_value)
+              for r in fs.read(spark, "row_local").collect()}
+    report = fs.maintain("row_local")
+    assert report["checkpoint_version"] >= 2
+    assert report["log_files_removed"]  # captured JSON commits dropped
+    assert report["data_files_removed"]  # upsert tombstones vacuumed
+    after = {(r.user_id, r.double_value)
+             for r in fs.read(spark, "row_local").collect()}
+    assert after == before == {(1, 6.0), (2, 60.0)}
+    # txn survives maintenance: replaying run 3 is still a no-op
+    stale = spark.createDataFrame(
+        [(1, datetime(2024, 2, 1, 0), 99.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    fs.materialize_upsert(spark, stale, "row_local", run_version=3)
+    assert {(r.user_id, r.double_value)
+            for r in fs.read(spark, "row_local").collect()} == before
+
+
 def test_serve_multiple_groups_different_cadences(spark, tmp_path, sf_dir):
     fs = FeatureStore(root=str(tmp_path / "fs"))
     fs.register(_daily_group())
