@@ -2044,6 +2044,46 @@ def e13_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stream_ewma(spark, sf_dir, alpha=0.3)
 
 
+@register(
+    "e13_stream_upsert",
+    """
+    SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id
+    """,
+)
+def e13_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert — feature materialization's end state: a real
+    Structured Streaming replay of the events table merges newest-per-key
+    micro-batches into a Delta table with strictly-newer-wins semantics
+    (streaming/events.stream_to_delta mode='upsert' →
+    lakehouse.merge_delta newer_wins_col), converging to ONE row per user
+    at that user's max event timestamp REGARDLESS of micro-batch order —
+    which is why the (user_id, ts) projection is exactly oracle-able as
+    the batch max-ts aggregate. (The VALUE carried by a ts-tied winner is
+    replay-order-dependent, so it stays out of the projection; the full
+    row semantics are pytest-verified.)"""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    base = f"{tempfile.gettempdir()}/fsml_stream_upsert"
+    shutil.rmtree(base, ignore_errors=True)
+    stream = streaming_events._streaming_events(spark, sf_dir).select(
+        "user_id", "ts", "value"
+    )
+    streaming_events.stream_to_delta(
+        spark,
+        stream,
+        f"{base}/table",
+        app_id="e13_upsert",
+        checkpoint_dir=f"{base}/ckpt",
+        mode="upsert",
+        keys=["user_id"],
+        order_col="ts",
+    )
+    return lakehouse.read_delta(spark, f"{base}/table").select("user_id", "ts")
+
+
 @register("e14_knn_pandas_udf", None)  # np.round ties differ from SQL round
 def e14_knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized Pandas-UDF k-NN (Arrow batches + one numpy matmul per
@@ -3883,6 +3923,7 @@ _FINAL_ORDER = [
     "e11_quality_score",
     "e11_fingerprint",
     "e12_pit_join",
+    "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
     # rows-only (no oracle by design)
     "e4_approx_count_distinct",
     "e4_approx_percentile",
