@@ -166,6 +166,106 @@ def _active_files(path: str) -> list[str]:
     return _replay_log(path)[0]
 
 
+def _scan_files(spark: SparkSession, path: str, files: list[str], meta: dict) -> DataFrame:
+    """Scan a SUBSET of a snapshot's data files with the table's declared
+    schema — the one scan primitive every fallback path (full read, MERGE
+    rewrite, compaction) shares.
+
+    Unpartitioned: a declared-schema parquet read, so files written before
+    a schema evolution backfill the added columns with null (delta-spark's
+    semantics) instead of silently adopting the first file's schema.
+
+    Partitioned: partition values live in the Hive directory components,
+    NOT in the parquet files, so the read goes through ``basePath``
+    reconstruction and then casts/reorders the directory-derived columns to
+    the DECLARED schema (directory values are type-inferred and land last).
+    Fail-loud when the layout is not Hive-style — handing back a frame
+    missing the partition columns would be silent corruption.
+    """
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        if meta.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            return spark.read.schema(declared).parquet(*files)
+        return spark.read.parquet(*files)
+    rel = [os.path.relpath(f, path) for f in files]
+    hive_style = all(
+        all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(part_cols))
+        for r in rel
+        if len(r.split(os.sep)) > len(part_cols)
+    ) and all(len(r.split(os.sep)) > len(part_cols) for r in rel)
+    if not hive_style:
+        raise NotImplementedError(
+            f"{path}: partitioned Delta table ({part_cols}) without "
+            "Hive-style directory layout — the fallback cannot reconstruct "
+            "partition columns; read with delta-spark on the classpath"
+        )
+    df = spark.read.option("basePath", path).parquet(*files)
+    # align column order and partition-column types with the declared schema
+    # (directory-derived values are type-INFERRED and land at the end)
+    try:
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        from pyspark.sql import functions as F
+
+        return df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                if c in part_cols and isinstance(types[c], str)
+                else F.col(c)
+                for c in names
+            ]
+        )
+    except (KeyError, ValueError, TypeError):
+        return df
+
+
+def _promote_staged(
+    staging: str, path: str, now_ms: int, data_change: bool
+) -> list[dict]:
+    """Move a staging dir's parquet files into the table root under unique
+    names, PRESERVING Hive partition dirs, and return the matching ``add``
+    actions (per-file partitionValues parsed from the directory components).
+    Driver-side, O(#files) renames — the same metadata work any Delta
+    writer's commit phase does. Zero-byte files are dropped (an empty
+    rewrite partition produces no add)."""
+    import shutil
+    import uuid
+
+    adds: list[dict] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, name)
+            if os.path.getsize(src) == 0:
+                continue
+            final_rel = os.path.join(rel_dir, f"part-{uuid.uuid4().hex}.parquet")
+            size = os.path.getsize(src)
+            os.makedirs(
+                os.path.dirname(os.path.join(path, final_rel)) or path, exist_ok=True
+            )
+            os.rename(src, os.path.join(path, final_rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel.replace(os.sep, "/"),
+                        "partitionValues": _hive_partition_values(rel_dir),
+                        "size": size,
+                        "modificationTime": now_ms,
+                        "dataChange": data_change,
+                    }
+                }
+            )
+    shutil.rmtree(staging)  # _SUCCESS, .crc files, emptied partition dirs
+    return adds
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -205,54 +305,11 @@ def read_delta(
                 f"{path}: snapshot v{version} references vacuumed files "
                 f"(e.g. {os.path.basename(gone[0])}) — history is gone"
             )
-    part_cols = meta.get("partitionColumns") or []
-    if not part_cols:
-        # Read with the DECLARED schema when the log carries one: after
-        # schema evolution (mergeSchema append) older files miss the new
-        # columns, and a bare multi-file read would silently adopt the
-        # first file's schema — the declared schema makes parquet fill the
-        # missing columns with null, exactly like delta-spark.
-        if meta.get("schemaString"):
-            from pyspark.sql.types import StructType
-
-            declared = StructType.fromJson(json.loads(meta["schemaString"]))
-            return spark.read.schema(declared).parquet(*files)
-        return spark.read.parquet(*files)
-    # Partitioned table: partition values live in file PATHS (Hive layout)
-    # or the log's add.partitionValues, NOT in the parquet files — a bare
-    # multi-file read would silently return a schema MISSING those columns.
-    # When the layout is Hive-style (delta-spark's writer default), a
-    # basePath read recovers them; otherwise fail loudly rather than hand
-    # back the wrong schema.
-    rel = [os.path.relpath(f, path) for f in files]
-    hive_style = all(
-        all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(part_cols))
-        for r in rel
-        if len(r.split(os.sep)) > len(part_cols)
-    ) and all(len(r.split(os.sep)) > len(part_cols) for r in rel)
-    if not hive_style:
-        raise NotImplementedError(
-            f"{path}: partitioned Delta table ({part_cols}) without "
-            "Hive-style directory layout — the fallback cannot reconstruct "
-            "partition columns; read with delta-spark on the classpath"
-        )
-    df = spark.read.option("basePath", path).parquet(*files)
-    # align column order and partition-column types with the declared schema
-    # (directory-derived values are type-INFERRED and land at the end)
-    try:
-        schema = json.loads(meta["schemaString"])
-        names = [f["name"] for f in schema["fields"]]
-        types = {f["name"]: f["type"] for f in schema["fields"]}
-        from pyspark.sql import functions as F
-
-        return df.select(
-            *[
-                F.col(c).cast(types[c]).alias(c) if c in part_cols and isinstance(types[c], str) else F.col(c)
-                for c in names
-            ]
-        )
-    except (KeyError, ValueError, TypeError):
-        return df
+    # Unpartitioned: declared-schema read (schema-evolution backfill).
+    # Partitioned: partition values live in file PATHS (Hive layout), NOT in
+    # the parquet files — _scan_files reconstructs them via basePath and
+    # casts them to the declared schema, failing loudly on non-Hive layouts.
+    return _scan_files(spark, path, files, meta)
 
 
 def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
@@ -368,54 +425,90 @@ def compact_delta(
     and multi-dimension predicates skip whole files at scan time. Same
     commit shape (dataChange: false) — readers see identical rows, faster.
 
+    PARTITIONED tables compact per partition (Delta's OPTIMIZE semantics —
+    files never span partitions): each Hive dir's live files are rewritten
+    to ceil(dir bytes / target_file_bytes) outputs. All partition rows
+    hash-route to one task (`repartition(n, *part_cols)`), so the common
+    partition collapses to ONE file; oversized partitions get a salt column
+    so they split across tasks instead of bottlenecking one. With
+    ``zorder_by`` the rows are additionally Morton-sorted WITHIN each
+    partition (`sortWithinPartitions(part_cols + _zkey)`) — Delta's ZORDER
+    clusters inside partitions, never across them.
+
     The rewrite itself is a distributed read+write of the live set; only
     renames and the commit append touch the driver. Returns the committed
-    version. Fail-loud on partitioned tables (same limit as write_delta).
+    version.
     """
     import uuid
     import time as _time
 
+    from pyspark.sql import functions as F
+
     files, meta = _replay_log(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            f"{path}: compaction of partitioned tables is not implemented"
-        )
+    part_cols = meta.get("partitionColumns") or []
     if not files:
         raise ValueError(f"{path}: nothing to compact (empty snapshot)")
-    if target_files is None:
-        total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
-        target_files = max(1, -(-total // target_file_bytes))
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    live = spark.read.parquet(*files)
-    if zorder_by:
-        from ..operators.layout import zorder_layout
+    live = _scan_files(spark, path, files, meta)
+    if not part_cols:
+        if target_files is None:
+            total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+            target_files = max(1, -(-total // target_file_bytes))
+        if zorder_by:
+            from ..operators.layout import zorder_layout
 
-        rewritten = zorder_layout(live, zorder_by, target_files)
+            rewritten = zorder_layout(live, zorder_by, target_files)
+        else:
+            rewritten = live.coalesce(target_files)
+        rewritten.write.parquet(staging)
     else:
-        rewritten = live.coalesce(target_files)
-    rewritten.write.parquet(staging)
+        # per-partition bin-packing: dir stats come free from the driver's
+        # file list (the same O(#files) metadata the log replay already
+        # holds) — no extra Spark job to size the rewrite
+        dir_bytes: dict[str, int] = {}
+        for f in files:
+            rel_dir = os.path.dirname(os.path.relpath(f, path))
+            dir_bytes[rel_dir] = dir_bytes.get(rel_dir, 0) + (
+                os.path.getsize(f) if os.path.exists(f) else 0
+            )
+        n_out = {d: max(1, -(-b // target_file_bytes)) for d, b in dir_bytes.items()}
+        target_files = sum(n_out.values())
+        oversized = {d: n for d, n in n_out.items() if n > 1}
+        if oversized:
+            # salt ONLY the oversized partitions so they spread across
+            # `n` tasks; a when-chain over the (few) hot dirs beats a join
+            # — if most partitions were oversized, per-partition targets
+            # would all be 1 at a sane target_file_bytes anyway
+            salt = F.lit(0)
+            for rel_dir, n in oversized.items():
+                vals = _hive_partition_values(rel_dir)
+                cond = F.lit(True)
+                for c in part_cols:
+                    v = vals.get(c)
+                    cond = cond & (
+                        F.col(c).isNull()
+                        if v is None
+                        else (F.col(c).cast("string") == F.lit(v))
+                    )
+                salt = F.when(
+                    cond,
+                    F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n)),
+                ).otherwise(salt)
+            routed = live.withColumn("_salt", salt).repartition(
+                target_files, *part_cols, "_salt"
+            )
+        else:
+            routed = live.repartition(target_files, *part_cols)
+        if zorder_by:
+            from ..operators.layout import zorder_key
+
+            routed = zorder_key(routed.drop("_zkey", "_salt"), zorder_by)
+            routed = routed.sortWithinPartitions(*part_cols, "_zkey").drop("_zkey")
+        else:
+            routed = routed.drop("_salt")
+        routed.write.partitionBy(*part_cols).parquet(staging)
     now_ms = int(_time.time() * 1000)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        size = os.path.getsize(os.path.join(staging, name))
-        os.rename(os.path.join(staging, name), os.path.join(path, final))
-        adds.append(
-            {
-                "add": {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": False,
-                }
-            }
-        )
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    adds = _promote_staged(staging, path, now_ms, data_change=False)
     actions = (
         [
             {
@@ -807,35 +900,10 @@ def write_delta(
     # 2. driver-side metadata: move data files into the table root under
     #    unique names (uuid prefix — two concurrent stages can't collide),
     #    preserving partition dirs; each add records its partitionValues
-    adds = []
-    import shutil
     import time as _time
 
     now_ms = int(_time.time() * 1000)
-    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
-        rel_dir = os.path.relpath(dirpath, staging)
-        rel_dir = "" if rel_dir == "." else rel_dir
-        for name in sorted(filenames):
-            if not name.endswith(".parquet"):
-                continue
-            final_rel = os.path.join(rel_dir, f"part-{uuid.uuid4().hex}.parquet")
-            src = os.path.join(dirpath, name)
-            size = os.path.getsize(src)
-            os.makedirs(os.path.dirname(os.path.join(path, final_rel)) or path,
-                        exist_ok=True)
-            os.rename(src, os.path.join(path, final_rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel.replace(os.sep, "/"),
-                        "partitionValues": _hive_partition_values(rel_dir),
-                        "size": size,
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-    shutil.rmtree(staging)  # _SUCCESS, .crc files, emptied partition dirs
+    adds = _promote_staged(staging, path, now_ms, data_change=True)
 
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
@@ -979,8 +1047,16 @@ def merge_delta(
       handshake (a retried merge with a committed (app_id, version) is a
       no-op returning the committed version).
 
-    Returns the committed version. Fail-loud: partitioned tables (same
-    limit as write_delta), schema drift on update, duplicate source keys.
+    Partitioned tables merge per partition: touched-file discovery and the
+    rewrite go through the Hive-layout partition reconstruction, the
+    rewritten rows land back under their ``col=value/`` dirs with per-file
+    partitionValues, and a row whose partition value CHANGES in the source
+    simply lands in its new directory (copy-on-write makes partition moves
+    free). When a key IS a partition column, Spark prunes the discovery
+    scan to matching directories before reading a byte.
+
+    Returns the committed version. Fail-loud: schema drift on update,
+    duplicate source keys.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(
@@ -1033,11 +1109,6 @@ def merge_delta(
     from pyspark.sql import functions as F
 
     files, meta = _replay_log(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            f"{path}: MERGE into a PARTITIONED Delta table is not "
-            "implemented in the fallback writer"
-        )
     from pyspark.sql.types import StructType
 
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1067,7 +1138,7 @@ def merge_delta(
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
-            src_keys, newer_wins_col,
+            src_keys, newer_wins_col, meta,
         )
     finally:
         key_counts.unpersist()
@@ -1084,33 +1155,49 @@ def _merge_rewrite(
     declared,  # StructType — files are read with it so post-evolution
     src_keys: DataFrame,  # tables backfill missing columns as null
     newer_wins_col: str | None = None,
+    meta: dict | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
+    meta = meta or {}
+    part_cols = meta.get("partitionColumns") or []
     table_cols = [f.name for f in declared.fields]
+    declared_types = {f.name: f.dataType for f in declared.fields}
     if not files:
         touched_abs: list[str] = []
     else:
         from urllib.parse import unquote, urlparse
 
-        target = spark.read.schema(declared).parquet(*files)
+        # Touched-file discovery needs the hidden _metadata column, which a
+        # projection would drop — so the scan here is raw (basePath when
+        # partitioned, since a key may BE a partition column whose values
+        # live only in the dir names), with keys cast to their declared
+        # types so the semi-join matches the source exactly.
+        if part_cols:
+            raw = spark.read.option("basePath", path).parquet(*files)
+        else:
+            raw = spark.read.schema(declared).parquet(*files)
+        target = raw.select(
+            *[F.col(k).cast(declared_types[k]).alias(k) for k in keys],
+            F.col("_metadata.file_path").alias("_fp"),
+        )
         touched_abs = [
             unquote(urlparse(r["_fp"]).path)
             for r in (
-                target.select(*keys, F.col("_metadata.file_path").alias("_fp"))
-                .join(src_keys, on=list(keys), how="left_semi")
+                target.join(src_keys, on=list(keys), how="left_semi")
                 .select("_fp")
                 .distinct()
                 .collect()  # O(#touched files) — driver metadata, never rows
             )
         ]
 
+    def _scan_touched() -> DataFrame:
+        return _scan_files(spark, path, touched_abs, meta).select(*table_cols)
+
     if when_matched == "update" and newer_wins_col is None:
         new_rows = source.select(*table_cols)
         if touched_abs:
-            kept = spark.read.schema(declared).parquet(*touched_abs).join(
-                src_keys, on=list(keys), how="left_anti"
-            )
+            kept = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
             new_rows = kept.select(*table_cols).unionByName(new_rows)
     elif when_matched == "update":
         # conditional update (strictly-newer wins, ties keep target): the
@@ -1121,7 +1208,7 @@ def _merge_rewrite(
 
         src_tagged = source.select(*table_cols).withColumn("_src", F.lit(1))
         if touched_abs:
-            tgt = spark.read.schema(declared).parquet(*touched_abs).select(*table_cols)
+            tgt = _scan_touched()
             matched_tgt = tgt.join(src_keys, on=list(keys), how="left_semi")
             unmatched_tgt = tgt.join(src_keys, on=list(keys), how="left_anti")
             cand = matched_tgt.withColumn("_src", F.lit(0)).unionByName(src_tagged)
@@ -1154,41 +1241,18 @@ def _merge_rewrite(
                     ],
                 )
             return _next_version(_delta_log_dir(path)) - 1
-        new_rows = spark.read.schema(declared).parquet(*touched_abs).join(
-            src_keys, on=list(keys), how="left_anti"
-        ).select(*table_cols)
+        new_rows = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
 
     import uuid
     import time as _time
 
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    new_rows.write.parquet(staging)
+    stage_writer = new_rows.write
+    if part_cols:
+        stage_writer = stage_writer.partitionBy(*part_cols)
+    stage_writer.parquet(staging)
     now_ms = int(_time.time() * 1000)
-    adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(staging, name)
-        if os.path.getsize(src) == 0:
-            os.remove(src)
-            continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
-        size = os.path.getsize(src)
-        os.rename(src, os.path.join(path, final))
-        adds.append(
-            {
-                "add": {
-                    "path": final,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    adds = _promote_staged(staging, path, now_ms, data_change=True)
 
     actions: list[dict] = []
     if txn is not None:
@@ -1198,7 +1262,7 @@ def _merge_rewrite(
     actions.extend(
         {
             "remove": {
-                "path": os.path.relpath(f, path),
+                "path": os.path.relpath(f, path).replace(os.sep, "/"),
                 "dataChange": True,
                 "deletionTimestamp": now_ms,
             }

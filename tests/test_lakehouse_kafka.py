@@ -746,12 +746,154 @@ def test_delta_vacuum_reaches_partition_dirs(spark, tmp_path):
     assert lakehouse.read_delta(spark, root).count() == 2  # live set intact
 
 
-def test_merge_into_partitioned_table_fails_loud(spark, tmp_path):
-    root = str(tmp_path / "p")
-    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+def test_merge_into_partitioned_table_upserts_per_partition(spark, tmp_path):
+    """Partitioned MERGE: touched-file discovery and the rewrite go through
+    Hive partition reconstruction; rewritten rows land back under their
+    col=value dirs with per-file partitionValues, and UNTOUCHED partitions'
+    files keep their identity (the 1%-upsert-rewrites-1% property, now per
+    partition)."""
+    root = str(tmp_path / "pm")
+    base = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)], "id long, grp string, v double"
+    ).coalesce(1)
+    lakehouse.write_delta(spark, base, root, partition_by=["grp"])
+    files_before = set(lakehouse._active_files(root))
+    a_files = {f for f in files_before if "grp=a" in f}
+    # source touches only grp=b rows (odd ids) and inserts a new partition
+    src = spark.createDataFrame(
+        [(1, "b", -1.0), (3, "b", -3.0), (100, "c", 100.0)],
+        "id long, grp string, v double",
+    )
+    v = lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: (r.grp, r.v) for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[1] == ("b", -1.0) and got[3] == ("b", -3.0)
+    assert got[100] == ("c", 100.0) and got[0] == ("a", 0.0) and len(got) == 21
+    # grp=a files untouched; adds carry partitionValues and live in part dirs
+    assert a_files <= set(lakehouse._active_files(root))
+    acts = _read_commit(root, v)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all("grp=" in a["path"] for a in adds)
+    assert {a["partitionValues"]["grp"] for a in adds} <= {"b", "c"}
+    removed = {a["remove"]["path"] for a in acts if "remove" in a}
+    assert removed and all(p.startswith("grp=b") for p in removed)
+
+
+def test_merge_partitioned_key_is_partition_column(spark, tmp_path):
+    """When a merge key IS the partition column, discovery prunes to the
+    matching directories and the rewrite stays per-partition-correct."""
+    root = str(tmp_path / "pk")
+    base = spark.createDataFrame(
+        [(d, i, float(i)) for d in (10, 20, 30) for i in range(5)],
+        "day int, id long, v double",
+    )
+    lakehouse.write_delta(spark, base, root, partition_by=["day"])
+    src = spark.createDataFrame([(20, 99, -1.0)], "day int, id long, v double")
+    lakehouse.merge_delta(spark, src, root, keys=["day", "id"])
+    back = lakehouse.read_delta(spark, root)
+    assert back.where("day = 20").count() == 6
+    assert back.where("v = -1.0").collect()[0].id == 99
+
+
+def test_merge_partitioned_row_moves_partitions(spark, tmp_path):
+    """Copy-on-write makes partition moves free: a merge that changes a
+    row's partition value rewrites it into the new directory and removes
+    the old file — no special repartition step."""
+    root = str(tmp_path / "pmove")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
+    lakehouse.write_delta(spark, base, root, partition_by=["grp"])
+    src = spark.createDataFrame([(1, "b")], "id long, grp string")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: r.grp for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {1: "b", 2: "b"}
+    live = lakehouse._active_files(root)
+    assert all("grp=b" in f for f in live if "id" not in os.path.basename(f)) or any(
+        "grp=b" in f for f in live
+    )
+    assert not any("grp=a" in f for f in live)
+
+
+def test_merge_partitioned_delete(spark, tmp_path):
+    root = str(tmp_path / "pd")
+    base = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(10)], "id long, grp string"
+    )
+    lakehouse.write_delta(spark, base, root, partition_by=["grp"])
+    doomed = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    lakehouse.merge_delta(spark, doomed, root, keys=["id"], when_matched="delete")
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == [
+        3, 4, 5, 6, 7, 8, 9,
+    ]
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    """Partitioned OPTIMIZE: many small per-append files collapse to one
+    file per partition dir (files never span partitions), rows identical,
+    dataChange:false, and partition pruning still works afterwards."""
+    root = str(tmp_path / "pc")
+    for batch in range(4):
+        df = spark.createDataFrame(
+            [(batch * 10 + i, "ab"[i % 2]) for i in range(10)], "id long, grp string"
+        ).coalesce(1)
+        lakehouse.write_delta(
+            spark, df, root, mode="append" if batch else "append",
+            partition_by=["grp"],
+        )
+    assert len(lakehouse._active_files(root)) == 8  # 4 appends × 2 partitions
+    v = lakehouse.compact_delta(spark, root)
+    live = lakehouse._active_files(root)
+    by_dir = {}
+    for f in live:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    assert len(by_dir) == 2 and all(len(v) == 1 for v in by_dir.values()), by_dir
+    acts = _read_commit(root, v)
+    assert all(
+        a[k]["dataChange"] is False for a in acts for k in ("add", "remove") if k in a
+    )
+    adds = [a["add"] for a in acts if "add" in a]
+    assert {a["partitionValues"]["grp"] for a in adds} == {"a", "b"}
+    back = lakehouse.read_delta(spark, root)
+    assert back.count() == 40
+    assert back.where(F.col("grp") == "a").count() == 20
+
+
+def test_compact_partitioned_oversized_partition_splits(spark, tmp_path):
+    """A partition bigger than target_file_bytes splits across ceil(bytes/
+    target) output files instead of funnelling through one task."""
+    root = str(tmp_path / "po")
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "id long, grp string",
+    )
     lakehouse.write_delta(spark, df, root, partition_by=["grp"])
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        lakehouse.merge_delta(spark, df, root, keys=["id"])
+    big_bytes = sum(
+        os.path.getsize(f)
+        for f in lakehouse._active_files(root)
+        if "grp=big" in f
+    )
+    lakehouse.compact_delta(spark, root, target_file_bytes=max(1, big_bytes // 3))
+    live = lakehouse._active_files(root)
+    n_big = sum(1 for f in live if "grp=big" in f)
+    n_small = sum(1 for f in live if "grp=small" in f)
+    assert n_big >= 2, live
+    assert n_small == 1
+    assert lakehouse.read_delta(spark, root).count() == 1000
+
+
+def test_compact_partitioned_zorder_clusters_within_partitions(spark, tmp_path):
+    """ZORDER on a partitioned table clusters INSIDE each partition (Delta
+    semantics): every output file stays within one partition dir and its
+    rows are Morton-ordered, so per-file min/max stats stay tight."""
+    root = str(tmp_path / "pz")
+    df = spark.range(2000).selectExpr(
+        "id % 2 == 0 as even", "id % 100 as x", "cast(id / 20 as long) as y"
+    ).select(
+        F.when(F.col("even"), "e").otherwise("o").alias("grp"), "x", "y"
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    lakehouse.compact_delta(spark, root, zorder_by=["x", "y"])
+    live = lakehouse._active_files(root)
+    assert all("grp=" in f for f in live)
+    assert lakehouse.read_delta(spark, root).count() == 2000
 
 
 def test_compact_zorder_preserves_rows_and_clusters(spark, tmp_path):
