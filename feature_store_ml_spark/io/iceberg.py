@@ -18,7 +18,8 @@ physically present in Iceberg data files (unlike Hive/Delta layouts), so
 no path-based schema reconstruction is needed.
 
 Fail-loud limits: format-version ≤ 2, no delete files (merge-on-read),
-parquet data files only, reads the CURRENT snapshot (no time travel).
+parquet data files only. Time travel reads any RETAINED snapshot (by id or
+as-of timestamp via the snapshot-log); expired history fails loudly.
 """
 
 from __future__ import annotations
@@ -457,6 +458,9 @@ def write_iceberg(
         "properties": {},
         "current-snapshot-id": snap_id,
         "snapshots": snapshots + [snapshot],
+        # the (timestamp -> snapshot) history time travel resolves against
+        "snapshot-log": list(prior_meta.get("snapshot-log", []))
+        + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
     }
     if format_version >= 2:
         meta["last-sequence-number"] = seq
@@ -533,6 +537,12 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
     prior_version = int(head) if head.isdigit() else 0
     meta["snapshots"] = kept
+    kept_ids = {s["snapshot-id"] for s in kept}
+    if meta.get("snapshot-log"):
+        # spec: the log may only reference retained snapshots
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+        ]
     meta_dir = os.path.join(path, "metadata")
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
@@ -556,19 +566,72 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     }
 
 
-def read_iceberg(spark: SparkSession, path: str) -> DataFrame:
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
-    parquet scan of the live file set."""
+    parquet scan of the live file set.
+
+    Time travel (spec §Snapshots — snapshots are immutable, so reading an
+    old one is just planning its file list):
+
+    - ``snapshot_id``: read exactly that snapshot. An EXPIRED snapshot
+      (dropped by expire_iceberg_snapshots) fails loudly rather than
+      silently serving the current one.
+    - ``as_of_ms``: read the snapshot current AS OF that wall-clock — the
+      newest entry in ``snapshot-log`` with ``timestamp-ms <= as_of_ms``
+      (Iceberg's own timestamp resolution rule). A timestamp older than
+      retained history fails loudly.
+
+    Both map onto the native reader's ``snapshot-id`` / ``as-of-timestamp``
+    options when the jar is present.
+    """
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
     try:
-        return spark.read.format("iceberg").load(path)
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        if as_of_ms is not None:
+            reader = reader.option("as-of-timestamp", str(as_of_ms))
+        return reader.load(path)
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
-    files = _live_data_files(path)
+    if snapshot_id is not None or as_of_ms is not None:
+        meta = _load_metadata(path)
+        if as_of_ms is not None:
+            # snapshot-log is the authoritative (timestamp -> snapshot)
+            # history; fall back to the snapshots' own timestamp-ms when a
+            # writer omitted the log
+            log = meta.get("snapshot-log") or [
+                {"timestamp-ms": s.get("timestamp-ms"), "snapshot-id": s["snapshot-id"]}
+                for s in meta.get("snapshots", [])
+                if s.get("timestamp-ms") is not None
+            ]
+            eligible = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                raise ValueError(
+                    f"{path}: no snapshot at or before timestamp {as_of_ms} "
+                    "— older than retained history (or the log is empty)"
+                )
+            snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+        files = _snapshot_files(meta, snapshot_id, path)
+    else:
+        files = _live_data_files(path)
     if not files:
         raise ValueError(
-            f"{path}: current snapshot is empty — parquet fallback cannot "
+            f"{path}: snapshot is empty — parquet fallback cannot "
             "produce a schema-only DataFrame"
+        )
+    gone = [f for f in files if urlparse(f).scheme in ("", "file") and not os.path.exists(f)]
+    if gone:
+        raise ValueError(
+            f"{path}: snapshot references deleted data files (e.g. "
+            f"{os.path.basename(gone[0])}) — history was expired"
         )
     return spark.read.parquet(*files)

@@ -484,3 +484,64 @@ def test_iceberg_expire_keeps_requested_window(spark, tmp_path):
     assert iceberg.expire_iceberg_snapshots(root, keep=5) == {
         "snapshots": [], "files": [],
     }
+
+
+# ----------------------------------------------------------- time travel ----
+
+
+def test_iceberg_time_travel_by_snapshot_id(spark, tmp_path):
+    """Snapshots are immutable: reading an old snapshot id returns exactly
+    the rows live THEN, independent of later appends."""
+    root = str(tmp_path / "tt")
+    s1 = iceberg.write_iceberg(spark, spark.range(0, 10).select("id"), root)
+    s2 = iceberg.write_iceberg(spark, spark.range(10, 20).select("id"), root)
+    old = iceberg.read_iceberg(spark, root, snapshot_id=s1)
+    assert sorted(r.id for r in old.collect()) == list(range(10))
+    cur = iceberg.read_iceberg(spark, root, snapshot_id=s2)
+    assert cur.count() == 20
+    with pytest.raises(ValueError, match="not in metadata"):
+        iceberg.read_iceberg(spark, root, snapshot_id=999)
+
+
+def test_iceberg_time_travel_as_of_timestamp(spark, tmp_path):
+    """as_of_ms resolves through snapshot-log: the newest snapshot at or
+    before the timestamp wins; a pre-history timestamp fails loudly."""
+    root = str(tmp_path / "tt")
+    iceberg.write_iceberg(spark, spark.range(0, 5).select("id"), root)
+    iceberg.write_iceberg(spark, spark.range(5, 12).select("id"), root)
+    meta = iceberg._load_metadata(root)
+    log = meta["snapshot-log"]
+    assert len(log) == 2 and log[0]["timestamp-ms"] <= log[1]["timestamp-ms"]
+    t1 = log[0]["timestamp-ms"]
+    at_first = iceberg.read_iceberg(spark, root, as_of_ms=t1)
+    assert at_first.count() in (5, 12)  # ==12 only if both commits share a ms
+    now = iceberg.read_iceberg(spark, root, as_of_ms=log[1]["timestamp-ms"] + 10)
+    assert now.count() == 12
+    with pytest.raises(ValueError, match="older than retained history"):
+        iceberg.read_iceberg(spark, root, as_of_ms=t1 - 100000)
+    with pytest.raises(ValueError, match="not both"):
+        iceberg.read_iceberg(spark, root, snapshot_id=1, as_of_ms=1)
+
+
+def test_iceberg_expire_blocks_time_travel_into_expired(spark, tmp_path):
+    """After expiration, both id-based and timestamp-based travel into the
+    dropped range fail loudly (snapshot gone from metadata AND its log
+    entries trimmed) instead of silently serving the wrong snapshot."""
+    root = str(tmp_path / "tt")
+    s1 = iceberg.write_iceberg(spark, spark.range(0, 5).select("id"), root)
+    meta_before = iceberg._load_metadata(root)
+    t1 = meta_before["snapshot-log"][0]["timestamp-ms"]
+    s2 = iceberg.write_iceberg(spark, spark.range(5, 10).select("id"), root)
+    iceberg.expire_iceberg_snapshots(root, keep=1)
+    with pytest.raises(ValueError, match="not in metadata"):
+        iceberg.read_iceberg(spark, root, snapshot_id=s1)
+    meta = iceberg._load_metadata(root)
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [s2]
+    # a timestamp inside the expired range no longer resolves (unless the
+    # two commits landed in the same millisecond, in which case it resolves
+    # to the kept snapshot — never to the expired one)
+    try:
+        got = iceberg.read_iceberg(spark, root, as_of_ms=t1)
+        assert got.count() == 10
+    except ValueError as exc:
+        assert "older than retained history" in str(exc)
