@@ -2463,6 +2463,99 @@ def e1_iceberg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg.read_iceberg_changes(spark, path, from_snapshot_id=s1)
 
 
+@register(
+    "e1_delta_partitioned_merge",
+    """
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-07-01' THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderdate >= TIMESTAMP '1997-07-01'
+                                   THEN -o_totalprice
+                                   ELSE o_totalprice END AS DECIMAL(30,8)))
+                AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def e1_delta_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into a PARTITIONED Delta table (io/lakehouse.merge_delta over a
+    Hive-layout table) — including PARTITION MOVES: write orders partitioned
+    by o_orderstatus, then merge a source that, for every 1997-H2+ order,
+    negates the price AND rewrites the status to a brand-new partition 'X'.
+    Copy-on-write makes the move free (the row is simply rewritten into its
+    new directory; its old file is rewritten without it). Reading the table
+    back and aggregating per status must equal the oracle's CASE-mapped
+    aggregate over the parquet original — any defect in touched-file
+    discovery, per-partition rewrite, or partitionValues bookkeeping breaks
+    the row count or hash.
+
+    Scale shape: discovery is the same O(#files) semi-join as the
+    unpartitioned path; the rewrite stages through partitionBy so rewritten
+    rows land under their (possibly new) col=value dirs."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    path = f"{tempfile.gettempdir()}/fsml_delta_part_merge"
+    shutil.rmtree(path, ignore_errors=True)
+    lakehouse.write_delta(
+        spark, o.select(*cols), path, partition_by=["o_orderstatus"]
+    )
+    cut = "1997-07-01"
+    src = o.where(F.col("o_orderdate") >= cut).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    lakehouse.merge_delta(
+        spark, src, path, keys=["o_orderkey"], txn=("e1_part_merge", 1)
+    )
+    back = lakehouse.read_delta(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
+    "e1_iceberg_time_travel",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def e1_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TIME TRAVEL (io/iceberg.read_iceberg snapshot_id=...):
+    create a table from pre-1997 orders, append the rest as a second
+    snapshot, then read AS OF the first snapshot id — the result must be
+    exactly the pre-1997 rows (the oracle's filter), proving snapshots are
+    immutable and the manifest-list walk plans the OLD file set, not the
+    current one. Snapshot resolution is driver-side metadata; the data scan
+    stays a normal distributed parquet read with pushdown."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_tt"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = "1997-01-01"
+    s1 = iceberg.write_iceberg(
+        spark, o.where(F.col("o_orderdate") < cut).select(*cols), path,
+        format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark, o.where(F.col("o_orderdate") >= cut).select(*cols), path,
+        format_version=2,
+    )
+    return iceberg.read_iceberg(spark, path, snapshot_id=s1)
+
+
 @register("e10_knn_ivf", None)  # k-means init is engine-specific
 def e10_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse quantizer) ANN — the clustered-corpus complement
@@ -3804,10 +3897,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FINAL_ORDER = [
-    # -- new in round 5: Delta MERGE + Iceberg write read-after-write
+    # -- new in round 5: Delta MERGE + Iceberg write read-after-write,
+    #    then partitioned MERGE (with partition moves) + Iceberg time travel
     "e12_feature_upsert",
     "e1_iceberg_snapshot_diff",
     "e1_delta_partitioned",
+    "e1_delta_partitioned_merge",
+    "e1_iceberg_time_travel",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
     #    window since round 1) come IN for independent re-confirmation;
@@ -3832,7 +3928,6 @@ _FINAL_ORDER = [
     "q17_small_quantity",   # correlated-subquery shape
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
     "q22_sales_opportunity",       # uncorrelated scalar subquery + anti join
-    "q18_large_orders",
     "e14_resize_meta",
     "e11_repetition",        # Gopher-style repetition filters
     "e13_stream_stream_join",  # watermarked stream-stream interval join
@@ -3865,11 +3960,13 @@ _FINAL_ORDER = [
     "e11_url_extract",
     "e4_linreg",
     # -- round-1-green keepers
-    "e3_join_broadcast",
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
-    # Rotated out in round 5 late (driver-green r4; e13 family keeps
-    # stream_dedup + stream_stream_join in-window):
+    # Rotated out in round 5 late (driver-green in r4 and earlier rounds;
+    # families stay in-window — joins via q7/q8/q9 + e3_join_asof, TPC-H
+    # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):
+    "e3_join_broadcast",
+    "q18_large_orders",
     "e13_stream_static_join",
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
