@@ -64,39 +64,71 @@ def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
     return v, sorted(os.path.join(log, n) for n in parts[v])
 
 
+#: reader features the fallback actually implements; a protocol action
+#: demanding anything else fails loudly (minReaderVersion 3 lists its
+#: features explicitly, per PROTOCOL.md §Table Features)
+_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+
+def _check_protocol(path: str, protocol: dict) -> None:
+    v = protocol.get("minReaderVersion", 1) or 1
+    if v <= _MAX_SUPPORTED_READER_VERSION:
+        return
+    if v == 3 and protocol.get("readerFeatures") is not None:
+        unsupported = set(protocol["readerFeatures"]) - _SUPPORTED_READER_FEATURES
+        if not unsupported:
+            return
+        raise NotImplementedError(
+            f"{path}: reader features {sorted(unsupported)} are not "
+            "implemented in the fallback"
+        )
+    # v==3 without a readerFeatures list is out-of-spec (the list is
+    # mandatory at that version) — refuse rather than guess
+    raise NotImplementedError(
+        f"{path}: minReaderVersion={v} needs reader features "
+        "(column mapping / v2 checkpoints / ...) the fallback does not implement"
+    )
+
+
 def _replay_checkpoint(files: list[str], path: str) -> tuple[dict, dict]:
     """Load a checkpoint's reconciled state driver-side with pyarrow (a
     checkpoint IS a parquet file of action structs, PROTOCOL.md §checkpoints).
     Metadata-only and O(#files) — the same driver work any Delta reader's
-    snapshot build does. Returns (live add-paths map, metaData)."""
+    snapshot build does. Returns (live relpath -> add action, metaData)."""
     import pyarrow.parquet as pq
 
-    live: dict[str, None] = {}
+    live: dict[str, dict] = {}
     meta: dict = {}
     for f in files:
         for row in pq.read_table(f).to_pylist():
             protocol = row.get("protocol")
             if protocol and protocol.get("minReaderVersion") is not None:
-                v = protocol["minReaderVersion"]
-                if v > _MAX_SUPPORTED_READER_VERSION:
-                    raise NotImplementedError(
-                        f"{path}: minReaderVersion={v} needs reader features "
-                        "the fallback does not implement"
-                    )
+                _check_protocol(path, protocol)
             md = row.get("metaData")
             if md and md.get("id") is not None:
                 meta = {k: v for k, v in md.items() if v is not None}
             add = row.get("add")
             if add and add.get("path") is not None:
-                live[add["path"]] = None
+                add = {k: v for k, v in add.items() if v is not None}
+                if add.get("deletionVector"):
+                    add["deletionVector"] = {
+                        k: v
+                        for k, v in add["deletionVector"].items()
+                        if v is not None
+                    }
+                live[add["path"]] = add
             # remove actions in a checkpoint are vacuum tombstones — the
             # add set is already reconciled; nothing to subtract.
     return live, meta
 
 
-def _replay_log(path: str, max_version: int | None = None) -> tuple[list[str], dict]:
-    """Replay the Delta transaction log; return (live data-file paths,
-    last metaData action).
+def _replay_log_adds(
+    path: str, max_version: int | None = None
+) -> tuple[dict, dict]:
+    """Replay the Delta transaction log; return (live relpath -> add
+    action, last metaData action). The full add action is kept because a
+    file's DELETION VECTOR rides on it — "last add per path wins"
+    reconciliation means a DV update is just a re-add of the same path.
 
     Snapshot = newest checkpoint (reconciled parquet state) + JSON commits
     AFTER it, replayed in version order; `add` inserts a path, `remove`
@@ -110,7 +142,7 @@ def _replay_log(path: str, max_version: int | None = None) -> tuple[list[str], d
     ckpt_version, ckpt_files = _latest_checkpoint(log)
     if max_version is not None and ckpt_version > max_version:
         ckpt_version, ckpt_files = -1, []  # replay from JSON only
-    live: dict[str, None] = {}
+    live: dict[str, dict] = {}
     meta: dict = {}
     if ckpt_files:
         live, meta = _replay_checkpoint(ckpt_files, path)
@@ -146,27 +178,119 @@ def _replay_log(path: str, max_version: int | None = None) -> tuple[list[str], d
                     continue
                 action = json.loads(line)
                 if "protocol" in action:
-                    v = action["protocol"].get("minReaderVersion", 1)
-                    if v > _MAX_SUPPORTED_READER_VERSION:
-                        raise NotImplementedError(
-                            f"{path}: minReaderVersion={v} needs reader features "
-                            "(deletion vectors / column mapping) the fallback "
-                            "does not implement"
-                        )
+                    _check_protocol(path, action["protocol"])
                 elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
-                    live[action["add"]["path"]] = None
+                    live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    return [os.path.join(path, p) for p in live], meta
+    return live, meta
+
+
+def _replay_log(path: str, max_version: int | None = None) -> tuple[list[str], dict]:
+    """(live absolute data-file paths, last metaData) — the path-only view
+    of _replay_log_adds for callers that don't need per-add details."""
+    adds, meta = _replay_log_adds(path, max_version)
+    return [os.path.join(path, p) for p in adds], meta
 
 
 def _active_files(path: str) -> list[str]:
     return _replay_log(path)[0]
 
 
-def _scan_files(spark: SparkSession, path: str, files: list[str], meta: dict) -> DataFrame:
+def _resolve_dv_path(path: str, desc: dict) -> str:
+    """Absolute path of a DV descriptor's bin file (storageType u or p).
+    For 'u' the file name derives from the Z85-encoded UUID in
+    pathOrInlineDv (PROTOCOL.md: `deletion_vector_<uuid>.bin`, under an
+    optional 2-char prefix directory)."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    st = desc.get("storageType", "u")
+    poi = desc["pathOrInlineDv"]
+    if st == "p":
+        return poi
+    prefix, enc = poi[:-20], poi[-20:]
+    u = _uuid.UUID(bytes=roaring.z85_decode(enc))
+    parts = [path] + ([prefix] if prefix else []) + [f"deletion_vector_{u}.bin"]
+    return os.path.join(*parts)
+
+
+def _dv_positions(path: str, desc: dict) -> list[int]:
+    """Decode a deletionVector descriptor into its deleted row indexes.
+    Driver-side, metadata-sized (a DV is a compressed bitmap, KBs–MBs) —
+    the same planning work every DV-aware reader does."""
+    from . import roaring
+
+    st = desc.get("storageType", "u")
+    if st == "i":
+        # Z85 works in 4-byte blocks; writers zero-pad the bitmap to
+        # alignment and sizeInBytes records the true length (same trick as
+        # delta-spark's Base85 codec)
+        data = roaring.z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
+    elif st in ("u", "p"):
+        dv_file = _resolve_dv_path(path, desc)
+        with open(dv_file, "rb") as fh:
+            buf = fh.read()
+        data = roaring.read_dv_blob(buf, desc["offset"], desc["sizeInBytes"])
+    else:
+        raise NotImplementedError(f"{path}: deletion vector storageType {st!r}")
+    positions = roaring.deserialize_positions(data)
+    if desc.get("cardinality") is not None and len(positions) != desc["cardinality"]:
+        raise ValueError(
+            f"{path}: deletion vector cardinality mismatch — descriptor says "
+            f"{desc['cardinality']}, bitmap holds {len(positions)}"
+        )
+    return positions
+
+
+def _apply_dv_filter(
+    spark: SparkSession, path: str, df: DataFrame, files: list[str], adds: dict
+) -> DataFrame:
+    """Filter out rows masked by deletion vectors: anti-join the scan
+    (tagged with the hidden `_metadata` file-path/row-index columns)
+    against the decoded deleted positions.
+
+    Scale shape: the positions side is metadata-sized (bitmaps decode
+    driver-side, exactly like any reader's DV planning) and is explicitly
+    broadcast, so the DATA scan stays a JVM-side codegen'd anti-join — no
+    Python in the row path, no shuffle of the table. Engines that push DV
+    masks into the parquet reader do strictly less work per row, but the
+    plan shape (scan + broadcast anti-join) is the same memory-safe one at
+    any table size."""
+    from pyspark.sql import functions as F
+
+    rel_by_abs = {os.path.join(path, rel): a for rel, a in adds.items()}
+    pairs: list[tuple[str, int]] = []
+    for f in files:
+        desc = (rel_by_abs.get(f) or {}).get("deletionVector")
+        if not desc:
+            continue
+        uri = "file:" + os.path.abspath(f)  # _metadata.file_path format
+        pairs.extend((uri, p) for p in _dv_positions(path, desc))
+    if not pairs:
+        return df
+    deleted = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+        "_ri", F.col("_metadata.row_index")
+    )
+    kept = tagged.join(
+        F.broadcast(deleted),
+        (F.col("_fp") == F.col("_dv_fp")) & (F.col("_ri") == F.col("_dv_ri")),
+        "left_anti",
+    )
+    return kept.drop("_fp", "_ri")
+
+
+def _scan_files(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    meta: dict,
+    adds: dict | None = None,
+) -> DataFrame:
     """Scan a SUBSET of a snapshot's data files with the table's declared
     schema — the one scan primitive every fallback path (full read, MERGE
     rewrite, compaction) shares.
@@ -183,13 +307,19 @@ def _scan_files(spark: SparkSession, path: str, files: list[str], meta: dict) ->
     missing the partition columns would be silent corruption.
     """
     part_cols = meta.get("partitionColumns") or []
+
+    def _dv(df: DataFrame) -> DataFrame:
+        if adds and any(a.get("deletionVector") for a in adds.values()):
+            return _apply_dv_filter(spark, path, df, files, adds)
+        return df
+
     if not part_cols:
         if meta.get("schemaString"):
             from pyspark.sql.types import StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
-            return spark.read.schema(declared).parquet(*files)
-        return spark.read.parquet(*files)
+            return _dv(spark.read.schema(declared).parquet(*files))
+        return _dv(spark.read.parquet(*files))
     rel = [os.path.relpath(f, path) for f in files]
     hive_style = all(
         all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(part_cols))
@@ -202,7 +332,7 @@ def _scan_files(spark: SparkSession, path: str, files: list[str], meta: dict) ->
             "Hive-style directory layout — the fallback cannot reconstruct "
             "partition columns; read with delta-spark on the classpath"
         )
-    df = spark.read.option("basePath", path).parquet(*files)
+    df = _dv(spark.read.option("basePath", path).parquet(*files))
     # align column order and partition-column types with the declared schema
     # (directory-derived values are type-INFERRED and land at the end)
     try:
@@ -290,7 +420,8 @@ def read_delta(
     except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
-    files, meta = _replay_log(path, max_version=version)
+    adds, meta = _replay_log_adds(path, max_version=version)
+    files = [os.path.join(path, p) for p in adds]
     if not files:
         raise ValueError(
             f"{path}: snapshot is empty and the parquet fallback cannot "
@@ -309,7 +440,8 @@ def read_delta(
     # Partitioned: partition values live in file PATHS (Hive layout), NOT in
     # the parquet files — _scan_files reconstructs them via basePath and
     # casts them to the declared schema, failing loudly on non-Hive layouts.
-    return _scan_files(spark, path, files, meta)
+    # Files with deletion vectors get their masked rows anti-joined out.
+    return _scan_files(spark, path, files, meta, adds)
 
 
 def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
@@ -374,6 +506,13 @@ def read_delta_changes(
                     continue
                 action = json.loads(line)
                 if "add" in action and action["add"].get("dataChange", True):
+                    if action["add"].get("deletionVector"):
+                        raise ValueError(
+                            f"{path}: commit {v} attached a deletion vector "
+                            "(row-level DELETE) — the append-only "
+                            "incremental read is ill-defined; re-read the "
+                            "full snapshot"
+                        )
                     added.append(os.path.join(path, action["add"]["path"]))
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     raise ValueError(
@@ -444,12 +583,16 @@ def compact_delta(
 
     from pyspark.sql import functions as F
 
-    files, meta = _replay_log(path)
+    adds_map, meta = _replay_log_adds(path)
+    files = [os.path.join(path, p) for p in adds_map]
     part_cols = meta.get("partitionColumns") or []
     if not files:
         raise ValueError(f"{path}: nothing to compact (empty snapshot)")
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    live = _scan_files(spark, path, files, meta)
+    # DV-masked rows are filtered here, so compaction doubles as a DV
+    # PURGE: the rewritten files carry no deletionVector and the dead rows
+    # are physically gone (delta-spark's REORG TABLE ... APPLY (PURGE))
+    live = _scan_files(spark, path, files, meta, adds_map)
     if not part_cols:
         if target_files is None:
             total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
@@ -556,8 +699,16 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
     pinned to old snapshots don't lose files mid-scan. Returns the deleted
     (or would-delete, under ``dry_run``) paths.
     """
-    live, _ = _replay_log(path)
-    live_names = {os.path.relpath(f, path) for f in live}
+    adds_map, _ = _replay_log_adds(path)
+    live_names = set(adds_map)
+    # DV bin files referenced by live adds must survive; orphaned ones
+    # (their file was rewritten/compacted away) are dead bytes like any
+    # tombstoned parquet
+    live_dv_bins = {
+        os.path.relpath(_resolve_dv_path(path, a["deletionVector"]), path)
+        for a in adds_map.values()
+        if a.get("deletionVector", {}).get("storageType") == "u"
+    }
     doomed: list[str] = []
     for dirpath, dirnames, filenames in os.walk(path):
         # metadata/staging/checkpoint dirs are not data space (Hive
@@ -566,6 +717,12 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
         for name in filenames:
             rel = os.path.relpath(os.path.join(dirpath, name), path)
             if name.endswith(".parquet") and rel not in live_names:
+                doomed.append(rel)
+            elif (
+                name.startswith("deletion_vector_")
+                and name.endswith(".bin")
+                and rel not in live_dv_bins
+            ):
                 doomed.append(rel)
     if not dry_run:
         for rel in doomed:
@@ -668,12 +825,21 @@ def checkpoint_delta(path: str) -> int:
     if not json_versions or max(json_versions) <= ckpt_version:
         return ckpt_version  # nothing new since the last checkpoint
     version = max(json_versions)
-    files, meta = _replay_log(path)
+    adds_map, meta = _replay_log_adds(path)
     txns = _collect_txns(path)
+    has_dv = any(a.get("deletionVector") for a in adds_map.values())
     base = {"protocol": None, "metaData": None, "add": None, "txn": None}
-    rows: list[dict] = [
-        {**base, "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-    ]
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if has_dv
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    rows: list[dict] = [{**base, "protocol": protocol}]
     if meta:
         keep = ("id", "name", "description", "schemaString",
                 "partitionColumns", "createdTime")
@@ -685,24 +851,36 @@ def checkpoint_delta(path: str) -> int:
     for app_id, v in sorted(txns.items()):
         rows.append({**base, "txn": {"appId": app_id, "version": v}})
     now_ms = int(__import__("time").time() * 1000)
-    for f in files:
-        rel = os.path.relpath(f, path)
-        rows.append(
-            {
-                **base,
-                "add": {
-                    "path": rel.replace(os.sep, "/"),
-                    # None (not {}) when unpartitioned: parquet rejects
-                    # empty structs; readers treat absent as no partitions
-                    "partitionValues": _hive_partition_values(
-                        os.path.dirname(rel)
-                    ) or None,
-                    "size": os.path.getsize(f) if os.path.exists(f) else 0,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                },
-            }
-        )
+    for rel, a in adds_map.items():
+        f = os.path.join(path, rel)
+        add_row = {
+            "path": rel.replace(os.sep, "/"),
+            # None (not {}) when unpartitioned: parquet rejects
+            # empty structs; readers treat absent as no partitions
+            "partitionValues": _hive_partition_values(
+                os.path.dirname(rel)
+            ) or None,
+            "size": os.path.getsize(f) if os.path.exists(f) else 0,
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        if has_dv:
+            # deletion vectors must survive checkpoint + log cleanup, or
+            # deleted rows would RESURRECT once the JSON commits are gone;
+            # normalized to a fixed key set so pyarrow infers one struct
+            d = a.get("deletionVector")
+            add_row["deletionVector"] = (
+                {
+                    "storageType": d.get("storageType"),
+                    "pathOrInlineDv": d.get("pathOrInlineDv"),
+                    "offset": d.get("offset"),
+                    "sizeInBytes": d.get("sizeInBytes"),
+                    "cardinality": d.get("cardinality"),
+                }
+                if d
+                else None
+            )
+        rows.append({**base, "add": add_row})
     pq.write_table(
         pa.Table.from_pylist(rows),
         os.path.join(log, f"{version:020d}.checkpoint.parquet"),
@@ -1108,7 +1286,8 @@ def merge_delta(
 
     from pyspark.sql import functions as F
 
-    files, meta = _replay_log(path)
+    adds_map, meta = _replay_log_adds(path)
+    files = [os.path.join(path, p) for p in adds_map]
     from pyspark.sql.types import StructType
 
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -1138,7 +1317,7 @@ def merge_delta(
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
-            src_keys, newer_wins_col, meta,
+            src_keys, newer_wins_col, meta, adds_map,
         )
     finally:
         key_counts.unpersist()
@@ -1156,6 +1335,7 @@ def _merge_rewrite(
     src_keys: DataFrame,  # tables backfill missing columns as null
     newer_wins_col: str | None = None,
     meta: dict | None = None,
+    adds_map: dict | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -1192,7 +1372,11 @@ def _merge_rewrite(
         ]
 
     def _scan_touched() -> DataFrame:
-        return _scan_files(spark, path, touched_abs, meta).select(*table_cols)
+        # DV-masked rows are filtered out, so a rewrite never resurrects
+        # deleted rows (the rewritten file carries no deletionVector)
+        return _scan_files(spark, path, touched_abs, meta, adds_map).select(
+            *table_cols
+        )
 
     if when_matched == "update" and newer_wins_col is None:
         new_rows = source.select(*table_cols)
@@ -1279,6 +1463,185 @@ def _merge_rewrite(
                     "predicate": " AND ".join(f"t.{k} = s.{k}" for k in keys),
                     "matchedAction": when_matched,
                 },
+            }
+        }
+    )
+    return _commit(path, actions)
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    txn: tuple[str, int] | None = None,
+    inline_threshold: int = 512,
+) -> int:
+    """Row-level DELETE via DELETION VECTORS (PROTOCOL.md §Deletion
+    Vectors) — the merge-on-read alternative to copy-on-write: instead of
+    rewriting every file that contains a matching row, each touched file
+    gets a roaring bitmap of its deleted row indexes, and readers mask
+    those rows at scan time. The write cost is proportional to the number
+    of DELETED rows (bitmap bytes), not the number of touched FILE bytes —
+    the right trade for small, frequent deletes (GDPR erasure, bad-record
+    retraction) on files that are mostly kept.
+
+    Mechanics, per the open spec:
+    - matching (file, row_index) pairs are found by a distributed scan of
+      the hidden ``_metadata`` columns with ``predicate`` — pushdown
+      applies, untouched files are never opened row-by-row;
+    - per touched file, new positions are UNIONED with the file's existing
+      DV (repeated deletes compose), serialized as a portable 64-bit
+      RoaringBitmapArray (io/roaring), and stored Z85-INLINE in the
+      descriptor when small (< ``inline_threshold`` bytes) or in a shared
+      ``deletion_vector_<uuid>.bin`` file otherwise (storageType 'i'/'u');
+    - the commit re-adds each touched path with its deletionVector
+      descriptor (+ remove of the old entry) and upgrades the protocol to
+      minReaderVersion 3 / minWriterVersion 7 with the deletionVectors
+      reader+writer feature — real Delta readers see a spec-correct table,
+      pre-DV readers correctly refuse;
+    - ``compact_delta`` doubles as the PURGE: it scans DV-filtered and
+      rewrites clean files; ``vacuum_delta`` removes orphaned .bin files.
+
+    Driver cost is O(#deleted rows) to build the bitmaps — inherent to DV
+    writing (every engine materializes the bitmap somewhere); for MASS
+    deletes use ``merge_delta(when_matched='delete')`` (copy-on-write) or
+    an overwrite instead. Returns the committed version; ``txn`` gives the
+    same idempotent-retry handshake as write_delta/merge_delta.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from . import roaring
+
+    if txn is not None:
+        committed = last_txn_version(path, txn[0])
+        if committed >= txn[1]:
+            return committed
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    adds_map, meta = _replay_log_adds(path)
+    files = [os.path.join(path, p) for p in adds_map]
+    if not files:
+        raise ValueError(f"{path}: snapshot is empty — nothing to delete")
+
+    # distributed predicate evaluation over the DV-filtered scan (rows
+    # already deleted can't match twice); only matching (file, row) pairs
+    # reach the driver — the material the bitmaps are MADE of
+    scan = _scan_files(spark, path, files, meta, adds_map)
+    matched = (
+        scan.withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_ri", F.col("_metadata.row_index"))
+        .where(predicate)
+        .select("_fp", "_ri")
+        .collect()
+    )
+    now_ms = int(_time.time() * 1000)
+    if not matched:
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1]),
+                         "lastUpdated": now_ms}}
+            )
+        actions.append(
+            {"commitInfo": {"timestamp": now_ms, "operation": "DELETE",
+                            "operationParameters": {"predicate": predicate,
+                                                    "matched": "0"}}}
+        )
+        return _commit(path, actions)
+
+    by_file: dict[str, list[int]] = {}
+    for r in matched:
+        by_file.setdefault(r["_fp"], []).append(r["_ri"])
+
+    uri_to_rel = {
+        "file:" + os.path.abspath(os.path.join(path, rel)): rel
+        for rel in adds_map
+    }
+    new_descs: dict[str, dict] = {}
+    bin_blobs: list[bytes] = []  # (appended sequentially to one shared file)
+    bin_offsets: dict[str, int] = {}
+    bin_pos = 1  # byte 0 is the format-version marker
+    for uri, positions in sorted(by_file.items()):
+        rel = uri_to_rel.get(uri)
+        if rel is None:
+            raise RuntimeError(f"{path}: matched file {uri} not in snapshot")
+        old_desc = adds_map[rel].get("deletionVector")
+        if old_desc:
+            positions = positions + _dv_positions(path, old_desc)
+        data = roaring.serialize_positions(positions)
+        card = len(set(positions))
+        if len(data) < inline_threshold:
+            padded = data + b"\x00" * (-len(data) % 4)  # Z85 needs 4-blocks
+            new_descs[rel] = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(padded),
+                "sizeInBytes": len(data),
+                "cardinality": card,
+            }
+        else:
+            blob = roaring.frame_dv_blob(data)
+            bin_offsets[rel] = bin_pos
+            bin_blobs.append(blob)
+            new_descs[rel] = {
+                "storageType": "u",
+                "sizeInBytes": len(data),
+                "cardinality": card,
+                "offset": bin_pos,
+                # pathOrInlineDv filled below once the file uuid exists
+            }
+            bin_pos += len(blob)
+    if bin_blobs:
+        dv_uuid = _uuid.uuid4()
+        enc = roaring.z85_encode(dv_uuid.bytes)
+        with open(os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), "wb") as fh:
+            fh.write(b"\x01")
+            for blob in bin_blobs:
+                fh.write(blob)
+        for rel in bin_offsets:
+            new_descs[rel]["pathOrInlineDv"] = enc
+
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
+    for rel, desc in new_descs.items():
+        old = adds_map[rel]
+        actions.append(
+            {"remove": {"path": rel, "dataChange": True,
+                        "deletionTimestamp": now_ms}}
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": old.get("partitionValues") or {},
+                    "size": old.get("size")
+                    or os.path.getsize(os.path.join(path, rel)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
             }
         }
     )

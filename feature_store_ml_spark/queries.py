@@ -2520,6 +2520,55 @@ def e1_delta_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_delete_vectors",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE NOT (l_discount > 0.05 AND l_quantity < 25)
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def e1_delta_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via DELETION VECTORS (io/lakehouse.delete_delta —
+    PROTOCOL.md §Deletion Vectors, merge-on-read): export lineitem columns
+    to a Delta table, delete a predicate's rows WITHOUT rewriting any
+    parquet file (each touched file gets a portable-roaring bitmap of its
+    dead row indexes; io/roaring implements the public RoaringFormatSpec +
+    Z85 codecs from scratch), then read the table back — the scan
+    anti-joins the broadcast bitmap positions in the JVM. The aggregate
+    must equal the oracle's NOT-predicate aggregate over the parquet
+    original: any defect in bitmap serialization, descriptor resolution,
+    or the mask join changes counts or sums.
+
+    Scale shape: the delete's cost is O(#deleted rows) bitmap bytes, not
+    touched-file bytes; the read adds one broadcast anti-join to the plan
+    and zero Python."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    path = f"{tempfile.gettempdir()}/fsml_delta_dv"
+    shutil.rmtree(path, ignore_errors=True)
+    lakehouse.write_delta(
+        spark,
+        li.select("l_orderkey", "l_returnflag", "l_linestatus",
+                  "l_extendedprice", "l_discount", "l_quantity"),
+        path,
+    )
+    lakehouse.delete_delta(
+        spark, path, "l_discount > 0.05 AND l_quantity < 25",
+        txn=("e1_dv", 1),
+    )
+    back = lakehouse.read_delta(spark, path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_iceberg_time_travel",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -3904,6 +3953,7 @@ _FINAL_ORDER = [
     "e1_delta_partitioned",
     "e1_delta_partitioned_merge",
     "e1_iceberg_time_travel",
+    "e1_delta_delete_vectors",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
     #    window since round 1) come IN for independent re-confirmation;
@@ -3925,7 +3975,6 @@ _FINAL_ORDER = [
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "e11_unigram_logprob",  # round 4: CCNet-style LM quality proxy
-    "q17_small_quantity",   # correlated-subquery shape
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
     "q22_sales_opportunity",       # uncorrelated scalar subquery + anti join
     "e14_resize_meta",
@@ -3967,6 +4016,7 @@ _FINAL_ORDER = [
     # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):
     "e3_join_broadcast",
     "q18_large_orders",
+    "q17_small_quantity",   # correlated-subquery family stays via q20/q21/q22
     "e13_stream_static_join",
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):

@@ -1,0 +1,237 @@
+"""Deletion vectors: the pure-python roaring/Z85 codec (vs public spec
+vectors) and row-level DELETE end-to-end through the Delta fallback —
+write, mask-on-read, compose, checkpoint survival, purge via compaction,
+vacuum of orphaned bitmap files, and protocol gating."""
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import lakehouse, roaring
+
+
+# ---------------------------------------------------------------- codec ----
+
+
+def test_z85_spec_vector():
+    """The reference vector from the ZeroMQ Z85 spec (rfc 32): the 8-byte
+    sequence 86 4F D2 6F B5 59 F7 5B encodes to 'HelloWorld'."""
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert roaring.z85_encode(raw) == "HelloWorld"
+    assert roaring.z85_decode("HelloWorld") == raw
+    with pytest.raises(ValueError, match="multiple of 4"):
+        roaring.z85_encode(b"abc")
+    with pytest.raises(ValueError, match="invalid character"):
+        roaring.z85_decode('"""""')
+
+
+@pytest.mark.parametrize(
+    "positions",
+    [
+        [],
+        [0],
+        [0, 1, 2, 65535, 65536],          # crosses a 16-bit container key
+        [2**32 - 1, 2**32, 2**32 + 5],    # crosses the 32-bit bitmap split
+        list(range(5000)),                # dense -> bitmap container
+        list(range(0, 10**6, 37)),        # many containers
+        [2**40, 2**40 + 1],               # high words far out
+    ],
+)
+def test_roaring_roundtrip(positions):
+    data = roaring.serialize_positions(positions)
+    assert roaring.deserialize_positions(data) == sorted(set(positions))
+
+
+def test_roaring_run_container_and_cookie_12347():
+    """The reader must handle the RUN-container format (cookie 12347) other
+    writers emit, per RoaringFormatSpec: hand-build one 32-bit bitmap with
+    a single run container [10, 13] and parse it through the 64-bit
+    wrapper."""
+    n = 1  # one container, run flag set
+    bitmap32 = (
+        struct.pack("<I", (0 << 16) | roaring._SERIAL_COOKIE | ((n - 1) << 16))
+        + bytes([0b1])            # run-flag bitset: container 0 is a run
+        + struct.pack("<HH", 0, 3)  # key 0, cardinality-1 = 3
+        + struct.pack("<H", 1)      # one run
+        + struct.pack("<HH", 10, 3) # start 10, length-1 = 3 -> {10,11,12,13}
+    )
+    data = struct.pack("<I", roaring._DV_MAGIC) + struct.pack("<Q", 1) + bitmap32
+    assert roaring.deserialize_positions(data) == [10, 11, 12, 13]
+
+
+def test_dv_blob_checksum_guard():
+    data = roaring.serialize_positions([1, 5, 9])
+    blob = roaring.frame_dv_blob(data)
+    buf = b"\x01" + blob
+    assert roaring.read_dv_blob(buf, 1, len(data)) == data
+    corrupted = bytearray(buf)
+    corrupted[10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32|sizeInBytes"):
+        roaring.read_dv_blob(bytes(corrupted), 1, len(data))
+    with pytest.raises(ValueError, match="bad magic"):
+        roaring.deserialize_positions(b"\x00\x00\x00\x00" + data[4:])
+
+
+# ---------------------------------------------------------- delete path ----
+
+
+def test_delete_masks_rows_without_rewriting_files(spark, tmp_path):
+    """The point of DVs: a DELETE leaves every parquet file byte-identical
+    (no rewrite) and readers mask the dead rows via the bitmap."""
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(
+        spark, spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v")),
+        root,
+    )
+    files_before = {
+        f: os.path.getmtime(f) for f in lakehouse._active_files(root)
+    }
+    v = lakehouse.delete_delta(spark, root, "v = 3")
+    # same physical files, untouched bytes
+    assert {
+        f: os.path.getmtime(f) for f in lakehouse._active_files(root)
+    } == files_before
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == [i for i in range(100) if i % 7 != 3]
+    # the commit re-added the touched path with a DV descriptor and
+    # upgraded the protocol to the deletionVectors feature
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    dvs = [a["add"]["deletionVector"] for a in acts if "add" in a]
+    assert dvs and all(d["cardinality"] > 0 for d in dvs)
+
+
+def test_deletes_compose_and_large_dv_goes_to_bin_file(spark, tmp_path):
+    """Repeated deletes UNION into the file's bitmap; a bitmap bigger than
+    the inline threshold lands in a shared deletion_vector_<uuid>.bin that
+    resolves through the Z85-uuid descriptor."""
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(
+        spark,
+        spark.range(20000).select(F.col("id"), (F.col("id") % 2).alias("par")),
+        root,
+    )
+    lakehouse.delete_delta(spark, root, "id < 5000")        # big -> .bin
+    lakehouse.delete_delta(spark, root, "id >= 19990")      # small -> composes
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == list(range(5000, 19990))
+    bins = [n for n in os.listdir(root) if n.startswith("deletion_vector_")]
+    assert bins, "expected at least one DV bin file"
+    adds, _ = lakehouse._replay_log_adds(root)
+    descs = [a["deletionVector"] for a in adds.values() if a.get("deletionVector")]
+    assert descs and sum(d["cardinality"] for d in descs) == 5010
+
+
+def test_delete_on_partitioned_table(spark, tmp_path):
+    root = str(tmp_path / "dp")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(40)], "id long, grp string"
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["grp"])
+    lakehouse.delete_delta(spark, root, "id < 10 AND grp = 'a'")
+    back = lakehouse.read_delta(spark, root)
+    assert back.count() == 35
+    assert back.where("grp = 'a'").count() == 15  # evens >= 10
+
+
+def test_delete_txn_idempotent_and_empty_match(spark, tmp_path):
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)
+    v1 = lakehouse.delete_delta(spark, root, "id = 3", txn=("eraser", 1))
+    again = lakehouse.delete_delta(spark, root, "id = 4", txn=("eraser", 1))
+    assert again == v1  # replay skipped — id=4 must still be there
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9,
+    ]
+    # a predicate matching nothing still commits (and can carry a txn)
+    v3 = lakehouse.delete_delta(spark, root, "id = 999", txn=("eraser", 2))
+    assert lakehouse.last_txn_version(root, "eraser") == 2
+    assert v3 > v1
+
+
+def test_merge_after_delete_does_not_resurrect(spark, tmp_path):
+    """A MERGE rewrite of a DV'd file reads the FILTERED scan — deleted
+    rows must not come back in the rewritten file."""
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(
+        spark,
+        spark.range(10)
+        .select(F.col("id"), F.lit(0).cast("long").alias("v"))
+        .coalesce(1),  # one file: the merge MUST rewrite the DV'd file
+        root,
+    )
+    lakehouse.delete_delta(spark, root, "id = 5")
+    src = spark.createDataFrame([(7, 77)], "id long, v long")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: r.v for r in lakehouse.read_delta(spark, root).collect()}
+    assert 5 not in got and got[7] == 77 and len(got) == 9
+    # the rewrite dropped the DV (clean file, no descriptor)
+    adds, _ = lakehouse._replay_log_adds(root)
+    assert not any(a.get("deletionVector") for a in adds.values())
+
+
+def test_compaction_purges_dvs_and_vacuum_drops_orphan_bins(spark, tmp_path):
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(spark, spark.range(20000).select("id"), root)
+    lakehouse.delete_delta(spark, root, "id % 3 = 0")
+    bins = [n for n in os.listdir(root) if n.startswith("deletion_vector_")]
+    assert bins
+    lakehouse.compact_delta(spark, root)
+    assert lakehouse.read_delta(spark, root).count() == 20000 - 6667
+    adds, _ = lakehouse._replay_log_adds(root)
+    assert not any(a.get("deletionVector") for a in adds.values())
+    doomed = lakehouse.vacuum_delta(root)
+    assert any(d.startswith("deletion_vector_") for d in doomed)
+    assert not [n for n in os.listdir(root) if n.startswith("deletion_vector_")]
+    assert lakehouse.read_delta(spark, root).count() == 20000 - 6667
+
+
+def test_dv_survives_checkpoint_and_log_cleanup(spark, tmp_path):
+    """Without DV descriptors in the checkpoint, log cleanup would
+    resurrect deleted rows — the exact silent-wrongness this pins."""
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(spark, spark.range(50).select("id"), root)
+    lakehouse.delete_delta(spark, root, "id >= 40")
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(
+        range(40)
+    )
+    # protocol row in the checkpoint carries the feature, so a fresh
+    # replay still gates correctly
+    lakehouse.write_delta(spark, spark.range(50, 60).select("id"), root,
+                          mode="append")
+    assert lakehouse.read_delta(spark, root).count() == 50
+
+
+def test_incremental_read_range_with_delete_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)      # v0
+    lakehouse.write_delta(spark, spark.range(10, 20).select("id"), root,
+                          mode="append")                                  # v1
+    lakehouse.delete_delta(spark, root, "id = 1")                         # v2
+    inc = lakehouse.read_delta_changes(spark, root, since_version=0,
+                                       to_version=1)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 20))
+    with pytest.raises(ValueError, match="deletion vector|removed data files"):
+        lakehouse.read_delta_changes(spark, root, since_version=1)
+
+
+def test_unknown_reader_feature_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "d")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "writerFeatures": [],
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        lakehouse.read_delta(spark, root).collect()
