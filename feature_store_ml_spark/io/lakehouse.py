@@ -67,12 +67,16 @@ def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
 #: reader features the fallback actually implements; a protocol action
 #: demanding anything else fails loudly (minReaderVersion 3 lists its
 #: features explicitly, per PROTOCOL.md §Table Features)
-_SUPPORTED_READER_FEATURES = {"deletionVectors"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
 
 
 def _check_protocol(path: str, protocol: dict) -> None:
     v = protocol.get("minReaderVersion", 1) or 1
     if v <= _MAX_SUPPORTED_READER_VERSION:
+        return
+    if v == 2:
+        # reader v2 = column mapping may be present; the scan handles NAME
+        # mode and fails loudly on ID mode (parquet field-id matching)
         return
     if v == 3 and protocol.get("readerFeatures") is not None:
         unsupported = set(protocol["readerFeatures"]) - _SUPPORTED_READER_FEATURES
@@ -199,6 +203,47 @@ def _active_files(path: str) -> list[str]:
     return _replay_log(path)[0]
 
 
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """Logical -> physical column-name map when the table uses COLUMN
+    MAPPING (PROTOCOL.md §Column Mapping): parquet files store opaque
+    physical names recorded in each schema field's
+    ``delta.columnMapping.physicalName`` metadata, which is what makes
+    zero-rewrite RENAME possible. None when the table is unmapped.
+    NAME mode only — ID mode (parquet field-id matching) fails loudly."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if not mode or mode == "none":
+        return None
+    if mode != "name":
+        raise NotImplementedError(
+            f"column mapping mode {mode!r} is not implemented (name mode only)"
+        )
+    schema = json.loads(meta["schemaString"])
+    out: dict[str, str] = {}
+    for f in schema["fields"]:
+        phys = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"column mapping is 'name' but field {f['name']!r} has no "
+                "physicalName metadata — corrupt table metadata"
+            )
+        out[f["name"]] = phys
+    return out
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Rename a LOGICAL-named frame to the table's physical column names
+    before a staging write (no-op for unmapped tables) — data files must
+    always carry physical names or every rename-so-far would corrupt."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
 def _resolve_dv_path(path: str, desc: dict) -> str:
     """Absolute path of a DV descriptor's bin file (storageType u or p).
     For 'u' the file name derives from the Z85-encoded UUID in
@@ -313,11 +358,35 @@ def _scan_files(
             return _apply_dv_filter(spark, path, df, files, adds)
         return df
 
+    mapping = _column_mapping(meta) if meta.get("schemaString") else None
+    if part_cols and mapping:
+        raise NotImplementedError(
+            f"{path}: column mapping on a PARTITIONED table is not "
+            "implemented in the fallback (physical-named partition dirs)"
+        )
     if not part_cols:
         if meta.get("schemaString"):
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            if mapping:
+                # files carry PHYSICAL names: read with the physical
+                # schema, mask DVs, then project back to logical names
+                physical = StructType(
+                    [
+                        StructField(mapping[f.name], f.dataType, f.nullable)
+                        for f in declared.fields
+                    ]
+                )
+                from pyspark.sql import functions as F
+
+                df = _dv(spark.read.schema(physical).parquet(*files))
+                return df.select(
+                    *[
+                        F.col(mapping[f.name]).alias(f.name)
+                        for f in declared.fields
+                    ]
+                )
             return _dv(spark.read.schema(declared).parquet(*files))
         return _dv(spark.read.parquet(*files))
     rel = [os.path.relpath(f, path) for f in files]
@@ -603,7 +672,7 @@ def compact_delta(
             rewritten = zorder_layout(live, zorder_by, target_files)
         else:
             rewritten = live.coalesce(target_files)
-        rewritten.write.parquet(staging)
+        _to_physical(rewritten, meta).write.parquet(staging)
     else:
         # per-partition bin-packing: dir stats come free from the driver's
         # file list (the same O(#files) metadata the log replay already
@@ -650,6 +719,8 @@ def compact_delta(
         else:
             routed = routed.drop("_salt")
         routed.write.partitionBy(*part_cols).parquet(staging)
+        # (no _to_physical here: partitioned tables reject column mapping
+        # in _scan_files, so `routed` is always physically named already)
     now_ms = int(_time.time() * 1000)
     adds = _promote_staged(staging, path, now_ms, data_change=False)
     actions = (
@@ -841,9 +912,12 @@ def checkpoint_delta(path: str) -> int:
     )
     rows: list[dict] = [{**base, "protocol": protocol}]
     if meta:
+        # configuration MUST survive: it carries the column-mapping mode —
+        # dropping it would make post-cleanup reads look up LOGICAL names
+        # in physically-named files and return all-null columns
         keep = ("id", "name", "description", "schemaString",
-                "partitionColumns", "createdTime")
-        md = {k: meta[k] for k in keep if k in meta}
+                "partitionColumns", "createdTime", "configuration")
+        md = {k: meta[k] for k in keep if k in meta and meta[k]}
         # parquet cannot hold empty structs; keep format as provider-only
         provider = (meta.get("format") or {}).get("provider", "parquet")
         md["format"] = {"provider": provider}
@@ -1071,7 +1145,10 @@ def write_delta(
     # 1. distributed data write into a staging dir (Hive layout when
     #    partitioned — executors write straight into col=value/ dirs)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    stage_writer = df.write
+    # append to a column-mapped table stages PHYSICAL names; overwrite
+    # re-emits an unmapped metaData below, so its files stay logical
+    staged_df = _to_physical(df, table_meta) if mode == "append" else df
+    stage_writer = staged_df.write
     if partition_by:
         stage_writer = stage_writer.partitionBy(*partition_by)
     stage_writer.parquet(staging)
@@ -1431,7 +1508,7 @@ def _merge_rewrite(
     import time as _time
 
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    stage_writer = new_rows.write
+    stage_writer = _to_physical(new_rows, meta).write
     if part_cols:
         stage_writer = stage_writer.partitionBy(*part_cols)
     stage_writer.parquet(staging)
@@ -1642,6 +1719,88 @@ def delete_delta(
                 "timestamp": now_ms,
                 "operation": "DELETE",
                 "operationParameters": {"predicate": predicate},
+            }
+        }
+    )
+    return _commit(path, actions)
+
+
+def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
+    """ZERO-REWRITE column rename via COLUMN MAPPING (PROTOCOL.md §Column
+    Mapping, name mode) — the operation that motivates the feature: without
+    mapping, renaming a column on a 100 TB table means rewriting 100 TB of
+    parquet; with it, the rename is ONE metadata commit.
+
+    First rename on an unmapped table upgrades it in the same commit:
+    every field gets ``delta.columnMapping.physicalName`` = its CURRENT
+    name (what the existing files already carry — no data changes) and a
+    stable ``delta.columnMapping.id``; the configuration records
+    ``delta.columnMapping.mode = name`` and the protocol moves to
+    minReaderVersion 2 / minWriterVersion 5 (the column-mapping gate real
+    readers check). The rename itself then only changes the LOGICAL field
+    name — the physical name pins the data.
+
+    Subsequent writes (append/merge/compact) translate logical -> physical
+    at the staging boundary (``_to_physical``), so new files always carry
+    physical names. Fail-loud: unknown column, name collision, partitioned
+    tables (physical-named partition dirs are not implemented).
+    """
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            f"{path}: column rename on a partitioned table is not implemented"
+        )
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"{path}: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"{path}: column {new!r} already exists")
+    conf = dict(meta.get("configuration") or {})
+    mapped = conf.get("delta.columnMapping.mode") == "name"
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        if not mapped:
+            # upgrade: physical name = the name the files already carry
+            md["delta.columnMapping.physicalName"] = f["name"]
+            md["delta.columnMapping.id"] = i
+            max_id = max(max_id, i)
+        if f["name"] == old:
+            f["name"] = new
+        f["metadata"] = md
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    if not mapped:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                **{k: v for k, v in meta.items() if k not in ("schemaString", "configuration")},
+                "schemaString": json.dumps(schema),
+                "configuration": conf,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
             }
         }
     )

@@ -230,8 +230,103 @@ def test_unknown_reader_feature_fails_loud(spark, tmp_path):
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "columnMapping"],
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
             "writerFeatures": [],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        lakehouse.read_delta(spark, root).collect()
+
+
+# ------------------------------------------------------- column mapping ----
+
+
+def test_rename_column_zero_rewrite(spark, tmp_path):
+    """rename_delta_column: one metadata commit, no parquet touched, reads
+    show the new logical name with the same values."""
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(
+        spark, spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+    )
+    files_before = {
+        f: os.path.getmtime(f) for f in lakehouse._active_files(root)
+    }
+    lakehouse.rename_delta_column(spark, root, "v", "value")
+    assert {
+        f: os.path.getmtime(f) for f in lakehouse._active_files(root)
+    } == files_before
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "value"]
+    assert {(r.id, r.value) for r in back.collect()} == {(i, 2 * i) for i in range(10)}
+    _, meta = lakehouse._replay_log_adds(root)
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    with pytest.raises(ValueError, match="already exists"):
+        lakehouse.rename_delta_column(spark, root, "id", "value")
+    with pytest.raises(ValueError, match="no column"):
+        lakehouse.rename_delta_column(spark, root, "nope", "x")
+
+
+def test_append_and_merge_after_rename(spark, tmp_path):
+    """Writes to a mapped table must stage PHYSICAL names: an append and a
+    merge after the rename keep old and new files readable together."""
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(
+        spark, spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+    )
+    lakehouse.rename_delta_column(spark, root, "v", "value")
+    lakehouse.write_delta(
+        spark,
+        spark.range(5, 8).select(F.col("id"), (F.col("id") * 2).alias("value")),
+        root, mode="append",
+    )
+    src = spark.createDataFrame([(0, -1), (100, 100)], "id long, value long")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    got = {r.id: r.value for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[0] == -1 and got[100] == 100 and got[7] == 14 and len(got) == 9
+    # the appended files physically carry the ORIGINAL column name
+    import pyarrow.parquet as pq
+
+    phys_names = set()
+    for f in lakehouse._active_files(root):
+        phys_names |= set(pq.read_schema(f).names)
+    assert "v" in phys_names and "value" not in phys_names
+
+
+def test_rename_survives_compaction_and_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(spark, spark.range(10).select("id", (F.col("id") % 3).alias("v")), root)
+    lakehouse.rename_delta_column(spark, root, "v", "bucket")
+    lakehouse.write_delta(
+        spark, spark.range(10, 20).select("id", (F.col("id") % 3).alias("bucket")),
+        root, mode="append",
+    )
+    lakehouse.compact_delta(spark, root, target_files=1)
+    assert lakehouse.read_delta(spark, root).columns == ["id", "bucket"]
+    assert lakehouse.read_delta(spark, root).count() == 20
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "bucket"] and back.count() == 20
+
+
+def test_rename_then_delete_vectors_compose(spark, tmp_path):
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(spark, spark.range(20).select("id", (F.col("id") % 4).alias("v")), root)
+    lakehouse.rename_delta_column(spark, root, "v", "m")
+    lakehouse.delete_delta(spark, root, "m = 1")
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == [i for i in range(20) if i % 4 != 1]
+
+
+def test_id_mapping_mode_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    _, meta = lakehouse._replay_log_adds(root)
+    log = os.path.join(root, "_delta_log")
+    meta2 = dict(meta)
+    meta2["configuration"] = {"delta.columnMapping.mode": "id"}
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": meta2}) + "\n")
+    with pytest.raises(NotImplementedError, match="name mode only"):
         lakehouse.read_delta(spark, root).collect()
