@@ -64,6 +64,9 @@ HEADLINE = [
     "e12_feature_upsert",
     "e1_iceberg_snapshot_diff",
     "e1_delta_partitioned",
+    "e1_delta_partitioned_merge",
+    "e1_delta_delete_vectors",
+    "e1_iceberg_time_travel",
 ]
 
 

@@ -2525,7 +2525,7 @@ def e1_delta_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM lineitem
-    WHERE NOT (l_discount > 0.05 AND l_quantity < 25)
+    WHERE NOT (l_discount > 0.09 AND l_quantity < 5)
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -2559,7 +2559,7 @@ def e1_delta_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     lakehouse.delete_delta(
-        spark, path, "l_discount > 0.05 AND l_quantity < 25",
+        spark, path, "l_discount > 0.09 AND l_quantity < 5",
         txn=("e1_dv", 1),
     )
     back = lakehouse.read_delta(spark, path)
