@@ -17,9 +17,11 @@ pushdown/pruning/codegen all apply; identity-partition source columns are
 physically present in Iceberg data files (unlike Hive/Delta layouts), so
 no path-based schema reconstruction is needed.
 
-Fail-loud limits: format-version ≤ 2, no delete files (merge-on-read),
-parquet data files only. Time travel reads any RETAINED snapshot (by id or
-as-of timestamp via the snapshot-log); expired history fails loudly.
+Fail-loud limits: format-version ≤ 2, parquet data files only, equality
+deletes unsupported (POSITION deletes are fully supported — read-masked
+and writable via delete_iceberg). Time travel reads any RETAINED snapshot
+(by id or as-of timestamp via the snapshot-log); expired history fails
+loudly.
 """
 
 from __future__ import annotations
@@ -101,38 +103,61 @@ def _load_metadata(table_root: str) -> dict:
     return meta
 
 
-def _snapshot_files(meta: dict, snap_id: int, table_root: str) -> list[str]:
-    """Live parquet data-file paths of one snapshot (manifest-list walk)."""
+def _snapshot_content(
+    meta: dict, snap_id: int, table_root: str
+) -> tuple[list[str], list[str]]:
+    """(data files, POSITION-DELETE files) of one snapshot, both localized
+    parquet paths (manifest-list walk). Delete manifests (content=1 in the
+    list) hold position-delete entries — spec §Position Delete Files:
+    parquet files of (file_path, pos) naming dead rows of specific data
+    files. Equality deletes (data_file.content=2) stay fail-loud."""
     snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     snap = snapshots.get(snap_id)
     if snap is None:
         raise ValueError(f"{table_root}: snapshot {snap_id} not in metadata")
     manifest_list = _localize(snap["manifest-list"], table_root)
     files: list[str] = []
+    deletes: list[str] = []
     for entry in avro_lite.read_container(manifest_list):
         manifest_path = _localize(entry["manifest_path"], table_root)
-        content = entry.get("content", 0) or 0
-        if content == 1:
-            raise NotImplementedError(
-                f"{table_root}: DELETE manifests (merge-on-read v2 tables) "
-                "are not supported — compact the table or read with the "
-                "iceberg-spark runtime"
-            )
+        is_delete_manifest = (entry.get("content", 0) or 0) == 1
         for m in avro_lite.read_container(manifest_path):
             if m.get("status") == _STATUS_DELETED:
                 continue
             df_struct = m["data_file"]
-            if (df_struct.get("content") or 0) != 0:
-                raise NotImplementedError(
-                    f"{table_root}: delete data_file entries are not supported"
-                )
+            content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"{table_root}: {fmt} data files unsupported (parquet only)"
                 )
-            files.append(_localize(df_struct["file_path"], table_root))
-    return files
+            if is_delete_manifest:
+                if content == 1:
+                    deletes.append(_localize(df_struct["file_path"], table_root))
+                elif content == 2:
+                    raise NotImplementedError(
+                        f"{table_root}: EQUALITY delete files are not "
+                        "supported (position deletes only)"
+                    )
+                else:
+                    raise ValueError(
+                        f"{table_root}: DELETE manifest entry with "
+                        f"content={content} — corrupt metadata (a delete "
+                        "manifest may only hold delete files)"
+                    )
+            elif content == 0:
+                files.append(_localize(df_struct["file_path"], table_root))
+            else:
+                raise ValueError(
+                    f"{table_root}: DATA manifest entry with content="
+                    f"{content} — corrupt metadata"
+                )
+    return files, deletes
+
+
+def _snapshot_files(meta: dict, snap_id: int, table_root: str) -> list[str]:
+    """Live parquet data-file paths of one snapshot (manifest-list walk)."""
+    return _snapshot_content(meta, snap_id, table_root)[0]
 
 
 def _live_data_files(table_root: str) -> list[str]:
@@ -142,6 +167,49 @@ def _live_data_files(table_root: str) -> list[str]:
     if snap_id in (None, -1):
         return []
     return _snapshot_files(meta, snap_id, table_root)
+
+
+def _apply_position_deletes(
+    spark: SparkSession, table_root: str, df: DataFrame, delete_files: list[str]
+) -> DataFrame:
+    """Mask rows named by POSITION DELETE files (spec: parquet of
+    (file_path, pos) pairs): anti-join the scan's hidden `_metadata`
+    file/row identity against the delete entries.
+
+    The delete parquets are read driver-side with pyarrow because their
+    file_path column stores the WRITER's URIs — each distinct path is
+    re-rooted through _localize so a relocated table still masks
+    correctly, then normalized to the `file:<abs>` form Spark's
+    _metadata.file_path reports. Delete files are metadata-sized (they
+    name dead rows, not carry them); the positions side is explicitly
+    broadcast so the data scan stays a JVM-side anti-join."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    pairs: list[tuple[str, int]] = []
+    for dfile in delete_files:
+        t = pq.read_table(dfile, columns=["file_path", "pos"])
+        uri_cache: dict[str, str] = {}
+        for raw, pos in zip(
+            t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+        ):
+            uri = uri_cache.get(raw)
+            if uri is None:
+                uri = "file:" + os.path.abspath(_localize(raw, table_root))
+                uri_cache[raw] = uri
+            pairs.append((uri, pos))
+    if not pairs:
+        return df
+    deleted = spark.createDataFrame(pairs, "_del_fp string, _del_pos long")
+    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+        "_ri", F.col("_metadata.row_index")
+    )
+    kept = tagged.join(
+        F.broadcast(deleted),
+        (F.col("_fp") == F.col("_del_fp")) & (F.col("_ri") == F.col("_del_pos")),
+        "left_anti",
+    )
+    return kept.drop("_fp", "_ri")
 
 
 def read_iceberg_changes(
@@ -162,14 +230,22 @@ def read_iceberg_changes(
     to_id = to_snapshot_id if to_snapshot_id is not None else meta.get(
         "current-snapshot-id"
     )
-    old = set(_snapshot_files(meta, from_snapshot_id, path))
-    new = _snapshot_files(meta, to_id, path)
+    old, old_deletes = _snapshot_content(meta, from_snapshot_id, path)
+    old = set(old)
+    new, new_deletes = _snapshot_content(meta, to_id, path)
     gone = old - set(new)
     if gone:
         raise ValueError(
             f"{path}: {len(gone)} files live at snapshot {from_snapshot_id} "
             f"are gone at {to_id} — history rewritten; incremental read is "
             "ill-defined, re-read the full snapshot"
+        )
+    if set(new_deletes) != set(old_deletes):
+        raise ValueError(
+            f"{path}: position-delete files changed between snapshots "
+            f"{from_snapshot_id} and {to_id} — rows were DELETED, the "
+            "append-only incremental read is ill-defined; re-read the "
+            "full snapshot"
         )
     added = [f for f in new if f not in old]
     if not added:
@@ -620,9 +696,12 @@ def read_iceberg(
                     "— older than retained history (or the log is empty)"
                 )
             snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
-        files = _snapshot_files(meta, snapshot_id, path)
     else:
-        files = _live_data_files(path)
+        meta = _load_metadata(path)
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError(f"{path}: table has no current snapshot")
+    files, delete_files = _snapshot_content(meta, snapshot_id, path)
     if not files:
         raise ValueError(
             f"{path}: snapshot is empty — parquet fallback cannot "
@@ -634,4 +713,163 @@ def read_iceberg(
             f"{path}: snapshot references deleted data files (e.g. "
             f"{os.path.basename(gone[0])}) — history was expired"
         )
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*files)
+    if delete_files:
+        df = _apply_position_deletes(spark, path, df, delete_files)
+    return df
+
+
+def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+    """Row-level DELETE via POSITION DELETE FILES (spec §Row-level deletes,
+    merge-on-read) — Iceberg v2's twin of Delta deletion vectors: instead
+    of rewriting matched data files, the commit adds a parquet file of
+    ``(file_path, pos)`` pairs naming the dead rows plus a DELETE manifest
+    (content=1 in the manifest list), and readers anti-join the positions
+    at scan time. Write cost is O(#deleted rows), not touched-file bytes.
+
+    Mechanics: the predicate is evaluated over the current snapshot's
+    DELETE-FILTERED scan (hidden ``_metadata`` columns give the file/row
+    identity; rows already deleted cannot match twice); the new position
+    delete file lands under ``data/`` sorted by (file_path, pos) as the
+    spec requires, the prior snapshot's manifests carry forward, and the
+    new snapshot commits with the next sequence number by atomic rename.
+
+    v2 tables only (v1 predates row-level deletes — fail-loud).
+    Returns the new snapshot id.
+    """
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    mp = latest_metadata_path(path)
+    with open(mp) as fh:
+        prior_meta = json.load(fh)
+    if prior_meta.get("format-version", 1) < 2:
+        raise NotImplementedError(
+            f"{path}: row-level deletes need format-version 2 (v1 tables "
+            "predate merge-on-read) — rewrite via overwrite instead"
+        )
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    cur = prior_meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+
+    matched = (
+        read_iceberg(spark, path)
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_ri", F.col("_metadata.row_index"))
+        .where(predicate)
+        .select("_fp", "_ri")
+        .collect()
+    )
+    now_ms = int(_time.time() * 1000)
+    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    if matched:
+        pairs = sorted((r["_fp"], r["_ri"]) for r in matched)
+        del_file = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": [p[0] for p in pairs],
+                    "pos": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            ),
+            del_file,
+        )
+        manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+        avro_lite.write_container(
+            manifest,
+            _manifest_entry_schema(2),
+            [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 1,  # POSITION DELETES
+                        "file_path": f"file:{del_file}",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": len(pairs),
+                        "file_size_in_bytes": os.path.getsize(del_file),
+                    },
+                }
+            ],
+        )
+        prior_manifests: list[dict] = []
+        prior_snap = next(
+            s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
+        )
+        for e in avro_lite.read_container(_localize(prior_snap["manifest-list"], path)):
+            prior_manifests.append(e)
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+        mf_schema = _manifest_file_schema(2)
+        keep = {f["name"] for f in mf_schema["fields"]}
+        new_entry = {
+            "manifest_path": f"file:{manifest}",
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 1,  # delete manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+        }
+        avro_lite.write_container(
+            mlist,
+            mf_schema,
+            [{k: e.get(k, 0) for k in keep} for e in prior_manifests]
+            + [{k: new_entry.get(k, 0) for k in keep}],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"file:{mlist}",
+            "summary": {"operation": "delete"},
+            "schema-id": prior_meta.get("current-schema-id", 0),
+            "sequence-number": seq,
+        }
+    else:
+        # nothing matched: still commit an (empty-change) snapshot so the
+        # caller observes a monotonic snapshot id — reuse the prior list
+        prior_snap = next(
+            s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now_ms,
+            "manifest-list": prior_snap["manifest-list"],
+            "summary": {"operation": "delete"},
+            "schema-id": prior_meta.get("current-schema-id", 0),
+            "sequence-number": seq,
+        }
+
+    meta = dict(prior_meta)
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
+    meta["last-sequence-number"] = seq
+    meta["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(f"{path}: metadata v{new_version} was committed concurrently")
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return snap_id

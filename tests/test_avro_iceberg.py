@@ -340,9 +340,12 @@ def test_iceberg_skips_deleted_entries(spark, tmp_path):
     assert sorted(r.id for r in df.collect()) == list(range(10, 30))
 
 
-def test_iceberg_delete_manifests_fail_loud(spark, tmp_path):
+def test_iceberg_corrupt_delete_manifest_fails_loud(spark, tmp_path):
+    """A manifest-list entry claiming content=1 (delete manifest) whose
+    entries are content=0 DATA files is corrupt metadata — refuse rather
+    than double-count or silently skip."""
     root = _make_iceberg_table(spark, str(tmp_path / "t"), delete_manifest=True)
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    with pytest.raises(ValueError, match="corrupt metadata"):
         iceberg.read_iceberg(spark, root)
 
 
@@ -545,3 +548,89 @@ def test_iceberg_expire_blocks_time_travel_into_expired(spark, tmp_path):
         assert got.count() == 10
     except ValueError as exc:
         assert "older than retained history" in str(exc)
+
+
+# ------------------------------------------------------ position deletes ----
+
+
+def test_iceberg_position_delete_masks_rows(spark, tmp_path):
+    """delete_iceberg writes a position-delete parquet + delete manifest;
+    the read anti-joins the dead rows; data files stay byte-identical."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pd")
+    iceberg.write_iceberg(
+        spark, spark.range(100).select("id", (F.col("id") % 5).alias("v")),
+        root, format_version=2,
+    )
+    data_before = {
+        f: os.path.getmtime(f) for f in iceberg._live_data_files(root)
+    }
+    s = iceberg.delete_iceberg(spark, root, "v = 2")
+    assert {
+        f: os.path.getmtime(f) for f in iceberg._live_data_files(root)
+    } == data_before
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(100) if i % 5 != 2]
+    meta = iceberg._load_metadata(root)
+    assert meta["current-snapshot-id"] == s
+    _, deletes = iceberg._snapshot_content(meta, s, root)
+    assert len(deletes) == 1 and deletes[0].endswith(".parquet")
+
+
+def test_iceberg_deletes_compose_and_append_after_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pd")
+    iceberg.write_iceberg(spark, spark.range(50).select("id"), root,
+                          format_version=2)
+    iceberg.delete_iceberg(spark, root, "id < 10")
+    iceberg.delete_iceberg(spark, root, "id >= 45")   # composes
+    iceberg.write_iceberg(spark, spark.range(100, 110).select("id"), root,
+                          format_version=2)           # append carries deletes
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == list(range(10, 45)) + list(range(100, 110))
+    # delete on the appended rows too
+    iceberg.delete_iceberg(spark, root, "id = 105")
+    assert 105 not in {r.id for r in iceberg.read_iceberg(spark, root).collect()}
+
+
+def test_iceberg_delete_nothing_matched_still_commits(spark, tmp_path):
+    root = str(tmp_path / "pd")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root,
+                          format_version=2)
+    s = iceberg.delete_iceberg(spark, root, "id = 999")
+    assert iceberg._load_metadata(root)["current-snapshot-id"] == s
+    assert iceberg.read_iceberg(spark, root).count() == 5
+
+
+def test_iceberg_delete_v1_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "pd")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root,
+                          format_version=1)
+    with pytest.raises(NotImplementedError, match="format-version 2"):
+        iceberg.delete_iceberg(spark, root, "id = 1")
+
+
+def test_iceberg_incremental_rejects_delete_range(spark, tmp_path):
+    """Snapshot-diff across a delete is not append-only — fail loud."""
+    root = str(tmp_path / "pd")
+    s1 = iceberg.write_iceberg(spark, spark.range(10).select("id"), root,
+                               format_version=2)
+    s2 = iceberg.write_iceberg(spark, spark.range(10, 20).select("id"), root,
+                               format_version=2)
+    iceberg.delete_iceberg(spark, root, "id = 3")
+    inc = iceberg.read_iceberg_changes(spark, root, from_snapshot_id=s1,
+                                       to_snapshot_id=s2)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 20))
+    with pytest.raises(ValueError, match="DELETED"):
+        iceberg.read_iceberg_changes(spark, root, from_snapshot_id=s2)
+
+
+def test_iceberg_time_travel_before_delete_sees_all_rows(spark, tmp_path):
+    root = str(tmp_path / "pd")
+    s1 = iceberg.write_iceberg(spark, spark.range(20).select("id"), root,
+                               format_version=2)
+    iceberg.delete_iceberg(spark, root, "id < 5")
+    assert iceberg.read_iceberg(spark, root).count() == 15
+    assert iceberg.read_iceberg(spark, root, snapshot_id=s1).count() == 20
