@@ -244,6 +244,150 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _current_protocol(path: str) -> dict:
+    """The table's latest protocol action (checkpoint + JSON tail replay —
+    last wins). Defaults to the base 1/2 when none was ever written."""
+    log = _delta_log_dir(path)
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    if ckpt_files:
+        import pyarrow.parquet as pq
+
+        for f in ckpt_files:
+            for row in pq.read_table(f).to_pylist():
+                p = row.get("protocol")
+                if p and p.get("minReaderVersion") is not None:
+                    proto = {k: v for k, v in p.items() if v is not None}
+    for name in sorted(os.listdir(log)):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        if int(name[:20]) <= ckpt_version:
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        proto = action["protocol"]
+    return proto
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, path: str) -> None:
+    """Validate a batch against the table's CHECK constraints
+    (PROTOCOL.md §CHECK Constraints: ``delta.constraints.<name>`` entries
+    in metaData.configuration, writer-enforced). Delta semantics: a row
+    passes when the expression is TRUE **or NULL**; only FALSE violates —
+    so the probe filters on ``expr == false`` (null-safe by construction:
+    a null comparison is null, and `where` drops it).
+
+    One early-exit probe job per constraint (``limit(1)``): the first
+    violating row aborts the write BEFORE any data is staged. Batches are
+    the small side of an incremental pipeline; full-scan enforcement is
+    what every constrained writer pays."""
+    from pyspark.sql import functions as F
+
+    conf = meta.get("configuration") or {}
+    for key, expr in sorted(conf.items()):
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        bad = df.where(F.expr(expr) == F.lit(False)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{path}: CHECK constraint {name!r} ({expr}) violated by "
+                f"e.g. {bad[0].asDict()}"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): record a CHECK
+    constraint in metaData.configuration (the protocol's
+    ``delta.constraints.<name>`` key) after validating that EVERY existing
+    row already satisfies it (one distributed scan — the same full
+    validation real Delta runs, because a constraint that existing data
+    violates would make the table unreadable-as-declared). Subsequent
+    appends and merges enforce it batch-by-batch and fail loudly.
+
+    Bumps minWriterVersion to 3 (the protocol version that introduces
+    writer-enforced constraints) so foreign writers that do not understand
+    enforcement refuse to write rather than corrupt."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    adds_map, meta = _replay_log_adds(path)
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key in conf:
+        raise ValueError(f"{path}: constraint {name!r} already exists")
+    files = [os.path.join(path, p) for p in adds_map]
+    if files:
+        current = _scan_files(spark, path, files, meta, adds_map)
+        _enforce_constraints(
+            current, {"configuration": {key: expr}}, path
+        )
+    conf[key] = expr
+    now_ms = int(_time.time() * 1000)
+    # protocol: only UPGRADE (constraints need writer >= 3); a table
+    # already on table features (7) declares checkConstraints there instead
+    proto = _current_protocol(path)
+    if proto.get("minWriterVersion", 2) >= 7:
+        wf = sorted(set(proto.get("writerFeatures") or []) | {"checkConstraints"})
+        new_proto = {**proto, "writerFeatures": wf}
+    else:
+        new_proto = {
+            **proto,
+            "minWriterVersion": max(proto.get("minWriterVersion", 2), 3),
+        }
+    return _commit(
+        path,
+        [
+            {"protocol": new_proto},
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                }
+            },
+        ],
+    )
+
+
+def drop_delta_constraint(path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: remove the configuration entry
+    (missing name fails loudly — a silent no-op would let a typo leave the
+    constraint enforced)."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    conf = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in conf:
+        raise ValueError(f"{path}: no constraint {name!r}")
+    del conf[key]
+    now_ms = int(_time.time() * 1000)
+    return _commit(
+        path,
+        [
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                }
+            },
+        ],
+    )
+
+
 def _resolve_dv_path(path: str, desc: dict) -> str:
     """Absolute path of a DV descriptor's bin file (storageType u or p).
     For 'u' the file name derives from the Z85-encoded UUID in
@@ -1086,6 +1230,7 @@ def write_delta(
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
+        _enforce_constraints(df, meta, path)
         declared_parts = meta.get("partitionColumns") or []
         if mode == "append" and declared_parts != (partition_by or []):
             raise ValueError(
@@ -1377,6 +1522,7 @@ def merge_delta(
                 f"{path}: merge source schema mismatch — table declares "
                 f"{want}, source carries {got}"
             )
+        _enforce_constraints(source, meta, path)
 
     # One aggregation serves both the cardinality check and the key set
     # (distinct by construction), persisted because it probes the target
@@ -1680,13 +1826,27 @@ def delete_delta(
         for rel in bin_offsets:
             new_descs[rel]["pathOrInlineDv"] = enc
 
+    # protocol upgrade to table features, CARRYING the table's existing
+    # features forward (dropping e.g. checkConstraints from the lists
+    # would un-declare an active feature)
+    proto = _current_protocol(path)
+    reader_feats = set(proto.get("readerFeatures") or []) | {"deletionVectors"}
+    writer_feats = set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+    if any(
+        k.startswith("delta.constraints.")
+        for k in (meta.get("configuration") or {})
+    ) or proto.get("minWriterVersion", 2) >= 3:
+        writer_feats.add("checkConstraints")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
     actions = [
         {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(writer_feats),
             }
         }
     ]

@@ -330,3 +330,96 @@ def test_id_mapping_mode_fails_loud(spark, tmp_path):
         fh.write(json.dumps({"metaData": meta2}) + "\n")
     with pytest.raises(NotImplementedError, match="name mode only"):
         lakehouse.read_delta(spark, root).collect()
+
+
+# ----------------------------------------------------- CHECK constraints ----
+
+
+def test_check_constraint_enforced_on_append_and_merge(spark, tmp_path):
+    """delta.constraints.*: appends and merges that violate fail BEFORE
+    staging; passing batches commit; NULL evaluations pass (Delta's CHECK
+    semantics — only FALSE violates)."""
+    root = str(tmp_path / "cc")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 1.0).alias("score")),
+        root,
+    )
+    lakehouse.add_delta_constraint(spark, root, "score_nonneg", "score >= 0")
+    with pytest.raises(ValueError, match="score_nonneg"):
+        lakehouse.write_delta(
+            spark,
+            spark.createDataFrame([(11, -1.0)], "id long, score double"),
+            root, mode="append",
+        )
+    assert lakehouse.read_delta(spark, root).count() == 10  # nothing staged
+    # null passes (constraint semantics), valid rows commit
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(11, None), (12, 5.0)], "id long, score double"),
+        root, mode="append",
+    )
+    assert lakehouse.read_delta(spark, root).count() == 12
+    with pytest.raises(ValueError, match="score_nonneg"):
+        lakehouse.merge_delta(
+            spark,
+            spark.createDataFrame([(0, -9.0)], "id long, score double"),
+            root, keys=["id"],
+        )
+    lakehouse.merge_delta(
+        spark, spark.createDataFrame([(0, 9.0)], "id long, score double"),
+        root, keys=["id"],
+    )
+    got = {r.id: r.score for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[0] == 9.0
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    root = str(tmp_path / "cc")
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(1, -5.0)], "id long, score double"), root
+    )
+    with pytest.raises(ValueError, match="violated by"):
+        lakehouse.add_delta_constraint(spark, root, "pos", "score >= 0")
+    # and the constraint was NOT recorded
+    _, meta = lakehouse._replay_log_adds(root)
+    assert not any(
+        k.startswith("delta.constraints.") for k in meta.get("configuration") or {}
+    )
+
+
+def test_drop_constraint_and_protocol_bookkeeping(spark, tmp_path):
+    root = str(tmp_path / "cc")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    lakehouse.add_delta_constraint(spark, root, "small", "id < 1000")
+    proto = lakehouse._current_protocol(root)
+    assert proto["minWriterVersion"] >= 3
+    with pytest.raises(ValueError, match="already exists"):
+        lakehouse.add_delta_constraint(spark, root, "small", "id < 10")
+    lakehouse.drop_delta_constraint(root, "small")
+    with pytest.raises(ValueError, match="no constraint"):
+        lakehouse.drop_delta_constraint(root, "small")
+    # violating append passes after the drop
+    lakehouse.write_delta(
+        spark, spark.createDataFrame([(5000,)], "id long"), root, mode="append"
+    )
+    assert lakehouse.read_delta(spark, root).count() == 6
+
+
+def test_delete_after_constraint_carries_features_forward(spark, tmp_path):
+    """A DV delete on a constrained table must keep checkConstraints in
+    writerFeatures when it upgrades to table features — dropping it would
+    un-declare an active feature for foreign writers."""
+    root = str(tmp_path / "cc")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)
+    lakehouse.add_delta_constraint(spark, root, "small", "id < 1000")
+    lakehouse.delete_delta(spark, root, "id = 3")
+    proto = lakehouse._current_protocol(root)
+    assert proto["minWriterVersion"] == 7
+    assert "checkConstraints" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # constraint still enforced after the protocol upgrade
+    with pytest.raises(ValueError, match="small"):
+        lakehouse.write_delta(
+            spark, spark.createDataFrame([(5000,)], "id long"), root,
+            mode="append",
+        )
