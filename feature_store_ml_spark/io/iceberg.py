@@ -17,11 +17,12 @@ pushdown/pruning/codegen all apply; identity-partition source columns are
 physically present in Iceberg data files (unlike Hive/Delta layouts), so
 no path-based schema reconstruction is needed.
 
-Fail-loud limits: format-version ≤ 2, parquet data files only, equality
-deletes unsupported (POSITION deletes are fully supported — read-masked
-and writable via delete_iceberg). Time travel reads any RETAINED snapshot
-(by id or as-of timestamp via the snapshot-log); expired history fails
-loudly.
+Merge-on-read is fully supported for v2: POSITION deletes
+(delete_iceberg) and sequence-scoped EQUALITY deletes
+(delete_iceberg_equality) are both read-masked and writable. Fail-loud
+limits: format-version ≤ 2, parquet data files only. Time travel reads
+any RETAINED snapshot (by id or as-of timestamp via the snapshot-log);
+expired history fails loudly.
 """
 
 from __future__ import annotations
@@ -103,24 +104,31 @@ def _load_metadata(table_root: str) -> dict:
     return meta
 
 
-def _snapshot_content(
+def _snapshot_scan_plan(
     meta: dict, snap_id: int, table_root: str
-) -> tuple[list[str], list[str]]:
-    """(data files, POSITION-DELETE files) of one snapshot, both localized
-    parquet paths (manifest-list walk). Delete manifests (content=1 in the
-    list) hold position-delete entries — spec §Position Delete Files:
-    parquet files of (file_path, pos) naming dead rows of specific data
-    files. Equality deletes (data_file.content=2) stay fail-loud."""
+) -> tuple[list[dict], list[dict]]:
+    """The planning-phase view of one snapshot (manifest-list walk):
+    ``(data, deletes)`` where each data entry is ``{path, seq}`` and each
+    delete entry is ``{path, seq, kind: 'pos'|'eq', equality_ids}``.
+
+    Sequence numbers come from the manifest-list entry (v2; entries
+    inherit their manifest's — our writer and most engines write one
+    manifest per commit) and matter for DELETE SCOPING, per spec:
+    position deletes apply to data files with sequence <= theirs (same
+    commit allowed); EQUALITY deletes apply only to data files with
+    sequence STRICTLY LESS — a re-ingested row with the same key after
+    the delete stays alive."""
     snapshots = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     snap = snapshots.get(snap_id)
     if snap is None:
         raise ValueError(f"{table_root}: snapshot {snap_id} not in metadata")
     manifest_list = _localize(snap["manifest-list"], table_root)
-    files: list[str] = []
-    deletes: list[str] = []
+    data: list[dict] = []
+    deletes: list[dict] = []
     for entry in avro_lite.read_container(manifest_list):
         manifest_path = _localize(entry["manifest_path"], table_root)
         is_delete_manifest = (entry.get("content", 0) or 0) == 1
+        mseq = entry.get("sequence_number") or 0
         for m in avro_lite.read_container(manifest_path):
             if m.get("status") == _STATUS_DELETED:
                 continue
@@ -131,13 +139,21 @@ def _snapshot_content(
                 raise NotImplementedError(
                     f"{table_root}: {fmt} data files unsupported (parquet only)"
                 )
+            p = _localize(df_struct["file_path"], table_root)
             if is_delete_manifest:
                 if content == 1:
-                    deletes.append(_localize(df_struct["file_path"], table_root))
+                    deletes.append(
+                        {"path": p, "seq": mseq, "kind": "pos",
+                         "equality_ids": None}
+                    )
                 elif content == 2:
-                    raise NotImplementedError(
-                        f"{table_root}: EQUALITY delete files are not "
-                        "supported (position deletes only)"
+                    deletes.append(
+                        {
+                            "path": p,
+                            "seq": mseq,
+                            "kind": "eq",
+                            "equality_ids": df_struct.get("equality_ids") or [],
+                        }
                     )
                 else:
                     raise ValueError(
@@ -146,13 +162,22 @@ def _snapshot_content(
                         "manifest may only hold delete files)"
                     )
             elif content == 0:
-                files.append(_localize(df_struct["file_path"], table_root))
+                data.append({"path": p, "seq": mseq})
             else:
                 raise ValueError(
                     f"{table_root}: DATA manifest entry with content="
                     f"{content} — corrupt metadata"
                 )
-    return files, deletes
+    return data, deletes
+
+
+def _snapshot_content(
+    meta: dict, snap_id: int, table_root: str
+) -> tuple[list[str], list[str]]:
+    """(data file paths, delete file paths) of one snapshot — the
+    path-only view of _snapshot_scan_plan."""
+    data, deletes = _snapshot_scan_plan(meta, snap_id, table_root)
+    return [d["path"] for d in data], [d["path"] for d in deletes]
 
 
 def _snapshot_files(meta: dict, snap_id: int, table_root: str) -> list[str]:
@@ -186,6 +211,37 @@ def _apply_position_deletes(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+        "_ri", F.col("_metadata.row_index")
+    )
+    return _join_out_positions(spark, table_root, tagged, delete_files).drop(
+        "_fp", "_ri"
+    )
+
+
+def _field_id_map(meta: dict) -> dict[int, str]:
+    """Field id -> column name from the current schema (equality delete
+    files reference columns by FIELD ID, which survives renames)."""
+    sid = meta.get("current-schema-id", 0)
+    schema = None
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == sid:
+            schema = s
+            break
+    schema = schema or meta.get("schema") or {}
+    return {
+        f["id"]: f["name"] for f in schema.get("fields", []) if "id" in f
+    }
+
+
+def _join_out_positions(
+    spark: SparkSession, table_root: str, tagged: DataFrame, delete_files: list[str]
+) -> DataFrame:
+    """Anti-join a scan already tagged with (_fp, _ri) against the decoded
+    position-delete pairs (see _apply_position_deletes for the rationale)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
     pairs: list[tuple[str, int]] = []
     for dfile in delete_files:
         t = pq.read_table(dfile, columns=["file_path", "pos"])
@@ -199,17 +255,13 @@ def _apply_position_deletes(
                 uri_cache[raw] = uri
             pairs.append((uri, pos))
     if not pairs:
-        return df
+        return tagged
     deleted = spark.createDataFrame(pairs, "_del_fp string, _del_pos long")
-    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
-        "_ri", F.col("_metadata.row_index")
-    )
-    kept = tagged.join(
+    return tagged.join(
         F.broadcast(deleted),
         (F.col("_fp") == F.col("_del_fp")) & (F.col("_ri") == F.col("_del_pos")),
         "left_anti",
     )
-    return kept.drop("_fp", "_ri")
 
 
 def read_iceberg_changes(
@@ -339,6 +391,14 @@ def _manifest_entry_schema(fv: int) -> dict:
         data_file_fields.append({"name": "block_size_in_bytes", "type": "long"})
     else:
         data_file_fields.insert(0, {"name": "content", "type": "int"})
+        # field ids an EQUALITY delete file matches on (spec §Equality
+        # Delete Files); null for data files and position deletes
+        data_file_fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+            }
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -701,7 +761,8 @@ def read_iceberg(
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
             raise ValueError(f"{path}: table has no current snapshot")
-    files, delete_files = _snapshot_content(meta, snapshot_id, path)
+    data, deletes = _snapshot_scan_plan(meta, snapshot_id, path)
+    files = [d["path"] for d in data]
     if not files:
         raise ValueError(
             f"{path}: snapshot is empty — parquet fallback cannot "
@@ -713,10 +774,188 @@ def read_iceberg(
             f"{path}: snapshot references deleted data files (e.g. "
             f"{os.path.basename(gone[0])}) — history was expired"
         )
-    df = spark.read.parquet(*files)
-    if delete_files:
-        df = _apply_position_deletes(spark, path, df, delete_files)
+    pos = [d["path"] for d in deletes if d["kind"] == "pos"]
+    eq = [d for d in deletes if d["kind"] == "eq"]
+    if not eq:
+        df = spark.read.parquet(*files)
+        if pos:
+            df = _apply_position_deletes(spark, path, df, pos)
+        return df
+    # EQUALITY deletes are sequence-scoped (strictly older data only), so
+    # the scan unions one branch per distinct data sequence number, each
+    # anti-joined against exactly the delete sets that apply to it. The
+    # branch count equals the number of retained append commits —
+    # planning-phase metadata, not data volume; every anti-join side is a
+    # small broadcast of key values.
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    id_to_name = _field_id_map(meta)
+    by_seq: dict[int, list[str]] = {}
+    for d in data:
+        by_seq.setdefault(d["seq"], []).append(d["path"])
+    branches = []
+    for seq, paths in sorted(by_seq.items()):
+        g = spark.read.parquet(*paths)
+        if pos:
+            g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+                "_ri", F.col("_metadata.row_index")
+            )
+        for d in eq:
+            if d["seq"] <= seq:
+                continue  # strictly-older rule: same/newer data survives
+            try:
+                cols = [id_to_name[i] for i in d["equality_ids"]]
+            except KeyError as exc:
+                raise ValueError(
+                    f"{path}: equality delete references unknown field id "
+                    f"{exc} — schema drift"
+                ) from None
+            keys = (
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                .distinct()
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
+            )
+            g = g.join(F.broadcast(keys), cond, "left_anti")
+        branches.append(g)
+    df = reduce(lambda a, b: a.unionByName(b), branches)
+    if pos:
+        df = _join_out_positions(spark, path, df, pos).drop("_fp", "_ri")
     return df
+
+
+def _commit_delete_snapshot(
+    path: str,
+    prior_meta: dict,
+    prior_version: int,
+    snap_id: int,
+    seq: int,
+    now_ms: int,
+    del_entry: dict | None,
+) -> int:
+    """Shared commit tail for both delete flavors: build the manifest list
+    (prior entries + the new delete manifest, when rows matched), append
+    the snapshot + snapshot-log, bump last-sequence-number, and swap the
+    metadata version by atomic rename (single-writer conflict check).
+    ``del_entry`` is the new manifest-list entry, or None for a no-match
+    delete (the snapshot reuses the prior manifest list)."""
+    import uuid
+
+    meta_dir = os.path.join(path, "metadata")
+    cur = prior_meta["current-snapshot-id"]
+    prior_snap = next(
+        s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
+    )
+    if del_entry is not None:
+        prior_manifests = list(
+            avro_lite.read_container(_localize(prior_snap["manifest-list"], path))
+        )
+        mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+        mf_schema = _manifest_file_schema(2)
+        keep = {f["name"] for f in mf_schema["fields"]}
+        avro_lite.write_container(
+            mlist,
+            mf_schema,
+            [{k: e.get(k, 0) for k in keep} for e in prior_manifests]
+            + [{k: del_entry.get(k, 0) for k in keep}],
+        )
+        manifest_list_uri = f"file:{mlist}"
+    else:
+        manifest_list_uri = prior_snap["manifest-list"]
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": manifest_list_uri,
+        "summary": {"operation": "delete"},
+        "schema-id": prior_meta.get("current-schema-id", 0),
+        "sequence-number": seq,
+    }
+    meta = dict(prior_meta)
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
+    meta["last-sequence-number"] = seq
+    meta["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(f"{path}: metadata v{new_version} was committed concurrently")
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return snap_id
+
+
+def _prepare_delete(path: str) -> tuple[dict, int, int, int]:
+    """(prior_meta, prior_version, new snap_id, new seq) for a row-level
+    delete; fail-loud on v1 tables (they predate merge-on-read)."""
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    mp = latest_metadata_path(path)
+    with open(mp) as fh:
+        prior_meta = json.load(fh)
+    if prior_meta.get("format-version", 1) < 2:
+        raise NotImplementedError(
+            f"{path}: row-level deletes need format-version 2 (v1 tables "
+            "predate merge-on-read) — rewrite via overwrite instead"
+        )
+    if prior_meta.get("current-snapshot-id") in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+    return prior_meta, prior_version, snap_id, seq
+
+
+def _delete_manifest_entry(
+    meta_dir: str, snap_id: int, seq: int, del_file: str, n_rows: int,
+    equality_ids: list[int] | None,
+) -> dict:
+    """Write the one-entry DELETE manifest (content=1 position / content=2
+    equality) and return its manifest-list entry."""
+    import uuid
+
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
+    avro_lite.write_container(
+        manifest,
+        _manifest_entry_schema(2),
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 2 if equality_ids else 1,
+                    "file_path": f"file:{del_file}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(del_file),
+                    "equality_ids": equality_ids,
+                },
+            }
+        ],
+    )
+    return {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+        "content": 1,  # delete manifest
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
 
 
 def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
@@ -744,22 +983,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    if not is_iceberg_table(path):
-        raise ValueError(f"{path}: not an Iceberg table")
-    mp = latest_metadata_path(path)
-    with open(mp) as fh:
-        prior_meta = json.load(fh)
-    if prior_meta.get("format-version", 1) < 2:
-        raise NotImplementedError(
-            f"{path}: row-level deletes need format-version 2 (v1 tables "
-            "predate merge-on-read) — rewrite via overwrite instead"
-        )
-    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
-    prior_version = int(head) if head.isdigit() else 0
-    cur = prior_meta.get("current-snapshot-id")
-    if cur in (None, -1):
-        raise ValueError(f"{path}: table has no current snapshot")
-
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
     matched = (
         read_iceberg(spark, path)
         .withColumn("_fp", F.col("_metadata.file_path"))
@@ -769,13 +993,11 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
         .collect()
     )
     now_ms = int(_time.time() * 1000)
-    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
-    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
     meta_dir = os.path.join(path, "metadata")
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-
+    del_entry = None
     if matched:
+        data_dir = os.path.join(path, "data")
+        os.makedirs(data_dir, exist_ok=True)
         pairs = sorted((r["_fp"], r["_ri"]) for r in matched)
         del_file = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
         pq.write_table(
@@ -787,89 +1009,64 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
             ),
             del_file,
         )
-        manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
-        avro_lite.write_container(
-            manifest,
-            _manifest_entry_schema(2),
-            [
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snap_id,
-                    "data_file": {
-                        "content": 1,  # POSITION DELETES
-                        "file_path": f"file:{del_file}",
-                        "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": len(pairs),
-                        "file_size_in_bytes": os.path.getsize(del_file),
-                    },
-                }
-            ],
+        del_entry = _delete_manifest_entry(
+            meta_dir, snap_id, seq, del_file, len(pairs), None
         )
-        prior_manifests: list[dict] = []
-        prior_snap = next(
-            s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
-        )
-        for e in avro_lite.read_container(_localize(prior_snap["manifest-list"], path)):
-            prior_manifests.append(e)
-        mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
-        mf_schema = _manifest_file_schema(2)
-        keep = {f["name"] for f in mf_schema["fields"]}
-        new_entry = {
-            "manifest_path": f"file:{manifest}",
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
-            "added_snapshot_id": snap_id,
-            "content": 1,  # delete manifest
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-        }
-        avro_lite.write_container(
-            mlist,
-            mf_schema,
-            [{k: e.get(k, 0) for k in keep} for e in prior_manifests]
-            + [{k: new_entry.get(k, 0) for k in keep}],
-        )
-        snapshot = {
-            "snapshot-id": snap_id,
-            "timestamp-ms": now_ms,
-            "manifest-list": f"file:{mlist}",
-            "summary": {"operation": "delete"},
-            "schema-id": prior_meta.get("current-schema-id", 0),
-            "sequence-number": seq,
-        }
-    else:
-        # nothing matched: still commit an (empty-change) snapshot so the
-        # caller observes a monotonic snapshot id — reuse the prior list
-        prior_snap = next(
-            s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
-        )
-        snapshot = {
-            "snapshot-id": snap_id,
-            "timestamp-ms": now_ms,
-            "manifest-list": prior_snap["manifest-list"],
-            "summary": {"operation": "delete"},
-            "schema-id": prior_meta.get("current-schema-id", 0),
-            "sequence-number": seq,
-        }
+    return _commit_delete_snapshot(
+        path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
+    )
 
-    meta = dict(prior_meta)
-    meta["last-updated-ms"] = now_ms
-    meta["current-snapshot-id"] = snap_id
-    meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
-    meta["last-sequence-number"] = seq
-    meta["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-    ]
-    new_version = prior_version + 1
-    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
-    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    if os.path.exists(final_path):
-        os.remove(tmp)
-        raise RuntimeError(f"{path}: metadata v{new_version} was committed concurrently")
-    os.rename(tmp, final_path)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(new_version))
-    return snap_id
+
+def delete_iceberg_equality(
+    spark: SparkSession, path: str, keys: DataFrame
+) -> int:
+    """Row-level DELETE via EQUALITY DELETE FILES (spec §Equality Delete
+    Files): ``keys`` is a DataFrame whose columns name the equality columns
+    and whose rows are the values to delete — e.g. a one-column frame of
+    user ids for a GDPR erasure. The delete file stores the VALUES (not
+    positions), referenced by FIELD ID so it survives renames, and is
+    SEQUENCE-SCOPED: it masks only rows in data files with a strictly
+    smaller sequence number, so re-ingesting one of the keys later
+    resurrects nothing and the new row lives. That property — "erase this
+    key everywhere as of now, without blocking future writes of it" — is
+    what position deletes cannot express without knowing every (file, row).
+
+    The keys frame is deduplicated and written as one parquet delete file
+    under ``data/`` (distributed write of a metadata-sized set); commit
+    shape matches delete_iceberg. Null key values match null cells
+    (eqNullSafe), per the spec's equality semantics. Fail-loud: unknown
+    columns, v1 tables. Returns the new snapshot id.
+    """
+    import shutil
+    import time as _time
+    import uuid
+
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
+    name_to_id = {v: k for k, v in _field_id_map(prior_meta).items()}
+    missing = [c for c in keys.columns if c not in name_to_id]
+    if missing:
+        raise ValueError(
+            f"{path}: equality-delete columns {missing} not in the table "
+            f"schema (have {sorted(name_to_id)})"
+        )
+    equality_ids = [name_to_id[c] for c in keys.columns]
+    now_ms = int(_time.time() * 1000)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+    distinct = keys.distinct()
+    distinct.coalesce(1).write.parquet(staging)
+    part = next(
+        n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
+    )
+    n_rows = distinct.count()
+    del_file = os.path.join(data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    os.rename(os.path.join(staging, part), del_file)
+    shutil.rmtree(staging)
+    del_entry = _delete_manifest_entry(
+        meta_dir, snap_id, seq, del_file, n_rows, equality_ids
+    )
+    return _commit_delete_snapshot(
+        path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
+    )

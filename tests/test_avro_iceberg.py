@@ -634,3 +634,74 @@ def test_iceberg_time_travel_before_delete_sees_all_rows(spark, tmp_path):
     iceberg.delete_iceberg(spark, root, "id < 5")
     assert iceberg.read_iceberg(spark, root).count() == 15
     assert iceberg.read_iceberg(spark, root, snapshot_id=s1).count() == 20
+
+
+# ------------------------------------------------------ equality deletes ----
+
+
+def test_iceberg_equality_delete_masks_and_scopes_by_sequence(spark, tmp_path):
+    """Equality deletes mask rows in STRICTLY OLDER data files only: keys
+    deleted at seq N vanish from earlier appends, but a later re-ingest of
+    the same key survives — the spec's sequence-scoping rule, and the whole
+    point of equality deletes for erase-then-reingest pipelines."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "eq")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") % 3).alias("grp")),
+        root, format_version=2,
+    )
+    doomed = spark.createDataFrame([(2,), (5,)], "id long")
+    iceberg.delete_iceberg_equality(spark, root, doomed)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+    # re-ingest one of the deleted keys: the NEW row must survive
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(5, 99)], "id long, grp long"),
+        root, format_version=2,
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+    row5 = [r for r in iceberg.read_iceberg(spark, root).collect() if r.id == 5]
+    assert row5[0].grp == 99  # the re-ingested row, not the deleted one
+
+
+def test_iceberg_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    """Multi-column equality keys AND null semantics: a null key cell
+    matches null table cells (eqNullSafe), per the spec."""
+    root = str(tmp_path / "eqn")
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, None)], "k long, s string"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    doomed = spark.createDataFrame([(1, "a"), (3, None)], "k long, s string")
+    iceberg.delete_iceberg_equality(spark, root, doomed)
+    got = {(r.k, r.s) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {(1, "b"), (2, "a")}
+
+
+def test_iceberg_equality_delete_unknown_column_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "eqf")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root,
+                          format_version=2)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        iceberg.delete_iceberg_equality(
+            spark, root, spark.createDataFrame([(1,)], "nope long")
+        )
+
+
+def test_iceberg_equality_and_position_deletes_compose(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "eqp")
+    iceberg.write_iceberg(
+        spark, spark.range(20).select("id", (F.col("id") % 4).alias("m")),
+        root, format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "m = 0")          # position
+    iceberg.delete_iceberg_equality(                       # equality
+        spark, root, spark.createDataFrame([(7,), (11,)], "id long")
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(20) if i % 4 != 0 and i not in (7, 11)]
