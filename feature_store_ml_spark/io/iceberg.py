@@ -434,6 +434,7 @@ def write_iceberg(
     df: DataFrame,
     path: str,
     format_version: int = 1,
+    summary_props: dict | None = None,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -570,7 +571,9 @@ def write_iceberg(
         "snapshot-id": snap_id,
         "timestamp-ms": now_ms,
         "manifest-list": f"file:{mlist}",
-        "summary": {"operation": "append"},
+        # summary_props: writer bookkeeping in the snapshot summary (the
+        # spec's string-map) — e.g. a streaming sink's (app, batch) stamp
+        "summary": {"operation": "append", **(summary_props or {})},
         "schema-id": 0,
     }
     if format_version >= 2:
@@ -1069,4 +1072,42 @@ def delete_iceberg_equality(
     )
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
+    )
+
+
+def last_committed_batch(path: str, app_id: str) -> int:
+    """Highest micro-batch id ``app_id`` has committed into this table's
+    snapshot summaries (-1 when none): Iceberg's equivalent of the Delta
+    `txn` handshake. Iceberg has no txn action, but snapshot summaries are
+    an arbitrary string map the spec preserves forever (and expiration
+    only drops whole snapshots, never rewrites summaries of kept ones) —
+    so a streaming sink stamps each append with its (app, batch) and skips
+    replays the way delta-spark's commit coordinator does."""
+    if not is_iceberg_table(path):
+        return -1
+    meta = _load_metadata(path)
+    best = -1
+    for s in meta.get("snapshots", []):
+        summ = s.get("summary") or {}
+        if summ.get("spark.app-id") == app_id and "spark.batch-id" in summ:
+            best = max(best, int(summ["spark.batch-id"]))
+    return best
+
+
+def write_iceberg_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    app_id: str,
+    batch_id: int,
+    format_version: int = 2,
+) -> int:
+    """Idempotent micro-batch append: skip (returning the current snapshot)
+    when this (app_id, batch_id) is already stamped in a snapshot summary
+    — the write a foreachBatch sink retries safely."""
+    if last_committed_batch(path, app_id) >= batch_id:
+        return _load_metadata(path)["current-snapshot-id"]
+    return write_iceberg(
+        spark, df, path, format_version=format_version,
+        summary_props={"spark.app-id": app_id, "spark.batch-id": str(batch_id)},
     )

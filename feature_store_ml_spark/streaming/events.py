@@ -610,6 +610,51 @@ def stream_to_delta(
     return seen
 
 
+def stream_to_iceberg(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint_dir: str | None = None,
+) -> list[int]:
+    """Exactly-once streaming → ICEBERG sink: foreachBatch + idempotent
+    batch appends. Iceberg has no Delta-style `txn` action, so the
+    handshake lives in the snapshot SUMMARY (the spec's free-form string
+    map, preserved for a snapshot's whole lifetime):
+    ``io.iceberg.write_iceberg_batch`` stamps each append with
+    (app_id, batch_id) and SKIPS any batch a snapshot already carries —
+    a micro-batch replayed after a crash between "data committed" and
+    "checkpoint advanced" appends nothing twice. Same stable-checkpoint
+    discipline as stream_to_delta (a fresh-random checkpoint default
+    would reset batch ids and silently drop batches via the skip).
+
+    Bounded replay (availableNow) for tests; returns processed batch ids.
+    """
+    from ..io.iceberg import write_iceberg_batch
+
+    seen: list[int] = []
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        write_iceberg_batch(
+            batch_df.sparkSession, batch_df, table_path, app_id, batch_id
+        )
+
+    import os as _os
+
+    ckpt = checkpoint_dir or _os.path.join(
+        table_path, f"_checkpoint_{app_id}"
+    )
+    q = (
+        streaming_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the workhorse streaming pattern: each incoming
     event is enriched against a STATIC (batch) dimension, here the user's

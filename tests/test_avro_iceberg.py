@@ -705,3 +705,45 @@ def test_iceberg_equality_and_position_deletes_compose(spark, tmp_path):
     )
     got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
     assert got == [i for i in range(20) if i % 4 != 0 and i not in (7, 11)]
+
+
+# ------------------------------------------------------- streaming sink ----
+
+
+def test_stream_to_iceberg_exactly_once(spark, tmp_path, sf_dir):
+    """Structured Streaming replay into an Iceberg table via the
+    snapshot-summary batch handshake: rerun with the same checkpoint adds
+    nothing; a simulated replay of a committed batch id is skipped."""
+    from feature_store_ml_spark.streaming import events as ev
+
+    table = str(tmp_path / "ice_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev._streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    batches = ev.stream_to_iceberg(spark, stream, table, app_id="e2e",
+                                   checkpoint_dir=ckpt)
+    assert batches
+    n = iceberg.read_iceberg(spark, table).count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # rerun, same checkpoint: no new source data -> no new rows
+    stream2 = ev._streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    ev.stream_to_iceberg(spark, stream2, table, app_id="e2e",
+                         checkpoint_dir=ckpt)
+    assert iceberg.read_iceberg(spark, table).count() == n
+    # simulated replay of a committed batch id: summary handshake skips
+    some = spark.range(5).select(
+        F.col("id").alias("event_id"), F.col("id").alias("user_id"),
+        F.col("id").cast("double").alias("value"),
+    )
+    snap_before = iceberg._load_metadata(table)["current-snapshot-id"]
+    got = iceberg.write_iceberg_batch(spark, some, table, "e2e", max(batches))
+    assert got == snap_before
+    assert iceberg.read_iceberg(spark, table).count() == n
+    # a NEW batch id from another app goes through
+    iceberg.write_iceberg_batch(spark, some, table, "other", 0)
+    assert iceberg.read_iceberg(spark, table).count() == n + 5
+    assert iceberg.last_committed_batch(table, "other") == 0
+    assert iceberg.last_committed_batch(table, "absent") == -1
