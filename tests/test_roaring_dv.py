@@ -423,3 +423,33 @@ def test_delete_after_constraint_carries_features_forward(spark, tmp_path):
             spark, spark.createDataFrame([(5000,)], "id long"), root,
             mode="append",
         )
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=200_000),
+                st.integers(min_value=0, max_value=2**40),
+            ),
+            max_size=300,
+        )
+    )
+    def test_roaring_roundtrip_property(positions):
+        """Any position set survives serialize->deserialize exactly —
+        mixed container types, 32-bit boundary crossings, duplicates."""
+        data = roaring.serialize_positions(positions)
+        assert roaring.deserialize_positions(data) == sorted(set(positions))
+        blob = roaring.frame_dv_blob(data)
+        assert roaring.read_dv_blob(b"\x01" + blob, 1, len(data)) == data
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+    def test_z85_roundtrip_property(raw):
+        assert roaring.z85_decode(roaring.z85_encode(raw)) == raw
+
+except ImportError:  # hypothesis ships in this image; belt-and-braces
+    pass
