@@ -376,13 +376,17 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
     return out
 
 
-def _manifest_entry_schema(fv: int) -> dict:
+def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dict:
     data_file_fields = [
         {"name": "file_path", "type": "string"},
         {"name": "file_format", "type": "string"},
         {
             "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
+            "type": {
+                "type": "record",
+                "name": "r102",
+                "fields": list(partition_fields or []),
+            },
         },
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
@@ -429,20 +433,37 @@ def _manifest_file_schema(fv: int) -> dict:
     return {"type": "record", "name": "manifest_file", "fields": fields}
 
 
+#: iceberg primitive -> python parser for identity-partition dir values
+_PARTITION_PARSERS = {"int": int, "long": int, "string": str}
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     format_version: int = 1,
     summary_props: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
     ``data/``, one Avro manifest of ADDED entries, a manifest list carrying
     the prior snapshot's manifests plus the new one, and a new
     ``vN.metadata.json`` with the snapshot appended — readable by this
-    module's reader AND any real Iceberg reader (unpartitioned,
-    format-version 1 or 2).
+    module's reader AND any real Iceberg reader (format-version 1 or 2).
+
+    ``partition_by``: IDENTITY partitioning (spec §Partitioning) — data
+    files land under ``data/col=value/`` dirs, each holding exactly one
+    partition tuple, recorded in the manifest's per-file ``partition``
+    struct and declared in ``partition-specs`` with the identity
+    transform. Unlike Hive/Delta layouts, Iceberg identity-partition
+    SOURCE COLUMNS STAY IN THE DATA FILES, so reads need no path
+    reconstruction and per-file min==max column stats make row-group
+    pruning equivalent to partition pruning. The one-partition-per-file
+    invariant comes from staging through a derived string key
+    (``partitionBy`` on the derivation keeps the source column in the
+    file). int/long/string partition sources only (fail-loud otherwise);
+    appends must repeat the declared partitioning.
 
     Returns the new snapshot id. Scale/correctness shape mirrors
     lakehouse.write_delta: distributed data write, driver-side O(#files)
@@ -458,6 +479,10 @@ def write_iceberg(
 
     if format_version not in (1, 2):
         raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_iceberg: partition columns {missing} not in batch")
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     existing = is_iceberg_table(path)
@@ -473,10 +498,26 @@ def write_iceberg(
             raise ValueError(
                 f"{path}: table is format-version {fv}, append requested {format_version}"
             )
-        specs = prior_meta.get("partition-specs") or []
-        if any(s.get("fields") for s in specs):
-            raise NotImplementedError(
-                f"{path}: appending to a PARTITIONED Iceberg table is not implemented"
+        spec = next(
+            (
+                s
+                for s in prior_meta.get("partition-specs") or []
+                if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        declared_parts = []
+        for f in spec.get("fields") or []:
+            if f.get("transform") != "identity":
+                raise NotImplementedError(
+                    f"{path}: partition transform {f.get('transform')!r} is "
+                    "not implemented (identity only)"
+                )
+            declared_parts.append(f["name"])
+        if declared_parts != partition_by:
+            raise ValueError(
+                f"{path}: append partitioning {partition_by} does not match "
+                f"the table's declared identity partitioning {declared_parts}"
             )
         head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
         prior_version = int(head) if head.isdigit() else 0
@@ -498,32 +539,92 @@ def write_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
 
-    # 1. distributed data write, then driver-side move into data/
+    # iceberg types of the partition sources (for the manifest partition
+    # struct and the dir-value parsers)
+    part_types: dict[str, str] = {}
+    if partition_by:
+        spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c in partition_by:
+            t = _SPARK_TO_ICEBERG.get(spark_types[c])
+            if t not in _PARTITION_PARSERS:
+                raise NotImplementedError(
+                    f"write_iceberg: partition source type {spark_types[c]!r} "
+                    "unsupported (int/long/string identity only)"
+                )
+            part_types[c] = t
+
+    # 1. distributed data write, then driver-side move into data/.
+    #    Partitioned: stage through DERIVED string keys (_p_<col>) so
+    #    partitionBy splits files per partition tuple while the SOURCE
+    #    columns stay in the parquet (Iceberg's layout, unlike Hive's).
+    import shutil
+
+    from pyspark.sql import functions as F
+    from urllib.parse import unquote
+
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    df.write.parquet(staging)
-    data_files: list[tuple[str, int, int]] = []  # (abs path, rows, bytes)
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-        os.rename(os.path.join(staging, name), final)
-        data_files.append(
-            (final, pq.ParquetFile(final).metadata.num_rows, os.path.getsize(final))
+    if partition_by:
+        staged = df.select(
+            "*", *[F.col(c).cast("string").alias(f"_p_{c}") for c in partition_by]
         )
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+        staged.write.partitionBy(*[f"_p_{c}" for c in partition_by]).parquet(staging)
+    else:
+        df.write.parquet(staging)
+    # (abs path, rows, bytes, partition value dict)
+    data_files: list[tuple[str, int, int, dict]] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        pvals: dict = {}
+        for comp in rel_dir.split(os.sep):
+            if "=" not in comp:
+                continue
+            k, v = comp.split("=", 1)
+            c = k[len("_p_"):]
+            pvals[c] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else _PARTITION_PARSERS[part_types[c]](unquote(v))
+            )
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            if partition_by:
+                sub = os.path.join(
+                    data_dir,
+                    *[
+                        f"{c}={'null' if pvals[c] is None else pvals[c]}"
+                        for c in partition_by
+                    ],
+                )
+                os.makedirs(sub, exist_ok=True)
+            else:
+                sub = data_dir
+            final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(dirpath, name), final)
+            data_files.append(
+                (
+                    final,
+                    pq.ParquetFile(final).metadata.num_rows,
+                    os.path.getsize(final),
+                    dict(pvals),
+                )
+            )
+    shutil.rmtree(staging)
 
     now_ms = int(_time.time() * 1000)
     snapshots = list(prior_meta.get("snapshots", []))
     snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
     seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
 
-    # 2. manifest of ADDED entries
+    # 2. manifest of ADDED entries (partition struct typed per the spec)
+    partition_fields = [
+        {"name": c, "type": ["null", part_types[c]]} for c in partition_by
+    ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     avro_lite.write_container(
         manifest,
-        _manifest_entry_schema(format_version),
+        _manifest_entry_schema(format_version, partition_fields),
         [
             {
                 "status": 1,  # ADDED
@@ -532,13 +633,13 @@ def write_iceberg(
                     **({"content": 0} if format_version >= 2 else {}),
                     "file_path": f"file:{f}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pvals,
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
                 },
             }
-            for f, rows, size in data_files
+            for f, rows, size, pvals in data_files
         ],
     )
 
@@ -579,6 +680,16 @@ def write_iceberg(
     if format_version >= 2:
         snapshot["sequence-number"] = seq
     fields = declared["fields"] if existing else _iceberg_fields(df)
+    name_to_fid = {f["name"]: f.get("id", i) for i, f in enumerate(fields, start=1)}
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": name_to_fid[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_by)
+    ]
     meta = {
         "format-version": format_version,
         "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
@@ -590,8 +701,8 @@ def write_iceberg(
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {},
@@ -606,7 +717,7 @@ def write_iceberg(
     else:
         # v1 readers may look at the legacy singular fields
         meta["schema"] = {"type": "struct", "fields": fields}
-        meta["partition-spec"] = []
+        meta["partition-spec"] = spec_fields
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
     tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")

@@ -747,3 +747,82 @@ def test_stream_to_iceberg_exactly_once(spark, tmp_path, sf_dir):
     assert iceberg.read_iceberg(spark, table).count() == n + 5
     assert iceberg.last_committed_batch(table, "other") == 0
     assert iceberg.last_committed_batch(table, "absent") == -1
+
+
+# --------------------------------------------------- partitioned writes ----
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_iceberg_partitioned_write_roundtrip(spark, tmp_path, fv):
+    """Identity-partitioned write: one partition tuple per data file, the
+    source column STAYS in the parquet (Iceberg layout), manifests carry
+    the typed partition struct, and reads work unchanged."""
+    root = str(tmp_path / f"pw{fv}")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(20)],
+        "id long, grp string, v double",
+    )
+    s1 = iceberg.write_iceberg(spark, df, root, format_version=fv,
+                               partition_by=["grp"])
+    back = iceberg.read_iceberg(spark, root)
+    assert set(back.columns) == {"id", "grp", "v"}
+    assert {(r.id, r.grp) for r in back.collect()} == {
+        (i, "ab"[i % 2]) for i in range(20)
+    }
+    # layout: every data file under a grp=<val> dir holding ONLY that value
+    import pyarrow.parquet as pqt
+
+    for f in iceberg._live_data_files(root):
+        assert "/data/grp=" in f, f
+        vals = set(pqt.read_table(f, columns=["grp"]).column("grp").to_pylist())
+        assert len(vals) == 1
+        assert f.split("grp=")[1].split("/")[0] == next(iter(vals))
+    # manifest partition struct carries the typed value
+    meta = iceberg._load_metadata(root)
+    spec = meta["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["name"] == "grp"
+    # append must repeat the partitioning
+    more = spark.createDataFrame([(100, "c", 1.0)], "id long, grp string, v double")
+    with pytest.raises(ValueError, match="does not match"):
+        iceberg.write_iceberg(spark, more, root, format_version=fv)
+    s2 = iceberg.write_iceberg(spark, more, root, format_version=fv,
+                               partition_by=["grp"])
+    assert s2 != s1
+    assert iceberg.read_iceberg(spark, root).count() == 21
+
+
+def test_iceberg_partitioned_int_partition_and_delete(spark, tmp_path):
+    """Int partition sources parse back typed; row-level deletes compose
+    with partitioned layouts."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pwi")
+    df = spark.range(30).select("id", (F.col("id") % 3).alias("day"))
+    iceberg.write_iceberg(spark, df, root, format_version=2,
+                          partition_by=["day"])
+    manifest_entries = []
+    meta = iceberg._load_metadata(root)
+    snap = meta["snapshots"][-1]
+    for e in iceberg.avro_lite.read_container(
+        iceberg._localize(snap["manifest-list"], root)
+    ):
+        manifest_entries.extend(
+            iceberg.avro_lite.read_container(
+                iceberg._localize(e["manifest_path"], root)
+            )
+        )
+    pvals = {m["data_file"]["partition"]["day"] for m in manifest_entries}
+    assert pvals == {0, 1, 2}  # typed longs, not strings
+    iceberg.delete_iceberg(spark, root, "day = 1")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(30) if i % 3 != 1]
+
+
+def test_iceberg_partitioned_unsupported_type_fails_loud(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pwf")
+    df = spark.range(5).select("id", F.lit(1.5).alias("x"))
+    with pytest.raises(NotImplementedError, match="identity only"):
+        iceberg.write_iceberg(spark, df, root, partition_by=["x"])
