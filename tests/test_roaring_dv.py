@@ -453,3 +453,45 @@ try:
 
 except ImportError:  # hypothesis ships in this image; belt-and-braces
     pass
+
+
+# ---------------------------------------------------- row-level change feed ----
+
+
+def test_cdf_inserts_and_dv_deletes(spark, tmp_path):
+    """read_delta_cdf: appends surface as 'insert' rows at their commit,
+    DV deletes as 'delete' rows diffed from the bitmaps, compaction is
+    invisible, and the feed composes across repeated deletes."""
+    root = str(tmp_path / "cdf")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)        # v0
+    lakehouse.write_delta(spark, spark.range(10, 15).select("id"), root,
+                          mode="append")                                    # v1
+    lakehouse.delete_delta(spark, root, "id IN (3, 12)")                    # v2
+    lakehouse.delete_delta(spark, root, "id IN (3, 4)")                     # v3 (3 already dead)
+    cdf = lakehouse.read_delta_cdf(spark, root, since_version=0)
+    rows = [(r.id, r._change_type, r._commit_version) for r in cdf.collect()]
+    inserts = {(i, v) for i, t, v in rows if t == "insert"}
+    deletes = {(i, v) for i, t, v in rows if t == "delete"}
+    assert inserts == {(i, 1) for i in range(10, 15)}
+    assert deletes == {(3, 2), (12, 2), (4, 3)}  # 3 deleted ONCE, at v2
+    # a later compaction (dataChange false) adds nothing to the feed
+    lakehouse.compact_delta(spark, root)
+    cdf2 = lakehouse.read_delta_cdf(spark, root, since_version=0)
+    assert cdf2.count() == len(rows)
+    # consuming from v2 sees only the v3 delete
+    tail = lakehouse.read_delta_cdf(spark, root, since_version=2)
+    assert [(r.id, r._change_type) for r in tail.collect()] == [(4, "delete")]
+
+
+def test_cdf_rejects_rewrites_and_empty_range(spark, tmp_path):
+    root = str(tmp_path / "cdf")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)         # v0
+    v1 = lakehouse.merge_delta(
+        spark, spark.createDataFrame([(1,)], "id long"), root, keys=["id"]
+    )
+    with pytest.raises(ValueError, match="rewrote data files"):
+        lakehouse.read_delta_cdf(spark, root, since_version=0)
+    # empty range: typed empty frame with the CDF columns
+    empty = lakehouse.read_delta_cdf(spark, root, since_version=v1)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "_change_type", "_commit_version"]
