@@ -2569,6 +2569,52 @@ def e1_delta_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_cdf",
+    """
+    SELECT o_orderkey, 'insert' AS _change_type, 1 AS _commit_version
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 2 AS _commit_version
+    FROM orders WHERE o_totalprice > 400000.0
+    """,
+)
+def e1_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED (io/lakehouse.read_delta_cdf): create a Delta
+    table from pre-1997 orders (v0), append the 1997+ orders (v1), then
+    DV-DELETE the very large orders (v2). Consuming the feed from v0 must
+    yield exactly the appended keys as 'insert'@1 and the deleted keys as
+    'delete'@2 — inserts from the append commit's files, deletes diffed
+    from the deletion-vector bitmaps, nothing from v0 (outside the range).
+    The oracle is the same two sets computed directly from the source
+    parquet. Note the delete predicate spans BOTH eras, so the feed must
+    find dead rows in v0-era and v1-era files alike."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_delta_cdf"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = "1997-01-01"
+    lakehouse.write_delta(
+        spark, o.where(F.col("o_orderdate") < cut).select("o_orderkey", "o_totalprice", "o_orderdate"), path
+    )
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") >= cut).select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path, mode="append",
+    )
+    lakehouse.delete_delta(spark, path, "o_totalprice > 400000.0")
+    cdf = lakehouse.read_delta_cdf(spark, path, since_version=0)
+    return cdf.select(
+        "o_orderkey",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@register(
     "e1_iceberg_time_travel",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -3954,6 +4000,7 @@ _FINAL_ORDER = [
     "e1_delta_partitioned_merge",
     "e1_iceberg_time_travel",
     "e1_delta_delete_vectors",
+    "e1_delta_cdf",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
     #    window since round 1) come IN for independent re-confirmation;
@@ -3976,7 +4023,6 @@ _FINAL_ORDER = [
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "e11_unigram_logprob",  # round 4: CCNet-style LM quality proxy
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
-    "q22_sales_opportunity",       # uncorrelated scalar subquery + anti join
     "e14_resize_meta",
     "e11_repetition",        # Gopher-style repetition filters
     "e13_stream_stream_join",  # watermarked stream-stream interval join
@@ -4016,7 +4062,8 @@ _FINAL_ORDER = [
     # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):
     "e3_join_broadcast",
     "q18_large_orders",
-    "q17_small_quantity",   # correlated-subquery family stays via q20/q21/q22
+    "q17_small_quantity",   # correlated-subquery family stays via q20/q21
+    "q22_sales_opportunity",
     "e13_stream_static_join",
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
@@ -4119,7 +4166,9 @@ def _apply_final_order() -> None:
     # Sanity bound on rotation growth, not the correctness gate: every
     # tail oracle query is HARD-verified each round by the local sweep via
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
-    assert n_oracle_tail <= 50, f"{n_oracle_tail} oracle-backed queries outside window"
+    # bound raised 50 -> 60 in round 5: seven new lakehouse queries entered
+    # the window, displacing seven multi-round-green queries to the tail
+    assert n_oracle_tail <= 60, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
