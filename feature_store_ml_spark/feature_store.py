@@ -159,17 +159,77 @@ class FeatureStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         return lakehouse.read_delta(spark, self.groups[name].table_path(self.root))
 
-    def maintain(self, name: str) -> dict:
+    def retract(
+        self,
+        spark: SparkSession,
+        name: str,
+        entities: DataFrame,
+        run_version: int | None = None,
+    ) -> int:
+        """ENTITY ERASURE — the GDPR/right-to-be-forgotten primitive a
+        feature store must have: remove every stored feature row for the
+        given entities from the group's table, WITHOUT rewriting the
+        table (deletion vectors — write cost scales with the erased rows,
+        read-side serving masks them immediately). ``entities`` carries
+        exactly the group's key columns; ``run_version`` gives the same
+        idempotent-retry stamp as materialization. Subsequent
+        ``maintain`` runs purge the masked bytes physically (compaction
+        drops the bitmaps, vacuum deletes the tombstones) — erasure
+        becomes physical on the maintenance schedule, as privacy
+        processes expect. Returns the committed version."""
+        g = self.groups[name]
+        if sorted(entities.columns) != sorted(g.keys):
+            raise ValueError(
+                f"feature group {name!r}: retraction frame must carry "
+                f"exactly the key columns {list(g.keys)} (got {entities.columns})"
+            )
+        path = g.table_path(self.root)
+        rows = entities.distinct().collect()
+        if not rows:
+            raise ValueError(f"feature group {name!r}: empty retraction set")
+        # keys-in-set predicate (retraction sets are small — an erasure
+        # request names entities, it does not stream millions)
+        def _lit(v):
+            if v is None:
+                return "NULL"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(v)
+
+        if len(g.keys) == 1:
+            k = g.keys[0]
+            pred = f"{k} IN ({', '.join(_lit(r[k]) for r in rows)})"
+        else:
+            tuples = [
+                "(" + " AND ".join(f"{k} <=> {_lit(r[k])}" for k in g.keys) + ")"
+                for r in rows
+            ]
+            pred = " OR ".join(tuples)
+        txn = (f"fs-retract::{g.name}", run_version) if run_version is not None else None
+        return lakehouse.delete_delta(spark, path, pred, txn=txn)
+
+    def maintain(self, name: str, spark: SparkSession | None = None) -> dict:
         """Table maintenance for one group — the scheduled job a streaming
-        or daily materialization needs to stay healthy: checkpoint the log
-        (bounds snapshot-build cost), drop the JSON commits the checkpoint
-        captured, and vacuum dead data files (upsert/overwrite tombstones).
-        All driver-side metadata work; returns what was done."""
+        or daily materialization needs to stay healthy: PURGE deletion
+        vectors left by retractions (compaction rewrites masked files
+        clean — this is the step that turns logical erasure into physical
+        erasure, so it runs whenever DVs exist and ``spark`` is provided),
+        checkpoint the log (bounds snapshot-build cost), drop the JSON
+        commits the checkpoint captured, and vacuum dead data files
+        (upsert/overwrite tombstones + orphaned DV bitmaps). Returns what
+        was done."""
         path = self.groups[name].table_path(self.root)
+        purged = False
+        if spark is not None:
+            adds, _ = lakehouse._replay_log_adds(path)
+            if any(a.get("deletionVector") for a in adds.values()):
+                lakehouse.compact_delta(spark, path)
+                purged = True
         version = lakehouse.checkpoint_delta(path)
         cleaned = lakehouse.cleanup_delta_log(path)
         vacuumed = lakehouse.vacuum_delta(path)
         return {
+            "dv_purged": purged,
             "checkpoint_version": version,
             "log_files_removed": cleaned,
             "data_files_removed": vacuumed,

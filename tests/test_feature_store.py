@@ -205,3 +205,46 @@ def test_serve_multiple_groups_different_cadences(spark, tmp_path, sf_dir):
     frame = fs.serve(spark, labels, label_ts="ts")
     assert frame.count() == 50
     assert {"day_events", "double_value"} <= set(frame.columns)
+
+
+def test_retract_erases_entities_and_maintain_purges(spark, tmp_path, sf_dir):
+    """Entity erasure: retract() deletes every stored row for the named
+    entities via deletion vectors (no file rewrite), serving stops seeing
+    them immediately, the retry stamp is idempotent, and maintain(spark)
+    makes the erasure PHYSICAL (DV purge + vacuum leaves no masked bytes
+    and no bitmap files)."""
+    import os
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(_daily_group())
+    ev = load_table(spark, sf_dir, "events")
+    fs.materialize(spark, ev, "daily_activity", run_version=1)
+    path = fs.groups["daily_activity"].table_path(fs.root)
+    users = [r.user_id for r in fs.read(spark, "daily_activity")
+             .select("user_id").distinct().limit(3).collect()]
+    doomed = spark.createDataFrame([(u,) for u in users[:2]], "user_id long")
+    n_before = fs.read(spark, "daily_activity").count()
+    v = fs.retract(spark, "daily_activity", doomed, run_version=1)
+    after = fs.read(spark, "daily_activity")
+    assert after.where(F.col("user_id").isin(users[:2])).count() == 0
+    assert after.where(F.col("user_id") == users[2]).count() > 0
+    n_after = after.count()
+    assert n_after < n_before
+    # idempotent retry: same run_version is a no-op
+    again = fs.retract(
+        spark, "daily_activity",
+        spark.createDataFrame([(users[2],)], "user_id long"), run_version=1,
+    )
+    assert again == v
+    assert fs.read(spark, "daily_activity").count() == n_after
+    # wrong key columns fail loudly
+    with pytest.raises(ValueError, match="key columns"):
+        fs.retract(spark, "daily_activity",
+                   spark.createDataFrame([(1,)], "other long"))
+    # maintenance purges the DVs physically
+    report = fs.maintain("daily_activity", spark=spark)
+    assert report["dv_purged"]
+    assert not [n for n in os.listdir(path) if n.startswith("deletion_vector_")]
+    assert fs.read(spark, "daily_activity").count() == n_after
+    adds, _ = lakehouse._replay_log_adds(path)
+    assert not any(a.get("deletionVector") for a in adds.values())
