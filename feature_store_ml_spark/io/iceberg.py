@@ -1222,3 +1222,189 @@ def write_iceberg_batch(
         spark, df, path, format_version=format_version,
         summary_props={"spark.app-id": app_id, "spark.batch-id": str(batch_id)},
     )
+
+
+def compact_iceberg(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """REWRITE the current snapshot into clean, right-sized data files —
+    Iceberg's rewrite_data_files maintenance action: merges small
+    append files AND physically applies accumulated position/equality
+    deletes (the new files carry the masked scan's rows, no delete
+    manifests survive). Pair with expire_iceberg_snapshots to actually
+    drop the replaced files; without this, a merge-on-read table's scan
+    cost grows with every delete forever.
+
+    The new snapshot's manifest REPLACES all priors (operation
+    'replace'); readers before/after see identical rows. Unpartitioned
+    rewrite (partitioned tables keep their declared layout via a
+    partition-preserving rewrite). Returns the new snapshot id.
+    """
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    mp = latest_metadata_path(path)
+    with open(mp) as fh:
+        prior_meta = json.load(fh)
+    fv = prior_meta.get("format-version", 1)
+    cur = prior_meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    spec = next(
+        (
+            s
+            for s in prior_meta.get("partition-specs") or []
+            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    part_cols = [f["name"] for f in spec.get("fields") or []]
+
+    live = read_iceberg(spark, path)  # delete-masked scan
+    data_files_meta = _snapshot_content(prior_meta, cur, path)[0]
+    total = sum(os.path.getsize(f) for f in data_files_meta if os.path.exists(f))
+    n_out = max(1, -(-total // target_file_bytes))
+
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    now_ms = int(_time.time() * 1000)
+    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+
+    import shutil
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    if part_cols:
+        staged = live.repartition(max(n_out, 1), *part_cols).select(
+            "*", *[F.col(c).cast("string").alias(f"_p_{c}") for c in part_cols]
+        )
+        staged.write.partitionBy(*[f"_p_{c}" for c in part_cols]).parquet(staging)
+    else:
+        live.coalesce(n_out).write.parquet(staging)
+    # partition source types from the declared schema
+    sid = prior_meta.get("current-schema-id", 0)
+    schema = next(
+        (s for s in prior_meta.get("schemas", []) if s.get("schema-id") == sid),
+        prior_meta.get("schema") or {},
+    )
+    type_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
+    part_types = {c: type_by_name[c] for c in part_cols}
+
+    new_files: list[tuple[str, int, int, dict]] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        pvals: dict = {}
+        for comp in rel_dir.split(os.sep):
+            if "=" not in comp:
+                continue
+            k, v = comp.split("=", 1)
+            c = k[len("_p_"):]
+            pvals[c] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else _PARTITION_PARSERS[part_types[c]](unquote(v))
+            )
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            if part_cols:
+                sub = os.path.join(
+                    data_dir,
+                    *[
+                        f"{c}={'null' if pvals[c] is None else pvals[c]}"
+                        for c in part_cols
+                    ],
+                )
+                os.makedirs(sub, exist_ok=True)
+            else:
+                sub = data_dir
+            final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(dirpath, name), final)
+            new_files.append(
+                (
+                    final,
+                    pq.ParquetFile(final).metadata.num_rows,
+                    os.path.getsize(final),
+                    dict(pvals),
+                )
+            )
+    shutil.rmtree(staging)
+
+    partition_fields = [
+        {"name": c, "type": ["null", part_types[c]]} for c in part_cols
+    ]
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest,
+        _manifest_entry_schema(fv, partition_fields),
+        [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    **({"content": 0} if fv >= 2 else {}),
+                    "file_path": f"file:{f}",
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                    **({"block_size_in_bytes": 1 << 26} if fv == 1 else {}),
+                },
+            }
+            for f, rows, size, pvals in new_files
+        ],
+    )
+    # manifest list holds ONLY the rewrite manifest — the replacement
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    mf_schema = _manifest_file_schema(fv)
+    keep = {f["name"] for f in mf_schema["fields"]}
+    new_entry = {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
+    avro_lite.write_container(mlist, mf_schema, [{k: new_entry.get(k, 0) for k in keep}])
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file:{mlist}",
+        "summary": {"operation": "replace"},
+        "schema-id": prior_meta.get("current-schema-id", 0),
+    }
+    if fv >= 2:
+        snapshot["sequence-number"] = seq
+    meta = dict(prior_meta)
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snap_id
+    meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
+    if fv >= 2:
+        meta["last-sequence-number"] = seq
+    meta["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(f"{path}: metadata v{new_version} was committed concurrently")
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return snap_id

@@ -826,3 +826,64 @@ def test_iceberg_partitioned_unsupported_type_fails_loud(spark, tmp_path):
     df = spark.range(5).select("id", F.lit(1.5).alias("x"))
     with pytest.raises(NotImplementedError, match="identity only"):
         iceberg.write_iceberg(spark, df, root, partition_by=["x"])
+
+
+# ------------------------------------------------------------ compaction ----
+
+
+def test_iceberg_compaction_applies_deletes_and_merges_files(spark, tmp_path):
+    """rewrite_data_files: many small append files + accumulated deletes
+    collapse to a clean snapshot — same rows, no delete manifests, fewer
+    files; expire + dead-file cleanup then reclaims the replaced bytes."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ic")
+    for b in range(3):
+        iceberg.write_iceberg(
+            spark, spark.range(b * 10, (b + 1) * 10).select("id"),
+            root, format_version=2,
+        )
+    iceberg.delete_iceberg(spark, root, "id % 5 = 0")
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(7,)], "id long")
+    )
+    expected = sorted(i for i in range(30) if i % 5 != 0 and i != 7)
+    n_files_before = len(iceberg._live_data_files(root))
+    s = iceberg.compact_iceberg(spark, root)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == expected
+    meta = iceberg._load_metadata(root)
+    assert meta["current-snapshot-id"] == s
+    data, deletes = iceberg._snapshot_scan_plan(meta, s, root)
+    assert not deletes  # delete files gone from the live snapshot
+    assert len(data) <= n_files_before
+    # appends after compaction still work; time travel to pre-compaction
+    # still sees the masked view
+    iceberg.write_iceberg(spark, spark.range(100, 105).select("id"), root,
+                          format_version=2)
+    assert iceberg.read_iceberg(spark, root).count() == len(expected) + 5
+
+
+def test_iceberg_partitioned_compaction_preserves_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "icp")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, "ab"[i % 2]) for i in range(10)], "id long, grp string"
+        )
+        iceberg.write_iceberg(spark, df, root, format_version=2,
+                              partition_by=["grp"])
+    iceberg.delete_iceberg(spark, root, "id < 5")
+    iceberg.compact_iceberg(spark, root)
+    live = iceberg._live_data_files(root)
+    assert live and all("/data/grp=" in f for f in live)
+    back = iceberg.read_iceberg(spark, root)
+    assert back.count() == 25
+    assert set(back.columns) == {"id", "grp"}
+    # append must still respect the declared partitioning
+    with pytest.raises(ValueError, match="does not match"):
+        iceberg.write_iceberg(
+            spark, spark.createDataFrame([(999, "c")], "id long, grp string"),
+            root, format_version=2,
+        )
