@@ -194,6 +194,53 @@ def _live_data_files(table_root: str) -> list[str]:
     return _snapshot_files(meta, snap_id, table_root)
 
 
+#: iceberg primitive -> spark JSON type name (inverse of the writer map)
+_ICEBERG_TO_SPARK = {
+    "int": "integer",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _declared_spark_schema(meta: dict):
+    """The table's CURRENT schema as a Spark StructType, or None when it
+    contains a type this mapping doesn't cover (nested, decimal, ...) —
+    callers fall back to parquet inference then. Reading with the declared
+    schema is what makes SCHEMA EVOLUTION work: files written before a
+    column was added backfill null instead of the scan adopting whichever
+    file's schema comes first."""
+    sid = meta.get("current-schema-id", 0)
+    schema = next(
+        (s for s in meta.get("schemas", []) if s.get("schema-id") == sid),
+        meta.get("schema"),
+    )
+    if not schema:
+        return None
+    fields = []
+    for f in schema.get("fields", []):
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _ICEBERG_TO_SPARK:
+            return None
+        fields.append(
+            {
+                "name": f["name"],
+                "type": _ICEBERG_TO_SPARK[t],
+                "nullable": not f.get("required", False),
+                "metadata": {},
+            }
+        )
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
 def _apply_position_deletes(
     spark: SparkSession, table_root: str, df: DataFrame, delete_files: list[str]
 ) -> DataFrame:
@@ -444,6 +491,7 @@ def write_iceberg(
     format_version: int = 1,
     summary_props: dict | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -531,10 +579,38 @@ def write_iceberg(
         want = [(f["name"], f["type"]) for f in declared["fields"]]
         got = [(f.name, _SPARK_TO_ICEBERG.get(f.dataType.simpleString()))
                for f in df.schema.fields]
-        if got != want:
+        if got != want and merge_schema and got[: len(want)] == want:
+            # SCHEMA EVOLUTION (add-only): the batch carries every declared
+            # column in order plus new nullable ones at the end — widen the
+            # declared schema with fresh field ids; the reader's
+            # declared-schema scan backfills old files with null
+            last_id = max(
+                (f.get("id", 0) for f in declared["fields"]),
+                default=len(declared["fields"]),
+            )
+            new_fields = [
+                {
+                    "id": last_id + j + 1,
+                    "name": name,
+                    "required": False,
+                    "type": t,
+                }
+                for j, (name, t) in enumerate(got[len(want):])
+            ]
+            if any(f["type"] is None for f in new_fields):
+                raise ValueError(
+                    f"{path}: evolution adds a column with an unmappable "
+                    "spark type"
+                )
+            declared = {
+                **declared,
+                "fields": list(declared["fields"]) + new_fields,
+            }
+        elif got != want:
             raise ValueError(
                 f"{path}: append schema mismatch — table declares {want}, "
                 f"batch carries {got}"
+                + ("" if merge_schema else "; pass merge_schema=True to add columns")
             )
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
@@ -888,10 +964,19 @@ def read_iceberg(
             f"{path}: snapshot references deleted data files (e.g. "
             f"{os.path.basename(gone[0])}) — history was expired"
         )
+    declared = _declared_spark_schema(meta)
+
+    def _read(paths: list[str]) -> DataFrame:
+        # declared-schema read: pre-evolution files backfill added columns
+        # with null; bare inference when the schema has unmapped types
+        if declared is not None:
+            return spark.read.schema(declared).parquet(*paths)
+        return spark.read.parquet(*paths)
+
     pos = [d["path"] for d in deletes if d["kind"] == "pos"]
     eq = [d for d in deletes if d["kind"] == "eq"]
     if not eq:
-        df = spark.read.parquet(*files)
+        df = _read(files)
         if pos:
             df = _apply_position_deletes(spark, path, df, pos)
         return df
@@ -911,7 +996,7 @@ def read_iceberg(
         by_seq.setdefault(d["seq"], []).append(d["path"])
     branches = []
     for seq, paths in sorted(by_seq.items()):
-        g = spark.read.parquet(*paths)
+        g = _read(paths)
         if pos:
             g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
                 "_ri", F.col("_metadata.row_index")

@@ -609,15 +609,55 @@ def _promote_staged(
     return adds
 
 
+def version_as_of_timestamp(path: str, ts_ms: int) -> int:
+    """Resolve timestamp-based time travel to a commit version: the
+    NEWEST commit whose commitInfo timestamp is <= ``ts_ms`` (delta-spark's
+    timestampAsOf rule). Resolution needs the JSON history — commits
+    cleaned after checkpointing fail loudly via the normal time-travel
+    guard downstream; a timestamp before the earliest retained commit
+    raises here."""
+    log = _delta_log_dir(path)
+    best = None
+    for name in sorted(os.listdir(log)):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        v = int(name[:20])
+        commit_ts = None
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action and action["commitInfo"].get("timestamp"):
+                    commit_ts = action["commitInfo"]["timestamp"]
+                    break
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(os.path.join(log, name)) * 1000)
+        if commit_ts <= ts_ms:
+            best = v if best is None else max(best, v)
+    if best is None:
+        raise ValueError(
+            f"{path}: no commit at or before timestamp {ts_ms} — older than "
+            "retained history (or the log was cleaned)"
+        )
+    return best
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table: native `format("delta")` when the jar is present,
     else the pure-python log replay + parquet scan fallback.
 
-    ``version``: time travel — read the snapshot AS OF that commit
-    (requires the JSON history back to it; vacuumed file or cleaned-log
-    reads fail loudly rather than returning a partial snapshot).
+    Time travel: ``version`` reads the snapshot AS OF that commit;
+    ``timestamp_ms`` resolves to the newest commit at or before that
+    wall-clock (delta-spark's timestampAsOf) and reads it. Both require
+    the JSON history back to the target; vacuumed-file or cleaned-log
+    reads fail loudly rather than returning a partial snapshot.
 
     An empty snapshot (all files removed) still returns a DataFrame with the
     table schema when the native reader is available; the fallback raises —
@@ -625,6 +665,10 @@ def read_delta(
     """
     if not is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table (no _delta_log)")
+    if version is not None and timestamp_ms is not None:
+        raise ValueError("read_delta: pass version OR timestamp_ms, not both")
+    if timestamp_ms is not None:
+        version = version_as_of_timestamp(path, timestamp_ms)
     try:
         reader = spark.read.format("delta")
         if version is not None:

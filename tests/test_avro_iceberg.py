@@ -887,3 +887,66 @@ def test_iceberg_partitioned_compaction_preserves_layout(spark, tmp_path):
             spark, spark.createDataFrame([(999, "c")], "id long, grp string"),
             root, format_version=2,
         )
+
+
+# ------------------------------------------------------- schema evolution ----
+
+
+def test_iceberg_schema_evolution_on_append(spark, tmp_path):
+    """merge_schema append: a batch may ADD nullable columns; old files
+    backfill null through the declared-schema scan; drops/retypes and
+    unflagged drift stay fail-loud."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ev")
+    iceberg.write_iceberg(spark, spark.range(5).select("id"), root,
+                          format_version=2)
+    wider = spark.range(5, 8).select("id", F.lit("x").alias("tag"))
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        iceberg.write_iceberg(spark, wider, root, format_version=2)
+    iceberg.write_iceberg(spark, wider, root, format_version=2,
+                          merge_schema=True)
+    back = iceberg.read_iceberg(spark, root)
+    assert back.columns == ["id", "tag"]
+    got = {(r.id, r.tag) for r in back.collect()}
+    assert got == {(i, None) for i in range(5)} | {(i, "x") for i in range(5, 8)}
+    # the widened schema persists: a plain append now carries both columns
+    iceberg.write_iceberg(
+        spark, spark.range(8, 9).select("id", F.lit("y").alias("tag")),
+        root, format_version=2,
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 9
+    # dropping a column is NOT evolution
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.write_iceberg(spark, spark.range(9, 10).select("id"), root,
+                              format_version=2, merge_schema=True)
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    """read_delta(timestamp_ms=...): resolves to the newest commit at or
+    before the wall-clock, per delta-spark's timestampAsOf."""
+    import json as _json
+    import os as _os
+
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "tt")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)      # v0
+    lakehouse.write_delta(spark, spark.range(5, 12).select("id"), root,
+                          mode="append")                                 # v1
+    log = _os.path.join(root, "_delta_log")
+
+    def commit_ts(v):
+        with open(_os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    return a["commitInfo"]["timestamp"]
+
+    t0, t1 = commit_ts(0), commit_ts(1)
+    assert lakehouse.read_delta(spark, root, timestamp_ms=t0).count() in (5, 12)
+    assert lakehouse.read_delta(spark, root, timestamp_ms=t1 + 10).count() == 12
+    with pytest.raises(ValueError, match="older than retained history"):
+        lakehouse.read_delta(spark, root, timestamp_ms=t0 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        lakehouse.read_delta(spark, root, version=0, timestamp_ms=t0)
