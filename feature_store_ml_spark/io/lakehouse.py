@@ -2169,3 +2169,101 @@ def read_delta_cdf(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def describe_delta_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit (newest first) with version,
+    timestamp, operation and operationParameters — the audit view every
+    mutation debugging session starts from. Driver-side JSON scan of the
+    retained log (checkpoint-cleaned commits are simply absent, as in
+    delta-spark after log retention)."""
+    log = _delta_log_dir(path)
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    out: list[dict] = []
+    for name in sorted(os.listdir(log), reverse=True):
+        if not (name.endswith(".json") and name[:20].isdigit()):
+            continue
+        v = int(name[:20])
+        info: dict = {"version": v, "timestamp": None, "operation": None,
+                      "operationParameters": {}}
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                ci = action.get("commitInfo")
+                if ci:
+                    info["timestamp"] = ci.get("timestamp")
+                    info["operation"] = ci.get("operation")
+                    info["operationParameters"] = ci.get("operationParameters") or {}
+                    break
+        out.append(info)
+    return out
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: make the CURRENT snapshot equal
+    an old one again, as a NEW commit (history is append-only — a restore
+    never rewrites the log, so the mistake and its correction both stay
+    auditable). The commit is the file-set diff: remove every live file
+    the target snapshot lacks, re-add every target file not currently
+    live (with its partitionValues and deletion vector exactly as they
+    were). Fails loudly when the target's files were vacuumed — then the
+    data is physically gone and no metadata operation can bring it back.
+
+    Also re-emits the target snapshot's metaData when it differs (schema
+    or configuration rolled back too — restoring to before a widening
+    restores the narrow schema, like delta-spark). Driver-side metadata
+    only; returns the committed version.
+    """
+    import time as _time
+
+    target_adds, target_meta = _replay_log_adds(path, max_version=version)
+    current_adds, current_meta = _replay_log_adds(path)
+    gone = [
+        rel for rel in target_adds if not os.path.exists(os.path.join(path, rel))
+    ]
+    # DV bin files the target snapshot referenced must survive too
+    gone += [
+        a["deletionVector"]["pathOrInlineDv"]
+        for a in target_adds.values()
+        if a.get("deletionVector", {}).get("storageType") == "u"
+        and not os.path.exists(_resolve_dv_path(path, a["deletionVector"]))
+    ]
+    if gone:
+        raise ValueError(
+            f"{path}: cannot restore to v{version} — {len(gone)} of its "
+            f"files were vacuumed (e.g. {os.path.basename(gone[0])})"
+        )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    if (
+        target_meta.get("schemaString") != current_meta.get("schemaString")
+        or (target_meta.get("configuration") or {})
+        != (current_meta.get("configuration") or {})
+        or (target_meta.get("partitionColumns") or [])
+        != (current_meta.get("partitionColumns") or [])
+    ):
+        actions.append({"metaData": target_meta})
+    for rel in current_adds:
+        if rel not in target_adds or current_adds[rel].get("deletionVector") != target_adds[rel].get("deletionVector"):
+            actions.append(
+                {"remove": {"path": rel, "dataChange": True,
+                            "deletionTimestamp": now_ms}}
+            )
+    for rel, add in target_adds.items():
+        if rel not in current_adds or current_adds[rel].get("deletionVector") != add.get("deletionVector"):
+            actions.append({"add": {**add, "modificationTime": now_ms,
+                                    "dataChange": True}})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+            }
+        }
+    )
+    return _commit(path, actions)

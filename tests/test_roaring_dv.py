@@ -495,3 +495,42 @@ def test_cdf_rejects_rewrites_and_empty_range(spark, tmp_path):
     empty = lakehouse.read_delta_cdf(spark, root, since_version=v1)
     assert empty.count() == 0
     assert empty.columns == ["id", "_change_type", "_commit_version"]
+
+
+# ----------------------------------------------------- restore + history ----
+
+
+def test_restore_and_history(spark, tmp_path):
+    """RESTORE TO VERSION AS OF: the live set returns to the old snapshot
+    via a NEW commit (append-only history), including rolling a DV delete
+    back; DESCRIBE HISTORY shows the whole audit trail newest-first."""
+    root = str(tmp_path / "r")
+    lakehouse.write_delta(spark, spark.range(10).select("id"), root)       # v0
+    lakehouse.write_delta(spark, spark.range(10, 15).select("id"), root,
+                          mode="append")                                   # v1
+    lakehouse.delete_delta(spark, root, "id < 3")                          # v2
+    assert lakehouse.read_delta(spark, root).count() == 12
+    v3 = lakehouse.restore_delta(spark, root, version=1)
+    assert lakehouse.read_delta(spark, root).count() == 15  # delete undone
+    v4 = lakehouse.restore_delta(spark, root, version=0)
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(range(10))
+    # restore forward again (to the deleted state) — DV comes back
+    lakehouse.restore_delta(spark, root, version=2)
+    assert lakehouse.read_delta(spark, root).count() == 12
+    hist = lakehouse.describe_delta_history(root)
+    assert [h["version"] for h in hist] == [5, 4, 3, 2, 1, 0]
+    ops = [h["operation"] for h in hist]
+    assert ops[:3] == ["RESTORE", "RESTORE", "RESTORE"]
+    assert hist[-1]["operation"] == "WRITE"
+    assert hist[0]["operationParameters"] == {"version": "2"}
+    assert all(h["timestamp"] for h in hist)
+
+
+def test_restore_after_vacuum_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "rv")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)        # v0
+    lakehouse.write_delta(spark, spark.range(99).select("id"), root,
+                          mode="overwrite")                                # v1
+    lakehouse.vacuum_delta(root)  # v0's files are physically gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        lakehouse.restore_delta(spark, root, version=0)
