@@ -244,6 +244,47 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+#: writer features this module actually implements/enforces; a table
+#: demanding anything else is refused BEFORE any bytes change
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "checkConstraints",
+    "deletionVectors",
+    "columnMapping",
+}
+_MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
+
+
+def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
+    """Refuse to WRITE a table whose protocol demands writer behavior this
+    module does not implement — writing anyway could silently violate an
+    invariant some other reader depends on. Also enforces the behaviors we
+    DO implement: ``delta.appendOnly`` tables reject every row-removing
+    operation (overwrite / merge / delete / restore), per the spec.
+    ``operation`` ∈ {append, overwrite, merge, delete, restore, optimize,
+    metadata}."""
+    proto = _current_protocol(path)
+    v = proto.get("minWriterVersion", 2) or 2
+    if v == 7:
+        unsupported = set(proto.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"{path}: writer features {sorted(unsupported)} are not "
+                "implemented — refusing to write"
+            )
+    elif v > _MAX_SUPPORTED_WRITER_VERSION:
+        raise NotImplementedError(
+            f"{path}: minWriterVersion={v} demands writer behavior this "
+            "module does not implement — refusing to write"
+        )
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        if operation in ("overwrite", "merge", "delete", "restore"):
+            raise ValueError(
+                f"{path}: table is delta.appendOnly=true — {operation} "
+                "would remove rows; only appends are allowed"
+            )
+
+
 def _current_protocol(path: str) -> dict:
     """The table's latest protocol action (checkpoint + JSON tail replay —
     last wins). Defaults to the base 1/2 when none was ever written."""
@@ -841,6 +882,7 @@ def compact_delta(
     from pyspark.sql import functions as F
 
     adds_map, meta = _replay_log_adds(path)
+    _check_write_allowed(path, meta, "optimize")
     files = [os.path.join(path, p) for p in adds_map]
     part_cols = meta.get("partitionColumns") or []
     if not files:
@@ -1274,6 +1316,7 @@ def write_delta(
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
+        _check_write_allowed(path, meta, mode)
         _enforce_constraints(df, meta, path)
         declared_parts = meta.get("partitionColumns") or []
         if mode == "append" and declared_parts != (partition_by or []):
@@ -1553,6 +1596,7 @@ def merge_delta(
     from pyspark.sql import functions as F
 
     adds_map, meta = _replay_log_adds(path)
+    _check_write_allowed(path, meta, "merge")
     files = [os.path.join(path, p) for p in adds_map]
     from pyspark.sql.types import StructType
 
@@ -1789,6 +1833,7 @@ def delete_delta(
     if not is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
     adds_map, meta = _replay_log_adds(path)
+    _check_write_allowed(path, meta, "delete")
     files = [os.path.join(path, p) for p in adds_map]
     if not files:
         raise ValueError(f"{path}: snapshot is empty — nothing to delete")
@@ -2222,6 +2267,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
 
     target_adds, target_meta = _replay_log_adds(path, max_version=version)
     current_adds, current_meta = _replay_log_adds(path)
+    _check_write_allowed(path, current_meta, "restore")
     gone = [
         rel for rel in target_adds if not os.path.exists(os.path.join(path, rel))
     ]

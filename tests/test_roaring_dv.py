@@ -534,3 +534,57 @@ def test_restore_after_vacuum_fails_loud(spark, tmp_path):
     lakehouse.vacuum_delta(root)  # v0's files are physically gone
     with pytest.raises(ValueError, match="vacuumed"):
         lakehouse.restore_delta(spark, root, version=0)
+
+
+# --------------------------------------------------- writer protocol gate ----
+
+
+def test_unsupported_writer_features_refused(spark, tmp_path):
+    """A table demanding writer behavior we don't implement must be
+    refused BEFORE any bytes change — writing anyway could violate an
+    invariant other readers depend on."""
+    root = str(tmp_path / "wf")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    lakehouse._commit(root, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "readerFeatures": [], "writerFeatures": ["identityColumns"],
+    }}])
+    with pytest.raises(NotImplementedError, match="identityColumns"):
+        lakehouse.write_delta(
+            spark, spark.range(5).select("id"), root, mode="append"
+        )
+    root2 = str(tmp_path / "wv")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root2)
+    lakehouse._commit(root2, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 6,
+    }}])
+    with pytest.raises(NotImplementedError, match="minWriterVersion=6"):
+        lakehouse.delete_delta(spark, root2, "id = 1")
+
+
+def test_append_only_table_rejects_row_removal(spark, tmp_path):
+    """delta.appendOnly=true: appends flow, every row-removing operation
+    (overwrite/merge/delete/restore) fails loudly, per the spec."""
+    root = str(tmp_path / "ao")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    adds, meta = lakehouse._replay_log_adds(root)
+    lakehouse._commit(root, [{"metaData": {
+        **meta, "configuration": {"delta.appendOnly": "true"},
+    }}])
+    lakehouse.write_delta(spark, spark.range(5, 8).select("id"), root,
+                          mode="append")
+    assert lakehouse.read_delta(spark, root).count() == 8
+    with pytest.raises(ValueError, match="appendOnly"):
+        lakehouse.delete_delta(spark, root, "id = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        lakehouse.merge_delta(
+            spark, spark.createDataFrame([(1,)], "id long"), root, keys=["id"]
+        )
+    with pytest.raises(ValueError, match="appendOnly"):
+        lakehouse.write_delta(spark, spark.range(3).select("id"), root,
+                              mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        lakehouse.restore_delta(spark, root, version=0)
+    # compaction rearranges bytes without removing rows — still allowed
+    lakehouse.compact_delta(spark, root)
+    assert lakehouse.read_delta(spark, root).count() == 8
