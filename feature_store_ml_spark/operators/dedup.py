@@ -640,3 +640,42 @@ def shared_span_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """The dedup OUTPUT step: given the corpus and the duplicate-cluster
+    assignment (connected_components' (id, cluster_id)), keep ONE
+    canonical document per cluster — docs outside any cluster are their
+    own canonicals (singleton clusters). ``order_by`` ranks candidates
+    within a cluster (default: longest text wins, id ascending as the
+    deterministic tie-break — the common "keep the most complete copy"
+    heuristic; pass e.g. [text.quality_score(col).desc(), col(id).asc()]
+    to keep the highest-quality copy instead).
+
+    Returns the surviving rows plus ``cluster_id`` and ``members`` (the
+    cluster size the survivor represents — the dedup ratio audit column).
+
+    Scale shape: one broadcast-or-shuffle left join against the cluster
+    map (|clusters| ≪ |docs| — only docs IN near-dup pairs appear), then
+    one window over cluster_id (single shuffle). No driver participation.
+    """
+    if order_by is None:
+        order_by = [F.length("text").desc(), F.col(id_col).asc()]
+    from pyspark.sql import Window
+
+    cmap = clusters.select(
+        F.col("id").alias("_cid"), F.col("cluster_id").alias("_cluster")
+    )
+    enriched = docs.join(cmap, docs[id_col] == cmap["_cid"], "left").withColumn(
+        "cluster_id", F.coalesce(F.col("_cluster"), F.col(id_col))
+    ).drop("_cid", "_cluster")
+    w = Window.partitionBy("cluster_id")
+    ranked = enriched.withColumn(
+        "_rn", F.row_number().over(w.orderBy(*order_by))
+    ).withColumn("members", F.count(F.lit(1)).over(w))
+    return ranked.where(F.col("_rn") == 1).drop("_rn")

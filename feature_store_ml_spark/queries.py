@@ -1825,6 +1825,68 @@ def e9_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e9_dedup_canonical",
+    _SHINGLE_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    walk(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON e.v = w.u
+    ),
+    clusters AS (SELECT u AS id, MIN(label) AS cluster_id FROM walk GROUP BY u),
+    joined AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             LENGTH(d.text) AS text_len
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, members
+    FROM (
+      SELECT cluster_id, doc_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS members,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY text_len DESC, doc_id ASC
+             ) AS rn
+      FROM joined
+    )
+    WHERE rn = 1
+    """,
+)
+def e9_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT step (operators/dedup.py::canonical_docs): cluster
+    the near-duplicates, then keep ONE canonical copy per cluster —
+    longest text wins, id ascending tie-break; singleton docs survive as
+    their own canonicals. Output (cluster_id, kept_doc_id, members) is
+    the deduped corpus manifest a training pipeline materializes next.
+    Oracle: the recursive-closure clusters joined back to documents with
+    a window argmax — the full pipeline verified end-to-end, not just
+    the clustering."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, n=3, threshold=0.2, max_df=5)
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.canonical_docs(d, clusters)
+    return kept.select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("members").cast("long").alias("members"),
+    )
+
+
+@register(
     "e13_sliding_window",
     """
     WITH starts AS (
@@ -4001,6 +4063,7 @@ _FINAL_ORDER = [
     "e1_iceberg_time_travel",
     "e1_delta_delete_vectors",
     "e1_delta_cdf",
+    "e9_dedup_canonical",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
     #    window since round 1) come IN for independent re-confirmation;
@@ -4042,7 +4105,6 @@ _FINAL_ORDER = [
     "q16_parts_supplier_relationship",
     # -- sampling / PII / streaming-dedup surface
     "e16_hash_sample",
-    "e16_stratified_sample",
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_dedup",
@@ -4064,6 +4126,7 @@ _FINAL_ORDER = [
     "q18_large_orders",
     "q17_small_quantity",   # correlated-subquery family stays via q20/q21
     "q22_sales_opportunity",
+    "e16_stratified_sample",  # e16 family keeps hash + mixture in-window
     "e13_stream_static_join",
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
