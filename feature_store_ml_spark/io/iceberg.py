@@ -1493,3 +1493,197 @@ def compact_iceberg(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_version))
     return snap_id
+
+
+def read_iceberg_cdf(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """ROW-LEVEL change feed between two snapshots — the Iceberg twin of
+    ``lakehouse.read_delta_cdf``: table columns plus ``_change_type``
+    ('insert' | 'delete') and ``_commit_snapshot_id``.
+
+    Derivable from metadata alone, per snapshot in ``(from, to]`` ordered
+    by sequence number:
+    - new DATA files -> their rows as 'insert' at that snapshot;
+    - new POSITION delete files -> the named (file, pos) rows as 'delete';
+    - new EQUALITY delete files -> the matching rows in STRICTLY-OLDER
+      data files that were still live (not already masked) as 'delete'.
+    A snapshot that REMOVES data files (compaction/expire rewrote history)
+    fails loudly — replaced files make row diffs ambiguous.
+
+    Scale shape mirrors the Delta feed: per-snapshot file lists are driver
+    metadata; inserts are plain scans; position deletes one broadcast
+    position join; equality deletes one broadcast semi-join per delete
+    file over the files it can affect.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    to_id = to_snapshot_id if to_snapshot_id is not None else meta.get(
+        "current-snapshot-id"
+    )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if from_snapshot_id not in snaps or to_id not in snaps:
+        missing = [i for i in (from_snapshot_id, to_id) if i not in snaps]
+        raise ValueError(f"{path}: snapshot {missing[0]} not in metadata")
+    # order the in-range snapshots by sequence number (commit order)
+    ordered = sorted(
+        (s for s in meta["snapshots"]),
+        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
+    )
+    from_idx = next(
+        i for i, s in enumerate(ordered) if s["snapshot-id"] == from_snapshot_id
+    )
+    to_idx = next(i for i, s in enumerate(ordered) if s["snapshot-id"] == to_id)
+    if to_idx < from_idx:
+        raise ValueError(f"{path}: to-snapshot predates from-snapshot")
+
+    declared = _declared_spark_schema(meta)
+
+    def _read(paths):
+        if declared is not None:
+            return spark.read.schema(declared).parquet(*paths)
+        return spark.read.parquet(*paths)
+
+    id_to_name = _field_id_map(meta)
+    prev_data, prev_deletes = _snapshot_scan_plan(
+        meta, ordered[from_idx]["snapshot-id"], path
+    )
+    prev_data_map = {d["path"]: d for d in prev_data}
+    prev_delete_set = {d["path"] for d in prev_deletes}
+    parts: list[DataFrame] = []
+    for s in ordered[from_idx + 1 : to_idx + 1]:
+        sid = s["snapshot-id"]
+        data, deletes = _snapshot_scan_plan(meta, sid, path)
+        data_map = {d["path"]: d for d in data}
+        gone = set(prev_data_map) - set(data_map)
+        if gone:
+            raise ValueError(
+                f"{path}: snapshot {sid} removed data files (compaction/"
+                "rewrite) — row-level changes are not derivable; re-read "
+                "the snapshot"
+            )
+        new_data = [p for p in data_map if p not in prev_data_map]
+        if new_data:
+            parts.append(
+                _read(new_data)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+            )
+        new_deletes = [d for d in deletes if d["path"] not in prev_delete_set]
+        pos_new = [d["path"] for d in new_deletes if d["kind"] == "pos"]
+        if pos_new:
+            # the named rows themselves are the delete records
+            scan_files = sorted(set(prev_data_map) | set(data_map))
+            tagged = (
+                _read(scan_files)
+                .withColumn("_fp", F.col("_metadata.file_path"))
+                .withColumn("_ri", F.col("_metadata.row_index"))
+            )
+            # (the feed needs the COMPLEMENT of the read-path's anti-join:
+            # an inner join against the named positions)
+            import pyarrow.parquet as pq
+
+            pairs = []
+            for dfile in pos_new:
+                t = pq.read_table(dfile, columns=["file_path", "pos"])
+                cache: dict[str, str] = {}
+                for raw, p_ in zip(
+                    t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    uri = cache.get(raw)
+                    if uri is None:
+                        uri = "file:" + os.path.abspath(_localize(raw, path))
+                        cache[raw] = uri
+                    pairs.append((uri, p_))
+            if pairs:
+                pos_df = spark.createDataFrame(pairs, "_del_fp string, _del_pos long")
+                dead_rows = (
+                    tagged.join(
+                        F.broadcast(pos_df),
+                        (F.col("_fp") == F.col("_del_fp"))
+                        & (F.col("_ri") == F.col("_del_pos")),
+                        "inner",
+                    )
+                    .drop("_fp", "_ri", "_del_fp", "_del_pos")
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+                )
+                parts.append(dead_rows)
+        for d in new_deletes:
+            if d["kind"] != "eq":
+                continue
+            cols = [id_to_name[i] for i in d["equality_ids"]]
+            keys = (
+                spark.read.parquet(d["path"])
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                .distinct()
+            )
+            # affected: rows of data files strictly older than the delete
+            # that were STILL LIVE at the previous snapshot (apply the
+            # previous snapshot's masks so a doubly-deleted row isn't
+            # emitted twice)
+            older = [
+                p for p, dd in prev_data_map.items() if dd["seq"] < d["seq"]
+            ]
+            if not older:
+                continue
+            g = _read(older)
+            prev_pos = [x["path"] for x in prev_deletes if x["kind"] == "pos"]
+            if prev_pos:
+                g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+                    "_ri", F.col("_metadata.row_index")
+                )
+                g = _join_out_positions(spark, path, g, prev_pos).drop("_fp", "_ri")
+            for x in prev_deletes:
+                if x["kind"] != "eq":
+                    continue
+                pcols = [id_to_name[i] for i in x["equality_ids"]]
+                pkeys = (
+                    spark.read.parquet(x["path"])
+                    .select(*[F.col(c).alias(f"_pq_{c}") for c in pcols])
+                    .distinct()
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [g[c].eqNullSafe(F.col(f"_pq_{c}")) for c in pcols],
+                )
+                g = g.join(F.broadcast(pkeys), cond, "left_anti")
+            cond = reduce(
+                lambda a, b: a & b,
+                [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
+            )
+            dead_rows = (
+                g.join(F.broadcast(keys), cond, "left_semi")
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+            )
+            parts.append(dead_rows)
+        prev_data_map, prev_deletes, prev_delete_set = (
+            data_map,
+            deletes,
+            {d["path"] for d in deletes},
+        )
+
+    if not parts:
+        if declared is None:
+            raise ValueError(f"{path}: no changes and no mappable schema")
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        empty = StructType(
+            list(declared.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_snapshot_id", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -950,3 +950,49 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
         lakehouse.read_delta(spark, root, timestamp_ms=t0 - 10_000)
     with pytest.raises(ValueError, match="not both"):
         lakehouse.read_delta(spark, root, version=0, timestamp_ms=t0)
+
+
+# ----------------------------------------------------- row-level feed ----
+
+
+def test_iceberg_cdf_inserts_and_deletes(spark, tmp_path):
+    """read_iceberg_cdf: appends -> inserts; position deletes -> the named
+    rows; equality deletes -> matching strictly-older live rows, with
+    already-deleted rows never emitted twice."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "icdf")
+    s0 = iceberg.write_iceberg(spark, spark.range(10).select("id"), root,
+                               format_version=2)
+    s1 = iceberg.write_iceberg(spark, spark.range(10, 15).select("id"), root,
+                               format_version=2)
+    s2 = iceberg.delete_iceberg(spark, root, "id IN (3, 12)")
+    s3 = iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(3,), (4,)], "id long")
+    )
+    cdf = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+    rows = [(r.id, r._change_type, r._commit_snapshot_id) for r in cdf.collect()]
+    inserts = {(i, s) for i, t, s in rows if t == "insert"}
+    deletes = {(i, s) for i, t, s in rows if t == "delete"}
+    assert inserts == {(i, s1) for i in range(10, 15)}
+    # id=3 deleted ONCE (at s2 via position delete); the equality delete
+    # at s3 kills only id=4 (3 was already masked)
+    assert deletes == {(3, s2), (12, s2), (4, s3)}
+    # consuming from s2 sees only the equality delete
+    tail = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s2)
+    assert [(r.id, r._change_type) for r in tail.collect()] == [(4, "delete")]
+    # empty range -> typed empty frame
+    empty = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s3)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "_change_type", "_commit_snapshot_id"]
+
+
+def test_iceberg_cdf_rejects_compacted_range(spark, tmp_path):
+    root = str(tmp_path / "icdf2")
+    s0 = iceberg.write_iceberg(spark, spark.range(10).select("id"), root,
+                               format_version=2)
+    iceberg.write_iceberg(spark, spark.range(10, 20).select("id"), root,
+                          format_version=2)
+    iceberg.compact_iceberg(spark, root)
+    with pytest.raises(ValueError, match="removed data files"):
+        iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
