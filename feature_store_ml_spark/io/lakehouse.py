@@ -2010,6 +2010,21 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
     if new in names:
         raise ValueError(f"{path}: column {new!r} already exists")
     conf = dict(meta.get("configuration") or {})
+    # a CHECK constraint stores its expression as TEXT referencing column
+    # names — renaming a referenced column would leave the expression
+    # stale and break every subsequent write; refuse upfront (the same
+    # rule delta-spark enforces)
+    import re as _re
+
+    for key, expr in conf.items():
+        if key.startswith("delta.constraints.") and _re.search(
+            rf"\b{_re.escape(old)}\b", expr
+        ):
+            raise ValueError(
+                f"{path}: column {old!r} is referenced by CHECK constraint "
+                f"{key[len('delta.constraints.'):]!r} ({expr}) — drop the "
+                "constraint first, rename, then re-add it on the new name"
+            )
     mapped = conf.get("delta.columnMapping.mode") == "name"
     max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
     for i, f in enumerate(schema["fields"], start=1):

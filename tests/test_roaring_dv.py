@@ -588,3 +588,75 @@ def test_append_only_table_rejects_row_removal(spark, tmp_path):
     # compaction rearranges bytes without removing rows — still allowed
     lakehouse.compact_delta(spark, root)
     assert lakehouse.read_delta(spark, root).count() == 8
+
+
+# ------------------------------------------------- full lifecycle proof ----
+
+
+def test_full_mutation_lifecycle_composes(spark, tmp_path):
+    """One table through the WHOLE mutation surface in sequence — create,
+    append, constraint, merge, DV delete, change feed, rename, compact
+    (purge), checkpoint + log cleanup, vacuum, history — with row-level
+    invariants checked at every step. The point is COMPOSITION: each
+    feature must keep working after every other feature has touched the
+    table."""
+    root = str(tmp_path / "life")
+    # v0: create
+    lakehouse.write_delta(
+        spark,
+        spark.range(20).select("id", (F.col("id") % 5).cast("double").alias("score")),
+        root,
+    )
+    # v1: constraint (validates existing rows)
+    lakehouse.add_delta_constraint(spark, root, "score_ok", "score >= 0")
+    # v2: append under the constraint
+    lakehouse.write_delta(
+        spark,
+        spark.range(20, 30).select("id", F.lit(1.0).alias("score")),
+        root, mode="append",
+    )
+    # v3: merge (upsert id=0, insert id=100) — constraint enforced
+    lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(0, 9.0), (100, 3.0)], "id long, score double"),
+        root, keys=["id"],
+    )
+    # v4: DV delete
+    lakehouse.delete_delta(spark, root, "id >= 25 AND id < 30")
+    got = {r.id: r.score for r in lakehouse.read_delta(spark, root).collect()}
+    assert got[0] == 9.0 and got[100] == 3.0 and 27 not in got and len(got) == 26
+    # change feed over the delete commit only (merge rewrites block earlier)
+    cdf = lakehouse.read_delta_cdf(spark, root, since_version=3)
+    assert {(r.id, r._change_type) for r in cdf.collect()} == {
+        (i, "delete") for i in range(25, 30)
+    }
+    # renaming a CONSTRAINED column is refused upfront (stale expression
+    # would break every later write — same rule delta-spark enforces)
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        lakehouse.rename_delta_column(spark, root, "score", "quality")
+    lakehouse.drop_delta_constraint(root, "score_ok")
+    # v6: zero-rewrite rename — reads show the new name, DV still masks
+    lakehouse.rename_delta_column(spark, root, "score", "quality")
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "quality"] and back.count() == 26
+    # v7: compaction purges the DV and keeps the mapped schema
+    lakehouse.compact_delta(spark, root)
+    adds, meta = lakehouse._replay_log_adds(root)
+    assert not any(a.get("deletionVector") for a in adds.values())
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    # checkpoint + cleanup: snapshot survives on the checkpoint alone
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    lakehouse.vacuum_delta(root)
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "quality"] and back.count() == 26
+    assert {r.id for r in back.collect()} == (
+        set(range(25)) | {100}
+    )
+    # appends keep working after the full gauntlet
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(300, 5.0)], "id long, quality double"),
+        root, mode="append",
+    )
+    assert lakehouse.read_delta(spark, root).count() == 27
