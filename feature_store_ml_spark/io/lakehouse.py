@@ -429,6 +429,83 @@ def drop_delta_constraint(path: str, name: str) -> int:
     )
 
 
+def alter_delta_properties(path: str, props: dict) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES: merge ``props`` into
+    metaData.configuration (None value = unset). The switchboard for
+    behavior flags — ``delta.appendOnly``, ``delta.enableChangeDataFeed``,
+    constraint entries are managed by their own APIs."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    conf = dict(meta.get("configuration") or {})
+    for k, v in props.items():
+        if v is None:
+            conf.pop(k, None)
+        else:
+            conf[k] = str(v)
+    now_ms = int(_time.time() * 1000)
+    return _commit(
+        path,
+        [
+            {"metaData": {**meta, "configuration": conf}},
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {"properties": json.dumps(props)},
+                }
+            },
+        ],
+    )
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _write_change_data(
+    spark: SparkSession, path: str, change_df: DataFrame, now_ms: int
+) -> list[dict]:
+    """Stage a change-data frame (table columns + ``_change_type``) into
+    ``_change_data/`` and return the protocol's ``cdc`` actions. CDC files
+    are NOT part of the table's data (underscore dir — vacuum and scans
+    skip them); they exist solely for change-feed readers, exactly like
+    delta-spark's _change_data layout."""
+    import uuid
+
+    cdc_dir = os.path.join(path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    staging = os.path.join(path, f"_staging_cdc_{uuid.uuid4().hex[:12]}")
+    change_df.write.parquet(staging)
+    actions: list[dict] = []
+    import shutil
+
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, name)
+        if os.path.getsize(src) == 0:
+            continue
+        final_rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
+        os.rename(src, os.path.join(path, final_rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": final_rel.replace(os.sep, "/"),
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(path, final_rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(staging)
+    return actions
+
+
 def _resolve_dv_path(path: str, desc: dict) -> str:
     """Absolute path of a DV descriptor's bin file (storageType u or p).
     For 'u' the file name derives from the Z85-encoded UUID in
@@ -1597,6 +1674,12 @@ def merge_delta(
 
     adds_map, meta = _replay_log_adds(path)
     _check_write_allowed(path, meta, "merge")
+    if newer_wins_col is not None and _cdf_enabled(meta):
+        raise NotImplementedError(
+            f"{path}: conditional (newer-wins) merge with "
+            "delta.enableChangeDataFeed is not implemented — the win/lose "
+            "taxonomy needs per-row winner attribution"
+        )
     files = [os.path.join(path, p) for p in adds_map]
     from pyspark.sql.types import StructType
 
@@ -1689,11 +1772,36 @@ def _merge_rewrite(
             *table_cols
         )
 
+    cdf = _cdf_enabled(meta)
+    change_rows: DataFrame | None = None
     if when_matched == "update" and newer_wins_col is None:
         new_rows = source.select(*table_cols)
         if touched_abs:
             kept = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
             new_rows = kept.select(*table_cols).unionByName(new_rows)
+        if cdf:
+            # change-data rows, delta-spark's MERGE taxonomy: matched
+            # target rows -> update_preimage, their replacements ->
+            # update_postimage, unmatched source rows -> insert
+            if touched_abs:
+                matched_tgt = _scan_touched().join(
+                    src_keys, on=list(keys), how="left_semi"
+                )
+                matched_keys = matched_tgt.select(*keys).distinct()
+                pre = matched_tgt.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = source.select(*table_cols).join(
+                    matched_keys, on=list(keys), how="left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = source.select(*table_cols).join(
+                    matched_keys, on=list(keys), how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                change_rows = pre.unionByName(post).unionByName(ins)
+            else:
+                change_rows = source.select(*table_cols).withColumn(
+                    "_change_type", F.lit("insert")
+                )
     elif when_matched == "update":
         # conditional update (strictly-newer wins, ties keep target): the
         # matched subset is decided by a per-key window over target∪source
@@ -1737,6 +1845,10 @@ def _merge_rewrite(
                 )
             return _next_version(_delta_log_dir(path)) - 1
         new_rows = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
+        if cdf:
+            change_rows = _scan_touched().join(
+                src_keys, on=list(keys), how="left_semi"
+            ).withColumn("_change_type", F.lit("delete"))
 
     import uuid
     import time as _time
@@ -1748,6 +1860,11 @@ def _merge_rewrite(
     stage_writer.parquet(staging)
     now_ms = int(_time.time() * 1000)
     adds = _promote_staged(staging, path, now_ms, data_change=True)
+    cdc_actions = (
+        _write_change_data(spark, path, change_rows, now_ms)
+        if change_rows is not None
+        else []
+    )
 
     actions: list[dict] = []
     if txn is not None:
@@ -1765,6 +1882,7 @@ def _merge_rewrite(
         for f in touched_abs
     )
     actions.extend(adds)
+    actions.extend(cdc_actions)
     actions.append(
         {
             "commitInfo": {
@@ -2126,12 +2244,14 @@ def read_delta_cdf(
 
     inserts: list[tuple[int, list[str]]] = []          # (version, files)
     deletes: list[tuple[int, str, list[int]]] = []     # (version, file, positions)
+    cdc_files: list[tuple[int, list[str]]] = []        # (version, cdc parquet)
     for name in all_json:
         v = int(name[:20])
         if v <= since_version or v > hi:
             continue
         adds_v: list[dict] = []
         removes_v: list[dict] = []
+        cdc_v: list[str] = []
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -2142,6 +2262,18 @@ def read_delta_cdf(
                     adds_v.append(action["add"])
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removes_v.append(action["remove"])
+                elif "cdc" in action:
+                    cdc_v.append(os.path.join(path, action["cdc"]["path"]))
+        if cdc_v:
+            # the writer recorded the changes explicitly (_change_data) —
+            # authoritative for ANY commit shape, incl. merge rewrites;
+            # roll the DV/file state forward and move on
+            cdc_files.append((v, cdc_v))
+            for r in removes_v:
+                dv_state.pop(r["path"], None)
+            for a in adds_v:
+                dv_state[a["path"]] = a.get("deletionVector")
+            continue
         if not adds_v and not removes_v:
             continue
         dv_adds = {a["path"]: a for a in adds_v if a.get("deletionVector")}
@@ -2168,7 +2300,11 @@ def read_delta_cdf(
                 "files; re-read the full snapshot"
             )
 
-    all_files = [f for _, fs in inserts for f in fs] + [f for _, f, _ in deletes]
+    all_files = (
+        [f for _, fs in inserts for f in fs]
+        + [f for _, f, _ in deletes]
+        + [f for _, fs in cdc_files for f in fs]
+    )
     missing = [f for f in all_files if not os.path.exists(f)]
     if missing:
         raise ValueError(
@@ -2177,6 +2313,12 @@ def read_delta_cdf(
         )
 
     parts: list[DataFrame] = []
+    for v, fs in cdc_files:
+        parts.append(
+            spark.read.parquet(*fs).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        )
     for v, files in inserts:
         parts.append(
             _scan_files(spark, path, files, meta)

@@ -660,3 +660,41 @@ def test_full_mutation_lifecycle_composes(spark, tmp_path):
         root, mode="append",
     )
     assert lakehouse.read_delta(spark, root).count() == 27
+
+
+def test_cdf_merge_with_change_data_files(spark, tmp_path):
+    """With delta.enableChangeDataFeed=true, MERGE writes _change_data
+    files (update_preimage/postimage + insert), and the feed consumes
+    them — so change feeds now span merges, not just appends + deletes."""
+    root = str(tmp_path / "cdc")
+    lakehouse.write_delta(
+        spark, spark.range(5).select("id", (F.col("id") * 10).alias("v")), root
+    )                                                                     # v0
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )                                                                     # v1
+    src = spark.createDataFrame([(1, -1), (2, -2), (50, 500)], "id long, v long")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])                  # v2
+    lakehouse.delete_delta(spark, root, "id = 4")                         # v3
+    cdf = lakehouse.read_delta_cdf(spark, root, since_version=1)
+    rows = {(r.id, r.v, r._change_type, r._commit_version) for r in cdf.collect()}
+    assert rows == {
+        (1, 10, "update_preimage", 2), (1, -1, "update_postimage", 2),
+        (2, 20, "update_preimage", 2), (2, -2, "update_postimage", 2),
+        (50, 500, "insert", 2),
+        (4, 40, "delete", 3),
+    }
+    # the table itself is correct too
+    got = {r.id: r.v for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {0: 0, 1: -1, 2: -2, 3: 30, 50: 500}
+    # cdc files live under _change_data and survive vacuum
+    import os
+
+    lakehouse.vacuum_delta(root)
+    assert os.path.isdir(os.path.join(root, "_change_data"))
+    assert lakehouse.read_delta_cdf(spark, root, since_version=1).count() == 6
+    # conditional merge + CDF is an honest fail-loud
+    with pytest.raises(NotImplementedError, match="newer-wins"):
+        lakehouse.merge_delta(
+            spark, src, root, keys=["id"], newer_wins_col="v"
+        )
