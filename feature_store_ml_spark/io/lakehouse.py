@@ -1052,18 +1052,7 @@ def compact_delta(
             }
         ]
     )
-    log = _delta_log_dir(path)
-    version = _next_version(log)
-    final_commit = os.path.join(log, f"{version:020d}.json")
-    tmp = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    if os.path.exists(final_commit):
-        os.remove(tmp)
-        raise RuntimeError(f"{path}: version {version} committed concurrently")
-    os.rename(tmp, final_commit)
-    return version
+    return _commit(path, actions)
 
 
 def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
@@ -1522,42 +1511,91 @@ def write_delta(
             }
         }
     )
+    if mode == "append" and existing:
+        # blind appends ride optimistic concurrency (append-vs-append
+        # never conflicts, per Delta's conflict-resolution rules); table
+        # creation and overwrites keep single-attempt semantics
+        return _commit_append_with_retry(path, actions)
     version = _next_version(log)
-    final_commit = os.path.join(log, f"{version:020d}.json")
+    if not _try_commit(log, version, actions, path):
+        raise RuntimeError(
+            f"{path}: version {version} was committed concurrently — "
+            "recompute from the new snapshot and retry"
+        )
+    return version
+
+
+def _try_commit(log: str, version: int, actions: list[dict], path: str) -> bool:
+    """Attempt to claim exactly ``version``: write a temp file, then
+    ``os.link`` it to the final name — link fails with EEXIST when the
+    version was taken, making the claim ATOMIC (the old exists-then-rename
+    dance had a window where two writers could both pass the check and
+    silently clobber). Returns False on a lost race."""
+    import uuid
+
     tmp_commit = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
+    final_commit = os.path.join(log, f"{version:020d}.json")
     with open(tmp_commit, "w", encoding="utf-8") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    if os.path.exists(final_commit):
+    try:
+        os.link(tmp_commit, final_commit)
+    except FileExistsError:
         os.remove(tmp_commit)
-        raise RuntimeError(
-            f"{path}: version {version} was committed concurrently — "
-            "the fallback writer is single-writer"
-        )
-    os.rename(tmp_commit, final_commit)
-    return version
+        return False
+    os.remove(tmp_commit)
+    return True
 
 
 def _commit(path: str, actions: list[dict]) -> int:
-    """Append one commit to the log: temp-file write + atomic rename, with
-    the single-writer conflict check every commit path shares."""
-    import uuid
-
+    """Append one commit to the log; loses every race (single-writer
+    semantics for transactions with read dependencies — merge, delete,
+    restore, metadata — where a concurrent commit invalidates the
+    snapshot the actions were computed from)."""
     log = _delta_log_dir(path)
     version = _next_version(log)
-    final_commit = os.path.join(log, f"{version:020d}.json")
-    tmp_commit = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp_commit, "w", encoding="utf-8") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
-    if os.path.exists(final_commit):
-        os.remove(tmp_commit)
+    if not _try_commit(log, version, actions, path):
         raise RuntimeError(
             f"{path}: version {version} was committed concurrently — "
-            "the fallback writer is single-writer"
+            "recompute from the new snapshot and retry"
         )
-    os.rename(tmp_commit, final_commit)
     return version
+
+
+def _commit_append_with_retry(
+    path: str, actions: list[dict], max_retries: int = 20
+) -> int:
+    """Commit a BLIND APPEND under optimistic concurrency (Delta's
+    conflict-resolution rule: append-vs-append never conflicts). On a lost
+    race, inspect the commits that won: if any changed metaData or
+    protocol, the append's schema validation is stale — fail loudly for
+    the caller to re-validate; plain data commits (other appends, deletes,
+    optimize) are disjoint with an append, so just claim the next version
+    and try again."""
+    log = _delta_log_dir(path)
+    version = _next_version(log)
+    for _ in range(max_retries):
+        if _try_commit(log, version, actions, path):
+            return version
+        new_version = _next_version(log)
+        for v in range(version, new_version):
+            with open(os.path.join(log, f"{v:020d}.json"), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action or "protocol" in action:
+                        raise RuntimeError(
+                            f"{path}: concurrent commit {v} changed table "
+                            "metadata/protocol — the append's validation "
+                            "is stale; re-run the write"
+                        )
+        version = new_version
+    raise RuntimeError(
+        f"{path}: could not claim a log version after {max_retries} "
+        "conflicts — pathological write contention"
+    )
 
 
 def merge_delta(

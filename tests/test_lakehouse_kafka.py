@@ -286,16 +286,35 @@ def test_delta_write_commit_is_protocol_shaped(spark, tmp_path):
     assert add["size"] > 0 and add["partitionValues"] == {}
 
 
-def test_delta_write_single_writer_conflict(spark, tmp_path):
+def test_delta_append_retries_through_data_conflicts(spark, tmp_path):
+    """Optimistic concurrency, Delta's rule: append-vs-append never
+    conflicts — a blind append that loses the version race claims the
+    next version and lands; a concurrent METADATA change instead fails
+    loudly (the append's schema validation is stale)."""
     root = str(tmp_path / "w")
     lakehouse.write_delta(spark, spark.range(5).select("id"), root)
-    # simulate a concurrent committer grabbing version 1
+    # simulate a concurrent committer grabbing version 1 with a DATA commit
     _write_commit(os.path.join(root, "_delta_log"), 1, [{"commitInfo": {}}])
     import unittest.mock as mock
 
-    with mock.patch.object(lakehouse, "_next_version", return_value=1):
-        with pytest.raises(RuntimeError, match="single-writer"):
-            lakehouse.write_delta(spark, spark.range(5).select("id"), root, mode="append")
+    real_next = lakehouse._next_version
+    with mock.patch.object(lakehouse, "_next_version", side_effect=[1, real_next(os.path.join(root, "_delta_log"))]):
+        v = lakehouse.write_delta(
+            spark, spark.range(5, 8).select("id"), root, mode="append"
+        )
+    assert v == 2  # retried past the stolen version
+    assert lakehouse.read_delta(spark, root).count() == 8
+    # concurrent METADATA commit: the retry must refuse
+    _write_commit(
+        os.path.join(root, "_delta_log"), 3,
+        [{"metaData": {"id": "x", "schemaString": "{}",
+                       "format": {"provider": "parquet", "options": {}},
+                       "partitionColumns": [], "configuration": {}}}],
+    )
+    log = os.path.join(root, "_delta_log")
+    with mock.patch.object(lakehouse, "_next_version", side_effect=[3, 4]):
+        with pytest.raises(RuntimeError, match="metadata/protocol"):
+            lakehouse._commit_append_with_retry(root, [{"commitInfo": {}}])
 
 
 def test_delta_txn_makes_writes_idempotent(spark, tmp_path):
@@ -408,7 +427,7 @@ def test_merge_concurrent_writer_conflict(spark, tmp_path):
     import unittest.mock as mock
 
     with mock.patch.object(lakehouse, "_next_version", return_value=1):
-        with pytest.raises(RuntimeError, match="single-writer"):
+        with pytest.raises(RuntimeError, match="committed concurrently"):
             lakehouse.merge_delta(
                 spark, spark.createDataFrame([(1,)], "id long"), root, keys=["id"]
             )
