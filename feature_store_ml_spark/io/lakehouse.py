@@ -2006,6 +2006,19 @@ def delete_delta(
         .collect()
     )
     now_ms = int(_time.time() * 1000)
+    cdc_actions: list[dict] = []
+    if matched and _cdf_enabled(meta):
+        # with the change feed enabled, record the deleted ROWS explicitly
+        # (one extra filtered scan) so feed readers get them from
+        # _change_data instead of reconstructing bitmap diffs
+        cdc_actions = _write_change_data(
+            spark,
+            path,
+            _scan_files(spark, path, files, meta, adds_map)
+            .where(predicate)
+            .withColumn("_change_type", F.lit("delete")),
+            now_ms,
+        )
     if not matched:
         actions: list[dict] = []
         if txn is not None:
@@ -2127,6 +2140,7 @@ def delete_delta(
             }
         }
     )
+    actions.extend(cdc_actions)
     return _commit(path, actions)
 
 
