@@ -15,13 +15,15 @@ parquet file set with the normal parquet reader. Predicate pushdown, column
 pruning and partition pruning all still apply — the fallback only resolves
 WHICH files are live; the scan itself is a first-class parquet scan.
 
-Limitations of the fallback (documented, fail-loud):
-- No time travel / versionAsOf (reads latest), no deletion vectors, no
-  column mapping. Tables using those reader features raise via the
-  protocol's `minReaderVersion` guard.
-(Checkpoint files ARE supported: a checkpoint is itself parquet holding the
-reconciled action state, parsed driver-side with pyarrow, then later JSON
-commits are replayed on top.)
+The fallback reader supports time travel (version + timestamp), deletion
+vectors, column mapping (name mode), CHECK constraints, checkpoints (a
+checkpoint is itself parquet holding the reconciled action state, parsed
+driver-side with pyarrow, then later JSON commits are replayed on top),
+change feeds, and per-file stats-based data skipping (io/skipping.py).
+Remaining fail-loud gaps: column-mapping ID mode, column mapping on
+partitioned tables, v2Checkpoints, non-Hive partition layouts — each
+raises via the protocol guard or an explicit NotImplementedError rather
+than returning wrong rows.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import skipping
 
 _MAX_SUPPORTED_READER_VERSION = 1
 
@@ -712,17 +716,22 @@ def _promote_staged(
                 os.path.dirname(os.path.join(path, final_rel)) or path, exist_ok=True
             )
             os.rename(src, os.path.join(path, final_rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel.replace(os.sep, "/"),
-                        "partitionValues": _hive_partition_values(rel_dir),
-                        "size": size,
-                        "modificationTime": now_ms,
-                        "dataChange": data_change,
-                    }
-                }
-            )
+            add = {
+                "path": final_rel.replace(os.sep, "/"),
+                "partitionValues": _hive_partition_values(rel_dir),
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": data_change,
+            }
+            # per-file stats (PROTOCOL.md §Per-file-Statistics): fold the
+            # parquet FOOTER's row-group bounds into the add action so
+            # selective reads skip whole files before any data IO. A
+            # footer read is KBs — same O(#files) driver cost as the
+            # renames above; absent stats just mean no skipping.
+            stats = skipping.collect_file_stats(os.path.join(path, final_rel))
+            if stats is not None:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging)  # _SUCCESS, .crc files, emptied partition dirs
     return adds
 
@@ -767,6 +776,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read a Delta table: native `format("delta")` when the jar is present,
     else the pure-python log replay + parquet scan fallback.
@@ -777,9 +787,22 @@ def read_delta(
     the JSON history back to the target; vacuumed-file or cleaned-log
     reads fail loudly rather than returning a partial snapshot.
 
+    ``where`` (a SQL predicate string) enables DATA SKIPPING: before the
+    scan is planned, files whose per-file stats (min/max/nullCount, stored
+    on the add actions) prove the predicate cannot match are dropped from
+    the file list entirely — the selective-read mechanism that turns a
+    100 TB scan into megabytes on a clustered layout. The predicate is
+    ALSO applied as a normal filter, so results are identical to
+    ``read_delta(...).filter(where)``; skipping only removes provably-dead
+    IO and fails open (keeps files) on anything its evaluator cannot
+    prove. Native reads get delta-spark's own skipping via the same
+    filter.
+
     An empty snapshot (all files removed) still returns a DataFrame with the
     table schema when the native reader is available; the fallback raises —
-    parquet needs at least one file to carry a schema.
+    parquet needs at least one file to carry a schema — EXCEPT when data
+    skipping pruned every file, where the declared schema is known and an
+    empty frame is returned.
     """
     if not is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table (no _delta_log)")
@@ -791,11 +814,19 @@ def read_delta(
         reader = spark.read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", str(version))
-        return reader.load(path)
+        native = reader.load(path)
+        return native.filter(where) if where else native
     except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
     adds, meta = _replay_log_adds(path, max_version=version)
+    if where:
+        adds, _skipped = skipping.prune_adds(adds, meta, where)
+        if not adds and meta.get("schemaString"):
+            from pyspark.sql.types import StructType
+
+            declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            return spark.createDataFrame([], declared)
     files = [os.path.join(path, p) for p in adds]
     if not files:
         raise ValueError(
@@ -816,7 +847,26 @@ def read_delta(
     # the parquet files — _scan_files reconstructs them via basePath and
     # casts them to the declared schema, failing loudly on non-Hive layouts.
     # Files with deletion vectors get their masked rows anti-joined out.
-    return _scan_files(spark, path, files, meta, adds)
+    df = _scan_files(spark, path, files, meta, adds)
+    return df.filter(where) if where else df
+
+
+def skipping_report(path: str, where: str, version: int | None = None) -> dict:
+    """Dry-run the data-skipping planner: how many files (and bytes) would
+    a ``read_delta(..., where=...)`` scan vs the full snapshot? Driver-side
+    metadata only — nothing is read or scanned. Keys: ``total_files``,
+    ``kept_files``, ``skipped_files``, ``total_bytes``, ``kept_bytes``,
+    ``eligible`` (False when the predicate shape disables skipping)."""
+    adds, meta = _replay_log_adds(path, max_version=version)
+    kept, skipped = skipping.prune_adds(adds, meta, where)
+    return {
+        "total_files": len(adds),
+        "kept_files": len(kept),
+        "skipped_files": skipped,
+        "total_bytes": sum(a.get("size", 0) for a in adds.values()),
+        "kept_bytes": sum(a.get("size", 0) for a in kept.values()),
+        "eligible": skipping.parse_conjuncts(where) is not None,
+    }
 
 
 def read_table_auto(spark: SparkSession, path: str) -> DataFrame:
@@ -1233,6 +1283,9 @@ def checkpoint_delta(path: str) -> int:
             "size": os.path.getsize(f) if os.path.exists(f) else 0,
             "modificationTime": now_ms,
             "dataChange": True,
+            # stats must survive checkpoint + log cleanup, or data
+            # skipping silently stops working once the JSON tail is gone
+            "stats": a.get("stats"),
         }
         if has_dv:
             # deletion vectors must survive checkpoint + log cleanup, or
