@@ -162,7 +162,19 @@ def _snapshot_scan_plan(
                         "manifest may only hold delete files)"
                     )
             elif content == 0:
-                data.append({"path": p, "seq": mseq})
+                data.append(
+                    {
+                        "path": p,
+                        "seq": mseq,
+                        # planning-phase skipping inputs (absent in entries
+                        # from writers that don't record them — fail open)
+                        "partition": df_struct.get("partition") or {},
+                        "record_count": df_struct.get("record_count"),
+                        "null_value_counts": df_struct.get("null_value_counts"),
+                        "lower_bounds": df_struct.get("lower_bounds"),
+                        "upper_bounds": df_struct.get("upper_bounds"),
+                    }
+                )
             else:
                 raise ValueError(
                     f"{table_root}: DATA manifest entry with content="
@@ -423,6 +435,22 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
     return out
 
 
+def _kv_map_schema(rec_name: str, value_type: str) -> dict:
+    """Iceberg's Avro encoding of an int-keyed map (Avro maps only take
+    string keys): array of {key, value} records, spec's k/v record names."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": rec_name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": value_type},
+            ],
+        },
+    }
+
+
 def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dict:
     data_file_fields = [
         {"name": "file_path", "type": "string"},
@@ -437,6 +465,12 @@ def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dic
         },
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
+        # per-file column statistics (spec §Manifests fields 110/125/128),
+        # the scan planner's FILE-SKIPPING input: null counts by field id,
+        # and single-value-serialized (Appendix D) lower/upper bounds
+        {"name": "null_value_counts", "type": ["null", _kv_map_schema("k117_v118", "long")]},
+        {"name": "lower_bounds", "type": ["null", _kv_map_schema("k126_v127", "bytes")]},
+        {"name": "upper_bounds", "type": ["null", _kv_map_schema("k129_v130", "bytes")]},
     ]
     if fv == 1:
         data_file_fields.append({"name": "block_size_in_bytes", "type": "long"})
@@ -482,6 +516,118 @@ def _manifest_file_schema(fv: int) -> dict:
 
 #: iceberg primitive -> python parser for identity-partition dir values
 _PARTITION_PARSERS = {"int": int, "long": int, "string": str}
+
+def _encode_bound(v, ice_type: str) -> bytes | None:
+    """Binary single-value serialization (spec Appendix D) for manifest
+    bounds. None when the (value, type) pair has no safe encoding — the
+    entry simply omits that bound and skipping fails open."""
+    import datetime as dt
+    import math
+    import struct
+
+    if v is None:
+        return None
+    try:
+        if ice_type == "int":
+            return struct.pack("<i", v)
+        if ice_type == "long":
+            return struct.pack("<q", v)
+        if ice_type == "float":
+            return None if math.isnan(v) else struct.pack("<f", v)
+        if ice_type == "double":
+            return None if math.isnan(v) else struct.pack("<d", v)
+        if ice_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if ice_type == "string":
+            if not isinstance(v, str) or len(v) > 256:
+                return None  # truncated string bounds need char-surgery; skip
+            return v.encode("utf-8")
+        if ice_type == "date":
+            if isinstance(v, dt.date) and not isinstance(v, dt.datetime):
+                return struct.pack("<i", (v - dt.date(1970, 1, 1)).days)
+            return None
+        if ice_type in ("timestamp", "timestamptz"):
+            if isinstance(v, dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                delta = v - dt.datetime(1970, 1, 1)
+                micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+                return struct.pack("<q", micros)
+            return None
+    except (struct.error, TypeError, OverflowError):
+        return None
+    return None
+
+
+def _decode_bound(b: bytes, ice_type: str):
+    """Inverse of _encode_bound; None when undecodable (fail open)."""
+    import datetime as dt
+    import struct
+
+    if b is None:
+        return None
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            return dt.date(1970, 1, 1) + dt.timedelta(days=struct.unpack("<i", b)[0])
+        if ice_type in ("timestamp", "timestamptz"):
+            return dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=struct.unpack("<q", b)[0]
+            )
+    except (struct.error, ValueError, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _file_stats_maps(file_path: str, fields: list[dict]) -> dict:
+    """Fold one data file's parquet-footer statistics into the manifest's
+    field-id-keyed stats maps (null_value_counts / lower_bounds /
+    upper_bounds). Footer-only — KBs of metadata read driver-side in the
+    commit phase, exactly where the O(#files) renames already happen; a
+    cluster writer computes the same numbers executor-side during the
+    write. Empty dict when the footer is unreadable."""
+    from . import skipping
+
+    raw = skipping.footer_column_stats(file_path)
+    if raw is None:
+        return {}
+    _num_rows, cols = raw
+    by_name = {f["name"]: f for f in fields}
+    nvc: list[dict] = []
+    lo: list[dict] = []
+    hi: list[dict] = []
+    for name, entry in cols.items():
+        f = by_name.get(name)
+        if f is None or not isinstance(f.get("type"), str):
+            continue
+        fid, ice_type = f["id"], f["type"]
+        if entry["nulls"] is not None:
+            nvc.append({"key": fid, "value": entry["nulls"]})
+        b_lo = _encode_bound(entry["min"], ice_type)
+        b_hi = _encode_bound(entry["max"], ice_type)
+        if b_lo is not None:
+            lo.append({"key": fid, "value": b_lo})
+        if b_hi is not None:
+            hi.append({"key": fid, "value": b_hi})
+    out: dict = {}
+    if nvc:
+        out["null_value_counts"] = nvc
+    if lo:
+        out["lower_bounds"] = lo
+    if hi:
+        out["upper_bounds"] = hi
+    return out
 
 
 def write_iceberg(
@@ -693,7 +839,9 @@ def write_iceberg(
     snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
     seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
 
-    # 2. manifest of ADDED entries (partition struct typed per the spec)
+    # 2. manifest of ADDED entries (partition struct typed per the spec),
+    #    each carrying footer-derived column stats for scan-time skipping
+    fields = declared["fields"] if existing else _iceberg_fields(df)
     partition_fields = [
         {"name": c, "type": ["null", part_types[c]]} for c in partition_by
     ]
@@ -713,6 +861,7 @@ def write_iceberg(
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
+                    **_file_stats_maps(f, fields),
                 },
             }
             for f, rows, size, pvals in data_files
@@ -755,7 +904,6 @@ def write_iceberg(
     }
     if format_version >= 2:
         snapshot["sequence-number"] = seq
-    fields = declared["fields"] if existing else _iceberg_fields(df)
     name_to_fid = {f["name"]: f.get("id", i) for i, f in enumerate(fields, start=1)}
     spec_fields = [
         {
@@ -892,11 +1040,126 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     }
 
 
+def _current_schema(meta: dict) -> dict:
+    sid = meta.get("current-schema-id", 0)
+    return next(
+        (s for s in meta.get("schemas", []) if s.get("schema-id") == sid),
+        meta.get("schema") or {},
+    )
+
+
+def _prune_data_entries(
+    data: list[dict], meta: dict, where: str
+) -> tuple[list[dict], int]:
+    """Scan-planning file pruning (spec §Scan Planning): drop data files
+    whose manifest stats (identity-partition tuple, lower/upper bounds,
+    null counts) prove the predicate cannot match. Each entry is rendered
+    into the Delta-shaped stats dict and evaluated by io/skipping's
+    conservative conjunct evaluator — one evaluator, both formats, same
+    fail-open guarantees. Returns (kept, skipped_count)."""
+    from . import skipping
+
+    conjuncts = skipping.parse_conjuncts(where)
+    if not conjuncts:
+        return data, 0
+    fields = [
+        f for f in _current_schema(meta).get("fields", [])
+        if isinstance(f.get("type"), str)
+    ]
+    if not fields:
+        return data, 0
+    fid_to_field = {f["id"]: f for f in fields}
+    schema_types = {
+        f["name"]: _ICEBERG_TO_SPARK[f["type"]]
+        for f in fields
+        if f["type"] in _ICEBERG_TO_SPARK
+    }
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    part_cols = [
+        f["name"] for f in spec.get("fields") or [] if f.get("transform") == "identity"
+    ]
+
+    def _kv(entry_list):
+        return {kv["key"]: kv["value"] for kv in (entry_list or [])}
+
+    def _as_add(d: dict) -> dict:
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for fid, n in _kv(d.get("null_value_counts")).items():
+            f = fid_to_field.get(fid)
+            if f is not None:
+                nulls[f["name"]] = n
+        for target, raw_map, is_min in (
+            (mins, _kv(d.get("lower_bounds")), True),
+            (maxs, _kv(d.get("upper_bounds")), False),
+        ):
+            for fid, b in raw_map.items():
+                f = fid_to_field.get(fid)
+                if f is None:
+                    continue
+                v = _decode_bound(b, f["type"])
+                j = skipping._json_stat_value(v, is_min=is_min)
+                if j is not None:
+                    target[f["name"]] = j
+        stats: dict = {}
+        if d.get("record_count") is not None:
+            stats["numRecords"] = d["record_count"]
+        if mins:
+            stats["minValues"] = mins
+        if maxs:
+            stats["maxValues"] = maxs
+        if nulls:
+            stats["nullCount"] = nulls
+        pv = {
+            c: (None if v is None else str(v))
+            for c, v in (d.get("partition") or {}).items()
+        }
+        return {"stats": stats or None, "partitionValues": pv}
+
+    kept = [
+        d
+        for d in data
+        if skipping.file_may_match(conjuncts, _as_add(d), schema_types, part_cols)
+    ]
+    return kept, len(data) - len(kept)
+
+
+def iceberg_scan_report(
+    path: str, where: str, snapshot_id: int | None = None
+) -> dict:
+    """Dry-run the Iceberg scan-planning pruner — the twin of
+    lakehouse.skipping_report. Driver-side metadata only."""
+    from . import skipping
+
+    meta = _load_metadata(path)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError(f"{path}: table has no current snapshot")
+    data, _deletes = _snapshot_scan_plan(meta, snapshot_id, path)
+    kept, skipped = _prune_data_entries(data, meta, where)
+    return {
+        "total_files": len(data),
+        "kept_files": len(kept),
+        "skipped_files": skipped,
+        "eligible": skipping.parse_conjuncts(where) is not None,
+    }
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
@@ -915,6 +1178,15 @@ def read_iceberg(
 
     Both map onto the native reader's ``snapshot-id`` / ``as-of-timestamp``
     options when the jar is present.
+
+    ``where`` (a SQL predicate string) enables scan-planning DATA
+    SKIPPING: identity-partition tuples and the manifests' per-file
+    lower/upper bounds (written by this module's writers from parquet
+    footers) prune files the predicate provably cannot match BEFORE any
+    data IO. Results are identical to ``read_iceberg(...).filter(where)``
+    — the predicate is also applied as a normal filter, and the pruner
+    fails open on anything it cannot prove (see io/skipping.py, the
+    shared evaluator). ``iceberg_scan_report`` dry-runs the pruning.
     """
     if snapshot_id is not None and as_of_ms is not None:
         raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
@@ -924,7 +1196,8 @@ def read_iceberg(
             reader = reader.option("snapshot-id", str(snapshot_id))
         if as_of_ms is not None:
             reader = reader.option("as-of-timestamp", str(as_of_ms))
-        return reader.load(path)
+        native = reader.load(path)
+        return native.filter(where) if where else native
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
@@ -952,6 +1225,16 @@ def read_iceberg(
         if snapshot_id in (None, -1):
             raise ValueError(f"{path}: table has no current snapshot")
     data, deletes = _snapshot_scan_plan(meta, snapshot_id, path)
+    if where:
+        # scan-planning DATA SKIPPING: manifest partition tuples + column
+        # bounds prune files before any data IO; the predicate is also
+        # applied as a normal filter below, so pruning only removes
+        # provably-dead reads (identical results to .filter(where))
+        data, _skipped = _prune_data_entries(data, meta, where)
+        if not data:
+            empty_schema = _declared_spark_schema(meta)
+            if empty_schema is not None:
+                return spark.createDataFrame([], empty_schema)
     files = [d["path"] for d in data]
     if not files:
         raise ValueError(
@@ -979,7 +1262,7 @@ def read_iceberg(
         df = _read(files)
         if pos:
             df = _apply_position_deletes(spark, path, df, pos)
-        return df
+        return df.filter(where) if where else df
     # EQUALITY deletes are sequence-scoped (strictly older data only), so
     # the scan unions one branch per distinct data sequence number, each
     # anti-joined against exactly the delete sets that apply to it. The
@@ -1025,7 +1308,7 @@ def read_iceberg(
     df = reduce(lambda a, b: a.unionByName(b), branches)
     if pos:
         df = _join_out_positions(spark, path, df, pos).drop("_fp", "_ri")
-    return df
+    return df.filter(where) if where else df
 
 
 def _commit_delete_snapshot(
@@ -1444,6 +1727,9 @@ def compact_iceberg(
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     **({"block_size_in_bytes": 1 << 26} if fv == 1 else {}),
+                    # compacted files get FRESH stats — tighter bounds than
+                    # any of the inputs they merged
+                    **_file_stats_maps(f, schema.get("fields", [])),
                 },
             }
             for f, rows, size, pvals in new_files

@@ -2735,6 +2735,59 @@ def e1_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_data_skipping",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+      AND o_totalprice < 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg scan-planning DATA SKIPPING (io/iceberg.read_iceberg
+    where=): export orders to an Iceberg v2 table range-clustered on
+    o_orderdate (12 files), read back with a selective predicate — the
+    planner decodes each manifest entry's lower/upper bounds (binary
+    single-value serialization, spec Appendix D, written from parquet
+    footers at commit time) and drops files whose bounds prove the
+    predicate dead before any data IO. Raises unless pruning engaged;
+    the aggregate must hash-match the oracle's plain-filter aggregate.
+
+    Scale shape: manifests ARE Iceberg's skipping index — a 100 TB scan
+    with a time-range predicate reads only matching files, and the
+    pruning itself is an O(#files) driver-side metadata walk (on a real
+    cluster, a distributed manifest scan)."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_skip"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .repartitionByRange(12, "o_orderdate"),
+        path,
+        format_version=2,
+    )
+    pred = (
+        "o_orderdate >= TIMESTAMP '1998-06-01 00:00:00' "
+        "AND o_totalprice < 150000.0"
+    )
+    rep = iceberg.iceberg_scan_report(path, pred)
+    if not (rep["eligible"] and 0 < rep["kept_files"] < rep["total_files"]):
+        raise RuntimeError(f"iceberg data skipping did not engage: {rep}")
+    back = iceberg.read_iceberg(spark, path, where=pred)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_iceberg_time_travel",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -4122,6 +4175,7 @@ _FINAL_ORDER = [
     "e1_delta_delete_vectors",
     "e1_delta_cdf",
     "e1_delta_data_skipping",  # per-file stats + file pruning on read
+    "e1_iceberg_data_skipping",  # manifest-bounds pruning, both formats
     "e9_dedup_canonical",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
@@ -4143,7 +4197,6 @@ _FINAL_ORDER = [
     "e12_rolling_features",
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
-    "e11_unigram_logprob",  # round 4: CCNet-style LM quality proxy
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
     "e14_resize_meta",
     "e13_stream_stream_join",  # watermarked stream-stream interval join
@@ -4188,7 +4241,9 @@ _FINAL_ORDER = [
     "e13_stream_static_join",
     "e11_repetition",       # displaced by e1_delta_data_skipping (r5 late);
                             # driver-green r4, e11 family stays in-window
-                            # via pii_scan/url_extract/unigram_logprob
+                            # via pii_scan/url_extract
+    "e11_unigram_logprob",  # displaced by e1_iceberg_data_skipping (r5
+                            # late); driver-green r4, same family coverage
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
@@ -4290,9 +4345,9 @@ def _apply_final_order() -> None:
     # Sanity bound on rotation growth, not the correctness gate: every
     # tail oracle query is HARD-verified each round by the local sweep via
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
-    # bound raised 50 -> 61 in round 5: eight new lakehouse queries entered
-    # the window, displacing eight multi-round-green queries to the tail
-    assert n_oracle_tail <= 61, f"{n_oracle_tail} oracle-backed queries outside window"
+    # bound raised 50 -> 62 in round 5: nine new lakehouse queries entered
+    # the window, displacing nine multi-round-green queries to the tail
+    assert n_oracle_tail <= 62, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -1,0 +1,193 @@
+"""Iceberg manifest column bounds + scan-planning data skipping.
+
+Contract: ``read_iceberg(path, where=p)`` returns EXACTLY the rows of
+``read_iceberg(path).filter(p)`` while the scan plan drops files whose
+manifest stats (identity-partition tuple, lower/upper bounds, null
+counts) prove the predicate dead — and fails open everywhere else.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from feature_store_ml_spark.io import avro_lite, iceberg, skipping
+
+
+def _clustered(spark, tmp_path, fv=2, name="t"):
+    root = str(tmp_path / f"{name}_v{fv}")
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").cast("long").alias("k"),
+            (F.col("id") % 7).cast("int").alias("m"),
+            F.concat(F.lit("s"), F.format_string("%04d", F.col("id"))).alias("s"),
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+            (F.col("id").cast("double") / 10.0).alias("x"),
+        )
+        .repartitionByRange(10, "k")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=fv)
+    return root
+
+
+def _manifest_entries(root):
+    meta = iceberg._load_metadata(root)
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    out = []
+    for e in avro_lite.read_container(iceberg._localize(snap["manifest-list"], root)):
+        out.extend(avro_lite.read_container(iceberg._localize(e["manifest_path"], root)))
+    return out
+
+
+# ------------------------------------------------------------ write side
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_manifest_entries_carry_bounds(spark, tmp_path, fv):
+    root = _clustered(spark, tmp_path, fv=fv)
+    entries = _manifest_entries(root)
+    assert len(entries) == 10
+    meta = iceberg._load_metadata(root)
+    fields = iceberg._current_schema(meta)["fields"]
+    fid = {f["name"]: f["id"] for f in fields}
+    typ = {f["name"]: f["type"] for f in fields}
+    for e in entries:
+        df_struct = e["data_file"]
+        lo = {kv["key"]: kv["value"] for kv in df_struct["lower_bounds"]}
+        hi = {kv["key"]: kv["value"] for kv in df_struct["upper_bounds"]}
+        nv = {kv["key"]: kv["value"] for kv in df_struct["null_value_counts"]}
+        for col in ("k", "m", "s", "d", "x"):
+            lo_v = iceberg._decode_bound(lo[fid[col]], typ[col])
+            hi_v = iceberg._decode_bound(hi[fid[col]], typ[col])
+            assert lo_v <= hi_v
+            assert nv[fid[col]] == 0
+        # long bounds are the actual per-file extremes
+        assert 0 <= iceberg._decode_bound(lo[fid["k"]], "long")
+        assert iceberg._decode_bound(hi[fid["k"]], "long") <= 999
+
+
+def test_bound_codec_roundtrip():
+    cases = [
+        (42, "int"),
+        (-1, "int"),
+        (1 << 40, "long"),
+        (3.5, "float"),
+        (-2.25, "double"),
+        (True, "boolean"),
+        (False, "boolean"),
+        ("héllo", "string"),
+        (datetime.date(2024, 3, 1), "date"),
+        (datetime.datetime(2024, 3, 1, 12, 30, 0, 123456), "timestamptz"),
+    ]
+    for v, t in cases:
+        b = iceberg._encode_bound(v, t)
+        assert b is not None, (v, t)
+        assert iceberg._decode_bound(b, t) == v, (v, t)
+    assert iceberg._encode_bound(float("nan"), "double") is None
+    assert iceberg._encode_bound("x" * 300, "string") is None
+
+
+# ------------------------------------------------------------- read side
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_point_lookup_prunes(spark, tmp_path, fv):
+    root = _clustered(spark, tmp_path, fv=fv)
+    rep = iceberg.iceberg_scan_report(root, "k = 437")
+    assert rep["eligible"] and rep["total_files"] == 10 and rep["kept_files"] == 1
+    got = iceberg.read_iceberg(spark, root, where="k = 437").collect()
+    assert len(got) == 1 and got[0]["m"] == 437 % 7
+
+
+def test_predicate_families_match_filter(spark, tmp_path):
+    root = _clustered(spark, tmp_path)
+    base = iceberg.read_iceberg(spark, root)
+    for pred in [
+        "k >= 850 AND m < 5",
+        "s = 's0042'",
+        "s LIKE 's09%'",
+        "d > DATE '2026-06-01'",
+        "x BETWEEN 10.0 AND 12.0",
+        "k IN (3, 503, 997)",
+    ]:
+        rep = iceberg.iceberg_scan_report(root, pred)
+        assert rep["kept_files"] < rep["total_files"], f"no pruning for {pred}"
+        expect = sorted(r["k"] for r in base.filter(pred).collect())
+        got = sorted(
+            r["k"] for r in iceberg.read_iceberg(spark, root, where=pred).collect()
+        )
+        assert got == expect and len(got) > 0, pred
+
+
+def test_ineligible_fails_open(spark, tmp_path):
+    root = _clustered(spark, tmp_path)
+    pred = "k = 3 OR k = 997"
+    rep = iceberg.iceberg_scan_report(root, pred)
+    assert not rep["eligible"] and rep["kept_files"] == rep["total_files"]
+    got = sorted(r["k"] for r in iceberg.read_iceberg(spark, root, where=pred).collect())
+    assert got == [3, 997]
+
+
+def test_empty_prune_returns_schema_only(spark, tmp_path):
+    root = _clustered(spark, tmp_path)
+    df = iceberg.read_iceberg(spark, root, where="k > 5000")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "m", "s", "d", "x"]
+
+
+def test_identity_partition_pruning(spark, tmp_path):
+    root = str(tmp_path / "parted")
+    df = spark.range(0, 200).select(
+        (F.col("id") % 4).cast("long").alias("p"), F.col("id").alias("v")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, partition_by=["p"])
+    rep = iceberg.iceberg_scan_report(root, "p = 2 AND v < 100")
+    assert rep["kept_files"] < rep["total_files"]
+    expect = sorted(
+        r["v"]
+        for r in iceberg.read_iceberg(spark, root).filter("p = 2 AND v < 100").collect()
+    )
+    got = sorted(
+        r["v"]
+        for r in iceberg.read_iceberg(spark, root, where="p = 2 AND v < 100").collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_skipping_composes_with_position_deletes(spark, tmp_path):
+    root = _clustered(spark, tmp_path)
+    iceberg.delete_iceberg(spark, root, "k = 437")
+    assert iceberg.read_iceberg(spark, root, where="k = 437").count() == 0
+    got = iceberg.read_iceberg(spark, root, where="k BETWEEN 436 AND 438").collect()
+    assert sorted(r["k"] for r in got) == [436, 438]
+
+
+def test_compaction_refreshes_stats(spark, tmp_path):
+    root = _clustered(spark, tmp_path)
+    iceberg.delete_iceberg(spark, root, "k < 500")
+    iceberg.compact_iceberg(spark, root)
+    rep = iceberg.iceberg_scan_report(root, "k = 600")
+    assert rep["kept_files"] < max(rep["total_files"], 2) or rep["total_files"] == 1
+    got = iceberg.read_iceberg(spark, root, where="k = 600").collect()
+    assert len(got) == 1
+    # deleted range really is gone and its bounds no longer admit it
+    assert iceberg.read_iceberg(spark, root, where="k = 100").count() == 0
+
+
+def test_entries_without_stats_fail_open(spark, tmp_path):
+    """Entries from writers that never recorded bounds keep every file."""
+    root = _clustered(spark, tmp_path)
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], root
+    )
+    stripped = [
+        {**d, "lower_bounds": None, "upper_bounds": None,
+         "null_value_counts": None, "record_count": None}
+        for d in data
+    ]
+    kept, skipped = iceberg._prune_data_entries(stripped, meta, "k = 437")
+    assert skipped == 0 and len(kept) == len(data)
