@@ -625,11 +625,6 @@ def _scan_files(
         return df
 
     mapping = _column_mapping(meta) if meta.get("schemaString") else None
-    if part_cols and mapping:
-        raise NotImplementedError(
-            f"{path}: column mapping on a PARTITIONED table is not "
-            "implemented in the fallback (physical-named partition dirs)"
-        )
     if not part_cols:
         if meta.get("schemaString"):
             from pyspark.sql.types import StructField, StructType
@@ -655,12 +650,18 @@ def _scan_files(
                 )
             return _dv(spark.read.schema(declared).parquet(*files))
         return _dv(spark.read.parquet(*files))
+    # partition DIRECTORIES (and the values reconstructed from them) carry
+    # PHYSICAL names on a column-mapped table — files never change when a
+    # column is renamed, and neither do the dirs they sit in
+    phys_parts = [
+        (mapping or {}).get(c, c) for c in part_cols
+    ]
     rel = [os.path.relpath(f, path) for f in files]
     hive_style = all(
-        all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(part_cols))
+        all(f"{c}=" in r.split(os.sep)[i] for i, c in enumerate(phys_parts))
         for r in rel
-        if len(r.split(os.sep)) > len(part_cols)
-    ) and all(len(r.split(os.sep)) > len(part_cols) for r in rel)
+        if len(r.split(os.sep)) > len(phys_parts)
+    ) and all(len(r.split(os.sep)) > len(phys_parts) for r in rel)
     if not hive_style:
         raise NotImplementedError(
             f"{path}: partitioned Delta table ({part_cols}) without "
@@ -668,8 +669,9 @@ def _scan_files(
             "partition columns; read with delta-spark on the classpath"
         )
     df = _dv(spark.read.option("basePath", path).parquet(*files))
-    # align column order and partition-column types with the declared schema
-    # (directory-derived values are type-INFERRED and land at the end)
+    # align column order and partition-column types with the declared
+    # schema (directory-derived values are type-INFERRED and land at the
+    # end), projecting physical -> logical names when mapped
     try:
         schema = json.loads(meta["schemaString"])
         names = [f["name"] for f in schema["fields"]]
@@ -678,13 +680,15 @@ def _scan_files(
 
         return df.select(
             *[
-                F.col(c).cast(types[c]).alias(c)
+                F.col((mapping or {}).get(c, c)).cast(types[c]).alias(c)
                 if c in part_cols and isinstance(types[c], str)
-                else F.col(c)
+                else F.col((mapping or {}).get(c, c)).alias(c)
                 for c in names
             ]
         )
     except (KeyError, ValueError, TypeError):
+        if mapping:
+            raise  # a mapped table MUST project back to logical names
         return df
 
 
@@ -1049,11 +1053,14 @@ def compact_delta(
             # — if most partitions were oversized, per-partition targets
             # would all be 1 at a sane target_file_bytes anyway
             salt = F.lit(0)
+            _sm = _column_mapping(meta) or {}
             for rel_dir, n in oversized.items():
+                # dir components carry PHYSICAL names on a mapped table;
+                # `live` (via _scan_files) carries logical ones
                 vals = _hive_partition_values(rel_dir)
                 cond = F.lit(True)
                 for c in part_cols:
-                    v = vals.get(c)
+                    v = vals.get(_sm.get(c, c))
                     cond = cond & (
                         F.col(c).isNull()
                         if v is None
@@ -1075,9 +1082,10 @@ def compact_delta(
             routed = routed.sortWithinPartitions(*part_cols, "_zkey").drop("_zkey")
         else:
             routed = routed.drop("_salt")
-        routed.write.partitionBy(*part_cols).parquet(staging)
-        # (no _to_physical here: partitioned tables reject column mapping
-        # in _scan_files, so `routed` is always physically named already)
+        _m = _column_mapping(meta) or {}
+        _to_physical(routed, meta).write.partitionBy(
+            *[_m.get(c, c) for c in part_cols]
+        ).parquet(staging)
     now_ms = int(_time.time() * 1000)
     adds = _promote_staged(staging, path, now_ms, data_change=False)
     actions = (
@@ -1501,7 +1509,14 @@ def write_delta(
     staged_df = _to_physical(df, table_meta) if mode == "append" else df
     stage_writer = staged_df.write
     if partition_by:
-        stage_writer = stage_writer.partitionBy(*partition_by)
+        # a mapped table's partition DIRS carry physical names — stage
+        # under them so the layout survives partition-column renames
+        stage_mapping = (
+            _column_mapping(table_meta) if mode == "append" and existing else None
+        ) or {}
+        stage_writer = stage_writer.partitionBy(
+            *[stage_mapping.get(c, c) for c in partition_by]
+        )
     stage_writer.parquet(staging)
     # 2. driver-side metadata: move data files into the table root under
     #    unique names (uuid prefix — two concurrent stages can't collide),
@@ -1838,12 +1853,29 @@ def _merge_rewrite(
         # partitioned, since a key may BE a partition column whose values
         # live only in the dir names), with keys cast to their declared
         # types so the semi-join matches the source exactly.
+        _mapping = _column_mapping(meta) or {}
         if part_cols:
             raw = spark.read.option("basePath", path).parquet(*files)
+        elif _mapping:
+            # data files carry PHYSICAL names: reading them through the
+            # logical declared schema would null out every renamed column
+            # — including a renamed MERGE KEY, silently matching nothing
+            from pyspark.sql.types import StructField, StructType
+
+            physical = StructType(
+                [
+                    StructField(_mapping.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in declared.fields
+                ]
+            )
+            raw = spark.read.schema(physical).parquet(*files)
         else:
             raw = spark.read.schema(declared).parquet(*files)
         target = raw.select(
-            *[F.col(k).cast(declared_types[k]).alias(k) for k in keys],
+            *[
+                F.col(_mapping.get(k, k)).cast(declared_types[k]).alias(k)
+                for k in keys
+            ],
             F.col("_metadata.file_path").alias("_fp"),
         )
         touched_abs = [
@@ -1947,7 +1979,10 @@ def _merge_rewrite(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     stage_writer = _to_physical(new_rows, meta).write
     if part_cols:
-        stage_writer = stage_writer.partitionBy(*part_cols)
+        _m = _column_mapping(meta) or {}
+        stage_writer = stage_writer.partitionBy(
+            *[_m.get(c, c) for c in part_cols]
+        )
     stage_writer.parquet(staging)
     now_ms = int(_time.time() * 1000)
     adds = _promote_staged(staging, path, now_ms, data_change=True)
@@ -2214,18 +2249,17 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
 
     Subsequent writes (append/merge/compact) translate logical -> physical
     at the staging boundary (``_to_physical``), so new files always carry
-    physical names. Fail-loud: unknown column, name collision, partitioned
-    tables (physical-named partition dirs are not implemented).
+    physical names. Partitioned tables work too: partition DIRECTORIES
+    and ``partitionValues`` keep physical names (renaming a partition
+    column never moves a file), while ``partitionColumns`` follows the
+    logical name. Fail-loud: unknown column, name collision, columns
+    referenced by CHECK constraints.
     """
     import time as _time
 
     if not is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
     _, meta = _replay_log_adds(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            f"{path}: column rename on a partitioned table is not implemented"
-        )
     schema = json.loads(meta["schemaString"])
     names = [f["name"] for f in schema["fields"]]
     if old not in names:
@@ -2262,6 +2296,12 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
         f["metadata"] = md
     conf["delta.columnMapping.mode"] = "name"
     conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    # renaming a PARTITION column only changes its LOGICAL name: the
+    # metaData's partitionColumns list follows, while the physicalName
+    # pins the existing `old=value/` directory layout and partitionValues
+    part_cols = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
     now_ms = int(_time.time() * 1000)
     actions: list[dict] = []
     if not mapped:
@@ -2276,9 +2316,14 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
     actions.append(
         {
             "metaData": {
-                **{k: v for k, v in meta.items() if k not in ("schemaString", "configuration")},
+                **{
+                    k: v
+                    for k, v in meta.items()
+                    if k not in ("schemaString", "configuration", "partitionColumns")
+                },
                 "schemaString": json.dumps(schema),
                 "configuration": conf,
+                "partitionColumns": part_cols,
             }
         }
     )
