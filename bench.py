@@ -67,6 +67,10 @@ HEADLINE = [
     "e1_delta_partitioned_merge",
     "e1_delta_delete_vectors",
     "e1_iceberg_time_travel",
+    # round-5 late joiners: stats-based data skipping on both formats
+    # (bench covers write-with-stats + pruned read end-to-end)
+    "e1_delta_data_skipping",
+    "e1_iceberg_data_skipping",
 ]
 
 

@@ -156,8 +156,17 @@ class FeatureStore:
         )
         return path
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return lakehouse.read_delta(spark, self.groups[name].table_path(self.root))
+    def read(
+        self, spark: SparkSession, name: str, where: str | None = None
+    ) -> DataFrame:
+        """Read a group's materialized table. ``where`` engages per-file
+        DATA SKIPPING (lakehouse.read_delta): on a time-clustered
+        materialization, a training read bounded to a date range plans
+        only the matching files — the difference between scanning a
+        feature table and scanning a feature table's last week."""
+        return lakehouse.read_delta(
+            spark, self.groups[name].table_path(self.root), where=where
+        )
 
     def retract(
         self,

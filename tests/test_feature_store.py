@@ -248,3 +248,44 @@ def test_retract_erases_entities_and_maintain_purges(spark, tmp_path, sf_dir):
     assert fs.read(spark, "daily_activity").count() == n_after
     adds, _ = lakehouse._replay_log_adds(path)
     assert not any(a.get("deletionVector") for a in adds.values())
+
+
+def test_read_with_where_prunes_clustered_materialization(spark, tmp_path):
+    """FeatureStore.read(where=...) engages per-file data skipping on a
+    time-clustered materialization: a bounded training read plans only
+    the matching files, and matches the plain-filter read exactly."""
+    from feature_store_ml_spark.io import lakehouse
+
+    def build(src):
+        return src.select(
+            "user_id",
+            F.col("ts").alias("feat_ts"),
+            (F.col("value") * 2).alias("double_value"),
+        ).repartitionByRange(8, "feat_ts")
+
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(
+        FeatureGroup(
+            name="clustered", keys=("user_id",), ts_col="feat_ts", build=build
+        )
+    )
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    src = spark.range(0, 2000).select(
+        (F.col("id") % 50).alias("user_id"),
+        (F.lit(base) + F.make_interval(mins=F.col("id"))).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    table = fs.materialize(spark, src, "clustered")
+    pred = "feat_ts >= TIMESTAMP '2024-01-02 00:00:00'"
+    rep = lakehouse.skipping_report(table, pred)
+    assert rep["eligible"] and 0 < rep["kept_files"] < rep["total_files"]
+    expect = sorted(
+        (r["user_id"], r["feat_ts"]) for r in fs.read(spark, "clustered").filter(pred).collect()
+    )
+    got = sorted(
+        (r["user_id"], r["feat_ts"])
+        for r in fs.read(spark, "clustered", where=pred).collect()
+    )
+    assert got == expect and len(got) > 0
