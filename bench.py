@@ -71,6 +71,7 @@ HEADLINE = [
     # (bench covers write-with-stats + pruned read end-to-end)
     "e1_delta_data_skipping",
     "e1_iceberg_data_skipping",
+    "e1_iceberg_partition_transforms",
 ]
 
 

@@ -517,6 +517,238 @@ def _manifest_file_schema(fv: int) -> dict:
 #: iceberg primitive -> python parser for identity-partition dir values
 _PARTITION_PARSERS = {"int": int, "long": int, "string": str}
 
+
+# ---------------------------------------------------------------------------
+# partition transforms (spec §Partition Transforms + Appendix B)
+# ---------------------------------------------------------------------------
+
+_M32 = 0xFFFFFFFF
+
+
+def murmur3_32_long(v: int) -> int:
+    """32-bit Murmur3 (x86, seed 0) of a long's 8-byte little-endian
+    serialization — Iceberg's bucket-transform hash (Appendix B; int,
+    long, date, time and timestamp all hash through this long form).
+    Matches the spec's published vector: hashLong(34) == 2017239379."""
+    import struct
+
+    data = struct.pack("<Q", v & 0xFFFFFFFFFFFFFFFF)
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    for i in (0, 4):
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * c1) & _M32
+        k = rotl(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = rotl(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    h ^= 8  # length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _murmur3_long_col(col):
+    """The SAME hash as ``murmur3_32_long`` but as a Spark COLUMN — JVM
+    evaluation, no Python in the write path. Each Murmur round references
+    its state several times, so a naive chained-Column build duplicates
+    the whole subtree per reference and the expression grows EXPONENTIALLY
+    (big enough to trip janino's generated-class splitting). Instead the
+    two 4-byte blocks fold through ``F.aggregate``, whose lambda variables
+    are true let-bindings: state references are leaf nodes and the tree
+    stays ~constant-size. The ``finish`` lambda hosts the final avalanche
+    for the same reason."""
+    from pyspark.sql import functions as F
+
+    M = F.lit(_M32)
+
+    def mul32(a, c):
+        # 32-bit modular multiply that never exceeds 2^49 in a signed
+        # 64-bit long (ANSI mode would raise on a full 32×32 product):
+        # split `a` into 16-bit halves — a*c ≡ al*c + ((ah*c mod 2^16)<<16)
+        al = a.bitwiseAND(F.lit(0xFFFF))
+        ah = F.shiftright(a, 16)
+        return (
+            (al * F.lit(c))
+            + F.shiftleft((ah * F.lit(c)).bitwiseAND(F.lit(0xFFFF)), 16)
+        ).bitwiseAND(M)
+
+    def rotl(a, r):
+        # `a` is masked to [0, 2^32) in a 64-bit long, so the arithmetic
+        # shiftright is equivalent to a logical one
+        return (
+            F.shiftleft(a, r).bitwiseOR(F.shiftright(a, 32 - r))
+        ).bitwiseAND(M)
+
+    v = col.cast("long")
+    blocks = F.array(
+        v.bitwiseAND(M), F.shiftright(v, 32).bitwiseAND(M)
+    )
+
+    def _round(h, k):
+        k = mul32(k, 0xCC9E2D51)
+        k = rotl(k, 15)
+        k = mul32(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = rotl(h, 13)
+        return (mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(M)
+
+    def _avalanche(h):
+        h = h.bitwiseXOR(F.lit(8))  # key length
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = mul32(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = mul32(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    return F.aggregate(blocks, F.lit(0).cast("long"), _round, _avalanche)
+
+
+#: source iceberg types each transform accepts
+_TIME_TRANSFORM_SOURCES = {"date", "timestamp", "timestamptz"}
+# timestamp_ntz is excluded from bucket: its hash key is the wall-clock
+# micros, which Spark can't derive timezone-independently as a column
+_BUCKET_SOURCES = {"int", "long", "date", "timestamptz"}
+_TRUNCATE_SOURCES = {"int", "long", "string"}
+
+def parse_partition_field(spec: str) -> dict:
+    """Parse one partition-spec string — ``col``, ``identity(col)``,
+    ``year(col)``, ``month(col)``, ``day(col)``, ``hour(col)``,
+    ``bucket(N, col)``, ``truncate(W, col)`` — into
+    {transform, source, param, name}. Names follow Iceberg's conventions
+    (``col_day``, ``col_bucket``, ``col_trunc``...)."""
+    import re
+
+    s = spec.strip()
+    m = re.fullmatch(r"([A-Za-z_][\w]*)", s)
+    if m:
+        return {"transform": "identity", "source": s, "param": None, "name": s}
+    m = re.fullmatch(r"(identity|year|month|day|hour)\s*\(\s*([\w]+)\s*\)", s)
+    if m:
+        t, col = m.group(1), m.group(2)
+        name = col if t == "identity" else f"{col}_{t}"
+        return {"transform": t, "source": col, "param": None, "name": name}
+    m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([\w]+)\s*\)", s)
+    if m:
+        t, n, col = m.group(1), int(m.group(2)), m.group(3)
+        if n <= 0:
+            raise ValueError(f"partition transform {s!r}: width/count must be > 0")
+        return {
+            "transform": t,
+            "source": col,
+            "param": n,
+            "name": f"{col}_{'bucket' if t == 'bucket' else 'trunc'}",
+        }
+    raise ValueError(
+        f"unparseable partition field {spec!r} — expected col, identity(col), "
+        "year/month/day/hour(col), bucket(N, col) or truncate(W, col)"
+    )
+
+
+def _transform_spec_name(f: dict) -> str:
+    """The transform string recorded in table metadata (spec JSON form:
+    ``bucket[16]``, ``truncate[4]``, ``day``...)."""
+    if f["transform"] in ("bucket", "truncate"):
+        return f"{f['transform']}[{f['param']}]"
+    return f["transform"]
+
+
+def _parse_transform_spec_name(s: str) -> tuple[str, int | None]:
+    """Inverse of _transform_spec_name: 'bucket[16]' -> ('bucket', 16)."""
+    import re
+
+    m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", s)
+    if m:
+        return m.group(1), int(m.group(2))
+    return s, None
+
+
+def _derive_partition_col(f: dict, ice_source_type: str):
+    """The Spark COLUMN deriving a partition value from its source column
+    — all JVM-side expressions (codegen), no Python in the write path.
+    Returns (column, result_iceberg_type)."""
+    from pyspark.sql import functions as F
+
+    t, col, p = f["transform"], F.col(f["source"]), f["param"]
+    if t == "identity":
+        if ice_source_type not in _PARTITION_PARSERS:
+            raise NotImplementedError(
+                f"identity partition source type {ice_source_type!r} "
+                "unsupported (int/long/string only)"
+            )
+        return col, ice_source_type
+    if t in ("year", "month", "day", "hour"):
+        if ice_source_type not in _TIME_TRANSFORM_SOURCES:
+            raise ValueError(
+                f"{t}() needs a date/timestamp source, got {ice_source_type!r}"
+            )
+        if ice_source_type == "timestamptz":
+            # spec: timestamptz transforms bucket the UTC INSTANT. Spark's
+            # calendar functions (year/month/to_date) render in the
+            # SESSION timezone — wrong outside UTC — so derive from
+            # unix_micros (timezone-independent) and do calendar math on
+            # the UTC date
+            micros = F.unix_micros(col)
+            days = F.floor(micros / F.lit(86_400_000_000))
+            utc_date = F.date_add(F.lit("1970-01-01").cast("date"), days.cast("int"))
+            if t == "hour":
+                return F.floor(micros / F.lit(3_600_000_000)).cast("int"), "int"
+            cal = utc_date
+        else:
+            # date and timestamp_ntz are wall-clock values: Spark's
+            # calendar functions on them are timezone-independent
+            if t == "hour":
+                if ice_source_type == "date":
+                    raise ValueError("hour() needs a timestamp source, not date")
+                days = F.datediff(
+                    F.to_date(col), F.lit("1970-01-01").cast("date")
+                ).cast("long")
+                return (days * F.lit(24) + F.hour(col)).cast("int"), "int"
+            cal = F.to_date(col)
+        if t == "year":
+            return (F.year(cal) - F.lit(1970)).cast("int"), "int"
+        if t == "month":
+            return (
+                (F.year(cal) - F.lit(1970)) * F.lit(12) + F.month(cal) - F.lit(1)
+            ).cast("int"), "int"
+        return F.datediff(cal, F.lit("1970-01-01").cast("date")).cast("int"), "int"
+    if t == "bucket":
+        if ice_source_type not in _BUCKET_SOURCES:
+            raise NotImplementedError(
+                f"bucket() over {ice_source_type!r} is not implemented "
+                "(int/long/date/timestamp only — string buckets need the "
+                "variable-length murmur3, which has no JVM-side expression "
+                "form here)"
+            )
+        if ice_source_type == "date":
+            key = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+        elif ice_source_type == "timestamptz":
+            key = F.unix_micros(col)
+        else:
+            key = col.cast("long")
+        return F.pmod(
+            _murmur3_long_col(key).bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(p)
+        ).cast("int"), "int"
+    if t == "truncate":
+        if ice_source_type not in _TRUNCATE_SOURCES:
+            raise NotImplementedError(
+                f"truncate() over {ice_source_type!r} is not implemented"
+            )
+        if ice_source_type == "string":
+            return F.substring(col, 1, p), "string"
+        return (col - F.pmod(col, F.lit(p))).cast(
+            "int" if ice_source_type == "int" else "long"
+        ), ice_source_type
+    raise ValueError(f"unknown transform {t!r}")
+
 def _encode_bound(v, ice_type: str) -> bytes | None:
     """Binary single-value serialization (spec Appendix D) for manifest
     bounds. None when the (value, type) pair has no safe encoding — the
@@ -646,18 +878,21 @@ def write_iceberg(
     ``vN.metadata.json`` with the snapshot appended — readable by this
     module's reader AND any real Iceberg reader (format-version 1 or 2).
 
-    ``partition_by``: IDENTITY partitioning (spec §Partitioning) — data
-    files land under ``data/col=value/`` dirs, each holding exactly one
-    partition tuple, recorded in the manifest's per-file ``partition``
-    struct and declared in ``partition-specs`` with the identity
-    transform. Unlike Hive/Delta layouts, Iceberg identity-partition
-    SOURCE COLUMNS STAY IN THE DATA FILES, so reads need no path
-    reconstruction and per-file min==max column stats make row-group
-    pruning equivalent to partition pruning. The one-partition-per-file
-    invariant comes from staging through a derived string key
-    (``partitionBy`` on the derivation keeps the source column in the
-    file). int/long/string partition sources only (fail-loud otherwise);
-    appends must repeat the declared partitioning.
+    ``partition_by``: partition-spec fields (spec §Partition Transforms):
+    ``"col"`` / ``"identity(col)"``, the time transforms ``year/month/
+    day/hour(ts)``, ``bucket(N, col)`` (spec-exact Murmur3 of the 8-byte
+    long form, evaluated as a JVM expression tree — hashLong(34) ==
+    2017239379 per Appendix B), and ``truncate(W, col)``. Data files land
+    under ``data/<field>=<value>/`` dirs, each holding exactly one
+    partition tuple, recorded TYPED in the manifest's per-file
+    ``partition`` struct and declared in ``partition-specs``. Unlike
+    Hive/Delta layouts, the SOURCE COLUMNS STAY IN THE DATA FILES, so
+    reads need no path reconstruction — partition values exist for
+    pruning (scan planning derives source-column bounds from each file's
+    partition tuple; see read_iceberg(where=)). The
+    one-partition-per-file invariant comes from staging through a derived
+    string key (``partitionBy`` on the derivation keeps the source column
+    in the file). Appends must repeat the declared partitioning.
 
     Returns the new snapshot id. Scale/correctness shape mirrors
     lakehouse.write_delta: distributed data write, driver-side O(#files)
@@ -673,10 +908,15 @@ def write_iceberg(
 
     if format_version not in (1, 2):
         raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
-    partition_by = list(partition_by or [])
-    missing = [c for c in partition_by if c not in df.columns]
+    pfields = [parse_partition_field(s) for s in (partition_by or [])]
+    partition_by = [f["name"] for f in pfields]
+    if len(set(partition_by)) != len(partition_by):
+        raise ValueError(
+            f"write_iceberg: duplicate partition field names {partition_by}"
+        )
+    missing = [f["source"] for f in pfields if f["source"] not in df.columns]
     if missing:
-        raise ValueError(f"write_iceberg: partition columns {missing} not in batch")
+        raise ValueError(f"write_iceberg: partition source columns {missing} not in batch")
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     existing = is_iceberg_table(path)
@@ -700,18 +940,40 @@ def write_iceberg(
             ),
             {"fields": []},
         )
-        declared_parts = []
+        prior_fid_to_name = {
+            f["id"]: f["name"]
+            for f in (
+                next(
+                    (
+                        s
+                        for s in prior_meta.get("schemas", [])
+                        if s.get("schema-id") == prior_meta.get("current-schema-id", 0)
+                    ),
+                    prior_meta.get("schema") or {"fields": []},
+                ).get("fields", [])
+            )
+        }
+        declared_fields = []
         for f in spec.get("fields") or []:
-            if f.get("transform") != "identity":
-                raise NotImplementedError(
-                    f"{path}: partition transform {f.get('transform')!r} is "
-                    "not implemented (identity only)"
-                )
-            declared_parts.append(f["name"])
-        if declared_parts != partition_by:
+            t, p = _parse_transform_spec_name(f.get("transform", "identity"))
+            declared_fields.append(
+                {
+                    "transform": t,
+                    "source": prior_fid_to_name.get(f.get("source-id"), f["name"]),
+                    "param": p,
+                    "name": f["name"],
+                }
+            )
+        want = [
+            (f["transform"], f["source"], f["param"], f["name"]) for f in declared_fields
+        ]
+        got_spec = [
+            (f["transform"], f["source"], f["param"], f["name"]) for f in pfields
+        ]
+        if want != got_spec:
             raise ValueError(
-                f"{path}: append partitioning {partition_by} does not match "
-                f"the table's declared identity partitioning {declared_parts}"
+                f"{path}: append partitioning {got_spec} does not match "
+                f"the table's declared partitioning {want}"
             )
         head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
         prior_version = int(head) if head.isdigit() else 0
@@ -761,24 +1023,29 @@ def write_iceberg(
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
 
-    # iceberg types of the partition sources (for the manifest partition
-    # struct and the dir-value parsers)
+    # result iceberg type per partition FIELD (for the manifest partition
+    # struct and the dir-value parsers) + the deriving column expression
     part_types: dict[str, str] = {}
-    if partition_by:
+    derive_cols: dict[str, object] = {}
+    if pfields:
         spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        for c in partition_by:
-            t = _SPARK_TO_ICEBERG.get(spark_types[c])
-            if t not in _PARTITION_PARSERS:
+        for f in pfields:
+            src_ice = _SPARK_TO_ICEBERG.get(spark_types[f["source"]])
+            if src_ice is None:
                 raise NotImplementedError(
-                    f"write_iceberg: partition source type {spark_types[c]!r} "
-                    "unsupported (int/long/string identity only)"
+                    f"write_iceberg: partition source type "
+                    f"{spark_types[f['source']]!r} has no iceberg mapping"
                 )
-            part_types[c] = t
+            col, result_type = _derive_partition_col(f, src_ice)
+            part_types[f["name"]] = result_type
+            derive_cols[f["name"]] = col
 
     # 1. distributed data write, then driver-side move into data/.
-    #    Partitioned: stage through DERIVED string keys (_p_<col>) so
+    #    Partitioned: stage through DERIVED string keys (_p_<field>) so
     #    partitionBy splits files per partition tuple while the SOURCE
     #    columns stay in the parquet (Iceberg's layout, unlike Hive's).
+    #    Transform derivation is all JVM expressions (time bucketing,
+    #    codegen'd murmur3, truncation) — zero Python in the write path.
     import shutil
 
     from pyspark.sql import functions as F
@@ -787,7 +1054,11 @@ def write_iceberg(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     if partition_by:
         staged = df.select(
-            "*", *[F.col(c).cast("string").alias(f"_p_{c}") for c in partition_by]
+            "*",
+            *[
+                derive_cols[n].cast("string").alias(f"_p_{n}")
+                for n in partition_by
+            ],
         )
         staged.write.partitionBy(*[f"_p_{c}" for c in partition_by]).parquet(staging)
     else:
@@ -907,12 +1178,12 @@ def write_iceberg(
     name_to_fid = {f["name"]: f.get("id", i) for i, f in enumerate(fields, start=1)}
     spec_fields = [
         {
-            "name": c,
-            "transform": "identity",
-            "source-id": name_to_fid[c],
+            "name": f["name"],
+            "transform": _transform_spec_name(f),
+            "source-id": name_to_fid[f["source"]],
             "field-id": 1000 + i,
         }
-        for i, c in enumerate(partition_by)
+        for i, f in enumerate(pfields)
     ]
     meta = {
         "format-version": format_version,
@@ -1074,6 +1345,11 @@ def _prune_data_entries(
         for f in fields
         if f["type"] in _ICEBERG_TO_SPARK
     }
+    # LTZ-timestamp conjuncts mix timezone frames outside a UTC session;
+    # drop them (fail open) rather than risk pruning a live file
+    conjuncts = skipping.tz_safe_conjuncts(conjuncts, schema_types)
+    if not conjuncts:
+        return data, 0
     spec = next(
         (
             s
@@ -1082,12 +1358,104 @@ def _prune_data_entries(
         ),
         {"fields": []},
     )
-    part_cols = [
-        f["name"] for f in spec.get("fields") or [] if f.get("transform") == "identity"
-    ]
+    fid_to_name = {f["id"]: f["name"] for f in fields}
+    parsed_spec = []
+    for f in spec.get("fields") or []:
+        t, p = _parse_transform_spec_name(f.get("transform", "identity"))
+        parsed_spec.append(
+            {
+                "transform": t,
+                "source": fid_to_name.get(f.get("source-id"), f["name"]),
+                "param": p,
+                "name": f["name"],
+            }
+        )
+    part_cols = [f["name"] for f in parsed_spec if f["transform"] == "identity"]
+    transform_fields = [f for f in parsed_spec if f["transform"] != "identity"]
+    ice_type = {f["name"]: f["type"] for f in fields}
 
     def _kv(entry_list):
         return {kv["key"]: kv["value"] for kv in (entry_list or [])}
+
+    def _transform_bounds(pf: dict, v):
+        """(lo, hi) SOURCE-column bounds implied by one partition value —
+        JSON-style values for the shared evaluator; None bound = unknown."""
+        import datetime as dt
+
+        t, w, src_t = pf["transform"], pf["param"], ice_type.get(pf["source"])
+        if t in ("year", "month", "day", "hour"):
+            if t == "year":
+                lo_ts = dt.datetime(1970 + v, 1, 1)
+                hi_ts = dt.datetime(1971 + v, 1, 1) - dt.timedelta(microseconds=1)
+            elif t == "month":
+                y, m = 1970 + v // 12, v % 12 + 1
+                lo_ts = dt.datetime(y, m, 1)
+                y2, m2 = (y + 1, 1) if m == 12 else (y, m + 1)
+                hi_ts = dt.datetime(y2, m2, 1) - dt.timedelta(microseconds=1)
+            elif t == "day":
+                lo_ts = dt.datetime(1970, 1, 1) + dt.timedelta(days=v)
+                hi_ts = lo_ts + dt.timedelta(days=1, microseconds=-1)
+            else:
+                lo_ts = dt.datetime(1970, 1, 1) + dt.timedelta(hours=v)
+                hi_ts = lo_ts + dt.timedelta(hours=1, microseconds=-1)
+            if src_t == "date":
+                return lo_ts.date().isoformat(), hi_ts.date().isoformat()
+            return (
+                lo_ts.isoformat(sep=" ", timespec="microseconds"),
+                hi_ts.isoformat(sep=" ", timespec="microseconds"),
+            )
+        if t == "truncate":
+            if src_t == "string":
+                return v, None  # prefix: a valid min; max needs char surgery
+            return v, v + w - 1
+        return None, None  # bucket: no interval form (handled separately)
+
+    def _bucket_key(litval, domain: str):
+        """The long Iceberg's bucket hash consumes for a coerced literal."""
+        import datetime as dt
+
+        if domain == "num":
+            return litval if isinstance(litval, int) else None
+        if domain == "date":
+            return (litval - dt.date(1970, 1, 1)).days
+        if domain == "ts":
+            delta = litval - dt.datetime(1970, 1, 1)
+            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return None
+
+    def _bucket_may_match(d: dict) -> bool:
+        """False when a bucket partition value refutes an equality/IN
+        conjunct on the bucket's SOURCE column."""
+        pv = d.get("partition") or {}
+        for pf in transform_fields:
+            if pf["transform"] != "bucket" or pf["name"] not in pv:
+                continue
+            bucket_v = pv[pf["name"]]
+            if bucket_v is None:
+                continue
+            src = pf["source"]
+            spark_t = schema_types.get(src)
+            if spark_t is None:
+                continue
+            for col, op, lit in conjuncts:
+                if col != src or op not in ("=", "in"):
+                    continue
+                lits = lit if op == "in" else [lit]
+                verdicts = []
+                for lt in lits:
+                    from . import skipping as _sk
+
+                    c = _sk._coerce(lt[0], lt[1], spark_t)
+                    key = _bucket_key(c[0], c[1]) if c else None
+                    if key is None:
+                        verdicts.append(True)  # un-hashable literal: keep
+                        continue
+                    verdicts.append(
+                        (murmur3_32_long(key) & 0x7FFFFFFF) % pf["param"] == bucket_v
+                    )
+                if not any(verdicts):
+                    return False
+        return True
 
     def _as_add(d: dict) -> dict:
         mins: dict = {}
@@ -1109,6 +1477,26 @@ def _prune_data_entries(
                 j = skipping._json_stat_value(v, is_min=is_min)
                 if j is not None:
                     target[f["name"]] = j
+        # a TRANSFORM partition value implies SOURCE-column bounds for the
+        # whole file (one partition tuple per file): day(ts)=19722 means
+        # every ts is inside that day. Real footer bounds are tighter, so
+        # they win when present; a NULL partition value means every source
+        # value in the file is null.
+        pv_raw = d.get("partition") or {}
+        for pf in transform_fields:
+            if pf["name"] not in pv_raw:
+                continue
+            v = pv_raw[pf["name"]]
+            src = pf["source"]
+            if v is None:
+                if d.get("record_count") is not None and src not in nulls:
+                    nulls[src] = d["record_count"]
+                continue
+            lo, hi = _transform_bounds(pf, v)
+            if lo is not None and src not in mins:
+                mins[src] = lo
+            if hi is not None and src not in maxs:
+                maxs[src] = hi
         stats: dict = {}
         if d.get("record_count") is not None:
             stats["numRecords"] = d["record_count"]
@@ -1128,6 +1516,7 @@ def _prune_data_entries(
         d
         for d in data
         if skipping.file_may_match(conjuncts, _as_add(d), schema_types, part_cols)
+        and _bucket_may_match(d)
     ]
     return kept, len(data) - len(kept)
 
@@ -1651,21 +2040,37 @@ def compact_iceberg(
 
     from pyspark.sql import functions as F
 
-    if part_cols:
-        staged = live.repartition(max(n_out, 1), *part_cols).select(
-            "*", *[F.col(c).cast("string").alias(f"_p_{c}") for c in part_cols]
-        )
-        staged.write.partitionBy(*[f"_p_{c}" for c in part_cols]).parquet(staging)
-    else:
-        live.coalesce(n_out).write.parquet(staging)
-    # partition source types from the declared schema
     sid = prior_meta.get("current-schema-id", 0)
     schema = next(
         (s for s in prior_meta.get("schemas", []) if s.get("schema-id") == sid),
         prior_meta.get("schema") or {},
     )
     type_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
-    part_types = {c: type_by_name[c] for c in part_cols}
+    fid_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    # reconstruct the spec's transform fields and RE-DERIVE each partition
+    # value from its source column (identity, time transforms, bucket,
+    # truncate) — the rewrite must preserve the declared layout exactly
+    part_types: dict[str, str] = {}
+    derive_cols: dict[str, object] = {}
+    for f in spec.get("fields") or []:
+        t, p = _parse_transform_spec_name(f.get("transform", "identity"))
+        pf = {
+            "transform": t,
+            "source": fid_to_name.get(f.get("source-id"), f["name"]),
+            "param": p,
+            "name": f["name"],
+        }
+        col, result_type = _derive_partition_col(pf, type_by_name[pf["source"]])
+        part_types[f["name"]] = result_type
+        derive_cols[f["name"]] = col
+    if part_cols:
+        staged = live.select(
+            "*",
+            *[derive_cols[n].cast("string").alias(f"_p_{n}") for n in part_cols],
+        ).repartition(max(n_out, 1), *[f"_p_{c}" for c in part_cols])
+        staged.write.partitionBy(*[f"_p_{c}" for c in part_cols]).parquet(staging)
+    else:
+        live.coalesce(n_out).write.parquet(staging)
 
     new_files: list[tuple[str, int, int, dict]] = []
     for dirpath, _dirnames, filenames in sorted(os.walk(staging)):

@@ -640,6 +640,41 @@ def file_may_match(
     return True
 
 
+def _utc_session() -> bool:
+    """True when the active Spark session's timezone is UTC (or there is
+    no session to disagree). LTZ timestamp literals in a predicate are
+    interpreted in the SESSION timezone, while stored stats bounds are
+    UTC-rendered — comparing them is only sound when the two frames
+    coincide."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return False
+        return s.conf.get("spark.sql.session.timeZone") in (
+            "UTC",
+            "Etc/UTC",
+            "GMT",
+            "Z",
+            "+00:00",
+        )
+    except Exception:
+        return False
+
+
+def tz_safe_conjuncts(conjuncts, schema_types: dict[str, str]):
+    """Drop conjuncts over session-timezone-DEPENDENT columns (LTZ
+    ``timestamp``; ntz and date are wall-clock and safe) unless the
+    session runs UTC — those comparisons would mix timezone frames and
+    could wrongly prune live files. Fail-open by subtraction."""
+    if _utc_session():
+        return conjuncts
+    return [
+        c for c in conjuncts if schema_types.get(c[0], "") != "timestamp"
+    ]
+
+
 def prune_adds(
     adds: dict[str, dict],
     meta: dict,
@@ -658,6 +693,9 @@ def prune_adds(
             if isinstance(f.get("type"), str):
                 schema_types[f["name"]] = f["type"]
     except (KeyError, ValueError, TypeError):
+        return adds, 0
+    conjuncts = tz_safe_conjuncts(conjuncts, schema_types)
+    if not conjuncts:
         return adds, 0
     part_cols = meta.get("partitionColumns") or []
     mapping = None

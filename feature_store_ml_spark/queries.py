@@ -2788,6 +2788,61 @@ def e1_iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_partition_transforms",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_custkey = 37
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION TRANSFORMS (spec §Partition Transforms): write
+    orders partitioned by year(o_orderdate) × bucket(8, o_custkey) —
+    the time bucketing derived from the UTC instant and the bucket from
+    the spec's Murmur3 of the 8-byte long form (hashLong(34)==2017239379,
+    Appendix B), both as JVM expression trees (the murmur fold runs
+    through F.aggregate's lambda let-bindings, zero Python). The read's
+    predicate prunes on BOTH dimensions at scan planning: the year
+    partition value bounds o_orderdate per file, and bucket(371) refutes
+    every file whose bucket tuple differs. Raises unless pruning engaged;
+    the aggregate hash-matches the plain-filter oracle.
+
+    Scale shape: time × hash-bucket is THE canonical Iceberg layout for
+    event tables — a customer-and-time query reads 1/(years×8) of a
+    100 TB table, with the decision made entirely from manifest
+    metadata."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_transforms"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        o.select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+                 "o_orderdate"),
+        path,
+        format_version=2,
+        partition_by=["year(o_orderdate)", "bucket(8, o_custkey)"],
+    )
+    pred = (
+        "o_orderdate >= TIMESTAMP '1997-06-01 00:00:00' AND o_custkey = 37"
+    )
+    rep = iceberg.iceberg_scan_report(path, pred)
+    if not (rep["eligible"] and rep["kept_files"] < rep["total_files"]):
+        raise RuntimeError(f"transform pruning did not engage: {rep}")
+    back = iceberg.read_iceberg(spark, path, where=pred)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_iceberg_time_travel",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -4176,6 +4231,7 @@ _FINAL_ORDER = [
     "e1_delta_cdf",
     "e1_delta_data_skipping",  # per-file stats + file pruning on read
     "e1_iceberg_data_skipping",  # manifest-bounds pruning, both formats
+    "e1_iceberg_partition_transforms",  # year × murmur3-bucket pruning
     "e9_dedup_canonical",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
@@ -4198,7 +4254,6 @@ _FINAL_ORDER = [
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
-    "e14_resize_meta",
     "e13_stream_stream_join",  # watermarked stream-stream interval join
     # -- the classic TPC-H access shapes
     "q2_min_cost_supplier",
@@ -4244,6 +4299,10 @@ _FINAL_ORDER = [
                             # via pii_scan/url_extract
     "e11_unigram_logprob",  # displaced by e1_iceberg_data_skipping (r5
                             # late); driver-green r4, same family coverage
+    "e14_resize_meta",      # displaced by e1_iceberg_partition_transforms
+                            # (r5 late); driver-green r2+r4; e14 family
+                            # SQL-oracle kept via e14_multimodal_meta in
+                            # the locally-swept tail
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
@@ -4345,9 +4404,9 @@ def _apply_final_order() -> None:
     # Sanity bound on rotation growth, not the correctness gate: every
     # tail oracle query is HARD-verified each round by the local sweep via
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
-    # bound raised 50 -> 62 in round 5: nine new lakehouse queries entered
-    # the window, displacing nine multi-round-green queries to the tail
-    assert n_oracle_tail <= 62, f"{n_oracle_tail} oracle-backed queries outside window"
+    # bound raised 50 -> 63 in round 5: ten new lakehouse queries entered
+    # the window, displacing ten multi-round-green queries to the tail
+    assert n_oracle_tail <= 63, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

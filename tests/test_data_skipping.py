@@ -302,3 +302,30 @@ def test_string_truncation_keeps_min_only():
     long = "z" * 300
     assert skipping._json_stat_value(long, is_min=True) == "z" * 256
     assert skipping._json_stat_value(long, is_min=False) is None
+
+
+def test_zorder_compaction_enables_two_dimensional_skipping(spark, tmp_path):
+    """Z-order + per-file stats = multi-dimensional pruning: after
+    OPTIMIZE ZORDER BY (a, b), a predicate on EITHER dimension skips
+    files — the scale story SCALE.md claims, pinned here."""
+    root = str(tmp_path / "zorder")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).alias("b"),
+        F.col("id").alias("v"),
+    )
+    # deliberately scrambled layout: neither column clusters naturally
+    lakehouse.write_delta(spark, df.repartition(8), root)
+    before_a = lakehouse.skipping_report(root, "a = 7")
+    lakehouse.compact_delta(spark, root, target_file_bytes=8 * 1024, zorder_by=["a", "b"])
+    after_a = lakehouse.skipping_report(root, "a = 7")
+    after_b = lakehouse.skipping_report(root, "b = 50")
+    assert after_a["total_files"] > 4, "compaction should keep several files"
+    # scrambled: a=7 appears in every file; z-ordered: most files skip
+    assert before_a["kept_files"] == before_a["total_files"]
+    assert after_a["kept_files"] < after_a["total_files"]
+    assert after_b["kept_files"] < after_b["total_files"]
+    got = sorted(
+        r["v"] for r in lakehouse.read_delta(spark, root, where="a = 7").collect()
+    )
+    assert got == sorted(range(7, 4096, 64))

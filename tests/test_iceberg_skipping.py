@@ -191,3 +191,181 @@ def test_entries_without_stats_fail_open(spark, tmp_path):
     ]
     kept, skipped = iceberg._prune_data_entries(stripped, meta, "k = 437")
     assert skipped == 0 and len(kept) == len(data)
+
+
+# ----------------------------------------------------- partition transforms
+
+
+def test_murmur3_sql_matches_python_reference(spark):
+    """The JVM expression tree must equal the spec hash (python reference
+    pinned to the spec's published vectors) on positives, negatives, and
+    extremes."""
+    assert iceberg.murmur3_32_long(34) == 2017239379  # spec Appendix B
+    vals = [0, 1, -1, 34, -34, 2**31, -(2**31), 2**62, -(2**62), 123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", iceberg._murmur3_long_col(F.col("v")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == iceberg.murmur3_32_long(v), v
+
+
+def _transform_table(spark, tmp_path, fv=2, name="tt"):
+    root = str(tmp_path / f"{name}_v{fv}")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("grp"), (F.col("id") % 5).cast("string")).alias("s"),
+        (
+            F.lit(datetime.datetime(2024, 1, 1))
+            + F.make_interval(hours=F.col("id"))
+        ).cast("timestamp_ntz").alias("ts"),
+        (F.col("id").cast("double") / 7.0).alias("x"),
+    )
+    iceberg.write_iceberg(
+        spark, df, root, format_version=fv,
+        partition_by=["day(ts)", "bucket(8, k)", "truncate(3, s)"],
+    )
+    return root, df
+
+
+@pytest.mark.parametrize("fv", [1, 2])
+def test_transform_write_roundtrip(spark, tmp_path, fv):
+    root, df = _transform_table(spark, tmp_path, fv=fv)
+    got = iceberg.read_iceberg(spark, root)
+    assert sorted(got.columns) == ["k", "s", "ts", "x"]
+    assert got.count() == 1000
+    assert sorted(r["k"] for r in got.collect()) == list(range(1000))
+    # declared spec records the transforms
+    meta = iceberg._load_metadata(root)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["day", "bucket[8]", "truncate[3]"]
+
+
+def test_transform_partition_values_are_typed_and_correct(spark, tmp_path):
+    root, _df = _transform_table(spark, tmp_path)
+    entries = _manifest_entries(root)
+    for e in entries:
+        pv = e["data_file"]["partition"]
+        day, bucket, trunc = pv["ts_day"], pv["k_bucket"], pv["s_trunc"]
+        # 2024-01-01 is day 19723 since epoch; 1000 hours spans 42 days
+        assert 19723 <= day <= 19723 + 42
+        assert 0 <= bucket < 8
+        assert trunc == "grp"  # truncate(3) of "grpN"
+    # one file per (day, bucket, trunc) tuple, and bucket values match the
+    # spec hash of the file's own keys
+    import pyarrow.parquet as pq
+    for e in entries:
+        f = iceberg._localize(e["data_file"]["file_path"], root)
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        want = e["data_file"]["partition"]["k_bucket"]
+        assert all(
+            (iceberg.murmur3_32_long(k) & 0x7FFFFFFF) % 8 == want for k in ks
+        )
+
+
+def test_day_transform_pruning(spark, tmp_path):
+    root, df = _transform_table(spark, tmp_path)
+    pred = "ts >= TIMESTAMP '2024-02-01 00:00:00'"
+    rep = iceberg.iceberg_scan_report(root, pred)
+    assert rep["eligible"] and rep["kept_files"] < rep["total_files"]
+    expect = sorted(r["k"] for r in iceberg.read_iceberg(spark, root).filter(pred).collect())
+    got = sorted(r["k"] for r in iceberg.read_iceberg(spark, root, where=pred).collect())
+    assert got == expect and len(got) > 0
+
+
+def test_bucket_transform_pruning(spark, tmp_path):
+    root, df = _transform_table(spark, tmp_path)
+    pred = "k = 437"
+    rep = iceberg.iceberg_scan_report(root, pred)
+    # bucket(8) keeps ~1/8 of files; day() contributes nothing for a k-pred
+    assert rep["kept_files"] < rep["total_files"]
+    got = iceberg.read_iceberg(spark, root, where=pred).collect()
+    assert len(got) == 1 and got[0]["k"] == 437
+    # IN over two buckets
+    pred = "k IN (3, 500)"
+    got = sorted(r["k"] for r in iceberg.read_iceberg(spark, root, where=pred).collect())
+    assert got == [3, 500]
+
+
+def test_truncate_transform_pruning(spark, tmp_path):
+    root = str(tmp_path / "trunc")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("alpha")).otherwise(F.lit("beta")),
+            F.col("id").cast("string"),
+        ).alias("s"),
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2,
+                          partition_by=["truncate(4, s)"])
+    pred = "s LIKE 'beta%'"
+    rep = iceberg.iceberg_scan_report(root, pred)
+    assert rep["kept_files"] < rep["total_files"]
+    got = iceberg.read_iceberg(spark, root, where=pred).count()
+    assert got == 200
+    # int truncate
+    root2 = str(tmp_path / "trunc_int")
+    iceberg.write_iceberg(
+        spark, df.select("k"), root2, format_version=2,
+        partition_by=["truncate(100, k)"],
+    )
+    rep = iceberg.iceberg_scan_report(root2, "k BETWEEN 150 AND 180")
+    assert rep["kept_files"] == 1
+    assert iceberg.read_iceberg(spark, root2, where="k BETWEEN 150 AND 180").count() == 31
+
+
+def test_transform_append_spec_enforced(spark, tmp_path):
+    root, df = _transform_table(spark, tmp_path)
+    more = df.limit(10)
+    with pytest.raises(ValueError, match="does not match"):
+        iceberg.write_iceberg(
+            spark, more, root, format_version=2,
+            partition_by=["day(ts)", "bucket(4, k)", "truncate(3, s)"],
+        )
+    iceberg.write_iceberg(
+        spark, more, root, format_version=2,
+        partition_by=["day(ts)", "bucket(8, k)", "truncate(3, s)"],
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 1010
+
+
+def test_compaction_preserves_transform_layout(spark, tmp_path):
+    root, df = _transform_table(spark, tmp_path)
+    iceberg.delete_iceberg(spark, root, "k < 100")
+    expect = sorted(
+        r["k"] for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    iceberg.compact_iceberg(spark, root)
+    got = sorted(r["k"] for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == expect == list(range(100, 1000))
+    meta = iceberg._load_metadata(root)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec] == ["day", "bucket[8]", "truncate[3]"]
+    # pruning still works on the compacted table
+    rep = iceberg.iceberg_scan_report(root, "k = 437")
+    assert rep["kept_files"] < max(rep["total_files"], 2) or rep["total_files"] == 1
+
+
+def test_string_bucket_fails_loud(spark, tmp_path):
+    root = str(tmp_path / "sb")
+    df = spark.range(5).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(NotImplementedError, match="bucket"):
+        iceberg.write_iceberg(spark, df, root, partition_by=["bucket(4, s)"])
+
+
+def test_non_utc_session_fails_open_on_ltz(spark, tmp_path):
+    """Outside UTC, LTZ-timestamp conjuncts must be dropped (fail open),
+    never evaluated in the wrong frame."""
+    from feature_store_ml_spark.io import skipping as sk
+
+    conj = sk.parse_conjuncts("ts > TIMESTAMP '2024-01-01 00:00:00' AND k = 3")
+    types = {"ts": "timestamp", "k": "long"}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        safe = sk.tz_safe_conjuncts(conj, types)
+        assert [c[0] for c in safe] == ["k"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert len(sk.tz_safe_conjuncts(conj, types)) == 2  # UTC again: all kept
