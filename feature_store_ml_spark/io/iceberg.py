@@ -1164,8 +1164,14 @@ def write_iceberg(
     )
 
     # 4. new metadata version, committed by atomic rename (single-writer)
+    _parent = prior_meta.get("current-snapshot-id")
     snapshot = {
         "snapshot-id": snap_id,
+        **(
+            {"parent-snapshot-id": _parent}
+            if _parent not in (None, -1)
+            else {}
+        ),
         "timestamp-ms": now_ms,
         "manifest-list": f"file:{mlist}",
         # summary_props: writer bookkeeping in the snapshot summary (the
@@ -1309,6 +1315,70 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
         "snapshots": [s["snapshot-id"] for s in expired],
         "files": sorted(doomed_files),
     }
+
+
+def remove_orphan_files(
+    path: str, older_than_ms: int | None = None, dry_run: bool = False
+) -> list[str]:
+    """Iceberg's ``remove_orphan_files`` maintenance action: delete files
+    under the table location that NO retained snapshot references —
+    leftovers of crashed writes (staged parquet that never made a commit,
+    abandoned ``_staging_*`` dirs). Complements snapshot expiration,
+    which only collects files that expired snapshots DID reference.
+
+    ``older_than_ms`` (epoch millis) guards in-flight writes: files newer
+    than the cutoff are kept even when unreferenced — the same guard the
+    real action enforces, because a concurrent writer's staged files are
+    indistinguishable from orphans until its commit lands. Default: one
+    hour ago. ``dry_run`` lists without deleting. Driver-side,
+    O(#files + #snapshot refs) — metadata work, no data reads."""
+    import shutil
+    import time as _time
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    cutoff = (
+        older_than_ms
+        if older_than_ms is not None
+        else int(_time.time() * 1000) - 3_600_000
+    )
+    meta = _load_metadata(path)
+    live: set[str] = set()
+    for snap in meta.get("snapshots", []):
+        mlist = _localize(snap["manifest-list"], path)
+        live.add(os.path.realpath(mlist))
+        for entry in avro_lite.read_container(mlist):
+            mp = _localize(entry["manifest_path"], path)
+            live.add(os.path.realpath(mp))
+            for m in avro_lite.read_container(mp):
+                live.add(
+                    os.path.realpath(_localize(m["data_file"]["file_path"], path))
+                )
+    # deletion-vector/extra blobs under the table root never appear in
+    # manifests for iceberg; only data/ and stray staging dirs are swept
+    orphans: list[str] = []
+    data_dir = os.path.join(path, "data")
+    if os.path.isdir(data_dir):
+        for dirpath, _dirs, names in os.walk(data_dir):
+            for n in names:
+                f = os.path.join(dirpath, n)
+                if os.path.realpath(f) in live:
+                    continue
+                if os.path.getmtime(f) * 1000 >= cutoff:
+                    continue
+                orphans.append(f)
+    stray_dirs = [
+        os.path.join(path, d)
+        for d in os.listdir(path)
+        if d.startswith("_staging_")
+        and os.path.getmtime(os.path.join(path, d)) * 1000 < cutoff
+    ]
+    if not dry_run:
+        for f in orphans:
+            os.remove(f)
+        for d in stray_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return sorted(orphans + stray_dirs)
 
 
 def _current_schema(meta: dict) -> dict:
@@ -1740,6 +1810,7 @@ def _commit_delete_snapshot(
         manifest_list_uri = prior_snap["manifest-list"]
     snapshot = {
         "snapshot-id": snap_id,
+        "parent-snapshot-id": cur,
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list_uri,
         "summary": {"operation": "delete"},
@@ -2156,6 +2227,7 @@ def compact_iceberg(
     avro_lite.write_container(mlist, mf_schema, [{k: new_entry.get(k, 0) for k in keep}])
     snapshot = {
         "snapshot-id": snap_id,
+        "parent-snapshot-id": cur,
         "timestamp-ms": now_ms,
         "manifest-list": f"file:{mlist}",
         "summary": {"operation": "replace"},

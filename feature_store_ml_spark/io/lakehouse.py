@@ -2206,19 +2206,22 @@ def delete_delta(
             {"remove": {"path": rel, "dataChange": True,
                         "deletionTimestamp": now_ms}}
         )
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": old.get("partitionValues") or {},
-                    "size": old.get("size")
-                    or os.path.getsize(os.path.join(path, rel)),
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    "deletionVector": desc,
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": old.get("partitionValues") or {},
+            "size": old.get("size")
+            or os.path.getsize(os.path.join(path, rel)),
+            "modificationTime": now_ms,
+            "dataChange": True,
+            "deletionVector": desc,
+        }
+        # the file's bytes are untouched, so its stats remain valid
+        # (bounds are conservative over the DV-masked rows) — dropping
+        # them would silently turn data skipping off for every file a
+        # delete ever touched
+        if old.get("stats") is not None:
+            add["stats"] = old["stats"]
+        actions.append({"add": add})
     actions.append(
         {
             "commitInfo": {

@@ -1,0 +1,195 @@
+"""Metadata TABLES — the lakehouse introspection surface (Iceberg's
+``table$snapshots`` / ``table$files`` / ``table$history`` / Delta's
+``DESCRIBE DETAIL``) as plain DataFrames.
+
+Operationally these are how a 100 TB table is run: snapshot growth drives
+expiration schedules, the files view shows small-file pressure (feeds the
+compaction decision), history is the audit trail. Everything here is
+driver-side metadata already parsed by the readers — wrapped into
+DataFrames so the rest of a pipeline can join/filter/aggregate it like
+any other table.
+
+All functions return eagerly-materialized local DataFrames (the metadata
+is O(#snapshots + #files) driver rows by construction — the same rows any
+engine's metadata table materializes for planning)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "iceberg_snapshots",
+    "iceberg_files",
+    "iceberg_history",
+    "delta_detail",
+    "delta_files",
+]
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """The ``$snapshots`` metadata table: one row per retained snapshot —
+    (snapshot_id, parent_id, timestamp_ms, operation, sequence_number,
+    summary JSON)."""
+    from . import iceberg
+
+    meta = iceberg._load_metadata(path)
+    rows = [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "parent_id": s.get("parent-snapshot-id"),
+            "timestamp_ms": s.get("timestamp-ms"),
+            "operation": (s.get("summary") or {}).get("operation"),
+            "sequence_number": s.get("sequence-number"),
+            "summary": json.dumps(s.get("summary") or {}, sort_keys=True),
+            "is_current": s["snapshot-id"] == meta.get("current-snapshot-id"),
+        }
+        for s in meta.get("snapshots", [])
+    ]
+    schema = (
+        "snapshot_id long, parent_id long, timestamp_ms long, operation string, "
+        "sequence_number long, summary string, is_current boolean"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_files(spark: SparkSession, path: str, snapshot_id: int | None = None) -> DataFrame:
+    """The ``$files`` metadata table: one row per live data/delete file of
+    a snapshot — (file_path, content, record_count, file_size_in_bytes,
+    sequence_number, partition JSON). Small-file pressure shows up as
+    record_count/file_size percentiles; feed it to compact_iceberg."""
+    from . import iceberg
+
+    meta = iceberg._load_metadata(path)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError(f"{path}: table has no current snapshot")
+    data, deletes = iceberg._snapshot_scan_plan(meta, snapshot_id, path)
+    rows = []
+    for d in data:
+        rows.append(
+            {
+                "file_path": d["path"],
+                "content": "data",
+                "record_count": d.get("record_count"),
+                "file_size_in_bytes": (
+                    os.path.getsize(d["path"]) if os.path.exists(d["path"]) else None
+                ),
+                "sequence_number": d.get("seq"),
+                "partition": json.dumps(d.get("partition") or {}, sort_keys=True),
+            }
+        )
+    for d in deletes:
+        rows.append(
+            {
+                "file_path": d["path"],
+                "content": "position_deletes" if d["kind"] == "pos" else "equality_deletes",
+                "record_count": None,
+                "file_size_in_bytes": (
+                    os.path.getsize(d["path"]) if os.path.exists(d["path"]) else None
+                ),
+                "sequence_number": d.get("seq"),
+                "partition": "{}",
+            }
+        )
+    schema = (
+        "file_path string, content string, record_count long, "
+        "file_size_in_bytes long, sequence_number long, partition string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
+    """The ``$history`` metadata table: the snapshot-log — (timestamp_ms,
+    snapshot_id, is_current_ancestor). Time travel resolves against
+    exactly these rows."""
+    from . import iceberg
+
+    meta = iceberg._load_metadata(path)
+    current = meta.get("current-snapshot-id")
+    parents = {
+        s["snapshot-id"]: s.get("parent-snapshot-id")
+        for s in meta.get("snapshots", [])
+    }
+    ancestors = set()
+    node = current
+    while node is not None and node not in ancestors:
+        ancestors.add(node)
+        node = parents.get(node)
+    rows = [
+        {
+            "timestamp_ms": e.get("timestamp-ms"),
+            "snapshot_id": e.get("snapshot-id"),
+            "is_current_ancestor": e.get("snapshot-id") in ancestors,
+        }
+        for e in meta.get("snapshot-log", [])
+    ]
+    return spark.createDataFrame(
+        rows, "timestamp_ms long, snapshot_id long, is_current_ancestor boolean"
+    )
+
+
+def delta_detail(spark: SparkSession, path: str) -> DataFrame:
+    """Delta's ``DESCRIBE DETAIL``: one row of table-level facts —
+    (format, id, name, partitionColumns, numFiles, sizeInBytes,
+    properties, minReaderVersion, minWriterVersion)."""
+    from . import lakehouse
+
+    adds, meta = lakehouse._replay_log_adds(path)
+    protocol = lakehouse._current_protocol(path)
+    row = {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "name": meta.get("name"),
+        "partitionColumns": json.dumps(meta.get("partitionColumns") or []),
+        "numFiles": len(adds),
+        "sizeInBytes": sum(a.get("size", 0) for a in adds.values()),
+        "properties": json.dumps(meta.get("configuration") or {}, sort_keys=True),
+        "minReaderVersion": protocol.get("minReaderVersion"),
+        "minWriterVersion": protocol.get("minWriterVersion"),
+    }
+    schema = (
+        "format string, id string, name string, partitionColumns string, "
+        "numFiles long, sizeInBytes long, properties string, "
+        "minReaderVersion int, minWriterVersion int"
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def delta_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """One row per live file of a Delta snapshot — (path, size_bytes,
+    num_records, has_deletion_vector, partitionValues JSON, stats
+    present). num_records comes from the add action's stats; files
+    committed without stats show null."""
+    from . import lakehouse
+
+    adds, _meta = lakehouse._replay_log_adds(path, max_version=version)
+    rows = []
+    for rel, a in adds.items():
+        st = a.get("stats")
+        num = None
+        if st:
+            try:
+                num = (json.loads(st) if isinstance(st, str) else st).get("numRecords")
+            except (ValueError, TypeError):
+                num = None
+        rows.append(
+            {
+                "path": rel,
+                "size_bytes": a.get("size"),
+                "num_records": num,
+                "has_deletion_vector": bool(a.get("deletionVector")),
+                "partitionValues": json.dumps(
+                    a.get("partitionValues") or {}, sort_keys=True
+                ),
+                "has_stats": st is not None,
+            }
+        )
+    schema = (
+        "path string, size_bytes long, num_records long, "
+        "has_deletion_vector boolean, partitionValues string, has_stats boolean"
+    )
+    return spark.createDataFrame(rows, schema)
