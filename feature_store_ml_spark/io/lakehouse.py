@@ -52,12 +52,16 @@ def is_delta_table(path: str) -> bool:
 
 
 def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
-    """Locate the newest checkpoint: returns (version, parquet part files).
-    Handles both single-file ``<v>.checkpoint.parquet`` and multi-part
-    ``<v>.checkpoint.<i>.<n>.parquet`` names. (-1, []) when none exist."""
+    """Locate the newest checkpoint: returns (version, manifest files).
+    Handles single-file ``<v>.checkpoint.parquet``, multi-part
+    ``<v>.checkpoint.<i>.<n>.parquet``, and V2 UUID-named
+    ``<v>.checkpoint.<uuid>.{parquet,json}`` manifests (whose sidecars
+    are resolved during replay). (-1, []) when none exist."""
     parts: dict[int, list[str]] = {}
     for name in os.listdir(log):
-        if ".checkpoint." not in name or not name.endswith(".parquet"):
+        if ".checkpoint." not in name or not (
+            name.endswith(".parquet") or name.endswith(".json")
+        ):
             continue
         head = name.split(".checkpoint.", 1)[0]
         if head.isdigit():
@@ -71,7 +75,7 @@ def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
 #: reader features the fallback actually implements; a protocol action
 #: demanding anything else fails loudly (minReaderVersion 3 lists its
 #: features explicitly, per PROTOCOL.md §Table Features)
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "v2Checkpoint"}
 
 
 def _check_protocol(path: str, protocol: dict) -> None:
@@ -99,34 +103,62 @@ def _check_protocol(path: str, protocol: dict) -> None:
 
 
 def _replay_checkpoint(files: list[str], path: str) -> tuple[dict, dict]:
-    """Load a checkpoint's reconciled state driver-side with pyarrow (a
-    checkpoint IS a parquet file of action structs, PROTOCOL.md §checkpoints).
-    Metadata-only and O(#files) — the same driver work any Delta reader's
+    """Load a checkpoint's reconciled state driver-side with pyarrow —
+    CLASSIC (single/multipart parquet of action structs) and V2
+    (PROTOCOL.md §V2 Checkpoints: a json-or-parquet MANIFEST carrying
+    checkpointMetadata + `sidecar` pointers to parquet files under
+    ``_delta_log/_sidecars/`` that hold the file actions). Metadata-only
+    and O(#files + #sidecars) — the same driver work any Delta reader's
     snapshot build does. Returns (live relpath -> add action, metaData)."""
     import pyarrow.parquet as pq
 
+    log = _delta_log_dir(path)
     live: dict[str, dict] = {}
     meta: dict = {}
+
+    def _rows(f: str) -> list[dict]:
+        if f.endswith(".json"):  # v2 manifests may be JSON-lines
+            with open(f, encoding="utf-8") as fh:
+                return [json.loads(line) for line in fh if line.strip()]
+        return pq.read_table(f).to_pylist()
+
+    def _fold(row: dict) -> None:
+        nonlocal meta
+        protocol = row.get("protocol")
+        if protocol and protocol.get("minReaderVersion") is not None:
+            _check_protocol(path, protocol)
+        md = row.get("metaData")
+        if md and md.get("id") is not None:
+            meta = {k: v for k, v in md.items() if v is not None}
+        add = row.get("add")
+        if add and add.get("path") is not None:
+            add = {k: v for k, v in add.items() if v is not None}
+            if add.get("deletionVector"):
+                add["deletionVector"] = {
+                    k: v
+                    for k, v in add["deletionVector"].items()
+                    if v is not None
+                }
+            live[add["path"]] = add
+        # remove actions in a checkpoint are vacuum tombstones — the
+        # add set is already reconciled; nothing to subtract.
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            sp = sc["path"]
+            if "://" not in sp and not os.path.isabs(sp):
+                sp = os.path.join(log, "_sidecars", sp)
+            if not os.path.exists(sp):
+                raise ValueError(
+                    f"{path}: v2 checkpoint references missing sidecar "
+                    f"{os.path.basename(sp)} — the log is corrupt or "
+                    "partially cleaned"
+                )
+            for srow in pq.read_table(sp).to_pylist():
+                _fold(srow)
+
     for f in files:
-        for row in pq.read_table(f).to_pylist():
-            protocol = row.get("protocol")
-            if protocol and protocol.get("minReaderVersion") is not None:
-                _check_protocol(path, protocol)
-            md = row.get("metaData")
-            if md and md.get("id") is not None:
-                meta = {k: v for k, v in md.items() if v is not None}
-            add = row.get("add")
-            if add and add.get("path") is not None:
-                add = {k: v for k, v in add.items() if v is not None}
-                if add.get("deletionVector"):
-                    add["deletionVector"] = {
-                        k: v
-                        for k, v in add["deletionVector"].items()
-                        if v is not None
-                    }
-                live[add["path"]] = add
-            # remove actions in a checkpoint are vacuum tombstones — the
-            # add set is already reconciled; nothing to subtract.
+        for row in _rows(f):
+            _fold(row)
     return live, meta
 
 
@@ -255,6 +287,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "checkConstraints",
     "deletionVectors",
     "columnMapping",
+    "v2Checkpoint",
 }
 _MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
 
@@ -1220,7 +1253,7 @@ def last_txn_version(path: str, app_id: str) -> int:
     return _collect_txns(path).get(app_id, -1)
 
 
-def checkpoint_delta(path: str) -> int:
+def checkpoint_delta(path: str, v2: bool = False) -> int:
     """Write a checkpoint of the CURRENT snapshot (PROTOCOL.md
     §checkpoints): one ``<v>.checkpoint.parquet`` holding the reconciled
     action state — protocol, metaData, every live `add` (with its
@@ -1233,6 +1266,17 @@ def checkpoint_delta(path: str) -> int:
     JSON tail. Pair with ``cleanup_delta_log`` to actually drop the old
     JSON files. Driver-side and O(#live files + #apps) — the same
     materialization every Delta writer's checkpointing does.
+
+    ``v2=True`` writes a V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints): a
+    UUID-named manifest ``<v>.checkpoint.<uuid>.parquet`` carrying
+    checkpointMetadata + protocol + metaData + txns and a ``sidecar``
+    pointer, with the file actions in a parquet SIDECAR under
+    ``_delta_log/_sidecars/``. Why the format exists at scale: the
+    manifest stays tiny and sidecars are immutable, so an incremental
+    checkpointer can reuse unchanged sidecar files instead of rewriting
+    the whole state each time (this writer emits one sidecar — the
+    simplest valid form). The manifest's protocol row declares the
+    ``v2Checkpoint`` reader feature, carrying existing features forward.
 
     Returns the checkpointed version. No-op (returns the existing
     checkpoint version) when nothing was committed since the last one.
@@ -1312,9 +1356,71 @@ def checkpoint_delta(path: str) -> int:
                 else None
             )
         rows.append({**base, "add": add_row})
+    if not v2:
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+        )
+        with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        return version
+
+    # ---- V2: sidecar with the file actions, UUID-named manifest ----
+    import uuid as _uuid
+
+    sidecar_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    add_rows = [{"add": r["add"]} for r in rows if r.get("add") is not None]
+    head_rows = [r for r in rows if r.get("add") is None]
+    sc_name = f"{_uuid.uuid4().hex}.parquet"
+    sc_path = os.path.join(sidecar_dir, sc_name)
+    pq.write_table(pa.Table.from_pylist(add_rows or [{"add": None}]), sc_path)
+    # the manifest protocol must DECLARE v2Checkpoint, carrying every
+    # feature the table already uses forward (mapping mode rides in the
+    # metaData configuration; DV descriptors ride on the adds)
+    reader_feats = {"v2Checkpoint"}
+    writer_feats = {"v2Checkpoint"}
+    if has_dv:
+        reader_feats.add("deletionVectors")
+        writer_feats.add("deletionVectors")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    v2_protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader_feats),
+        "writerFeatures": sorted(writer_feats),
+    }
+    base2 = {
+        "checkpointMetadata": None,
+        "sidecar": None,
+        "protocol": None,
+        "metaData": None,
+        "txn": None,
+    }
+    manifest_rows = [{**base2, "checkpointMetadata": {"version": version}}]
+    for r in head_rows:
+        row = {**base2}
+        if r.get("protocol") is not None:
+            row["protocol"] = v2_protocol
+        for k in ("metaData", "txn"):
+            if r.get(k) is not None:
+                row[k] = r[k]
+        manifest_rows.append(row)
+    manifest_rows.append(
+        {
+            **base2,
+            "sidecar": {
+                "path": sc_name,
+                "sizeInBytes": os.path.getsize(sc_path),
+                "modificationTime": now_ms,
+            },
+        }
+    )
     pq.write_table(
-        pa.Table.from_pylist(rows),
-        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+        pa.Table.from_pylist(manifest_rows),
+        os.path.join(log, f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.parquet"),
     )
     with open(os.path.join(log, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)

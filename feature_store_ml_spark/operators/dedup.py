@@ -468,7 +468,15 @@ def connected_components(
                     "label"
                 ),
             )
-        ).cache()
+            # TRUNCATE lineage each round: the iteration references
+            # `labels` twice (join + fallback), so a cache alone lets the
+            # logical plan DOUBLE per iteration — a long-diameter graph
+            # then OOMs the driver just materializing the plan tree. An
+            # eager local checkpoint keeps the per-iteration plan
+            # constant-size (a cluster deployment would use
+            # checkpoint() with a reliable dir — same idea).
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -679,3 +687,113 @@ def canonical_docs(
         "_rn", F.row_number().over(w.orderBy(*order_by))
     ).withColumn("members", F.count(F.lit(1)).over(w))
     return ranked.where(F.col("_rn") == 1).drop("_rn")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    round_scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means + within-cluster cosine — the published
+    recipe for trimming web-scale corpora by MEANING, not bytes.
+
+    1. k-means coarse-clusters the embeddings (one MLlib fit — the same
+       quantizer ivf_topk uses);
+    2. candidate pairs are generated ONLY within a cluster (self-join on
+       cluster id; sizing rule: grow ``n_clusters`` with the corpus so
+       |cluster| ~ N/k stays bounded — the paper uses 50k clusters for
+       LAION — which keeps the per-cluster quadratic term constant while
+       the join itself is one shuffle on cluster id);
+    3. pairs with cosine >= ``threshold`` link into duplicate groups
+       (``connected_components``, distributed min-label propagation);
+    4. within each group the survivor is the member FARTHEST from its
+       k-means centroid (the paper's "keep low centroid-similarity"
+       choice — it preserves the cluster's diversity; deterministic
+       tie-break on id).
+
+    Returns the surviving rows of ``df`` plus ``sem_cluster`` (the
+    k-means cell), ``dup_group`` (the duplicate component, = own id for
+    singletons) and ``members`` (group size — the dedup-ratio audit).
+
+    Known trade (documented in the paper too): near-duplicates that land
+    in DIFFERENT k-means cells are not compared — recall is bounded by
+    the quantizer; raise threshold confidence by lowering n_clusters, or
+    run embedding_dups (LSH tables) when cross-cell recall matters more
+    than the cluster structure.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_fv"),
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="sem_cluster"
+    )
+    model = km.fit(base)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    centers_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "sem_cluster int, _center array<double>",
+    )
+    assigned = (
+        model.transform(base)
+        .select("id", "vec", "sem_cluster")
+        .join(F.broadcast(centers_df), "sem_cluster")
+        .select(
+            "id",
+            "vec",
+            "sem_cluster",
+            F.round(cosine(F.col("vec"), F.col("_center")), round_scale).alias(
+                "_centroid_sim"
+            ),
+        )
+        .cache()
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "sem_cluster"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "sem_cluster"
+    )
+    pairs = (
+        a.join(b, "sem_cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_scale).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    groups = connected_components(pairs)
+    gmap = groups.select(F.col("id").alias("_gid"), F.col("cluster_id").alias("_grp"))
+    enriched = (
+        df.join(assigned.select("id", "sem_cluster", "_centroid_sim"),
+                df[id_col] == F.col("id"))
+        .drop("id")
+        .join(gmap, df[id_col] == F.col("_gid"), "left")
+        .withColumn("dup_group", F.coalesce(F.col("_grp"), F.col(id_col)))
+        .drop("_gid", "_grp")
+    )
+    w = Window.partitionBy("dup_group")
+    ranked = enriched.withColumn(
+        "_rn",
+        F.row_number().over(
+            w.orderBy(F.col("_centroid_sim").asc(), F.col(id_col).asc())
+        ),
+    ).withColumn("members", F.count(F.lit(1)).over(w))
+    out = ranked.where(F.col("_rn") == 1).drop("_rn", "_centroid_sim")
+    return autorelease(out, assigned)

@@ -2364,6 +2364,22 @@ def e9_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dups(e, threshold=0.35, n_planes=2, n_tables=8)
 
 
+@register("e9_semantic_dedup", None)
+def e9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means + within-cluster cosine +
+    keep-farthest-from-centroid — the published semantic-pruning recipe
+    at corpus scale (operators/dedup.py::semantic_dedup). Rows-only
+    (k-means assignment is model-dependent); the invariants — identical
+    vectors collapse, survivor choice, determinism, cross-threshold
+    monotonicity — are pytest-asserted
+    (tests/test_dedup.py::test_semantic_dedup_*)."""
+    e = load_table(spark, sf_dir, "embeddings", parallelize=True)
+    out = dedup.semantic_dedup(
+        e, n_clusters=8, threshold=0.35, seed=42
+    )
+    return out.select("vec_id", "sem_cluster", "dup_group", "members")
+
+
 @register(
     "e13_session_window",
     """
@@ -4362,6 +4378,7 @@ _FINAL_ORDER = [
     "e9_dedup_minhash",
     "e9_dedup_simhash",
     "e9_dedup_embedding_lsh",
+    "e9_semantic_dedup",
     "e10_knn_lsh",
     "e10_knn_ivf",
     "e11_winnowing",

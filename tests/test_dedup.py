@@ -288,3 +288,63 @@ def test_lsh_hot_bucket_engages_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ------------------------------------------------------------- semdedup
+
+
+def _clustered_vectors(spark):
+    """Three well-separated direction groups; within-group cosine ≈ 1,
+    across ≈ 0; ids encode the group for easy asserts."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    bases = np.eye(3)
+    for g in range(3):
+        for i in range(6):
+            v = bases[g] + rng.normal(0, 0.01, 3)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_collapses_near_identical(spark):
+    from feature_store_ml_spark.operators import dedup as D
+
+    df = _clustered_vectors(spark)
+    out = D.semantic_dedup(df, n_clusters=3, threshold=0.99, seed=1)
+    rows = out.collect()
+    # each direction group collapses to ONE survivor representing 6 members
+    assert len(rows) == 3
+    assert sorted(r["members"] for r in rows) == [6, 6, 6]
+    assert {r["vec_id"] // 100 for r in rows} == {0, 1, 2}
+
+
+def test_semantic_dedup_survivor_is_farthest_from_centroid(spark):
+    from feature_store_ml_spark.operators import dedup as D
+    import numpy as np
+
+    # group X: tight bundle + one member farther from the centroid but
+    # still a near-dup of the rest; group Y: orthogonal anchors so k=2
+    # separates directions, not members of X
+    rows = [(i, [1.0, 0.0 + i * 1e-4, 0.0]) for i in range(5)]
+    rows.append((99, [1.0, 0.30, 0.0]))  # same direction, most distant
+    rows += [(200 + j, [0.0, 0.0, 1.0]) for j in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = D.semantic_dedup(df, n_clusters=2, threshold=0.9, seed=1).collect()
+    x_survivors = [r for r in out if r["vec_id"] < 200]
+    assert len(x_survivors) == 1 and x_survivors[0]["vec_id"] == 99  # keep-rule
+
+
+def test_semantic_dedup_orthogonal_kept_and_deterministic(spark):
+    from feature_store_ml_spark.operators import dedup as D
+
+    df = _clustered_vectors(spark)
+    # threshold above within-group noise: nothing links across groups
+    a = sorted(r["vec_id"] for r in D.semantic_dedup(df, n_clusters=3, threshold=0.99).collect())
+    b = sorted(r["vec_id"] for r in D.semantic_dedup(df, n_clusters=3, threshold=0.99).collect())
+    assert a == b, "same seed must be deterministic"
+    # raising the threshold only INCREASES survivors (monotonicity)
+    loose = D.semantic_dedup(df, n_clusters=3, threshold=0.5).count()
+    tight = D.semantic_dedup(df, n_clusters=3, threshold=0.999999).count()
+    assert loose <= 3 <= tight <= 18

@@ -230,10 +230,10 @@ def test_unknown_reader_feature_fails_loud(spark, tmp_path):
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "readerFeatures": ["deletionVectors", "typeWidening"],
             "writerFeatures": [],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         lakehouse.read_delta(spark, root).collect()
 
 
