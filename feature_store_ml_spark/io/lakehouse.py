@@ -239,20 +239,30 @@ def _active_files(path: str) -> list[str]:
     return _replay_log(path)[0]
 
 
-def _column_mapping(meta: dict) -> dict[str, str] | None:
-    """Logical -> physical column-name map when the table uses COLUMN
-    MAPPING (PROTOCOL.md §Column Mapping): parquet files store opaque
-    physical names recorded in each schema field's
-    ``delta.columnMapping.physicalName`` metadata, which is what makes
-    zero-rewrite RENAME possible. None when the table is unmapped.
-    NAME mode only — ID mode (parquet field-id matching) fails loudly."""
+def _mapping_mode(meta: dict) -> str | None:
+    """The table's column-mapping mode: None (unmapped), 'name' (match
+    parquet columns by recorded physicalName) or 'id' (match by parquet
+    field id). Unknown modes fail loudly."""
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
     if not mode or mode == "none":
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(
-            f"column mapping mode {mode!r} is not implemented (name mode only)"
+            f"column mapping mode {mode!r} is not implemented"
         )
+    return mode
+
+
+def _column_mapping(meta: dict) -> dict[str, str] | None:
+    """Logical -> physical column-name map when the table uses COLUMN
+    MAPPING (PROTOCOL.md §Column Mapping) in NAME mode: parquet files
+    store opaque physical names recorded in each schema field's
+    ``delta.columnMapping.physicalName`` metadata, which is what makes
+    zero-rewrite RENAME possible. None when the table is unmapped or in
+    ID mode (handled by field-id matching in the scan instead)."""
+    mode = _mapping_mode(meta)
+    if mode != "name":
+        return None
     schema = json.loads(meta["schemaString"])
     out: dict[str, str] = {}
     for f in schema["fields"]:
@@ -266,10 +276,33 @@ def _column_mapping(meta: dict) -> dict[str, str] | None:
     return out
 
 
+def _field_ids(meta: dict) -> dict[str, int]:
+    """Logical name -> delta.columnMapping.id for an ID-mode table."""
+    schema = json.loads(meta["schemaString"])
+    out: dict[str, int] = {}
+    for f in schema["fields"]:
+        fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"column mapping is 'id' but field {f['name']!r} has no "
+                "columnMapping.id metadata — corrupt table metadata"
+            )
+        out[f["name"]] = int(fid)
+    return out
+
+
 def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Rename a LOGICAL-named frame to the table's physical column names
     before a staging write (no-op for unmapped tables) — data files must
-    always carry physical names or every rename-so-far would corrupt."""
+    always carry physical names or every rename-so-far would corrupt.
+    ID-mode tables refuse: staging would also have to stamp parquet
+    field ids, which this writer does not do — writing name-matched
+    files into an id-matched table would corrupt it silently."""
+    if meta and meta.get("schemaString") and _mapping_mode(meta) == "id":
+        raise NotImplementedError(
+            "writes to an ID-mode column-mapped table are not implemented "
+            "(reads and DV deletes work)"
+        )
     mapping = _column_mapping(meta)
     if not mapping:
         return df
@@ -634,6 +667,7 @@ def _scan_files(
     files: list[str],
     meta: dict,
     adds: dict | None = None,
+    with_metadata: bool = False,
 ) -> DataFrame:
     """Scan a SUBSET of a snapshot's data files with the table's declared
     schema — the one scan primitive every fallback path (full read, MERGE
@@ -643,26 +677,63 @@ def _scan_files(
     a schema evolution backfill the added columns with null (delta-spark's
     semantics) instead of silently adopting the first file's schema.
 
-    Partitioned: partition values live in the Hive directory components,
-    NOT in the parquet files, so the read goes through ``basePath``
-    reconstruction and then casts/reorders the directory-derived columns to
-    the DECLARED schema (directory values are type-inferred and land last).
-    Fail-loud when the layout is not Hive-style — handing back a frame
-    missing the partition columns would be silent corruption.
+    Partitioned: partition values come from Hive directory components via
+    ``basePath`` reconstruction (the single-scan fast path), or — when
+    the layout is NOT Hive-style — from the add actions' authoritative
+    ``partitionValues`` (one scan per distinct tuple, unioned).
+
+    ``with_metadata=True`` materializes the hidden ``_metadata`` struct
+    as a REAL column before any join/union so position-level consumers
+    (DV delete discovery, the change feed's bitmap diff) can keep
+    referencing ``_metadata.file_path``/``row_index`` even on plans where
+    the hidden column is no longer resolvable (unions).
     """
+    from pyspark.sql import functions as F
+
     part_cols = meta.get("partitionColumns") or []
+
+    def _mat(df: DataFrame) -> DataFrame:
+        return df.select("*", F.col("_metadata")) if with_metadata else df
 
     def _dv(df: DataFrame) -> DataFrame:
         if adds and any(a.get("deletionVector") for a in adds.values()):
             return _apply_dv_filter(spark, path, df, files, adds)
         return df
 
+    def _keep_meta(cols: list) -> list:
+        return cols + [F.col("_metadata")] if with_metadata else cols
+
     mapping = _column_mapping(meta) if meta.get("schemaString") else None
+    mode = _mapping_mode(meta) if meta.get("schemaString") else None
+    if mode == "id" and part_cols:
+        raise NotImplementedError(
+            f"{path}: ID-mode column mapping on a PARTITIONED table is "
+            "not implemented"
+        )
     if not part_cols:
         if meta.get("schemaString"):
             from pyspark.sql.types import StructField, StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            if mode == "id":
+                # ID mode: parquet columns match by FIELD ID, not name —
+                # hand Spark the logical schema with parquet.field.id
+                # metadata and let its field-id resolution do the match
+                # (physical names in the files are irrelevant)
+                fids = _field_ids(meta)
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+                with_ids = StructType(
+                    [
+                        StructField(
+                            f.name,
+                            f.dataType,
+                            f.nullable,
+                            {"parquet.field.id": fids[f.name]},
+                        )
+                        for f in declared.fields
+                    ]
+                )
+                return _dv(_mat(spark.read.schema(with_ids).parquet(*files)))
             if mapping:
                 # files carry PHYSICAL names: read with the physical
                 # schema, mask DVs, then project back to logical names
@@ -672,17 +743,17 @@ def _scan_files(
                         for f in declared.fields
                     ]
                 )
-                from pyspark.sql import functions as F
-
-                df = _dv(spark.read.schema(physical).parquet(*files))
+                df = _dv(_mat(spark.read.schema(physical).parquet(*files)))
                 return df.select(
-                    *[
-                        F.col(mapping[f.name]).alias(f.name)
-                        for f in declared.fields
-                    ]
+                    *_keep_meta(
+                        [
+                            F.col(mapping[f.name]).alias(f.name)
+                            for f in declared.fields
+                        ]
+                    )
                 )
-            return _dv(spark.read.schema(declared).parquet(*files))
-        return _dv(spark.read.parquet(*files))
+            return _dv(_mat(spark.read.schema(declared).parquet(*files)))
+        return _dv(_mat(spark.read.parquet(*files)))
     # partition DIRECTORIES (and the values reconstructed from them) carry
     # PHYSICAL names on a column-mapped table — files never change when a
     # column is renamed, and neither do the dirs they sit in
@@ -696,12 +767,18 @@ def _scan_files(
         if len(r.split(os.sep)) > len(phys_parts)
     ) and all(len(r.split(os.sep)) > len(phys_parts) for r in rel)
     if not hive_style:
-        raise NotImplementedError(
-            f"{path}: partitioned Delta table ({part_cols}) without "
-            "Hive-style directory layout — the fallback cannot reconstruct "
-            "partition columns; read with delta-spark on the classpath"
+        # per the protocol the add actions' partitionValues are
+        # AUTHORITATIVE — Hive-style dir naming is only a convention.
+        # Reconstruct from the log: group the scanned files by partition
+        # tuple, read each group with the data schema plus its tuple as
+        # literals, and union. One scan-plan per DISTINCT tuple among the
+        # scanned files — fine into the thousands of partitions; the
+        # basePath fast path below handles the conventional layout in a
+        # single scan.
+        return _scan_non_hive(
+            spark, path, files, meta, adds, mapping, part_cols, with_metadata
         )
-    df = _dv(spark.read.option("basePath", path).parquet(*files))
+    df = _dv(_mat(spark.read.option("basePath", path).parquet(*files)))
     # align column order and partition-column types with the declared
     # schema (directory-derived values are type-INFERRED and land at the
     # end), projecting physical -> logical names when mapped
@@ -709,20 +786,106 @@ def _scan_files(
         schema = json.loads(meta["schemaString"])
         names = [f["name"] for f in schema["fields"]]
         types = {f["name"]: f["type"] for f in schema["fields"]}
-        from pyspark.sql import functions as F
 
         return df.select(
-            *[
-                F.col((mapping or {}).get(c, c)).cast(types[c]).alias(c)
-                if c in part_cols and isinstance(types[c], str)
-                else F.col((mapping or {}).get(c, c)).alias(c)
-                for c in names
-            ]
+            *_keep_meta(
+                [
+                    F.col((mapping or {}).get(c, c)).cast(types[c]).alias(c)
+                    if c in part_cols and isinstance(types[c], str)
+                    else F.col((mapping or {}).get(c, c)).alias(c)
+                    for c in names
+                ]
+            )
         )
     except (KeyError, ValueError, TypeError):
         if mapping:
             raise  # a mapped table MUST project back to logical names
         return df
+
+
+def _scan_non_hive(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    meta: dict,
+    adds: dict | None,
+    mapping: dict[str, str] | None,
+    part_cols: list[str],
+    with_metadata: bool = False,
+) -> DataFrame:
+    """Partitioned scan for NON-Hive directory layouts: partition values
+    come from the add actions (the protocol's source of truth), not the
+    paths. Files sharing a partition tuple share one scan; per-group DV
+    masks apply before the union; data columns project physical→logical
+    when the table is column-mapped."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    if not adds:
+        raise ValueError(
+            f"{path}: non-Hive partitioned scan needs the snapshot's add "
+            "actions to recover partitionValues"
+        )
+    schema = json.loads(meta["schemaString"])
+    declared = StructType.fromJson(schema)
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    data_fields = [f for f in declared.fields if f.name not in part_cols]
+    physical = StructType(
+        [
+            StructField((mapping or {}).get(f.name, f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
+    groups: dict[tuple, list[str]] = {}
+    pv_by_key: dict[tuple, dict] = {}
+    for f in files:
+        relp = os.path.relpath(f, path).replace(os.sep, "/")
+        a = adds.get(relp)
+        if a is None:
+            raise ValueError(f"{path}: no add action for scanned file {relp}")
+        pv = a.get("partitionValues") or {}
+        # null-safe, order-stable group key ('' marks null, '=' prefixes
+        # real values so null and empty-string stay distinct)
+        key = tuple(
+            sorted((k, "" if v is None else "=" + v) for k, v in pv.items())
+        )
+        groups.setdefault(key, []).append(f)
+        pv_by_key[key] = pv
+    branches = []
+    for key, group_files in sorted(groups.items()):
+        g = spark.read.schema(physical).parquet(*group_files)
+        if with_metadata:
+            # materialize BEFORE the union — the hidden column is not
+            # resolvable afterwards
+            g = g.select("*", F.col("_metadata"))
+        group_adds = {
+            os.path.relpath(f, path).replace(os.sep, "/"): adds[
+                os.path.relpath(f, path).replace(os.sep, "/")
+            ]
+            for f in group_files
+        }
+        if any(a.get("deletionVector") for a in group_adds.values()):
+            g = _apply_dv_filter(spark, path, g, group_files, group_adds)
+        pv = pv_by_key[key]
+        for c in part_cols:
+            phys_c = (mapping or {}).get(c, c)
+            raw = pv.get(phys_c, pv.get(c))
+            t = types[c] if isinstance(types.get(c), str) else "string"
+            g = g.withColumn(
+                phys_c,
+                F.lit(raw).cast(t) if raw is not None else F.lit(None).cast(t),
+            )
+        branches.append(g)
+    df = reduce(lambda a, b: a.unionByName(b), branches)
+    out_cols = [
+        F.col((mapping or {}).get(f["name"], f["name"])).alias(f["name"])
+        for f in schema["fields"]
+    ]
+    if with_metadata:
+        out_cols.append(F.col("_metadata"))
+    return df.select(*out_cols)
 
 
 def _promote_staged(
@@ -2191,7 +2354,7 @@ def delete_delta(
     # distributed predicate evaluation over the DV-filtered scan (rows
     # already deleted can't match twice); only matching (file, row) pairs
     # reach the driver — the material the bitmaps are MADE of
-    scan = _scan_files(spark, path, files, meta, adds_map)
+    scan = _scan_files(spark, path, files, meta, adds_map, with_metadata=True)
     matched = (
         scan.withColumn("_fp", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
@@ -2596,7 +2759,7 @@ def read_delta_cdf(
             del_pairs, "_dv_fp string, _dv_ri long, _commit_version long"
         )
         del_files = sorted({f for _, f, _ in deletes})
-        scan = _scan_files(spark, path, del_files, meta)
+        scan = _scan_files(spark, path, del_files, meta, with_metadata=True)
         tagged = scan.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
             "_ri", F.col("_metadata.row_index")
         )
@@ -2607,7 +2770,7 @@ def read_delta_cdf(
                 "inner",
             )
             .withColumn("_change_type", F.lit("delete"))
-            .drop("_fp", "_ri", "_dv_fp", "_dv_ri")
+            .drop("_fp", "_ri", "_dv_fp", "_dv_ri", "_metadata")
         )
         cols = [c for c in dead.columns if c not in ("_change_type", "_commit_version")]
         parts.append(dead.select(*cols, "_change_type", "_commit_version"))

@@ -224,12 +224,18 @@ def test_partitioned_delta_reconstructs_partition_column(spark, tmp_path):
     assert got == {(i, 1) for i in range(10, 15)} | {(i, 2) for i in range(20, 25)}
 
 
-def test_partitioned_delta_non_hive_layout_fails_loud(spark, tmp_path):
+def test_partitioned_delta_non_hive_layout_reads(spark, tmp_path):
+    """Formerly a fail-loud gap: partitionValues on the add actions are
+    the protocol's source of truth, so a non-Hive layout (arbitrary dir
+    names) must read identically to the Hive one."""
     root = _make_partitioned_delta_table(
         spark, str(tmp_path / "nh"), hive_layout=False
     )
-    with pytest.raises(NotImplementedError, match="partition"):
-        lakehouse.read_delta(spark, root)
+    df = lakehouse.read_delta(spark, root)
+    assert df.columns == ["id", "v", "day"]
+    assert df.schema["day"].dataType.typeName() == "integer"
+    got = {(r.id, r.day) for r in df.collect()}
+    assert got == {(i, 1) for i in range(10, 15)} | {(i, 2) for i in range(20, 25)}
 
 
 def test_read_table_auto_sniffs_format(spark, tmp_path, sf_dir):
@@ -1176,3 +1182,76 @@ def test_checkpoint_partitioned_table_preserves_partition_values(spark, tmp_path
     assert {(r.id, r.grp) for r in back.collect()} == {
         (i, "ab"[i % 2]) for i in range(10)
     }
+
+
+# --------------------------------------------------- non-Hive layouts ----
+
+
+def _flat_partitioned_table(spark, root, with_dv_target=False):
+    """A partitioned Delta table whose data files sit FLAT in the table
+    root (no col=value dirs) — partitionValues live only in the log, the
+    layout some writers (and object-store renames) produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "p", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+        ],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "flat-1", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json, "partitionColumns": ["p"],
+                      "configuration": {}, "createdTime": 0}},
+    ]
+    for part in (0, 1, 2):
+        name = f"flat-{part}.parquet"
+        pq.write_table(
+            pa.table({"v": pa.array([part * 10 + i for i in range(5)], pa.int64())}),
+            os.path.join(root, name),
+        )
+        actions.append({"add": {
+            "path": name, "partitionValues": {"p": str(part)},
+            "size": os.path.getsize(os.path.join(root, name)),
+            "modificationTime": 0, "dataChange": True,
+        }})
+    # a NULL partition too
+    pq.write_table(
+        pa.table({"v": pa.array([99], pa.int64())}), os.path.join(root, "flat-null.parquet")
+    )
+    actions.append({"add": {
+        "path": "flat-null.parquet", "partitionValues": {"p": None},
+        "size": os.path.getsize(os.path.join(root, "flat-null.parquet")),
+        "modificationTime": 0, "dataChange": True,
+    }})
+    _write_commit(log, 0, actions)
+    return root
+
+
+def test_non_hive_partition_layout_reads_from_partition_values(spark, tmp_path):
+    root = _flat_partitioned_table(spark, str(tmp_path / "flat"))
+    df = lakehouse.read_delta(spark, root)
+    assert sorted(df.columns) == ["p", "v"]
+    got = {(r["p"], r["v"]) for r in df.collect()}
+    assert (0, 3) in got and (2, 24) in got and (None, 99) in got
+    assert len(got) == 16
+    assert df.where("p = 1").count() == 5
+    assert df.where("p IS NULL").count() == 1
+    # partition-column type follows the declared schema (int, not string)
+    assert dict(df.dtypes)["p"] == "int"
+
+
+def test_non_hive_layout_with_dv_delete(spark, tmp_path):
+    root = _flat_partitioned_table(spark, str(tmp_path / "flatdv"))
+    lakehouse.delete_delta(spark, root, "v = 13")
+    df = lakehouse.read_delta(spark, root)
+    assert df.count() == 15 and df.where("v = 13").count() == 0
+    # skipping by partition value still engages (no dirs involved)
+    rep = lakehouse.skipping_report(root, "p = 2")
+    assert rep["kept_files"] < rep["total_files"]

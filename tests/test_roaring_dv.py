@@ -319,17 +319,63 @@ def test_rename_then_delete_vectors_compose(spark, tmp_path):
     assert got == [i for i in range(20) if i % 4 != 1]
 
 
-def test_id_mapping_mode_fails_loud(spark, tmp_path):
-    root = str(tmp_path / "cm")
-    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
-    _, meta = lakehouse._replay_log_adds(root)
-    log = os.path.join(root, "_delta_log")
-    meta2 = dict(meta)
-    meta2["configuration"] = {"delta.columnMapping.mode": "id"}
-    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
-        fh.write(json.dumps({"metaData": meta2}) + "\n")
-    with pytest.raises(NotImplementedError, match="name mode only"):
-        lakehouse.read_delta(spark, root).collect()
+def test_id_mapping_mode_reads_by_field_id(spark, tmp_path):
+    """ID-mode column mapping (formerly fail-loud): parquet columns match
+    by FIELD ID, not by name. The fixture's file stores columns under
+    SWAPPED physical names — only id-matching returns the right values —
+    and writes refuse (staging doesn't stamp field ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "idm")
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    # physical names deliberately CROSSED vs the logical schema: the file
+    # calls the a-data "col_b" and the b-data "col_a"
+    t = pa.table({
+        "col_b": pa.array([10, 20, 30], pa.int64()),
+        "col_a": pa.array(["x", "y", "z"], pa.string()),
+    })
+    t = t.cast(pa.schema([
+        pa.field("col_b", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("col_a", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+    ]))
+    pq.write_table(t, os.path.join(root, "f0.parquet"))
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col_b"}},
+            {"name": "b", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col_a"}},
+        ],
+    })
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for action in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "idm-1", "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_json, "partitionColumns": [],
+                          "configuration": {"delta.columnMapping.mode": "id"},
+                          "createdTime": 0}},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(os.path.join(root, "f0.parquet")),
+                     "modificationTime": 0, "dataChange": True}},
+        ]:
+            fh.write(json.dumps(action) + "\n")
+    df = lakehouse.read_delta(spark, root)
+    assert df.columns == ["a", "b"]
+    got = sorted((r["a"], r["b"]) for r in df.collect())
+    assert got == [(10, "x"), (20, "y"), (30, "z")]
+    # DV delete composes (no file rewrite), append refuses
+    lakehouse.delete_delta(spark, root, "a = 20")
+    assert sorted(r["a"] for r in lakehouse.read_delta(spark, root).collect()) == [10, 30]
+    with pytest.raises(NotImplementedError, match="ID-mode"):
+        lakehouse.write_delta(
+            spark, spark.range(1).select(F.col("id").alias("a"),
+                                         F.lit("q").alias("b")),
+            root, mode="append",
+        )
 
 
 # ----------------------------------------------------- CHECK constraints ----
