@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "iceberg_snapshots",
     "iceberg_files",
+    "iceberg_partitions",
     "iceberg_history",
     "delta_detail",
     "delta_files",
@@ -100,6 +101,27 @@ def iceberg_files(spark: SparkSession, path: str, snapshot_id: int | None = None
         "file_size_in_bytes long, sequence_number long, partition string"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def iceberg_partitions(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``$partitions`` metadata table: per-partition rollup of the
+    files view — (partition JSON, file_count, record_count, total_bytes).
+    The operational view behind compaction targeting (small-file pressure
+    concentrates in hot partitions) and skew diagnosis."""
+    from pyspark.sql import functions as F
+
+    files = iceberg_files(spark, path, snapshot_id=snapshot_id)
+    return (
+        files.where(F.col("content") == "data")
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_in_bytes").alias("total_bytes"),
+        )
+    )
 
 
 def iceberg_history(spark: SparkSession, path: str) -> DataFrame:

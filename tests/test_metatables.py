@@ -139,3 +139,17 @@ def test_remove_orphan_files_keeps_history_referenced(spark, tmp_path):
     snaps = metatables.iceberg_snapshots(spark, root).orderBy("snapshot_id").collect()
     old = iceberg.read_iceberg(spark, root, snapshot_id=snaps[0]["snapshot_id"])
     assert old.count() == 10
+
+
+def test_iceberg_partitions_rollup(spark, tmp_path):
+    root = str(tmp_path / "pr")
+    df = spark.range(0, 120).select(
+        (F.col("id") % 3).cast("long").alias("p"), F.col("id").alias("v")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, partition_by=["p"])
+    parts = metatables.iceberg_partitions(spark, root).collect()
+    assert len(parts) == 3
+    assert all(r["record_count"] == 40 for r in parts)
+    assert all(r["file_count"] >= 1 and r["total_bytes"] > 0 for r in parts)
+    keys = {r["partition"] for r in parts}
+    assert keys == {'{"p": 0}', '{"p": 1}', '{"p": 2}'}
