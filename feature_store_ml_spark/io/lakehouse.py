@@ -1607,10 +1607,31 @@ def cleanup_delta_log(path: str) -> list[str]:
         if (n.endswith(".json") and n[:20].isdigit() and int(n[:20]) <= ckpt_version)
         or (
             ".checkpoint." in n
-            and n.endswith(".parquet")
+            and (n.endswith(".parquet") or n.endswith(".json"))
             and os.path.join(log, n) not in ckpt_files
         )
     ]
+    # sidecars referenced by the RETAINED checkpoint manifests stay;
+    # anything else under _sidecars is debris from superseded v2
+    # checkpoints and would otherwise accumulate forever
+    side_dir = os.path.join(log, "_sidecars")
+    if os.path.isdir(side_dir):
+        import pyarrow.parquet as pq
+
+        live_sidecars: set[str] = set()
+        for f in ckpt_files:
+            if f.endswith(".json"):
+                with open(f, encoding="utf-8") as fh:
+                    rows = [json.loads(line) for line in fh if line.strip()]
+            else:
+                rows = pq.read_table(f).to_pylist()
+            for row in rows:
+                sc = row.get("sidecar")
+                if sc and sc.get("path"):
+                    live_sidecars.add(os.path.basename(sc["path"]))
+        for n in os.listdir(side_dir):
+            if n not in live_sidecars:
+                doomed.append(os.path.join("_sidecars", n))
     for n in doomed:
         os.remove(os.path.join(log, n))
     return sorted(doomed)

@@ -134,3 +134,21 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="weirdFeature"):
         lakehouse.read_delta(spark, root)
+
+
+def test_cleanup_collects_superseded_v2_manifests_and_sidecars(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    lakehouse.checkpoint_delta(root, v2=True)
+    lakehouse.write_delta(
+        spark, spark.range(300, 310).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        root, mode="append",
+    )
+    lakehouse.checkpoint_delta(root, v2=True)
+    log = os.path.join(root, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    assert len(os.listdir(side_dir)) == 2  # two checkpoints, two sidecars
+    removed = lakehouse.cleanup_delta_log(root)
+    assert any(r.startswith("_sidecars/") for r in removed)
+    assert len(os.listdir(side_dir)) == 1  # only the retained one
+    assert len([n for n in os.listdir(log) if ".checkpoint." in n]) == 1
+    assert lakehouse.read_delta(spark, root).count() == 130
