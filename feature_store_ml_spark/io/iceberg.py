@@ -525,35 +525,57 @@ _PARTITION_PARSERS = {"int": int, "long": int, "string": str}
 _M32 = 0xFFFFFFFF
 
 
-def murmur3_32_long(v: int) -> int:
-    """32-bit Murmur3 (x86, seed 0) of a long's 8-byte little-endian
-    serialization — Iceberg's bucket-transform hash (Appendix B; int,
-    long, date, time and timestamp all hash through this long form).
-    Matches the spec's published vector: hashLong(34) == 2017239379."""
+def murmur3_32_bytes(data: bytes) -> int:
+    """32-bit Murmur3 (x86, seed 0) over arbitrary bytes — the reference
+    implementation both JVM expression forms are verified against.
+    Matches the spec's published vectors: the 8-byte LE form of 34 hashes
+    to 2017239379; UTF-8 'iceberg' hashes to 1210000089."""
     import struct
 
-    data = struct.pack("<Q", v & 0xFFFFFFFFFFFFFFFF)
     c1, c2 = 0xCC9E2D51, 0x1B873593
     h = 0
 
     def rotl(x: int, r: int) -> int:
         return ((x << r) | (x >> (32 - r))) & _M32
 
-    for i in (0, 4):
-        k = struct.unpack_from("<I", data, i)[0]
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = struct.unpack_from("<I", data, i * 4)[0]
         k = (k * c1) & _M32
         k = rotl(k, 15)
         k = (k * c2) & _M32
         h ^= k
         h = rotl(h, 13)
         h = (h * 5 + 0xE6546B64) & _M32
-    h ^= 8  # length
+    tail = data[nblocks * 4:]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * c1) & _M32
+        k = rotl(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= len(data)
     h ^= h >> 16
     h = (h * 0x85EBCA6B) & _M32
     h ^= h >> 13
     h = (h * 0xC2B2AE35) & _M32
     h ^= h >> 16
     return h
+
+
+def murmur3_32_long(v: int) -> int:
+    """Murmur3 of a long's 8-byte little-endian serialization — the form
+    int, long, date, time and timestamp all bucket through (Appendix B)."""
+    import struct
+
+    return murmur3_32_bytes(struct.pack("<Q", v & 0xFFFFFFFFFFFFFFFF))
+
+
+def murmur3_32_string(s: str) -> int:
+    """Murmur3 of a string's UTF-8 bytes (Appendix B's string form)."""
+    return murmur3_32_bytes(s.encode("utf-8"))
 
 
 def _murmur3_long_col(col):
@@ -612,11 +634,88 @@ def _murmur3_long_col(col):
     return F.aggregate(blocks, F.lit(0).cast("long"), _round, _avalanche)
 
 
+def _murmur3_string_col(col):
+    """Murmur3 of a string's UTF-8 bytes as a Spark COLUMN — the
+    VARIABLE-length hash, still entirely JVM-side: the value is hex-encoded
+    (two chars per byte), 4-byte blocks fold through ``F.aggregate``
+    (lambda let-bindings keep the tree constant-size, as in the long
+    form), and the 0–3 tail bytes + length-xor + avalanche run in the
+    finish lambda with conditionals. Byte extraction is
+    ``conv(substr(hex, 2i+1, 2), 16, 10)`` — string surgery the codegen
+    handles fine. NULL hashes to NULL (transform(null) = null partition)."""
+    from pyspark.sql import functions as F
+
+    M = F.lit(_M32)
+
+    def mul32(a, c):
+        al = a.bitwiseAND(F.lit(0xFFFF))
+        ah = F.shiftright(a, 16)
+        return (
+            (al * F.lit(c))
+            + F.shiftleft((ah * F.lit(c)).bitwiseAND(F.lit(0xFFFF)), 16)
+        ).bitwiseAND(M)
+
+    def rotl(a, r):
+        return (
+            F.shiftleft(a, r).bitwiseOR(F.shiftright(a, 32 - r))
+        ).bitwiseAND(M)
+
+    hexs = F.hex(F.encode(col, "UTF-8"))
+    nbytes = (F.length(hexs) / F.lit(2)).cast("long")
+    nblocks = F.floor(nbytes / F.lit(4)).cast("long")
+
+    def byte_at(i):
+        # i: 0-based byte index (Column) -> that byte's value as a long
+        return F.conv(
+            hexs.substr((i * F.lit(2) + F.lit(1)).cast("int"), F.lit(2)), 16, 10
+        ).cast("long")
+
+    def _round(h, j):
+        base = j * F.lit(4)
+        k = (
+            byte_at(base)
+            + F.shiftleft(byte_at(base + F.lit(1)), 8)
+            + F.shiftleft(byte_at(base + F.lit(2)), 16)
+            + F.shiftleft(byte_at(base + F.lit(3)), 24)
+        )
+        k = mul32(k, 0xCC9E2D51)
+        k = rotl(k, 15)
+        k = mul32(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = rotl(h, 13)
+        return (mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(M)
+
+    def _finish(h):
+        t = nbytes - nblocks * F.lit(4)  # 0..3 tail bytes
+        tb = nblocks * F.lit(4)
+        k1 = (
+            F.when(t > 0, byte_at(tb)).otherwise(F.lit(0))
+            + F.when(t > 1, F.shiftleft(byte_at(tb + F.lit(1)), 8)).otherwise(F.lit(0))
+            + F.when(t > 2, F.shiftleft(byte_at(tb + F.lit(2)), 16)).otherwise(F.lit(0))
+        )
+        k1 = mul32(k1, 0xCC9E2D51)
+        k1 = rotl(k1, 15)
+        k1 = mul32(k1, 0x1B873593)
+        h = F.when(t > 0, h.bitwiseXOR(k1)).otherwise(h)
+        h = h.bitwiseXOR(nbytes)
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = mul32(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = mul32(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    blocks = F.when(
+        nblocks > 0,
+        F.sequence(F.lit(0).cast("long"), nblocks - F.lit(1)),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.aggregate(blocks, F.lit(0).cast("long"), _round, _finish)
+
+
 #: source iceberg types each transform accepts
 _TIME_TRANSFORM_SOURCES = {"date", "timestamp", "timestamptz"}
 # timestamp_ntz is excluded from bucket: its hash key is the wall-clock
 # micros, which Spark can't derive timezone-independently as a column
-_BUCKET_SOURCES = {"int", "long", "date", "timestamptz"}
+_BUCKET_SOURCES = {"int", "long", "date", "timestamptz", "string"}
 _TRUNCATE_SOURCES = {"int", "long", "string"}
 
 def parse_partition_field(spec: str) -> dict:
@@ -723,11 +822,12 @@ def _derive_partition_col(f: dict, ice_source_type: str):
     if t == "bucket":
         if ice_source_type not in _BUCKET_SOURCES:
             raise NotImplementedError(
-                f"bucket() over {ice_source_type!r} is not implemented "
-                "(int/long/date/timestamp only — string buckets need the "
-                "variable-length murmur3, which has no JVM-side expression "
-                "form here)"
+                f"bucket() over {ice_source_type!r} is not implemented"
             )
+        if ice_source_type == "string":
+            return F.pmod(
+                _murmur3_string_col(col).bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(p)
+            ).cast("int"), "int"
         if ice_source_type == "date":
             key = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
         elif ice_source_type == "timestamptz":
@@ -1480,17 +1580,23 @@ def _prune_data_entries(
             return v, v + w - 1
         return None, None  # bucket: no interval form (handled separately)
 
-    def _bucket_key(litval, domain: str):
-        """The long Iceberg's bucket hash consumes for a coerced literal."""
+    def _bucket_hash(litval, domain: str):
+        """The Iceberg bucket hash of a coerced literal (the unsigned
+        murmur value pre-modulo), or None when un-hashable."""
         import datetime as dt
 
+        if domain == "str":
+            return murmur3_32_string(litval)
         if domain == "num":
-            return litval if isinstance(litval, int) else None
+            return murmur3_32_long(litval) if isinstance(litval, int) else None
         if domain == "date":
-            return (litval - dt.date(1970, 1, 1)).days
+            return murmur3_32_long((litval - dt.date(1970, 1, 1)).days)
         if domain == "ts":
             delta = litval - dt.datetime(1970, 1, 1)
-            return (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            micros = (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+            return murmur3_32_long(micros)
         return None
 
     def _bucket_may_match(d: dict) -> bool:
@@ -1516,12 +1622,12 @@ def _prune_data_entries(
                     from . import skipping as _sk
 
                     c = _sk._coerce(lt[0], lt[1], spark_t)
-                    key = _bucket_key(c[0], c[1]) if c else None
-                    if key is None:
+                    hv = _bucket_hash(c[0], c[1]) if c else None
+                    if hv is None:
                         verdicts.append(True)  # un-hashable literal: keep
                         continue
                     verdicts.append(
-                        (murmur3_32_long(key) & 0x7FFFFFFF) % pf["param"] == bucket_v
+                        (hv & 0x7FFFFFFF) % pf["param"] == bucket_v
                     )
                 if not any(verdicts):
                     return False

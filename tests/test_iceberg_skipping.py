@@ -347,11 +347,49 @@ def test_compaction_preserves_transform_layout(spark, tmp_path):
     assert rep["kept_files"] < max(rep["total_files"], 2) or rep["total_files"] == 1
 
 
-def test_string_bucket_fails_loud(spark, tmp_path):
+def test_string_bucket_write_and_prune(spark, tmp_path):
+    """bucket(N, string_col): the variable-length murmur3 as a JVM
+    expression — spec vector pinned, partition values match the python
+    reference per file, equality predicates prune by re-hashing."""
+    assert iceberg.murmur3_32_string("iceberg") == 1210000089  # spec vector
     root = str(tmp_path / "sb")
-    df = spark.range(5).select(F.col("id").cast("string").alias("s"))
-    with pytest.raises(NotImplementedError, match="bucket"):
-        iceberg.write_iceberg(spark, df, root, partition_by=["bucket(4, s)"])
+    df = spark.range(0, 300).select(
+        F.concat(F.lit("user_"), (F.col("id") % 40).cast("string")).alias("s"),
+        F.col("id").alias("v"),
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2,
+                          partition_by=["bucket(8, s)"])
+    # every file's bucket value matches the reference hash of its rows
+    import pyarrow.parquet as pq
+    for e in _manifest_entries(root):
+        want = e["data_file"]["partition"]["s_bucket"]
+        f = iceberg._localize(e["data_file"]["file_path"], root)
+        ss = pq.read_table(f, columns=["s"]).column("s").to_pylist()
+        assert all(
+            (iceberg.murmur3_32_string(x) & 0x7FFFFFFF) % 8 == want for x in ss
+        )
+    pred = "s = 'user_17'"
+    rep = iceberg.iceberg_scan_report(root, pred)
+    assert rep["kept_files"] < rep["total_files"]
+    got = iceberg.read_iceberg(spark, root, where=pred)
+    assert got.count() == 8 and got.select("s").distinct().count() == 1  # ids 17,57,...,297
+    # IN across two buckets
+    got2 = iceberg.read_iceberg(spark, root, where="s IN ('user_3', 'user_21')")
+    assert got2.count() == 15 and got2.select("s").distinct().count() == 2
+
+
+def test_string_murmur_jvm_matches_reference(spark):
+    vals = ["", "a", "ab", "abc", "abcd", "abcde", "iceberg",
+            "h\u00e9llo w\u00f6rld", "\u65e5\u672c\u8a9e", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", iceberg._murmur3_string_col(F.col("s")).alias("h")
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == iceberg.murmur3_32_string(v), repr(v)
 
 
 def test_non_utc_session_fails_open_on_ltz(spark, tmp_path):
