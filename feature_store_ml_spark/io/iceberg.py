@@ -713,9 +713,7 @@ def _murmur3_string_col(col):
 
 #: source iceberg types each transform accepts
 _TIME_TRANSFORM_SOURCES = {"date", "timestamp", "timestamptz"}
-# timestamp_ntz is excluded from bucket: its hash key is the wall-clock
-# micros, which Spark can't derive timezone-independently as a column
-_BUCKET_SOURCES = {"int", "long", "date", "timestamptz", "string"}
+_BUCKET_SOURCES = {"int", "long", "date", "timestamp", "timestamptz", "string"}
 _TRUNCATE_SOURCES = {"int", "long", "string"}
 
 def parse_partition_field(spec: str) -> dict:
@@ -832,6 +830,19 @@ def _derive_partition_col(f: dict, ice_source_type: str):
             key = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
         elif ice_source_type == "timestamptz":
             key = F.unix_micros(col)
+        elif ice_source_type == "timestamp":
+            # ntz buckets its WALL-CLOCK micros: calendar functions on an
+            # ntz value are timezone-independent, and date_format SSSSSS
+            # surfaces the microsecond fraction — no unix_* involved
+            days = F.datediff(
+                F.to_date(col), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+            key = (
+                days * F.lit(86_400)
+                + F.hour(col) * F.lit(3_600)
+                + F.minute(col) * F.lit(60)
+                + F.second(col)
+            ) * F.lit(1_000_000) + F.date_format(col, "SSSSSS").cast("long")
         else:
             key = col.cast("long")
         return F.pmod(

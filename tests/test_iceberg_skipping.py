@@ -407,3 +407,34 @@ def test_non_utc_session_fails_open_on_ltz(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert len(sk.tz_safe_conjuncts(conj, types)) == 2  # UTC again: all kept
+
+
+def test_ntz_timestamp_bucket_write_and_prune(spark, tmp_path):
+    """bucket(N, ntz): wall-clock micros key, timezone-independent —
+    per-file partition values match the python reference and a point
+    predicate prunes by re-hashing the literal."""
+    root = str(tmp_path / "ntzb")
+    df = spark.range(0, 200).select(
+        (
+            F.lit(datetime.datetime(2024, 1, 1))
+            + F.make_interval(mins=F.col("id") % 24, secs=F.col("id") % 7)
+        ).cast("timestamp_ntz").alias("ts"),
+        F.col("id").alias("v"),
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2,
+                          partition_by=["bucket(8, ts)"])
+    import pyarrow.parquet as pq
+    epoch = datetime.datetime(1970, 1, 1)
+    for e in _manifest_entries(root):
+        want = e["data_file"]["partition"]["ts_bucket"]
+        f = iceberg._localize(e["data_file"]["file_path"], root)
+        for t in pq.read_table(f, columns=["ts"]).column("ts").to_pylist():
+            d = t - epoch
+            micros = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            assert (iceberg.murmur3_32_long(micros) & 0x7FFFFFFF) % 8 == want
+    pred = "ts = TIMESTAMP '2024-01-01 00:05:05'"  # id pattern: min 5, sec 5
+    rep = iceberg.iceberg_scan_report(root, pred)
+    assert rep["kept_files"] < rep["total_files"]
+    got = iceberg.read_iceberg(spark, root, where=pred)
+    expect = iceberg.read_iceberg(spark, root).filter(pred).count()
+    assert got.count() == expect > 0
