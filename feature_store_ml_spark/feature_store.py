@@ -174,6 +174,7 @@ class FeatureStore:
         name: str,
         entities: DataFrame,
         run_version: int | None = None,
+        max_entities: int = 100_000,
     ) -> int:
         """ENTITY ERASURE — the GDPR/right-to-be-forgotten primitive a
         feature store must have: remove every stored feature row for the
@@ -193,7 +194,19 @@ class FeatureStore:
                 f"exactly the key columns {list(g.keys)} (got {entities.columns})"
             )
         path = g.table_path(self.root)
-        rows = entities.distinct().collect()
+        # the entity set is collected to build the delete predicate — cap
+        # it FAIL-LOUD (mirrors cosine_topk_pandas.max_queries) so an
+        # unbounded keys frame can't OOM the driver; erasure requests
+        # name entities, they do not stream millions. The per-row DELETE
+        # underneath is executor-side regardless (delete_delta builds
+        # bitmaps on executors), so the cap governs predicate size only.
+        rows = entities.distinct().limit(max_entities + 1).collect()
+        if len(rows) > max_entities:
+            raise ValueError(
+                f"feature group {name!r}: retraction set exceeds "
+                f"max_entities={max_entities}; split the erasure into "
+                "batches or raise max_entities explicitly"
+            )
         if not rows:
             raise ValueError(f"feature group {name!r}: empty retraction set")
         # keys-in-set predicate (retraction sets are small — an erasure

@@ -1561,6 +1561,15 @@ def _prune_data_entries(
     def _transform_bounds(pf: dict, v):
         """(lo, hi) SOURCE-column bounds implied by one partition value —
         JSON-style values for the shared evaluator; None bound = unknown."""
+        try:
+            return _transform_bounds_unguarded(pf, v)
+        except (ValueError, OverflowError, TypeError):
+            # corrupt / far-future partition value (e.g. a year ordinal
+            # outside datetime's range): fail OPEN — unknown bounds keep
+            # the file, matching the pruner's conservative contract
+            return None, None
+
+    def _transform_bounds_unguarded(pf: dict, v):
         import datetime as dt
 
         t, w, src_t = pf["transform"], pf["param"], ice_type.get(pf["source"])
@@ -1979,11 +1988,12 @@ def _prepare_delete(path: str) -> tuple[dict, int, int, int]:
 
 
 def _delete_manifest_entry(
-    meta_dir: str, snap_id: int, seq: int, del_file: str, n_rows: int,
+    meta_dir: str, snap_id: int, seq: int, del_files: list[tuple[str, int]],
     equality_ids: list[int] | None,
 ) -> dict:
-    """Write the one-entry DELETE manifest (content=1 position / content=2
-    equality) and return its manifest-list entry."""
+    """Write the DELETE manifest (content=1 position / content=2 equality;
+    one entry per delete file — a distributed delete write may emit
+    several) and return its manifest-list entry."""
     import uuid
 
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-d0.avro")
@@ -2004,6 +2014,7 @@ def _delete_manifest_entry(
                     "equality_ids": equality_ids,
                 },
             }
+            for del_file, n_rows in del_files
         ],
     )
     return {
@@ -2043,33 +2054,52 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     from pyspark.sql import functions as F
 
     prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
-    matched = (
+    # DISTRIBUTED position-delete write: the matched (file_path, pos)
+    # pairs never reach the driver — Spark range-partitions them by
+    # (file_path, pos) and writes each slice sorted (the spec's required
+    # order holds per delete file AND globally across them). AQE
+    # coalesces a small delete to one output file; a mass delete (GDPR
+    # erasure of a heavy entity on a 100 TB table) fans out. The driver
+    # reads only O(#delete files) parquet footers for record counts.
+    import shutil
+
+    matched_df = (
         read_iceberg(spark, path)
         .withColumn("_fp", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
         .where(predicate)
-        .select("_fp", "_ri")
-        .collect()
+        .select(
+            F.col("_fp").alias("file_path"),
+            F.col("_ri").cast("long").alias("pos"),
+        )
     )
     now_ms = int(_time.time() * 1000)
     meta_dir = os.path.join(path, "metadata")
     del_entry = None
-    if matched:
-        data_dir = os.path.join(path, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        pairs = sorted((r["_fp"], r["_ri"]) for r in matched)
-        del_file = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "file_path": [p[0] for p in pairs],
-                    "pos": pa.array([p[1] for p in pairs], pa.int64()),
-                }
-            ),
-            del_file,
-        )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+    (
+        matched_df.repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staging)
+    )
+    del_files: list[tuple[str, int]] = []
+    run = uuid.uuid4().hex
+    for i, part in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        src = os.path.join(staging, part)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
+        os.rename(src, dst)
+        del_files.append((dst, n_rows))
+    shutil.rmtree(staging)
+    if del_files:
         del_entry = _delete_manifest_entry(
-            meta_dir, snap_id, seq, del_file, len(pairs), None
+            meta_dir, snap_id, seq, del_files, None
         )
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
@@ -2124,7 +2154,7 @@ def delete_iceberg_equality(
     os.rename(os.path.join(staging, part), del_file)
     shutil.rmtree(staging)
     del_entry = _delete_manifest_entry(
-        meta_dir, snap_id, seq, del_file, n_rows, equality_ids
+        meta_dir, snap_id, seq, [(del_file, n_rows)], equality_ids
     )
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,6 +41,20 @@ _MAX_SUPPORTED_READER_VERSION = 1
 
 def _delta_log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
+
+
+def _is_commit_json(name: str) -> bool:
+    """True iff ``name`` is a Delta commit file (``<20-digit version>.json``
+    exactly, per PROTOCOL.md). Deliberately a fullmatch: V2-checkpoint JSON
+    manifests (``<v>.checkpoint.<uuid>.json``) and log-compaction files
+    (``<lo>.<hi>.compacted.json``) both start with 20 digits and end in
+    ``.json``, and treating either as a commit mis-replays — or, in
+    ``cleanup_delta_log``, deletes — live metadata on foreign-written
+    tables."""
+    return bool(_COMMIT_JSON_RE.fullmatch(name))
+
+
+_COMMIT_JSON_RE = re.compile(r"\d{20}\.json")
 
 
 def is_delta_table(path: str) -> bool:
@@ -145,6 +160,13 @@ def _replay_checkpoint(files: list[str], path: str) -> tuple[dict, dict]:
         sc = row.get("sidecar")
         if sc and sc.get("path"):
             sp = sc["path"]
+            # real Delta writers record URI-form paths ("file:///..."); strip
+            # a file: scheme before the local existence check so valid tables
+            # don't trip the corrupt-log guard (mirrors iceberg._localize)
+            if sp.startswith("file:"):
+                from urllib.parse import urlparse
+
+                sp = urlparse(sp).path or sp
             if "://" not in sp and not os.path.isabs(sp):
                 sp = os.path.join(log, "_sidecars", sp)
             if not os.path.exists(sp):
@@ -189,7 +211,7 @@ def _replay_log_adds(
     all_json = sorted(
         name
         for name in os.listdir(log)
-        if name.endswith(".json") and name[:20].isdigit()
+        if _is_commit_json(name)
     )
     if max_version is not None:
         if not any(int(n[:20]) == max_version for n in all_json):
@@ -291,6 +313,64 @@ def _field_ids(meta: dict) -> dict[str, int]:
     return out
 
 
+def _manifest_rows(f: str, log: str, follow_sidecars: bool = False):
+    """Action rows of one checkpoint manifest file — parquet or the V2
+    JSON-lines form (both are legal manifests; callers that assumed
+    parquet crashed on foreign kernel-written tables). With
+    ``follow_sidecars`` the referenced sidecar files' rows are appended —
+    the spec keeps protocol/metaData in the manifest proper but allows
+    add/remove/txn to live in sidecars."""
+    import pyarrow.parquet as pq
+
+    if f.endswith(".json"):
+        with open(f, encoding="utf-8") as fh:
+            rows = [json.loads(line) for line in fh if line.strip()]
+    else:
+        rows = pq.read_table(f).to_pylist()
+    if follow_sidecars:
+        for row in list(rows):
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                sp = sc["path"]
+                if sp.startswith("file:"):
+                    from urllib.parse import urlparse
+
+                    sp = urlparse(sp).path or sp
+                if "://" not in sp and not os.path.isabs(sp):
+                    sp = os.path.join(log, "_sidecars", sp)
+                if os.path.exists(sp):
+                    rows.extend(pq.read_table(sp).to_pylist())
+    return rows
+
+
+def _group_files_by_field_ids(
+    files: list[str],
+) -> list[tuple[dict[int, str], list[str]]]:
+    """Read each parquet footer and group files by their
+    field-id -> physical-column-name mapping. ID-mode tables resolve
+    columns by field id, and a renamed column means files written at
+    different times carry DIFFERENT physical names for the same id — one
+    schema cannot describe them all, so the scan reads one group per
+    distinct mapping and unions. O(#files) driver footer reads, the same
+    metadata pass per-file stats collection already does."""
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, tuple[dict[int, str], list[str]]] = {}
+    for f in files:
+        schema = pq.read_schema(f)
+        phys_by_fid: dict[int, str] = {}
+        for field in schema:
+            fid = (field.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                phys_by_fid[int(fid)] = field.name
+        key = tuple(sorted(phys_by_fid.items()))
+        if key in groups:
+            groups[key][1].append(f)
+        else:
+            groups[key] = (phys_by_fid, [f])
+    return list(groups.values())
+
+
 def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Rename a LOGICAL-named frame to the table's physical column names
     before a staging write (no-op for unmapped tables) — data files must
@@ -362,15 +442,13 @@ def _current_protocol(path: str) -> dict:
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     ckpt_version, ckpt_files = _latest_checkpoint(log)
     if ckpt_files:
-        import pyarrow.parquet as pq
-
         for f in ckpt_files:
-            for row in pq.read_table(f).to_pylist():
+            for row in _manifest_rows(f, log):
                 p = row.get("protocol")
                 if p and p.get("minReaderVersion") is not None:
                     proto = {k: v for k, v in p.items() if v is not None}
     for name in sorted(os.listdir(log)):
-        if not (name.endswith(".json") and name[:20].isdigit()):
+        if not (_is_commit_json(name)):
             continue
         if int(name[:20]) <= ckpt_version:
             continue
@@ -716,24 +794,56 @@ def _scan_files(
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
             if mode == "id":
-                # ID mode: parquet columns match by FIELD ID, not name —
-                # hand Spark the logical schema with parquet.field.id
-                # metadata and let its field-id resolution do the match
-                # (physical names in the files are irrelevant)
+                # ID mode: parquet columns match by FIELD ID, not name.
+                # Spark's own resolution needs the session-wide conf
+                # spark.sql.parquet.fieldId.read.enabled, which (a) leaks
+                # into unrelated reads and (b) silently returns NULLs if a
+                # later read runs after the conf is restored (conf is read
+                # at ACTION time, verified empirically). Instead resolve
+                # field ids ourselves: read each footer (same O(#files)
+                # driver metadata pass the stats reader does), group files
+                # by their fid->physical-name mapping, scan each group
+                # with its physical schema, rename to logical, union.
                 fids = _field_ids(meta)
-                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-                with_ids = StructType(
-                    [
-                        StructField(
-                            f.name,
-                            f.dataType,
-                            f.nullable,
-                            {"parquet.field.id": fids[f.name]},
+                groups = _group_files_by_field_ids(files)
+                parts_out = []
+                for phys_by_fid, gfiles in groups:
+                    physical = StructType(
+                        [
+                            StructField(
+                                # a file written before the column was
+                                # added lacks the fid — read under the
+                                # logical name; parquet fills it NULL
+                                phys_by_fid.get(fids[f.name], f.name),
+                                f.dataType,
+                                f.nullable,
+                            )
+                            for f in declared.fields
+                        ]
+                    )
+                    # DV-filter per group BEFORE the rename projection and
+                    # union — _metadata is only resolvable on a scan-level
+                    # plan (unions break it); positions for other groups'
+                    # files simply never match the anti-join
+                    gdf = _dv(_mat(spark.read.schema(physical).parquet(*gfiles)))
+                    parts_out.append(
+                        gdf.select(
+                            *_keep_meta(
+                                [
+                                    F.col(
+                                        phys_by_fid.get(
+                                            fids[f.name], f.name
+                                        )
+                                    ).alias(f.name)
+                                    for f in declared.fields
+                                ]
+                            )
                         )
-                        for f in declared.fields
-                    ]
-                )
-                return _dv(_mat(spark.read.schema(with_ids).parquet(*files)))
+                    )
+                out = parts_out[0]
+                for p in parts_out[1:]:
+                    out = out.unionByName(p)
+                return out
             if mapping:
                 # files carry PHYSICAL names: read with the physical
                 # schema, mask DVs, then project back to logical names
@@ -946,7 +1056,7 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     log = _delta_log_dir(path)
     best = None
     for name in sorted(os.listdir(log)):
-        if not (name.endswith(".json") and name[:20].isdigit()):
+        if not (_is_commit_json(name)):
             continue
         v = int(name[:20])
         commit_ts = None
@@ -1101,7 +1211,7 @@ def read_delta_changes(
     all_json = sorted(
         name
         for name in os.listdir(log)
-        if name.endswith(".json") and name[:20].isdigit()
+        if _is_commit_json(name)
     )
     hi = to_version if to_version is not None else (
         int(all_json[-1][:20]) if all_json else -1
@@ -1358,7 +1468,7 @@ def _next_version(log: str) -> int:
     versions = [
         int(name[:20])
         for name in os.listdir(log)
-        if name.endswith(".json") and name[:20].isdigit()
+        if _is_commit_json(name)
     ]
     # after log cleanup the checkpoint may be the newest version marker —
     # without it the next commit would restart at 0 and corrupt the table
@@ -1377,17 +1487,15 @@ def _collect_txns(path: str) -> dict[str, int]:
     best: dict[str, int] = {}
     ckpt_version, ckpt_files = _latest_checkpoint(log)
     if ckpt_files:
-        import pyarrow.parquet as pq
-
         for f in ckpt_files:
-            for row in pq.read_table(f).to_pylist():
+            for row in _manifest_rows(f, log, follow_sidecars=True):
                 t = row.get("txn")
                 if t and t.get("appId") is not None:
                     best[t["appId"]] = max(
                         best.get(t["appId"], -1), int(t.get("version", -1))
                     )
     for name in sorted(os.listdir(log)):
-        if not (name.endswith(".json") and name[:20].isdigit()):
+        if not (_is_commit_json(name)):
             continue
         if int(name[:20]) <= ckpt_version:
             continue
@@ -1452,7 +1560,7 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
     json_versions = [
         int(n[:20])
         for n in os.listdir(log)
-        if n.endswith(".json") and n[:20].isdigit()
+        if _is_commit_json(n)
     ]
     if not json_versions or max(json_versions) <= ckpt_version:
         return ckpt_version  # nothing new since the last checkpoint
@@ -1604,7 +1712,7 @@ def cleanup_delta_log(path: str) -> list[str]:
     doomed = [
         n
         for n in os.listdir(log)
-        if (n.endswith(".json") and n[:20].isdigit() and int(n[:20]) <= ckpt_version)
+        if (_is_commit_json(n) and int(n[:20]) <= ckpt_version)
         or (
             ".checkpoint." in n
             and (n.endswith(".parquet") or n.endswith(".json"))
@@ -1616,16 +1724,9 @@ def cleanup_delta_log(path: str) -> list[str]:
     # checkpoints and would otherwise accumulate forever
     side_dir = os.path.join(log, "_sidecars")
     if os.path.isdir(side_dir):
-        import pyarrow.parquet as pq
-
         live_sidecars: set[str] = set()
         for f in ckpt_files:
-            if f.endswith(".json"):
-                with open(f, encoding="utf-8") as fh:
-                    rows = [json.loads(line) for line in fh if line.strip()]
-            else:
-                rows = pq.read_table(f).to_pylist()
-            for row in rows:
+            for row in _manifest_rows(f, log):
                 sc = row.get("sidecar")
                 if sc and sc.get("path"):
                     live_sidecars.add(os.path.basename(sc["path"]))
@@ -2373,14 +2474,52 @@ def delete_delta(
         raise ValueError(f"{path}: snapshot is empty — nothing to delete")
 
     # distributed predicate evaluation over the DV-filtered scan (rows
-    # already deleted can't match twice); only matching (file, row) pairs
-    # reach the driver — the material the bitmaps are MADE of
+    # already deleted can't match twice), then EXECUTOR-SIDE bitmap
+    # construction: groupBy(file) + applyInPandas serializes one roaring
+    # bitmap per touched file on the executors, already unioned with the
+    # file's existing DV (repeated deletes compose). The driver collects
+    # O(#touched files) compact blobs — never O(#matched rows) positions —
+    # so a mass delete (GDPR erasure of a heavy entity on a 100 TB table)
+    # cannot OOM the driver. Per-group memory is bounded by one file's
+    # row count (~10^7 for a 1 GB file), normal executor-task scale.
     scan = _scan_files(spark, path, files, meta, adds_map, with_metadata=True)
-    matched = (
+    matched_df = (
         scan.withColumn("_fp", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
         .where(predicate)
         .select("_fp", "_ri")
+    )
+    # closure state is metadata-sized: table root + descriptors of files
+    # that ALREADY carry a DV (usually few); rel paths derive from the
+    # file URI by prefix-stripping, no O(#files) dict is shipped
+    root_abs = os.path.abspath(path)
+    old_dv_descs = {
+        rel: a["deletionVector"]
+        for rel, a in adds_map.items()
+        if a.get("deletionVector")
+    }
+
+    def _build_file_dv(pdf):
+        import pandas as pd  # noqa: F401 (worker-side)
+
+        from feature_store_ml_spark.io import roaring as _roaring
+        from feature_store_ml_spark.io.lakehouse import _dv_positions as _dvp
+
+        uri = pdf["_fp"].iloc[0]
+        p = uri[5:] if uri.startswith("file:") else uri
+        rel = os.path.relpath(p, root_abs)
+        positions = pdf["_ri"].astype("int64").tolist()
+        old = old_dv_descs.get(rel)
+        if old:
+            positions = positions + _dvp(root_abs, old)
+        data = _roaring.serialize_positions(positions)
+        return pd.DataFrame(
+            {"rel": [rel], "dv": [data], "card": [len(set(positions))]}
+        )
+
+    matched = (
+        matched_df.groupBy("_fp")
+        .applyInPandas(_build_file_dv, schema="rel string, dv binary, card long")
         .collect()
     )
     now_ms = int(_time.time() * 1000)
@@ -2411,27 +2550,14 @@ def delete_delta(
         )
         return _commit(path, actions)
 
-    by_file: dict[str, list[int]] = {}
-    for r in matched:
-        by_file.setdefault(r["_fp"], []).append(r["_ri"])
-
-    uri_to_rel = {
-        "file:" + os.path.abspath(os.path.join(path, rel)): rel
-        for rel in adds_map
-    }
     new_descs: dict[str, dict] = {}
     bin_blobs: list[bytes] = []  # (appended sequentially to one shared file)
     bin_offsets: dict[str, int] = {}
     bin_pos = 1  # byte 0 is the format-version marker
-    for uri, positions in sorted(by_file.items()):
-        rel = uri_to_rel.get(uri)
-        if rel is None:
-            raise RuntimeError(f"{path}: matched file {uri} not in snapshot")
-        old_desc = adds_map[rel].get("deletionVector")
-        if old_desc:
-            positions = positions + _dv_positions(path, old_desc)
-        data = roaring.serialize_positions(positions)
-        card = len(set(positions))
+    for row in sorted(matched, key=lambda r: r["rel"]):
+        rel, data, card = row["rel"], bytes(row["dv"]), int(row["card"])
+        if rel not in adds_map:
+            raise RuntimeError(f"{path}: matched file {rel} not in snapshot")
         if len(data) < inline_threshold:
             padded = data + b"\x00" * (-len(data) % 4)  # Z85 needs 4-blocks
             new_descs[rel] = {
@@ -2664,7 +2790,7 @@ def read_delta_cdf(
 
     log = _delta_log_dir(path)
     all_json = sorted(
-        n for n in os.listdir(log) if n.endswith(".json") and n[:20].isdigit()
+        n for n in os.listdir(log) if _is_commit_json(n)
     )
     hi = to_version if to_version is not None else (
         int(all_json[-1][:20]) if all_json else -1
@@ -2827,7 +2953,7 @@ def describe_delta_history(path: str) -> list[dict]:
         raise ValueError(f"{path}: not a Delta table")
     out: list[dict] = []
     for name in sorted(os.listdir(log), reverse=True):
-        if not (name.endswith(".json") and name[:20].isdigit()):
+        if not (_is_commit_json(name)):
             continue
         v = int(name[:20])
         info: dict = {"version": v, "timestamp": None, "operation": None,

