@@ -39,6 +39,11 @@ from . import skipping
 _MAX_SUPPORTED_READER_VERSION = 1
 
 
+class _FallbackWriter(Exception):
+    """Control-flow sentinel: route write_delta straight to the
+    pure-python log writer (native delta jar path not applicable)."""
+
+
 def _delta_log_dir(path: str) -> str:
     return os.path.join(path, "_delta_log")
 
@@ -313,6 +318,20 @@ def _field_ids(meta: dict) -> dict[str, int]:
     return out
 
 
+def _physical_names(meta: dict) -> dict[str, str]:
+    """Logical -> physicalName for a mapped table in EITHER mode (the spec
+    records physicalName in both; ID mode merely resolves data columns by
+    field id — partition directories and partitionValues still carry the
+    physical names)."""
+    schema = json.loads(meta["schemaString"])
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in schema["fields"]
+    }
+
+
 def _manifest_rows(f: str, log: str, follow_sidecars: bool = False):
     """Action rows of one checkpoint manifest file — parquet or the V2
     JSON-lines form (both are legal manifests; callers that assumed
@@ -375,19 +394,28 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Rename a LOGICAL-named frame to the table's physical column names
     before a staging write (no-op for unmapped tables) — data files must
     always carry physical names or every rename-so-far would corrupt.
-    ID-mode tables refuse: staging would also have to stamp parquet
-    field ids, which this writer does not do — writing name-matched
-    files into an id-matched table would corrupt it silently."""
+    ID-mode tables additionally stamp every staged column with its
+    ``parquet.field.id`` (via alias metadata — Spark's parquet writer
+    copies it into the footer under fieldId.write.enabled, default on),
+    so id-matched readers resolve the new files no matter what physical
+    names they carry."""
+    from pyspark.sql import functions as F
+
     if meta and meta.get("schemaString") and _mapping_mode(meta) == "id":
-        raise NotImplementedError(
-            "writes to an ID-mode column-mapped table are not implemented "
-            "(reads and DV deletes work)"
+        fids = _field_ids(meta)
+        mapping = _physical_names(meta)
+        return df.select(
+            *[
+                F.col(c).alias(
+                    mapping.get(c, c),
+                    metadata={"parquet.field.id": fids[c]},
+                )
+                for c in df.columns
+            ]
         )
     mapping = _column_mapping(meta)
     if not mapping:
         return df
-    from pyspark.sql import functions as F
-
     return df.select(
         *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
     )
@@ -783,10 +811,17 @@ def _scan_files(
 
     mapping = _column_mapping(meta) if meta.get("schemaString") else None
     mode = _mapping_mode(meta) if meta.get("schemaString") else None
+    if mode == "id":
+        # ID mode: data columns resolve by field id, but partition dirs /
+        # partitionValues / staged files still use the physical names
+        mapping = _physical_names(meta)
     if mode == "id" and part_cols:
-        raise NotImplementedError(
-            f"{path}: ID-mode column mapping on a PARTITIONED table is "
-            "not implemented"
+        # partition values come from the add actions (authoritative) and
+        # data columns resolve by field id per file group — the non-Hive
+        # scan path already unions per-partition-tuple scans, and its
+        # ID-aware branch sub-groups by footer field ids
+        return _scan_non_hive(
+            spark, path, files, meta, adds, mapping, part_cols, with_metadata
         )
     if not part_cols:
         if meta.get("schemaString"):
@@ -808,16 +843,19 @@ def _scan_files(
                 groups = _group_files_by_field_ids(files)
                 parts_out = []
                 for phys_by_fid, gfiles in groups:
+                    # fallback for a file lacking the fid (written before
+                    # the column was added): the declared physicalName —
+                    # absent there too, parquet fills the column NULL
+                    src = {
+                        f.name: phys_by_fid.get(
+                            fids[f.name],
+                            (mapping or {}).get(f.name, f.name),
+                        )
+                        for f in declared.fields
+                    }
                     physical = StructType(
                         [
-                            StructField(
-                                # a file written before the column was
-                                # added lacks the fid — read under the
-                                # logical name; parquet fills it NULL
-                                phys_by_fid.get(fids[f.name], f.name),
-                                f.dataType,
-                                f.nullable,
-                            )
+                            StructField(src[f.name], f.dataType, f.nullable)
                             for f in declared.fields
                         ]
                     )
@@ -830,11 +868,7 @@ def _scan_files(
                         gdf.select(
                             *_keep_meta(
                                 [
-                                    F.col(
-                                        phys_by_fid.get(
-                                            fids[f.name], f.name
-                                        )
-                                    ).alias(f.name)
+                                    F.col(src[f.name]).alias(f.name)
                                     for f in declared.fields
                                 ]
                             )
@@ -963,21 +997,62 @@ def _scan_non_hive(
         )
         groups.setdefault(key, []).append(f)
         pv_by_key[key] = pv
-    branches = []
-    for key, group_files in sorted(groups.items()):
-        g = spark.read.schema(physical).parquet(*group_files)
+    mode = _mapping_mode(meta) if meta.get("schemaString") else None
+    fids = _field_ids(meta) if mode == "id" else {}
+
+    def _one_scan(phys_schema, sfiles, rename_from):
+        """One scan branch: read physical, materialize _metadata if asked,
+        DV-mask pre-rename, project to the group-canonical physical names
+        so unions align."""
+        sg = spark.read.schema(phys_schema).parquet(*sfiles)
         if with_metadata:
             # materialize BEFORE the union — the hidden column is not
             # resolvable afterwards
-            g = g.select("*", F.col("_metadata"))
-        group_adds = {
+            sg = sg.select("*", F.col("_metadata"))
+        sub_adds = {
             os.path.relpath(f, path).replace(os.sep, "/"): adds[
                 os.path.relpath(f, path).replace(os.sep, "/")
             ]
-            for f in group_files
+            for f in sfiles
         }
-        if any(a.get("deletionVector") for a in group_adds.values()):
-            g = _apply_dv_filter(spark, path, g, group_files, group_adds)
+        if any(a.get("deletionVector") for a in sub_adds.values()):
+            sg = _apply_dv_filter(spark, path, sg, sfiles, sub_adds)
+        if rename_from is not None:
+            cols = [
+                F.col(rename_from[f.name]).alias(
+                    (mapping or {}).get(f.name, f.name)
+                )
+                for f in data_fields
+            ]
+            if with_metadata:
+                cols.append(F.col("_metadata"))
+            sg = sg.select(*cols)
+        return sg
+
+    branches = []
+    for key, group_files in sorted(groups.items()):
+        if mode == "id":
+            # ID mode: column identity is the FIELD ID in each file's
+            # footer — files written across renames carry different
+            # physical names; sub-group per distinct footer mapping
+            subs = []
+            for phys_by_fid, sfiles in _group_files_by_field_ids(group_files):
+                src_name = {
+                    f.name: phys_by_fid.get(
+                        fids[f.name], (mapping or {}).get(f.name, f.name)
+                    )
+                    for f in data_fields
+                }
+                phys_schema = StructType(
+                    [
+                        StructField(src_name[f.name], f.dataType, f.nullable)
+                        for f in data_fields
+                    ]
+                )
+                subs.append(_one_scan(phys_schema, sfiles, src_name))
+            g = reduce(lambda a, b: a.unionByName(b), subs)
+        else:
+            g = _one_scan(physical, group_files, None)
         pv = pv_by_key[key]
         for c in part_cols:
             phys_c = (mapping or {}).get(c, c)
@@ -1654,7 +1729,10 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
     if has_dv:
         reader_feats.add("deletionVectors")
         writer_feats.add("deletionVectors")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") in (
+        "name",
+        "id",
+    ):
         reader_feats.add("columnMapping")
         writer_feats.add("columnMapping")
     v2_protocol = {
@@ -1762,6 +1840,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    column_mapping: str | None = None,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -1801,12 +1880,46 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: mode must be append|overwrite, got {mode!r}")
+    cm_meta: dict | None = None
+    if column_mapping is not None:
+        # CREATE a column-mapped table (both modes): every field gets a
+        # stable delta.columnMapping.id and an opaque physicalName; files
+        # are staged under physical names (ID mode additionally stamps
+        # parquet field ids — see _to_physical). Creation-time only, like
+        # delta-spark: retrofitting ID mapping onto existing files would
+        # need a footer rewrite.
+        if column_mapping not in ("name", "id"):
+            raise ValueError(
+                f"write_delta: column_mapping must be name|id, got "
+                f"{column_mapping!r}"
+            )
+        if is_delta_table(path):
+            raise NotImplementedError(
+                f"{path}: column_mapping can only be set when CREATING a "
+                "table (use rename_delta_column to upgrade an existing "
+                "table to name mode)"
+            )
+        sch = json.loads(df.schema.json())
+        for i, fld in enumerate(sch["fields"], start=1):
+            md = dict(fld.get("metadata") or {})
+            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4().hex[:8]}"
+            fld["metadata"] = md
+        cm_meta = {
+            "schemaString": json.dumps(sch),
+            "configuration": {
+                "delta.columnMapping.mode": column_mapping,
+                "delta.columnMapping.maxColumnId": str(len(sch["fields"])),
+            },
+        }
     if txn is not None:
         app_id, txn_version = txn
         committed = last_txn_version(path, app_id)
         if committed >= txn_version:
             return committed
     try:
+        if cm_meta is not None:
+            raise _FallbackWriter()  # native option plumbing not wired
         writer = df.write.format("delta").mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -1820,6 +1933,8 @@ def write_delta(
             )
         writer.save(path)
         return _next_version(_delta_log_dir(path)) - 1
+    except _FallbackWriter:
+        pass
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
@@ -1897,14 +2012,29 @@ def write_delta(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     # append to a column-mapped table stages PHYSICAL names; overwrite
     # re-emits an unmapped metaData below, so its files stay logical
-    staged_df = _to_physical(df, table_meta) if mode == "append" else df
+    if cm_meta is not None:
+        staged_df = _to_physical(df, cm_meta)
+    elif mode == "append":
+        staged_df = _to_physical(df, table_meta)
+    else:
+        staged_df = df
     stage_writer = staged_df.write
     if partition_by:
         # a mapped table's partition DIRS carry physical names — stage
         # under them so the layout survives partition-column renames
-        stage_mapping = (
-            _column_mapping(table_meta) if mode == "append" and existing else None
-        ) or {}
+        if cm_meta is not None:
+            stage_mapping = _physical_names(cm_meta)
+        elif (
+            mode == "append"
+            and existing
+            and table_meta.get("schemaString")
+            and _mapping_mode(table_meta)
+        ):
+            # physicalName map covers BOTH mapping modes (ID included —
+            # _column_mapping deliberately returns None for it)
+            stage_mapping = _physical_names(table_meta)
+        else:
+            stage_mapping = {}
         stage_writer = stage_writer.partitionBy(
             *[stage_mapping.get(c, c) for c in partition_by]
         )
@@ -1923,16 +2053,30 @@ def write_delta(
     #    files); removes on overwrite
     actions: list[dict] = []
     if not existing:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        if cm_meta is not None:
+            # column mapping's protocol gate (PROTOCOL.md §Column Mapping)
+            actions.append(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
     if not existing or mode == "overwrite":
         actions.append(
             {
                 "metaData": {
                     "id": table_meta.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": (
+                        cm_meta["schemaString"]
+                        if cm_meta is not None
+                        else df.schema.json()
+                    ),
                     "partitionColumns": list(partition_by or []),
-                    "configuration": {},
+                    "configuration": (
+                        cm_meta["configuration"] if cm_meta is not None else {}
+                    ),
                     "createdTime": now_ms,
                 }
             }

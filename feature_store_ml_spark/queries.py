@@ -1331,6 +1331,61 @@ def e13_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stream_window_counts(spark, sf_dir, "1 hour")
 
 
+@register(
+    "e13_stream_from_delta",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e13_stream_from_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table as a STREAMING SOURCE (streaming/delta_source): events
+    land in an append-only Delta feature table over three commits, the
+    transaction log is tailed through a zero-copy spool (only COMMITTED
+    files ever become visible — the property a bare directory listen
+    lacks), and the tail feeds the same real watermarked tumbling
+    aggregation as e13_stream_window. The oracle is the batch formulation
+    over the source rows, so parity proves the tail delivered every
+    commit's rows exactly once."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+    from .streaming import delta_source
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = f"{tempfile.gettempdir()}/fsml_stream_from_delta"
+    shutil.rmtree(base, ignore_errors=True)
+    table, spool = f"{base}/table", f"{base}/spool"
+    for k in range(3):
+        lakehouse.write_delta(
+            spark,
+            ev.where(F.col("event_id") % 3 == k).drop("event_id"),
+            table,
+            mode="append" if k else "overwrite",
+        )
+    stream, _ = delta_source.stream_from_delta(spark, table, spool)
+    agg = streaming_events.windowed_counts(
+        stream.withColumn("ts", F.col("ts").cast("timestamp")),
+        "1 hour",
+        "2 hours",
+    )
+    out = streaming_events.run_stream_to_table(spark, agg, mode="complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # E14 — multimodal binary columns
 # ---------------------------------------------------------------------------
@@ -2501,6 +2556,52 @@ def e1_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.where(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "e1_delta_id_mode",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_linenumber = 1 AND l_returnflag = 'N')
+    GROUP BY l_returnflag
+    """,
+)
+def e1_delta_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-mode column mapping WRITE lifecycle (round 6 — reads landed in
+    round 5): CREATE a Delta table with delta.columnMapping.mode=id (every
+    field gets a stable columnMapping.id + opaque physicalName; staged
+    parquet footers carry stamped field ids), append a second commit, then
+    DV-delete a slice — and read it all back through field-id resolution
+    (io/lakehouse._group_files_by_field_ids footer grouping, no session
+    conf). The oracle computes the same filter+aggregate over the source
+    parquet, so any resolution slip through the opaque physical names
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    path = f"{tempfile.gettempdir()}/fsml_delta_id_mode"
+    shutil.rmtree(path, ignore_errors=True)
+    lakehouse.write_delta(
+        spark, src.where(F.col("l_orderkey") % 2 == 0), path,
+        column_mapping="id",
+    )
+    lakehouse.write_delta(
+        spark, src.where(F.col("l_orderkey") % 2 == 1), path, mode="append"
+    )
+    lakehouse.delete_delta(
+        spark, path, "`l_linenumber` = 1 AND `l_returnflag` = 'N'"
+    )
+    back = lakehouse.read_delta(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
     )
 
 
@@ -4240,8 +4341,8 @@ _FINAL_ORDER = [
     #    then partitioned MERGE (with partition moves) + Iceberg time travel
     "e12_feature_upsert",
     "e1_iceberg_snapshot_diff",
-    "e1_delta_partitioned",
     "e1_delta_partitioned_merge",
+    "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
     "e1_iceberg_time_travel",
     "e1_delta_delete_vectors",
     "e1_delta_cdf",
@@ -4290,6 +4391,7 @@ _FINAL_ORDER = [
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_dedup",
+    "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
     "e9_decontaminate",
     "q20_dominant_supplier",
     "e18_data_quality",
@@ -4297,10 +4399,13 @@ _FINAL_ORDER = [
     "e12_pit_multi",        # multi-feature-group PIT join
     "e12_resample",
     "e11_url_extract",
-    "e4_linreg",
     # -- round-1-green keepers
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
+    "e4_linreg",            # rotated out r6 (driver-green r5; e4 family
+                            # stays in-window via e4_median_percentiles)
+    "e1_delta_partitioned",  # rotated out r6 (driver-green r5; partitioned
+                             # write family stays via e1_delta_partitioned_merge)
     # Rotated out in round 5 late (driver-green in r4 and earlier rounds;
     # families stay in-window — joins via q7/q8/q9 + e3_join_asof, TPC-H
     # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):

@@ -1,0 +1,165 @@
+"""Delta tables as a streaming SOURCE (streaming/delta_source): tail the
+transaction log through a zero-copy spool and a real Structured Streaming
+file source, with exactly-once resume via the stream checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import lakehouse
+from feature_store_ml_spark.streaming import delta_source
+
+
+def _append(spark, root, lo, hi):
+    lakehouse.write_delta(
+        spark,
+        spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        mode="append" if lakehouse.is_delta_table(root) else "overwrite",
+    )
+
+
+def _run_available(stream_df, out_dir, ckpt):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_tail_then_resume_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _append(spark, root, 0, 50)
+    _append(spark, root, 50, 80)
+
+    stream, v = delta_source.stream_from_delta(spark, root, spool)
+    assert v == 1
+    _run_available(stream, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(80))
+
+    # two more commits land; re-sync from the checkpointed version and
+    # restart with the SAME stream checkpoint: only the new rows arrive
+    _append(spark, root, 80, 90)
+    _append(spark, root, 90, 95)
+    stream2, v2 = delta_source.stream_from_delta(
+        spark, root, spool, since_version=v
+    )
+    assert v2 == 3
+    _run_available(stream2, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(95))  # no duplicates, nothing missed
+
+    # idempotent re-sync: running again adds nothing
+    stream3, v3 = delta_source.stream_from_delta(
+        spark, root, spool, since_version=v2
+    )
+    _run_available(stream3, out, ckpt)
+    assert spark.read.parquet(out).count() == 95
+
+
+def test_spool_links_not_copies(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    _append(spark, root, 0, 10)
+    delta_source.sync_delta_spool(root, spool)
+    entries = sorted(os.listdir(spool))
+    assert entries and all(
+        os.path.islink(os.path.join(spool, n)) for n in entries
+    )
+    # names order by commit version so discovery order follows the log
+    assert entries == sorted(entries)
+
+
+def test_compaction_commits_are_invisible(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _append(spark, root, 0, 40)
+    _append(spark, root, 40, 60)
+    lakehouse.compact_delta(spark, root, target_files=1)
+    stream, v = delta_source.stream_from_delta(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    # compaction rearranged bytes (dataChange=false): the tail must see
+    # each row exactly once, from the ORIGINAL commit's files
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(
+        range(60)
+    )
+
+
+def test_fail_loud_on_overwrite_dv_partitioned_mapped(spark, tmp_path):
+    # overwrite (remove with dataChange) breaks the append-only contract
+    root = str(tmp_path / "ow")
+    _append(spark, root, 0, 10)
+    lakehouse.write_delta(
+        spark, spark.range(5).select("id", (F.col("id") * 2).alias("v")),
+        root, mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        delta_source.sync_delta_spool(root, str(tmp_path / "s1"))
+
+    # deletion vector
+    root2 = str(tmp_path / "dv")
+    _append(spark, root2, 0, 10)
+    lakehouse.delete_delta(spark, root2, "id = 3")
+    with pytest.raises(ValueError, match="ill-defined"):
+        delta_source.sync_delta_spool(root2, str(tmp_path / "s2"))
+
+    # partitioned
+    root3 = str(tmp_path / "part")
+    lakehouse.write_delta(
+        spark,
+        spark.range(10).select("id", (F.col("id") % 2).alias("p")),
+        root3, partition_by=["p"],
+    )
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        delta_source.sync_delta_spool(root3, str(tmp_path / "s3"))
+
+    # column-mapped
+    root4 = str(tmp_path / "cm")
+    _append(spark, root4, 0, 10)
+    lakehouse.rename_delta_column(spark, root4, "v", "w")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        delta_source.sync_delta_spool(root4, str(tmp_path / "s4"))
+
+
+def test_watermark_agg_over_delta_tail(spark, tmp_path):
+    """The headline consumption path: tail a feature table into the
+    EXISTING watermark machinery (streaming/events.windowed_counts)."""
+    from feature_store_ml_spark.streaming import events as sev
+
+    root = str(tmp_path / "feat")
+    spool = str(tmp_path / "spool")
+    base = spark.range(200).select(
+        F.timestamp_micros(
+            (F.lit(1_600_000_000_000_000) + F.col("id") * 60_000_000)
+        ).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    lakehouse.write_delta(spark, base.where("id % 2 = 0"), root)
+    lakehouse.write_delta(
+        spark, base.where("id % 2 = 1"), root, mode="append"
+    )
+    stream, _ = delta_source.stream_from_delta(spark, root, spool)
+    agg = sev.windowed_counts(stream, "1 hour", "2 hours")
+    got = sev.run_stream_to_table(spark, agg, mode="complete")
+    batch = (
+        base.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert (
+        sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect()))
+        == sorted(map(tuple, batch.collect()))
+    )

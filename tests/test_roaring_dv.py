@@ -367,15 +367,31 @@ def test_id_mapping_mode_reads_by_field_id(spark, tmp_path):
     assert df.columns == ["a", "b"]
     got = sorted((r["a"], r["b"]) for r in df.collect())
     assert got == [(10, "x"), (20, "y"), (30, "z")]
-    # DV delete composes (no file rewrite), append refuses
+    # DV delete composes (no file rewrite)
     lakehouse.delete_delta(spark, root, "a = 20")
     assert sorted(r["a"] for r in lakehouse.read_delta(spark, root).collect()) == [10, 30]
-    with pytest.raises(NotImplementedError, match="ID-mode"):
-        lakehouse.write_delta(
-            spark, spark.range(1).select(F.col("id").alias("a"),
-                                         F.lit("q").alias("b")),
-            root, mode="append",
-        )
+    # round 6: appends STAMP field ids at staging (alias metadata →
+    # parquet footer), so the id-matched read resolves the new file too
+    lakehouse.write_delta(
+        spark, spark.range(1).coalesce(1).select((F.col("id") + 99).alias("a"),
+                                                 F.lit("q").alias("b")),
+        root, mode="append",
+    )
+    back = lakehouse.read_delta(spark, root)
+    assert sorted((r["a"], r["b"]) for r in back.collect()) == [
+        (10, "x"), (30, "z"), (99, "q")
+    ]
+    # the staged file's footer carries the declared field ids under the
+    # declared physical names
+    adds2, _ = lakehouse._replay_log_adds(root)
+    new_files = [rel for rel in adds2 if rel != "f0.parquet"]
+    assert len(new_files) == 1
+    sch = pq.read_schema(os.path.join(root, new_files[0]))
+    by_fid = {
+        int(f.metadata[b"PARQUET:field_id"]): f.name
+        for f in sch if f.metadata and b"PARQUET:field_id" in f.metadata
+    }
+    assert by_fid == {1: "col_b", 2: "col_a"}
 
 
 # ----------------------------------------------------- CHECK constraints ----
@@ -823,3 +839,66 @@ def test_iceberg_delete_driver_collect_bounded(spark, tmp_path, monkeypatch):
     got = iceberg.read_iceberg(spark, root)
     assert got.count() == 2_000
     assert got.where("v != 0").count() == 0
+
+
+def test_create_id_mapped_table_roundtrip(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    """Round 6: CREATE an ID-mode table (write_delta column_mapping='id'),
+    append, DV-delete — files carry opaque physical names + stamped field
+    ids; reads resolve by field id throughout."""
+    root = str(tmp_path / "idw")
+    df = spark.range(20).select("id", (F.col("id") * 3).alias("v"))
+    lakehouse.write_delta(spark, df, root, column_mapping="id")
+    _, meta = lakehouse._replay_log(root)
+    assert (meta["configuration"]["delta.columnMapping.mode"]) == "id"
+    phys = lakehouse._physical_names(meta)
+    assert all(p.startswith("col-") for p in phys.values())
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "v"]
+    assert back.count() == 20
+    # every data file footer carries field ids
+    adds, _ = lakehouse._replay_log_adds(root)
+    for rel in adds:
+        sch = pq.read_schema(os.path.join(root, rel))
+        fids = {int(f.metadata[b"PARQUET:field_id"]) for f in sch
+                if f.metadata and b"PARQUET:field_id" in f.metadata}
+        assert fids == {1, 2}
+    # append + DV delete compose
+    lakehouse.write_delta(
+        spark, spark.range(20, 25).select("id", (F.col("id") * 3).alias("v")),
+        root, mode="append",
+    )
+    lakehouse.delete_delta(spark, root, "id = 21")
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == [i for i in range(25) if i != 21]
+    # predicate pushdown data still flows (selective read)
+    assert lakehouse.read_delta(spark, root, where="id >= 20").count() == 4
+
+
+def test_create_partitioned_id_mapped_table(spark, tmp_path):
+    """Partitioned ID-mode: partition dirs carry physical names; values
+    reconstruct from the add actions; data columns resolve by field id."""
+    root = str(tmp_path / "idp")
+    df = spark.range(30).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+    )
+    lakehouse.write_delta(
+        spark, df, root, column_mapping="id", partition_by=["p"]
+    )
+    back = lakehouse.read_delta(spark, root)
+    assert sorted(back.columns) == ["id", "p", "v"]
+    assert back.count() == 30
+    assert back.where("p = 1").count() == 10
+    got = sorted((r.id, r.p, r.v) for r in back.collect())
+    assert got == [(i, i % 3, i * 2) for i in range(30)]
+    # append honors the partitioning; delete composes
+    lakehouse.write_delta(
+        spark,
+        spark.range(30, 33).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        root, mode="append", partition_by=["p"],
+    )
+    lakehouse.delete_delta(spark, root, "id = 2")
+    assert lakehouse.read_delta(spark, root).count() == 32
