@@ -1163,6 +1163,23 @@ def write_iceberg(
     from urllib.parse import unquote
 
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    # stamp each data column's FIELD ID into the parquet footers (alias
+    # metadata -> footer under Spark's fieldId.write, default on) — the
+    # spec requires it, and the reader's rename-safe resolution
+    # (read_iceberg._read footer grouping) depends on it
+    _fid_by_name = {
+        f["name"]: f["id"]
+        for f in (declared["fields"] if existing else _iceberg_fields(df))
+        if "id" in f
+    }
+    df = df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": _fid_by_name[c]})
+            if c in _fid_by_name
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
     if partition_by:
         staged = df.select(
             "*",
@@ -1745,6 +1762,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     where: str | None = None,
+    with_row_identity: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
@@ -1782,6 +1800,10 @@ def read_iceberg(
         if as_of_ms is not None:
             reader = reader.option("as-of-timestamp", str(as_of_ms))
         native = reader.load(path)
+        if with_row_identity:
+            from pyspark.sql import functions as F
+
+            native = native.select("*", F.col("_metadata"))
         return native.filter(where) if where else native
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
@@ -1833,20 +1855,77 @@ def read_iceberg(
             f"{os.path.basename(gone[0])}) — history was expired"
         )
     declared = _declared_spark_schema(meta)
+    fid_of = {
+        f["name"]: f.get("id") for f in _current_schema(meta).get("fields", [])
+    }
 
-    def _read(paths: list[str]) -> DataFrame:
-        # declared-schema read: pre-evolution files backfill added columns
-        # with null; bare inference when the schema has unmapped types
-        if declared is not None:
-            return spark.read.schema(declared).parquet(*paths)
-        return spark.read.parquet(*paths)
+    def _read(paths: list[str], want_meta: bool = False) -> DataFrame:
+        """Read data files with FIELD-ID resolution (spec: column identity
+        is the field id — after a rename, old files carry the OLD name and
+        a name-based read would silently backfill NULL). Files are grouped
+        by their footer's fid->name mapping (O(#files) driver footer
+        reads, the same pass manifest-stats planning does); each group
+        scans under its own physical schema and projects to the current
+        names. Footers without field ids (pre-stamping writers) fall back
+        to name resolution, per the spec's name-mapping escape hatch.
+        ``want_meta`` materializes ``_metadata`` as a real column BEFORE
+        any union (hidden-column resolution does not survive unions)."""
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        from .lakehouse import _group_files_by_field_ids
+
+        def _plain(ps):
+            g = (
+                spark.read.schema(declared).parquet(*ps)
+                if declared is not None
+                else spark.read.parquet(*ps)
+            )
+            return g.select("*", F.col("_metadata")) if want_meta else g
+
+        local = [urlparse(p).path or p for p in paths]
+        if declared is None or any(
+            urlparse(p).scheme not in ("", "file") for p in paths
+        ):
+            return _plain(paths)
+        branches = []
+        for phys_by_fid, gfiles in _group_files_by_field_ids(local):
+            src = {
+                f.name: (
+                    phys_by_fid.get(fid_of[f.name], f.name)
+                    if fid_of.get(f.name) is not None and phys_by_fid
+                    else f.name
+                )
+                for f in declared.fields
+            }
+            if all(src[f.name] == f.name for f in declared.fields):
+                branches.append(_plain(gfiles))
+                continue
+            physical = StructType(
+                [
+                    StructField(src[f.name], f.dataType, f.nullable)
+                    for f in declared.fields
+                ]
+            )
+            g = spark.read.schema(physical).parquet(*gfiles)
+            cols = [
+                F.col(src[f.name]).alias(f.name) for f in declared.fields
+            ]
+            if want_meta:
+                cols.append(F.col("_metadata"))
+            branches.append(g.select(*cols))
+        return _reduce(lambda a, b: a.unionByName(b), branches)
 
     pos = [d["path"] for d in deletes if d["kind"] == "pos"]
     eq = [d for d in deletes if d["kind"] == "eq"]
     if not eq:
-        df = _read(files)
+        df = _read(files, want_meta=bool(pos) or with_row_identity)
         if pos:
             df = _apply_position_deletes(spark, path, df, pos)
+            if not with_row_identity:
+                df = df.drop("_metadata")
         return df.filter(where) if where else df
     # EQUALITY deletes are sequence-scoped (strictly older data only), so
     # the scan unions one branch per distinct data sequence number, each
@@ -1864,7 +1943,7 @@ def read_iceberg(
         by_seq.setdefault(d["seq"], []).append(d["path"])
     branches = []
     for seq, paths in sorted(by_seq.items()):
-        g = _read(paths)
+        g = _read(paths, want_meta=bool(pos) or with_row_identity)
         if pos:
             g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
                 "_ri", F.col("_metadata.row_index")
@@ -1893,6 +1972,8 @@ def read_iceberg(
     df = reduce(lambda a, b: a.unionByName(b), branches)
     if pos:
         df = _join_out_positions(spark, path, df, pos).drop("_fp", "_ri")
+    if not with_row_identity and "_metadata" in df.columns:
+        df = df.drop("_metadata")
     return df.filter(where) if where else df
 
 
@@ -2064,7 +2145,7 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     import shutil
 
     matched_df = (
-        read_iceberg(spark, path)
+        read_iceberg(spark, path, with_row_identity=True)
         .withColumn("_fp", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
         .where(predicate)
@@ -2597,3 +2678,107 @@ def read_iceberg_cdf(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _commit_schema_evolution(path: str, new_fields: list[dict]) -> int:
+    """Shared commit tail for metadata-only schema changes: append a new
+    schema (fresh schema-id, field ids PRESERVED — ids are the spec's
+    column identity and must never be reused), point current-schema-id at
+    it, and swap the metadata version by atomic rename. No snapshot is
+    added — data files are untouched; that is the point. Returns the new
+    schema id."""
+    import time as _time
+    import uuid
+
+    mp = latest_metadata_path(path)
+    with open(mp) as fh:
+        meta = json.load(fh)
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    schemas = list(meta.get("schemas", []))
+    if not schemas and meta.get("schema"):
+        schemas = [{**meta["schema"], "schema-id": meta.get("current-schema-id", 0)}]
+    new_sid = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"schema-id": new_sid, "type": "struct", "fields": new_fields})
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_sid
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    if "schema" in meta:
+        # keep the v1 legacy singular field in lockstep — popping it would
+        # break readers that only look there
+        meta["schema"] = {"type": "struct", "fields": new_fields}
+    meta_dir = os.path.join(path, "metadata")
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"{path}: metadata v{new_version} was committed concurrently"
+        )
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return new_sid
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """ZERO-REWRITE column rename (spec §Schema Evolution): a rename is one
+    metadata commit — the new schema keeps every FIELD ID and changes only
+    the display name. Old data files keep the old parquet column name;
+    reads stay correct because read_iceberg resolves columns by the field
+    id stamped in each footer (falling back to names for pre-stamping
+    files, which by construction still carry the creation-time name...
+    those files resolve correctly only until the first rename — hence the
+    writer stamps ids on every file it stages). Returns the new schema id.
+
+    The reference (a 136-LoC pandas demo, /root/reference/src) has no
+    table format at all; this exists for the 100 TB mandate where
+    renaming a column must not rewrite 100 TB of parquet."""
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    names = [f["name"] for f in cur.get("fields", [])]
+    if old not in names:
+        raise ValueError(f"{path}: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"{path}: column {new!r} already exists")
+    new_fields = [
+        {**f, "name": new} if f["name"] == old else dict(f)
+        for f in cur["fields"]
+    ]
+    return _commit_schema_evolution(path, new_fields)
+
+
+def drop_iceberg_column(path: str, name: str) -> int:
+    """ZERO-REWRITE column drop (spec §Schema Evolution): the new schema
+    simply omits the field; its id is never reused (ids are append-only
+    identity). Data files keep the bytes — they become dead weight until
+    natural compaction rewrites them, exactly like real Iceberg.
+    Fail-loud when a partition spec still derives from the column (the
+    spec forbids dropping a field a spec references) or when it is the
+    last column. Returns the new schema id."""
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    doomed = next(
+        (f for f in cur.get("fields", []) if f["name"] == name), None
+    )
+    if doomed is None:
+        raise ValueError(
+            f"{path}: no column {name!r} "
+            f"(have {[f['name'] for f in cur.get('fields', [])]})"
+        )
+    if len(cur.get("fields", [])) == 1:
+        raise ValueError(f"{path}: cannot drop the last column {name!r}")
+    fid = doomed.get("id")
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf.get("source-id") == fid:
+                raise ValueError(
+                    f"{path}: column {name!r} (field id {fid}) is a "
+                    f"partition source of spec {spec.get('spec-id')} — "
+                    "drop the spec first"
+                )
+    new_fields = [dict(f) for f in cur["fields"] if f["name"] != name]
+    return _commit_schema_evolution(path, new_fields)

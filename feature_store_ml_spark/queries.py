@@ -2560,6 +2560,54 @@ def e1_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_evolution",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def e1_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION lifecycle (round 6 — rename/drop join the
+    round-5 add-on-append): write pre-1997 orders, RENAME o_totalprice →
+    price (one metadata commit, zero rewrite — old files keep the old
+    parquet name and resolve by footer field id), APPEND the 1997+ orders
+    under the new name (mixed-generation table), DROP o_custkey, then
+    aggregate across both file generations through the renamed column.
+    The oracle computes the same aggregate over the source parquet — any
+    resolution slip (NULL backfill of renamed columns is the classic
+    silent failure) breaks both the count and the hash."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    src = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_evolution"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    iceberg.write_iceberg(
+        spark, src.where(F.col("o_orderdate") < cut), path, format_version=2
+    )
+    iceberg.rename_iceberg_column(path, "o_totalprice", "price")
+    iceberg.write_iceberg(
+        spark,
+        src.where(F.col("o_orderdate") >= cut)
+        .withColumnRenamed("o_totalprice", "price"),
+        path,
+        format_version=2,
+    )
+    iceberg.drop_iceberg_column(path, "o_custkey")
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.count("*").alias("n"), dsum("price").alias("sum_price"))
+
+
+@register(
     "e1_delta_id_mode",
     """
     SELECT l_returnflag,
@@ -4340,10 +4388,10 @@ _FINAL_ORDER = [
     # -- new in round 5: Delta MERGE + Iceberg write read-after-write,
     #    then partitioned MERGE (with partition moves) + Iceberg time travel
     "e12_feature_upsert",
-    "e1_iceberg_snapshot_diff",
     "e1_delta_partitioned_merge",
     "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
     "e1_iceberg_time_travel",
+    "e1_iceberg_evolution",  # round 6: rename/drop schema evolution
     "e1_delta_delete_vectors",
     "e1_delta_cdf",
     "e1_delta_data_skipping",  # per-file stats + file pruning on read
@@ -4406,6 +4454,9 @@ _FINAL_ORDER = [
                             # stays in-window via e4_median_percentiles)
     "e1_delta_partitioned",  # rotated out r6 (driver-green r5; partitioned
                              # write family stays via e1_delta_partitioned_merge)
+    "e1_iceberg_snapshot_diff",  # rotated out r6 (driver-green r5; iceberg
+                                 # write/read family stays via time_travel +
+                                 # evolution, both append-read-back shapes)
     # Rotated out in round 5 late (driver-green in r4 and earlier rounds;
     # families stay in-window — joins via q7/q8/q9 + e3_join_asof, TPC-H
     # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):
