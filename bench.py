@@ -72,6 +72,13 @@ HEADLINE = [
     "e1_delta_data_skipping",
     "e1_iceberg_data_skipping",
     "e1_iceberg_partition_transforms",
+    # round-6 joiners (first pins recorded in BASELINE.md round-6 section):
+    # streaming source tail, ID-mode write lifecycle, schema evolution,
+    # and distributed scan planning at an inflated file count
+    "e13_stream_from_delta",
+    "e1_delta_id_mode",
+    "e1_iceberg_evolution",
+    "e1_prune_planning",
 ]
 
 

@@ -296,28 +296,40 @@ def _field_id_map(meta: dict) -> dict[int, str]:
 def _join_out_positions(
     spark: SparkSession, table_root: str, tagged: DataFrame, delete_files: list[str]
 ) -> DataFrame:
-    """Anti-join a scan already tagged with (_fp, _ri) against the decoded
-    position-delete pairs (see _apply_position_deletes for the rationale)."""
-    import pyarrow.parquet as pq
+    """Anti-join a scan already tagged with (_fp, _ri) against the
+    position-delete pairs — DISTRIBUTED (round 6): the delete parquets are
+    read by Spark, never collected, so a mass delete's position set costs
+    the driver O(#distinct data files) path strings, not O(#deleted rows)
+    pairs (the write side stopped collecting rows in the same round; the
+    read side must not reintroduce the bottleneck).
+
+    Path fix-up still happens on the driver, but only over the DISTINCT
+    ``file_path`` values (bounded by the snapshot's file count — the same
+    metadata the planner already holds): each writer-recorded URI is
+    re-rooted through _localize and normalized to the ``file:<abs>`` form
+    Spark's _metadata.file_path reports, then shipped back as a small
+    broadcast mapping joined onto the delete rows. The positions side is
+    left unhinted so AQE picks broadcast for small delete sets and a
+    shuffle join for genuinely huge ones."""
     from pyspark.sql import functions as F
 
-    pairs: list[tuple[str, int]] = []
-    for dfile in delete_files:
-        t = pq.read_table(dfile, columns=["file_path", "pos"])
-        uri_cache: dict[str, str] = {}
-        for raw, pos in zip(
-            t.column("file_path").to_pylist(), t.column("pos").to_pylist()
-        ):
-            uri = uri_cache.get(raw)
-            if uri is None:
-                uri = "file:" + os.path.abspath(_localize(raw, table_root))
-                uri_cache[raw] = uri
-            pairs.append((uri, pos))
-    if not pairs:
+    del_df = spark.read.parquet(*delete_files).select("file_path", "pos")
+    distinct_paths = [
+        r["file_path"]
+        for r in del_df.select("file_path").distinct().collect()
+    ]
+    if not distinct_paths:
         return tagged
-    deleted = spark.createDataFrame(pairs, "_del_fp string, _del_pos long")
+    mapping = [
+        (raw, "file:" + os.path.abspath(_localize(raw, table_root)))
+        for raw in distinct_paths
+    ]
+    map_df = spark.createDataFrame(mapping, "_raw_fp string, _del_fp string")
+    deleted = del_df.join(
+        F.broadcast(map_df), del_df["file_path"] == F.col("_raw_fp")
+    ).select("_del_fp", F.col("pos").alias("_del_pos"))
     return tagged.join(
-        F.broadcast(deleted),
+        deleted,
         (F.col("_fp") == F.col("_del_fp")) & (F.col("_ri") == F.col("_del_pos")),
         "left_anti",
     )

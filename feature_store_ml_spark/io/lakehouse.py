@@ -701,10 +701,10 @@ def _resolve_dv_path(path: str, desc: dict) -> str:
     return os.path.join(*parts)
 
 
-def _dv_positions(path: str, desc: dict) -> list[int]:
-    """Decode a deletionVector descriptor into its deleted row indexes.
-    Driver-side, metadata-sized (a DV is a compressed bitmap, KBs–MBs) —
-    the same planning work every DV-aware reader does."""
+def _dv_bytes(path: str, desc: dict) -> bytes:
+    """Raw serialized bitmap bytes of a deletionVector descriptor.
+    Driver-side but BITMAP-sized (roaring-compressed, KBs even for
+    millions of rows) — never the exploded position list."""
     from . import roaring
 
     st = desc.get("storageType", "u")
@@ -712,15 +712,22 @@ def _dv_positions(path: str, desc: dict) -> list[int]:
         # Z85 works in 4-byte blocks; writers zero-pad the bitmap to
         # alignment and sizeInBytes records the true length (same trick as
         # delta-spark's Base85 codec)
-        data = roaring.z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
-    elif st in ("u", "p"):
+        return roaring.z85_decode(desc["pathOrInlineDv"])[: desc["sizeInBytes"]]
+    if st in ("u", "p"):
         dv_file = _resolve_dv_path(path, desc)
         with open(dv_file, "rb") as fh:
             buf = fh.read()
-        data = roaring.read_dv_blob(buf, desc["offset"], desc["sizeInBytes"])
-    else:
-        raise NotImplementedError(f"{path}: deletion vector storageType {st!r}")
-    positions = roaring.deserialize_positions(data)
+        return roaring.read_dv_blob(buf, desc["offset"], desc["sizeInBytes"])
+    raise NotImplementedError(f"{path}: deletion vector storageType {st!r}")
+
+
+def _dv_positions(path: str, desc: dict) -> list[int]:
+    """Decode a deletionVector descriptor into its deleted row indexes.
+    Driver-side, metadata-sized (a DV is a compressed bitmap, KBs–MBs) —
+    the same planning work every DV-aware reader does."""
+    from . import roaring
+
+    positions = roaring.deserialize_positions(_dv_bytes(path, desc))
     if desc.get("cardinality") is not None and len(positions) != desc["cardinality"]:
         raise ValueError(
             f"{path}: deletion vector cardinality mismatch — descriptor says "
@@ -746,21 +753,50 @@ def _apply_dv_filter(
     from pyspark.sql import functions as F
 
     rel_by_abs = {os.path.join(path, rel): a for rel, a in adds.items()}
-    pairs: list[tuple[str, int]] = []
+    blobs: list[tuple[str, bytes, int]] = []
     for f in files:
         desc = (rel_by_abs.get(f) or {}).get("deletionVector")
         if not desc:
             continue
         uri = "file:" + os.path.abspath(f)  # _metadata.file_path format
-        pairs.extend((uri, p) for p in _dv_positions(path, desc))
-    if not pairs:
+        blobs.append((uri, _dv_bytes(path, desc), int(desc.get("cardinality") or -1)))
+    if not blobs:
         return df
-    deleted = spark.createDataFrame(pairs, "_dv_fp string, _dv_ri long")
+    # ship the COMPRESSED bitmaps (one row per DV'd file) and explode to
+    # positions on the executors — a mass delete's position set never
+    # materializes on the driver (round 6; mirrors the write side's
+    # executor-side bitmap construction). Join unhinted: AQE broadcasts
+    # small position sets and shuffles genuinely huge ones.
+    bdf = spark.createDataFrame(blobs, "_dv_fp string, _dv_blob binary, _dv_card long")
+
+    def _explode(batches):
+        import pandas as pd
+
+        from feature_store_ml_spark.io import roaring as _roaring
+
+        for pdf in batches:
+            for uri, blob, card in zip(
+                pdf["_dv_fp"], pdf["_dv_blob"], pdf["_dv_card"]
+            ):
+                pos = _roaring.deserialize_positions(bytes(blob))
+                if card >= 0 and len(pos) != card:
+                    raise ValueError(
+                        f"deletion vector cardinality mismatch for {uri}: "
+                        f"descriptor says {card}, bitmap holds {len(pos)}"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "_dv_fp": pd.Series([uri] * len(pos), dtype="object"),
+                        "_dv_ri": pd.Series(pos, dtype="int64"),
+                    }
+                )
+
+    deleted = bdf.mapInPandas(_explode, "_dv_fp string, _dv_ri long")
     tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
     kept = tagged.join(
-        F.broadcast(deleted),
+        deleted,
         (F.col("_fp") == F.col("_dv_fp")) & (F.col("_ri") == F.col("_dv_ri")),
         "left_anti",
     )
@@ -1206,7 +1242,10 @@ def read_delta(
             raise
     adds, meta = _replay_log_adds(path, max_version=version)
     if where:
-        adds, _skipped = skipping.prune_adds(adds, meta, where)
+        # dispatches to a distributed mapInPandas evaluation above
+        # DISTRIBUTED_PRUNE_THRESHOLD files — planning a 10^6-file
+        # snapshot must not serialize on one driver core
+        adds, _skipped = skipping.prune_adds_auto(spark, adds, meta, where)
         if not adds and meta.get("schemaString"):
             from pyspark.sql.types import StructType
 

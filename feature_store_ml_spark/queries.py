@@ -2559,6 +2559,68 @@ def e1_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e1_prune_planning", None)  # planning metadata op: no row oracle
+def e1_prune_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED SCAN PLANNING at an inflated file count (round 6): a
+    100k-file synthetic snapshot (stats fabricated as disjoint k-ranges)
+    is pruned through the Spark-job evaluator
+    (io/skipping.prune_adds_distributed — mapInPandas over the add
+    actions) rather than the single-threaded driver loop. At 100 TB a
+    snapshot holds ~10^6 files and planning itself becomes the bottleneck
+    unless it parallelizes; this query benches that path and HARD-FAILS
+    if the job's decisions disagree with the driver evaluator on the
+    same snapshot (soundness of the driver path is hypothesis-tested in
+    tests/test_skipping_properties.py; agreement transfers it here)."""
+    import json as _json
+
+    from .io import skipping
+
+    n = 100_000
+    meta = {
+        "schemaString": _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True,
+                     "metadata": {}},
+                    {"name": "m", "type": "long", "nullable": True,
+                     "metadata": {}},
+                ],
+            }
+        ),
+        "partitionColumns": [],
+        "configuration": {},
+    }
+    adds = {
+        f"part-{i:06d}.parquet": {
+            "path": f"part-{i:06d}.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "stats": _json.dumps(
+                {
+                    "numRecords": 100,
+                    "minValues": {"k": i * 100, "m": 0},
+                    "maxValues": {"k": i * 100 + 99, "m": 49},
+                    "nullCount": {"k": 0, "m": 2},
+                }
+            ),
+        }
+        for i in range(n)
+    }
+    pred = "k >= 5000000 AND k < 5001000 AND m < 10"
+    kept_j, skipped_j = skipping.prune_adds_distributed(spark, adds, meta, pred)
+    kept_d, skipped_d = skipping.prune_adds(adds, meta, pred)
+    if set(kept_j) != set(kept_d) or skipped_j != skipped_d:
+        raise RuntimeError(
+            "distributed prune disagrees with the driver evaluator: "
+            f"{len(kept_j)} vs {len(kept_d)} kept"
+        )
+    return spark.createDataFrame(
+        [(n, len(kept_j), skipped_j)],
+        "total_files long, kept_files long, skipped_files long",
+    )
+
+
 @register(
     "e1_iceberg_evolution",
     """
@@ -4529,6 +4591,7 @@ _FINAL_ORDER = [
     "e12_pit_join",
     "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
     # rows-only (no oracle by design)
+    "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",
     "e4_approx_percentile",
     "e9_dedup_minhash",

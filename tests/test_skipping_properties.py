@@ -129,3 +129,69 @@ def test_parser_total_on_grammar(conjuncts):
             assert op in ("=", "!=", "<", "<=", ">", ">=", "in",
                           "isnull", "notnull", "prefix")
             assert col in ("k", "m", "s", "d", "x")
+
+
+_AGREEMENT_PREDICATES = [
+    "k = 7",
+    "k >= 120 AND m < 25",
+    "s = 's15'",
+    "s LIKE 's1%' AND k < 399",
+    "d BETWEEN DATE '2024-01-01' AND DATE '2024-02-15'",
+    "m IS NULL",
+    "s IS NOT NULL AND x > 28.4",
+    "k IN (3, 7, 400)",
+    "x <= 0.0",
+    "m != 25 AND d > DATE '2024-03-30'",
+    "k BETWEEN 50 AND 120 AND s IN ('s0', 'zzz')",
+    "x >= 57.0 AND m IS NOT NULL AND k > 0",
+]
+
+
+def test_distributed_prune_agrees_with_driver_path(spark, skip_table):
+    """The Spark-job evaluation (prune_adds_distributed) must make the
+    IDENTICAL keep/skip decision as the driver loop for every predicate —
+    same evaluator, different execution. Soundness of the driver path is
+    hypothesis-tested above; agreement transfers it to the job path."""
+    adds, meta, _frames = skip_table
+    for pred in _AGREEMENT_PREDICATES:
+        kept_d, skipped_d = skipping.prune_adds(adds, meta, pred)
+        kept_j, skipped_j = skipping.prune_adds_distributed(
+            spark, adds, meta, pred
+        )
+        assert set(kept_d) == set(kept_j), pred
+        assert skipped_d == skipped_j, pred
+        # auto dispatch below threshold = driver decisions too
+        kept_a, _ = skipping.prune_adds_auto(spark, adds, meta, pred)
+        assert set(kept_a) == set(kept_d), pred
+
+
+def test_distributed_prune_at_inflated_file_count(spark, skip_table):
+    """Scale shape: synthesize a 30k-file snapshot (stats fabricated from
+    the 8 real files, shifted ranges) and check the job path agrees with
+    the driver path file-for-file — the 10^6-file planning story in
+    miniature. Also exercises auto dispatch ABOVE the threshold."""
+    adds, meta, _frames = skip_table
+    base = next(iter(adds.values()))
+    big = {}
+    for i in range(30_000):
+        st_json = {
+            "numRecords": 50,
+            "minValues": {"k": i * 50, "m": 0, "x": 0.0},
+            "maxValues": {"k": i * 50 + 49, "m": 49, "x": 57.0},
+            "nullCount": {"k": 0, "m": 5, "x": 0},
+        }
+        big[f"part-{i:06d}.parquet"] = {
+            **{k: v for k, v in base.items() if k != "stats"},
+            "path": f"part-{i:06d}.parquet",
+            "stats": json.dumps(st_json),
+        }
+    pred = "k >= 1200000 AND k < 1200500 AND m < 10"
+    kept_d, skipped_d = skipping.prune_adds(big, meta, pred)
+    kept_j, skipped_j = skipping.prune_adds_auto(
+        spark, big, meta, pred, threshold=10_000
+    )
+    assert set(kept_d) == set(kept_j)
+    assert skipped_d == skipped_j
+    # the predicate names 500 k-values spread over 10 files; pruning must
+    # bite hard on both paths
+    assert len(kept_j) <= 11
