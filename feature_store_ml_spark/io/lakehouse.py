@@ -95,7 +95,17 @@ def _latest_checkpoint(log: str) -> tuple[int, list[str]]:
 #: reader features the fallback actually implements; a protocol action
 #: demanding anything else fails loudly (minReaderVersion 3 lists its
 #: features explicitly, per PROTOCOL.md §Table Features)
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+    # timestampNtz: the fallback reads with the DECLARED schema, and Spark
+    # handles timestamp_ntz natively — nothing extra to implement
+    "timestampNtz",
+    # vacuumProtocolCheck: constrains VACUUM implementations, not reads;
+    # by spec a reader supports it by doing nothing special at read time
+    "vacuumProtocolCheck",
+}
 
 
 def _check_protocol(path: str, protocol: dict) -> None:
@@ -2935,6 +2945,95 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
                 "timestamp": now_ms,
                 "operation": "RENAME COLUMN",
                 "operationParameters": {"from": old, "to": new},
+            }
+        }
+    )
+    return _commit(path, actions)
+
+
+def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
+    """ZERO-REWRITE column drop via COLUMN MAPPING — the Delta twin of
+    ``drop_iceberg_column`` (round 6): the new metaData simply omits the
+    field; files keep the bytes until natural compaction rewrites them.
+    Column mapping is REQUIRED (delta-spark enforces the same): without
+    it, re-adding a same-named column later would resurrect the old
+    values out of the untouched files — so an unmapped table is upgraded
+    to name mode in this commit, exactly like the first rename, and the
+    dropped field's columnMapping.id is never reused (maxColumnId stays).
+    Fail-loud: unknown column, partition column, last column, columns
+    referenced by CHECK constraints."""
+    import re as _re
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if name not in names:
+        raise ValueError(f"{path}: no column {name!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError(f"{path}: cannot drop the last column {name!r}")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"{path}: {name!r} is a partition column — repartition via "
+            "overwrite instead of dropping"
+        )
+    conf = dict(meta.get("configuration") or {})
+    for key, expr in conf.items():
+        if key.startswith("delta.constraints.") and _re.search(
+            rf"\b{_re.escape(name)}\b", expr
+        ):
+            raise ValueError(
+                f"{path}: column {name!r} is referenced by CHECK constraint "
+                f"{key[len('delta.constraints.'):]!r} ({expr}) — drop the "
+                "constraint first"
+            )
+    mapped = conf.get("delta.columnMapping.mode") == "name"
+    if conf.get("delta.columnMapping.mode") == "id":
+        mapped = True  # ID mode already has stable ids/physical names
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+    kept_fields = []
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        if not mapped:
+            md["delta.columnMapping.physicalName"] = f["name"]
+            md["delta.columnMapping.id"] = i
+            max_id = max(max_id, i)
+        f["metadata"] = md
+        if f["name"] != name:
+            kept_fields.append(f)
+    schema["fields"] = kept_fields
+    if not mapped:
+        conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(
+        max(max_id, int(conf.get("delta.columnMapping.maxColumnId", 0)))
+    )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    if not mapped:
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    actions.append(
+        {
+            "metaData": {
+                **{
+                    k: v
+                    for k, v in meta.items()
+                    if k not in ("schemaString", "configuration")
+                },
+                "schemaString": json.dumps(schema),
+                "configuration": conf,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP COLUMN",
+                "operationParameters": {"column": name},
             }
         }
     )

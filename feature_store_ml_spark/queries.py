@@ -3895,6 +3895,58 @@ def e13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stream_dedup_keys(spark, sf_dir)
 
 
+@register(
+    "e13_stream_from_iceberg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e13_stream_from_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table as a STREAMING SOURCE (streaming/iceberg_source — the
+    Iceberg twin of e13_stream_from_delta): events land in a PARTITIONED
+    v2 table over two snapshots (Iceberg keeps source columns inside the
+    data files, so even partitioned tables tail with zero reconstruction),
+    the snapshot history is tailed through the zero-copy spool, and a real
+    availableNow replay aggregates per event_type. Oracle = the batch
+    formulation; parity proves every snapshot's rows arrived exactly
+    once."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+    from .streaming import iceberg_source
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = f"{tempfile.gettempdir()}/fsml_stream_from_iceberg"
+    shutil.rmtree(base, ignore_errors=True)
+    table, spool = f"{base}/table", f"{base}/spool"
+    for k in range(2):
+        iceberg.write_iceberg(
+            spark,
+            ev.where(F.col("event_id") % 2 == k).drop("event_id"),
+            table,
+            format_version=2,
+            partition_by=["event_type"],
+        )
+    stream, _ = iceberg_source.stream_from_iceberg(spark, table, spool)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("_sv"),
+    )
+    from .streaming import events as _sev
+
+    out = _sev.run_stream_to_table(spark, agg, mode="complete")
+    return out.select(
+        "event_type", "n_events", F.col("_sv").cast("double").alias("sum_value")
+    )
+
+
 @register("e14_video_frames", None)  # binary container demux: not SQL-expressible
 def e14_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pipeline on a REAL (if minimal) container format: synthesize a
@@ -4468,16 +4520,21 @@ _FINAL_ORDER = [
     #    in-window, and stay hash-checked every round by the local sweep
     #    (tools/check_oracle.py → CORRECTNESS_LOCAL.json, gated by
     #    tests/test_rotation_gate.py).
-    "e2_null_safe",
-    "e4_median_percentiles",
-    "e5_window_lag",
     "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     "e8_date_funcs",
-    "e8_array_funcs",
-    "e8_json_funcs",
-    "e9_dedup_jaccard",
-    "e12_tumbling_features",
-    "e12_rolling_features",
+    # -- round-6 rotation (VERDICT r5 item 7): oracle-backed queries never
+    #    (or longest-ago) hard-verified by the driver come IN; the
+    #    r5-green ones they displace move below the boundary with their
+    #    operator families still in-window, hash-checked every round by
+    #    the local sweep (rotation-gated):
+    "e4_agg_groupby",
+    "e6_topk_per_group",
+    "e7_pivot",
+    "e12_pit_join",
+    "e13_stream_window",
+    "e13_session_window",
+    "e14_multimodal_meta",
+    "e14_resize_meta",
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
@@ -4519,6 +4576,18 @@ _FINAL_ORDER = [
     "e1_iceberg_snapshot_diff",  # rotated out r6 (driver-green r5; iceberg
                                  # write/read family stays via time_travel +
                                  # evolution, both append-read-back shapes)
+    # rotated out r6 (all driver-green r5; families stay in-window — e4
+    # via e4_agg_groupby, e5 via e5_window_distribution, e8 via
+    # string/date, e9 via dedup_canonical+decontaminate, e12 via
+    # feature_upsert/pit_multi/resample/pit_join):
+    "e2_null_safe",
+    "e4_median_percentiles",
+    "e5_window_lag",
+    "e8_array_funcs",
+    "e8_json_funcs",
+    "e9_dedup_jaccard",
+    "e12_tumbling_features",
+    "e12_rolling_features",
     # Rotated out in round 5 late (driver-green in r4 and earlier rounds;
     # families stay in-window — joins via q7/q8/q9 + e3_join_asof, TPC-H
     # via the 19 other q-queries, e13 via stream_dedup + stream_stream_join):
@@ -4533,10 +4602,6 @@ _FINAL_ORDER = [
                             # via pii_scan/url_extract
     "e11_unigram_logprob",  # displaced by e1_iceberg_data_skipping (r5
                             # late); driver-green r4, same family coverage
-    "e14_resize_meta",      # displaced by e1_iceberg_partition_transforms
-                            # (r5 late); driver-green r2+r4; e14 family
-                            # SQL-oracle kept via e14_multimodal_meta in
-                            # the locally-swept tail
     # Rotated out in round 5 (driver-green rounds 2 AND 4; families still
     # in-window; locally hash-checked every round — see rotation note above):
     "e7_set_ops",           # merged: includes former e7_set_ops_all branches
@@ -4546,7 +4611,6 @@ _FINAL_ORDER = [
     "e1_csv_roundtrip",
     "e9_dedup_clusters",
     "e9_dedup_embedding",
-    "e13_session_window",
     "e13_sliding_window",
     "e12_session_stats",
     "e8_map_funcs",
@@ -4567,19 +4631,14 @@ _FINAL_ORDER = [
     "e5_window_rank",
     "e9_dedup_exact",
     "e11_text_stats",
-    "e13_stream_window",
     "e3_join_outer",
     "e3_join_semi",
     "e3_join_anti",
-    "e4_agg_groupby",
     "e4_count_distinct",
-    "e6_topk_per_group",
-    "e7_pivot",
     "e3_join_range",
     "e10_knn_brute",
     "e11_lang_id",
     "e12_sessionize",
-    "e14_multimodal_meta",
     "r16_histogram",
     "r17_correlation",
     "e4_rollup",
@@ -4588,8 +4647,8 @@ _FINAL_ORDER = [
     "e6_topk",
     "e11_quality_score",
     "e11_fingerprint",
-    "e12_pit_join",
     "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
+    "e13_stream_from_iceberg",  # round 6: iceberg tail twin (delta twin in-window)
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",

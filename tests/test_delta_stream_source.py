@@ -163,3 +163,101 @@ def test_watermark_agg_over_delta_tail(spark, tmp_path):
         sorted(map(tuple, got.select("window_start", "event_type", "n_events").collect()))
         == sorted(map(tuple, batch.collect()))
     )
+
+
+# --- Iceberg twin (streaming/iceberg_source) ---------------------------------
+
+
+def test_iceberg_tail_then_resume(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "it")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    iceberg.write_iceberg(
+        spark, spark.range(40).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark, spark.range(40, 60).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    stream, snap = iceberg_source.stream_from_iceberg(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(60))
+
+    iceberg.write_iceberg(
+        spark, spark.range(60, 70).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    stream2, snap2 = iceberg_source.stream_from_iceberg(
+        spark, root, spool, since_snapshot_id=snap
+    )
+    assert snap2 > snap
+    _run_available(stream2, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(70))
+
+
+def test_iceberg_tail_partitioned_table(spark, tmp_path):
+    """Iceberg keeps source columns IN the data files, so partitioned
+    tables stream (the Delta tail must refuse these)."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "ip")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(30).select("id", (F.col("id") % 3).alias("b")),
+        root, format_version=2, partition_by=["b"],
+    )
+    stream, _ = iceberg_source.stream_from_iceberg(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    got = sorted((r.id, r.b) for r in spark.read.parquet(out).collect())
+    assert got == [(i, i % 3) for i in range(30)]
+
+
+def test_iceberg_tail_fail_louds(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    # row-level deletes present
+    root = str(tmp_path / "del")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "id = 3")
+    with pytest.raises(ValueError, match="delete files"):
+        iceberg_source.sync_iceberg_spool(root, str(tmp_path / "s1"))
+
+    # history rewrite (compaction) between checkpoints
+    root2 = str(tmp_path / "cmp")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root2, format_version=2,
+    )
+    snap = iceberg_source.sync_iceberg_spool(root2, str(tmp_path / "s2"))
+    iceberg.write_iceberg(
+        spark, spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")),
+        root2, format_version=2,
+    )
+    iceberg.compact_iceberg(spark, root2)
+    with pytest.raises(ValueError, match="history rewritten|gone at"):
+        iceberg_source.sync_iceberg_spool(
+            root2, str(tmp_path / "s2"), since_snapshot_id=snap
+        )
+
+    # rename evolution: file source would NULL the renamed column
+    root3 = str(tmp_path / "ren")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root3, format_version=2,
+    )
+    iceberg.rename_iceberg_column(root3, "v", "speed")
+    with pytest.raises(NotImplementedError, match="rename evolution"):
+        iceberg_source.sync_iceberg_spool(root3, str(tmp_path / "s3"))

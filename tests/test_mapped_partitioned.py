@@ -138,3 +138,80 @@ def test_skipping_after_partition_rename(spark, tmp_path):
     assert rep["kept_files"] < rep["total_files"]
     got = lakehouse.read_delta(spark, root, where="bucket = 3")
     assert got.count() == 25
+
+
+def test_drop_delta_column_zero_rewrite(spark, tmp_path):
+    """Round 6: DROP COLUMN is one metadata commit (column-mapping
+    upgrade on first use, like rename); files keep the bytes, reads stop
+    seeing the column, and re-adding the name later must NOT resurrect
+    old values (fresh physical identity)."""
+    import os
+
+    root = str(tmp_path / "dc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(10).select("id", (F.col("id") * 2).alias("v"),
+                               (F.col("id") * 3).alias("w")),
+        root,
+    )
+    files_before = sorted(
+        n for n in os.listdir(root) if n.endswith(".parquet")
+    )
+    lakehouse.drop_delta_column(spark, root, "v")
+    assert sorted(
+        n for n in os.listdir(root) if n.endswith(".parquet")
+    ) == files_before
+    back = lakehouse.read_delta(spark, root)
+    assert back.columns == ["id", "w"]
+    assert back.count() == 10
+    # appends carry the narrowed schema; rename still composes
+    lakehouse.write_delta(
+        spark,
+        spark.range(10, 12).select("id", (F.col("id") * 3).alias("w")),
+        root, mode="append",
+    )
+    lakehouse.rename_delta_column(spark, root, "w", "w2")
+    got = sorted((r.id, r.w2) for r in lakehouse.read_delta(spark, root).collect())
+    assert got == [(i, i * 3) for i in range(12)]
+
+
+def test_drop_delta_column_refusals(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "dr")
+    lakehouse.write_delta(
+        spark,
+        spark.range(6).select("id", (F.col("id") % 2).alias("p")),
+        root, partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        lakehouse.drop_delta_column(spark, root, "p")
+    with pytest.raises(ValueError, match="no column"):
+        lakehouse.drop_delta_column(spark, root, "ghost")
+    root2 = str(tmp_path / "one")
+    lakehouse.write_delta(spark, spark.range(3).select("id"), root2)
+    with pytest.raises(ValueError, match="last column"):
+        lakehouse.drop_delta_column(spark, root2, "id")
+
+
+def test_reader_features_timestamp_ntz_and_vacuum_check(spark, tmp_path):
+    """Tables declaring timestampNtz / vacuumProtocolCheck reader features
+    must read (round 6 widening) — both are no-ops for this reader."""
+    import json
+    import os
+
+    root = str(tmp_path / "ntz")
+    df = spark.range(5).select(
+        "id", F.lit("2024-01-02 03:04:05").cast("timestamp_ntz").alias("ts")
+    )
+    lakehouse.write_delta(spark, df, root)
+    log = os.path.join(root, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "vacuumProtocolCheck"],
+            "writerFeatures": ["timestampNtz", "vacuumProtocolCheck"],
+        }}) + "\n")
+    back = lakehouse.read_delta(spark, root)
+    assert back.count() == 5
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
