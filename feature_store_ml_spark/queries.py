@@ -3896,6 +3896,62 @@ def e13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e13_stream_delta_cdf",
+    """
+    SELECT o_orderkey, 'insert' AS _change_type, 2 AS _commit_version
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 3 AS _commit_version
+    FROM orders WHERE o_totalprice > 400000.0
+    """,
+)
+def e13_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed (streaming/delta_source.stream_delta_cdf —
+    the online twin of e1_delta_cdf): same lifecycle (create, enable CDF,
+    append, DV-delete across both eras), consumed as a real Structured
+    Streaming query over the change spool — inserts from the append
+    commit's files, deletes from the protocol's _change_data files, with
+    _commit_version parsed from the spool link names. Oracle = the same
+    two sets computed from the source parquet."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+    from .streaming import delta_source
+
+    (o,) = _t(spark, sf_dir, "orders")
+    base = f"{tempfile.gettempdir()}/fsml_stream_delta_cdf"
+    shutil.rmtree(base, ignore_errors=True)
+    path, spool = f"{base}/table", f"{base}/spool"
+    cut = "1997-01-01"
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path,
+    )  # v0 (outside the feed range)
+    lakehouse.alter_delta_properties(
+        path, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path, mode="append",
+    )  # v2: inserts
+    lakehouse.delete_delta(spark, path, "o_totalprice > 400000.0")  # v3
+    stream, _ = delta_source.stream_delta_cdf(
+        spark, path, spool, since_version=1
+    )
+    out = streaming_events.run_stream_to_table(spark, stream, mode="append")
+    return out.select(
+        "o_orderkey",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@register(
     "e13_stream_from_iceberg",
     """
     SELECT event_type,
@@ -4649,6 +4705,7 @@ _FINAL_ORDER = [
     "e11_fingerprint",
     "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
     "e13_stream_from_iceberg",  # round 6: iceberg tail twin (delta twin in-window)
+    "e13_stream_delta_cdf",     # round 6: streaming change feed vs batch oracle
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",

@@ -153,3 +153,129 @@ def stream_from_delta(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(spool_dir), v
+
+
+def sync_delta_cdf_spool(
+    path: str, spool_dir: str, since_version: int = -1
+) -> int:
+    """CHANGE-FEED spool sync — the mutation-tolerant tail (the plain
+    spool refuses deletes/overwrites). Per commit after ``since_version``:
+
+    - commits carrying ``cdc`` actions link their ``_change_data`` files
+      into ``<spool>/changes/`` (rows already tagged ``_change_type``, the
+      protocol's rule that cdc files REPLACE add/remove reconstruction
+      for that commit);
+    - pure append commits link their added data files into
+      ``<spool>/inserts/`` (every row is an insert — no cdc copy is ever
+      written for appends, matching delta-spark);
+    - a row-removing commit WITHOUT cdc actions fails loudly: the delete's
+      rows exist only as a deletion-vector bitmap diff, which a file
+      source cannot express — enable delta.enableChangeDataFeed before
+      mutating, or consume in batch via read_delta_cdf (which does the
+      bitmap diff).
+
+    Link names carry the zero-padded commit version, so
+    ``stream_delta_cdf`` can surface ``_commit_version`` from the file
+    path. Idempotent, like sync_delta_spool. Returns the highest synced
+    version."""
+    log = lakehouse._delta_log_dir(path)
+    if not lakehouse.is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    all_json = sorted(
+        n for n in os.listdir(log) if lakehouse._is_commit_json(n)
+    )
+    have = {int(n[:20]) for n in all_json}
+    hi = max(have) if have else -1
+    gone = sorted(set(range(since_version + 1, hi + 1)) - have)
+    if gone:
+        raise ValueError(
+            f"{path}: commits {gone[:5]} after version {since_version} "
+            "were cleaned from the JSON log — the change stream would "
+            "silently miss them; restart from a full snapshot"
+        )
+    ins_dir = os.path.join(spool_dir, "inserts")
+    chg_dir = os.path.join(spool_dir, "changes")
+    os.makedirs(ins_dir, exist_ok=True)
+    os.makedirs(chg_dir, exist_ok=True)
+    for name in all_json:
+        v = int(name[:20])
+        if v <= since_version:
+            continue
+        adds: list[str] = []
+        cdcs: list[str] = []
+        removed = False
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdcs.append(action["cdc"]["path"])
+                elif "add" in action and action["add"].get("dataChange", True):
+                    adds.append(action["add"]["path"])
+                    if action["add"].get("deletionVector"):
+                        removed = True
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removed = True
+        if cdcs:
+            targets = [(chg_dir, rel) for rel in cdcs]
+        elif removed:
+            raise ValueError(
+                f"{path}: commit {v} removed rows without change-data "
+                "files — enable delta.enableChangeDataFeed before "
+                "mutating, or consume in batch via read_delta_cdf"
+            )
+        else:
+            targets = [(ins_dir, rel) for rel in adds]
+        for i, (dirpath, rel) in enumerate(sorted(targets)):
+            src = os.path.abspath(os.path.join(path, rel))
+            link = os.path.join(
+                dirpath, f"{v:020d}-{i:05d}-{os.path.basename(src)}"
+            )
+            if not os.path.lexists(link):
+                os.symlink(src, link)
+    return hi
+
+
+def stream_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    spool_dir: str,
+    since_version: int = -1,
+) -> tuple[DataFrame, int]:
+    """Tail a Delta table's CHANGE FEED as a streaming DataFrame: the
+    table's columns plus ``_change_type`` ('insert' | 'delete' |
+    'update_preimage' | 'update_postimage') and ``_commit_version`` —
+    the online twin of read_delta_cdf, feeding a downstream that must
+    APPLY mutations (feature retraction, GDPR propagation). Returns
+    ``(streaming_df, synced_version)``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    v = sync_delta_cdf_spool(path, spool_dir, since_version)
+    _, meta = lakehouse._replay_log(path)
+    if not meta.get("schemaString"):
+        raise ValueError(f"{path}: table declares no schema")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    ver = F.regexp_extract(
+        F.col("_metadata.file_path"), r"/(\d{20})-\d{5}-", 1
+    ).cast("long")
+    ins = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(spool_dir, "inserts"))
+        .select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            ver.alias("_commit_version"),
+        )
+    )
+    chg_schema = schema.add("_change_type", StringType())
+    chg = (
+        spark.readStream.schema(chg_schema)
+        .parquet(os.path.join(spool_dir, "changes"))
+        .select("*", ver.alias("_commit_version"))
+    )
+    return ins.unionByName(chg), v

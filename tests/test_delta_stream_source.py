@@ -261,3 +261,79 @@ def test_iceberg_tail_fail_louds(spark, tmp_path):
     iceberg.rename_iceberg_column(root3, "v", "speed")
     with pytest.raises(NotImplementedError, match="rename evolution"):
         iceberg_source.sync_iceberg_spool(root3, str(tmp_path / "s3"))
+
+
+# --- CDF streaming source ----------------------------------------------------
+
+
+def test_stream_delta_cdf_parity_with_batch(spark, tmp_path):
+    """The streaming change feed must deliver exactly the rows
+    read_delta_cdf reconstructs in batch — inserts from append commits,
+    tagged change rows from cdc files — with the right _change_type and
+    _commit_version."""
+    root = str(tmp_path / "cdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 10).alias("v")),
+        root,
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.write_delta(
+        spark, spark.range(10, 15).select("id", (F.col("id") * 10).alias("v")),
+        root, mode="append",
+    )  # v2: inserts
+    lakehouse.delete_delta(spark, root, "id = 3")  # v3: delete w/ cdc
+    src = spark.createDataFrame(
+        [(1, -1), (99, 990)], "id long, v long"
+    )
+    lakehouse.merge_delta(spark, src, root, keys=["id"])  # v4: update+insert
+
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool, since_version=1)
+    assert v == 4
+    from feature_store_ml_spark.streaming import events as sev
+
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    batch = lakehouse.read_delta_cdf(spark, root, since_version=1)
+    g = sorted(map(tuple, got.select("id", "v", "_change_type", "_commit_version").collect()))
+    b = sorted(map(tuple, batch.select("id", "v", "_change_type", "_commit_version").collect()))
+    assert g == b
+    types = {r["_change_type"] for r in got.collect()}
+    assert {"insert", "delete", "update_preimage", "update_postimage"} <= types
+
+
+def test_stream_delta_cdf_refuses_uncovered_delete(spark, tmp_path):
+    """A row-removing commit WITHOUT cdc files cannot stream — fail loud
+    with the remediation, never drop mutations silently."""
+    root = str(tmp_path / "nocdf")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 10).alias("v")),
+        root,
+    )
+    lakehouse.delete_delta(spark, root, "id = 3")  # CDF not enabled
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        delta_source.sync_delta_cdf_spool(root, str(tmp_path / "s"))
+
+
+def test_stream_delta_cdf_resume(spark, tmp_path):
+    root = str(tmp_path / "cdfr")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lakehouse.write_delta(
+        spark, spark.range(5).select("id", (F.col("id") * 10).alias("v")), root
+    )
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.delete_delta(spark, root, "id = 2")
+    stream2, v2 = delta_source.stream_delta_cdf(
+        spark, root, spool, since_version=v
+    )
+    _run_available(stream2, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert rows.where("_change_type = 'insert'").count() == 5
+    assert [r.id for r in rows.where("_change_type = 'delete'").collect()] == [2]
