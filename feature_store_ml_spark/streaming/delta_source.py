@@ -111,13 +111,19 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
 
 def _check_streamable(path: str, meta: dict) -> None:
     """Fail-loud guards for table shapes the file-source tail cannot
-    represent faithfully (rather than silently dropping columns)."""
+    represent faithfully (rather than silently dropping columns).
+    NAME-mode column mapping streams (round 6): the spool scan reads the
+    PHYSICAL schema and projects back to logical names — physicalName is
+    stable across renames, so files from before and after a rename carry
+    the same columns. ID mode stays fail-loud: files may disagree on
+    physical names per footer, and one file-source schema cannot span
+    them (batch read_delta does, via field-id grouping)."""
     conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") in ("name", "id"):
+    if conf.get("delta.columnMapping.mode") == "id":
         raise NotImplementedError(
-            f"{path}: streaming source over a column-mapped table is not "
-            "implemented (files carry physical names; the spool scan "
-            "would surface them)"
+            f"{path}: streaming source over an ID-mapped table is not "
+            "implemented (per-footer field-id resolution needs the batch "
+            "reader); use read_delta / read_delta_changes"
         )
     if meta.get("partitionColumns"):
         raise NotImplementedError(
@@ -144,15 +150,33 @@ def stream_from_delta(
     the query runs are read with the committed contract."""
     from pyspark.sql.types import StructType
 
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
     v = sync_delta_spool(path, spool_dir, since_version)
     _, meta = lakehouse._replay_log(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = lakehouse._column_mapping(meta)
+    if mapping:
+        # name-mode mapped table: files carry stable PHYSICAL names —
+        # read those, project back to the current logical names
+        schema = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(spool_dir), v
+    stream = reader.parquet(spool_dir)
+    if mapping:
+        stream = stream.select(
+            *[F.col(p).alias(l) for l, p in mapping.items()]
+        )
+    return stream, v
 
 
 def sync_delta_cdf_spool(

@@ -123,12 +123,35 @@ def test_fail_loud_on_overwrite_dv_partitioned_mapped(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="PARTITIONED"):
         delta_source.sync_delta_spool(root3, str(tmp_path / "s3"))
 
-    # column-mapped
+    # NAME-mode column mapping streams (round 6) — rename mid-stream and
+    # the tail keeps reading both file generations under logical names
     root4 = str(tmp_path / "cm")
     _append(spark, root4, 0, 10)
     lakehouse.rename_delta_column(spark, root4, "v", "w")
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        delta_source.sync_delta_spool(root4, str(tmp_path / "s4"))
+    lakehouse.write_delta(
+        spark,
+        spark.range(10, 12).select("id", (F.col("id") * 2).alias("w")),
+        root4, mode="append",
+    )
+    out4, ckpt4 = str(tmp_path / "o4"), str(tmp_path / "c4")
+    stream4, _ = delta_source.stream_from_delta(
+        spark, root4, str(tmp_path / "s4")
+    )
+    _run_available(stream4, out4, ckpt4)
+    rows = spark.read.parquet(out4)
+    assert sorted(rows.columns) == ["id", "w"]
+    assert sorted((r.id, r.w) for r in rows.collect()) == [
+        (i, i * 2) for i in range(12)
+    ]
+
+    # ID mode stays fail-loud (per-footer field-id resolution)
+    root5 = str(tmp_path / "idm")
+    lakehouse.write_delta(
+        spark, spark.range(5).select("id", (F.col("id") * 2).alias("v")),
+        root5, column_mapping="id",
+    )
+    with pytest.raises(NotImplementedError, match="ID-mapped"):
+        delta_source.sync_delta_spool(root5, str(tmp_path / "s5"))
 
 
 def test_watermark_agg_over_delta_tail(spark, tmp_path):
