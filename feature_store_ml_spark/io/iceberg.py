@@ -328,6 +328,17 @@ def _join_out_positions(
     deleted = del_df.join(
         F.broadcast(map_df), del_df["file_path"] == F.col("_raw_fp")
     ).select("_del_fp", F.col("pos").alias("_del_pos"))
+    # join strategy from the delete files' FOOTER row counts (O(#delete
+    # files) driver metadata): small delete sets broadcast explicitly so
+    # the data scan is never shuffled; mass deletes leave the choice to
+    # AQE (shuffle join) rather than OOM a forced broadcast.
+    import pyarrow.parquet as pq
+
+    total_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in delete_files
+    )
+    if total_rows <= 5_000_000:
+        deleted = F.broadcast(deleted)
     return tagged.join(
         deleted,
         (F.col("_fp") == F.col("_del_fp")) & (F.col("_ri") == F.col("_del_pos")),

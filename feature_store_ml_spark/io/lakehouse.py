@@ -802,6 +802,14 @@ def _apply_dv_filter(
                 )
 
     deleted = bdf.mapInPandas(_explode, "_dv_fp string, _dv_ri long")
+    # join strategy from the DESCRIPTORS' total cardinality (known driver
+    # metadata): the common small-delete case broadcasts explicitly — an
+    # unhinted join would shuffle the full table scan before AQE converts
+    # to broadcast, a real cost at 100 TB; a genuinely mass delete
+    # (>5M masked rows) skips the hint and lets AQE shuffle both sides.
+    total_card = sum(c for _, _, c in blobs if c > 0)
+    if total_card and total_card <= 5_000_000:
+        deleted = F.broadcast(deleted)
     tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
