@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -221,6 +222,33 @@ _ICEBERG_TO_SPARK = {
 }
 
 
+def _ice_to_spark_type(t) -> str | None:
+    """Iceberg primitive type string -> Spark JSON type name, including
+    parameterized decimals (``decimal(P, S)`` — java Iceberg serializes
+    with a space, this module without; both parse). None when unmapped."""
+    if not isinstance(t, str):
+        return None
+    hit = _ICEBERG_TO_SPARK.get(t)
+    if hit is not None:
+        return hit
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return None
+
+
+def _spark_to_ice_type(t: str) -> str | None:
+    """Spark simpleString type name -> Iceberg primitive, decimals
+    included. None when unmapped."""
+    hit = _SPARK_TO_ICEBERG.get(t)
+    if hit is not None:
+        return hit
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    return None
+
+
 def _declared_spark_schema(meta: dict):
     """The table's CURRENT schema as a Spark StructType, or None when it
     contains a type this mapping doesn't cover (nested, decimal, ...) —
@@ -237,13 +265,13 @@ def _declared_spark_schema(meta: dict):
         return None
     fields = []
     for f in schema.get("fields", []):
-        t = f.get("type")
-        if not isinstance(t, str) or t not in _ICEBERG_TO_SPARK:
+        spark_t = _ice_to_spark_type(f.get("type"))
+        if spark_t is None:
             return None
         fields.append(
             {
                 "name": f["name"],
-                "type": _ICEBERG_TO_SPARK[t],
+                "type": spark_t,
                 "nullable": not f.get("required", False),
                 "metadata": {},
             }
@@ -442,7 +470,8 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
     out = []
     for i, f in enumerate(df.schema.fields, start=1):
         t = f.dataType.simpleString()
-        if t not in _SPARK_TO_ICEBERG:
+        ice_t = _spark_to_ice_type(t)
+        if ice_t is None:
             raise NotImplementedError(
                 f"write_iceberg: spark type {t!r} (column {f.name!r}) has no "
                 "iceberg primitive mapping in this writer"
@@ -452,7 +481,7 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
                 "id": i,
                 "name": f.name,
                 "required": not f.nullable,
-                "type": _SPARK_TO_ICEBERG[t],
+                "type": ice_t,
             }
         )
     return out
@@ -936,10 +965,19 @@ def _decode_bound(b: bytes, ice_type: str):
         if ice_type == "int":
             return struct.unpack("<i", b)[0]
         if ice_type == "long":
+            # a 4-byte buffer under a long column is a bound written
+            # BEFORE the column was widened int -> long (widen_iceberg_
+            # column never rewrites manifests); the narrow encoding is
+            # unambiguous, and decoding it keeps data skipping alive on
+            # widened columns instead of failing open
+            if len(b) == 4:
+                return struct.unpack("<i", b)[0]
             return struct.unpack("<q", b)[0]
         if ice_type == "float":
             return struct.unpack("<f", b)[0]
         if ice_type == "double":
+            if len(b) == 4:  # pre-widening float bound, as above
+                return struct.unpack("<f", b)[0]
             return struct.unpack("<d", b)[0]
         if ice_type == "boolean":
             return b != b"\x00"
@@ -1119,7 +1157,7 @@ def write_iceberg(
         if declared is None:
             raise ValueError(f"{path}: no declared schema in table metadata")
         want = [(f["name"], f["type"]) for f in declared["fields"]]
-        got = [(f.name, _SPARK_TO_ICEBERG.get(f.dataType.simpleString()))
+        got = [(f.name, _spark_to_ice_type(f.dataType.simpleString()))
                for f in df.schema.fields]
         if got != want and merge_schema and got[: len(want)] == want:
             # SCHEMA EVOLUTION (add-only): the batch carries every declared
@@ -2804,4 +2842,79 @@ def drop_iceberg_column(path: str, name: str) -> int:
                     "drop the spec first"
                 )
     new_fields = [dict(f) for f in cur["fields"] if f["name"] != name]
+    return _commit_schema_evolution(path, new_fields)
+
+
+_ICE_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+
+
+def _ice_widening_ok(frm: str, to: str) -> bool:
+    """The spec's §Schema Evolution type-promotion table (v2): int ->
+    long, float -> double, decimal(P,S) -> decimal(P',S) with P' > P and
+    the SAME scale — deliberately narrower than Delta's typeWidening set."""
+    if (frm, to) in (("int", "long"), ("float", "double")):
+        return True
+    m1, m2 = _ICE_DECIMAL_RE.fullmatch(frm or ""), _ICE_DECIMAL_RE.fullmatch(to or "")
+    if m1 and m2:
+        return int(m2.group(2)) == int(m1.group(2)) and int(m2.group(1)) > int(
+            m1.group(1)
+        )
+    return False
+
+
+def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
+    """ALTER COLUMN ... TYPE as a ZERO-REWRITE metadata commit (spec
+    §Schema Evolution, type promotion): the new schema keeps the field ID
+    and widens only the type — int -> long, float -> double, or
+    decimal(P,S) -> decimal(P',S) with larger precision, exactly the
+    spec's allowed set. Old data files keep the narrow physical type;
+    read_iceberg scans every file group under the DECLARED schema (built
+    from current types), and Spark's parquet reader performs these
+    promotions natively — so a widened table reads correctly with no
+    data rewrite. Manifest column bounds written before the change stay
+    usable for data skipping (_decode_bound length-sniffs the narrow
+    encoding). Returns the new schema id.
+
+    Fail-loud: unknown column, non-promotion change, nested types, and
+    columns any partition spec derives from (new manifests would encode
+    the partition struct under the wide type while old ones carry the
+    narrow type — a rewrite-free ambiguity this module refuses rather
+    than papers over)."""
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    target = next((f for f in cur.get("fields", []) if f["name"] == name), None)
+    if target is None:
+        raise ValueError(
+            f"{path}: no column {name!r} "
+            f"(have {[f['name'] for f in cur.get('fields', [])]})"
+        )
+    new_type = new_type.strip().lower().replace(" ", "")
+    old_type = target.get("type")
+    if not isinstance(old_type, str):
+        raise NotImplementedError(
+            f"{path}: {name!r} is a nested type — widening nested fields "
+            "is not implemented"
+        )
+    if old_type == new_type:
+        raise ValueError(f"{path}: {name!r} is already {new_type}")
+    if not _ice_widening_ok(old_type, new_type):
+        raise ValueError(
+            f"{path}: {old_type} -> {new_type} is not an allowed type "
+            "promotion (spec permits int->long, float->double, and "
+            "decimal precision growth at the same scale)"
+        )
+    fid = target.get("id")
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf.get("source-id") == fid:
+                raise ValueError(
+                    f"{path}: column {name!r} (field id {fid}) is a "
+                    f"partition source of spec {spec.get('spec-id')} — "
+                    "widening it would fork the manifests' partition "
+                    "struct encoding; rewrite via overwrite instead"
+                )
+    new_fields = [
+        {**f, "type": new_type} if f["name"] == name else dict(f)
+        for f in cur["fields"]
+    ]
     return _commit_schema_evolution(path, new_fields)

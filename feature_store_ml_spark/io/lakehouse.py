@@ -105,6 +105,13 @@ _SUPPORTED_READER_FEATURES = {
     # vacuumProtocolCheck: constrains VACUUM implementations, not reads;
     # by spec a reader supports it by doing nothing special at read time
     "vacuumProtocolCheck",
+    # typeWidening: files written before an ALTER COLUMN TYPE keep the
+    # narrow physical type; every scan in this module reads with the
+    # DECLARED schema, and Spark 4's parquet reader performs the spec's
+    # widening promotions (int->long/double, float->double, decimal
+    # precision/scale growth, int->decimal, date->timestamp_ntz) inside
+    # the vectorized reader — verified empirically, no extra work here
+    "typeWidening",
 }
 
 
@@ -439,6 +446,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "deletionVectors",
     "columnMapping",
     "v2Checkpoint",
+    "typeWidening",
 }
 _MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
 
@@ -3045,6 +3053,157 @@ def drop_delta_column(spark: SparkSession, path: str, name: str) -> int:
             }
         }
     )
+    return _commit(path, actions)
+
+
+#: PROTOCOL.md §Type Widening — the promotions a widened column may take,
+#: keyed by the schemaString's Spark-JSON type names. Every pair here is
+#: also a promotion Spark 4's parquet reader performs when scanning an old
+#: (narrow) file under the new declared schema, so reads need no rewrite.
+_INT_WIDENINGS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "long": set(),
+    "float": {"double"},
+    "date": {"timestamp_ntz"},
+}
+#: minimum integer digits (precision - scale) for an int-family column to
+#: widen into a decimal without overflow, per the spec's table
+_MIN_DECIMAL_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+
+
+def _widening_ok(frm: str, to: str) -> bool:
+    """True iff changing a column's type ``frm`` -> ``to`` is one of the
+    protocol's allowed WIDENING promotions (never loses information)."""
+    if to in _INT_WIDENINGS.get(frm, set()):
+        return True
+    m_to = _DECIMAL_RE.fullmatch(to)
+    if not m_to:
+        return False
+    p2, s2 = int(m_to.group(1)), int(m_to.group(2))
+    if frm in _MIN_DECIMAL_DIGITS:
+        return p2 - s2 >= _MIN_DECIMAL_DIGITS[frm]
+    m_frm = _DECIMAL_RE.fullmatch(frm)
+    if not m_frm:
+        return False
+    p1, s1 = int(m_frm.group(1)), int(m_frm.group(2))
+    # decimal(p,s) -> decimal(p + k1, s + k2) with k1 >= k2 >= 0: integer
+    # digits and scale may each grow, neither may shrink
+    return s2 >= s1 and p2 - s2 >= p1 - s1
+
+
+def widen_delta_column_type(
+    spark: SparkSession, path: str, column: str, new_type: str
+) -> int:
+    """ALTER COLUMN ... TYPE as a ZERO-REWRITE metadata commit via the
+    protocol's TYPE WIDENING table feature (PROTOCOL.md §Type Widening) —
+    without it, growing an int column on a 100 TB table means rewriting
+    100 TB of parquet; with it, the change is ONE commit and existing
+    files keep their narrow physical type.
+
+    Mechanics, per spec: the new metaData carries the WIDENED type in
+    schemaString plus a ``delta.typeChanges`` history entry in the
+    field's metadata ({"fromType", "toType"}), and the protocol moves to
+    table features (3/7) with ``typeWidening`` in BOTH feature lists,
+    carrying the table's existing features forward. Readers then scan old
+    files under the declared (wide) schema — Spark's parquet reader
+    performs every promotion this function admits (verified for
+    int-family -> long/double/decimal, float -> double, decimal
+    precision/scale growth, date -> timestamp_ntz). Per-file stats stay
+    valid: widening preserves numeric order, so min/max bounds written
+    under the narrow type still bound the widened column.
+
+    Fail-loud: unknown column, non-widening change (narrowing or
+    cross-family), partition columns (their values are serialized into
+    directory names and partitionValues under the OLD type's formatting —
+    delta-spark refuses these too). Appends after the change must carry
+    the widened type (write_delta's append check enforces the declared
+    schema, so a stale producer fails loudly instead of corrupting)."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    schema = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if column not in names:
+        raise ValueError(f"{path}: no column {column!r} (have {names})")
+    if column in (meta.get("partitionColumns") or []):
+        raise ValueError(
+            f"{path}: {column!r} is a partition column — its values are "
+            "serialized into directory names under the current type; "
+            "repartition via overwrite instead of widening"
+        )
+    new_type = new_type.strip().lower().replace(" ", "")
+    for f in schema["fields"]:
+        if f["name"] != column:
+            continue
+        old_type = f["type"]
+        if not isinstance(old_type, str):
+            raise NotImplementedError(
+                f"{path}: {column!r} is a nested type — widening nested "
+                "fields is not implemented"
+            )
+        if old_type == new_type:
+            raise ValueError(f"{path}: {column!r} is already {new_type}")
+        if not _widening_ok(old_type, new_type):
+            raise ValueError(
+                f"{path}: {old_type} -> {new_type} is not a widening "
+                "promotion (narrowing and cross-family changes require a "
+                "rewrite via mode='overwrite')"
+            )
+        f["type"] = new_type
+        md = dict(f.get("metadata") or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({"fromType": old_type, "toType": new_type})
+        md["delta.typeChanges"] = changes
+        f["metadata"] = md
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.enableTypeWidening"] = "true"
+    # protocol upgrade to table features, carrying existing/implied
+    # features forward (same discipline as the deletion-vector upgrade:
+    # dropping an active feature from the lists would un-declare it)
+    proto = _current_protocol(path)
+    reader_feats = set(proto.get("readerFeatures") or []) | {"typeWidening"}
+    writer_feats = set(proto.get("writerFeatures") or []) | {"typeWidening"}
+    if any(k.startswith("delta.constraints.") for k in conf) or proto.get(
+        "minWriterVersion", 2
+    ) >= 3:
+        writer_feats.add("checkConstraints")
+    if _mapping_mode(meta):
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(writer_feats),
+            }
+        },
+        {
+            "metaData": {
+                **{
+                    k: v
+                    for k, v in meta.items()
+                    if k not in ("schemaString", "configuration")
+                },
+                "schemaString": json.dumps(schema),
+                "configuration": conf,
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {"column": column, "type": new_type},
+            }
+        },
+    ]
     return _commit(path, actions)
 
 

@@ -137,7 +137,11 @@ def footer_column_stats(file_path: str):
             try:
                 entry["min"] = min(s.min for s in have_bounds)
                 entry["max"] = max(s.max for s in have_bounds)
-            except TypeError:
+            except Exception:
+                # TypeError: bounds of incomparable python types;
+                # ArrowNotImplementedError: pyarrow cannot materialize
+                # min/max for some physical types (decimals) — fail open
+                # with no bounds either way, never a failed write
                 pass
         out[name] = entry
     return md.num_rows, out
