@@ -39,6 +39,46 @@ from pyspark.sql import DataFrame, SparkSession
 from ..io import lakehouse
 
 
+#: characters Spark's ExternalCatalogUtils.escapePathName percent-encodes
+#: in partition directory names (plus ASCII control chars, handled below)
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f')
+
+
+def _hive_dir_component(col: str, value: str | None) -> str:
+    """One ``col=value`` path component, escaped the way Spark writes it —
+    so the file source's partition discovery parses our spool dirs exactly
+    like a table Spark itself laid out. None (and empty string, per Hive)
+    becomes ``__HIVE_DEFAULT_PARTITION__``, which the reader surfaces as
+    null."""
+    if value is None or value == "":
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    enc = "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPED_CHARS or ord(ch) < 0x20 else ch
+        for ch in value
+    )
+    return f"{col}={enc}"
+
+
+def _partition_subdir(meta: dict, action_values: dict | None) -> str:
+    """Relative Hive-layout subdir for one add/cdc action, reconstructed
+    from the action's AUTHORITATIVE ``partitionValues`` (the protocol says
+    directory naming is only a convention, so non-Hive physical layouts
+    spool correctly too). Column-mapped tables keep PHYSICAL names in both
+    partitionValues and the dirs — the stream projects back to logical
+    names after the scan, same as the data columns."""
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        return ""
+    mapping = lakehouse._physical_names(meta) if lakehouse._mapping_mode(meta) else {}
+    vals = action_values or {}
+    return os.path.join(
+        *[
+            _hive_dir_component(mapping.get(c, c), vals.get(mapping.get(c, c)))
+            for c in part_cols
+        ]
+    )
+
+
 def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
     """Link data files committed to the Delta table at ``path`` after
     ``since_version`` into ``spool_dir``; return the highest version
@@ -91,8 +131,13 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
                     src = os.path.abspath(
                         os.path.join(path, action["add"]["path"])
                     )
+                    sub = _partition_subdir(
+                        meta, action["add"].get("partitionValues")
+                    )
+                    dirpath = os.path.join(spool_dir, sub) if sub else spool_dir
+                    os.makedirs(dirpath, exist_ok=True)
                     link = os.path.join(
-                        spool_dir,
+                        dirpath,
                         f"{v:020d}-{i:05d}-{os.path.basename(src)}",
                     )
                     if not os.path.lexists(link):
@@ -115,21 +160,19 @@ def _check_streamable(path: str, meta: dict) -> None:
     NAME-mode column mapping streams (round 6): the spool scan reads the
     PHYSICAL schema and projects back to logical names — physicalName is
     stable across renames, so files from before and after a rename carry
-    the same columns. ID mode stays fail-loud: files may disagree on
-    physical names per footer, and one file-source schema cannot span
-    them (batch read_delta does, via field-id grouping)."""
+    the same columns. PARTITIONED tables stream too: the spool links into
+    reconstructed Hive-layout dirs built from each add action's
+    authoritative partitionValues, and the file source's partition
+    discovery fills the partition columns (which live in the declared
+    schema). ID mode stays fail-loud: files may disagree on physical
+    names per footer, and one file-source schema cannot span them (batch
+    read_delta does, via field-id grouping)."""
     conf = meta.get("configuration") or {}
     if conf.get("delta.columnMapping.mode") == "id":
         raise NotImplementedError(
             f"{path}: streaming source over an ID-mapped table is not "
             "implemented (per-footer field-id resolution needs the batch "
             "reader); use read_delta / read_delta_changes"
-        )
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            f"{path}: streaming source over a PARTITIONED table is not "
-            "implemented (partition values live in directory names, "
-            "which the flat spool cannot reconstruct)"
         )
 
 
@@ -205,6 +248,7 @@ def sync_delta_cdf_spool(
     log = lakehouse._delta_log_dir(path)
     if not lakehouse.is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
+    _, meta = lakehouse._replay_log(path)
     all_json = sorted(
         n for n in os.listdir(log) if lakehouse._is_commit_json(n)
     )
@@ -225,8 +269,8 @@ def sync_delta_cdf_spool(
         v = int(name[:20])
         if v <= since_version:
             continue
-        adds: list[str] = []
-        cdcs: list[str] = []
+        adds: list[tuple[str, dict | None]] = []
+        cdcs: list[tuple[str, dict | None]] = []
         removed = False
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
@@ -235,9 +279,13 @@ def sync_delta_cdf_spool(
                     continue
                 action = json.loads(line)
                 if "cdc" in action:
-                    cdcs.append(action["cdc"]["path"])
+                    cdcs.append(
+                        (action["cdc"]["path"], action["cdc"].get("partitionValues"))
+                    )
                 elif "add" in action and action["add"].get("dataChange", True):
-                    adds.append(action["add"]["path"])
+                    adds.append(
+                        (action["add"]["path"], action["add"].get("partitionValues"))
+                    )
                     if action["add"].get("deletionVector"):
                         removed = True
                 elif "remove" in action and action["remove"].get(
@@ -245,7 +293,7 @@ def sync_delta_cdf_spool(
                 ):
                     removed = True
         if cdcs:
-            targets = [(chg_dir, rel) for rel in cdcs]
+            targets = [(chg_dir, rel, pv) for rel, pv in cdcs]
         elif removed:
             raise ValueError(
                 f"{path}: commit {v} removed rows without change-data "
@@ -253,11 +301,20 @@ def sync_delta_cdf_spool(
                 "mutating, or consume in batch via read_delta_cdf"
             )
         else:
-            targets = [(ins_dir, rel) for rel in adds]
-        for i, (dirpath, rel) in enumerate(sorted(targets)):
+            targets = [(ins_dir, rel, pv) for rel, pv in adds]
+        for i, (dirpath, rel, pv) in enumerate(sorted(targets)):
             src = os.path.abspath(os.path.join(path, rel))
+            # INSERT data files on a partitioned table spool into Hive
+            # layout (their columns live in partitionValues, not the
+            # parquet); cdc files carry every column inline — this
+            # module's writer stages them unpartitioned (partitionValues
+            # {}), and a foreign writer's partitioned cdc files spool
+            # into the same layout reconstruction
+            sub = _partition_subdir(meta, pv) if pv else ""
+            final_dir = os.path.join(dirpath, sub) if sub else dirpath
+            os.makedirs(final_dir, exist_ok=True)
             link = os.path.join(
-                dirpath, f"{v:020d}-{i:05d}-{os.path.basename(src)}"
+                final_dir, f"{v:020d}-{i:05d}-{os.path.basename(src)}"
             )
             if not os.path.lexists(link):
                 os.symlink(src, link)
@@ -277,25 +334,64 @@ def stream_delta_cdf(
     APPLY mutations (feature retraction, GDPR propagation). Returns
     ``(streaming_df, synced_version)``."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
     v = sync_delta_cdf_spool(path, spool_dir, since_version)
     _, meta = lakehouse._replay_log(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "id":
+        raise NotImplementedError(
+            f"{path}: change-feed streaming over an ID-mapped table is "
+            "not implemented; use read_delta_cdf"
+        )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    mapping = lakehouse._column_mapping(meta)
     ver = F.regexp_extract(
         F.col("_metadata.file_path"), r"/(\d{20})-\d{5}-", 1
     ).cast("long")
-    ins = (
-        spark.readStream.schema(schema)
-        .parquet(os.path.join(spool_dir, "inserts"))
-        .select(
-            "*",
-            F.lit("insert").alias("_change_type"),
-            ver.alias("_commit_version"),
+    ins_schema = schema
+    if mapping:
+        # INSERT commits' data files carry stable PHYSICAL names — read
+        # those and project back, same as the plain spool tail
+        ins_schema = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
         )
+    ins = spark.readStream.schema(ins_schema).parquet(
+        os.path.join(spool_dir, "inserts")
     )
+    if mapping:
+        ins = ins.select(*[F.col(p).alias(l) for l, p in mapping.items()])
+    ins = ins.select(
+        "*",
+        F.lit("insert").alias("_change_type"),
+        ver.alias("_commit_version"),
+    )
+    # cdc files are staged under the LOGICAL names current at each commit;
+    # after a rename, pre-rename cdc files carry names one file-source
+    # schema cannot span. Verify each spooled cdc footer against the
+    # current logical names (O(#files) driver footer reads, the same pass
+    # the stats planners do) and fail loud on a mismatch instead of
+    # silently reading null columns.
+    want_cols = {f.name for f in schema.fields} | {"_change_type"}
+    chg_root = os.path.join(spool_dir, "changes")
+    for dirpath, _dirs, names in os.walk(chg_root):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            import pyarrow.parquet as pq
+
+            got = set(pq.read_schema(os.path.join(dirpath, n)).names)
+            if not got <= want_cols:
+                raise NotImplementedError(
+                    f"{path}: cdc file {n} carries columns "
+                    f"{sorted(got - want_cols)} outside the current "
+                    "logical schema (written before a rename?) — use "
+                    "read_delta_cdf, which resolves per commit"
+                )
     chg_schema = schema.add("_change_type", StringType())
     chg = (
         spark.readStream.schema(chg_schema)

@@ -113,16 +113,6 @@ def test_fail_loud_on_overwrite_dv_partitioned_mapped(spark, tmp_path):
     with pytest.raises(ValueError, match="ill-defined"):
         delta_source.sync_delta_spool(root2, str(tmp_path / "s2"))
 
-    # partitioned
-    root3 = str(tmp_path / "part")
-    lakehouse.write_delta(
-        spark,
-        spark.range(10).select("id", (F.col("id") % 2).alias("p")),
-        root3, partition_by=["p"],
-    )
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        delta_source.sync_delta_spool(root3, str(tmp_path / "s3"))
-
     # NAME-mode column mapping streams (round 6) — rename mid-stream and
     # the tail keeps reading both file generations under logical names
     root4 = str(tmp_path / "cm")
@@ -152,6 +142,132 @@ def test_fail_loud_on_overwrite_dv_partitioned_mapped(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="ID-mapped"):
         delta_source.sync_delta_spool(root5, str(tmp_path / "s5"))
+
+
+def test_tail_partitioned_table(spark, tmp_path):
+    """PARTITIONED tables stream (round 6): the spool reconstructs
+    Hive-layout dirs from each add's authoritative partitionValues, and
+    the file source's partition discovery fills the partition columns —
+    which never live in the data files on a Delta table."""
+    root = str(tmp_path / "part")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    lakehouse.write_delta(spark, mk(0, 30), root, partition_by=["p"])
+    lakehouse.write_delta(
+        spark, mk(30, 50), root, mode="append", partition_by=["p"]
+    )
+    stream, v = delta_source.stream_from_delta(spark, root, spool)
+    assert v == 1
+    _run_available(stream, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert dict(rows.dtypes)["p"] == "int"  # declared type, not inferred
+    assert sorted((r.id, r.p, r.v) for r in rows.collect()) == [
+        (i, i % 3, i * 2) for i in range(50)
+    ]
+    # resume picks up commits that open NEW partition-value dirs
+    lakehouse.write_delta(
+        spark,
+        spark.range(50, 60).select(
+            "id", F.lit(7).cast("int").alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        root, mode="append", partition_by=["p"],
+    )
+    stream2, v2 = delta_source.stream_from_delta(
+        spark, root, spool, since_version=v
+    )
+    _run_available(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 60
+    assert spark.read.parquet(out).where("p = 7").count() == 10
+
+
+def test_tail_partitioned_null_and_special_values(spark, tmp_path):
+    """Null partition values spool as __HIVE_DEFAULT_PARTITION__ and read
+    back null; values containing the characters Spark escapes in dir
+    names (=, /, :) round-trip through the escaping."""
+    root = str(tmp_path / "pnull")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(0, None, 1), (1, "a=b/c:d", 2), (2, "plain", 3)],
+        "id long, p string, v long",
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["p"])
+    stream, _ = delta_source.stream_from_delta(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    got = sorted(
+        (r.id, r.p, r.v) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(0, None, 1), (1, "a=b/c:d", 2), (2, "plain", 3)]
+
+
+def test_tail_partitioned_after_partition_column_rename(spark, tmp_path):
+    """Composition: rename the PARTITION column (name-mode mapping), then
+    stream — spool dirs carry the stable physical name, the stream
+    projects back to the new logical name."""
+    root = str(tmp_path / "pren")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    lakehouse.write_delta(
+        spark,
+        spark.range(20).select(
+            "id", (F.col("id") % 2).cast("int").alias("p")
+        ),
+        root, partition_by=["p"],
+    )
+    lakehouse.rename_delta_column(spark, root, "p", "bucket")
+    lakehouse.write_delta(
+        spark,
+        spark.range(20, 30).select(
+            "id", (F.col("id") % 2).cast("int").alias("bucket")
+        ),
+        root, mode="append", partition_by=["bucket"],
+    )
+    stream, _ = delta_source.stream_from_delta(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert sorted(rows.columns) == ["bucket", "id"]
+    assert sorted((r.id, r.bucket) for r in rows.collect()) == [
+        (i, i % 2) for i in range(30)
+    ]
+
+
+def test_stream_delta_cdf_partitioned_inserts(spark, tmp_path):
+    """CDF tail over a PARTITIONED table: insert commits spool into the
+    reconstructed Hive layout under inserts/."""
+    root = str(tmp_path / "pcdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(12).select(
+            "id", (F.col("id") % 2).cast("int").alias("p")
+        ),
+        root, partition_by=["p"],
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(12, 18).select(
+            "id", (F.col("id") % 2).cast("int").alias("p")
+        ),
+        root, mode="append", partition_by=["p"],
+    )
+    from feature_store_ml_spark.streaming import events as sev
+
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool)
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    assert sorted((r.id, r.p, r._change_type) for r in got.collect()) == [
+        (i, i % 2, "insert") for i in range(18)
+    ]
 
 
 def test_watermark_agg_over_delta_tail(spark, tmp_path):
