@@ -158,6 +158,25 @@ def test_delta_widen_refuses_narrowing_and_cross_family(spark, tmp_path):
         lakehouse.widen_delta_column_type(spark, root, "v", "decimal(11,2)")
 
 
+def test_delta_widen_refuses_byte_short_to_decimal(spark, tmp_path):
+    """Spec-legal but unreadable: Spark's parquet reader does not promote
+    INT(8)/INT(16)-annotated columns to decimal, so admitting the change
+    would commit a schema the scanner cannot read back."""
+    root = str(tmp_path / "bs")
+    lakehouse.write_delta(
+        spark,
+        spark.range(4).select(F.col("id").cast("short").alias("s")),
+        root,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="not a widening"):
+        lakehouse.widen_delta_column_type(spark, root, "s", "decimal(10,0)")
+    lakehouse.widen_delta_column_type(spark, root, "s", "long")  # fine
+    assert [r.s for r in lakehouse.read_delta(spark, root).orderBy("s").collect()] == [
+        0, 1, 2, 3,
+    ]
+
+
 def test_delta_widen_refuses_partition_column(spark, tmp_path):
     root = str(tmp_path / "p")
     lakehouse.write_delta(
