@@ -2045,14 +2045,18 @@ def _commit_delete_snapshot(
     snap_id: int,
     seq: int,
     now_ms: int,
-    del_entry: dict | None,
+    del_entry: dict | list[dict] | None,
+    operation: str = "delete",
 ) -> int:
-    """Shared commit tail for both delete flavors: build the manifest list
-    (prior entries + the new delete manifest, when rows matched), append
-    the snapshot + snapshot-log, bump last-sequence-number, and swap the
-    metadata version by atomic rename (single-writer conflict check).
-    ``del_entry`` is the new manifest-list entry, or None for a no-match
-    delete (the snapshot reuses the prior manifest list)."""
+    """Shared commit tail for the row-level mutations (both delete
+    flavors, and UPDATE's combined delete+data snapshot): build the
+    manifest list (prior entries + the new manifest entries, when rows
+    matched), append the snapshot + snapshot-log, bump
+    last-sequence-number, and swap the metadata version by atomic rename
+    (single-writer conflict check). ``del_entry`` is the new
+    manifest-list entry (or a list of them — UPDATE commits a delete
+    manifest AND a data manifest in ONE snapshot), or None for a
+    no-match mutation (the snapshot reuses the prior manifest list)."""
     import uuid
 
     meta_dir = os.path.join(path, "metadata")
@@ -2060,7 +2064,12 @@ def _commit_delete_snapshot(
     prior_snap = next(
         s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
     )
-    if del_entry is not None:
+    new_entries = (
+        del_entry if isinstance(del_entry, list)
+        else [del_entry] if del_entry is not None
+        else []
+    )
+    if new_entries:
         prior_manifests = list(
             avro_lite.read_container(_localize(prior_snap["manifest-list"], path))
         )
@@ -2071,7 +2080,7 @@ def _commit_delete_snapshot(
             mlist,
             mf_schema,
             [{k: e.get(k, 0) for k in keep} for e in prior_manifests]
-            + [{k: del_entry.get(k, 0) for k in keep}],
+            + [{k: e.get(k, 0) for k in keep} for e in new_entries],
         )
         manifest_list_uri = f"file:{mlist}"
     else:
@@ -2081,7 +2090,7 @@ def _commit_delete_snapshot(
         "parent-snapshot-id": cur,
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list_uri,
-        "summary": {"operation": "delete"},
+        "summary": {"operation": operation},
         "schema-id": prior_meta.get("current-schema-id", 0),
         "sequence-number": seq,
     }
@@ -2301,6 +2310,186 @@ def delete_iceberg_equality(
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
     )
+
+
+def update_iceberg(
+    spark: SparkSession,
+    path: str,
+    set: dict[str, str],
+    where: str | None = None,
+) -> int:
+    """UPDATE ... SET ... WHERE in ONE snapshot, merge-on-read style —
+    the Iceberg twin of lakehouse.update_delta. The commit carries TWO
+    new manifests: a POSITION DELETE manifest masking the matched rows in
+    their existing files (write cost O(#matched rows), no touched-file
+    rewrite — the opposite trade from Delta's copy-on-write UPDATE) and a
+    DATA manifest adding files that hold the transformed versions of
+    those rows. Readers of the new snapshot anti-join the dead positions
+    and scan the replacements; readers of the prior snapshot see the
+    pre-update table — atomicity a delete-commit-then-append-commit pair
+    cannot give. Assignments are simultaneous (one projection over the
+    pre-update row). The pos-delete file cannot name rows of the new data
+    files (it references only pre-existing file paths), so the shared
+    sequence number is safe.
+
+    Fail-loud: v2 tables only (merge-on-read), unknown SET columns, and
+    PARTITIONED tables (the new data manifest would need the partition
+    struct re-derived per transformed row; rewrite partitioned updates
+    through delete + append or MERGE instead). A predicate matching
+    nothing commits a no-op snapshot. Returns the new snapshot id."""
+    import shutil
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not set:
+        raise ValueError("update_iceberg: empty SET clause")
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
+    spec = next(
+        (
+            s
+            for s in prior_meta.get("partition-specs", [])
+            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    if spec.get("fields"):
+        raise NotImplementedError(
+            f"{path}: UPDATE on a PARTITIONED table is not implemented "
+            "(the data manifest needs per-row partition re-derivation); "
+            "use delete_iceberg + write_iceberg, or MERGE semantics"
+        )
+    cur_schema = _current_schema(prior_meta)
+    names = [f["name"] for f in cur_schema.get("fields", [])]
+    unknown = sorted(c for c in set if c not in names)
+    if unknown:
+        raise ValueError(
+            f"{path}: SET references unknown columns {unknown} (have {names})"
+        )
+    declared = _declared_spark_schema(prior_meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: table schema holds types outside the primitive "
+            "bridge — UPDATE cannot re-stage it faithfully"
+        )
+    declared_types = {f.name: f.dataType for f in declared.fields}
+    pred = where or "true"
+
+    matched = (
+        read_iceberg(spark, path, with_row_identity=True)
+        .where(pred)
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_ri", F.col("_metadata.row_index"))
+    ).persist()  # probed twice: position-delete write + transformed rows
+    try:
+        now_ms = int(_time.time() * 1000)
+        meta_dir = os.path.join(path, "metadata")
+        data_dir = os.path.join(path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+
+        # 1. position-delete files: distributed, spec-ordered write —
+        #    matched positions never reach the driver (same shape as
+        #    delete_iceberg)
+        staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+        (
+            matched.select(
+                F.col("_fp").alias("file_path"),
+                F.col("_ri").cast("long").alias("pos"),
+            )
+            .repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(staging)
+        )
+        run = uuid.uuid4().hex
+        del_files: list[tuple[str, int]] = []
+        for i, part in enumerate(
+            sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+        ):
+            src = os.path.join(staging, part)
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
+                continue
+            dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
+            os.rename(src, dst)
+            del_files.append((dst, n_rows))
+        shutil.rmtree(staging)
+        if not del_files:
+            return _commit_delete_snapshot(
+                path, prior_meta, prior_version, snap_id, seq, now_ms,
+                None, operation="overwrite",
+            )
+        del_entry = _delete_manifest_entry(
+            meta_dir, snap_id, seq, del_files, None
+        )
+
+        # 2. transformed rows as new data files, field ids stamped so the
+        #    replacements stay rename-safe like every writer-staged file
+        fid_by_name = {
+            f["name"]: f["id"] for f in cur_schema["fields"] if "id" in f
+        }
+        updated = matched.withColumns(
+            {c: F.expr(e).cast(declared_types[c]) for c, e in set.items()}
+        ).select(
+            *[
+                F.col(n).alias(n, metadata={"parquet.field.id": fid_by_name[n]})
+                if n in fid_by_name
+                else F.col(n)
+                for n in names
+            ]
+        )
+        staging2 = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+        updated.write.parquet(staging2)
+        data_files: list[tuple[str, int, int]] = []
+        for name in sorted(os.listdir(staging2)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging2, name)
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
+                continue
+            final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+            os.rename(src, final)
+            data_files.append((final, n_rows, os.path.getsize(final)))
+        shutil.rmtree(staging2)
+
+        manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        avro_lite.write_container(
+            manifest,
+            _manifest_entry_schema(2),
+            [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": f"file:{f}",
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        **_file_stats_maps(f, cur_schema["fields"]),
+                    },
+                }
+                for f, rows, size in data_files
+            ],
+        )
+        data_entry = {
+            "manifest_path": f"file:{manifest}",
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+        }
+        return _commit_delete_snapshot(
+            path, prior_meta, prior_version, snap_id, seq, now_ms,
+            [del_entry, data_entry], operation="overwrite",
+        )
+    finally:
+        matched.unpersist()
 
 
 def last_committed_batch(path: str, app_id: str) -> int:
