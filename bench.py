@@ -79,6 +79,15 @@ HEADLINE = [
     "e1_delta_id_mode",
     "e1_iceberg_evolution",
     "e1_prune_planning",
+    # round-6 late joiners (first pins in BASELINE.md round-6-late
+    # section): zero-rewrite type widening, UPDATE on both formats
+    # (copy-on-write vs single-snapshot merge-on-read), and the
+    # partitioned streaming tail
+    "e1_delta_type_widening",
+    "e1_iceberg_type_widening",
+    "e1_delta_update",
+    "e1_iceberg_update",
+    "e13_stream_from_delta_partitioned",
 ]
 
 

@@ -293,6 +293,60 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     return F.array_distinct(F.slice(mins, 1, n_windows))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Sliding-window document CHUNKING — the standard pre-tokenization
+    step of an LLM training pipeline (long documents become overlapping
+    windows that fit a context length). Whitespace tokens; windows start
+    every ``chunk_tokens - overlap_tokens`` tokens and the tail window may
+    run short. Output: (id, chunk_id, n_tokens, chunk_text), one row per
+    chunk; empty documents produce none.
+
+    Scale shape: pure JVM array expressions (split → filter → sequence of
+    starts → posexplode → slice → array_join) — zero Python, zero
+    shuffle; chunking is embarrassingly row-parallel and the explode
+    multiplies rows inside the same stage. Deterministic, so the whole
+    output is exactly DuckDB-oracle-checkable (e11_chunking)."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap_tokens}) must be smaller "
+            f"than the chunk ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                "_toks", F.col("_start") + 1, F.lit(chunk_tokens)
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").alias("n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction — regex patterns restricted to the syntax subset
 # Java regex (Spark) and RE2 (DuckDB) interpret identically, so every scan

@@ -1066,6 +1066,39 @@ def e11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e11_chunking",
+    r"""
+    SELECT doc_id,
+           CAST(s / 48 AS INT) AS chunk_id,
+           CAST(len(t[s + 1 : s + 64]) AS INT) AS n_tokens,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+    FROM (
+        SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        )
+        WHERE len(t) > 0
+    )
+    """,
+)
+def e11_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token windows, 16-token
+    overlap → starts every 48) — the LLM-pipeline pre-tokenization step,
+    pure JVM array expressions (operators/text.chunk_documents). The
+    oracle rebuilds every chunk STRING verbatim in DuckDB (same split,
+    same slice, same join), so the hash pins exact window boundaries and
+    token content, not just counts."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text.chunk_documents(
+        d, id_col="doc_id", text_col="text",
+        chunk_tokens=64, overlap_tokens=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # E12 — feature-store ops
 # ---------------------------------------------------------------------------
@@ -4850,6 +4883,7 @@ _FINAL_ORDER = [
     "e1_iceberg_type_widening",
     "e1_delta_update",       # copy-on-write UPDATE, third DML leg
     "e1_iceberg_update",     # single-snapshot merge-on-read UPDATE
+    "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e13_stream_from_delta_partitioned",
     "e9_dedup_canonical",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
@@ -4890,7 +4924,6 @@ _FINAL_ORDER = [
     "q21_sole_late_supplier",
     "q11_important_parts",
     # -- sampling / PII / streaming-dedup surface
-    "e16_hash_sample",
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_dedup",
@@ -4910,6 +4943,7 @@ _FINAL_ORDER = [
     # TPC-H via 12 other q-queries, e12 via feature_upsert/pit_join/
     # pit_multi/tumbling-era coverage):
     "e8_date_funcs",
+    "e16_hash_sample",      # e16 family stays via e16_mixture_sample
     "q12_shipping_delay",
     "q13_customer_distribution",
     "q16_parts_supplier_relationship",
@@ -5047,9 +5081,9 @@ def _apply_final_order() -> None:
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
     # bound raised 50 -> 63 in round 5: ten new lakehouse queries entered
     # the window, displacing ten multi-round-green queries to the tail;
-    # 63 -> 68 late round 6: type-widening pair, partitioned stream tail,
-    # UPDATE on both formats
-    assert n_oracle_tail <= 68, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 63 -> 69 late round 6: type-widening pair, partitioned stream tail,
+    # UPDATE on both formats, chunking
+    assert n_oracle_tail <= 69, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

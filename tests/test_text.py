@@ -180,3 +180,38 @@ def test_unigram_logprob_ranks_typical_above_rare(spark):
     assert typical > rare
     # identical docs score identically (content-determined, not layout)
     assert out[0] == out[5]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 2 -> starts 0,2,4,6,8
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in text.chunk_documents(
+            df, chunk_tokens=4, overlap_tokens=2
+        ).collect()
+    )
+    assert [c[0] for c in out] == [0, 1, 2, 3, 4]
+    assert out[0][2] == "t0 t1 t2 t3"
+    assert out[1][2] == "t2 t3 t4 t5"      # overlap of 2
+    assert out[4] == (4, 2, "t8 t9")        # short tail window
+    # every token is covered; consecutive chunks share exactly 2 tokens
+    assert all(c[1] == 4 for c in out[:4])
+
+
+def test_chunk_documents_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "only"), (4, "  padded   tokens  here ")],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(df, chunk_tokens=8, overlap_tokens=0)
+    rows = {r.doc_id: (r.n_tokens, r.chunk_text) for r in out.collect()}
+    # empty / whitespace-only docs produce NO chunks
+    assert set(rows) == {3, 4}
+    assert rows[3] == (1, "only")
+    assert rows[4] == (3, "padded tokens here")  # empty split tokens dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
