@@ -2332,10 +2332,12 @@ def update_iceberg(
     files (it references only pre-existing file paths), so the shared
     sequence number is safe.
 
-    Fail-loud: v2 tables only (merge-on-read), unknown SET columns, and
-    PARTITIONED tables (the new data manifest would need the partition
-    struct re-derived per transformed row; rewrite partitioned updates
-    through delete + append or MERGE instead). A predicate matching
+    PARTITIONED tables work: each replacement row's partition tuple is
+    re-derived with the writer's own transform expressions (JVM-side),
+    so updating a partition SOURCE column moves the row to its new
+    partition — the data manifest carries the spec-typed partition
+    structs and stays prunable. Fail-loud: v2 tables only
+    (merge-on-read) and unknown SET columns. A predicate matching
     nothing commits a no-op snapshot. Returns the new snapshot id."""
     import shutil
     import time as _time
@@ -2355,12 +2357,6 @@ def update_iceberg(
         ),
         {"fields": []},
     )
-    if spec.get("fields"):
-        raise NotImplementedError(
-            f"{path}: UPDATE on a PARTITIONED table is not implemented "
-            "(the data manifest needs per-row partition re-derivation); "
-            "use delete_iceberg + write_iceberg, or MERGE semantics"
-        )
     cur_schema = _current_schema(prior_meta)
     names = [f["name"] for f in cur_schema.get("fields", [])]
     unknown = sorted(c for c in set if c not in names)
@@ -2439,25 +2435,93 @@ def update_iceberg(
                 for n in names
             ]
         )
+        # PARTITIONED tables: re-derive each replacement row's partition
+        # tuple with the writer's own transform expressions (JVM-side) —
+        # an update to a partition SOURCE column moves the row to its new
+        # partition, exactly like the Delta copy-on-write path
+        pfields_parsed: list[dict] = []
+        if spec.get("fields"):
+            fid_to_name = _field_id_map(prior_meta)
+            ice_type_of = {
+                f["name"]: f.get("type") for f in cur_schema["fields"]
+            }
+            for pf in spec["fields"]:
+                t, p = _parse_transform_spec_name(pf.get("transform", "identity"))
+                source = fid_to_name.get(pf.get("source-id"), pf["name"])
+                col, rtype = _derive_partition_col(
+                    {"transform": t, "source": source, "param": p,
+                     "name": pf["name"]},
+                    ice_type_of.get(source),
+                )
+                pfields_parsed.append(
+                    {"name": pf["name"], "col": col, "rtype": rtype}
+                )
         staging2 = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-        updated.write.parquet(staging2)
-        data_files: list[tuple[str, int, int]] = []
-        for name in sorted(os.listdir(staging2)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(staging2, name)
-            n_rows = pq.ParquetFile(src).metadata.num_rows
-            if n_rows == 0:
-                continue
-            final = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-            os.rename(src, final)
-            data_files.append((final, n_rows, os.path.getsize(final)))
+        if pfields_parsed:
+            (
+                updated.select(
+                    "*",
+                    *[
+                        c["col"].cast("string").alias(f"_p_{c['name']}")
+                        for c in pfields_parsed
+                    ],
+                )
+                .write.partitionBy(*[f"_p_{c['name']}" for c in pfields_parsed])
+                .parquet(staging2)
+            )
+        else:
+            updated.write.parquet(staging2)
+        from urllib.parse import unquote as _unquote
+
+        rtype_of = {c["name"]: c["rtype"] for c in pfields_parsed}
+        data_files: list[tuple[str, int, int, dict]] = []
+        for dirpath, _dirnames, filenames in sorted(os.walk(staging2)):
+            rel_dir = os.path.relpath(dirpath, staging2)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            pvals: dict = {}
+            for comp in rel_dir.split(os.sep):
+                if "=" not in comp:
+                    continue
+                k, v = comp.split("=", 1)
+                c = k[len("_p_"):]
+                pvals[c] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _PARTITION_PARSERS[rtype_of[c]](_unquote(v))
+                )
+            for name in sorted(filenames):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                if pfields_parsed:
+                    sub = os.path.join(
+                        data_dir,
+                        *[
+                            f"{c['name']}={'null' if pvals[c['name']] is None else pvals[c['name']]}"
+                            for c in pfields_parsed
+                        ],
+                    )
+                    os.makedirs(sub, exist_ok=True)
+                else:
+                    sub = data_dir
+                final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+                os.rename(src, final)
+                data_files.append(
+                    (final, n_rows, os.path.getsize(final), dict(pvals))
+                )
         shutil.rmtree(staging2)
 
+        partition_fields = [
+            {"name": c["name"], "type": ["null", c["rtype"]]}
+            for c in pfields_parsed
+        ]
         manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         avro_lite.write_container(
             manifest,
-            _manifest_entry_schema(2),
+            _manifest_entry_schema(2, partition_fields),
             [
                 {
                     "status": 1,  # ADDED
@@ -2466,19 +2530,19 @@ def update_iceberg(
                         "content": 0,
                         "file_path": f"file:{f}",
                         "file_format": "PARQUET",
-                        "partition": {},
+                        "partition": pvals,
                         "record_count": rows,
                         "file_size_in_bytes": size,
                         **_file_stats_maps(f, cur_schema["fields"]),
                     },
                 }
-                for f, rows, size in data_files
+                for f, rows, size, pvals in data_files
             ],
         )
         data_entry = {
             "manifest_path": f"file:{manifest}",
             "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
+            "partition_spec_id": prior_meta.get("default-spec-id", 0),
             "added_snapshot_id": snap_id,
             "content": 0,
             "sequence_number": seq,

@@ -98,15 +98,6 @@ def test_update_refusals(spark, tmp_path):
         iceberg.update_iceberg(spark, root, {"zz": "1"})
     with pytest.raises(ValueError, match="empty SET"):
         iceberg.update_iceberg(spark, root, {})
-    # partitioned tables fail loud
-    proot = str(tmp_path / "part")
-    iceberg.write_iceberg(
-        spark,
-        spark.range(10).select("id", (F.col("id") % 2).cast("int").alias("p")),
-        proot, format_version=2, partition_by=["p"],
-    )
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
-        iceberg.update_iceberg(spark, proot, {"id": "0"})
     # v1 tables predate merge-on-read
     v1 = str(tmp_path / "v1")
     iceberg.write_iceberg(
@@ -114,6 +105,62 @@ def test_update_refusals(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="format-version 2"):
         iceberg.update_iceberg(spark, v1, {"id": "0"})
+
+
+def test_update_partitioned_stays_in_partition(spark, tmp_path):
+    """Updating a NON-source column on a partitioned table: replacement
+    rows re-derive the same tuple; partition pruning still works."""
+    root = str(tmp_path / "part")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(12).select(
+            "id", (F.col("id") % 3).cast("int").alias("p"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        root, format_version=2, partition_by=["p"],
+    )
+    iceberg.update_iceberg(spark, root, {"v": "v + 1"}, where="p = 1")
+    got = {r.id: (r.p, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {
+        i: (i % 3, i * 10 + (1 if i % 3 == 1 else 0)) for i in range(12)
+    }
+    rep = iceberg.iceberg_scan_report(root, "p = 0")
+    assert rep["skipped_files"] >= 1  # pruning intact post-update
+
+
+def test_update_partition_source_moves_rows(spark, tmp_path):
+    """Updating the partition SOURCE column: replacement rows land in
+    their NEW partition (tuple re-derived), reads and pruning agree."""
+    root = str(tmp_path / "pmove")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(10).select(
+            "id", (F.col("id") % 2).cast("int").alias("p")
+        ),
+        root, format_version=2, partition_by=["p"],
+    )
+    iceberg.update_iceberg(spark, root, {"p": "7"}, where="id < 3")
+    back = iceberg.read_iceberg(spark, root)
+    assert back.where("p = 7").count() == 3
+    assert back.count() == 10
+    assert iceberg.read_iceberg(spark, root, where="p = 7").count() == 3
+    meta = iceberg._load_metadata(root)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+
+def test_update_partitioned_with_transform(spark, tmp_path):
+    """Bucket-transform spec: the replacement rows' bucket is re-derived
+    with the writer's murmur3 expression, not copied."""
+    root = str(tmp_path / "pbkt")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(20).select("id", (F.col("id") * 10).alias("v")),
+        root, format_version=2,
+        partition_by=["bucket(4, id)"],
+    )
+    iceberg.update_iceberg(spark, root, {"v": "v + 5"}, where="id >= 10")
+    got = {r.id: r.v for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {i: i * 10 + (5 if i >= 10 else 0) for i in range(20)}
 
 
 def test_update_then_time_travel_and_incremental(spark, tmp_path):
