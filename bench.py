@@ -88,6 +88,7 @@ HEADLINE = [
     "e1_delta_update",
     "e1_iceberg_update",
     "e13_stream_from_delta_partitioned",
+    "e11_chunking",
 ]
 
 

@@ -4,10 +4,13 @@ Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
 partition flow, partition sizing — is real and tested. IMAGE decode is REAL
 for P6 PPM (netpbm) — pure-python header parse + numpy raster stats and a
-genuine nearest-neighbor resize (``image_features`` / ``resize_ppm``);
-compressed formats (JPEG/PNG) raise NotImplementedError where Pillow would
-plug in, and ``decode_image_meta``/``resize_image`` keep the fake-header
-variant for payloads synthesized from text. AUDIO decode is REAL for
+genuine nearest-neighbor resize (``image_features`` / ``resize_ppm``) —
+AND for PNG (round 6): a stdlib chunk-walk + zlib + full five-filter
+unfilter decoder (``_decode_png``) covering grayscale/RGB/palette/alpha,
+so the encode→decode loop closes without Pillow. JPEG raises
+NotImplementedError where Pillow would plug in, and
+``decode_image_meta``/``resize_image`` keep the fake-header variant for
+payloads synthesized from text. AUDIO decode is REAL for
 RIFF/WAVE PCM — a pure-python chunk parser + numpy PCM stats
 (``audio_features``); compressed codecs raise NotImplementedError where
 torchaudio/librosa would plug in.
@@ -199,24 +202,117 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _decode_compressed(payload: bytes):
-    """JPEG/PNG → (width, height, maxval, ndarray[h,w,3] uint8) via Pillow
-    when installed; fail-loud otherwise. A real 100 TB multimodal corpus is
-    JPEG/PNG, not PPM — this is the production branch, probe-gated because
-    this container ships no Pillow."""
+    """JPEG → (width, height, maxval, ndarray[h,w,3] uint8) via Pillow
+    when installed; fail-loud otherwise (DCT entropy coding is not
+    reasonably reimplementable here). PNG no longer routes through this
+    branch — _decode_png below is a real stdlib decoder."""
     import io as _io
 
     import numpy as np
 
     if not pillow_available():
         raise NotImplementedError(
-            "JPEG/PNG decode requires Pillow (pip install pillow) — "
-            "not in this container; only P6 PPM decodes without it"
+            "JPEG decode requires Pillow (pip install pillow) — "
+            "not in this container; P6 PPM and PNG decode natively"
         )
     import PIL.Image
 
     img = PIL.Image.open(_io.BytesIO(payload)).convert("RGB")
     arr = np.asarray(img, dtype=np.uint8)
     return img.width, img.height, 255, arr
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decode with only the stdlib (RFC 2083): chunk walk →
+    zlib-inflate the IDAT stream → per-scanline unfilter (all five filter
+    types: None/Sub/Up/Average/Paeth) → channel mapping for the common
+    color types (grayscale, gray+alpha, RGB, palette, RGBA; 8-bit,
+    non-interlaced). Returns (width, height, 255, ndarray[h,w,3] uint8);
+    alpha is dropped (Pillow's convert('RGB') semantics), palette indexes
+    resolve through PLTE. The Up filter vectorizes; Sub/Average/Paeth are
+    inherently sequential per scanline (each byte depends on the
+    reconstructed left neighbor) — fine for the metadata/feature path;
+    Pillow remains the fast path for bulk decode when installed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    ihdr = None
+    idat = b""
+    plte = None
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR chunk")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or interlace != 0 or channels is None:
+        raise NotImplementedError(
+            f"PNG bit-depth {depth} / color-type {color_type} / "
+            f"interlace {interlace} — the stdlib decoder covers 8-bit "
+            "non-interlaced grayscale/RGB/palette/alpha"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG IDAT stream shorter than the raster")
+    recon = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    p2 = 0
+    for y in range(h):
+        f = raw[p2]
+        line = np.frombuffer(raw, np.uint8, stride, p2 + 1).copy()
+        p2 += stride + 1
+        prev = recon[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:  # None
+            recon[y] = line
+        elif f == 2:  # Up (vectorized; uint8 addition wraps per spec)
+            recon[y] = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+            recon[y] = cur
+        else:
+            raise ValueError(f"PNG scanline filter {f} is out of spec")
+    arr = recon.reshape(h, w, channels)
+    if color_type == 2:
+        rgb = arr
+    elif color_type == 6:
+        rgb = arr[:, :, :3]
+    elif color_type == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif color_type == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # palette
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk")
+        rgb = plte[arr[:, :, 0]]
+    return w, h, 255, np.ascontiguousarray(rgb)
 
 
 def _parse_ppm(payload: bytes):
@@ -226,12 +322,15 @@ def _parse_ppm(payload: bytes):
     to the probe-gated Pillow branch; anything else fails loudly."""
     import numpy as np
 
-    if payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC:
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
+    if payload[:3] == _JPEG_MAGIC:
         return _decode_compressed(payload)
     if payload[:2] != b"P6":
         raise NotImplementedError(
-            "unrecognized image payload — P6 PPM decodes natively, JPEG/PNG "
-            "via the optional Pillow branch; other formats are unsupported"
+            "unrecognized image payload — P6 PPM and PNG decode natively, "
+            "JPEG via the optional Pillow branch; other formats are "
+            "unsupported"
         )
     pos, fields = 2, []
     while len(fields) < 3:
@@ -285,9 +384,9 @@ def _png_bytes(raster) -> bytes:
 
 def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL PNG payload per row (same deterministic gradient as
-    synth_ppm, encoded through the stdlib PNG writer above). Decoding these
-    back requires the optional Pillow branch — exactly the asymmetry of a
-    real ingest pipeline, where the corpus arrives compressed."""
+    synth_ppm, encoded through the stdlib PNG writer above). Round 6:
+    these decode back natively too (_decode_png), so the full
+    encode→decode→features lifecycle runs without Pillow."""
     import numpy as np
 
     def _raster(doc_id: int):

@@ -326,21 +326,11 @@ def test_synth_png_is_wellformed_png(spark):
     assert len(zlib.decompress(chunks[1][1])) == h * (1 + 3 * w)
 
 
-@pytest.mark.skipif(
-    multimodal.pillow_available(), reason="Pillow installed: fail-loud leg n/a"
-)
-def test_png_without_pillow_fails_loud(spark):
-    pngs = multimodal.synth_png(spark.createDataFrame([(1,)], "doc_id long"))
-    with pytest.raises(Exception, match="Pillow"):
-        multimodal.image_features(pngs).collect()
-
-
-@pytest.mark.skipif(
-    not multimodal.pillow_available(), reason="Pillow not in this container"
-)
-def test_png_decode_with_pillow_matches_ppm(spark):
-    """With Pillow present the compressed branch must yield EXACTLY the
-    stats of the uncompressed PPM of the same raster (PNG is lossless)."""
+def test_png_decodes_natively_matches_ppm(spark):
+    """Round 6: the stdlib PNG DECODER (_decode_png) closes the loop — the
+    full encode→decode→features lifecycle runs with no Pillow, and must
+    yield EXACTLY the stats of the uncompressed PPM of the same raster
+    (PNG is lossless)."""
     ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
     via_png = (
         multimodal.image_features(multimodal.synth_png(ids))
@@ -351,3 +341,93 @@ def test_png_decode_with_pillow_matches_ppm(spark):
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert via_png.equals(via_ppm)
+
+
+def test_png_unfilter_all_filter_types():
+    """Hand-built PNGs exercising every scanline filter (Sub/Up/Average/
+    Paeth) and the non-RGB color types (grayscale, RGBA, palette) — each
+    must reconstruct the exact raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color_type, channels, scanlines, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        body = multimodal._PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte)
+        return body + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+    rng = np.random.RandomState(7)
+    raster = rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+
+    def filtered(raster, filters):
+        h, w, ch = raster.shape
+        flat = raster.reshape(h, w * ch).astype(np.int16)
+        out = b""
+        for y, f in enumerate(filters):
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * ch, np.int16)
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+                enc = cur - (left + prev) // 2
+            else:  # paeth
+                enc = np.zeros_like(cur)
+                for x in range(w * ch):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    enc[x] = cur[x] - pred
+            out += bytes([f]) + (enc % 256).astype(np.uint8).tobytes()
+        return out
+
+    # every filter type on an RGB raster
+    payload = png(5, 4, 2, 3, filtered(raster, [1, 2, 3, 4]))
+    w, h, maxval, got = multimodal._decode_png(payload)
+    assert (w, h, maxval) == (5, 4, 255)
+    assert np.array_equal(got, raster)
+
+    # grayscale replicates into 3 channels
+    gray = rng.randint(0, 256, (3, 4, 1), dtype=np.uint8)
+    w, h, _, got = multimodal._decode_png(png(4, 3, 0, 1, filtered(gray, [0, 1, 2])))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    # RGBA drops alpha
+    rgba = rng.randint(0, 256, (2, 3, 4), dtype=np.uint8)
+    w, h, _, got = multimodal._decode_png(png(3, 2, 6, 4, filtered(rgba, [4, 3])))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    # palette resolves through PLTE
+    plte = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, (2, 3, 1), dtype=np.uint8)
+    w, h, _, got = multimodal._decode_png(
+        png(3, 2, 3, 1, filtered(idx, [0, 1]), plte=plte.tobytes())
+    )
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+
+
+@pytest.mark.skipif(
+    multimodal.pillow_available(), reason="Pillow installed: fail-loud leg n/a"
+)
+def test_jpeg_without_pillow_fails_loud():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal._parse_ppm(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
