@@ -451,6 +451,37 @@ def image_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "image"
     return df.select(id_col, bin_col).mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
 
 
+CHECKSUM_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def image_checksums(df: DataFrame, id_col: str = "doc_id", bin_col: str = "image") -> DataFrame:
+    """INTEGER channel checksums over decoded image payloads (P6/PNG
+    native, JPEG via Pillow): exact per-channel pixel sums. Unlike the
+    rounded float means of image_features, these are integer-exact — a
+    single mis-decoded byte anywhere in the zlib/unfilter/channel path
+    changes a sum — which makes the full encode→decode lifecycle
+    DuckDB-oracle-checkable (e14_png_checksums re-derives the synthetic
+    gradient's sums analytically in SQL). Same Arrow mapInPandas shape as
+    image_features; payload never shuffles."""
+    import numpy as np
+
+    def _one(doc_id: int, payload: bytes):
+        w, h, _maxval, px = _parse_ppm(payload)
+        s = px.astype(np.int64).sum(axis=(0, 1))
+        return (doc_id, w, h, w * h, int(s[0]), int(s[1]), int(s[2]))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"]
+        for pdf in it:
+            rows = [_one(int(i), bytes(p)) for i, p in zip(pdf[id_col], pdf[bin_col])]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, CHECKSUM_SCHEMA)
+
+
 def resize_ppm(
     df: DataFrame, max_side: int = 16, id_col: str = "doc_id", bin_col: str = "image"
 ) -> DataFrame:
