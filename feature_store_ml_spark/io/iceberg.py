@@ -1393,14 +1393,18 @@ def write_iceberg(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {},
+        "default-sort-order-id": prior_meta.get("default-sort-order-id", 0),
+        "sort-orders": prior_meta.get("sort-orders")
+        or [{"order-id": 0, "fields": []}],
+        # properties and refs are durable table state — an append that
+        # dropped them would silently un-tag snapshots / reset config
+        "properties": prior_meta.get("properties") or {},
         "current-snapshot-id": snap_id,
         "snapshots": snapshots + [snapshot],
         # the (timestamp -> snapshot) history time travel resolves against
         "snapshot-log": list(prior_meta.get("snapshot-log", []))
         + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        **({"refs": prior_meta["refs"]} if prior_meta.get("refs") else {}),
     }
     if format_version >= 2:
         meta["last-sequence-number"] = seq
@@ -1423,6 +1427,96 @@ def write_iceberg(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_version))
     return snap_id
+
+
+def _swap_metadata(path: str, meta: dict) -> int:
+    """Commit a mutated metadata dict as the next version by atomic
+    rename (single-writer conflict check) and update version-hint.
+    Returns the new version number."""
+    import uuid
+
+    mp = latest_metadata_path(path)
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    meta_dir = os.path.join(path, "metadata")
+    new_version = prior_version + 1
+    final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
+    tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(final_path):
+        os.remove(tmp)
+        raise RuntimeError(
+            f"{path}: metadata v{new_version} was committed concurrently"
+        )
+    os.rename(tmp, final_path)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(new_version))
+    return new_version
+
+
+def set_iceberg_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named REF (spec §Refs): a TAG pins a snapshot as
+    durable history ("the v2024.08 training set"), a BRANCH is a movable
+    pointer. One metadata commit; the snapshot itself is untouched.
+    Refs PROTECT their snapshots from expire_iceberg_snapshots — tagging
+    is how a snapshot outlives retention, per the spec's
+    retention-policy model. Defaults to the current snapshot. Returns the
+    referenced snapshot id."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(
+            f"set_iceberg_ref: ref_type must be tag|branch, got {ref_type!r}"
+        )
+    import time as _time
+
+    meta = _load_metadata(path)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    if sid in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot to reference")
+    if not any(s["snapshot-id"] == sid for s in meta.get("snapshots", [])):
+        raise ValueError(
+            f"{path}: snapshot {sid} does not exist (expired or never "
+            "committed) — a ref must point at retained history"
+        )
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    _swap_metadata(path, meta)
+    return sid
+
+
+def drop_iceberg_ref(path: str, name: str) -> None:
+    """Remove a named ref; its snapshot becomes expirable again."""
+    import time as _time
+
+    meta = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"{path}: no ref {name!r} (have {sorted(refs) or 'none'})"
+        )
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    _swap_metadata(path, meta)
+
+
+def resolve_iceberg_ref(meta: dict, ref: str) -> int:
+    """Ref name -> snapshot id, fail-loud on unknown names."""
+    refs = meta.get("refs") or {}
+    if ref not in refs:
+        raise ValueError(
+            f"unknown ref {ref!r} (have {sorted(refs) or 'none'})"
+        )
+    return refs[ref]["snapshot-id"]
 
 
 def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
@@ -1448,6 +1542,18 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     if len(snapshots) <= keep:
         return {"snapshots": [], "files": []}
     kept, expired = snapshots[-keep:], snapshots[:-keep]
+    # REFS protect their snapshots (spec §Refs retention): a tagged or
+    # branched snapshot survives expiration until the ref is dropped —
+    # tagging IS the mechanism for keeping a training-set snapshot alive
+    ref_ids = {
+        r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
+    }
+    protected = [s for s in expired if s["snapshot-id"] in ref_ids]
+    if protected:
+        expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
+        kept = protected + kept
+        if not expired:
+            return {"snapshots": [], "files": []}
 
     def _snapshot_refs(snap: dict) -> tuple[set[str], set[str]]:
         """(metadata files, data files) one snapshot references."""
@@ -1824,6 +1930,7 @@ def read_iceberg(
     as_of_ms: int | None = None,
     where: str | None = None,
     with_row_identity: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
@@ -1852,6 +1959,15 @@ def read_iceberg(
     fails open on anything it cannot prove (see io/skipping.py, the
     shared evaluator). ``iceberg_scan_report`` dry-runs the pruning.
     """
+    if ref is not None:
+        # named TAG/BRANCH (spec §Refs): resolve to its snapshot before
+        # either read path — 'read the production tag' is the canonical
+        # reproducible-training-set consumption
+        if snapshot_id is not None or as_of_ms is not None:
+            raise ValueError(
+                "read_iceberg: pass ref OR snapshot_id/as_of_ms, not both"
+            )
+        snapshot_id = resolve_iceberg_ref(_load_metadata(path), ref)
     if snapshot_id is not None and as_of_ms is not None:
         raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
     try:

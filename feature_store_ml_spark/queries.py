@@ -3026,6 +3026,51 @@ def e1_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_refs",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REFS lifecycle (round 6; spec §Refs): write pre-1997
+    orders, TAG the snapshot, append the 1997+ orders, EXPIRE down to one
+    retained snapshot — the tag must keep its snapshot alive through the
+    expiration — then read via the tag name. The oracle is the pre-1997
+    filter over the source parquet: a ref that silently resolved to the
+    wrong snapshot, or an expiration that collected a tagged snapshot's
+    files, breaks count and hash."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_refs"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    iceberg.write_iceberg(
+        spark, src.where(F.col("o_orderdate") < cut), path, format_version=2
+    )
+    iceberg.set_iceberg_ref(path, "training_v1")
+    iceberg.write_iceberg(
+        spark, src.where(F.col("o_orderdate") >= cut), path, format_version=2
+    )
+    iceberg.expire_iceberg_snapshots(path, keep=1)
+    back = iceberg.read_iceberg(spark, path, ref="training_v1")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_iceberg_snapshot_diff",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -4923,6 +4968,7 @@ _FINAL_ORDER = [
     "e1_iceberg_type_widening",
     "e1_delta_update",       # copy-on-write UPDATE, third DML leg
     "e1_iceberg_update",     # single-snapshot merge-on-read UPDATE
+    "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
     "e13_stream_from_delta_partitioned",
@@ -4968,7 +5014,6 @@ _FINAL_ORDER = [
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
-    "e9_decontaminate",
     "q20_dominant_supplier",
     "e18_data_quality",
     "e5_window_distribution",
@@ -4983,6 +5028,7 @@ _FINAL_ORDER = [
     # TPC-H via 12 other q-queries, e12 via feature_upsert/pit_join/
     # pit_multi/tumbling-era coverage):
     "e8_date_funcs",
+    "e9_decontaminate",     # e9 family stays via e9_dedup_canonical
     "e13_stream_dedup",     # e13 family: 5 stream queries stay in-window
     "e16_hash_sample",      # e16 family stays via e16_mixture_sample
     "q12_shipping_delay",
@@ -5122,9 +5168,9 @@ def _apply_final_order() -> None:
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
     # bound raised 50 -> 63 in round 5: ten new lakehouse queries entered
     # the window, displacing ten multi-round-green queries to the tail;
-    # 63 -> 70 late round 6: type-widening pair, partitioned stream tail,
-    # UPDATE on both formats, chunking, PNG-lifecycle checksums
-    assert n_oracle_tail <= 70, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 63 -> 71 late round 6: type-widening pair, partitioned stream tail,
+    # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs
+    assert n_oracle_tail <= 71, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -1,0 +1,93 @@
+"""Iceberg REFS (spec §Refs): named tags/branches pinning snapshots,
+protected from expiration — the reproducible-training-set mechanism
+("read the v2024.08 tag" months after retention would have dropped it)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import iceberg
+
+
+def _append(spark, root, lo, hi):
+    iceberg.write_iceberg(
+        spark,
+        spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        format_version=2,
+    )
+
+
+def test_tag_pins_snapshot_across_appends(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _append(spark, root, 0, 10)
+    sid = iceberg.set_iceberg_ref(root, "v1")
+    _append(spark, root, 10, 20)
+    _append(spark, root, 20, 30)
+    # refs survive appends (the metadata rebuild must carry them)
+    assert iceberg.read_iceberg(spark, root, ref="v1").count() == 10
+    assert iceberg.read_iceberg(spark, root).count() == 30
+    assert sid == iceberg.resolve_iceberg_ref(iceberg._load_metadata(root), "v1")
+
+
+def test_properties_survive_appends(spark, tmp_path):
+    """Regression: the append path rebuilt metadata with properties={},
+    silently resetting table config."""
+    root = str(tmp_path / "p")
+    _append(spark, root, 0, 5)
+    meta = dict(iceberg._load_metadata(root))
+    meta["properties"] = {"commit.retry.num-retries": "7"}
+    iceberg._swap_metadata(root, meta)
+    _append(spark, root, 5, 10)
+    assert iceberg._load_metadata(root)["properties"] == {
+        "commit.retry.num-retries": "7"
+    }
+
+
+def test_refs_protect_from_expiration(spark, tmp_path):
+    root = str(tmp_path / "e")
+    _append(spark, root, 0, 10)
+    iceberg.set_iceberg_ref(root, "keepme")
+    _append(spark, root, 10, 20)
+    _append(spark, root, 20, 30)
+    out = iceberg.expire_iceberg_snapshots(root, keep=1)
+    # the tagged snapshot (oldest) survived; the middle one expired
+    assert len(out["snapshots"]) == 1
+    assert iceberg.read_iceberg(spark, root, ref="keepme").count() == 10
+    # drop the ref -> the snapshot becomes expirable
+    iceberg.drop_iceberg_ref(root, "keepme")
+    out2 = iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert len(out2["snapshots"]) == 1
+    with pytest.raises(ValueError, match="unknown ref"):
+        iceberg.read_iceberg(spark, root, ref="keepme")
+
+
+def test_branch_moves_and_refusals(spark, tmp_path):
+    root = str(tmp_path / "b")
+    _append(spark, root, 0, 10)
+    iceberg.set_iceberg_ref(root, "dev", ref_type="branch")
+    _append(spark, root, 10, 20)
+    assert iceberg.read_iceberg(spark, root, ref="dev").count() == 10
+    iceberg.set_iceberg_ref(root, "dev", ref_type="branch")  # move to head
+    assert iceberg.read_iceberg(spark, root, ref="dev").count() == 20
+    with pytest.raises(ValueError, match="tag|branch"):
+        iceberg.set_iceberg_ref(root, "x", ref_type="bogus")
+    with pytest.raises(ValueError, match="does not exist"):
+        iceberg.set_iceberg_ref(root, "x", snapshot_id=999999)
+    with pytest.raises(ValueError, match="no ref"):
+        iceberg.drop_iceberg_ref(root, "nope")
+    with pytest.raises(ValueError, match="not both"):
+        iceberg.read_iceberg(spark, root, ref="dev", snapshot_id=1)
+
+
+def test_ref_composes_with_mutations(spark, tmp_path):
+    """Tag, then DELETE and UPDATE move the table on — the tag still reads
+    the pre-mutation state (snapshots are immutable)."""
+    root = str(tmp_path / "m")
+    _append(spark, root, 0, 10)
+    iceberg.set_iceberg_ref(root, "before")
+    iceberg.delete_iceberg(spark, root, "id = 3")
+    iceberg.update_iceberg(spark, root, {"v": "v + 1"}, where="id = 4")
+    assert iceberg.read_iceberg(spark, root).count() == 9
+    tagged = iceberg.read_iceberg(spark, root, ref="before")
+    assert tagged.count() == 10
+    assert tagged.where("id = 4").collect()[0].v == 8
