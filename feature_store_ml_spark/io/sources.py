@@ -120,6 +120,28 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def sql_over_tables(
+    spark: SparkSession, tables: dict[str, str], query: str
+) -> DataFrame:
+    """CROSS-FORMAT SQL federation: register each ``name -> path`` as a
+    temp view through the format sniffer (Delta via the log replay,
+    Iceberg via the metadata walk, bare parquet directly) and run one
+    Spark SQL statement over all of them — joins spanning a Delta feature
+    table and an Iceberg dimension work like any two tables. The views
+    are lazy logical plans: snapshot resolution happens at registration,
+    scan planning (pushdown, pruning, DV/delete-file masking) at action
+    time, all through the same plans the per-format readers build. Views
+    stay registered (the returned DataFrame references them); re-calling
+    with the same names re-resolves to the tables' CURRENT snapshots."""
+    from .lakehouse import read_table_auto
+
+    if not tables:
+        raise ValueError("sql_over_tables: no tables given")
+    for name, path in tables.items():
+        read_table_auto(spark, path).createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV scan with a declared schema (never inferSchema in production —
     inference is a full extra pass over 100 TB)."""

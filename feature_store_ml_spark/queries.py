@@ -3071,6 +3071,66 @@ def e1_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_sql_cross_format",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE NOT (c.c_acctbal < 0)
+    GROUP BY n.n_name
+    """,
+)
+def e1_sql_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT SQL federation (round 6): customers land in a DELTA
+    table (then a deletion-vector DELETE masks the negative-balance rows
+    — the masking must flow through the SQL view), nations in an ICEBERG
+    table, orders stay bare parquet — and ONE Spark SQL statement joins
+    all three through sql_over_tables. The oracle runs the equivalent
+    join over the sources with the delete predicate re-applied; a
+    format's view resolving stale or unmasked rows breaks count and
+    hash."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg, lakehouse, sources
+
+    c, n = _t(spark, sf_dir, "customer", "nation")
+    base = f"{tempfile.gettempdir()}/fsml_cross_format"
+    shutil.rmtree(base, ignore_errors=True)
+    dpath, ipath = f"{base}/customer_delta", f"{base}/nation_iceberg"
+    lakehouse.write_delta(
+        spark,
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        dpath,
+        mode="overwrite",
+    )
+    lakehouse.delete_delta(spark, dpath, "c_acctbal < 0")
+    iceberg.write_iceberg(
+        spark, n.select("n_nationkey", "n_name"), ipath, format_version=2
+    )
+    return sources.sql_over_tables(
+        spark,
+        {
+            "customer_v": dpath,
+            "nation_v": ipath,
+            "orders_v": f"{sf_dir}/orders.parquet",
+        },
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS STRING) AS DOUBLE) AS sum_price
+        FROM orders_v o
+        JOIN customer_v c ON c.c_custkey = o.o_custkey
+        JOIN nation_v n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """,
+    )
+
+
+@register(
     "e1_iceberg_snapshot_diff",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
@@ -4969,6 +5029,7 @@ _FINAL_ORDER = [
     "e1_delta_update",       # copy-on-write UPDATE, third DML leg
     "e1_iceberg_update",     # single-snapshot merge-on-read UPDATE
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
+    "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
     "e13_stream_from_delta_partitioned",
@@ -5015,7 +5076,6 @@ _FINAL_ORDER = [
     "e11_pii_scan",
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
     "q20_dominant_supplier",
-    "e18_data_quality",
     "e5_window_distribution",
     "e12_pit_multi",        # multi-feature-group PIT join
     "e11_url_extract",
@@ -5029,6 +5089,7 @@ _FINAL_ORDER = [
     # pit_multi/tumbling-era coverage):
     "e8_date_funcs",
     "e9_decontaminate",     # e9 family stays via e9_dedup_canonical
+    "e18_data_quality",     # single-query family, tail-hash-checked
     "e13_stream_dedup",     # e13 family: 5 stream queries stay in-window
     "e16_hash_sample",      # e16 family stays via e16_mixture_sample
     "q12_shipping_delay",
@@ -5168,9 +5229,10 @@ def _apply_final_order() -> None:
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
     # bound raised 50 -> 63 in round 5: ten new lakehouse queries entered
     # the window, displacing ten multi-round-green queries to the tail;
-    # 63 -> 71 late round 6: type-widening pair, partitioned stream tail,
-    # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs
-    assert n_oracle_tail <= 71, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 63 -> 72 late round 6: type-widening pair, partitioned stream tail,
+    # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs,
+    # cross-format SQL federation
+    assert n_oracle_tail <= 72, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
