@@ -268,7 +268,21 @@ def _replay_log_adds(
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    p = action["remove"]["path"]
+                    if p in live:
+                        live.pop(p)
+                    else:
+                        # a SHALLOW CLONE's adds carry absolute source
+                        # paths while a later rewrite records its removes
+                        # relative to the clone root ('../src/...') —
+                        # reconcile by resolved identity, not string
+                        # equality, or the clone's mutation would
+                        # duplicate rows
+                        want = os.path.normpath(os.path.join(path, p))
+                        for k in list(live):
+                            if os.path.normpath(os.path.join(path, k)) == want:
+                                live.pop(k)
+                                break
     return live, meta
 
 
@@ -1046,9 +1060,17 @@ def _scan_non_hive(
     )
     groups: dict[tuple, list[str]] = {}
     pv_by_key: dict[tuple, dict] = {}
+    def _add_for(f: str) -> dict | None:
+        a = adds.get(os.path.relpath(f, path).replace(os.sep, "/"))
+        if a is None:
+            # SHALLOW CLONE adds key by absolute source path, not a
+            # clone-relative one — resolve by the file's own abs path
+            a = adds.get(os.path.normpath(f).replace(os.sep, "/"))
+        return a
+
     for f in files:
         relp = os.path.relpath(f, path).replace(os.sep, "/")
-        a = adds.get(relp)
+        a = _add_for(f)
         if a is None:
             raise ValueError(f"{path}: no add action for scanned file {relp}")
         pv = a.get("partitionValues") or {}
@@ -1071,12 +1093,9 @@ def _scan_non_hive(
             # materialize BEFORE the union — the hidden column is not
             # resolvable afterwards
             sg = sg.select("*", F.col("_metadata"))
-        sub_adds = {
-            os.path.relpath(f, path).replace(os.sep, "/"): adds[
-                os.path.relpath(f, path).replace(os.sep, "/")
-            ]
-            for f in sfiles
-        }
+        # key by the add's OWN recorded path (absolute for clone-
+        # referenced files) so the DV filter's join(path, key) resolves
+        sub_adds = {a["path"]: a for a in map(_add_for, sfiles) if a}
         if any(a.get("deletionVector") for a in sub_adds.values()):
             sg = _apply_dv_filter(spark, path, sg, sfiles, sub_adds)
         if rename_from is not None:
@@ -2863,6 +2882,74 @@ def delete_delta(
     )
     actions.extend(cdc_actions)
     return _commit(path, actions)
+
+
+def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst`` whose add
+    actions reference ``src``'s CURRENT data files by absolute path (the
+    protocol allows absolute paths in ``add.path``) — zero bytes copied,
+    one metadata commit, however large the source. The canonical dev/test
+    workflow: experiment destructively against a 100 TB table for the
+    cost of its metadata.
+
+    Isolation semantics, same as delta-spark's shallow clone:
+    - the clone starts at version 0 with the source's schema, partitioning,
+      configuration, per-file stats (data skipping keeps working) and
+      deletion vectors (masked rows stay masked);
+    - writes to the clone are copy-on-write INTO the clone's directory —
+      a MERGE/DELETE/UPDATE rewrites touched source-referenced files as
+      clone-local ones, never touching the source;
+    - vacuum on the clone only walks the clone's own directory, so
+      source bytes are never collected from the clone side. The flip
+      side is real: VACUUM ON THE SOURCE can collect files the clone
+      still references (the documented shallow-clone hazard).
+    Fail-loud: dst already a Delta table, src not one."""
+    import time as _time
+
+    if not is_delta_table(src):
+        raise ValueError(f"{src}: not a Delta table")
+    if is_delta_table(dst):
+        raise ValueError(f"{dst}: already a Delta table — clone refuses to overwrite")
+    adds, meta = _replay_log_adds(src)
+    _check_protocol(dst, proto := _current_protocol(src))
+    now_ms = int(_time.time() * 1000)
+    os.makedirs(dst, exist_ok=True)
+    os.makedirs(_delta_log_dir(dst), exist_ok=True)
+    actions: list[dict] = [{"protocol": proto}]
+    actions.append(
+        {
+            "metaData": {
+                **meta,
+                "id": __import__("uuid").uuid4().hex,
+                "createdTime": now_ms,
+            }
+        }
+    )
+    src_abs = os.path.abspath(src)
+    for rel, a in adds.items():
+        clone_add = dict(a)
+        clone_add["path"] = os.path.join(src_abs, rel).replace(os.sep, "/")
+        # an inline or src-relative DV stays readable: 'u'-storage DV
+        # paths resolve against the TABLE root, so re-root them absolute
+        dv = clone_add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            clone_add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": _resolve_dv_path(src_abs, dv),
+                "offset": dv.get("offset", 1),
+            }
+        actions.append({"add": clone_add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {"source": src_abs, "isShallow": "true"},
+            }
+        }
+    )
+    return _commit(dst, actions)
 
 
 def update_delta(

@@ -3071,6 +3071,54 @@ def e1_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_clone",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal * 2 ELSE c_acctbal END
+               AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE c_nationkey <> 5
+    GROUP BY c_mktsegment
+    """,
+)
+def e1_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE lifecycle (round 6): write customers to Delta, clone
+    zero-copy (adds reference the source files by absolute path — one
+    metadata commit regardless of table size), then mutate THE CLONE
+    (copy-on-write UPDATE + DELETE pull rewritten bytes clone-local,
+    reconciling relative removes against absolute adds) and aggregate it.
+    The oracle re-derives the clone's end state from the source parquet;
+    the query also asserts the SOURCE table was not mutated — isolation
+    is the point of a clone."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (c,) = _t(spark, sf_dir, "customer")
+    src_df = c.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    base = f"{tempfile.gettempdir()}/fsml_delta_clone"
+    shutil.rmtree(base, ignore_errors=True)
+    src, dst = f"{base}/src", f"{base}/clone"
+    lakehouse.write_delta(spark, src_df, src, mode="overwrite")
+    lakehouse.clone_delta(spark, src, dst)
+    lakehouse.update_delta(
+        spark, dst, {"c_acctbal": "c_acctbal * 2"},
+        where="c_mktsegment = 'BUILDING'",
+    )
+    lakehouse.delete_delta(spark, dst, "c_nationkey = 5")
+    if lakehouse.read_delta(spark, src).count() != src_df.count():
+        raise RuntimeError("clone mutation leaked into the source table")
+    back = lakehouse.read_delta(spark, dst)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+@register(
     "e1_sql_cross_format",
     """
     SELECT n.n_name,
@@ -5030,6 +5078,7 @@ _FINAL_ORDER = [
     "e1_iceberg_update",     # single-snapshot merge-on-read UPDATE
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
+    "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
     "e13_stream_from_delta_partitioned",
@@ -5077,7 +5126,6 @@ _FINAL_ORDER = [
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
     "q20_dominant_supplier",
     "e5_window_distribution",
-    "e12_pit_multi",        # multi-feature-group PIT join
     "e11_url_extract",
     # -- round-1-green keepers
     "e3_join_asof",
@@ -5090,6 +5138,7 @@ _FINAL_ORDER = [
     "e8_date_funcs",
     "e9_decontaminate",     # e9 family stays via e9_dedup_canonical
     "e18_data_quality",     # single-query family, tail-hash-checked
+    "e12_pit_multi",        # e12 family stays via feature_upsert/pit_join
     "e13_stream_dedup",     # e13 family: 5 stream queries stay in-window
     "e16_hash_sample",      # e16 family stays via e16_mixture_sample
     "q12_shipping_delay",
@@ -5229,10 +5278,10 @@ def _apply_final_order() -> None:
     # tests/test_rotation_gate.py (stale or red artifact fails the suite).
     # bound raised 50 -> 63 in round 5: ten new lakehouse queries entered
     # the window, displacing ten multi-round-green queries to the tail;
-    # 63 -> 72 late round 6: type-widening pair, partitioned stream tail,
+    # 63 -> 73 late round 6: type-widening pair, partitioned stream tail,
     # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs,
-    # cross-format SQL federation
-    assert n_oracle_tail <= 72, f"{n_oracle_tail} oracle-backed queries outside window"
+    # cross-format SQL federation, shallow clone
+    assert n_oracle_tail <= 73, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
