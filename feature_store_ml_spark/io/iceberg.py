@@ -1519,6 +1519,48 @@ def resolve_iceberg_ref(meta: dict, ref: str) -> int:
     return refs[ref]["snapshot-id"]
 
 
+def clone_iceberg(src: str, dst: str) -> int:
+    """SHALLOW CLONE an Iceberg table: Iceberg metadata references
+    manifests and data files by ABSOLUTE URI, so a clone is one new
+    metadata file — the source's snapshots/schemas/specs/refs under a
+    fresh table-uuid and location. Zero bytes copied, any table size.
+
+    Isolation: appends/deletes/updates on the clone write THEIR manifests
+    and data under the clone's own directories (every writer stages into
+    ``location``); expire_iceberg_snapshots and remove_orphan_files are
+    root-guarded — maintenance on the clone can only delete bytes under
+    the clone's root, never the source's (the mirror hazard — expiring
+    SOURCE history the clone still references — is the documented
+    shallow-clone trade, same as Delta's). Fail-loud: dst exists, src not
+    an Iceberg table. Returns the clone's current snapshot id."""
+    import time as _time
+    import uuid
+
+    if not is_iceberg_table(src):
+        raise ValueError(f"{src}: not an Iceberg table")
+    if os.path.exists(os.path.join(dst, "metadata")):
+        raise ValueError(f"{dst}: already an Iceberg table — clone refuses")
+    meta = dict(_load_metadata(src))
+    src_abs = os.path.abspath(src)
+    # re-root every RELATIVE manifest-list reference (this module writes
+    # absolute file: URIs, but be robust to relative ones)
+    for s in meta.get("snapshots", []):
+        ml = s.get("manifest-list", "")
+        if ml and "://" not in ml and not ml.startswith(("file:", os.sep)):
+            s["manifest-list"] = f"file:{os.path.join(src_abs, ml)}"
+    meta["table-uuid"] = str(uuid.uuid4())
+    meta["location"] = dst
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    meta_dir = os.path.join(dst, "metadata")
+    os.makedirs(meta_dir)
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    cur = meta.get("current-snapshot-id")
+    return cur if cur not in (None, -1) else -1
+
+
 def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     """Snapshot expiration — Iceberg's table-maintenance twin of Delta
     vacuum + log cleanup: keep only the newest ``keep`` snapshots, write a
@@ -1603,12 +1645,21 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     os.rename(tmp, final_path)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_version))
-    for f in sorted(doomed_files):
+    # a SHALLOW CLONE's snapshots reference the SOURCE's manifests and
+    # data by absolute path — expiration on the clone may only delete
+    # bytes under its OWN root, never reach into the source table
+    root = os.path.abspath(path)
+    deletable = [
+        f
+        for f in sorted(doomed_files)
+        if os.path.commonpath([root, os.path.abspath(f)]) == root
+    ]
+    for f in deletable:
         if os.path.exists(f):
             os.remove(f)
     return {
         "snapshots": [s["snapshot-id"] for s in expired],
-        "files": sorted(doomed_files),
+        "files": deletable,
     }
 
 

@@ -117,3 +117,72 @@ def test_clone_refusals_and_appends(spark, tmp_path):
     )
     assert lakehouse.read_delta(spark, dst).count() == 25
     assert lakehouse.read_delta(spark, src).count() == 20
+
+
+# --- Iceberg twin -------------------------------------------------------------
+
+
+def test_clone_iceberg_reads_and_isolated_mutations(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg
+
+    src = str(tmp_path / "isrc")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(15).select("id", (F.col("id") * 10).alias("v")),
+        src, format_version=2,
+    )
+    dst = str(tmp_path / "idst")
+    iceberg.clone_iceberg(src, dst)
+    assert not os.path.exists(os.path.join(dst, "data"))  # zero bytes copied
+    got = sorted((r.id, r.v) for r in iceberg.read_iceberg(spark, dst).collect())
+    assert got == [(i, i * 10) for i in range(15)]
+    # mutate the CLONE: delete + update + append — source stays untouched
+    iceberg.delete_iceberg(spark, dst, "id = 0")
+    iceberg.update_iceberg(spark, dst, {"v": "v + 1"}, where="id = 1")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(15, 18).select("id", (F.col("id") * 10).alias("v")),
+        dst, format_version=2,
+    )
+    assert iceberg.read_iceberg(spark, src).count() == 15
+    cl = {r.id: r.v for r in iceberg.read_iceberg(spark, dst).collect()}
+    assert 0 not in cl and cl[1] == 11 and cl[16] == 160 and len(cl) == 17
+
+
+def test_clone_iceberg_expire_never_deletes_source_bytes(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg
+
+    src = str(tmp_path / "esrc")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), src, format_version=2
+    )
+    dst = str(tmp_path / "edst")
+    iceberg.clone_iceberg(src, dst)
+    iceberg.write_iceberg(
+        spark, spark.range(10, 20).select("id"), dst, format_version=2
+    )
+    src_data = sorted(os.listdir(os.path.join(src, "data")))
+    src_meta = sorted(os.listdir(os.path.join(src, "metadata")))
+    out = iceberg.expire_iceberg_snapshots(dst, keep=1)
+    # the expired clone snapshot referenced ONLY source files -> nothing
+    # under the clone's root was deletable, and the source is untouched
+    assert sorted(os.listdir(os.path.join(src, "data"))) == src_data
+    assert sorted(os.listdir(os.path.join(src, "metadata"))) == src_meta
+    assert all(f.startswith(os.path.abspath(dst)) for f in out["files"])
+    assert iceberg.read_iceberg(spark, dst).count() == 20
+    assert iceberg.read_iceberg(spark, src).count() == 10
+
+
+def test_clone_iceberg_refusals(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg
+
+    src = str(tmp_path / "rsrc")
+    iceberg.write_iceberg(
+        spark, spark.range(3).select("id"), src, format_version=2
+    )
+    dst = str(tmp_path / "rdst")
+    iceberg.clone_iceberg(src, dst)
+    with pytest.raises(ValueError, match="already an Iceberg table"):
+        iceberg.clone_iceberg(src, dst)
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        iceberg.clone_iceberg(str(tmp_path / "missing"), str(tmp_path / "x"))
