@@ -461,6 +461,10 @@ _SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     "v2Checkpoint",
     "typeWidening",
+    # generatedColumns: every write path validates batches against
+    # delta.generationExpression (_enforce_generated) per the spec's
+    # compute-or-validate writer obligation
+    "generatedColumns",
 }
 _MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
 
@@ -546,6 +550,38 @@ def _enforce_constraints(df: DataFrame, meta: dict, path: str) -> None:
             raise ValueError(
                 f"{path}: CHECK constraint {name!r} ({expr}) violated by "
                 f"e.g. {bad[0].asDict()}"
+            )
+
+
+def _enforce_generated(df: DataFrame, meta: dict, path: str) -> None:
+    """Validate a batch against GENERATED COLUMNS (PROTOCOL.md §Generated
+    Columns: ``delta.generationExpression`` in a field's metadata,
+    writer-enforced from minWriterVersion 4). The spec lets a writer
+    either compute the value or validate a provided one — this module
+    validates: every row's stored value must null-safely equal the
+    expression over that row, probed with the same early-exit limit(1)
+    pattern as CHECK constraints. Without this, appending to a
+    foreign-created table with generated columns would silently commit
+    rows that violate the generation invariant every other reader
+    assumes."""
+    from pyspark.sql import functions as F
+
+    if not meta.get("schemaString"):
+        return
+    for fld in json.loads(meta["schemaString"]).get("fields", []):
+        expr = (fld.get("metadata") or {}).get("delta.generationExpression")
+        if not expr:
+            continue
+        name = fld["name"]
+        bad = (
+            df.where(~F.col(name).eqNullSafe(F.expr(expr)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"{path}: generated column {name!r} violates its "
+                f"generation expression ({expr}) on e.g. {bad[0].asDict()}"
             )
 
 
@@ -2040,6 +2076,7 @@ def write_delta(
         table_meta = meta
         _check_write_allowed(path, meta, mode)
         _enforce_constraints(df, meta, path)
+        _enforce_generated(df, meta, path)
         declared_parts = meta.get("partitionColumns") or []
         if mode == "append" and declared_parts != (partition_by or []):
             raise ValueError(
@@ -2424,6 +2461,7 @@ def merge_delta(
                 f"{want}, source carries {got}"
             )
         _enforce_constraints(source, meta, path)
+        _enforce_generated(source, meta, path)
 
     # One aggregation serves both the cardinality check and the key set
     # (distinct by construction), persisted because it probes the target
@@ -3054,6 +3092,7 @@ def update_delta(
     }
     new_rows = _scan_touched().withColumns(assigns).select(*table_cols)
     _enforce_constraints(new_rows, meta, path)
+    _enforce_generated(new_rows, meta, path)
     change_rows: DataFrame | None = None
     if _cdf_enabled(meta):
         matched = _scan_touched().where(F.expr(pred))
