@@ -25,6 +25,7 @@ __all__ = [
     "iceberg_files",
     "iceberg_partitions",
     "iceberg_history",
+    "delta_history",
     "delta_detail",
     "delta_files",
 ]
@@ -151,6 +152,63 @@ def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "timestamp_ms long, snapshot_id long, is_current_ancestor boolean"
+    )
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """Delta's ``DESCRIBE HISTORY``: one row per retained JSON commit —
+    (version, timestamp_ms, operation, operationParameters JSON,
+    n_adds, n_removes). The audit trail the log IS; timestamp prefers
+    commitInfo.inCommitTimestamp when the writer recorded it, mirroring
+    timestamp time travel. Commits cleaned after checkpointing are
+    absent — same retention honesty as everywhere else."""
+    import os
+
+    from . import lakehouse
+
+    log = lakehouse._delta_log_dir(path)
+    rows = []
+    for name in sorted(os.listdir(log)):
+        if not lakehouse._is_commit_json(name):
+            continue
+        v = int(name[:20])
+        op, params, ts = None, None, None
+        n_adds = n_removes = 0
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    op = ci.get("operation")
+                    params = json.dumps(
+                        ci.get("operationParameters") or {}, sort_keys=True
+                    )
+                    ts = ci.get("inCommitTimestamp") or ci.get("timestamp")
+                elif "add" in action and action["add"].get("dataChange", True):
+                    n_adds += 1
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    n_removes += 1
+        if ts is None:
+            ts = int(os.path.getmtime(os.path.join(log, name)) * 1000)
+        rows.append(
+            {
+                "version": v,
+                "timestamp_ms": ts,
+                "operation": op,
+                "operationParameters": params,
+                "n_adds": n_adds,
+                "n_removes": n_removes,
+            }
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp_ms long, operation string, "
+        "operationParameters string, n_adds int, n_removes int",
     )
 
 

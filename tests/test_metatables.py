@@ -153,3 +153,30 @@ def test_iceberg_partitions_rollup(spark, tmp_path):
     assert all(r["file_count"] >= 1 and r["total_bytes"] > 0 for r in parts)
     keys = {r["partition"] for r in parts}
     assert keys == {'{"p": 0}', '{"p": 1}', '{"p": 2}'}
+
+
+def test_delta_history_audit_trail(spark, tmp_path):
+    from feature_store_ml_spark.io import lakehouse, metatables
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "hist")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")), root
+    )
+    lakehouse.write_delta(
+        spark, spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")),
+        root, mode="append",
+    )
+    lakehouse.update_delta(spark, root, {"v": "v + 1"}, where="id = 0")
+    lakehouse.delete_delta(spark, root, "id = 1")
+    h = metatables.delta_history(spark, root).orderBy("version").collect()
+    assert [r.version for r in h] == [0, 1, 2, 3]
+    ops = [r.operation for r in h]
+    assert ops[2] == "UPDATE" and ops[3] == "DELETE"
+    assert all(r.timestamp_ms and r.timestamp_ms > 0 for r in h)
+    # append commits add files and remove none; DELETE re-adds with a DV
+    assert h[1].n_adds >= 1 and h[1].n_removes == 0
+    assert h[3].n_removes >= 1
+    import json as _json
+
+    assert _json.loads(h[2].operationParameters)["predicate"] == "id = 0"
