@@ -3137,6 +3137,60 @@ def update_delta(
     return _commit(path, actions)
 
 
+def enable_delta_column_mapping(spark: SparkSession, path: str) -> int:
+    """ALTER the table onto NAME-mode column mapping without renaming
+    anything — the standalone form of the upgrade the first
+    rename/drop performs implicitly: every field gets
+    ``delta.columnMapping.physicalName`` = its current name (what the
+    existing files already carry) and a stable id; protocol moves to
+    2/5. After this, renames/drops are one-commit metadata operations
+    and new files stage under the frozen physical names. Idempotent:
+    an already-mapped table returns its current version unchanged."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    conf = dict(meta.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode") in ("name", "id"):
+        return _next_version(_delta_log_dir(path)) - 1
+    schema = json.loads(meta["schemaString"])
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        md["delta.columnMapping.physicalName"] = f["name"]
+        md["delta.columnMapping.id"] = i
+        max_id = max(max_id, i)
+        f["metadata"] = md
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    now_ms = int(_time.time() * 1000)
+    return _commit(
+        path,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    **{
+                        k: v
+                        for k, v in meta.items()
+                        if k not in ("schemaString", "configuration")
+                    },
+                    "schemaString": json.dumps(schema),
+                    "configuration": conf,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPGRADE COLUMN MAPPING",
+                    "operationParameters": {"mode": "name"},
+                }
+            },
+        ],
+    )
+
+
 def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> int:
     """ZERO-REWRITE column rename via COLUMN MAPPING (PROTOCOL.md §Column
     Mapping, name mode) — the operation that motivates the feature: without

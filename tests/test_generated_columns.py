@@ -116,3 +116,35 @@ def test_generated_columns_writer_feature_accepted(spark, tmp_path):
         root,
     )
     assert lakehouse.read_delta(spark, root).count() == 7
+
+
+def test_enable_column_mapping_standalone(spark, tmp_path):
+    """enable_delta_column_mapping: the upgrade WITHOUT a rename —
+    physical names freeze at the current logical names, later renames
+    are one-commit, appends keep working, and it is idempotent."""
+    root = str(tmp_path / "cm")
+    lakehouse.write_delta(
+        spark,
+        spark.range(6).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        mode="overwrite",
+    )
+    v1 = lakehouse.enable_delta_column_mapping(spark, root)
+    assert lakehouse.enable_delta_column_mapping(spark, root) == v1  # idempotent
+    _, meta = lakehouse._replay_log_adds(root)
+    assert lakehouse._mapping_mode(meta) == "name"
+    assert lakehouse._physical_names(meta) == {"id": "id", "v": "v"}
+    proto = lakehouse._current_protocol(root)
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (2, 5)
+    # reads unchanged; rename is now zero-rewrite; appends compose
+    lakehouse.rename_delta_column(spark, root, "v", "speed")
+    lakehouse.write_delta(
+        spark,
+        spark.range(6, 8).select("id", (F.col("id") * 2).alias("speed")),
+        root,
+        mode="append",
+    )
+    got = sorted(
+        (r.id, r.speed) for r in lakehouse.read_delta(spark, root).collect()
+    )
+    assert got == [(i, i * 2) for i in range(8)]
