@@ -431,3 +431,29 @@ def test_jpeg_without_pillow_fails_loud():
         multimodal._parse_ppm(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
+
+
+def test_png_roundtrip_property():
+    """Property: ANY uint8 RGB raster survives encode -> decode bit-exact
+    (PNG is lossless; the stdlib writer emits filter-0 scanlines and the
+    decoder reconstructs them through the shared unfilter path)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(w, h, seed):
+        raster = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        got_w, got_h, maxval, got = multimodal._decode_png(
+            multimodal._png_bytes(raster)
+        )
+        assert (got_w, got_h, maxval) == (w, h, 255)
+        assert np.array_equal(got, raster)
+
+    roundtrip()
