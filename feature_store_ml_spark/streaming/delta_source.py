@@ -176,6 +176,29 @@ def _check_streamable(path: str, meta: dict) -> None:
         )
 
 
+def prune_spool(spool_dir: str, before_version: int) -> int:
+    """Spool RETENTION for long-running streams: delete links whose
+    commit version (the zero-padded name prefix, snapshot id for the
+    Iceberg tail) is strictly below ``before_version``. The links are
+    metadata, but a tail that runs for months accumulates one entry per
+    committed file forever — this is the vacuum of the spool layer.
+
+    Safe with a live query: Spark's file source tracks SEEN files in its
+    checkpoint by path, so removing already-consumed links never causes
+    re-delivery, and links at or above ``before_version`` (the ones a
+    restart from the last synced version might still need) are kept.
+    Prune only below the version your sink checkpoint has fully
+    committed. Returns the number of links removed."""
+    removed = 0
+    for dirpath, _dirs, names in os.walk(spool_dir):
+        for n in names:
+            head = n.split("-", 1)[0]
+            if head.isdigit() and int(head) < before_version:
+                os.remove(os.path.join(dirpath, n))
+                removed += 1
+    return removed
+
+
 def stream_from_delta(
     spark: SparkSession,
     path: str,

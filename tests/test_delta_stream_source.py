@@ -476,3 +476,41 @@ def test_stream_delta_cdf_resume(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.where("_change_type = 'insert'").count() == 5
     assert [r.id for r in rows.where("_change_type = 'delete'").collect()] == [2]
+
+
+def test_prune_spool_retention(spark, tmp_path):
+    """Spool links below the committed version are collected; the stream
+    resumes correctly afterwards (checkpoint tracks seen paths)."""
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _append(spark, root, 0, 20)
+    _append(spark, root, 20, 40)
+    stream, v = delta_source.stream_from_delta(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    # everything consumed and checkpointed through version v: prune below
+    n = delta_source.prune_spool(spool, before_version=v)
+    assert n >= 1
+    _append(spark, root, 40, 50)
+    stream2, v2 = delta_source.stream_from_delta(
+        spark, root, spool, since_version=v
+    )
+    _run_available(stream2, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(50))  # nothing re-delivered, nothing lost
+    # partitioned spool prunes through its Hive subdirs too
+    proot = str(tmp_path / "p")
+    pspool = str(tmp_path / "pspool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(6).select("id", (F.col("id") % 2).cast("int").alias("p")),
+        proot, partition_by=["p"],
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(6, 12).select("id", (F.col("id") % 2).cast("int").alias("p")),
+        proot, mode="append", partition_by=["p"],
+    )
+    delta_source.sync_delta_spool(proot, pspool)
+    assert delta_source.prune_spool(pspool, before_version=1) >= 1
