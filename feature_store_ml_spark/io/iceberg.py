@@ -1042,6 +1042,7 @@ def write_iceberg(
     summary_props: dict | None = None,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -1089,6 +1090,9 @@ def write_iceberg(
     missing = [f["source"] for f in pfields if f["source"] not in df.columns]
     if missing:
         raise ValueError(f"write_iceberg: partition source columns {missing} not in batch")
+    bad_sort = [c for c in (sort_by or []) if c not in df.columns]
+    if bad_sort:
+        raise ValueError(f"write_iceberg: sort columns {bad_sort} not in batch")
     meta_dir = os.path.join(path, "metadata")
     data_dir = os.path.join(path, "data")
     existing = is_iceberg_table(path)
@@ -1222,6 +1226,45 @@ def write_iceberg(
 
     from pyspark.sql import functions as F
     from urllib.parse import unquote
+
+    # SORT ORDER (spec §Sorting): declared at CREATE in sort-orders /
+    # default-sort-order-id; every append APPLIES the declared order —
+    # range distribution + local sort (the write.distribution-mode=range
+    # recipe), which makes per-file column bounds near-disjoint so the
+    # manifest-bounds pruner skips most files on sorted-column predicates.
+    # One extra shuffle per write, paid exactly when the table asked for
+    # clustering.
+    sort_cols = list(sort_by or [])
+    if existing:
+        orders = prior_meta.get("sort-orders") or []
+        dsid = prior_meta.get("default-sort-order-id", 0)
+        cur_order = next(
+            (o for o in orders if o.get("order-id") == dsid), None
+        )
+        declared_sort = None
+        if cur_order and cur_order.get("fields"):
+            id_to_name = _field_id_map(prior_meta)
+            declared_sort = [
+                id_to_name.get(f.get("source-id"))
+                for f in cur_order["fields"]
+                if f.get("transform") == "identity"
+            ]
+        if sort_by and declared_sort != list(sort_by):
+            raise ValueError(
+                f"write_iceberg: sort_by {list(sort_by)} differs from the "
+                f"table's declared sort order {declared_sort} — the order "
+                "is declared at CREATE; appends apply it automatically"
+            )
+        sort_cols = [c for c in (declared_sort or []) if c in df.columns]
+    if sort_cols:
+        # explicit partition count = the batch's own parallelism: a
+        # range-distributed write keeps its task fan-out (an unhinted
+        # exchange would let AQE coalesce a small batch to one giant
+        # file, defeating both parallelism and per-file bound tightness)
+        n_parts = max(df.rdd.getNumPartitions(), 1)
+        df = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
 
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     # stamp each data column's FIELD ID into the parquet footers (alias
@@ -1393,9 +1436,30 @@ def write_iceberg(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
-        "default-sort-order-id": prior_meta.get("default-sort-order-id", 0),
-        "sort-orders": prior_meta.get("sort-orders")
-        or [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": (
+            1
+            if (not existing and sort_cols)
+            else prior_meta.get("default-sort-order-id", 0)
+        ),
+        "sort-orders": (
+            [
+                {
+                    "order-id": 1,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": name_to_fid[c],
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_cols
+                    ],
+                }
+            ]
+            if (not existing and sort_cols)
+            else prior_meta.get("sort-orders")
+            or [{"order-id": 0, "fields": []}]
+        ),
         # properties and refs are durable table state — an append that
         # dropped them would silently un-tag snapshots / reset config
         "properties": prior_meta.get("properties") or {},

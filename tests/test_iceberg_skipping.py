@@ -7,6 +7,7 @@ counts) prove the predicate dead — and fails open everywhere else.
 """
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import Row, functions as F
@@ -438,3 +439,75 @@ def test_ntz_timestamp_bucket_write_and_prune(spark, tmp_path):
     got = iceberg.read_iceberg(spark, root, where=pred)
     expect = iceberg.read_iceberg(spark, root).filter(pred).count()
     assert got.count() == expect > 0
+
+
+def test_sort_order_declared_and_applied(spark, tmp_path):
+    """write_iceberg(sort_by=...): the order lands in sort-orders metadata,
+    the data is range-distributed + locally sorted (near-disjoint file
+    bounds), and appends apply the declared order automatically — so the
+    manifest-bounds pruner skips most files on sorted-column predicates."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from feature_store_ml_spark.io import iceberg
+
+    root = str(tmp_path / "sorted")
+    shuffled = (
+        spark.range(20000)
+        .select((F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("v"))
+        .repartition(8)
+    )
+    iceberg.write_iceberg(
+        spark, shuffled, root, format_version=2, sort_by=["k"]
+    )
+    meta = iceberg._load_metadata(root)
+    assert meta["default-sort-order-id"] == 1
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+    assert [f["transform"] for f in order["fields"]] == ["identity"]
+    # every data file is internally sorted on k
+    data_dir = os.path.join(root, "data")
+    files = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
+    assert len(files) > 1
+    col = pq.read_table(os.path.join(data_dir, files[0]), columns=["k"])["k"].to_pylist()
+    assert col == sorted(col)
+    # range distribution -> narrow predicates prune most files
+    rep = iceberg.iceberg_scan_report(root, "k = 0")
+    assert rep["skipped_files"] >= len(files) - 1
+    # append WITHOUT sort_by applies the declared order; pruning persists
+    iceberg.write_iceberg(
+        spark,
+        spark.range(20000, 25000).select(
+            (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("v")
+        ),
+        root,
+        format_version=2,
+    )
+    total = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
+    rep2 = iceberg.iceberg_scan_report(root, "k = 0")
+    assert rep2["skipped_files"] >= total - 2
+    # results identical to an unsorted write (order is layout, not truth)
+    assert iceberg.read_iceberg(spark, root).count() == 25000
+
+
+def test_sort_order_append_mismatch_fails(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from feature_store_ml_spark.io import iceberg
+
+    root = str(tmp_path / "mm")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2, sort_by=["id"],
+    )
+    with pytest.raises(ValueError, match="declared sort order"):
+        iceberg.write_iceberg(
+            spark,
+            spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")),
+            root, format_version=2, sort_by=["v"],
+        )
+    with pytest.raises(ValueError, match="not in batch"):
+        iceberg.write_iceberg(
+            spark, spark.range(3).select("id"), str(tmp_path / "x"),
+            format_version=2, sort_by=["zz"],
+        )
