@@ -230,6 +230,38 @@ class FeatureStore:
         txn = (f"fs-retract::{g.name}", run_version) if run_version is not None else None
         return lakehouse.delete_delta(spark, path, pred, txn=txn)
 
+    def correct(
+        self,
+        spark: SparkSession,
+        name: str,
+        set: dict[str, str],
+        where: str,
+        run_version: int | None = None,
+    ) -> int:
+        """Targeted FEATURE CORRECTION — "this feature was computed wrong
+        for this slice; fix it in place": UPDATE ... SET ... WHERE on the
+        group's table (lakehouse.update_delta — copy-on-write, only files
+        holding matched rows rewrite, CDF pre/post images when the feed
+        is on). Key columns cannot be corrected (entity identity is
+        immutable — upsert/retract are the key-level operations).
+        ``run_version`` gives the same idempotent-retry txn stamp as
+        materialization. Returns the committed version."""
+        g = self.groups[name]
+        bad = sorted(k for k in set if k in g.keys)
+        if bad:
+            raise ValueError(
+                f"feature group {name!r}: cannot correct key columns {bad} "
+                "— retract and re-materialize instead"
+            )
+        txn = (
+            (f"fs-correct::{g.name}", run_version)
+            if run_version is not None
+            else None
+        )
+        return lakehouse.update_delta(
+            spark, g.table_path(self.root), set, where=where, txn=txn
+        )
+
     def maintain(self, name: str, spark: SparkSession | None = None) -> dict:
         """Table maintenance for one group — the scheduled job a streaming
         or daily materialization needs to stay healthy: PURGE deletion

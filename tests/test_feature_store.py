@@ -308,3 +308,39 @@ def test_retract_entity_cap_fails_loud(spark, tmp_path):
     # within the cap it works
     fs.retract(spark, "g", spark.range(5).select("id"), max_entities=10)
     assert fs.read(spark, "g").count() == 45
+
+
+def test_correct_fixes_feature_slice_in_place(spark, tmp_path, sf_dir):
+    """FeatureStore.correct: targeted UPDATE on the materialized table —
+    the 'this feature was computed wrong for this slice' fix — with key
+    columns protected and idempotent retry via the txn stamp."""
+    fs = FeatureStore(root=str(tmp_path / "fs"))
+    fs.register(_rowlocal_group())
+    ev = load_table(spark, sf_dir, "events")
+    fs.materialize(spark, ev, "row_local", run_version=1)
+    before = fs.read(spark, "row_local")
+    n_all = before.count()
+    n_bad = before.where("double_value > 10").count()
+    assert 0 < n_bad < n_all
+    fs.correct(
+        spark, "row_local",
+        {"double_value": "double_value / 2"},
+        where="double_value > 10",
+        run_version=2,
+    )
+    once = fs.read(spark, "row_local").agg(F.sum("double_value")).collect()[0][0]
+    # idempotent retry: the same run_version must NOT re-apply the division
+    fs.correct(
+        spark, "row_local",
+        {"double_value": "double_value / 2"},
+        where="double_value > 10",
+        run_version=2,
+    )
+    after = fs.read(spark, "row_local")
+    assert after.count() == n_all
+    assert after.agg(F.sum("double_value")).collect()[0][0] == once
+    assert after.where("double_value > 10").count() < n_bad  # slice fixed once
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key columns"):
+        fs.correct(spark, "row_local", {"user_id": "0"}, where="true")
