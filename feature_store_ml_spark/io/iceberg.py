@@ -1583,6 +1583,65 @@ def resolve_iceberg_ref(meta: dict, ref: str) -> int:
     return refs[ref]["snapshot-id"]
 
 
+def rollback_iceberg(
+    path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    as_of_ms: int | None = None,
+) -> int:
+    """ROLLBACK: make a RETAINED older snapshot current again — Iceberg's
+    twin of ``restore_delta`` (spec §Snapshots: the current snapshot is
+    just the ``current-snapshot-id`` pointer; moving it is one metadata
+    commit, zero data IO at any table size). The rolled-past snapshots
+    stay in ``snapshots`` (auditable, re-rollback-able) until expiration;
+    the ``snapshot-log`` gains a fresh entry so timestamp time travel
+    resolves "now" to the restored state, exactly as the spec's
+    (timestamp → snapshot) history requires.
+
+    Target selection (exactly one): ``snapshot_id``, a ``ref`` name
+    (tag or branch — "roll back to the v2024.08 training set"), or
+    ``as_of_ms`` (newest snapshot-log entry at or before that time).
+    Fail-loud when the target was expired — then its manifests are gone
+    and no pointer move can bring the data back. A no-op rollback (target
+    already current) returns without committing. Returns the snapshot id
+    made current.
+    """
+    import time as _time
+
+    chosen = [v is not None for v in (snapshot_id, ref, as_of_ms)]
+    if sum(chosen) != 1:
+        raise ValueError(
+            "rollback_iceberg: pass exactly one of snapshot_id | ref | as_of_ms"
+        )
+    meta = _load_metadata(path)
+    if ref is not None:
+        snapshot_id = resolve_iceberg_ref(meta, ref)
+    elif as_of_ms is not None:
+        log = meta.get("snapshot-log") or []
+        eligible = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+        if not eligible:
+            raise ValueError(
+                f"{path}: no snapshot at or before {as_of_ms} in the snapshot-log"
+            )
+        snapshot_id = max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+    retained = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in retained:
+        raise ValueError(
+            f"{path}: snapshot {snapshot_id} is not retained (expired or "
+            "never committed) — rollback needs its manifests to still exist"
+        )
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return snapshot_id
+    meta = dict(meta)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": int(_time.time() * 1000), "snapshot-id": snapshot_id}
+    ]
+    meta["last-updated-ms"] = int(_time.time() * 1000)
+    _swap_metadata(path, meta)
+    return snapshot_id
+
+
 def clone_iceberg(src: str, dst: str) -> int:
     """SHALLOW CLONE an Iceberg table: Iceberg metadata references
     manifests and data files by ABSOLUTE URI, so a clone is one new
@@ -1654,6 +1713,10 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     ref_ids = {
         r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
     }
+    # the CURRENT snapshot is always protected: after a rollback it can be
+    # an OLDER id than the newest `keep`, and expiring it would leave
+    # current-snapshot-id dangling (unreadable table)
+    ref_ids.add(meta.get("current-snapshot-id"))
     protected = [s for s in expired if s["snapshot-id"] in ref_ids]
     if protected:
         expired = [s for s in expired if s["snapshot-id"] not in ref_ids]

@@ -3137,6 +3137,160 @@ def update_delta(
     return _commit(path, actions)
 
 
+def overwrite_delta_where(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    where: str,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Selective overwrite — delta-spark's ``replaceWhere``: atomically
+    replace exactly the rows matching ``where`` with ``source``, the
+    canonical BACKFILL shape ("recompute yesterday's partition") that at
+    100 TB must never rewrite the table. Copy-on-write, one commit:
+
+    - every ``source`` row must satisfy ``where`` (fail-loud probe job,
+      the same constraint real Delta enforces) — otherwise the operation
+      would not be idempotent on re-run;
+    - touched-file discovery is the distributed ``_metadata.file_path``
+      semi-join (O(#touched files) driver metadata, never rows); files
+      whose rows ALL miss the predicate are untouched, partially-matched
+      files are rewritten with their surviving (non-matching, DV-visible)
+      rows copied through;
+    - survivors + new rows stage together (partition moves free), CHECK
+      constraints and generated columns enforced on the incoming rows,
+      change feed gets delete+insert rows when CDF is on;
+    - NULL predicate rows are survivors (SQL WHERE semantics: NULL is
+      not matched, so they are not replaced).
+
+    ``txn`` is the exactly-once (appId, version) handshake. Returns the
+    committed version. Table must exist (use write_delta to create)."""
+    import time as _time
+    import uuid
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not is_delta_table(path):
+        raise ValueError(
+            f"{path}: not a Delta table — overwrite_delta_where replaces "
+            "rows in an existing table; create with write_delta first"
+        )
+    if not where or not str(where).strip():
+        raise ValueError(
+            "overwrite_delta_where: empty predicate — a full-table "
+            "overwrite is write_delta(mode='overwrite')"
+        )
+    if txn is not None:
+        committed = last_txn_version(path, txn[0])
+        if committed >= txn[1]:
+            return committed
+    files_abs, meta = _replay_log(path)
+    adds_map, _ = _replay_log_adds(path)
+    _check_write_allowed(path, meta, "overwrite")
+    if not meta.get("schemaString"):
+        raise ValueError(f"{path}: table declares no schema")
+    declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    table_cols = [f.name for f in declared.fields]
+    missing = sorted(set(table_cols) - set(source.columns))
+    if missing:
+        raise ValueError(
+            f"{path}: source is missing table columns {missing}"
+        )
+    source = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
+    matched_cond = F.coalesce(F.expr(where), F.lit(False))
+    # the replaceWhere CONSTRAINT: incoming rows must all match
+    stray = source.where(~matched_cond).limit(1).collect()
+    if stray:
+        raise ValueError(
+            f"{path}: replaceWhere constraint violated — a source row does "
+            f"not satisfy {where!r} (e.g. {stray[0].asDict()})"
+        )
+    _enforce_constraints(source, meta, path)
+    _enforce_generated(source, meta, path)
+    part_cols = meta.get("partitionColumns") or []
+    now_ms = int(_time.time() * 1000)
+
+    touched_abs: list[str] = []
+    if files_abs:
+        scan = _scan_files(
+            spark, path, files_abs, meta, adds_map, with_metadata=True
+        )
+        touched_abs = [
+            unquote(urlparse(r["_fp"]).path)
+            for r in (
+                scan.where(matched_cond)
+                .select(F.col("_metadata.file_path").alias("_fp"))
+                .distinct()
+                .collect()  # O(#touched files) — metadata, never rows
+            )
+        ]
+    base_actions: list[dict] = []
+    if txn is not None:
+        base_actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
+    info = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "WRITE",
+            "operationParameters": {"mode": "Overwrite", "predicate": where},
+        }
+    }
+
+    def _scan_touched() -> DataFrame:
+        return _scan_files(spark, path, touched_abs, meta, adds_map).select(
+            *table_cols
+        )
+
+    new_rows = source
+    if touched_abs:
+        new_rows = _scan_touched().where(~matched_cond).unionByName(source)
+    change_rows: DataFrame | None = None
+    if _cdf_enabled(meta):
+        deleted = (
+            _scan_touched().where(matched_cond)
+            if touched_abs
+            else source.limit(0)
+        )
+        change_rows = deleted.withColumn(
+            "_change_type", F.lit("delete")
+        ).unionByName(source.withColumn("_change_type", F.lit("insert")))
+
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    stage_writer = _to_physical(new_rows, meta).write
+    if part_cols:
+        _m = _column_mapping(meta) or {}
+        stage_writer = stage_writer.partitionBy(
+            *[_m.get(c, c) for c in part_cols]
+        )
+    stage_writer.parquet(staging)
+    adds = _promote_staged(staging, path, now_ms, data_change=True)
+    cdc_actions = (
+        _write_change_data(spark, path, change_rows, now_ms)
+        if change_rows is not None
+        else []
+    )
+    actions = list(base_actions)
+    actions.extend(
+        {
+            "remove": {
+                "path": os.path.relpath(f, path).replace(os.sep, "/"),
+                "dataChange": True,
+                "deletionTimestamp": now_ms,
+            }
+        }
+        for f in touched_abs
+    )
+    actions.extend(adds)
+    actions.extend(cdc_actions)
+    actions.append(info)
+    return _commit(path, actions)
+
+
 def enable_delta_column_mapping(spark: SparkSession, path: str) -> int:
     """ALTER the table onto NAME-mode column mapping without renaming
     anything — the standalone form of the upgrade the first
