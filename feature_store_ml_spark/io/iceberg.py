@@ -2606,6 +2606,158 @@ def delete_iceberg_equality(
     )
 
 
+def _stage_data_entry(
+    path: str,
+    prior_meta: dict,
+    rows: "DataFrame",
+    snap_id: int,
+    seq: int,
+) -> dict | None:
+    """Stage ``rows`` (logical table columns) as new data files under the
+    table's declared partition layout and return the manifest-list entry
+    for their ADDED-status data manifest — the shared write tail of every
+    single-snapshot row mutation (UPDATE, selective overwrite). Field ids
+    are stamped into the parquet footers (rename-safe), partition tuples
+    re-derived with the writer's own transform expressions (JVM-side),
+    per-file stats folded from footers. Returns None when ``rows`` staged
+    no files (empty input)."""
+    import shutil
+    import uuid
+    from urllib.parse import unquote as _unquote
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cur_schema = _current_schema(prior_meta)
+    names = [f["name"] for f in cur_schema.get("fields", [])]
+    fid_by_name = {
+        f["name"]: f["id"] for f in cur_schema["fields"] if "id" in f
+    }
+    rows = rows.select(
+        *[
+            F.col(n).alias(n, metadata={"parquet.field.id": fid_by_name[n]})
+            if n in fid_by_name
+            else F.col(n)
+            for n in names
+        ]
+    )
+    spec = next(
+        (
+            s
+            for s in prior_meta.get("partition-specs", [])
+            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    pfields_parsed: list[dict] = []
+    if spec.get("fields"):
+        fid_to_name = _field_id_map(prior_meta)
+        ice_type_of = {f["name"]: f.get("type") for f in cur_schema["fields"]}
+        for pf in spec["fields"]:
+            t, p = _parse_transform_spec_name(pf.get("transform", "identity"))
+            source = fid_to_name.get(pf.get("source-id"), pf["name"])
+            col, rtype = _derive_partition_col(
+                {"transform": t, "source": source, "param": p,
+                 "name": pf["name"]},
+                ice_type_of.get(source),
+            )
+            pfields_parsed.append({"name": pf["name"], "col": col, "rtype": rtype})
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    if pfields_parsed:
+        (
+            rows.select(
+                "*",
+                *[
+                    c["col"].cast("string").alias(f"_p_{c['name']}")
+                    for c in pfields_parsed
+                ],
+            )
+            .write.partitionBy(*[f"_p_{c['name']}" for c in pfields_parsed])
+            .parquet(staging)
+        )
+    else:
+        rows.write.parquet(staging)
+    rtype_of = {c["name"]: c["rtype"] for c in pfields_parsed}
+    data_files: list[tuple[str, int, int, dict]] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(dirpath, staging)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        pvals: dict = {}
+        for comp in rel_dir.split(os.sep):
+            if "=" not in comp:
+                continue
+            k, v = comp.split("=", 1)
+            c = k[len("_p_"):]
+            pvals[c] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else _PARTITION_PARSERS[rtype_of[c]](_unquote(v))
+            )
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, name)
+            n_rows = pq.ParquetFile(src).metadata.num_rows
+            if n_rows == 0:
+                continue
+            if pfields_parsed:
+                sub = os.path.join(
+                    data_dir,
+                    *[
+                        f"{c['name']}={'null' if pvals[c['name']] is None else pvals[c['name']]}"
+                        for c in pfields_parsed
+                    ],
+                )
+                os.makedirs(sub, exist_ok=True)
+            else:
+                sub = data_dir
+            final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
+            os.rename(src, final)
+            data_files.append(
+                (final, n_rows, os.path.getsize(final), dict(pvals))
+            )
+    shutil.rmtree(staging)
+    if not data_files:
+        return None
+    partition_fields = [
+        {"name": c["name"], "type": ["null", c["rtype"]]}
+        for c in pfields_parsed
+    ]
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest,
+        _manifest_entry_schema(2, partition_fields),
+        [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{f}",
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": rows_n,
+                    "file_size_in_bytes": size,
+                    **_file_stats_maps(f, cur_schema["fields"]),
+                },
+            }
+            for f, rows_n, size, pvals in data_files
+        ],
+    )
+    return {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": prior_meta.get("default-spec-id", 0),
+        "added_snapshot_id": snap_id,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+    }
+
+
 def update_iceberg(
     spark: SparkSession,
     path: str,
@@ -2714,140 +2866,129 @@ def update_iceberg(
             meta_dir, snap_id, seq, del_files, None
         )
 
-        # 2. transformed rows as new data files, field ids stamped so the
-        #    replacements stay rename-safe like every writer-staged file
-        fid_by_name = {
-            f["name"]: f["id"] for f in cur_schema["fields"] if "id" in f
-        }
+        # 2. transformed rows as new data files — the shared staging tail
+        #    (field-id stamping, partition re-derivation, stats) lives in
+        #    _stage_data_entry; an update to a partition SOURCE column
+        #    moves the row to its new partition
         updated = matched.withColumns(
             {c: F.expr(e).cast(declared_types[c]) for c, e in set.items()}
-        ).select(
-            *[
-                F.col(n).alias(n, metadata={"parquet.field.id": fid_by_name[n]})
-                if n in fid_by_name
-                else F.col(n)
-                for n in names
-            ]
-        )
-        # PARTITIONED tables: re-derive each replacement row's partition
-        # tuple with the writer's own transform expressions (JVM-side) —
-        # an update to a partition SOURCE column moves the row to its new
-        # partition, exactly like the Delta copy-on-write path
-        pfields_parsed: list[dict] = []
-        if spec.get("fields"):
-            fid_to_name = _field_id_map(prior_meta)
-            ice_type_of = {
-                f["name"]: f.get("type") for f in cur_schema["fields"]
-            }
-            for pf in spec["fields"]:
-                t, p = _parse_transform_spec_name(pf.get("transform", "identity"))
-                source = fid_to_name.get(pf.get("source-id"), pf["name"])
-                col, rtype = _derive_partition_col(
-                    {"transform": t, "source": source, "param": p,
-                     "name": pf["name"]},
-                    ice_type_of.get(source),
-                )
-                pfields_parsed.append(
-                    {"name": pf["name"], "col": col, "rtype": rtype}
-                )
-        staging2 = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-        if pfields_parsed:
-            (
-                updated.select(
-                    "*",
-                    *[
-                        c["col"].cast("string").alias(f"_p_{c['name']}")
-                        for c in pfields_parsed
-                    ],
-                )
-                .write.partitionBy(*[f"_p_{c['name']}" for c in pfields_parsed])
-                .parquet(staging2)
-            )
-        else:
-            updated.write.parquet(staging2)
-        from urllib.parse import unquote as _unquote
-
-        rtype_of = {c["name"]: c["rtype"] for c in pfields_parsed}
-        data_files: list[tuple[str, int, int, dict]] = []
-        for dirpath, _dirnames, filenames in sorted(os.walk(staging2)):
-            rel_dir = os.path.relpath(dirpath, staging2)
-            rel_dir = "" if rel_dir == "." else rel_dir
-            pvals: dict = {}
-            for comp in rel_dir.split(os.sep):
-                if "=" not in comp:
-                    continue
-                k, v = comp.split("=", 1)
-                c = k[len("_p_"):]
-                pvals[c] = (
-                    None
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else _PARTITION_PARSERS[rtype_of[c]](_unquote(v))
-                )
-            for name in sorted(filenames):
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, name)
-                n_rows = pq.ParquetFile(src).metadata.num_rows
-                if n_rows == 0:
-                    continue
-                if pfields_parsed:
-                    sub = os.path.join(
-                        data_dir,
-                        *[
-                            f"{c['name']}={'null' if pvals[c['name']] is None else pvals[c['name']]}"
-                            for c in pfields_parsed
-                        ],
-                    )
-                    os.makedirs(sub, exist_ok=True)
-                else:
-                    sub = data_dir
-                final = os.path.join(sub, f"{uuid.uuid4().hex}.parquet")
-                os.rename(src, final)
-                data_files.append(
-                    (final, n_rows, os.path.getsize(final), dict(pvals))
-                )
-        shutil.rmtree(staging2)
-
-        partition_fields = [
-            {"name": c["name"], "type": ["null", c["rtype"]]}
-            for c in pfields_parsed
-        ]
-        manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-        avro_lite.write_container(
-            manifest,
-            _manifest_entry_schema(2, partition_fields),
-            [
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": snap_id,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": f"file:{f}",
-                        "file_format": "PARQUET",
-                        "partition": pvals,
-                        "record_count": rows,
-                        "file_size_in_bytes": size,
-                        **_file_stats_maps(f, cur_schema["fields"]),
-                    },
-                }
-                for f, rows, size, pvals in data_files
-            ],
-        )
-        data_entry = {
-            "manifest_path": f"file:{manifest}",
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": prior_meta.get("default-spec-id", 0),
-            "added_snapshot_id": snap_id,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-        }
+        ).select(*names)
+        data_entry = _stage_data_entry(path, prior_meta, updated, snap_id, seq)
         return _commit_delete_snapshot(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
-            [del_entry, data_entry], operation="overwrite",
+            [del_entry] + ([data_entry] if data_entry else []),
+            operation="overwrite",
         )
     finally:
         matched.unpersist()
+
+
+def overwrite_iceberg_where(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    where: str,
+) -> int:
+    """Selective overwrite — the Iceberg twin of
+    ``lakehouse.overwrite_delta_where`` (delta-spark's replaceWhere) and
+    of Iceberg's own ``overwritePartitions``/``overwrite(expr)`` API:
+    atomically replace exactly the rows matching ``where`` with
+    ``source``, in ONE snapshot (operation 'overwrite'). Merge-on-read
+    shape, the opposite trade from the Delta twin's copy-on-write: the
+    commit carries a POSITION DELETE manifest masking the matched rows
+    (write cost O(#matched rows), positions never reach the driver) and
+    a DATA manifest adding the replacement files — readers of the new
+    snapshot anti-join the dead positions, readers of the prior snapshot
+    see the old rows. Pair with ``compact_iceberg`` to physically drop
+    the masked rows.
+
+    Same contract as the Delta twin: every ``source`` row must satisfy
+    ``where`` (fail-loud probe — re-running the backfill must be
+    idempotent), NULL-predicate rows survive, a predicate matching no
+    existing rows is a backfill-insert. v2 tables only. Returns the new
+    snapshot id."""
+    import shutil
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not where or not str(where).strip():
+        raise ValueError(
+            "overwrite_iceberg_where: empty predicate — a full-table "
+            "overwrite is write_iceberg(mode='overwrite')"
+        )
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
+    cur_schema = _current_schema(prior_meta)
+    names = [f["name"] for f in cur_schema.get("fields", [])]
+    declared = _declared_spark_schema(prior_meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: table schema holds types outside the primitive "
+            "bridge — overwrite cannot stage replacements faithfully"
+        )
+    missing = sorted(set(names) - set(source.columns))
+    if missing:
+        raise ValueError(f"{path}: source is missing table columns {missing}")
+    source = source.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
+    matched_cond = F.coalesce(F.expr(where), F.lit(False))
+    stray = source.where(~matched_cond).limit(1).collect()
+    if stray:
+        raise ValueError(
+            f"{path}: replaceWhere constraint violated — a source row does "
+            f"not satisfy {where!r} (e.g. {stray[0].asDict()})"
+        )
+    now_ms = int(_time.time() * 1000)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    # 1. position-delete files for the matched rows (distributed,
+    #    spec-ordered; same shape as delete_iceberg / update_iceberg)
+    matched = (
+        read_iceberg(spark, path, with_row_identity=True)
+        .where(matched_cond)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").cast("long").alias("pos"),
+        )
+    )
+    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+    (
+        matched.repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staging)
+    )
+    run = uuid.uuid4().hex
+    del_files: list[tuple[str, int]] = []
+    for i, part in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        src = os.path.join(staging, part)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
+        os.rename(src, dst)
+        del_files.append((dst, n_rows))
+    shutil.rmtree(staging)
+    del_entry = (
+        _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None)
+        if del_files
+        else None
+    )
+
+    # 2. the replacement rows (no-match case still ADDS: backfilling an
+    #    absent partition is an insert)
+    data_entry = _stage_data_entry(path, prior_meta, source, snap_id, seq)
+    entries = [e for e in (del_entry, data_entry) if e]
+    return _commit_delete_snapshot(
+        path, prior_meta, prior_version, snap_id, seq, now_ms,
+        entries or None, operation="overwrite",
+    )
 
 
 def last_committed_batch(path: str, app_id: str) -> int:
