@@ -2341,6 +2341,7 @@ def _commit_delete_snapshot(
     now_ms: int,
     del_entry: dict | list[dict] | None,
     operation: str = "delete",
+    summary_props: dict | None = None,
 ) -> int:
     """Shared commit tail for the row-level mutations (both delete
     flavors, and UPDATE's combined delete+data snapshot): build the
@@ -2384,7 +2385,7 @@ def _commit_delete_snapshot(
         "parent-snapshot-id": cur,
         "timestamp-ms": now_ms,
         "manifest-list": manifest_list_uri,
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(summary_props or {})},
         "schema-id": prior_meta.get("current-schema-id", 0),
         "sequence-number": seq,
     }
@@ -2989,6 +2990,189 @@ def overwrite_iceberg_where(
         path, prior_meta, prior_version, snap_id, seq, now_ms,
         entries or None, operation="overwrite",
     )
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    when_matched: str = "update",
+    newer_wins_col: str | None = None,
+    batch: tuple[str, int] | None = None,
+) -> int:
+    """Keyed MERGE for Iceberg — the twin of ``lakehouse.merge_delta``
+    (upsert / delete by key), merge-on-read in ONE snapshot: a position-
+    delete manifest masks the superseded target rows and a data manifest
+    adds the winners, so the swap is atomic (operation 'overwrite', the
+    summary real Iceberg engines stamp on MERGE). Write cost is
+    O(#matched rows + #source rows) — no touched-file rewrite, the
+    opposite trade from the Delta twin's copy-on-write; pair with
+    ``compact_iceberg`` to physically drop masked rows.
+
+    Semantics match merge_delta exactly:
+    - ``when_matched='update'``: matched target rows are replaced by the
+      source row, unmatched source rows inserted (UpdateAll+InsertAll).
+    - ``when_matched='delete'``: matched target rows deleted, unmatched
+      source rows ignored.
+    - ``newer_wins_col`` (update only): a matched target row survives
+      unless the source is STRICTLY newer; per key one winner (ties keep
+      the target) — order-independent, so replayed micro-batches
+      converge to the global latest row per key.
+    - NULL keys never match; duplicate source keys raise the same
+      cardinality error as Delta MERGE.
+
+    ``batch=(app_id, batch_id)`` is the summary-stamped exactly-once
+    handshake (same as write_iceberg_batch): a replayed batch the log
+    already holds returns without committing. First merge into an empty
+    location creates the table (v2). Returns the new snapshot id."""
+    import shutil
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"merge_iceberg: when_matched must be update|delete, got {when_matched!r}"
+        )
+    if newer_wins_col is not None and when_matched != "update":
+        raise ValueError("merge_iceberg: newer_wins_col requires when_matched='update'")
+    if newer_wins_col is not None and newer_wins_col not in source.columns:
+        raise ValueError(
+            f"merge_iceberg: newer_wins_col {newer_wins_col!r} not in source columns"
+        )
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge_iceberg: source is missing key columns {missing}")
+    if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
+        return _load_metadata(path)["current-snapshot-id"]
+    summary_props = (
+        {"spark.app-id": batch[0], "spark.batch-id": str(batch[1])}
+        if batch is not None
+        else None
+    )
+    if not is_iceberg_table(path):
+        if when_matched == "delete":
+            raise ValueError(f"{path}: cannot delete from a non-existent table")
+        return write_iceberg(
+            spark, source, path, format_version=2, summary_props=summary_props
+        )
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
+    cur_schema = _current_schema(prior_meta)
+    names = [f["name"] for f in cur_schema.get("fields", [])]
+    declared = _declared_spark_schema(prior_meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: table schema holds types outside the primitive "
+            "bridge — MERGE cannot stage replacements faithfully"
+        )
+    if when_matched == "update":
+        got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+        if got != want:
+            raise ValueError(
+                f"{path}: merge source schema mismatch — table declares "
+                f"{want}, source carries {got}"
+            )
+
+    key_counts = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        if key_counts.where(F.col("_n") > 1).limit(1).count():
+            raise ValueError(
+                "merge_iceberg: source has multiple rows per key — the merge "
+                "result would be order-dependent (same error as Delta's "
+                "MERGE cardinality check); de-duplicate the source first"
+            )
+        src_keys = key_counts.select(*keys)
+        target = (
+            read_iceberg(spark, path, with_row_identity=True)
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_ri", F.col("_metadata.row_index").cast("long"))
+        )
+        if when_matched == "delete":
+            dead = target.join(src_keys, on=list(keys), how="left_semi")
+            adds_df = None
+        elif newer_wins_col is None:
+            dead = target.join(src_keys, on=list(keys), how="left_semi")
+            adds_df = source.select(*names)
+        else:
+            # strictly-newer wins, one winner per key (ties keep target):
+            # matched target rows ∪ source rows through a per-key window —
+            # one shuffle on keys, same plan shape as the Delta twin
+            matched_tgt = target.join(src_keys, on=list(keys), how="left_semi")
+            cand = matched_tgt.select(
+                *names, F.lit(0).alias("_src"), "_fp", "_ri"
+            ).unionByName(
+                source.select(
+                    *names,
+                    F.lit(1).alias("_src"),
+                    F.lit(None).cast("string").alias("_fp"),
+                    F.lit(None).cast("long").alias("_ri"),
+                )
+            )
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(newer_wins_col).desc(),
+                F.col("_src").asc(),
+                F.col("_fp").asc_nulls_last(),
+                F.col("_ri").asc_nulls_last(),
+            )
+            ranked = cand.withColumn("_rn", F.row_number().over(w)).persist()
+            dead = ranked.where((F.col("_rn") > 1) & (F.col("_src") == 0))
+            adds_df = ranked.where(
+                (F.col("_rn") == 1) & (F.col("_src") == 1)
+            ).select(*names)
+
+        now_ms = int(_time.time() * 1000)
+        meta_dir = os.path.join(path, "metadata")
+        data_dir = os.path.join(path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+        (
+            dead.select(
+                F.col("_fp").alias("file_path"), F.col("_ri").alias("pos")
+            )
+            .repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(staging)
+        )
+        run = uuid.uuid4().hex
+        del_files: list[tuple[str, int]] = []
+        for i, part in enumerate(
+            sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+        ):
+            src_f = os.path.join(staging, part)
+            n_rows = pq.ParquetFile(src_f).metadata.num_rows
+            if n_rows == 0:
+                continue
+            dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
+            os.rename(src_f, dst)
+            del_files.append((dst, n_rows))
+        shutil.rmtree(staging)
+        del_entry = (
+            _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None)
+            if del_files
+            else None
+        )
+        data_entry = (
+            _stage_data_entry(path, prior_meta, adds_df, snap_id, seq)
+            if adds_df is not None
+            else None
+        )
+        entries = [e for e in (del_entry, data_entry) if e]
+        return _commit_delete_snapshot(
+            path, prior_meta, prior_version, snap_id, seq, now_ms,
+            entries or None, operation="overwrite",
+            summary_props=summary_props,
+        )
+    finally:
+        key_counts.unpersist()
+        try:
+            ranked.unpersist()
+        except NameError:
+            pass
 
 
 def last_committed_batch(path: str, app_id: str) -> int:

@@ -616,6 +616,9 @@ def stream_to_iceberg(
     table_path: str,
     app_id: str,
     checkpoint_dir: str | None = None,
+    mode: str = "append",
+    keys: list[str] | None = None,
+    order_col: str | None = None,
 ) -> list[int]:
     """Exactly-once streaming → ICEBERG sink: foreachBatch + idempotent
     batch appends. Iceberg has no Delta-style `txn` action, so the
@@ -629,13 +632,44 @@ def stream_to_iceberg(
     would reset batch ids and silently drop batches via the skip).
 
     Bounded replay (availableNow) for tests; returns processed batch ids.
+
+    ``mode="upsert"`` (requires ``keys`` + ``order_col``): each micro-batch
+    reduces to its newest row per key and MERGEs strictly-newer-wins
+    (io.iceberg.merge_iceberg) instead of appending — the same
+    order-independent convergence contract as stream_to_delta's upsert
+    mode, with the batch-id handshake carried in the snapshot summary.
     """
-    from ..io.iceberg import write_iceberg_batch
+    from ..io.iceberg import merge_iceberg, write_iceberg_batch
+
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"stream_to_iceberg: mode must be append|upsert, got {mode!r}")
+    if mode == "upsert" and (not keys or not order_col):
+        raise ValueError("stream_to_iceberg: upsert mode requires keys and order_col")
 
     seen: list[int] = []
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         seen.append(batch_id)
+        if mode == "upsert":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), F.xxhash64(*batch_df.columns).desc()
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            merge_iceberg(
+                batch_df.sparkSession,
+                latest,
+                table_path,
+                keys=list(keys),
+                newer_wins_col=order_col,
+                batch=(app_id, batch_id),
+            )
+            return
         write_iceberg_batch(
             batch_df.sparkSession, batch_df, table_path, app_id, batch_id
         )

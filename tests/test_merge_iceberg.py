@@ -1,0 +1,181 @@
+"""Keyed MERGE for Iceberg (merge_iceberg): single-snapshot merge-on-read
+upsert/delete-by-key — the Iceberg twin of lakehouse.merge_delta, plus
+the streaming upsert sink built on it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import iceberg
+
+
+def _mk(spark, root, partition_by=None):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, k string, v int"
+    )
+    iceberg.write_iceberg(
+        spark, df, root, format_version=2, partition_by=partition_by
+    )
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    src = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id int, k string, v int"
+    )
+    sid = iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    rows = {(r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)}
+    meta = iceberg._load_metadata(root)
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["operation"] == "overwrite"
+    # prior snapshot unchanged (atomic swap)
+    prior = snap["parent-snapshot-id"]
+    assert iceberg.read_iceberg(spark, root, snapshot_id=prior).count() == 3
+
+
+def test_delete_by_key(spark, tmp_path):
+    root = str(tmp_path / "d")
+    _mk(spark, root)
+    src = spark.createDataFrame([(1,), (3,), (9,)], "id int")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"], when_matched="delete")
+    rows = {(r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {(2, "b", 20)}
+
+
+def test_newer_wins(spark, tmp_path):
+    root = str(tmp_path / "nw")
+    df = spark.createDataFrame(
+        [(1, 100, "old"), (2, 100, "old")], "id int, ts int, v string"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    src = spark.createDataFrame(
+        [(1, 200, "new"), (2, 50, "stale"), (3, 10, "ins")],
+        "id int, ts int, v string",
+    )
+    iceberg.merge_iceberg(
+        spark, src, root, keys=["id"], newer_wins_col="ts"
+    )
+    rows = {(r.id, r.ts, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    # id=1 replaced (strictly newer), id=2 kept (stale loses), id=3 inserted
+    assert rows == {(1, 200, "new"), (2, 100, "old"), (3, 10, "ins")}
+    # ties keep target
+    tie = spark.createDataFrame([(1, 200, "tie")], "id int, ts int, v string")
+    iceberg.merge_iceberg(spark, tie, root, keys=["id"], newer_wins_col="ts")
+    rows = {(r.id, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert (1, "new") in rows and (1, "tie") not in rows
+
+
+def test_partitioned_merge_moves_rows(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).alias("p"), F.lit(0).alias("v")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, partition_by=["p"])
+    # move id=4 to partition p=1
+    src = spark.createDataFrame([(4, 1, 7)], "id bigint, p bigint, v int")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    got = iceberg.read_iceberg(spark, root)
+    assert got.count() == 20
+    assert got.where("id = 4").collect()[0].p == 1
+    # partition pruning still sees the moved row
+    assert iceberg.read_iceberg(spark, root, where="p = 1").where(
+        "id = 4"
+    ).count() == 1
+
+
+def test_cardinality_and_schema_checks(spark, tmp_path):
+    root = str(tmp_path / "c")
+    _mk(spark, root)
+    dup = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "id int, k string, v int"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        iceberg.merge_iceberg(spark, dup, root, keys=["id"])
+    drift = spark.createDataFrame([(1, "x")], "id int, k string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.merge_iceberg(spark, drift, root, keys=["id"])
+
+
+def test_first_merge_creates_and_batch_idempotent(spark, tmp_path):
+    root = str(tmp_path / "b")
+    src = spark.createDataFrame([(1, "a", 10)], "id int, k string, v int")
+    s1 = iceberg.merge_iceberg(spark, src, root, keys=["id"], batch=("app", 0))
+    # replay of the same batch id is a no-op
+    s2 = iceberg.merge_iceberg(spark, src, root, keys=["id"], batch=("app", 0))
+    assert s2 == s1
+    assert iceberg.read_iceberg(spark, root).count() == 1
+    # next batch commits
+    src2 = spark.createDataFrame([(1, "a", 99)], "id int, k string, v int")
+    iceberg.merge_iceberg(spark, src2, root, keys=["id"], batch=("app", 1))
+    assert {r.v for r in iceberg.read_iceberg(spark, root).collect()} == {99}
+    with pytest.raises(ValueError, match="cannot delete"):
+        iceberg.merge_iceberg(
+            spark, src, str(tmp_path / "none"), keys=["id"], when_matched="delete"
+        )
+
+
+def test_null_keys_never_match(spark, tmp_path):
+    root = str(tmp_path / "n")
+    df = spark.createDataFrame(
+        [(None, "a", 1), (2, "b", 2)], "id int, k string, v int"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    src = spark.createDataFrame([(None, "X", 9)], "id int, k string, v int")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    rows = {(r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    # null-keyed target row survives; null-keyed source row inserts
+    assert rows == {("a", 1), ("b", 2), ("X", 9)}
+
+
+def test_compact_after_merge_identical(spark, tmp_path):
+    root = str(tmp_path / "cp")
+    _mk(spark, root)
+    src = spark.createDataFrame([(2, "B", 99)], "id int, k string, v int")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    before = sorted(
+        (r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    iceberg.compact_iceberg(spark, root)
+    after = sorted(
+        (r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert before == after
+
+
+def test_stream_to_iceberg_upsert_latest_per_key(spark, tmp_path, sf_dir):
+    """Streaming feature materialization into ICEBERG: a real Structured
+    Streaming replay MERGEs strictly-newer-wins per user — the table ends
+    at ONE row per user holding that user's max event timestamp, and a
+    rerun with the same checkpoint changes nothing."""
+    from feature_store_ml_spark.io import load_table
+    from feature_store_ml_spark.streaming import events as ev
+
+    table = str(tmp_path / "latest")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ev._streaming_events(spark, sf_dir).select("user_id", "ts", "value")
+    ev.stream_to_iceberg(
+        spark, stream, table, app_id="up1", checkpoint_dir=ckpt,
+        mode="upsert", keys=["user_id"], order_col="ts",
+    )
+    got = iceberg.read_iceberg(spark, table).toPandas()
+    assert got.user_id.is_unique
+    expected = (
+        load_table(spark, sf_dir, "events").groupBy("user_id")
+        .agg(F.max("ts").alias("ts")).toPandas()
+    )
+    merged = got.merge(expected, on="user_id", suffixes=("", "_want"))
+    assert len(merged) == len(expected)
+    assert (merged.ts == merged.ts_want).all()
+    # rerun: same checkpoint => no new batches; table unchanged
+    stream2 = ev._streaming_events(spark, sf_dir).select("user_id", "ts", "value")
+    again = ev.stream_to_iceberg(
+        spark, stream2, table, app_id="up1", checkpoint_dir=ckpt,
+        mode="upsert", keys=["user_id"], order_col="ts",
+    )
+    assert again == []
+    assert iceberg.read_iceberg(spark, table).count() == len(expected)
+    with pytest.raises(ValueError, match="requires keys"):
+        ev.stream_to_iceberg(
+            spark, stream2, table, app_id="x", mode="upsert"
+        )
