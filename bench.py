@@ -89,6 +89,11 @@ HEADLINE = [
     "e1_iceberg_update",
     "e13_stream_from_delta_partitioned",
     "e11_chunking",
+    # round-6 continuation joiners (first pins in BASELINE.md): selective
+    # overwrite backfill, Iceberg rollback lifecycle, Iceberg MoR MERGE
+    "e1_delta_replace_where",
+    "e1_iceberg_rollback",
+    "e1_iceberg_merge",
 ]
 
 

@@ -45,9 +45,14 @@ def _localize(uri: str, table_root: str) -> str:
     (file:/..., s3://...). Re-root file/relative paths under the table dir
     so a relocated (copied) table still resolves; object-store URIs pass
     through untouched for the actual cluster's filesystem to handle."""
-    parsed = urlparse(uri)
-    if parsed.scheme in ("", "file"):
-        path = parsed.path or uri
+    if uri.startswith("file:") or "://" not in uri:
+        # strip the scheme by hand: urlparse would truncate a raw '#' or
+        # '?' in the path (URI fragment/query), and writers that stamp
+        # unescaped local paths (including old versions of this one) are
+        # in the wild
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        if path.startswith("///"):
+            path = path[2:]
         if os.path.exists(path):
             return path
         # relocated table: graft the metadata/ or data/ tail under table_root
@@ -1315,11 +1320,16 @@ def write_iceberg(
             if not name.endswith(".parquet"):
                 continue
             if partition_by:
+                # keep Spark's OWN escaped dir components (Brand#13 stages
+                # as Brand%2313): composing dirs from the parsed value
+                # would re-introduce URI-special chars ('#' truncates at
+                # the fragment in every file: URI consumer)
                 sub = os.path.join(
                     data_dir,
                     *[
-                        f"{c}={'null' if pvals[c] is None else pvals[c]}"
-                        for c in partition_by
+                        comp[len("_p_"):]
+                        for comp in rel_dir.split(os.sep)
+                        if "=" in comp
                     ],
                 )
                 os.makedirs(sub, exist_ok=True)
@@ -2705,11 +2715,13 @@ def _stage_data_entry(
             if n_rows == 0:
                 continue
             if pfields_parsed:
+                # keep Spark's escaped dir components (see write_iceberg)
                 sub = os.path.join(
                     data_dir,
                     *[
-                        f"{c['name']}={'null' if pvals[c['name']] is None else pvals[c['name']]}"
-                        for c in pfields_parsed
+                        comp[len("_p_"):]
+                        for comp in rel_dir.split(os.sep)
+                        if "=" in comp
                     ],
                 )
                 os.makedirs(sub, exist_ok=True)
@@ -3323,11 +3335,13 @@ def compact_iceberg(
             if not name.endswith(".parquet"):
                 continue
             if part_cols:
+                # keep Spark's escaped dir components (see write_iceberg)
                 sub = os.path.join(
                     data_dir,
                     *[
-                        f"{c}={'null' if pvals[c] is None else pvals[c]}"
-                        for c in part_cols
+                        comp[len("_p_"):]
+                        for comp in rel_dir.split(os.sep)
+                        if "=" in comp
                     ],
                 )
                 os.makedirs(sub, exist_ok=True)

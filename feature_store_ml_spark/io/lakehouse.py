@@ -1034,29 +1034,37 @@ def _scan_files(
         return _scan_non_hive(
             spark, path, files, meta, adds, mapping, part_cols, with_metadata
         )
-    df = _dv(_mat(spark.read.option("basePath", path).parquet(*files)))
-    # align column order and partition-column types with the declared
-    # schema (directory-derived values are type-INFERRED and land at the
-    # end), projecting physical -> logical names when mapped
+    # read through the DECLARED schema (physical names when mapped) rather
+    # than inference: inference picks one file's footer, so a mix of pre-
+    # and post-evolution files would silently null a late-added column,
+    # and a widened column would surface its old narrow type. The explicit
+    # schema backfills missing columns as null and promotes narrow files,
+    # the same contract as the unpartitioned spark.read.schema path;
+    # partition-dir values parse straight to their declared types.
     try:
-        schema = json.loads(meta["schemaString"])
-        names = [f["name"] for f in schema["fields"]]
-        types = {f["name"]: f["type"] for f in schema["fields"]}
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
 
-        return df.select(
-            *_keep_meta(
-                [
-                    F.col((mapping or {}).get(c, c)).cast(types[c]).alias(c)
-                    if c in part_cols and isinstance(types[c], str)
-                    else F.col((mapping or {}).get(c, c)).alias(c)
-                    for c in names
-                ]
-            )
+        declared_st = _ST.fromJson(json.loads(meta["schemaString"]))
+        phys_st = _ST(
+            [
+                _SF((mapping or {}).get(f.name, f.name), f.dataType, True)
+                for f in declared_st.fields
+            ]
         )
+        names = [f.name for f in declared_st.fields]
     except (KeyError, ValueError, TypeError):
         if mapping:
             raise  # a mapped table MUST project back to logical names
-        return df
+        return _dv(_mat(spark.read.option("basePath", path).parquet(*files)))
+    df = _dv(
+        _mat(
+            spark.read.schema(phys_st).option("basePath", path).parquet(*files)
+        )
+    )
+    return df.select(
+        *_keep_meta([F.col((mapping or {}).get(c, c)).alias(c) for c in names])
+    )
 
 
 def _scan_non_hive(
@@ -2335,6 +2343,7 @@ def merge_delta(
     when_matched: str = "update",
     txn: tuple[str, int] | None = None,
     newer_wins_col: str | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Keyed MERGE — the Delta table's mutation primitive (upsert / delete
     by key), implemented the way every copy-on-write Delta engine does it:
@@ -2421,6 +2430,12 @@ def merge_delta(
                 "record a txn action — retry idempotency would silently "
                 "degrade; drop txn or use the fallback writer"
             )
+        if merge_schema:
+            raise NotImplementedError(
+                "merge_delta: schema evolution through the native builder "
+                "needs spark.databricks.delta.schema.autoMerge.enabled — "
+                "set it and drop merge_schema, or use the fallback writer"
+            )
         tgt = DeltaTable.forPath(spark, path)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         m = tgt.alias("t").merge(source.alias("s"), cond)
@@ -2452,14 +2467,52 @@ def merge_delta(
 
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
     table_cols = [f.name for f in declared.fields]
+    evolved_meta: dict | None = None
     if when_matched == "update":
         got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
         want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
-        if got != want:
+        if got != want and not merge_schema:
             raise ValueError(
                 f"{path}: merge source schema mismatch — table declares "
-                f"{want}, source carries {got}"
+                f"{want}, source carries {got}; pass merge_schema=True to "
+                "add columns (Delta's MERGE autoMerge)"
             )
+        if got != want:
+            # MERGE schema evolution, same contract as write_delta's
+            # mergeSchema append: the source may APPEND nullable columns
+            # (declared columns must all be present, types unchanged);
+            # untouched/kept rows backfill null via the evolved reader
+            from pyspark.sql.types import StructField
+
+            if _mapping_mode(meta):
+                raise NotImplementedError(
+                    f"{path}: MERGE schema evolution on a column-mapped "
+                    "table is not implemented (new columns need field-id "
+                    "and physical-name assignment)"
+                )
+            got_map = dict(got)
+            for n, t in want:
+                if n not in got_map:
+                    raise ValueError(
+                        f"{path}: merge schema evolution cannot DROP column "
+                        f"{n!r} — the source must carry every declared column"
+                    )
+                if got_map[n] != t:
+                    raise ValueError(
+                        f"{path}: merge schema evolution cannot change "
+                        f"column {n!r} from {t} to {got_map[n]}"
+                    )
+            declared_names = {n for n, _ in want}
+            new_fields = [
+                StructField(f.name, f.dataType, True)
+                for f in source.schema.fields
+                if f.name not in declared_names
+            ]
+            declared = StructType(list(declared.fields) + new_fields)
+            table_cols = [f.name for f in declared.fields]
+            source = source.select(*table_cols)
+            evolved_meta = {**meta, "schemaString": declared.json()}
+            meta = evolved_meta
         _enforce_constraints(source, meta, path)
         _enforce_generated(source, meta, path)
 
@@ -2479,7 +2532,7 @@ def merge_delta(
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
-            src_keys, newer_wins_col, meta, adds_map,
+            src_keys, newer_wins_col, meta, adds_map, evolved_meta,
         )
     finally:
         key_counts.unpersist()
@@ -2498,6 +2551,7 @@ def _merge_rewrite(
     newer_wins_col: str | None = None,
     meta: dict | None = None,
     adds_map: dict | None = None,
+    evolved_meta: dict | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -2655,6 +2709,11 @@ def _merge_rewrite(
     )
 
     actions: list[dict] = []
+    if evolved_meta is not None:
+        # schema evolution rides the same commit: readers take the LAST
+        # metaData action, so the widened schema and the merged files
+        # become visible atomically
+        actions.append({"metaData": evolved_meta})
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
