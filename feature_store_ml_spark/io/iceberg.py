@@ -3012,6 +3012,7 @@ def merge_iceberg(
     when_matched: str = "update",
     newer_wins_col: str | None = None,
     batch: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Keyed MERGE for Iceberg — the twin of ``lakehouse.merge_delta``
     (upsert / delete by key), merge-on-read in ONE snapshot: a position-
@@ -3072,6 +3073,55 @@ def merge_iceberg(
         return write_iceberg(
             spark, source, path, format_version=2, summary_props=summary_props
         )
+    if merge_schema and when_matched == "update":
+        # MERGE schema evolution, the twin of merge_delta(merge_schema=True):
+        # the source may APPEND nullable columns. Spec-clean two-commit
+        # shape (an UpdateSchema metadata commit, then the merge snapshot):
+        # new columns get FRESH field ids, kept rows backfill null via the
+        # declared-schema scan, DROP/retype stay fail-loud.
+        meta0 = _load_metadata(path)
+        cur0 = _current_schema(meta0)
+        want0 = [(f["name"], f["type"]) for f in cur0["fields"]]
+        got0 = [
+            (f.name, _spark_to_ice_type(f.dataType.simpleString()))
+            for f in source.schema.fields
+        ]
+        if got0 != want0:
+            got_map = dict(got0)
+            for n, t in want0:
+                if n not in got_map:
+                    raise ValueError(
+                        f"{path}: merge schema evolution cannot DROP column "
+                        f"{n!r} — the source must carry every declared column"
+                    )
+                if got_map[n] != t:
+                    raise ValueError(
+                        f"{path}: merge schema evolution cannot change "
+                        f"column {n!r} from {t} to {got_map[n]}"
+                    )
+            declared_names = {n for n, _ in want0}
+            new_cols = [(n, t) for n, t in got0 if n not in declared_names]
+            if any(t is None for _, t in new_cols):
+                raise ValueError(
+                    f"{path}: evolution adds a column with an unmappable "
+                    "spark type"
+                )
+            last_id = max(
+                (f.get("id", 0) for f in cur0["fields"]),
+                default=len(cur0["fields"]),
+            )
+            _commit_schema_evolution(
+                path,
+                list(cur0["fields"])
+                + [
+                    {"id": last_id + j + 1, "name": n, "required": False,
+                     "type": t}
+                    for j, (n, t) in enumerate(new_cols)
+                ],
+            )
+            source = source.select(
+                *[n for n, _ in want0], *[n for n, _ in new_cols]
+            )
     prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
     cur_schema = _current_schema(prior_meta)
     names = [f["name"] for f in cur_schema.get("fields", [])]
@@ -3087,7 +3137,8 @@ def merge_iceberg(
         if got != want:
             raise ValueError(
                 f"{path}: merge source schema mismatch — table declares "
-                f"{want}, source carries {got}"
+                f"{want}, source carries {got}; pass merge_schema=True to "
+                "add columns"
             )
 
     key_counts = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).persist()

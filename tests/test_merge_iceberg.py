@@ -179,3 +179,46 @@ def test_stream_to_iceberg_upsert_latest_per_key(spark, tmp_path, sf_dir):
         ev.stream_to_iceberg(
             spark, stream2, table, app_id="x", mode="upsert"
         )
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True: the source may append nullable columns — an
+    UpdateSchema metadata commit (fresh field ids) then the merge
+    snapshot; kept rows backfill null; DROP/retype stay fail-loud."""
+    root = str(tmp_path / "ev")
+    _mk(spark, root)
+    src = spark.createDataFrame(
+        [(2, "B", 99, 0.5), (4, "d", 40, 0.9)],
+        "id int, k string, v int, score double",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    iceberg.merge_iceberg(spark, src, root, keys=["id"], merge_schema=True)
+    back = iceberg.read_iceberg(spark, root)
+    assert back.columns == ["id", "k", "v", "score"]
+    rows = {(r.id, r.k, r.v, r.score) for r in back.collect()}
+    assert rows == {
+        (1, "a", 10, None),
+        (2, "B", 99, 0.5),
+        (3, "c", 30, None),
+        (4, "d", 40, 0.9),
+    }
+    # new column got a fresh, unique field id
+    fields = iceberg._current_schema(iceberg._load_metadata(root))["fields"]
+    ids = [f["id"] for f in fields]
+    assert len(ids) == len(set(ids)) == 4
+    # guards
+    with pytest.raises(ValueError, match="cannot DROP"):
+        iceberg.merge_iceberg(
+            spark,
+            spark.createDataFrame([(1, "x")], "id int, k string"),
+            root, keys=["id"], merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="cannot change"):
+        iceberg.merge_iceberg(
+            spark,
+            spark.createDataFrame(
+                [(1, "x", 1.5, 0.1)], "id int, k string, v double, score double"
+            ),
+            root, keys=["id"], merge_schema=True,
+        )
