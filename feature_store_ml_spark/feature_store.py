@@ -17,11 +17,18 @@ already exist in this repo — nothing here invents new execution machinery:
   groups (operators/features.point_in_time_join — the leak-free as-of
   machinery), returning the training frame.
 
-Scale shape: each materialization is one distributed build + one Delta
-commit; serving is one co-shuffle per feature group (union-window as-of,
-never a range product). Offline/online symmetry beyond this module's
-scope: the same build functions run under Structured Streaming via
-streaming/events.stream_to_delta.
+Scale shape: each materialization is one distributed build + one
+lakehouse commit; serving is one co-shuffle per feature group
+(union-window as-of, never a range product). Offline/online symmetry
+beyond this module's scope: the same build functions run under
+Structured Streaming via streaming/events.stream_to_delta /
+stream_to_iceberg.
+
+``FeatureStore(table_format='iceberg')`` runs the identical surface over
+the Iceberg writer family (overwrite_iceberg / write_iceberg_batch /
+merge_iceberg / delete_iceberg / update_iceberg), with snapshot-summary
+(app, batch) stamps supplying the same idempotent-retry contract the
+Delta txn action gives.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .io import lakehouse
+from .io import iceberg, lakehouse
 from .operators import features as FE
 
 
@@ -68,10 +75,29 @@ class FeatureGroup:
 @dataclass
 class FeatureStore:
     """Registry + materialization root. Groups are registered once and
-    addressed by name everywhere else."""
+    addressed by name everywhere else.
+
+    ``table_format`` selects the lakehouse backend for every group table:
+    'delta' (the default — txn-action idempotency, deletion-vector
+    retraction, copy-on-write correction) or 'iceberg' (snapshot-summary
+    idempotency, position-delete retraction, merge-on-read correction).
+    The store surface is identical on both; only the open format under it
+    changes."""
 
     root: str
     groups: dict[str, FeatureGroup] = field(default_factory=dict)
+    table_format: str = "delta"
+
+    def __post_init__(self) -> None:
+        if self.table_format not in ("delta", "iceberg"):
+            raise ValueError(
+                f"FeatureStore: table_format must be delta|iceberg, "
+                f"got {self.table_format!r}"
+            )
+
+    @property
+    def _is_iceberg(self) -> bool:
+        return self.table_format == "iceberg"
 
     def register(self, group: FeatureGroup) -> FeatureGroup:
         if group.name in self.groups:
@@ -87,6 +113,11 @@ class FeatureStore:
         g = self.groups[name]
         path = g.table_path(self.root)
         out = g.validate(g.build(source))
+        if self._is_iceberg:
+            iceberg.overwrite_iceberg(
+                spark, out, path, batch=(f"fs::{g.name}", run_version)
+            )
+            return path
         committed = lakehouse.last_txn_version(path, f"fs::{g.name}")
         if committed >= run_version:
             return path  # this run already landed — idempotent retry
@@ -111,6 +142,11 @@ class FeatureStore:
         g = self.groups[name]
         path = g.table_path(self.root)
         out = g.validate(g.build(new_rows))
+        if self._is_iceberg:
+            iceberg.write_iceberg_batch(
+                spark, out, path, f"fs::{g.name}", run_version
+            )
+            return path
         lakehouse.write_delta(
             spark, out, path, mode="append", txn=(f"fs::{g.name}", run_version)
         )
@@ -147,6 +183,15 @@ class FeatureStore:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if self._is_iceberg:
+            iceberg.merge_iceberg(
+                spark,
+                latest,
+                path,
+                keys=list(g.keys),
+                batch=(f"fs::{g.name}", run_version),
+            )
+            return path
         lakehouse.merge_delta(
             spark,
             latest,
@@ -164,9 +209,10 @@ class FeatureStore:
         materialization, a training read bounded to a date range plans
         only the matching files — the difference between scanning a
         feature table and scanning a feature table's last week."""
-        return lakehouse.read_delta(
-            spark, self.groups[name].table_path(self.root), where=where
-        )
+        path = self.groups[name].table_path(self.root)
+        if self._is_iceberg:
+            return iceberg.read_iceberg(spark, path, where=where)
+        return lakehouse.read_delta(spark, path, where=where)
 
     def retract(
         self,
@@ -227,6 +273,15 @@ class FeatureStore:
                 for r in rows
             ]
             pred = " OR ".join(tuples)
+        if self._is_iceberg:
+            return iceberg.delete_iceberg(
+                spark, path, pred,
+                batch=(
+                    (f"fs-retract::{g.name}", run_version)
+                    if run_version is not None
+                    else None
+                ),
+            )
         txn = (f"fs-retract::{g.name}", run_version) if run_version is not None else None
         return lakehouse.delete_delta(spark, path, pred, txn=txn)
 
@@ -258,6 +313,10 @@ class FeatureStore:
             if run_version is not None
             else None
         )
+        if self._is_iceberg:
+            return iceberg.update_iceberg(
+                spark, g.table_path(self.root), set, where=where, batch=txn
+            )
         return lakehouse.update_delta(
             spark, g.table_path(self.root), set, where=where, txn=txn
         )
@@ -274,6 +333,27 @@ class FeatureStore:
         was done."""
         path = self.groups[name].table_path(self.root)
         purged = False
+        if self._is_iceberg:
+            # Iceberg maintenance triad: compaction physically applies
+            # position deletes (retraction becomes physical erasure),
+            # snapshot expiration bounds metadata + drops dead bytes,
+            # orphan removal sweeps crashed-write leftovers
+            if spark is not None:
+                meta0 = iceberg._load_metadata(path)
+                cur = meta0.get("current-snapshot-id")
+                if cur not in (None, -1) and iceberg._snapshot_content(
+                    meta0, cur, path
+                )[1]:  # live delete files present
+                    iceberg.compact_iceberg(spark, path)
+                    purged = True
+            expired = iceberg.expire_iceberg_snapshots(path, keep=1)
+            orphans = iceberg.remove_orphan_files(path)
+            return {
+                "dv_purged": purged,
+                "snapshots_expired": len(expired["snapshots"]),
+                "log_files_removed": len(expired["files"]),
+                "data_files_removed": len(orphans),
+            }
         if spark is not None:
             adds, _ = lakehouse._replay_log_adds(path)
             if any(a.get("deletionVector") for a in adds.values()):

@@ -2352,6 +2352,7 @@ def _commit_delete_snapshot(
     del_entry: dict | list[dict] | None,
     operation: str = "delete",
     summary_props: dict | None = None,
+    replace: bool = False,
 ) -> int:
     """Shared commit tail for the row-level mutations (both delete
     flavors, and UPDATE's combined delete+data snapshot): build the
@@ -2374,9 +2375,18 @@ def _commit_delete_snapshot(
         else [del_entry] if del_entry is not None
         else []
     )
-    if new_entries:
-        prior_manifests = list(
-            avro_lite.read_container(_localize(prior_snap["manifest-list"], path))
+    if new_entries or replace:
+        # replace=True: the manifest list holds ONLY the new entries —
+        # the full-overwrite / compaction shape; prior snapshots still
+        # reference their own manifest lists untouched
+        prior_manifests = (
+            []
+            if replace
+            else list(
+                avro_lite.read_container(
+                    _localize(prior_snap["manifest-list"], path)
+                )
+            )
         )
         mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
         mf_schema = _manifest_file_schema(2)
@@ -2484,7 +2494,12 @@ def _delete_manifest_entry(
     }
 
 
-def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
+def delete_iceberg(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    batch: tuple[str, int] | None = None,
+) -> int:
     """Row-level DELETE via POSITION DELETE FILES (spec §Row-level deletes,
     merge-on-read) — Iceberg v2's twin of Delta deletion vectors: instead
     of rewriting matched data files, the commit adds a parquet file of
@@ -2500,7 +2515,8 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     new snapshot commits with the next sequence number by atomic rename.
 
     v2 tables only (v1 predates row-level deletes — fail-loud).
-    Returns the new snapshot id.
+    ``batch=(app_id, batch_id)`` is the summary-stamped exactly-once
+    handshake (same as merge_iceberg). Returns the new snapshot id.
     """
     import time as _time
     import uuid
@@ -2509,6 +2525,8 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
+        return _load_metadata(path)["current-snapshot-id"]
     prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
     # DISTRIBUTED position-delete write: the matched (file_path, pos)
     # pairs never reach the driver — Spark range-partitions them by
@@ -2558,7 +2576,12 @@ def delete_iceberg(spark: SparkSession, path: str, predicate: str) -> int:
             meta_dir, snap_id, seq, del_files, None
         )
     return _commit_delete_snapshot(
-        path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry
+        path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry,
+        summary_props=(
+            {"spark.app-id": batch[0], "spark.batch-id": str(batch[1])}
+            if batch is not None
+            else None
+        ),
     )
 
 
@@ -2776,6 +2799,7 @@ def update_iceberg(
     path: str,
     set: dict[str, str],
     where: str | None = None,
+    batch: tuple[str, int] | None = None,
 ) -> int:
     """UPDATE ... SET ... WHERE in ONE snapshot, merge-on-read style —
     the Iceberg twin of lakehouse.update_delta. The commit carries TWO
@@ -2807,6 +2831,15 @@ def update_iceberg(
 
     if not set:
         raise ValueError("update_iceberg: empty SET clause")
+    # summary-stamped exactly-once handshake: an UPDATE whose SET is not
+    # idempotent by effect (v = v + 1) must not re-apply on a retried run
+    if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
+        return _load_metadata(path)["current-snapshot-id"]
+    _upd_summary = (
+        {"spark.app-id": batch[0], "spark.batch-id": str(batch[1])}
+        if batch is not None
+        else None
+    )
     prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
     spec = next(
         (
@@ -2873,7 +2906,7 @@ def update_iceberg(
         if not del_files:
             return _commit_delete_snapshot(
                 path, prior_meta, prior_version, snap_id, seq, now_ms,
-                None, operation="overwrite",
+                None, operation="overwrite", summary_props=_upd_summary,
             )
         del_entry = _delete_manifest_entry(
             meta_dir, snap_id, seq, del_files, None
@@ -2890,10 +2923,61 @@ def update_iceberg(
         return _commit_delete_snapshot(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
             [del_entry] + ([data_entry] if data_entry else []),
-            operation="overwrite",
+            operation="overwrite", summary_props=_upd_summary,
         )
     finally:
         matched.unpersist()
+
+
+def overwrite_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    batch: tuple[str, int] | None = None,
+) -> int:
+    """Full-table OVERWRITE in one snapshot (operation 'overwrite'): the
+    new manifest list holds ONLY the replacement data manifest, so the
+    current view is exactly ``df`` while every prior snapshot still reads
+    its own file set — the Iceberg twin of write_delta(mode='overwrite').
+    Creates the table (v2) when absent; the declared schema must match
+    (evolve first for schema changes). ``batch=(app_id, batch_id)`` is
+    the summary-stamped exactly-once handshake. Returns the snapshot id."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    summary_props = (
+        {"spark.app-id": batch[0], "spark.batch-id": str(batch[1])}
+        if batch is not None
+        else None
+    )
+    if not is_iceberg_table(path):
+        return write_iceberg(
+            spark, df, path, format_version=2, summary_props=summary_props
+        )
+    if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
+        return _load_metadata(path)["current-snapshot-id"]
+    prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
+    declared = _declared_spark_schema(prior_meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: table schema holds types outside the primitive "
+            "bridge — overwrite cannot stage replacements faithfully"
+        )
+    names = [f.name for f in declared.fields]
+    missing = sorted(set(names) - set(df.columns))
+    if missing:
+        raise ValueError(f"{path}: source is missing table columns {missing}")
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+    )
+    now_ms = int(_time.time() * 1000)
+    data_entry = _stage_data_entry(path, prior_meta, df, snap_id, seq)
+    return _commit_delete_snapshot(
+        path, prior_meta, prior_version, snap_id, seq, now_ms,
+        [data_entry] if data_entry else None,
+        operation="overwrite", summary_props=summary_props, replace=True,
+    )
 
 
 def overwrite_iceberg_where(
