@@ -1,0 +1,305 @@
+"""Cross-format table conversion — metadata-only, zero data movement.
+
+A Delta table and an Iceberg table are both "parquet files + a metadata
+layer"; converting between them is writing the OTHER format's metadata
+over the SAME files (the published Delta-UniForm / Apache XTable shape).
+Cost is O(#files) driver-side footer/metadata work at any data size —
+nothing is rewritten, so a 100 TB table converts in seconds.
+
+Both converters are ONE-SHOT snapshots of the current table state: the
+source format's log remains authoritative, and writes made through it
+afterwards are NOT reflected in the converted metadata (re-run to
+refresh, exactly like UniForm's per-commit metadata generation).
+
+Fail-loud boundaries (state the other format cannot express faithfully):
+- live row-level deletes (Delta deletion vectors / Iceberg delete files)
+  — compact first, then convert;
+- Delta column mapping (parquet carries physical names Iceberg field-id
+  resolution knows nothing about without per-file id stamps);
+- non-identity Iceberg partition transforms (Delta has no transform
+  vocabulary);
+- identity partition sources outside the writer's int/long/string set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from . import avro_lite, iceberg, lakehouse, skipping
+
+
+def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
+    """Write Iceberg metadata (``metadata/`` + manifests) over a Delta
+    table's CURRENT live file set, in place — after this, the same
+    directory reads as either format (`read_delta` and `read_iceberg`
+    return identical rows). Returns the Iceberg snapshot id."""
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    if not lakehouse.is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    if os.path.exists(os.path.join(path, "metadata")):
+        raise ValueError(
+            f"{path}: metadata/ already exists — refusing to overwrite "
+            "(already converted? re-converting needs manual cleanup)"
+        )
+    adds_map, meta = lakehouse._replay_log_adds(path)
+    if not meta.get("schemaString"):
+        raise ValueError(f"{path}: table declares no schema")
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") in ("name", "id"):
+        raise NotImplementedError(
+            f"{path}: column-mapped Delta tables cannot convert — parquet "
+            "carries physical names the Iceberg schema would not resolve"
+        )
+    dv_files = [r for r, a in adds_map.items() if a.get("deletionVector")]
+    if dv_files:
+        raise ValueError(
+            f"{path}: {len(dv_files)} file(s) carry live deletion vectors "
+            "— run compact_delta first so the converted snapshot cannot "
+            "resurrect deleted rows"
+        )
+    declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = []
+    for i, f in enumerate(declared.fields, start=1):
+        ice_t = iceberg._spark_to_ice_type(f.dataType.simpleString())
+        if ice_t is None:
+            raise NotImplementedError(
+                f"{path}: column {f.name!r} has spark type "
+                f"{f.dataType.simpleString()!r} with no iceberg primitive "
+                "mapping in this writer"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": ice_t}
+        )
+    fid = {f["name"]: f["id"] for f in fields}
+    ice_type = {f["name"]: f["type"] for f in fields}
+    part_cols = meta.get("partitionColumns") or []
+    for c in part_cols:
+        if c not in fid:
+            raise ValueError(f"{path}: partition column {c!r} not in schema")
+        if ice_type[c] not in iceberg._PARTITION_PARSERS:
+            raise NotImplementedError(
+                f"{path}: identity partition source type {ice_type[c]!r} "
+                "unsupported (int/long/string only)"
+            )
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": fid[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
+
+    def _pval(c: str, v):
+        if v is None:
+            return None
+        return int(v) if ice_type[c] in ("int", "long") else str(v)
+
+    entries = []
+    now_ms = int(_time.time() * 1000)
+    snap_id = now_ms
+    for rel, add in sorted(adds_map.items()):
+        abs_p = os.path.join(path, rel)
+        if not os.path.exists(abs_p):
+            raise ValueError(f"{path}: live file missing on disk: {rel}")
+        stats = {}
+        try:
+            stats = json.loads(add.get("stats") or "{}")
+        except (TypeError, ValueError):
+            pass
+        n_rows = stats.get("numRecords")
+        if n_rows is None:
+            n_rows = pq.ParquetFile(abs_p).metadata.num_rows
+        pvals = {
+            c: _pval(c, (add.get("partitionValues") or {}).get(c))
+            for c in part_cols
+        }
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{abs_p}",
+                    "file_format": "PARQUET",
+                    "partition": pvals,
+                    "record_count": int(n_rows),
+                    "file_size_in_bytes": int(
+                        add.get("size") or os.path.getsize(abs_p)
+                    ),
+                    **iceberg._file_stats_maps(abs_p, fields),
+                },
+            }
+        )
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir)
+    partition_fields = [
+        {"name": c, "type": ["null", ice_type[c]]} for c in part_cols
+    ]
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest, iceberg._manifest_entry_schema(2, partition_fields), entries
+    )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    mf_schema = iceberg._manifest_file_schema(2)
+    keep = {f["name"] for f in mf_schema["fields"]}
+    entry = {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+    }
+    avro_lite.write_container(
+        mlist, mf_schema, [{k: entry.get(k, 0) for k in keep}]
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file:{mlist}",
+        "summary": {"operation": "append", "converted-from": "delta"},
+        "schema-id": 0,
+        "sequence-number": 1,
+    }
+    ice_meta = {
+        "format-version": 2,
+        "table-uuid": str(__import__("uuid").uuid4()),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(fields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 999 + len(spec_fields),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": [snapshot],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "last-sequence-number": 1,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(ice_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return snap_id
+
+
+def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
+    """Write a Delta log (``_delta_log/``) over an Iceberg table's CURRENT
+    live file set, in place — the reverse direction. Returns the Delta
+    version (0)."""
+    import time as _time
+
+    from pyspark.sql.types import StructType  # noqa: F401  (doc symmetry)
+
+    if not iceberg.is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    log_dir = os.path.join(path, "_delta_log")
+    if os.path.exists(log_dir):
+        raise ValueError(
+            f"{path}: _delta_log/ already exists — refusing to overwrite"
+        )
+    meta = iceberg._load_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    data, deletes = iceberg._snapshot_scan_plan(meta, cur, path)
+    if deletes:
+        raise ValueError(
+            f"{path}: {len(deletes)} live delete file(s) — run "
+            "compact_iceberg first so the converted snapshot cannot "
+            "resurrect deleted rows"
+        )
+    declared = iceberg._declared_spark_schema(meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: table schema holds types outside the primitive "
+            "bridge — cannot express it as a Delta schemaString"
+        )
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    fid_to_name = iceberg._field_id_map(meta)
+    part_cols = []
+    for pf in spec.get("fields") or []:
+        t, _p = iceberg._parse_transform_spec_name(pf.get("transform", "identity"))
+        if t != "identity":
+            raise NotImplementedError(
+                f"{path}: partition transform {pf.get('transform')!r} has "
+                "no Delta equivalent — only identity partitions convert"
+            )
+        part_cols.append(fid_to_name.get(pf.get("source-id"), pf["name"]))
+    root_abs = os.path.abspath(path)
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(__import__("uuid").uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": declared.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for d in sorted(data, key=lambda e: e["path"]):
+        abs_p = os.path.abspath(d["path"])
+        if not abs_p.startswith(root_abs + os.sep):
+            raise NotImplementedError(
+                f"{path}: data file outside the table root ({abs_p}) — "
+                "a shallow clone's absolute references have no relative "
+                "Delta path; convert the source table instead"
+            )
+        if not os.path.exists(abs_p):
+            raise ValueError(f"{path}: live file missing on disk: {abs_p}")
+        rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
+        pvals = {
+            c: (None if v is None else str(v))
+            for c, v in (d.get("partition") or {}).items()
+        }
+        add = {
+            "path": rel,
+            "partitionValues": {c: pvals.get(c) for c in part_cols},
+            "size": os.path.getsize(abs_p),
+            "modificationTime": now_ms,
+            "dataChange": True,
+        }
+        stats = skipping.collect_file_stats(abs_p)
+        if stats is not None:
+            add["stats"] = stats
+        actions.append({"add": add})
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "iceberg"},
+            }
+        }
+    )
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return 0

@@ -2283,10 +2283,105 @@ def read_iceberg(
             branches.append(g.select(*cols))
         return _reduce(lambda a, b: a.unionByName(b), branches)
 
+    # IDENTITY PARTITION VALUES FROM METADATA (spec §Column Projection):
+    # a data file may omit an identity-partitioned source column (Delta
+    # conversions and Hive-style foreign writers do); its values then come
+    # from the manifest partition tuple. Detection is an O(#files) local
+    # footer-schema probe (the same pass field-id grouping already pays);
+    # injection is one broadcast join of a (file -> tuple) map, coalesced
+    # into the declared column — never a per-partition scan explosion.
+    part_backfill: dict[str, dict] = {}
+    if declared is not None and all(
+        urlparse(p).scheme in ("", "file") for p in files
+    ):
+        _spec = next(
+            (
+                s
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        _f2n = _field_id_map(meta)
+        ident = {
+            pf["name"]: _f2n.get(pf.get("source-id"), pf["name"])
+            for pf in _spec.get("fields") or []
+            if _parse_transform_spec_name(pf.get("transform", "identity"))[0]
+            == "identity"
+        }
+        if ident:
+            import pyarrow.parquet as _pq
+
+            # join key: the SHORTEST path suffix unique across the
+            # snapshot's files (a bare basename collides when one task
+            # writes the same part-file name into several partition dirs)
+            locals_ = [urlparse(d["path"]).path or d["path"] for d in data]
+            suffix_k = 0
+            for k in range(1, 6):
+                keys = {"/".join(lp.split("/")[-k:]) for lp in locals_}
+                if len(keys) == len(locals_):
+                    suffix_k = k
+                    break
+            for d, lp in zip(data, locals_):
+                try:
+                    have = set(_pq.read_schema(lp).names)
+                except Exception:
+                    continue
+                miss = [
+                    (src, (d.get("partition") or {}).get(pname))
+                    for pname, src in ident.items()
+                    if src not in have
+                ]
+                if miss and suffix_k:
+                    part_backfill["/".join(lp.split("/")[-suffix_k:])] = dict(
+                        miss
+                    )
+
     pos = [d["path"] for d in deletes if d["kind"] == "pos"]
     eq = [d for d in deletes if d["kind"] == "eq"]
     if not eq:
-        df = _read(files, want_meta=bool(pos) or with_row_identity)
+        df = _read(
+            files,
+            want_meta=bool(pos) or with_row_identity or bool(part_backfill),
+        )
+        if part_backfill:
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import (
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            cols = sorted({c for m in part_backfill.values() for c in m})
+            dtypes = {f.name: f.dataType for f in declared.fields}
+            rows = [
+                (fn, *[m.get(c) for c in cols])
+                for fn, m in part_backfill.items()
+            ]
+            lut = spark.createDataFrame(
+                rows,
+                StructType(
+                    [StructField("_pb_file", StringType(), False)]
+                    + [StructField(f"_pb_{c}", dtypes[c], True) for c in cols]
+                ),
+            )
+            key = F.array_join(
+                F.slice(
+                    F.split(F.col("_metadata.file_path"), "/"),
+                    -suffix_k,
+                    suffix_k,
+                ),
+                "/",
+            )
+            df = df.join(
+                F.broadcast(lut), key == F.col("_pb_file"), "left"
+            )
+            df = df.withColumns(
+                {c: F.coalesce(F.col(c), F.col(f"_pb_{c}")) for c in cols}
+            ).drop("_pb_file", *[f"_pb_{c}" for c in cols])
+            if not (bool(pos) or with_row_identity):
+                df = df.drop("_metadata")
+                df = df.select(*[f.name for f in declared.fields])
         if pos:
             df = _apply_position_deletes(spark, path, df, pos)
             if not with_row_identity:
