@@ -94,6 +94,7 @@ HEADLINE = [
     "e1_delta_replace_where",
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
+    "e1_convert_cross_format",
 ]
 
 

@@ -3437,6 +3437,83 @@ def e1_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_convert_cross_format",
+    """
+    SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+           s.n_supp, s.supp_bal, c.n_cust, c.cust_bal
+    FROM (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp,
+             CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS supp_bal
+      FROM supplier GROUP BY 1
+    ) s
+    FULL OUTER JOIN (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS cust_bal
+      FROM customer GROUP BY 1
+    ) c ON s.nationkey = c.nationkey
+    """,
+)
+def e1_convert_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT CONVERSION lifecycle (io/convert.py — the
+    UniForm/XTable shape, metadata-only, zero data movement): write
+    supplier as a PARTITIONED Delta table and convert it to Iceberg, write
+    customer as a partitioned Iceberg table and convert it to Delta, then
+    read each through the OTHER format and join the per-nation aggregates.
+    The Delta→Iceberg side also exercises the spec's identity-partition
+    column projection (Delta's partitioned files omit the partition
+    column, so the Iceberg read materializes s_nationkey from manifest
+    partition tuples via the broadcast file→tuple lookup). Any defect in
+    schema translation, partition-tuple carry-over, stats emission, or
+    the projection join breaks counts or the hash."""
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg, lakehouse
+
+    s, c = _t(spark, sf_dir, "supplier", "customer")
+    d2i = f"{tempfile.gettempdir()}/fsml_conv_d2i"
+    i2d = f"{tempfile.gettempdir()}/fsml_conv_i2d"
+    shutil.rmtree(d2i, ignore_errors=True)
+    shutil.rmtree(i2d, ignore_errors=True)
+    lakehouse.write_delta(
+        spark,
+        s.select("s_suppkey", "s_nationkey", "s_acctbal"),
+        d2i,
+        partition_by=["s_nationkey"],
+    )
+    convert.convert_delta_to_iceberg(spark, d2i)
+    iceberg.write_iceberg(
+        spark,
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        i2d,
+        format_version=2,
+        partition_by=["c_nationkey"],
+    )
+    convert.convert_iceberg_to_delta(spark, i2d)
+    supp = (
+        iceberg.read_iceberg(spark, d2i)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"), dsum("s_acctbal").alias("supp_bal"))
+    )
+    cust = (
+        lakehouse.read_delta(spark, i2d)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("cust_bal"))
+    )
+    return (
+        supp.alias("s")
+        .join(cust.alias("c"), F.col("s.nationkey") == F.col("c.nationkey"),
+              "full_outer")
+        .select(
+            F.coalesce(F.col("s.nationkey"), F.col("c.nationkey")).alias(
+                "nationkey"
+            ),
+            "n_supp", "supp_bal", "n_cust", "cust_bal",
+        )
+    )
+
+
+@register(
     "e1_delta_delete_vectors",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -5247,6 +5324,7 @@ _FINAL_ORDER = [
     "e1_delta_replace_where",
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
+    "e1_convert_cross_format",
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
@@ -5287,7 +5365,6 @@ _FINAL_ORDER = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q21_sole_late_supplier",
     # -- sampling / PII / streaming-dedup surface
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
@@ -5304,6 +5381,8 @@ _FINAL_ORDER = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q11_important_parts",
+    "q21_sole_late_supplier",  # displaced by e1_convert_cross_format;
+                               # correlated family stays via q20
     # rotated out r6 late, displaced by the type-widening pair + the
     # partitioned stream tail (all three driver-green r5 or locally
     # sweep-green; families stay in-window — e8 via e8_string_funcs,
@@ -5455,8 +5534,9 @@ def _apply_final_order() -> None:
     # 63 -> 73 late round 6: type-widening pair, partitioned stream tail,
     # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs,
     # cross-format SQL federation, shallow clone; 73 -> 76 round-6
-    # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE
-    assert n_oracle_tail <= 76, f"{n_oracle_tail} oracle-backed queries outside window"
+    # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 77
+    # with cross-format conversion displacing q21
+    assert n_oracle_tail <= 77, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
