@@ -134,3 +134,171 @@ def stream_from_iceberg(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(spool_dir), snap
+
+
+def sync_iceberg_cdf_spool(
+    spark: SparkSession,
+    path: str,
+    spool_dir: str,
+    since_snapshot_id: int | None = None,
+) -> int:
+    """CHANGE-FEED spool sync — the mutation-tolerant Iceberg tail (the
+    plain spool refuses tables with delete files), twin of
+    ``delta_source.sync_delta_cdf_spool``. Per snapshot after
+    ``since_snapshot_id``, in commit (sequence) order:
+
+    - pure APPEND snapshots symlink their added data files into
+      ``<spool>/inserts/`` (every row is an insert — zero copy);
+    - MUTATION snapshots ('overwrite'/'delete': MERGE, UPDATE, row
+      deletes, selective overwrite) MATERIALIZE their row-level diff via
+      ``read_iceberg_cdf`` into ``<spool>/changes/`` — cost O(changed
+      rows), once per snapshot, because a position-delete file names
+      (file, pos) pairs a file source cannot express as rows;
+    - 'replace' snapshots (compaction) change no rows and are skipped;
+    - appended files missing a declared column in their footers
+      (identity-partition conversions) also materialize, so the file
+      source never backfills a partition column as null.
+
+    Link/dir names carry the snapshot's zero-padded SEQUENCE number (the
+    commit order) plus its id, so ``stream_iceberg_cdf`` surfaces
+    ``_commit_snapshot_id`` from the path for inserts. Idempotent.
+    Returns the current snapshot id to checkpoint."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    meta = _ice._load_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    declared = _ice._declared_spark_schema(meta)
+    if declared is None:
+        raise ValueError(
+            f"{path}: table schema has types outside the reader's "
+            "primitive mapping — cannot derive a streaming schema"
+        )
+    want_names = {f.name for f in declared.fields}
+    ordered = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
+    )
+    ins_dir = os.path.join(spool_dir, "inserts")
+    chg_dir = os.path.join(spool_dir, "changes")
+    os.makedirs(ins_dir, exist_ok=True)
+    os.makedirs(chg_dir, exist_ok=True)
+    seen_since = since_snapshot_id is None or since_snapshot_id == -1
+    prev = None
+    for snap in ordered:
+        sid = snap["snapshot-id"]
+        if not seen_since:
+            if sid == since_snapshot_id:
+                seen_since = True
+            prev = snap
+            continue
+        seq = snap.get("sequence-number", 0) or 0
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            prev = snap
+            continue  # compaction: rows identical by contract
+        p_data, p_del = (
+            _ice._snapshot_content(meta, prev["snapshot-id"], path)
+            if prev is not None
+            else ([], [])
+        )
+        s_data, s_del = _ice._snapshot_content(meta, sid, path)
+        new_deletes = set(s_del) - set(p_del)
+        added = [f for f in s_data if f not in set(p_data)]
+        added_local = [
+            urlparse(f).path if urlparse(f).scheme in ("", "file") else f
+            for f in added
+        ]
+        materialize = bool(new_deletes)
+        if not materialize and added_local:
+            _check_footers_match_schema(meta, added_local, path)
+            for f in added_local:
+                if not want_names <= set(pq.read_schema(f).names):
+                    materialize = True  # partition cols live in metadata
+                    break
+        if materialize:
+            final = os.path.join(chg_dir, f"{seq:020d}-{sid}")
+            if not os.path.exists(final):
+                if prev is None and new_deletes:
+                    raise ValueError(
+                        f"{path}: first snapshot {sid} carries delete "
+                        "files — corrupt history"
+                    )
+                if prev is None:
+                    # genesis snapshot whose files omit metadata-projected
+                    # columns: its whole content is the insert set
+                    from pyspark.sql import functions as F
+
+                    rows = _ice.read_iceberg(
+                        spark, path, snapshot_id=sid
+                    ).select(
+                        "*",
+                        F.lit("insert").alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                    )
+                else:
+                    rows = _ice.read_iceberg_cdf(
+                        spark, path, prev["snapshot-id"], sid
+                    )
+                tmp = os.path.join(chg_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
+                rows.write.parquet(tmp)
+                os.rename(tmp, final)
+        else:
+            for i, src in enumerate(sorted(added_local)):
+                link = os.path.join(
+                    ins_dir,
+                    f"{seq:020d}-{sid}-{i:05d}-{os.path.basename(src)}",
+                )
+                if not os.path.lexists(link):
+                    os.symlink(os.path.abspath(src), link)
+        prev = snap
+    if not seen_since:
+        raise ValueError(
+            f"{path}: snapshot {since_snapshot_id} is not retained — "
+            "history expired; restart from a full snapshot"
+        )
+    return cur
+
+
+def stream_iceberg_cdf(
+    spark: SparkSession,
+    path: str,
+    spool_dir: str,
+    since_snapshot_id: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Tail an Iceberg table's CHANGE FEED as a streaming DataFrame:
+    table columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_snapshot_id`` — the online twin of ``read_iceberg_cdf``
+    and the Iceberg twin of ``delta_source.stream_delta_cdf``, feeding a
+    downstream that must APPLY mutations (feature retraction, GDPR
+    propagation). Returns ``(streaming_df, synced_snapshot_id)``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType
+
+    snap = sync_iceberg_cdf_spool(spark, path, spool_dir, since_snapshot_id)
+    meta = _ice._load_metadata(path)
+    declared = _ice._declared_spark_schema(meta)
+    sid_from_path = F.regexp_extract(
+        F.col("_metadata.file_path"), r"/\d{20}-(\d+)-\d{5}-", 1
+    ).cast("long")
+    ins = (
+        spark.readStream.schema(declared)
+        .parquet(os.path.join(spool_dir, "inserts"))
+        .select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            sid_from_path.alias("_commit_snapshot_id"),
+        )
+    )
+    chg_schema = (
+        declared.add("_change_type", StringType())
+        .add("_commit_snapshot_id", LongType())
+    )
+    chg = spark.readStream.schema(chg_schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(os.path.join(spool_dir, "changes"))
+    return ins.unionByName(chg), snap

@@ -1,0 +1,102 @@
+"""Iceberg CHANGE-FEED streaming source (stream_iceberg_cdf): appends
+symlink zero-copy, mutation snapshots materialize their row diff, and a
+real Structured Streaming replay matches the batch read_iceberg_cdf."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import iceberg
+from feature_store_ml_spark.streaming import events as sev
+from feature_store_ml_spark.streaming import iceberg_source
+
+
+def test_cdf_stream_parity_with_batch(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    s0 = iceberg.write_iceberg(
+        spark,
+        spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark,
+        spark.range(10, 15).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        format_version=2,
+    )
+    # a MERGE (overwrite snapshot: pos-deletes + replacement rows)
+    src = spark.createDataFrame([(3, -1), (99, 99)], "id bigint, v bigint")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    # a row delete
+    iceberg.delete_iceberg(spark, root, "id = 7")
+
+    stream, snap = iceberg_source.stream_iceberg_cdf(spark, root, spool)
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    want = iceberg.read_iceberg_cdf(spark, root, s0).unionByName(
+        # the batch feed is (from, to]; the stream replays from genesis,
+        # so add the first snapshot's rows as inserts
+        iceberg.read_iceberg(spark, root, snapshot_id=s0).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(s0).alias("_commit_snapshot_id"),
+        )
+    )
+    key = lambda r: (r.id, r._change_type, r._commit_snapshot_id, r.v)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert snap == iceberg._load_metadata(root)["current-snapshot-id"]
+
+
+def test_cdf_stream_resume_and_compaction_skipped(spark, tmp_path):
+    root = str(tmp_path / "r")
+    spool = str(tmp_path / "spool")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(0, 6).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id = 0")
+    _stream, snap = iceberg_source.stream_iceberg_cdf(spark, root, spool)
+    # compaction is invisible to the feed
+    iceberg.compact_iceberg(spark, root)
+    iceberg.write_iceberg(
+        spark, spark.range(100, 103).select("id"), root, format_version=2
+    )
+    stream2, snap2 = iceberg_source.stream_iceberg_cdf(
+        spark, root, spool, since_snapshot_id=snap
+    )
+    got = sev.run_stream_to_table(spark, stream2, mode="append")
+    # full spool replay = genesis inserts + the delete + the new appends,
+    # with NO rows from the compaction snapshot
+    rows = sorted((r.id, r._change_type) for r in got.collect())
+    want = sorted(
+        [(i, "insert") for i in range(6)]
+        + [(0, "delete")]
+        + [(i, "insert") for i in (100, 101, 102)]
+    )
+    assert rows == want
+    # expired since-snapshot fails loud
+    with pytest.raises(ValueError, match="not retained"):
+        iceberg_source.sync_iceberg_cdf_spool(
+            spark, root, str(tmp_path / "s2"), since_snapshot_id=12345
+        )
+
+
+def test_cdf_stream_materializes_converted_partition_columns(spark, tmp_path):
+    """A Delta->Iceberg converted table's files omit the identity
+    partition column; the CDF spool must materialize those snapshots so
+    the file source never backfills the column as null."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "conv")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 8).select("id", (F.col("id") % 2).alias("p")),
+        root,
+        partition_by=["p"],
+    )
+    convert.convert_delta_to_iceberg(spark, root)
+    stream, _ = iceberg_source.stream_iceberg_cdf(spark, root, spool)
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    assert sorted((r.id, r.p) for r in got.collect()) == [
+        (i, i % 2) for i in range(8)
+    ]
