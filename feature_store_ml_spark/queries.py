@@ -4697,6 +4697,69 @@ def e13_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e13_stream_iceberg_cdf",
+    """
+    SELECT o_orderkey, 'insert' AS _change_type, 1 AS _change_ord
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 2 AS _change_ord
+    FROM orders WHERE o_totalprice > 400000.0
+    """,
+)
+def e13_stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed for ICEBERG
+    (streaming/iceberg_source.stream_iceberg_cdf — the online twin of
+    read_iceberg_cdf and the Iceberg twin of e13_stream_delta_cdf):
+    create from pre-1997 orders (genesis, excluded via since=s0), append
+    the rest (zero-copy insert tail), then a position-delete mutation
+    whose row diff the spool MATERIALIZES once — consumed as one real
+    Structured Streaming query. Snapshot ids are not stable constants,
+    so the commit dimension is surfaced as the DENSE RANK of
+    _commit_snapshot_id (1 = the append, 2 = the delete); the oracle
+    computes both sets from the source parquet."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .io import iceberg
+    from .streaming import iceberg_source
+
+    (o,) = _t(spark, sf_dir, "orders")
+    base = f"{tempfile.gettempdir()}/fsml_stream_iceberg_cdf"
+    shutil.rmtree(base, ignore_errors=True)
+    path, spool = f"{base}/table", f"{base}/spool"
+    cut = "1997-01-01"
+    s0 = iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path,
+        format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, path, "o_totalprice > 400000.0")
+    stream, _ = iceberg_source.stream_iceberg_cdf(
+        spark, path, spool, since_snapshot_id=s0
+    )
+    out = streaming_events.run_stream_to_table(spark, stream, mode="append")
+    return out.select(
+        "o_orderkey",
+        "_change_type",
+        F.dense_rank()
+        .over(Window.orderBy("_commit_snapshot_id"))
+        .cast("int")
+        .alias("_change_ord"),
+    )
+
+
+@register(
     "e13_stream_from_iceberg",
     """
     SELECT event_type,
@@ -5479,6 +5542,7 @@ _FINAL_ORDER = [
     "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
     "e13_stream_from_iceberg",  # round 6: iceberg tail twin (delta twin in-window)
     "e13_stream_delta_cdf",     # round 6: streaming change feed vs batch oracle
+    "e13_stream_iceberg_cdf",   # round 6 cont.: the Iceberg CDF tail twin
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",
@@ -5534,9 +5598,10 @@ def _apply_final_order() -> None:
     # 63 -> 73 late round 6: type-widening pair, partitioned stream tail,
     # UPDATE on both formats, chunking, PNG-lifecycle checksums, refs,
     # cross-format SQL federation, shallow clone; 73 -> 76 round-6
-    # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 77
-    # with cross-format conversion displacing q21
-    assert n_oracle_tail <= 77, f"{n_oracle_tail} oracle-backed queries outside window"
+    # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
+    # with cross-format conversion displacing q21 and the tail-registered
+    # Iceberg CDF stream twin
+    assert n_oracle_tail <= 78, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
