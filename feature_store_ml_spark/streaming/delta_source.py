@@ -344,6 +344,61 @@ def sync_delta_cdf_spool(
     return hi
 
 
+def _sync_cdf_materialized(
+    spark: SparkSession, path: str, spool_dir: str, since_version: int
+) -> int:
+    """Materializing CDF spool sync for tables the link-based spool
+    cannot express (ID-mode column mapping): per commit after
+    ``since_version``, write the commit's row-level diff (via
+    ``read_delta_cdf`` — field-id resolution and DV bitmap diffs
+    included) into ``<spool>/changes/<version>/``. Idempotent (a commit's
+    dir is written once, atomic rename); empty commits (metadata-only)
+    write nothing. Returns the highest synced version."""
+    import uuid
+
+    log = lakehouse._delta_log_dir(path)
+    if not lakehouse.is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    all_json = sorted(
+        n for n in os.listdir(log) if lakehouse._is_commit_json(n)
+    )
+    have = {int(n[:20]) for n in all_json}
+    hi = max(have) if have else -1
+    gone = sorted(set(range(since_version + 1, hi + 1)) - have)
+    if gone:
+        raise ValueError(
+            f"{path}: commits {gone[:5]} after version {since_version} "
+            "were cleaned from the JSON log — the change stream would "
+            "silently miss them; restart from a full snapshot"
+        )
+    chg_dir = os.path.join(spool_dir, "changes")
+    os.makedirs(chg_dir, exist_ok=True)
+    for v in sorted(have):
+        if v <= since_version:
+            continue
+        final = os.path.join(chg_dir, f"{v:020d}")
+        if os.path.exists(final):
+            continue
+        if v == 0:
+            # genesis: everything is an insert (read_delta_cdf's (from, to]
+            # contract needs a prior version in the log)
+            from pyspark.sql import functions as F
+
+            rows = lakehouse.read_delta(spark, path, version=0).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).cast("long").alias("_commit_version"),
+            )
+        else:
+            rows = lakehouse.read_delta_cdf(spark, path, v - 1, v)
+        if rows.isEmpty():
+            continue
+        tmp = os.path.join(chg_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
+        rows.write.parquet(tmp)
+        os.rename(tmp, final)
+    return hi
+
+
 def stream_delta_cdf(
     spark: SparkSession,
     path: str,
@@ -357,17 +412,38 @@ def stream_delta_cdf(
     APPLY mutations (feature retraction, GDPR propagation). Returns
     ``(streaming_df, synced_version)``."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
-    v = sync_delta_cdf_spool(path, spool_dir, since_version)
     _, meta = lakehouse._replay_log(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "id":
-        raise NotImplementedError(
-            f"{path}: change-feed streaming over an ID-mapped table is "
-            "not implemented; use read_delta_cdf"
+        # ID-mode: files may disagree on physical names per footer, so no
+        # single file-source schema spans the spool — MATERIALIZE each
+        # commit's row diff through the batch reader instead (field-id
+        # resolution, DV bitmap diffs included). Cost O(changed rows)
+        # once per commit, the same trade the Iceberg CDF spool makes.
+        v = _sync_cdf_materialized(spark, path, spool_dir, since_version)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        chg_schema = StructType(
+            list(schema.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+            ]
         )
+        stream = (
+            spark.readStream.schema(chg_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(spool_dir, "changes"))
+        )
+        return stream, v
+    v = sync_delta_cdf_spool(path, spool_dir, since_version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     mapping = lakehouse._column_mapping(meta)
     ver = F.regexp_extract(

@@ -514,3 +514,43 @@ def test_prune_spool_retention(spark, tmp_path):
     )
     delta_source.sync_delta_spool(proot, pspool)
     assert delta_source.prune_spool(pspool, before_version=1) >= 1
+
+
+def test_stream_delta_cdf_id_mode_materialized(spark, tmp_path):
+    """ID-mode tables stream their change feed through the MATERIALIZING
+    spool (no file-source schema can span per-footer field-id names):
+    a real SS replay matches batch read_delta_cdf from genesis."""
+    root = str(tmp_path / "idcdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        column_mapping="id",
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(10, 14).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        mode="append",
+    )
+    lakehouse.delete_delta(spark, root, "id < 3")
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool)
+    from feature_store_ml_spark.streaming import events as sev
+
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    want = lakehouse.read_delta_cdf(spark, root, 0).unionByName(
+        lakehouse.read_delta(spark, root, version=0).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_version"),
+        )
+    )
+    key = lambda r: (r.id, r.v, r._change_type, r._commit_version)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert v == lakehouse._next_version(lakehouse._delta_log_dir(root)) - 1
+    # resume from the synced version: nothing new => no new change dirs
+    stream2, v2 = delta_source.stream_delta_cdf(
+        spark, root, spool, since_version=v
+    )
+    assert v2 == v
