@@ -1694,13 +1694,20 @@ def clone_iceberg(src: str, dst: str) -> int:
     return cur if cur not in (None, -1) else -1
 
 
-def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
+def expire_iceberg_snapshots(
+    path: str, keep: int = 1, older_than_ms: int | None = None
+) -> dict[str, list[str]]:
     """Snapshot expiration — Iceberg's table-maintenance twin of Delta
     vacuum + log cleanup: keep only the newest ``keep`` snapshots, write a
     new metadata version without the expired ones, and delete every file
     only they referenced (their manifest lists, manifests, and data files
     not live in any kept snapshot). Without this, an append-every-minute
     table accumulates unbounded metadata AND unbounded dead data bytes.
+
+    ``older_than_ms`` mirrors the real action's ``expire_older_than``: a
+    snapshot is only expirable when its timestamp is strictly below the
+    cutoff, so ``keep`` becomes the floor ("retain at least N, and
+    nothing newer than the retention window goes away").
 
     Driver-side and metadata-sized (same walk the reader does); the
     deletes are local-filesystem here, object-store deletes in production.
@@ -1717,6 +1724,15 @@ def expire_iceberg_snapshots(path: str, keep: int = 1) -> dict[str, list[str]]:
     if len(snapshots) <= keep:
         return {"snapshots": [], "files": []}
     kept, expired = snapshots[-keep:], snapshots[:-keep]
+    if older_than_ms is not None:
+        young = [
+            s for s in expired if s.get("timestamp-ms", 0) >= older_than_ms
+        ]
+        if young:
+            kept = young + kept
+            expired = [s for s in expired if s not in young]
+            if not expired:
+                return {"snapshots": [], "files": []}
     # REFS protect their snapshots (spec §Refs retention): a tagged or
     # branched snapshot survives expiration until the ref is dropped —
     # tagging IS the mechanism for keeping a training-set snapshot alive
@@ -3537,12 +3553,40 @@ def compact_iceberg(
         col, result_type = _derive_partition_col(pf, type_by_name[pf["source"]])
         part_types[f["name"]] = result_type
         derive_cols[f["name"]] = col
+    # apply the table's DECLARED sort order to the rewrite (the real
+    # rewrite_data_files contract): compaction restores clustering that
+    # merge-on-read mutations eroded, so per-file bounds stay prunable
+    sort_cols: list[str] = []
+    _orders = prior_meta.get("sort-orders") or []
+    _dsid = prior_meta.get("default-sort-order-id", 0)
+    _cur_order = next(
+        (o for o in _orders if o.get("order-id") == _dsid), None
+    )
+    if _cur_order and _cur_order.get("fields"):
+        _id_to_name = _field_id_map(prior_meta)
+        sort_cols = [
+            c
+            for c in (
+                _id_to_name.get(f.get("source-id"))
+                for f in _cur_order["fields"]
+                if f.get("transform") == "identity"
+            )
+            if c in live.columns
+        ]
     if part_cols:
         staged = live.select(
             "*",
             *[derive_cols[n].cast("string").alias(f"_p_{n}") for n in part_cols],
         ).repartition(max(n_out, 1), *[f"_p_{c}" for c in part_cols])
+        if sort_cols:
+            staged = staged.sortWithinPartitions(
+                *[f"_p_{c}" for c in part_cols], *sort_cols
+            )
         staged.write.partitionBy(*[f"_p_{c}" for c in part_cols]).parquet(staging)
+    elif sort_cols:
+        live.repartitionByRange(max(n_out, 1), *sort_cols).sortWithinPartitions(
+            *sort_cols
+        ).write.parquet(staging)
     else:
         live.coalesce(n_out).write.parquet(staging)
 

@@ -101,3 +101,37 @@ def test_compact_then_reads_identical(spark, tmp_path):
         (r.id, r.p, r.v) for r in iceberg.read_iceberg(spark, root).collect()
     )
     assert before == after
+
+
+def test_compact_applies_declared_sort_order(spark, tmp_path):
+    """Compaction restores the declared clustering: after an unsorted
+    merge-on-read era, the rewrite's files have near-disjoint bounds on
+    the sort column again."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "sorted")
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 10000).alias("k"), F.col("id").alias("v")
+    )
+    iceberg.write_iceberg(
+        spark, df, root, format_version=2, sort_by=["k"]
+    )
+    iceberg.delete_iceberg(spark, root, "k % 100 = 0")
+    before = sorted((r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect())
+    iceberg.compact_iceberg(spark, root, target_file_bytes=16 << 10)
+    after = sorted((r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect())
+    assert before == after
+    # per-file k-ranges are disjoint after the sorted rewrite
+    meta = iceberg._load_metadata(root)
+    files = iceberg._snapshot_content(
+        meta, meta["current-snapshot-id"], root
+    )[0]
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        ranges.append((min(t), max(t)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -92,3 +92,35 @@ def test_expire_protects_current_after_rollback(spark, tmp_path):
     meta = iceberg._load_metadata(root)
     assert meta["current-snapshot-id"] == s1
     assert any(s["snapshot-id"] == s1 for s in meta["snapshots"])
+
+
+def test_expire_older_than_window(spark, tmp_path):
+    """older_than_ms: snapshots inside the retention window survive even
+    beyond `keep`; only genuinely old history expires."""
+    root = str(tmp_path / "age")
+    _append(spark, root, 0, 5)
+    _append(spark, root, 5, 10)
+    _append(spark, root, 10, 15)
+    # force distinct, deterministic timestamps (appends can land within
+    # one millisecond)
+    meta = dict(iceberg._load_metadata(root))
+    for i, s in enumerate(
+        sorted(meta["snapshots"], key=lambda x: x["snapshot-id"])
+    ):
+        s["timestamp-ms"] = 1_000_000 + i * 1000
+    iceberg._swap_metadata(root, meta)
+    meta = iceberg._load_metadata(root)
+    ts = sorted(s["timestamp-ms"] for s in meta["snapshots"])
+    # cutoff between snapshot 1 and 2: only the oldest is expirable
+    out = iceberg.expire_iceberg_snapshots(
+        root, keep=1, older_than_ms=ts[1]
+    )
+    assert len(out["snapshots"]) == 1
+    left = iceberg._load_metadata(root)["snapshots"]
+    assert len(left) == 2
+    # cutoff in the future: everything beyond keep expires (floor holds)
+    out2 = iceberg.expire_iceberg_snapshots(
+        root, keep=1, older_than_ms=ts[-1] + 10_000
+    )
+    assert len(out2["snapshots"]) == 1
+    assert iceberg.read_iceberg(spark, root).count() == 15
