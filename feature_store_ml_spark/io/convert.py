@@ -31,11 +31,17 @@ from pyspark.sql import SparkSession
 from . import avro_lite, iceberg, lakehouse, skipping
 
 
-def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
+def convert_delta_to_iceberg(
+    spark: SparkSession, path: str, refresh: bool = False
+) -> int:
     """Write Iceberg metadata (``metadata/`` + manifests) over a Delta
     table's CURRENT live file set, in place — after this, the same
     directory reads as either format (`read_delta` and `read_iceberg`
-    return identical rows). Returns the Iceberg snapshot id."""
+    return identical rows). ``refresh=True`` re-syncs an already
+    converted table after NEW Delta commits (the per-commit UniForm
+    shape): the next metadata version appends one snapshot holding the
+    current live set, field ids stay STABLE by column name, and prior
+    Iceberg snapshots remain time-travelable. Returns the snapshot id."""
     import time as _time
     import uuid
 
@@ -44,11 +50,14 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
 
     if not lakehouse.is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
+    prior_ice: dict | None = None
     if os.path.exists(os.path.join(path, "metadata")):
-        raise ValueError(
-            f"{path}: metadata/ already exists — refusing to overwrite "
-            "(already converted? re-converting needs manual cleanup)"
-        )
+        if not refresh:
+            raise ValueError(
+                f"{path}: metadata/ already exists — pass refresh=True to "
+                "re-sync the Iceberg view after new Delta commits"
+            )
+        prior_ice = iceberg._load_metadata(path)
     adds_map, meta = lakehouse._replay_log_adds(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
@@ -66,8 +75,16 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
             "resurrect deleted rows"
         )
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    prior_fid: dict[str, int] = {}
+    if prior_ice is not None:
+        prior_fid = {
+            f["name"]: f["id"]
+            for f in iceberg._current_schema(prior_ice).get("fields", [])
+            if "id" in f
+        }
+    next_id = max(prior_fid.values(), default=0)
     fields = []
-    for i, f in enumerate(declared.fields, start=1):
+    for f in declared.fields:
         ice_t = iceberg._spark_to_ice_type(f.dataType.simpleString())
         if ice_t is None:
             raise NotImplementedError(
@@ -75,8 +92,13 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
                 f"{f.dataType.simpleString()!r} with no iceberg primitive "
                 "mapping in this writer"
             )
+        if f.name in prior_fid:
+            fid_val = prior_fid[f.name]  # column identity survives refresh
+        else:
+            next_id += 1
+            fid_val = next_id
         fields.append(
-            {"id": i, "name": f.name, "required": False, "type": ice_t}
+            {"id": fid_val, "name": f.name, "required": False, "type": ice_t}
         )
     fid = {f["name"]: f["id"] for f in fields}
     ice_type = {f["name"]: f["type"] for f in fields}
@@ -106,7 +128,12 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
 
     entries = []
     now_ms = int(_time.time() * 1000)
-    snap_id = now_ms
+    if prior_ice is not None and prior_ice.get("snapshots"):
+        snap_id = max(s["snapshot-id"] for s in prior_ice["snapshots"]) + 1
+        seq = (prior_ice.get("last-sequence-number", 0) or 0) + 1
+    else:
+        snap_id = now_ms
+        seq = 1
     for rel, add in sorted(adds_map.items()):
         abs_p = os.path.join(path, rel)
         if not os.path.exists(abs_p):
@@ -141,7 +168,7 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
             }
         )
     meta_dir = os.path.join(path, "metadata")
-    os.makedirs(meta_dir)
+    os.makedirs(meta_dir, exist_ok=True)
     partition_fields = [
         {"name": c, "type": ["null", ice_type[c]]} for c in part_cols
     ]
@@ -158,26 +185,76 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
         "partition_spec_id": 0,
         "added_snapshot_id": snap_id,
         "content": 0,
-        "sequence_number": 1,
-        "min_sequence_number": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
     }
     avro_lite.write_container(
         mlist, mf_schema, [{k: entry.get(k, 0) for k in keep}]
     )
+    if prior_ice is not None:
+        # REFRESH: next metadata version appends one 'replace'-style
+        # snapshot (manifest list holds only the new manifest — the
+        # current view IS the Delta live set); prior snapshots stay
+        # time-travelable; a changed schema gets a fresh schema-id with
+        # STABLE field ids by name
+        prior_schemas = list(prior_ice.get("schemas") or [])
+        prior_sid = prior_ice.get("current-schema-id", 0)
+        prior_cur = iceberg._current_schema(prior_ice)
+        same = [
+            (f["name"], f["type"], f.get("id"))
+            for f in prior_cur.get("fields", [])
+        ] == [(f["name"], f["type"], f["id"]) for f in fields]
+        if same:
+            schemas, schema_id = prior_schemas, prior_sid
+        else:
+            schema_id = max(
+                (s.get("schema-id", 0) for s in prior_schemas), default=0
+            ) + 1
+            schemas = prior_schemas + [
+                {"schema-id": schema_id, "type": "struct", "fields": fields}
+            ]
+        snapshot = {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": prior_ice.get("current-snapshot-id"),
+            "timestamp-ms": now_ms,
+            "manifest-list": f"file:{mlist}",
+            "summary": {"operation": "overwrite", "converted-from": "delta"},
+            "schema-id": schema_id,
+            "sequence-number": seq,
+        }
+        ice_meta = dict(prior_ice)
+        ice_meta.update(
+            {
+                "last-updated-ms": now_ms,
+                "last-column-id": max(f["id"] for f in fields),
+                "schemas": schemas,
+                "current-schema-id": schema_id,
+                "current-snapshot-id": snap_id,
+                "snapshots": list(prior_ice.get("snapshots") or [])
+                + [snapshot],
+                "snapshot-log": list(prior_ice.get("snapshot-log") or [])
+                + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+                "last-sequence-number": seq,
+            }
+        )
+        if "schema" in ice_meta:
+            ice_meta["schema"] = {"type": "struct", "fields": fields}
+        iceberg._swap_metadata(path, ice_meta)
+        return snap_id
     snapshot = {
         "snapshot-id": snap_id,
         "timestamp-ms": now_ms,
         "manifest-list": f"file:{mlist}",
         "summary": {"operation": "append", "converted-from": "delta"},
         "schema-id": 0,
-        "sequence-number": 1,
+        "sequence-number": seq,
     }
     ice_meta = {
         "format-version": 2,
         "table-uuid": str(__import__("uuid").uuid4()),
         "location": path,
         "last-updated-ms": now_ms,
-        "last-column-id": len(fields),
+        "last-column-id": max((f["id"] for f in fields), default=0),
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
@@ -198,10 +275,16 @@ def convert_delta_to_iceberg(spark: SparkSession, path: str) -> int:
     return snap_id
 
 
-def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
+def convert_iceberg_to_delta(
+    spark: SparkSession, path: str, refresh: bool = False
+) -> int:
     """Write a Delta log (``_delta_log/``) over an Iceberg table's CURRENT
-    live file set, in place — the reverse direction. Returns the Delta
-    version (0)."""
+    live file set, in place — the reverse direction. ``refresh=True``
+    re-syncs an already converted table after NEW Iceberg snapshots: one
+    Delta commit carrying the file-set diff (removes for files no longer
+    live, adds for new ones) plus a re-emitted metaData when the schema
+    changed — the same diff shape restore_delta commits. Returns the
+    committed Delta version."""
     import time as _time
 
     from pyspark.sql.types import StructType  # noqa: F401  (doc symmetry)
@@ -209,9 +292,11 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
     if not iceberg.is_iceberg_table(path):
         raise ValueError(f"{path}: not an Iceberg table")
     log_dir = os.path.join(path, "_delta_log")
-    if os.path.exists(log_dir):
+    prior_delta = os.path.exists(log_dir)
+    if prior_delta and not refresh:
         raise ValueError(
-            f"{path}: _delta_log/ already exists — refusing to overwrite"
+            f"{path}: _delta_log/ already exists — pass refresh=True to "
+            "re-sync the Delta view after new Iceberg snapshots"
         )
     meta = iceberg._load_metadata(path)
     cur = meta.get("current-snapshot-id")
@@ -250,19 +335,39 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
         part_cols.append(fid_to_name.get(pf.get("source-id"), pf["name"]))
     root_abs = os.path.abspath(path)
     now_ms = int(_time.time() * 1000)
-    actions: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": str(__import__("uuid").uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": declared.json(),
-                "partitionColumns": part_cols,
-                "configuration": {},
-                "createdTime": now_ms,
-            }
-        },
-    ]
+    prior_adds: dict[str, dict] = {}
+    actions: list[dict] = []
+    if prior_delta:
+        prior_adds, prior_meta = lakehouse._replay_log_adds(path)
+        same_meta = (
+            prior_meta.get("schemaString") == declared.json()
+            and (prior_meta.get("partitionColumns") or []) == part_cols
+        )
+        if not same_meta:
+            actions.append(
+                {
+                    "metaData": {
+                        **prior_meta,
+                        "schemaString": declared.json(),
+                        "partitionColumns": part_cols,
+                    }
+                }
+            )
+    else:
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(__import__("uuid").uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": declared.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+    live_rels: set[str] = set()
     for d in sorted(data, key=lambda e: e["path"]):
         abs_p = os.path.abspath(d["path"])
         if not abs_p.startswith(root_abs + os.sep):
@@ -274,6 +379,9 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
         if not os.path.exists(abs_p):
             raise ValueError(f"{path}: live file missing on disk: {abs_p}")
         rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
+        live_rels.add(rel)
+        if rel in prior_adds:
+            continue  # already live in the Delta view — no re-add
         pvals = {
             c: (None if v is None else str(v))
             for c, v in (d.get("partition") or {}).items()
@@ -289,6 +397,16 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
         if stats is not None:
             add["stats"] = stats
         actions.append({"add": add})
+    for rel in sorted(set(prior_adds) - live_rels):
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "dataChange": True,
+                    "deletionTimestamp": now_ms,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {
@@ -298,6 +416,8 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> int:
             }
         }
     )
+    if prior_delta:
+        return lakehouse._commit(path, actions)
     os.makedirs(log_dir)
     with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
         for a in actions:

@@ -122,3 +122,55 @@ def test_refusals(spark, tmp_path):
     lakehouse.enable_delta_column_mapping(spark, cm)
     with pytest.raises(NotImplementedError, match="column-mapped"):
         convert.convert_delta_to_iceberg(spark, cm)
+
+
+def test_refresh_delta_to_iceberg(spark, tmp_path):
+    """refresh=True re-syncs the Iceberg view after new Delta commits:
+    one appended snapshot, stable field ids, prior snapshot still
+    time-travelable."""
+    root = str(tmp_path / "rf")
+    lakehouse.write_delta(spark, spark.range(0, 10).select("id"), root)
+    s1 = convert.convert_delta_to_iceberg(spark, root)
+    lakehouse.write_delta(
+        spark, spark.range(10, 25).select("id"), root, mode="append"
+    )
+    # a mutation that REMOVES files from the live set too
+    lakehouse.delete_delta(spark, root, "id < 3")
+    lakehouse.compact_delta(spark, root)
+    with pytest.raises(ValueError, match="refresh=True"):
+        convert.convert_delta_to_iceberg(spark, root)
+    s2 = convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert s2 != s1
+    d = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    i = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert d == i and len(i) == 22
+    # the pre-refresh conversion snapshot still reads its own era
+    assert iceberg.read_iceberg(spark, root, snapshot_id=s1).count() == 10
+    # field ids stayed stable across the refresh
+    fields = iceberg._current_schema(iceberg._load_metadata(root))["fields"]
+    assert [f["id"] for f in fields] == [1]
+
+
+def test_refresh_iceberg_to_delta(spark, tmp_path):
+    """refresh=True re-syncs the Delta view after new Iceberg snapshots:
+    one diff commit (adds + removes), time travel to the first
+    conversion still works."""
+    root = str(tmp_path / "rfd")
+    iceberg.write_iceberg(
+        spark, spark.range(0, 10).select("id"), root, format_version=2
+    )
+    v0 = convert.convert_iceberg_to_delta(spark, root)
+    iceberg.write_iceberg(
+        spark, spark.range(10, 25).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id < 3")
+    iceberg.compact_iceberg(spark, root)  # clears delete files, rewrites
+    with pytest.raises(ValueError, match="refresh=True"):
+        convert.convert_iceberg_to_delta(spark, root)
+    v1 = convert.convert_iceberg_to_delta(spark, root, refresh=True)
+    assert v1 > v0
+    i = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    d = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert i == d and len(d) == 22
+    # time travel to the first converted version
+    assert lakehouse.read_delta(spark, root, version=v0).count() == 10
