@@ -1974,6 +1974,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     column_mapping: str | None = None,
+    replace_where: str | None = None,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -2013,6 +2014,19 @@ def write_delta(
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta: mode must be append|overwrite, got {mode!r}")
+    if replace_where is not None:
+        # delta-spark's df.write.option("replaceWhere", ...) surface:
+        # a SELECTIVE overwrite delegates to the dedicated backfill path
+        if mode != "overwrite":
+            raise ValueError(
+                "write_delta: replace_where requires mode='overwrite'"
+            )
+        if not is_delta_table(path):
+            raise ValueError(
+                f"{path}: replace_where targets an existing table — "
+                "create it with a plain write first"
+            )
+        return overwrite_delta_where(spark, df, path, replace_where, txn=txn)
     cm_meta: dict | None = None
     if column_mapping is not None:
         # CREATE a column-mapped table (both modes): every field gets a

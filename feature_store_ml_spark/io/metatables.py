@@ -25,6 +25,8 @@ __all__ = [
     "iceberg_files",
     "iceberg_partitions",
     "iceberg_history",
+    "iceberg_refs",
+    "iceberg_manifests",
     "delta_history",
     "delta_detail",
     "delta_files",
@@ -271,5 +273,77 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
     schema = (
         "path string, size_bytes long, num_records long, "
         "has_deletion_vector boolean, partitionValues string, has_stats boolean"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
+    """The ``$refs`` metadata table: one row per named ref (tags pin
+    training sets, branches are movable pointers), plus the implicit
+    current-snapshot row — the view an expiration schedule consults to
+    see what is protected."""
+    from . import iceberg
+
+    meta = iceberg._load_metadata(path)
+    retained = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    rows = [
+        {
+            "name": name,
+            "type": r.get("type"),
+            "snapshot_id": r.get("snapshot-id"),
+            "retained": r.get("snapshot-id") in retained,
+        }
+        for name, r in sorted((meta.get("refs") or {}).items())
+    ]
+    cur = meta.get("current-snapshot-id")
+    if cur not in (None, -1):
+        rows.append(
+            {
+                "name": "(current)",
+                "type": "head",
+                "snapshot_id": cur,
+                "retained": cur in retained,
+            }
+        )
+    schema = "name string, type string, snapshot_id long, retained boolean"
+    return spark.createDataFrame(rows, schema)
+
+
+def iceberg_manifests(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ``$manifests`` metadata table: one row per manifest in a
+    snapshot's manifest list — (path, length, content data|deletes,
+    sequence_number, added_snapshot_id). Manifest counts and sizes drive
+    the rewrite-manifests decision on tables with many small commits."""
+    from . import avro_lite, iceberg
+
+    meta = iceberg._load_metadata(path)
+    sid = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    snap = next(
+        (s for s in meta.get("snapshots", []) if s["snapshot-id"] == sid),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"{path}: snapshot {sid} not in metadata")
+    rows = [
+        {
+            "path": e.get("manifest_path"),
+            "length": e.get("manifest_length"),
+            "content": "deletes" if (e.get("content") or 0) == 1 else "data",
+            "sequence_number": e.get("sequence_number"),
+            "added_snapshot_id": e.get("added_snapshot_id"),
+        }
+        for e in avro_lite.read_container(
+            iceberg._localize(snap["manifest-list"], path)
+        )
+    ]
+    schema = (
+        "path string, length long, content string, sequence_number long, "
+        "added_snapshot_id long"
     )
     return spark.createDataFrame(rows, schema)

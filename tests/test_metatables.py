@@ -180,3 +180,25 @@ def test_delta_history_audit_trail(spark, tmp_path):
     import json as _json
 
     assert _json.loads(h[2].operationParameters)["predicate"] == "id = 0"
+
+
+def test_iceberg_refs_and_manifests_tables(spark, tmp_path):
+    from feature_store_ml_spark.io import iceberg, metatables
+
+    root = str(tmp_path / "rm")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    iceberg.set_iceberg_ref(root, "v1", ref_type="tag")
+    iceberg.write_iceberg(
+        spark, spark.range(5, 9).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id = 1")
+    refs = {r.name: (r.type, r.retained) for r in
+            metatables.iceberg_refs(spark, root).collect()}
+    assert refs["v1"] == ("tag", True)
+    assert refs["(current)"][0] == "head" and refs["(current)"][1]
+    m = metatables.iceberg_manifests(spark, root).collect()
+    contents = sorted(r.content for r in m)
+    assert "deletes" in contents and contents.count("data") >= 2
+    assert all(r.length > 0 for r in m)

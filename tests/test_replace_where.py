@@ -113,3 +113,19 @@ def test_append_only_table_refuses(spark, tmp_path):
         lh.overwrite_delta_where(
             spark, spark.range(0, 1).select("id"), root, "id >= 0"
         )
+
+
+def test_write_delta_replace_where_delegates(spark, tmp_path):
+    """df.write.option('replaceWhere', ...) surface: write_delta with
+    mode='overwrite' + replace_where runs the selective-overwrite path."""
+    root = str(tmp_path / "wd")
+    _mk(spark, root)
+    new = spark.range(0, 2).select("id", F.lit(3).alias("p"), F.lit(1).alias("v"))
+    lh.write_delta(
+        spark, new, root, mode="overwrite", replace_where="p = 3"
+    )
+    got = lh.read_delta(spark, root)
+    assert got.where("p = 3").count() == 2
+    assert got.count() == 77
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        lh.write_delta(spark, new, root, replace_where="p = 3")
