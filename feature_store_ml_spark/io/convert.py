@@ -31,8 +31,87 @@ from pyspark.sql import SparkSession
 from . import avro_lite, iceberg, lakehouse, skipping
 
 
+#: above this live-file count the converters' footer walk (stats, row
+#: counts, sizes) runs as a Spark job instead of a driver loop — the same
+#: crossover discipline as prune_adds_auto's distributed scan planning
+_DISTRIBUTED_STATS_THRESHOLD = 10_000
+
+
+def _gather_file_stats(
+    spark: SparkSession,
+    paths: list[str],
+    fields: list[dict],
+    threshold: int,
+) -> dict:
+    """Per-file footer harvest for conversion: {abs_path: (num_rows,
+    size_bytes, iceberg_stats_maps, delta_stats_json)}. Driver loop below
+    ``threshold`` files; above it, one Arrow-batched Spark job (each file
+    is independent footer IO — embarrassingly parallel), with results
+    pickled per file because the Iceberg bounds are raw bytes."""
+
+    def one(p: str):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        n = _pq.ParquetFile(p).metadata.num_rows
+        return (
+            int(n),
+            _os.path.getsize(p),
+            iceberg._file_stats_maps(p, fields),
+            skipping.collect_file_stats(p),
+        )
+
+    if len(paths) < threshold:
+        return {p: one(p) for p in paths}
+
+    import base64
+    import pickle
+
+    flds = list(fields)
+
+    def batch(it):
+        import pandas as pd
+
+        from feature_store_ml_spark.io import iceberg as _i
+        from feature_store_ml_spark.io import skipping as _sk
+
+        for pdf in it:
+            blobs = []
+            for p in pdf["path"]:
+                import os as _os
+
+                import pyarrow.parquet as _pq
+
+                n = _pq.ParquetFile(p).metadata.num_rows
+                v = (
+                    int(n),
+                    _os.path.getsize(p),
+                    _i._file_stats_maps(p, flds),
+                    _sk.collect_file_stats(p),
+                )
+                blobs.append(
+                    base64.b64encode(pickle.dumps((p, v))).decode()
+                )
+            yield pd.DataFrame({"blob": blobs})
+
+    n_parts = max(32, len(paths) // 2000)
+    rows = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(n_parts)
+        .mapInPandas(batch, "blob string")
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        p, v = pickle.loads(base64.b64decode(r["blob"]))
+        out[p] = v
+    return out
+
+
 def convert_delta_to_iceberg(
-    spark: SparkSession, path: str, refresh: bool = False
+    spark: SparkSession, path: str, refresh: bool = False,
+    stats_threshold: int = _DISTRIBUTED_STATS_THRESHOLD,
 ) -> int:
     """Write Iceberg metadata (``metadata/`` + manifests) over a Delta
     table's CURRENT live file set, in place — after this, the same
@@ -134,10 +213,19 @@ def convert_delta_to_iceberg(
     else:
         snap_id = now_ms
         seq = 1
-    for rel, add in sorted(adds_map.items()):
-        abs_p = os.path.join(path, rel)
-        if not os.path.exists(abs_p):
+    ordered_adds = sorted(adds_map.items())
+    for rel, _add in ordered_adds:
+        if not os.path.exists(os.path.join(path, rel)):
             raise ValueError(f"{path}: live file missing on disk: {rel}")
+    harvest = _gather_file_stats(
+        spark,
+        [os.path.join(path, rel) for rel, _ in ordered_adds],
+        fields,
+        stats_threshold,
+    )
+    for rel, add in ordered_adds:
+        abs_p = os.path.join(path, rel)
+        n_rows_h, size_h, ice_stats, _dstats = harvest[abs_p]
         stats = {}
         try:
             stats = json.loads(add.get("stats") or "{}")
@@ -145,7 +233,7 @@ def convert_delta_to_iceberg(
             pass
         n_rows = stats.get("numRecords")
         if n_rows is None:
-            n_rows = pq.ParquetFile(abs_p).metadata.num_rows
+            n_rows = n_rows_h
         pvals = {
             c: _pval(c, (add.get("partitionValues") or {}).get(c))
             for c in part_cols
@@ -160,10 +248,8 @@ def convert_delta_to_iceberg(
                     "file_format": "PARQUET",
                     "partition": pvals,
                     "record_count": int(n_rows),
-                    "file_size_in_bytes": int(
-                        add.get("size") or os.path.getsize(abs_p)
-                    ),
-                    **iceberg._file_stats_maps(abs_p, fields),
+                    "file_size_in_bytes": int(add.get("size") or size_h),
+                    **ice_stats,
                 },
             }
         )
@@ -276,7 +362,8 @@ def convert_delta_to_iceberg(
 
 
 def convert_iceberg_to_delta(
-    spark: SparkSession, path: str, refresh: bool = False
+    spark: SparkSession, path: str, refresh: bool = False,
+    stats_threshold: int = _DISTRIBUTED_STATS_THRESHOLD,
 ) -> int:
     """Write a Delta log (``_delta_log/``) over an Iceberg table's CURRENT
     live file set, in place — the reverse direction. ``refresh=True``
@@ -368,7 +455,9 @@ def convert_iceberg_to_delta(
             },
         ]
     live_rels: set[str] = set()
-    for d in sorted(data, key=lambda e: e["path"]):
+    ordered = sorted(data, key=lambda e: e["path"])
+    need_stats: list[str] = []
+    for d in ordered:
         abs_p = os.path.abspath(d["path"])
         if not abs_p.startswith(root_abs + os.sep):
             raise NotImplementedError(
@@ -379,9 +468,16 @@ def convert_iceberg_to_delta(
         if not os.path.exists(abs_p):
             raise ValueError(f"{path}: live file missing on disk: {abs_p}")
         rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
+        if rel not in prior_adds:
+            need_stats.append(abs_p)
+    harvest = _gather_file_stats(spark, need_stats, [], stats_threshold)
+    for d in ordered:
+        abs_p = os.path.abspath(d["path"])
+        rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
         live_rels.add(rel)
         if rel in prior_adds:
             continue  # already live in the Delta view — no re-add
+        _n, size_h, _ice, dstats = harvest[abs_p]
         pvals = {
             c: (None if v is None else str(v))
             for c, v in (d.get("partition") or {}).items()
@@ -389,13 +485,12 @@ def convert_iceberg_to_delta(
         add = {
             "path": rel,
             "partitionValues": {c: pvals.get(c) for c in part_cols},
-            "size": os.path.getsize(abs_p),
+            "size": size_h,
             "modificationTime": now_ms,
             "dataChange": True,
         }
-        stats = skipping.collect_file_stats(abs_p)
-        if stats is not None:
-            add["stats"] = stats
+        if dstats is not None:
+            add["stats"] = dstats
         actions.append({"add": add})
     for rel in sorted(set(prior_adds) - live_rels):
         actions.append(

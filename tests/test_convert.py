@@ -174,3 +174,33 @@ def test_refresh_iceberg_to_delta(spark, tmp_path):
     assert i == d and len(d) == 22
     # time travel to the first converted version
     assert lakehouse.read_delta(spark, root, version=v0).count() == 10
+
+
+def test_distributed_stats_path_identical(spark, tmp_path):
+    """Above the file-count threshold the footer walk runs as a Spark job;
+    forcing it (threshold=1) must produce byte-identical metadata
+    decisions: same skipping behavior, same rows."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    df = spark.range(0, 40).select("id", (F.col("id") % 4).alias("p"))
+    for root in (a, b):
+        lakehouse.write_delta(spark, df, root, partition_by=["p"])
+    convert.convert_delta_to_iceberg(spark, a)  # driver loop
+    convert.convert_delta_to_iceberg(spark, b, stats_threshold=1)  # Spark job
+    ra = iceberg.iceberg_scan_report(a, "p = 2")
+    rb = iceberg.iceberg_scan_report(b, "p = 2")
+    assert ra == rb and rb["kept_files"] < rb["total_files"]
+    assert _rows(iceberg.read_iceberg(spark, a)) == _rows(
+        iceberg.read_iceberg(spark, b)
+    )
+    # reverse direction too
+    c = str(tmp_path / "c")
+    iceberg.write_iceberg(
+        spark, df, c, format_version=2, partition_by=["p"]
+    )
+    convert.convert_iceberg_to_delta(spark, c, stats_threshold=1)
+    rep = lakehouse.skipping_report(c, "p = 1")
+    assert rep["kept_files"] < rep["total_files"]
+    assert _rows(lakehouse.read_delta(spark, c)) == _rows(
+        iceberg.read_iceberg(spark, c)
+    )
