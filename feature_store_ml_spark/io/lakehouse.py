@@ -465,6 +465,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # delta.generationExpression (_enforce_generated) per the spec's
     # compute-or-validate writer obligation
     "generatedColumns",
+    # identityColumns: appends GENERATE values (delta.identity.* field
+    # metadata; high water mark advanced in the same commit from the
+    # staged files' footer stats) — see write_delta(identity_columns=)
+    "identityColumns",
 }
 _MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
 
@@ -1975,6 +1979,7 @@ def write_delta(
     merge_schema: bool = False,
     column_mapping: str | None = None,
     replace_where: str | None = None,
+    identity_columns: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -2065,7 +2070,7 @@ def write_delta(
         if committed >= txn_version:
             return committed
     try:
-        if cm_meta is not None:
+        if cm_meta is not None or identity_columns is not None:
             raise _FallbackWriter()  # native option plumbing not wired
         writer = df.write.format("delta").mode(mode)
         if partition_by:
@@ -2093,10 +2098,48 @@ def write_delta(
     prior_files: list[str] = []
     table_meta: dict = {}
     evolved_schema_json: str | None = None
+    # IDENTITY COLUMNS (PROTOCOL.md §Identity Columns): GENERATED ALWAYS
+    # long columns the writer assigns. Values are base + step*m where m
+    # is the batch's monotonically_increasing_id — unique and
+    # step-aligned with gaps (the spec allows gaps; contiguity would
+    # need a global row_number shuffle). The high water mark advances in
+    # the SAME commit, derived from the staged files' footer stats —
+    # zero extra jobs and immune to nondeterministic sources (the stats
+    # describe what was actually written).
+    id_specs: dict[str, tuple[int, int, int | None]] = {}
+    if identity_columns:
+        if existing:
+            raise ValueError(
+                f"{path}: identity columns are declared at CREATE — the "
+                "table already exists"
+            )
+        if column_mapping is not None:
+            raise NotImplementedError(
+                "write_delta: identity + column mapping is not implemented"
+            )
+        for c, (st, sp) in identity_columns.items():
+            if int(sp) == 0:
+                raise ValueError("write_delta: identity step must be non-zero")
+            id_specs[c] = (int(st), int(sp), None)
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
         _check_write_allowed(path, meta, mode)
+        if meta.get("schemaString"):
+            for _fld in json.loads(meta["schemaString"]).get("fields", []):
+                _md = _fld.get("metadata") or {}
+                if "delta.identity.start" in _md:
+                    id_specs[_fld["name"]] = (
+                        int(_md["delta.identity.start"]),
+                        int(_md.get("delta.identity.step", 1)),
+                        (
+                            int(_md["delta.identity.highWaterMark"])
+                            if "delta.identity.highWaterMark" in _md
+                            else None
+                        ),
+                    )
+        if id_specs:
+            df = _assign_identity(df, id_specs, path)
         _enforce_constraints(df, meta, path)
         _enforce_generated(df, meta, path)
         declared_parts = meta.get("partitionColumns") or []
@@ -2154,6 +2197,8 @@ def write_delta(
                 evolved_schema_json = evolved.json()
         if mode == "overwrite":
             prior_files = [os.path.relpath(f, path) for f in prior_live]
+    elif id_specs:
+        df = _assign_identity(df, id_specs, path)  # table creation
 
     # 1. distributed data write into a staging dir (Hive layout when
     #    partitioned — executors write straight into col=value/ dirs)
