@@ -11,14 +11,26 @@ source format's log remains authoritative, and writes made through it
 afterwards are NOT reflected in the converted metadata (re-run to
 refresh, exactly like UniForm's per-commit metadata generation).
 
+Row-level deletes CONVERT (round 7): live Delta deletion vectors become
+Iceberg position-delete files and live Iceberg position deletes become
+Delta DVs — both are (file, row-ordinal) masks, so the translation is
+metadata-sized and exact (bitmaps/pairs move, data bytes never do).
+Position work stays executor-side in both directions, mirroring
+delete_delta / delete_iceberg's write discipline.
+
 Fail-loud boundaries (state the other format cannot express faithfully):
-- live row-level deletes (Delta deletion vectors / Iceberg delete files)
-  — compact first, then convert;
+- Iceberg EQUALITY delete files (Delta has no key-scoped lazy mask —
+  compact first, then convert);
 - Delta column mapping (parquet carries physical names Iceberg field-id
   resolution knows nothing about without per-file id stamps);
-- non-identity Iceberg partition transforms (Delta has no transform
-  vocabulary);
 - identity partition sources outside the writer's int/long/string set.
+
+Non-identity Iceberg partition transforms (bucket/truncate/year/...)
+convert by DROPPING the derived partition field: the source column is
+physically present in every data file (only identity sources may be
+omitted, per spec §Column Projection), so the Delta side reads it
+normally and per-file stats keep data skipping alive; the table converts
+as unpartitioned on that dimension.
 """
 
 from __future__ import annotations
@@ -44,22 +56,31 @@ def _gather_file_stats(
     threshold: int,
 ) -> dict:
     """Per-file footer harvest for conversion: {abs_path: (num_rows,
-    size_bytes, iceberg_stats_maps, delta_stats_json)}. Driver loop below
-    ``threshold`` files; above it, one Arrow-batched Spark job (each file
-    is independent footer IO — embarrassingly parallel), with results
-    pickled per file because the Iceberg bounds are raw bytes."""
+    size_bytes, iceberg_stats_maps, delta_stats_json, footer_probe)} with
+    ``footer_probe = (column_names, field_ids)`` — the resolution evidence
+    the column-mapping path needs. Driver loop below ``threshold`` files;
+    above it, one Arrow-batched Spark job (each file is independent footer
+    IO — embarrassingly parallel), with results pickled per file because
+    the Iceberg bounds are raw bytes."""
 
     def one(p: str):
         import os as _os
 
         import pyarrow.parquet as _pq
 
-        n = _pq.ParquetFile(p).metadata.num_rows
+        pf = _pq.ParquetFile(p)
+        sch = pf.schema_arrow
+        fids = sorted(
+            int((fld.metadata or {}).get(b"PARQUET:field_id"))
+            for fld in sch
+            if (fld.metadata or {}).get(b"PARQUET:field_id") is not None
+        )
         return (
-            int(n),
+            int(pf.metadata.num_rows),
             _os.path.getsize(p),
             iceberg._file_stats_maps(p, fields),
             skipping.collect_file_stats(p),
+            (tuple(sch.names), tuple(fids)),
         )
 
     if len(paths) < threshold:
@@ -83,12 +104,20 @@ def _gather_file_stats(
 
                 import pyarrow.parquet as _pq
 
-                n = _pq.ParquetFile(p).metadata.num_rows
+                pf = _pq.ParquetFile(p)
+                sch = pf.schema_arrow
+                fids = sorted(
+                    int((fld.metadata or {}).get(b"PARQUET:field_id"))
+                    for fld in sch
+                    if (fld.metadata or {}).get(b"PARQUET:field_id")
+                    is not None
+                )
                 v = (
-                    int(n),
+                    int(pf.metadata.num_rows),
                     _os.path.getsize(p),
                     _i._file_stats_maps(p, flds),
                     _sk.collect_file_stats(p),
+                    (tuple(sch.names), tuple(fids)),
                 )
                 blobs.append(
                     base64.b64encode(pickle.dumps((p, v))).decode()
@@ -107,6 +136,142 @@ def _gather_file_stats(
         p, v = pickle.loads(base64.b64decode(r["blob"]))
         out[p] = v
     return out
+
+
+def _write_pos_deletes(
+    spark: SparkSession, table_root: str, meta_dir: str, dv_descs: dict
+) -> list:
+    """Translate live Delta deletion vectors into Iceberg POSITION DELETE
+    parquet (spec §Position Delete Files): ship the COMPRESSED bitmaps to
+    the executors (one row per DV'd file), explode to (file_path, pos)
+    there, and write globally sorted — the driver never materializes a
+    position list, mirroring delete_iceberg's write discipline. Files
+    land under ``metadata/`` (never the data space the two format views
+    share; vacuum_delta skips a converted table's metadata dir) as
+    ``pos-delete-*.parquet``. Returns [(abs_path, n_rows)]."""
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    blobs = [
+        (
+            "file:" + os.path.abspath(os.path.join(table_root, rel)),
+            lakehouse._dv_bytes(table_root, desc),
+        )
+        for rel, desc in sorted(dv_descs.items())
+    ]
+    bdf = spark.createDataFrame(blobs, "file_path string, dv binary")
+
+    def _expand(batches):
+        import pandas as pd
+
+        from feature_store_ml_spark.io import roaring as _roaring
+
+        for pdf in batches:
+            for uri, blob in zip(pdf["file_path"], pdf["dv"]):
+                pos = _roaring.deserialize_positions(bytes(blob))
+                yield pd.DataFrame(
+                    {"file_path": uri, "pos": pd.array(pos, dtype="int64")}
+                )
+
+    pairs = bdf.repartition(max(1, min(len(blobs), 32)), "file_path").mapInPandas(
+        _expand, "file_path string, pos long"
+    )
+    staging = os.path.join(meta_dir, f"_staging_{_uuid.uuid4().hex[:12]}")
+    (
+        pairs.repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staging)
+    )
+    del_files: list = []
+    run = _uuid.uuid4().hex
+    for i, part in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        src = os.path.join(staging, part)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        dst = os.path.join(meta_dir, f"pos-delete-{run}-{i}.parquet")
+        os.rename(src, dst)
+        del_files.append((dst, n_rows))
+    shutil.rmtree(staging)
+    return del_files
+
+
+def _pos_deletes_to_bitmaps(
+    spark: SparkSession,
+    table_root: str,
+    data: list,
+    deletes: list,
+    root_abs: str,
+) -> dict:
+    """Fold live Iceberg position-delete files into one roaring bitmap per
+    data file, SEQUENCE-SCOPED per spec (a position delete applies only
+    to data files with sequence <= its own): Spark reads the delete
+    parquets, writer URIs re-root driver-side over the DISTINCT paths
+    only, the (file -> data seq) map joins broadcast, and each file's
+    bitmap serializes executor-side via groupBy+applyInPandas — the
+    driver collects O(#DV'd files) compressed blobs, never positions
+    (delete_delta's write discipline). Returns {rel: (bytes, card)}."""
+    from pyspark.sql import functions as F
+
+    del_rows = [
+        ("file:" + os.path.abspath(d["path"]), int(d["seq"] or 0))
+        for d in deletes
+    ]
+    raw = spark.read.parquet(*[d["path"] for d in deletes]).select(
+        "file_path", "pos", F.col("_metadata.file_path").alias("_src")
+    )
+    src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
+    distinct = [
+        r["file_path"] for r in raw.select("file_path").distinct().collect()
+    ]
+    mapping = []
+    for u in distinct:
+        ab = os.path.abspath(iceberg._localize(u, table_root))
+        mapping.append((u, os.path.relpath(ab, root_abs).replace(os.sep, "/")))
+    map_df = spark.createDataFrame(mapping, "_raw string, _rel string")
+    dseq_df = spark.createDataFrame(
+        [
+            (
+                os.path.relpath(os.path.abspath(d["path"]), root_abs).replace(
+                    os.sep, "/"
+                ),
+                int(d["seq"] or 0),
+            )
+            for d in data
+        ],
+        "_rel2 string, _data_seq long",
+    )
+    pairs = (
+        raw.join(F.broadcast(src_df), raw["_src"] == F.col("_src2"))
+        .join(F.broadcast(map_df), raw["file_path"] == F.col("_raw"))
+        .join(F.broadcast(dseq_df), F.col("_rel") == F.col("_rel2"))
+        .where(F.col("_del_seq") >= F.col("_data_seq"))
+        .select(F.col("_rel").alias("rel"), F.col("pos").cast("long").alias("pos"))
+    )
+
+    def _ser(pdf):
+        import pandas as pd
+
+        from feature_store_ml_spark.io import roaring as _roaring
+
+        rel = pdf["rel"].iloc[0]
+        positions = sorted(set(pdf["pos"].astype("int64").tolist()))
+        blob = _roaring.serialize_positions(positions)
+        return pd.DataFrame(
+            {"rel": [rel], "dv": [blob], "card": [len(positions)]}
+        )
+
+    rows = (
+        pairs.groupBy("rel")
+        .applyInPandas(_ser, "rel string, dv binary, card long")
+        .collect()
+    )
+    return {r["rel"]: (bytes(r["dv"]), int(r["card"])) for r in rows}
 
 
 def convert_delta_to_iceberg(
@@ -140,19 +305,44 @@ def convert_delta_to_iceberg(
     adds_map, meta = lakehouse._replay_log_adds(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
-    conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") in ("name", "id"):
-        raise NotImplementedError(
-            f"{path}: column-mapped Delta tables cannot convert — parquet "
-            "carries physical names the Iceberg schema would not resolve"
-        )
-    dv_files = [r for r, a in adds_map.items() if a.get("deletionVector")]
-    if dv_files:
-        raise ValueError(
-            f"{path}: {len(dv_files)} file(s) carry live deletion vectors "
-            "— run compact_delta first so the converted snapshot cannot "
-            "resurrect deleted rows"
-        )
+    conf = meta.get("configuration") or {}  # noqa: F841 (mapping below)
+    mapping_mode = lakehouse._mapping_mode(meta)
+    cm_ids: dict[str, int] = {}
+    phys: dict[str, str] = {}
+    if mapping_mode:
+        # COLUMN-MAPPED tables convert (round 7): Delta's columnMapping
+        # ids ARE the Iceberg field ids (both are rename-stable column
+        # identity), logical names go in the Iceberg schema, and each
+        # live file must be resolvable — by footer field ids (ID-mode
+        # writes stamp them) or by logical-name fallback (pre-mapping
+        # files whose physical names still equal the logical ones).
+        # Checked per file from the harvest's footer probe below.
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                f"{path}: partitioned column-mapped Delta tables do not "
+                "convert — partitionValues carry physical names the "
+                "Iceberg partition spec would not resolve"
+            )
+        for f0 in json.loads(meta["schemaString"])["fields"]:
+            md = f0.get("metadata") or {}
+            if md.get("delta.columnMapping.id") is None:
+                raise NotImplementedError(
+                    f"{path}: mapped field {f0['name']!r} lacks "
+                    "delta.columnMapping.id — no stable Iceberg field id "
+                    "can be derived"
+                )
+            cm_ids[f0["name"]] = int(md["delta.columnMapping.id"])
+            phys[f0["name"]] = md.get(
+                "delta.columnMapping.physicalName", f0["name"]
+            )
+    # live deletion vectors CONVERT: each DV becomes position-delete rows
+    # in the new snapshot's delete manifest (below) — deleted rows stay
+    # masked on the Iceberg side without rewriting a byte of data
+    dv_descs = {
+        rel: a["deletionVector"]
+        for rel, a in adds_map.items()
+        if a.get("deletionVector")
+    }
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
     prior_fid: dict[str, int] = {}
     if prior_ice is not None:
@@ -171,7 +361,9 @@ def convert_delta_to_iceberg(
                 f"{f.dataType.simpleString()!r} with no iceberg primitive "
                 "mapping in this writer"
             )
-        if f.name in prior_fid:
+        if mapping_mode:
+            fid_val = cm_ids[f.name]  # the mapping ids ARE the identity
+        elif f.name in prior_fid:
             fid_val = prior_fid[f.name]  # column identity survives refresh
         else:
             next_id += 1
@@ -217,15 +409,33 @@ def convert_delta_to_iceberg(
     for rel, _add in ordered_adds:
         if not os.path.exists(os.path.join(path, rel)):
             raise ValueError(f"{path}: live file missing on disk: {rel}")
+    # stats fold by FOOTER column name — physical names on mapped tables
+    stats_fields = (
+        [{**f, "name": phys[f["name"]]} for f in fields]
+        if mapping_mode
+        else fields
+    )
     harvest = _gather_file_stats(
         spark,
         [os.path.join(path, rel) for rel, _ in ordered_adds],
-        fields,
+        stats_fields,
         stats_threshold,
     )
+    if mapping_mode:
+        want_ids = set(cm_ids.values())
+        logical = {f["name"] for f in fields}
+        for rel, _add in ordered_adds:
+            names, fids = harvest[os.path.join(path, rel)][4]
+            if want_ids <= set(fids) or logical <= set(names):
+                continue  # fid resolution, or logical-name fallback
+            raise NotImplementedError(
+                f"{path}: file {rel} carries neither the mapped field ids "
+                "nor the logical column names — the Iceberg side could "
+                "not resolve its columns; rewrite it (compact) first"
+            )
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
-        n_rows_h, size_h, ice_stats, _dstats = harvest[abs_p]
+        n_rows_h, size_h, ice_stats, _dstats, _probe = harvest[abs_p]
         stats = {}
         try:
             stats = json.loads(add.get("stats") or "{}")
@@ -265,17 +475,30 @@ def convert_delta_to_iceberg(
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
     mf_schema = iceberg._manifest_file_schema(2)
     keep = {f["name"] for f in mf_schema["fields"]}
-    entry = {
-        "manifest_path": f"file:{manifest}",
-        "manifest_length": os.path.getsize(manifest),
-        "partition_spec_id": 0,
-        "added_snapshot_id": snap_id,
-        "content": 0,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-    }
+    ml_entries = [
+        {
+            "manifest_path": f"file:{manifest}",
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+        }
+    ]
+    if dv_descs:
+        # pos deletes at the SAME sequence as the data manifest: the spec
+        # scopes position deletes to data files with seq <= theirs, so a
+        # one-snapshot (data + delete) conversion masks correctly
+        del_files = _write_pos_deletes(spark, path, meta_dir, dv_descs)
+        if del_files:
+            ml_entries.append(
+                iceberg._delete_manifest_entry(
+                    meta_dir, snap_id, seq, del_files, None
+                )
+            )
     avro_lite.write_container(
-        mlist, mf_schema, [{k: entry.get(k, 0) for k in keep}]
+        mlist, mf_schema, [{k: e.get(k, 0) for k in keep} for e in ml_entries]
     )
     if prior_ice is not None:
         # REFRESH: next metadata version appends one 'replace'-style
@@ -390,11 +613,12 @@ def convert_iceberg_to_delta(
     if cur in (None, -1):
         raise ValueError(f"{path}: table has no current snapshot")
     data, deletes = iceberg._snapshot_scan_plan(meta, cur, path)
-    if deletes:
+    eq = [d for d in deletes if d["kind"] == "eq"]
+    if eq:
         raise ValueError(
-            f"{path}: {len(deletes)} live delete file(s) — run "
-            "compact_iceberg first so the converted snapshot cannot "
-            "resurrect deleted rows"
+            f"{path}: {len(eq)} live EQUALITY delete file(s) — Delta has "
+            "no key-scoped lazy mask to express them; run compact_iceberg "
+            "first, then convert"
         )
     declared = iceberg._declared_spark_schema(meta)
     if declared is None:
@@ -415,17 +639,44 @@ def convert_iceberg_to_delta(
     for pf in spec.get("fields") or []:
         t, _p = iceberg._parse_transform_spec_name(pf.get("transform", "identity"))
         if t != "identity":
-            raise NotImplementedError(
-                f"{path}: partition transform {pf.get('transform')!r} has "
-                "no Delta equivalent — only identity partitions convert"
-            )
+            # Delta has no transform vocabulary, but none is needed: the
+            # SOURCE column is physically present in every data file (only
+            # identity sources may be omitted, spec §Column Projection),
+            # so the derived field simply drops — the Delta view reads the
+            # source column normally and per-file stats keep skipping on
+            continue
         part_cols.append(fid_to_name.get(pf.get("source-id"), pf["name"]))
     root_abs = os.path.abspath(path)
     now_ms = int(_time.time() * 1000)
+    # live position deletes fold into one roaring bitmap per data file
+    # (executor-side, sequence-scoped) and become Delta DELETION VECTORS
+    # on the re-added entries — no data rewrite, deleted rows stay masked
+    dv_blobs: dict[str, tuple[bytes, int]] = {}
+    if deletes:
+        dv_blobs = _pos_deletes_to_bitmaps(spark, path, data, deletes, root_abs)
     prior_adds: dict[str, dict] = {}
     actions: list[dict] = []
     if prior_delta:
         prior_adds, prior_meta = lakehouse._replay_log_adds(path)
+        if dv_blobs:
+            proto = lakehouse._current_protocol(path)
+            if "deletionVectors" not in set(proto.get("readerFeatures") or []):
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(
+                                set(proto.get("readerFeatures") or [])
+                                | {"deletionVectors"}
+                            ),
+                            "writerFeatures": sorted(
+                                set(proto.get("writerFeatures") or [])
+                                | {"deletionVectors"}
+                            ),
+                        }
+                    }
+                )
         same_meta = (
             prior_meta.get("schemaString") == declared.json()
             and (prior_meta.get("partitionColumns") or []) == part_cols
@@ -442,7 +693,18 @@ def convert_iceberg_to_delta(
             )
     else:
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            (
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+                if dv_blobs
+                else {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ),
             {
                 "metaData": {
                     "id": str(__import__("uuid").uuid4()),
@@ -456,6 +718,8 @@ def convert_iceberg_to_delta(
         ]
     live_rels: set[str] = set()
     ordered = sorted(data, key=lambda e: e["path"])
+    rel_of: list[tuple[str, str, dict]] = []
+    need_add: dict[str, bool] = {}
     need_stats: list[str] = []
     for d in ordered:
         abs_p = os.path.abspath(d["path"])
@@ -468,29 +732,83 @@ def convert_iceberg_to_delta(
         if not os.path.exists(abs_p):
             raise ValueError(f"{path}: live file missing on disk: {abs_p}")
         rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
+        rel_of.append((rel, abs_p, d))
         if rel not in prior_adds:
+            need_add[rel] = True
             need_stats.append(abs_p)
+        else:
+            # already live in the Delta view — re-add only when the
+            # delete mask changed (bitmap bytes are deterministic for a
+            # position set, so byte equality is exact)
+            old_desc = prior_adds[rel].get("deletionVector")
+            new_blob = dv_blobs.get(rel)
+            need_add[rel] = not (
+                (old_desc is None and new_blob is None)
+                or (
+                    old_desc is not None
+                    and new_blob is not None
+                    and lakehouse._dv_bytes(path, old_desc) == new_blob[0]
+                )
+            )
+    descs = (
+        lakehouse._dv_descriptors(
+            path,
+            [
+                (rel, blob, card)
+                for rel, (blob, card) in dv_blobs.items()
+                if need_add.get(rel)
+            ],
+        )
+        if dv_blobs
+        else {}
+    )
     harvest = _gather_file_stats(spark, need_stats, [], stats_threshold)
-    for d in ordered:
-        abs_p = os.path.abspath(d["path"])
-        rel = os.path.relpath(abs_p, root_abs).replace(os.sep, "/")
+    for rel, abs_p, d in rel_of:
         live_rels.add(rel)
-        if rel in prior_adds:
-            continue  # already live in the Delta view — no re-add
-        _n, size_h, _ice, dstats = harvest[abs_p]
-        pvals = {
-            c: (None if v is None else str(v))
-            for c, v in (d.get("partition") or {}).items()
-        }
-        add = {
-            "path": rel,
-            "partitionValues": {c: pvals.get(c) for c in part_cols},
-            "size": size_h,
-            "modificationTime": now_ms,
-            "dataChange": True,
-        }
-        if dstats is not None:
-            add["stats"] = dstats
+        if not need_add[rel]:
+            continue
+        prior = prior_adds.get(rel)
+        if prior is not None:
+            # same bytes, new mask: remove + re-add carrying the prior
+            # entry's size/stats (bounds stay conservative over the mask)
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "dataChange": True,
+                        "deletionTimestamp": now_ms,
+                    }
+                }
+            )
+            add = {
+                "path": rel,
+                "partitionValues": {
+                    c: (prior.get("partitionValues") or {}).get(c)
+                    for c in part_cols
+                },
+                "size": prior.get("size") or os.path.getsize(abs_p),
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if prior.get("stats") is not None:
+                add["stats"] = prior["stats"]
+        else:
+            _n, size_h, _ice, dstats, _probe = harvest[abs_p]
+            pvals = {
+                c: (None if v is None else str(v))
+                for c, v in (d.get("partition") or {}).items()
+            }
+            add = {
+                "path": rel,
+                "partitionValues": {c: pvals.get(c) for c in part_cols},
+                "size": size_h,
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+            if dstats is not None:
+                add["stats"] = dstats
+        if rel in descs:
+            add["deletionVector"] = descs[rel]
         actions.append({"add": add})
     for rel in sorted(set(prior_adds) - live_rels):
         actions.append(

@@ -1652,11 +1652,21 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
         for a in adds_map.values()
         if a.get("deletionVector", {}).get("storageType") == "u"
     }
+    # a CONVERTED dual-format table carries an Iceberg metadata/ dir whose
+    # manifests reference position-delete parquet this log knows nothing
+    # about — vacuuming through it would corrupt the Iceberg view
+    ice_dir = os.path.join(path, "metadata")
+    skip_ice = os.path.isdir(ice_dir) and (
+        os.path.exists(os.path.join(ice_dir, "version-hint.text"))
+        or any(n.endswith(".metadata.json") for n in os.listdir(ice_dir))
+    )
     doomed: list[str] = []
     for dirpath, dirnames, filenames in os.walk(path):
         # metadata/staging/checkpoint dirs are not data space (Hive
         # partition dirs are col=value, never underscore-prefixed)
         dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        if dirpath == path and skip_ice:
+            dirnames[:] = [d for d in dirnames if d != "metadata"]
         for name in filenames:
             rel = os.path.relpath(os.path.join(dirpath, name), path)
             if name.endswith(".parquet") and rel not in live_names:
@@ -2804,6 +2814,59 @@ def _merge_rewrite(
     return _commit(path, actions)
 
 
+def _dv_descriptors(
+    path: str,
+    rows: "list[tuple[str, bytes, int]]",
+    inline_threshold: int = 512,
+) -> dict[str, dict]:
+    """(rel path, serialized bitmap bytes, cardinality) rows -> a
+    deletionVector descriptor per file (PROTOCOL.md §Deletion Vector
+    Descriptor Schema): small bitmaps travel Z85-INLINE in the descriptor
+    (storageType 'i'); larger ones append to ONE shared
+    ``deletion_vector_<uuid>.bin`` under the table root (storageType 'u',
+    per-blob offset framing). Shared by ``delete_delta`` and the
+    cross-format converter's pos-delete translation."""
+    import uuid as _uuid
+
+    from . import roaring
+
+    new_descs: dict[str, dict] = {}
+    bin_blobs: list[bytes] = []  # (appended sequentially to one shared file)
+    bin_offsets: dict[str, int] = {}
+    bin_pos = 1  # byte 0 is the format-version marker
+    for rel, data, card in sorted(rows):
+        if len(data) < inline_threshold:
+            padded = data + b"\x00" * (-len(data) % 4)  # Z85 needs 4-blocks
+            new_descs[rel] = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.z85_encode(padded),
+                "sizeInBytes": len(data),
+                "cardinality": card,
+            }
+        else:
+            blob = roaring.frame_dv_blob(data)
+            bin_offsets[rel] = bin_pos
+            bin_blobs.append(blob)
+            new_descs[rel] = {
+                "storageType": "u",
+                "sizeInBytes": len(data),
+                "cardinality": card,
+                "offset": bin_pos,
+                # pathOrInlineDv filled below once the file uuid exists
+            }
+            bin_pos += len(blob)
+    if bin_blobs:
+        dv_uuid = _uuid.uuid4()
+        enc = roaring.z85_encode(dv_uuid.bytes)
+        with open(os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), "wb") as fh:
+            fh.write(b"\x01")
+            for blob in bin_blobs:
+                fh.write(blob)
+        for rel in bin_offsets:
+            new_descs[rel]["pathOrInlineDv"] = enc
+    return new_descs
+
+
 def delete_delta(
     spark: SparkSession,
     path: str,
@@ -2939,43 +3002,16 @@ def delete_delta(
         )
         return _commit(path, actions)
 
-    new_descs: dict[str, dict] = {}
-    bin_blobs: list[bytes] = []  # (appended sequentially to one shared file)
-    bin_offsets: dict[str, int] = {}
-    bin_pos = 1  # byte 0 is the format-version marker
-    for row in sorted(matched, key=lambda r: r["rel"]):
-        rel, data, card = row["rel"], bytes(row["dv"]), int(row["card"])
-        if rel not in adds_map:
-            raise RuntimeError(f"{path}: matched file {rel} not in snapshot")
-        if len(data) < inline_threshold:
-            padded = data + b"\x00" * (-len(data) % 4)  # Z85 needs 4-blocks
-            new_descs[rel] = {
-                "storageType": "i",
-                "pathOrInlineDv": roaring.z85_encode(padded),
-                "sizeInBytes": len(data),
-                "cardinality": card,
-            }
-        else:
-            blob = roaring.frame_dv_blob(data)
-            bin_offsets[rel] = bin_pos
-            bin_blobs.append(blob)
-            new_descs[rel] = {
-                "storageType": "u",
-                "sizeInBytes": len(data),
-                "cardinality": card,
-                "offset": bin_pos,
-                # pathOrInlineDv filled below once the file uuid exists
-            }
-            bin_pos += len(blob)
-    if bin_blobs:
-        dv_uuid = _uuid.uuid4()
-        enc = roaring.z85_encode(dv_uuid.bytes)
-        with open(os.path.join(path, f"deletion_vector_{dv_uuid}.bin"), "wb") as fh:
-            fh.write(b"\x01")
-            for blob in bin_blobs:
-                fh.write(blob)
-        for rel in bin_offsets:
-            new_descs[rel]["pathOrInlineDv"] = enc
+    for row in matched:
+        if row["rel"] not in adds_map:
+            raise RuntimeError(
+                f"{path}: matched file {row['rel']} not in snapshot"
+            )
+    new_descs = _dv_descriptors(
+        path,
+        [(r["rel"], bytes(r["dv"]), int(r["card"])) for r in matched],
+        inline_threshold,
+    )
 
     # protocol upgrade to table features, CARRYING the table's existing
     # features forward (dropping e.g. checkConstraints from the lists
@@ -3513,7 +3549,11 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
                 f"{key[len('delta.constraints.'):]!r} ({expr}) — drop the "
                 "constraint first, rename, then re-add it on the new name"
             )
-    mapped = conf.get("delta.columnMapping.mode") == "name"
+    # an ALREADY-mapped table (either mode) keeps its mapping verbatim —
+    # overwriting physicalName/id here would orphan the real physical
+    # columns the files carry and silently null every read (round-7 fix;
+    # ID-mode renames resolve by field id, nothing else changes)
+    mapped = conf.get("delta.columnMapping.mode") in ("name", "id")
     max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
     for i, f in enumerate(schema["fields"], start=1):
         md = dict(f.get("metadata") or {})
@@ -3525,8 +3565,9 @@ def rename_delta_column(spark: SparkSession, path: str, old: str, new: str) -> i
         if f["name"] == old:
             f["name"] = new
         f["metadata"] = md
-    conf["delta.columnMapping.mode"] = "name"
-    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    if not mapped:
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
     # renaming a PARTITION column only changes its LOGICAL name: the
     # metaData's partitionColumns list follows, while the physicalName
     # pins the existing `old=value/` directory layout and partitionValues

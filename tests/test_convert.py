@@ -79,32 +79,41 @@ def test_iceberg_to_delta_roundtrip(spark, tmp_path):
 
 
 def test_refusals(spark, tmp_path):
-    # DV'd Delta table refuses until compacted
+    # DV'd Delta table CONVERTS (round 7): DVs become position deletes
     dv = str(tmp_path / "dv")
     lakehouse.write_delta(spark, spark.range(0, 50).select("id"), dv)
     lakehouse.delete_delta(spark, dv, "id < 5")
-    with pytest.raises(ValueError, match="deletion vectors"):
-        convert.convert_delta_to_iceberg(spark, dv)
-    lakehouse.compact_delta(spark, dv)
     convert.convert_delta_to_iceberg(spark, dv)
     assert iceberg.read_iceberg(spark, dv).count() == 45
     # double conversion refuses
     with pytest.raises(ValueError, match="already exists"):
         convert.convert_delta_to_iceberg(spark, dv)
 
-    # Iceberg with live position deletes refuses until compacted
+    # Iceberg position deletes CONVERT (become Delta deletion vectors)
     pd = str(tmp_path / "pd")
     iceberg.write_iceberg(
         spark, spark.range(0, 50).select("id"), pd, format_version=2
     )
     iceberg.delete_iceberg(spark, pd, "id < 5")
-    with pytest.raises(ValueError, match="delete file"):
-        convert.convert_iceberg_to_delta(spark, pd)
-    iceberg.compact_iceberg(spark, pd)
     convert.convert_iceberg_to_delta(spark, pd)
     assert lakehouse.read_delta(spark, pd).count() == 45
 
-    # bucket-transform partitions have no Delta equivalent
+    # EQUALITY deletes have no Delta equivalent — refuse until compacted
+    eqt = str(tmp_path / "eq")
+    iceberg.write_iceberg(
+        spark, spark.range(0, 50).select("id"), eqt, format_version=2
+    )
+    iceberg.delete_iceberg_equality(
+        spark, eqt, spark.range(0, 5).select("id")
+    )
+    with pytest.raises(ValueError, match="EQUALITY"):
+        convert.convert_iceberg_to_delta(spark, eqt)
+    iceberg.compact_iceberg(spark, eqt)
+    convert.convert_iceberg_to_delta(spark, eqt)
+    assert lakehouse.read_delta(spark, eqt).count() == 45
+
+    # bucket-transform partitions convert by DROPPING the derived field
+    # (the source column is physically present in the data files)
     bt = str(tmp_path / "bt")
     iceberg.write_iceberg(
         spark,
@@ -113,15 +122,25 @@ def test_refusals(spark, tmp_path):
         format_version=2,
         partition_by=["bucket(4, id)"],
     )
-    with pytest.raises(NotImplementedError, match="transform"):
-        convert.convert_iceberg_to_delta(spark, bt)
+    convert.convert_iceberg_to_delta(spark, bt)
+    _adds, meta = lakehouse._replay_log_adds(bt)
+    assert (meta.get("partitionColumns") or []) == []
+    assert lakehouse.read_delta(spark, bt).count() == 20
 
-    # column-mapped Delta refuses
-    cm = str(tmp_path / "cm")
-    lakehouse.write_delta(spark, spark.range(0, 5).select("id"), cm)
-    lakehouse.enable_delta_column_mapping(spark, cm)
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        convert.convert_delta_to_iceberg(spark, cm)
+    # partitioned + column-mapped Delta still refuses (physical-named
+    # partitionValues have no Iceberg spec expression)
+    cmp_ = str(tmp_path / "cmp")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 10).select(
+            "id", (F.col("id") % 2).cast("int").alias("p")
+        ),
+        cmp_,
+        partition_by=["p"],
+    )
+    lakehouse.enable_delta_column_mapping(spark, cmp_)
+    with pytest.raises(NotImplementedError, match="partitioned column-mapped"):
+        convert.convert_delta_to_iceberg(spark, cmp_)
 
 
 def test_refresh_delta_to_iceberg(spark, tmp_path):
@@ -204,3 +223,166 @@ def test_distributed_stats_path_identical(spark, tmp_path):
     assert _rows(lakehouse.read_delta(spark, c)) == _rows(
         iceberg.read_iceberg(spark, c)
     )
+
+
+# ------------------------------------------- row-level delete carry ----
+
+
+def test_delta_dv_to_iceberg_pos_deletes(spark, tmp_path):
+    """Live deletion vectors convert to position-delete files: both views
+    mask the same rows, no data bytes rewritten, and a Delta-side vacuum
+    leaves the Iceberg metadata space alone."""
+    root = str(tmp_path / "dvc")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") % 7).alias("v")
+    )
+    lakehouse.write_delta(spark, df, root, partition_by=["p"])
+    lakehouse.delete_delta(spark, root, "v = 2")
+    lakehouse.delete_delta(spark, root, "id < 10")  # composed DVs
+    before = {
+        rel: a["size"] for rel, a in lakehouse._replay_log_adds(root)[0].items()
+    }
+    convert.convert_delta_to_iceberg(spark, root)
+    after = {
+        rel: a["size"] for rel, a in lakehouse._replay_log_adds(root)[0].items()
+    }
+    assert before == after  # zero data movement
+    d = lakehouse.read_delta(spark, root).select("id", "p", "v")
+    i = iceberg.read_iceberg(spark, root).select("id", "p", "v")
+    assert _rows(d) == _rows(i)
+    assert i.count() == sum(
+        1 for x in range(300) if x % 7 != 2 and x >= 10
+    )
+    # the snapshot carries a DELETE manifest
+    meta = iceberg._load_metadata(root)
+    _data, deletes = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], root
+    )
+    assert deletes and all(e["kind"] == "pos" for e in deletes)
+    # Delta-side vacuum must not sweep the Iceberg metadata space
+    doomed = lakehouse.vacuum_delta(root, dry_run=True)
+    assert not any("metadata/" in p for p in doomed)
+    # refresh after MORE deletes stays consistent
+    lakehouse.delete_delta(spark, root, "v = 5")
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert _rows(lakehouse.read_delta(spark, root).select("id")) == _rows(
+        iceberg.read_iceberg(spark, root).select("id")
+    )
+
+
+def test_iceberg_pos_deletes_to_delta_dv(spark, tmp_path):
+    """Live position deletes convert to Delta deletion vectors,
+    SEQUENCE-SCOPED: rows re-ingested after the delete stay alive, and a
+    refresh re-adds only files whose mask actually changed."""
+    root = str(tmp_path / "pdc")
+    df = spark.range(0, 300).select("id", (F.col("id") % 7).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.delete_iceberg(spark, root, "v = 3")
+    iceberg.delete_iceberg(spark, root, "id < 10")
+    convert.convert_iceberg_to_delta(spark, root)
+    i = iceberg.read_iceberg(spark, root).select("id", "v")
+    d = lakehouse.read_delta(spark, root).select("id", "v")
+    assert _rows(i) == _rows(d)
+    adds, _meta = lakehouse._replay_log_adds(root)
+    assert any(a.get("deletionVector") for a in adds.values())
+    # protocol advertises the feature
+    proto = lakehouse._current_protocol(root)
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    # refresh: a delete touching only the TAIL file(s), plus an append —
+    # files whose mask did not change must not be re-added
+    iceberg.delete_iceberg(spark, root, "id >= 295 AND id < 300")
+    iceberg.write_iceberg_batch(
+        spark,
+        spark.range(300, 350).select("id", (F.col("id") % 7).alias("v")),
+        root,
+        "appmore",
+        1,
+    )
+    v_delta = convert.convert_iceberg_to_delta(spark, root, refresh=True)
+    i2 = iceberg.read_iceberg(spark, root).select("id", "v")
+    d2 = lakehouse.read_delta(spark, root).select("id", "v")
+    assert _rows(i2) == _rows(d2)
+    assert d2.where("id >= 295 AND id < 300").count() == 0
+    assert d2.where("id >= 300").count() == 50  # post-delete appends live
+    # the refresh commit re-adds only changed-mask + new files: files
+    # whose DV is byte-identical are not touched
+    log = lakehouse._delta_log_dir(root)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(log, f"{v_delta:020d}.json")) as fh:
+        acts = [_json.loads(x) for x in fh if x.strip()]
+    readds = [a for a in acts if "add" in a]
+    total_live = len(lakehouse._replay_log_adds(root)[0])
+    assert 0 < len(readds) < total_live
+
+
+def test_column_mapped_conversion(spark, tmp_path):
+    """Column-mapped Delta converts: columnMapping ids become Iceberg
+    field ids, renames resolve by footer fid, stats stay keyed right so
+    pruning engages on the mapped column."""
+    root = str(tmp_path / "cmc")
+    df = spark.range(0, 200).select("id", (F.col("id") % 10).alias("v"))
+    lakehouse.write_delta(spark, df, root, column_mapping="id")
+    lakehouse.rename_delta_column(spark, root, "v", "val")
+    convert.convert_delta_to_iceberg(spark, root)
+    d = lakehouse.read_delta(spark, root).select("id", "val")
+    i = iceberg.read_iceberg(spark, root).select("id", "val")
+    assert _rows(d) == _rows(i)
+    # field ids in the iceberg schema == the delta columnMapping ids
+    sch = iceberg._current_schema(iceberg._load_metadata(root))
+    ids = {f["name"]: f["id"] for f in sch["fields"]}
+    assert ids == {"id": 1, "val": 2}
+    # stats keyed by fid: bounds-based pruning works on the logical name
+    rep = iceberg.iceberg_scan_report(root, "id < 5")
+    assert rep["kept_files"] < rep["total_files"]
+
+    # name-mode enabled post-hoc, NO rename: logical==physical, converts
+    nm = str(tmp_path / "nm")
+    lakehouse.write_delta(spark, df, nm)
+    lakehouse.enable_delta_column_mapping(spark, nm)
+    convert.convert_delta_to_iceberg(spark, nm)
+    assert _rows(lakehouse.read_delta(spark, nm)) == _rows(
+        iceberg.read_iceberg(spark, nm)
+    )
+
+    # name-mode + rename with pre-mapping (fid-less) files: the Iceberg
+    # side could not resolve them — fail loud, never silent nulls
+    nr = str(tmp_path / "nr")
+    lakehouse.write_delta(spark, df, nr)
+    lakehouse.enable_delta_column_mapping(spark, nr)
+    lakehouse.rename_delta_column(spark, nr, "v", "val")
+    with pytest.raises(NotImplementedError, match="resolve"):
+        convert.convert_delta_to_iceberg(spark, nr)
+
+
+def test_rename_preserves_id_mode_mapping(spark, tmp_path):
+    """Round-7 regression: renaming a column on an ID-mode table must not
+    clobber the mapping (mode flip + physicalName overwrite nulled every
+    read)."""
+    root = str(tmp_path / "ren")
+    df = spark.range(0, 50).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, root, column_mapping="id")
+    lakehouse.rename_delta_column(spark, root, "v", "val")
+    _adds, meta = lakehouse._replay_log_adds(root)
+    conf = meta.get("configuration") or {}
+    assert conf.get("delta.columnMapping.mode") == "id"
+    import json as _json
+
+    fields = _json.loads(meta["schemaString"])["fields"]
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+    assert phys["val"].startswith("col-")  # original physical name kept
+    r = lakehouse.read_delta(spark, root)
+    assert r.where("id is null").count() == 0
+    assert r.where("val = 4").count() == 10
+    # appends after the rename still work and resolve
+    lakehouse.write_delta(
+        spark,
+        spark.range(50, 60).select("id", (F.col("id") % 5).alias("val")),
+        root,
+        mode="append",
+    )
+    assert lakehouse.read_delta(spark, root).count() == 60

@@ -611,9 +611,9 @@ def test_unsupported_writer_features_refused(spark, tmp_path):
     lakehouse.write_delta(spark, spark.range(5).select("id"), root)
     lakehouse._commit(root, [{"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "readerFeatures": [], "writerFeatures": ["identityColumns"],
+        "readerFeatures": [], "writerFeatures": ["rowTracking"],
     }}])
-    with pytest.raises(NotImplementedError, match="identityColumns"):
+    with pytest.raises(NotImplementedError, match="rowTracking"):
         lakehouse.write_delta(
             spark, spark.range(5).select("id"), root, mode="append"
         )
