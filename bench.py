@@ -95,6 +95,8 @@ HEADLINE = [
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
     "e1_convert_cross_format",
+    "e1_convert_with_deletes",
+    "e11_bm25_search",
 ]
 
 

@@ -470,7 +470,8 @@ _SUPPORTED_WRITER_FEATURES = {
     # staged files' footer stats) — see write_delta(identity_columns=)
     "identityColumns",
 }
-_MAX_SUPPORTED_WRITER_VERSION = 5  # v6 adds identity columns; v7 = features
+_MAX_SUPPORTED_WRITER_VERSION = 6  # v6 = identity columns (implemented);
+#                                    v7 = table features (list-checked above)
 
 
 def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
@@ -496,11 +497,28 @@ def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
             "module does not implement — refusing to write"
         )
     if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
-        if operation in ("overwrite", "merge", "delete", "restore", "update"):
+        if operation in (
+            "overwrite", "merge", "delete", "restore", "update", "replaceWhere",
+        ):
             raise ValueError(
                 f"{path}: table is delta.appendOnly=true — {operation} "
                 "would remove rows; only appends are allowed"
             )
+    if operation in ("merge", "update", "replaceWhere"):
+        # these take rows (or SET expressions) from a source batch — on a
+        # table with GENERATED ALWAYS identity columns that would accept
+        # user-supplied identity values; refuse rather than violate the
+        # spec's generation contract (appends generate correctly)
+        for f0 in json.loads(
+            meta.get("schemaString") or '{"fields": []}'
+        ).get("fields", []):
+            if "delta.identity.start" in (f0.get("metadata") or {}):
+                raise NotImplementedError(
+                    f"{path}: {operation} on a table with IDENTITY column "
+                    f"{f0['name']!r} is not implemented — GENERATED ALWAYS "
+                    "values cannot come from a source batch; append via "
+                    "write_delta instead"
+                )
 
 
 def _current_protocol(path: str) -> dict:
@@ -1963,6 +1981,77 @@ def cleanup_delta_log(path: str) -> list[str]:
     return sorted(doomed)
 
 
+def _assign_identity(
+    df: DataFrame, id_specs: "dict[str, tuple[int, int, int | None]]", path: str
+) -> DataFrame:
+    """Generate values for IDENTITY columns (PROTOCOL.md §Identity
+    Columns, GENERATED ALWAYS): value = base + step * m where m is the
+    batch's ``monotonically_increasing_id`` — unique and step-aligned
+    with gaps (the spec allows gaps; contiguity would need a global
+    row_number shuffle), base = start on first write, highWaterMark +
+    step afterwards. A batch that already carries the column is refused
+    (ALWAYS forbids explicit inserts)."""
+    from pyspark.sql import functions as F
+
+    for c, (st, sp, hwm) in id_specs.items():
+        if c in df.columns:
+            raise ValueError(
+                f"{path}: identity column {c!r} is GENERATED ALWAYS — "
+                "the batch must not supply it"
+            )
+        base = st if hwm is None else hwm + sp
+        df = df.withColumn(
+            c,
+            (
+                F.lit(int(base)).cast("long")
+                + F.lit(int(sp)).cast("long")
+                * F.monotonically_increasing_id()
+            ).cast("long"),
+        )
+    return df
+
+
+def _advance_identity_schema(
+    id_specs: "dict[str, tuple[int, int, int | None]]",
+    base_schema: dict,
+    adds: "list[dict]",
+) -> str:
+    """Fold the staged files' footer stats into each identity column's
+    ``delta.identity.highWaterMark`` and return the updated schemaString
+    — the HWM advances in the SAME commit as the data, with zero extra
+    jobs (the stats describe what was actually written; step > 0 reads
+    maxValues, step < 0 minValues)."""
+    for f in base_schema.get("fields", []):
+        c = f["name"]
+        if c not in id_specs:
+            continue
+        st, sp, hwm = id_specs[c]
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.identity.start", int(st))
+        md.setdefault("delta.identity.step", int(sp))
+        md.setdefault("delta.identity.allowExplicitInsert", False)
+        ext = hwm
+        for a in adds:
+            try:
+                stats = json.loads(a["add"].get("stats") or "{}")
+            except (TypeError, ValueError):
+                continue
+            bounds = stats.get("maxValues" if sp > 0 else "minValues") or {}
+            v = bounds.get(c)
+            if v is None:
+                continue
+            v = int(v)
+            ext = (
+                v
+                if ext is None
+                else (max(ext, v) if sp > 0 else min(ext, v))
+            )
+        if ext is not None:
+            md["delta.identity.highWaterMark"] = int(ext)
+        f["metadata"] = md
+    return json.dumps(base_schema)
+
+
 def _hive_partition_values(rel_dir: str) -> dict[str, str | None]:
     """Parse Hive-style directory components (``k=v/k2=v2``) into the
     protocol's partitionValues map. Values are URL-unescaped (Spark escapes
@@ -2250,6 +2339,21 @@ def write_delta(
     now_ms = int(_time.time() * 1000)
     adds = _promote_staged(staging, path, now_ms, data_change=True)
 
+    # identity high-water-mark advance, SAME commit as the data (from the
+    # staged footers' stats — no extra jobs); base schema is the table's
+    # declared one when it exists (metadata survives), else the batch's
+    identity_schema_json: str | None = None
+    if id_specs:
+        identity_schema_json = _advance_identity_schema(
+            id_specs,
+            json.loads(
+                table_meta["schemaString"]
+                if existing and table_meta.get("schemaString")
+                else df.schema.json()
+            ),
+            adds,
+        )
+
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
     #    the LAST metaData action, so this keeps them agreeing with the
@@ -2262,8 +2366,14 @@ def write_delta(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
             )
         else:
+            # identity columns gate at legacy writer v6, per the spec
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 6 if id_specs else 2,
+                    }
+                }
             )
     if not existing or mode == "overwrite":
         actions.append(
@@ -2272,15 +2382,37 @@ def write_delta(
                     "id": table_meta.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": (
-                        cm_meta["schemaString"]
+                        identity_schema_json
+                        if identity_schema_json is not None
+                        else cm_meta["schemaString"]
                         if cm_meta is not None
                         else df.schema.json()
                     ),
                     "partitionColumns": list(partition_by or []),
                     "configuration": (
-                        cm_meta["configuration"] if cm_meta is not None else {}
+                        table_meta.get("configuration") or {}
+                        if identity_schema_json is not None and existing
+                        else cm_meta["configuration"]
+                        if cm_meta is not None
+                        else {}
                     ),
                     "createdTime": now_ms,
+                }
+            }
+        )
+    elif identity_schema_json is not None:
+        # plain append to an identity table: re-emit metaData carrying the
+        # advanced highWaterMark (schema itself is unchanged)
+        actions.append(
+            {
+                "metaData": {
+                    "id": table_meta.get("id") or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": identity_schema_json,
+                    "partitionColumns": table_meta.get("partitionColumns")
+                    or [],
+                    "configuration": table_meta.get("configuration") or {},
+                    "createdTime": table_meta.get("createdTime") or now_ms,
                 }
             }
         )
@@ -3342,7 +3474,7 @@ def overwrite_delta_where(
             return committed
     files_abs, meta = _replay_log(path)
     adds_map, _ = _replay_log_adds(path)
-    _check_write_allowed(path, meta, "overwrite")
+    _check_write_allowed(path, meta, "replaceWhere")
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     declared = StructType.fromJson(json.loads(meta["schemaString"]))

@@ -460,3 +460,79 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("logprob"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: "list[tuple[str, str]]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-k documents per query, the
+    classical lexical-search baseline (Robertson & Walker; the Lucene
+    positive-bounded idf form ``ln(1 + (N - df + 0.5) / (df + 0.5))``).
+
+    ``queries`` is a small ``[(query_id, query_text)]`` list — query
+    terms tokenize through the SAME normalizer as documents and join
+    BROADCAST into the (doc, term) frequency table, so document
+    frequencies and scores are computed only for matching terms, never
+    the whole vocabulary. Scale shape: one token explode + one
+    (doc, term) agg over the corpus, one doc-length agg, then
+    candidate-only joins; top-k is a window over candidates.
+
+    Ranking is over the 6-decimal-ROUNDED score with doc id as the tie
+    break — deterministic across engines (unrounded float ranking would
+    let last-ulp summation noise flip neighbors).
+
+    Returns (query_id, doc_id, rk, score).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        list(queries), "query_id string, query_text string"
+    )
+    qterms = qdf.select(
+        "query_id", F.explode(words(F.col("query_text"))).alias("term")
+    ).distinct()
+    ndocs = df.agg(F.count("*").alias("__n_docs"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
+    cand = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    docfreq = cand.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (
+        F.col("tf") * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(docfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * norm_tf), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "rk", "score")
+    )

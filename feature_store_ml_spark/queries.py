@@ -2390,6 +2390,60 @@ def e11_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf(d)
 
 
+#: fixed retrieval queries for e11_bm25_search — terms drawn from the
+#: synthetic corpus vocabulary; the oracle SQL inlines the same terms
+_BM25_QUERIES = [
+    ("q1", "spark merge batch"),
+    ("q2", "window scan filter"),
+    ("q3", "customer query vector"),
+]
+
+
+@register(
+    "e11_bm25_search",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT AVG(dl) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    qt(query_id, term) AS (VALUES
+      ('q1', 'spark'), ('q1', 'merge'), ('q1', 'batch'),
+      ('q2', 'window'), ('q2', 'scan'), ('q2', 'filter'),
+      ('q3', 'customer'), ('q3', 'query'), ('q3', 'vector')),
+    docfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(
+               LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+             ), 6) AS score
+      FROM tf JOIN qt USING (term) JOIN docfreq USING (term)
+              JOIN dl USING (doc_id), stats, n
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, rk, score FROM (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS INT) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def e11_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/text.py::bm25_topk) — the
+    lexical-search baseline every RAG/decontamination pipeline needs:
+    top-10 documents per query under the Lucene positive-bounded idf.
+    Query terms broadcast into the (doc, term) frequency table so df and
+    scores touch only candidate rows; ranking is over the 6-dp-rounded
+    score (doc id tie-break) so cross-engine float noise cannot flip
+    neighbors. Pure JVM expressions — explode, two aggs, candidate
+    joins, one window."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    return text.bm25_topk(d, _BM25_QUERIES, k=10)
+
+
 @register(
     "e15_feature_transformers",
     """
@@ -3511,6 +3565,89 @@ def e1_convert_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_supp", "supp_bal", "n_cust", "cust_bal",
         )
     )
+
+
+@register(
+    "e1_convert_with_deletes",
+    """
+    SELECT 'delta_to_iceberg' AS src, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM (SELECT o_orderstatus, o_totalprice AS price FROM orders
+          WHERE o_orderstatus <> 'F')
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg_to_delta' AS src, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM (SELECT o_orderstatus, o_totalprice AS price FROM orders
+          WHERE o_totalprice >= 100000.0)
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_convert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format conversion CARRYING ROW-LEVEL DELETES (round 7,
+    io/convert.py): the mask moves, the data never does.
+
+    Delta→Iceberg leg, the full hard path: orders lands as an ID-mode
+    COLUMN-MAPPED Delta table (physical names are opaque, parquet footers
+    carry field ids), o_totalprice is RENAMED to price (zero-rewrite,
+    mapping preserved), status-'F' rows are deleted via DELETION VECTORS,
+    and the conversion translates the mapping ids to Iceberg field ids
+    and the DV bitmaps to position-delete files (one snapshot, data +
+    delete manifests at the same sequence number). The Iceberg read must
+    resolve renamed columns by footer fid AND mask the deleted rows.
+
+    Iceberg→Delta leg: orders lands identity-partitioned on
+    o_orderstatus (format v2), cheap orders are deleted as POSITION
+    DELETE files, and the conversion folds them into Delta deletion
+    vectors (executor-side roaring, sequence-scoped). The Delta read
+    must supply partition values from the log and mask via the DV
+    anti-join. Any defect in bitmap translation, fid mapping, or delete
+    scoping changes counts or sums vs the NOT-predicate oracles."""
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg, lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    d2i = f"{tempfile.gettempdir()}/fsml_convdel_d2i"
+    i2d = f"{tempfile.gettempdir()}/fsml_convdel_i2d"
+    shutil.rmtree(d2i, ignore_errors=True)
+    shutil.rmtree(i2d, ignore_errors=True)
+    cols = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    lakehouse.write_delta(spark, cols, d2i, column_mapping="id")
+    lakehouse.rename_delta_column(spark, d2i, "o_totalprice", "price")
+    lakehouse.delete_delta(spark, d2i, "o_orderstatus = 'F'")
+    convert.convert_delta_to_iceberg(spark, d2i)
+    a = (
+        iceberg.read_iceberg(spark, d2i)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("price").alias("total_price"))
+        .select(
+            F.lit("delta_to_iceberg").alias("src"),
+            "o_orderstatus", "n_orders", "total_price",
+        )
+    )
+    iceberg.write_iceberg(
+        spark,
+        cols.withColumnRenamed("o_totalprice", "price"),
+        i2d,
+        format_version=2,
+        partition_by=["o_orderstatus"],
+    )
+    iceberg.delete_iceberg(spark, i2d, "price < 100000.0")
+    convert.convert_iceberg_to_delta(spark, i2d)
+    b = (
+        lakehouse.read_delta(spark, i2d)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("price").alias("total_price"))
+        .select(
+            F.lit("iceberg_to_delta").alias("src"),
+            "o_orderstatus", "n_orders", "total_price",
+        )
+    )
+    return a.unionByName(b)
 
 
 @register(
@@ -5388,10 +5525,12 @@ _FINAL_ORDER = [
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
     "e1_convert_cross_format",
+    "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
+    "e11_bm25_search",       # round 7: Okapi BM25 top-k, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
     "e13_stream_from_delta_partitioned",
     "e9_dedup_canonical",
@@ -5427,17 +5566,21 @@ _FINAL_ORDER = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
     # -- sampling / PII / streaming-dedup surface
     "e16_mixture_sample",   # data-mixture composition
     "e11_pii_scan",
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
     "q20_dominant_supplier",
     "e5_window_distribution",
-    "e11_url_extract",
     # -- round-1-green keepers
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
+    # rotated out r7, displaced by e1_convert_with_deletes and
+    # e11_bm25_search (both driver-green r5+r6; TPC-H family keeps
+    # q2/q4/q6/q7/q8/q19/q20 in-window, e11 family keeps
+    # pii_scan/chunking/bm25):
+    "q9_product_profit",
+    "e11_url_extract",
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -5601,7 +5744,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 78, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 80, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

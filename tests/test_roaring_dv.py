@@ -622,8 +622,9 @@ def test_unsupported_writer_features_refused(spark, tmp_path):
     lakehouse._commit(root2, [{"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 6,
     }}])
-    with pytest.raises(NotImplementedError, match="minWriterVersion=6"):
-        lakehouse.delete_delta(spark, root2, "id = 1")
+    # v6 (identity-column era) is now a SUPPORTED legacy writer version
+    lakehouse.delete_delta(spark, root2, "id = 1")
+    assert lakehouse.read_delta(spark, root2).count() == 4
 
 
 def test_append_only_table_rejects_row_removal(spark, tmp_path):

@@ -215,3 +215,60 @@ def test_chunk_documents_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         text.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ------------------------------------------------------------- BM25 ----
+
+
+def _bm25_rows(spark, docs, queries, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        (r.query_id, r.doc_id): (r.rk, r.score)
+        for r in text.bm25_topk(df, queries, **kw).collect()
+    }
+
+
+def test_bm25_candidates_only_and_ranking(spark):
+    docs = [
+        (1, "apple banana apple"),   # tf(apple)=2
+        (2, "apple cherry"),         # tf(apple)=1
+        (3, "durian elderberry"),    # no query terms
+        (4, "apple apple apple apple banana banana"),  # longer doc
+    ]
+    out = _bm25_rows(spark, docs, [("q", "apple")])
+    # docs without any query term never appear
+    assert ("q", 3) not in out
+    assert set(out) == {("q", 1), ("q", 2), ("q", 4)}
+    # same length pair: doc 1 (tf=2, dl=3) must outrank doc 2 (tf=1, dl=2)
+    assert out[("q", 1)][0] < out[("q", 2)][0]
+    # ranks are 1..n dense per query, ordering matches rounded score desc
+    ranks = sorted(rk for rk, _s in out.values())
+    assert ranks == [1, 2, 3]
+    by_rank = sorted(out.values())
+    scores = [s for _rk, s in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_k_cap_and_tiebreak(spark):
+    # identical docs => identical scores => tie-break by doc_id asc
+    docs = [(i, "same words here") for i in range(1, 6)]
+    out = _bm25_rows(spark, docs, [("q", "words")], k=3)
+    assert sorted(out) == [("q", 1), ("q", 2), ("q", 3)]  # k cap + id order
+    assert [out[("q", i)][0] for i in (1, 2, 3)] == [1, 2, 3]
+    scores = {s for _rk, s in out.values()}
+    assert len(scores) == 1  # true ties
+
+
+def test_bm25_multi_query_and_idf(spark):
+    docs = [
+        (1, "rare common common"),
+        (2, "common common common"),
+        (3, "common rare"),
+    ]
+    out = _bm25_rows(spark, docs, [("r", "rare"), ("c", "common")])
+    # every doc matches 'common'; only 1 and 3 match 'rare'
+    assert {d for (q, d) in out if q == "c"} == {1, 2, 3}
+    assert {d for (q, d) in out if q == "r"} == {1, 3}
+    # idf of the rarer term is higher: doc 3's 'rare' score (tf=1, dl=2)
+    # beats its 'common' score (tf=1, dl=2) — same tf/dl, rarer term
+    assert out[("r", 3)][1] > out[("c", 3)][1]
