@@ -3568,6 +3568,71 @@ def e1_convert_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_identity",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_distinct_ids,
+           CAST(0 AS BIGINT) AS n_misaligned,
+           CAST(0 AS BIGINT) AS n_below_start
+    FROM customer WHERE c_custkey <= 1200
+    """,
+)
+def e1_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (io/lakehouse.write_delta(identity_columns=) —
+    PROTOCOL.md §Identity Columns): create a table whose ``rid`` column
+    is GENERATED ALWAYS (start 1000, step 3), append a second batch, and
+    verify the generation contract as an invariant aggregate: the oracle
+    states what MUST hold (every id distinct, step-aligned, >= start)
+    and the Spark side computes what actually did — any duplicate,
+    misalignment, or watermark regression breaks the hash. The high
+    water mark advances in the same commit as each write, derived from
+    the staged files' footer stats (no extra jobs); the second batch's
+    values must all clear the first batch's watermark, which the query
+    RAISES on rather than fold into the result (driver-side metadata
+    assert, same style as the data-skipping queries)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (c,) = _t(spark, sf_dir, "customer")
+    t = f"{tempfile.gettempdir()}/fsml_identity"
+    shutil.rmtree(t, ignore_errors=True)
+    b1 = c.where("c_custkey <= 600").select("c_custkey", "c_name")
+    b2 = c.where("c_custkey > 600 AND c_custkey <= 1200").select(
+        "c_custkey", "c_name"
+    )
+    lakehouse.write_delta(spark, b1, t, identity_columns={"rid": (1000, 3)})
+    _adds, meta = lakehouse._replay_log_adds(t)
+    hwm1 = next(
+        f["metadata"]["delta.identity.highWaterMark"]
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "rid"
+    )
+    lakehouse.write_delta(spark, b2, t, mode="append")
+    out = lakehouse.read_delta(spark, t)
+    batch2_min = out.where(F.col("c_custkey") > 600).agg(
+        F.min("rid")
+    ).collect()[0][0]
+    if batch2_min is not None and batch2_min <= hwm1:
+        raise AssertionError(
+            f"identity watermark regressed: batch-2 min {batch2_min} "
+            f"<= prior high water mark {hwm1}"
+        )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("rid").alias("n_distinct_ids"),
+        F.sum(
+            F.when((F.col("rid") - 1000) % 3 != 0, 1).otherwise(0)
+        ).cast("long").alias("n_misaligned"),
+        F.sum(F.when(F.col("rid") < 1000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_start"),
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -5526,6 +5591,7 @@ _FINAL_ORDER = [
     "e1_iceberg_merge",
     "e1_convert_cross_format",
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
+    "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
@@ -5552,7 +5618,6 @@ _FINAL_ORDER = [
     "e6_topk_per_group",
     "e7_pivot",
     "e12_pit_join",
-    "e13_stream_window",
     "e13_session_window",
     "e14_multimodal_meta",
     "e14_resize_meta",
@@ -5575,12 +5640,14 @@ _FINAL_ORDER = [
     # -- round-1-green keepers
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
-    # rotated out r7, displaced by e1_convert_with_deletes and
-    # e11_bm25_search (both driver-green r5+r6; TPC-H family keeps
-    # q2/q4/q6/q7/q8/q19/q20 in-window, e11 family keeps
-    # pii_scan/chunking/bm25):
+    # rotated out r7, displaced by e1_convert_with_deletes,
+    # e1_delta_identity and e11_bm25_search (all driver-green r5+r6;
+    # TPC-H family keeps q2/q4/q6/q7/q8/q19/q20 in-window, e11 family
+    # keeps pii_scan/chunking/bm25, e13 keeps stream_stream_join +
+    # stream_from_delta(+partitioned) + session_window):
     "q9_product_profit",
     "e11_url_extract",
+    "e13_stream_window",
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -5744,7 +5811,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 80, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 81, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
