@@ -96,6 +96,7 @@ HEADLINE = [
     "e1_iceberg_merge",
     "e1_convert_cross_format",
     "e1_convert_with_deletes",
+    "e1_delta_row_tracking",
     "e11_bm25_search",
 ]
 

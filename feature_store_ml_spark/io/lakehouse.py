@@ -469,7 +469,49 @@ _SUPPORTED_WRITER_FEATURES = {
     # metadata; high water mark advanced in the same commit from the
     # staged files' footer stats) — see write_delta(identity_columns=)
     "identityColumns",
+    # invariants: legacy column-level NOT-violate expressions
+    # (delta.invariants field metadata) — enforced by _enforce_constraints
+    # on every write path, same probe as CHECK constraints
+    "invariants",
+    # changeDataFeed: _write_change_data emits _change_data files on every
+    # mutation when delta.enableChangeDataFeed=true; read_delta_cdf reads
+    "changeDataFeed",
+    # rowTracking + domainMetadata: stable row ids assigned at write time
+    # (baseRowId + domain high water mark); see write_delta(row_tracking=)
+    # and read_delta_row_ids. Rewriting operations that would need
+    # MATERIALIZED row ids fail loudly instead (_check_write_allowed).
+    "rowTracking",
+    "domainMetadata",
 }
+
+#: features implied by each legacy writer version (PROTOCOL.md §Table
+#: Features: upgrading to v7 must enumerate what the old version implied)
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("changeDataFeed", "generatedColumns"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _protocol_as_features(proto: dict) -> tuple[set, set]:
+    """(readerFeatures, writerFeatures) equivalent to ``proto`` — legacy
+    versions expand to their implied feature lists; v7 lists pass
+    through. Used when an operation must re-emit the protocol in table-
+    features form without silently un-declaring active features."""
+    rv = proto.get("minReaderVersion", 1) or 1
+    wv = proto.get("minWriterVersion", 2) or 2
+    if wv >= 7:
+        return (
+            set(proto.get("readerFeatures") or []),
+            set(proto.get("writerFeatures") or []),
+        )
+    w: set = set()
+    for v in range(2, min(wv, 6) + 1):
+        w.update(_LEGACY_WRITER_FEATURES.get(v, ()))
+    r = {"columnMapping"} if rv >= 2 else set()
+    return r, w
 _MAX_SUPPORTED_WRITER_VERSION = 6  # v6 = identity columns (implemented);
 #                                    v7 = table features (list-checked above)
 
@@ -503,6 +545,14 @@ def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
             raise ValueError(
                 f"{path}: table is delta.appendOnly=true — {operation} "
                 "would remove rows; only appends are allowed"
+            )
+    if (meta.get("configuration") or {}).get("delta.enableRowTracking") == "true":
+        if operation in ("merge", "update", "replaceWhere", "optimize"):
+            raise NotImplementedError(
+                f"{path}: {operation} on a ROW-TRACKED table is not "
+                "implemented — rewriting files would need the surviving "
+                "rows' ids MATERIALIZED into the new files; delete via "
+                "deletion vectors or overwrite instead"
             )
     if operation in ("merge", "update", "replaceWhere"):
         # these take rows (or SET expressions) from a source batch — on a
@@ -573,6 +623,27 @@ def _enforce_constraints(df: DataFrame, meta: dict, path: str) -> None:
                 f"{path}: CHECK constraint {name!r} ({expr}) violated by "
                 f"e.g. {bad[0].asDict()}"
             )
+    # legacy column INVARIANTS (PROTOCOL.md §Column Invariants:
+    # ``delta.invariants`` field metadata, writer-enforced from
+    # minWriterVersion 2) — same FALSE-only-violates probe
+    if meta.get("schemaString"):
+        for f0 in json.loads(meta["schemaString"]).get("fields", []):
+            inv = (f0.get("metadata") or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (TypeError, ValueError, KeyError):
+                raise ValueError(
+                    f"{path}: unparseable delta.invariants metadata on "
+                    f"column {f0['name']!r}: {inv!r}"
+                )
+            bad = df.where(F.expr(expr) == F.lit(False)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"{path}: column invariant on {f0['name']!r} ({expr}) "
+                    f"violated by e.g. {bad[0].asDict()}"
+                )
 
 
 def _enforce_generated(df: DataFrame, meta: dict, path: str) -> None:
@@ -1753,6 +1824,39 @@ def _collect_txns(path: str) -> dict[str, int]:
     return best
 
 
+def _domain_metadata(path: str) -> dict[str, str]:
+    """domain -> configuration JSON string (PROTOCOL.md §Domain Metadata):
+    newest checkpoint's domain rows plus the JSON tail, LAST action per
+    domain wins, a removed domain drops out. Metadata-sized — the same
+    replay pass the snapshot build already does."""
+    log = _delta_log_dir(path)
+    out: dict[str, str] = {}
+
+    def _fold(dm) -> None:
+        if not dm or dm.get("domain") is None:
+            return
+        if dm.get("removed"):
+            out.pop(dm["domain"], None)
+        else:
+            out[dm["domain"]] = dm.get("configuration")
+
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    for f in ckpt_files:
+        for row in _manifest_rows(f, log, follow_sidecars=True):
+            _fold(row.get("domainMetadata"))
+    for name in sorted(os.listdir(log)):
+        if not _is_commit_json(name):
+            continue
+        if int(name[:20]) <= ckpt_version:
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _fold(json.loads(line).get("domainMetadata"))
+    return out
+
+
 def last_txn_version(path: str, app_id: str) -> int:
     """Highest committed `txn` version for ``app_id`` in the table's log
     (-1 when none): the Delta protocol's idempotent-writer handshake —
@@ -1807,18 +1911,20 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
     version = max(json_versions)
     adds_map, meta = _replay_log_adds(path)
     txns = _collect_txns(path)
+    domains = _domain_metadata(path)
     has_dv = any(a.get("deletionVector") for a in adds_map.values())
-    base = {"protocol": None, "metaData": None, "add": None, "txn": None}
-    protocol = (
-        {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
-        }
-        if has_dv
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
+    base = {
+        "protocol": None,
+        "metaData": None,
+        "add": None,
+        "txn": None,
+        "domainMetadata": None,
+    }
+    # the checkpoint must carry the table's ACTUAL protocol — synthesizing
+    # one here silently un-declared active features (column mapping's
+    # reader gate, constraints, identity's v6) once cleanup dropped the
+    # JSON commit that declared them
+    protocol = _current_protocol(path)
     rows: list[dict] = [{**base, "protocol": protocol}]
     if meta:
         # configuration MUST survive: it carries the column-mapping mode —
@@ -1833,6 +1939,20 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
         rows.append({**base, "metaData": md})
     for app_id, v in sorted(txns.items()):
         rows.append({**base, "txn": {"appId": app_id, "version": v}})
+    for domain, cfg in sorted(domains.items()):
+        # domain metadata must survive checkpoint + cleanup (it carries
+        # e.g. the row-tracking high water mark — losing it would make
+        # the next append reissue row ids)
+        rows.append(
+            {
+                **base,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": cfg,
+                    "removed": False,
+                },
+            }
+        )
     now_ms = int(__import__("time").time() * 1000)
     for rel, a in adds_map.items():
         f = os.path.join(path, rel)
@@ -1849,6 +1969,10 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
             # stats must survive checkpoint + log cleanup, or data
             # skipping silently stops working once the JSON tail is gone
             "stats": a.get("stats"),
+            # row-tracking identity rides on the adds — dropping it would
+            # reassign every row id at the next replay
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
         }
         if has_dv:
             # deletion vectors must survive checkpoint + log cleanup, or
@@ -1887,24 +2011,18 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
     sc_path = os.path.join(sidecar_dir, sc_name)
     pq.write_table(pa.Table.from_pylist(add_rows or [{"add": None}]), sc_path)
     # the manifest protocol must DECLARE v2Checkpoint, carrying every
-    # feature the table already uses forward (mapping mode rides in the
-    # metaData configuration; DV descriptors ride on the adds)
-    reader_feats = {"v2Checkpoint"}
-    writer_feats = {"v2Checkpoint"}
+    # feature the table already uses forward — legacy versions expand to
+    # their implied feature lists (mapping mode, constraints, identity);
+    # DV descriptors ride on the adds
+    r0, w0 = _protocol_as_features(protocol)
     if has_dv:
-        reader_feats.add("deletionVectors")
-        writer_feats.add("deletionVectors")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") in (
-        "name",
-        "id",
-    ):
-        reader_feats.add("columnMapping")
-        writer_feats.add("columnMapping")
+        r0.add("deletionVectors")
+        w0.add("deletionVectors")
     v2_protocol = {
         "minReaderVersion": 3,
         "minWriterVersion": 7,
-        "readerFeatures": sorted(reader_feats),
-        "writerFeatures": sorted(writer_feats),
+        "readerFeatures": sorted(r0 | {"v2Checkpoint"}),
+        "writerFeatures": sorted(w0 | {"v2Checkpoint"}),
     }
     base2 = {
         "checkpointMetadata": None,
@@ -1912,13 +2030,14 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
         "protocol": None,
         "metaData": None,
         "txn": None,
+        "domainMetadata": None,
     }
     manifest_rows = [{**base2, "checkpointMetadata": {"version": version}}]
     for r in head_rows:
         row = {**base2}
         if r.get("protocol") is not None:
             row["protocol"] = v2_protocol
-        for k in ("metaData", "txn"):
+        for k in ("metaData", "txn", "domainMetadata"):
             if r.get(k) is not None:
                 row[k] = r[k]
         manifest_rows.append(row)
@@ -2079,6 +2198,7 @@ def write_delta(
     column_mapping: str | None = None,
     replace_where: str | None = None,
     identity_columns: dict[str, tuple[int, int]] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Write a DataFrame to a Delta table via the open commit protocol:
     parquet data files + one JSON commit carrying `add` (and, on overwrite,
@@ -2169,7 +2289,11 @@ def write_delta(
         if committed >= txn_version:
             return committed
     try:
-        if cm_meta is not None or identity_columns is not None:
+        if (
+            cm_meta is not None
+            or identity_columns is not None
+            or row_tracking
+        ):
             raise _FallbackWriter()  # native option plumbing not wired
         writer = df.write.format("delta").mode(mode)
         if partition_by:
@@ -2220,6 +2344,22 @@ def write_delta(
             if int(sp) == 0:
                 raise ValueError("write_delta: identity step must be non-zero")
             id_specs[c] = (int(st), int(sp), None)
+    # ROW TRACKING (PROTOCOL.md §Row Tracking): stable row ids assigned
+    # at write time — each add carries baseRowId (its rows' ids are
+    # baseRowId + position) and defaultRowCommitVersion; the allocation
+    # high water mark lives in the delta.rowTracking DOMAIN METADATA and
+    # advances in the same commit.
+    if row_tracking:
+        if existing:
+            raise ValueError(
+                f"{path}: row tracking is declared at CREATE — use "
+                "enable_delta_row_tracking for an existing table"
+            )
+        if column_mapping is not None:
+            raise NotImplementedError(
+                "write_delta: row_tracking + column mapping is not "
+                "implemented"
+            )
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
@@ -2354,6 +2494,55 @@ def write_delta(
             adds,
         )
 
+    # row-id allocation: contiguous baseRowId ranges from the domain's
+    # high water mark, sized by each staged file's footer row count —
+    # driver-side O(#files) metadata, advanced in the SAME commit
+    rt_enabled = row_tracking or (
+        existing
+        and (table_meta.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        )
+        == "true"
+    )
+    rt_domain_action: dict | None = None
+    if rt_enabled and adds:
+        import pyarrow.parquet as _pq
+
+        dm = _domain_metadata(path) if existing else {}
+        try:
+            rt_hwm = int(
+                json.loads(dm.get("delta.rowTracking") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{path}: unparseable delta.rowTracking domain metadata"
+            )
+        nxt = rt_hwm + 1
+        for a in adds:
+            try:
+                n = int(
+                    json.loads(a["add"].get("stats") or "{}").get(
+                        "numRecords"
+                    )
+                )
+            except (TypeError, ValueError):
+                n = _pq.ParquetFile(
+                    os.path.join(path, a["add"]["path"])
+                ).metadata.num_rows
+            a["add"]["baseRowId"] = nxt
+            # defaultRowCommitVersion patched with the real version at
+            # commit time below
+            nxt += n
+        rt_domain_action = {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": nxt - 1}),
+                "removed": False,
+            }
+        }
+
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
     #    the LAST metaData action, so this keeps them agreeing with the
@@ -2364,6 +2553,27 @@ def write_delta(
             # column mapping's protocol gate (PROTOCOL.md §Column Mapping)
             actions.append(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+        elif row_tracking:
+            # row tracking needs table features (v7): expand the legacy
+            # base the table would otherwise gate at, then add the
+            # rowTracking + domainMetadata pair
+            _r0, _w0 = _protocol_as_features(
+                {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 6 if id_specs else 2,
+                }
+            )
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(
+                            _w0 | {"rowTracking", "domainMetadata"}
+                        ),
+                    }
+                }
             )
         else:
             # identity columns gate at legacy writer v6, per the spec
@@ -2376,6 +2586,28 @@ def write_delta(
                 }
             )
     if not existing or mode == "overwrite":
+        if identity_schema_json is not None and existing:
+            _cfg = table_meta.get("configuration") or {}
+        elif cm_meta is not None:
+            _cfg = cm_meta["configuration"]
+        elif rt_enabled and existing:
+            # an overwrite of a row-tracked table keeps tracking on —
+            # resetting the configuration would silently disable it
+            _cfg = table_meta.get("configuration") or {}
+        else:
+            _cfg = {}
+        if row_tracking and not existing:
+            _cfg = {
+                **_cfg,
+                "delta.enableRowTracking": "true",
+                # names reserved for REWRITTEN files' materialized ids
+                # (this writer refuses such rewrites; real engines read
+                # these properties to find the physical columns)
+                "delta.rowTracking.materializedRowIdColumnName":
+                    f"_row-id-col-{uuid.uuid4()}",
+                "delta.rowTracking.materializedRowCommitVersionColumnName":
+                    f"_row-commit-version-col-{uuid.uuid4()}",
+            }
         actions.append(
             {
                 "metaData": {
@@ -2389,13 +2621,7 @@ def write_delta(
                         else df.schema.json()
                     ),
                     "partitionColumns": list(partition_by or []),
-                    "configuration": (
-                        table_meta.get("configuration") or {}
-                        if identity_schema_json is not None and existing
-                        else cm_meta["configuration"]
-                        if cm_meta is not None
-                        else {}
-                    ),
+                    "configuration": _cfg,
                     "createdTime": now_ms,
                 }
             }
@@ -2440,6 +2666,8 @@ def write_delta(
         for p in prior_files
     )
     actions.extend(adds)
+    if rt_domain_action is not None:
+        actions.append(rt_domain_action)
     actions.append(
         {
             "commitInfo": {
@@ -2449,6 +2677,19 @@ def write_delta(
             }
         }
     )
+    if rt_enabled and adds:
+        # SINGLE-ATTEMPT commit: losing a race means the row-id range was
+        # allocated against a stale high water mark — a blind retry would
+        # duplicate row ids; the caller re-runs and reallocates
+        version = _next_version(log)
+        for a in adds:
+            a["add"]["defaultRowCommitVersion"] = version
+        if not _try_commit(log, version, actions, path):
+            raise RuntimeError(
+                f"{path}: version {version} was committed concurrently — "
+                "row-id allocation is stale; re-run the write"
+            )
+        return version
     if mode == "append" and existing:
         # blind appends ride optimistic concurrency (append-vs-append
         # never conflicts, per Delta's conflict-resolution rules); table
@@ -3188,6 +3429,11 @@ def delete_delta(
             "dataChange": True,
             "deletionVector": desc,
         }
+        # row-tracking identity survives a DV delete — the file's bytes
+        # (and hence its rows' baseRowId-relative positions) are untouched
+        for k in ("baseRowId", "defaultRowCommitVersion"):
+            if old.get(k) is not None:
+                add[k] = old[k]
         # the file's bytes are untouched, so its stats remain valid
         # (bounds are conservative over the DV-masked rows) — dropping
         # them would silently turn data skipping off for every file a
@@ -4169,6 +4415,170 @@ def read_delta_cdf(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def enable_delta_row_tracking(spark: SparkSession, path: str) -> int:
+    """Turn ROW TRACKING on for an existing table (PROTOCOL.md §Row
+    Tracking) in ONE metadata commit: every live ``add`` is re-issued
+    with a contiguous ``baseRowId`` range (``dataChange=False`` — no
+    bytes move), the protocol upgrades to writer v7 with the
+    rowTracking + domainMetadata features (legacy features expanded, not
+    dropped), the configuration gains ``delta.enableRowTracking`` plus
+    the reserved materialized-column names, and the ``delta.rowTracking``
+    domain records the allocation high water mark. Backfilled files'
+    ``defaultRowCommitVersion`` is this commit's version (their original
+    versions are not tracked per-add — the spec's backfill rule).
+
+    Driver cost: O(#files) footer row counts (the same metadata pass
+    stats collection does). Returns the committed version."""
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    adds_map, meta = _replay_log_adds(path)
+    _check_write_allowed(path, meta, "metadata")
+    conf = dict(meta.get("configuration") or {})
+    log = _delta_log_dir(path)
+    if conf.get("delta.enableRowTracking") == "true":
+        return _next_version(log) - 1
+    if _mapping_mode(meta):
+        raise NotImplementedError(
+            f"{path}: row tracking on a column-mapped table is not "
+            "implemented"
+        )
+    proto = _current_protocol(path)
+    r0, w0 = _protocol_as_features(proto)
+    new_proto: dict = {
+        "minReaderVersion": proto.get("minReaderVersion", 1) or 1,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(w0 | {"rowTracking", "domainMetadata"}),
+    }
+    if (proto.get("minReaderVersion") or 1) >= 3:
+        new_proto["readerFeatures"] = sorted(r0)
+    conf["delta.enableRowTracking"] = "true"
+    conf["delta.rowTracking.materializedRowIdColumnName"] = (
+        f"_row-id-col-{_uuid.uuid4()}"
+    )
+    conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        f"_row-commit-version-col-{_uuid.uuid4()}"
+    )
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {"protocol": new_proto},
+        {
+            "metaData": {
+                **{k: v for k, v in meta.items() if k != "configuration"},
+                "configuration": conf,
+            }
+        },
+    ]
+    nxt = 0
+    backfills: list[dict] = []
+    for rel in sorted(adds_map):
+        a = dict(adds_map[rel])
+        try:
+            n = int(json.loads(a.get("stats") or "{}").get("numRecords"))
+        except (TypeError, ValueError):
+            n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        a["baseRowId"] = nxt
+        a["dataChange"] = False
+        a["modificationTime"] = a.get("modificationTime") or now_ms
+        nxt += n
+        backfills.append(a)
+        actions.append({"add": a})
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": nxt - 1}),
+                "removed": False,
+            }
+        }
+    )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ENABLE ROW TRACKING",
+                "operationParameters": {},
+            }
+        }
+    )
+    version = _next_version(log)
+    for a in backfills:
+        a["defaultRowCommitVersion"] = version
+    if not _try_commit(log, version, actions, path):
+        raise RuntimeError(
+            f"{path}: version {version} was committed concurrently — "
+            "re-run enablement against the new snapshot"
+        )
+    return version
+
+
+def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ROW-TRACKED table with its stable ``row_id`` and
+    ``row_commit_version`` columns: for un-rewritten files these are
+    ``baseRowId + physical row index`` and ``defaultRowCommitVersion``
+    (the spec's fresh-row rule). DV-masked rows simply leave holes — the
+    surviving rows' ids never move, which is the whole point (CDC
+    joins, training-example provenance, feature lineage all key on it).
+
+    The (file -> baseRowId) map is metadata-sized and broadcast; the id
+    arithmetic is a JVM-side projection over the hidden ``_metadata``
+    columns — no Python, no shuffle. Files that carry MATERIALIZED row
+    ids (a foreign engine's rewrites) fail loudly: silently falling back
+    to the fresh-row rule would return different ids than the writer
+    assigned."""
+    from pyspark.sql import functions as F
+
+    import pyarrow.parquet as pq
+
+    adds_map, meta = _replay_log_adds(path)
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableRowTracking") != "true":
+        raise ValueError(
+            f"{path}: table does not have row tracking enabled — "
+            "enable_delta_row_tracking(path) first"
+        )
+    mat = [
+        conf.get("delta.rowTracking.materializedRowIdColumnName"),
+        conf.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+    ]
+    files = [os.path.join(path, rel) for rel in adds_map]
+    rows = []
+    for rel, a in sorted(adds_map.items()):
+        f = os.path.join(path, rel)
+        names = set(pq.read_schema(f).names)
+        if any(m and m in names for m in mat):
+            raise NotImplementedError(
+                f"{path}: file {rel} carries materialized row ids — "
+                "reading rewritten row-tracked files is not implemented"
+            )
+        if a.get("baseRowId") is None:
+            raise ValueError(
+                f"{path}: live file {rel} lacks baseRowId — row tracking "
+                "metadata is incomplete (foreign writer without the "
+                "feature?)"
+            )
+        rcv = a.get("defaultRowCommitVersion")
+        rows.append(
+            (
+                "file:" + os.path.abspath(f),
+                int(a["baseRowId"]),
+                -1 if rcv is None else int(rcv),  # 0 is a real version
+            )
+        )
+    scan = _scan_files(spark, path, files, meta, adds_map, with_metadata=True)
+    m = spark.createDataFrame(rows, "_rt_fp string, _rt_base long, _rt_ver long")
+    return (
+        scan.withColumn("_fp0", F.col("_metadata.file_path"))
+        .withColumn("_ri0", F.col("_metadata.row_index"))
+        .join(F.broadcast(m), F.col("_fp0") == F.col("_rt_fp"))
+        .withColumn("row_id", F.col("_rt_base") + F.col("_ri0"))
+        .withColumn("row_commit_version", F.col("_rt_ver"))
+        .drop("_fp0", "_ri0", "_rt_fp", "_rt_base", "_rt_ver", "_metadata")
+    )
 
 
 def describe_delta_history(path: str) -> list[dict]:

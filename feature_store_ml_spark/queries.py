@@ -3633,6 +3633,63 @@ def e1_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_row_tracking",
+    """
+    SELECT CAST(n_live AS BIGINT) AS n_rows,
+           CAST(n_live AS BIGINT) AS n_distinct_ids,
+           CAST(n_written - 1 AS BIGINT) AS max_row_id
+    FROM (
+      SELECT
+        (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey <= 3000 AND l_linenumber <> 3) AS n_live,
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey <= 3000) AS n_written
+    )
+    """,
+)
+def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (io/lakehouse — PROTOCOL.md §Row Tracking): stable
+    row identity for CDC and training-data provenance. Create a
+    row-tracked table (protocol v7 + rowTracking/domainMetadata, ids
+    allocated from the delta.rowTracking domain's high water mark),
+    append a second batch, DV-delete a slice, then read back with
+    ``read_delta_row_ids``. The oracle states the contract: every
+    surviving row's id distinct, and the maximum id exactly
+    (#rows ever written - 1) — contiguous allocation across both
+    commits, ids never reassigned by the delete (holes, not renumbering;
+    any reallocation would shrink max_row_id or collide ids). The
+    surviving-id-stability half is pinned by tests/test_row_tracking.py;
+    here the id arithmetic is a broadcast-joined JVM projection over the
+    hidden _metadata columns — no Python, no shuffle."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    t = f"{tempfile.gettempdir()}/fsml_row_tracking"
+    shutil.rmtree(t, ignore_errors=True)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    lakehouse.write_delta(
+        spark,
+        li.where("l_orderkey <= 1500").select(*cols),
+        t,
+        row_tracking=True,
+    )
+    lakehouse.write_delta(
+        spark,
+        li.where("l_orderkey > 1500 AND l_orderkey <= 3000").select(*cols),
+        t,
+        mode="append",
+    )
+    lakehouse.delete_delta(spark, t, "l_linenumber = 3")
+    return lakehouse.read_delta_row_ids(spark, t).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.max("row_id").alias("max_row_id"),
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -5592,6 +5649,7 @@ _FINAL_ORDER = [
     "e1_convert_cross_format",
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
+    "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
@@ -5619,7 +5677,6 @@ _FINAL_ORDER = [
     "e7_pivot",
     "e12_pit_join",
     "e13_session_window",
-    "e14_multimodal_meta",
     "e14_resize_meta",
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
@@ -5648,6 +5705,8 @@ _FINAL_ORDER = [
     "q9_product_profit",
     "e11_url_extract",
     "e13_stream_window",
+    "e14_multimodal_meta",  # displaced by e1_delta_row_tracking; e14
+                            # family stays via e14_resize_meta + png
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -5811,7 +5870,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 81, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 82, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -1,0 +1,169 @@
+"""Delta ROW TRACKING (PROTOCOL.md §Row Tracking): stable row ids —
+baseRowId ranges allocated from the delta.rowTracking domain's high
+water mark, surviving appends, DV deletes, and checkpoint + log cleanup;
+rewriting operations fail loudly (no materialized-id support)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import lakehouse
+
+
+def _ids(spark, path):
+    return {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, path).collect()
+    }
+
+
+def test_create_append_delete_stability(spark, tmp_path):
+    t = str(tmp_path / "rt")
+    df = spark.range(0, 100).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, t, row_tracking=True)
+    first = _ids(spark, t)
+    rids = [rid for rid, _v in first.values()]
+    assert len(set(rids)) == 100 and min(rids) == 0 and max(rids) == 99
+    # commit version stamped
+    assert all(v == 0 for _rid, v in first.values())
+    # append: new range above the watermark, old ids unchanged
+    lakehouse.write_delta(
+        spark,
+        spark.range(100, 150).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    both = _ids(spark, t)
+    assert len(both) == 150
+    assert max(r for r, _v in both.values()) == 149
+    assert all(both[k] == v for k, v in first.items())
+    # DV delete: surviving ids keep their values (holes are fine)
+    lakehouse.delete_delta(spark, t, "v = 2")
+    post = _ids(spark, t)
+    assert len(post) == 120
+    assert all(both[k] == v for k, v in post.items())
+    # domain watermark tracks the top allocation
+    dm = lakehouse._domain_metadata(t)
+    assert json.loads(dm["delta.rowTracking"])["rowIdHighWaterMark"] == 149
+
+
+def test_rewrites_refuse(spark, tmp_path):
+    t = str(tmp_path / "rw")
+    df = spark.range(0, 50).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, t, row_tracking=True)
+    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
+        lakehouse.compact_delta(spark, t)
+    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
+        lakehouse.update_delta(spark, t, {"v": "9"}, "id = 1")
+    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
+        lakehouse.merge_delta(
+            spark,
+            spark.createDataFrame([(1, 2)], "id long, v long"),
+            t,
+            keys=["id"],
+        )
+    # overwrite is allowed — replaced rows are NEW rows with fresh ids
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 10).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="overwrite",
+    )
+    ids = [r for r, _v in _ids(spark, t).values()]
+    assert len(ids) == 10 and min(ids) >= 50  # fresh range, tracking kept
+
+
+def test_enable_backfill_and_checkpoint_survival(spark, tmp_path):
+    t = str(tmp_path / "bf")
+    df = spark.range(0, 100).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, t)
+    lakehouse.write_delta(
+        spark,
+        spark.range(100, 120).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    v = lakehouse.enable_delta_row_tracking(spark, t)
+    ids = _ids(spark, t)
+    rids = [r for r, _v in ids.values()]
+    assert len(set(rids)) == 120 and max(rids) == 119
+    assert all(cv == v for _r, cv in ids.values())  # backfill version
+    # idempotent re-enable
+    assert lakehouse.enable_delta_row_tracking(spark, t) >= v
+    # classic checkpoint + cleanup: watermark, protocol, baseRowIds live on
+    lakehouse.checkpoint_delta(t)
+    lakehouse.cleanup_delta_log(t)
+    lakehouse.write_delta(
+        spark,
+        spark.range(120, 130).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    rids2 = [r for r, _v in _ids(spark, t).values()]
+    assert len(set(rids2)) == 130 and max(rids2) == 129
+    proto = lakehouse._current_protocol(t)
+    feats = set(proto.get("writerFeatures") or [])
+    assert {"rowTracking", "domainMetadata"} <= feats
+
+
+def test_v2_checkpoint_preserves_domain(spark, tmp_path):
+    t = str(tmp_path / "v2")
+    df = spark.range(0, 60).select("id")
+    lakehouse.write_delta(spark, df, t, row_tracking=True)
+    lakehouse.checkpoint_delta(t, v2=True)
+    lakehouse.cleanup_delta_log(t)
+    lakehouse.write_delta(spark, spark.range(60, 70).select("id"), t,
+                          mode="append")
+    rids = [r for r, _v in _ids(spark, t).values()]
+    assert len(set(rids)) == 70 and max(rids) == 69
+
+
+def test_checkpoint_carries_real_protocol(spark, tmp_path):
+    """Round-7 regression: the checkpoint used to synthesize a protocol,
+    silently un-declaring features (identity's v6, constraints) once
+    cleanup dropped the JSON that declared them."""
+    t = str(tmp_path / "proto")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 20).select(F.col("id").alias("k")),
+        t,
+        identity_columns={"rid": (0, 1)},
+    )
+    assert lakehouse._current_protocol(t)["minWriterVersion"] == 6
+    lakehouse.checkpoint_delta(t)
+    lakehouse.cleanup_delta_log(t)
+    assert lakehouse._current_protocol(t)["minWriterVersion"] == 6
+    # identity generation still works post-cleanup
+    lakehouse.write_delta(
+        spark,
+        spark.range(20, 30).select(F.col("id").alias("k")),
+        t,
+        mode="append",
+    )
+    vals = [r["rid"] for r in lakehouse.read_delta(spark, t).collect()]
+    assert len(set(vals)) == 30
+
+
+def test_column_invariants_enforced(spark, tmp_path):
+    """Legacy delta.invariants field metadata is writer-enforced."""
+    t = str(tmp_path / "inv")
+    lakehouse.write_delta(spark, spark.range(1, 10).select("id"), t)
+    _adds, meta = lakehouse._replay_log_adds(t)
+    sch = json.loads(meta["schemaString"])
+    sch["fields"][0]["metadata"] = {
+        "delta.invariants": json.dumps(
+            {"expression": {"expression": "id > 0"}}
+        )
+    }
+    lakehouse._commit(
+        t, [{"metaData": {**meta, "schemaString": json.dumps(sch)}}]
+    )
+    with pytest.raises(ValueError, match="invariant"):
+        lakehouse.write_delta(
+            spark, spark.range(-5, 5).select("id"), t, mode="append"
+        )
+    lakehouse.write_delta(
+        spark, spark.range(10, 15).select("id"), t, mode="append"
+    )
+    assert lakehouse.read_delta(spark, t).count() == 14
