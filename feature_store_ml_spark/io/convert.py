@@ -395,7 +395,12 @@ def convert_delta_to_iceberg(
     def _pval(c: str, v):
         if v is None:
             return None
-        return int(v) if ice_type[c] in ("int", "long") else str(v)
+        t = ice_type[c]
+        if t in ("int", "long"):
+            return int(v)
+        if t == "date":  # Delta stores ISO strings; Iceberg days ints
+            return iceberg._parse_date_days(str(v))
+        return str(v)
 
     entries = []
     now_ms = int(_time.time() * 1000)
@@ -466,7 +471,8 @@ def convert_delta_to_iceberg(
     meta_dir = os.path.join(path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     partition_fields = [
-        {"name": c, "type": ["null", ice_type[c]]} for c in part_cols
+        {"name": c, "type": ["null", iceberg._avro_partition_type(ice_type[c])]}
+        for c in part_cols
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     avro_lite.write_container(
@@ -646,6 +652,11 @@ def convert_iceberg_to_delta(
             # source column normally and per-file stats keep skipping on
             continue
         part_cols.append(fid_to_name.get(pf.get("source-id"), pf["name"]))
+    ice_types_by_name = {
+        f["name"]: f["type"]
+        for f in iceberg._current_schema(meta).get("fields", [])
+        if isinstance(f.get("type"), str)
+    }
     root_abs = os.path.abspath(path)
     now_ms = int(_time.time() * 1000)
     # live position deletes fold into one roaring bitmap per data file
@@ -795,7 +806,15 @@ def convert_iceberg_to_delta(
         else:
             _n, size_h, _ice, dstats, _probe = harvest[abs_p]
             pvals = {
-                c: (None if v is None else str(v))
+                c: (
+                    None
+                    if v is None
+                    # Iceberg date tuples are days ints; Delta
+                    # partitionValues carry ISO strings
+                    else iceberg._days_to_iso(v)
+                    if ice_types_by_name.get(c) == "date"
+                    else str(v)
+                )
                 for c, v in (d.get("partition") or {}).items()
             }
             add = {

@@ -572,7 +572,33 @@ def _manifest_file_schema(fv: int) -> dict:
 
 
 #: iceberg primitive -> python parser for identity-partition dir values
-_PARTITION_PARSERS = {"int": int, "long": int, "string": str}
+def _parse_date_days(s: str) -> int:
+    """Hive partition-dir date value ('2024-01-02') -> the days-from-epoch
+    int the Iceberg spec stores in manifest partition tuples."""
+    import datetime as _dt
+
+    return (_dt.date.fromisoformat(s) - _dt.date(1970, 1, 1)).days
+
+
+def _days_to_iso(v) -> str:
+    """Inverse of _parse_date_days (manifest tuple -> ISO date string)."""
+    import datetime as _dt
+
+    return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))).isoformat()
+
+
+_PARTITION_PARSERS = {
+    "int": int,
+    "long": int,
+    "string": str,
+    "date": _parse_date_days,
+}
+
+
+def _avro_partition_type(t: str):
+    """Avro schema type for one partition tuple field — date rides as the
+    spec's int + date logical type."""
+    return {"type": "int", "logicalType": "date"} if t == "date" else t
 
 
 # ---------------------------------------------------------------------------
@@ -836,7 +862,7 @@ def _derive_partition_col(f: dict, ice_source_type: str):
         if ice_source_type not in _PARTITION_PARSERS:
             raise NotImplementedError(
                 f"identity partition source type {ice_source_type!r} "
-                "unsupported (int/long/string only)"
+                "unsupported (int/long/string/date only)"
             )
         return col, ice_source_type
     if t in ("year", "month", "day", "hour"):
@@ -1356,7 +1382,8 @@ def write_iceberg(
     #    each carrying footer-derived column stats for scan-time skipping
     fields = declared["fields"] if existing else _iceberg_fields(df)
     partition_fields = [
-        {"name": c, "type": ["null", part_types[c]]} for c in partition_by
+        {"name": c, "type": ["null", _avro_partition_type(part_types[c])]}
+        for c in partition_by
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     avro_lite.write_container(
@@ -2091,7 +2118,15 @@ def _prune_data_entries(
         if nulls:
             stats["nullCount"] = nulls
         pv = {
-            c: (None if v is None else str(v))
+            c: (
+                None
+                if v is None
+                # identity DATE tuples hold days-from-epoch ints; the
+                # shared evaluator compares date columns in ISO form
+                else _days_to_iso(v)
+                if ice_type.get(c) == "date"
+                else str(v)
+            )
             for c, v in (d.get("partition") or {}).items()
         }
         return {"stats": stats or None, "partitionValues": pv}
@@ -2338,16 +2373,29 @@ def read_iceberg(
                 if len(keys) == len(locals_):
                     suffix_k = k
                     break
+            _src_type = {
+                f["name"]: f["type"]
+                for f in _current_schema(meta).get("fields", [])
+            }
             for d, lp in zip(data, locals_):
                 try:
                     have = set(_pq.read_schema(lp).names)
                 except Exception:
                     continue
-                miss = [
-                    (src, (d.get("partition") or {}).get(pname))
-                    for pname, src in ident.items()
-                    if src not in have
-                ]
+                miss = []
+                for pname, src in ident.items():
+                    if src in have:
+                        continue
+                    v = (d.get("partition") or {}).get(pname)
+                    if v is not None and _src_type.get(src) == "date":
+                        # manifest tuple holds days-from-epoch; the LUT
+                        # column is a real DateType
+                        import datetime as _dt
+
+                        v = _dt.date(1970, 1, 1) + _dt.timedelta(
+                            days=int(v)
+                        )
+                    miss.append((src, v))
                 if miss and suffix_k:
                     part_backfill["/".join(lp.split("/")[-suffix_k:])] = dict(
                         miss
@@ -2870,7 +2918,7 @@ def _stage_data_entry(
     if not data_files:
         return None
     partition_fields = [
-        {"name": c["name"], "type": ["null", c["rtype"]]}
+        {"name": c["name"], "type": ["null", _avro_partition_type(c["rtype"])]}
         for c in pfields_parsed
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
@@ -3634,7 +3682,8 @@ def compact_iceberg(
     shutil.rmtree(staging)
 
     partition_fields = [
-        {"name": c, "type": ["null", part_types[c]]} for c in part_cols
+        {"name": c, "type": ["null", _avro_partition_type(part_types[c])]}
+        for c in part_cols
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
     avro_lite.write_container(

@@ -824,7 +824,7 @@ def test_iceberg_partitioned_unsupported_type_fails_loud(spark, tmp_path):
 
     root = str(tmp_path / "pwf")
     df = spark.range(5).select("id", F.lit(1.5).alias("x"))
-    with pytest.raises(NotImplementedError, match="int/long/string only"):
+    with pytest.raises(NotImplementedError, match="int/long/string/date only"):
         iceberg.write_iceberg(spark, df, root, partition_by=["x"])
 
 
