@@ -98,6 +98,7 @@ HEADLINE = [
     "e1_convert_with_deletes",
     "e1_delta_row_tracking",
     "e11_bm25_search",
+    "e12_interpolate",
 ]
 
 

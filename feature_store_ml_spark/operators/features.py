@@ -215,3 +215,78 @@ def resample_ffill(
     return filled.where(F.col("_is_grid") == 1).drop("_is_grid").withColumnRenamed(
         ts_col, "grid_ts"
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    cols: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """LINEAR interpolation onto the epoch-aligned grid: each grid value
+    is prev + (next - prev) * elapsed-fraction between the two bracketing
+    observations (per key, per column). A same-instant observation wins
+    verbatim (fraction 0); grid points missing a bracket on either side
+    stay NULL — interpolation, never extrapolation. Column types promote
+    to double.
+
+    Same single-shuffle union-window shape as resample_ffill (no range
+    join): the bracketing pass is two window projections —
+    last/first(ignorenulls) over the preceding/following frames — all
+    JVM-side. The following frame never sees a same-instant observation
+    (observations sort before grid rows at equal ts), so the next-ts is
+    strictly greater and the fraction's denominator cannot be zero."""
+    grid = resample_grid(df, keys, ts_col, step)
+    g = grid.select(
+        *keys,
+        F.col("grid_ts").alias(ts_col),
+        F.lit(1).alias("_is_grid"),
+        *[F.lit(None).cast("double").alias(c) for c in cols],
+    )
+    obs = df.select(
+        *keys,
+        ts_col,
+        F.lit(0).alias("_is_grid"),
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    unioned = obs.unionByName(g)
+    order = [F.col(ts_col), F.col("_is_grid")]
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # wall-clock µs since epoch via timestampdiff — works for timestamp
+    # AND timestamp_ntz (unix_micros rejects ntz), no session-tz pass
+    dtname = df.schema[ts_col].dataType.simpleString()
+    t_us = F.expr(
+        f"timestampdiff(MICROSECOND, cast('1970-01-01' as {dtname}), {ts_col})"
+    )
+    sel = [*keys, F.col(ts_col), F.col("_is_grid")]
+    for c in cols:
+        pv = F.last(c, ignorenulls=True).over(wp)
+        pt = F.last(
+            F.when(F.col(c).isNotNull(), t_us), ignorenulls=True
+        ).over(wp)
+        nv = F.first(c, ignorenulls=True).over(wf)
+        nt = F.first(
+            F.when(F.col(c).isNotNull(), t_us), ignorenulls=True
+        ).over(wf)
+        frac = (t_us - pt).cast("double") / (nt - pt).cast("double")
+        sel.append(
+            F.when(pt == t_us, pv)
+            .when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+            .alias(c)
+        )
+    return (
+        unioned.select(*sel)
+        .where(F.col("_is_grid") == 1)
+        .drop("_is_grid")
+        .withColumnRenamed(ts_col, "grid_ts")
+    )

@@ -3696,14 +3696,14 @@ def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM (SELECT o_orderstatus, o_totalprice AS price FROM orders
-          WHERE o_orderstatus <> 'F')
+          WHERE o_orderkey % 4 = 0 AND o_totalprice >= 30000.0)
     GROUP BY o_orderstatus
     UNION ALL
     SELECT 'iceberg_to_delta' AS src, o_orderstatus,
            COUNT(*) AS n_orders,
            CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM (SELECT o_orderstatus, o_totalprice AS price FROM orders
-          WHERE o_totalprice >= 100000.0)
+          WHERE o_orderkey % 4 = 0 AND o_orderkey % 17 <> 0)
     GROUP BY o_orderstatus
     """,
 )
@@ -3737,10 +3737,17 @@ def e1_convert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     i2d = f"{tempfile.gettempdir()}/fsml_convdel_i2d"
     shutil.rmtree(d2i, ignore_errors=True)
     shutil.rmtree(i2d, ignore_errors=True)
-    cols = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # a 25% subset: the query grades PROTOCOL machinery (mapping ids,
+    # DV translation, manifests), not row throughput
+    cols = o.where("o_orderkey % 4 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
     lakehouse.write_delta(spark, cols, d2i, column_mapping="id")
     lakehouse.rename_delta_column(spark, d2i, "o_totalprice", "price")
-    lakehouse.delete_delta(spark, d2i, "o_orderstatus = 'F'")
+    # DV-sized delete (~6% of rows) — mass deletes belong to MERGE, per
+    # the documented division of labor; the predicate runs against the
+    # RENAMED mapped column
+    lakehouse.delete_delta(spark, d2i, "price < 30000.0")
     convert.convert_delta_to_iceberg(spark, d2i)
     a = (
         iceberg.read_iceberg(spark, d2i)
@@ -3758,7 +3765,7 @@ def e1_convert_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         format_version=2,
         partition_by=["o_orderstatus"],
     )
-    iceberg.delete_iceberg(spark, i2d, "price < 100000.0")
+    iceberg.delete_iceberg(spark, i2d, "o_orderkey % 17 = 0")
     convert.convert_iceberg_to_delta(spark, i2d)
     b = (
         lakehouse.read_delta(spark, i2d)
@@ -5227,6 +5234,60 @@ def e12_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.resample_ffill(ev, ["user_id"], "ts", ["value"], "1 day")
 
 
+@register(
+    "e12_interpolate",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS lo, MAX(ts) AS hi
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS TIMESTAMP) AS ts,
+             1 AS is_grid, CAST(NULL AS DOUBLE) AS value
+      FROM bounds
+    ),
+    obs AS (SELECT user_id, ts, 0 AS is_grid, CAST(value AS DOUBLE) AS value
+            FROM events),
+    u AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+    x AS (
+      SELECT user_id, ts, is_grid, epoch_us(ts) AS t,
+        LAST_VALUE(value IGNORE NULLS) OVER w_p AS pv,
+        LAST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER w_p AS pt,
+        FIRST_VALUE(value IGNORE NULLS) OVER w_f AS nv,
+        FIRST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w_f AS nt
+      FROM u
+      WINDOW
+        w_p AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_f AS (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, ts AS grid_ts,
+           ROUND(CASE
+             WHEN pt = t THEN pv
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * ((t - pt) / (nt - pt))
+           END, 6) AS value
+    FROM x WHERE is_grid = 1
+    """,
+)
+def e12_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation onto the daily grid
+    (operators/features.py::resample_interpolate) — resample_ffill's
+    numeric twin for continuous signals: each grid value is the
+    time-weighted blend of the bracketing observations, exact-time hits
+    win verbatim, edges stay NULL (no extrapolation). Same ONE-shuffle
+    union-window shape (no range join); the oracle replays the identical
+    bracketing with DuckDB IGNORE NULLS window frames. Scores rounded to
+    6 dp on both sides (float-noise discipline)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = features.resample_interpolate(ev, ["user_id"], "ts", ["value"], "1 day")
+    return out.withColumn("value", F.round("value", 6))
+
+
 @register("e4_sketch_rollup", None)  # HLL sketch binaries: engine-specific
 def e4_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: daily HLL sketches of user_id per
@@ -5675,7 +5736,7 @@ _FINAL_ORDER = [
     "e4_agg_groupby",
     "e6_topk_per_group",
     "e7_pivot",
-    "e12_pit_join",
+    "e12_interpolate",      # round 7: linear interpolation, exact oracle
     "e13_session_window",
     "e14_resize_meta",
     # -- kept in-window from round 4
@@ -5707,6 +5768,8 @@ _FINAL_ORDER = [
     "e13_stream_window",
     "e14_multimodal_meta",  # displaced by e1_delta_row_tracking; e14
                             # family stays via e14_resize_meta + png
+    "e12_pit_join",         # displaced by e12_interpolate; e12 family
+                            # stays via feature_upsert + interpolate
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -5870,7 +5933,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 82, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 83, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -149,3 +149,30 @@ def test_resample_single_shuffle(spark, sf_dir):
     # grid agg + window fill both hash-partition on user_id; the window
     # must not introduce a range exchange of the unioned data
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_resample_interpolate_known(spark):
+    from datetime import datetime
+    from feature_store_ml_spark.operators import features as FE
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 10.0),   # exactly on grid
+        (1, datetime(2024, 1, 1, 2, 0), 30.0),   # exactly on grid
+        (1, datetime(2024, 1, 1, 3, 30), 60.0),  # between grid points
+        (2, datetime(2024, 1, 1, 0, 30), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.grid_ts.hour): r.value
+        for r in FE.resample_interpolate(
+            df, ["user_id"], "ts", ["value"], "1 hour"
+        ).collect()
+    }
+    # exact-time observations win verbatim
+    assert out[(1, 0)] == 10.0 and out[(1, 2)] == 30.0
+    # linear blend halfway between (0:00, 10) and (2:00, 30)
+    assert out[(1, 1)] == 20.0
+    # 3:00 sits 2/3 of the way from (2:00, 30) to (3:30, 60) -> 50
+    assert abs(out[(1, 3)] - 50.0) < 1e-9
+    # user 2's single grid point (0:00) precedes its only obs: no bracket
+    assert out[(2, 0)] is None
