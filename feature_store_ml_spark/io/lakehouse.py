@@ -482,6 +482,15 @@ _SUPPORTED_WRITER_FEATURES = {
     # MATERIALIZED row ids fail loudly instead (_check_write_allowed).
     "rowTracking",
     "domainMetadata",
+    # inCommitTimestamp: _try_commit stamps a monotonic commitInfo
+    # timestamp on every commit once the table enables it; time travel
+    # prefers it over file mtimes (version_as_of_timestamp)
+    "inCommitTimestamp",
+    # clustering: the spec lets a writer ADD files without clustering
+    # them as long as the delta.clustering domain metadata is preserved —
+    # ours survives commits (separate actions) and checkpoints
+    # (_domain_metadata carry); OPTIMIZE simply doesn't re-cluster
+    "clustering",
 }
 
 #: features implied by each legacy writer version (PROTOCOL.md §Table
@@ -2704,6 +2713,72 @@ def write_delta(
     return version
 
 
+def _maybe_stamp_ict(log: str, version: int, actions: list[dict]) -> None:
+    """IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps): when the
+    table has the feature active, every commit's commitInfo must carry a
+    MONOTONIC ``inCommitTimestamp`` (file mtimes drift under copies; the
+    best-effort ``timestamp`` may go backwards). Active = this commit's
+    metaData enables it, or the previous commit carries one (the cheap
+    continuation signal — one small JSON read, no extra replay). Stamps
+    actions IN PLACE with max(now, previous + 1)."""
+    import time as _time
+
+    enabled = any(
+        ((a.get("metaData") or {}).get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps"
+        )
+        == "true"
+        for a in actions
+    )
+    prev_ict = None
+    if version > 0:
+        prev = os.path.join(log, f"{version - 1:020d}.json")
+        if os.path.exists(prev):
+            try:
+                with open(prev, encoding="utf-8") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a = json.loads(line)
+                        ci = a.get("commitInfo")
+                        if ci and ci.get("inCommitTimestamp") is not None:
+                            prev_ict = int(ci["inCommitTimestamp"])
+                        md = a.get("metaData")
+                        if md and (md.get("configuration") or {}).get(
+                            "delta.enableInCommitTimestamps"
+                        ) == "true":
+                            enabled = True
+            except (OSError, ValueError):
+                pass
+        else:
+            # prev JSON cleaned after a checkpoint: the enablement signal
+            # survives in the checkpoint's metaData configuration
+            try:
+                _v, ckpt_files = _latest_checkpoint(log)
+                for f in ckpt_files:
+                    for row in _manifest_rows(f, log, follow_sidecars=False):
+                        md = row.get("metaData")
+                        if md and (md.get("configuration") or {}).get(
+                            "delta.enableInCommitTimestamps"
+                        ) == "true":
+                            enabled = True
+            except (OSError, ValueError):
+                pass
+    if not enabled and prev_ict is None:
+        return
+    ict = max(int(_time.time() * 1000), (prev_ict or 0) + 1)
+    stamped = False
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"]["inCommitTimestamp"] = ict
+            stamped = True
+    if not stamped:
+        actions.append(
+            {"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict}}
+        )
+
+
 def _try_commit(log: str, version: int, actions: list[dict], path: str) -> bool:
     """Attempt to claim exactly ``version``: write a temp file, then
     ``os.link`` it to the final name — link fails with EEXIST when the
@@ -2712,6 +2787,7 @@ def _try_commit(log: str, version: int, actions: list[dict], path: str) -> bool:
     silently clobber). Returns False on a lost race."""
     import uuid
 
+    _maybe_stamp_ict(log, version, actions)
     tmp_commit = os.path.join(log, f".{version:020d}.json.{uuid.uuid4().hex[:8]}.tmp")
     final_commit = os.path.join(log, f"{version:020d}.json")
     with open(tmp_commit, "w", encoding="utf-8") as fh:

@@ -504,7 +504,9 @@ def bm25_topk(
         F.explode(words(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length = sum of its term counts — derived from tf so the corpus
+    # explodes ONCE (a second toks scan would re-shuffle 100 TB of tokens)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
     cand = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
     docfreq = cand.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

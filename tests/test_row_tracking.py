@@ -167,3 +167,49 @@ def test_column_invariants_enforced(spark, tmp_path):
         spark, spark.range(10, 15).select("id"), t, mode="append"
     )
     assert lakehouse.read_delta(spark, t).count() == 14
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """Once delta.enableInCommitTimestamps is set, every commit carries a
+    MONOTONIC commitInfo.inCommitTimestamp and timestamp time travel
+    prefers it over wall clocks / file mtimes."""
+    import os
+    import time
+
+    t = str(tmp_path / "ict")
+    lakehouse.write_delta(spark, spark.range(0, 10).select("id"), t)   # v0
+    lakehouse.alter_delta_properties(
+        t, {"delta.enableInCommitTimestamps": "true"}
+    )                                                                  # v1
+    lakehouse.write_delta(
+        spark, spark.range(10, 20).select("id"), t, mode="append"
+    )                                                                  # v2
+    lakehouse.delete_delta(spark, t, "id = 0")                         # v3
+    log = lakehouse._delta_log_dir(t)
+    icts = {}
+    for v in range(4):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "commitInfo" in a and a["commitInfo"].get(
+                    "inCommitTimestamp"
+                ):
+                    icts[v] = a["commitInfo"]["inCommitTimestamp"]
+    assert 0 not in icts          # pre-enablement commits unstamped
+    assert set(icts) == {1, 2, 3}
+    assert icts[1] < icts[2] < icts[3] or (
+        icts[1] <= icts[2] <= icts[3]
+        and len({icts[1], icts[2], icts[3]}) == 3
+    )  # strictly monotonic
+    # time travel resolves through the stamped clock
+    v = lakehouse.version_as_of_timestamp(t, icts[2])
+    assert v == 2
+    # foreign ICT tables are writable (feature is in the supported set)
+    lakehouse._commit(t, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["inCommitTimestamp", "appendOnly", "invariants"],
+    }}])
+    lakehouse.write_delta(
+        spark, spark.range(20, 25).select("id"), t, mode="append"
+    )
+    assert lakehouse.read_delta(spark, t).count() == 24
