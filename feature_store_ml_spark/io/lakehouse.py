@@ -556,12 +556,15 @@ def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
                 "would remove rows; only appends are allowed"
             )
     if (meta.get("configuration") or {}).get("delta.enableRowTracking") == "true":
-        if operation in ("merge", "update", "replaceWhere", "optimize"):
+        # compaction MATERIALIZES ids into the rewritten files (the
+        # spec's preservation rule — see compact_delta); the row-level
+        # DML rewrites below still refuse
+        if operation in ("merge", "update", "replaceWhere"):
             raise NotImplementedError(
                 f"{path}: {operation} on a ROW-TRACKED table is not "
-                "implemented — rewriting files would need the surviving "
-                "rows' ids MATERIALIZED into the new files; delete via "
-                "deletion vectors or overwrite instead"
+                "implemented — rewriting rows would need the surviving "
+                "ids MATERIALIZED through the merge; delete via deletion "
+                "vectors or overwrite instead (compaction preserves ids)"
             )
     if operation in ("merge", "update", "replaceWhere"):
         # these take rows (or SET expressions) from a source batch — on a
@@ -1638,7 +1641,29 @@ def compact_delta(
     # DV-masked rows are filtered here, so compaction doubles as a DV
     # PURGE: the rewritten files carry no deletionVector and the dead rows
     # are physically gone (delta-spark's REORG TABLE ... APPLY (PURGE))
-    live = _scan_files(spark, path, files, meta, adds_map)
+    _conf = meta.get("configuration") or {}
+    rt = _conf.get("delta.enableRowTracking") == "true"
+    mat_id = _conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = _conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if rt and not (mat_id and mat_ver):
+        raise ValueError(
+            f"{path}: row tracking enabled but the materialized column "
+            "names are not configured — corrupt table properties"
+        )
+    if rt:
+        # ROW-TRACKED rewrite: every surviving row's id and commit version
+        # are MATERIALIZED into the new files under the configured
+        # physical names (spec §Row Tracking preservation) — the fresh-row
+        # rule no longer applies to them, so ids survive any repacking
+        live = (
+            _scan_with_row_ids(spark, path, meta, adds_map)
+            .withColumnRenamed("row_id", mat_id)
+            .withColumnRenamed("row_commit_version", mat_ver)
+        )
+    else:
+        live = _scan_files(spark, path, files, meta, adds_map)
     if not part_cols:
         if target_files is None:
             total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
@@ -1726,6 +1751,56 @@ def compact_delta(
             }
         ]
     )
+    if rt:
+        # rewritten adds still need baseRowId (spec: required on every
+        # add once the feature is active) — fresh ranges from the domain
+        # watermark; the materialized columns carry the real ids
+        import pyarrow.parquet as _pq
+
+        dm = _domain_metadata(path)
+        try:
+            nxt = int(
+                json.loads(dm.get("delta.rowTracking") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            ) + 1
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{path}: unparseable delta.rowTracking domain metadata"
+            )
+        for a in adds:
+            try:
+                n = int(
+                    json.loads(a["add"].get("stats") or "{}").get("numRecords")
+                )
+            except (TypeError, ValueError):
+                n = _pq.ParquetFile(
+                    os.path.join(path, a["add"]["path"])
+                ).metadata.num_rows
+            a["add"]["baseRowId"] = nxt
+            nxt += n
+        actions.insert(
+            len(actions) - 1,
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": nxt - 1}
+                    ),
+                    "removed": False,
+                }
+            },
+        )
+        log = _delta_log_dir(path)
+        version = _next_version(log)
+        for a in adds:
+            a["add"]["defaultRowCommitVersion"] = version
+        if not _try_commit(log, version, actions, path):
+            raise RuntimeError(
+                f"{path}: version {version} was committed concurrently — "
+                "re-run the compaction against the new snapshot"
+            )
+        return version
     return _commit(path, actions)
 
 
@@ -4592,51 +4667,43 @@ def enable_delta_row_tracking(spark: SparkSession, path: str) -> int:
     return version
 
 
-def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
-    """Read a ROW-TRACKED table with its stable ``row_id`` and
-    ``row_commit_version`` columns: for un-rewritten files these are
-    ``baseRowId + physical row index`` and ``defaultRowCommitVersion``
-    (the spec's fresh-row rule). DV-masked rows simply leave holes — the
-    surviving rows' ids never move, which is the whole point (CDC
-    joins, training-example provenance, feature lineage all key on it).
-
-    The (file -> baseRowId) map is metadata-sized and broadcast; the id
-    arithmetic is a JVM-side projection over the hidden ``_metadata``
-    columns — no Python, no shuffle. Files that carry MATERIALIZED row
-    ids (a foreign engine's rewrites) fail loudly: silently falling back
-    to the fresh-row rule would return different ids than the writer
-    assigned."""
+def _scan_with_row_ids(
+    spark: SparkSession, path: str, meta: dict, adds_map: dict
+) -> DataFrame:
+    """Declared columns + ``row_id`` / ``row_commit_version`` for a
+    row-tracked snapshot, handling BOTH file generations per the spec's
+    precedence: files carrying the MATERIALIZED physical columns (our
+    compaction rewrites, or a foreign engine's) read them, null entries
+    and fresh files fall back to ``baseRowId + physical row index`` /
+    ``defaultRowCommitVersion``. DV masks apply in both branches (the
+    materialized branch scans through _scan_files with the schema
+    extended by the two physical columns, so descriptor resolution is
+    shared). One O(#files) footer probe to split the generations — the
+    same metadata pass stats collection pays."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
 
     import pyarrow.parquet as pq
 
-    adds_map, meta = _replay_log_adds(path)
     conf = meta.get("configuration") or {}
-    if conf.get("delta.enableRowTracking") != "true":
-        raise ValueError(
-            f"{path}: table does not have row tracking enabled — "
-            "enable_delta_row_tracking(path) first"
-        )
-    mat = [
-        conf.get("delta.rowTracking.materializedRowIdColumnName"),
-        conf.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
-    ]
-    files = [os.path.join(path, rel) for rel in adds_map]
+    mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    declared = StructType.fromJson(json.loads(meta["schemaString"]))
+    plain: list[str] = []
+    mat: list[str] = []
     rows = []
     for rel, a in sorted(adds_map.items()):
         f = os.path.join(path, rel)
-        names = set(pq.read_schema(f).names)
-        if any(m and m in names for m in mat):
-            raise NotImplementedError(
-                f"{path}: file {rel} carries materialized row ids — "
-                "reading rewritten row-tracked files is not implemented"
-            )
         if a.get("baseRowId") is None:
             raise ValueError(
                 f"{path}: live file {rel} lacks baseRowId — row tracking "
                 "metadata is incomplete (foreign writer without the "
                 "feature?)"
             )
+        names = set(pq.read_schema(f).names)
+        (mat if (mat_id and mat_id in names) else plain).append(f)
         rcv = a.get("defaultRowCommitVersion")
         rows.append(
             (
@@ -4645,16 +4712,70 @@ def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
                 -1 if rcv is None else int(rcv),  # 0 is a real version
             )
         )
-    scan = _scan_files(spark, path, files, meta, adds_map, with_metadata=True)
     m = spark.createDataFrame(rows, "_rt_fp string, _rt_base long, _rt_ver long")
+    branches = []
+    if plain:
+        s = _scan_files(spark, path, plain, meta, adds_map, with_metadata=True)
+        branches.append(
+            s.withColumn("_mr", F.lit(None).cast("long")).withColumn(
+                "_mv", F.lit(None).cast("long")
+            )
+        )
+    if mat:
+        phys = StructType(
+            list(declared.fields)
+            + [
+                StructField(mat_id, LongType(), True),
+                StructField(mat_ver, LongType(), True),
+            ]
+        )
+        meta_ext = {**meta, "schemaString": phys.json()}
+        s = _scan_files(spark, path, mat, meta_ext, adds_map, with_metadata=True)
+        branches.append(
+            s.withColumnRenamed(mat_id, "_mr").withColumnRenamed(
+                mat_ver, "_mv"
+            )
+        )
+    from functools import reduce as _reduce
+
+    scan = _reduce(lambda a, b: a.unionByName(b), branches)
     return (
         scan.withColumn("_fp0", F.col("_metadata.file_path"))
         .withColumn("_ri0", F.col("_metadata.row_index"))
         .join(F.broadcast(m), F.col("_fp0") == F.col("_rt_fp"))
-        .withColumn("row_id", F.col("_rt_base") + F.col("_ri0"))
-        .withColumn("row_commit_version", F.col("_rt_ver"))
-        .drop("_fp0", "_ri0", "_rt_fp", "_rt_base", "_rt_ver", "_metadata")
+        .withColumn(
+            "row_id", F.coalesce(F.col("_mr"), F.col("_rt_base") + F.col("_ri0"))
+        )
+        .withColumn(
+            "row_commit_version", F.coalesce(F.col("_mv"), F.col("_rt_ver"))
+        )
+        .drop(
+            "_fp0", "_ri0", "_rt_fp", "_rt_base", "_rt_ver",
+            "_mr", "_mv", "_metadata",
+        )
     )
+
+
+def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ROW-TRACKED table with its stable ``row_id`` and
+    ``row_commit_version`` columns: fresh files compute
+    ``baseRowId + physical row index`` / ``defaultRowCommitVersion``;
+    rewritten files (compaction) carry the ids MATERIALIZED and read
+    them back. DV-masked rows simply leave holes — the surviving rows'
+    ids never move, which is the whole point (CDC joins,
+    training-example provenance, feature lineage all key on it).
+
+    The (file -> baseRowId) map is metadata-sized and broadcast; the id
+    arithmetic is a JVM-side projection over the hidden ``_metadata``
+    columns — no Python, no shuffle."""
+    adds_map, meta = _replay_log_adds(path)
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableRowTracking") != "true":
+        raise ValueError(
+            f"{path}: table does not have row tracking enabled — "
+            "enable_delta_row_tracking(path) first"
+        )
+    return _scan_with_row_ids(spark, path, meta, adds_map)
 
 
 def describe_delta_history(path: str) -> list[dict]:

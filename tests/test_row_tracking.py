@@ -1,7 +1,8 @@
 """Delta ROW TRACKING (PROTOCOL.md §Row Tracking): stable row ids —
 baseRowId ranges allocated from the delta.rowTracking domain's high
-water mark, surviving appends, DV deletes, and checkpoint + log cleanup;
-rewriting operations fail loudly (no materialized-id support)."""
+water mark, surviving appends, DV deletes, checkpoint + log cleanup,
+and COMPACTION (which materializes ids into the rewritten files);
+row-level DML rewrites (merge/update/replaceWhere) fail loudly."""
 
 import json
 
@@ -52,8 +53,6 @@ def test_rewrites_refuse(spark, tmp_path):
     t = str(tmp_path / "rw")
     df = spark.range(0, 50).select("id", (F.col("id") % 5).alias("v"))
     lakehouse.write_delta(spark, df, t, row_tracking=True)
-    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
-        lakehouse.compact_delta(spark, t)
     with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
         lakehouse.update_delta(spark, t, {"v": "9"}, "id = 1")
     with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
@@ -213,3 +212,43 @@ def test_in_commit_timestamps(spark, tmp_path):
         spark, spark.range(20, 25).select("id"), t, mode="append"
     )
     assert lakehouse.read_delta(spark, t).count() == 24
+
+
+def test_compaction_materializes_ids(spark, tmp_path):
+    """OPTIMIZE on a row-tracked table preserves every surviving row's id
+    by MATERIALIZING it into the rewritten files (spec preservation
+    rule) — and purges DVs in the same pass. Recursive compactions stay
+    stable; the declared read never exposes the physical id columns."""
+    t = str(tmp_path / "mat")
+    df = spark.range(0, 200).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, t, row_tracking=True)
+    lakehouse.write_delta(
+        spark,
+        spark.range(200, 300).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    lakehouse.delete_delta(spark, t, "v = 2")
+    pre = _ids(spark, t)
+    lakehouse.compact_delta(spark, t)
+    adds, _meta = lakehouse._replay_log_adds(t)
+    assert not any(a.get("deletionVector") for a in adds.values())  # purged
+    assert all(a.get("baseRowId") is not None for a in adds.values())
+    assert _ids(spark, t) == pre  # ids byte-stable across the rewrite
+    # appends keep allocating above the advanced watermark
+    lakehouse.write_delta(
+        spark,
+        spark.range(300, 320).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    allids = {k: r for k, (r, _v) in _ids(spark, t).items()}
+    assert len(set(allids.values())) == 260
+    assert all(v >= 300 for k, v in allids.items() if k >= 300)
+    # recursive: compact files that ALREADY carry materialized columns
+    lakehouse.delete_delta(spark, t, "v = 4")
+    pre2 = _ids(spark, t)
+    lakehouse.compact_delta(spark, t)
+    assert _ids(spark, t) == pre2
+    # the declared-schema read stays clean
+    assert lakehouse.read_delta(spark, t).columns == ["id", "v"]
