@@ -672,18 +672,20 @@ def convert_iceberg_to_delta(
         if dv_blobs:
             proto = lakehouse._current_protocol(path)
             if "deletionVectors" not in set(proto.get("readerFeatures") or []):
+                # legacy prior protocols expand to their implied feature
+                # lists — emitting bare v7 lists would silently un-declare
+                # active features (the checkpoint bug's twin)
+                r0, w0 = lakehouse._protocol_as_features(proto)
                 actions.append(
                     {
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
                             "readerFeatures": sorted(
-                                set(proto.get("readerFeatures") or [])
-                                | {"deletionVectors"}
+                                r0 | {"deletionVectors"}
                             ),
                             "writerFeatures": sorted(
-                                set(proto.get("writerFeatures") or [])
-                                | {"deletionVectors"}
+                                w0 | {"deletionVectors"}
                             ),
                         }
                     }

@@ -1826,13 +1826,41 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
         if a.get("deletionVector", {}).get("storageType") == "u"
     }
     # a CONVERTED dual-format table carries an Iceberg metadata/ dir whose
-    # manifests reference position-delete parquet this log knows nothing
-    # about — vacuuming through it would corrupt the Iceberg view
+    # manifests reference files this log knows nothing about — the
+    # metadata dir itself, AND (iceberg→delta direction) position-delete
+    # parquet living under data/ next to shared data files. Vacuuming
+    # either would corrupt the Iceberg view, so every file a retained
+    # Iceberg snapshot references is exempt (metadata-sized manifest walk;
+    # Iceberg's own expire/orphan actions reclaim that side's dead bytes).
     ice_dir = os.path.join(path, "metadata")
     skip_ice = os.path.isdir(ice_dir) and (
         os.path.exists(os.path.join(ice_dir, "version-hint.text"))
         or any(n.endswith(".metadata.json") for n in os.listdir(ice_dir))
     )
+    ice_live: set[str] = set()
+    if skip_ice:
+        from . import avro_lite as _avro
+        from . import iceberg as _ice
+
+        try:
+            _meta = _ice._load_metadata(path)
+            for snap in _meta.get("snapshots", []):
+                mlist = _ice._localize(snap["manifest-list"], path)
+                for entry in _avro.read_container(mlist):
+                    mp = _ice._localize(entry["manifest_path"], path)
+                    for m in _avro.read_container(mp):
+                        ice_live.add(
+                            os.path.realpath(
+                                _ice._localize(
+                                    m["data_file"]["file_path"], path
+                                )
+                            )
+                        )
+        except (OSError, ValueError, KeyError):
+            raise ValueError(
+                f"{path}: table carries an Iceberg view whose metadata "
+                "could not be walked — refusing to vacuum blind"
+            )
     doomed: list[str] = []
     for dirpath, dirnames, filenames in os.walk(path):
         # metadata/staging/checkpoint dirs are not data space (Hive
@@ -1841,8 +1869,13 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
         if dirpath == path and skip_ice:
             dirnames[:] = [d for d in dirnames if d != "metadata"]
         for name in filenames:
-            rel = os.path.relpath(os.path.join(dirpath, name), path)
-            if name.endswith(".parquet") and rel not in live_names:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, path)
+            if (
+                name.endswith(".parquet")
+                and rel not in live_names
+                and os.path.realpath(full) not in ice_live
+            ):
                 doomed.append(rel)
             elif (
                 name.startswith("deletion_vector_")
@@ -2580,13 +2613,20 @@ def write_delta(
 
     # row-id allocation: contiguous baseRowId ranges from the domain's
     # high water mark, sized by each staged file's footer row count —
-    # driver-side O(#files) metadata, advanced in the SAME commit
+    # driver-side O(#files) metadata, advanced in the SAME commit.
+    # The OBLIGATION is tied to the protocol FEATURE, not the config
+    # flag (spec: a writer supporting rowTracking must assign baseRowId
+    # on every add even while delta.enableRowTracking is off)
     rt_enabled = row_tracking or (
         existing
-        and (table_meta.get("configuration") or {}).get(
-            "delta.enableRowTracking"
+        and (
+            (table_meta.get("configuration") or {}).get(
+                "delta.enableRowTracking"
+            )
+            == "true"
+            or "rowTracking"
+            in (_current_protocol(path).get("writerFeatures") or [])
         )
-        == "true"
     )
     rt_domain_action: dict | None = None
     if rt_enabled and adds:
@@ -2670,13 +2710,12 @@ def write_delta(
                 }
             )
     if not existing or mode == "overwrite":
-        if identity_schema_json is not None and existing:
-            _cfg = table_meta.get("configuration") or {}
-        elif cm_meta is not None:
+        if cm_meta is not None:
             _cfg = cm_meta["configuration"]
-        elif rt_enabled and existing:
-            # an overwrite of a row-tracked table keeps tracking on —
-            # resetting the configuration would silently disable it
+        elif existing:
+            # an overwrite replaces DATA, not table properties: resetting
+            # the configuration would silently disable CDF / constraints /
+            # row tracking / ICT while the protocol still advertises them
             _cfg = table_meta.get("configuration") or {}
         else:
             _cfg = {}
@@ -2812,6 +2851,14 @@ def _maybe_stamp_ict(log: str, version: int, actions: list[dict]) -> None:
             try:
                 with open(prev, encoding="utf-8") as fh:
                     for line in fh:
+                        # substring pre-filter: a 50k-add commit must not
+                        # pay a json.loads per action on EVERY subsequent
+                        # commit just to learn ICT is off
+                        if (
+                            "inCommitTimestamp" not in line
+                            and "enableInCommitTimestamps" not in line
+                        ):
+                            continue
                         line = line.strip()
                         if not line:
                             continue

@@ -3637,7 +3637,7 @@ def e1_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(n_live AS BIGINT) AS n_rows,
            CAST(n_live AS BIGINT) AS n_distinct_ids,
-           CAST(n_written - 1 AS BIGINT) AS max_row_id
+           CAST(n_written - 1 AS BIGINT) AS id_watermark
     FROM (
       SELECT
         (SELECT COUNT(*) FROM lineitem
@@ -3653,12 +3653,15 @@ def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocated from the delta.rowTracking domain's high water mark),
     append a second batch, DV-delete a slice, then read back with
     ``read_delta_row_ids``. The oracle states the contract: every
-    surviving row's id distinct, and the maximum id exactly
+    surviving row's id distinct, and the allocation WATERMARK (the
+    delta.rowTracking domain's high water mark) exactly
     (#rows ever written - 1) — contiguous allocation across both
-    commits, ids never reassigned by the delete (holes, not renumbering;
-    any reallocation would shrink max_row_id or collide ids). The
+    commits, delete-independent by design (the max SURVIVING id would
+    depend on whether the physically-last row happened to match the
+    predicate). All surviving ids must sit at or below the watermark,
+    which the query RAISES on rather than fold into the result. The
     surviving-id-stability half is pinned by tests/test_row_tracking.py;
-    here the id arithmetic is a broadcast-joined JVM projection over the
+    the id arithmetic is a broadcast-joined JVM projection over the
     hidden _metadata columns — no Python, no shuffle."""
     import shutil
     import tempfile
@@ -3682,10 +3685,21 @@ def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     lakehouse.delete_delta(spark, t, "l_linenumber = 3")
-    return lakehouse.read_delta_row_ids(spark, t).agg(
+    import json as _json2
+
+    hwm = _json2.loads(
+        lakehouse._domain_metadata(t)["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+    out = lakehouse.read_delta_row_ids(spark, t)
+    top = out.agg(F.max("row_id")).collect()[0][0]
+    if top is not None and top > hwm:
+        raise AssertionError(
+            f"row id {top} above the allocation watermark {hwm}"
+        )
+    return out.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("row_id").alias("n_distinct_ids"),
-        F.max("row_id").alias("max_row_id"),
+        F.lit(int(hwm)).cast("long").alias("id_watermark"),
     )
 
 

@@ -386,3 +386,20 @@ def test_rename_preserves_id_mode_mapping(spark, tmp_path):
         mode="append",
     )
     assert lakehouse.read_delta(spark, root).count() == 60
+
+
+def test_vacuum_protects_converted_pos_deletes(spark, tmp_path):
+    """Round-7 regression: Delta-side vacuum on an iceberg→delta converted
+    table must not sweep the Iceberg view's position-delete parquet under
+    data/ (they are not Delta adds, but a retained snapshot needs them)."""
+    root = str(tmp_path / "vp")
+    iceberg.write_iceberg(
+        spark, spark.range(0, 100).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id < 10")
+    convert.convert_iceberg_to_delta(spark, root)
+    before = iceberg.read_iceberg(spark, root).count()
+    doomed = lakehouse.vacuum_delta(root)
+    assert not any("delete-" in p for p in doomed)
+    assert iceberg.read_iceberg(spark, root).count() == before == 90
+    assert lakehouse.read_delta(spark, root).count() == 90

@@ -611,9 +611,9 @@ def test_unsupported_writer_features_refused(spark, tmp_path):
     lakehouse.write_delta(spark, spark.range(5).select("id"), root)
     lakehouse._commit(root, [{"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "readerFeatures": [], "writerFeatures": ["rowTracking"],
+        "readerFeatures": [], "writerFeatures": ["icebergCompatV2"],
     }}])
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         lakehouse.write_delta(
             spark, spark.range(5).select("id"), root, mode="append"
         )
