@@ -252,3 +252,28 @@ def test_compaction_materializes_ids(spark, tmp_path):
     assert _ids(spark, t) == pre2
     # the declared-schema read stays clean
     assert lakehouse.read_delta(spark, t).columns == ["id", "v"]
+
+
+def test_partitioned_compaction_materializes(spark, tmp_path):
+    """Per-partition bin-packing on a row-tracked PARTITIONED table keeps
+    every surviving id (materialized through the Hive-layout rewrite)."""
+    t = str(tmp_path / "prt")
+    df = spark.range(0, 300).select(
+        "id", (F.col("id") % 3).alias("p"), (F.col("id") % 7).alias("v")
+    )
+    lakehouse.write_delta(spark, df, t, row_tracking=True, partition_by=["p"])
+    lakehouse.write_delta(
+        spark,
+        spark.range(300, 400).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") % 7).alias("v")
+        ),
+        t,
+        mode="append",
+        partition_by=["p"],
+    )
+    lakehouse.delete_delta(spark, t, "v = 1")
+    pre = _ids(spark, t)
+    lakehouse.compact_delta(spark, t)
+    assert _ids(spark, t) == pre
+    adds, _meta = lakehouse._replay_log_adds(t)
+    assert not any(a.get("deletionVector") for a in adds.values())
