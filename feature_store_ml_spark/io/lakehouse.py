@@ -4803,7 +4803,9 @@ def _scan_with_row_ids(
     )
 
 
-def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
+def read_delta_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a ROW-TRACKED table with its stable ``row_id`` and
     ``row_commit_version`` columns: fresh files compute
     ``baseRowId + physical row index`` / ``defaultRowCommitVersion``;
@@ -4814,8 +4816,10 @@ def read_delta_row_ids(spark: SparkSession, path: str) -> DataFrame:
 
     The (file -> baseRowId) map is metadata-sized and broadcast; the id
     arithmetic is a JVM-side projection over the hidden ``_metadata``
-    columns — no Python, no shuffle."""
-    adds_map, meta = _replay_log_adds(path)
+    columns — no Python, no shuffle. ``version`` time-travels: row ids
+    are STABLE across versions, so joining two travels on row_id is the
+    protocol-level diff row tracking exists for."""
+    adds_map, meta = _replay_log_adds(path, max_version=version)
     conf = meta.get("configuration") or {}
     if conf.get("delta.enableRowTracking") != "true":
         raise ValueError(

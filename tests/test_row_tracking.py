@@ -277,3 +277,28 @@ def test_partitioned_compaction_materializes(spark, tmp_path):
     assert _ids(spark, t) == pre
     adds, _meta = lakehouse._replay_log_adds(t)
     assert not any(a.get("deletionVector") for a in adds.values())
+
+
+def test_time_traveled_row_ids_diff(spark, tmp_path):
+    """row ids are stable ACROSS versions, so joining two time travels on
+    row_id is the protocol-level diff row tracking exists for."""
+    t = str(tmp_path / "tt")
+    lakehouse.write_delta(
+        spark, spark.range(0, 50).select("id"), t, row_tracking=True
+    )                                                             # v0
+    lakehouse.write_delta(
+        spark, spark.range(50, 80).select("id"), t, mode="append"
+    )                                                             # v1
+    lakehouse.delete_delta(spark, t, "id < 5")                    # v2
+    old = {
+        r.id: r.row_id
+        for r in lakehouse.read_delta_row_ids(spark, t, version=0).collect()
+    }
+    new = {
+        r.id: r.row_id
+        for r in lakehouse.read_delta_row_ids(spark, t).collect()
+    }
+    assert len(old) == 50 and len(new) == 75
+    assert all(new[k] == v for k, v in old.items() if k in new)
+    assert len(set(new.values()) - set(old.values())) == 30  # inserts
+    assert len(set(old.values()) - set(new.values())) == 5   # deletes
