@@ -525,14 +525,15 @@ _MAX_SUPPORTED_WRITER_VERSION = 6  # v6 = identity columns (implemented);
 #                                    v7 = table features (list-checked above)
 
 
-def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
+def _check_write_allowed(path: str, meta: dict, operation: str) -> dict:
     """Refuse to WRITE a table whose protocol demands writer behavior this
     module does not implement — writing anyway could silently violate an
     invariant some other reader depends on. Also enforces the behaviors we
     DO implement: ``delta.appendOnly`` tables reject every row-removing
     operation (overwrite / merge / delete / restore), per the spec.
     ``operation`` ∈ {append, overwrite, merge, delete, restore, optimize,
-    metadata}."""
+    metadata}. Returns the table's current protocol so callers that need
+    it (row-tracking obligation checks) don't replay the log twice."""
     proto = _current_protocol(path)
     v = proto.get("minWriterVersion", 2) or 2
     if v == 7:
@@ -581,6 +582,7 @@ def _check_write_allowed(path: str, meta: dict, operation: str) -> None:
                     "values cannot come from a source batch; append via "
                     "write_delta instead"
                 )
+    return proto
 
 
 def _current_protocol(path: str) -> dict:
@@ -1632,7 +1634,7 @@ def compact_delta(
     from pyspark.sql import functions as F
 
     adds_map, meta = _replay_log_adds(path)
-    _check_write_allowed(path, meta, "optimize")
+    _proto = _check_write_allowed(path, meta, "optimize")
     files = [os.path.join(path, p) for p in adds_map]
     part_cols = meta.get("partitionColumns") or []
     if not files:
@@ -1642,17 +1644,23 @@ def compact_delta(
     # PURGE: the rewritten files carry no deletionVector and the dead rows
     # are physically gone (delta-spark's REORG TABLE ... APPLY (PURGE))
     _conf = meta.get("configuration") or {}
-    rt = _conf.get("delta.enableRowTracking") == "true"
+    # the baseRowId OBLIGATION follows the protocol FEATURE (same rule as
+    # write_delta); id PRESERVATION via materialization only applies once
+    # delta.enableRowTracking is actually on
+    rt = _conf.get("delta.enableRowTracking") == "true" or "rowTracking" in (
+        _proto.get("writerFeatures") or []
+    )
+    materialize = _conf.get("delta.enableRowTracking") == "true"
     mat_id = _conf.get("delta.rowTracking.materializedRowIdColumnName")
     mat_ver = _conf.get(
         "delta.rowTracking.materializedRowCommitVersionColumnName"
     )
-    if rt and not (mat_id and mat_ver):
+    if materialize and not (mat_id and mat_ver):
         raise ValueError(
             f"{path}: row tracking enabled but the materialized column "
             "names are not configured — corrupt table properties"
         )
-    if rt:
+    if materialize:
         # ROW-TRACKED rewrite: every surviving row's id and commit version
         # are MATERIALIZED into the new files under the configured
         # physical names (spec §Row Tracking preservation) — the fresh-row
@@ -1755,42 +1763,7 @@ def compact_delta(
         # rewritten adds still need baseRowId (spec: required on every
         # add once the feature is active) — fresh ranges from the domain
         # watermark; the materialized columns carry the real ids
-        import pyarrow.parquet as _pq
-
-        dm = _domain_metadata(path)
-        try:
-            nxt = int(
-                json.loads(dm.get("delta.rowTracking") or "{}").get(
-                    "rowIdHighWaterMark", -1
-                )
-            ) + 1
-        except (TypeError, ValueError):
-            raise ValueError(
-                f"{path}: unparseable delta.rowTracking domain metadata"
-            )
-        for a in adds:
-            try:
-                n = int(
-                    json.loads(a["add"].get("stats") or "{}").get("numRecords")
-                )
-            except (TypeError, ValueError):
-                n = _pq.ParquetFile(
-                    os.path.join(path, a["add"]["path"])
-                ).metadata.num_rows
-            a["add"]["baseRowId"] = nxt
-            nxt += n
-        actions.insert(
-            len(actions) - 1,
-            {
-                "domainMetadata": {
-                    "domain": "delta.rowTracking",
-                    "configuration": json.dumps(
-                        {"rowIdHighWaterMark": nxt - 1}
-                    ),
-                    "removed": False,
-                }
-            },
-        )
+        actions.insert(len(actions) - 1, _allocate_base_row_ids(path, adds))
         log = _delta_log_dir(path)
         version = _next_version(log)
         for a in adds:
@@ -2288,6 +2261,46 @@ def _advance_identity_schema(
     return json.dumps(base_schema)
 
 
+def _allocate_base_row_ids(path: str, adds: "list[dict]") -> dict:
+    """Assign contiguous ``baseRowId`` ranges to ``adds`` (in place) from
+    the delta.rowTracking domain's high water mark, sized by each staged
+    file's stats/footer row count, and return the domainMetadata action
+    advancing the mark. ``defaultRowCommitVersion`` is patched by the
+    caller once the commit version is known. Shared by write_delta and
+    compact_delta so the allocation rule cannot diverge."""
+    import pyarrow.parquet as _pq
+
+    dm = _domain_metadata(path)
+    try:
+        nxt = int(
+            json.loads(dm.get("delta.rowTracking") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        ) + 1
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{path}: unparseable delta.rowTracking domain metadata"
+        )
+    for a in adds:
+        try:
+            n = int(
+                json.loads(a["add"].get("stats") or "{}").get("numRecords")
+            )
+        except (TypeError, ValueError):
+            n = _pq.ParquetFile(
+                os.path.join(path, a["add"]["path"])
+            ).metadata.num_rows
+        a["add"]["baseRowId"] = nxt
+        nxt += n
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": nxt - 1}),
+            "removed": False,
+        }
+    }
+
+
 def _hive_partition_values(rel_dir: str) -> dict[str, str | None]:
     """Parse Hive-style directory components (``k=v/k2=v2``) into the
     protocol's partitionValues map. Values are URL-unescaped (Spark escapes
@@ -2477,10 +2490,11 @@ def write_delta(
                 "write_delta: row_tracking + column mapping is not "
                 "implemented"
             )
+    table_proto: dict = {}
     if existing:
         prior_live, meta = _replay_log(path)
         table_meta = meta
-        _check_write_allowed(path, meta, mode)
+        table_proto = _check_write_allowed(path, meta, mode)
         if meta.get("schemaString"):
             for _fld in json.loads(meta["schemaString"]).get("fields", []):
                 _md = _fld.get("metadata") or {}
@@ -2559,11 +2573,38 @@ def write_delta(
     # 1. distributed data write into a staging dir (Hive layout when
     #    partitioned — executors write straight into col=value/ dirs)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    # append to a column-mapped table stages PHYSICAL names; overwrite
-    # re-emits an unmapped metaData below, so its files stay logical
+    # overwrite of an EXISTING column-mapped table keeps the mapping (the
+    # configuration is preserved below, so the files must stay physical
+    # and the schemaString mapped — staging logical names here would
+    # orphan the mapping and null every subsequent read); a schema change
+    # through that path is refused
+    mapped_overwrite = bool(
+        existing
+        and mode == "overwrite"
+        and cm_meta is None
+        and table_meta.get("schemaString")
+        and _mapping_mode(table_meta)
+    )
+    if mapped_overwrite:
+        from pyspark.sql.types import StructType as _ST
+
+        _declared = _ST.fromJson(json.loads(table_meta["schemaString"]))
+        if [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ] != [
+            (f.name, f.dataType.simpleString()) for f in _declared.fields
+        ]:
+            raise NotImplementedError(
+                f"{path}: overwrite of a column-mapped table with a "
+                "DIFFERENT schema is not implemented — the batch must "
+                "match the declared logical schema so files stage under "
+                "the existing physical names"
+            )
+    # append to (or mapped-overwrite of) a column-mapped table stages
+    # PHYSICAL names
     if cm_meta is not None:
         staged_df = _to_physical(df, cm_meta)
-    elif mode == "append":
+    elif mode == "append" or mapped_overwrite:
         staged_df = _to_physical(df, table_meta)
     else:
         staged_df = df
@@ -2574,7 +2615,7 @@ def write_delta(
         if cm_meta is not None:
             stage_mapping = _physical_names(cm_meta)
         elif (
-            mode == "append"
+            (mode == "append" or mapped_overwrite)
             and existing
             and table_meta.get("schemaString")
             and _mapping_mode(table_meta)
@@ -2624,48 +2665,14 @@ def write_delta(
                 "delta.enableRowTracking"
             )
             == "true"
-            or "rowTracking"
-            in (_current_protocol(path).get("writerFeatures") or [])
+            or "rowTracking" in (table_proto.get("writerFeatures") or [])
         )
     )
     rt_domain_action: dict | None = None
     if rt_enabled and adds:
-        import pyarrow.parquet as _pq
-
-        dm = _domain_metadata(path) if existing else {}
-        try:
-            rt_hwm = int(
-                json.loads(dm.get("delta.rowTracking") or "{}").get(
-                    "rowIdHighWaterMark", -1
-                )
-            )
-        except (TypeError, ValueError):
-            raise ValueError(
-                f"{path}: unparseable delta.rowTracking domain metadata"
-            )
-        nxt = rt_hwm + 1
-        for a in adds:
-            try:
-                n = int(
-                    json.loads(a["add"].get("stats") or "{}").get(
-                        "numRecords"
-                    )
-                )
-            except (TypeError, ValueError):
-                n = _pq.ParquetFile(
-                    os.path.join(path, a["add"]["path"])
-                ).metadata.num_rows
-            a["add"]["baseRowId"] = nxt
-            # defaultRowCommitVersion patched with the real version at
-            # commit time below
-            nxt += n
-        rt_domain_action = {
-            "domainMetadata": {
-                "domain": "delta.rowTracking",
-                "configuration": json.dumps({"rowIdHighWaterMark": nxt - 1}),
-                "removed": False,
-            }
-        }
+        # defaultRowCommitVersion patched with the real version at commit
+        # time below
+        rt_domain_action = _allocate_base_row_ids(path, adds)
 
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
@@ -2741,6 +2748,10 @@ def write_delta(
                         if identity_schema_json is not None
                         else cm_meta["schemaString"]
                         if cm_meta is not None
+                        # mapped overwrite: the MAPPED schema survives
+                        # (files staged physical above)
+                        else table_meta["schemaString"]
+                        if mapped_overwrite
                         else df.schema.json()
                     ),
                     "partitionColumns": list(partition_by or []),
@@ -4671,9 +4682,24 @@ def enable_delta_row_tracking(spark: SparkSession, path: str) -> int:
             }
         },
     ]
-    nxt = 0
+    # files written while the FEATURE was active (flag off) already carry
+    # baseRowId — keep their ranges and continue from the existing
+    # watermark; shrinking it would violate the monotonic-mark rule
+    dm0 = _domain_metadata(path)
+    try:
+        nxt = int(
+            json.loads(dm0.get("delta.rowTracking") or "{}").get(
+                "rowIdHighWaterMark", -1
+            )
+        ) + 1
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{path}: unparseable delta.rowTracking domain metadata"
+        )
     backfills: list[dict] = []
     for rel in sorted(adds_map):
+        if adds_map[rel].get("baseRowId") is not None:
+            continue  # allocated pre-enablement, range stays
         a = dict(adds_map[rel])
         try:
             n = int(json.loads(a.get("stats") or "{}").get("numRecords"))
@@ -4732,6 +4758,12 @@ def _scan_with_row_ids(
 
     import pyarrow.parquet as pq
 
+    if _mapping_mode(meta):
+        raise NotImplementedError(
+            f"{path}: reading row ids from a COLUMN-MAPPED row-tracked "
+            "table is not implemented (this writer refuses the combo; "
+            "the table is foreign)"
+        )
     conf = meta.get("configuration") or {}
     mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
     mat_ver = conf.get(
@@ -4782,6 +4814,17 @@ def _scan_with_row_ids(
             s.withColumnRenamed(mat_id, "_mr").withColumnRenamed(
                 mat_ver, "_mv"
             )
+        )
+    if not branches:  # empty snapshot (e.g. overwritten with zero rows)
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(declared.fields)
+                + [
+                    StructField("row_id", LongType(), True),
+                    StructField("row_commit_version", LongType(), True),
+                ]
+            ),
         )
     from functools import reduce as _reduce
 

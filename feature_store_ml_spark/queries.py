@@ -3690,16 +3690,24 @@ def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     hwm = _json2.loads(
         lakehouse._domain_metadata(t)["delta.rowTracking"]
     )["rowIdHighWaterMark"]
-    out = lakehouse.read_delta_row_ids(spark, t)
-    top = out.agg(F.max("row_id")).collect()[0][0]
-    if top is not None and top > hwm:
-        raise AssertionError(
-            f"row id {top} above the allocation watermark {hwm}"
+    # ONE scan: fold the watermark assertion into the same aggregate the
+    # result reports (a separate max() collect would re-run the id scan)
+    row = (
+        lakehouse.read_delta_row_ids(spark, t)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("row_id").alias("n_distinct_ids"),
+            F.max("row_id").alias("_top"),
         )
-    return out.agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("row_id").alias("n_distinct_ids"),
-        F.lit(int(hwm)).cast("long").alias("id_watermark"),
+        .collect()[0]
+    )
+    if row["_top"] is not None and row["_top"] > hwm:
+        raise AssertionError(
+            f"row id {row['_top']} above the allocation watermark {hwm}"
+        )
+    return spark.createDataFrame(
+        [(int(row["n_rows"]), int(row["n_distinct_ids"]), int(hwm))],
+        "n_rows long, n_distinct_ids long, id_watermark long",
     )
 
 

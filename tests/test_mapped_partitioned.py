@@ -215,3 +215,30 @@ def test_reader_features_timestamp_ntz_and_vacuum_check(spark, tmp_path):
     back = lakehouse.read_delta(spark, root)
     assert back.count() == 5
     assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_mapped_overwrite_keeps_mapping(spark, tmp_path):
+    """Round-7 regression: overwriting a column-mapped table preserves the
+    mapping (physical staging + mapped schemaString) — the config-
+    preserving overwrite must not leave logical-named files behind a
+    mapped configuration. Schema changes through that path refuse."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "mo")
+    df = spark.range(0, 50).select("id", (F.col("id") % 5).alias("v"))
+    lakehouse.write_delta(spark, df, t, column_mapping="id")
+    lakehouse.rename_delta_column(spark, t, "v", "val")
+    lakehouse.write_delta(
+        spark,
+        spark.range(100, 130).select("id", (F.col("id") % 5).alias("val")),
+        t,
+        mode="overwrite",
+    )
+    r = lakehouse.read_delta(spark, t)
+    assert r.count() == 30 and r.where("id is null").count() == 0
+    _a, m = lakehouse._replay_log_adds(t)
+    assert (m.get("configuration") or {}).get("delta.columnMapping.mode") == "id"
+    with pytest.raises(NotImplementedError, match="DIFFERENT schema"):
+        lakehouse.write_delta(
+            spark, spark.range(5).select("id"), t, mode="overwrite"
+        )

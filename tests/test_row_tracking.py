@@ -302,3 +302,54 @@ def test_time_traveled_row_ids_diff(spark, tmp_path):
     assert all(new[k] == v for k, v in old.items() if k in new)
     assert len(set(new.values()) - set(old.values())) == 30  # inserts
     assert len(set(old.values()) - set(new.values())) == 5   # deletes
+
+
+def test_feature_only_obligation_and_enablement_continuity(spark, tmp_path):
+    """The baseRowId obligation follows the protocol FEATURE, not the
+    config flag (writes AND compaction assign ids on a feature-active,
+    flag-off table); later enablement continues from the existing
+    watermark instead of shrinking it."""
+    t = str(tmp_path / "fo")
+    lakehouse.write_delta(
+        spark, spark.range(0, 50).select("id", (F.col("id") % 5).alias("v")), t
+    )
+    lakehouse._commit(t, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": [
+            "rowTracking", "domainMetadata", "appendOnly", "invariants",
+        ],
+    }}])
+    lakehouse.write_delta(
+        spark,
+        spark.range(50, 80).select("id", (F.col("id") % 5).alias("v")),
+        t,
+        mode="append",
+    )
+    adds, _m = lakehouse._replay_log_adds(t)
+    assert any(a.get("baseRowId") is not None for a in adds.values())
+    lakehouse.compact_delta(spark, t)
+    adds2, _m2 = lakehouse._replay_log_adds(t)
+    assert all(a.get("baseRowId") is not None for a in adds2.values())
+    hwm_before = json.loads(
+        lakehouse._domain_metadata(t)["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+    lakehouse.enable_delta_row_tracking(spark, t)
+    hwm_after = json.loads(
+        lakehouse._domain_metadata(t)["delta.rowTracking"]
+    )["rowIdHighWaterMark"]
+    assert hwm_after >= hwm_before
+    ids = [r.row_id for r in lakehouse.read_delta_row_ids(spark, t).collect()]
+    assert len(set(ids)) == 80
+
+
+def test_empty_row_tracked_snapshot(spark, tmp_path):
+    t = str(tmp_path / "em")
+    lakehouse.write_delta(
+        spark, spark.range(0, 10).select("id"), t, row_tracking=True
+    )
+    lakehouse.write_delta(
+        spark, spark.range(0, 0).select("id"), t, mode="overwrite"
+    )
+    out = lakehouse.read_delta_row_ids(spark, t)
+    assert out.count() == 0
+    assert out.columns == ["id", "row_id", "row_commit_version"]
