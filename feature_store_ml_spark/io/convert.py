@@ -18,12 +18,16 @@ metadata-sized and exact (bitmaps/pairs move, data bytes never do).
 Position work stays executor-side in both directions, mirroring
 delete_delta / delete_iceberg's write discipline.
 
+Column-mapped Delta tables CONVERT too (round 7): the columnMapping ids
+become the Iceberg field ids; only files that carry neither footer field
+ids nor the logical column names refuse (per-file probe), as do
+PARTITIONED mapped tables (physical-named partitionValues).
+
 Fail-loud boundaries (state the other format cannot express faithfully):
 - Iceberg EQUALITY delete files (Delta has no key-scoped lazy mask —
   compact first, then convert);
-- Delta column mapping (parquet carries physical names Iceberg field-id
-  resolution knows nothing about without per-file id stamps);
-- identity partition sources outside the writer's int/long/string set.
+- identity partition sources outside the writer's int/long/string/date
+  set.
 
 Non-identity Iceberg partition transforms (bucket/truncate/year/...)
 convert by DROPPING the derived partition field: the source column is
@@ -49,6 +53,31 @@ from . import avro_lite, iceberg, lakehouse, skipping
 _DISTRIBUTED_STATS_THRESHOLD = 10_000
 
 
+def _harvest_one(p: str, fields: list) -> tuple:
+    """One file's footer harvest — shared verbatim by the driver loop and
+    the distributed mapInPandas branch of _gather_file_stats so the two
+    paths cannot drift (they differ only above the file-count threshold,
+    exactly where tests rarely look)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    pf = _pq.ParquetFile(p)
+    sch = pf.schema_arrow
+    fids = sorted(
+        int((fld.metadata or {}).get(b"PARQUET:field_id"))
+        for fld in sch
+        if (fld.metadata or {}).get(b"PARQUET:field_id") is not None
+    )
+    return (
+        int(pf.metadata.num_rows),
+        _os.path.getsize(p),
+        iceberg._file_stats_maps(p, fields),
+        skipping.collect_file_stats(p),
+        (tuple(sch.names), tuple(fids)),
+    )
+
+
 def _gather_file_stats(
     spark: SparkSession,
     paths: list[str],
@@ -63,28 +92,8 @@ def _gather_file_stats(
     IO — embarrassingly parallel), with results pickled per file because
     the Iceberg bounds are raw bytes."""
 
-    def one(p: str):
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        pf = _pq.ParquetFile(p)
-        sch = pf.schema_arrow
-        fids = sorted(
-            int((fld.metadata or {}).get(b"PARQUET:field_id"))
-            for fld in sch
-            if (fld.metadata or {}).get(b"PARQUET:field_id") is not None
-        )
-        return (
-            int(pf.metadata.num_rows),
-            _os.path.getsize(p),
-            iceberg._file_stats_maps(p, fields),
-            skipping.collect_file_stats(p),
-            (tuple(sch.names), tuple(fids)),
-        )
-
     if len(paths) < threshold:
-        return {p: one(p) for p in paths}
+        return {p: _harvest_one(p, fields) for p in paths}
 
     import base64
     import pickle
@@ -94,33 +103,15 @@ def _gather_file_stats(
     def batch(it):
         import pandas as pd
 
-        from feature_store_ml_spark.io import iceberg as _i
-        from feature_store_ml_spark.io import skipping as _sk
+        from feature_store_ml_spark.io.convert import _harvest_one as _h1
 
         for pdf in it:
             blobs = []
             for p in pdf["path"]:
-                import os as _os
-
-                import pyarrow.parquet as _pq
-
-                pf = _pq.ParquetFile(p)
-                sch = pf.schema_arrow
-                fids = sorted(
-                    int((fld.metadata or {}).get(b"PARQUET:field_id"))
-                    for fld in sch
-                    if (fld.metadata or {}).get(b"PARQUET:field_id")
-                    is not None
-                )
-                v = (
-                    int(pf.metadata.num_rows),
-                    _os.path.getsize(p),
-                    _i._file_stats_maps(p, flds),
-                    _sk.collect_file_stats(p),
-                    (tuple(sch.names), tuple(fids)),
-                )
                 blobs.append(
-                    base64.b64encode(pickle.dumps((p, v))).decode()
+                    base64.b64encode(
+                        pickle.dumps((p, _h1(p, flds)))
+                    ).decode()
                 )
             yield pd.DataFrame({"blob": blobs})
 
@@ -380,7 +371,7 @@ def convert_delta_to_iceberg(
         if ice_type[c] not in iceberg._PARTITION_PARSERS:
             raise NotImplementedError(
                 f"{path}: identity partition source type {ice_type[c]!r} "
-                "unsupported (int/long/string only)"
+                "unsupported (int/long/string/date only)"
             )
     spec_fields = [
         {

@@ -2240,20 +2240,45 @@ def _advance_identity_schema(
         md.setdefault("delta.identity.step", int(sp))
         md.setdefault("delta.identity.allowExplicitInsert", False)
         ext = hwm
+        n_new_rows = 0
+        advanced = False
         for a in adds:
             try:
                 stats = json.loads(a["add"].get("stats") or "{}")
             except (TypeError, ValueError):
-                continue
-            bounds = stats.get("maxValues" if sp > 0 else "minValues") or {}
-            v = bounds.get(c)
-            if v is None:
-                continue
-            v = int(v)
-            ext = (
-                v
-                if ext is None
-                else (max(ext, v) if sp > 0 else min(ext, v))
+                stats = {}
+            n_new_rows += int(stats.get("numRecords") or 0)
+            for side in ("minValues", "maxValues"):
+                v = (stats.get(side) or {}).get(c)
+                if v is None:
+                    continue
+                v = int(v)
+                # misalignment = generation arithmetic overflowed int64
+                # (monotonically_increasing_id reaches ~2^53 at extreme
+                # partition counts; step*m can wrap silently) — corrupt
+                # ids must never commit
+                if (v - st) % sp != 0 or (v < st if sp > 0 else v > st):
+                    raise ValueError(
+                        f"identity column {c!r}: generated value {v} is "
+                        f"not step-aligned from start {st} (step {sp}) — "
+                        "int64 overflow in generation; reduce the step "
+                        "or the partition count"
+                    )
+                if side == ("maxValues" if sp > 0 else "minValues"):
+                    advanced = True
+                    ext = (
+                        v
+                        if ext is None
+                        else (max(ext, v) if sp > 0 else min(ext, v))
+                    )
+        if n_new_rows > 0 and not advanced:
+            # stats collection fails open, but the identity watermark must
+            # not: committing without advancing it would re-issue the same
+            # values on the next append
+            raise ValueError(
+                f"identity column {c!r}: staged files carry no usable "
+                "footer bounds — high water mark cannot advance; refusing "
+                "to commit values that the next append would duplicate"
             )
         if ext is not None:
             md["delta.identity.highWaterMark"] = int(ext)
@@ -2642,14 +2667,20 @@ def write_delta(
     # declared one when it exists (metadata survives), else the batch's
     identity_schema_json: str | None = None
     if id_specs:
+        # base schema precedence: an evolved schema (merge_schema append)
+        # must win — rebuilding from the OLD table schema here would
+        # silently drop the newly added columns from the declared schema;
+        # an overwrite follows the batch (which _assign_identity already
+        # extended with the identity columns, and _advance re-seeds their
+        # delta.identity.* metadata from id_specs)
+        if evolved_schema_json is not None:
+            _base = evolved_schema_json
+        elif existing and mode != "overwrite" and table_meta.get("schemaString"):
+            _base = table_meta["schemaString"]
+        else:
+            _base = df.schema.json()
         identity_schema_json = _advance_identity_schema(
-            id_specs,
-            json.loads(
-                table_meta["schemaString"]
-                if existing and table_meta.get("schemaString")
-                else df.schema.json()
-            ),
-            adds,
+            id_specs, json.loads(_base), adds
         )
 
     # row-id allocation: contiguous baseRowId ranges from the domain's
@@ -3596,17 +3627,22 @@ def delete_delta(
     )
 
     # protocol upgrade to table features, CARRYING the table's existing
-    # features forward (dropping e.g. checkConstraints from the lists
-    # would un-declare an active feature)
+    # features forward — legacy versions EXPAND to their implied lists
+    # (v6 implies identityColumns, v5 columnMapping in either mode, ...);
+    # dropping one would un-declare an active feature
     proto = _current_protocol(path)
-    reader_feats = set(proto.get("readerFeatures") or []) | {"deletionVectors"}
-    writer_feats = set(proto.get("writerFeatures") or []) | {"deletionVectors"}
+    r0, w0 = _protocol_as_features(proto)
+    reader_feats = r0 | {"deletionVectors"}
+    writer_feats = w0 | {"deletionVectors"}
     if any(
         k.startswith("delta.constraints.")
         for k in (meta.get("configuration") or {})
-    ) or proto.get("minWriterVersion", 2) >= 3:
+    ):
         writer_feats.add("checkConstraints")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") in (
+        "name",
+        "id",
+    ):
         reader_feats.add("columnMapping")
         writer_feats.add("columnMapping")
     actions = [
@@ -4401,8 +4437,9 @@ def widen_delta_column_type(
     # features forward (same discipline as the deletion-vector upgrade:
     # dropping an active feature from the lists would un-declare it)
     proto = _current_protocol(path)
-    reader_feats = set(proto.get("readerFeatures") or []) | {"typeWidening"}
-    writer_feats = set(proto.get("writerFeatures") or []) | {"typeWidening"}
+    r0, w0 = _protocol_as_features(proto)  # legacy versions expand
+    reader_feats = r0 | {"typeWidening"}
+    writer_feats = w0 | {"typeWidening"}
     if any(k.startswith("delta.constraints.") for k in conf) or proto.get(
         "minWriterVersion", 2
     ) >= 3:

@@ -143,3 +143,33 @@ def test_identity_survives_overwrite_and_delete(spark, tmp_path):
     assert lakehouse.read_delta(spark, root).count() == 4
     md = _identity_meta(root, "rid")
     assert md["delta.identity.start"] == 0  # metadata intact post-DV
+
+
+def test_identity_with_schema_evolution(spark, tmp_path):
+    """merge_schema appends on an identity table must not clobber the
+    evolved schema when the identity metaData re-emits (round-7 review
+    fix: the watermark advance rebuilt schemaString from the OLD schema,
+    silently dropping the newly added column from the declared schema)."""
+    root = str(tmp_path / "ev")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 20).select(F.col("id").alias("k")),
+        root,
+        identity_columns={"rid": (0, 1)},
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("extra")
+        ),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    out = lakehouse.read_delta(spark, root)
+    assert set(out.columns) == {"k", "rid", "extra"}
+    rows = out.collect()
+    assert len({r["rid"] for r in rows}) == 30  # ids still unique
+    assert sum(1 for r in rows if r["extra"] is not None) == 10
+    md = _identity_meta(root, "rid")
+    assert md["delta.identity.highWaterMark"] == max(r["rid"] for r in rows)
