@@ -99,6 +99,7 @@ HEADLINE = [
     "e1_delta_row_tracking",
     "e11_bm25_search",
     "e12_interpolate",
+    "e1_metadata_tables",
 ]
 
 

@@ -3568,6 +3568,68 @@ def e1_convert_cross_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_metadata_tables",
+    """
+    SELECT 'delta' AS src, c_mktsegment, COUNT(*) AS n_rows
+    FROM customer WHERE c_custkey <= 2000 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'iceberg' AS src, c_mktsegment, COUNT(*) AS n_rows
+    FROM customer WHERE c_custkey <= 2000 GROUP BY c_mktsegment
+    """,
+)
+def e1_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA TABLES as data sources (io/metatables.py — Iceberg's
+    ``$partitions`` / Delta's per-file view): write customer partitioned
+    on c_mktsegment through BOTH writers, then answer a per-partition
+    row-count question from METADATA ALONE — Delta from the add actions'
+    stats (num_records per file, partitionValues from the log), Iceberg
+    from the manifests' record_count rolled up by partition tuple. The
+    oracle recomputes the same counts from the raw DATA: any drift
+    between what the metadata claims and what the files hold (stats
+    folding, partition bookkeeping, manifest rollup) breaks the hash.
+    Zero data files are read on the Spark side — the whole answer is
+    O(#files) metadata, which is the point of metadata tables at 100 TB."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg, lakehouse, metatables
+
+    (c,) = _t(spark, sf_dir, "customer")
+    base = c.where("c_custkey <= 2000").select("c_custkey", "c_mktsegment")
+    td = f"{tempfile.gettempdir()}/fsml_meta_delta"
+    ti = f"{tempfile.gettempdir()}/fsml_meta_iceberg"
+    shutil.rmtree(td, ignore_errors=True)
+    shutil.rmtree(ti, ignore_errors=True)
+    lakehouse.write_delta(spark, base, td, partition_by=["c_mktsegment"])
+    iceberg.write_iceberg(
+        spark, base, ti, format_version=2, partition_by=["c_mktsegment"]
+    )
+    d = (
+        metatables.delta_files(spark, td)
+        .select(
+            F.get_json_object("partitionValues", "$.c_mktsegment").alias(
+                "c_mktsegment"
+            ),
+            "num_records",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.sum("num_records").alias("n_rows"))
+        .select(F.lit("delta").alias("src"), "c_mktsegment", "n_rows")
+    )
+    i = (
+        metatables.iceberg_partitions(spark, ti)
+        .select(
+            F.get_json_object("partition", "$.c_mktsegment").alias(
+                "c_mktsegment"
+            ),
+            F.col("record_count").alias("n_rows"),
+        )
+        .select(F.lit("iceberg").alias("src"), "c_mktsegment", "n_rows")
+    )
+    return d.unionByName(i)
+
+
+@register(
     "e1_delta_identity",
     """
     SELECT COUNT(*) AS n_rows,
@@ -5733,6 +5795,7 @@ _FINAL_ORDER = [
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
+    "e1_metadata_tables",       # round 7: $partitions/file views vs data
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
@@ -5764,7 +5827,6 @@ _FINAL_ORDER = [
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
-    "e13_stream_stream_join",  # watermarked stream-stream interval join
     # -- the classic TPC-H access shapes
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -5792,6 +5854,10 @@ _FINAL_ORDER = [
                             # family stays via e14_resize_meta + png
     "e12_pit_join",         # displaced by e12_interpolate; e12 family
                             # stays via feature_upsert + interpolate
+    "e13_stream_stream_join",  # displaced by e1_metadata_tables (driver-
+                               # green r5+r6; e13 family keeps
+                               # stream_from_delta(+partitioned) +
+                               # session_window in-window)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -5955,7 +6021,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 83, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 84, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
