@@ -5543,6 +5543,58 @@ def e17_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_documents(d, budget=256, n_buckets=8)
 
 
+@register(
+    "e17_packing_invariants",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) AS n_distinct_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(0 AS BIGINT) AS n_overflow_shards
+    FROM t
+    """,
+)
+def e17_packing_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing graded by its INVARIANTS (the FFD assignment
+    itself is procedural — e17_pack_documents stays rows-only): the
+    oracle states what any correct packing must satisfy — every document
+    assigned exactly once (count == distinct count), token mass conserved
+    through the shuffle and Arrow boundary, and ZERO multi-member shards
+    over budget (an oversized single document legitimately gets a
+    dedicated oversized shard; two documents never co-pack past the
+    budget). A dropped doc, a double assignment, a token miscount, or a
+    budget breach each break a different column of the hash."""
+    from .operators import packing
+
+    budget = 256
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(text.words(F.col("text"))).alias("n_tokens")
+    )
+    packed = packing.pack_documents(d, budget=budget, n_buckets=8)
+    totals = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    overflow = (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("_members"),
+            F.max("shard_fill").alias("_fill"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_fill") > budget) & (F.col("_members") >= 2), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_overflow_shards")
+        )
+    )
+    return totals.crossJoin(F.broadcast(overflow))
+
+
 @register("e9_dedup_incremental", None)  # xxhash64 signature family — not SQL
 def e9_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: every 5th document plays an ingest batch
@@ -5818,10 +5870,10 @@ _FINAL_ORDER = [
     #    r5-green ones they displace move below the boundary with their
     #    operator families still in-window, hash-checked every round by
     #    the local sweep (rotation-gated):
-    "e4_agg_groupby",
     "e6_topk_per_group",
     "e7_pivot",
     "e12_interpolate",      # round 7: linear interpolation, exact oracle
+    "e17_packing_invariants",  # round 7: FFD packing invariant oracle
     "e13_session_window",
     "e14_resize_meta",
     # -- kept in-window from round 4
@@ -5858,6 +5910,9 @@ _FINAL_ORDER = [
                                # green r5+r6; e13 family keeps
                                # stream_from_delta(+partitioned) +
                                # session_window in-window)
+    "e4_agg_groupby",       # displaced by e17_packing_invariants (r6-
+                            # green; e4 family keeps e4_cube in bench +
+                            # median/linreg in the swept tail)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6021,7 +6076,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 84, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 85, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
