@@ -556,32 +556,11 @@ def _check_write_allowed(path: str, meta: dict, operation: str) -> dict:
                 f"{path}: table is delta.appendOnly=true — {operation} "
                 "would remove rows; only appends are allowed"
             )
-    if (meta.get("configuration") or {}).get("delta.enableRowTracking") == "true":
-        # compaction MATERIALIZES ids into the rewritten files (the
-        # spec's preservation rule — see compact_delta); the row-level
-        # DML rewrites below still refuse
-        if operation in ("merge", "update", "replaceWhere"):
-            raise NotImplementedError(
-                f"{path}: {operation} on a ROW-TRACKED table is not "
-                "implemented — rewriting rows would need the surviving "
-                "ids MATERIALIZED through the merge; delete via deletion "
-                "vectors or overwrite instead (compaction preserves ids)"
-            )
-    if operation in ("merge", "update", "replaceWhere"):
-        # these take rows (or SET expressions) from a source batch — on a
-        # table with GENERATED ALWAYS identity columns that would accept
-        # user-supplied identity values; refuse rather than violate the
-        # spec's generation contract (appends generate correctly)
-        for f0 in json.loads(
-            meta.get("schemaString") or '{"fields": []}'
-        ).get("fields", []):
-            if "delta.identity.start" in (f0.get("metadata") or {}):
-                raise NotImplementedError(
-                    f"{path}: {operation} on a table with IDENTITY column "
-                    f"{f0['name']!r} is not implemented — GENERATED ALWAYS "
-                    "values cannot come from a source batch; append via "
-                    "write_delta instead"
-                )
+    # row-tracked and identity tables accept merge/update/replaceWhere:
+    # the DML rewrites MATERIALIZE surviving row ids (same preservation
+    # rule as compact_delta) and preserve/generate identity values — each
+    # operation enforces its own residual constraints (e.g. a source
+    # batch carrying a GENERATED ALWAYS column still refuses there)
     return proto
 
 
@@ -1643,24 +1622,15 @@ def compact_delta(
     # DV-masked rows are filtered here, so compaction doubles as a DV
     # PURGE: the rewritten files carry no deletionVector and the dead rows
     # are physically gone (delta-spark's REORG TABLE ... APPLY (PURGE))
-    _conf = meta.get("configuration") or {}
     # the baseRowId OBLIGATION follows the protocol FEATURE (same rule as
     # write_delta); id PRESERVATION via materialization only applies once
     # delta.enableRowTracking is actually on
-    rt = _conf.get("delta.enableRowTracking") == "true" or "rowTracking" in (
+    mats = _rt_materialization(meta, path)
+    rt = mats is not None or "rowTracking" in (
         _proto.get("writerFeatures") or []
     )
-    materialize = _conf.get("delta.enableRowTracking") == "true"
-    mat_id = _conf.get("delta.rowTracking.materializedRowIdColumnName")
-    mat_ver = _conf.get(
-        "delta.rowTracking.materializedRowCommitVersionColumnName"
-    )
-    if materialize and not (mat_id and mat_ver):
-        raise ValueError(
-            f"{path}: row tracking enabled but the materialized column "
-            "names are not configured — corrupt table properties"
-        )
-    if materialize:
+    if mats is not None:
+        mat_id, mat_ver = mats
         # ROW-TRACKED rewrite: every surviving row's id and commit version
         # are MATERIALIZED into the new files under the configured
         # physical names (spec §Row Tracking preservation) — the fresh-row
@@ -1763,17 +1733,7 @@ def compact_delta(
         # rewritten adds still need baseRowId (spec: required on every
         # add once the feature is active) — fresh ranges from the domain
         # watermark; the materialized columns carry the real ids
-        actions.insert(len(actions) - 1, _allocate_base_row_ids(path, adds))
-        log = _delta_log_dir(path)
-        version = _next_version(log)
-        for a in adds:
-            a["add"]["defaultRowCommitVersion"] = version
-        if not _try_commit(log, version, actions, path):
-            raise RuntimeError(
-                f"{path}: version {version} was committed concurrently — "
-                "re-run the compaction against the new snapshot"
-            )
-        return version
+        return _commit_row_tracked(path, actions, adds, "compaction")
     return _commit(path, actions)
 
 
@@ -2326,6 +2286,75 @@ def _allocate_base_row_ids(path: str, adds: "list[dict]") -> dict:
     }
 
 
+def _commit_row_tracked(
+    path: str, actions: list[dict], adds: "list[dict]", operation: str
+) -> int:
+    """Single-attempt commit for a snapshot-rewriting operation on a
+    row-tracked table: allocate fresh ``baseRowId`` ranges for the staged
+    adds (the spec requires one on every add while the feature is
+    active), stamp ``defaultRowCommitVersion`` with the commit version,
+    and refuse blind retries — a re-run must re-read the snapshot, or the
+    retried allocation would duplicate ranges. ``actions`` must end with
+    the commitInfo action; the domainMetadata watermark advance is
+    inserted just before it. Shared by compact_delta and the DML
+    rewrites (merge/update/replaceWhere) so the rule cannot diverge."""
+    actions.insert(len(actions) - 1, _allocate_base_row_ids(path, adds))
+    log = _delta_log_dir(path)
+    version = _next_version(log)
+    for a in adds:
+        a["add"]["defaultRowCommitVersion"] = version
+    if not _try_commit(log, version, actions, path):
+        raise RuntimeError(
+            f"{path}: version {version} was committed concurrently — "
+            f"re-run the {operation} against the new snapshot"
+        )
+    return version
+
+
+def _rt_materialization(meta: dict, path: str) -> "tuple[str, str] | None":
+    """The (row-id, row-commit-version) MATERIALIZED physical column names
+    when id preservation applies (``delta.enableRowTracking`` is actually
+    on), else None. The allocation OBLIGATION is broader — it follows the
+    protocol feature even while the flag is off — and is checked
+    separately by each caller (spec §Row Tracking)."""
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableRowTracking") != "true":
+        return None
+    mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_ver = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not (mat_id and mat_ver):
+        raise ValueError(
+            f"{path}: row tracking enabled but the materialized column "
+            "names are not configured — corrupt table properties"
+        )
+    return mat_id, mat_ver
+
+
+def _identity_specs(meta: dict) -> "dict[str, tuple[int, int, int | None]]":
+    """IDENTITY column specs declared in the table schema
+    (``delta.identity.*`` field metadata, PROTOCOL.md §Identity Columns):
+    column -> (start, step, highWaterMark | None before the first
+    generated value commits)."""
+    out: dict[str, tuple[int, int, int | None]] = {}
+    if not meta.get("schemaString"):
+        return out
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md:
+            out[f["name"]] = (
+                int(md["delta.identity.start"]),
+                int(md.get("delta.identity.step", 1)),
+                (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+            )
+    return out
+
+
 def _hive_partition_values(rel_dir: str) -> dict[str, str | None]:
     """Parse Hive-style directory components (``k=v/k2=v2``) into the
     protocol's partitionValues map. Values are URL-unescaped (Spark escapes
@@ -2520,19 +2549,7 @@ def write_delta(
         prior_live, meta = _replay_log(path)
         table_meta = meta
         table_proto = _check_write_allowed(path, meta, mode)
-        if meta.get("schemaString"):
-            for _fld in json.loads(meta["schemaString"]).get("fields", []):
-                _md = _fld.get("metadata") or {}
-                if "delta.identity.start" in _md:
-                    id_specs[_fld["name"]] = (
-                        int(_md["delta.identity.start"]),
-                        int(_md.get("delta.identity.step", 1)),
-                        (
-                            int(_md["delta.identity.highWaterMark"])
-                            if "delta.identity.highWaterMark" in _md
-                            else None
-                        ),
-                    )
+        id_specs.update(_identity_specs(meta))
         if id_specs:
             df = _assign_identity(df, id_specs, path)
         _enforce_constraints(df, meta, path)
@@ -3137,7 +3154,29 @@ def merge_delta(
     from pyspark.sql import functions as F
 
     adds_map, meta = _replay_log_adds(path)
-    _check_write_allowed(path, meta, "merge")
+    proto = _check_write_allowed(path, meta, "merge")
+    id_specs = _identity_specs(meta)
+    if id_specs:
+        # GENERATED ALWAYS: the source must not supply identity values —
+        # matched rows KEEP the target's value (attached by key inside
+        # the rewrite), inserts are generated from the high water mark
+        bad_keys = sorted(set(id_specs) & set(keys))
+        if bad_keys:
+            # checked before the carried-column refusal below — a key must
+            # be in the source, so this is the message a key-merge deserves
+            raise ValueError(
+                f"merge_delta: cannot merge on IDENTITY key(s) {bad_keys} "
+                "— matching on a GENERATED ALWAYS column would require "
+                "the source to carry it; merge on a natural key instead"
+            )
+        carried = sorted(set(id_specs) & set(source.columns))
+        if carried:
+            raise ValueError(
+                f"{path}: identity column(s) {carried} are GENERATED "
+                "ALWAYS — the merge source must not supply them (matched "
+                "rows keep the target's value; inserted rows are "
+                "generated)"
+            )
     if newer_wins_col is not None and _cdf_enabled(meta):
         raise NotImplementedError(
             f"{path}: conditional (newer-wins) merge with "
@@ -3152,7 +3191,13 @@ def merge_delta(
     evolved_meta: dict | None = None
     if when_matched == "update":
         got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
-        want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+        # identity columns are excluded from the expected source shape —
+        # the source is REQUIRED not to carry them (checked above)
+        want = [
+            (f.name, f.dataType.simpleString())
+            for f in declared.fields
+            if f.name not in id_specs
+        ]
         if got != want and not merge_schema:
             raise ValueError(
                 f"{path}: merge source schema mismatch — table declares "
@@ -3192,11 +3237,17 @@ def merge_delta(
             ]
             declared = StructType(list(declared.fields) + new_fields)
             table_cols = [f.name for f in declared.fields]
-            source = source.select(*table_cols)
+            source = source.select(
+                *[c for c in table_cols if c not in id_specs]
+            )
             evolved_meta = {**meta, "schemaString": declared.json()}
             meta = evolved_meta
-        _enforce_constraints(source, meta, path)
-        _enforce_generated(source, meta, path)
+        if not id_specs:
+            # identity tables enforce AFTER the rewrite attaches the
+            # generated/preserved identity values (a constraint may
+            # reference the identity column the source cannot carry)
+            _enforce_constraints(source, meta, path)
+            _enforce_generated(source, meta, path)
 
     # One aggregation serves both the cardinality check and the key set
     # (distinct by construction), persisted because it probes the target
@@ -3214,7 +3265,7 @@ def merge_delta(
         src_keys = key_counts.select(*keys)
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
-            src_keys, newer_wins_col, meta, adds_map, evolved_meta,
+            src_keys, newer_wins_col, meta, adds_map, evolved_meta, proto,
         )
     finally:
         key_counts.unpersist()
@@ -3234,6 +3285,7 @@ def _merge_rewrite(
     meta: dict | None = None,
     adds_map: dict | None = None,
     evolved_meta: dict | None = None,
+    proto: dict | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -3241,6 +3293,15 @@ def _merge_rewrite(
     part_cols = meta.get("partitionColumns") or []
     table_cols = [f.name for f in declared.fields]
     declared_types = {f.name: f.dataType for f in declared.fields}
+    # row-tracked tables: surviving/updated rows get their ids
+    # MATERIALIZED through the rewrite (spec §Row Tracking preservation —
+    # same rule as compact_delta); the allocation obligation follows the
+    # protocol feature even while the enablement flag is off
+    mats = _rt_materialization(meta, path)
+    rt_obligation = mats is not None or "rowTracking" in (
+        (proto or {}).get("writerFeatures") or []
+    )
+    id_specs = _identity_specs(meta)
     if not files:
         touched_abs: list[str] = []
     else:
@@ -3293,13 +3354,99 @@ def _merge_rewrite(
             *table_cols
         )
 
+    def _scan_touched_ids() -> DataFrame:
+        # touched files with their stable (row_id, row_commit_version) —
+        # same DV masking as _scan_touched, plus the broadcast id map
+        rels = [
+            os.path.relpath(f, path).replace(os.sep, "/") for f in touched_abs
+        ]
+        return _scan_with_row_ids(
+            spark, path, meta, {r: (adds_map or {})[r] for r in rels}
+        )
+
+    if id_specs and when_matched == "update":
+        # IDENTITY attachment: matched keys inherit the target's value
+        # (min over duplicate-keyed target rows — deterministic when the
+        # whole-row replacement collapses them), unmatched source rows
+        # generate fresh step-aligned values from the high water mark.
+        # Downstream (rewrite union, CDF taxonomy, window) then sees a
+        # source carrying the full declared schema.
+        idc = sorted(id_specs)
+        if touched_abs:
+            matched_ids = (
+                _scan_touched()
+                .join(src_keys, on=list(keys), how="left_semi")
+                .groupBy(*keys)
+                .agg(*[F.min(c).alias(c) for c in idc])
+            )
+            source = source.join(matched_ids, on=list(keys), how="left")
+        else:
+            for c in idc:
+                source = source.withColumn(c, F.lit(None).cast("long"))
+        for c in idc:
+            st, sp, hwm = id_specs[c]
+            base = st if hwm is None else hwm + sp
+            source = source.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c),
+                    (
+                        F.lit(int(base)).cast("long")
+                        + F.lit(int(sp)).cast("long")
+                        * F.monotonically_increasing_id()
+                    ).cast("long"),
+                ),
+            )
+        # pin the generated values: monotonically_increasing_id is
+        # recomputation-unstable, and the source feeds MULTIPLE actions
+        # (staging write, CDF insert rows, constraint probes) that must
+        # all see the SAME identity values
+        source = source.select(*table_cols).localCheckpoint()
+        _enforce_constraints(source, meta, path)
+        _enforce_generated(source, meta, path)
+
     cdf = _cdf_enabled(meta)
     change_rows: DataFrame | None = None
     if when_matched == "update" and newer_wins_col is None:
-        new_rows = source.select(*table_cols)
-        if touched_abs:
-            kept = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
-            new_rows = kept.select(*table_cols).unionByName(new_rows)
+        if mats is not None:
+            # kept rows carry their (id, version) materialized; UPDATED
+            # rows keep the matched target's row id (min over duplicate-
+            # keyed target rows) with a NULL version — the fresh-row rule
+            # stamps them with THIS commit's version, which is exactly
+            # "last changed here"; inserts are fresh on both
+            mat_id, mat_ver = mats
+            _null_l = F.lit(None).cast("long")
+            src_rows = source.select(*table_cols)
+            if touched_abs:
+                tgt_ids = _scan_touched_ids()
+                kept_m = tgt_ids.join(
+                    src_keys, on=list(keys), how="left_anti"
+                ).select(
+                    *table_cols,
+                    F.col("row_id").alias(mat_id),
+                    F.col("row_commit_version").alias(mat_ver),
+                )
+                id_map = (
+                    tgt_ids.join(src_keys, on=list(keys), how="left_semi")
+                    .groupBy(*keys)
+                    .agg(F.min("row_id").alias(mat_id))
+                )
+                new_rows = kept_m.unionByName(
+                    src_rows.join(id_map, on=list(keys), how="left")
+                    .withColumn(mat_ver, _null_l)
+                    .select(*table_cols, mat_id, mat_ver)
+                )
+            else:
+                new_rows = src_rows.withColumn(mat_id, _null_l).withColumn(
+                    mat_ver, _null_l
+                )
+        else:
+            new_rows = source.select(*table_cols)
+            if touched_abs:
+                kept = _scan_touched().join(
+                    src_keys, on=list(keys), how="left_anti"
+                )
+                new_rows = kept.select(*table_cols).unionByName(new_rows)
         if cdf:
             # change-data rows, delta-spark's MERGE taxonomy: matched
             # target rows -> update_preimage, their replacements ->
@@ -3330,22 +3477,54 @@ def _merge_rewrite(
         # Unmatched target rows bypass the window untouched.
         from pyspark.sql import Window
 
-        src_tagged = source.select(*table_cols).withColumn("_src", F.lit(1))
+        out_cols = list(table_cols)
+        if mats is not None:
+            # target rows enter the window with their (id, version)
+            # materialized; source rows carry the matched target's row id
+            # (preserved on a source win) and a NULL version (stamped
+            # with this commit by the fresh-row rule). A target win keeps
+            # both untouched — the row did not change.
+            mat_id, mat_ver = mats
+            _null_l = F.lit(None).cast("long")
+            out_cols += [mat_id, mat_ver]
+        src_tagged = source.select(*table_cols)
         if touched_abs:
-            tgt = _scan_touched()
+            if mats is not None:
+                tgt = _scan_touched_ids().select(
+                    *table_cols,
+                    F.col("row_id").alias(mat_id),
+                    F.col("row_commit_version").alias(mat_ver),
+                )
+            else:
+                tgt = _scan_touched()
             matched_tgt = tgt.join(src_keys, on=list(keys), how="left_semi")
             unmatched_tgt = tgt.join(src_keys, on=list(keys), how="left_anti")
-            cand = matched_tgt.withColumn("_src", F.lit(0)).unionByName(src_tagged)
+            if mats is not None:
+                id_map = matched_tgt.groupBy(*keys).agg(
+                    F.min(mat_id).alias(mat_id)
+                )
+                src_tagged = (
+                    src_tagged.join(id_map, on=list(keys), how="left")
+                    .withColumn(mat_ver, _null_l)
+                    .select(*out_cols)
+                )
+            cand = matched_tgt.withColumn("_src", F.lit(0)).unionByName(
+                src_tagged.withColumn("_src", F.lit(1))
+            )
         else:
             unmatched_tgt = None
-            cand = src_tagged
+            if mats is not None:
+                src_tagged = src_tagged.withColumn(
+                    mat_id, _null_l
+                ).withColumn(mat_ver, _null_l)
+            cand = src_tagged.withColumn("_src", F.lit(1))
         w = Window.partitionBy(*keys).orderBy(
             F.col(newer_wins_col).desc(), F.col("_src").asc()
         )
         winners = (
             cand.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select(*table_cols)
+            .select(*out_cols)
         )
         new_rows = (
             winners if unmatched_tgt is None else unmatched_tgt.unionByName(winners)
@@ -3365,7 +3544,19 @@ def _merge_rewrite(
                     ],
                 )
             return _next_version(_delta_log_dir(path)) - 1
-        new_rows = _scan_touched().join(src_keys, on=list(keys), how="left_anti")
+        if mats is not None:
+            mat_id, mat_ver = mats
+            new_rows = _scan_touched_ids().join(
+                src_keys, on=list(keys), how="left_anti"
+            ).select(
+                *table_cols,
+                F.col("row_id").alias(mat_id),
+                F.col("row_commit_version").alias(mat_ver),
+            )
+        else:
+            new_rows = _scan_touched().join(
+                src_keys, on=list(keys), how="left_anti"
+            )
         if cdf:
             change_rows = _scan_touched().join(
                 src_keys, on=list(keys), how="left_semi"
@@ -3391,11 +3582,24 @@ def _merge_rewrite(
     )
 
     actions: list[dict] = []
-    if evolved_meta is not None:
+    meta_action: dict | None = evolved_meta
+    if id_specs and when_matched == "update" and adds:
+        # identity high-water-mark advance rides the SAME commit, from
+        # the staged footers' stats (kept rows keep the mark where it is
+        # — the fold is monotonic); composes with schema evolution by
+        # advancing the evolved schema
+        base_meta = meta_action or meta
+        meta_action = {
+            **base_meta,
+            "schemaString": _advance_identity_schema(
+                id_specs, json.loads(base_meta["schemaString"]), adds
+            ),
+        }
+    if meta_action is not None:
         # schema evolution rides the same commit: readers take the LAST
         # metaData action, so the widened schema and the merged files
         # become visible atomically
-        actions.append({"metaData": evolved_meta})
+        actions.append({"metaData": meta_action})
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
@@ -3424,6 +3628,8 @@ def _merge_rewrite(
             }
         }
     )
+    if rt_obligation:
+        return _commit_row_tracked(path, actions, adds, "merge")
     return _commit(path, actions)
 
 
@@ -3811,7 +4017,7 @@ def update_delta(
             return committed
     files_abs, meta = _replay_log(path)
     adds_map, _ = _replay_log_adds(path)
-    _check_write_allowed(path, meta, "update")
+    proto = _check_write_allowed(path, meta, "update")
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -3823,6 +4029,18 @@ def update_delta(
             f"{path}: SET references unknown columns {unknown} "
             f"(have {table_cols})"
         )
+    id_specs = _identity_specs(meta)
+    bad_identity = sorted(c for c in set if c in id_specs)
+    if bad_identity:
+        raise ValueError(
+            f"{path}: SET targets IDENTITY column(s) {bad_identity} — "
+            "GENERATED ALWAYS values cannot be assigned; rewritten rows "
+            "keep their generated values"
+        )
+    mats = _rt_materialization(meta, path)
+    rt_obligation = mats is not None or "rowTracking" in (
+        proto.get("writerFeatures") or []
+    )
     part_cols = meta.get("partitionColumns") or []
     pred = where or "true"
     now_ms = int(_time.time() * 1000)
@@ -3867,7 +4085,31 @@ def update_delta(
         )
         for c, e in set.items()
     }
-    new_rows = _scan_touched().withColumns(assigns).select(*table_cols)
+    out_cols = list(table_cols)
+    if mats is not None:
+        # materialize ids through the rewrite: every row keeps its row id;
+        # rows the predicate matched get a NULL commit version (the
+        # fresh-row rule stamps this commit — "last changed here"), the
+        # copied-through neighbors keep theirs. All expressions evaluate
+        # against the PRE-update projection (withColumns is simultaneous).
+        mat_id, mat_ver = mats
+        out_cols += [mat_id, mat_ver]
+        rels = [
+            os.path.relpath(f, path).replace(os.sep, "/") for f in touched_abs
+        ]
+        scan0 = _scan_with_row_ids(
+            spark, path, meta, {r: adds_map[r] for r in rels}
+        )
+        assigns = {
+            **assigns,
+            mat_id: F.col("row_id"),
+            mat_ver: F.when(
+                F.expr(pred), F.lit(None).cast("long")
+            ).otherwise(F.col("row_commit_version")),
+        }
+        new_rows = scan0.withColumns(assigns).select(*out_cols)
+    else:
+        new_rows = _scan_touched().withColumns(assigns).select(*table_cols)
     _enforce_constraints(new_rows, meta, path)
     _enforce_generated(new_rows, meta, path)
     change_rows: DataFrame | None = None
@@ -3911,6 +4153,8 @@ def update_delta(
     actions.extend(adds)
     actions.extend(cdc_actions)
     actions.append(info)
+    if rt_obligation:
+        return _commit_row_tracked(path, actions, adds, "update")
     return _commit(path, actions)
 
 
@@ -3965,11 +4209,21 @@ def overwrite_delta_where(
             return committed
     files_abs, meta = _replay_log(path)
     adds_map, _ = _replay_log_adds(path)
-    _check_write_allowed(path, meta, "replaceWhere")
+    proto = _check_write_allowed(path, meta, "replaceWhere")
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
     table_cols = [f.name for f in declared.fields]
+    id_specs = _identity_specs(meta)
+    mats = _rt_materialization(meta, path)
+    rt_obligation = mats is not None or "rowTracking" in (
+        proto.get("writerFeatures") or []
+    )
+    if id_specs:
+        # incoming rows are NEW rows: GENERATED ALWAYS identity values are
+        # generated here (a source carrying the column is refused inside);
+        # surviving rows copy their existing values through the rewrite
+        source = _assign_identity(source, id_specs, path)
     missing = sorted(set(table_cols) - set(source.columns))
     if missing:
         raise ValueError(
@@ -3978,6 +4232,11 @@ def overwrite_delta_where(
     source = source.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
     )
+    if id_specs:
+        # pin the generated values: monotonically_increasing_id is
+        # recomputation-unstable, and the source feeds multiple actions
+        # (constraint probe, staging write, CDF insert rows)
+        source = source.localCheckpoint()
     matched_cond = F.coalesce(F.expr(where), F.lit(False))
     # the replaceWhere CONSTRAINT: incoming rows must all match
     stray = source.where(~matched_cond).limit(1).collect()
@@ -4024,7 +4283,33 @@ def overwrite_delta_where(
         )
 
     new_rows = source
-    if touched_abs:
+    if mats is not None:
+        # replaced rows are NEW rows (fresh ids via the fresh-row rule);
+        # survivors of partially-matched files copy through with their
+        # (id, version) MATERIALIZED so they never renumber
+        mat_id, mat_ver = mats
+        _null_l = F.lit(None).cast("long")
+        new_rows = source.withColumn(mat_id, _null_l).withColumn(
+            mat_ver, _null_l
+        )
+        if touched_abs:
+            rels = [
+                os.path.relpath(f, path).replace(os.sep, "/")
+                for f in touched_abs
+            ]
+            surv = (
+                _scan_with_row_ids(
+                    spark, path, meta, {r: adds_map[r] for r in rels}
+                )
+                .where(~matched_cond)
+                .select(
+                    *table_cols,
+                    F.col("row_id").alias(mat_id),
+                    F.col("row_commit_version").alias(mat_ver),
+                )
+            )
+            new_rows = surv.unionByName(new_rows)
+    elif touched_abs:
         new_rows = _scan_touched().where(~matched_cond).unionByName(source)
     change_rows: DataFrame | None = None
     if _cdf_enabled(meta):
@@ -4064,7 +4349,24 @@ def overwrite_delta_where(
     )
     actions.extend(adds)
     actions.extend(cdc_actions)
+    if id_specs and adds:
+        # the staged files mix survivors (values at-or-below the mark)
+        # with freshly generated rows — the fold is monotonic, so the
+        # high water mark advances exactly by what generation added
+        actions.insert(
+            0,
+            {
+                "metaData": {
+                    **meta,
+                    "schemaString": _advance_identity_schema(
+                        id_specs, json.loads(meta["schemaString"]), adds
+                    ),
+                }
+            },
+        )
     actions.append(info)
+    if rt_obligation:
+        return _commit_row_tracked(path, actions, adds, "replaceWhere")
     return _commit(path, actions)
 
 

@@ -88,14 +88,16 @@ def test_identity_refusals(spark, tmp_path):
             root,
             mode="append",
         )
-    # merge / update / replaceWhere cannot take identity values from a
-    # source batch — fail loud
+    # DML is implemented (test_row_tracking_dml.py has the matrix), but
+    # GENERATED ALWAYS values still cannot come from the user:
     src = spark.createDataFrame([(1, 99)], "k long, rid long")
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         lakehouse.merge_delta(spark, src, root, keys=["k"])
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
-        lakehouse.update_delta(spark, root, {"k": "2"}, "k = 1")
-    with pytest.raises(NotImplementedError, match="IDENTITY"):
+    with pytest.raises(ValueError, match="IDENTITY key"):
+        lakehouse.merge_delta(spark, src, root, keys=["rid"])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        lakehouse.update_delta(spark, root, {"rid": "2"}, "k = 1")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         lakehouse.overwrite_delta_where(spark, src, root, "k = 1")
     # declaring identity on an EXISTING table is refused
     plain = str(tmp_path / "plain")

@@ -1,8 +1,9 @@
 """Delta ROW TRACKING (PROTOCOL.md §Row Tracking): stable row ids —
 baseRowId ranges allocated from the delta.rowTracking domain's high
 water mark, surviving appends, DV deletes, checkpoint + log cleanup,
-and COMPACTION (which materializes ids into the rewritten files);
-row-level DML rewrites (merge/update/replaceWhere) fail loudly."""
+COMPACTION, and the row-level DML rewrites (merge/update/replaceWhere
+MATERIALIZE the surviving ids through the rewrite — see
+test_row_tracking_dml.py for the full DML matrix)."""
 
 import json
 
@@ -49,19 +50,28 @@ def test_create_append_delete_stability(spark, tmp_path):
     assert json.loads(dm["delta.rowTracking"])["rowIdHighWaterMark"] == 149
 
 
-def test_rewrites_refuse(spark, tmp_path):
+def test_dml_preserves_ids(spark, tmp_path):
+    # merge/update MATERIALIZE surviving ids through the rewrite: kept
+    # rows keep (id, version); changed rows keep their id with the DML
+    # commit's version; inserts get fresh ids above the watermark
     t = str(tmp_path / "rw")
     df = spark.range(0, 50).select("id", (F.col("id") % 5).alias("v"))
     lakehouse.write_delta(spark, df, t, row_tracking=True)
-    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
-        lakehouse.update_delta(spark, t, {"v": "9"}, "id = 1")
-    with pytest.raises(NotImplementedError, match="ROW-TRACKED"):
-        lakehouse.merge_delta(
-            spark,
-            spark.createDataFrame([(1, 2)], "id long, v long"),
-            t,
-            keys=["id"],
-        )
+    before = _ids(spark, t)
+    v_upd = lakehouse.update_delta(spark, t, {"v": "9"}, "id = 1")
+    mid = _ids(spark, t)
+    assert mid[1] == (before[1][0], v_upd)
+    assert all(mid[k] == before[k] for k in before if k != 1)
+    v_mrg = lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(2, 7), (99, 1)], "id long, v long"),
+        t,
+        keys=["id"],
+    )
+    after = _ids(spark, t)
+    assert after[2] == (before[2][0], v_mrg)  # updated: id kept, new ver
+    assert after[99][0] >= 50 and after[99][1] == v_mrg  # fresh insert
+    assert all(after[k] == mid[k] for k in mid if k != 2)
     # overwrite is allowed — replaced rows are NEW rows with fresh ids
     lakehouse.write_delta(
         spark,
@@ -70,7 +80,7 @@ def test_rewrites_refuse(spark, tmp_path):
         mode="overwrite",
     )
     ids = [r for r, _v in _ids(spark, t).values()]
-    assert len(ids) == 10 and min(ids) >= 50  # fresh range, tracking kept
+    assert len(ids) == 10 and min(ids) >= 51  # fresh range, tracking kept
 
 
 def test_enable_backfill_and_checkpoint_survival(spark, tmp_path):
