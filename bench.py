@@ -100,6 +100,7 @@ HEADLINE = [
     "e11_bm25_search",
     "e12_interpolate",
     "e1_metadata_tables",
+    "e1_delta_row_dml",
 ]
 
 

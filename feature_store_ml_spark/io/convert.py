@@ -16,7 +16,11 @@ Iceberg position-delete files and live Iceberg position deletes become
 Delta DVs — both are (file, row-ordinal) masks, so the translation is
 metadata-sized and exact (bitmaps/pairs move, data bytes never do).
 Position work stays executor-side in both directions, mirroring
-delete_delta / delete_iceberg's write discipline.
+delete_delta / delete_iceberg's write discipline. EQUALITY deletes
+(Delta has no key-scoped lazy mask) RESOLVE to positions instead: the
+survivor-complement path (_deletes_to_bitmaps_via_survivors) reuses
+read_iceberg's own scan semantics and costs one extra table scan,
+paid only when equality content is live.
 
 Column-mapped Delta tables CONVERT too (round 7): the columnMapping ids
 become the Iceberg field ids; only files that carry neither footer field
@@ -24,8 +28,6 @@ ids nor the logical column names refuse (per-file probe), as do
 PARTITIONED mapped tables (physical-named partitionValues).
 
 Fail-loud boundaries (state the other format cannot express faithfully):
-- Iceberg EQUALITY delete files (Delta has no key-scoped lazy mask —
-  compact first, then convert);
 - identity partition sources outside the writer's int/long/string/date
   set.
 
@@ -245,6 +247,15 @@ def _pos_deletes_to_bitmaps(
         .select(F.col("_rel").alias("rel"), F.col("pos").cast("long").alias("pos"))
     )
 
+    return _pairs_to_blobs(pairs)
+
+
+def _pairs_to_blobs(pairs: "DataFrame") -> dict:
+    """(rel, pos) pairs -> {rel: (serialized roaring bytes, cardinality)}:
+    one bitmap per file serialized EXECUTOR-side via groupBy+applyInPandas;
+    the driver collects O(#DV'd files) compressed blobs, never positions
+    (delete_delta's write discipline)."""
+
     def _ser(pdf):
         import pandas as pd
 
@@ -263,6 +274,63 @@ def _pos_deletes_to_bitmaps(
         .collect()
     )
     return {r["rel"]: (bytes(r["dv"]), int(r["card"])) for r in rows}
+
+
+def _deletes_to_bitmaps_via_survivors(
+    spark: SparkSession, table_root: str, data: list, root_abs: str
+) -> dict:
+    """Fold ALL live delete content — position AND equality files — into
+    one roaring bitmap per data file by COMPLEMENT: the survivor set
+    comes from ``read_iceberg``'s own scan (which already implements the
+    spec's sequence scoping — strictly-older for equality, at-or-older
+    for position — rename-stable field-id resolution, and
+    identity-partition projection backfill, so there is no second
+    implementation of equality semantics to drift), and every physical
+    position absent from it is deleted.
+
+    The position universe is SYNTHESIZED from footer row counts
+    (``sequence(0, n-1)`` exploded per file — no data-column IO, and no
+    mixed-physical-schema union read across rename generations); the
+    survivor scan prunes to the _metadata columns plus whatever equality
+    columns its anti-joins need (Catalyst column pruning). One full-table
+    scan plus one anti-join shuffle — paid exactly when equality deletes
+    are present; the pos-only fold (_pos_deletes_to_bitmaps) stays the
+    cheap path. Returns {rel: (bytes, card)}."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in data:
+        ab = os.path.abspath(d["path"])
+        n = pq.ParquetFile(ab).metadata.num_rows
+        if n:
+            rows.append(
+                (
+                    "file:" + ab,
+                    os.path.relpath(ab, root_abs).replace(os.sep, "/"),
+                    int(n),
+                )
+            )
+    if not rows:
+        return {}
+    universe = (
+        spark.createDataFrame(rows, "_fp string, _rel string, _n long")
+        .select(
+            "_fp",
+            "_rel",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_ri"),
+        )
+    )
+    survivors = iceberg.read_iceberg(
+        spark, table_root, with_row_identity=True
+    ).select(
+        F.col("_metadata.file_path").alias("_fp"),
+        F.col("_metadata.row_index").alias("_ri"),
+    )
+    pairs = universe.join(survivors, ["_fp", "_ri"], "left_anti").select(
+        F.col("_rel").alias("rel"), F.col("_ri").cast("long").alias("pos")
+    )
+    return _pairs_to_blobs(pairs)
 
 
 def convert_delta_to_iceberg(
@@ -611,12 +679,6 @@ def convert_iceberg_to_delta(
         raise ValueError(f"{path}: table has no current snapshot")
     data, deletes = iceberg._snapshot_scan_plan(meta, cur, path)
     eq = [d for d in deletes if d["kind"] == "eq"]
-    if eq:
-        raise ValueError(
-            f"{path}: {len(eq)} live EQUALITY delete file(s) — Delta has "
-            "no key-scoped lazy mask to express them; run compact_iceberg "
-            "first, then convert"
-        )
     declared = iceberg._declared_spark_schema(meta)
     if declared is None:
         raise NotImplementedError(
@@ -650,11 +712,17 @@ def convert_iceberg_to_delta(
     }
     root_abs = os.path.abspath(path)
     now_ms = int(_time.time() * 1000)
-    # live position deletes fold into one roaring bitmap per data file
+    # live row-level deletes fold into one roaring bitmap per data file
     # (executor-side, sequence-scoped) and become Delta DELETION VECTORS
-    # on the re-added entries — no data rewrite, deleted rows stay masked
+    # on the re-added entries — no data rewrite, deleted rows stay masked.
+    # Position-only content uses the cheap fold (reads just the delete
+    # parquets); EQUALITY deletes have no Delta key-scoped equivalent, so
+    # their presence switches to the survivor-complement path (one extra
+    # table scan) which resolves BOTH kinds to positions at once.
     dv_blobs: dict[str, tuple[bytes, int]] = {}
-    if deletes:
+    if eq:
+        dv_blobs = _deletes_to_bitmaps_via_survivors(spark, path, data, root_abs)
+    elif deletes:
         dv_blobs = _pos_deletes_to_bitmaps(spark, path, data, deletes, root_abs)
     prior_adds: dict[str, dict] = {}
     actions: list[dict] = []

@@ -3774,6 +3774,99 @@ def e1_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_row_dml",
+    """
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000),
+         ins  AS (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey > 2000 AND o_orderkey <= 2400),
+         del  AS (SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM del)
+              + (SELECT COUNT(*) FROM ins) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM del)
+              + (SELECT COUNT(*) FROM ins) AS BIGINT) AS n_distinct_ids,
+           CAST((SELECT COUNT(*) FROM base)
+              - (SELECT COUNT(*) FROM del) AS BIGINT) AS n_stable,
+           CAST((SELECT COUNT(*) FROM base
+                 WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 <> 0)
+                AS BIGINT) AS n_updated,
+           CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_inserted
+    """,
+)
+def e1_delta_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML on a ROW-TRACKED table (round 7 —
+    io/lakehouse.merge_delta/_merge_rewrite with id MATERIALIZATION,
+    PROTOCOL.md §Row Tracking preservation): the id-stability contract
+    CDC joins and training-example provenance depend on, graded as an
+    invariant oracle. Lifecycle: create a row-tracked orders subset,
+    MERGE an upsert batch (price bump for every 5th key + brand-new
+    keys), then a keyed MERGE-delete of every 3rd key. The final
+    snapshot joins the pre-merge snapshot ON row_id (row ids are stable
+    across versions — the protocol-level diff row tracking exists for):
+
+    - n_stable: rows whose row_id existed before the merge AND still
+      maps to the same business key — every survivor, UPDATED ROWS
+      INCLUDED (the whole point; a delete+reinsert implementation would
+      zero this column);
+    - n_updated: stable rows whose row_commit_version moved to the
+      merge commit — exactly the updated-and-not-deleted keys (kept
+      neighbors must keep their old version);
+    - n_inserted: final row_ids with no pre-merge match (fresh ranges
+      above the watermark — an id collision would also corrupt
+      n_stable);
+    - n_rows == n_distinct_ids: no duplicate ids after rewrite +
+      allocation.
+
+    The oracle computes each count from bare orders arithmetic. The id
+    read is a broadcast-map JVM projection (no shuffle); the join is a
+    single shuffle on row_id, bounded by the subset size."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    t = f"{tempfile.gettempdir()}/fsml_row_dml"
+    shutil.rmtree(t, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = o.where("o_orderkey <= 2000").select(*cols)
+    lakehouse.write_delta(spark, base, t, row_tracking=True)
+    upd = base.where("o_orderkey % 5 = 1").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    ins = o.where("o_orderkey > 2000 AND o_orderkey <= 2400").select(*cols)
+    v_merge = lakehouse.merge_delta(
+        spark, upd.unionByName(ins), t, keys=["o_orderkey"]
+    )
+    lakehouse.merge_delta(
+        spark,
+        base.where("o_orderkey % 3 = 0").select("o_orderkey"),
+        t,
+        keys=["o_orderkey"],
+        when_matched="delete",
+    )
+    pre = lakehouse.read_delta_row_ids(spark, t, version=v_merge - 1).select(
+        "row_id", F.col("o_orderkey").alias("_k0")
+    )
+    fin = lakehouse.read_delta_row_ids(spark, t)
+    stable = F.col("_k0") == F.col("o_orderkey")
+    return fin.join(pre, "row_id", "left").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.sum(F.when(stable, 1).otherwise(0)).cast("long").alias("n_stable"),
+        F.sum(
+            F.when(
+                stable & (F.col("row_commit_version") == F.lit(v_merge)), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("_k0").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -5847,6 +5940,7 @@ _FINAL_ORDER = [
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
+    "e1_delta_row_dml",         # round 7: DML materializes ids (invariant)
     "e1_metadata_tables",       # round 7: $partitions/file views vs data
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
@@ -5875,7 +5969,6 @@ _FINAL_ORDER = [
     "e12_interpolate",      # round 7: linear interpolation, exact oracle
     "e17_packing_invariants",  # round 7: FFD packing invariant oracle
     "e13_session_window",
-    "e14_resize_meta",
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
@@ -5913,6 +6006,8 @@ _FINAL_ORDER = [
     "e4_agg_groupby",       # displaced by e17_packing_invariants (r6-
                             # green; e4 family keeps e4_cube in bench +
                             # median/linreg in the swept tail)
+    "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
+                            # e14 family keeps e14_png_checksums in-window)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6076,7 +6171,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 85, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 86, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

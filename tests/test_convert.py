@@ -98,7 +98,8 @@ def test_refusals(spark, tmp_path):
     convert.convert_iceberg_to_delta(spark, pd)
     assert lakehouse.read_delta(spark, pd).count() == 45
 
-    # EQUALITY deletes have no Delta equivalent — refuse until compacted
+    # EQUALITY deletes RESOLVE to position masks (survivor-complement
+    # path) — no compaction required
     eqt = str(tmp_path / "eq")
     iceberg.write_iceberg(
         spark, spark.range(0, 50).select("id"), eqt, format_version=2
@@ -106,9 +107,6 @@ def test_refusals(spark, tmp_path):
     iceberg.delete_iceberg_equality(
         spark, eqt, spark.range(0, 5).select("id")
     )
-    with pytest.raises(ValueError, match="EQUALITY"):
-        convert.convert_iceberg_to_delta(spark, eqt)
-    iceberg.compact_iceberg(spark, eqt)
     convert.convert_iceberg_to_delta(spark, eqt)
     assert lakehouse.read_delta(spark, eqt).count() == 45
 
@@ -403,3 +401,49 @@ def test_vacuum_protects_converted_pos_deletes(spark, tmp_path):
     assert not any("delete-" in p for p in doomed)
     assert iceberg.read_iceberg(spark, root).count() == before == 90
     assert lakehouse.read_delta(spark, root).count() == 90
+
+
+def test_iceberg_eq_deletes_to_delta_dv(spark, tmp_path):
+    """EQUALITY deletes convert by survivor-complement resolution: the
+    key-scoped lazy mask becomes per-file position DVs, inheriting the
+    read path's strictly-older sequence scoping (re-ingested keys stay
+    alive) and composing with live POSITION deletes in one pass."""
+    root = str(tmp_path / "eqc")
+    df = spark.range(0, 200).select("id", (F.col("id") % 7).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    # equality delete on a key set, position delete on a predicate
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.range(0, 30).select("id")
+    )
+    iceberg.delete_iceberg(spark, root, "v = 5")
+    # RE-INGEST some deleted keys AFTER the equality delete: the
+    # strictly-older rule keeps the new copies alive
+    iceberg.write_iceberg_batch(
+        spark,
+        spark.range(0, 10).select("id", (F.col("id") % 7).alias("v")),
+        root,
+        "reingest",
+        1,
+    )
+    convert.convert_iceberg_to_delta(spark, root)
+    i = iceberg.read_iceberg(spark, root).select("id", "v")
+    d = lakehouse.read_delta(spark, root).select("id", "v")
+    assert _rows(i) == _rows(d)
+    # the re-ingested keys are visible exactly once (v=5 rows excluded
+    # by the position delete only in the ORIGINAL file generation — the
+    # re-ingested batch appended after it, so its v=5 rows live)
+    alive = {r.id for r in d.collect()}
+    assert set(range(0, 10)) <= alive
+    assert not (set(range(10, 30)) & alive)
+    # DVs landed on the Delta side
+    adds, _ = lakehouse._replay_log_adds(root)
+    assert any(a.get("deletionVector") for a in adds.values())
+    # refresh after ANOTHER equality delete re-resolves the masks
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.range(100, 120).select("id")
+    )
+    convert.convert_iceberg_to_delta(spark, root, refresh=True)
+    i2 = iceberg.read_iceberg(spark, root).select("id", "v")
+    d2 = lakehouse.read_delta(spark, root).select("id", "v")
+    assert _rows(i2) == _rows(d2)
+    assert d2.where("id >= 100 AND id < 120").count() == 0
