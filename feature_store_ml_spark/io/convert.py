@@ -22,10 +22,13 @@ survivor-complement path (_deletes_to_bitmaps_via_survivors) reuses
 read_iceberg's own scan semantics and costs one extra table scan,
 paid only when equality content is live.
 
-Column-mapped Delta tables CONVERT too (round 7): the columnMapping ids
-become the Iceberg field ids; only files that carry neither footer field
-ids nor the logical column names refuse (per-file probe), as do
-PARTITIONED mapped tables (physical-named partitionValues).
+Column-mapped Delta tables CONVERT too (round 7), partitioned included:
+the columnMapping ids become the Iceberg field ids, physical-keyed
+partitionValues map back to logical spec fields, and only files that
+carry neither footer field ids nor the logical column names refuse
+(per-file probe; partition columns are exempt — Hive layout keeps them
+out of the data files and the Iceberg read reconstructs them from the
+manifest tuples).
 
 Fail-loud boundaries (state the other format cannot express faithfully):
 - identity partition sources outside the writer's int/long/string/date
@@ -376,12 +379,14 @@ def convert_delta_to_iceberg(
         # writes stamp them) or by logical-name fallback (pre-mapping
         # files whose physical names still equal the logical ones).
         # Checked per file from the harvest's footer probe below.
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                f"{path}: partitioned column-mapped Delta tables do not "
-                "convert — partitionValues carry physical names the "
-                "Iceberg partition spec would not resolve"
-            )
+        # PARTITIONED mapped tables convert too (round 7, third session):
+        # the adds' partitionValues are keyed by PHYSICAL name (Hive dir
+        # components) while metaData.partitionColumns holds logical names
+        # — the tuple lookup below maps through the physicalName, and the
+        # footer probe exempts partition columns (Hive layout never
+        # stores them in the data files; the Iceberg side reconstructs
+        # them from the manifest tuples via identity projection
+        # backfill, spec §Column Projection).
         for f0 in json.loads(meta["schemaString"])["fields"]:
             md = f0.get("metadata") or {}
             if md.get("delta.columnMapping.id") is None:
@@ -486,8 +491,12 @@ def convert_delta_to_iceberg(
         stats_threshold,
     )
     if mapping_mode:
-        want_ids = set(cm_ids.values())
-        logical = {f["name"] for f in fields}
+        # partition columns are exempt from the probe: Hive-layout data
+        # files never store them (values live in the dir names and the
+        # manifest tuples; the Iceberg read reconstructs them via
+        # identity projection backfill)
+        want_ids = {i for c, i in cm_ids.items() if c not in part_cols}
+        logical = {f["name"] for f in fields if f["name"] not in part_cols}
         for rel, _add in ordered_adds:
             names, fids = harvest[os.path.join(path, rel)][4]
             if want_ids <= set(fids) or logical <= set(names):
@@ -509,7 +518,8 @@ def convert_delta_to_iceberg(
         if n_rows is None:
             n_rows = n_rows_h
         pvals = {
-            c: _pval(c, (add.get("partitionValues") or {}).get(c))
+            # add-side tuples are keyed by PHYSICAL name on mapped tables
+            c: _pval(c, (add.get("partitionValues") or {}).get(phys.get(c, c)))
             for c in part_cols
         }
         entries.append(

@@ -125,8 +125,9 @@ def test_refusals(spark, tmp_path):
     assert (meta.get("partitionColumns") or []) == []
     assert lakehouse.read_delta(spark, bt).count() == 20
 
-    # partitioned + column-mapped Delta still refuses (physical-named
-    # partitionValues have no Iceberg spec expression)
+    # partitioned + column-mapped Delta CONVERTS (round 7, third
+    # session): physical-keyed partitionValues map back through the
+    # mapping into logical Iceberg spec fields
     cmp_ = str(tmp_path / "cmp")
     lakehouse.write_delta(
         spark,
@@ -137,8 +138,10 @@ def test_refusals(spark, tmp_path):
         partition_by=["p"],
     )
     lakehouse.enable_delta_column_mapping(spark, cmp_)
-    with pytest.raises(NotImplementedError, match="partitioned column-mapped"):
-        convert.convert_delta_to_iceberg(spark, cmp_)
+    convert.convert_delta_to_iceberg(spark, cmp_)
+    assert _rows(
+        iceberg.read_iceberg(spark, cmp_).select("id", "p")
+    ) == _rows(lakehouse.read_delta(spark, cmp_).select("id", "p"))
 
 
 def test_refresh_delta_to_iceberg(spark, tmp_path):
@@ -447,3 +450,57 @@ def test_iceberg_eq_deletes_to_delta_dv(spark, tmp_path):
     d2 = lakehouse.read_delta(spark, root).select("id", "v")
     assert _rows(i2) == _rows(d2)
     assert d2.where("id >= 100 AND id < 120").count() == 0
+
+
+def test_partitioned_mapped_conversion(spark, tmp_path):
+    """Partitioned + ID-mode column-mapped Delta converts: the adds'
+    PHYSICAL-keyed partitionValues map back to logical Iceberg identity
+    spec fields (source-id = the columnMapping id), renamed partition
+    and data columns resolve by footer fid, pruning engages on the
+    renamed partition dimension, and a refresh carries new commits."""
+    root = str(tmp_path / "pmc")
+    df = spark.range(0, 120).select(
+        "id", (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("v")
+    )
+    lakehouse.write_delta(
+        spark, df, root, partition_by=["p"], column_mapping="id"
+    )
+    lakehouse.rename_delta_column(spark, root, "v", "val")
+    lakehouse.rename_delta_column(spark, root, "p", "bucket")
+    # append AFTER the renames: files stage under frozen physical names
+    lakehouse.write_delta(
+        spark,
+        spark.range(120, 140).select(
+            "id", (F.col("id") % 4).alias("bucket"),
+            (F.col("id") * 3).alias("val"),
+        ),
+        root,
+        mode="append",
+        partition_by=["bucket"],
+    )
+    convert.convert_delta_to_iceberg(spark, root)
+    d = lakehouse.read_delta(spark, root).select("id", "bucket", "val")
+    i = iceberg.read_iceberg(spark, root).select("id", "bucket", "val")
+    assert _rows(d) == _rows(i)
+    # manifest tuples drive pruning on the renamed partition column
+    rep = iceberg.iceberg_scan_report(root, "bucket = 2")
+    assert rep["kept_files"] < rep["total_files"]
+    n2 = iceberg.read_iceberg(spark, root, where="bucket = 2").count()
+    assert n2 == d.where("bucket = 2").count() > 0
+    # refresh after another mapped append
+    lakehouse.write_delta(
+        spark,
+        spark.range(140, 150).select(
+            "id", (F.col("id") % 4).alias("bucket"),
+            (F.col("id") * 3).alias("val"),
+        ),
+        root,
+        mode="append",
+        partition_by=["bucket"],
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert _rows(
+        lakehouse.read_delta(spark, root).select("id", "bucket", "val")
+    ) == _rows(
+        iceberg.read_iceberg(spark, root).select("id", "bucket", "val")
+    )
