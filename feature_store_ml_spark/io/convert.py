@@ -227,7 +227,11 @@ def _pos_deletes_to_bitmaps(
     ]
     mapping = []
     for u in distinct:
-        ab = os.path.abspath(iceberg._localize(u, table_root))
+        # _localize_decoded: delete-file content is URI-encoded (written
+        # from _metadata.file_path) while the data entries' rel keys are
+        # raw on-disk bytes — an undecoded path would silently drop every
+        # delete in a special-char partition dir
+        ab = os.path.abspath(iceberg._localize_decoded(u, table_root))
         mapping.append((u, os.path.relpath(ab, root_abs).replace(os.sep, "/")))
     map_df = spark.createDataFrame(mapping, "_raw string, _rel string")
     dseq_df = spark.createDataFrame(
@@ -327,7 +331,11 @@ def _deletes_to_bitmaps_via_survivors(
     survivors = iceberg.read_iceberg(
         spark, table_root, with_row_identity=True
     ).select(
-        F.col("_metadata.file_path").alias("_fp"),
+        # decoded: the universe keys on RAW on-disk paths while
+        # _metadata.file_path arrives percent-encoded (special-char
+        # partition dirs would otherwise match nothing — masking every
+        # row of those files as deleted)
+        lakehouse._decoded_file_path().alias("_fp"),
         F.col("_metadata.row_index").alias("_ri"),
     )
     pairs = universe.join(survivors, ["_fp", "_ri"], "left_anti").select(

@@ -286,6 +286,38 @@ def _declared_spark_schema(meta: dict):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
+def _decoded_meta_path():
+    """``_metadata.file_path`` as the RAW on-disk path: the column arrives
+    percent-ENCODED (Spark's own Hive escaping writes literal '%' into
+    special-char partition dir names, which the URI then double-encodes as
+    %25, so ONE decode always restores the exact bytes). ``url_decode`` is
+    form-decoding — a bare '+' would become a space — so literal plus
+    signs are pre-protected. Joining the raw column against driver-built
+    on-disk paths instead silently matches NOTHING on special-char
+    partition values."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+    )
+
+
+def _localize_decoded(raw: str, table_root: str) -> str:
+    """_localize, then percent-decode when the literal path is absent on
+    disk: position-delete content written from ``_metadata.file_path``
+    arrives URI-encoded, while manifests (and the cross-format converter)
+    record raw on-disk bytes — this resolves either form to the on-disk
+    path that ``_decoded_meta_path`` tags scans with."""
+    loc = _localize(raw, table_root)
+    if not os.path.exists(loc):
+        from urllib.parse import unquote
+
+        dec = unquote(loc)
+        if os.path.exists(dec):
+            return dec
+    return loc
+
+
 def _apply_position_deletes(
     spark: SparkSession, table_root: str, df: DataFrame, delete_files: list[str]
 ) -> DataFrame:
@@ -303,7 +335,7 @@ def _apply_position_deletes(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+    tagged = df.withColumn("_fp", _decoded_meta_path()).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
     return _join_out_positions(spark, table_root, tagged, delete_files).drop(
@@ -354,7 +386,7 @@ def _join_out_positions(
     if not distinct_paths:
         return tagged
     mapping = [
-        (raw, "file:" + os.path.abspath(_localize(raw, table_root)))
+        (raw, "file:" + os.path.abspath(_localize_decoded(raw, table_root)))
         for raw in distinct_paths
     ]
     map_df = spark.createDataFrame(mapping, "_raw_fp string, _del_fp string")
@@ -1074,6 +1106,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     sort_by: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -1097,6 +1130,17 @@ def write_iceberg(
     one-partition-per-file invariant comes from staging through a derived
     string key (``partitionBy`` on the derivation keeps the source column
     in the file). Appends must repeat the declared partitioning.
+
+    ``branch``: append to a named BRANCH ref instead of main — the
+    write-audit half of WRITE-AUDIT-PUBLISH (spec §Refs): the new
+    snapshot parents off the branch head and only the branch pointer
+    moves; ``current-snapshot-id`` and the main ``snapshot-log`` are
+    untouched, so production readers never see unaudited rows. Validate
+    through ``read_iceberg(ref=...)``, then publish with
+    ``fast_forward_iceberg``. The branch must exist (``set_iceberg_ref``)
+    and schema evolution through a side branch is refused (the schema is
+    TABLE-level state — evolving it from a branch would change main's
+    view before publish).
 
     Returns the new snapshot id. Scale/correctness shape mirrors
     lakehouse.write_delta: distributed data write, driver-side O(#files)
@@ -1130,6 +1174,19 @@ def write_iceberg(
     prior_meta: dict = {}
     prior_version = 0
     declared: dict = {}
+    if branch is not None:
+        if not existing:
+            raise ValueError(
+                f"{path}: branch={branch!r} write into a non-existent "
+                "table — create the table (write to main) and "
+                "set_iceberg_ref first"
+            )
+        if merge_schema:
+            raise NotImplementedError(
+                "write_iceberg: schema evolution through a side branch is "
+                "not implemented — the schema is table-level state; "
+                "evolve on main"
+            )
     if existing:
         mp = latest_metadata_path(path)
         with open(mp) as fh:
@@ -1408,9 +1465,24 @@ def write_iceberg(
         ],
     )
 
-    # 3. manifest list: prior snapshot's manifests + the new one
+    # 3. manifest list: BASE snapshot's manifests + the new one — the
+    #    base is the branch head for a branch write, else main
     prior_manifests: list[dict] = []
-    cur = prior_meta.get("current-snapshot-id")
+    if branch is not None:
+        refs0 = prior_meta.get("refs") or {}
+        if branch not in refs0:
+            raise ValueError(
+                f"{path}: no branch {branch!r} "
+                f"(have {sorted(refs0) or 'none'}) — set_iceberg_ref first"
+            )
+        if refs0[branch].get("type") != "branch":
+            raise ValueError(
+                f"{path}: ref {branch!r} is a TAG — tags pin history and "
+                "are immutable; write to a branch"
+            )
+        cur = refs0[branch]["snapshot-id"]
+    else:
+        cur = prior_meta.get("current-snapshot-id")
     if cur not in (None, -1) and snapshots:
         prior_snap = next(s for s in snapshots if s["snapshot-id"] == cur)
         for e in avro_lite.read_container(_localize(prior_snap["manifest-list"], path)):
@@ -1433,7 +1505,8 @@ def write_iceberg(
     )
 
     # 4. new metadata version, committed by atomic rename (single-writer)
-    _parent = prior_meta.get("current-snapshot-id")
+    # a branch write parents off the BRANCH head (cur resolved above)
+    _parent = cur if branch is not None else prior_meta.get("current-snapshot-id")
     snapshot = {
         "snapshot-id": snap_id,
         **(
@@ -1500,12 +1573,34 @@ def write_iceberg(
         # properties and refs are durable table state — an append that
         # dropped them would silently un-tag snapshots / reset config
         "properties": prior_meta.get("properties") or {},
-        "current-snapshot-id": snap_id,
+        # a branch write moves ONLY the branch pointer: main
+        # (current-snapshot-id) and its snapshot-log are untouched, so
+        # time travel and production reads never see unpublished rows
+        "current-snapshot-id": (
+            prior_meta.get("current-snapshot-id", -1)
+            if branch is not None
+            else snap_id
+        ),
         "snapshots": snapshots + [snapshot],
         # the (timestamp -> snapshot) history time travel resolves against
-        "snapshot-log": list(prior_meta.get("snapshot-log", []))
-        + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
-        **({"refs": prior_meta["refs"]} if prior_meta.get("refs") else {}),
+        "snapshot-log": (
+            list(prior_meta.get("snapshot-log", []))
+            if branch is not None
+            else list(prior_meta.get("snapshot-log", []))
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}]
+        ),
+        **(
+            {
+                "refs": {
+                    **(prior_meta.get("refs") or {}),
+                    branch: {"snapshot-id": snap_id, "type": "branch"},
+                }
+            }
+            if branch is not None
+            else (
+                {"refs": prior_meta["refs"]} if prior_meta.get("refs") else {}
+            )
+        ),
     }
     if format_version >= 2:
         meta["last-sequence-number"] = seq
@@ -1608,6 +1703,73 @@ def drop_iceberg_ref(path: str, name: str) -> None:
     meta["refs"] = refs
     meta["last-updated-ms"] = int(_time.time() * 1000)
     _swap_metadata(path, meta)
+
+
+def fast_forward_iceberg(path: str, target: str, source: str) -> int:
+    """PUBLISH (the third WAP step, spec §Refs): fast-forward ref
+    ``target`` — or the literal ``"main"`` — to ``source``'s head,
+    permitted only when the target head is an ANCESTOR of the source
+    head (parent-snapshot-id chain walk): a fast-forward never discards
+    commits, so independently-advanced (diverged) refs refuse — rebase
+    by re-writing the audit branch, or rollback main first. Moving main
+    updates ``current-snapshot-id`` AND appends a snapshot-log entry so
+    timestamp time travel resolves "now" to the published state. One
+    metadata commit, zero data IO. Returns the new head snapshot id."""
+    import time as _time
+
+    meta = _load_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    src_head = resolve_iceberg_ref(meta, source)
+    if target == "main":
+        tgt_head = meta.get("current-snapshot-id")
+        tgt_head = None if tgt_head in (None, -1) else tgt_head
+    else:
+        if target not in refs:
+            raise ValueError(
+                f"{path}: no ref {target!r} (have {sorted(refs) or 'none'})"
+            )
+        if refs[target].get("type") != "branch":
+            raise ValueError(
+                f"{path}: ref {target!r} is a TAG — tags pin history and "
+                "cannot be fast-forwarded"
+            )
+        tgt_head = refs[target]["snapshot-id"]
+    if tgt_head == src_head:
+        return src_head  # already published — idempotent no-op
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if src_head not in by_id:
+        raise ValueError(
+            f"{path}: source head {src_head} is not a retained snapshot"
+        )
+    node: int | None = src_head
+    ok = tgt_head is None
+    seen: set = set()
+    while not ok and node is not None and node not in seen:
+        seen.add(node)
+        node = by_id.get(node, {}).get("parent-snapshot-id")
+        ok = node == tgt_head
+    if not ok:
+        raise ValueError(
+            f"{path}: {target!r} (head {tgt_head}) is not an ancestor of "
+            f"{source!r} (head {src_head}) — the refs diverged; "
+            "fast-forward would discard commits"
+        )
+    now_ms = int(_time.time() * 1000)
+    meta = dict(meta)
+    if target == "main":
+        meta["current-snapshot-id"] = src_head
+        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": src_head}
+        ]
+        if refs.get("main"):
+            refs["main"] = {"snapshot-id": src_head, "type": "branch"}
+    else:
+        refs[target] = {"snapshot-id": src_head, "type": "branch"}
+    if refs:
+        meta["refs"] = refs
+    meta["last-updated-ms"] = now_ms
+    _swap_metadata(path, meta)
+    return src_head
 
 
 def resolve_iceberg_ref(meta: dict, ref: str) -> int:
@@ -2431,7 +2593,10 @@ def read_iceberg(
             )
             key = F.array_join(
                 F.slice(
-                    F.split(F.col("_metadata.file_path"), "/"),
+                    # decoded: the lut keys come from manifest paths (raw
+                    # on-disk bytes); the URI form would miss on
+                    # special-char partition dirs
+                    F.split(_decoded_meta_path(), "/"),
                     -suffix_k,
                     suffix_k,
                 ),
@@ -2469,7 +2634,7 @@ def read_iceberg(
     for seq, paths in sorted(by_seq.items()):
         g = _read(paths, want_meta=bool(pos) or with_row_identity)
         if pos:
-            g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+            g = g.withColumn("_fp", _decoded_meta_path()).withColumn(
                 "_ri", F.col("_metadata.row_index")
             )
         for d in eq:
@@ -3843,7 +4008,7 @@ def read_iceberg_cdf(
             scan_files = sorted(set(prev_data_map) | set(data_map))
             tagged = (
                 _read(scan_files)
-                .withColumn("_fp", F.col("_metadata.file_path"))
+                .withColumn("_fp", _decoded_meta_path())
                 .withColumn("_ri", F.col("_metadata.row_index"))
             )
             # (the feed needs the COMPLEMENT of the read-path's anti-join:
@@ -3859,7 +4024,9 @@ def read_iceberg_cdf(
                 ):
                     uri = cache.get(raw)
                     if uri is None:
-                        uri = "file:" + os.path.abspath(_localize(raw, path))
+                        uri = "file:" + os.path.abspath(
+                            _localize_decoded(raw, path)
+                        )
                         cache[raw] = uri
                     pairs.append((uri, p_))
             if pairs:
@@ -3897,7 +4064,7 @@ def read_iceberg_cdf(
             g = _read(older)
             prev_pos = [x["path"] for x in prev_deletes if x["kind"] == "pos"]
             if prev_pos:
-                g = g.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+                g = g.withColumn("_fp", _decoded_meta_path()).withColumn(
                     "_ri", F.col("_metadata.row_index")
                 )
                 g = _join_out_positions(spark, path, g, prev_pos).drop("_fp", "_ri")

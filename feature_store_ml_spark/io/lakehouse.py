@@ -954,7 +954,10 @@ def _apply_dv_filter(
     total_card = sum(c for _, _, c in blobs if c > 0)
     if total_card and total_card <= 5_000_000:
         deleted = F.broadcast(deleted)
-    tagged = df.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+    # decoded: the blob map keys on RAW on-disk paths while
+    # _metadata.file_path arrives percent-encoded — joining raw would
+    # silently RESURRECT every masked row in a special-char partition dir
+    tagged = df.withColumn("_fp", _decoded_file_path()).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
     kept = tagged.join(
@@ -2284,6 +2287,22 @@ def _allocate_base_row_ids(path: str, adds: "list[dict]") -> dict:
             "removed": False,
         }
     }
+
+
+def _decoded_file_path():
+    """``_metadata.file_path`` is a percent-ENCODED URI; driver-built
+    broadcast maps key on the RAW on-disk path ("file:" + abspath). One
+    decode restores the exact on-disk bytes — a literal '%' in a dir name
+    (Spark's own Hive escaping writes them, e.g. value 'x=y' becomes dir
+    'p=x%3Dy') always arrives double-encoded as %25. ``url_decode`` is
+    form-decoding (a bare '+' would become a space), so literal plus
+    signs are pre-protected. Joining the raw column instead silently
+    matches NOTHING on special-char partition values."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+    )
 
 
 def _commit_row_tracked(
@@ -3776,9 +3795,14 @@ def delete_delta(
         from feature_store_ml_spark.io import roaring as _roaring
         from feature_store_ml_spark.io.lakehouse import _dv_positions as _dvp
 
+        from urllib.parse import unquote
+
         uri = pdf["_fp"].iloc[0]
         p = uri[5:] if uri.startswith("file:") else uri
-        rel = os.path.relpath(p, root_abs)
+        # the URI is percent-encoded; adds_map keys (and the on-disk
+        # layout) are raw bytes — one unquote restores them exactly
+        # (a literal '%' in a Hive-escaped dir always arrives as %25)
+        rel = os.path.relpath(unquote(p), root_abs)
         positions = pdf["_ri"].astype("int64").tolist()
         old = old_dv_descs.get(rel)
         if old:
@@ -4930,7 +4954,8 @@ def read_delta_cdf(
         )
         del_files = sorted({f for _, f, _ in deletes})
         scan = _scan_files(spark, path, del_files, meta, with_metadata=True)
-        tagged = scan.withColumn("_fp", F.col("_metadata.file_path")).withColumn(
+        # decoded: del_pairs key on raw on-disk paths (see _decoded_file_path)
+        tagged = scan.withColumn("_fp", _decoded_file_path()).withColumn(
             "_ri", F.col("_metadata.row_index")
         )
         dead = (
@@ -5169,7 +5194,7 @@ def _scan_with_row_ids(
 
     scan = _reduce(lambda a, b: a.unionByName(b), branches)
     return (
-        scan.withColumn("_fp0", F.col("_metadata.file_path"))
+        scan.withColumn("_fp0", _decoded_file_path())
         .withColumn("_ri0", F.col("_metadata.row_index"))
         .join(F.broadcast(m), F.col("_fp0") == F.col("_rt_fp"))
         .withColumn(

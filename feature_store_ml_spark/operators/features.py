@@ -290,3 +290,60 @@ def resample_interpolate(
         .drop("_is_grid")
         .withColumnRenamed(ts_col, "grid_ts")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed, timestamped
+    change feed — the WRITE-side twin of point_in_time_join: one output
+    row per (key, version) with a half-open [effective_from, effective_to)
+    validity interval and an is_current flag (effective_to null). The
+    reference's feature table is a single static snapshot
+    (/root/reference/src/main.py:15); SCD2 is what a dimension becomes
+    when every change must stay joinable as-of any training timestamp.
+
+    Semantics:
+    - consecutive rows whose ``attrs`` are IDENTICAL (null-safe) collapse —
+      a no-op change never opens a new version;
+    - ``attrs`` defaults to every non-key, non-timestamp column;
+    - rows are ordered by (ts, *attrs) within each key, so equal-timestamp
+      rows resolve DETERMINISTICALLY (and exact duplicates collapse);
+    - is_current is emitted as 0/1 long (engine-portable hashing).
+
+    Scale shape: exactly ONE shuffle on ``keys`` — the change-detection
+    lag, the version filter, and the effective_to lead all run over the
+    same partitioning (Catalyst reuses the exchange; the filter between
+    the two window passes never re-partitions). State per key is the
+    version chain, never the raw feed."""
+    from functools import reduce
+
+    if not keys:
+        raise ValueError("scd2_history: at least one key column required")
+    attrs = attrs or [c for c in changes.columns if c not in (*keys, ts_col)]
+    if not attrs:
+        raise ValueError("scd2_history: no attribute columns to track")
+    order = [F.col(ts_col).asc(), *[F.col(a).asc() for a in attrs]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    opens = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in attrs],
+    ) | F.lag(ts_col).over(w).isNull()
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("effective_from").asc(), *[F.col(a).asc() for a in attrs]
+    )
+    return (
+        changes.select(*keys, ts_col, *attrs)
+        .withColumn("_open", opens)
+        .where(F.col("_open"))
+        .drop("_open")
+        .withColumnRenamed(ts_col, "effective_from")
+        .withColumn("effective_to", F.lead("effective_from").over(w2))
+        .withColumn(
+            "is_current",
+            F.when(F.col("effective_to").isNull(), 1).otherwise(0).cast("long"),
+        )
+    )

@@ -3125,6 +3125,71 @@ def e1_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_wap",
+    """
+    SELECT 'pre_publish_main' AS phase, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'published' AS phase, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (round 7 third session; spec §Refs —
+    io/iceberg.write_iceberg(branch=) + fast_forward_iceberg): the
+    staging pattern that keeps unaudited rows out of production reads.
+    Write pre-1997 orders to main, branch 'audit', write the 1997+ batch
+    TO THE BRANCH (the new snapshot parents off the branch head; main's
+    pointer and snapshot-log are untouched), then fast-forward main onto
+    the audited head. The result carries BOTH phases: the main read
+    planned BEFORE publish (must contain only pre-1997 rows — a branch
+    write that leaked into main breaks this leg's count AND hash) and
+    the post-publish read (all rows — a lost fast-forward breaks this
+    leg). read_iceberg resolves its file list eagerly at call time, so
+    the pre-publish plan is pinned before the pointer moves."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_wap"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    iceberg.write_iceberg(
+        spark, src.where(F.col("o_orderdate") < cut), path, format_version=2
+    )
+    iceberg.set_iceberg_ref(path, "audit", ref_type="branch")
+    iceberg.write_iceberg(
+        spark,
+        src.where(F.col("o_orderdate") >= cut),
+        path,
+        format_version=2,
+        branch="audit",
+    )
+    pre = iceberg.read_iceberg(spark, path)  # file list pinned pre-publish
+    iceberg.fast_forward_iceberg(path, "main", "audit")
+    post = iceberg.read_iceberg(spark, path)
+
+    def _agg(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return _agg(pre, "pre_publish_main").unionByName(_agg(post, "published"))
+
+
+@register(
     "e1_delta_clone",
     """
     SELECT c_mktsegment,
@@ -5412,6 +5477,49 @@ def e12_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e12_scd2",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER w AS _prev,
+             LAG(ts) OVER w AS _pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    v AS (
+      SELECT user_id, ts AS effective_from, event_type
+      FROM c WHERE _pts IS NULL OR _prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, effective_from, event_type,
+           LEAD(effective_from) OVER w2 AS effective_to,
+           CAST(CASE WHEN LEAD(effective_from) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY effective_from, event_type)
+    """,
+)
+def e12_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension history from a change feed
+    (operators/features.scd2_history — the write-side twin of
+    point_in_time_join): per user, each run of equal event_type collapses
+    to ONE version row with a half-open [effective_from, effective_to)
+    validity interval and an is_current flag; joining any training
+    timestamp into the interval recovers the as-of attribute without
+    label leakage. Consecutive no-op changes never open a version
+    (null-safe change detection); equal-timestamp rows order
+    deterministically by (ts, attrs) on BOTH engines. Exactly one
+    shuffle on the key — the change-detection lag, the version filter,
+    and the effective_to lead reuse the same exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    return features.scd2_history(ev, ["user_id"], "ts").select(
+        "user_id", "effective_from", "event_type", "effective_to",
+        "is_current",
+    )
+
+
+@register(
     "e12_interpolate",
     """
     WITH bounds AS (
@@ -5943,6 +6051,7 @@ _FINAL_ORDER = [
     "e1_delta_row_dml",         # round 7: DML materializes ids (invariant)
     "e1_metadata_tables",       # round 7: $partitions/file views vs data
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
+    "e1_iceberg_wap",        # round 7: branch write + fast-forward publish
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
@@ -5980,9 +6089,8 @@ _FINAL_ORDER = [
     "q8_market_share",
     # -- sampling / PII / streaming-dedup surface
     "e16_mixture_sample",   # data-mixture composition
-    "e11_pii_scan",
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
-    "q20_dominant_supplier",
+    "e12_scd2",             # round 7: SCD2 dimension history, exact oracle
     "e5_window_distribution",
     # -- round-1-green keepers
     "e3_join_asof",
@@ -6008,6 +6116,10 @@ _FINAL_ORDER = [
                             # median/linreg in the swept tail)
     "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
                             # e14 family keeps e14_png_checksums in-window)
+    "q20_dominant_supplier",  # displaced by e12_scd2 (r5+r6 driver-green;
+                              # TPC-H family keeps q2/q4/q6/q7/q8/q19)
+    "e11_pii_scan",         # displaced by e1_iceberg_wap (r5+r6 driver-
+                            # green; e11 family keeps chunking + bm25)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6171,7 +6283,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 86, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 88, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

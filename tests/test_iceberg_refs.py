@@ -91,3 +91,76 @@ def test_ref_composes_with_mutations(spark, tmp_path):
     tagged = iceberg.read_iceberg(spark, root, ref="before")
     assert tagged.count() == 10
     assert tagged.where("id = 4").collect()[0].v == 8
+
+
+def _append_branch(spark, root, lo, hi, branch):
+    iceberg.write_iceberg(
+        spark,
+        spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        format_version=2,
+        branch=branch,
+    )
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: branch writes parent off the branch head and move only the
+    branch pointer; fast-forward publishes when (and only when) main is
+    an ancestor of the audit head."""
+    root = str(tmp_path / "wap")
+    _append(spark, root, 0, 50)
+    iceberg.set_iceberg_ref(root, "audit", ref_type="branch")
+    _append_branch(spark, root, 50, 80, "audit")
+    _append_branch(spark, root, 80, 90, "audit")  # commits stack
+    # main untouched, audit sees staged rows
+    assert iceberg.read_iceberg(spark, root).count() == 50
+    assert iceberg.read_iceberg(spark, root, ref="audit").count() == 90
+    # main's snapshot-log gained nothing: timestamp travel cannot land on
+    # an unpublished snapshot
+    meta = iceberg._load_metadata(root)
+    assert len(meta["snapshot-log"]) == 1
+    head = iceberg.fast_forward_iceberg(root, "main", "audit")
+    assert iceberg.read_iceberg(spark, root).count() == 90
+    assert iceberg.fast_forward_iceberg(root, "main", "audit") == head  # no-op
+    meta2 = iceberg._load_metadata(root)
+    assert meta2["snapshot-log"][-1]["snapshot-id"] == head
+    # branch->branch fast-forward too
+    iceberg.set_iceberg_ref(root, "stale", snapshot_id=head, ref_type="branch")
+    _append_branch(spark, root, 90, 95, "audit")
+    assert iceberg.fast_forward_iceberg(root, "stale", "audit") == (
+        iceberg.resolve_iceberg_ref(iceberg._load_metadata(root), "audit")
+    )
+
+
+def test_wap_divergence_and_refusals(spark, tmp_path):
+    root = str(tmp_path / "div")
+    _append(spark, root, 0, 10)
+    iceberg.set_iceberg_ref(root, "audit", ref_type="branch")
+    # main and the branch advance independently -> diverged -> refuse
+    _append(spark, root, 10, 20)
+    _append_branch(spark, root, 20, 30, "audit")
+    with pytest.raises(ValueError, match="diverged"):
+        iceberg.fast_forward_iceberg(root, "main", "audit")
+    # tags are immutable on both the write and the fast-forward side
+    iceberg.set_iceberg_ref(root, "pin", ref_type="tag")
+    with pytest.raises(ValueError, match="TAG"):
+        _append_branch(spark, root, 0, 1, "pin")
+    with pytest.raises(ValueError, match="TAG"):
+        iceberg.fast_forward_iceberg(root, "pin", "audit")
+    # unknown branch / create-through-branch refuse
+    with pytest.raises(ValueError, match="no branch"):
+        _append_branch(spark, root, 0, 1, "nope")
+    with pytest.raises(ValueError, match="non-existent"):
+        _append_branch(spark, str(tmp_path / "fresh"), 0, 1, "audit")
+    # schema evolution through a side branch refuses
+    with pytest.raises(NotImplementedError, match="schema"):
+        iceberg.write_iceberg(
+            spark,
+            spark.range(0, 1).select(
+                "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("extra")
+            ),
+            root,
+            format_version=2,
+            branch="audit",
+            merge_schema=True,
+        )

@@ -80,3 +80,63 @@ def test_delta_partitioned_special_values_roundtrip(spark, tmp_path):
     lakehouse.merge_delta(spark, src, root, keys=["id"])
     got = {(r.id, r.v) for r in lakehouse.read_delta(spark, root).collect()}
     assert (0, -1) in got and len(got) == 5
+
+
+def test_delta_dv_masks_special_partitions(spark, tmp_path):
+    """Round-7 regression: _apply_dv_filter joined the RAW driver path
+    against the percent-ENCODED _metadata.file_path — on special-char
+    partition dirs every masked row silently RESURRECTED (and the DV
+    write itself keyed the wrong rel). Covers the literal-'%' dir too
+    ('pct%20' Hive-escapes to %25 on disk, double-encodes in the URI)."""
+    root = str(tmp_path / "dv")
+    lakehouse.write_delta(spark, _df(spark), root, partition_by=["b"])
+    lakehouse.delete_delta(spark, root, "id <= 1")  # Brand#13 + pct%20 rows
+    got = {(r.id, r.b) for r in lakehouse.read_delta(spark, root).collect()}
+    assert got == {(2, "a:b"), (3, "sp ace"), (4, None)}
+    # row-tracked sibling: the id-map join decodes the same way
+    rt = str(tmp_path / "rt")
+    lakehouse.write_delta(
+        spark, _df(spark), rt, partition_by=["b"], row_tracking=True
+    )
+    ids0 = {
+        r.id: r.row_id
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    assert len(ids0) == 5
+    src = spark.createDataFrame([(0, "Brand#13", -1)], "id int, b string, v int")
+    vm = lakehouse.merge_delta(spark, src, rt, keys=["id"])
+    ids1 = {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    assert ids1[0] == (ids0[0], vm)
+    assert all(ids1[k][0] == ids0[k] for k in ids0)
+
+
+def test_conversion_carries_deletes_on_special_partitions(spark, tmp_path):
+    """Both conversion directions must carry row-level deletes across
+    special-char partition dirs (encoded delete-file content vs raw
+    manifest/on-disk paths resolve through _localize_decoded)."""
+    # iceberg -> delta with pos + equality deletes
+    it = str(tmp_path / "i2d")
+    iceberg.write_iceberg(
+        spark, _df(spark), it, format_version=2, partition_by=["b"]
+    )
+    iceberg.delete_iceberg(spark, it, "id = 3")
+    iceberg.delete_iceberg_equality(
+        spark, it, spark.createDataFrame([(0,)], "id int")
+    )
+    from feature_store_ml_spark.io import convert
+
+    convert.convert_iceberg_to_delta(spark, it)
+    i = {(r.id, r.b) for r in iceberg.read_iceberg(spark, it).collect()}
+    d = {(r.id, r.b) for r in lakehouse.read_delta(spark, it).collect()}
+    assert i == d == {(1, "pct%20"), (2, "a:b"), (4, None)}
+    # delta -> iceberg with a DV
+    dt = str(tmp_path / "d2i")
+    lakehouse.write_delta(spark, _df(spark), dt, partition_by=["b"])
+    lakehouse.delete_delta(spark, dt, "id = 1")
+    convert.convert_delta_to_iceberg(spark, dt)
+    d2 = {r.id for r in lakehouse.read_delta(spark, dt).collect()}
+    i2 = {r.id for r in iceberg.read_iceberg(spark, dt).collect()}
+    assert d2 == i2 == {0, 2, 3, 4}

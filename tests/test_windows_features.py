@@ -176,3 +176,54 @@ def test_resample_interpolate_known(spark):
     assert abs(out[(1, 3)] - 50.0) < 1e-9
     # user 2's single grid point (0:00) precedes its only obs: no bracket
     assert out[(2, 0)] is None
+
+
+def test_scd2_history(spark):
+    """SCD2: runs of equal attribute values collapse to one version with a
+    half-open validity interval; null-safe change detection; deterministic
+    equal-timestamp ordering."""
+    T = dt.datetime
+    rows = [
+        # key 1: A(0h), A(1h no-op), B(2h), B(3h no-op), A(4h) -> 3 versions
+        (1, T(2024, 1, 1, 0), "A"),
+        (1, T(2024, 1, 1, 1), "A"),
+        (1, T(2024, 1, 1, 2), "B"),
+        (1, T(2024, 1, 1, 3), "B"),
+        (1, T(2024, 1, 1, 4), "A"),
+        # key 2: null -> null (no-op, null-safe) -> C
+        (2, T(2024, 1, 1, 0), None),
+        (2, T(2024, 1, 1, 1), None),
+        (2, T(2024, 1, 1, 2), "C"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, attr string")
+    out = {
+        (r.k, r.effective_from): (r.attr, r.effective_to, r.is_current)
+        for r in features.scd2_history(df, ["k"], "ts").collect()
+    }
+    assert len(out) == 5
+    assert out[(1, T(2024, 1, 1, 0))] == ("A", T(2024, 1, 1, 2), 0)
+    assert out[(1, T(2024, 1, 1, 2))] == ("B", T(2024, 1, 1, 4), 0)
+    assert out[(1, T(2024, 1, 1, 4))] == ("A", None, 1)
+    assert out[(2, T(2024, 1, 1, 0))] == (None, T(2024, 1, 1, 2), 0)
+    assert out[(2, T(2024, 1, 1, 2))] == ("C", None, 1)
+    # intervals tile: as-of lookups land in exactly one version
+    hist = features.scd2_history(df, ["k"], "ts")
+    probe = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 2, 30))], "k long, at timestamp"
+    )
+    got = probe.join(hist, "k").where(
+        (F.col("effective_from") <= F.col("at"))
+        & (F.col("effective_to").isNull() | (F.col("at") < F.col("effective_to")))
+    )
+    assert [(r.attr) for r in got.collect()] == ["B"]
+    # multiple attrs default + explicit subset
+    df2 = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0), "A", 1.0), (1, T(2024, 1, 1, 1), "A", 2.0)],
+        "k long, ts timestamp, a string, v double",
+    )
+    assert features.scd2_history(df2, ["k"], "ts").count() == 2  # v changed
+    assert features.scd2_history(df2, ["k"], "ts", attrs=["a"]).count() == 1
+    with pytest.raises(ValueError, match="attribute"):
+        features.scd2_history(
+            df2.select("k", "ts"), ["k"], "ts"
+        )
