@@ -101,6 +101,8 @@ HEADLINE = [
     "e12_interpolate",
     "e1_metadata_tables",
     "e1_delta_row_dml",
+    "e12_scd2",
+    "e1_iceberg_wap",
 ]
 
 
