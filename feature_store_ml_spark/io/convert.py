@@ -335,7 +335,9 @@ def _deletes_to_bitmaps_via_survivors(
         # _metadata.file_path arrives percent-encoded (special-char
         # partition dirs would otherwise match nothing — masking every
         # row of those files as deleted)
-        lakehouse._decoded_file_path().alias("_fp"),
+        lakehouse._decoded_file_path(
+            [os.path.abspath(d["path"]) for d in data]
+        ).alias("_fp"),
         F.col("_metadata.row_index").alias("_ri"),
     )
     pairs = universe.join(survivors, ["_fp", "_ri"], "left_anti").select(

@@ -286,7 +286,7 @@ def _declared_spark_schema(meta: dict):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
-def _decoded_meta_path():
+def _decoded_meta_path(paths: "list[str] | None" = None):
     """``_metadata.file_path`` as the RAW on-disk path: the column arrives
     percent-ENCODED (Spark's own Hive escaping writes literal '%' into
     special-char partition dir names, which the URI then double-encodes as
@@ -294,9 +294,16 @@ def _decoded_meta_path():
     form-decoding — a bare '+' would become a space — so literal plus
     signs are pre-protected. Joining the raw column against driver-built
     on-disk paths instead silently matches NOTHING on special-char
-    partition values."""
+    partition values. ``paths``: when the caller holds the scanned file
+    set and every path is URI-clean (unreserved chars only), encoding is
+    the identity and the raw column is returned — the common hot path
+    skips the per-row regexp+decode."""
     from pyspark.sql import functions as F
 
+    from .lakehouse import _URI_CLEAN
+
+    if paths is not None and all(_URI_CLEAN.match(p) for p in paths):
+        return F.col("_metadata.file_path")
     return F.url_decode(
         F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
     )
@@ -319,7 +326,11 @@ def _localize_decoded(raw: str, table_root: str) -> str:
 
 
 def _apply_position_deletes(
-    spark: SparkSession, table_root: str, df: DataFrame, delete_files: list[str]
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    delete_files: list[str],
+    data_paths: "list[str] | None" = None,
 ) -> DataFrame:
     """Mask rows named by POSITION DELETE files (spec: parquet of
     (file_path, pos) pairs): anti-join the scan's hidden `_metadata`
@@ -335,7 +346,7 @@ def _apply_position_deletes(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    tagged = df.withColumn("_fp", _decoded_meta_path()).withColumn(
+    tagged = df.withColumn("_fp", _decoded_meta_path(data_paths)).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
     return _join_out_positions(spark, table_root, tagged, delete_files).drop(
@@ -2596,7 +2607,7 @@ def read_iceberg(
                     # decoded: the lut keys come from manifest paths (raw
                     # on-disk bytes); the URI form would miss on
                     # special-char partition dirs
-                    F.split(_decoded_meta_path(), "/"),
+                    F.split(_decoded_meta_path(files), "/"),
                     -suffix_k,
                     suffix_k,
                 ),
@@ -2612,7 +2623,7 @@ def read_iceberg(
                 df = df.drop("_metadata")
                 df = df.select(*[f.name for f in declared.fields])
         if pos:
-            df = _apply_position_deletes(spark, path, df, pos)
+            df = _apply_position_deletes(spark, path, df, pos, files)
             if not with_row_identity:
                 df = df.drop("_metadata")
         return df.filter(where) if where else df
@@ -2634,7 +2645,7 @@ def read_iceberg(
     for seq, paths in sorted(by_seq.items()):
         g = _read(paths, want_meta=bool(pos) or with_row_identity)
         if pos:
-            g = g.withColumn("_fp", _decoded_meta_path()).withColumn(
+            g = g.withColumn("_fp", _decoded_meta_path(paths)).withColumn(
                 "_ri", F.col("_metadata.row_index")
             )
         for d in eq:
@@ -4008,7 +4019,7 @@ def read_iceberg_cdf(
             scan_files = sorted(set(prev_data_map) | set(data_map))
             tagged = (
                 _read(scan_files)
-                .withColumn("_fp", _decoded_meta_path())
+                .withColumn("_fp", _decoded_meta_path(scan_files))
                 .withColumn("_ri", F.col("_metadata.row_index"))
             )
             # (the feed needs the COMPLEMENT of the read-path's anti-join:
@@ -4064,7 +4075,7 @@ def read_iceberg_cdf(
             g = _read(older)
             prev_pos = [x["path"] for x in prev_deletes if x["kind"] == "pos"]
             if prev_pos:
-                g = g.withColumn("_fp", _decoded_meta_path()).withColumn(
+                g = g.withColumn("_fp", _decoded_meta_path(older)).withColumn(
                     "_ri", F.col("_metadata.row_index")
                 )
                 g = _join_out_positions(spark, path, g, prev_pos).drop("_fp", "_ri")

@@ -957,7 +957,7 @@ def _apply_dv_filter(
     # decoded: the blob map keys on RAW on-disk paths while
     # _metadata.file_path arrives percent-encoded — joining raw would
     # silently RESURRECT every masked row in a special-char partition dir
-    tagged = df.withColumn("_fp", _decoded_file_path()).withColumn(
+    tagged = df.withColumn("_fp", _decoded_file_path(files)).withColumn(
         "_ri", F.col("_metadata.row_index")
     )
     kept = tagged.join(
@@ -1740,17 +1740,63 @@ def compact_delta(
     return _commit(path, actions)
 
 
-def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
+def vacuum_delta(
+    path: str, dry_run: bool = False, retention_hours: float = 0.0
+) -> list[str]:
     """Delete data files no commit references anymore (the tombstones left
     by overwrites and compactions). Without vacuum a streaming+OPTIMIZE
     table grows without bound — the LOG stays small but dead bytes pile up.
 
-    This fallback implements retention=0 relative to the CURRENT snapshot
-    (single-writer, no time travel — matching this module's reader); real
-    multi-reader deployments keep a retention window so in-flight queries
-    pinned to old snapshots don't lose files mid-scan. Returns the deleted
-    (or would-delete, under ``dry_run``) paths.
+    ``retention_hours`` (delta-spark's VACUUM ... RETAIN semantics,
+    default 0 = reclaim everything dead now): a tombstoned file whose
+    remove action's ``deletionTimestamp`` is newer than the cutoff
+    SURVIVES, so time travel to any version retired within the window —
+    and any in-flight query pinned to one — keeps its files; only
+    history older than the window loses bytes. Orphans that no commit
+    ever referenced (crashed staging dirs) fall back to file mtime.
+    Production multi-reader deployments keep days here; the
+    single-writer default matches this module's reader. Returns the
+    deleted (or would-delete, under ``dry_run``) paths.
     """
+    import time as _time
+
+    cutoff_ms = (
+        (_time.time() - retention_hours * 3600.0) * 1000.0
+        if retention_hours > 0
+        else None
+    )
+    tombstone_ms: dict[str, int] = {}
+    if cutoff_ms is not None:
+        # latest remove timestamp per path, replayed from the retained log
+        # (checkpoint-cleaned history is already reclaimable by definition
+        # — its commits are gone, so time travel there is gone too)
+        log0 = _delta_log_dir(path)
+        for name in sorted(os.listdir(log0)):
+            if not _is_commit_json(name):
+                continue
+            with open(os.path.join(log0, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    rm = action.get("remove")
+                    if rm and rm.get("path"):
+                        tombstone_ms[rm["path"]] = int(
+                            rm.get("deletionTimestamp") or 0
+                        )
+
+    def _retained(rel: str, full: str) -> bool:
+        if cutoff_ms is None:
+            return False
+        ts = tombstone_ms.get(rel)
+        if ts is None:  # orphan — no commit ever referenced it
+            try:
+                ts = int(os.path.getmtime(full) * 1000)
+            except OSError:
+                return False
+        return ts >= cutoff_ms
+
     adds_map, _ = _replay_log_adds(path)
     live_names = set(adds_map)
     # DV bin files referenced by live adds must survive; orphaned ones
@@ -1811,12 +1857,14 @@ def vacuum_delta(path: str, dry_run: bool = False) -> list[str]:
                 name.endswith(".parquet")
                 and rel not in live_names
                 and os.path.realpath(full) not in ice_live
+                and not _retained(rel, full)
             ):
                 doomed.append(rel)
             elif (
                 name.startswith("deletion_vector_")
                 and name.endswith(".bin")
                 and rel not in live_dv_bins
+                and not _retained(rel, full)
             ):
                 doomed.append(rel)
     if not dry_run:
@@ -2289,7 +2337,13 @@ def _allocate_base_row_ids(path: str, adds: "list[dict]") -> dict:
     }
 
 
-def _decoded_file_path():
+#: characters URI encoding never touches (RFC 3986 unreserved + path
+#: separators): a path made only of these encodes to ITSELF, so the raw
+#: _metadata.file_path column already equals "file:" + abspath
+_URI_CLEAN = re.compile(r"^[A-Za-z0-9/._~-]*$")
+
+
+def _decoded_file_path(paths: "list[str] | None" = None):
     """``_metadata.file_path`` is a percent-ENCODED URI; driver-built
     broadcast maps key on the RAW on-disk path ("file:" + abspath). One
     decode restores the exact on-disk bytes — a literal '%' in a dir name
@@ -2297,9 +2351,16 @@ def _decoded_file_path():
     'p=x%3Dy') always arrives double-encoded as %25. ``url_decode`` is
     form-decoding (a bare '+' would become a space), so literal plus
     signs are pre-protected. Joining the raw column instead silently
-    matches NOTHING on special-char partition values."""
+    matches NOTHING on special-char partition values.
+
+    ``paths``: the candidate file set, when the caller holds it — if
+    every path is URI-clean (unreserved chars only), encoding is the
+    identity and the raw column is returned, skipping the per-row
+    regexp+decode on the common hot path."""
     from pyspark.sql import functions as F
 
+    if paths is not None and all(_URI_CLEAN.match(p) for p in paths):
+        return F.col("_metadata.file_path")
     return F.url_decode(
         F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
     )
@@ -4955,7 +5016,7 @@ def read_delta_cdf(
         del_files = sorted({f for _, f, _ in deletes})
         scan = _scan_files(spark, path, del_files, meta, with_metadata=True)
         # decoded: del_pairs key on raw on-disk paths (see _decoded_file_path)
-        tagged = scan.withColumn("_fp", _decoded_file_path()).withColumn(
+        tagged = scan.withColumn("_fp", _decoded_file_path(del_files)).withColumn(
             "_ri", F.col("_metadata.row_index")
         )
         dead = (
@@ -5194,7 +5255,7 @@ def _scan_with_row_ids(
 
     scan = _reduce(lambda a, b: a.unionByName(b), branches)
     return (
-        scan.withColumn("_fp0", _decoded_file_path())
+        scan.withColumn("_fp0", _decoded_file_path(plain + mat))
         .withColumn("_ri0", F.col("_metadata.row_index"))
         .join(F.broadcast(m), F.col("_fp0") == F.col("_rt_fp"))
         .withColumn(

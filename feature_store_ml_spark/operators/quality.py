@@ -133,3 +133,91 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def drift_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    breaks: list[float],
+) -> DataFrame:
+    """Population Stability Index per bin — THE standard drift score for a
+    serving feature against its training distribution (rule of thumb:
+    total PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 retrain).
+    The reference pipeline trains on a single static CSV
+    (/root/reference/src/main.py:15); at 100 TB the training snapshot and
+    the serving stream are separate tables whose agreement must be
+    MEASURED, not assumed.
+
+    ``breaks`` are explicit ascending cut points: bin k holds values in
+    [breaks[k-1], breaks[k]) with open tails (k=0 below the first break,
+    k=len(breaks) at-or-above the last) — explicit breaks make the
+    binning a pure comparison chain, IEEE-identical across engines
+    (derived equal-width edges would put boundary values at the mercy of
+    each engine's width_bucket arithmetic). NULLs are excluded.
+    Proportions are Laplace-smoothed ((count+1) / (n+n_bins)) so an empty
+    bin can never yield an infinite log ratio.
+
+    Output: one row per bin with p_base, p_cur and the PSI term
+    (p_cur - p_base) * ln(p_cur / p_base), each rounded to 6 dp (the
+    cross-engine float discipline); sum psi_term for the headline score.
+    Each input is aggregated in ONE pass (conditional-count projection —
+    same shape as validate()); the join of n_bins+1 rows broadcasts."""
+    if not breaks or sorted(breaks) != list(breaks):
+        raise ValueError("drift_psi: breaks must be a non-empty ascending list")
+    n_bins = len(breaks) + 1
+
+    def _binned(df: DataFrame, p_name: str) -> DataFrame:
+        x = F.col(col)
+        bin_id = sum(
+            (F.when(x >= F.lit(float(b)), 1).otherwise(0) for b in breaks),
+            F.lit(0),
+        )
+        counts = (
+            df.where(x.isNotNull())
+            .select(bin_id.alias("_b"))
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.when(F.col("_b") == k, 1).otherwise(0)).alias(
+                        f"_c{k}"
+                    )
+                    for k in range(n_bins)
+                ],
+            )
+        )
+        stacked = counts.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("bin"),
+                            (
+                                (F.col(f"_c{k}") + F.lit(1)).cast("double")
+                                / (F.col("_n") + F.lit(n_bins)).cast("double")
+                            ).alias(p_name),
+                        )
+                        for k in range(n_bins)
+                    ]
+                )
+            ).alias("kv")
+        )
+        return stacked.select("kv.bin", f"kv.{p_name}")
+
+    b = _binned(baseline, "p_base")
+    c = _binned(current, "p_cur")
+    return (
+        b.join(F.broadcast(c), "bin")
+        .select(
+            "bin",
+            F.round("p_base", 6).alias("p_base"),
+            F.round("p_cur", 6).alias("p_cur"),
+            F.round(
+                (F.col("p_cur") - F.col("p_base"))
+                * F.log(F.col("p_cur") / F.col("p_base")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

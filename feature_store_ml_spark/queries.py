@@ -5654,6 +5654,67 @@ def e18_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e18_drift_psi",
+    """
+    WITH bins AS (SELECT unnest(range(0, 6)) AS bin),
+    base AS (SELECT o_totalprice AS x FROM orders
+             WHERE o_orderdate < TIMESTAMP '1995-06-01' AND o_totalprice IS NOT NULL),
+    cur  AS (SELECT o_totalprice AS x FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_totalprice IS NOT NULL),
+    bb AS (SELECT (CASE WHEN x >= 50000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 150000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 200000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 300000 THEN 1 ELSE 0 END) AS bin FROM base),
+    cb AS (SELECT (CASE WHEN x >= 50000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 100000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 150000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 200000 THEN 1 ELSE 0 END
+                 + CASE WHEN x >= 300000 THEN 1 ELSE 0 END) AS bin FROM cur),
+    bc AS (SELECT bin, COUNT(*) AS c FROM bb GROUP BY bin),
+    cc AS (SELECT bin, COUNT(*) AS c FROM cb GROUP BY bin),
+    bn AS (SELECT COUNT(*) AS n FROM base),
+    cn AS (SELECT COUNT(*) AS n FROM cur),
+    p AS (
+      SELECT b.bin,
+             CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE)
+               / CAST(bn.n + 6 AS DOUBLE) AS p_base,
+             CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE)
+               / CAST(cn.n + 6 AS DOUBLE) AS p_cur
+      FROM bins b
+      LEFT JOIN bc ON b.bin = bc.bin
+      LEFT JOIN cc ON b.bin = cc.bin, bn, cn
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(p_base, 6) AS p_base,
+           ROUND(p_cur, 6) AS p_cur,
+           ROUND((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+    FROM p ORDER BY bin
+    """,
+)
+def e18_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE DRIFT via Population Stability Index
+    (operators/quality.drift_psi): the training snapshot (pre-1995-06
+    orders) vs the serving stream (the rest) on o_totalprice, binned by
+    EXPLICIT breaks (a pure comparison chain — IEEE-identical across
+    engines, unlike derived equal-width edges), Laplace-smoothed so an
+    empty bin cannot blow up the log ratio, every float rounded to 6 dp
+    (the tfidf-style cross-engine discipline). One conditional-count
+    aggregate pass per side + a broadcast join of 6 rows; sum psi_term
+    for the headline score."""
+    from .operators import quality as Q
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cut = F.lit("1995-06-01").cast("timestamp")
+    return Q.drift_psi(
+        o.where(F.col("o_orderdate") < cut).select("o_totalprice"),
+        o.where(F.col("o_orderdate") >= cut).select("o_totalprice"),
+        "o_totalprice",
+        [50000.0, 100000.0, 150000.0, 200000.0, 300000.0],
+    )
+
+
+@register(
     "e5_window_distribution",
     """
     SELECT o_orderkey, o_custkey,
@@ -6082,7 +6143,7 @@ _FINAL_ORDER = [
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
     # -- the classic TPC-H access shapes
-    "q2_min_cost_supplier",
+    "e18_drift_psi",        # round 7: PSI feature drift, exact oracle
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -6120,6 +6181,8 @@ _FINAL_ORDER = [
                               # TPC-H family keeps q2/q4/q6/q7/q8/q19)
     "e11_pii_scan",         # displaced by e1_iceberg_wap (r5+r6 driver-
                             # green; e11 family keeps chunking + bm25)
+    "q2_min_cost_supplier",  # displaced by e18_drift_psi (r5+r6 driver-
+                             # green; TPC-H family keeps q4/q6/q7/q8/q19)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6283,7 +6346,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 88, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 89, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -1255,3 +1255,29 @@ def test_non_hive_layout_with_dv_delete(spark, tmp_path):
     # skipping by partition value still engages (no dirs involved)
     rep = lakehouse.skipping_report(root, "p = 2")
     assert rep["kept_files"] < rep["total_files"]
+
+
+def test_delta_vacuum_retention_window(spark, tmp_path):
+    """vacuum_delta(retention_hours=): freshly tombstoned files SURVIVE
+    the window so time travel within it keeps working; retention 0
+    reclaims them and the travel then fails loudly."""
+    root = str(tmp_path / "ret")
+    lakehouse.write_delta(spark, spark.range(0, 20).select("id"), root)
+    lakehouse.write_delta(
+        spark, spark.range(50, 60).select("id"), root, mode="overwrite"
+    )
+    # inside the window: nothing reclaimed (tombstones are seconds old)
+    kept = lakehouse.vacuum_delta(root, retention_hours=24.0)
+    assert kept == []
+    old = lakehouse.read_delta(spark, root, version=0)
+    assert sorted(r.id for r in old.collect()) == list(range(0, 20))
+    # dry run at retention 0 names the dead files without removing them
+    doomed = lakehouse.vacuum_delta(root, dry_run=True)
+    assert doomed
+    assert lakehouse.read_delta(spark, root, version=0).count() == 20
+    # retention 0 reclaims; current snapshot intact, travel loses files
+    gone = lakehouse.vacuum_delta(root)
+    assert sorted(gone) == sorted(doomed)
+    assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(
+        range(50, 60)
+    )

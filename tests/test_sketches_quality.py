@@ -102,3 +102,40 @@ def test_quality_single_pass_plan(spark, sf_dir):
     ]
     plan = Q.validate(li, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_drift_psi(spark):
+    from feature_store_ml_spark.operators import quality as Q
+
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 100).select((F.col("id") % 10).cast("double").alias("x"))
+    # identical distributions -> every PSI term is exactly 0
+    same = Q.drift_psi(base, base, "x", [3.0, 6.0]).collect()
+    assert [r.bin for r in same] == [0, 1, 2]
+    assert all(r.psi_term == 0.0 for r in same)
+    assert abs(sum(r.p_base for r in same) - 1.0) < 1e-6
+    # a shifted current distribution scores positive; empty bins are
+    # Laplace-smoothed (no inf/nan even when a side has zero rows there)
+    cur = spark.range(0, 100).select(F.lit(9.0).alias("x"))
+    shifted = Q.drift_psi(base, cur, "x", [3.0, 6.0]).collect()
+    total = sum(r.psi_term for r in shifted)
+    assert total > 0.25
+    assert all(math.isfinite(r.psi_term) for r in shifted)
+    # hand-check one smoothed proportion: cur has 0 rows below 3.0
+    p0 = next(r for r in shifted if r.bin == 0)
+    assert abs(p0.p_cur - 1.0 / 103.0) < 1e-6
+    # NULLs are excluded, not a bin
+    with_null = base.unionByName(
+        spark.range(0, 50).select(F.lit(None).cast("double").alias("x"))
+    )
+    nn = Q.drift_psi(with_null, base, "x", [3.0, 6.0]).collect()
+    assert all(r.psi_term == 0.0 for r in nn)  # same non-null distribution
+    # refusals
+    with pytest.raises(ValueError, match="ascending"):
+        Q.drift_psi(base, base, "x", [6.0, 3.0])
+    with pytest.raises(ValueError, match="ascending"):
+        Q.drift_psi(base, base, "x", [])
