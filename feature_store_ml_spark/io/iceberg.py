@@ -1186,6 +1186,12 @@ def write_iceberg(
     prior_version = 0
     declared: dict = {}
     if branch is not None:
+        if branch == "main":
+            raise ValueError(
+                "write_iceberg: branch='main' is the table head — write "
+                "without branch (a refs entry named 'main' must mirror "
+                "current-snapshot-id, never diverge from it)"
+            )
         if not existing:
             raise ValueError(
                 f"{path}: branch={branch!r} write into a non-existent "

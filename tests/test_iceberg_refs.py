@@ -147,9 +147,11 @@ def test_wap_divergence_and_refusals(spark, tmp_path):
         _append_branch(spark, root, 0, 1, "pin")
     with pytest.raises(ValueError, match="TAG"):
         iceberg.fast_forward_iceberg(root, "pin", "audit")
-    # unknown branch / create-through-branch refuse
+    # unknown branch / create-through-branch / literal-main refuse
     with pytest.raises(ValueError, match="no branch"):
         _append_branch(spark, root, 0, 1, "nope")
+    with pytest.raises(ValueError, match="table head"):
+        _append_branch(spark, root, 0, 1, "main")
     with pytest.raises(ValueError, match="non-existent"):
         _append_branch(spark, str(tmp_path / "fresh"), 0, 1, "audit")
     # schema evolution through a side branch refuses
