@@ -103,6 +103,8 @@ HEADLINE = [
     "e1_delta_row_dml",
     "e12_scd2",
     "e1_iceberg_wap",
+    "e18_drift_psi",
+    "e1_delta_uniform",
 ]
 
 

@@ -1736,8 +1736,10 @@ def compact_delta(
         # rewritten adds still need baseRowId (spec: required on every
         # add once the feature is active) — fresh ranges from the domain
         # watermark; the materialized columns carry the real ids
-        return _commit_row_tracked(path, actions, adds, "compaction")
-    return _commit(path, actions)
+        return _uniform_sync(
+            spark, path, meta, _commit_row_tracked(path, actions, adds, "compaction")
+        )
+    return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
 def vacuum_delta(
@@ -2341,6 +2343,34 @@ def _allocate_base_row_ids(path: str, adds: "list[dict]") -> dict:
 #: separators): a path made only of these encodes to ITSELF, so the raw
 #: _metadata.file_path column already equals "file:" + abspath
 _URI_CLEAN = re.compile(r"^[A-Za-z0-9/._~-]*$")
+
+
+def _uniform_sync(
+    spark: SparkSession, path: str, meta: dict, version: int
+) -> int:
+    """UniForm-style metadata sync: when the table sets
+    ``delta.universalFormat.enabledFormats`` to include ``iceberg``, every
+    committed mutation re-generates the Iceberg view of the new snapshot
+    so the same directory keeps reading as either format — the per-commit
+    shape of Delta UniForm, implemented as a converter refresh (a full
+    live-set re-sync: O(#files) driver metadata per commit, vs real
+    UniForm's incremental action translation — good to ~10^5 files; the
+    incremental path is the next scale step). A sync failure surfaces
+    AFTER the Delta commit: the Delta table is valid and the error says
+    the Iceberg view is stale — UniForm's own convert-on-commit error
+    surface. Zero cost when the property is unset."""
+    fmts = (meta.get("configuration") or {}).get(
+        "delta.universalFormat.enabledFormats", ""
+    )
+    if "iceberg" not in [f.strip() for f in fmts.split(",")]:
+        return version
+    from . import convert as _convert
+    from . import iceberg as _ice
+
+    _convert.convert_delta_to_iceberg(
+        spark, path, refresh=_ice.is_iceberg_table(path)
+    )
+    return version
 
 
 def _decoded_file_path(paths: "list[str] | None" = None):
@@ -2951,19 +2981,21 @@ def write_delta(
                 f"{path}: version {version} was committed concurrently — "
                 "row-id allocation is stale; re-run the write"
             )
-        return version
+        return _uniform_sync(spark, path, table_meta, version)
     if mode == "append" and existing:
         # blind appends ride optimistic concurrency (append-vs-append
         # never conflicts, per Delta's conflict-resolution rules); table
         # creation and overwrites keep single-attempt semantics
-        return _commit_append_with_retry(path, actions)
+        return _uniform_sync(
+            spark, path, table_meta, _commit_append_with_retry(path, actions)
+        )
     version = _next_version(log)
     if not _try_commit(log, version, actions, path):
         raise RuntimeError(
             f"{path}: version {version} was committed concurrently — "
             "recompute from the new snapshot and retry"
         )
-    return version
+    return _uniform_sync(spark, path, table_meta, version)
 
 
 def _maybe_stamp_ict(log: str, version: int, actions: list[dict]) -> None:
@@ -3709,8 +3741,10 @@ def _merge_rewrite(
         }
     )
     if rt_obligation:
-        return _commit_row_tracked(path, actions, adds, "merge")
-    return _commit(path, actions)
+        return _uniform_sync(
+            spark, path, meta, _commit_row_tracked(path, actions, adds, "merge")
+        )
+    return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
 def _dv_descriptors(
@@ -3987,7 +4021,7 @@ def delete_delta(
         }
     )
     actions.extend(cdc_actions)
-    return _commit(path, actions)
+    return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
 def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
@@ -4239,8 +4273,10 @@ def update_delta(
     actions.extend(cdc_actions)
     actions.append(info)
     if rt_obligation:
-        return _commit_row_tracked(path, actions, adds, "update")
-    return _commit(path, actions)
+        return _uniform_sync(
+            spark, path, meta, _commit_row_tracked(path, actions, adds, "update")
+        )
+    return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
 def overwrite_delta_where(
@@ -4451,8 +4487,11 @@ def overwrite_delta_where(
         )
     actions.append(info)
     if rt_obligation:
-        return _commit_row_tracked(path, actions, adds, "replaceWhere")
-    return _commit(path, actions)
+        return _uniform_sync(
+            spark, path, meta,
+            _commit_row_tracked(path, actions, adds, "replaceWhere"),
+        )
+    return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
 def enable_delta_column_mapping(spark: SparkSession, path: str) -> int:
@@ -5393,4 +5432,5 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             }
         }
     )
-    return _commit(path, actions)
+    # post-restore configuration is the TARGET's (metaData rolls back too)
+    return _uniform_sync(spark, path, target_meta, _commit(path, actions))

@@ -3189,6 +3189,70 @@ def e1_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(pre, "pre_publish_main").unionByName(_agg(post, "published"))
 
 
+def _e1_delta_uniform_sql() -> str:
+    leg = """
+    SELECT '{src}' AS src, c_mktsegment, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(bal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_bal
+    FROM (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey <= 1500 AND c_custkey % 7 = 1
+                  THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal
+      FROM customer
+      WHERE c_custkey <= 1700 AND c_mktsegment <> 'BUILDING'
+    )
+    GROUP BY c_mktsegment
+    """
+    return (
+        leg.format(src="delta") + " UNION ALL " + leg.format(src="iceberg")
+    )
+
+
+@register("e1_delta_uniform", _e1_delta_uniform_sql())
+def e1_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM auto-sync (round 7 third session —
+    io/lakehouse._uniform_sync): with
+    ``delta.universalFormat.enabledFormats=iceberg`` set, EVERY committed
+    Delta mutation regenerates the Iceberg view in the same call, so the
+    one directory always reads as either format. Lifecycle: create from
+    a customer subset, enable the property, MERGE (balance bump for every
+    7th key + a fresh key range), then DV-DELETE a segment — three
+    auto-syncs, the last carrying the deletion mask into Iceberg
+    position deletes. The result is the SAME grouped aggregate computed
+    from BOTH formats' readers; the oracle states it twice from bare
+    customer arithmetic — a missed sync, a stale file list, or a dropped
+    mask breaks the iceberg leg's hash against the delta leg's."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg as _ice
+    from .io import lakehouse
+
+    (c,) = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    t = f"{tempfile.gettempdir()}/fsml_uniform"
+    shutil.rmtree(t, ignore_errors=True)
+    base = c.where("c_custkey <= 1500").select(*cols)
+    lakehouse.write_delta(spark, base, t)
+    lakehouse.alter_delta_properties(
+        t, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    upd = base.where("c_custkey % 7 = 1").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    ins = c.where("c_custkey > 1500 AND c_custkey <= 1700").select(*cols)
+    lakehouse.merge_delta(spark, upd.unionByName(ins), t, keys=["c_custkey"])
+    lakehouse.delete_delta(spark, t, "c_mktsegment = 'BUILDING'")
+
+    def _leg(df: DataFrame, src: str) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n"), dsum("c_acctbal").alias("sum_bal")
+        ).select(F.lit(src).alias("src"), "*")
+
+    return _leg(lakehouse.read_delta(spark, t), "delta").unionByName(
+        _leg(_ice.read_iceberg(spark, t), "iceberg")
+    )
+
+
 @register(
     "e1_delta_clone",
     """
@@ -6138,7 +6202,7 @@ _FINAL_ORDER = [
     "e7_pivot",
     "e12_interpolate",      # round 7: linear interpolation, exact oracle
     "e17_packing_invariants",  # round 7: FFD packing invariant oracle
-    "e13_session_window",
+    "e1_delta_uniform",     # round 7: UniForm auto-sync, two-format oracle
     # -- kept in-window from round 4
     "e10_knn_quantized",    # round 4: oracle-backed int8 ANN (bench watch item)
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
@@ -6183,6 +6247,8 @@ _FINAL_ORDER = [
                             # green; e11 family keeps chunking + bm25)
     "q2_min_cost_supplier",  # displaced by e18_drift_psi (r5+r6 driver-
                              # green; TPC-H family keeps q4/q6/q7/q8/q19)
+    "e13_session_window",    # displaced by e1_delta_uniform (r6-green;
+                             # e13 family keeps stream_from_delta ×2)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6346,7 +6412,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 89, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 90, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -504,3 +504,56 @@ def test_partitioned_mapped_conversion(spark, tmp_path):
     ) == _rows(
         iceberg.read_iceberg(spark, root).select("id", "bucket", "val")
     )
+
+
+def test_uniform_auto_sync(spark, tmp_path):
+    """delta.universalFormat.enabledFormats=iceberg: every committed
+    mutation refreshes the Iceberg view in the same call (UniForm's
+    per-commit shape); unsetting the property pins the view."""
+    root = str(tmp_path / "uni")
+    lakehouse.write_delta(
+        spark, spark.range(0, 30).select("id", (F.col("id") % 3).alias("v")), root
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(30, 40).select("id", (F.col("id") % 3).alias("v")),
+        root,
+        mode="append",
+    )
+    assert iceberg.is_iceberg_table(root)
+    assert iceberg.read_iceberg(spark, root).count() == 40
+    lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(1, 99), (100, 1)], "id long, v long"),
+        root,
+        keys=["id"],
+    )
+    lakehouse.delete_delta(spark, root, "v = 0")
+    lakehouse.update_delta(spark, root, {"v": "v * 10"}, "id = 2")
+    lakehouse.compact_delta(spark, root, target_files=1)
+    lakehouse.overwrite_delta_where(
+        spark, spark.createDataFrame([(500, 20)], "id long, v long"), root, "v = 20"
+    )
+    d = _rows(lakehouse.read_delta(spark, root).select("id", "v"))
+    i = _rows(iceberg.read_iceberg(spark, root).select("id", "v"))
+    assert d == i and d
+    # restore rolls the view back too
+    lakehouse.restore_delta(spark, root, 2)
+    assert _rows(lakehouse.read_delta(spark, root).select("id", "v")) == _rows(
+        iceberg.read_iceberg(spark, root).select("id", "v")
+    )
+    # property unset: the iceberg view pins at its last synced snapshot
+    lakehouse.alter_delta_properties(
+        root, {"delta.universalFormat.enabledFormats": None}
+    )
+    pinned = iceberg._load_metadata(root)["current-snapshot-id"]
+    lakehouse.write_delta(
+        spark,
+        spark.range(900, 910).select("id", F.lit(0).cast("long").alias("v")),
+        root,
+        mode="append",
+    )
+    assert iceberg._load_metadata(root)["current-snapshot-id"] == pinned
