@@ -488,6 +488,35 @@ def convert_delta_to_iceberg(
     for rel, _add in ordered_adds:
         if not os.path.exists(os.path.join(path, rel)):
             raise ValueError(f"{path}: live file missing on disk: {rel}")
+    # INCREMENTAL refresh (the per-commit UniForm sync path): data-file
+    # entries already present in the prior Iceberg snapshot carry over
+    # VERBATIM — their bounds, counts and sizes were folded once and the
+    # bytes have not moved — so the footer harvest (the O(#files) IO of
+    # a sync) touches only files NEW since the last conversion. Carried
+    # files also skip the column-mapping resolution probe: they resolved
+    # when first converted, and files never change in place.
+    prior_entries: dict[str, dict] = {}
+    if prior_ice is not None and prior_ice.get("snapshots"):
+        _pcur = prior_ice.get("current-snapshot-id")
+        _psnap = next(
+            (s for s in prior_ice["snapshots"] if s["snapshot-id"] == _pcur),
+            None,
+        )
+        if _psnap is not None:
+            for _e in avro_lite.read_container(
+                iceberg._localize(_psnap["manifest-list"], path)
+            ):
+                for _m in avro_lite.read_container(
+                    iceberg._localize(_e["manifest_path"], path)
+                ):
+                    _df = _m.get("data_file") or {}
+                    if _df.get("content", 0) != 0:
+                        continue  # delete content regenerates from live DVs
+                    prior_entries[
+                        os.path.abspath(
+                            iceberg._localize_decoded(_df["file_path"], path)
+                        )
+                    ] = _df
     # stats fold by FOOTER column name — physical names on mapped tables
     stats_fields = (
         [{**f, "name": phys[f["name"]]} for f in fields]
@@ -496,7 +525,11 @@ def convert_delta_to_iceberg(
     )
     harvest = _gather_file_stats(
         spark,
-        [os.path.join(path, rel) for rel, _ in ordered_adds],
+        [
+            os.path.join(path, rel)
+            for rel, _ in ordered_adds
+            if os.path.abspath(os.path.join(path, rel)) not in prior_entries
+        ],
         stats_fields,
         stats_threshold,
     )
@@ -508,7 +541,10 @@ def convert_delta_to_iceberg(
         want_ids = {i for c, i in cm_ids.items() if c not in part_cols}
         logical = {f["name"] for f in fields if f["name"] not in part_cols}
         for rel, _add in ordered_adds:
-            names, fids = harvest[os.path.join(path, rel)][4]
+            abs_p0 = os.path.join(path, rel)
+            if os.path.abspath(abs_p0) in prior_entries:
+                continue  # resolved at first conversion; bytes unchanged
+            names, fids = harvest[abs_p0][4]
             if want_ids <= set(fids) or logical <= set(names):
                 continue  # fid resolution, or logical-name fallback
             raise NotImplementedError(
@@ -518,6 +554,12 @@ def convert_delta_to_iceberg(
             )
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
+        carried = prior_entries.get(os.path.abspath(abs_p))
+        if carried is not None:
+            entries.append(
+                {"status": 1, "snapshot_id": snap_id, "data_file": carried}
+            )
+            continue
         n_rows_h, size_h, ice_stats, _dstats, _probe = harvest[abs_p]
         stats = {}
         try:

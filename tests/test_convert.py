@@ -557,3 +557,50 @@ def test_uniform_auto_sync(spark, tmp_path):
         mode="append",
     )
     assert iceberg._load_metadata(root)["current-snapshot-id"] == pinned
+
+
+def test_refresh_harvests_only_new_files(spark, tmp_path, monkeypatch):
+    """Incremental refresh (the per-commit UniForm sync path): data-file
+    entries already in the prior Iceberg snapshot carry over verbatim, so
+    the footer harvest touches only files new since the last conversion —
+    a DV-only change harvests nothing."""
+    root = str(tmp_path / "inc")
+    harvested = []
+    orig = convert._harvest_one
+    monkeypatch.setattr(
+        convert, "_harvest_one", lambda p, f: (harvested.append(p), orig(p, f))[1]
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 4).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        root,
+        partition_by=["p"],
+    )
+    convert.convert_delta_to_iceberg(spark, root)
+    n_initial = len(harvested)
+    harvested.clear()
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(100, 0, 1)], "id long, p long, v long"),
+        root,
+        mode="append",
+        partition_by=["p"],
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert 0 < len(harvested) < n_initial
+    assert _rows(lakehouse.read_delta(spark, root).select("id", "v")) == _rows(
+        iceberg.read_iceberg(spark, root).select("id", "v")
+    )
+    # carried bounds + partition tuples keep pruning alive
+    rep = iceberg.iceberg_scan_report(root, "p = 2")
+    assert rep["kept_files"] < rep["total_files"]
+    # DV-only change: zero footers touched, mask still carried
+    harvested.clear()
+    lakehouse.delete_delta(spark, root, "v = 4")
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert harvested == []
+    d = _rows(lakehouse.read_delta(spark, root).select("id"))
+    assert d == _rows(iceberg.read_iceberg(spark, root).select("id"))
+    assert (2,) not in d
