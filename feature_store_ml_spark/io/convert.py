@@ -496,7 +496,22 @@ def convert_delta_to_iceberg(
     # files also skip the column-mapping resolution probe: they resolved
     # when first converted, and files never change in place.
     prior_entries: dict[str, dict] = {}
-    if prior_ice is not None and prior_ice.get("snapshots"):
+    _types_stable = True
+    if prior_ice is not None:
+        # bounds bytes are serialized UNDER THE FIELD'S TYPE (spec
+        # Appendix D): after a type widening the carried 4-byte int
+        # bounds would deserialize as garbage under the widened field —
+        # any type change since the prior conversion forces a full
+        # re-harvest (rename-only changes keep the fid->type map stable)
+        _prior_types = {
+            f["id"]: f["type"]
+            for f in iceberg._current_schema(prior_ice).get("fields", [])
+            if isinstance(f.get("type"), str)
+        }
+        _types_stable = all(
+            _prior_types.get(f["id"]) == f["type"] for f in fields
+        )
+    if prior_ice is not None and prior_ice.get("snapshots") and _types_stable:
         _pcur = prior_ice.get("current-snapshot-id")
         _psnap = next(
             (s for s in prior_ice["snapshots"] if s["snapshot-id"] == _pcur),

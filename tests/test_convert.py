@@ -604,3 +604,32 @@ def test_refresh_harvests_only_new_files(spark, tmp_path, monkeypatch):
     d = _rows(lakehouse.read_delta(spark, root).select("id"))
     assert d == _rows(iceberg.read_iceberg(spark, root).select("id"))
     assert (2,) not in d
+
+
+def test_refresh_after_type_widening_reharvests(spark, tmp_path):
+    """Carried bounds are serialized under the FIELD'S TYPE — a widening
+    between conversions forces a full re-harvest so pruning on the
+    widened column stays sound instead of deserializing stale 4-byte
+    bounds as garbage longs."""
+    root = str(tmp_path / "wid")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 30).select(
+            F.col("id").cast("int").alias("id"), (F.col("id") * 2).alias("v")
+        ),
+        root,
+    )
+    convert.convert_delta_to_iceberg(spark, root)
+    lakehouse.widen_delta_column_type(spark, root, "id", "long")
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(100, 1)], "id long, v long"),
+        root,
+        mode="append",
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    assert _rows(lakehouse.read_delta(spark, root).select("id", "v")) == _rows(
+        iceberg.read_iceberg(spark, root).select("id", "v")
+    )
+    assert iceberg.read_iceberg(spark, root, where="id >= 100").count() == 1
+    assert iceberg.read_iceberg(spark, root, where="id < 5").count() == 5
