@@ -1945,6 +1945,25 @@ def expire_iceberg_snapshots(
     ref_ids = {
         r.get("snapshot-id") for r in (meta.get("refs") or {}).values()
     }
+    # a BRANCH additionally protects its UNPUBLISHED ancestor chain (the
+    # commits not reachable from main): fast_forward_iceberg proves
+    # ancestry by walking parent ids, and expiring an intermediate audit
+    # commit would break the publish of work in progress. Shared
+    # (already-published) history expires under the normal policy, so the
+    # protection is bounded by the branch's own unmerged length.
+    _by_id = {s["snapshot-id"]: s for s in snapshots}
+
+    def _chain(head):
+        seen: set = set()
+        while head in _by_id and head not in seen:
+            seen.add(head)
+            head = _by_id[head].get("parent-snapshot-id")
+        return seen
+
+    _main_chain = _chain(meta.get("current-snapshot-id"))
+    for _r in (meta.get("refs") or {}).values():
+        if _r.get("type") == "branch":
+            ref_ids |= _chain(_r.get("snapshot-id")) - _main_chain
     # the CURRENT snapshot is always protected: after a rollback it can be
     # an OLDER id than the newest `keep`, and expiring it would leave
     # current-snapshot-id dangling (unreadable table)

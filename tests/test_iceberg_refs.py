@@ -166,3 +166,31 @@ def test_wap_divergence_and_refusals(spark, tmp_path):
             branch="audit",
             merge_schema=True,
         )
+
+
+def test_expire_protects_unpublished_branch_chain(spark, tmp_path):
+    """Expiration keeps a branch's UNPUBLISHED ancestor chain alive (the
+    parent walk fast-forward needs), while shared main history expires
+    under the normal policy; dropping the ref releases the chain."""
+    root = str(tmp_path / "exp")
+    _append(spark, root, 0, 10)        # main s1
+    _append(spark, root, 10, 20)       # main s2
+    iceberg.set_iceberg_ref(root, "audit", ref_type="branch")
+    _append_branch(spark, root, 20, 30, "audit")   # branch s3
+    _append_branch(spark, root, 30, 40, "audit")   # branch s4 (head)
+    _append(spark, root, 40, 50)       # main s5
+    gone = iceberg.expire_iceberg_snapshots(root, keep=1)
+    # both branch commits survive (head is ref'd; s3 is its unpublished
+    # ancestor); at least one old main-only snapshot expired
+    assert gone["snapshots"]
+    assert iceberg.read_iceberg(spark, root, ref="audit").count() == 40
+    assert iceberg.read_iceberg(spark, root).count() == 30
+    # publish still impossible only because of genuine divergence (main
+    # advanced) — ancestry data itself is intact
+    with pytest.raises(ValueError, match="diverged"):
+        iceberg.fast_forward_iceberg(root, "main", "audit")
+    # drop the ref: the chain becomes expirable
+    iceberg.drop_iceberg_ref(root, "audit")
+    gone2 = iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert len(gone2["snapshots"]) >= 2
+    assert iceberg.read_iceberg(spark, root).count() == 30
