@@ -3155,6 +3155,7 @@ def merge_delta(
     txn: tuple[str, int] | None = None,
     newer_wins_col: str | None = None,
     merge_schema: bool = False,
+    set_clauses: "dict[str, str] | None" = None,
 ) -> int:
     """Keyed MERGE — the Delta table's mutation primitive (upsert / delete
     by key), implemented the way every copy-on-write Delta engine does it:
@@ -3183,6 +3184,16 @@ def merge_delta(
       repeated merges ORDER-INDEPENDENT: applying batches in any order
       converges to the same latest-per-key table — the property a
       streaming upsert sink needs when micro-batches are not time-ordered.
+    - ``set_clauses`` (update mode only): PARTIAL update — Delta's
+      ``whenMatchedUpdate(set={...})``. Each matched target row is
+      TRANSFORMED column-by-column: assigned columns evaluate their SQL
+      expression against the joined pair (``t.col`` = target value,
+      ``s.col`` = source value), unassigned columns keep the target's
+      value; unmatched source rows still INSERT whole-row. The shape for
+      "update only the price, keep the audit columns". Mutually exclusive
+      with ``newer_wins_col``; source stays unique-per-key (each target
+      row pairs with exactly one source row, duplicate-keyed target rows
+      each update independently).
 
     Scale shape (how this survives 100 TB):
     - Touched-file discovery is a distributed semi-join of the live file
@@ -3219,6 +3230,19 @@ def merge_delta(
         raise ValueError(
             f"merge_delta: newer_wins_col {newer_wins_col!r} not in source columns"
         )
+    if set_clauses is not None:
+        if when_matched != "update":
+            raise ValueError(
+                "merge_delta: set_clauses requires when_matched='update'"
+            )
+        if newer_wins_col is not None:
+            raise NotImplementedError(
+                "merge_delta: set_clauses + newer_wins_col is not "
+                "implemented — conditional partial update needs per-row "
+                "winner attribution through the SET projection"
+            )
+        if not set_clauses:
+            raise ValueError("merge_delta: empty set_clauses")
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"merge_delta: source is missing key columns {missing}")
@@ -3246,6 +3270,12 @@ def merge_delta(
                 "merge_delta: schema evolution through the native builder "
                 "needs spark.databricks.delta.schema.autoMerge.enabled — "
                 "set it and drop merge_schema, or use the fallback writer"
+            )
+        if set_clauses is not None:
+            raise NotImplementedError(
+                "merge_delta: set_clauses through the native builder is "
+                "not wired — use whenMatchedUpdate directly, or the "
+                "fallback writer"
             )
         tgt = DeltaTable.forPath(spark, path)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
@@ -3300,6 +3330,19 @@ def merge_delta(
 
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
     table_cols = [f.name for f in declared.fields]
+    if set_clauses is not None:
+        unknown = sorted(c for c in set_clauses if c not in table_cols)
+        if unknown:
+            raise ValueError(
+                f"{path}: SET targets unknown columns {unknown} "
+                f"(have {table_cols})"
+            )
+        bad_id = sorted(set(set_clauses) & set(id_specs))
+        if bad_id:
+            raise ValueError(
+                f"{path}: SET targets IDENTITY column(s) {bad_id} — "
+                "GENERATED ALWAYS values cannot be assigned"
+            )
     evolved_meta: dict | None = None
     if when_matched == "update":
         got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
@@ -3378,6 +3421,7 @@ def merge_delta(
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
             src_keys, newer_wins_col, meta, adds_map, evolved_meta, proto,
+            set_clauses,
         )
     finally:
         key_counts.unpersist()
@@ -3398,6 +3442,7 @@ def _merge_rewrite(
     adds_map: dict | None = None,
     evolved_meta: dict | None = None,
     proto: dict | None = None,
+    set_clauses: "dict[str, str] | None" = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -3519,7 +3564,88 @@ def _merge_rewrite(
 
     cdf = _cdf_enabled(meta)
     change_rows: DataFrame | None = None
-    if when_matched == "update" and newer_wins_col is None:
+    if when_matched == "update" and set_clauses is not None:
+        # PARTIAL update (whenMatchedUpdate(set=...)): each matched target
+        # row joins its (unique-per-key) source row and transforms
+        # column-by-column — assigned columns evaluate their expression
+        # over the t./s. pair, unassigned columns keep the target value;
+        # unmatched source rows insert whole-row. Same one-key-shuffle
+        # rewrite as the whole-row path, plus the matched⋈source join
+        # (bounded by touched-file rows; the source side is the small one
+        # and AQE broadcasts it).
+        _null_l = F.lit(None).cast("long")
+        out_cols = list(table_cols)
+        if mats is not None:
+            mat_id, mat_ver = mats
+            out_cols += [mat_id, mat_ver]
+        src_cols = source.select(*table_cols).alias("s")
+        proj = [
+            (
+                F.expr(set_clauses[c]).cast(declared_types[c]).alias(c)
+                if c in set_clauses
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in table_cols
+        ]
+        if touched_abs:
+            tgt = _scan_touched_ids() if mats is not None else _scan_touched()
+            matched_t = tgt.join(src_keys, on=list(keys), how="left_semi")
+            kept_t = tgt.join(src_keys, on=list(keys), how="left_anti")
+            pairs = matched_t.alias("t").join(
+                src_cols,
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                "inner",
+            )
+            if mats is not None:
+                # 1:1 row mapping — each transformed row keeps ITS OWN id,
+                # version moves to this commit via the fresh-row rule
+                updated = pairs.select(
+                    *proj,
+                    F.col("t.row_id").alias(mat_id),
+                    _null_l.alias(mat_ver),
+                )
+                kept = kept_t.select(
+                    *table_cols,
+                    F.col("row_id").alias(mat_id),
+                    F.col("row_commit_version").alias(mat_ver),
+                )
+            else:
+                updated = pairs.select(*proj)
+                kept = kept_t.select(*table_cols)
+            matched_keys = matched_t.select(*keys).distinct()
+            ins = source.select(*table_cols).join(
+                matched_keys, on=list(keys), how="left_anti"
+            )
+            if mats is not None:
+                ins = ins.withColumn(mat_id, _null_l).withColumn(
+                    mat_ver, _null_l
+                )
+            # transformed rows are NEW values — enforce like update_delta
+            _enforce_constraints(updated.select(*table_cols), meta, path)
+            _enforce_generated(updated.select(*table_cols), meta, path)
+            new_rows = kept.unionByName(updated).unionByName(ins)
+            if cdf:
+                pre = _scan_touched().join(
+                    src_keys, on=list(keys), how="left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = updated.select(*table_cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins_c = source.select(*table_cols).join(
+                    matched_keys, on=list(keys), how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                change_rows = pre.unionByName(post).unionByName(ins_c)
+        else:
+            new_rows = source.select(*table_cols)
+            if mats is not None:
+                new_rows = new_rows.withColumn(mat_id, _null_l).withColumn(
+                    mat_ver, _null_l
+                )
+            if cdf:
+                change_rows = source.select(*table_cols).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+    elif when_matched == "update" and newer_wins_col is None:
         if mats is not None:
             # kept rows carry their (id, version) materialized; UPDATED
             # rows keep the matched target's row id (min over duplicate-

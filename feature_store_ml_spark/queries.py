@@ -3996,6 +3996,59 @@ def e1_delta_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_merge_set",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey <= 2000 AND o_orderkey % 5 = 2
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey <= 2400
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_delta_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-update MERGE (round 7 third session —
+    merge_delta(set_clauses=), Delta's whenMatchedUpdate(set=...)): the
+    "update only the price, keep everything else" shape. Create an
+    orders subset, then one merge whose source carries BOTH matched keys
+    (every 5th key ≡ 2 — SET doubles the price via t+s while
+    o_orderstatus keeps the target value) and a fresh key range
+    (whole-row inserts). The oracle restates the final state from bare
+    orders arithmetic: a SET that replaced instead of transformed, a
+    clobbered unassigned column, or a dropped insert each break the
+    hash."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t = f"{tempfile.gettempdir()}/fsml_merge_set"
+    shutil.rmtree(t, ignore_errors=True)
+    lakehouse.write_delta(spark, o.where("o_orderkey <= 2000").select(*cols), t)
+    src = o.where(
+        "(o_orderkey <= 2000 AND o_orderkey % 5 = 2) "
+        "OR (o_orderkey > 2000 AND o_orderkey <= 2400)"
+    ).select(*cols)
+    lakehouse.merge_delta(
+        spark,
+        src,
+        t,
+        keys=["o_orderkey"],
+        set_clauses={"o_totalprice": "t.o_totalprice + s.o_totalprice"},
+    )
+    return (
+        lakehouse.read_delta(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -6249,6 +6302,9 @@ _FINAL_ORDER = [
                              # green; TPC-H family keeps q4/q6/q7/q8/q19)
     "e13_session_window",    # displaced by e1_delta_uniform (r6-green;
                              # e13 family keeps stream_from_delta ×2)
+    "e1_delta_merge_set",    # round 7 late: partial-update MERGE, exact
+                             # oracle — tail-registered (sweep-checked;
+                             # rotate in next round)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6412,7 +6468,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 90, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 91, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

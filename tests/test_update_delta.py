@@ -174,3 +174,88 @@ def test_update_txn_handshake_is_idempotent(spark, tmp_path):
     )
     assert v2 == v1  # retry skipped
     assert lakehouse.read_delta(spark, root).where("id = 0").collect()[0].v == 1
+
+
+def test_merge_partial_update_set_clauses(spark, tmp_path):
+    """merge_delta(set_clauses=): Delta's whenMatchedUpdate(set=...) —
+    matched rows transform column-by-column over the t./s. pair,
+    unassigned columns keep the target value, unmatched source rows
+    insert whole-row; composes with row tracking (1:1 id preservation),
+    identity (SET on it refuses) and CDF."""
+    root = str(tmp_path / "pu")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("v"), F.lit("x").alias("tag")
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(1, 100, "s"), (2, 200, "s"), (99, 9, "s")], "id long, v long, tag string"
+    )
+    lakehouse.merge_delta(
+        spark, src, root, keys=["id"], set_clauses={"v": "t.v + s.v"}
+    )
+    rows = {r.id: (r.v, r.tag) for r in lakehouse.read_delta(spark, root).collect()}
+    assert rows[1] == (101, "x")  # v updated, tag KEPT
+    assert rows[2] == (202, "x")
+    assert rows[99] == (9, "s")  # insert is whole-row
+    assert rows[3] == (3, "x") and len(rows) == 21
+
+    # row tracking: each transformed row keeps ITS OWN id (1:1 mapping)
+    rt = str(tmp_path / "rt")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 20).select("id", (F.col("id") % 4).alias("v")),
+        rt,
+        row_tracking=True,
+    )
+    before = {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    vm = lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(3, 7)], "id long, v long"),
+        rt,
+        keys=["id"],
+        set_clauses={"v": "s.v"},
+    )
+    after = {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    assert after[3] == (before[3][0], vm)
+    assert all(after[k] == before[k] for k in after if k != 3)
+
+    # CDF taxonomy
+    cdf = str(tmp_path / "cdf")
+    lakehouse.write_delta(
+        spark, spark.range(0, 10).select("id", (F.col("id") % 2).alias("v")), cdf
+    )
+    lakehouse.alter_delta_properties(cdf, {"delta.enableChangeDataFeed": "true"})
+    v4 = lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(1, 10), (50, 5)], "id long, v long"),
+        cdf,
+        keys=["id"],
+        set_clauses={"v": "t.v + s.v"},
+    )
+    k = {
+        (r.id, r.v, r._change_type)
+        for r in lakehouse.read_delta_cdf(spark, cdf, since_version=v4 - 1).collect()
+    }
+    assert {(1, 1, "update_preimage"), (1, 11, "update_postimage"), (50, 5, "insert")} <= k
+
+    # refusals
+    with pytest.raises(ValueError, match="empty"):
+        lakehouse.merge_delta(spark, src, root, keys=["id"], set_clauses={})
+    with pytest.raises(ValueError, match="unknown"):
+        lakehouse.merge_delta(
+            spark, src, root, keys=["id"], set_clauses={"zz": "1"}
+        )
+    with pytest.raises(NotImplementedError, match="newer_wins"):
+        lakehouse.merge_delta(
+            spark, src, root, keys=["id"],
+            set_clauses={"v": "1"}, newer_wins_col="v",
+        )
