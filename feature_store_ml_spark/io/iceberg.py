@@ -3457,6 +3457,7 @@ def merge_iceberg(
     newer_wins_col: str | None = None,
     batch: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    set_clauses: "dict[str, str] | None" = None,
 ) -> int:
     """Keyed MERGE for Iceberg — the twin of ``lakehouse.merge_delta``
     (upsert / delete by key), merge-on-read in ONE snapshot: a position-
@@ -3476,6 +3477,13 @@ def merge_iceberg(
       unless the source is STRICTLY newer; per key one winner (ties keep
       the target) — order-independent, so replayed micro-batches
       converge to the global latest row per key.
+    - ``set_clauses`` (update only, exclusive with ``newer_wins_col``):
+      PARTIAL update, the twin of ``merge_delta(set_clauses=)`` —
+      matched rows transform column-by-column over the joined ``t.``/
+      ``s.`` pair (unassigned columns keep the target value), unmatched
+      source rows insert whole-row. In MoR terms: the position-delete
+      mask is identical to the whole-row path; only the replacement
+      rows differ.
     - NULL keys never match; duplicate source keys raise the same
       cardinality error as Delta MERGE.
 
@@ -3501,6 +3509,19 @@ def merge_iceberg(
         raise ValueError(
             f"merge_iceberg: newer_wins_col {newer_wins_col!r} not in source columns"
         )
+    if set_clauses is not None:
+        if when_matched != "update":
+            raise ValueError(
+                "merge_iceberg: set_clauses requires when_matched='update'"
+            )
+        if newer_wins_col is not None:
+            raise NotImplementedError(
+                "merge_iceberg: set_clauses + newer_wins_col is not "
+                "implemented — conditional partial update needs per-row "
+                "winner attribution through the SET projection"
+            )
+        if not set_clauses:
+            raise ValueError("merge_iceberg: empty set_clauses")
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"merge_iceberg: source is missing key columns {missing}")
@@ -3602,6 +3623,38 @@ def merge_iceberg(
         if when_matched == "delete":
             dead = target.join(src_keys, on=list(keys), how="left_semi")
             adds_df = None
+        elif set_clauses is not None:
+            # PARTIAL update: the mask is the same as whole-row; the
+            # replacement rows transform column-by-column over the
+            # t./s. pair (unassigned columns keep the target value),
+            # plus whole-row inserts for unmatched source keys
+            unknown = sorted(c for c in set_clauses if c not in names)
+            if unknown:
+                raise ValueError(
+                    f"{path}: SET targets unknown columns {unknown} "
+                    f"(have {names})"
+                )
+            dead = target.join(src_keys, on=list(keys), how="left_semi")
+            dtypes = {f.name: f.dataType for f in declared.fields}
+            proj = [
+                (
+                    F.expr(set_clauses[c]).cast(dtypes[c]).alias(c)
+                    if c in set_clauses
+                    else F.col(f"t.{c}").alias(c)
+                )
+                for c in names
+            ]
+            pairs = dead.alias("t").join(
+                source.select(*names).alias("s"),
+                [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+                "inner",
+            )
+            matched_keys = dead.select(*keys).distinct()
+            adds_df = pairs.select(*proj).unionByName(
+                source.select(*names).join(
+                    matched_keys, on=list(keys), how="left_anti"
+                )
+            )
         elif newer_wins_col is None:
             dead = target.join(src_keys, on=list(keys), how="left_semi")
             adds_df = source.select(*names)

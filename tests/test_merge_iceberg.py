@@ -222,3 +222,60 @@ def test_merge_schema_evolution(spark, tmp_path):
             ),
             root, keys=["id"], merge_schema=True,
         )
+
+
+def test_merge_iceberg_partial_update_set_clauses(spark, tmp_path):
+    """set_clauses: the MoR twin of merge_delta's partial update — the
+    position-delete mask is identical to whole-row, only the replacement
+    rows differ (t./s. pair transform; unassigned columns keep the
+    target value; unmatched keys insert whole-row)."""
+    root = str(tmp_path / "pu")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("v"), F.lit("x").alias("tag")
+        ),
+        root,
+        format_version=2,
+    )
+    src = spark.createDataFrame(
+        [(1, 100, "s"), (2, 200, "s"), (99, 9, "s")], "id long, v long, tag string"
+    )
+    iceberg.merge_iceberg(
+        spark, src, root, keys=["id"], set_clauses={"v": "t.v + s.v"}
+    )
+    rows = {r.id: (r.v, r.tag) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows[1] == (101, "x") and rows[2] == (202, "x")
+    assert rows[99] == (9, "s")  # whole-row insert
+    assert rows[3] == (3, "x") and len(rows) == 21
+    # partitioned: transformed rows land back through the shared staging
+    # tail (partition moves included)
+    p = str(tmp_path / "pp")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(0, 30).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") * 1.0).alias("v")
+        ),
+        p,
+        format_version=2,
+        partition_by=["p"],
+    )
+    iceberg.merge_iceberg(
+        spark,
+        spark.createDataFrame([(4, 1, 0.5), (100, 2, 7.0)], "id long, p long, v double"),
+        p,
+        keys=["id"],
+        set_clauses={"v": "t.v * s.v"},
+    )
+    got = {r.id: r.v for r in iceberg.read_iceberg(spark, p).collect()}
+    assert got[4] == 2.0 and got[100] == 7.0 and len(got) == 31
+    # refusals mirror the Delta twin
+    with pytest.raises(ValueError, match="unknown"):
+        iceberg.merge_iceberg(spark, src, root, keys=["id"], set_clauses={"zz": "1"})
+    with pytest.raises(NotImplementedError, match="newer_wins"):
+        iceberg.merge_iceberg(
+            spark, src, root, keys=["id"],
+            set_clauses={"v": "1"}, newer_wins_col="v",
+        )
+    with pytest.raises(ValueError, match="empty"):
+        iceberg.merge_iceberg(spark, src, root, keys=["id"], set_clauses={})
