@@ -3156,6 +3156,8 @@ def merge_delta(
     newer_wins_col: str | None = None,
     merge_schema: bool = False,
     set_clauses: "dict[str, str] | None" = None,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     """Keyed MERGE — the Delta table's mutation primitive (upsert / delete
     by key), implemented the way every copy-on-write Delta engine does it:
@@ -3194,6 +3196,17 @@ def merge_delta(
       with ``newer_wins_col``; source stays unique-per-key (each target
       row pairs with exactly one source row, duplicate-keyed target rows
       each update independently).
+    - ``not_matched_by_source='delete'`` (update mode only): Delta's
+      third clause, ``whenNotMatchedBySourceDelete(condition=...)`` —
+      target rows whose keys do NOT appear in the source are DELETED
+      when they satisfy ``not_matched_by_source_condition`` (a SQL
+      predicate over target columns; None deletes every unmatched row,
+      which makes the merge a keyed FULL SYNC: the table becomes exactly
+      the source). The "sync this dimension slice" shape. Scale note:
+      with a condition, touched-file discovery adds one predicate scan
+      (files holding candidate rows rewrite even when their rows all
+      survive — a correct superset); without one, every live file
+      rewrites, the honest cost of a full sync.
 
     Scale shape (how this survives 100 TB):
     - Touched-file discovery is a distributed semi-join of the live file
@@ -3243,6 +3256,27 @@ def merge_delta(
             )
         if not set_clauses:
             raise ValueError("merge_delta: empty set_clauses")
+    if not_matched_by_source is not None:
+        if not_matched_by_source != "delete":
+            raise ValueError(
+                "merge_delta: not_matched_by_source supports only "
+                f"'delete', got {not_matched_by_source!r}"
+            )
+        if when_matched != "update":
+            raise ValueError(
+                "merge_delta: not_matched_by_source pairs with "
+                "when_matched='update' (the full-sync idiom)"
+            )
+        if newer_wins_col is not None:
+            raise NotImplementedError(
+                "merge_delta: not_matched_by_source + newer_wins_col is "
+                "not implemented"
+            )
+    elif not_matched_by_source_condition is not None:
+        raise ValueError(
+            "merge_delta: not_matched_by_source_condition requires "
+            "not_matched_by_source='delete'"
+        )
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"merge_delta: source is missing key columns {missing}")
@@ -3276,6 +3310,12 @@ def merge_delta(
                 "merge_delta: set_clauses through the native builder is "
                 "not wired — use whenMatchedUpdate directly, or the "
                 "fallback writer"
+            )
+        if not_matched_by_source is not None:
+            raise NotImplementedError(
+                "merge_delta: not_matched_by_source through the native "
+                "builder is not wired — use whenNotMatchedBySourceDelete "
+                "directly, or the fallback writer"
             )
         tgt = DeltaTable.forPath(spark, path)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
@@ -3421,7 +3461,7 @@ def merge_delta(
         return _merge_rewrite(
             spark, source, path, keys, when_matched, txn, files, declared,
             src_keys, newer_wins_col, meta, adds_map, evolved_meta, proto,
-            set_clauses,
+            set_clauses, not_matched_by_source, not_matched_by_source_condition,
         )
     finally:
         key_counts.unpersist()
@@ -3443,6 +3483,8 @@ def _merge_rewrite(
     evolved_meta: dict | None = None,
     proto: dict | None = None,
     set_clauses: "dict[str, str] | None" = None,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     from pyspark.sql import functions as F
 
@@ -3503,6 +3545,38 @@ def _merge_rewrite(
                 .collect()  # O(#touched files) — driver metadata, never rows
             )
         ]
+
+    nmbs_cond = None
+    if not_matched_by_source == "delete":
+        # whenNotMatchedBySourceDelete: unmatched target rows satisfying
+        # the condition are dropped — files holding CANDIDATE rows join
+        # the touched set (a correct superset: a file whose candidates
+        # all turn out matched just rewrites unchanged). No condition =
+        # full sync: every live file rewrites, the honest cost.
+        nmbs_cond = (
+            F.coalesce(F.expr(not_matched_by_source_condition), F.lit(False))
+            if not_matched_by_source_condition
+            else F.lit(True)
+        )
+        if files and not_matched_by_source_condition is None:
+            touched_abs = sorted(set(files))
+        elif files:
+            from urllib.parse import unquote as _uq
+            from urllib.parse import urlparse as _up
+
+            cand = [
+                _uq(_up(r["_fp"]).path)
+                for r in (
+                    _scan_files(
+                        spark, path, files, meta, adds_map, with_metadata=True
+                    )
+                    .where(nmbs_cond)
+                    .select(F.col("_metadata.file_path").alias("_fp"))
+                    .distinct()
+                    .collect()
+                )
+            ]
+            touched_abs = sorted(set(touched_abs) | set(cand))
 
     def _scan_touched() -> DataFrame:
         # DV-masked rows are filtered out, so a rewrite never resurrects
@@ -3591,6 +3665,8 @@ def _merge_rewrite(
             tgt = _scan_touched_ids() if mats is not None else _scan_touched()
             matched_t = tgt.join(src_keys, on=list(keys), how="left_semi")
             kept_t = tgt.join(src_keys, on=list(keys), how="left_anti")
+            if nmbs_cond is not None:
+                kept_t = kept_t.where(~nmbs_cond)
             pairs = matched_t.alias("t").join(
                 src_cols,
                 [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
@@ -3635,6 +3711,13 @@ def _merge_rewrite(
                     matched_keys, on=list(keys), how="left_anti"
                 ).withColumn("_change_type", F.lit("insert"))
                 change_rows = pre.unionByName(post).unionByName(ins_c)
+                if nmbs_cond is not None:
+                    change_rows = change_rows.unionByName(
+                        _scan_touched()
+                        .join(src_keys, on=list(keys), how="left_anti")
+                        .where(nmbs_cond)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
         else:
             new_rows = source.select(*table_cols)
             if mats is not None:
@@ -3657,9 +3740,12 @@ def _merge_rewrite(
             src_rows = source.select(*table_cols)
             if touched_abs:
                 tgt_ids = _scan_touched_ids()
-                kept_m = tgt_ids.join(
+                kept_src = tgt_ids.join(
                     src_keys, on=list(keys), how="left_anti"
-                ).select(
+                )
+                if nmbs_cond is not None:
+                    kept_src = kept_src.where(~nmbs_cond)
+                kept_m = kept_src.select(
                     *table_cols,
                     F.col("row_id").alias(mat_id),
                     F.col("row_commit_version").alias(mat_ver),
@@ -3684,6 +3770,8 @@ def _merge_rewrite(
                 kept = _scan_touched().join(
                     src_keys, on=list(keys), how="left_anti"
                 )
+                if nmbs_cond is not None:
+                    kept = kept.where(~nmbs_cond)
                 new_rows = kept.select(*table_cols).unionByName(new_rows)
         if cdf:
             # change-data rows, delta-spark's MERGE taxonomy: matched
@@ -3704,6 +3792,13 @@ def _merge_rewrite(
                     matched_keys, on=list(keys), how="left_anti"
                 ).withColumn("_change_type", F.lit("insert"))
                 change_rows = pre.unionByName(post).unionByName(ins)
+                if nmbs_cond is not None:
+                    change_rows = change_rows.unionByName(
+                        _scan_touched()
+                        .join(src_keys, on=list(keys), how="left_anti")
+                        .where(nmbs_cond)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
             else:
                 change_rows = source.select(*table_cols).withColumn(
                     "_change_type", F.lit("insert")

@@ -4049,6 +4049,56 @@ def e1_delta_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_merge_sync",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE (o_orderkey <= 2000 AND o_orderstatus <> 'F')
+       OR (o_orderkey <= 2400 AND o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_delta_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SLICE SYNC — merge_delta(not_matched_by_source='delete',
+    condition=...) (round 7 third session; Delta's
+    whenNotMatchedBySourceDelete): the source becomes the COMPLETE truth
+    for one slice of the table while every other slice is untouched.
+    Base = orders ≤2000; source = the even-keyed 'F'-status rows up to
+    2400 (matched rows replace, fresh keys insert); unmatched 'F' rows
+    DELETE under the condition, non-'F' rows survive verbatim. The
+    oracle restates the final state from bare orders arithmetic — a
+    delete that leaked outside the slice, a survivor wrongly dropped, or
+    a missed insert each break a group's count and hash."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t = f"{tempfile.gettempdir()}/fsml_merge_sync"
+    shutil.rmtree(t, ignore_errors=True)
+    lakehouse.write_delta(spark, o.where("o_orderkey <= 2000").select(*cols), t)
+    src = o.where(
+        "o_orderkey <= 2400 AND o_orderstatus = 'F' AND o_orderkey % 2 = 0"
+    ).select(*cols)
+    lakehouse.merge_delta(
+        spark,
+        src,
+        t,
+        keys=["o_orderkey"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="o_orderstatus = 'F'",
+    )
+    return (
+        lakehouse.read_delta(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -6305,6 +6355,8 @@ _FINAL_ORDER = [
     "e1_delta_merge_set",    # round 7 late: partial-update MERGE, exact
                              # oracle — tail-registered (sweep-checked;
                              # rotate in next round)
+    "e1_delta_merge_sync",   # round 7 late: whenNotMatchedBySourceDelete
+                             # slice sync, exact oracle — tail-registered
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
@@ -6468,7 +6520,7 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    assert n_oracle_tail <= 91, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 92, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -259,3 +259,113 @@ def test_merge_partial_update_set_clauses(spark, tmp_path):
             spark, src, root, keys=["id"],
             set_clauses={"v": "1"}, newer_wins_col="v",
         )
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    """whenNotMatchedBySourceDelete: unmatched target rows satisfying the
+    condition are deleted (keyed slice sync); no condition = full sync
+    (the table becomes exactly the source). Composes with row tracking,
+    CDF, and set_clauses."""
+    root = str(tmp_path / "nmbs")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 20).select(
+            "id", (F.col("id") % 4).alias("grp"), (F.col("id") * 10).alias("v")
+        ),
+        root,
+    )
+    src = spark.createDataFrame(
+        [(1, 1, -1), (5, 1, -5), (101, 1, -101)], "id long, grp long, v long"
+    )
+    lakehouse.merge_delta(
+        spark, src, root, keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="grp = 1",
+    )
+    rows = {r.id: (r.grp, r.v) for r in lakehouse.read_delta(spark, root).collect()}
+    assert rows[1] == (1, -1) and rows[101] == (1, -101)
+    assert 9 not in rows and 13 not in rows and 17 not in rows
+    assert rows[2] == (2, 20) and len(rows) == 18  # other groups untouched
+
+    # full sync: no condition
+    full = str(tmp_path / "full")
+    lakehouse.write_delta(
+        spark, spark.range(0, 10).select("id", (F.col("id") % 2).alias("v")), full
+    )
+    lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(3, 30), (99, 9)], "id long, v long"),
+        full,
+        keys=["id"],
+        not_matched_by_source="delete",
+    )
+    assert sorted(
+        (r.id, r.v) for r in lakehouse.read_delta(spark, full).collect()
+    ) == [(3, 30), (99, 9)]
+
+    # row tracking: survivors keep ids, slice-deleted rows leave holes
+    rt = str(tmp_path / "rt")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 12).select(
+            "id", (F.col("id") % 3).alias("grp"), (F.col("id") * 1.0).alias("v")
+        ),
+        rt,
+        row_tracking=True,
+    )
+    before = {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    vm = lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(0, 0, 9.0)], "id long, grp long, v double"),
+        rt,
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="grp = 0",
+    )
+    after = {
+        r.id: (r.row_id, r.row_commit_version)
+        for r in lakehouse.read_delta_row_ids(spark, rt).collect()
+    }
+    assert after[0] == (before[0][0], vm)
+    assert {3, 6, 9}.isdisjoint(after)
+    assert all(after[k] == before[k] for k in after if k != 0)
+
+    # CDF: slice-deleted rows appear as 'delete'
+    cdf = str(tmp_path / "cdf")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 8).select(
+            "id", (F.col("id") % 2).alias("grp"), F.lit(1).cast("long").alias("v")
+        ),
+        cdf,
+    )
+    lakehouse.alter_delta_properties(cdf, {"delta.enableChangeDataFeed": "true"})
+    v4 = lakehouse.merge_delta(
+        spark,
+        spark.createDataFrame([(0, 0, 5)], "id long, grp long, v long"),
+        cdf,
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="grp = 0",
+    )
+    k = {
+        (r.id, r._change_type)
+        for r in lakehouse.read_delta_cdf(spark, cdf, since_version=v4 - 1).collect()
+    }
+    assert {(0, "update_preimage"), (0, "update_postimage"),
+            (2, "delete"), (4, "delete"), (6, "delete")} <= k
+    assert not {(1, "delete"), (3, "delete")} & k
+
+    # refusals
+    with pytest.raises(ValueError, match="delete"):
+        lakehouse.merge_delta(
+            spark, src, root, keys=["id"], not_matched_by_source="update"
+        )
+    with pytest.raises(ValueError, match="requires"):
+        lakehouse.merge_delta(
+            spark, src, root, keys=["id"],
+            not_matched_by_source_condition="grp = 0",
+        )
