@@ -6311,10 +6311,14 @@ _FINAL_ORDER = [
     "q19_disjunctive_predicates",  # disjunction spanning both join sides
     # -- the classic TPC-H access shapes
     "e18_drift_psi",        # round 7: PSI feature drift, exact oracle
-    "q4_order_priority",
+    "e1_delta_merge_set",   # round-8 rotation: partial-update MERGE
+                            # (set_clauses=), exact oracle — first driver
+                            # window appearance (VERDICT r7 item 1)
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
+    "e1_delta_merge_sync",  # round-8 rotation: whenNotMatchedBySource
+                            # Delete slice sync, exact oracle — first
+                            # driver window appearance
     # -- sampling / PII / streaming-dedup surface
     "e16_mixture_sample",   # data-mixture composition
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
@@ -6352,11 +6356,11 @@ _FINAL_ORDER = [
                              # green; TPC-H family keeps q4/q6/q7/q8/q19)
     "e13_session_window",    # displaced by e1_delta_uniform (r6-green;
                              # e13 family keeps stream_from_delta ×2)
-    "e1_delta_merge_set",    # round 7 late: partial-update MERGE, exact
-                             # oracle — tail-registered (sweep-checked;
-                             # rotate in next round)
-    "e1_delta_merge_sync",   # round 7 late: whenNotMatchedBySourceDelete
-                             # slice sync, exact oracle — tail-registered
+    "q4_order_priority",     # rotated out r8, displaced by
+                             # e1_delta_merge_set (driver-green r5+r6+r7;
+                             # TPC-H family keeps q6/q7/q19 in-window)
+    "q8_market_share",       # rotated out r8, displaced by
+                             # e1_delta_merge_sync (driver-green r5+r6+r7)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):
