@@ -218,8 +218,14 @@ def _pos_deletes_to_bitmaps(
         ("file:" + os.path.abspath(d["path"]), int(d["seq"] or 0))
         for d in deletes
     ]
+    # _decoded_meta_path, not raw _metadata.file_path: the column arrives
+    # percent-ENCODED, while del_rows is built from raw driver abspaths —
+    # a special-char table root would make the _src join match nothing
+    # and silently drop every position delete from the converted DVs
     raw = spark.read.parquet(*[d["path"] for d in deletes]).select(
-        "file_path", "pos", F.col("_metadata.file_path").alias("_src")
+        "file_path",
+        "pos",
+        iceberg._decoded_meta_path([d["path"] for d in deletes]).alias("_src"),
     )
     src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
     distinct = [

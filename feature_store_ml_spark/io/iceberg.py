@@ -66,6 +66,19 @@ def _localize(uri: str, table_root: str) -> str:
     return uri
 
 
+def _local_path(p: str) -> str:
+    """file:-or-raw path → local filesystem path, FRAGMENT-SAFE: urlparse
+    on a raw on-disk path truncates at '#'/'?' (URI fragment/query), so a
+    table root like 'sp ace#dir' would resolve to a nonexistent prefix.
+    Strips the scheme by hand — the same rule as _localize, minus the
+    relocation graft. Non-file schemes pass through untouched."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        if p.startswith("///"):
+            p = p[2:]
+    return p
+
+
 def latest_metadata_path(table_root: str) -> str:
     """Resolve the current metadata JSON: version-hint.text when present
     (HadoopCatalog convention), else the highest vN/N-uuid metadata file."""
@@ -2499,7 +2512,9 @@ def read_iceberg(
             )
             return g.select("*", F.col("_metadata")) if want_meta else g
 
-        local = [urlparse(p).path or p for p in paths]
+        # _local_path, not urlparse: a raw '#' in the table root would
+        # truncate at the fragment and footer-group a nonexistent file
+        local = [_local_path(p) for p in paths]
         if declared is None or any(
             urlparse(p).scheme not in ("", "file") for p in paths
         ):
@@ -2564,7 +2579,7 @@ def read_iceberg(
             # join key: the SHORTEST path suffix unique across the
             # snapshot's files (a bare basename collides when one task
             # writes the same part-file name into several partition dirs)
-            locals_ = [urlparse(d["path"]).path or d["path"] for d in data]
+            locals_ = [_local_path(d["path"]) for d in data]
             suffix_k = 0
             for k in range(1, 6):
                 keys = {"/".join(lp.split("/")[-k:]) for lp in locals_}

@@ -1769,24 +1769,11 @@ def vacuum_delta(
     )
     tombstone_ms: dict[str, int] = {}
     if cutoff_ms is not None:
-        # latest remove timestamp per path, replayed from the retained log
-        # (checkpoint-cleaned history is already reclaimable by definition
-        # — its commits are gone, so time travel there is gone too)
-        log0 = _delta_log_dir(path)
-        for name in sorted(os.listdir(log0)):
-            if not _is_commit_json(name):
-                continue
-            with open(os.path.join(log0, name), encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    rm = action.get("remove")
-                    if rm and rm.get("path"):
-                        tombstone_ms[rm["path"]] = int(
-                            rm.get("deletionTimestamp") or 0
-                        )
+        # latest remove timestamp per path — checkpoint remove rows (the
+        # spec carries unexpired tombstones through reconciliation exactly
+        # for this) plus the retained JSON tail, so checkpoint +
+        # cleanup_delta_log never strips a recent tombstone's age
+        tombstone_ms = _collect_removes(path)
 
     def _retained(rel: str, full: str) -> bool:
         if cutoff_ms is None:
@@ -1927,6 +1914,40 @@ def _collect_txns(path: str) -> dict[str, int]:
     return best
 
 
+def _collect_removes(path: str) -> dict[str, int]:
+    """Latest remove ``deletionTimestamp`` per tombstoned path: the newest
+    checkpoint's remove rows plus the JSON tail (a later re-add cancels
+    the tombstone). PROTOCOL.md checkpoint reconciliation keeps unexpired
+    remove actions exactly so VACUUM retention survives log cleanup —
+    without them a recently-retired file would lose its tombstone age and
+    fall back to file mtime (its WRITE time), getting collected inside
+    the retention window. Metadata-sized."""
+    log = _delta_log_dir(path)
+    out: dict[str, int] = {}
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    for f in ckpt_files:
+        for row in _manifest_rows(f, log, follow_sidecars=True):
+            rm = row.get("remove")
+            if rm and rm.get("path") is not None:
+                out[rm["path"]] = int(rm.get("deletionTimestamp") or 0)
+    for name in sorted(os.listdir(log)):
+        if not _is_commit_json(name) or int(name[:20]) <= ckpt_version:
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("path"):
+                    out.pop(action["add"]["path"], None)
+                elif "remove" in action and action["remove"].get("path"):
+                    out[action["remove"]["path"]] = int(
+                        action["remove"].get("deletionTimestamp") or 0
+                    )
+    return out
+
+
 def _domain_metadata(path: str) -> dict[str, str]:
     """domain -> configuration JSON string (PROTOCOL.md §Domain Metadata):
     newest checkpoint's domain rows plus the JSON tail, LAST action per
@@ -2015,6 +2036,15 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
     adds_map, meta = _replay_log_adds(path)
     txns = _collect_txns(path)
     domains = _domain_metadata(path)
+    # unexpired tombstones ride along (PROTOCOL.md checkpoint
+    # reconciliation): a remove whose file is still on disk keeps its
+    # deletionTimestamp through log cleanup, so vacuum retention_hours
+    # can still honor it; already-vacuumed tombstones drop out here
+    removes = {
+        p: ts
+        for p, ts in _collect_removes(path).items()
+        if p not in adds_map and os.path.exists(os.path.join(path, p))
+    }
     has_dv = any(a.get("deletionVector") for a in adds_map.values())
     base = {
         "protocol": None,
@@ -2023,6 +2053,10 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
         "txn": None,
         "domainMetadata": None,
     }
+    if removes:
+        # from_pylist infers the schema from the first row's keys — the
+        # column must exist on every row or the tombstones silently drop
+        base["remove"] = None
     # the checkpoint must carry the table's ACTUAL protocol — synthesizing
     # one here silently un-declared active features (column mapping's
     # reader gate, constraints, identity's v6) once cleanup dropped the
@@ -2094,6 +2128,18 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
                 else None
             )
         rows.append({**base, "add": add_row})
+    for p, ts in sorted(removes.items()):
+        # from_pylist fills the 'remove' key as null on every other row
+        rows.append(
+            {
+                **base,
+                "remove": {
+                    "path": p.replace(os.sep, "/"),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                },
+            }
+        )
     if not v2:
         pq.write_table(
             pa.Table.from_pylist(rows),
@@ -2108,8 +2154,16 @@ def checkpoint_delta(path: str, v2: bool = False) -> int:
 
     sidecar_dir = os.path.join(log, "_sidecars")
     os.makedirs(sidecar_dir, exist_ok=True)
-    add_rows = [{"add": r["add"]} for r in rows if r.get("add") is not None]
-    head_rows = [r for r in rows if r.get("add") is None]
+    # file actions (adds AND remove tombstones) belong in the sidecar;
+    # the manifest keeps only the table-level head rows
+    add_rows = [
+        {"add": r.get("add"), "remove": r.get("remove")}
+        for r in rows
+        if r.get("add") is not None or r.get("remove") is not None
+    ]
+    head_rows = [
+        r for r in rows if r.get("add") is None and r.get("remove") is None
+    ]
     sc_name = f"{_uuid.uuid4().hex}.parquet"
     sc_path = os.path.join(sidecar_dir, sc_name)
     pq.write_table(pa.Table.from_pylist(add_rows or [{"add": None}]), sc_path)
@@ -4301,6 +4355,21 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
                 "offset": dv.get("offset", 1),
             }
         actions.append({"add": clone_add})
+    # carry the source's live domain metadata (PROTOCOL.md §Domain
+    # Metadata) into the clone's v0 commit — critically the
+    # delta.rowTracking high-water mark: without it the clone's first
+    # _allocate_base_row_ids would restart at 0 and hand out baseRowId
+    # ranges that collide with the cloned files' ids
+    for domain, conf_json in sorted(_domain_metadata(src).items()):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": conf_json,
+                    "removed": False,
+                }
+            }
+        )
     actions.append(
         {
             "commitInfo": {

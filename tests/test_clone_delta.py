@@ -186,3 +186,37 @@ def test_clone_iceberg_refusals(spark, tmp_path):
         iceberg.clone_iceberg(src, dst)
     with pytest.raises(ValueError, match="not an Iceberg table"):
         iceberg.clone_iceberg(str(tmp_path / "missing"), str(tmp_path / "x"))
+
+
+def test_clone_carries_row_tracking_watermark(spark, tmp_path):
+    # ADVICE r7: the clone must replay the source's domainMetadata —
+    # without the delta.rowTracking high-water mark, the first write to
+    # the clone re-allocates baseRowId 0..n and silently duplicates the
+    # cloned files' row ids
+    src = str(tmp_path / "rtsrc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(40).select("id", (F.col("id") % 4).alias("v")),
+        src,
+        row_tracking=True,
+    )
+    dst = str(tmp_path / "rtdst")
+    lakehouse.clone_delta(spark, src, dst)
+    # domain carried verbatim into the clone's v0
+    dm = lakehouse._domain_metadata(dst)
+    assert json.loads(dm["delta.rowTracking"])["rowIdHighWaterMark"] == 39
+    # an append to the clone allocates ABOVE the carried watermark
+    lakehouse.write_delta(
+        spark,
+        spark.range(40, 55).select("id", (F.col("id") % 4).alias("v")),
+        dst,
+        mode="append",
+    )
+    rows = lakehouse.read_delta_row_ids(spark, dst).collect()
+    rids = [r.row_id for r in rows]
+    assert len(rows) == 55 and len(set(rids)) == 55, "row ids must stay unique"
+    assert min(rids) == 0 and max(rids) == 54
+    # source untouched
+    assert lakehouse.read_delta(spark, src).count() == 40
+    dm_src = lakehouse._domain_metadata(src)
+    assert json.loads(dm_src["delta.rowTracking"])["rowIdHighWaterMark"] == 39

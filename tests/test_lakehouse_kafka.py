@@ -1281,3 +1281,45 @@ def test_delta_vacuum_retention_window(spark, tmp_path):
     assert sorted(r.id for r in lakehouse.read_delta(spark, root).collect()) == list(
         range(50, 60)
     )
+
+
+def test_vacuum_retention_survives_checkpoint_cleanup(spark, tmp_path):
+    """ADVICE r7: remove tombstones must ride checkpoints — after
+    checkpoint_delta + cleanup_delta_log a freshly-retired file keeps its
+    deletionTimestamp, so vacuum(retention_hours>0) still retains it
+    instead of falling back to file mtime (its WRITE time) and collecting
+    it inside the window."""
+    root = str(tmp_path / "ckptret")
+    lakehouse.write_delta(spark, spark.range(0, 20).select("id"), root)
+    lakehouse.write_delta(
+        spark, spark.range(50, 60).select("id"), root, mode="overwrite"
+    )
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    # the v0 JSON (and its remove replay source) is gone, but the
+    # checkpoint carries the tombstone: still inside the window → kept
+    assert lakehouse._collect_removes(root), "checkpoint lost the tombstones"
+    kept = lakehouse.vacuum_delta(root, retention_hours=24.0)
+    assert kept == [], "tombstoned file collected inside the retention window"
+    # current snapshot unaffected either way
+    assert lakehouse.read_delta(spark, root).count() == 10
+    # retention 0 still reclaims the dead bytes
+    gone = lakehouse.vacuum_delta(root)
+    assert gone
+    assert lakehouse.read_delta(spark, root).count() == 10
+
+
+def test_vacuum_retention_survives_v2_checkpoint_cleanup(spark, tmp_path):
+    """Same contract through a V2 checkpoint: tombstones live in the
+    sidecar and _collect_removes follows the pointer."""
+    root = str(tmp_path / "ckptret2")
+    lakehouse.write_delta(spark, spark.range(0, 20).select("id"), root)
+    lakehouse.write_delta(
+        spark, spark.range(50, 60).select("id"), root, mode="overwrite"
+    )
+    lakehouse.checkpoint_delta(root, v2=True)
+    lakehouse.cleanup_delta_log(root)
+    assert lakehouse._collect_removes(root), "v2 checkpoint lost the tombstones"
+    assert lakehouse.vacuum_delta(root, retention_hours=24.0) == []
+    assert lakehouse.vacuum_delta(root)  # retention 0 reclaims
+    assert lakehouse.read_delta(spark, root).count() == 10

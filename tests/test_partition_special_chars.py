@@ -140,3 +140,25 @@ def test_conversion_carries_deletes_on_special_partitions(spark, tmp_path):
     d2 = {r.id for r in lakehouse.read_delta(spark, dt).collect()}
     i2 = {r.id for r in iceberg.read_iceberg(spark, dt).collect()}
     assert d2 == i2 == {0, 2, 3, 4}
+
+
+def test_conversion_carries_pos_deletes_special_table_root(spark, tmp_path):
+    """ADVICE r7: the pos-delete fold joins the delete parquet's
+    _metadata.file_path (percent-ENCODED URI) against driver-built raw
+    abspaths — a table ROOT with URI-escaped characters made the join
+    match nothing and silently dropped every position delete from the
+    converted Delta DVs."""
+    from feature_store_ml_spark.io import convert
+
+    root = str(tmp_path / "sp ace#dir")
+    df = spark.range(0, 60).select("id", (F.col("id") % 3).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.delete_iceberg(spark, root, "v = 1")
+    convert.convert_iceberg_to_delta(spark, root)
+    i = {r.id for r in iceberg.read_iceberg(spark, root).collect()}
+    d = {r.id for r in lakehouse.read_delta(spark, root).collect()}
+    assert i == d and len(d) == 40, "position deletes dropped in conversion"
+    adds, _meta = lakehouse._replay_log_adds(root)
+    assert any(a.get("deletionVector") for a in adds.values()), (
+        "converted table carries no DV — the delete fold matched nothing"
+    )
