@@ -1537,6 +1537,42 @@ def r11_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("r18_pipeline_artifacts", None)  # sinks/orchestration: rows-only
+def r18_pipeline_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/R12-R14/R18 composite: run the full orchestrated pipeline
+    (reference main(), /root/reference/src/main.py:7-45) into a scratch
+    root, then audit every artifact it must leave behind — the feature
+    store, the persisted model (reloaded, tree count proves it round-
+    trips), the predictions parquet (accuracy recomputed FROM the sink,
+    not the in-memory run), the performance-metrics parquet and the
+    run-info JSON. One row per artifact closes the queries() coverage bar
+    for the sink/orchestration operators that have no oracle SQL."""
+    import shutil
+    import tempfile
+
+    root = f"{tempfile.gettempdir()}/fsml_pipeline_artifacts"
+    shutil.rmtree(root, ignore_errors=True)
+    info = pipeline.run_pipeline(spark, root, n_rows=400, seed=42)
+    paths = pipeline.RunPaths(root)
+    feats = spark.read.parquet(paths.feature_store)
+    preds = spark.read.parquet(paths.predictions)
+    report = spark.read.parquet(paths.performance_metrics)
+    from pyspark.ml.classification import RandomForestClassificationModel
+
+    model = RandomForestClassificationModel.load(paths.model)
+    sink_acc = preds.where("Actual = Predicted").count() / preds.count()
+    rows = [
+        ("feature_store", feats.count(), float(len(feats.columns))),
+        ("model", int(model.getNumTrees), float(model.numFeatures)),
+        ("performance_metrics", report.count(), float(report.count())),
+        ("predictions", preds.count(), round(sink_acc, 6)),
+        ("run_info", 1, round(float(info["accuracy"]), 6)),
+    ]
+    return spark.createDataFrame(
+        rows, "artifact string, rows long, metric double"
+    ).orderBy("artifact")
+
+
 @register(
     "r16_histogram",
     """
@@ -6491,6 +6527,7 @@ _FINAL_ORDER = [
     "r01_synthetic_source",
     "r10_accuracy",
     "r11_class_report",
+    "r18_pipeline_artifacts",  # round 8: sink/orchestration composite
 ]
 
 
