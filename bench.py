@@ -105,6 +105,10 @@ HEADLINE = [
     "e1_iceberg_wap",
     "e18_drift_psi",
     "e1_delta_uniform",
+    # round-8 joiner (first pin in BASELINE.md round-8 section): Puffin
+    # NDV statistics lifecycle — write, ANALYZE (per-column sketch
+    # passes), stats-driven broadcast join
+    "e1_iceberg_puffin",
 ]
 
 

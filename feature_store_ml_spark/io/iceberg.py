@@ -1631,6 +1631,14 @@ def write_iceberg(
                 {"refs": prior_meta["refs"]} if prior_meta.get("refs") else {}
             )
         ),
+        # statistics files (Puffin) are per-snapshot durable state — a
+        # write that dropped the list would orphan every sketch; readers
+        # match entries by snapshot-id so stale ones are visible as such
+        **(
+            {"statistics": prior_meta["statistics"]}
+            if prior_meta.get("statistics")
+            else {}
+        ),
     }
     if format_version >= 2:
         meta["last-sequence-number"] = seq
@@ -4398,3 +4406,155 @@ def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
         for f in cur["fields"]
     ]
     return _commit_schema_evolution(path, new_fields)
+
+
+# ------------------------------------------------------------ statistics ----
+
+
+def analyze_iceberg(
+    spark,
+    path: str,
+    columns: "list[str] | None" = None,
+    k: int = 4096,
+) -> str:
+    """ANALYZE the CURRENT snapshot: compute a per-column NDV theta sketch
+    (io/puffin.column_sketches — one shuffle-bounded distinct+TakeOrdered
+    pass per column, ≤ k+1 longs collected each), write them into one
+    Puffin statistics file under metadata/, and register it in the table
+    metadata's ``statistics`` list (spec §Table Statistics) keyed by
+    snapshot-id. Re-analyzing the same snapshot replaces its entry; stats
+    for other snapshots are kept (readers match by snapshot-id, so stale
+    entries are visible as stale rather than silently wrong). Returns the
+    Puffin file path.
+
+    100 TB shape: identical to ANALYZE TABLE ... FOR COLUMNS — scheduled
+    with ingestion, one scan per analyzed column, driver state O(k) per
+    column. The NDV rides blob properties["ndv"] (the field engines
+    actually consult); the sketch payload keeps estimates mergeable."""
+    import uuid as _uuid
+
+    from . import puffin
+
+    meta = _load_metadata(path)
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        raise ValueError(f"{path}: no current snapshot to analyze")
+    seq = int(meta.get("last-sequence-number") or 0)
+    fid_of = {
+        f["name"]: f["id"] for f in _current_schema(meta).get("fields", [])
+    }
+    if columns is None:
+        columns = list(fid_of)
+    unknown = [c for c in columns if c not in fid_of]
+    if unknown:
+        raise ValueError(f"{path}: analyze of unknown columns {unknown}")
+    df = read_iceberg(spark, path)
+    sketches = puffin.column_sketches(df, columns, k=k)
+    blobs = [
+        (
+            {
+                "type": puffin.BLOB_TYPE_THETA,
+                "fields": [fid_of[c]],
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "properties": {"ndv": str(sk.estimate)},
+            },
+            sk.serialize(),
+        )
+        for c, sk in sketches.items()
+    ]
+    meta_dir = os.path.join(path, "metadata")
+    puffin_path = os.path.join(
+        meta_dir, f"{snap_id}-{_uuid.uuid4().hex[:12]}.stats.puffin"
+    )
+    info = puffin.write_puffin(
+        puffin_path, blobs, properties={"created-by": "feature_store_ml_spark"}
+    )
+    entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": f"file:{puffin_path}",
+        "file-size-in-bytes": info["file-size-in-bytes"],
+        "file-footer-size-in-bytes": info["file-footer-size-in-bytes"],
+        "blob-metadata": info["blob-metadata"],
+    }
+    meta2 = dict(meta)
+    meta2["statistics"] = [
+        e
+        for e in (meta.get("statistics") or [])
+        if e.get("snapshot-id") != snap_id
+    ] + [entry]
+    _swap_metadata(path, meta2)
+    return puffin_path
+
+
+def table_statistics(path: str) -> dict:
+    """Planner-facing statistics of the CURRENT snapshot:
+    ``{"row_count", "total_file_bytes", "avg_row_bytes", "ndv": {col: n},
+    "stats_snapshot_id"}``. row_count/file bytes come from the manifest
+    record counts (metadata-only, no data IO); NDV comes from the current
+    snapshot's Puffin entry — ``ndv`` is empty when the snapshot was never
+    analyzed (callers must treat absence as "unknown", not zero)."""
+    meta = _load_metadata(path)
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        return {"row_count": 0, "total_file_bytes": 0,
+                "avg_row_bytes": 0.0, "ndv": {}, "stats_snapshot_id": None}
+    data, _deletes = _snapshot_scan_plan(meta, snap_id, path)
+    rows = sum(int(d.get("record_count") or 0) for d in data)
+    size = 0
+    for d in data:
+        try:
+            size += os.path.getsize(d["path"])
+        except OSError:
+            pass
+    ndv: dict[str, int] = {}
+    stats_sid = None
+    fid_to_name = {
+        f["id"]: f["name"] for f in _current_schema(meta).get("fields", [])
+    }
+    for e in meta.get("statistics") or []:
+        if e.get("snapshot-id") != snap_id:
+            continue
+        stats_sid = snap_id
+        for bm in e.get("blob-metadata") or []:
+            if bm.get("type") != "apache-datasketches-theta-v1":
+                continue
+            fids = bm.get("fields") or []
+            name = fid_to_name.get(fids[0]) if len(fids) == 1 else None
+            est = (bm.get("properties") or {}).get("ndv")
+            if name is not None and est is not None:
+                ndv[name] = int(est)
+    return {
+        "row_count": rows,
+        "total_file_bytes": size,
+        "avg_row_bytes": (size / rows) if rows else 0.0,
+        "ndv": ndv,
+        "stats_snapshot_id": stats_sid,
+    }
+
+
+def read_statistics_sketches(path: str) -> dict:
+    """{column: ThetaSketch} for the current snapshot's Puffin file —
+    the mergeable form, for cross-table or incremental NDV math."""
+    from . import puffin
+
+    meta = _load_metadata(path)
+    snap_id = meta.get("current-snapshot-id")
+    fid_to_name = {
+        f["id"]: f["name"] for f in _current_schema(meta).get("fields", [])
+    }
+    out: dict = {}
+    for e in meta.get("statistics") or []:
+        if e.get("snapshot-id") != snap_id:
+            continue
+        blobs, _props = puffin.read_puffin(
+            _localize(e["statistics-path"], path)
+        )
+        for bm in blobs:
+            if bm.get("type") != puffin.BLOB_TYPE_THETA:
+                continue
+            fids = bm.get("fields") or []
+            name = fid_to_name.get(fids[0]) if len(fids) == 1 else None
+            if name is not None:
+                out[name] = puffin.ThetaSketch.deserialize(bm["payload"])
+    return out

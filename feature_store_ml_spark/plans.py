@@ -94,3 +94,82 @@ def with_metrics(df, name: str, *metrics):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+# ----------------------------------------------------- Iceberg (Puffin) ----
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('10MB', '64k', '-1', '1048576b')."""
+    s = str(conf_val).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def estimate_equality_scan(stats: dict, eq_cols: list[str]) -> dict:
+    """CBO FilterEstimation for path-based Iceberg scans: with per-column
+    NDV from the table's Puffin statistics (iceberg.table_statistics), an
+    equality predicate on a column keeps ~1/ndv of the rows, predicates
+    multiply (independence assumption — the same one catalog CBO makes).
+    Returns {"est_rows", "est_bytes", "known"}; known=False when any
+    filtered column has no NDV (the caller must NOT guess small — an
+    unknown column means file-size estimation, i.e. no reduction)."""
+    rows = float(stats.get("row_count") or 0)
+    sel = 1.0
+    known = True
+    for c in eq_cols:
+        ndv = (stats.get("ndv") or {}).get(c)
+        if not ndv:
+            known = False
+            continue
+        sel *= 1.0 / float(ndv)
+    est_rows = rows * (sel if known else 1.0)
+    est_bytes = est_rows * float(stats.get("avg_row_bytes") or 0.0)
+    return {"est_rows": est_rows, "est_bytes": est_bytes, "known": known}
+
+
+def iceberg_scan_with_stats(spark, path: str, eq_filters: dict):
+    """Read an Iceberg table, apply equality filters, and let the table's
+    Puffin NDV statistics drive the broadcast decision the way catalog
+    CBO stats do for ANALYZEd tables: when the estimated post-filter size
+    lands under spark.sql.autoBroadcastJoinThreshold the scan is marked
+    broadcastable, even though the files' raw size (all Spark can see for
+    a path-based read without statistics) is far above it. Returns
+    (DataFrame, estimate-dict with "broadcast": bool) — joins built on the
+    returned frame get a BroadcastHashJoin with NO user-supplied hint.
+
+    At 100 TB this is the difference between shuffling a fact table to
+    join a filtered-to-a-handful dimension slice and shipping those few
+    rows to every executor."""
+    from pyspark.sql import functions as F
+
+    from .io import iceberg
+
+    stats = iceberg.table_statistics(path)
+    est = estimate_equality_scan(stats, list(eq_filters))
+    from pyspark.sql import Column
+
+    df = iceberg.read_iceberg(spark, path)
+    for c, v in eq_filters.items():
+        # pass a Column for type-sensitive literals (TIMESTAMP_NTZ etc. —
+        # a naive-datetime lit would shift under a non-UTC session)
+        df = df.where(F.col(c) == (v if isinstance(v, Column) else F.lit(v)))
+    threshold = _size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    est["threshold_bytes"] = threshold
+    est["raw_bytes"] = stats.get("total_file_bytes") or 0
+    est["broadcast"] = bool(
+        est["known"] and threshold > 0 and est["est_bytes"] < threshold
+    )
+    if est["broadcast"]:
+        df = F.broadcast(df)
+    return df, est

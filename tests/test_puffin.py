@@ -1,0 +1,211 @@
+"""Puffin statistics (Iceberg spec "Puffin file format" + §Table
+Statistics): container round-trip, KMV theta sketch exact/estimation/merge
+behavior, analyze_iceberg metadata wiring, survival across commits, and
+the planner payoff — NDV-driven broadcast without a user hint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark import plans
+from feature_store_ml_spark.io import iceberg, puffin
+
+
+# ------------------------------------------------------------- sketch ----
+
+
+def test_sketch_exact_mode_roundtrip():
+    sk = puffin.ThetaSketch.from_smallest_hashes(list(range(100, 400, 3)), k=4096)
+    assert sk.estimate == 100
+    back = puffin.ThetaSketch.deserialize(sk.serialize())
+    assert back.retained == sk.retained and back.theta_long == sk.theta_long
+    assert back.estimate == 100
+
+
+def test_sketch_empty_roundtrip():
+    sk = puffin.ThetaSketch.from_smallest_hashes([], k=16)
+    assert sk.is_empty and sk.estimate == 0
+    back = puffin.ThetaSketch.deserialize(sk.serialize())
+    assert back.is_empty and back.estimate == 0
+
+
+def test_sketch_estimation_mode_accuracy():
+    # k=256 over 10_000 uniform hashes: KMV relative error ~ 1/sqrt(k-1),
+    # so 3 sigma ≈ 19% — assert a loose 25% band, deterministic input
+    import random
+
+    rng = random.Random(7)
+    n = 10_000
+    # uniform over the sketch's full [0, 2^63) hash domain — KMV's
+    # estimator is calibrated to it
+    hashes = rng.sample(range(1, 1 << 63), n)
+    sk = puffin.ThetaSketch.from_smallest_hashes(sorted(hashes)[:257], k=256)
+    assert sk.theta_long < (1 << 63)  # estimation mode engaged
+    assert abs(sk.estimate - n) / n < 0.25
+    back = puffin.ThetaSketch.deserialize(sk.serialize())
+    assert back.estimate == sk.estimate
+
+
+def test_sketch_merge_union():
+    a = puffin.ThetaSketch.from_smallest_hashes([1, 5, 9], k=64)
+    b = puffin.ThetaSketch.from_smallest_hashes([5, 7, 11], k=64)
+    u = a.merge(b)
+    assert u.estimate == 5  # {1,5,7,9,11}
+
+
+# ---------------------------------------------------------- container ----
+
+
+def test_puffin_container_roundtrip(tmp_path):
+    p = str(tmp_path / "s.puffin")
+    sk = puffin.ThetaSketch.from_smallest_hashes([3, 1, 2], k=8)
+    info = puffin.write_puffin(
+        p,
+        [
+            (
+                {
+                    "type": puffin.BLOB_TYPE_THETA,
+                    "fields": [1],
+                    "snapshot-id": 42,
+                    "sequence-number": 1,
+                    "properties": {"ndv": "3"},
+                },
+                sk.serialize(),
+            )
+        ],
+        properties={"created-by": "test"},
+    )
+    assert info["file-size-in-bytes"] == os.path.getsize(p)
+    blobs, props = puffin.read_puffin(p)
+    assert props == {"created-by": "test"}
+    assert len(blobs) == 1 and blobs[0]["snapshot-id"] == 42
+    assert puffin.ThetaSketch.deserialize(blobs[0]["payload"]).estimate == 3
+
+
+def test_puffin_bad_magic_fails(tmp_path):
+    p = str(tmp_path / "bad.puffin")
+    with open(p, "wb") as fh:
+        fh.write(b"NOPE" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="bad magic"):
+        puffin.read_puffin(p)
+
+
+# ------------------------------------------------------- analyze wiring ----
+
+
+def _mk_table(spark, tmp_path, name="t", n=5000):
+    root = str(tmp_path / name)
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        (F.col("id") % 97).cast("int").alias("code"),
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    return root
+
+
+def test_analyze_iceberg_exact_ndv(spark, tmp_path):
+    root = _mk_table(spark, tmp_path)
+    pp = iceberg.analyze_iceberg(spark, root, columns=["grp", "code"])
+    assert os.path.exists(pp) and pp.endswith(".stats.puffin")
+    st = iceberg.table_statistics(root)
+    assert st["row_count"] == 5000
+    # below k → exact mode → exact NDV
+    assert st["ndv"] == {"grp": 7, "code": 97}
+    assert st["stats_snapshot_id"] is not None
+    # sketches readable and mergeable
+    sks = iceberg.read_statistics_sketches(root)
+    assert sks["grp"].estimate == 7
+    assert sks["grp"].merge(sks["code"]).estimate >= 97
+
+
+def test_analyze_high_cardinality_estimation(spark, tmp_path):
+    root = _mk_table(spark, tmp_path, name="hc", n=60_000)
+    iceberg.analyze_iceberg(spark, root, columns=["id"], k=512)
+    st = iceberg.table_statistics(root)
+    assert abs(st["ndv"]["id"] - 60_000) / 60_000 < 0.2
+
+
+def test_stats_survive_appends_but_marked_stale(spark, tmp_path):
+    root = _mk_table(spark, tmp_path, name="ap")
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    df2 = spark.range(5000, 6000).select(
+        "id",
+        (F.col("id") % 7).cast("int").alias("grp"),
+        (F.col("id") % 97).cast("int").alias("code"),
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    meta = iceberg._load_metadata(root)
+    # the entry survives the commit (statistics list carried)...
+    assert meta.get("statistics"), "statistics list dropped by append"
+    st = iceberg.table_statistics(root)
+    # ...but no longer matches the current snapshot: callers see UNKNOWN,
+    # never a silently-stale number
+    assert st["ndv"] == {} and st["stats_snapshot_id"] is None
+    assert st["row_count"] == 6000
+    # re-analyze refreshes; old snapshot's entry is replaced not duplicated
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    st2 = iceberg.table_statistics(root)
+    assert st2["ndv"] == {"grp": 7}
+
+
+def test_analyze_unknown_column_fails(spark, tmp_path):
+    root = _mk_table(spark, tmp_path, name="uc", n=100)
+    with pytest.raises(ValueError, match="unknown columns"):
+        iceberg.analyze_iceberg(spark, root, columns=["nope"])
+
+
+# --------------------------------------------------------- planner payoff ----
+
+
+def test_stats_drive_broadcast_without_hint(spark, tmp_path):
+    """The VERDICT bar: with the broadcast threshold BELOW the table's raw
+    file size, a plain read joins by shuffle; the Puffin-NDV estimate of
+    the equality-filtered scan lands under the threshold and flips the
+    join to BroadcastHashJoin — no user hint anywhere."""
+    dim = _mk_table(spark, tmp_path, name="dim", n=50_000)
+    iceberg.analyze_iceberg(spark, dim, columns=["id", "grp", "code"])
+    fact = spark.range(200_000).select(
+        (F.col("id") % 50_000).alias("fk"), (F.col("id") * 2).alias("m")
+    )
+    st = iceberg.table_statistics(dim)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold strictly between est-filtered size and raw file size
+        thr = max(64 * 1024, int(st["total_file_bytes"] // 4))
+        assert st["total_file_bytes"] > thr
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        plain = fact.join(
+            iceberg.read_iceberg(spark, dim).where(F.col("code") == 3),
+            F.col("fk") == F.col("id"),
+        )
+        assert "BroadcastHashJoin" not in plain._jdf.queryExecution().executedPlan().toString()
+        scan, est = plans.iceberg_scan_with_stats(spark, dim, {"code": 3})
+        assert est["known"] and est["broadcast"]
+        assert est["est_bytes"] < thr < est["raw_bytes"]
+        joined = fact.join(scan, F.col("fk") == F.col("id"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # and the result is right: 50_000/97≈516 ids with code 3, 4 fact rows each
+        n_dim = 50_000 // 97 + (1 if 3 < 50_000 % 97 else 0)
+        assert joined.count() == n_dim * 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unknown_ndv_never_guesses_small(spark, tmp_path):
+    root = _mk_table(spark, tmp_path, name="nk", n=5000)
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    # 'code' was not analyzed: estimate must fall back to full size
+    est = plans.estimate_equality_scan(
+        iceberg.table_statistics(root), ["code"]
+    )
+    assert not est["known"] and est["est_rows"] == 5000
+
+
+def test_size_bytes_parser():
+    assert plans._size_bytes("10MB") == 10 << 20
+    assert plans._size_bytes("64k") == 64 << 10
+    assert plans._size_bytes("1048576b") == 1 << 20
+    assert plans._size_bytes("-1") == -1
