@@ -573,10 +573,79 @@ def convert_delta_to_iceberg(
                 "nor the logical column names — the Iceberg side could "
                 "not resolve its columns; rewrite it (compact) first"
             )
+    # ---- per-commit incremental sync (the real UniForm action shape) ----
+    # When the Delta change since the prior conversion is PURELY additive
+    # (no file removed, schema/spec/type map unchanged), the prior
+    # snapshot's manifest FILES are still a correct description of the
+    # carried live set — manifests are immutable, so the new snapshot's
+    # manifest list reuses them verbatim and a new manifest is written
+    # for ONLY the files added since. A 1-file streaming append then
+    # costs one 1-entry manifest + one manifest list + one metadata json,
+    # regardless of table size; prior manifests are never reread or
+    # rewritten. DV-only commits (delete_delta re-adds the same path with
+    # a new DV) carry the data manifests verbatim too and regenerate just
+    # the delete side, keyed by a dv-state fingerprint in the snapshot
+    # summary. Anything non-additive falls back to the full single-
+    # manifest rewrite below (always correct).
+    import hashlib as _hashlib
+
+    live_abs = {
+        os.path.abspath(os.path.join(path, rel)) for rel, _ in ordered_adds
+    }
+    removed_since = set(prior_entries) - live_abs if prior_entries else set()
+    dv_state = _hashlib.sha1(
+        json.dumps(
+            sorted(
+                (
+                    rel,
+                    d.get("storageType"),
+                    d.get("pathOrInlineDv"),
+                    int(d.get("offset") or 0),
+                    int(d.get("cardinality") or 0),
+                )
+                for rel, d in dv_descs.items()
+            )
+        ).encode()
+    ).hexdigest()
+    schema_same_inc = prior_ice is not None and [
+        (f["name"], f["type"], f.get("id"))
+        for f in iceberg._current_schema(prior_ice).get("fields", [])
+    ] == [(f["name"], f["type"], f["id"]) for f in fields]
+    _prior_specs = {
+        s.get("spec-id"): s.get("fields")
+        for s in (prior_ice.get("partition-specs") or [])
+    } if prior_ice is not None else {}
+    spec_same_inc = prior_ice is not None and _prior_specs.get(
+        prior_ice.get("default-spec-id", 0)
+    ) == spec_fields
+    incremental = bool(
+        prior_ice is not None
+        and prior_ice.get("snapshots")
+        and _types_stable
+        and schema_same_inc
+        and spec_same_inc
+        and not removed_since
+    )
+    prior_ml_data: list[dict] = []
+    prior_ml_deletes: list[dict] = []
+    prior_dv_state = None
+    if incremental:
+        _pcur2 = prior_ice.get("current-snapshot-id")
+        _psnap2 = next(
+            s for s in prior_ice["snapshots"] if s["snapshot-id"] == _pcur2
+        )
+        prior_dv_state = (_psnap2.get("summary") or {}).get("delta-dv-state")
+        for _e in avro_lite.read_container(
+            iceberg._localize(_psnap2["manifest-list"], path)
+        ):
+            (prior_ml_deletes if _e.get("content", 0) == 1
+             else prior_ml_data).append(dict(_e))
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
         carried = prior_entries.get(os.path.abspath(abs_p))
         if carried is not None:
+            if incremental:
+                continue  # rides its prior manifest file verbatim
             entries.append(
                 {"status": 1, "snapshot_id": snap_id, "data_file": carried}
             )
@@ -616,28 +685,41 @@ def convert_delta_to_iceberg(
         {"name": c, "type": ["null", iceberg._avro_partition_type(ice_type[c])]}
         for c in part_cols
     ]
-    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
-    avro_lite.write_container(
-        manifest, iceberg._manifest_entry_schema(2, partition_fields), entries
-    )
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
     mf_schema = iceberg._manifest_file_schema(2)
     keep = {f["name"] for f in mf_schema["fields"]}
-    ml_entries = [
-        {
-            "manifest_path": f"file:{manifest}",
-            "manifest_length": os.path.getsize(manifest),
-            "partition_spec_id": 0,
-            "added_snapshot_id": snap_id,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-        }
-    ]
-    if dv_descs:
+    # carried manifest-list rows keep their recorded sequence numbers and
+    # added_snapshot_id: new data files get seq > any carried delete's
+    # seq, so old position deletes never leak onto post-append files
+    ml_entries = list(prior_ml_data) if incremental else []
+    if entries or not incremental:
+        manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+        avro_lite.write_container(
+            manifest,
+            iceberg._manifest_entry_schema(2, partition_fields),
+            entries,
+        )
+        ml_entries.append(
+            {
+                "manifest_path": f"file:{manifest}",
+                "manifest_length": os.path.getsize(manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        )
+    if incremental and prior_dv_state is not None and dv_state == prior_dv_state:
+        # every DV unchanged since the prior sync: its delete files and
+        # manifests describe the same masks — carry them verbatim
+        ml_entries.extend(prior_ml_deletes)
+    elif dv_descs:
         # pos deletes at the SAME sequence as the data manifest: the spec
         # scopes position deletes to data files with seq <= theirs, so a
-        # one-snapshot (data + delete) conversion masks correctly
+        # one-snapshot (data + delete) conversion masks correctly (and at
+        # or above every CARRIED data file's older seq on the
+        # incremental path)
         del_files = _write_pos_deletes(spark, path, meta_dir, dv_descs)
         if del_files:
             ml_entries.append(
@@ -675,7 +757,13 @@ def convert_delta_to_iceberg(
             "parent-snapshot-id": prior_ice.get("current-snapshot-id"),
             "timestamp-ms": now_ms,
             "manifest-list": f"file:{mlist}",
-            "summary": {"operation": "overwrite", "converted-from": "delta"},
+            "summary": {
+                "operation": "overwrite",
+                "converted-from": "delta",
+                # dv-state fingerprint: the next sync carries the delete
+                # manifests verbatim iff this matches its own DV set
+                "delta-dv-state": dv_state,
+            },
             "schema-id": schema_id,
             "sequence-number": seq,
         }
@@ -702,7 +790,11 @@ def convert_delta_to_iceberg(
         "snapshot-id": snap_id,
         "timestamp-ms": now_ms,
         "manifest-list": f"file:{mlist}",
-        "summary": {"operation": "append", "converted-from": "delta"},
+        "summary": {
+            "operation": "append",
+            "converted-from": "delta",
+            "delta-dv-state": dv_state,
+        },
         "schema-id": 0,
         "sequence-number": seq,
     }

@@ -2,6 +2,8 @@
 metadata translation over the same parquet files — the UniForm/XTable
 shape. Zero data movement; both formats read identical rows after."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -633,3 +635,96 @@ def test_refresh_after_type_widening_reharvests(spark, tmp_path):
     )
     assert iceberg.read_iceberg(spark, root, where="id >= 100").count() == 1
     assert iceberg.read_iceberg(spark, root, where="id < 5").count() == 5
+
+
+def _manifest_paths(root):
+    meta = iceberg._load_metadata(root)
+    cur = meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    from feature_store_ml_spark.io import avro_lite
+
+    out = []
+    for e in avro_lite.read_container(iceberg._localize(snap["manifest-list"], root)):
+        out.append(
+            (
+                os.path.basename(iceberg._localize(e["manifest_path"], root)),
+                int(e.get("content", 0) or 0),
+                int(e.get("sequence_number", 0) or 0),
+            )
+        )
+    return sorted(out)
+
+
+def test_refresh_reuses_prior_manifest_files(spark, tmp_path):
+    """VERDICT r7 item 4: an append-only sync must reuse the prior
+    snapshot's manifest FILES verbatim (not re-list carried entries into a
+    new manifest) — a 1-file append writes one 1-entry manifest and never
+    touches prior manifests; a DV-only sync carries the data manifests and
+    regenerates only the delete side."""
+    from feature_store_ml_spark.io import avro_lite
+
+    root = str(tmp_path / "mreuse")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 60).select("id", (F.col("id") * 3).alias("v")),
+        root,
+    )
+    convert.convert_delta_to_iceberg(spark, root)
+    m0 = _manifest_paths(root)
+    assert len(m0) == 1 and m0[0][1] == 0
+    # 1-file append → the prior data manifest rides verbatim, the new
+    # manifest holds exactly the one new entry at the NEW sequence
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(1000, 1)], "id long, v long").repartition(1),
+        root,
+        mode="append",
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m1 = _manifest_paths(root)
+    names1 = {n for n, _c, _s in m1}
+    assert m0[0][0] in names1, "prior manifest file not reused"
+    new_mfs = [n for n, c, s in m1 if n != m0[0][0] and c == 0]
+    assert len(new_mfs) == 1
+    rows = avro_lite.read_container(
+        os.path.join(root, "metadata", new_mfs[0])
+    )
+    assert len(rows) == 1, "append manifest must hold only the new file"
+    # carried entry keeps its ORIGINAL sequence; the new one is above it
+    seq_by_name = {n: s for n, _c, s in m1}
+    assert seq_by_name[m0[0][0]] < seq_by_name[new_mfs[0]]
+    assert _rows(lakehouse.read_delta(spark, root).select("id", "v")) == _rows(
+        iceberg.read_iceberg(spark, root).select("id", "v")
+    )
+    # DV-only commit: both data manifests carry; a delete manifest appears
+    lakehouse.delete_delta(spark, root, "id = 3")
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m2 = _manifest_paths(root)
+    data2 = {n for n, c, _s in m2 if c == 0}
+    assert data2 == names1, "DV-only sync must not rewrite data manifests"
+    assert any(c == 1 for _n, c, _s in m2)
+    # and an UNCHANGED-DV sync carries the delete manifest verbatim too
+    del2 = {n for n, c, _s in m2 if c == 1}
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(2000, 2)], "id long, v long").repartition(1),
+        root,
+        mode="append",
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m3 = _manifest_paths(root)
+    assert {n for n, c, _s in m3 if c == 1} == del2, (
+        "unchanged DVs must carry their delete manifest verbatim"
+    )
+    got = _rows(iceberg.read_iceberg(spark, root).select("id", "v"))
+    assert got == _rows(lakehouse.read_delta(spark, root).select("id", "v"))
+    assert (3, 9) not in got and (2000, 2) in got
+    # non-additive change (compaction removes files) falls back to the
+    # full rewrite and stays correct
+    lakehouse.compact_delta(spark, root)
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m4 = _manifest_paths(root)
+    assert all(n not in names1 for n, c, _s in m4 if c == 0), (
+        "removed files must force a fresh manifest set"
+    )
+    assert _rows(iceberg.read_iceberg(spark, root).select("id", "v")) == got
