@@ -7,8 +7,10 @@ for P6 PPM (netpbm) — pure-python header parse + numpy raster stats and a
 genuine nearest-neighbor resize (``image_features`` / ``resize_ppm``) —
 AND for PNG (round 6): a stdlib chunk-walk + zlib + full five-filter
 unfilter decoder (``_decode_png``) covering grayscale/RGB/palette/alpha,
-so the encode→decode loop closes without Pillow. JPEG raises
-NotImplementedError where Pillow would plug in, and
+so the encode→decode loop closes without Pillow — AND for JPEG
+(round 8): a native baseline-sequential codec (operators/jpeg.py,
+T.81 Huffman/DCT both directions; Pillow remains the fast path when
+installed, progressive profiles fail loudly), and
 ``decode_image_meta``/``resize_image`` keep the fake-header variant for
 payloads synthesized from text. AUDIO decode is REAL for
 RIFF/WAVE PCM — a pure-python chunk parser + numpy PCM stats
@@ -202,19 +204,22 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _decode_compressed(payload: bytes):
-    """JPEG → (width, height, maxval, ndarray[h,w,3] uint8) via Pillow
-    when installed; fail-loud otherwise (DCT entropy coding is not
-    reasonably reimplementable here). PNG no longer routes through this
-    branch — _decode_png below is a real stdlib decoder."""
+    """JPEG → (width, height, maxval, ndarray[h,w,3] uint8). Pillow
+    (libjpeg) is the fast path when installed; otherwise the NATIVE
+    baseline-sequential decoder (operators/jpeg.py, pure python+numpy —
+    T.81 marker walk, Huffman entropy decode, dequant+IDCT, 4:2:0
+    upsampling, restart intervals) takes over, so the dominant web image
+    format decodes in containers with no imaging stack. Progressive/
+    arithmetic profiles still fail loudly from the native path."""
     import io as _io
 
     import numpy as np
 
     if not pillow_available():
-        raise NotImplementedError(
-            "JPEG decode requires Pillow (pip install pillow) — "
-            "not in this container; P6 PPM and PNG decode natively"
-        )
+        from . import jpeg as _jpeg
+
+        arr = _jpeg.decode_jpeg(bytes(payload))
+        return arr.shape[1], arr.shape[0], 255, arr
     import PIL.Image
 
     img = PIL.Image.open(_io.BytesIO(payload)).convert("RGB")
@@ -402,6 +407,48 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             out = pdf.copy()
             out["image"] = [_png_bytes(_raster(int(i))) for i in pdf[id_col]]
+            yield out
+
+    import pyspark.sql.types as ty
+
+    schema = ty.StructType(
+        df.select(id_col).schema.fields + [ty.StructField("image", ty.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def synth_jpeg(
+    df: DataFrame, id_col: str = "doc_id", quality: int = 90,
+    subsample: bool = False,
+) -> DataFrame:
+    """Attach a REAL baseline JPEG payload per row (the same deterministic
+    gradient as synth_png, encoded through operators/jpeg.py — T.81
+    markers, Annex-K tables, optional 4:2:0). Round 8: with the native
+    decoder the full JPEG encode→decode→features lifecycle runs without
+    Pillow, closing the last env-gated E14 image modality. JPEG is lossy:
+    checksum oracles must compare against the DECODED payload (see
+    e14_jpeg_decode), not the source gradient."""
+    import numpy as np
+
+    from . import jpeg as _jpeg
+
+    def _raster(doc_id: int):
+        w = 8 + (doc_id * 7) % 25
+        h = 6 + (doc_id * 11) % 19
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = np.full((h, w), doc_id % 256, dtype=np.uint8)
+        return np.dstack([r, g, b])
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["image"] = [
+                _jpeg.encode_jpeg(_raster(int(i)), quality=quality,
+                                  subsample=subsample)
+                for i in pdf[id_col]
+            ]
             yield out
 
     import pyspark.sql.types as ty

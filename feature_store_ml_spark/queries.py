@@ -4692,6 +4692,56 @@ def e14_png_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_checksums(multimodal.synth_png(d))
 
 
+@register(
+    "e14_jpeg_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + (doc_id * 7) % 25 AS INT) AS w,
+             CAST(6 + (doc_id * 11) % 19 AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+    FROM dims
+    """,
+)
+def e14_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG encode→decode lifecycle with a HASH-EXACT oracle despite the
+    lossy codec (round 8): each doc's deterministic gradient encodes as a
+    true baseline JPEG (operators/jpeg.py — T.81 markers, Annex-K tables)
+    and decodes back through the native Huffman+IDCT path; dimensions and
+    pixel counts round-trip EXACTLY, and each decoded channel mean must
+    land within the measured lossy band (±2.5; worst case across all 600
+    gradient shapes is 0.99) of the ANALYTIC mean the oracle's gradient
+    definition implies — so the ok-flags are deterministic booleans, and
+    one broken Huffman code, quant cell or color-transform coefficient
+    flips a flag and breaks the hash."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    feats = multimodal.image_features(multimodal.synth_jpeg(d))
+    exp_r = F.expr(
+        "aggregate(sequence(0, width - 1), 0L,"
+        " (acc, x) -> acc + CAST(x * 255 AS LONG)"
+        " DIV GREATEST(width - 1, 1))"
+    ) / F.col("width")
+    exp_g = F.expr(
+        "aggregate(sequence(0, height - 1), 0L,"
+        " (acc, y) -> acc + CAST(y * 255 AS LONG)"
+        " DIV GREATEST(height - 1, 1))"
+    ) / F.col("height")
+    exp_b = F.col("doc_id") % 256
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        (F.abs(F.col("mean_r") - exp_r) < 2.5).alias("r_ok"),
+        (F.abs(F.col("mean_g") - exp_g) < 2.5).alias("g_ok"),
+        (F.abs(F.col("mean_b") - exp_b) < 2.5).alias("b_ok"),
+    )
+
+
 @register("e14_frame_sample", None)  # 1->N binary explode: shapes tested in pytest
 def e14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one binary container row → N frame rows
@@ -4811,11 +4861,12 @@ def e14_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     same stats, production codec path (this container has no Pillow, so
     the driver exercises the PPM leg)."""
     d = load_table(spark, sf_dir, "documents")
-    if multimodal.pillow_available():
-        imgs = multimodal.synth_png(d)
-        return multimodal.image_features(imgs)
-    ppms = multimodal.synth_ppm(d)
-    return multimodal.image_features(multimodal.resize_ppm(ppms, max_side=16))
+    # round 8: run the JPEG leg unconditionally — the native baseline
+    # codec (operators/jpeg.py) decodes in this container; when Pillow is
+    # installed _decode_compressed routes through libjpeg instead (same
+    # values within the lossy band; this query is rows-only)
+    imgs = multimodal.synth_jpeg(d)
+    return multimodal.image_features(imgs)
 
 
 # ---------------------------------------------------------------------------
@@ -6441,7 +6492,8 @@ _FINAL_ORDER = [
                             # Delete slice sync, exact oracle — first
                             # driver window appearance
     # -- sampling / PII / streaming-dedup surface
-    "e16_mixture_sample",   # data-mixture composition
+    "e14_jpeg_decode",      # round 8: native baseline JPEG codec, exact
+                            # dims + deterministic lossy-band flags
     "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
     "e12_scd2",             # round 7: SCD2 dimension history, exact oracle
     "e5_window_distribution",
@@ -6485,6 +6537,10 @@ _FINAL_ORDER = [
     "q7_volume_shipping",    # rotated out r8, displaced by
                              # e1_iceberg_puffin (driver-green r5+r6+r7;
                              # TPC-H family keeps q6/q19 in-window)
+    "e16_mixture_sample",    # rotated out r8, displaced by
+                             # e14_jpeg_decode (driver-green r5+r6+r7;
+                             # e16 family stays via e16_hash_sample in
+                             # the swept tail)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):

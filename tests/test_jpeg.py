@@ -1,0 +1,119 @@
+"""Native baseline JPEG codec (operators/jpeg.py) + the E14 lifecycle it
+unlocks. The solid-color test is ANALYTIC (pins DC coding, quant, zigzag
+origin, IDCT normalization and the color transform absolutely — a shared
+encoder/decoder permutation bug cannot produce a near-identity there);
+gradients and noise pin the AC path by PSNR; marker-profile refusals pin
+the fail-loud boundary."""
+
+import numpy as np
+import pytest
+
+from feature_store_ml_spark.operators import jpeg, multimodal
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_solid_color_analytic():
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255), (17, 203, 64)]:
+        img = np.full((16, 16, 3), color, dtype=np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert dec.shape == img.shape
+        assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 1, color
+
+
+def test_gradient_roundtrip_all_modes():
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.dstack([x * 4 % 256, y * 4 % 256, (x + y) * 2 % 256]).astype(np.uint8)
+    for subsample in (False, True):
+        for ri in (0, 3):
+            enc = jpeg.encode_jpeg(img, quality=90, subsample=subsample,
+                                   restart_interval=ri)
+            dec = jpeg.decode_jpeg(enc)
+            assert dec.shape == img.shape
+            assert _psnr(dec, img) > 40, (subsample, ri)
+
+
+def test_noise_roundtrip_444():
+    img = np.random.default_rng(3).integers(0, 255, (37, 53, 3)).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert _psnr(dec, img) > 30
+
+
+def test_odd_dimensions_and_small():
+    for h, w in [(1, 1), (7, 9), (8, 8), (17, 23)]:
+        img = np.full((h, w, 3), (10, 200, 100), dtype=np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85, subsample=True))
+        assert dec.shape == (h, w, 3)
+        assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 2
+
+
+def test_quality_monotonic_size():
+    y, x = np.mgrid[0:48, 0:48]
+    img = np.dstack([x * 5 % 256, (x * y) % 256, y * 5 % 256]).astype(np.uint8)
+    sizes = [len(jpeg.encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    # lower quality still structurally decodable
+    assert jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30)).shape == img.shape
+
+
+def test_progressive_fails_loudly():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_not_a_jpeg_fails():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
+
+
+def test_restart_markers_present_and_consumed():
+    y, x = np.mgrid[0:32, 0:32]
+    img = np.dstack([x * 8 % 256, y * 8 % 256, (x * y) % 256]).astype(np.uint8)
+    enc = jpeg.encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc
+    # the (x*y)%256 channel is deliberately high-frequency: ~34.6 dB at
+    # q90 regardless of restart interval — assert the restart path is
+    # LOSSLESS relative to ri=0, plus a sanity floor
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+    got = jpeg.decode_jpeg(enc)
+    assert np.array_equal(base, got), "restart path altered decoded pixels"
+    assert _psnr(got, img) > 30
+
+
+# ---------------------------------------------------- Spark lifecycle ----
+
+
+def test_synth_jpeg_image_features_lifecycle(spark):
+    """The E14 bar: JPEG decode runs IN THIS CONTAINER (no Pillow) through
+    the same mapInPandas plumbing as PPM/PNG, and the decoded channel
+    means land within the lossy bound of the analytic gradient means."""
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synth_jpeg(df)
+    feats = multimodal.image_features(imgs).collect()
+    assert len(feats) == 40
+    for r in feats:
+        w = 8 + (r.doc_id * 7) % 25
+        h = 6 + (r.doc_id * 11) % 19
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert abs(r.mean_b - (r.doc_id % 256)) < 2.5
+        exp_r = sum(xx * 255 // max(w - 1, 1) for xx in range(w)) / w
+        exp_g = sum(yy * 255 // max(h - 1, 1) for yy in range(h)) / h
+        assert abs(r.mean_r - exp_r) < 2.5
+        assert abs(r.mean_g - exp_g) < 2.5
+
+
+def test_jpeg_checksums_within_lossy_band(spark):
+    df = spark.range(0, 25).withColumnRenamed("id", "doc_id")
+    rows = multimodal.image_checksums(multimodal.synth_jpeg(df)).collect()
+    assert len(rows) == 25
+    for r in rows:
+        n = r.n_pixels
+        assert abs(r.sum_b / n - (r.doc_id % 256)) < 2.5
