@@ -131,6 +131,7 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
                     src = os.path.abspath(
                         os.path.join(path, action["add"]["path"])
                     )
+                    _probe_id_mode_file(path, meta, src)
                     sub = _partition_subdir(
                         meta, action["add"].get("partitionValues")
                     )
@@ -154,6 +155,54 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
     return hi
 
 
+def _probe_id_mode_file(path: str, meta: dict, src: str) -> None:
+    """ID-mode spool guard: the stream reads the spool with ONE physical
+    schema (each declared field's physicalName), so every linked file's
+    footer must agree with it. Probe the footer's PARQUET:field_id map —
+    a declared fid bound to a different physical name means the batch
+    reader's per-group field-id resolution is required and one
+    file-source schema would return silent NULLs; fail loudly instead.
+    Files without footer fids pass if their column names are a subset of
+    the declared physical names (pre-mapping upgrade files, where
+    physicalName == original name). O(1) footer read per NEW link only —
+    links are idempotent, so a poll loop pays this once per file."""
+    if lakehouse._mapping_mode(meta) != "id":
+        return
+    import pyarrow.parquet as _pq
+
+    fids = lakehouse._field_ids(meta)
+    phys = lakehouse._physical_names(meta)
+    want = {fids[l]: p for l, p in phys.items()}
+    sch = _pq.read_schema(src)
+    footer_fids = {}
+    for fld in sch:
+        md = fld.metadata or {}
+        if md.get(b"PARQUET:field_id") is not None:
+            footer_fids[int(md[b"PARQUET:field_id"])] = fld.name
+    if footer_fids:
+        bad = {
+            fid: (name, want[fid])
+            for fid, name in footer_fids.items()
+            if fid in want and name != want[fid]
+        }
+        if bad:
+            raise NotImplementedError(
+                f"{path}: file {os.path.basename(src)} binds field ids to "
+                f"different physical names than the declared schema "
+                f"({bad}) — one file-source schema cannot span it; "
+                "compact the table first, or consume in batch via "
+                "read_delta"
+            )
+    else:
+        unknown = set(sch.names) - set(want.values())
+        if unknown:
+            raise NotImplementedError(
+                f"{path}: fid-less file {os.path.basename(src)} carries "
+                f"columns {sorted(unknown)} outside the declared physical "
+                "names — compact first, or consume in batch via read_delta"
+            )
+
+
 def _check_streamable(path: str, meta: dict) -> None:
     """Fail-loud guards for table shapes the file-source tail cannot
     represent faithfully (rather than silently dropping columns).
@@ -164,16 +213,13 @@ def _check_streamable(path: str, meta: dict) -> None:
     reconstructed Hive-layout dirs built from each add action's
     authoritative partitionValues, and the file source's partition
     discovery fills the partition columns (which live in the declared
-    schema). ID mode stays fail-loud: files may disagree on physical
-    names per footer, and one file-source schema cannot span them (batch
-    read_delta does, via field-id grouping)."""
-    conf = meta.get("configuration") or {}
-    if conf.get("delta.columnMapping.mode") == "id":
-        raise NotImplementedError(
-            f"{path}: streaming source over an ID-mapped table is not "
-            "implemented (per-footer field-id resolution needs the batch "
-            "reader); use read_delta / read_delta_changes"
-        )
+    schema). ID mode streams too (round 8): the declared physicalName is
+    the projection key, and sync_delta_spool FOOTER-PROBES each newly
+    linked file — a file whose parquet field ids resolve a declared fid
+    to a DIFFERENT physical name cannot be spanned by one file-source
+    schema (the batch reader's field-id grouping handles that; compact
+    first for the stream), so it fails loudly at sync time instead of
+    surfacing as silent NULL columns."""
 
 
 def prune_spool(spool_dir: str, before_version: int) -> int:
@@ -224,10 +270,13 @@ def stream_from_delta(
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    mapping = lakehouse._column_mapping(meta)
+    mode = lakehouse._mapping_mode(meta)
+    # mapped table in EITHER mode: files carry stable PHYSICAL names —
+    # read those, project back to the current logical names. For ID mode
+    # the sync's footer probe already guaranteed every spool file binds
+    # its field ids to exactly these physical names.
+    mapping = lakehouse._physical_names(meta) if mode else None
     if mapping:
-        # name-mode mapped table: files carry stable PHYSICAL names —
-        # read those, project back to the current logical names
         schema = StructType(
             [
                 StructField(mapping[f.name], f.dataType, f.nullable)

@@ -134,14 +134,8 @@ def test_fail_loud_on_overwrite_dv_partitioned_mapped(spark, tmp_path):
         (i, i * 2) for i in range(12)
     ]
 
-    # ID mode stays fail-loud (per-footer field-id resolution)
-    root5 = str(tmp_path / "idm")
-    lakehouse.write_delta(
-        spark, spark.range(5).select("id", (F.col("id") * 2).alias("v")),
-        root5, column_mapping="id",
-    )
-    with pytest.raises(NotImplementedError, match="ID-mapped"):
-        delta_source.sync_delta_spool(root5, str(tmp_path / "s5"))
+    # ID mode streams now (round 8) — covered in
+    # test_tail_id_mode_table / test_id_mode_foreign_fids_fail_loud
 
 
 def test_tail_partitioned_table(spark, tmp_path):
@@ -554,3 +548,100 @@ def test_stream_delta_cdf_id_mode_materialized(spark, tmp_path):
         spark, root, spool, since_version=v
     )
     assert v2 == v
+
+
+def test_tail_id_mode_table(spark, tmp_path):
+    """ID-mapped tables stream (round 8): the spool probe pins each file's
+    footer fids to the declared physical names, the scan reads the
+    physical schema and projects back to logical — rename mid-stream
+    included (physicalName is rename-stable in ID mode too)."""
+    root = str(tmp_path / "idm8")
+    lakehouse.write_delta(
+        spark, spark.range(0, 6).select("id", (F.col("id") * 2).alias("v")),
+        root, column_mapping="id",
+    )
+    lakehouse.rename_delta_column(spark, root, "v", "w")
+    lakehouse.write_delta(
+        spark,
+        spark.range(6, 9).select("id", (F.col("id") * 2).alias("w")),
+        root, mode="append",
+    )
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    stream, v = delta_source.stream_from_delta(
+        spark, root, str(tmp_path / "spool")
+    )
+    _run_available(stream, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert sorted(rows.columns) == ["id", "w"]
+    assert sorted((r.id, r.w) for r in rows.collect()) == [
+        (i, i * 2) for i in range(9)
+    ]
+    # resume tail: append after the first sync, only the delta arrives
+    lakehouse.write_delta(
+        spark,
+        spark.range(9, 11).select("id", (F.col("id") * 2).alias("w")),
+        root, mode="append",
+    )
+    stream2, v2 = delta_source.stream_from_delta(
+        spark, root, str(tmp_path / "spool"), since_version=v
+    )
+    assert v2 > v
+    _run_available(stream2, out, ckpt)
+    assert sorted(
+        (r.id, r.w) for r in spark.read.parquet(out).collect()
+    ) == [(i, i * 2) for i in range(11)]
+
+
+def test_tail_id_mode_partitioned(spark, tmp_path):
+    root = str(tmp_path / "idmp")
+    df = spark.range(0, 12).select(
+        "id", (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 5).alias("v"),
+    )
+    lakehouse.write_delta(
+        spark, df, root, column_mapping="id", partition_by=["p"]
+    )
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    stream, _v = delta_source.stream_from_delta(
+        spark, root, str(tmp_path / "spool")
+    )
+    _run_available(stream, out, ckpt)
+    rows = spark.read.parquet(out)
+    assert sorted(rows.columns) == ["id", "p", "v"]
+    assert sorted((r.id, r.p, r.v) for r in rows.collect()) == [
+        (i, i % 3, i * 5) for i in range(12)
+    ]
+
+
+def test_id_mode_foreign_fids_fail_loud(spark, tmp_path, monkeypatch):
+    """A spool file binding a declared field id to a DIFFERENT physical
+    name (foreign rewrite) cannot be spanned by one file-source schema —
+    sync must refuse, never return NULL columns."""
+    root = str(tmp_path / "idf")
+    lakehouse.write_delta(
+        spark, spark.range(0, 4).select("id", (F.col("id") * 2).alias("v")),
+        root, column_mapping="id",
+    )
+    # simulate a foreign writer: rewrite one live file with the same fids
+    # under different physical column names
+    adds, meta = lakehouse._replay_log_adds(root)
+    rel = next(iter(adds))
+    fids = lakehouse._field_ids(meta)
+    src = spark.read.parquet(os.path.join(root, rel))
+    phys = lakehouse._physical_names(meta)
+    renamed = src.select(
+        *[
+            F.col(phys[l]).alias(f"foreign_{l}", metadata={"parquet.field.id": fid})
+            for l, fid in fids.items()
+        ]
+    )
+    import glob
+    import shutil
+    import tempfile
+
+    tmp_out = tempfile.mkdtemp()
+    renamed.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.copyfile(part, os.path.join(root, rel))
+    with pytest.raises(NotImplementedError, match="different physical names"):
+        delta_source.sync_delta_spool(root, str(tmp_path / "spool"))
