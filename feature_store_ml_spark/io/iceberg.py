@@ -1694,18 +1694,28 @@ def set_iceberg_ref(
     name: str,
     snapshot_id: int | None = None,
     ref_type: str = "tag",
+    max_ref_age_ms: int | None = None,
 ) -> int:
     """Create or move a named REF (spec §Refs): a TAG pins a snapshot as
     durable history ("the v2024.08 training set"), a BRANCH is a movable
     pointer. One metadata commit; the snapshot itself is untouched.
     Refs PROTECT their snapshots from expire_iceberg_snapshots — tagging
     is how a snapshot outlives retention, per the spec's
-    retention-policy model. Defaults to the current snapshot. Returns the
-    referenced snapshot id."""
+    retention-policy model. Defaults to the current snapshot.
+
+    ``max_ref_age_ms`` (spec ``max-ref-age-ms``, round 8): the retention
+    policy for the REF ITSELF — when the referenced snapshot is older
+    than this at expiration time, expire_iceberg_snapshots drops the ref
+    first and the snapshot falls under the normal policy. This is what
+    lets WAP audit branches and nightly tags garbage-collect on their own
+    schedule instead of pinning history forever; ``main`` never ages out,
+    per the spec. Returns the referenced snapshot id."""
     if ref_type not in ("tag", "branch"):
         raise ValueError(
             f"set_iceberg_ref: ref_type must be tag|branch, got {ref_type!r}"
         )
+    if max_ref_age_ms is not None and max_ref_age_ms <= 0:
+        raise ValueError("set_iceberg_ref: max_ref_age_ms must be positive")
     import time as _time
 
     meta = _load_metadata(path)
@@ -1720,6 +1730,8 @@ def set_iceberg_ref(
     meta = dict(meta)
     refs = dict(meta.get("refs") or {})
     refs[name] = {"snapshot-id": sid, "type": ref_type}
+    if max_ref_age_ms is not None:
+        refs[name]["max-ref-age-ms"] = int(max_ref_age_ms)
     meta["refs"] = refs
     meta["last-updated-ms"] = int(_time.time() * 1000)
     _swap_metadata(path, meta)
@@ -1942,14 +1954,47 @@ def expire_iceberg_snapshots(
     (snapshot id no longer in metadata) — same honesty contract as the
     Delta cleanup path. Returns {"snapshots": [...ids], "files": [...]}.
     """
+    import time as _time
     import uuid
 
     meta = _load_metadata(path)
     snapshots = sorted(meta.get("snapshots", []), key=lambda s: s["snapshot-id"])
     if keep < 1:
         raise ValueError("expire_iceberg_snapshots: keep must be >= 1")
+    # --- per-ref retention (spec §Refs, max-ref-age-ms; round 8) ---
+    # a ref whose referenced snapshot is older than the ref's own
+    # max-ref-age-ms ages OUT here, before protection is computed: the
+    # ref disappears from the new metadata and its snapshot falls under
+    # the normal keep/older_than policy. This is how WAP audit branches
+    # and nightly tags expire on their own schedule; 'main' never ages.
+    now_ms = int(_time.time() * 1000)
+    _sn_by_id = {s["snapshot-id"]: s for s in snapshots}
+    aged_refs: list[str] = []
+    live_refs: dict = {}
+    for _rname, _r in (meta.get("refs") or {}).items():
+        _cap = _r.get("max-ref-age-ms")
+        _snap = _sn_by_id.get(_r.get("snapshot-id"))
+        if (
+            _rname != "main"
+            and _cap is not None
+            and _snap is not None
+            and now_ms - int(_snap.get("timestamp-ms") or now_ms) > int(_cap)
+        ):
+            aged_refs.append(_rname)
+        else:
+            live_refs[_rname] = _r
+    if aged_refs:
+        meta = dict(meta)
+        meta["refs"] = live_refs
+
+    def _finish_no_expire() -> dict:
+        # nothing to expire, but aged-out refs still commit their removal
+        if aged_refs:
+            _swap_metadata(path, meta)
+        return {"snapshots": [], "files": [], "refs": aged_refs}
+
     if len(snapshots) <= keep:
-        return {"snapshots": [], "files": []}
+        return _finish_no_expire()
     kept, expired = snapshots[-keep:], snapshots[:-keep]
     if older_than_ms is not None:
         young = [
@@ -1959,7 +2004,7 @@ def expire_iceberg_snapshots(
             kept = young + kept
             expired = [s for s in expired if s not in young]
             if not expired:
-                return {"snapshots": [], "files": []}
+                return _finish_no_expire()
     # REFS protect their snapshots (spec §Refs retention): a tagged or
     # branched snapshot survives expiration until the ref is dropped —
     # tagging IS the mechanism for keeping a training-set snapshot alive
@@ -1994,7 +2039,7 @@ def expire_iceberg_snapshots(
         expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
         kept = protected + kept
         if not expired:
-            return {"snapshots": [], "files": []}
+            return _finish_no_expire()
 
     def _snapshot_refs(snap: dict) -> tuple[set[str], set[str]]:
         """(metadata files, data files) one snapshot references."""
@@ -2059,6 +2104,7 @@ def expire_iceberg_snapshots(
     return {
         "snapshots": [s["snapshot-id"] for s in expired],
         "files": deletable,
+        "refs": aged_refs,
     }
 
 

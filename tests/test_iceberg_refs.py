@@ -194,3 +194,78 @@ def test_expire_protects_unpublished_branch_chain(spark, tmp_path):
     gone2 = iceberg.expire_iceberg_snapshots(root, keep=1)
     assert len(gone2["snapshots"]) >= 2
     assert iceberg.read_iceberg(spark, root).count() == 30
+
+
+def test_max_ref_age_mixed_refs_expire_on_schedule(spark, tmp_path):
+    """Per-ref retention (spec max-ref-age-ms, round 8): at expiration
+    time an AGED ref drops and its snapshot falls under the normal
+    policy; a young-capped ref, an uncapped tag and main all keep
+    protecting theirs."""
+    root = str(tmp_path / "age")
+    _append(spark, root, 0, 10)      # snap A
+    sid_a = iceberg._load_metadata(root)["current-snapshot-id"]
+    _append(spark, root, 10, 20)     # snap B
+    sid_b = iceberg._load_metadata(root)["current-snapshot-id"]
+    _append(spark, root, 20, 30)     # snap C
+    sid_c = iceberg._load_metadata(root)["current-snapshot-id"]
+    _append(spark, root, 30, 40)     # snap D (head)
+    # aged: snapshot A is seconds old, cap 1 ms → ref expires
+    iceberg.set_iceberg_ref(root, "old_audit", snapshot_id=sid_a,
+                            ref_type="branch", max_ref_age_ms=1)
+    # young: cap one year → survives
+    iceberg.set_iceberg_ref(root, "fresh_tag", snapshot_id=sid_b,
+                            max_ref_age_ms=365 * 24 * 3_600_000)
+    # uncapped tag → survives forever
+    iceberg.set_iceberg_ref(root, "pinned", snapshot_id=sid_c)
+    out = iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert out["refs"] == ["old_audit"]
+    assert sid_a in out["snapshots"], "aged ref's snapshot must expire"
+    assert sid_b not in out["snapshots"] and sid_c not in out["snapshots"]
+    meta = iceberg._load_metadata(root)
+    assert set(meta.get("refs") or {}) == {"fresh_tag", "pinned"}
+    # pinned snapshots still read; the aged one is gone
+    assert iceberg.read_iceberg(spark, root, ref="fresh_tag").count() == 20
+    assert iceberg.read_iceberg(spark, root, ref="pinned").count() == 30
+    with pytest.raises(ValueError):
+        iceberg.read_iceberg(spark, root, snapshot_id=sid_a).count()
+
+
+def test_ref_aging_commits_even_without_expirable_snapshots(spark, tmp_path):
+    """An aged-out ref is removed even when no snapshot can expire (all
+    within keep) — the removal is a metadata commit of its own."""
+    root = str(tmp_path / "agekeep")
+    _append(spark, root, 0, 5)
+    sid = iceberg._load_metadata(root)["current-snapshot-id"]
+    _append(spark, root, 5, 10)
+    iceberg.set_iceberg_ref(root, "ephemeral", snapshot_id=sid,
+                            max_ref_age_ms=1)
+    out = iceberg.expire_iceberg_snapshots(root, keep=10)
+    assert out == {"snapshots": [], "files": [], "refs": ["ephemeral"]}
+    assert "ephemeral" not in (iceberg._load_metadata(root).get("refs") or {})
+    # second run: nothing left to age
+    out2 = iceberg.expire_iceberg_snapshots(root, keep=10)
+    assert out2["refs"] == []
+
+
+def test_main_never_ages_out(spark, tmp_path):
+    root = str(tmp_path / "mainage")
+    _append(spark, root, 0, 5)
+    meta = dict(iceberg._load_metadata(root))
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {
+        "snapshot-id": meta["current-snapshot-id"],
+        "type": "branch",
+        "max-ref-age-ms": 1,
+    }
+    meta["refs"] = refs
+    iceberg._swap_metadata(root, meta)
+    out = iceberg.expire_iceberg_snapshots(root, keep=10)
+    assert out["refs"] == []
+    assert "main" in iceberg._load_metadata(root)["refs"]
+
+
+def test_set_ref_rejects_nonpositive_age(spark, tmp_path):
+    root = str(tmp_path / "badage")
+    _append(spark, root, 0, 5)
+    with pytest.raises(ValueError, match="positive"):
+        iceberg.set_iceberg_ref(root, "x", max_ref_age_ms=0)
