@@ -2075,6 +2075,22 @@ def expire_iceberg_snapshots(
         meta["snapshot-log"] = [
             e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
         ]
+    if meta.get("statistics"):
+        # Puffin statistics ride their snapshot: entries for expired
+        # snapshots drop from the metadata and their files join the
+        # delete set (they are this table's bytes, never shared)
+        dropped_stats = [
+            e
+            for e in meta["statistics"]
+            if e.get("snapshot-id") not in kept_ids
+        ]
+        meta["statistics"] = [
+            e
+            for e in meta["statistics"]
+            if e.get("snapshot-id") in kept_ids
+        ]
+        for e in dropped_stats:
+            doomed_files.add(_localize(e["statistics-path"], path))
     meta_dir = os.path.join(path, "metadata")
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
@@ -4462,6 +4478,7 @@ def analyze_iceberg(
     path: str,
     columns: "list[str] | None" = None,
     k: int = 4096,
+    incremental: bool = False,
 ) -> str:
     """ANALYZE the CURRENT snapshot: compute a per-column NDV theta sketch
     (io/puffin.column_sketches — one shuffle-bounded distinct+TakeOrdered
@@ -4476,7 +4493,18 @@ def analyze_iceberg(
     100 TB shape: identical to ANALYZE TABLE ... FOR COLUMNS — scheduled
     with ingestion, one scan per analyzed column, driver state O(k) per
     column. The NDV rides blob properties["ndv"] (the field engines
-    actually consult); the sketch payload keeps estimates mergeable."""
+    actually consult); the sketch payload keeps estimates mergeable.
+
+    ``incremental=True`` is where mergeability pays: when a prior
+    statistics entry exists for an ANCESTOR snapshot and the change since
+    is purely additive (every file of the stats snapshot still live),
+    only the files ADDED since are scanned and their sketches UNION with
+    the stored ones — a nightly re-analyze of an append-only 100 TB fact
+    table then costs one pass over the day's files, not the table. Falls
+    back to the full scan (and says so via the return path, not
+    silently wrong numbers) when the table is column-mapped/partitioned
+    (new-file scan can't be taken raw), a requested column has no prior
+    sketch, or files were removed (a KMV union cannot shrink)."""
     import uuid as _uuid
 
     from . import puffin
@@ -4494,8 +4522,12 @@ def analyze_iceberg(
     unknown = [c for c in columns if c not in fid_of]
     if unknown:
         raise ValueError(f"{path}: analyze of unknown columns {unknown}")
-    df = read_iceberg(spark, path)
-    sketches = puffin.column_sketches(df, columns, k=k)
+    sketches = None
+    if incremental:
+        sketches = _incremental_sketches(spark, path, meta, columns, k)
+    if sketches is None:
+        df = read_iceberg(spark, path)
+        sketches = puffin.column_sketches(df, columns, k=k)
     blobs = [
         (
             {
@@ -4604,3 +4636,82 @@ def read_statistics_sketches(path: str) -> dict:
             if name is not None:
                 out[name] = puffin.ThetaSketch.deserialize(bm["payload"])
     return out
+
+
+def _incremental_sketches(spark, path, meta, columns, k):
+    """The merge path of analyze_iceberg(incremental=True): sketches over
+    ONLY the files added since the newest ancestor statistics entry,
+    unioned with the stored sketches. Returns None whenever the
+    preconditions fail (caller falls back to the full scan):
+    column-mapped or partitioned table (a raw scan of the new files
+    cannot resolve/backfill columns), no ancestor stats, non-additive
+    change, or a requested column lacking a prior sketch."""
+    from . import puffin
+
+    specs = {
+        s.get("spec-id"): s.get("fields")
+        for s in (meta.get("partition-specs") or [])
+    }
+    if specs.get(meta.get("default-spec-id", 0)):
+        return None  # identity backfill needs the full reader
+    # newest stats entry on the current snapshot's ancestor chain
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    chain = []
+    head = meta.get("current-snapshot-id")
+    seen = set()
+    while head in by_id and head not in seen:
+        seen.add(head)
+        chain.append(head)
+        head = by_id[head].get("parent-snapshot-id")
+    entries = {
+        e.get("snapshot-id"): e for e in (meta.get("statistics") or [])
+    }
+    stats_sid = next((sid for sid in chain if sid in entries), None)
+    if stats_sid is None or stats_sid == meta.get("current-snapshot-id"):
+        return None
+    prior_files = set(_snapshot_files(meta, stats_sid, path))
+    cur_data, cur_deletes = _snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    if cur_deletes:
+        return None  # row-level deletes shrink NDV; union cannot
+    cur_files = {d["path"] for d in cur_data}
+    if not prior_files <= cur_files:
+        return None  # files removed since the stats snapshot
+    # prior sketches, under the CURRENT schema's names
+    fid_to_name = {
+        f["id"]: f["name"] for f in _current_schema(meta).get("fields", [])
+    }
+    prior: dict = {}
+    blobs, _props = puffin.read_puffin(
+        _localize(entries[stats_sid]["statistics-path"], path)
+    )
+    for bm in blobs:
+        if bm.get("type") != puffin.BLOB_TYPE_THETA:
+            continue
+        fids = bm.get("fields") or []
+        name = fid_to_name.get(fids[0]) if len(fids) == 1 else None
+        if name is not None:
+            prior[name] = puffin.ThetaSketch.deserialize(bm["payload"])
+    if any(c not in prior for c in columns):
+        return None
+    new_files = sorted(cur_files - prior_files)
+    if not new_files:
+        return {c: prior[c] for c in columns}
+    # the raw scan resolves columns BY NAME: a file written before a
+    # rename carries the old name and would sketch nulls — probe footers
+    # (O(#new files), driver) and fall back to the full reader if any
+    # new file lacks a requested column
+    import pyarrow.parquet as _pq
+
+    for f in new_files:
+        try:
+            names = set(_pq.read_schema(f).names)
+        except OSError:
+            return None
+        if not set(columns) <= names:
+            return None
+    fresh = puffin.column_sketches(
+        spark.read.parquet(*new_files), columns, k=k
+    )
+    return {c: prior[c].merge(fresh[c]) for c in columns}

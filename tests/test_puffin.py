@@ -209,3 +209,95 @@ def test_size_bytes_parser():
     assert plans._size_bytes("64k") == 64 << 10
     assert plans._size_bytes("1048576b") == 1 << 20
     assert plans._size_bytes("-1") == -1
+
+
+# ----------------------------------------------------- incremental ANALYZE ----
+
+
+def test_incremental_analyze_scans_only_new_files(spark, tmp_path, monkeypatch):
+    """analyze_iceberg(incremental=True): sketches over ONLY the appended
+    files union with the stored ones — NDV exact-correct for the union,
+    and the sketch pass never touches pre-stats files."""
+    root = str(tmp_path / "inc")
+    df1 = spark.range(0, 3000).select(
+        "id", (F.col("id") % 10).cast("int").alias("grp")
+    )
+    iceberg.write_iceberg(spark, df1, root, format_version=2)
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    # spy on which parquet files the sketch pass reads
+    scanned = []
+    orig = puffin.column_sketches
+
+    def spy2(df, columns, k=puffin.DEFAULT_K):
+        try:
+            files = [
+                r.f for r in df.select(
+                    F.col("_metadata.file_path").alias("f")
+                ).distinct().collect()
+            ]
+        except Exception:
+            files = ["<unresolvable>"]
+        scanned.append(files)
+        return orig(df, columns, k=k)
+
+    monkeypatch.setattr(puffin, "column_sketches", spy2)
+    # append rows carrying 5 NEW grp values (10..14) plus overlap
+    df2 = spark.range(3000, 4200).select(
+        "id", (F.col("id") % 15).cast("int").alias("grp")
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    n_files_before = len(iceberg._live_data_files(root))
+    pp = iceberg.analyze_iceberg(spark, root, columns=["grp"], incremental=True)
+    assert os.path.exists(pp)
+    st = iceberg.table_statistics(root)
+    assert st["ndv"] == {"grp": 15}, "union NDV must cover old+new values"
+    assert st["row_count"] == 4200
+    # the sketch pass saw only the appended files
+    assert len(scanned) == 1
+    seen = {os.path.basename(f) for f in scanned[0]}
+    all_files = {os.path.basename(f) for f in iceberg._live_data_files(root)}
+    assert seen and seen < all_files, (
+        f"incremental pass read {len(seen)}/{len(all_files)} files — "
+        "expected a strict subset (new files only)"
+    )
+    assert n_files_before == len(all_files)
+
+
+def test_incremental_analyze_falls_back_on_delete(spark, tmp_path):
+    """Row-level deletes shrink NDV — the union path must refuse and the
+    full scan take over (correct numbers either way)."""
+    root = str(tmp_path / "incdel")
+    df = spark.range(0, 1000).select(
+        "id", (F.col("id") % 8).cast("int").alias("grp")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    iceberg.delete_iceberg(spark, root, "grp = 7")
+    assert iceberg._incremental_sketches(
+        spark, root, iceberg._load_metadata(root), ["grp"], 4096
+    ) is None
+    iceberg.analyze_iceberg(spark, root, columns=["grp"], incremental=True)
+    assert iceberg.table_statistics(root)["ndv"] == {"grp": 7}
+
+
+def test_incremental_analyze_no_prior_column_falls_back(spark, tmp_path):
+    root = str(tmp_path / "incmiss")
+    df = spark.range(0, 500).select(
+        "id", (F.col("id") % 4).cast("int").alias("grp")
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    iceberg.write_iceberg(
+        spark,
+        spark.range(500, 600).select(
+            "id", (F.col("id") % 4).cast("int").alias("grp")
+        ),
+        root,
+        format_version=2,
+    )
+    # 'id' was never analyzed: merge path refuses, full scan still right
+    iceberg.analyze_iceberg(
+        spark, root, columns=["grp", "id"], incremental=True
+    )
+    st = iceberg.table_statistics(root)
+    assert st["ndv"]["grp"] == 4 and st["ndv"]["id"] == 600
