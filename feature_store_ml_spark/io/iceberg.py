@@ -2089,8 +2089,16 @@ def expire_iceberg_snapshots(
             for e in meta["statistics"]
             if e.get("snapshot-id") in kept_ids
         ]
+        # compaction re-keys entries onto the SAME Puffin file — only
+        # delete a file no kept entry still references
+        kept_stats = {
+            _localize(e["statistics-path"], path)
+            for e in meta["statistics"]
+        }
         for e in dropped_stats:
-            doomed_files.add(_localize(e["statistics-path"], path))
+            p = _localize(e["statistics-path"], path)
+            if p not in kept_stats:
+                doomed_files.add(p)
     meta_dir = os.path.join(path, "metadata")
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
@@ -4081,6 +4089,23 @@ def compact_iceberg(
     meta["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
         {"timestamp-ms": now_ms, "snapshot-id": snap_id}
     ]
+    # a pure rearrangement (no delete content folded in) preserves table
+    # CONTENT exactly, so the prior snapshot's Puffin NDV sketches stay
+    # correct: the statistics entry rides forward re-keyed to the new
+    # snapshot — zero-cost ANALYZE maintenance across compactions. When
+    # deletes were applied, rows changed and the old entry stays keyed
+    # to the old snapshot (visible as stale, never silently wrong).
+    _, _prior_deletes = _snapshot_scan_plan(prior_meta, cur, path)
+    if not _prior_deletes:
+        carried_stats = [
+            {**e, "snapshot-id": snap_id}
+            for e in prior_meta.get("statistics") or []
+            if e.get("snapshot-id") == cur
+        ]
+        if carried_stats:
+            meta["statistics"] = (
+                list(prior_meta.get("statistics") or []) + carried_stats
+            )
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
     tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")

@@ -301,3 +301,35 @@ def test_incremental_analyze_no_prior_column_falls_back(spark, tmp_path):
     )
     st = iceberg.table_statistics(root)
     assert st["ndv"]["grp"] == 4 and st["ndv"]["id"] == 600
+
+
+def test_compaction_carries_stats_forward(spark, tmp_path):
+    """A pure rearrangement preserves content: the Puffin entry re-keys to
+    the compaction snapshot for free; expiring the OLD snapshot must not
+    delete the shared Puffin file; a delete-folding compaction does NOT
+    carry (rows changed)."""
+    root = _mk_table(spark, tmp_path, name="cstat", n=4000)
+    iceberg.write_iceberg(
+        spark,
+        spark.range(4000, 5000).select(
+            "id", (F.col("id") % 7).cast("int").alias("grp"),
+            (F.col("id") % 97).cast("int").alias("code"),
+        ),
+        root, format_version=2,
+    )
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+    iceberg.compact_iceberg(spark, root)
+    st = iceberg.table_statistics(root)
+    assert st["ndv"] == {"grp": 7}, "stats must ride a pure compaction"
+    # expire the pre-compaction snapshots: the shared Puffin file survives
+    out = iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert out["snapshots"]
+    st2 = iceberg.table_statistics(root)
+    assert st2["ndv"] == {"grp": 7}
+    sks = iceberg.read_statistics_sketches(root)
+    assert sks["grp"].estimate == 7  # file still readable
+    # delete-folding compaction: no carry (stale entry stays on old snap)
+    iceberg.delete_iceberg(spark, root, "grp = 6")
+    iceberg.compact_iceberg(spark, root)
+    st3 = iceberg.table_statistics(root)
+    assert st3["ndv"] == {}, "content-changing compaction must not carry"
