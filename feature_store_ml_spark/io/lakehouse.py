@@ -4361,6 +4361,12 @@ def clone_delta(spark: SparkSession, src: str, dst: str) -> int:
     # _allocate_base_row_ids would restart at 0 and hand out baseRowId
     # ranges that collide with the cloned files' ids
     for domain, conf_json in sorted(_domain_metadata(src).items()):
+        if domain == _STATS_DOMAIN:
+            # the stats pointer is keyed to the SOURCE's commit version
+            # and its Puffin file lives in the source's _delta_log — in
+            # the clone's fresh numbering it would read as fresh forever;
+            # drop it (re-ANALYZE on the clone is cheap)
+            continue
         actions.append(
             {
                 "domainMetadata": {
@@ -5724,3 +5730,223 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     )
     # post-restore configuration is the TARGET's (metaData rolls back too)
     return _uniform_sync(spark, path, target_meta, _commit(path, actions))
+
+
+# ------------------------------------------------------------ statistics ----
+
+#: engine-namespaced domain holding the table's statistics pointer
+#: (PROTOCOL.md §Domain Metadata allows engine-specific domains)
+_STATS_DOMAIN = "fsml.statistics"
+
+
+def analyze_delta(
+    spark: SparkSession,
+    path: str,
+    columns: "list[str] | None" = None,
+    k: int = 4096,
+    incremental: bool = False,
+) -> str:
+    """ANALYZE for path-based Delta tables — the twin of
+    iceberg.analyze_iceberg: per-column NDV theta sketches (io/puffin,
+    one distinct+TakeOrdered pass per column) written to a Puffin file
+    under ``_delta_log/_stats/`` and registered in the ``fsml.statistics``
+    DOMAIN METADATA (the protocol's slot for engine state — it rides
+    checkpoints, clones and log replay like delta.rowTracking does).
+    Delta has no statistics-file slot of its own, so the pointer lives in
+    a namespaced domain; readers that don't know the domain ignore it.
+
+    Freshness is keyed to the COMMIT VERSION analyzed:
+    delta_table_statistics returns the NDVs only while the table is
+    still at that version — any later commit reads as UNKNOWN, never as
+    a silently-stale number. ``incremental=True`` re-analyzes cheaply
+    after appends: files added since the analyzed version sketch alone
+    and UNION with the stored sketches (falls back to the full scan on
+    removes/DV changes, cleaned history, mapped/partitioned tables, or a
+    column with no prior sketch). Returns the Puffin file path."""
+    import uuid as _uuid
+
+    from . import puffin
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    adds_map, meta = _replay_log_adds(path)
+    if not meta.get("schemaString"):
+        raise ValueError(f"{path}: table declares no schema")
+    version = _next_version(_delta_log_dir(path)) - 1
+    declared = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    if columns is None:
+        columns = declared
+    unknown = [c for c in columns if c not in declared]
+    if unknown:
+        raise ValueError(f"{path}: analyze of unknown columns {unknown}")
+    sketches = None
+    if incremental:
+        sketches = _incremental_delta_sketches(
+            spark, path, meta, adds_map, columns, k
+        )
+    if sketches is None:
+        sketches = puffin.column_sketches(read_delta(spark, path), columns, k=k)
+    stats_dir = os.path.join(_delta_log_dir(path), "_stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    puffin_path = os.path.join(
+        stats_dir, f"{version:020d}-{_uuid.uuid4().hex[:12]}.stats.puffin"
+    )
+    blobs = [
+        (
+            {
+                "type": puffin.BLOB_TYPE_THETA,
+                "fields": [declared.index(c) + 1],
+                "snapshot-id": version,
+                "sequence-number": version,
+                "properties": {"ndv": str(sk.estimate), "column": c},
+            },
+            sk.serialize(),
+        )
+        for c, sk in sketches.items()
+    ]
+    puffin.write_puffin(
+        puffin_path, blobs, properties={"created-by": "feature_store_ml_spark"}
+    )
+    domain = {
+        "version": version,
+        "path": os.path.relpath(puffin_path, path).replace(os.sep, "/"),
+        "ndv": {c: sk.estimate for c, sk in sketches.items()},
+    }
+    _commit(
+        path,
+        [
+            {
+                "domainMetadata": {
+                    "domain": _STATS_DOMAIN,
+                    "configuration": json.dumps(domain),
+                    "removed": False,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": int(__import__("time").time() * 1000),
+                    "operation": "ANALYZE",
+                    "operationParameters": {"columns": ",".join(columns)},
+                }
+            },
+        ],
+    )
+    return puffin_path
+
+
+def _stats_domain(path: str) -> dict | None:
+    raw = _domain_metadata(path).get(_STATS_DOMAIN)
+    if not raw:
+        return None
+    try:
+        return json.loads(raw)
+    except (TypeError, ValueError):
+        return None
+
+
+def delta_table_statistics(path: str) -> dict:
+    """Planner-facing statistics for a Delta table — same shape as
+    iceberg.table_statistics: {"row_count", "total_file_bytes",
+    "avg_row_bytes", "ndv", "stats_version"}. Row count/bytes come from
+    the live adds' per-file stats (metadata-only); NDV comes from the
+    fsml.statistics domain and is returned only while the table is still
+    at the ANALYZEd version + the stats commit itself (an ANALYZE commit
+    obviously doesn't invalidate its own numbers)."""
+    adds_map, _meta = _replay_log_adds(path)
+    rows = 0
+    size = 0
+    for rel, a in adds_map.items():
+        try:
+            rows += int(json.loads(a.get("stats") or "{}").get("numRecords") or 0)
+        except (TypeError, ValueError):
+            pass
+        size += int(a.get("size") or 0)
+    dom = _stats_domain(path)
+    ndv: dict[str, int] = {}
+    stats_version = None
+    if dom is not None:
+        cur = _next_version(_delta_log_dir(path)) - 1
+        # fresh while nothing landed after the ANALYZE commit (which is
+        # dom version + 1, the commit that recorded the domain)
+        if cur <= int(dom.get("version", -1)) + 1:
+            ndv = {c: int(v) for c, v in (dom.get("ndv") or {}).items()}
+            stats_version = int(dom["version"])
+    return {
+        "row_count": rows,
+        "total_file_bytes": size,
+        "avg_row_bytes": (size / rows) if rows else 0.0,
+        "ndv": ndv,
+        "stats_version": stats_version,
+    }
+
+
+def read_delta_statistics_sketches(path: str) -> dict:
+    """{column: ThetaSketch} from the fsml.statistics domain's Puffin
+    file (whatever its freshness — callers merge or inspect)."""
+    from . import puffin
+
+    dom = _stats_domain(path)
+    if dom is None:
+        return {}
+    blobs, _props = puffin.read_puffin(os.path.join(path, dom["path"]))
+    out = {}
+    for bm in blobs:
+        if bm.get("type") != puffin.BLOB_TYPE_THETA:
+            continue
+        c = (bm.get("properties") or {}).get("column")
+        if c:
+            out[c] = puffin.ThetaSketch.deserialize(bm["payload"])
+    return out
+
+
+def _incremental_delta_sketches(spark, path, meta, adds_map, columns, k):
+    """Merge path of analyze_delta(incremental=True): sketch ONLY files
+    added since the analyzed version, union with stored sketches. None
+    (→ full scan) on: no prior stats, mapped/partitioned table, cleaned
+    history, any remove/DV change since, or a missing prior column."""
+    from . import puffin
+
+    dom = _stats_domain(path)
+    if dom is None:
+        return None
+    if _mapping_mode(meta) or (meta.get("partitionColumns") or []):
+        return None
+    prior = read_delta_statistics_sketches(path)
+    if any(c not in prior for c in columns):
+        return None
+    since = int(dom.get("version", -1))
+    log = _delta_log_dir(path)
+    cur = _next_version(log) - 1
+    have = {
+        int(n[:20]) for n in os.listdir(log) if _is_commit_json(n)
+    }
+    needed = set(range(since + 1, cur + 1))
+    if not needed <= have:
+        return None  # cleaned history: can't prove additivity
+    new_rels: list[str] = []
+    for v in sorted(needed):
+        with open(os.path.join(log, f"{v:020d}.json"), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    return None  # rows left: union cannot shrink
+                if "add" in action and action["add"].get("dataChange", True):
+                    if action["add"].get("deletionVector"):
+                        return None
+                    new_rels.append(action["add"]["path"])
+    new_files = sorted(
+        os.path.join(path, r) for r in set(new_rels) if r in adds_map
+    )
+    if not new_files:
+        return {c: prior[c] for c in columns}
+    fresh = puffin.column_sketches(
+        spark.read.parquet(*new_files), columns, k=k
+    )
+    return {c: prior[c].merge(fresh[c]) for c in columns}

@@ -155,9 +155,28 @@ def iceberg_scan_with_stats(spark, path: str, eq_filters: dict):
 
     stats = iceberg.table_statistics(path)
     est = estimate_equality_scan(stats, list(eq_filters))
-    from pyspark.sql import Column
-
     df = iceberg.read_iceberg(spark, path)
+    return _apply_stats_scan(spark, df, stats, est, eq_filters)
+
+
+def delta_scan_with_stats(spark, path: str, eq_filters: dict):
+    """The Delta twin of iceberg_scan_with_stats: NDV comes from
+    lakehouse.analyze_delta's fsml.statistics domain (fresh only while
+    the table is still at the ANALYZEd version), row counts/sizes from
+    the live adds' per-file stats. Same contract: (DataFrame,
+    estimate-dict with "broadcast")."""
+    from .io import lakehouse
+
+    stats = lakehouse.delta_table_statistics(path)
+    est = estimate_equality_scan(stats, list(eq_filters))
+    df = lakehouse.read_delta(spark, path)
+    return _apply_stats_scan(spark, df, stats, est, eq_filters)
+
+
+def _apply_stats_scan(spark, df, stats, est, eq_filters):
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
     for c, v in eq_filters.items():
         # pass a Column for type-sensitive literals (TIMESTAMP_NTZ etc. —
         # a naive-datetime lit would shift under a non-UTC session)

@@ -4693,6 +4693,64 @@ def e14_png_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_analyze",
+    """
+    SELECT 'o_custkey' AS col, COUNT(DISTINCT o_custkey) AS ndv,
+           COUNT(*) AS row_count, TRUE AS fresh FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
+           COUNT(*), TRUE FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus),
+           COUNT(*), TRUE FROM orders
+    ORDER BY col
+    """,
+)
+def e1_delta_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ANALYZE lifecycle under an EXACT oracle (round 8): write half
+    of orders to a Delta table, ANALYZE (KMV theta sketches via
+    io/puffin, pointer in the fsml.statistics domain), append the other
+    half and re-analyze INCREMENTALLY — the merge path sketches only the
+    appended files and unions with the stored sketches, and because both
+    halves stay below k the union is EXACT, so every NDV must equal the
+    oracle's COUNT(DISTINCT) over the full table. row_count comes from
+    the live adds' per-file stats (metadata-only), freshness from the
+    version-keyed domain. One wrong hash bucket, merge truncation or
+    stale-version read breaks the hash."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_delta_analyze"
+    shutil.rmtree(path, ignore_errors=True)
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+    lakehouse.write_delta(
+        spark, o.select(*cols).where("o_orderkey % 2 = 0"), path
+    )
+    lakehouse.analyze_delta(spark, path, columns=cols, k=32768)
+    lakehouse.write_delta(
+        spark,
+        o.select(*cols).where("o_orderkey % 2 = 1"),
+        path,
+        mode="append",
+    )
+    lakehouse.analyze_delta(
+        spark, path, columns=cols, k=32768, incremental=True
+    )
+    st = lakehouse.delta_table_statistics(path)
+    rows = [
+        (c, int(st["ndv"][c]), int(st["row_count"]),
+         st["stats_version"] is not None)
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows, "col string, ndv long, row_count long, fresh boolean"
+    ).orderBy("col")
+
+
+@register(
     "e14_jpeg_decode",
     """
     WITH dims AS (
@@ -6494,7 +6552,8 @@ _FINAL_ORDER = [
     # -- sampling / PII / streaming-dedup surface
     "e14_jpeg_decode",      # round 8: native baseline JPEG codec, exact
                             # dims + deterministic lossy-band flags
-    "e13_stream_from_delta",  # round 6: Delta table as a streaming SOURCE
+    "e1_delta_analyze",     # round 8: Delta ANALYZE + incremental sketch
+                            # merge, exact COUNT(DISTINCT) oracle
     "e12_scd2",             # round 7: SCD2 dimension history, exact oracle
     "e5_window_distribution",
     # -- round-1-green keepers
@@ -6541,6 +6600,11 @@ _FINAL_ORDER = [
                              # e14_jpeg_decode (driver-green r5+r6+r7;
                              # e16 family stays via e16_hash_sample in
                              # the swept tail)
+    "e13_stream_from_delta",  # rotated out r8, displaced by
+                              # e1_delta_analyze (driver-green r6+r7;
+                              # e13 family keeps stream_from_delta_
+                              # partitioned in-window, cdf/session/
+                              # stream-stream in the swept tail)
     # rotated out r6 continuation, displaced by replace_where + iceberg
     # rollback/merge (all three r5 driver-green; TPC-H family keeps 9
     # q-queries in-window):

@@ -333,3 +333,145 @@ def test_compaction_carries_stats_forward(spark, tmp_path):
     iceberg.compact_iceberg(spark, root)
     st3 = iceberg.table_statistics(root)
     assert st3["ndv"] == {}, "content-changing compaction must not carry"
+
+
+# -------------------------------------------------------- Delta ANALYZE ----
+
+
+def test_analyze_delta_and_staleness(spark, tmp_path):
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "dstat")
+    lakehouse.write_delta(
+        spark,
+        spark.range(4000).select(
+            "id", (F.col("id") % 9).cast("int").alias("grp")
+        ),
+        root,
+    )
+    pp = lakehouse.analyze_delta(spark, root, columns=["grp"])
+    assert os.path.exists(pp) and "_delta_log/_stats" in pp.replace(os.sep, "/")
+    st = lakehouse.delta_table_statistics(root)
+    assert st["row_count"] == 4000 and st["ndv"] == {"grp": 9}
+    assert st["stats_version"] == 0
+    # any later commit reads as UNKNOWN, never silently stale
+    lakehouse.write_delta(
+        spark,
+        spark.range(4000, 4100).select(
+            "id", (F.col("id") % 9).cast("int").alias("grp")
+        ),
+        root,
+        mode="append",
+    )
+    st2 = lakehouse.delta_table_statistics(root)
+    assert st2["ndv"] == {} and st2["stats_version"] is None
+    assert st2["row_count"] == 4100
+
+
+def test_analyze_delta_incremental_union(spark, tmp_path, monkeypatch):
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "dinc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(3000).select(
+            "id", (F.col("id") % 10).cast("int").alias("grp")
+        ),
+        root,
+    )
+    lakehouse.analyze_delta(spark, root, columns=["grp"])
+    lakehouse.write_delta(
+        spark,
+        spark.range(3000, 4200).select(
+            "id", (F.col("id") % 15).cast("int").alias("grp")
+        ),
+        root,
+        mode="append",
+    )
+    scanned = []
+    orig = puffin.column_sketches
+
+    def spy(df, columns, k=puffin.DEFAULT_K):
+        files = [
+            r.f
+            for r in df.select(
+                F.col("_metadata.file_path").alias("f")
+            ).distinct().collect()
+        ]
+        scanned.append(files)
+        return orig(df, columns, k=k)
+
+    monkeypatch.setattr(puffin, "column_sketches", spy)
+    lakehouse.analyze_delta(spark, root, columns=["grp"], incremental=True)
+    st = lakehouse.delta_table_statistics(root)
+    assert st["ndv"] == {"grp": 15}
+    adds, _m = lakehouse._replay_log_adds(root)
+    assert len(scanned) == 1 and 0 < len(scanned[0]) < len(adds), (
+        "incremental pass must read a strict subset (new files only)"
+    )
+    # a DELETE (DV) breaks additivity: falls back to full, still right
+    lakehouse.delete_delta(spark, root, "grp = 14")
+    lakehouse.analyze_delta(spark, root, columns=["grp"], incremental=True)
+    assert lakehouse.delta_table_statistics(root)["ndv"] == {"grp": 14}
+
+
+def test_delta_stats_drive_broadcast(spark, tmp_path):
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "dbc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(50_000).select(
+            "id", (F.col("id") % 97).cast("int").alias("code")
+        ),
+        root,
+    )
+    lakehouse.analyze_delta(spark, root, columns=["code"])
+    st = lakehouse.delta_table_statistics(root)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        thr = max(64 * 1024, int(st["total_file_bytes"] // 4))
+        assert st["total_file_bytes"] > thr
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+        scan, est = plans.delta_scan_with_stats(spark, root, {"code": 3})
+        assert est["known"] and est["broadcast"]
+        fact = spark.range(100_000).select((F.col("id") % 50_000).alias("fk"))
+        joined = fact.join(scan, F.col("fk") == F.col("id"))
+        assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_clone_drops_stats_domain(spark, tmp_path):
+    from feature_store_ml_spark.io import lakehouse
+
+    src = str(tmp_path / "csrc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 5).alias("grp")),
+        src,
+    )
+    lakehouse.analyze_delta(spark, src, columns=["grp"])
+    dst = str(tmp_path / "cdst")
+    lakehouse.clone_delta(spark, src, dst)
+    # version-keyed to the source's log: must NOT read as fresh on the
+    # clone's own numbering
+    assert lakehouse.delta_table_statistics(dst)["ndv"] == {}
+    assert lakehouse._stats_domain(dst) is None
+
+
+def test_delta_stats_survive_checkpoint_cleanup(spark, tmp_path):
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "dckpt")
+    lakehouse.write_delta(
+        spark,
+        spark.range(500).select("id", (F.col("id") % 5).alias("grp")),
+        root,
+    )
+    lakehouse.analyze_delta(spark, root, columns=["grp"])
+    lakehouse.checkpoint_delta(root)
+    lakehouse.cleanup_delta_log(root)
+    st = lakehouse.delta_table_statistics(root)
+    assert st["ndv"] == {"grp": 5}, "stats domain must ride the checkpoint"
