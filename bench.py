@@ -105,10 +105,13 @@ HEADLINE = [
     "e1_iceberg_wap",
     "e18_drift_psi",
     "e1_delta_uniform",
-    # round-8 joiner (first pin in BASELINE.md round-8 section): Puffin
-    # NDV statistics lifecycle — write, ANALYZE (per-column sketch
-    # passes), stats-driven broadcast join
+    # round-8 joiners (first pins in BASELINE.md round-8 section): Puffin
+    # NDV statistics lifecycle with a stats-driven broadcast join, the
+    # native JPEG decode leg (5000 images through the pure-python T.81
+    # path), and the Delta ANALYZE + incremental sketch-merge lifecycle
     "e1_iceberg_puffin",
+    "e14_jpeg_decode",
+    "e1_delta_analyze",
 ]
 
 
