@@ -163,7 +163,8 @@ def _snapshot_scan_plan(
                 if content == 1:
                     deletes.append(
                         {"path": p, "seq": mseq, "kind": "pos",
-                         "equality_ids": None}
+                         "equality_ids": None,
+                         "record_count": df_struct.get("record_count")}
                     )
                 elif content == 2:
                     deletes.append(
@@ -4604,6 +4605,17 @@ def table_statistics(path: str) -> dict:
                 "avg_row_bytes": 0.0, "ndv": {}, "stats_snapshot_id": None}
     data, _deletes = _snapshot_scan_plan(meta, snap_id, path)
     rows = sum(int(d.get("record_count") or 0) for d in data)
+    # position deletes mask one row each (their manifest record_count):
+    # subtract for a live-row ESTIMATE — exact unless a position is
+    # deleted twice across files or sequence scoping exempts a newer
+    # data file, both rare; equality deletes can't be counted without
+    # evaluating them, so they are ignored here (planning estimate)
+    rows -= sum(
+        int(d.get("record_count") or 0)
+        for d in _deletes
+        if d.get("kind") == "pos"
+    )
+    rows = max(0, rows)
     size = 0
     for d in data:
         try:

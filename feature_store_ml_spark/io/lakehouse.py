@@ -5862,6 +5862,11 @@ def delta_table_statistics(path: str) -> dict:
             rows += int(json.loads(a.get("stats") or "{}").get("numRecords") or 0)
         except (TypeError, ValueError):
             pass
+        # numRecords counts PHYSICAL rows; a deletion vector masks some —
+        # its cardinality rides the descriptor, so live rows stay exact
+        dv = a.get("deletionVector")
+        if dv and dv.get("cardinality"):
+            rows -= int(dv["cardinality"])
         size += int(a.get("size") or 0)
     dom = _stats_domain(path)
     ndv: dict[str, int] = {}

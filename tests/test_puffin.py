@@ -475,3 +475,28 @@ def test_delta_stats_survive_checkpoint_cleanup(spark, tmp_path):
     lakehouse.cleanup_delta_log(root)
     st = lakehouse.delta_table_statistics(root)
     assert st["ndv"] == {"grp": 5}, "stats domain must ride the checkpoint"
+
+
+def test_row_counts_subtract_delete_masks(spark, tmp_path):
+    """table_statistics row counts reflect LIVE rows: Delta subtracts DV
+    cardinality, Iceberg subtracts position-delete record counts."""
+    from feature_store_ml_spark.io import lakehouse
+
+    d = str(tmp_path / "dvrows")
+    lakehouse.write_delta(
+        spark,
+        spark.range(1000).select("id", (F.col("id") % 4).alias("grp")),
+        d,
+    )
+    lakehouse.delete_delta(spark, d, "grp = 0")
+    assert lakehouse.delta_table_statistics(d)["row_count"] == 750
+
+    i = str(tmp_path / "posrows")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(1000).select("id", (F.col("id") % 4).alias("grp")),
+        i,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, i, "grp = 1")
+    assert iceberg.table_statistics(i)["row_count"] == 750
