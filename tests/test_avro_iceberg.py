@@ -485,7 +485,7 @@ def test_iceberg_expire_keeps_requested_window(spark, tmp_path):
     assert sorted(r.id for r in inc.collect()) == list(range(15, 20))
     # no-op when nothing to expire
     assert iceberg.expire_iceberg_snapshots(root, keep=5) == {
-        "snapshots": [], "files": [],
+        "snapshots": [], "files": [], "refs": [],
     }
 
 

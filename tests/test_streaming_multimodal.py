@@ -426,8 +426,19 @@ def test_png_unfilter_all_filter_types():
 @pytest.mark.skipif(
     multimodal.pillow_available(), reason="Pillow installed: fail-loud leg n/a"
 )
-def test_jpeg_without_pillow_fails_loud():
-    with pytest.raises(NotImplementedError, match="Pillow"):
+def test_jpeg_decodes_natively_without_pillow():
+    # round 8: baseline JPEG decodes through operators/jpeg.py — a real
+    # payload parses; truncated garbage still fails loudly (from the
+    # native marker walk, not a Pillow-missing gate)
+    import numpy as np
+
+    from feature_store_ml_spark.operators import jpeg as _jpeg
+
+    img = np.full((8, 8, 3), (10, 20, 30), dtype=np.uint8)
+    w, h, maxval, arr = multimodal._parse_ppm(_jpeg.encode_jpeg(img))
+    assert (w, h, maxval) == (8, 8, 255)
+    assert np.max(np.abs(arr.astype(int) - img.astype(int))) <= 1
+    with pytest.raises(ValueError, match="SOS|marker|truncated"):
         multimodal._parse_ppm(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
