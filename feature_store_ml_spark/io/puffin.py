@@ -93,6 +93,18 @@ class ThetaSketch:
             return ThetaSketch(vals, theta)
         return ThetaSketch(vals[:k], theta_long=vals[k])
 
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Intersection: both sketches are uniform samples of their sets
+        below their thetas, so values retained by BOTH below min(theta)
+        sample the intersection at that same rate — the standard theta
+        set operation, used for join-key overlap estimation."""
+        theta = min(self.theta_long, other.theta_long)
+        mine = set(self.retained)
+        vals = sorted(
+            v for v in other.retained if v in mine and v < theta
+        )
+        return ThetaSketch(vals, theta)
+
     def serialize(self) -> bytes:
         flags = _FLAGS_BASE | (_FLAG_EMPTY if self.is_empty else 0)
         est_mode = self.theta_long != (1 << 63)

@@ -192,3 +192,48 @@ def _apply_stats_scan(spark, df, stats, est, eq_filters):
     if est["broadcast"]:
         df = F.broadcast(df)
     return df, est
+
+
+def estimate_join_rows(
+    left_stats: dict,
+    right_stats: dict,
+    on: "tuple[str, str]",
+    left_sketches: dict | None = None,
+    right_sketches: dict | None = None,
+) -> dict:
+    """Equi-join CARDINALITY estimate from table statistics — the number
+    CBO join reordering runs on. Two estimators, best-available wins:
+
+    - **sketch**: with both sides' theta sketches for the join keys
+      (iceberg.read_statistics_sketches / lakehouse.read_delta_
+      statistics_sketches), the KEY OVERLAP is estimated by sketch
+      INTERSECTION — |A∩B| · (rowsL/ndvL) · (rowsR/ndvR). This sees what
+      NDV math can't: two columns with a million distinct values each and
+      ZERO overlap estimate ~0, not rowsL·rowsR/10⁶.
+    - **system-r**: the classic containment assumption,
+      rowsL · rowsR / max(ndvL, ndvR), when either sketch is missing.
+
+    Returns {"est_rows", "method", "key_overlap"} (key_overlap only from
+    the sketch path). Both sides hash keys with the same xxhash64, so
+    cross-format (Delta⋈Iceberg) estimates compose."""
+    lcol, rcol = on
+    rows_l = float(left_stats.get("row_count") or 0)
+    rows_r = float(right_stats.get("row_count") or 0)
+    ndv_l = (left_stats.get("ndv") or {}).get(lcol)
+    ndv_r = (right_stats.get("ndv") or {}).get(rcol)
+    sk_l = (left_sketches or {}).get(lcol)
+    sk_r = (right_sketches or {}).get(rcol)
+    if sk_l is not None and sk_r is not None and ndv_l and ndv_r:
+        overlap = sk_l.intersect(sk_r).estimate
+        return {
+            "est_rows": overlap * (rows_l / ndv_l) * (rows_r / ndv_r),
+            "method": "sketch",
+            "key_overlap": overlap,
+        }
+    if ndv_l and ndv_r:
+        return {
+            "est_rows": rows_l * rows_r / max(ndv_l, ndv_r),
+            "method": "system-r",
+            "key_overlap": None,
+        }
+    return {"est_rows": rows_l * rows_r, "method": "cross", "key_overlap": None}

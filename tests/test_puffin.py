@@ -500,3 +500,101 @@ def test_row_counts_subtract_delete_masks(spark, tmp_path):
     )
     iceberg.delete_iceberg(spark, i, "grp = 1")
     assert iceberg.table_statistics(i)["row_count"] == 750
+
+
+# ------------------------------------------------ join-cardinality estimate ----
+
+
+def test_sketch_intersection_and_join_estimate(spark, tmp_path):
+    """Sketch-based join cardinality sees KEY OVERLAP: two tables whose
+    key domains half-overlap estimate ~|overlap|·fanout, while disjoint
+    domains estimate ~0 — the case System-R math gets catastrophically
+    wrong."""
+    from feature_store_ml_spark.io import lakehouse
+
+    a = str(tmp_path / "ja")
+    b = str(tmp_path / "jb")
+    # A keys 0..1999 (2 rows each), B keys 1000..2999 (3 rows each):
+    # overlap 1000 keys -> true join rows = 1000 * 2 * 3 = 6000
+    lakehouse.write_delta(
+        spark,
+        spark.range(4000).select((F.col("id") % 2000).alias("k")),
+        a,
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(3000).select((F.col("id") % 1000 + 1000).alias("k")),
+        b,
+    )
+    lakehouse.analyze_delta(spark, a, columns=["k"], k=8192)
+    lakehouse.analyze_delta(spark, b, columns=["k"], k=8192)
+    est = plans.estimate_join_rows(
+        lakehouse.delta_table_statistics(a),
+        lakehouse.delta_table_statistics(b),
+        ("k", "k"),
+        lakehouse.read_delta_statistics_sketches(a),
+        lakehouse.read_delta_statistics_sketches(b),
+    )
+    assert est["method"] == "sketch"
+    assert est["key_overlap"] == 1000  # exact mode: overlap is exact
+    assert abs(est["est_rows"] - 6000) < 1
+    # true join size agrees
+    true = (
+        lakehouse.read_delta(spark, a)
+        .join(lakehouse.read_delta(spark, b), "k")
+        .count()
+    )
+    assert true == 6000
+    # disjoint domains: sketch sees ~0 where System-R would say 4000*3000/2000
+    c = str(tmp_path / "jc")
+    lakehouse.write_delta(
+        spark,
+        spark.range(3000).select((F.col("id") % 1000 + 50_000).alias("k")),
+        c,
+    )
+    lakehouse.analyze_delta(spark, c, columns=["k"], k=8192)
+    est2 = plans.estimate_join_rows(
+        lakehouse.delta_table_statistics(a),
+        lakehouse.delta_table_statistics(c),
+        ("k", "k"),
+        lakehouse.read_delta_statistics_sketches(a),
+        lakehouse.read_delta_statistics_sketches(c),
+    )
+    assert est2["est_rows"] == 0 and est2["key_overlap"] == 0
+    # System-R fallback when a sketch is missing
+    est3 = plans.estimate_join_rows(
+        lakehouse.delta_table_statistics(a),
+        lakehouse.delta_table_statistics(b),
+        ("k", "k"),
+    )
+    assert est3["method"] == "system-r"
+    assert abs(est3["est_rows"] - 4000 * 3000 / 2000) < 1
+
+
+def test_cross_format_join_estimate(spark, tmp_path):
+    """Delta ⋈ Iceberg estimates compose (same xxhash64 key space)."""
+    from feature_store_ml_spark.io import lakehouse
+
+    d = str(tmp_path / "xd")
+    i = str(tmp_path / "xi")
+    lakehouse.write_delta(
+        spark, spark.range(2000).select((F.col("id") % 500).alias("k")), d
+    )
+    iceberg.write_iceberg(
+        spark,
+        spark.range(1000).select((F.col("id") % 250).alias("k")),
+        i,
+        format_version=2,
+    )
+    lakehouse.analyze_delta(spark, d, columns=["k"])
+    iceberg.analyze_iceberg(spark, i, columns=["k"])
+    est = plans.estimate_join_rows(
+        lakehouse.delta_table_statistics(d),
+        iceberg.table_statistics(i),
+        ("k", "k"),
+        lakehouse.read_delta_statistics_sketches(d),
+        iceberg.read_statistics_sketches(i),
+    )
+    # keys 0..249 overlap fully: 250 * (2000/500) * (1000/250) = 4000
+    assert est["method"] == "sketch" and est["key_overlap"] == 250
+    assert abs(est["est_rows"] - 4000) < 1
