@@ -4752,3 +4752,153 @@ def _incremental_sketches(spark, path, meta, columns, k):
         spark.read.parquet(*new_files), columns, k=k
     )
     return {c: prior[c].merge(fresh[c]) for c in columns}
+
+
+def rewrite_manifests_iceberg(
+    spark, path: str, target_entries: int = 100_000
+) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance action: consolidate the
+    current snapshot's DATA manifests into ⌈entries/target_entries⌉ new
+    ones — entries carried VERBATIM (bounds, counts, partition tuples,
+    original snapshot ids; status EXISTING per spec), zero data IO. Scan
+    planning walks O(#manifests) files, and an append-only stream (or the
+    UniForm incremental sync, which adds one manifest per commit by
+    design) grows that linearly — this is the periodic bound, exactly
+    like checkpoint_delta bounds Delta's JSON replay.
+
+    Sequence-number honesty: our manifests carry ONE sequence number (the
+    manifest-list entry's), and position/equality-delete scoping compares
+    against it — merging manifests of different sequences would either
+    over-mask (min) or resurrect rows (max). So consolidation runs only
+    when the snapshot has NO live delete manifests (the append-only case
+    that actually explodes manifest counts); otherwise it's a no-op and
+    says so. Returns {"before", "after", "snapshot_id"} (snapshot_id
+    None when nothing was rewritten). Prior snapshots stay
+    time-travelable; expire_iceberg_snapshots reclaims the old manifest
+    files once their snapshots age out."""
+    import time as _time
+    import uuid as _uuid
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    meta = _load_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    ml_entries = avro_lite.read_container(_localize(snap["manifest-list"], path))
+    data_ml = [e for e in ml_entries if e.get("content", 0) == 0]
+    delete_ml = [e for e in ml_entries if e.get("content", 0) == 1]
+    if delete_ml or len(data_ml) <= 1:
+        return {"before": len(data_ml), "after": len(data_ml),
+                "snapshot_id": None}
+    fv = meta.get("format-version", 1)
+    entries: list[dict] = []
+    min_seq = None
+    for e in data_ml:
+        mseq = int(e.get("sequence_number") or 0)
+        min_seq = mseq if min_seq is None else min(min_seq, mseq)
+        for m in avro_lite.read_container(_localize(e["manifest_path"], path)):
+            if m.get("status") == _STATUS_DELETED:
+                continue
+            entries.append(
+                {
+                    "status": 0,  # EXISTING: carried, not added here
+                    "snapshot_id": m.get("snapshot_id") or cur,
+                    "data_file": m["data_file"],
+                }
+            )
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    fid_to_type = {
+        f["id"]: f["type"] for f in _current_schema(meta).get("fields", [])
+    }
+
+    def _rtype(pf: dict) -> str:
+        # transform result types per spec: identity/truncate keep the
+        # source type; year/month/day/hour and bucket produce int
+        kind, _p = _parse_transform_spec_name(pf.get("transform", "identity"))
+        if kind in ("identity", "truncate"):
+            return fid_to_type.get(pf.get("source-id"), "string")
+        return "int"
+
+    partition_fields = [
+        {"name": pf["name"], "type": ["null", _avro_partition_type(_rtype(pf))]}
+        for pf in spec.get("fields") or []
+    ]
+    meta_dir = os.path.join(path, "metadata")
+    now_ms = int(_time.time() * 1000)
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1 if fv >= 2 else 0
+    n_out = max(1, -(-len(entries) // target_entries))
+    chunk = -(-len(entries) // n_out)
+    new_ml = []
+    for i in range(n_out):
+        part = entries[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        mf = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m{i}.avro")
+        avro_lite.write_container(
+            mf, _manifest_entry_schema(fv, partition_fields), part
+        )
+        new_ml.append(
+            {
+                "manifest_path": f"file:{mf}",
+                "manifest_length": os.path.getsize(mf),
+                "partition_spec_id": meta.get("default-spec-id", 0),
+                "added_snapshot_id": snap_id,
+                "content": 0,
+                # no delete content is live (gate above), so the carried
+                # data files' scoping is unconstrained; min is recorded
+                # for metadata honesty
+                "sequence_number": min_seq or seq,
+                "min_sequence_number": min_seq or seq,
+            }
+        )
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+    mf_schema = _manifest_file_schema(fv)
+    keep = {f["name"] for f in mf_schema["fields"]}
+    avro_lite.write_container(
+        mlist, mf_schema, [{k: e.get(k, 0) for k in keep} for e in new_ml]
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": cur,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file:{mlist}",
+        "summary": {
+            "operation": "replace",
+            "manifests-replaced": str(len(data_ml)),
+            "manifests-created": str(len(new_ml)),
+        },
+        "schema-id": meta.get("current-schema-id", 0),
+    }
+    if fv >= 2:
+        snapshot["sequence-number"] = seq
+    meta2 = dict(meta)
+    meta2["last-updated-ms"] = now_ms
+    meta2["current-snapshot-id"] = snap_id
+    meta2["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
+    if fv >= 2:
+        meta2["last-sequence-number"] = seq
+    meta2["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    # content unchanged: the statistics entry rides forward (same rule as
+    # pure compaction)
+    carried = [
+        {**e, "snapshot-id": snap_id}
+        for e in meta.get("statistics") or []
+        if e.get("snapshot-id") == cur
+    ]
+    if carried:
+        meta2["statistics"] = list(meta.get("statistics") or []) + carried
+    _swap_metadata(path, meta2)
+    return {"before": len(data_ml), "after": len(new_ml),
+            "snapshot_id": snap_id}

@@ -996,3 +996,84 @@ def test_iceberg_cdf_rejects_compacted_range(spark, tmp_path):
     iceberg.compact_iceberg(spark, root)
     with pytest.raises(ValueError, match="removed data files"):
         iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+
+
+def test_rewrite_manifests_consolidates(spark, tmp_path):
+    """rewrite_manifests (round 8): N appends leave N data manifests; one
+    rewrite carries every entry verbatim into one manifest — rows, time
+    travel, partition pruning bounds and Puffin stats all intact; live
+    delete content makes it a stated no-op (sequence scoping)."""
+    from feature_store_ml_spark.io import avro_lite
+
+    root = str(tmp_path / "rm")
+    for i in range(6):
+        iceberg.write_iceberg(
+            spark,
+            spark.range(i * 100, (i + 1) * 100).select(
+                "id", (F.col("id") % 5).cast("int").alias("grp")
+            ),
+            root,
+            format_version=2,
+        )
+    iceberg.analyze_iceberg(spark, root, columns=["grp"])
+
+    def _n_manifests(r):
+        meta = iceberg._load_metadata(r)
+        cur = meta["current-snapshot-id"]
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+        return len(
+            avro_lite.read_container(iceberg._localize(snap["manifest-list"], r))
+        ), cur
+
+    n0, pre = _n_manifests(root)
+    assert n0 == 6
+    out = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out == {"before": 6, "after": 1, "snapshot_id": out["snapshot_id"]}
+    n1, _cur = _n_manifests(root)
+    assert n1 == 1
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == list(range(600))
+    # pre-rewrite snapshot still time-travelable
+    assert iceberg.read_iceberg(spark, root, snapshot_id=pre).count() == 600
+    # bounds carried: skipping still prunes
+    rep = iceberg.iceberg_scan_report(root, "id >= 550")
+    assert rep["kept_files"] < rep["total_files"]
+    # stats carried (content unchanged)
+    assert iceberg.table_statistics(root)["ndv"] == {"grp": 5}
+    # idempotent-ish: single manifest → no-op
+    out2 = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out2["snapshot_id"] is None and out2["after"] == 1
+    # live deletes: stated no-op, never a wrong consolidation
+    iceberg.write_iceberg(
+        spark,
+        spark.range(600, 700).select(
+            "id", (F.col("id") % 5).cast("int").alias("grp")
+        ),
+        root,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "id = 5")
+    out3 = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out3["snapshot_id"] is None
+    assert iceberg.read_iceberg(spark, root).count() == 699
+
+
+def test_rewrite_manifests_partitioned(spark, tmp_path):
+    root = str(tmp_path / "rmp")
+    for i in range(3):
+        iceberg.write_iceberg(
+            spark,
+            spark.range(i * 60, (i + 1) * 60).select(
+                "id", (F.col("id") % 3).cast("int").alias("p")
+            ),
+            root,
+            format_version=2,
+            partition_by=["p"],
+        )
+    out = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out["before"] == 3 and out["after"] == 1
+    got = {(r.id, r.p) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {(i, i % 3) for i in range(180)}
+    # partition tuples carried: pruning by partition value still engages
+    rep = iceberg.iceberg_scan_report(root, "p = 1")
+    assert rep["kept_files"] < rep["total_files"]
