@@ -2412,10 +2412,25 @@ def _uniform_sync(
     incremental path is the next scale step). A sync failure surfaces
     AFTER the Delta commit: the Delta table is valid and the error says
     the Iceberg view is stale — UniForm's own convert-on-commit error
-    surface. Zero cost when the property is unset."""
-    fmts = (meta.get("configuration") or {}).get(
-        "delta.universalFormat.enabledFormats", ""
-    )
+    surface. Zero cost when the property is unset.
+
+    Also the shared POST-COMMIT hook: ``delta.checkpointInterval``
+    (delta-spark's auto-checkpoint property, round 8) writes a checkpoint
+    after every Nth commit, so a streaming sink committing once a minute
+    keeps its log-replay cost bounded without anyone remembering to run
+    checkpoint_delta — log CLEANUP stays explicit (it deliberately
+    destroys time travel into the cleaned range)."""
+    conf = meta.get("configuration") or {}
+    try:
+        interval = int(conf.get("delta.checkpointInterval") or 0)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{path}: non-integer delta.checkpointInterval "
+            f"{conf.get('delta.checkpointInterval')!r}"
+        )
+    if interval > 0 and version > 0 and version % interval == 0:
+        checkpoint_delta(path)
+    fmts = conf.get("delta.universalFormat.enabledFormats", "")
     if "iceberg" not in [f.strip() for f in fmts.split(",")]:
         return version
     from . import convert as _convert

@@ -1323,3 +1323,40 @@ def test_vacuum_retention_survives_v2_checkpoint_cleanup(spark, tmp_path):
     assert lakehouse.vacuum_delta(root, retention_hours=24.0) == []
     assert lakehouse.vacuum_delta(root)  # retention 0 reclaims
     assert lakehouse.read_delta(spark, root).count() == 10
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    """delta.checkpointInterval (round 8): every Nth commit checkpoints
+    automatically through the shared post-commit hook — bounded log
+    replay for streaming sinks with nobody scheduling maintenance."""
+    import os as _os
+
+    root = str(tmp_path / "autockpt")
+    lakehouse.write_delta(spark, spark.range(5).select("id"), root)
+    lakehouse.alter_delta_properties(root, {"delta.checkpointInterval": "3"})
+    log = lakehouse._delta_log_dir(root)
+
+    def ckpts():
+        return sorted(
+            n for n in _os.listdir(log) if n.endswith(".checkpoint.parquet")
+        )
+
+    assert ckpts() == []
+    lakehouse.write_delta(spark, spark.range(5, 8).select("id"), root, mode="append")  # v2
+    assert ckpts() == []
+    lakehouse.write_delta(spark, spark.range(8, 9).select("id"), root, mode="append")  # v3
+    assert ckpts() == [f"{3:020d}.checkpoint.parquet"]
+    lakehouse.delete_delta(spark, root, "id = 0")  # v4
+    lakehouse.update_delta(spark, root, {"id": "id + 100"}, where="id = 1")  # v5
+    lakehouse.write_delta(spark, spark.range(9, 10).select("id"), root, mode="append")  # v6
+    assert ckpts() == [
+        f"{3:020d}.checkpoint.parquet",
+        f"{6:020d}.checkpoint.parquet",
+    ]
+    # table reads fine through the checkpoints; cleanup stays explicit
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9, 101]
+    assert len([n for n in _os.listdir(log) if n.endswith(".json")]) == 7
+    with pytest.raises(ValueError, match="checkpointInterval"):
+        lakehouse.alter_delta_properties(root, {"delta.checkpointInterval": "x"})
+        lakehouse.write_delta(spark, spark.range(1).select("id"), root, mode="append")
