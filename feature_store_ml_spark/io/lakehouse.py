@@ -5829,9 +5829,32 @@ def analyze_delta(
         "path": os.path.relpath(puffin_path, path).replace(os.sep, "/"),
         "ndv": {c: sk.estimate for c, sk in sketches.items()},
     }
+    actions: list[dict] = []
+    # emitting a domainMetadata action requires the table to DECLARE the
+    # domainMetadata writer feature (PROTOCOL.md §Domain Metadata) — a
+    # foreign writer that doesn't see the feature could legally drop the
+    # domain at its next checkpoint. Upgrade in the same commit, once.
+    proto = _current_protocol(path)
+    if "domainMetadata" not in (proto.get("writerFeatures") or []):
+        r0, w0 = _protocol_as_features(proto)
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": sorted(r0)}
+                        if proto.get("minReaderVersion", 1) >= 3
+                        else {}
+                    ),
+                    "writerFeatures": sorted(w0 | {"domainMetadata"}),
+                }
+            }
+        )
     _commit(
         path,
-        [
+        actions
+        + [
             {
                 "domainMetadata": {
                     "domain": _STATS_DOMAIN,

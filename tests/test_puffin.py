@@ -598,3 +598,24 @@ def test_cross_format_join_estimate(spark, tmp_path):
     # keys 0..249 overlap fully: 250 * (2000/500) * (1000/250) = 4000
     assert est["method"] == "sketch" and est["key_overlap"] == 250
     assert abs(est["est_rows"] - 4000) < 1
+
+
+def test_analyze_delta_declares_domain_metadata_feature(spark, tmp_path):
+    """Emitting a domainMetadata action requires DECLARING the writer
+    feature (spec) — analyze upgrades the protocol once, in-commit."""
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "dproto")
+    lakehouse.write_delta(
+        spark, spark.range(100).select("id", (F.col("id") % 3).alias("g")), root
+    )
+    assert "domainMetadata" not in (
+        lakehouse._current_protocol(root).get("writerFeatures") or []
+    )
+    lakehouse.analyze_delta(spark, root, columns=["g"])
+    proto = lakehouse._current_protocol(root)
+    assert proto["minWriterVersion"] == 7
+    assert "domainMetadata" in proto["writerFeatures"]
+    # second analyze: no duplicate upgrade needed, still green
+    lakehouse.analyze_delta(spark, root, columns=["g"])
+    assert lakehouse.delta_table_statistics(root)["ndv"] == {"g": 3}
