@@ -117,3 +117,32 @@ def test_jpeg_checksums_within_lossy_band(spark):
     for r in rows:
         n = r.n_pixels
         assert abs(r.sum_b / n - (r.doc_id % 256)) < 2.5
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        subsample=st.booleans(),
+    )
+    def test_jpeg_roundtrip_property(w, h, seed, subsample):
+        """ANY small uint8 RGB raster encodes to a parseable baseline
+        JPEG that decodes back at the right dimensions with bounded
+        worst-pixel error at q95 (JPEG is lossy; 8x8 DCT quantization at
+        Annex-K/q95 stays within ~±32 even on noise)."""
+        img = np.random.RandomState(seed).randint(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        dec = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=95, subsample=subsample)
+        )
+        assert dec.shape == img.shape
+        if not subsample:  # chroma halving on noise is unbounded by design
+            assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 64
+
+except ImportError:
+    pass

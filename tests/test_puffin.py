@@ -619,3 +619,42 @@ def test_analyze_delta_declares_domain_metadata_feature(spark, tmp_path):
     # second analyze: no duplicate upgrade needed, still green
     lakehouse.analyze_delta(spark, root, columns=["g"])
     assert lakehouse.delta_table_statistics(root)["ndv"] == {"g": 3}
+
+
+# ------------------------------------------------------------ properties ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=(1 << 63) - 1),
+            max_size=200,
+        ),
+        k=st.integers(min_value=1, max_value=64),
+    )
+    def test_sketch_roundtrip_property(vals, k):
+        """ANY sketch (empty/exact/estimation) survives serialize →
+        deserialize with retained set, theta and estimate intact."""
+        sk = puffin.ThetaSketch.from_smallest_hashes(vals, k=k)
+        back = puffin.ThetaSketch.deserialize(sk.serialize())
+        assert back.retained == sk.retained
+        assert back.theta_long == sk.theta_long
+        assert back.estimate == sk.estimate
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        a=st.sets(st.integers(min_value=1, max_value=(1 << 63) - 1), max_size=80),
+        b=st.sets(st.integers(min_value=1, max_value=(1 << 63) - 1), max_size=80),
+    )
+    def test_sketch_set_algebra_exact_property(a, b):
+        """In exact mode (everything below k) merge IS union and
+        intersect IS intersection — set algebra, not approximation."""
+        sa = puffin.ThetaSketch.from_smallest_hashes(sorted(a), k=256)
+        sb = puffin.ThetaSketch.from_smallest_hashes(sorted(b), k=256)
+        assert sa.merge(sb).estimate == len(a | b)
+        assert sa.intersect(sb).estimate == len(a & b)
+
+except ImportError:  # hypothesis is in the image; belt-and-braces
+    pass
