@@ -658,3 +658,36 @@ try:
 
 except ImportError:  # hypothesis is in the image; belt-and-braces
     pass
+
+
+def test_analyze_delta_on_mapped_table(spark, tmp_path):
+    """ANALYZE composes with NAME-mode column mapping: the full-scan path
+    reads through the logical projection (post-rename), and the protocol
+    upgrade carries the columnMapping feature forward."""
+    from feature_store_ml_spark.io import lakehouse
+
+    root = str(tmp_path / "cmstat")
+    lakehouse.write_delta(
+        spark,
+        spark.range(200).select("id", (F.col("id") % 4).alias("g")),
+        root,
+        column_mapping="name",
+    )
+    lakehouse.rename_delta_column(spark, root, "g", "grp")
+    lakehouse.analyze_delta(spark, root, columns=["grp"])
+    st = lakehouse.delta_table_statistics(root)
+    assert st["ndv"] == {"grp": 4} and st["row_count"] == 200
+    proto = lakehouse._current_protocol(root)
+    assert proto["minWriterVersion"] == 7
+    assert {"columnMapping", "domainMetadata"} <= set(proto["writerFeatures"])
+    assert lakehouse.read_delta(spark, root).count() == 200
+    # incremental refuses on mapped tables (raw new-file scan can't
+    # resolve physical names) — full scan fallback stays correct
+    lakehouse.write_delta(
+        spark,
+        spark.range(200, 300).select("id", (F.col("id") % 5).alias("grp")),
+        root,
+        mode="append",
+    )
+    lakehouse.analyze_delta(spark, root, columns=["grp"], incremental=True)
+    assert lakehouse.delta_table_statistics(root)["ndv"] == {"grp": 5}
