@@ -154,9 +154,17 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "AVRO") or (
+                fmt == "AVRO" and is_delete_manifest
+            ):
+                # AVRO DATA files read through the shipped avro_lite
+                # container reader (round 8, read_iceberg's simple-case
+                # branch); ORC and non-parquet DELETE files stay fail-loud
                 raise NotImplementedError(
-                    f"{table_root}: {fmt} data files unsupported (parquet only)"
+                    f"{table_root}: {fmt} "
+                    f"{'delete' if is_delete_manifest else 'data'} files "
+                    "unsupported (parquet"
+                    f"{'' if is_delete_manifest else '/avro'} only)"
                 )
             p = _localize(df_struct["file_path"], table_root)
             if is_delete_manifest:
@@ -186,6 +194,7 @@ def _snapshot_scan_plan(
                     {
                         "path": p,
                         "seq": mseq,
+                        "format": fmt,
                         # planning-phase skipping inputs (absent in entries
                         # from writers that don't record them — fail open)
                         "partition": df_struct.get("partition") or {},
@@ -2561,6 +2570,50 @@ def read_iceberg(
             f"{os.path.basename(gone[0])}) — history was expired"
         )
     declared = _declared_spark_schema(meta)
+    avro_files = [
+        d["path"] for d in data if (d.get("format") or "PARQUET") == "AVRO"
+    ]
+    if avro_files:
+        # AVRO DATA FILES (round 8): scanned distributed through the
+        # shipped pure-python avro_lite reader inside mapInPandas (one
+        # task per path batch, payloads never hit the driver). SIMPLE
+        # CASE by design: no delete content (position ordinals are a
+        # parquet-_metadata concept here), no row identity, no partition
+        # spec (identity backfill reads parquet footers), no timestamptz
+        # (a naive pandas value would be re-interpreted in session tz) —
+        # each refusal is loud. Mixed tables union the parquet subset
+        # through the normal path.
+        _spec0 = next(
+            (
+                s
+                for s in meta.get("partition-specs") or []
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        if deletes or with_row_identity or (_spec0.get("fields") or []):
+            raise NotImplementedError(
+                f"{path}: AVRO data files with "
+                "deletes/row-identity/partition-spec are unsupported "
+                "(rewrite to parquet via compact_iceberg first)"
+            )
+        if declared is None:
+            raise NotImplementedError(
+                f"{path}: AVRO data files need a declared schema"
+            )
+        out = _read_avro_data(spark, avro_files, declared, meta)
+        pq_files = [
+            d["path"]
+            for d in data
+            if (d.get("format") or "PARQUET") != "AVRO"
+        ]
+        if pq_files:
+            out = out.unionByName(
+                spark.read.schema(declared).parquet(
+                    *[_local_path(p) for p in pq_files]
+                )
+            )
+        return out.filter(where) if where else out
     fid_of = {
         f["name"]: f.get("id") for f in _current_schema(meta).get("fields", [])
     }
@@ -4902,3 +4955,80 @@ def rewrite_manifests_iceberg(
     _swap_metadata(path, meta2)
     return {"before": len(data_ml), "after": len(new_ml),
             "snapshot_id": snap_id}
+
+
+def _read_avro_data(spark, paths: list[str], declared, meta: dict):
+    """Distributed scan of AVRO data files via the shipped avro_lite
+    container reader: one mapInPandas over the path list, each task
+    decodes its files and projects to the DECLARED schema (missing
+    columns null — the name-mapping escape hatch; avro carries real field
+    names). Iceberg logical types decode per the declared column type:
+    date = days-from-epoch int, timestamp = micros long (NTZ — wall
+    clock, timezone-independent). timestamptz refuses upstream."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    for f in declared.fields:
+        if isinstance(f.dataType, TimestampType):
+            raise NotImplementedError(
+                "timestamptz columns in AVRO data files are unsupported "
+                "(naive decode would re-interpret in session timezone)"
+            )
+    names = [f.name for f in declared.fields]
+    kinds = {}
+    for f in declared.fields:
+        if isinstance(f.dataType, DateType):
+            kinds[f.name] = "date"
+        elif isinstance(f.dataType, TimestampNTZType):
+            kinds[f.name] = "ts"
+        elif isinstance(f.dataType, IntegerType):
+            kinds[f.name] = "i32"
+        elif isinstance(f.dataType, LongType):
+            kinds[f.name] = "i64"
+        elif isinstance(f.dataType, (DoubleType, FloatType)):
+            kinds[f.name] = "f"
+
+    def _batches(it):
+        import datetime as _dt
+
+        import pandas as _pd
+
+        from feature_store_ml_spark.io import avro_lite as _avro
+
+        for pdf in it:
+            for p in pdf["path"]:
+                rows = _avro.read_container(p)
+                out = _pd.DataFrame(rows) if rows else _pd.DataFrame()
+                for n in names:
+                    if n not in out.columns:
+                        out[n] = None
+                for n, kind in kinds.items():
+                    col = out[n]
+                    if kind == "date":
+                        out[n] = col.map(
+                            lambda v: None
+                            if v is None
+                            else _dt.date(1970, 1, 1)
+                            + _dt.timedelta(days=int(v))
+                        )
+                    elif kind == "ts":
+                        out[n] = _pd.to_datetime(col, unit="us")
+                    elif kind in ("i32", "i64"):
+                        out[n] = col.astype(
+                            "Int32" if kind == "i32" else "Int64"
+                        )
+                    elif kind == "f":
+                        out[n] = col.astype("float64")
+                yield out[names]
+
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 64))
+    return pdf.mapInPandas(_batches, declared)

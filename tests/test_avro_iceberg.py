@@ -1077,3 +1077,188 @@ def test_rewrite_manifests_partitioned(spark, tmp_path):
     # partition tuples carried: pruning by partition value still engages
     rep = iceberg.iceberg_scan_report(root, "p = 1")
     assert rep["kept_files"] < rep["total_files"]
+
+
+def _make_avro_data_table(spark, root, mixed=False):
+    """Hand-build an Iceberg table whose DATA files are Avro containers
+    (the spec allows parquet/avro/orc data) — v2, flat, no deletes."""
+    data_dir = os.path.join(root, "data")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    rec_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "d", "type": ["null", "int"]},    # date: days
+            {"name": "ts", "type": ["null", "long"]},  # timestamp: micros
+            {"name": "v", "type": "double"},
+        ],
+    }
+    entries = []
+    for i in range(3):
+        rel = os.path.join(data_dir, f"a{i}.avro")
+        rows = [
+            {
+                "id": i * 10 + j,
+                "name": f"r{i*10+j}" if j % 3 else None,
+                "d": 19000 + i,
+                "ts": (i * 10 + j) * 1_000_000,
+                "v": (i * 10 + j) / 4.0,
+            }
+            for j in range(10)
+        ]
+        avro_lite.write_container(rel, rec_schema, rows)
+        entries.append(
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{os.path.abspath(rel)}",
+                    "file_format": "AVRO",
+                    "record_count": 10,
+                    "file_size_in_bytes": os.path.getsize(rel),
+                },
+            }
+        )
+    if mixed:
+        # the PARQUET side stores NATIVE logical types (real date32 /
+        # timestamp columns), unlike avro's physical ints/longs
+        import datetime
+
+        rel = os.path.join(data_dir, "p0.parquet")
+        spark.createDataFrame(
+            [
+                (
+                    100,
+                    "pq",
+                    datetime.date(2022, 4, 18),
+                    datetime.datetime(2022, 4, 18, 12, 0, 0),
+                    9.5,
+                )
+            ],
+            "id long, name string, d date, ts timestamp_ntz, v double",
+        ).toPandas().to_parquet(rel, coerce_timestamps="us")
+        entries.append(
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{os.path.abspath(rel)}",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(rel),
+                },
+            }
+        )
+    manifest = os.path.join(meta_dir, "m0.avro")
+    avro_lite.write_container(manifest, _MANIFEST_SCHEMA | {}, entries) if False else None
+    # full-fidelity manifest (file_format must survive)
+    mschema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": ["null", "int"]},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    avro_lite.write_container(manifest, mschema, entries)
+    mlist = os.path.join(meta_dir, "snap-1.avro")
+    avro_lite.write_container(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": f"file:{os.path.abspath(manifest)}",
+                "manifest_length": os.path.getsize(manifest),
+                "content": 0,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "t-avro",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 1,
+        "last-column-id": 5,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "name", "required": False, "type": "string"},
+                    {"id": 3, "name": "d", "required": False, "type": "date"},
+                    {"id": 4, "name": "ts", "required": False, "type": "timestamp"},
+                    {"id": 5, "name": "v", "required": False, "type": "double"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": f"file:{os.path.abspath(mlist)}",
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "sequence-number": 1,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": 1, "snapshot-id": 1}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root
+
+
+def test_read_avro_data_files(spark, tmp_path):
+    """AVRO data files (round 8): the spec allows them, foreign writers
+    produce them, and read_iceberg scans them distributed through
+    avro_lite with declared-schema projection and logical-type decode."""
+    import datetime
+
+    root = _make_avro_data_table(spark, str(tmp_path / "avrodata"))
+    df = iceberg.read_iceberg(spark, root)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "d", "ts", "v"]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 30
+    assert rows[0].name is None and rows[1].name == "r1"
+    assert rows[12].d == datetime.date(1970, 1, 1) + datetime.timedelta(days=19001)
+    assert rows[12].ts == datetime.datetime(1970, 1, 1) + datetime.timedelta(seconds=12)
+    assert rows[12].v == 3.0
+    # filter applies (no bounds in this hand-built manifest → fail-open scan)
+    assert iceberg.read_iceberg(spark, root, where="id >= 25").count() == 5
+
+
+def test_read_mixed_avro_parquet(spark, tmp_path):
+    root = _make_avro_data_table(spark, str(tmp_path / "mixed"), mixed=True)
+    df = iceberg.read_iceberg(spark, root)
+    assert df.count() == 31
+    pq_row = df.where("id = 100").collect()[0]
+    assert pq_row.name == "pq" and pq_row.v == 9.5
