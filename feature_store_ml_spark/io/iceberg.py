@@ -3605,6 +3605,8 @@ def merge_iceberg(
     batch: tuple[str, int] | None = None,
     merge_schema: bool = False,
     set_clauses: "dict[str, str] | None" = None,
+    not_matched_by_source: "str | None" = None,
+    not_matched_by_source_condition: "str | None" = None,
 ) -> int:
     """Keyed MERGE for Iceberg — the twin of ``lakehouse.merge_delta``
     (upsert / delete by key), merge-on-read in ONE snapshot: a position-
@@ -3631,6 +3633,15 @@ def merge_iceberg(
       source rows insert whole-row. In MoR terms: the position-delete
       mask is identical to the whole-row path; only the replacement
       rows differ.
+    - ``not_matched_by_source='delete'`` (update only, round 8): the
+      third MERGE clause, twin of ``merge_delta(not_matched_by_source=
+      'delete')`` — target rows whose keys do NOT appear in the source
+      are DELETED when they satisfy
+      ``not_matched_by_source_condition`` (None deletes every unmatched
+      row: keyed FULL SYNC). MoR shape: the stale rows simply join the
+      position-delete mask — no extra file rewrite at all, which makes
+      the Iceberg full sync O(#masked rows) where the Delta twin
+      rewrites every live file.
     - NULL keys never match; duplicate source keys raise the same
       cardinality error as Delta MERGE.
 
@@ -3669,6 +3680,27 @@ def merge_iceberg(
             )
         if not set_clauses:
             raise ValueError("merge_iceberg: empty set_clauses")
+    if not_matched_by_source is not None:
+        if not_matched_by_source != "delete":
+            raise ValueError(
+                "merge_iceberg: not_matched_by_source supports only "
+                f"'delete', got {not_matched_by_source!r}"
+            )
+        if when_matched != "update":
+            raise ValueError(
+                "merge_iceberg: not_matched_by_source pairs with "
+                "when_matched='update' (the full-sync idiom)"
+            )
+        if newer_wins_col is not None:
+            raise NotImplementedError(
+                "merge_iceberg: not_matched_by_source + newer_wins_col "
+                "is not implemented"
+            )
+    elif not_matched_by_source_condition is not None:
+        raise ValueError(
+            "merge_iceberg: not_matched_by_source_condition requires "
+            "not_matched_by_source='delete'"
+        )
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"merge_iceberg: source is missing key columns {missing}")
@@ -3831,6 +3863,16 @@ def merge_iceberg(
             adds_df = ranked.where(
                 (F.col("_rn") == 1) & (F.col("_src") == 1)
             ).select(*names)
+        if not_matched_by_source == "delete":
+            # third clause: UNMATCHED target rows satisfying the condition
+            # join the position-delete mask (and are never re-added) — in
+            # MoR terms the sync costs only their mask entries
+            stale = target.join(src_keys, on=list(keys), how="left_anti")
+            if not_matched_by_source_condition is not None:
+                stale = stale.where(not_matched_by_source_condition)
+            dead = dead.select(*target.columns).unionByName(
+                stale.select(*target.columns)
+            )
 
         now_ms = int(_time.time() * 1000)
         meta_dir = os.path.join(path, "metadata")

@@ -4135,6 +4135,57 @@ def e1_delta_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_merge_sync",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE (o_orderkey <= 2000 AND o_orderstatus <> 'F')
+       OR (o_orderkey <= 2400 AND o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_iceberg_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed SLICE SYNC on the ICEBERG side (round 8) — the MoR twin of
+    e1_delta_merge_sync, same slice arithmetic so the two formats'
+    whenNotMatchedBySourceDelete semantics are pinned to the SAME
+    oracle: matched rows replace, fresh keys insert, unmatched rows
+    inside the condition slice DELETE (as position-delete mask entries —
+    no file rewrite), everything else survives verbatim."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t = f"{tempfile.gettempdir()}/fsml_ice_merge_sync"
+    shutil.rmtree(t, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        o.where("o_orderkey <= 2000").select(*cols),
+        t,
+        format_version=2,
+    )
+    src = o.where(
+        "o_orderkey <= 2400 AND o_orderstatus = 'F' AND o_orderkey % 2 = 0"
+    ).select(*cols)
+    iceberg.merge_iceberg(
+        spark,
+        src,
+        t,
+        keys=["o_orderkey"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="o_orderstatus = 'F'",
+    )
+    return (
+        iceberg.read_iceberg(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
     "e1_convert_with_deletes",
     """
     SELECT 'delta_to_iceberg' AS src, o_orderstatus,
@@ -6875,6 +6926,8 @@ _FINAL_ORDER = [
                                      # lifecycle, exact oracle (tail:
                                      # in-query consolidation assert +
                                      # sweep hash gate)
+    "e1_iceberg_merge_sync",  # round 8: MoR whenNotMatchedBySourceDelete,
+                              # same oracle as the Delta twin (tail)
 ]
 
 
@@ -6908,11 +6961,11 @@ def _apply_final_order() -> None:
     # continuation: replaceWhere, Iceberg rollback, Iceberg MERGE; -> 78
     # with cross-format conversion displacing q21 and the tail-registered
     # Iceberg CDF stream twin
-    # bound the sweep-only tail so rotation stays deliberate: raised to 94
+    # bound the sweep-only tail so rotation stays deliberate: raised to 95
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
-    # is tail-registered with an in-query consolidation assert)
-    assert n_oracle_tail <= 94, f"{n_oracle_tail} oracle-backed queries outside window"
+    # and e1_iceberg_merge_sync are tail-registered)
+    assert n_oracle_tail <= 95, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -279,3 +279,89 @@ def test_merge_iceberg_partial_update_set_clauses(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="empty"):
         iceberg.merge_iceberg(spark, src, root, keys=["id"], set_clauses={})
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """whenNotMatchedBySourceDelete, MoR twin (round 8): with no
+    condition the merge is a keyed FULL SYNC — the table becomes exactly
+    the source, and the stale rows cost only position-delete mask
+    entries (no file rewrite)."""
+    root = str(tmp_path / "sync")
+    _mk(spark, root)
+    src = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id int, k string, v int"
+    )
+    import os as _os
+
+    data_files_before = {
+        f for f in _os.listdir(_os.path.join(root, "data"))
+        if f.endswith(".parquet") and not f.startswith("delete-")
+    }
+    iceberg.merge_iceberg(
+        spark, src, root, keys=["id"], not_matched_by_source="delete"
+    )
+    rows = {(r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {(2, "B", 99), (4, "d", 40)}
+    # MoR: original data files untouched (mask + adds only)
+    assert data_files_before <= {
+        f for f in _os.listdir(_os.path.join(root, "data"))
+        if f.endswith(".parquet") and not f.startswith("delete-")
+    }
+
+
+def test_merge_not_matched_by_source_condition_slice(spark, tmp_path):
+    """A condition bounds the sync slice: unmatched rows OUTSIDE it
+    survive."""
+    root = str(tmp_path / "slice")
+    _mk(spark, root)  # ids 1,2,3 with k a,b,c
+    src = spark.createDataFrame([(1, "A", 11)], "id int, k string, v int")
+    iceberg.merge_iceberg(
+        spark,
+        src,
+        root,
+        keys=["id"],
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="k = 'b'",
+    )
+    rows = {(r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    # 1 updated; 2 (k=b, unmatched, in-slice) deleted; 3 (k=c) survives
+    assert rows == {(1, "A", 11), (3, "c", 30)}
+    # composes with set_clauses (partial update + slice sync)
+    src2 = spark.createDataFrame([(3, "ignored", 90)], "id int, k string, v int")
+    iceberg.merge_iceberg(
+        spark,
+        src2,
+        root,
+        keys=["id"],
+        set_clauses={"v": "s.v + t.v"},
+        not_matched_by_source="delete",
+        not_matched_by_source_condition="v > 100",
+    )
+    rows2 = {(r.id, r.k, r.v) for r in iceberg.read_iceberg(spark, root).collect()}
+    # 3: partial update v=90+30=120, keeps k='c'; 1 (v=11, not >100) survives
+    assert rows2 == {(1, "A", 11), (3, "c", 120)}
+
+
+def test_merge_not_matched_by_source_refusals(spark, tmp_path):
+    root = str(tmp_path / "ref")
+    _mk(spark, root)
+    src = spark.createDataFrame([(1, "A", 1)], "id int, k string, v int")
+    with pytest.raises(ValueError, match="supports only"):
+        iceberg.merge_iceberg(
+            spark, src, root, keys=["id"], not_matched_by_source="insert"
+        )
+    with pytest.raises(ValueError, match="pairs with"):
+        iceberg.merge_iceberg(
+            spark, src, root, keys=["id"], when_matched="delete",
+            not_matched_by_source="delete",
+        )
+    with pytest.raises(ValueError, match="requires"):
+        iceberg.merge_iceberg(
+            spark, src, root, keys=["id"],
+            not_matched_by_source_condition="v > 0",
+        )
+    with pytest.raises(NotImplementedError, match="newer_wins"):
+        iceberg.merge_iceberg(
+            spark, src, root, keys=["id"], newer_wins_col="v",
+            not_matched_by_source="delete",
+        )
