@@ -691,3 +691,35 @@ def test_analyze_delta_on_mapped_table(spark, tmp_path):
     )
     lakehouse.analyze_delta(spark, root, columns=["grp"], incremental=True)
     assert lakehouse.delta_table_statistics(root)["ndv"] == {"grp": 5}
+
+
+def test_analyze_iceberg_partitioned_and_masked(spark, tmp_path):
+    """ANALYZE goes through the full reader, so identity-partition
+    backfill and delete masks are respected: NDV counts SURVIVING rows'
+    values, partition columns analyze too."""
+    root = str(tmp_path / "pmask")
+    df = spark.range(900).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") % 11).cast("int").alias("code"),
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, partition_by=["p"])
+    iceberg.delete_iceberg(spark, root, "code = 10")
+    iceberg.analyze_iceberg(spark, root, columns=["p", "code"])
+    st = iceberg.table_statistics(root)
+    assert st["ndv"] == {"p": 3, "code": 10}, "masked value must not count"
+    # incremental falls back on partitioned tables (identity backfill
+    # needs the full reader) — and stays correct
+    iceberg.write_iceberg(
+        spark,
+        spark.range(900, 1000).select(
+            "id", (F.col("id") % 5).cast("int").alias("p"),
+            (F.col("id") % 11).cast("int").alias("code"),
+        ),
+        root, format_version=2, partition_by=["p"],
+    )
+    assert iceberg._incremental_sketches(
+        spark, root, iceberg._load_metadata(root), ["p"], 4096
+    ) is None
+    iceberg.analyze_iceberg(spark, root, columns=["p"], incremental=True)
+    assert iceberg.table_statistics(root)["ndv"] == {"p": 5}
