@@ -138,6 +138,19 @@ def _register_named(schema: dict, named: dict[str, Any]) -> None:
 
 def read_container(path: str) -> list[dict]:
     """Read every record of an Avro Object Container File into plain dicts."""
+    return _read_container(path)[1]
+
+
+def read_container_with_schema(path: str) -> tuple[dict, list[dict]]:
+    """Like :func:`read_container` but also returns the file's WRITER
+    schema (the ``avro.schema`` header, parsed). Iceberg resolves AVRO
+    data-file columns by the ``field-id`` attributes the writer stamped
+    on each record field — that attribute lives only in the writer
+    schema, so field-id-safe readers need it exposed."""
+    return _read_container(path)
+
+
+def _read_container(path: str) -> tuple[dict, list[dict]]:
     with open(path, "rb") as fh:
         if fh.read(4) != _MAGIC:
             raise ValueError(f"{path}: not an Avro object container file")
@@ -173,7 +186,7 @@ def read_container(path: str) -> list[dict]:
                 out.append(_read_datum(block, schema, named))
             if fh.read(16) != sync:
                 raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
-        return out
+        return schema, out
 
 
 # ---------------------------------------------------------------- writer ----

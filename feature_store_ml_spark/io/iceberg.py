@@ -1131,6 +1131,225 @@ def _file_stats_maps(file_path: str, fields: list[dict]) -> dict:
     return out
 
 
+#: iceberg primitive -> avro schema for DATA files (spec §Avro: date is
+#: int days, timestamp(ntz) is long micros with the LOCAL logical type —
+#: adjust-to-utc=false — so foreign readers keep the wall clock)
+_ICE_TO_AVRO_DATA = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "local-timestamp-micros"},
+}
+
+
+def _stage_avro_data(
+    spark,
+    df: DataFrame,
+    staging: str,
+    ice_fields: list[dict],
+    partition_by: list[str],
+    derive_cols: dict,
+) -> list[dict]:
+    """Executor-side AVRO data-file staging for ``write_iceberg(
+    data_format='avro')``: one ``mapInPandas`` pass writes spec-encoded
+    Avro containers (field-id attributes stamped on every record field —
+    the Avro twin of the parquet footer fid stamp, so rename-safe
+    readers resolve columns by id) and computes per-file column
+    statistics IN THE SAME PASS (null counts + min/max in the physical
+    encoding) — the parquet path gets these from footers; Avro has no
+    footer, so the write itself is the only free place to collect them.
+
+    Returns O(#files) metadata rows ``{path, rows, size, pvals, stats}``
+    (pvals = raw partition key strings by field name; stats = per-column
+    [nulls, min, max] physical values). Payload bytes never touch the
+    driver. Partitioned batches split per partition tuple inside each
+    task, preserving the one-tuple-per-file invariant without a shuffle
+    (same shape as the parquet path's ``partitionBy``)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    avro_fields = []
+    phys_kind: dict[str, str] = {}
+    for f in ice_fields:
+        t = f.get("type")
+        at = _ICE_TO_AVRO_DATA.get(t) if isinstance(t, str) else None
+        if at is None:
+            raise NotImplementedError(
+                f"write_iceberg(data_format='avro'): column "
+                f"{f.get('name')!r} of type {t!r} has no supported avro "
+                "data encoding (use parquet)"
+            )
+        avro_fields.append(
+            {"name": f["name"], "type": ["null", at], "field-id": f["id"]}
+        )
+        phys_kind[f["name"]] = t
+    wschema = {"type": "record", "name": "row", "fields": avro_fields}
+    wschema_json = _json.dumps(wschema)
+    cols = [f["name"] for f in ice_fields]
+    pcols = [f"_p_{n}" for n in partition_by]
+    if partition_by:
+        df = df.select(
+            "*",
+            *[
+                derive_cols[n].cast("string").alias(f"_p_{n}")
+                for n in partition_by
+            ],
+        )
+
+    def _write_batches(it):
+        import datetime as _dt
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from feature_store_ml_spark.io import avro_lite as _avro
+
+        pdfs = [pdf for pdf in it if len(pdf)]
+        out_rows = []
+        if pdfs:
+            full = _pd.concat(pdfs, ignore_index=True)
+            if pcols:
+                groups = full.groupby(pcols, dropna=False, sort=False)
+                parts = [
+                    (keys if isinstance(keys, tuple) else (keys,), g)
+                    for keys, g in groups
+                ]
+            else:
+                parts = [((), full)]
+            epoch_d = _dt.date(1970, 1, 1)
+            epoch_ts = _dt.datetime(1970, 1, 1)
+            schema = _json.loads(wschema_json)
+            for keys, g in parts:
+                records = []
+                stats: dict = {
+                    c: [0, None, None] for c in cols
+                }  # [nulls, min, max] physical
+                for row in g[cols].itertuples(index=False, name=None):
+                    rec = {}
+                    for c, v in zip(cols, row):
+                        if v is None or _pd.isna(v):
+                            rec[c] = None
+                            stats[c][0] += 1
+                            continue
+                        k = phys_kind[c]
+                        if k == "date":
+                            v = (
+                                v.date() if isinstance(v, _dt.datetime) else v
+                            )
+                            v = (v - epoch_d).days
+                        elif k == "timestamp":
+                            ts = v.to_pydatetime() if hasattr(
+                                v, "to_pydatetime"
+                            ) else v
+                            delta = ts - epoch_ts
+                            v = (
+                                delta.days * 86_400 + delta.seconds
+                            ) * 1_000_000 + delta.microseconds
+                        elif k in ("int", "long"):
+                            v = int(v)
+                        elif k in ("float", "double"):
+                            v = float(v)
+                        elif k == "boolean":
+                            v = bool(v)
+                        else:
+                            v = str(v)
+                        rec[c] = v
+                        s = stats[c]
+                        if s[1] is None or v < s[1]:
+                            s[1] = v
+                        if s[2] is None or v > s[2]:
+                            s[2] = v
+                    records.append(rec)
+                fname = _os.path.join(
+                    staging, f"{_uuid.uuid4().hex}.avro"
+                )
+                _avro.write_container(fname, schema, records)
+                pvals = {
+                    n: (None if _pd.isna(kv) else kv)
+                    for n, kv in zip(partition_by, keys)
+                }
+                out_rows.append(
+                    (
+                        fname,
+                        len(records),
+                        _os.path.getsize(fname),
+                        _json.dumps(pvals),
+                        _json.dumps(stats),
+                    )
+                )
+        yield _pd.DataFrame(
+            out_rows, columns=["path", "rows", "size", "pvals", "stats"]
+        )
+
+    os.makedirs(staging, exist_ok=True)
+    res = df.mapInPandas(
+        _write_batches,
+        "path string, rows long, size long, pvals string, stats string",
+    ).collect()  # O(#files) metadata rows — payloads stay executor-side
+    return [
+        {
+            "path": r["path"],
+            "rows": int(r["rows"]),
+            "size": int(r["size"]),
+            "pvals": _json.loads(r["pvals"]),
+            "stats": _json.loads(r["stats"]),
+        }
+        for r in res
+    ]
+
+
+def _avro_stats_maps(stats: dict, fields: list[dict]) -> dict:
+    """Manifest stats maps from an avro staging pass's physical
+    [nulls, min, max] triples — the avro twin of ``_file_stats_maps``
+    (which reads parquet footers). Physical values convert back to their
+    typed form (days -> date, micros -> naive datetime) before the spec's
+    binary single-value bound encoding."""
+    import datetime as dt
+
+    by_name = {f["name"]: f for f in fields}
+    nvc: list[dict] = []
+    lo: list[dict] = []
+    hi: list[dict] = []
+    for name, (nulls, mn, mx) in stats.items():
+        f = by_name.get(name)
+        if f is None or not isinstance(f.get("type"), str):
+            continue
+        fid, t = f["id"], f["type"]
+
+        def _typed(v):
+            if v is None:
+                return None
+            if t == "date":
+                return dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
+            if t == "timestamp":
+                return dt.datetime(1970, 1, 1) + dt.timedelta(
+                    microseconds=int(v)
+                )
+            return v
+
+        nvc.append({"key": fid, "value": int(nulls)})
+        b_lo = _encode_bound(_typed(mn), t)
+        b_hi = _encode_bound(_typed(mx), t)
+        if b_lo is not None:
+            lo.append({"key": fid, "value": b_lo})
+        if b_hi is not None:
+            hi.append({"key": fid, "value": b_hi})
+    out: dict = {}
+    if nvc:
+        out["null_value_counts"] = nvc
+    if lo:
+        out["lower_bounds"] = lo
+    if hi:
+        out["upper_bounds"] = hi
+    return out
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -1141,6 +1360,7 @@ def write_iceberg(
     merge_schema: bool = False,
     sort_by: list[str] | None = None,
     branch: str | None = None,
+    data_format: str = "parquet",
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -1190,6 +1410,11 @@ def write_iceberg(
 
     if format_version not in (1, 2):
         raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
+    data_format = (data_format or "parquet").lower()
+    if data_format not in ("parquet", "avro"):
+        raise ValueError(
+            f"write_iceberg: data_format must be parquet|avro, got {data_format!r}"
+        )
     pfields = [parse_partition_field(s) for s in (partition_by or [])]
     partition_by = [f["name"] for f in pfields]
     if len(set(partition_by)) != len(partition_by):
@@ -1412,7 +1637,54 @@ def write_iceberg(
             for c in df.columns
         ]
     )
-    if partition_by:
+    # (abs path, rows, bytes, partition value dict)
+    data_files: list[tuple[str, int, int, dict]] = []
+    #: avro-staged files carry their stats from the write pass itself
+    #: (no footer to read back); keyed by final path
+    avro_stats: dict[str, dict] = {}
+    if data_format == "avro":
+        from urllib.parse import quote as _quote
+
+        _fields_now = declared["fields"] if existing else _iceberg_fields(df)
+        staged_meta = _stage_avro_data(
+            spark, df, staging, _fields_now, partition_by, derive_cols
+        )
+        for fm in staged_meta:
+            raw = fm["pvals"]
+            pvals = {
+                c: (
+                    None
+                    if raw.get(c) is None
+                    else _PARTITION_PARSERS[part_types[c]](raw[c])
+                )
+                for c in partition_by
+            }
+            if partition_by:
+                sub = os.path.join(
+                    data_dir,
+                    *[
+                        f"{c}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if raw.get(c) is None
+                            # quote() the component: a raw '#' or '%'
+                            # truncates/misparses in every file: URI
+                            # consumer (same reason the parquet path
+                            # keeps Spark's own escaped dirs)
+                            else _quote(str(raw[c]), safe="")
+                        )
+                        for c in partition_by
+                    ],
+                )
+                os.makedirs(sub, exist_ok=True)
+            else:
+                sub = data_dir
+            final = os.path.join(sub, os.path.basename(fm["path"]))
+            os.rename(fm["path"], final)
+            data_files.append((final, fm["rows"], fm["size"], pvals))
+            avro_stats[final] = _avro_stats_maps(fm["stats"], _fields_now)
+        shutil.rmtree(staging)
+    elif partition_by:
         staged = df.select(
             "*",
             *[
@@ -1423,8 +1695,6 @@ def write_iceberg(
         staged.write.partitionBy(*[f"_p_{c}" for c in partition_by]).parquet(staging)
     else:
         df.write.parquet(staging)
-    # (abs path, rows, bytes, partition value dict)
-    data_files: list[tuple[str, int, int, dict]] = []
     for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(dirpath, staging)
         rel_dir = "" if rel_dir == "." else rel_dir
@@ -1468,7 +1738,7 @@ def write_iceberg(
                     dict(pvals),
                 )
             )
-    shutil.rmtree(staging)
+    shutil.rmtree(staging, ignore_errors=True)  # already gone for avro
 
     now_ms = int(_time.time() * 1000)
     snapshots = list(prior_meta.get("snapshots", []))
@@ -1493,12 +1763,16 @@ def write_iceberg(
                 "data_file": {
                     **({"content": 0} if format_version >= 2 else {}),
                     "file_path": f"file:{f}",
-                    "file_format": "PARQUET",
+                    "file_format": data_format.upper(),
                     "partition": pvals,
                     "record_count": rows,
                     "file_size_in_bytes": size,
                     **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
-                    **_file_stats_maps(f, fields),
+                    **(
+                        avro_stats[f]
+                        if f in avro_stats
+                        else _file_stats_maps(f, fields)
+                    ),
                 },
             }
             for f, rows, size, pvals in data_files
@@ -2570,19 +2844,37 @@ def read_iceberg(
             f"{os.path.basename(gone[0])}) — history was expired"
         )
     declared = _declared_spark_schema(meta)
-    avro_files = [
-        d["path"] for d in data if (d.get("format") or "PARQUET") == "AVRO"
+    avro_entries = [
+        d for d in data if (d.get("format") or "PARQUET") == "AVRO"
     ]
-    if avro_files:
-        # AVRO DATA FILES (round 8): scanned distributed through the
-        # shipped pure-python avro_lite reader inside mapInPandas (one
-        # task per path batch, payloads never hit the driver). SIMPLE
-        # CASE by design: no delete content (position ordinals are a
-        # parquet-_metadata concept here), no row identity, no partition
-        # spec (identity backfill reads parquet footers), no timestamptz
-        # (a naive pandas value would be re-interpreted in session tz) —
-        # each refusal is loud. Mixed tables union the parquet subset
-        # through the normal path.
+    if avro_entries:
+        # AVRO DATA FILES (round 8, partitions + field-id resolution
+        # round 9): scanned distributed through the shipped pure-python
+        # avro_lite reader inside mapInPandas (one task per path batch,
+        # payloads never hit the driver). Columns resolve by FIELD ID
+        # against each file's writer schema (rename-safe, like the
+        # parquet path); identity-partition source columns a file omits
+        # backfill from its manifest partition tuple. Still refused,
+        # loudly: delete content (position ordinals are a
+        # parquet-_metadata concept here), row identity, timestamptz (a
+        # naive pandas value would be re-interpreted in session tz).
+        # Mixed tables union the parquet subset through the normal path.
+        if deletes or with_row_identity:
+            raise NotImplementedError(
+                f"{path}: AVRO data files with deletes/row-identity are "
+                "unsupported (rewrite to parquet via compact_iceberg "
+                "first)"
+            )
+        if declared is None:
+            raise NotImplementedError(
+                f"{path}: AVRO data files need a declared schema"
+            )
+        out = _read_avro_data(spark, avro_entries, declared, meta)
+        pq_files = [
+            d["path"]
+            for d in data
+            if (d.get("format") or "PARQUET") != "AVRO"
+        ]
         _spec0 = next(
             (
                 s
@@ -2591,22 +2883,12 @@ def read_iceberg(
             ),
             {"fields": []},
         )
-        if deletes or with_row_identity or (_spec0.get("fields") or []):
+        if pq_files and (_spec0.get("fields") or []):
             raise NotImplementedError(
-                f"{path}: AVRO data files with "
-                "deletes/row-identity/partition-spec are unsupported "
-                "(rewrite to parquet via compact_iceberg first)"
+                f"{path}: partitioned table mixing AVRO and parquet data "
+                "files — the fast parquet union here skips identity "
+                "backfill; rewrite to one format via compact_iceberg"
             )
-        if declared is None:
-            raise NotImplementedError(
-                f"{path}: AVRO data files need a declared schema"
-            )
-        out = _read_avro_data(spark, avro_files, declared, meta)
-        pq_files = [
-            d["path"]
-            for d in data
-            if (d.get("format") or "PARQUET") != "AVRO"
-        ]
         if pq_files:
             out = out.unionByName(
                 spark.read.schema(declared).parquet(
@@ -4677,12 +4959,31 @@ def analyze_iceberg(
         "blob-metadata": info["blob-metadata"],
     }
     meta2 = dict(meta)
-    meta2["statistics"] = [
+    kept = [
         e
         for e in (meta.get("statistics") or [])
         if e.get("snapshot-id") != snap_id
-    ] + [entry]
+    ]
+    superseded = [
+        e
+        for e in (meta.get("statistics") or [])
+        if e.get("snapshot-id") == snap_id
+    ]
+    meta2["statistics"] = kept + [entry]
     _swap_metadata(path, meta2)
+    # a re-ANALYZE of the same snapshot REPLACED its entry: the old
+    # Puffin file is no longer referenced by anything and expiration
+    # only reclaims files of entries still present — unlink it now
+    # (unless another entry shares the path)
+    live_paths = {e.get("statistics-path") for e in kept}
+    live_paths.add(entry["statistics-path"])
+    for e in superseded:
+        sp = e.get("statistics-path")
+        if sp and sp not in live_paths:
+            try:
+                os.unlink(_local_path(sp))
+            except OSError:
+                pass
     return puffin_path
 
 
@@ -4807,6 +5108,12 @@ def _incremental_sketches(spark, path, meta, columns, k):
     )
     if cur_deletes:
         return None  # row-level deletes shrink NDV; union cannot
+    if any((d.get("format") or "PARQUET") != "PARQUET" for d in cur_data):
+        # non-parquet data files: the footer probe below raises
+        # ArrowInvalid (not OSError) and spark.read.parquet would misread
+        # the bytes anyway — fall back to the full reader, which routes
+        # AVRO through avro_lite
+        return None
     cur_files = {d["path"] for d in cur_data}
     if not prior_files <= cur_files:
         return None  # files removed since the stats snapshot
@@ -4999,14 +5306,29 @@ def rewrite_manifests_iceberg(
             "snapshot_id": snap_id}
 
 
-def _read_avro_data(spark, paths: list[str], declared, meta: dict):
+def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
     """Distributed scan of AVRO data files via the shipped avro_lite
-    container reader: one mapInPandas over the path list, each task
-    decodes its files and projects to the DECLARED schema (missing
-    columns null — the name-mapping escape hatch; avro carries real field
-    names). Iceberg logical types decode per the declared column type:
-    date = days-from-epoch int, timestamp = micros long (NTZ — wall
-    clock, timezone-independent). timestamptz refuses upstream."""
+    container reader: one mapInPandas over the scan-plan entries, each
+    task decodes its files and projects to the DECLARED schema.
+
+    Column resolution mirrors the parquet path's FIELD-ID contract
+    (spec: column identity is the field id, not the name): each file's
+    WRITER schema is read alongside its records, and a declared column
+    resolves to the file field carrying its id — so files written before
+    a rename (ours or a foreign engine's) still surface real values.
+    When the id is absent from a file that DOES stamp field-ids, the
+    column was provably added after the file and null-fills; files
+    without field-ids fall back to name resolution and FAIL LOUDLY on a
+    missing declared column (null-filling there would silently erase a
+    renamed column's data). Identity-partitioned files may omit their
+    partition source column entirely (spec §Column Projection — Hive
+    layouts and Delta conversions do); values backfill from the
+    manifest partition tuple, which already holds the physical encoding
+    (days ints for dates, micros for timestamps).
+
+    Iceberg logical types decode per the declared column type: date =
+    days-from-epoch int, timestamp = micros long (NTZ — wall clock,
+    timezone-independent). timestamptz refuses upstream."""
     from pyspark.sql.types import (
         DateType,
         DoubleType,
@@ -5016,6 +5338,8 @@ def _read_avro_data(spark, paths: list[str], declared, meta: dict):
         TimestampNTZType,
         TimestampType,
     )
+
+    import json as _json
 
     for f in declared.fields:
         if isinstance(f.dataType, TimestampType):
@@ -5036,6 +5360,35 @@ def _read_avro_data(spark, paths: list[str], declared, meta: dict):
             kinds[f.name] = "i64"
         elif isinstance(f.dataType, (DoubleType, FloatType)):
             kinds[f.name] = "f"
+    fid_of = {
+        f["name"]: f.get("id")
+        for f in _current_schema(meta).get("fields", [])
+    }
+    # identity-partition tuple backfill: field name in the tuple ->
+    # declared SOURCE column name (via source-id; values stay physical)
+    fid_to_name = {v: k for k, v in fid_of.items() if v is not None}
+    spec0 = next(
+        (
+            s
+            for s in meta.get("partition-specs") or []
+            if s.get("spec-id") == meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    ident_src = {
+        pf["name"]: fid_to_name.get(pf.get("source-id"))
+        for pf in (spec0.get("fields") or [])
+        if pf.get("transform") == "identity"
+        and fid_to_name.get(pf.get("source-id")) is not None
+    }
+    backfill_json = {}
+    for e in entries:
+        tup = {
+            ident_src[k]: v
+            for k, v in (e.get("partition") or {}).items()
+            if k in ident_src
+        }
+        backfill_json[e["path"]] = _json.dumps(tup)
 
     def _batches(it):
         import datetime as _dt
@@ -5045,12 +5398,42 @@ def _read_avro_data(spark, paths: list[str], declared, meta: dict):
         from feature_store_ml_spark.io import avro_lite as _avro
 
         for pdf in it:
-            for p in pdf["path"]:
-                rows = _avro.read_container(p)
-                out = _pd.DataFrame(rows) if rows else _pd.DataFrame()
+            for p, bf_raw in zip(pdf["path"], pdf["backfill"]):
+                wschema, rows = _avro.read_container_with_schema(p)
+                backfill = _json.loads(bf_raw)
+                raw = _pd.DataFrame(rows) if rows else _pd.DataFrame()
+                wfields = wschema.get("fields") or []
+                name_by_fid = {
+                    f["field-id"]: f["name"]
+                    for f in wfields
+                    if isinstance(f.get("field-id"), int)
+                }
+                file_names = {f["name"] for f in wfields}
+                out = _pd.DataFrame(index=raw.index)
                 for n in names:
-                    if n not in out.columns:
-                        out[n] = None
+                    fid = fid_of.get(n)
+                    if name_by_fid:
+                        # field-id resolution (rename-safe)
+                        if fid in name_by_fid:
+                            out[n] = raw[name_by_fid[fid]]
+                        elif n in backfill:
+                            out[n] = backfill[n]
+                        else:
+                            # id absent from a fid-stamped file: the
+                            # column was added AFTER the file was written
+                            out[n] = None
+                    elif n in file_names:
+                        out[n] = raw[n]
+                    elif n in backfill:
+                        out[n] = backfill[n]
+                    else:
+                        raise ValueError(
+                            f"{p}: declared column {n!r} absent from an "
+                            "AVRO data file without field-id attributes "
+                            "— cannot prove it was added after the file "
+                            "(a renamed column would silently read NULL);"
+                            " rewrite to parquet via compact_iceberg"
+                        )
                 for n, kind in kinds.items():
                     col = out[n]
                     if kind == "date":
@@ -5070,7 +5453,8 @@ def _read_avro_data(spark, paths: list[str], declared, meta: dict):
                         out[n] = col.astype("float64")
                 yield out[names]
 
+    paths = [e["path"] for e in entries]
     pdf = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
+        [(p, backfill_json[p]) for p in paths], "path string, backfill string"
     ).repartition(min(len(paths), 64))
     return pdf.mapInPandas(_batches, declared)
