@@ -4848,12 +4848,26 @@ def e1_stats_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lakehouse.analyze_delta(spark, d, columns=["k"], k=32768)
     iceberg.analyze_iceberg(spark, i, columns=["k"], k=32768)
+    sk_l = lakehouse.read_delta_statistics_sketches(d)
+    sk_r = iceberg.read_statistics_sketches(i)
+    for side, sk in (("delta", sk_l.get("k")), ("iceberg", sk_r.get("k"))):
+        # the hash-exact oracle holds ONLY in exact mode (theta == 2^63,
+        # i.e. NDV <= k): in estimation mode overlap/est_rows are
+        # approximations and would hash-mismatch with no diagnostic —
+        # mirror e1_iceberg_puffin's NDV-plausibility guard
+        if sk is None or sk.theta_long != (1 << 63):
+            raise RuntimeError(
+                f"e1_stats_join_estimate: {side} sketch left exact mode "
+                f"(theta={getattr(sk, 'theta_long', None)}); NDV at this "
+                "scale factor exceeds k=32768 — raise k to keep the "
+                "hash-exact oracle valid"
+            )
     est = plans.estimate_join_rows(
         lakehouse.delta_table_statistics(d),
         iceberg.table_statistics(i),
         ("k", "k"),
-        lakehouse.read_delta_statistics_sketches(d),
-        iceberg.read_statistics_sketches(i),
+        sk_l,
+        sk_r,
     )
     true_rows = (
         lakehouse.read_delta(spark, d)
@@ -4929,6 +4943,91 @@ def e1_delta_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, ndv long, row_count long, fresh boolean"
     ).orderBy("col")
+
+
+@register(
+    "e1_iceberg_avro",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR)
+                AS DOUBLE) AS sum_price,
+           MIN(o_orderdate) AS first_dt
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def e1_iceberg_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg AVRO DATA-FILE lifecycle (round 9): write an identity-
+    partitioned Iceberg table whose data files are spec-encoded Avro
+    containers (executor-side avro_lite staging, field-id-stamped writer
+    schemas, per-file bounds collected in the write pass since Avro has
+    no footer), RENAME o_totalprice → price (metadata-only), then append
+    a second Avro generation under the new name. The read must resolve
+    columns by FIELD ID against each file's writer schema — pre-rename
+    files surface real values through the renamed column (NULL backfill
+    is the classic silent failure) — decode date/timestamp logical types
+    (days int / local-timestamp-micros long, both NTZ wall-clock), and
+    backfill the identity partition column where present only in the
+    manifest tuple. In-query asserts prove the Avro path actually ran
+    (every planned file AVRO, ≥2 partitions) and that write-pass bounds
+    prune like parquet footers. Oracle: the same aggregate over the
+    source parquet."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    ).where("o_orderkey % 5 = 0")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_avro"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        src.where("o_orderkey % 10 = 0"),
+        path,
+        format_version=2,
+        partition_by=["o_orderpriority"],
+        data_format="avro",
+    )
+    iceberg.rename_iceberg_column(path, "o_totalprice", "price")
+    iceberg.write_iceberg(
+        spark,
+        src.where("o_orderkey % 10 = 5")
+        .withColumnRenamed("o_totalprice", "price"),
+        path,
+        format_version=2,
+        partition_by=["o_orderpriority"],
+        data_format="avro",
+    )
+    meta = iceberg._load_metadata(path)
+    plan, _ = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    if not all((d.get("format") or "PARQUET") == "AVRO" for d in plan):
+        raise RuntimeError("e1_iceberg_avro: non-AVRO data file in plan")
+    if len({tuple(sorted((d.get("partition") or {}).items()))
+            for d in plan}) < 2:
+        raise RuntimeError("e1_iceberg_avro: identity partitioning absent")
+    rep = iceberg.iceberg_scan_report(path, "o_orderkey < 0")
+    if not (rep["eligible"] and rep["kept_files"] == 0):
+        raise RuntimeError(
+            f"e1_iceberg_avro: write-pass bounds did not prune: {rep}"
+        )
+    back = iceberg.read_iceberg(spark, path)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("price").alias("sum_price"),
+            F.min("o_orderdate").alias("first_dt"),
+        )
+        .orderBy("priority")
+    )
 
 
 @register(
@@ -6714,7 +6813,8 @@ _FINAL_ORDER = [
     "e1_stats_join_estimate",  # round 8: sketch-intersection join
                                # cardinality, cross-format, exact oracle
     "e7_pivot",
-    "e12_interpolate",      # round 7: linear interpolation, exact oracle
+    "e1_iceberg_avro",      # round 9: AVRO data files — partitioned write,
+                            # rename, field-id read resolution, exact oracle
     "e17_packing_invariants",  # round 7: FFD packing invariant oracle
     "e1_delta_uniform",     # round 7: UniForm auto-sync, two-format oracle
     # -- kept in-window from round 4
@@ -6787,6 +6887,10 @@ _FINAL_ORDER = [
                               # e13 family keeps stream_from_delta_
                               # partitioned in-window, cdf/session/
                               # stream-stream in the swept tail)
+    "e12_interpolate",        # rotated out r9, displaced by
+                              # e1_iceberg_avro (driver-green r7+r8;
+                              # e12 family keeps feature_upsert + scd2
+                              # in-window)
     "e6_topk_per_group",      # rotated out r8, displaced by
                               # e1_stats_join_estimate (driver-green
                               # r6+r7; e6 family stays via the e6_topk
@@ -6965,7 +7069,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 95, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 96, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
