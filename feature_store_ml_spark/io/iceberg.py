@@ -154,17 +154,18 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
-            if fmt not in ("PARQUET", "AVRO") or (
-                fmt == "AVRO" and is_delete_manifest
+            if fmt not in ("PARQUET", "AVRO", "ORC") or (
+                fmt != "PARQUET" and is_delete_manifest
             ):
                 # AVRO DATA files read through the shipped avro_lite
-                # container reader (round 8, read_iceberg's simple-case
-                # branch); ORC and non-parquet DELETE files stay fail-loud
+                # container reader (round 8), ORC through pyarrow.orc
+                # (round 9) — both in read_iceberg's simple-case branch;
+                # non-parquet DELETE files stay fail-loud
                 raise NotImplementedError(
                     f"{table_root}: {fmt} "
                     f"{'delete' if is_delete_manifest else 'data'} files "
                     "unsupported (parquet"
-                    f"{'' if is_delete_manifest else '/avro'} only)"
+                    f"{'' if is_delete_manifest else '/avro/orc'} only)"
                 )
             p = _localize(df_struct["file_path"], table_root)
             if is_delete_manifest:
@@ -1304,12 +1305,190 @@ def _stage_avro_data(
     ]
 
 
+#: iceberg primitive -> pyarrow type for ORC data files. ORC `timestamp`
+#: is the wall-clock (local) variant — the NTZ twin of parquet's
+#: isAdjustedToUTC=false — so micros survive any session timezone.
+_ICE_TO_PA_ORC = {
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool",
+    "string": "string",
+    "date": "date32",
+    "timestamp": "timestamp_us",
+}
+
+
+def _pa_orc_type(name: str):
+    import pyarrow as pa
+
+    return {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "bool": pa.bool_(),
+        "string": pa.string(),
+        "date32": pa.date32(),
+        "timestamp_us": pa.timestamp("us"),
+    }[name]
+
+
+def _stage_orc_data(
+    spark,
+    df: DataFrame,
+    staging: str,
+    ice_fields: list[dict],
+    partition_by: list[str],
+    derive_cols: dict,
+) -> list[dict]:
+    """Executor-side ORC data-file staging for ``write_iceberg(
+    data_format='orc')`` — the arrow-native sibling of
+    :func:`_stage_avro_data` with the same output contract
+    (``{path, rows, size, pvals, stats}``; stats = per-column
+    [nulls, min, max] PHYSICAL triples, so :func:`_avro_stats_maps`
+    encodes the manifest bounds for both formats).
+
+    Field identity: every arrow field carries ``iceberg.id`` metadata,
+    which pyarrow round-trips as an ORC type attribute — the exact
+    mechanism the Iceberg ORC spec mandates — so reads resolve columns
+    by id (rename-safe), like the parquet footer stamp. Column stats
+    come from vectorized ``pyarrow.compute`` over the staged table (no
+    python row loop); payload bytes never touch the driver."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    pa_kinds: dict[str, str] = {}
+    for f in ice_fields:
+        t = f.get("type")
+        k = _ICE_TO_PA_ORC.get(t) if isinstance(t, str) else None
+        if k is None:
+            raise NotImplementedError(
+                f"write_iceberg(data_format='orc'): column "
+                f"{f.get('name')!r} of type {t!r} has no supported orc "
+                "data encoding (use parquet)"
+            )
+        pa_kinds[f["name"]] = k
+    field_meta = _json.dumps(
+        [[f["name"], pa_kinds[f["name"]], f["id"]] for f in ice_fields]
+    )
+    cols = [f["name"] for f in ice_fields]
+    pcols = [f"_p_{n}" for n in partition_by]
+    if partition_by:
+        df = df.select(
+            "*",
+            *[
+                derive_cols[n].cast("string").alias(f"_p_{n}")
+                for n in partition_by
+            ],
+        )
+
+    def _write_batches(it):
+        import datetime as _dt
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.orc as _orc
+
+        spec = _json.loads(field_meta)
+        schema = _pa.schema(
+            [
+                _pa.field(
+                    n, _pa_orc_type(k), metadata={"iceberg.id": str(fid)}
+                )
+                for n, k, fid in spec
+            ]
+        )
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_ts = _dt.datetime(1970, 1, 1)
+
+        def _phys(v, kind):
+            if v is None:
+                return None
+            if kind == "date32":
+                return (v - epoch_d).days
+            if kind == "timestamp_us":
+                ts = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+                d = ts - epoch_ts
+                return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            return v
+
+        pdfs = [pdf for pdf in it if len(pdf)]
+        out_rows = []
+        if pdfs:
+            full = _pd.concat(pdfs, ignore_index=True)
+            if pcols:
+                groups = full.groupby(pcols, dropna=False, sort=False)
+                parts = [
+                    (keys if isinstance(keys, tuple) else (keys,), g)
+                    for keys, g in groups
+                ]
+            else:
+                parts = [((), full)]
+            for keys, g in parts:
+                tbl = _pa.Table.from_pandas(
+                    g[cols], schema=schema, preserve_index=False
+                )
+                stats = {}
+                for n, k, _fid in spec:
+                    arr = tbl[n]
+                    nulls = arr.null_count
+                    if nulls == len(arr):
+                        stats[n] = [nulls, None, None]
+                        continue
+                    mm = _pc.min_max(arr)
+                    stats[n] = [
+                        nulls,
+                        _phys(mm["min"].as_py(), k),
+                        _phys(mm["max"].as_py(), k),
+                    ]
+                fname = _os.path.join(staging, f"{_uuid.uuid4().hex}.orc")
+                _orc.write_table(tbl, fname)
+                pvals = {
+                    n: (None if _pd.isna(kv) else kv)
+                    for n, kv in zip(partition_by, keys)
+                }
+                out_rows.append(
+                    (
+                        fname,
+                        len(tbl),
+                        _os.path.getsize(fname),
+                        _json.dumps(pvals),
+                        _json.dumps(stats),
+                    )
+                )
+        yield _pd.DataFrame(
+            out_rows, columns=["path", "rows", "size", "pvals", "stats"]
+        )
+
+    os.makedirs(staging, exist_ok=True)
+    res = df.mapInPandas(
+        _write_batches,
+        "path string, rows long, size long, pvals string, stats string",
+    ).collect()  # O(#files) metadata rows — payloads stay executor-side
+    return [
+        {
+            "path": r["path"],
+            "rows": int(r["rows"]),
+            "size": int(r["size"]),
+            "pvals": _json.loads(r["pvals"]),
+            "stats": _json.loads(r["stats"]),
+        }
+        for r in res
+    ]
+
+
 def _avro_stats_maps(stats: dict, fields: list[dict]) -> dict:
-    """Manifest stats maps from an avro staging pass's physical
-    [nulls, min, max] triples — the avro twin of ``_file_stats_maps``
-    (which reads parquet footers). Physical values convert back to their
-    typed form (days -> date, micros -> naive datetime) before the spec's
-    binary single-value bound encoding."""
+    """Manifest stats maps from an avro or orc staging pass's physical
+    [nulls, min, max] triples — the footerless-format twin of
+    ``_file_stats_maps`` (which reads parquet footers). Physical values
+    convert back to their typed form (days -> date, micros -> naive
+    datetime) before the spec's binary single-value bound encoding."""
     import datetime as dt
 
     by_name = {f["name"]: f for f in fields}
@@ -1411,9 +1590,9 @@ def write_iceberg(
     if format_version not in (1, 2):
         raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
     data_format = (data_format or "parquet").lower()
-    if data_format not in ("parquet", "avro"):
+    if data_format not in ("parquet", "avro", "orc"):
         raise ValueError(
-            f"write_iceberg: data_format must be parquet|avro, got {data_format!r}"
+            f"write_iceberg: data_format must be parquet|avro|orc, got {data_format!r}"
         )
     pfields = [parse_partition_field(s) for s in (partition_by or [])]
     partition_by = [f["name"] for f in pfields]
@@ -1642,11 +1821,12 @@ def write_iceberg(
     #: avro-staged files carry their stats from the write pass itself
     #: (no footer to read back); keyed by final path
     avro_stats: dict[str, dict] = {}
-    if data_format == "avro":
+    if data_format in ("avro", "orc"):
         from urllib.parse import quote as _quote
 
         _fields_now = declared["fields"] if existing else _iceberg_fields(df)
-        staged_meta = _stage_avro_data(
+        _stage = _stage_avro_data if data_format == "avro" else _stage_orc_data
+        staged_meta = _stage(
             spark, df, staging, _fields_now, partition_by, derive_cols
         )
         for fm in staged_meta:
@@ -2844,36 +3024,59 @@ def read_iceberg(
             f"{os.path.basename(gone[0])}) — history was expired"
         )
     declared = _declared_spark_schema(meta)
-    avro_entries = [
-        d for d in data if (d.get("format") or "PARQUET") == "AVRO"
-    ]
-    if avro_entries:
-        # AVRO DATA FILES (round 8, partitions + field-id resolution
-        # round 9): scanned distributed through the shipped pure-python
-        # avro_lite reader inside mapInPandas (one task per path batch,
-        # payloads never hit the driver). Columns resolve by FIELD ID
-        # against each file's writer schema (rename-safe, like the
-        # parquet path); identity-partition source columns a file omits
-        # backfill from its manifest partition tuple. Still refused,
-        # loudly: delete content (position ordinals are a
-        # parquet-_metadata concept here), row identity, timestamptz (a
-        # naive pandas value would be re-interpreted in session tz).
-        # Mixed tables union the parquet subset through the normal path.
+    rowfmt_entries: dict[str, list] = {"AVRO": [], "ORC": []}
+    unknown_fmt = set()
+    for d in data:
+        f = d.get("format") or "PARQUET"
+        if f in rowfmt_entries:
+            rowfmt_entries[f].append(d)
+        elif f != "PARQUET":
+            unknown_fmt.add(f)
+    if unknown_fmt:
+        raise NotImplementedError(
+            f"{path}: unsupported data-file format(s) {sorted(unknown_fmt)}"
+        )
+    if rowfmt_entries["AVRO"] or rowfmt_entries["ORC"]:
+        # NON-PARQUET DATA FILES (AVRO round 8, ORC round 9; partitions +
+        # field-id resolution round 9): scanned distributed inside
+        # mapInPandas (one task per path batch, payloads never hit the
+        # driver) — avro via the shipped pure-python avro_lite reader,
+        # orc via pyarrow.orc. Columns resolve by FIELD ID against each
+        # file's writer schema (avro field-id attributes / orc iceberg.id
+        # type attributes — rename-safe, like the parquet path);
+        # identity-partition source columns a file omits backfill from
+        # its manifest partition tuple. Still refused, loudly: delete
+        # content (position ordinals are a parquet-_metadata concept
+        # here), row identity, timestamptz (a naive pandas value would
+        # be re-interpreted in session tz). Mixed tables union the
+        # parquet subset through the normal path.
+        _fmts = "+".join(k for k, v in rowfmt_entries.items() if v)
         if deletes or with_row_identity:
             raise NotImplementedError(
-                f"{path}: AVRO data files with deletes/row-identity are "
-                "unsupported (rewrite to parquet via compact_iceberg "
+                f"{path}: {_fmts} data files with deletes/row-identity "
+                "are unsupported (rewrite to parquet via compact_iceberg "
                 "first)"
             )
         if declared is None:
             raise NotImplementedError(
-                f"{path}: AVRO data files need a declared schema"
+                f"{path}: {_fmts} data files need a declared schema"
             )
-        out = _read_avro_data(spark, avro_entries, declared, meta)
+        outs = []
+        if rowfmt_entries["AVRO"]:
+            outs.append(
+                _read_avro_data(spark, rowfmt_entries["AVRO"], declared, meta)
+            )
+        if rowfmt_entries["ORC"]:
+            outs.append(
+                _read_orc_data(spark, rowfmt_entries["ORC"], declared, meta)
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
         pq_files = [
             d["path"]
             for d in data
-            if (d.get("format") or "PARQUET") != "AVRO"
+            if (d.get("format") or "PARQUET") == "PARQUET"
         ]
         _spec0 = next(
             (
@@ -2885,8 +3088,8 @@ def read_iceberg(
         )
         if pq_files and (_spec0.get("fields") or []):
             raise NotImplementedError(
-                f"{path}: partitioned table mixing AVRO and parquet data "
-                "files — the fast parquet union here skips identity "
+                f"{path}: partitioned table mixing {_fmts} and parquet "
+                "data files — the fast parquet union here skips identity "
                 "backfill; rewrite to one format via compact_iceberg"
             )
         if pq_files:
@@ -5306,29 +5509,17 @@ def rewrite_manifests_iceberg(
             "snapshot_id": snap_id}
 
 
-def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
-    """Distributed scan of AVRO data files via the shipped avro_lite
-    container reader: one mapInPandas over the scan-plan entries, each
-    task decodes its files and projects to the DECLARED schema.
+def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
+    """Shared resolution plan for non-parquet data-file scans (AVRO/ORC):
+    declared column names, decode kinds (by declared Spark type),
+    name -> field-id map from the current schema, and the per-file
+    identity-partition backfill tuples (PHYSICAL encoding — days ints
+    for dates, micros for timestamps — straight from the manifest
+    partition tuple) serialized as JSON for the worker side.
+    timestamptz refuses here for both formats: a naive decoded value
+    would be re-interpreted in the session timezone."""
+    import json as _json
 
-    Column resolution mirrors the parquet path's FIELD-ID contract
-    (spec: column identity is the field id, not the name): each file's
-    WRITER schema is read alongside its records, and a declared column
-    resolves to the file field carrying its id — so files written before
-    a rename (ours or a foreign engine's) still surface real values.
-    When the id is absent from a file that DOES stamp field-ids, the
-    column was provably added after the file and null-fills; files
-    without field-ids fall back to name resolution and FAIL LOUDLY on a
-    missing declared column (null-filling there would silently erase a
-    renamed column's data). Identity-partitioned files may omit their
-    partition source column entirely (spec §Column Projection — Hive
-    layouts and Delta conversions do); values backfill from the
-    manifest partition tuple, which already holds the physical encoding
-    (days ints for dates, micros for timestamps).
-
-    Iceberg logical types decode per the declared column type: date =
-    days-from-epoch int, timestamp = micros long (NTZ — wall clock,
-    timezone-independent). timestamptz refuses upstream."""
     from pyspark.sql.types import (
         DateType,
         DoubleType,
@@ -5339,12 +5530,10 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
         TimestampType,
     )
 
-    import json as _json
-
     for f in declared.fields:
         if isinstance(f.dataType, TimestampType):
             raise NotImplementedError(
-                "timestamptz columns in AVRO data files are unsupported "
+                f"timestamptz columns in {fmt} data files are unsupported "
                 "(naive decode would re-interpret in session timezone)"
             )
     names = [f.name for f in declared.fields]
@@ -5389,6 +5578,37 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
             if k in ident_src
         }
         backfill_json[e["path"]] = _json.dumps(tup)
+    return names, kinds, fid_of, backfill_json
+
+
+def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
+    """Distributed scan of AVRO data files via the shipped avro_lite
+    container reader: one mapInPandas over the scan-plan entries, each
+    task decodes its files and projects to the DECLARED schema.
+
+    Column resolution mirrors the parquet path's FIELD-ID contract
+    (spec: column identity is the field id, not the name): each file's
+    WRITER schema is read alongside its records, and a declared column
+    resolves to the file field carrying its id — so files written before
+    a rename (ours or a foreign engine's) still surface real values.
+    When the id is absent from a file that DOES stamp field-ids, the
+    column was provably added after the file and null-fills; files
+    without field-ids fall back to name resolution and FAIL LOUDLY on a
+    missing declared column (null-filling there would silently erase a
+    renamed column's data). Identity-partitioned files may omit their
+    partition source column entirely (spec §Column Projection — Hive
+    layouts and Delta conversions do); values backfill from the
+    manifest partition tuple, which already holds the physical encoding
+    (days ints for dates, micros for timestamps).
+
+    Iceberg logical types decode per the declared column type: date =
+    days-from-epoch int, timestamp = micros long (NTZ — wall clock,
+    timezone-independent). timestamptz refuses upstream."""
+    import json as _json
+
+    names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
+        declared, meta, entries, "AVRO"
+    )
 
     def _batches(it):
         import datetime as _dt
@@ -5451,6 +5671,109 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
                         )
                     elif kind == "f":
                         out[n] = col.astype("float64")
+                yield out[names]
+
+    paths = [e["path"] for e in entries]
+    pdf = spark.createDataFrame(
+        [(p, backfill_json[p]) for p in paths], "path string, backfill string"
+    ).repartition(min(len(paths), 64))
+    return pdf.mapInPandas(_batches, declared)
+
+
+def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
+    """Distributed scan of ORC data files via ``pyarrow.orc`` inside
+    mapInPandas — the arrow-native sibling of :func:`_read_avro_data`
+    with the identical resolution contract: columns resolve by FIELD ID
+    against each file's schema (the ``iceberg.id`` type attribute, which
+    pyarrow round-trips as arrow field metadata — the mechanism the
+    Iceberg ORC spec mandates); an id absent from an id-stamped file
+    means the column was added after the file and null-fills; files
+    without the attribute fall back to name resolution and FAIL LOUDLY
+    on a missing declared column. Identity-partition source columns a
+    file omits backfill from the manifest partition tuple (physical
+    encoding, decoded per declared type here). ORC's plain ``timestamp``
+    is the wall-clock NTZ variant, so decode is session-timezone-
+    independent; timestamptz refuses in the shared prelude."""
+    import json as _json
+
+    names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
+        declared, meta, entries, "ORC"
+    )
+
+    def _batches(it):
+        import datetime as _dt
+
+        import pandas as _pd
+        import pyarrow.orc as _orc
+
+        epoch_d = _dt.date(1970, 1, 1)
+
+        def _bf_typed(n, v):
+            # backfill values arrive in PHYSICAL encoding; file values
+            # arrive typed from arrow — decode backfill to match
+            if v is None:
+                return None
+            k = kinds.get(n)
+            if k == "date":
+                return epoch_d + _dt.timedelta(days=int(v))
+            if k == "ts":
+                return _pd.Timestamp(int(v), unit="us")
+            return v
+
+        for pdf in it:
+            for p, bf_raw in zip(pdf["path"], pdf["backfill"]):
+                tbl = _orc.ORCFile(p).read()
+                backfill = _json.loads(bf_raw)
+                name_by_fid = {}
+                for fld in tbl.schema:
+                    md = fld.metadata or {}
+                    raw_id = md.get(b"iceberg.id")
+                    if raw_id is not None:
+                        try:
+                            name_by_fid[int(raw_id)] = fld.name
+                        except ValueError:
+                            pass
+                file_names = set(tbl.schema.names)
+                raw = tbl.to_pandas()
+                out = _pd.DataFrame(index=raw.index)
+                for n in names:
+                    fid = fid_of.get(n)
+                    if name_by_fid:
+                        # field-id resolution (rename-safe)
+                        if fid in name_by_fid:
+                            out[n] = raw[name_by_fid[fid]]
+                        elif n in backfill:
+                            out[n] = _bf_typed(n, backfill[n])
+                        else:
+                            # id absent from an id-stamped file: the
+                            # column was added AFTER the file was written
+                            out[n] = None
+                    elif n in file_names:
+                        out[n] = raw[n]
+                    elif n in backfill:
+                        out[n] = _bf_typed(n, backfill[n])
+                    else:
+                        raise ValueError(
+                            f"{p}: declared column {n!r} absent from an "
+                            "ORC data file without iceberg.id attributes "
+                            "— cannot prove it was added after the file "
+                            "(a renamed column would silently read NULL);"
+                            " rewrite to parquet via compact_iceberg"
+                        )
+                for n, kind in kinds.items():
+                    col = out[n]
+                    if kind in ("i32", "i64"):
+                        # int columns with nulls arrive float64 from arrow
+                        out[n] = col.astype(
+                            "Int32" if kind == "i32" else "Int64"
+                        )
+                    elif kind == "f":
+                        out[n] = col.astype("float64")
+                    elif kind == "ts":
+                        # datetime64[ns] from arrow; normalizes backfill
+                        # Timestamp scalars too
+                        out[n] = _pd.to_datetime(col)
+                    # date: typed datetime.date objects already
                 yield out[names]
 
     paths = [e["path"] for e in entries]

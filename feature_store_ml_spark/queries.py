@@ -5031,6 +5031,86 @@ def e1_iceberg_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_multiformat",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+    FROM lineitem
+    WHERE l_orderkey % 4 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def e1_iceberg_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-FORMAT Iceberg table (round 9): one table accumulates an ORC
+    generation (pyarrow.orc staging, iceberg.id type attributes), then a
+    RENAME (l_quantity → qty, metadata-only), then an AVRO generation and
+    a parquet generation under the new name. The read must union all
+    three scan paths — pyarrow.orc / avro_lite / native parquet, each
+    resolving columns by FIELD ID so the pre-rename ORC files surface
+    real values through the renamed column — into one DataFrame whose
+    aggregate hash-matches the plain SQL over the source parquet. Any
+    resolution slip, decode drift (Int64 vs float, micros vs ns) or
+    dropped subset breaks count and hash. In-query assert proves all
+    three formats are actually in the plan."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).where("l_orderkey % 4 = 0")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_multiformat"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        src.where("l_linenumber <= 2"),
+        path,
+        format_version=2,
+        data_format="orc",
+    )
+    iceberg.rename_iceberg_column(path, "l_quantity", "qty")
+    renamed = src.withColumnRenamed("l_quantity", "qty")
+    iceberg.write_iceberg(
+        spark,
+        renamed.where("l_linenumber IN (3, 4)"),
+        path,
+        format_version=2,
+        data_format="avro",
+    )
+    iceberg.write_iceberg(
+        spark,
+        renamed.where("l_linenumber >= 5"),
+        path,
+        format_version=2,
+    )
+    meta = iceberg._load_metadata(path)
+    plan, _ = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    fmts = {(d.get("format") or "PARQUET") for d in plan}
+    if fmts != {"ORC", "AVRO", "PARQUET"}:
+        raise RuntimeError(
+            f"e1_iceberg_multiformat: expected 3 formats in plan, got {fmts}"
+        )
+    back = iceberg.read_iceberg(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("qty").alias("sum_qty"),
+            F.sum("l_linenumber").cast("long").alias("sum_line"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "e14_jpeg_decode",
     """
     WITH dims AS (
@@ -6812,7 +6892,8 @@ _FINAL_ORDER = [
     #    the local sweep (rotation-gated):
     "e1_stats_join_estimate",  # round 8: sketch-intersection join
                                # cardinality, cross-format, exact oracle
-    "e7_pivot",
+    "e1_iceberg_multiformat",  # round 9: ORC+AVRO+parquet in one table,
+                               # rename across formats, exact oracle
     "e1_iceberg_avro",      # round 9: AVRO data files — partitioned write,
                             # rename, field-id read resolution, exact oracle
     "e17_packing_invariants",  # round 7: FFD packing invariant oracle
@@ -6891,6 +6972,10 @@ _FINAL_ORDER = [
                               # e1_iceberg_avro (driver-green r7+r8;
                               # e12 family keeps feature_upsert + scd2
                               # in-window)
+    "e7_pivot",               # rotated out r9, displaced by
+                              # e1_iceberg_multiformat (driver-green
+                              # r6+r7+r8; e7 family stays hash-checked
+                              # in the swept tail)
     "e6_topk_per_group",      # rotated out r8, displaced by
                               # e1_stats_join_estimate (driver-green
                               # r6+r7; e6 family stays via the e6_topk
@@ -7069,7 +7154,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 96, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 97, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

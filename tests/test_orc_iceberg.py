@@ -1,0 +1,265 @@
+"""Iceberg ORC data-file support (round 9): write_iceberg(
+data_format='orc') staging via pyarrow.orc with iceberg.id field
+attributes + write-pass manifest bounds, and the field-id-safe
+distributed read path (_read_orc_data). Mirrors the AVRO round-9
+surface in tests/test_avro_iceberg.py; the formats share the manifest
+stats encoder and the scan prelude."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from feature_store_ml_spark.io import iceberg
+
+
+def test_write_iceberg_orc_roundtrip_and_bounds(spark, tmp_path):
+    """write_iceberg(data_format='orc'): executor-side pyarrow.orc
+    staging with iceberg.id-stamped fields, per-file stats from the same
+    pass (vectorized pyarrow.compute, no ORC footer API needed), manifest
+    entries marked ORC — readable back with typed decode, and bounds
+    pruning engages exactly like the parquet path."""
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                None if i == 5 else f"n{i}",
+                dt.date(2024, 1, 1 + i % 3),
+                dt.datetime(2024, 1, 1, 0, 0, i),
+                i / 4.0,
+                i % 2 == 0,
+            )
+            for i in range(20)
+        ],
+        "id long, name string, d date, ts timestamp_ntz, v double, flag boolean",
+    )
+    root = str(tmp_path / "orc_rt")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    back = iceberg.read_iceberg(spark, root)
+    assert back.count() == 20
+    r = back.where("id = 7").collect()[0]
+    assert r.name == "n7"
+    assert r.d == dt.date(2024, 1, 2)
+    assert r.ts == dt.datetime(2024, 1, 1, 0, 0, 7)
+    assert r.v == 1.75 and r.flag is False
+    assert back.where("name IS NULL").count() == 1
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)
+    assert all(d["format"] == "ORC" for d in data)
+    assert all(d.get("lower_bounds") for d in data)
+    rep = iceberg.iceberg_scan_report(root, "id >= 1000")
+    assert rep["eligible"] and rep["kept_files"] == 0
+    # appends compose
+    iceberg.write_iceberg(
+        spark, df.where("id < 3"), root, format_version=2, data_format="orc"
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 23
+
+
+def test_write_iceberg_orc_partitioned_prunes(spark, tmp_path):
+    """Identity-partitioned ORC table: typed partition tuples in the
+    manifest, partition pruning engages, values roundtrip."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", dt.date(2024, 1, 1 + i % 3)) for i in range(30)],
+        "id long, name string, d date",
+    ).coalesce(2)
+    root = str(tmp_path / "orc_part")
+    iceberg.write_iceberg(
+        spark, df, root, format_version=2, data_format="orc", partition_by=["d"]
+    )
+    back = iceberg.read_iceberg(spark, root)
+    assert back.count() == 30
+    rep = iceberg.iceberg_scan_report(root, "d = DATE '2024-01-02'")
+    assert rep["eligible"] and 0 < rep["kept_files"] < rep["total_files"]
+    got = iceberg.read_iceberg(spark, root, where="d = DATE '2024-01-02'")
+    assert got.count() == 10
+    assert {r.id % 3 for r in got.collect()} == {1}
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)
+    days = {d["partition"]["d"] for d in data}
+    assert days == {19723, 19724, 19725}
+
+
+def test_orc_field_id_resolution_after_rename(spark, tmp_path):
+    """ORC columns must resolve by the iceberg.id type attribute, not
+    name — after rename_iceberg_column the old files keep the old name
+    and a name-based read would silently null the column."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    root = str(tmp_path / "orc_ren")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    iceberg.rename_iceberg_column(root, "name", "label")
+    rows = {r.id: r.label for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {1: "a", 2: "b"}
+    # and a post-rename ORC generation mixes with the pre-rename one
+    df2 = spark.createDataFrame([(3, "c")], "id long, label string")
+    iceberg.write_iceberg(spark, df2, root, format_version=2, data_format="orc")
+    rows = {r.id: r.label for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_orc_column_added_after_file_null_fills(spark, tmp_path):
+    """An iceberg.id absent from an id-stamped file means the column was
+    added AFTER the file — null-fill is provably correct there."""
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    root = str(tmp_path / "orc_evo")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    df2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, v double")
+    iceberg.write_iceberg(
+        spark, df2, root, format_version=2, data_format="orc", merge_schema=True
+    )
+    rows = {r.id: r for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows[1].v is None and rows[2].v == 9.5
+
+
+def test_orc_missing_column_without_ids_fails_loud(spark, tmp_path):
+    """A foreign ORC file without iceberg.id attributes resolves by name
+    and must FAIL LOUDLY on a missing declared column (null-filling
+    would silently erase a renamed column's data)."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    root = str(tmp_path / "orc_foreign")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    # overwrite the data file with an attribute-less ORC file missing
+    # the 'name' column entirely
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)
+    target = data[0]["path"]
+    orc.write_table(pa.table({"id": pa.array([1], pa.int64())}), target)
+    with pytest.raises(Exception, match="absent from an ORC data file"):
+        iceberg.read_iceberg(spark, root).collect()
+
+
+def test_orc_foreign_file_name_resolution_works(spark, tmp_path):
+    """A foreign attribute-less ORC file whose names all match the
+    declared schema reads by name (the name-mapping escape hatch)."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    root = str(tmp_path / "orc_foreign_ok")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)
+    target = data[0]["path"]
+    orc.write_table(
+        pa.table(
+            {"id": pa.array([7], pa.int64()), "name": pa.array(["z"])}
+        ),
+        target,
+    )
+    rows = iceberg.read_iceberg(spark, root).collect()
+    assert len(rows) == 1 and rows[0].id == 7 and rows[0].name == "z"
+
+
+def test_orc_with_deletes_refuses(spark, tmp_path):
+    """Delete content on an ORC table refuses loudly (position ordinals
+    are applied through the parquet scan machinery)."""
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "id long, name string")
+    root = str(tmp_path / "orc_del")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    with pytest.raises(NotImplementedError, match="ORC"):
+        iceberg.delete_iceberg(spark, root, "id = 3")
+        iceberg.read_iceberg(spark, root).collect()
+
+
+def test_orc_mixed_with_parquet_unpartitioned_unions(spark, tmp_path):
+    """Unpartitioned mixed ORC+parquet tables union both subsets."""
+    df = spark.createDataFrame([(1, "o")], "id long, name string")
+    root = str(tmp_path / "orc_mixed")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(2, "p")], "id long, name string"),
+        root,
+        format_version=2,
+    )
+    rows = {r.id: r.name for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {1: "o", 2: "p"}
+
+
+def test_orc_avro_parquet_three_format_union(spark, tmp_path):
+    """One unpartitioned table carrying all three data-file formats reads
+    as the union of the three subsets."""
+    root = str(tmp_path / "tri")
+    mk = lambda i, n: spark.createDataFrame([(i, n)], "id long, name string")
+    iceberg.write_iceberg(spark, mk(1, "orc"), root, format_version=2, data_format="orc")
+    iceberg.write_iceberg(spark, mk(2, "avro"), root, format_version=2, data_format="avro")
+    iceberg.write_iceberg(spark, mk(3, "parquet"), root, format_version=2)
+    rows = {r.id: r.name for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {1: "orc", 2: "avro", 3: "parquet"}
+
+
+def test_orc_compact_rewrites_to_parquet(spark, tmp_path):
+    """compact_iceberg reads the ORC table through the masked scan and
+    rewrites to parquet — the stated escape hatch for every ORC
+    refusal."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i / 2.0) for i in range(12)], "id long, name string, v double"
+    )
+    root = str(tmp_path / "orc_compact")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    iceberg.compact_iceberg(spark, root)
+    meta = iceberg._load_metadata(root)
+    data, _ = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)
+    assert all(d["format"] == "PARQUET" for d in data)
+    back = iceberg.read_iceberg(spark, root)
+    assert back.count() == 12
+    assert back.where("id = 11").collect()[0].v == 5.5
+
+
+def test_orc_timestamp_ntz_is_session_tz_independent(spark, tmp_path):
+    """ORC plain timestamp is wall-clock: the decoded value must not
+    shift with the session timezone (the reason timestamptz refuses)."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 30, 45))], "id long, ts timestamp_ntz"
+    )
+    root = str(tmp_path / "orc_ntz")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = iceberg.read_iceberg(spark, root).collect()[0].ts
+            assert got == dt.datetime(2024, 6, 1, 12, 30, 45), tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_orc_nullable_int_column_roundtrip(spark, tmp_path):
+    """Nullable long columns (float64-with-NaN through arrow) survive
+    the staging and read coercions losslessly."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 2**40)], "id long, v long"
+    )
+    root = str(tmp_path / "orc_nullint")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    rows = {r.id: r.v for r in iceberg.read_iceberg(spark, root).collect()}
+    assert rows == {1: 10, 2: None, 3: 2**40}
+
+
+def test_write_orc_unsupported_type_fails_loud(spark, tmp_path):
+    # binary maps to an iceberg primitive but has no ORC encoding in
+    # this writer — the format-specific gate must refuse it
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, b binary")
+    with pytest.raises(NotImplementedError, match="orc"):
+        iceberg.write_iceberg(
+            spark, df, str(tmp_path / "orc_bad"), format_version=2,
+            data_format="orc",
+        )
+
+
+def test_incremental_analyze_orc_falls_back(spark, tmp_path):
+    """incremental ANALYZE over a table with ORC files must fall back to
+    the full scan (footer probe would raise ArrowInvalid) and still
+    produce correct NDVs."""
+    root = str(tmp_path / "orc_analyze")
+    df = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    iceberg.analyze_iceberg(spark, root, columns=["k"], k=1024)
+    df2 = spark.createDataFrame([(100 + i,) for i in range(5)], "k long")
+    iceberg.write_iceberg(spark, df2, root, format_version=2, data_format="orc")
+    iceberg.analyze_iceberg(spark, root, columns=["k"], k=1024, incremental=True)
+    st = iceberg.table_statistics(root)
+    assert st["ndv"]["k"] == 12
