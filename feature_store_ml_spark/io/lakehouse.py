@@ -363,6 +363,20 @@ def _physical_names(meta: dict) -> dict[str, str]:
     }
 
 
+def _stage_partition_names(meta: dict) -> dict[str, str]:
+    """Logical -> the name a STAGING write's partition dirs must carry:
+    physicalName when the table is column-mapped in EITHER mode (ID-mode
+    partition directories and partitionValues use physical names exactly
+    like name mode — resolving by field id is a data-column concept),
+    identity otherwise. ``_column_mapping(meta) or {}`` is WRONG here: it
+    deliberately returns None for ID mode, which left ID-mode partitioned
+    DML staging under logical names that don't exist in the physical
+    frame."""
+    if meta.get("schemaString") and _mapping_mode(meta):
+        return _physical_names(meta)
+    return {}
+
+
 def _manifest_rows(f: str, log: str, follow_sidecars: bool = False):
     """Action rows of one checkpoint manifest file — parquet or the V2
     JSON-lines form (both are legal manifests; callers that assumed
@@ -1675,7 +1689,7 @@ def compact_delta(
             # — if most partitions were oversized, per-partition targets
             # would all be 1 at a sane target_file_bytes anyway
             salt = F.lit(0)
-            _sm = _column_mapping(meta) or {}
+            _sm = _stage_partition_names(meta)
             for rel_dir, n in oversized.items():
                 # dir components carry PHYSICAL names on a mapped table;
                 # `live` (via _scan_files) carries logical ones
@@ -1704,7 +1718,7 @@ def compact_delta(
             routed = routed.sortWithinPartitions(*part_cols, "_zkey").drop("_zkey")
         else:
             routed = routed.drop("_salt")
-        _m = _column_mapping(meta) or {}
+        _m = _stage_partition_names(meta)
         _to_physical(routed, meta).write.partitionBy(
             *[_m.get(c, c) for c in part_cols]
         ).parquet(staging)
@@ -3575,34 +3589,20 @@ def _merge_rewrite(
     else:
         from urllib.parse import unquote, urlparse
 
-        # Touched-file discovery needs the hidden _metadata column, which a
-        # projection would drop — so the scan here is raw (basePath when
-        # partitioned, since a key may BE a partition column whose values
-        # live only in the dir names), with keys cast to their declared
-        # types so the semi-join matches the source exactly.
-        _mapping = _column_mapping(meta) or {}
-        if part_cols:
-            raw = spark.read.option("basePath", path).parquet(*files)
-        elif _mapping:
-            # data files carry PHYSICAL names: reading them through the
-            # logical declared schema would null out every renamed column
-            # — including a renamed MERGE KEY, silently matching nothing
-            from pyspark.sql.types import StructField, StructType
-
-            physical = StructType(
-                [
-                    StructField(_mapping.get(f.name, f.name), f.dataType, f.nullable)
-                    for f in declared.fields
-                ]
-            )
-            raw = spark.read.schema(physical).parquet(*files)
-        else:
-            raw = spark.read.schema(declared).parquet(*files)
-        target = raw.select(
-            *[
-                F.col(_mapping.get(k, k)).cast(declared_types[k]).alias(k)
-                for k in keys
-            ],
+        # Touched-file discovery through the ONE shared scan primitive:
+        # _scan_files resolves every table shape correctly — declared-
+        # schema reads (schema evolution backfill), name-mode physical
+        # names, ID-mode field-id footer grouping (a raw declared read of
+        # ID-mode files nulls every key and the merge silently inserts
+        # everything), Hive and non-Hive partition layouts (a key may BE
+        # a partition column), and DV masks (a file whose only matching
+        # rows are already deleted is not touched). with_metadata
+        # materializes file_path before any union, keys cast to their
+        # declared types so the semi-join matches the source exactly.
+        target = _scan_files(
+            spark, path, files, meta, adds_map, with_metadata=True
+        ).select(
+            *[F.col(k).cast(declared_types[k]).alias(k) for k in keys],
             F.col("_metadata.file_path").alias("_fp"),
         )
         touched_abs = [
@@ -3970,7 +3970,7 @@ def _merge_rewrite(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     stage_writer = _to_physical(new_rows, meta).write
     if part_cols:
-        _m = _column_mapping(meta) or {}
+        _m = _stage_partition_names(meta)
         stage_writer = stage_writer.partitionBy(
             *[_m.get(c, c) for c in part_cols]
         )
@@ -4558,7 +4558,7 @@ def update_delta(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     stage_writer = _to_physical(new_rows, meta).write
     if part_cols:
-        _m = _column_mapping(meta) or {}
+        _m = _stage_partition_names(meta)
         stage_writer = stage_writer.partitionBy(
             *[_m.get(c, c) for c in part_cols]
         )
@@ -4757,7 +4757,7 @@ def overwrite_delta_where(
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
     stage_writer = _to_physical(new_rows, meta).write
     if part_cols:
-        _m = _column_mapping(meta) or {}
+        _m = _stage_partition_names(meta)
         stage_writer = stage_writer.partitionBy(
             *[_m.get(c, c) for c in part_cols]
         )
