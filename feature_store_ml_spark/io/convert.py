@@ -517,6 +517,13 @@ def convert_delta_to_iceberg(
         _types_stable = all(
             _prior_types.get(f["id"]) == f["type"] for f in fields
         )
+    #: prior manifest-list DATA rows with their member paths — the unit
+    #: of incremental carry (a manifest untouched by this commit's
+    #: removals rides the new manifest list verbatim, never reread or
+    #: rewritten); delete rows carry by dv-state fingerprint
+    prior_data_rows: list[tuple[dict, set]] = []
+    prior_delete_rows: list[dict] = []
+    prior_dv_state = None
     if prior_ice is not None and prior_ice.get("snapshots") and _types_stable:
         _pcur = prior_ice.get("current-snapshot-id")
         _psnap = next(
@@ -524,20 +531,31 @@ def convert_delta_to_iceberg(
             None,
         )
         if _psnap is not None:
+            prior_dv_state = (_psnap.get("summary") or {}).get(
+                "delta-dv-state"
+            )
             for _e in avro_lite.read_container(
                 iceberg._localize(_psnap["manifest-list"], path)
             ):
+                if (_e.get("content", 0) or 0) == 1:
+                    # delete manifest: contents regenerate from live DVs
+                    # (or carry verbatim on dv-state match) — no need to
+                    # decode its entries
+                    prior_delete_rows.append(dict(_e))
+                    continue
+                _mpaths: set = set()
                 for _m in avro_lite.read_container(
                     iceberg._localize(_e["manifest_path"], path)
                 ):
                     _df = _m.get("data_file") or {}
                     if _df.get("content", 0) != 0:
-                        continue  # delete content regenerates from live DVs
-                    prior_entries[
-                        os.path.abspath(
-                            iceberg._localize_decoded(_df["file_path"], path)
-                        )
-                    ] = _df
+                        continue
+                    _ap = os.path.abspath(
+                        iceberg._localize_decoded(_df["file_path"], path)
+                    )
+                    prior_entries[_ap] = _df
+                    _mpaths.add(_ap)
+                prior_data_rows.append((dict(_e), _mpaths))
     # stats fold by FOOTER column name — physical names on mapped tables
     stats_fields = (
         [{**f, "name": phys[f["name"]]} for f in fields]
@@ -618,34 +636,28 @@ def convert_delta_to_iceberg(
     spec_same_inc = prior_ice is not None and _prior_specs.get(
         prior_ice.get("default-spec-id", 0)
     ) == spec_fields
-    incremental = bool(
+    _carry_ok = bool(
         prior_ice is not None
         and prior_ice.get("snapshots")
         and _types_stable
         and schema_same_inc
         and spec_same_inc
-        and not removed_since
     )
-    prior_ml_data: list[dict] = []
-    prior_ml_deletes: list[dict] = []
-    prior_dv_state = None
-    if incremental:
-        _pcur2 = prior_ice.get("current-snapshot-id")
-        _psnap2 = next(
-            s for s in prior_ice["snapshots"] if s["snapshot-id"] == _pcur2
-        )
-        prior_dv_state = (_psnap2.get("summary") or {}).get("delta-dv-state")
-        for _e in avro_lite.read_container(
-            iceberg._localize(_psnap2["manifest-list"], path)
-        ):
-            (prior_ml_deletes if _e.get("content", 0) == 1
-             else prior_ml_data).append(dict(_e))
+    incremental = _carry_ok and not removed_since
+    # REWRITE commits (merge/update/compact/replaceWhere remove files):
+    # carry every prior manifest whose members are all still live, and
+    # rewrite ONLY the manifests that reference a removed file (their
+    # survivors re-emit under the ORIGINAL row sequence number, so
+    # carried position deletes keep scoping exactly as before). Write
+    # cost per commit drops from O(#table-files) to O(files in touched
+    # manifests + adds).
+    incremental_rm = _carry_ok and bool(removed_since)
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
         carried = prior_entries.get(os.path.abspath(abs_p))
         if carried is not None:
-            if incremental:
-                continue  # rides its prior manifest file verbatim
+            if incremental or incremental_rm:
+                continue  # rides its prior (or rewritten) manifest file
             entries.append(
                 {"status": 1, "snapshot_id": snap_id, "data_file": carried}
             )
@@ -691,8 +703,46 @@ def convert_delta_to_iceberg(
     # carried manifest-list rows keep their recorded sequence numbers and
     # added_snapshot_id: new data files get seq > any carried delete's
     # seq, so old position deletes never leak onto post-append files
-    ml_entries = list(prior_ml_data) if incremental else []
-    if entries or not incremental:
+    ml_entries: list[dict] = []
+    if incremental:
+        ml_entries = [row for row, _paths in prior_data_rows]
+    elif incremental_rm:
+        for row, mpaths in prior_data_rows:
+            if not (mpaths & removed_since):
+                ml_entries.append(row)  # untouched — carried verbatim
+                continue
+            survivors = [p for p in sorted(mpaths) if p not in removed_since]
+            if not survivors:
+                continue  # whole manifest removed
+            mf_rw = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+            avro_lite.write_container(
+                mf_rw,
+                iceberg._manifest_entry_schema(2, partition_fields),
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "data_file": prior_entries[p],
+                    }
+                    for p in survivors
+                ],
+            )
+            ml_entries.append(
+                {
+                    "manifest_path": f"file:{mf_rw}",
+                    "manifest_length": os.path.getsize(mf_rw),
+                    "partition_spec_id": row.get("partition_spec_id", 0),
+                    "added_snapshot_id": snap_id,
+                    "content": 0,
+                    # survivors keep their ORIGINAL sequence so carried
+                    # delete manifests scope exactly as before
+                    "sequence_number": row.get("sequence_number", 0),
+                    "min_sequence_number": row.get(
+                        "min_sequence_number", row.get("sequence_number", 0)
+                    ),
+                }
+            )
+    if entries or not (incremental or incremental_rm):
         manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         avro_lite.write_container(
             manifest,
@@ -710,10 +760,16 @@ def convert_delta_to_iceberg(
                 "min_sequence_number": seq,
             }
         )
-    if incremental and prior_dv_state is not None and dv_state == prior_dv_state:
+    if (
+        (incremental or incremental_rm)
+        and prior_dv_state is not None
+        and dv_state == prior_dv_state
+    ):
         # every DV unchanged since the prior sync: its delete files and
-        # manifests describe the same masks — carry them verbatim
-        ml_entries.extend(prior_ml_deletes)
+        # manifests describe the same masks — carry them verbatim (safe
+        # under incremental_rm too: rewritten data manifests keep their
+        # original sequence numbers, so delete scoping is unchanged)
+        ml_entries.extend(prior_delete_rows)
     elif dv_descs:
         # pos deletes at the SAME sequence as the data manifest: the spec
         # scopes position deletes to data files with seq <= theirs, so a

@@ -2420,10 +2420,14 @@ def _uniform_sync(
     ``delta.universalFormat.enabledFormats`` to include ``iceberg``, every
     committed mutation re-generates the Iceberg view of the new snapshot
     so the same directory keeps reading as either format — the per-commit
-    shape of Delta UniForm, implemented as a converter refresh (a full
-    live-set re-sync: O(#files) driver metadata per commit, vs real
-    UniForm's incremental action translation — good to ~10^5 files; the
-    incremental path is the next scale step). A sync failure surfaces
+    shape of Delta UniForm, implemented as a converter refresh. The
+    refresh is INCREMENTAL for every commit shape (round 9): append-only
+    and DV-only commits carry the prior manifests verbatim; rewrite
+    commits (merge/update/compact/replaceWhere) carry untouched
+    manifests and rewrite only the ones referencing a removed file, so
+    per-commit write cost is O(files in touched manifests + adds), not
+    O(#table-files). Only a schema/spec/type change since the prior sync
+    falls back to the full single-manifest rebuild. A sync failure surfaces
     AFTER the Delta commit: the Delta table is valid and the error says
     the Iceberg view is stale — UniForm's own convert-on-commit error
     surface. Zero cost when the property is unset.

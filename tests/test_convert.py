@@ -728,3 +728,120 @@ def test_refresh_reuses_prior_manifest_files(spark, tmp_path):
         "removed files must force a fresh manifest set"
     )
     assert _rows(iceberg.read_iceberg(spark, root).select("id", "v")) == got
+
+
+def test_rewrite_commit_sync_is_incremental(spark, tmp_path):
+    """VERDICT r8 item 3: a REWRITE commit's UniForm sync (merge/update/
+    compact remove files) must carry every untouched prior manifest
+    verbatim and rewrite ONLY the manifests referencing a removed file —
+    with survivors keeping their ORIGINAL sequence numbers so carried
+    position-delete manifests scope exactly as before."""
+    from feature_store_ml_spark.io import avro_lite
+
+    root = str(tmp_path / "rwinc")
+    # three separate appends of TWO files each → three 2-entry data
+    # manifests after three syncs
+    for lo in (0, 100, 200):
+        lakehouse.write_delta(
+            spark,
+            spark.range(lo, lo + 50)
+            .select("id", (F.col("id") * 2).alias("v"))
+            .repartition(2),
+            root,
+            mode="append" if lo else "overwrite",
+        )
+        convert.convert_delta_to_iceberg(spark, root, refresh=lo > 0)
+    m0 = _manifest_paths(root)
+    assert len([n for n, c, _s in m0 if c == 0]) == 3
+    # DV-delete a row in a range the later update won't touch — the
+    # delete manifest must survive the rewrite sync untouched
+    lakehouse.delete_delta(spark, root, "id = 7")
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m1 = _manifest_paths(root)
+    del1 = {n for n, c, _s in m1 if c == 1}
+    assert del1, "DV sync must produce a delete manifest"
+    # pick ONE data file of the 200-range manifest and UPDATE exactly its
+    # rows (ids living outside the DV'd file): one file removed + one
+    # added, ONE manifest rewritten with one survivor, two carried
+    target_mf = None
+    target_ids = None
+    for n, c, _s in m1:
+        if c != 0:
+            continue
+        rows = avro_lite.read_container(os.path.join(root, "metadata", n))
+        fpaths = [
+            iceberg._localize_decoded(r["data_file"]["file_path"], root)
+            for r in rows
+        ]
+        ids0 = {r.id for r in spark.read.parquet(fpaths[0]).collect()}
+        if ids0 and all(i >= 200 for i in ids0):
+            target_mf, target_ids = n, sorted(ids0)
+            break
+    assert target_mf is not None and target_ids
+    lakehouse.update_delta(
+        spark,
+        root,
+        {"v": "v + 1"},
+        where=f"id in ({', '.join(map(str, target_ids))})",
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m2 = _manifest_paths(root)
+    names0 = {n for n, c, _s in m1 if c == 0}
+    names2 = {n for n, c, _s in m2 if c == 0}
+    carried = names0 & names2
+    assert len(carried) == 2 and target_mf not in carried, (
+        f"exactly the two untouched manifests must carry verbatim: "
+        f"{names0} -> {names2}"
+    )
+    # the rewritten manifest keeps the ORIGINAL sequence number (delete
+    # scoping), holds only the survivor; the added file's manifest gets
+    # the new sequence
+    seq_by_name1 = {n: s for n, c, s in m1 if c == 0}
+    seq_by_name2 = {n: s for n, c, s in m2 if c == 0}
+    new_mfs = sorted(names2 - names0)
+    old_seqs = set(seq_by_name1.values())
+    rewritten = [n for n in new_mfs if seq_by_name2[n] in old_seqs]
+    fresh = [n for n in new_mfs if seq_by_name2[n] not in old_seqs]
+    assert len(rewritten) == 1 and len(fresh) == 1
+    assert seq_by_name2[rewritten[0]] == seq_by_name1[target_mf]
+    surv_rows = avro_lite.read_container(
+        os.path.join(root, "metadata", rewritten[0])
+    )
+    assert len(surv_rows) == 1
+    # the carried DELETE manifest rides verbatim (dv-state unchanged)
+    assert {n for n, c, _s in m2 if c == 1} == del1
+    # and the DV'd row stays masked, the update applied, both formats agree
+    ice = _rows(iceberg.read_iceberg(spark, root).select("id", "v"))
+    dlt = _rows(lakehouse.read_delta(spark, root).select("id", "v"))
+    assert ice == dlt
+    assert len(ice) == 149  # 150 - 1 DV'd
+    tset = set(target_ids)
+    assert all(v == (2 * i + 1 if i in tset else 2 * i) for i, v in ice)
+
+
+def test_compact_sync_drops_whole_manifests(spark, tmp_path):
+    """A compaction that replaces EVERY file still syncs incrementally:
+    all prior data manifests vanish (no survivors), one new manifest
+    holds the compacted files, and the view stays identical."""
+    root = str(tmp_path / "cmpinc")
+    for lo in (0, 100):
+        lakehouse.write_delta(
+            spark,
+            spark.range(lo, lo + 40)
+            .select("id", (F.col("id") % 5).alias("v"))
+            .repartition(2),
+            root,
+            mode="append" if lo else "overwrite",
+        )
+        convert.convert_delta_to_iceberg(spark, root, refresh=lo > 0)
+    names_before = {n for n, c, _s in _manifest_paths(root) if c == 0}
+    lakehouse.compact_delta(spark, root)
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    m = _manifest_paths(root)
+    names_after = {n for n, c, _s in m if c == 0}
+    assert not (names_before & names_after), (
+        "every prior manifest lost all members — none may carry"
+    )
+    assert _rows(iceberg.read_iceberg(spark, root).select("id", "v")) == _rows(
+        lakehouse.read_delta(spark, root).select("id", "v")
+    )
