@@ -150,6 +150,38 @@ def read_container_with_schema(path: str) -> tuple[dict, list[dict]]:
     return _read_container(path)
 
 
+def count_container_records(path: str) -> int:
+    """Total record count of an Avro container from the BLOCK HEADERS
+    alone — each block leads with (count, byte-size), so the payload is
+    seeked past, never decoded. O(#blocks) IO: the cheap cardinality
+    probe join-strategy decisions need (the Avro twin of a parquet
+    footer's num_rows)."""
+    with open(path, "rb") as fh:
+        if fh.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        while True:
+            n = _read_long(fh)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                _read_long(fh)
+            for _ in range(n):
+                _read_bytes(fh)  # key
+                _read_bytes(fh)  # value
+        fh.read(16)  # sync marker
+        total = 0
+        while True:
+            head = fh.read(1)
+            if not head:
+                return total
+            fh.seek(-1, 1)
+            total += _read_long(fh)
+            fh.seek(_read_long(fh), 1)  # skip payload bytes
+            if len(fh.read(16)) != 16:
+                raise ValueError(f"{path}: truncated block (corrupt file)")
+
+
 def _read_container(path: str) -> tuple[dict, list[dict]]:
     with open(path, "rb") as fh:
         if fh.read(4) != _MAGIC:

@@ -222,11 +222,47 @@ def _pos_deletes_to_bitmaps(
     # percent-ENCODED, while del_rows is built from raw driver abspaths —
     # a special-char table root would make the _src join match nothing
     # and silently drop every position delete from the converted DVs
-    raw = spark.read.parquet(*[d["path"] for d in deletes]).select(
-        "file_path",
-        "pos",
-        iceberg._decoded_meta_path([d["path"] for d in deletes]).alias("_src"),
+    _pq_dels, _avro_dels = iceberg._split_delete_files_by_magic(
+        [d["path"] for d in deletes]
     )
+    raw = None
+    if _pq_dels:
+        raw = spark.read.parquet(*_pq_dels).select(
+            "file_path",
+            "pos",
+            iceberg._decoded_meta_path(_pq_dels).alias("_src"),
+        )
+    if _avro_dels:
+        # foreign AVRO position deletes (round 9): the source path is
+        # emitted directly (it IS the driver abspath del_rows keys on)
+
+        def _avro_batches(it):
+            import os as _os
+
+            import pandas as _pd
+
+            from feature_store_ml_spark.io import avro_lite as _avro
+
+            for pdf in it:
+                for p in pdf["path"]:
+                    rows = _avro.read_container(p)
+                    yield _pd.DataFrame(
+                        {
+                            "file_path": [str(r["file_path"]) for r in rows],
+                            "pos": [int(r["pos"]) for r in rows],
+                            "_src": [f"file:{_os.path.abspath(p)}"]
+                            * len(rows),
+                        }
+                    )
+
+        avro_raw = (
+            spark.createDataFrame([(p,) for p in _avro_dels], "path string")
+            .repartition(min(len(_avro_dels), 64))
+            .mapInPandas(
+                _avro_batches, "file_path string, pos long, _src string"
+            )
+        )
+        raw = avro_raw if raw is None else raw.unionByName(avro_raw)
     src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
     distinct = [
         r["file_path"] for r in raw.select("file_path").distinct().collect()

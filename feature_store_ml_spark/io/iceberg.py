@@ -154,18 +154,22 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
-            if fmt not in ("PARQUET", "AVRO", "ORC") or (
-                fmt != "PARQUET" and is_delete_manifest
+            _del_ok = fmt == "PARQUET" or (fmt == "AVRO" and content == 1)
+            if (is_delete_manifest and not _del_ok) or (
+                not is_delete_manifest and fmt not in ("PARQUET", "AVRO", "ORC")
             ):
                 # AVRO DATA files read through the shipped avro_lite
                 # container reader (round 8), ORC through pyarrow.orc
-                # (round 9) — both in read_iceberg's simple-case branch;
-                # non-parquet DELETE files stay fail-loud
+                # (round 9), AVRO POSITION deletes through the same
+                # container reader (round 9 — _join_out_positions sniffs
+                # the magic); equality deletes and ORC deletes stay
+                # fail-loud
                 raise NotImplementedError(
                     f"{table_root}: {fmt} "
                     f"{'delete' if is_delete_manifest else 'data'} files "
                     "unsupported (parquet"
-                    f"{'' if is_delete_manifest else '/avro/orc'} only)"
+                    f"{'/avro position' if is_delete_manifest else '/avro/orc'}"
+                    " only)"
                 )
             p = _localize(df_struct["file_path"], table_root)
             if is_delete_manifest:
@@ -393,6 +397,64 @@ def _field_id_map(meta: dict) -> dict[int, str]:
     }
 
 
+def _split_delete_files_by_magic(delete_files: list[str]) -> tuple[list, list]:
+    """(parquet_files, avro_files) by container magic — 4 driver-side
+    bytes per delete file, O(#delete files). Position deletes are
+    format-agnostic in the spec; foreign writers (Flink's default until
+    1.x) emit them as Avro containers, ours as parquet."""
+    pq_files: list[str] = []
+    avro_files: list[str] = []
+    for f in delete_files:
+        with open(f, "rb") as fh:
+            magic = fh.read(4)
+        if magic == b"Obj\x01":
+            avro_files.append(f)
+        else:
+            pq_files.append(f)
+    return pq_files, avro_files
+
+
+def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
+    """(file_path, pos) rows of position-delete files, DISTRIBUTED —
+    parquet via the native scan, Avro containers via avro_lite inside
+    mapInPandas (one task per path batch; the pairs never hit the
+    driver). Mixed sets union."""
+    pq_files, avro_files = _split_delete_files_by_magic(delete_files)
+    parts = []
+    if pq_files:
+        parts.append(
+            spark.read.parquet(*pq_files).select("file_path", "pos")
+        )
+    if avro_files:
+
+        def _batches(it):
+            import pandas as _pd
+
+            from feature_store_ml_spark.io import avro_lite as _avro
+
+            for pdf in it:
+                for p in pdf["path"]:
+                    rows = _avro.read_container(p)
+                    yield _pd.DataFrame(
+                        {
+                            "file_path": [str(r["file_path"]) for r in rows],
+                            "pos": [int(r["pos"]) for r in rows],
+                        }
+                    )
+
+        parts.append(
+            spark.createDataFrame(
+                [(p,) for p in avro_files], "path string"
+            )
+            .repartition(min(len(avro_files), 64))
+            .mapInPandas(_batches, "file_path string, pos long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _join_out_positions(
     spark: SparkSession, table_root: str, tagged: DataFrame, delete_files: list[str]
 ) -> DataFrame:
@@ -413,7 +475,7 @@ def _join_out_positions(
     shuffle join for genuinely huge ones."""
     from pyspark.sql import functions as F
 
-    del_df = spark.read.parquet(*delete_files).select("file_path", "pos")
+    del_df = _read_pos_delete_pairs(spark, delete_files)
     distinct_paths = [
         r["file_path"]
         for r in del_df.select("file_path").distinct().collect()
@@ -434,9 +496,10 @@ def _join_out_positions(
     # AQE (shuffle join) rather than OOM a forced broadcast.
     import pyarrow.parquet as pq
 
+    _pq_d, _avro_d = _split_delete_files_by_magic(delete_files)
     total_rows = sum(
-        pq.ParquetFile(f).metadata.num_rows for f in delete_files
-    )
+        pq.ParquetFile(f).metadata.num_rows for f in _pq_d
+    ) + sum(avro_lite.count_container_records(f) for f in _avro_d)
     if total_rows <= 5_000_000:
         deleted = F.broadcast(deleted)
     return tagged.join(
@@ -4797,11 +4860,19 @@ def read_iceberg_cdf(
 
             pairs = []
             for dfile in pos_new:
-                t = pq.read_table(dfile, columns=["file_path", "pos"])
+                with open(dfile, "rb") as _fh:
+                    _is_avro = _fh.read(4) == b"Obj\x01"
+                if _is_avro:
+                    # foreign AVRO position deletes (round 9)
+                    _rows = avro_lite.read_container(dfile)
+                    fps = [str(r["file_path"]) for r in _rows]
+                    poss = [int(r["pos"]) for r in _rows]
+                else:
+                    t = pq.read_table(dfile, columns=["file_path", "pos"])
+                    fps = t.column("file_path").to_pylist()
+                    poss = t.column("pos").to_pylist()
                 cache: dict[str, str] = {}
-                for raw, p_ in zip(
-                    t.column("file_path").to_pylist(), t.column("pos").to_pylist()
-                ):
+                for raw, p_ in zip(fps, poss):
                     uri = cache.get(raw)
                     if uri is None:
                         uri = "file:" + os.path.abspath(

@@ -1593,3 +1593,155 @@ def test_reanalyze_same_snapshot_unlinks_superseded_puffin(spark, tmp_path):
     assert os.path.exists(p2) and not os.path.exists(p1)
     meta = iceberg._load_metadata(root)
     assert len(meta.get("statistics") or []) == 1
+
+
+# -------------------------------------- round 9: AVRO position deletes ----
+
+
+_POS_DELETE_SCHEMA = {
+    "type": "record",
+    "name": "pos_delete",
+    "fields": [
+        {"name": "file_path", "type": "string", "field-id": 2147483546},
+        {"name": "pos", "type": "long", "field-id": 2147483545},
+    ],
+}
+
+
+def _transcode_pos_deletes_to_avro(root):
+    """Foreign-writer shape (Flink's classic default): rewrite every
+    position-delete parquet as an Avro container and patch the delete
+    manifests to record AVRO — the table then exercises the read path's
+    format gate AND the container sniff."""
+    import pyarrow.parquet as pq
+
+    meta = iceberg._load_metadata(root)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = iceberg._localize(snap["manifest-list"], root)
+    swapped = {}
+    for e in avro_lite.read_container(mlist):
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = iceberg._localize(e["manifest_path"], root)
+        rows = avro_lite.read_container(mpath)
+        changed = False
+        for m in rows:
+            df_struct = m["data_file"]
+            if (df_struct.get("content") or 0) != 1:
+                continue
+            old = iceberg._localize_decoded(df_struct["file_path"], root)
+            t = pq.read_table(old, columns=["file_path", "pos"])
+            new = old.rsplit(".", 1)[0] + ".avro"
+            avro_lite.write_container(
+                new,
+                _POS_DELETE_SCHEMA,
+                [
+                    {"file_path": f, "pos": p}
+                    for f, p in zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist(),
+                    )
+                ],
+            )
+            os.unlink(old)
+            df_struct["file_path"] = f"file:{new}"
+            df_struct["file_format"] = "AVRO"
+            df_struct["file_size_in_bytes"] = os.path.getsize(new)
+            swapped[old] = new
+            changed = True
+        if changed:
+            avro_lite.write_container(
+                mpath, iceberg._manifest_entry_schema(2), rows
+            )
+    assert swapped, "no position-delete files found to transcode"
+    return swapped
+
+
+def test_avro_position_deletes_mask_rows(spark, tmp_path):
+    """AVRO position-delete files mask exactly like parquet ones: the
+    scan-plan gate admits them (content=1), _read_pos_delete_pairs sniffs
+    the container magic and decodes distributed via avro_lite."""
+    root = str(tmp_path / "avro_posdel")
+    df = spark.range(0, 40).select("id", (F.col("id") * 2).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.write_iceberg(
+        spark,
+        spark.range(40, 60).select("id", (F.col("id") * 2).alias("v")),
+        root,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "id % 7 = 3")
+    expected = sorted(
+        i for i in range(60) if i % 7 != 3
+    )
+    _transcode_pos_deletes_to_avro(root)
+    back = iceberg.read_iceberg(spark, root)
+    got = sorted(r.id for r in back.collect())
+    assert got == expected
+    assert back.where("id = 11").collect()[0].v == 22
+
+
+def test_avro_position_deletes_in_cdf(spark, tmp_path):
+    """read_iceberg_cdf decodes AVRO position deletes too (the driver
+    pairs loop sniffs the magic)."""
+    root = str(tmp_path / "avro_posdel_cdf")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2
+    )
+    s1 = iceberg.delete_iceberg(spark, root, "id IN (3, 7)")
+    _transcode_pos_deletes_to_avro(root)
+    cdf = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+    rows = {(r.id, r._change_type) for r in cdf.collect()}
+    assert rows == {(3, "delete"), (7, "delete")}
+
+
+def test_avro_equality_deletes_refuse(spark, tmp_path):
+    """Equality deletes recorded as AVRO stay fail-loud (only position
+    deletes have the sniffing read path)."""
+    root = str(tmp_path / "avro_eqdel")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(3,)], "id long")
+    )
+    # patch the equality-delete manifest to claim AVRO
+    meta = iceberg._load_metadata(root)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = iceberg._localize(snap["manifest-list"], root)
+    for e in avro_lite.read_container(mlist):
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = iceberg._localize(e["manifest_path"], root)
+        rows = avro_lite.read_container(mpath)
+        for m in rows:
+            if (m["data_file"].get("content") or 0) == 2:
+                m["data_file"]["file_format"] = "AVRO"
+        avro_lite.write_container(
+            mpath, iceberg._manifest_entry_schema(2), rows
+        )
+    with pytest.raises(NotImplementedError, match="AVRO delete"):
+        iceberg.read_iceberg(spark, root).collect()
+
+
+def test_avro_pos_deletes_fold_into_delta_dvs(spark, tmp_path):
+    """convert_iceberg_to_delta folds AVRO position deletes into Delta
+    deletion vectors (the fold's avro branch emits the source path)."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "avro_posdel_conv")
+    df = spark.range(0, 30).select("id", (F.col("id") % 5).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.delete_iceberg(spark, root, "id IN (4, 9, 25)")
+    _transcode_pos_deletes_to_avro(root)
+    convert.convert_iceberg_to_delta(spark, root)
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == sorted(set(range(30)) - {4, 9, 25})
