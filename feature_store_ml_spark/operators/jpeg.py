@@ -1,8 +1,10 @@
-"""Baseline-sequential JPEG codec, pure python + numpy — no libjpeg.
+"""Baseline-sequential + progressive JPEG codec, pure python + numpy —
+no libjpeg.
 
 JPEG is the dominant image format in any web-scale multimodal corpus, and
 the one E14 modality that was env-gated on Pillow. This module implements
-the BASELINE SEQUENTIAL profile of the public ITU-T T.81 spec directly:
+the BASELINE SEQUENTIAL and PROGRESSIVE (SOF2, round 9) profiles of the
+public ITU-T T.81 spec directly:
 
 - decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS marker walk, canonical
   Huffman table construction (BITS/HUFFVAL, Annex C), entropy-coded MCU
@@ -10,9 +12,12 @@ the BASELINE SEQUENTIAL profile of the public ITU-T T.81 spec directly:
   differential + AC run-length (ZRL/EOB) coefficient decode (F.2.2),
   dequantize → un-zigzag → 8×8 inverse DCT (orthonormal matrix form) →
   chroma upsample (nearest) → YCbCr→RGB (JFIF/BT.601 full-range).
-  Progressive (SOF2), arithmetic (SOF9+), 12-bit and hierarchical
-  profiles fail loudly by marker — baseline covers the overwhelming
-  majority of web JPEGs.
+  Progressive decode (Annex G): coefficients accumulate across scans —
+  spectral selection + successive approximation, EOB block-runs, DC/AC
+  first and refinement passes, restart intervals — then one vectorized
+  dequantize/IDCT reconstruction. Arithmetic (SOF9+), 12-bit and
+  hierarchical profiles fail loudly by marker; baseline + progressive
+  cover effectively all web JPEGs.
 - encoder: the exact inverse with the Annex K example quantization and
   Huffman tables (the de-facto standard every camera/libjpeg Q-scaled
   variant derives from), libjpeg's quality→scale convention, optional
@@ -392,13 +397,239 @@ def encode_jpeg(
             + sof + dri + sos + entropy + b"\xff\xd9")
 
 
+def _plane_zz_coefs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """All 8×8 blocks of a padded plane → quantized ZIGZAG coefficients,
+    shape (blocks_y, blocks_x, 64). The DCT runs per block with the EXACT
+    expression the baseline encoder uses (``_T @ blk @ _T.T``) — a
+    batched einsum/matmul contracts with different float rounding, and a
+    coefficient landing exactly on a .5 quantization boundary then
+    rounds differently, breaking the progressive-equals-baseline
+    bit-parity contract."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane - 128.0).reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.empty((bh, bw, 8, 8), dtype=np.float64)
+    for i in range(bh):
+        for j in range(bw):
+            coef[i, j] = _T @ blocks[i, j] @ _T.T
+    qz = np.round(coef / q[None, None, :, :]).astype(np.int64)
+    return qz[:, :, _ZROWS, _ZCOLS]
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode an ``[h, w, 3] uint8`` array as PROGRESSIVE JFIF (SOF2) —
+    the classic libjpeg-style scan script: interleaved DC first pass at
+    Al=1 plus a DC refinement, luma AC split into a low band and the
+    tail across two successive-approximation levels, chroma AC at Al=1
+    with refinements. Fixed Annex K tables; EOB runs are never
+    accumulated across blocks (every emitted symbol — EOB0, ZRL and all
+    run/size pairs — exists in the fixed tables, which is what makes
+    custom per-scan Huffman optimization unnecessary)."""
+    h, w = rgb.shape[:2]
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    qy, qc = _scaled_q(_Q_LUMA, quality), _scaled_q(_Q_CHROMA, quality)
+
+    def _pad(ch: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-ch.shape[0]) % mult
+        pw = (-ch.shape[1]) % mult
+        return np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+
+    if subsample:
+        ypl = _pad(y, 16)
+        cbp = _pad(cb, 16)
+        crp = _pad(cr, 16)
+        cb_s = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr_s = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        geom = [(ypl, qy, 2, 2), (cb_s, qc, 1, 1), (cr_s, qc, 1, 1)]
+    else:
+        geom = [(_pad(y, 8), qy, 1, 1), (_pad(cb, 8), qc, 1, 1),
+                (_pad(cr, 8), qc, 1, 1)]
+    hmax = max(g[2] for g in geom)
+    vmax = max(g[3] for g in geom)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for ci, (plane, q, hs, vs) in enumerate(geom):
+        comps.append(
+            {
+                "id": ci + 1,
+                "h": hs,
+                "v": vs,
+                "tid": 0 if ci == 0 else 1,
+                "zz": _plane_zz_coefs(plane, q),
+                # non-interleaved AC scans cover the CEIL grid only —
+                # MCU-padding blocks stay DC-only (spec A.2.2)
+                "bw": (-(-w * hs // hmax) + 7) // 8,
+                "bh": (-(-h * vs // vmax) + 7) // 8,
+            }
+        )
+    dc_codes = [_canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_codes = [_canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+                _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def _scan_bytes(scan_comps, ss, se, ah, al) -> bytes:
+        bw_ = _BitWriter()
+        if ss == 0:
+            pred = {c["id"]: 0 for c in scan_comps}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for c in scan_comps:
+                        dct = dc_codes[c["tid"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc = int(
+                                    c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0]
+                                )
+                                if ah == 0:
+                                    v = dc >> al  # arithmetic shift (G.1.2.1)
+                                    diff = v - pred[c["id"]]
+                                    pred[c["id"]] = v
+                                    s, bits = _magnitude(diff)
+                                    code, ln = dct[s]
+                                    bw_.put(code, ln)
+                                    if s:
+                                        bw_.put(bits, s)
+                                else:
+                                    bw_.put((dc >> al) & 1, 1)
+        else:
+            (c,) = scan_comps
+            act = ac_codes[c["tid"]]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    band = [int(v) for v in c["zz"][by, bx, ss : se + 1]]
+                    # AC point transform: magnitude shift toward zero
+                    pt = [
+                        (1 if v > 0 else -1) * (abs(v) >> al) if v else 0
+                        for v in band
+                    ]
+                    if ah == 0:
+                        run = 0
+                        for v in pt:
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act[0xF0]
+                                bw_.put(code, ln)
+                                run -= 16
+                            s, bits = _magnitude(v)
+                            code, ln = act[(run << 4) | s]
+                            bw_.put(code, ln)
+                            bw_.put(bits, s)
+                            run = 0
+                        if run > 0:
+                            code, ln = act[0x00]
+                            bw_.put(code, ln)
+                    else:
+                        # refinement: correction bits buffer and flush
+                        # after the next emitted symbol, matching the
+                        # decoder's positional sweep (G.1.2.3). The ZRL
+                        # check runs at EVERY nonzero position — emitting
+                        # it only at newly-significant ones would flush
+                        # correction bits for history positions the
+                        # decoder hasn't walked yet — and zero-runs past
+                        # the last newly-significant coefficient fold
+                        # into the EOB.
+                        buf: list[int] = []
+
+                        def _flush():
+                            for b in buf:
+                                bw_.put(b, 1)
+                            buf.clear()
+
+                        eob_i = max(
+                            (i for i, v in enumerate(pt) if abs(v) == 1),
+                            default=-1,
+                        )
+                        run = 0
+                        for i, v in enumerate(pt):
+                            a = abs(v)
+                            if a == 0:
+                                run += 1
+                                continue
+                            while run > 15 and i <= eob_i:
+                                code, ln = act[0xF0]
+                                bw_.put(code, ln)
+                                _flush()
+                                run -= 16
+                            if a > 1:
+                                buf.append(a & 1)
+                                continue
+                            code, ln = act[(run << 4) | 1]
+                            bw_.put(code, ln)
+                            bw_.put(1 if v > 0 else 0, 1)
+                            _flush()
+                            run = 0
+                        if run > 0 or buf:
+                            code, ln = act[0x00]
+                            bw_.put(code, ln)
+                            _flush()
+        bw_.pad_to_byte()
+        if ss == 0:
+            # DC scans: refinement needs no table, first pass the DC one
+            tabs = bytes(
+                v
+                for c in scan_comps
+                for v in (c["id"], (c["tid"] << 4) if ah == 0 else 0)
+            )
+        else:
+            tabs = bytes(
+                v for c in scan_comps for v in (c["id"], c["tid"])
+            )
+        sos = seg(
+            0xDA,
+            bytes([len(scan_comps)]) + tabs + bytes([ss, se, (ah << 4) | al]),
+        )
+        return sos + bytes(bw_.out)
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(int(q[r, c]) for r, c in _ZIGZAG))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    hv_y = 0x22 if subsample else 0x11
+    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, hv_y, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    yc, cbc, crc = comps
+    script = [
+        ([yc, cbc, crc], 0, 0, 0, 1),  # DC first, one bit held back
+        ([yc], 1, 5, 0, 2),            # luma low band, coarse
+        ([crc], 1, 63, 0, 1),
+        ([cbc], 1, 63, 0, 1),
+        ([yc], 6, 63, 0, 2),           # luma tail, coarse
+        ([yc], 1, 63, 2, 1),           # luma refine 2→1
+        ([yc, cbc, crc], 0, 0, 1, 0),  # DC refine
+        ([crc], 1, 63, 1, 0),
+        ([cbc], 1, 63, 1, 0),
+        ([yc], 1, 63, 1, 0),           # luma refine 1→0
+    ]
+    body = b"".join(_scan_bytes(*s) for s in script)
+    return (b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+            + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+            + dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+            + dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+            + dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+            + sof + body + b"\xff\xd9")
+
+
 # -------------------------------------------------------------- decoder ----
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline-sequential JFIF/EXIF bytes → ``[h, w, 3] uint8``
-    RGB. Grayscale decodes with the luma plane replicated. Fail-loud on
-    progressive/arithmetic/12-bit/hierarchical profiles."""
+    """Decode baseline-sequential OR progressive (SOF2, spectral
+    selection + successive approximation, T.81 Annex G) JFIF/EXIF bytes
+    → ``[h, w, 3] uint8`` RGB. Grayscale decodes with the luma plane
+    replicated. Fail-loud on arithmetic/12-bit/hierarchical profiles."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -408,6 +639,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
+    frame: dict = {}
     data = payload
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -444,17 +678,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + n])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG unsupported (8-bit baseline only)")
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported (8-bit only)")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                frame = {
+                    "mcus_x": mcus_x, "mcus_y": mcus_y,
+                    "hmax": hmax, "vmax": vmax,
+                }
+                coefs = {}
+                for c in comps:
+                    # MCU-aligned coefficient grid; non-interleaved scans
+                    # walk only the ceil grid (spec A.2.2) — padding
+                    # blocks are DC-only
+                    c["bw"] = (-(-w * c["h"] // hmax) + 7) // 8
+                    c["bh"] = (-(-h * c["v"] // vmax) + 7) // 8
+                    coefs[c["id"]] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                    )
+        elif marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "progressive JPEG (SOF2/6/10/14) unsupported — baseline sequential only"
+                "differential/arithmetic progressive JPEG (SOF6/10/14) unsupported"
             )
         elif marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
@@ -469,12 +723,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tabs = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append({**comp, "td": tabs >> 4, "ta": tabs & 0x0F})
-            pos += ln
-            return _decode_scan(
-                data, pos, scan, qtabs, dc_tabs, ac_tabs, h, w,
-                restart_interval,
+            if not progressive:
+                pos += ln
+                return _decode_scan(
+                    data, pos, scan, qtabs, dc_tabs, ac_tabs, h, w,
+                    restart_interval,
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + ln, scan, ss, se, a >> 4, a & 0x0F,
+                dc_tabs, ac_tabs, coefs, frame, restart_interval,
             )
+            continue
         pos += ln
+    if progressive and coefs is not None:
+        return _reconstruct_progressive(coefs, comps, qtabs, h, w, frame)
     raise ValueError("no SOS marker — truncated or non-image JPEG")
 
 
@@ -555,3 +820,197 @@ def _decode_block(r, dct, act, q, pred, ci):
     coef = np.zeros((8, 8), dtype=np.float64)
     coef[_ZROWS, _ZCOLS] = zz * q[_ZROWS, _ZCOLS]
     return _T.T @ coef @ _T
+
+
+# -------------------------------------------------- progressive decode ----
+# T.81 Annex G: coefficients accumulate across scans — spectral selection
+# (each AC scan covers one band Ss..Se of ONE component) and successive
+# approximation (Ah=0 first pass sends values >> Al; refinement passes
+# add one bit of precision each). DC scans may interleave components;
+# non-interleaved scans walk the component's own ceil block grid.
+
+
+def _decode_prog_scan(
+    data, pos, scan, ss, se, ah, al, dc_tabs, ac_tabs, coefs, frame, ri
+):
+    """Decode one progressive scan's entropy data into the coefficient
+    store; returns the byte offset of the next marker."""
+    if ss > se or se > 63 or (ss == 0) != (se == 0) or ah not in range(14) \
+            or (ah and ah != al + 1):
+        raise ValueError(
+            f"invalid progressive scan header (Ss={ss} Se={se} Ah={ah} "
+            f"Al={al}) — a baseline stream mislabeled SOF2?"
+        )
+    r = _BitReader(data, pos)
+    eobrun = [0]
+    pred = {c["id"]: 0 for c in scan}
+
+    def _reset():
+        for k in pred:
+            pred[k] = 0
+        eobrun[0] = 0
+
+    def _unit(c, by, bx):
+        blk = coefs[c["id"]][by, bx]
+        if ss == 0:
+            if ah == 0:
+                s = _huff_decode(r, dc_tabs[c["td"]])
+                pred[c["id"]] += _extend(r.receive(s), s)
+                blk[0] = pred[c["id"]] * (1 << al)
+            elif r.bit():
+                blk[0] |= 1 << al
+        elif ah == 0:
+            _prog_ac_first(r, ac_tabs[c["ta"]], blk, ss, se, al, eobrun)
+        else:
+            _prog_ac_refine(r, ac_tabs[c["ta"]], blk, ss, se, al, eobrun)
+
+    def _guarded(c, by, bx):
+        try:
+            _unit(c, by, bx)
+        except _RestartPending:
+            r.restart()
+            _reset()
+            _unit(c, by, bx)
+
+    if len(scan) > 1:
+        if ss != 0:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        n = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if ri and n and n % ri == 0:
+                    r.restart()
+                    _reset()
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _guarded(c, my * c["v"] + by, mx * c["h"] + bx)
+                n += 1
+    else:
+        c = scan[0]
+        n = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if ri and n and n % ri == 0:
+                    r.restart()
+                    _reset()
+                _guarded(c, by, bx)
+                n += 1
+    # resync: scan forward to the next real marker (skip stuffed bytes,
+    # RSTn, and 0xFF fill)
+    p = r.pos
+    while p + 1 < len(data):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            p += 1 if nxt == 0xFF else 2
+            continue
+        break
+    return p
+
+
+def _prog_ac_first(r, act, blk, ss, se, al, eobrun):
+    """First AC pass of a band (Ah=0): values arrive scaled down by the
+    point transform (<< Al on decode); EOB symbols carry a BLOCK-run."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, act)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:
+                eobrun[0] = (1 << run) - 1
+                if run:
+                    eobrun[0] += r.receive(run)
+                return
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            blk[k] = _extend(r.receive(size), size) * (1 << al)
+            k += 1
+
+
+def _prog_ac_refine(r, act, blk, ss, se, al, eobrun):
+    """Refinement AC pass (Ah=Al+1): one correction bit per already-
+    nonzero coefficient, ±1<<Al insertions for newly-significant ones,
+    EOB block-runs still consuming correction bits across the band."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        while k <= se:
+            c = int(blk[k])
+            if c != 0 and r.bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        return
+    while k <= se:
+        rs = _huff_decode(r, act)
+        run, size = rs >> 4, rs & 0x0F
+        val = 0
+        if size == 0:
+            if run < 15:
+                eobrun[0] = (1 << run) - 1
+                if run:
+                    eobrun[0] += r.receive(run)
+                run = 64  # sweep the rest of the band, corrections only
+        else:
+            if size != 1:
+                raise ValueError("bad successive-approximation AC symbol")
+            val = p1 if r.bit() else m1
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if r.bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else m1)
+            else:
+                if run == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                run -= 1
+            k += 1
+
+
+def _reconstruct_progressive(coefs, comps, qtabs, h, w, frame):
+    """Dequantize + IDCT the accumulated coefficient store and assemble
+    RGB — one vectorized einsum per component, no per-block loop."""
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for c in comps:
+        arr = coefs[c["id"]].astype(np.float64)  # (by, bx, 64) zigzag
+        q = qtabs[c["tq"]]
+        by, bx = arr.shape[:2]
+        mat = np.zeros((by, bx, 8, 8), dtype=np.float64)
+        mat[:, :, _ZROWS, _ZCOLS] = arr
+        mat *= q[None, None, :, :]
+        # IDCT per block with the EXACT expression _decode_block uses —
+        # batched matmul/einsum contract with different float rounding,
+        # and a value landing exactly on a .5 boundary then decodes ±1
+        # off the baseline decode of the same coefficients, breaking the
+        # bit-parity contract the progressive path advertises
+        blocks = np.empty((by, bx, 8, 8), dtype=np.float64)
+        for i in range(by):
+            for j in range(bx):
+                blocks[i, j] = _T.T @ mat[i, j] @ _T
+        plane = blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        yp = np.clip(full[0] + 128.0, 0, 255)
+        return np.dstack([yp, yp, yp]).astype(np.uint8)
+    yp, cbp, crp = full[0] + 128.0, full[1], full[2]
+    rch = yp + 1.402 * crp
+    gch = yp - 0.344136 * cbp - 0.714136 * crp
+    bch = yp + 1.772 * cbp
+    return np.clip(np.dstack([rch, gch, bch]), 0, 255).astype(np.uint8)

@@ -419,15 +419,18 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def synth_jpeg(
     df: DataFrame, id_col: str = "doc_id", quality: int = 90,
-    subsample: bool = False,
+    subsample: bool = False, progressive: bool = False,
 ) -> DataFrame:
-    """Attach a REAL baseline JPEG payload per row (the same deterministic
+    """Attach a REAL JPEG payload per row (the same deterministic
     gradient as synth_png, encoded through operators/jpeg.py — T.81
     markers, Annex-K tables, optional 4:2:0). Round 8: with the native
     decoder the full JPEG encode→decode→features lifecycle runs without
-    Pillow, closing the last env-gated E14 image modality. JPEG is lossy:
-    checksum oracles must compare against the DECODED payload (see
-    e14_jpeg_decode), not the source gradient."""
+    Pillow, closing the last env-gated E14 image modality; round 9 adds
+    ``progressive=True`` (SOF2, 10-scan spectral-selection + successive-
+    approximation script — decodes bit-identically to the baseline
+    encoding of the same raster). JPEG is lossy: checksum oracles must
+    compare against the DECODED payload (see e14_jpeg_decode), not the
+    source gradient."""
     import numpy as np
 
     from . import jpeg as _jpeg
@@ -444,9 +447,12 @@ def synth_jpeg(
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
+            _enc = (
+                _jpeg.encode_jpeg_progressive if progressive
+                else _jpeg.encode_jpeg
+            )
             out["image"] = [
-                _jpeg.encode_jpeg(_raster(int(i)), quality=quality,
-                                  subsample=subsample)
+                _enc(_raster(int(i)), quality=quality, subsample=subsample)
                 for i in pdf[id_col]
             ]
             yield out

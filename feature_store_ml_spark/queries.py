@@ -5160,6 +5160,52 @@ def e14_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "e14_jpeg_progressive",
+    """
+    SELECT doc_id,
+           CAST(8 + (doc_id * 7) % 25 AS INT) AS width,
+           CAST(6 + (doc_id * 11) % 19 AS INT) AS height,
+           TRUE AS bit_identical
+    FROM documents
+    """,
+)
+def e14_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode with a HASH-EXACT parity oracle
+    (round 9): each doc's gradient encodes twice — once baseline, once
+    through the 10-scan progressive script (spectral selection +
+    successive approximation) — and both decode through the native codec.
+    The two encodings quantize the SAME coefficients, so the decoded
+    payloads must be BIT-IDENTICAL pixel for pixel: the per-channel
+    integer checksums are compared exactly, a far tighter oracle than a
+    lossy band. One wrong refinement bit, EOB-run step or scan-band
+    boundary anywhere in Annex G flips a flag and breaks the hash."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    base = multimodal.image_checksums(multimodal.synth_jpeg(d))
+    prog = multimodal.image_checksums(
+        multimodal.synth_jpeg(d, progressive=True)
+    ).select(
+        F.col("doc_id"),
+        F.col("width").alias("p_width"),
+        F.col("height").alias("p_height"),
+        F.col("sum_r").alias("p_sum_r"),
+        F.col("sum_g").alias("p_sum_g"),
+        F.col("sum_b").alias("p_sum_b"),
+    )
+    return base.join(prog, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        (
+            (F.col("width") == F.col("p_width"))
+            & (F.col("height") == F.col("p_height"))
+            & (F.col("sum_r") == F.col("p_sum_r"))
+            & (F.col("sum_g") == F.col("p_sum_g"))
+            & (F.col("sum_b") == F.col("p_sum_b"))
+        ).alias("bit_identical"),
+    )
+
+
 @register("e14_frame_sample", None)  # 1->N binary explode: shapes tested in pytest
 def e14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one binary container row → N frame rows
@@ -6941,6 +6987,8 @@ _FINAL_ORDER = [
     "e4_agg_groupby",       # displaced by e17_packing_invariants (r6-
                             # green; e4 family keeps e4_cube in bench +
                             # median/linreg in the swept tail)
+    "e14_jpeg_progressive",  # round 9: SOF2 progressive decode,
+                             # bit-identical-to-baseline parity oracle
     "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
                             # e14 family keeps e14_png_checksums in-window)
     "q20_dominant_supplier",  # displaced by e12_scd2 (r5+r6 driver-green;
@@ -7154,7 +7202,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 97, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 98, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -60,13 +60,27 @@ def test_quality_monotonic_size():
     assert jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=30)).shape == img.shape
 
 
-def test_progressive_fails_loudly():
+def test_mislabeled_progressive_fails_loudly():
+    """A baseline stream with its SOF rewritten to SOF2 carries an
+    illegal progressive scan header (Ss=0, Se=63) — the decoder must
+    refuse it rather than decode garbage."""
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     enc = bytearray(jpeg.encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="scan header"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_arithmetic_profiles_still_refuse():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    for sof in (0xCA, 0xC9, 0xC3):
+        enc2 = bytearray(enc)
+        enc2[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(bytes(enc2))
 
 
 def test_not_a_jpeg_fails():
@@ -146,3 +160,150 @@ try:
 
 except ImportError:
     pass
+
+
+# ------------------------------------------------ progressive (round 9) ----
+#
+# The parity oracle is exact: encode_jpeg_progressive codes the SAME
+# quantized coefficients as encode_jpeg, only spread across 10 scans
+# (spectral selection + successive approximation) — so progressive
+# decode must be BIT-IDENTICAL to the baseline decode of the same image.
+# Hand-crafted streams then cover what our encoder never emits: EOB
+# block-runs > 1 (they need non-Annex-K Huffman symbols) and restart
+# intervals inside progressive scans.
+
+
+def test_progressive_parity_with_baseline():
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.full((24, 24, 3), (200, 40, 90), np.uint8), False, 90),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8), False, 90),
+        (rng.integers(0, 256, (17, 23, 3), dtype=np.uint8), True, 85),
+        (rng.integers(0, 256, (29, 31, 3), dtype=np.uint8), False, 30),
+        (rng.integers(0, 256, (16, 24, 3), dtype=np.uint8), True, 98),
+    ]
+    for img, subsample, q in cases:
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=q, subsample=subsample)
+        )
+        base = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=q, subsample=subsample)
+        )
+        assert prog.shape == img.shape
+        assert np.array_equal(prog, base), (img.shape, subsample, q)
+
+
+def test_progressive_solid_color_analytic():
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255)]:
+        img = np.full((16, 16, 3), color, dtype=np.uint8)
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=90))
+        assert np.max(np.abs(dec.astype(int) - img.astype(int))) <= 1, color
+
+
+def test_progressive_stress_many_shapes():
+    rng = np.random.default_rng(5)
+    for _ in range(12):
+        h = int(rng.integers(8, 64))
+        w = int(rng.integers(8, 64))
+        q = int(rng.integers(25, 99))
+        sub = bool(rng.integers(0, 2))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=q, subsample=sub)
+        )
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsample=sub))
+        assert np.array_equal(prog, base), (h, w, q, sub)
+
+
+def _seg(marker, payload):
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _gray_prog_header(w, dri=None):
+    """SOI + DQT(flat 16) + SOF2 (8×w grayscale) + Annex-K DC table."""
+    import struct
+
+    q = bytes([16] * 64)
+    out = b"\xff\xd8" + _seg(0xDB, bytes([0]) + q)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, 8, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpeg._DC_LUMA_BITS) + bytes(jpeg._DC_LUMA_VALS),
+    )
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    return out
+
+
+def test_progressive_eob_run_spanning_blocks():
+    """EOB run categories > 0 (symbols 0x10/0x20/... with extra bits) —
+    our encoder never emits them (Annex K tables lack the symbols), so a
+    custom AC table + hand-written entropy stream covers the decoder's
+    multi-block EOBRUN path: ONE EOB4 symbol ends the AC band of all
+    four blocks."""
+    # custom AC table: two 2-bit symbols — 0x20 (EOB, category 2) and
+    # 0x01 (run 0, size 1), canonical order
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x20, 0x01]
+    stream = _gray_prog_header(32)
+    stream += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    # scan 1: DC first, Al=0 — blocks at quantized DC 0, 8, 16, 24
+    bw = jpeg._BitWriter()
+    dc = jpeg._canonical_codes(jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS)
+    for diff in (0, 8, 8, 8):
+        s, bits = jpeg._magnitude(diff)
+        c, ln = dc[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(bits, s)
+    bw.pad_to_byte()
+    stream += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(bw.out)
+    # scan 2: AC 1..63 first pass — one EOB4 (code for 0x20 = canonical
+    # '00', then category-2 extra bits '00' → eobrun covers 4 blocks)
+    bw = jpeg._BitWriter()
+    ac = jpeg._canonical_codes(ac_bits, ac_vals)
+    c, ln = ac[0x20]
+    bw.put(c, ln)
+    bw.put(0, 2)
+    bw.pad_to_byte()
+    stream += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(bw.out)
+    stream += b"\xff\xd9"
+    dec = jpeg.decode_jpeg(stream)
+    assert dec.shape == (8, 32, 3)
+    # DC c → dequantized 16c → IDCT constant 2c → pixel 128 + 2c
+    for b, c0 in enumerate((0, 8, 16, 24)):
+        blk = dec[:, b * 8 : b * 8 + 8, 0]
+        assert np.all(blk == 128 + 2 * c0), (b, np.unique(blk))
+
+
+def test_progressive_restart_interval():
+    """RSTn markers inside a progressive DC scan: predictor resets at
+    each restart, byte alignment recovers."""
+    stream = _gray_prog_header(32, dri=2)
+    dc = jpeg._canonical_codes(jpeg._DC_LUMA_BITS, jpeg._DC_LUMA_VALS)
+    entropy = b""
+    bw = jpeg._BitWriter()
+    for diff in (8, 0):  # blocks 1-2: dc 8, 8
+        s, bits = jpeg._magnitude(diff)
+        c, ln = dc[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(bits, s)
+    bw.pad_to_byte()
+    entropy += bytes(bw.out) + b"\xff\xd0"  # RST0
+    bw = jpeg._BitWriter()
+    for diff in (8, 0):  # predictor RESET: dc 8, 8 again
+        s, bits = jpeg._magnitude(diff)
+        c, ln = dc[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(bits, s)
+    bw.pad_to_byte()
+    entropy += bytes(bw.out)
+    stream += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + entropy
+    stream += b"\xff\xd9"
+    dec = jpeg.decode_jpeg(stream)
+    assert dec.shape == (8, 32, 3)
+    assert np.all(dec[:, :, 0] == 144)  # every block dc=8 → 128 + 16
