@@ -222,21 +222,19 @@ def _pos_deletes_to_bitmaps(
     # percent-ENCODED, while del_rows is built from raw driver abspaths —
     # a special-char table root would make the _src join match nothing
     # and silently drop every position delete from the converted DVs
-    _pq_dels, _avro_dels = iceberg._split_delete_files_by_magic(
-        [d["path"] for d in deletes]
-    )
+    _by_fmt = iceberg._delete_files_by_fmt([d["path"] for d in deletes])
     raw = None
-    if _pq_dels:
-        raw = spark.read.parquet(*_pq_dels).select(
+    if _by_fmt["parquet"]:
+        raw = spark.read.parquet(*_by_fmt["parquet"]).select(
             "file_path",
             "pos",
-            iceberg._decoded_meta_path(_pq_dels).alias("_src"),
+            iceberg._decoded_meta_path(_by_fmt["parquet"]).alias("_src"),
         )
-    if _avro_dels:
-        # foreign AVRO position deletes (round 9): the source path is
+    if _by_fmt["avro"] or _by_fmt["orc"]:
+        # foreign AVRO/ORC position deletes (round 9): the source path is
         # emitted directly (it IS the driver abspath del_rows keys on)
 
-        def _avro_batches(it):
+        def _rowfmt_batches(it):
             import os as _os
 
             import pandas as _pd
@@ -245,24 +243,38 @@ def _pos_deletes_to_bitmaps(
 
             for pdf in it:
                 for p in pdf["path"]:
-                    rows = _avro.read_container(p)
+                    with open(p, "rb") as fh:
+                        is_avro = fh.read(4) == b"Obj\x01"
+                    if is_avro:
+                        rows = _avro.read_container(p)
+                        fps = [str(r["file_path"]) for r in rows]
+                        poss = [int(r["pos"]) for r in rows]
+                    else:
+                        import pyarrow.orc as _pa_orc
+
+                        t = _pa_orc.ORCFile(p).read(
+                            columns=["file_path", "pos"]
+                        )
+                        fps = t.column("file_path").to_pylist()
+                        poss = [int(x) for x in t.column("pos").to_pylist()]
                     yield _pd.DataFrame(
                         {
-                            "file_path": [str(r["file_path"]) for r in rows],
-                            "pos": [int(r["pos"]) for r in rows],
+                            "file_path": fps,
+                            "pos": poss,
                             "_src": [f"file:{_os.path.abspath(p)}"]
-                            * len(rows),
+                            * len(fps),
                         }
                     )
 
-        avro_raw = (
-            spark.createDataFrame([(p,) for p in _avro_dels], "path string")
-            .repartition(min(len(_avro_dels), 64))
+        _nf = _by_fmt["avro"] + _by_fmt["orc"]
+        fmt_raw = (
+            spark.createDataFrame([(p,) for p in _nf], "path string")
+            .repartition(min(len(_nf), 64))
             .mapInPandas(
-                _avro_batches, "file_path string, pos long, _src string"
+                _rowfmt_batches, "file_path string, pos long, _src string"
             )
         )
-        raw = avro_raw if raw is None else raw.unionByName(avro_raw)
+        raw = fmt_raw if raw is None else raw.unionByName(fmt_raw)
     src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
     distinct = [
         r["file_path"] for r in raw.select("file_path").distinct().collect()

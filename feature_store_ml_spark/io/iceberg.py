@@ -154,21 +154,23 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
-            _del_ok = fmt == "PARQUET" or (fmt == "AVRO" and content == 1)
+            _del_ok = fmt == "PARQUET" or (
+                fmt in ("AVRO", "ORC") and content == 1
+            )
             if (is_delete_manifest and not _del_ok) or (
                 not is_delete_manifest and fmt not in ("PARQUET", "AVRO", "ORC")
             ):
                 # AVRO DATA files read through the shipped avro_lite
                 # container reader (round 8), ORC through pyarrow.orc
-                # (round 9), AVRO POSITION deletes through the same
-                # container reader (round 9 — _join_out_positions sniffs
-                # the magic); equality deletes and ORC deletes stay
+                # (round 9), AVRO/ORC POSITION deletes through the same
+                # readers (round 9 — _read_pos_delete_pairs sniffs the
+                # container magic); non-parquet EQUALITY deletes stay
                 # fail-loud
                 raise NotImplementedError(
                     f"{table_root}: {fmt} "
                     f"{'delete' if is_delete_manifest else 'data'} files "
                     "unsupported (parquet"
-                    f"{'/avro position' if is_delete_manifest else '/avro/orc'}"
+                    f"{'/avro/orc position' if is_delete_manifest else '/avro/orc'}"
                     " only)"
                 )
             p = _localize(df_struct["file_path"], table_root)
@@ -397,37 +399,46 @@ def _field_id_map(meta: dict) -> dict[int, str]:
     }
 
 
-def _split_delete_files_by_magic(delete_files: list[str]) -> tuple[list, list]:
-    """(parquet_files, avro_files) by container magic — 4 driver-side
+def _delete_files_by_fmt(delete_files: list[str]) -> dict[str, list[str]]:
+    """{'parquet'|'avro'|'orc': paths} by container magic — 4 driver-side
     bytes per delete file, O(#delete files). Position deletes are
-    format-agnostic in the spec; foreign writers (Flink's default until
-    1.x) emit them as Avro containers, ours as parquet."""
-    pq_files: list[str] = []
-    avro_files: list[str] = []
+    format-agnostic in the spec: Flink's classic default emits Avro,
+    Hive/Trino ORC writers emit ORC, ours are parquet."""
+    out: dict[str, list[str]] = {"parquet": [], "avro": [], "orc": []}
     for f in delete_files:
         with open(f, "rb") as fh:
             magic = fh.read(4)
         if magic == b"Obj\x01":
-            avro_files.append(f)
+            out["avro"].append(f)
+        elif magic[:3] == b"ORC":
+            out["orc"].append(f)
         else:
-            pq_files.append(f)
-    return pq_files, avro_files
+            out["parquet"].append(f)
+    return out
 
 
 def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
     """(file_path, pos) rows of position-delete files, DISTRIBUTED —
-    parquet via the native scan, Avro containers via avro_lite inside
-    mapInPandas (one task per path batch; the pairs never hit the
-    driver). Mixed sets union."""
-    pq_files, avro_files = _split_delete_files_by_magic(delete_files)
+    parquet via the native scan, Avro containers via avro_lite and ORC
+    via pyarrow.orc, both inside mapInPandas (one task per path batch;
+    the pairs never hit the driver). Mixed sets union."""
+    by_fmt = _delete_files_by_fmt(delete_files)
     parts = []
-    if pq_files:
+    if by_fmt["parquet"]:
         parts.append(
-            spark.read.parquet(*pq_files).select("file_path", "pos")
+            spark.read.parquet(*by_fmt["parquet"]).select("file_path", "pos")
         )
-    if avro_files:
 
-        def _batches(it):
+    def _mapped(paths, batches_fn):
+        return (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(min(len(paths), 64))
+            .mapInPandas(batches_fn, "file_path string, pos long")
+        )
+
+    if by_fmt["avro"]:
+
+        def _avro_batches(it):
             import pandas as _pd
 
             from feature_store_ml_spark.io import avro_lite as _avro
@@ -442,13 +453,18 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
                         }
                     )
 
-        parts.append(
-            spark.createDataFrame(
-                [(p,) for p in avro_files], "path string"
-            )
-            .repartition(min(len(avro_files), 64))
-            .mapInPandas(_batches, "file_path string, pos long")
-        )
+        parts.append(_mapped(by_fmt["avro"], _avro_batches))
+    if by_fmt["orc"]:
+
+        def _orc_batches(it):
+            import pyarrow.orc as _orc
+
+            for pdf in it:
+                for p in pdf["path"]:
+                    t = _orc.ORCFile(p).read(columns=["file_path", "pos"])
+                    yield t.to_pandas()
+
+        parts.append(_mapped(by_fmt["orc"], _orc_batches))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -494,12 +510,15 @@ def _join_out_positions(
     # files) driver metadata): small delete sets broadcast explicitly so
     # the data scan is never shuffled; mass deletes leave the choice to
     # AQE (shuffle join) rather than OOM a forced broadcast.
+    import pyarrow.orc as _pa_orc
     import pyarrow.parquet as pq
 
-    _pq_d, _avro_d = _split_delete_files_by_magic(delete_files)
-    total_rows = sum(
-        pq.ParquetFile(f).metadata.num_rows for f in _pq_d
-    ) + sum(avro_lite.count_container_records(f) for f in _avro_d)
+    _by = _delete_files_by_fmt(delete_files)
+    total_rows = (
+        sum(pq.ParquetFile(f).metadata.num_rows for f in _by["parquet"])
+        + sum(avro_lite.count_container_records(f) for f in _by["avro"])
+        + sum(_pa_orc.ORCFile(f).nrows for f in _by["orc"])
+    )
     if total_rows <= 5_000_000:
         deleted = F.broadcast(deleted)
     return tagged.join(
@@ -4861,14 +4880,21 @@ def read_iceberg_cdf(
             pairs = []
             for dfile in pos_new:
                 with open(dfile, "rb") as _fh:
-                    _is_avro = _fh.read(4) == b"Obj\x01"
-                if _is_avro:
+                    _magic = _fh.read(4)
+                if _magic == b"Obj\x01":
                     # foreign AVRO position deletes (round 9)
                     _rows = avro_lite.read_container(dfile)
                     fps = [str(r["file_path"]) for r in _rows]
                     poss = [int(r["pos"]) for r in _rows]
                 else:
-                    t = pq.read_table(dfile, columns=["file_path", "pos"])
+                    if _magic[:3] == b"ORC":
+                        import pyarrow.orc as _pa_orc
+
+                        t = _pa_orc.ORCFile(dfile).read(
+                            columns=["file_path", "pos"]
+                        )
+                    else:
+                        t = pq.read_table(dfile, columns=["file_path", "pos"])
                     fps = t.column("file_path").to_pylist()
                     poss = t.column("pos").to_pylist()
                 cache: dict[str, str] = {}

@@ -263,3 +263,94 @@ def test_incremental_analyze_orc_falls_back(spark, tmp_path):
     iceberg.analyze_iceberg(spark, root, columns=["k"], k=1024, incremental=True)
     st = iceberg.table_statistics(root)
     assert st["ndv"]["k"] == 12
+
+
+# --------------------------------------- round 9: ORC position deletes ----
+
+
+def _transcode_pos_deletes_to_orc(root):
+    """Foreign-writer shape (Hive/Trino ORC writers): rewrite every
+    position-delete parquet as an ORC file and patch the delete
+    manifests to record ORC."""
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from feature_store_ml_spark.io import avro_lite
+
+    meta = iceberg._load_metadata(root)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = iceberg._localize(snap["manifest-list"], root)
+    swapped = 0
+    for e in avro_lite.read_container(mlist):
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = iceberg._localize(e["manifest_path"], root)
+        rows = avro_lite.read_container(mpath)
+        changed = False
+        for m in rows:
+            df_struct = m["data_file"]
+            if (df_struct.get("content") or 0) != 1:
+                continue
+            old = iceberg._localize_decoded(df_struct["file_path"], root)
+            t = pq.read_table(old, columns=["file_path", "pos"])
+            new = old.rsplit(".", 1)[0] + ".orc"
+            orc.write_table(t, new)
+            os.unlink(old)
+            df_struct["file_path"] = f"file:{new}"
+            df_struct["file_format"] = "ORC"
+            df_struct["file_size_in_bytes"] = os.path.getsize(new)
+            swapped += 1
+            changed = True
+        if changed:
+            avro_lite.write_container(
+                mpath, iceberg._manifest_entry_schema(2), rows
+            )
+    assert swapped, "no position-delete files found to transcode"
+
+
+def test_orc_position_deletes_mask_rows(spark, tmp_path):
+    """ORC position-delete files mask exactly like parquet ones
+    (container-magic sniff → pyarrow.orc inside mapInPandas)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "orc_posdel")
+    df = spark.range(0, 50).select("id", (F.col("id") * 2).alias("v"))
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.delete_iceberg(spark, root, "id % 9 = 4")
+    expected = sorted(i for i in range(50) if i % 9 != 4)
+    _transcode_pos_deletes_to_orc(root)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted(r.id for r in back.collect()) == expected
+    assert back.where("id = 6").collect()[0].v == 12
+
+
+def test_orc_position_deletes_in_cdf(spark, tmp_path):
+    root = str(tmp_path / "orc_posdel_cdf")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id IN (2, 8)")
+    _transcode_pos_deletes_to_orc(root)
+    cdf = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+    assert {(r.id, r._change_type) for r in cdf.collect()} == {
+        (2, "delete"),
+        (8, "delete"),
+    }
+
+
+def test_orc_pos_deletes_fold_into_delta_dvs(spark, tmp_path):
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "orc_posdel_conv")
+    iceberg.write_iceberg(
+        spark, spark.range(0, 30).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg(spark, root, "id IN (1, 17)")
+    _transcode_pos_deletes_to_orc(root)
+    convert.convert_iceberg_to_delta(spark, root)
+    got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
+    assert got == sorted(set(range(30)) - {1, 17})
