@@ -112,6 +112,14 @@ HEADLINE = [
     "e1_iceberg_puffin",
     "e14_jpeg_decode",
     "e1_delta_analyze",
+    # round-9 joiners (first pins in BASELINE.md round-9 section): AVRO
+    # data-file lifecycle (partitioned write + rename + field-id read),
+    # the three-format union table (ORC+AVRO+parquet across a rename),
+    # and the progressive JPEG bit-parity leg (5000 images encoded both
+    # ways, decoded both ways, checksum-compared)
+    "e1_iceberg_avro",
+    "e1_iceberg_multiformat",
+    "e14_jpeg_progressive",
 ]
 
 
