@@ -154,24 +154,17 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
-            _del_ok = fmt == "PARQUET" or (
-                fmt in ("AVRO", "ORC") and content == 1
-            )
-            if (is_delete_manifest and not _del_ok) or (
-                not is_delete_manifest and fmt not in ("PARQUET", "AVRO", "ORC")
-            ):
+            if fmt not in ("PARQUET", "AVRO", "ORC"):
                 # AVRO DATA files read through the shipped avro_lite
                 # container reader (round 8), ORC through pyarrow.orc
-                # (round 9), AVRO/ORC POSITION deletes through the same
-                # readers (round 9 — _read_pos_delete_pairs sniffs the
-                # container magic); non-parquet EQUALITY deletes stay
-                # fail-loud
+                # (round 9); AVRO/ORC POSITION deletes decode through the
+                # same readers and EQUALITY deletes through
+                # _read_eq_delete_keys (round 9 — both sniff the
+                # container magic)
                 raise NotImplementedError(
                     f"{table_root}: {fmt} "
                     f"{'delete' if is_delete_manifest else 'data'} files "
-                    "unsupported (parquet"
-                    f"{'/avro/orc position' if is_delete_manifest else '/avro/orc'}"
-                    " only)"
+                    "unsupported (parquet/avro/orc only)"
                 )
             p = _localize(df_struct["file_path"], table_root)
             if is_delete_manifest:
@@ -469,6 +462,122 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _read_eq_delete_keys(
+    spark: SparkSession,
+    dfile: str,
+    cols: list[str],
+    fids: list[int],
+    schema,
+    prefix: str = "_eq_",
+):
+    """DISTINCT key tuples of one EQUALITY-delete file, columns aliased
+    ``{prefix}{logical_name}`` and typed like the data scan (``schema`` =
+    the scan's StructType). Parquet scans natively and distributed (our
+    writer's names match the logical ones); AVRO/ORC eq-delete files
+    (round 9 — foreign upsert writers) decode DRIVER-side — every
+    consumer broadcasts the key set, so it is memory-bounded by contract
+    — resolving columns by FIELD ID from the file's own schema
+    (rename-safe), with a fail-loud name fallback. AVRO logical types
+    arrive physical (days ints / micros longs) and convert per the
+    declared column type; ORC arrives typed."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    with open(dfile, "rb") as fh:
+        magic = fh.read(4)
+    if magic != b"Obj\x01" and magic[:3] != b"ORC":
+        return (
+            spark.read.parquet(dfile)
+            .select(*[F.col(c).alias(f"{prefix}{c}") for c in cols])
+            .distinct()
+        )
+    if schema is None:
+        raise NotImplementedError(
+            f"{dfile}: non-parquet equality-delete files need a declared "
+            "table schema to type their keys"
+        )
+    dtypes = {c: schema[c].dataType for c in cols}
+    if magic == b"Obj\x01":
+        wschema, rows = avro_lite.read_container_with_schema(dfile)
+        name_by_fid = {
+            f["field-id"]: f["name"]
+            for f in (wschema.get("fields") or [])
+            if isinstance(f.get("field-id"), int)
+        }
+
+        def _get(r, c, fid):
+            if fid in name_by_fid:
+                return r.get(name_by_fid[fid])
+            if c in r:
+                return r[c]
+            raise ValueError(
+                f"{dfile}: equality-delete column {c!r} (field id {fid}) "
+                "absent from the AVRO file"
+            )
+
+        def _typed(v, t):
+            if v is None:
+                return None
+            if isinstance(t, DateType):
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+            if isinstance(t, TimestampNTZType):
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    microseconds=int(v)
+                )
+            return v
+
+        tuples = {
+            tuple(_typed(_get(r, c, fid), dtypes[c])
+                  for c, fid in zip(cols, fids))
+            for r in rows
+        }
+    elif magic[:3] == b"ORC":
+        import pyarrow.orc as _pa_orc
+
+        tbl = _pa_orc.ORCFile(dfile).read()
+        name_by_fid = {}
+        for fld in tbl.schema:
+            raw_id = (fld.metadata or {}).get(b"iceberg.id")
+            if raw_id is not None:
+                name_by_fid[int(raw_id)] = fld.name
+
+        def _col(c, fid):
+            if fid in name_by_fid:
+                return tbl[name_by_fid[fid]]
+            if c in tbl.schema.names:
+                return tbl[c]
+            raise ValueError(
+                f"{dfile}: equality-delete column {c!r} (field id {fid}) "
+                "absent from the ORC file"
+            )
+
+        def _typed(v, t):
+            if v is None:
+                return None
+            if isinstance(t, TimestampNTZType) and hasattr(
+                v, "to_pydatetime"
+            ):
+                return v.to_pydatetime()
+            return v
+
+        lists = [
+            [_typed(v, dtypes[c]) for v in _col(c, fid).to_pylist()]
+            for c, fid in zip(cols, fids)
+        ]
+        tuples = set(zip(*lists)) if lists and lists[0] else set()
+    out_schema = StructType(
+        [StructField(f"{prefix}{c}", dtypes[c], True) for c in cols]
+    )
+    return spark.createDataFrame(sorted(tuples, key=repr), out_schema)
 
 
 def _join_out_positions(
@@ -3397,10 +3506,8 @@ def read_iceberg(
                     f"{path}: equality delete references unknown field id "
                     f"{exc} — schema drift"
                 ) from None
-            keys = (
-                spark.read.parquet(d["path"])
-                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
-                .distinct()
+            keys = _read_eq_delete_keys(
+                spark, d["path"], cols, d["equality_ids"], g.schema
             )
             cond = reduce(
                 lambda a, b: a & b,
@@ -4924,10 +5031,8 @@ def read_iceberg_cdf(
             if d["kind"] != "eq":
                 continue
             cols = [id_to_name[i] for i in d["equality_ids"]]
-            keys = (
-                spark.read.parquet(d["path"])
-                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
-                .distinct()
+            keys = _read_eq_delete_keys(
+                spark, d["path"], cols, d["equality_ids"], declared
             )
             # affected: rows of data files strictly older than the delete
             # that were STILL LIVE at the previous snapshot (apply the
@@ -4949,10 +5054,9 @@ def read_iceberg_cdf(
                 if x["kind"] != "eq":
                     continue
                 pcols = [id_to_name[i] for i in x["equality_ids"]]
-                pkeys = (
-                    spark.read.parquet(x["path"])
-                    .select(*[F.col(c).alias(f"_pq_{c}") for c in pcols])
-                    .distinct()
+                pkeys = _read_eq_delete_keys(
+                    spark, x["path"], pcols, x["equality_ids"], declared,
+                    prefix="_pq_",
                 )
                 cond = reduce(
                     lambda a, b: a & b,

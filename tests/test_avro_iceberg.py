@@ -1699,9 +1699,11 @@ def test_avro_position_deletes_in_cdf(spark, tmp_path):
     assert rows == {(3, "delete"), (7, "delete")}
 
 
-def test_avro_equality_deletes_refuse(spark, tmp_path):
-    """Equality deletes recorded as AVRO stay fail-loud (only position
-    deletes have the sniffing read path)."""
+def test_avro_equality_deletes_apply(spark, tmp_path):
+    """Equality-delete files in AVRO apply (round 9): keys resolve by
+    FIELD ID from the file's writer schema — the transcoded file even
+    RENAMES its field to prove name-independent resolution — and the
+    masked read matches the parquet-eq-delete behavior exactly."""
     root = str(tmp_path / "avro_eqdel")
     iceberg.write_iceberg(
         spark, spark.range(10).select("id"), root, format_version=2
@@ -1709,27 +1711,17 @@ def test_avro_equality_deletes_refuse(spark, tmp_path):
     iceberg.delete_iceberg_equality(
         spark, root, spark.createDataFrame([(3,)], "id long")
     )
-    # patch the equality-delete manifest to claim AVRO
-    meta = iceberg._load_metadata(root)
-    snap = next(
-        s
-        for s in meta["snapshots"]
-        if s["snapshot-id"] == meta["current-snapshot-id"]
+    _transcode_eq_deletes_to_avro(root)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(10) if i != 3]
+    # sequence scoping survives the transcode: re-ingesting the key
+    # after the delete lives
+    iceberg.write_iceberg(
+        spark, spark.createDataFrame([(3,)], "id long"), root,
+        format_version=2,
     )
-    mlist = iceberg._localize(snap["manifest-list"], root)
-    for e in avro_lite.read_container(mlist):
-        if (e.get("content", 0) or 0) != 1:
-            continue
-        mpath = iceberg._localize(e["manifest_path"], root)
-        rows = avro_lite.read_container(mpath)
-        for m in rows:
-            if (m["data_file"].get("content") or 0) == 2:
-                m["data_file"]["file_format"] = "AVRO"
-        avro_lite.write_container(
-            mpath, iceberg._manifest_entry_schema(2), rows
-        )
-    with pytest.raises(NotImplementedError, match="AVRO delete"):
-        iceberg.read_iceberg(spark, root).collect()
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == list(range(10))
 
 
 def test_avro_pos_deletes_fold_into_delta_dvs(spark, tmp_path):
@@ -1745,3 +1737,83 @@ def test_avro_pos_deletes_fold_into_delta_dvs(spark, tmp_path):
     convert.convert_iceberg_to_delta(spark, root)
     got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
     assert got == sorted(set(range(30)) - {4, 9, 25})
+
+
+_AVRO_EQ_TYPES = {"int64": "long", "string": "string", "double": "double"}
+
+
+def _transcode_eq_deletes_to_avro(root):
+    """Rewrite every equality-delete parquet as an Avro container whose
+    fields carry the ORIGINAL field ids but RENAMED names (proving the
+    reader resolves by id, not name), patching the delete manifests."""
+    import pyarrow.parquet as pq
+
+    meta = iceberg._load_metadata(root)
+    fid_of = {
+        f["name"]: f["id"]
+        for f in iceberg._current_schema(meta).get("fields", [])
+    }
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = iceberg._localize(snap["manifest-list"], root)
+    swapped = 0
+    for e in avro_lite.read_container(mlist):
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = iceberg._localize(e["manifest_path"], root)
+        rows = avro_lite.read_container(mpath)
+        changed = False
+        for m in rows:
+            df_struct = m["data_file"]
+            if (df_struct.get("content") or 0) != 2:
+                continue
+            old = iceberg._localize_decoded(df_struct["file_path"], root)
+            t = pq.read_table(old)
+            fields = []
+            for fld in t.schema:
+                fields.append(
+                    {
+                        "name": f"foreign_{fld.name}",
+                        "type": ["null", _AVRO_EQ_TYPES[str(fld.type)]],
+                        "field-id": fid_of[fld.name],
+                    }
+                )
+            schema = {"type": "record", "name": "eq", "fields": fields}
+            recs = [
+                {f"foreign_{k}": v for k, v in row.items()}
+                for row in t.to_pylist()
+            ]
+            new = old.rsplit(".", 1)[0] + ".avro"
+            avro_lite.write_container(new, schema, recs)
+            os.unlink(old)
+            df_struct["file_path"] = f"file:{new}"
+            df_struct["file_format"] = "AVRO"
+            df_struct["file_size_in_bytes"] = os.path.getsize(new)
+            swapped += 1
+            changed = True
+        if changed:
+            avro_lite.write_container(
+                mpath, iceberg._manifest_entry_schema(2), rows
+            )
+    assert swapped, "no equality-delete files found to transcode"
+
+
+def test_avro_equality_deletes_in_cdf(spark, tmp_path):
+    """read_iceberg_cdf decodes AVRO equality deletes (driver key read,
+    field-id resolution)."""
+    root = str(tmp_path / "avro_eqdel_cdf")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(4,), (6,)], "id long")
+    )
+    _transcode_eq_deletes_to_avro(root)
+    cdf = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+    assert {(r.id, r._change_type) for r in cdf.collect()} == {
+        (4, "delete"),
+        (6, "delete"),
+    }

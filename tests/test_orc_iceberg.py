@@ -354,3 +354,87 @@ def test_orc_pos_deletes_fold_into_delta_dvs(spark, tmp_path):
     convert.convert_iceberg_to_delta(spark, root)
     got = sorted(r.id for r in lakehouse.read_delta(spark, root).collect())
     assert got == sorted(set(range(30)) - {1, 17})
+
+
+def _transcode_eq_deletes_to_orc(root):
+    """Rewrite every equality-delete parquet as ORC with iceberg.id
+    attributes on RENAMED fields (id-resolution proof), patching the
+    delete manifests."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from feature_store_ml_spark.io import avro_lite
+
+    meta = iceberg._load_metadata(root)
+    fid_of = {
+        f["name"]: f["id"]
+        for f in iceberg._current_schema(meta).get("fields", [])
+    }
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = iceberg._localize(snap["manifest-list"], root)
+    swapped = 0
+    for e in avro_lite.read_container(mlist):
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = iceberg._localize(e["manifest_path"], root)
+        rows = avro_lite.read_container(mpath)
+        changed = False
+        for m in rows:
+            df_struct = m["data_file"]
+            if (df_struct.get("content") or 0) != 2:
+                continue
+            old = iceberg._localize_decoded(df_struct["file_path"], root)
+            t = pq.read_table(old)
+            sch = pa.schema(
+                [
+                    pa.field(
+                        f"foreign_{fld.name}",
+                        fld.type,
+                        metadata={"iceberg.id": str(fid_of[fld.name])},
+                    )
+                    for fld in t.schema
+                ]
+            )
+            t2 = t.rename_columns([f"foreign_{n}" for n in t.schema.names])
+            t2 = t2.cast(sch)
+            new = old.rsplit(".", 1)[0] + ".orc"
+            orc.write_table(t2, new)
+            os.unlink(old)
+            df_struct["file_path"] = f"file:{new}"
+            df_struct["file_format"] = "ORC"
+            df_struct["file_size_in_bytes"] = os.path.getsize(new)
+            swapped += 1
+            changed = True
+        if changed:
+            avro_lite.write_container(
+                mpath, iceberg._manifest_entry_schema(2), rows
+            )
+    assert swapped, "no equality-delete files found to transcode"
+
+
+def test_orc_equality_deletes_apply(spark, tmp_path):
+    """Equality-delete files in ORC apply: keys resolve by the
+    iceberg.id attribute from the file's own schema (fields renamed in
+    the transcode to prove it)."""
+    root = str(tmp_path / "orc_eqdel")
+    iceberg.write_iceberg(
+        spark, spark.range(12).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(5,), (9,)], "id long")
+    )
+    _transcode_eq_deletes_to_orc(root)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(12) if i not in (5, 9)]
+    # strictly-older scoping: a re-ingested key lives
+    iceberg.write_iceberg(
+        spark, spark.createDataFrame([(5,)], "id long"), root,
+        format_version=2,
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(12) if i != 9]
