@@ -490,6 +490,7 @@ def _read_eq_delete_keys(
         StructField,
         StructType,
         TimestampNTZType,
+        TimestampType,
     )
 
     with open(dfile, "rb") as fh:
@@ -533,6 +534,10 @@ def _read_eq_delete_keys(
                 return _dt.datetime(1970, 1, 1) + _dt.timedelta(
                     microseconds=int(v)
                 )
+            if isinstance(t, TimestampType):
+                return _dt.datetime(
+                    1970, 1, 1, tzinfo=_dt.timezone.utc
+                ) + _dt.timedelta(microseconds=int(v))
             return v
 
         tuples = {
@@ -1335,6 +1340,8 @@ _ICE_TO_AVRO_DATA = {
     "string": "string",
     "date": {"type": "int", "logicalType": "date"},
     "timestamp": {"type": "long", "logicalType": "local-timestamp-micros"},
+    # adjust-to-utc=true: the INSTANT in UTC micros (spec Avro mapping)
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
 }
 
 
@@ -1382,6 +1389,9 @@ def _stage_avro_data(
         phys_kind[f["name"]] = t
     wschema = {"type": "record", "name": "row", "fields": avro_fields}
     wschema_json = _json.dumps(wschema)
+    #: timestamptz columns arrive in the worker as tz-NAIVE wall clock in
+    #: the SESSION timezone — the instant is recovered by localizing here
+    sess_tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
     cols = [f["name"] for f in ice_fields]
     pcols = [f"_p_{n}" for n in partition_by]
     if partition_by:
@@ -1443,6 +1453,14 @@ def _stage_avro_data(
                             v = (
                                 delta.days * 86_400 + delta.seconds
                             ) * 1_000_000 + delta.microseconds
+                        elif k == "timestamptz":
+                            # session-wall-clock -> UTC instant micros
+                            # (pd.Timestamp.value is ns from epoch UTC)
+                            v = (
+                                _pd.Timestamp(v)
+                                .tz_localize(sess_tz)
+                                .value // 1_000
+                            )
                         elif k in ("int", "long"):
                             v = int(v)
                         elif k in ("float", "double"):
@@ -1508,6 +1526,7 @@ _ICE_TO_PA_ORC = {
     "string": "string",
     "date": "date32",
     "timestamp": "timestamp_us",
+    "timestamptz": "timestamp_us_utc",
 }
 
 
@@ -1523,6 +1542,7 @@ def _pa_orc_type(name: str):
         "string": pa.string(),
         "date32": pa.date32(),
         "timestamp_us": pa.timestamp("us"),
+        "timestamp_us_utc": pa.timestamp("us", tz="UTC"),
     }[name]
 
 
@@ -1565,6 +1585,9 @@ def _stage_orc_data(
     field_meta = _json.dumps(
         [[f["name"], pa_kinds[f["name"]], f["id"]] for f in ice_fields]
     )
+    #: timestamptz arrives tz-NAIVE in the session timezone (see the avro
+    #: stager); localized to UTC before the arrow cast
+    sess_tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
     cols = [f["name"] for f in ice_fields]
     pcols = [f"_p_{n}" for n in partition_by]
     if partition_by:
@@ -1607,6 +1630,8 @@ def _stage_orc_data(
                 ts = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
                 d = ts - epoch_ts
                 return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            if kind == "timestamp_us_utc":
+                return _pd.Timestamp(v).value // 1_000  # ns UTC -> micros
             return v
 
         pdfs = [pdf for pdf in it if len(pdf)]
@@ -1622,8 +1647,18 @@ def _stage_orc_data(
             else:
                 parts = [((), full)]
             for keys, g in parts:
+                g = g[cols]
+                tsz_cols = [n for n, k, _f in spec if k == "timestamp_us_utc"]
+                if tsz_cols:
+                    g = g.copy()
+                    for n in tsz_cols:
+                        g[n] = (
+                            _pd.to_datetime(g[n])
+                            .dt.tz_localize(sess_tz)
+                            .dt.tz_convert("UTC")
+                        )
                 tbl = _pa.Table.from_pandas(
-                    g[cols], schema=schema, preserve_index=False
+                    g, schema=schema, preserve_index=False
                 )
                 stats = {}
                 for n, k, _fid in spec:
@@ -1697,7 +1732,10 @@ def _avro_stats_maps(stats: dict, fields: list[dict]) -> dict:
                 return None
             if t == "date":
                 return dt.date(1970, 1, 1) + dt.timedelta(days=int(v))
-            if t == "timestamp":
+            if t in ("timestamp", "timestamptz"):
+                # timestamptz physical micros are UTC; the naive result
+                # is the UTC wall clock, which _encode_bound treats as
+                # already-UTC micros
                 return dt.datetime(1970, 1, 1) + dt.timedelta(
                     microseconds=int(v)
                 )
@@ -5717,8 +5755,9 @@ def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
     identity-partition backfill tuples (PHYSICAL encoding — days ints
     for dates, micros for timestamps — straight from the manifest
     partition tuple) serialized as JSON for the worker side.
-    timestamptz refuses here for both formats: a naive decoded value
-    would be re-interpreted in the session timezone."""
+    timestamptz decodes as the UTC INSTANT (kind 'tsz' — tz-aware
+    pandas values survive the arrow boundary with the instant intact,
+    session-timezone-independent; round 9)."""
     import json as _json
 
     from pyspark.sql.types import (
@@ -5731,17 +5770,13 @@ def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
         TimestampType,
     )
 
-    for f in declared.fields:
-        if isinstance(f.dataType, TimestampType):
-            raise NotImplementedError(
-                f"timestamptz columns in {fmt} data files are unsupported "
-                "(naive decode would re-interpret in session timezone)"
-            )
     names = [f.name for f in declared.fields]
     kinds = {}
     for f in declared.fields:
         if isinstance(f.dataType, DateType):
             kinds[f.name] = "date"
+        elif isinstance(f.dataType, TimestampType):
+            kinds[f.name] = "tsz"
         elif isinstance(f.dataType, TimestampNTZType):
             kinds[f.name] = "ts"
         elif isinstance(f.dataType, IntegerType):
@@ -5866,6 +5901,10 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
                         )
                     elif kind == "ts":
                         out[n] = _pd.to_datetime(col, unit="us")
+                    elif kind == "tsz":
+                        # UTC instant micros -> tz-aware (instant-stable
+                        # across session timezones)
+                        out[n] = _pd.to_datetime(col, unit="us", utc=True)
                     elif kind in ("i32", "i64"):
                         out[n] = col.astype(
                             "Int32" if kind == "i32" else "Int64"
@@ -5919,6 +5958,8 @@ def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
                 return epoch_d + _dt.timedelta(days=int(v))
             if k == "ts":
                 return _pd.Timestamp(int(v), unit="us")
+            if k == "tsz":
+                return _pd.Timestamp(int(v), unit="us", tz="UTC")
             return v
 
         for pdf in it:
@@ -5974,6 +6015,24 @@ def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
                         # datetime64[ns] from arrow; normalizes backfill
                         # Timestamp scalars too
                         out[n] = _pd.to_datetime(col)
+                    elif kind == "tsz":
+                        norm = _pd.to_datetime(col)
+                        if getattr(norm.dt, "tz", None) is None and len(
+                            norm.dropna()
+                        ):
+                            # the file stored wall-clock TIMESTAMP but the
+                            # table declares timestamptz: localizing here
+                            # would guess an offset — refuse
+                            raise ValueError(
+                                f"{p}: timestamptz column {n!r} stored as "
+                                "wall-clock ORC TIMESTAMP (no zone) — "
+                                "cannot recover the instant"
+                            )
+                        out[n] = (
+                            norm.dt.tz_convert("UTC")
+                            if getattr(norm.dt, "tz", None) is not None
+                            else norm
+                        )
                     # date: typed datetime.date objects already
                 yield out[names]
 

@@ -438,3 +438,75 @@ def test_orc_equality_deletes_apply(spark, tmp_path):
     )
     got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
     assert got == [i for i in range(12) if i != 9]
+
+
+# ----------------------------------------- round 9: timestamptz columns ----
+
+
+def test_timestamptz_roundtrip_both_formats(spark, tmp_path):
+    """timestamptz (Spark TimestampType) columns now write and read in
+    AVRO and ORC data files: the writer localizes the session wall clock
+    back to the UTC instant, the reader hands Spark tz-aware values —
+    so the INSTANT is stable no matter which session timezone writes or
+    reads. Verified by comparing unix_micros under rotating timezones."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for fmt in ("avro", "orc"):
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            df = spark.range(0, 5).select(
+                "id",
+                F.timestamp_seconds(F.lit(1718000000) + F.col("id")).alias(
+                    "tsz"
+                ),
+            )
+            want = [
+                r[0]
+                for r in df.select(F.unix_micros("tsz")).orderBy("id").collect()
+            ]
+            root = str(tmp_path / f"tsz_{fmt}")
+            iceberg.write_iceberg(
+                spark, df, root, format_version=2, data_format=fmt
+            )
+            # a DIFFERENT session timezone reads the same instants
+            for tz in ("UTC", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                got = [
+                    r[0]
+                    for r in iceberg.read_iceberg(spark, root)
+                    .select(F.unix_micros("tsz"))
+                    .orderBy(F.col("tsz"))
+                    .collect()
+                ]
+                assert got == want, (fmt, tz)
+            # manifest bounds carried (write-pass stats on the tz column)
+            meta = iceberg._load_metadata(root)
+            data, _ = iceberg._snapshot_scan_plan(
+                meta, meta["current-snapshot-id"], root
+            )
+            assert all(d.get("lower_bounds") for d in data), fmt
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_timestamptz_null_and_mixed_parquet_union(spark, tmp_path):
+    """Nullable timestamptz values survive, and an ORC generation unions
+    with a parquet generation carrying the same tsz column."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tsz_mixed")
+    df = spark.createDataFrame(
+        [(1, 1718000000), (2, None)], "id long, secs long"
+    ).select("id", F.timestamp_seconds("secs").alias("tsz"))
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    df2 = spark.createDataFrame(
+        [(3, 1718000555)], "id long, secs long"
+    ).select("id", F.timestamp_seconds("secs").alias("tsz"))
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    back = iceberg.read_iceberg(spark, root)
+    rows = {
+        r.id: r[0]
+        for r in back.select(F.unix_micros("tsz"), "id").collect()
+    }
+    assert rows == {1: 1718000000_000000, 2: None, 3: 1718000555_000000}
