@@ -3274,22 +3274,100 @@ def read_iceberg(
         # file's writer schema (avro field-id attributes / orc iceberg.id
         # type attributes — rename-safe, like the parquet path);
         # identity-partition source columns a file omits backfill from
-        # its manifest partition tuple. Still refused, loudly: delete
-        # content (position ordinals are a parquet-_metadata concept
-        # here), row identity, timestamptz (a naive pandas value would
-        # be re-interpreted in session tz). Mixed tables union the
-        # parquet subset through the normal path.
+        # its manifest partition tuple. DELETE content applies (round 9):
+        # the readers emit (_fp, _ri) row identity themselves — decode
+        # order IS file order, no parquet _metadata needed — position
+        # deletes anti-join those, equality deletes apply per-sequence
+        # branch under the strictly-older rule. Still refused, loudly:
+        # row identity, and deletes on a table MIXING rowfmt with
+        # parquet data files (the two mask pipelines would need to
+        # interleave). Mixed tables without deletes union the parquet
+        # subset through the normal path.
         _fmts = "+".join(k for k, v in rowfmt_entries.items() if v)
-        if deletes or with_row_identity:
+        _pq_present = any(
+            (d.get("format") or "PARQUET") == "PARQUET" for d in data
+        )
+        if (deletes or with_row_identity) and _pq_present:
             raise NotImplementedError(
-                f"{path}: {_fmts} data files with deletes/row-identity "
-                "are unsupported (rewrite to parquet via compact_iceberg "
-                "first)"
+                f"{path}: delete content / row identity on a table "
+                f"mixing {_fmts} and parquet data files is unsupported "
+                "(rewrite to one format via compact_iceberg first)"
             )
         if declared is None:
             raise NotImplementedError(
                 f"{path}: {_fmts} data files need a declared schema"
             )
+        if deletes or with_row_identity:
+            from functools import reduce as _red
+
+            from pyspark.sql import functions as F
+
+            eq = [d for d in deletes if d["kind"] == "eq"]
+            pos = [d["path"] for d in deletes if d["kind"] == "pos"]
+            id_to_name = _field_id_map(meta)
+            want_pos = bool(pos) or with_row_identity
+            by_seq: dict[int, dict] = {}
+            for fmtk in ("AVRO", "ORC"):
+                for d in rowfmt_entries[fmtk]:
+                    by_seq.setdefault(
+                        d["seq"], {"AVRO": [], "ORC": []}
+                    )[fmtk].append(d)
+            branches = []
+            for seq, groups in sorted(by_seq.items()):
+                subs = []
+                if groups["AVRO"]:
+                    subs.append(
+                        _read_avro_data(
+                            spark, groups["AVRO"], declared, meta,
+                            want_pos=want_pos,
+                        )
+                    )
+                if groups["ORC"]:
+                    subs.append(
+                        _read_orc_data(
+                            spark, groups["ORC"], declared, meta,
+                            want_pos=want_pos,
+                        )
+                    )
+                g = _red(lambda a, b: a.unionByName(b), subs)
+                for d in eq:
+                    if d["seq"] <= seq:
+                        continue  # strictly-older: same/newer data lives
+                    try:
+                        cols = [id_to_name[i] for i in d["equality_ids"]]
+                    except KeyError as exc:
+                        raise ValueError(
+                            f"{path}: equality delete references unknown "
+                            f"field id {exc} — schema drift"
+                        ) from None
+                    keys = _read_eq_delete_keys(
+                        spark, d["path"], cols, d["equality_ids"], declared
+                    )
+                    cond = _red(
+                        lambda a, b: a & b,
+                        [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
+                    )
+                    g = g.join(F.broadcast(keys), cond, "left_anti")
+                branches.append(g)
+            out = _red(lambda a, b: a.unionByName(b), branches)
+            if pos:
+                out = _join_out_positions(spark, path, out, pos)
+            if with_row_identity:
+                # a REAL _metadata(file_path,row_index) struct from the
+                # readers' own identity — delete writers and CDF position
+                # consumers work unchanged on rowfmt tables. Ordinals are
+                # assigned at decode (pre-mask), so a second delete names
+                # original file positions, as the spec requires.
+                out = out.select(
+                    *[f.name for f in declared.fields],
+                    F.struct(
+                        F.col("_fp").alias("file_path"),
+                        F.col("_ri").alias("row_index"),
+                    ).alias("_metadata"),
+                )
+            elif want_pos:
+                out = out.drop("_fp", "_ri")
+            return out.filter(where) if where else out
         outs = []
         if rowfmt_entries["AVRO"]:
             outs.append(
@@ -4984,15 +5062,32 @@ def read_iceberg_cdf(
         return spark.read.parquet(*paths)
 
     id_to_name = _field_id_map(meta)
+
+    def _parquet_only(entries):
+        bad = {
+            d.get("format")
+            for d in entries
+            if (d.get("format") or "PARQUET") != "PARQUET"
+        }
+        if bad:
+            raise NotImplementedError(
+                f"{path}: change feed over {sorted(bad)} data files is "
+                "unsupported (the feed's scans are parquet _metadata "
+                "based); rewrite to parquet via compact_iceberg and "
+                "consume from the rewrite"
+            )
+
     prev_data, prev_deletes = _snapshot_scan_plan(
         meta, ordered[from_idx]["snapshot-id"], path
     )
+    _parquet_only(prev_data)
     prev_data_map = {d["path"]: d for d in prev_data}
     prev_delete_set = {d["path"] for d in prev_deletes}
     parts: list[DataFrame] = []
     for s in ordered[from_idx + 1 : to_idx + 1]:
         sid = s["snapshot-id"]
         data, deletes = _snapshot_scan_plan(meta, sid, path)
+        _parquet_only(data)
         data_map = {d["path"]: d for d in data}
         gone = set(prev_data_map) - set(data_map)
         if gone:
@@ -5817,7 +5912,9 @@ def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
     return names, kinds, fid_of, backfill_json
 
 
-def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
+def _read_avro_data(
+    spark, entries: list[dict], declared, meta: dict, want_pos: bool = False
+):
     """Distributed scan of AVRO data files via the shipped avro_lite
     container reader: one mapInPandas over the scan-plan entries, each
     task decodes its files and projects to the DECLARED schema.
@@ -5845,9 +5942,11 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
     names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
         declared, meta, entries, "AVRO"
     )
+    out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
 
     def _batches(it):
         import datetime as _dt
+        import os as _os
 
         import pandas as _pd
 
@@ -5911,16 +6010,40 @@ def _read_avro_data(spark, entries: list[dict], declared, meta: dict):
                         )
                     elif kind == "f":
                         out[n] = col.astype("float64")
-                yield out[names]
+                if want_pos:
+                    # row identity WITHOUT parquet _metadata: decode
+                    # order is file order, so the ordinal IS the
+                    # position-delete `pos`
+                    out["_fp"] = f"file:{_os.path.abspath(p)}"
+                    out["_ri"] = _pd.array(
+                        range(len(out)), dtype="Int64"
+                    )
+                yield out[out_names]
 
     paths = [e["path"] for e in entries]
     pdf = spark.createDataFrame(
         [(p, backfill_json[p]) for p in paths], "path string, backfill string"
     ).repartition(min(len(paths), 64))
-    return pdf.mapInPandas(_batches, declared)
+    return pdf.mapInPandas(_batches, out_schema)
 
 
-def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
+def _rowfmt_out_schema(declared, want_pos: bool):
+    """(schema, column names) for a rowfmt scan — declared plus the
+    (_fp, _ri) row-identity pair when the caller masks deletes."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    if not want_pos:
+        return declared, [f.name for f in declared.fields]
+    schema = StructType(
+        list(declared.fields)
+        + [StructField("_fp", StringType()), StructField("_ri", LongType())]
+    )
+    return schema, [f.name for f in declared.fields] + ["_fp", "_ri"]
+
+
+def _read_orc_data(
+    spark, entries: list[dict], declared, meta: dict, want_pos: bool = False
+):
     """Distributed scan of ORC data files via ``pyarrow.orc`` inside
     mapInPandas — the arrow-native sibling of :func:`_read_avro_data`
     with the identical resolution contract: columns resolve by FIELD ID
@@ -5939,9 +6062,11 @@ def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
     names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
         declared, meta, entries, "ORC"
     )
+    out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
 
     def _batches(it):
         import datetime as _dt
+        import os as _os
 
         import pandas as _pd
         import pyarrow.orc as _orc
@@ -6034,10 +6159,13 @@ def _read_orc_data(spark, entries: list[dict], declared, meta: dict):
                             else norm
                         )
                     # date: typed datetime.date objects already
-                yield out[names]
+                if want_pos:
+                    out["_fp"] = f"file:{_os.path.abspath(p)}"
+                    out["_ri"] = _pd.array(range(len(out)), dtype="Int64")
+                yield out[out_names]
 
     paths = [e["path"] for e in entries]
     pdf = spark.createDataFrame(
         [(p, backfill_json[p]) for p in paths], "path string, backfill string"
     ).repartition(min(len(paths), 64))
-    return pdf.mapInPandas(_batches, declared)
+    return pdf.mapInPandas(_batches, out_schema)

@@ -1817,3 +1817,20 @@ def test_avro_equality_deletes_in_cdf(spark, tmp_path):
         (4, "delete"),
         (6, "delete"),
     }
+
+
+def test_avro_delete_lifecycle_with_rename(spark, tmp_path):
+    """Row-level DELETE on an AVRO data table, composed with a rename:
+    the reader's own (_fp, _ri) identity feeds the position-delete
+    writer, and the mask still applies through field-id resolution after
+    the rename."""
+    root = str(tmp_path / "avro_del")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(15)], "id long, name string"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="avro")
+    iceberg.delete_iceberg(spark, root, "id % 5 = 2")
+    iceberg.rename_iceberg_column(root, "name", "label")
+    back = iceberg.read_iceberg(spark, root)
+    got = sorted((r.id, r.label) for r in back.collect())
+    assert got == [(i, f"n{i}") for i in range(15) if i % 5 != 2]

@@ -153,15 +153,71 @@ def test_orc_foreign_file_name_resolution_works(spark, tmp_path):
     assert len(rows) == 1 and rows[0].id == 7 and rows[0].name == "z"
 
 
-def test_orc_with_deletes_refuses(spark, tmp_path):
-    """Delete content on an ORC table refuses loudly (position ordinals
-    are applied through the parquet scan machinery)."""
-    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "id long, name string")
+def test_orc_delete_lifecycle(spark, tmp_path):
+    """Row-level DELETE on an ORC table (round 9): the rowfmt scan emits
+    its own (_fp, _ri) row identity — decode order is file order — so
+    delete_iceberg's position-delete write works unchanged, the masked
+    read applies it, a SECOND delete names ORIGINAL file ordinals (the
+    spec contract), and compaction rewrites to clean parquet."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "id long, name string"
+    )
     root = str(tmp_path / "orc_del")
     iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
-    with pytest.raises(NotImplementedError, match="ORC"):
+    iceberg.delete_iceberg(spark, root, "id IN (3, 7)")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (3, 7)]
+    # second delete: ordinals must reference ORIGINAL file positions
+    iceberg.delete_iceberg(spark, root, "id = 11")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (3, 7, 11)]
+    # predicate pushes into the masked scan
+    assert iceberg.read_iceberg(spark, root, where="id >= 10").count() == 9
+    # compaction applies the masks and lands parquet
+    iceberg.compact_iceberg(spark, root)
+    meta = iceberg._load_metadata(root)
+    data, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], root
+    )
+    assert not dels and all(d["format"] == "PARQUET" for d in data)
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(20) if i not in (3, 7, 11)]
+
+
+def test_orc_equality_delete_on_orc_data(spark, tmp_path):
+    """Equality deletes apply to ORC DATA files under the strictly-older
+    sequence rule (re-ingested keys live)."""
+    root = str(tmp_path / "orc_eq_on_orc")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2,
+        data_format="orc",
+    )
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(4,)], "id long")
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [i for i in range(10) if i != 4]
+    iceberg.write_iceberg(
+        spark, spark.createDataFrame([(4,)], "id long"), root,
+        format_version=2, data_format="orc",
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == list(range(10))
+
+
+def test_mixed_format_with_deletes_refuses(spark, tmp_path):
+    """Deletes on a table MIXING rowfmt and parquet data files refuse
+    loudly (the two mask pipelines would need to interleave)."""
+    root = str(tmp_path / "orc_mixed_del")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2,
+        data_format="orc",
+    )
+    iceberg.write_iceberg(
+        spark, spark.range(5, 10).select("id"), root, format_version=2
+    )
+    with pytest.raises(NotImplementedError, match="mixing"):
         iceberg.delete_iceberg(spark, root, "id = 3")
-        iceberg.read_iceberg(spark, root).collect()
 
 
 def test_orc_mixed_with_parquet_unpartitioned_unions(spark, tmp_path):
