@@ -4091,6 +4091,34 @@ def _stage_data_entry(
     }
 
 
+def _refuse_rowfmt_mor(spark_unused, path: str, op: str) -> None:
+    """Refuse merge-on-read DML that would WEDGE a non-parquet table:
+    update/merge/overwrite-where write parquet replacement files plus
+    delete manifests, and a table mixing rowfmt (AVRO/ORC) and parquet
+    data files WITH deletes is unreadable (the two mask pipelines would
+    need to interleave) — so the operation would succeed and leave the
+    table unreadable, with compact (which reads) also locked out. Pure
+    delete commits (delete_iceberg / delete_iceberg_equality) stay
+    allowed: they add no data files."""
+    meta = _load_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        return
+    data, _dels = _snapshot_scan_plan(meta, cur, path)
+    fmts = {
+        d.get("format")
+        for d in data
+        if (d.get("format") or "PARQUET") != "PARQUET"
+    }
+    if fmts:
+        raise NotImplementedError(
+            f"{path}: {op} writes parquet replacement files, which would "
+            f"mix with the table's {sorted(fmts)} data files under delete "
+            "content and leave it unreadable — rewrite to parquet via "
+            "compact_iceberg first"
+        )
+
+
 def update_iceberg(
     spark: SparkSession,
     path: str,
@@ -4128,6 +4156,7 @@ def update_iceberg(
 
     if not set:
         raise ValueError("update_iceberg: empty SET clause")
+    _refuse_rowfmt_mor(spark, path, "update_iceberg")
     # summary-stamped exactly-once handshake: an UPDATE whose SET is not
     # idempotent by effect (v = v + 1) must not re-apply on a retried run
     if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
@@ -4308,6 +4337,7 @@ def overwrite_iceberg_where(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    _refuse_rowfmt_mor(spark, path, "overwrite_iceberg_where")
     if not where or not str(where).strip():
         raise ValueError(
             "overwrite_iceberg_where: empty predicate — a full-table "
@@ -4447,6 +4477,7 @@ def merge_iceberg(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    _refuse_rowfmt_mor(spark, path, "merge_iceberg")
     if when_matched not in ("update", "delete"):
         raise ValueError(
             f"merge_iceberg: when_matched must be update|delete, got {when_matched!r}"

@@ -5111,6 +5111,67 @@ def e1_iceberg_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_orc_delete",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 6 = 0 AND NOT (l_linenumber = 2)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def e1_iceberg_orc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML on an ORC data table (round 9): a lineitem
+    slice lands as ORC data files, delete_iceberg masks a predicate —
+    the position-delete WRITE rides the rowfmt scan's own synthesized
+    (_fp, _ri) row identity, no parquet _metadata anywhere — and the
+    masked read must hash-match the oracle's plain filter. In-query
+    asserts prove the data files really are ORC and a delete file is
+    live (merge-on-read, not a rewrite)."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).where("l_orderkey % 6 = 0")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_orc_delete"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark, src, path, format_version=2, data_format="orc"
+    )
+    iceberg.delete_iceberg(spark, path, "l_linenumber = 2")
+    meta = iceberg._load_metadata(path)
+    plan, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    if not (
+        plan
+        and all((d.get("format") or "PARQUET") == "ORC" for d in plan)
+        and any(d["kind"] == "pos" for d in dels)
+    ):
+        raise RuntimeError(
+            "e1_iceberg_orc_delete: expected live ORC data files + a "
+            f"position delete, got formats="
+            f"{ {d.get('format') for d in plan} }, deletes={len(dels)}"
+        )
+    return (
+        iceberg.read_iceberg(spark, path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "e14_jpeg_decode",
     """
     WITH dims AS (
@@ -6989,6 +7050,9 @@ _FINAL_ORDER = [
                             # median/linreg in the swept tail)
     "e14_jpeg_progressive",  # round 9: SOF2 progressive decode,
                              # bit-identical-to-baseline parity oracle
+    "e1_iceberg_orc_delete",  # round 9: merge-on-read DML on ORC data
+                              # files (synthesized row identity), exact
+                              # oracle
     "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
                             # e14 family keeps e14_png_checksums in-window)
     "q20_dominant_supplier",  # displaced by e12_scd2 (r5+r6 driver-green;
@@ -7202,7 +7266,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 98, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 99, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -566,3 +566,39 @@ def test_timestamptz_null_and_mixed_parquet_union(spark, tmp_path):
         for r in back.select(F.unix_micros("tsz"), "id").collect()
     }
     assert rows == {1: 1718000000_000000, 2: None, 3: 1718000555_000000}
+
+
+def test_mor_dml_refuses_upfront_on_rowfmt_tables(spark, tmp_path):
+    """update/merge/overwrite-where write parquet replacement files —
+    on an ORC/AVRO table that would create the unreadable
+    mixed-formats-with-deletes state AFTER committing. The guard refuses
+    UPFRONT, before any commit, keeping the table readable."""
+    root = str(tmp_path / "orc_wedge")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id long, name string"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    with pytest.raises(NotImplementedError, match="compact_iceberg"):
+        iceberg.update_iceberg(spark, root, {"name": "'x'"}, where="id = 1")
+    with pytest.raises(NotImplementedError, match="compact_iceberg"):
+        iceberg.merge_iceberg(
+            spark,
+            spark.createDataFrame([(1, "m")], "id long, name string"),
+            root,
+            ["id"],
+        )
+    with pytest.raises(NotImplementedError, match="compact_iceberg"):
+        iceberg.overwrite_iceberg_where(
+            spark,
+            spark.createDataFrame([(1, "o")], "id long, name string"),
+            root,
+            "id = 1",
+        )
+    # no commit happened, the table still reads
+    assert iceberg.read_iceberg(spark, root).count() == 10
+    # and after compacting to parquet, MoR DML works
+    iceberg.compact_iceberg(spark, root)
+    iceberg.update_iceberg(spark, root, {"name": "'x'"}, where="id = 1")
+    back = iceberg.read_iceberg(spark, root)
+    assert back.where("id = 1").collect()[0].name == "x"
+    assert back.count() == 10
