@@ -710,7 +710,36 @@ def read_iceberg_changes(
         return spark.createDataFrame(
             [], StructType.fromJson({"type": "struct", "fields": spark_fields})
         )
-    return spark.read.parquet(*added)
+    # route non-parquet added files through the rowfmt readers (round 9)
+    to_plan, _dels = _snapshot_scan_plan(meta, to_id, path)
+    entry_by_path = {d["path"]: d for d in to_plan}
+    rowfmt = {"AVRO": [], "ORC": []}
+    pq_added = []
+    for p in added:
+        fmt = (entry_by_path.get(p, {}).get("format")) or "PARQUET"
+        if fmt in rowfmt:
+            rowfmt[fmt].append(entry_by_path[p])
+        else:
+            pq_added.append(p)
+    if not (rowfmt["AVRO"] or rowfmt["ORC"]):
+        return spark.read.parquet(*added)
+    declared = _declared_spark_schema(meta)
+    if declared is None:
+        raise NotImplementedError(
+            f"{path}: incremental read over non-parquet data files needs "
+            "a declared schema"
+        )
+    parts = []
+    if pq_added:
+        parts.append(spark.read.schema(declared).parquet(*pq_added))
+    if rowfmt["AVRO"]:
+        parts.append(_read_avro_data(spark, rowfmt["AVRO"], declared, meta))
+    if rowfmt["ORC"]:
+        parts.append(_read_orc_data(spark, rowfmt["ORC"], declared, meta))
+    out = parts[0]
+    for g in parts[1:]:
+        out = out.unionByName(g)
+    return out
 
 
 # ---------------------------------------------------------------- writer ----
@@ -5087,38 +5116,57 @@ def read_iceberg_cdf(
 
     declared = _declared_spark_schema(meta)
 
-    def _read(paths):
-        if declared is not None:
-            return spark.read.schema(declared).parquet(*paths)
-        return spark.read.parquet(*paths)
+    def _read_any(entries, want_pos: bool = False):
+        """Format-aware scan of data-file ENTRIES (parquet native,
+        AVRO/ORC through the rowfmt readers — round 9); ``want_pos``
+        tags every row with its (_fp, _ri) identity: parquet from the
+        hidden _metadata, rowfmt from the readers' own decode-order
+        ordinals."""
+        groups: dict[str, list] = {"PARQUET": [], "AVRO": [], "ORC": []}
+        for d in entries:
+            groups[d.get("format") or "PARQUET"].append(d)
+        parts_ = []
+        if groups["PARQUET"]:
+            paths_ = [d["path"] for d in groups["PARQUET"]]
+            g = (
+                spark.read.schema(declared).parquet(*paths_)
+                if declared is not None
+                else spark.read.parquet(*paths_)
+            )
+            if want_pos:
+                g = g.withColumn(
+                    "_fp", _decoded_meta_path(paths_)
+                ).withColumn("_ri", F.col("_metadata.row_index"))
+            parts_.append(g)
+        for fmtk, reader in (
+            ("AVRO", _read_avro_data),
+            ("ORC", _read_orc_data),
+        ):
+            if not groups[fmtk]:
+                continue
+            if declared is None:
+                raise NotImplementedError(
+                    f"{path}: change feed over {fmtk} data files needs a "
+                    "declared schema"
+                )
+            parts_.append(
+                reader(spark, groups[fmtk], declared, meta, want_pos=want_pos)
+            )
+        out = parts_[0]
+        for g2 in parts_[1:]:
+            out = out.unionByName(g2)
+        return out
 
     id_to_name = _field_id_map(meta)
-
-    def _parquet_only(entries):
-        bad = {
-            d.get("format")
-            for d in entries
-            if (d.get("format") or "PARQUET") != "PARQUET"
-        }
-        if bad:
-            raise NotImplementedError(
-                f"{path}: change feed over {sorted(bad)} data files is "
-                "unsupported (the feed's scans are parquet _metadata "
-                "based); rewrite to parquet via compact_iceberg and "
-                "consume from the rewrite"
-            )
-
     prev_data, prev_deletes = _snapshot_scan_plan(
         meta, ordered[from_idx]["snapshot-id"], path
     )
-    _parquet_only(prev_data)
     prev_data_map = {d["path"]: d for d in prev_data}
     prev_delete_set = {d["path"] for d in prev_deletes}
     parts: list[DataFrame] = []
     for s in ordered[from_idx + 1 : to_idx + 1]:
         sid = s["snapshot-id"]
         data, deletes = _snapshot_scan_plan(meta, sid, path)
-        _parquet_only(data)
         data_map = {d["path"]: d for d in data}
         gone = set(prev_data_map) - set(data_map)
         if gone:
@@ -5130,7 +5178,7 @@ def read_iceberg_cdf(
         new_data = [p for p in data_map if p not in prev_data_map]
         if new_data:
             parts.append(
-                _read(new_data)
+                _read_any([data_map[p] for p in new_data])
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
             )
@@ -5138,11 +5186,9 @@ def read_iceberg_cdf(
         pos_new = [d["path"] for d in new_deletes if d["kind"] == "pos"]
         if pos_new:
             # the named rows themselves are the delete records
-            scan_files = sorted(set(prev_data_map) | set(data_map))
-            tagged = (
-                _read(scan_files)
-                .withColumn("_fp", _decoded_meta_path(scan_files))
-                .withColumn("_ri", F.col("_metadata.row_index"))
+            merged_map = {**prev_data_map, **data_map}
+            tagged = _read_any(
+                [merged_map[p] for p in sorted(merged_map)], want_pos=True
             )
             # (the feed needs the COMPLEMENT of the read-path's anti-join:
             # an inner join against the named positions)
@@ -5207,12 +5253,11 @@ def read_iceberg_cdf(
             ]
             if not older:
                 continue
-            g = _read(older)
             prev_pos = [x["path"] for x in prev_deletes if x["kind"] == "pos"]
+            g = _read_any(
+                [prev_data_map[p] for p in older], want_pos=bool(prev_pos)
+            )
             if prev_pos:
-                g = g.withColumn("_fp", _decoded_meta_path(older)).withColumn(
-                    "_ri", F.col("_metadata.row_index")
-                )
                 g = _join_out_positions(spark, path, g, prev_pos).drop("_fp", "_ri")
             for x in prev_deletes:
                 if x["kind"] != "eq":

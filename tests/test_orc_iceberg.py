@@ -602,3 +602,49 @@ def test_mor_dml_refuses_upfront_on_rowfmt_tables(spark, tmp_path):
     back = iceberg.read_iceberg(spark, root)
     assert back.where("id = 1").collect()[0].name == "x"
     assert back.count() == 10
+
+
+def test_cdf_over_orc_table(spark, tmp_path):
+    """read_iceberg_cdf over an ORC data table (round 9): inserts from
+    the rowfmt readers, position-delete records joined against the
+    readers' own (_fp, _ri) identity, equality deletes against the
+    masked rowfmt scan."""
+    root = str(tmp_path / "orc_cdf")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(10).select("id"), root, format_version=2,
+        data_format="orc",
+    )
+    s1 = iceberg.write_iceberg(
+        spark, spark.range(10, 15).select("id"), root, format_version=2,
+        data_format="orc",
+    )
+    s2 = iceberg.delete_iceberg(spark, root, "id IN (3, 12)")
+    s3 = iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(3,), (4,)], "id long")
+    )
+    cdf = iceberg.read_iceberg_cdf(spark, root, from_snapshot_id=s0)
+    rows = [(r.id, r._change_type, r._commit_snapshot_id) for r in cdf.collect()]
+    inserts = {(i, s) for i, t, s in rows if t == "insert"}
+    deletes = {(i, s) for i, t, s in rows if t == "delete"}
+    assert inserts == {(i, s1) for i in range(10, 15)}
+    # id=3 deleted once (position delete at s2); the equality delete at
+    # s3 kills only id=4 (3 already masked)
+    assert deletes == {(3, s2), (12, s2), (4, s3)}
+
+
+def test_incremental_changes_over_avro_appends(spark, tmp_path):
+    """read_iceberg_changes routes non-parquet added files through the
+    rowfmt readers."""
+    root = str(tmp_path / "avro_changes")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2,
+        data_format="avro",
+    )
+    iceberg.write_iceberg(
+        spark, spark.range(5, 9).select("id"), root, format_version=2,
+        data_format="avro",
+    )
+    got = sorted(
+        r.id for r in iceberg.read_iceberg_changes(spark, root, s0).collect()
+    )
+    assert got == [5, 6, 7, 8]
