@@ -4129,6 +4129,8 @@ def _refuse_rowfmt_mor(spark_unused, path: str, op: str) -> None:
     table unreadable, with compact (which reads) also locked out. Pure
     delete commits (delete_iceberg / delete_iceberg_equality) stay
     allowed: they add no data files."""
+    if not is_iceberg_table(path):
+        return  # first MERGE creates the table — nothing to wedge
     meta = _load_metadata(path)
     cur = meta.get("current-snapshot-id")
     if cur in (None, -1):
