@@ -957,6 +957,19 @@ def convert_iceberg_to_delta(
     if cur in (None, -1):
         raise ValueError(f"{path}: table has no current snapshot")
     data, deletes = iceberg._snapshot_scan_plan(meta, cur, path)
+    _nonpq = {
+        d.get("format")
+        for d in data
+        if (d.get("format") or "PARQUET") != "PARQUET"
+    }
+    if _nonpq:
+        # the Delta protocol is parquet-only: registering these files in
+        # a _delta_log would make every Delta reader misread them
+        raise NotImplementedError(
+            f"{path}: cannot convert a table with {sorted(_nonpq)} data "
+            "files to Delta (the Delta protocol is parquet-only) — "
+            "rewrite to parquet via compact_iceberg first"
+        )
     eq = [d for d in deletes if d["kind"] == "eq"]
     declared = iceberg._declared_spark_schema(meta)
     if declared is None:

@@ -648,3 +648,22 @@ def test_incremental_changes_over_avro_appends(spark, tmp_path):
         r.id for r in iceberg.read_iceberg_changes(spark, root, s0).collect()
     )
     assert got == [5, 6, 7, 8]
+
+
+def test_convert_rowfmt_to_delta_refuses(spark, tmp_path):
+    """The Delta protocol is parquet-only: converting an ORC/AVRO table
+    must refuse with the compact escape hatch, not crash in the footer
+    harvest."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "orc2delta")
+    iceberg.write_iceberg(
+        spark, spark.range(8).select("id"), root, format_version=2,
+        data_format="orc",
+    )
+    with pytest.raises(NotImplementedError, match="parquet-only"):
+        convert.convert_iceberg_to_delta(spark, root)
+    # escape hatch: compact to parquet, then convert works
+    iceberg.compact_iceberg(spark, root)
+    convert.convert_iceberg_to_delta(spark, root)
+    assert lakehouse.read_delta(spark, root).count() == 8
