@@ -1834,3 +1834,37 @@ def test_avro_delete_lifecycle_with_rename(spark, tmp_path):
     back = iceberg.read_iceberg(spark, root)
     got = sorted((r.id, r.label) for r in back.collect())
     assert got == [(i, f"n{i}") for i in range(15) if i % 5 != 2]
+
+
+def test_avro_maintenance_lifecycle(spark, tmp_path):
+    """Table maintenance composes on AVRO data tables: rewrite_manifests
+    carries entries verbatim WITH their file_format, compaction rewrites
+    to parquet, and expiration reclaims the superseded avro data files."""
+    root = str(tmp_path / "avro_maint")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(8)], "id long, name string"
+    )
+    for k in range(3):
+        iceberg.write_iceberg(
+            spark, df.where(f"id % 3 = {k}"), root, format_version=2,
+            data_format="avro",
+        )
+    out = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out["before"] == 3 and out["after"] == 1
+    meta = iceberg._load_metadata(root)
+    plan, _ = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], root
+    )
+    assert {d.get("format") for d in plan} == {"AVRO"}, (
+        "manifest consolidation must preserve file_format"
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 8
+    iceberg.compact_iceberg(spark, root)
+    iceberg.expire_iceberg_snapshots(root, keep=1)
+    assert iceberg.read_iceberg(spark, root).count() == 8
+    leftover = [
+        f
+        for f in os.listdir(os.path.join(root, "data"))
+        if f.endswith(".avro")
+    ]
+    assert leftover == [], "expiration must reclaim superseded avro files"
