@@ -70,6 +70,19 @@ def sync_iceberg_spool(
         raise NotImplementedError(
             f"{path}: spool links need local paths; found object-store URIs"
         )
+    # the spool is consumed by Spark's PARQUET file stream — a linked
+    # AVRO/ORC data file would be misread byte-for-byte (round 9: those
+    # formats exist now; refuse loudly instead of crashing in the footer
+    # probe below)
+    for f in added_local:
+        with open(f, "rb") as fh:
+            magic = fh.read(4)
+        if magic != b"PAR1":
+            raise NotImplementedError(
+                f"{path}: non-parquet data file "
+                f"{os.path.basename(f)} cannot be spooled into a parquet "
+                "file stream — compact_iceberg to parquet first"
+            )
     _check_footers_match_schema(meta, added_local, path)
     os.makedirs(spool_dir, exist_ok=True)
     # snapshot ids are monotone (max+1 allocation), so prefixing with the

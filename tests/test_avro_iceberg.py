@@ -1868,3 +1868,17 @@ def test_avro_maintenance_lifecycle(spark, tmp_path):
         if f.endswith(".avro")
     ]
     assert leftover == [], "expiration must reclaim superseded avro files"
+
+
+def test_spool_refuses_rowfmt_files(spark, tmp_path):
+    """The streaming spool feeds a PARQUET file stream — an AVRO/ORC
+    data file must refuse loudly instead of being misread."""
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "avro_spool")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2,
+        data_format="avro",
+    )
+    with pytest.raises(NotImplementedError, match="non-parquet"):
+        iceberg_source.sync_iceberg_spool(root, str(tmp_path / "spool"))
