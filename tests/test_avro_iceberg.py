@@ -1882,3 +1882,49 @@ def test_spool_refuses_rowfmt_files(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="non-parquet"):
         iceberg_source.sync_iceberg_spool(root, str(tmp_path / "spool"))
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.floats(allow_nan=False, allow_infinity=False, width=64),
+                st.booleans(),
+            ),
+            max_size=60,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_avro_container_roundtrip_property(rows, seed, tmp_path_factory):
+        """ANY record batch of (long, nullable string, double, boolean)
+        survives the container writer→reader byte-exactly, and the
+        block-header record counter agrees without decoding."""
+        schema = {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "a", "type": "long", "field-id": 1},
+                {"name": "s", "type": ["null", "string"], "field-id": 2},
+                {"name": "f", "type": "double", "field-id": 3},
+                {"name": "b", "type": "boolean", "field-id": 4},
+            ],
+        }
+        recs = [
+            {"a": a, "s": s, "f": f, "b": b} for a, s, f, b in rows
+        ]
+        p = str(
+            tmp_path_factory.mktemp("avro_prop") / f"r{seed}.avro"
+        )
+        avro_lite.write_container(p, schema, recs)
+        wschema, back = avro_lite.read_container_with_schema(p)
+        assert back == recs
+        assert [f["field-id"] for f in wschema["fields"]] == [1, 2, 3, 4]
+        assert avro_lite.count_container_records(p) == len(recs)
+
+except ImportError:
+    pass
