@@ -667,3 +667,34 @@ def test_convert_rowfmt_to_delta_refuses(spark, tmp_path):
     iceberg.compact_iceberg(spark, root)
     convert.convert_iceberg_to_delta(spark, root)
     assert lakehouse.read_delta(spark, root).count() == 8
+
+
+def test_bucket_transform_partitioned_orc_prunes(spark, tmp_path):
+    """Non-identity (murmur3 bucket) partition transforms compose with
+    ORC staging — the derive-column path is format-independent — and
+    bucket pruning engages on the point predicate."""
+    root = str(tmp_path / "orc_bucket")
+    df = spark.createDataFrame(
+        [(i, f"n{i % 4}") for i in range(20)], "id long, name string"
+    )
+    iceberg.write_iceberg(
+        spark, df, root, format_version=2, data_format="orc",
+        partition_by=["bucket(4, id)"],
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 20
+    rep = iceberg.iceberg_scan_report(root, "id = 7")
+    assert rep["eligible"] and rep["kept_files"] < rep["total_files"]
+    assert [r.id for r in
+            iceberg.read_iceberg(spark, root, where="id = 7").collect()] == [7]
+
+
+def test_sort_by_composes_with_avro(spark, tmp_path):
+    root = str(tmp_path / "avro_sort")
+    df = spark.createDataFrame(
+        [(i, f"n{i % 4}") for i in range(20)], "id long, name string"
+    )
+    iceberg.write_iceberg(
+        spark, df, root, format_version=2, data_format="avro",
+        sort_by=["name", "id"],
+    )
+    assert iceberg.read_iceberg(spark, root).count() == 20
