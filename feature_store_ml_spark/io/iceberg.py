@@ -731,7 +731,8 @@ def read_iceberg_changes(
         )
     parts = []
     if pq_added:
-        parts.append(spark.read.schema(declared).parquet(*pq_added))
+        # field-id grouping, same rename-safety as the main scan leg
+        parts.append(_read_parquet_fid(spark, pq_added, declared, meta))
     if rowfmt["AVRO"]:
         parts.append(_read_avro_data(spark, rowfmt["AVRO"], declared, meta))
     if rowfmt["ORC"]:
@@ -1898,6 +1899,49 @@ def write_iceberg(
             raise ValueError(
                 f"{path}: table is format-version {fv}, append requested {format_version}"
             )
+        # GUARD (the append twin of the MoR-DML format resolver): an
+        # append whose data_format differs from the live files' format on
+        # a snapshot that carries DELETE files would commit fine but
+        # leave the table unreadable — the read path refuses delete
+        # content over mixed formats, and compact (which reads) would be
+        # locked out too. Refuse BEFORE committing. Branch writes check
+        # their own head's lineage.
+        _base_snap = (
+            (prior_meta.get("refs") or {}).get(branch, {}).get("snapshot-id")
+            if branch is not None
+            else prior_meta.get("current-snapshot-id")
+        )
+        if _base_snap not in (None, -1):
+            # cheap pre-check first: ONE manifest-list read answers "any
+            # delete manifests?" (content==1); the O(#manifests) format
+            # walk only runs when there are — plain append chains never
+            # pay it
+            _snaps0 = {
+                s["snapshot-id"]: s for s in prior_meta.get("snapshots", [])
+            }
+            _has_dels = any(
+                (e.get("content", 0) or 0) == 1
+                for e in avro_lite.read_container(
+                    _localize(
+                        _snaps0[_base_snap]["manifest-list"], path
+                    )
+                )
+            )
+            if _has_dels:
+                _live, _dels = _snapshot_scan_plan(
+                    prior_meta, _base_snap, path
+                )
+                _live_fmts = {(d.get("format") or "PARQUET") for d in _live}
+                if _dels and (_live_fmts - {data_format.upper()}):
+                    raise NotImplementedError(
+                        f"{path}: append of {data_format.upper()} data "
+                        f"files onto live {sorted(_live_fmts)} files under "
+                        "delete content would leave the table unreadable "
+                        "(delete masks cannot interleave across formats) — "
+                        "append data_format="
+                        f"{sorted(_live_fmts)[0].lower()!r}, or rewrite to "
+                        "one format via compact_iceberg first"
+                    )
         spec = next(
             (
                 s
@@ -3173,6 +3217,78 @@ def iceberg_scan_report(
     }
 
 
+def _read_parquet_fid(
+    spark: SparkSession,
+    paths: list[str],
+    declared,
+    meta: dict,
+    want_meta: bool = False,
+) -> DataFrame:
+    """FIELD-ID-resolved parquet read — the ONE parquet scan leg shared by
+    the main snapshot scan, the parquet subset of mixed-format unions,
+    incremental change reads and the CDF replay (spec: column identity is
+    the field id; after a rename, old files carry the OLD name and a
+    name-based ``spark.read.schema(declared)`` silently backfills NULL).
+    Files are grouped by their footer's fid->name mapping (O(#files)
+    driver footer reads, the same pass manifest-stats planning does);
+    each group scans under its own physical schema and projects to the
+    current names. Footers without field ids (pre-stamping writers) fall
+    back to name resolution, per the spec's name-mapping escape hatch.
+    ``want_meta`` materializes ``_metadata`` as a real column BEFORE any
+    union (hidden-column resolution does not survive unions)."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    from .lakehouse import _group_files_by_field_ids
+
+    fid_of = {
+        f["name"]: f.get("id") for f in _current_schema(meta).get("fields", [])
+    }
+
+    def _plain(ps):
+        g = (
+            spark.read.schema(declared).parquet(*ps)
+            if declared is not None
+            else spark.read.parquet(*ps)
+        )
+        return g.select("*", F.col("_metadata")) if want_meta else g
+
+    # _local_path, not urlparse: a raw '#' in the table root would
+    # truncate at the fragment and footer-group a nonexistent file
+    local = [_local_path(p) for p in paths]
+    if declared is None or any(
+        urlparse(p).scheme not in ("", "file") for p in paths
+    ):
+        return _plain(paths)
+    branches = []
+    for phys_by_fid, gfiles in _group_files_by_field_ids(local):
+        src = {
+            f.name: (
+                phys_by_fid.get(fid_of[f.name], f.name)
+                if fid_of.get(f.name) is not None and phys_by_fid
+                else f.name
+            )
+            for f in declared.fields
+        }
+        if all(src[f.name] == f.name for f in declared.fields):
+            branches.append(_plain(gfiles))
+            continue
+        physical = StructType(
+            [
+                StructField(src[f.name], f.dataType, f.nullable)
+                for f in declared.fields
+            ]
+        )
+        g = spark.read.schema(physical).parquet(*gfiles)
+        cols = [F.col(src[f.name]).alias(f.name) for f in declared.fields]
+        if want_meta:
+            cols.append(F.col("_metadata"))
+        branches.append(g.select(*cols))
+    return _reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -3429,76 +3545,19 @@ def read_iceberg(
                 "backfill; rewrite to one format via compact_iceberg"
             )
         if pq_files:
+            # field-id-resolved, NOT spark.read.schema(declared): a table
+            # that renamed a column before its first rowfmt append holds
+            # pre-rename parquet files whose footers carry the OLD name —
+            # a name-based read silently backfills NULL for them
             out = out.unionByName(
-                spark.read.schema(declared).parquet(
-                    *[_local_path(p) for p in pq_files]
-                )
+                _read_parquet_fid(spark, pq_files, declared, meta)
             )
         return out.filter(where) if where else out
-    fid_of = {
-        f["name"]: f.get("id") for f in _current_schema(meta).get("fields", [])
-    }
-
     def _read(paths: list[str], want_meta: bool = False) -> DataFrame:
-        """Read data files with FIELD-ID resolution (spec: column identity
-        is the field id — after a rename, old files carry the OLD name and
-        a name-based read would silently backfill NULL). Files are grouped
-        by their footer's fid->name mapping (O(#files) driver footer
-        reads, the same pass manifest-stats planning does); each group
-        scans under its own physical schema and projects to the current
-        names. Footers without field ids (pre-stamping writers) fall back
-        to name resolution, per the spec's name-mapping escape hatch.
-        ``want_meta`` materializes ``_metadata`` as a real column BEFORE
-        any union (hidden-column resolution does not survive unions)."""
-        from functools import reduce as _reduce
-
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructField, StructType
-
-        from .lakehouse import _group_files_by_field_ids
-
-        def _plain(ps):
-            g = (
-                spark.read.schema(declared).parquet(*ps)
-                if declared is not None
-                else spark.read.parquet(*ps)
-            )
-            return g.select("*", F.col("_metadata")) if want_meta else g
-
-        # _local_path, not urlparse: a raw '#' in the table root would
-        # truncate at the fragment and footer-group a nonexistent file
-        local = [_local_path(p) for p in paths]
-        if declared is None or any(
-            urlparse(p).scheme not in ("", "file") for p in paths
-        ):
-            return _plain(paths)
-        branches = []
-        for phys_by_fid, gfiles in _group_files_by_field_ids(local):
-            src = {
-                f.name: (
-                    phys_by_fid.get(fid_of[f.name], f.name)
-                    if fid_of.get(f.name) is not None and phys_by_fid
-                    else f.name
-                )
-                for f in declared.fields
-            }
-            if all(src[f.name] == f.name for f in declared.fields):
-                branches.append(_plain(gfiles))
-                continue
-            physical = StructType(
-                [
-                    StructField(src[f.name], f.dataType, f.nullable)
-                    for f in declared.fields
-                ]
-            )
-            g = spark.read.schema(physical).parquet(*gfiles)
-            cols = [
-                F.col(src[f.name]).alias(f.name) for f in declared.fields
-            ]
-            if want_meta:
-                cols.append(F.col("_metadata"))
-            branches.append(g.select(*cols))
-        return _reduce(lambda a, b: a.unionByName(b), branches)
+        """Field-id-resolved parquet read — see :func:`_read_parquet_fid`
+        (shared with the mixed-format union, incremental changes and the
+        CDF replay, so a rename is resolved identically on every leg)."""
+        return _read_parquet_fid(spark, paths, declared, meta, want_meta)
 
     # IDENTITY PARTITION VALUES FROM METADATA (spec §Column Projection):
     # a data file may omit an identity-partitioned source column (Delta
@@ -3972,15 +4031,21 @@ def _stage_data_entry(
     rows: "DataFrame",
     snap_id: int,
     seq: int,
+    data_format: str = "parquet",
 ) -> dict | None:
     """Stage ``rows`` (logical table columns) as new data files under the
     table's declared partition layout and return the manifest-list entry
     for their ADDED-status data manifest — the shared write tail of every
-    single-snapshot row mutation (UPDATE, selective overwrite). Field ids
-    are stamped into the parquet footers (rename-safe), partition tuples
-    re-derived with the writer's own transform expressions (JVM-side),
-    per-file stats folded from footers. Returns None when ``rows`` staged
-    no files (empty input)."""
+    single-snapshot row mutation (UPDATE, MERGE adds, selective
+    overwrite). ``data_format`` is the table's own live format (resolved
+    by :func:`_mor_data_format`), so DML on an AVRO/ORC table stages
+    same-format replacements and never mixes formats under delete
+    content. Parquet: field ids stamped into footers (rename-safe),
+    per-file stats folded from footers. AVRO/ORC: the write_iceberg
+    stagers (field-id-stamped container schemas, stats collected in the
+    write pass — no footer to fold from). Partition tuples re-derived
+    with the writer's own transform expressions (JVM-side) either way.
+    Returns None when ``rows`` staged no files (empty input)."""
     import shutil
     import uuid
     from urllib.parse import unquote as _unquote
@@ -4026,7 +4091,58 @@ def _stage_data_entry(
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    if pfields_parsed:
+    rtype_of = {c["name"]: c["rtype"] for c in pfields_parsed}
+    data_files: list[tuple[str, int, int, dict]] = []
+    rowfmt_stats: dict[str, dict] = {}
+    if data_format in ("avro", "orc"):
+        from urllib.parse import quote as _quote_c
+
+        _stage = _stage_avro_data if data_format == "avro" else _stage_orc_data
+        staged_meta = _stage(
+            rows.sparkSession,
+            rows,
+            staging,
+            cur_schema["fields"],
+            [c["name"] for c in pfields_parsed],
+            {c["name"]: c["col"] for c in pfields_parsed},
+        )
+        for fm in staged_meta:
+            raw = fm["pvals"]
+            pvals = {
+                c["name"]: (
+                    None
+                    if raw.get(c["name"]) is None
+                    else _PARTITION_PARSERS[c["rtype"]](raw[c["name"]])
+                )
+                for c in pfields_parsed
+            }
+            if pfields_parsed:
+                # quote() each component — same escaping contract as
+                # write_iceberg's rowfmt branch (a raw '#'/'%' truncates
+                # or misparses in every file: URI consumer)
+                sub = os.path.join(
+                    data_dir,
+                    *[
+                        f"{c['name']}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if raw.get(c["name"]) is None
+                            else _quote_c(str(raw[c["name"]]), safe="")
+                        )
+                        for c in pfields_parsed
+                    ],
+                )
+                os.makedirs(sub, exist_ok=True)
+            else:
+                sub = data_dir
+            final = os.path.join(sub, os.path.basename(fm["path"]))
+            os.rename(fm["path"], final)
+            data_files.append((final, fm["rows"], fm["size"], pvals))
+            rowfmt_stats[final] = _avro_stats_maps(
+                fm["stats"], cur_schema["fields"]
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+    elif pfields_parsed:
         (
             rows.select(
                 "*",
@@ -4040,8 +4156,6 @@ def _stage_data_entry(
         )
     else:
         rows.write.parquet(staging)
-    rtype_of = {c["name"]: c["rtype"] for c in pfields_parsed}
-    data_files: list[tuple[str, int, int, dict]] = []
     for dirpath, _dirnames, filenames in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(dirpath, staging)
         rel_dir = "" if rel_dir == "." else rel_dir
@@ -4081,7 +4195,7 @@ def _stage_data_entry(
             data_files.append(
                 (final, n_rows, os.path.getsize(final), dict(pvals))
             )
-    shutil.rmtree(staging)
+    shutil.rmtree(staging, ignore_errors=True)  # already gone for rowfmt
     if not data_files:
         return None
     partition_fields = [
@@ -4099,11 +4213,15 @@ def _stage_data_entry(
                 "data_file": {
                     "content": 0,
                     "file_path": f"file:{f}",
-                    "file_format": "PARQUET",
+                    "file_format": data_format.upper(),
                     "partition": pvals,
                     "record_count": rows_n,
                     "file_size_in_bytes": size,
-                    **_file_stats_maps(f, cur_schema["fields"]),
+                    **(
+                        rowfmt_stats[f]
+                        if f in rowfmt_stats
+                        else _file_stats_maps(f, cur_schema["fields"])
+                    ),
                 },
             }
             for f, rows_n, size, pvals in data_files
@@ -4120,34 +4238,32 @@ def _stage_data_entry(
     }
 
 
-def _refuse_rowfmt_mor(spark_unused, path: str, op: str) -> None:
-    """Refuse merge-on-read DML that would WEDGE a non-parquet table:
-    update/merge/overwrite-where write parquet replacement files plus
-    delete manifests, and a table mixing rowfmt (AVRO/ORC) and parquet
-    data files WITH deletes is unreadable (the two mask pipelines would
-    need to interleave) — so the operation would succeed and leave the
-    table unreadable, with compact (which reads) also locked out. Pure
-    delete commits (delete_iceberg / delete_iceberg_equality) stay
-    allowed: they add no data files."""
+def _mor_data_format(spark_unused, path: str, op: str) -> str:
+    """Resolve the data-file format merge-on-read DML must stage its
+    replacement files in: the table's OWN live format ('parquet', 'avro'
+    or 'orc'), so update/merge/overwrite-where on an AVRO/ORC table add
+    same-format data files and the snapshot stays readable (the read
+    path refuses delete content over MIXED formats — the two mask
+    pipelines would need to interleave). A genuinely mixed
+    rowfmt+parquet table is the one shape that still refuses: any
+    replacement format would deepen the mix under delete content and
+    wedge the table, with compact (which reads) locked out too."""
     if not is_iceberg_table(path):
-        return  # first MERGE creates the table — nothing to wedge
+        return "parquet"  # first MERGE creates the table — parquet default
     meta = _load_metadata(path)
     cur = meta.get("current-snapshot-id")
     if cur in (None, -1):
-        return
+        return "parquet"
     data, _dels = _snapshot_scan_plan(meta, cur, path)
-    fmts = {
-        d.get("format")
-        for d in data
-        if (d.get("format") or "PARQUET") != "PARQUET"
-    }
-    if fmts:
+    fmts = {(d.get("format") or "PARQUET") for d in data}
+    if len(fmts) > 1:
         raise NotImplementedError(
-            f"{path}: {op} writes parquet replacement files, which would "
-            f"mix with the table's {sorted(fmts)} data files under delete "
-            "content and leave it unreadable — rewrite to parquet via "
-            "compact_iceberg first"
+            f"{path}: {op} on a table mixing {sorted(fmts)} data files — "
+            "replacement files of any one format would be unreadable "
+            "under the commit's delete content; rewrite to one format "
+            "via compact_iceberg first"
         )
+    return (fmts.pop() if fmts else "PARQUET").lower()
 
 
 def update_iceberg(
@@ -4187,7 +4303,9 @@ def update_iceberg(
 
     if not set:
         raise ValueError("update_iceberg: empty SET clause")
-    _refuse_rowfmt_mor(spark, path, "update_iceberg")
+    #: replacement files stage in the table's OWN format (AVRO/ORC tables
+    #: get same-format files — no mixing under the delete content)
+    _dml_fmt = _mor_data_format(spark, path, "update_iceberg")
     # summary-stamped exactly-once handshake: an UPDATE whose SET is not
     # idempotent by effect (v = v + 1) must not re-apply on a retried run
     if batch is not None and last_committed_batch(path, batch[0]) >= batch[1]:
@@ -4276,7 +4394,9 @@ def update_iceberg(
         updated = matched.withColumns(
             {c: F.expr(e).cast(declared_types[c]) for c, e in set.items()}
         ).select(*names)
-        data_entry = _stage_data_entry(path, prior_meta, updated, snap_id, seq)
+        data_entry = _stage_data_entry(
+            path, prior_meta, updated, snap_id, seq, data_format=_dml_fmt
+        )
         return _commit_delete_snapshot(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
             [del_entry] + ([data_entry] if data_entry else []),
@@ -4329,7 +4449,17 @@ def overwrite_iceberg(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
     )
     now_ms = int(_time.time() * 1000)
-    data_entry = _stage_data_entry(path, prior_meta, df, snap_id, seq)
+    # preserve the table's own data-file format (an AVRO table stays
+    # AVRO across a full overwrite); a MIXED table is the one case a
+    # full replace may normalize — the old files all drop out of the
+    # current view, so parquet replacements cannot mix with anything
+    try:
+        _ow_fmt = _mor_data_format(spark, path, "overwrite_iceberg")
+    except NotImplementedError:
+        _ow_fmt = "parquet"
+    data_entry = _stage_data_entry(
+        path, prior_meta, df, snap_id, seq, data_format=_ow_fmt
+    )
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms,
         [data_entry] if data_entry else None,
@@ -4368,7 +4498,7 @@ def overwrite_iceberg_where(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    _refuse_rowfmt_mor(spark, path, "overwrite_iceberg_where")
+    _dml_fmt = _mor_data_format(spark, path, "overwrite_iceberg_where")
     if not where or not str(where).strip():
         raise ValueError(
             "overwrite_iceberg_where: empty predicate — a full-table "
@@ -4438,7 +4568,9 @@ def overwrite_iceberg_where(
 
     # 2. the replacement rows (no-match case still ADDS: backfilling an
     #    absent partition is an insert)
-    data_entry = _stage_data_entry(path, prior_meta, source, snap_id, seq)
+    data_entry = _stage_data_entry(
+        path, prior_meta, source, snap_id, seq, data_format=_dml_fmt
+    )
     entries = [e for e in (del_entry, data_entry) if e]
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms,
@@ -4508,7 +4640,7 @@ def merge_iceberg(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    _refuse_rowfmt_mor(spark, path, "merge_iceberg")
+    _dml_fmt = _mor_data_format(spark, path, "merge_iceberg")
     if when_matched not in ("update", "delete"):
         raise ValueError(
             f"merge_iceberg: when_matched must be update|delete, got {when_matched!r}"
@@ -4758,7 +4890,9 @@ def merge_iceberg(
             else None
         )
         data_entry = (
-            _stage_data_entry(path, prior_meta, adds_df, snap_id, seq)
+            _stage_data_entry(
+                path, prior_meta, adds_df, snap_id, seq, data_format=_dml_fmt
+            )
             if adds_df is not None
             else None
         )
@@ -5130,15 +5264,18 @@ def read_iceberg_cdf(
         parts_ = []
         if groups["PARQUET"]:
             paths_ = [d["path"] for d in groups["PARQUET"]]
-            g = (
-                spark.read.schema(declared).parquet(*paths_)
-                if declared is not None
-                else spark.read.parquet(*paths_)
+            # field-id grouping, same rename-safety as the main scan leg;
+            # _metadata is materialized pre-union when positions are
+            # wanted (hidden-column resolution does not survive unions)
+            g = _read_parquet_fid(
+                spark, paths_, declared, meta, want_meta=want_pos
             )
             if want_pos:
-                g = g.withColumn(
-                    "_fp", _decoded_meta_path(paths_)
-                ).withColumn("_ri", F.col("_metadata.row_index"))
+                g = (
+                    g.withColumn("_fp", _decoded_meta_path(paths_))
+                    .withColumn("_ri", F.col("_metadata.row_index"))
+                    .drop("_metadata")
+                )
             parts_.append(g)
         for fmtk, reader in (
             ("AVRO", _read_avro_data),
@@ -6014,7 +6151,9 @@ def _read_avro_data(
 
     Iceberg logical types decode per the declared column type: date =
     days-from-epoch int, timestamp = micros long (NTZ — wall clock,
-    timezone-independent). timestamptz refuses upstream."""
+    timezone-independent), timestamptz = UTC-instant micros long (kind
+    'tsz' — decoded tz-AWARE UTC so Spark renders the correct instant in
+    the session zone; the stager wrote the same physical micros)."""
     import json as _json
 
     names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
@@ -6134,7 +6273,11 @@ def _read_orc_data(
     file omits backfill from the manifest partition tuple (physical
     encoding, decoded per declared type here). ORC's plain ``timestamp``
     is the wall-clock NTZ variant, so decode is session-timezone-
-    independent; timestamptz refuses in the shared prelude."""
+    independent; a declared timestamptz column decodes as the UTC
+    instant (kind 'tsz' — tz-aware UTC), REQUIRING the file to carry a
+    zone-aware arrow type (instant-preserving); a zoneless wall-clock
+    ORC file declared timestamptz still refuses at decode, since the
+    instant is unrecoverable."""
     import json as _json
 
     names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(

@@ -568,40 +568,42 @@ def test_timestamptz_null_and_mixed_parquet_union(spark, tmp_path):
     assert rows == {1: 1718000000_000000, 2: None, 3: 1718000555_000000}
 
 
-def test_mor_dml_refuses_upfront_on_rowfmt_tables(spark, tmp_path):
-    """update/merge/overwrite-where write parquet replacement files —
-    on an ORC/AVRO table that would create the unreadable
-    mixed-formats-with-deletes state AFTER committing. The guard refuses
-    UPFRONT, before any commit, keeping the table readable."""
-    root = str(tmp_path / "orc_wedge")
+def test_mor_dml_on_orc_table_stages_orc_replacements(spark, tmp_path):
+    """Round 10: update/merge/overwrite-where on an ORC table stage
+    their replacement data files in ORC (resolved by _mor_data_format),
+    so the snapshot never mixes formats under delete content — the state
+    the round-9 guard refused upfront. Only a genuinely MIXED table
+    still refuses (tests/test_rowfmt_dml.py)."""
+    root = str(tmp_path / "orc_dml")
     df = spark.createDataFrame(
         [(i, f"n{i}") for i in range(10)], "id long, name string"
     )
     iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
-    with pytest.raises(NotImplementedError, match="compact_iceberg"):
-        iceberg.update_iceberg(spark, root, {"name": "'x'"}, where="id = 1")
-    with pytest.raises(NotImplementedError, match="compact_iceberg"):
-        iceberg.merge_iceberg(
-            spark,
-            spark.createDataFrame([(1, "m")], "id long, name string"),
-            root,
-            ["id"],
-        )
-    with pytest.raises(NotImplementedError, match="compact_iceberg"):
-        iceberg.overwrite_iceberg_where(
-            spark,
-            spark.createDataFrame([(1, "o")], "id long, name string"),
-            root,
-            "id = 1",
-        )
-    # no commit happened, the table still reads
-    assert iceberg.read_iceberg(spark, root).count() == 10
-    # and after compacting to parquet, MoR DML works
-    iceberg.compact_iceberg(spark, root)
     iceberg.update_iceberg(spark, root, {"name": "'x'"}, where="id = 1")
-    back = iceberg.read_iceberg(spark, root)
-    assert back.where("id = 1").collect()[0].name == "x"
-    assert back.count() == 10
+    iceberg.merge_iceberg(
+        spark,
+        spark.createDataFrame([(1, "m"), (10, "new")], "id long, name string"),
+        root,
+        ["id"],
+    )
+    iceberg.overwrite_iceberg_where(
+        spark,
+        spark.createDataFrame([(2, "o")], "id long, name string"),
+        root,
+        "id = 2",
+    )
+    back = {r.id: r.name for r in iceberg.read_iceberg(spark, root).collect()}
+    assert back[1] == "m" and back[2] == "o" and back[10] == "new"
+    assert len(back) == 11
+    meta = iceberg._load_metadata(root)
+    data, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], root
+    )
+    assert {d["format"] for d in data} == {"ORC"}
+    assert dels, "MoR DML must carry position-delete files"
+    # compaction still physically drops the masked rows afterwards
+    iceberg.compact_iceberg(spark, root)
+    assert iceberg.read_iceberg(spark, root).count() == 11
 
 
 def test_cdf_over_orc_table(spark, tmp_path):
