@@ -9,12 +9,18 @@ parquet source. Because Iceberg keeps the SOURCE columns inside the data
 files (unlike Hive/Delta directory layouts), PARTITIONED tables stream
 too — nothing needs path reconstruction.
 
+AVRO/ORC data files (round 10) cannot feed a parquet file stream in
+place; the sync MATERIALIZES their rows into the spool as parquet —
+one distributed decode pass per sync through the batch rowfmt readers,
+idempotent via per-source-file markers. The CDF spool does the same by
+routing rowfmt appends through its existing materialization leg.
+
 Fail-loud boundaries: history rewrites (files gone between snapshots),
-any row-level delete files (a spool scan would resurrect masked rows),
-and schema-evolved tables whose staged footers no longer match the
-current column names (a name-based file-source read would NULL renamed
-columns silently — the batch reader handles this via field-id grouping,
-a file source cannot).
+any row-level delete files on the PLAIN tail (a spool scan would
+resurrect masked rows — the CDF tail handles them), and schema-evolved
+tables whose staged footers no longer match the current column names (a
+name-based file-source read would NULL renamed columns silently — the
+batch reader handles this via field-id grouping, a file source cannot).
 """
 
 from __future__ import annotations
@@ -28,17 +34,33 @@ from ..io import iceberg as _ice
 
 
 def sync_iceberg_spool(
-    path: str, spool_dir: str, since_snapshot_id: int | None = None
+    path: str,
+    spool_dir: str,
+    since_snapshot_id: int | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """Link data files committed after ``since_snapshot_id`` (None = from
     the beginning) into ``spool_dir``; return the current snapshot id to
     checkpoint for the next sync. Idempotent (deterministic link names,
-    existing links skipped)."""
+    existing links skipped).
+
+    PARQUET files symlink (zero-copy). AVRO/ORC data files (round 10)
+    cannot feed a parquet file stream byte-for-byte, so they MATERIALIZE:
+    one distributed pass per sync decodes the new rowfmt files through
+    the batch rowfmt readers (field-id-resolved) and writes their rows as
+    parquet into the spool — cost O(new rows), once, executor-side.
+    Per-source-file markers under ``<spool>/.materialized/`` make the
+    conversion idempotent across re-syncs and overlapping checkpoints.
+    Materialization needs a SparkSession; the metadata-only call shape
+    (``spark=None``) keeps refusing rowfmt files loudly."""
     meta = _ice._load_metadata(path)
     cur = meta.get("current-snapshot-id")
     if cur in (None, -1):
         raise ValueError(f"{path}: table has no current snapshot")
-    new, new_deletes = _ice._snapshot_content(meta, cur, path)
+    plan, new_deletes = _ice._snapshot_scan_plan(meta, cur, path)
+    new = [d["path"] for d in plan]
+    fmt_of = {d["path"]: (d.get("format") or "PARQUET") for d in plan}
+    entry_of = {d["path"]: d for d in plan}
     if new_deletes:
         raise ValueError(
             f"{path}: snapshot {cur} carries row-level delete files — "
@@ -70,31 +92,117 @@ def sync_iceberg_spool(
         raise NotImplementedError(
             f"{path}: spool links need local paths; found object-store URIs"
         )
-    # the spool is consumed by Spark's PARQUET file stream — a linked
-    # AVRO/ORC data file would be misread byte-for-byte (round 9: those
-    # formats exist now; refuse loudly instead of crashing in the footer
-    # probe below)
-    for f in added_local:
+    pq_added: list[str] = []
+    rowfmt_added: list[str] = []
+    for orig, f in zip(added, added_local):
+        if fmt_of[orig] != "PARQUET":
+            rowfmt_added.append(orig)
+            continue
+        # magic sniff stays as the fail-loud for mislabeled manifests: a
+        # linked non-parquet file would be misread byte-for-byte
         with open(f, "rb") as fh:
             magic = fh.read(4)
         if magic != b"PAR1":
             raise NotImplementedError(
-                f"{path}: non-parquet data file "
-                f"{os.path.basename(f)} cannot be spooled into a parquet "
-                "file stream — compact_iceberg to parquet first"
+                f"{path}: data file {os.path.basename(f)} is labeled "
+                "PARQUET in its manifest but does not start with PAR1 — "
+                "refusing to spool a mislabeled file"
             )
-    _check_footers_match_schema(meta, added_local, path)
+        pq_added.append(f)
+    if rowfmt_added and spark is None:
+        raise NotImplementedError(
+            f"{path}: {len(rowfmt_added)} non-parquet data files need "
+            "materialization into the parquet spool — pass spark= (or "
+            "use stream_from_iceberg, which does), or compact_iceberg "
+            "to parquet first"
+        )
+    _check_footers_match_schema(meta, pq_added, path)
     os.makedirs(spool_dir, exist_ok=True)
     # snapshot ids are monotone (max+1 allocation), so prefixing with the
     # sync's snapshot id keeps discovery order aligned with commit order
     # across syncs; within one sync the sorted basenames are stable
-    for i, src in enumerate(sorted(added_local)):
+    for i, src in enumerate(sorted(pq_added)):
         link = os.path.join(
             spool_dir, f"{cur:020d}-{i:05d}-{os.path.basename(src)}"
         )
         if not os.path.lexists(link):
             os.symlink(os.path.abspath(src), link)
+    if rowfmt_added:
+        _materialize_rowfmt(
+            spark, path, meta, spool_dir, cur,
+            [entry_of[p] for p in rowfmt_added],
+        )
     return cur
+
+
+def _materialize_rowfmt(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    spool_dir: str,
+    cur: int,
+    entries: list[dict],
+) -> None:
+    """Decode not-yet-materialized AVRO/ORC data-file ENTRIES through the
+    batch rowfmt readers (ONE distributed mapInPandas pass per format —
+    field-id-resolved, identity-partition backfill included) and land
+    their rows as parquet in the spool. A zero-byte marker per SOURCE
+    basename under ``<spool>/.materialized/`` is the idempotency ledger:
+    re-syncs and checkpoint overlaps skip already-converted files instead
+    of duplicating rows (symlinks get this for free from lexists)."""
+    import shutil
+    import uuid
+
+    mark_dir = os.path.join(spool_dir, ".materialized")
+    os.makedirs(mark_dir, exist_ok=True)
+    todo = [
+        e
+        for e in entries
+        if not os.path.exists(
+            os.path.join(mark_dir, os.path.basename(e["path"]) + ".done")
+        )
+    ]
+    if not todo:
+        return
+    declared = _ice._declared_spark_schema(meta)
+    if declared is None:
+        raise ValueError(
+            f"{path}: table schema has types outside the reader's "
+            "primitive mapping — cannot materialize a streaming spool"
+        )
+    groups: dict[str, list[dict]] = {"AVRO": [], "ORC": []}
+    for e in todo:
+        groups[e["format"]].append(e)
+    parts = []
+    if groups["AVRO"]:
+        parts.append(_ice._read_avro_data(spark, groups["AVRO"], declared, meta))
+    if groups["ORC"]:
+        parts.append(_ice._read_orc_data(spark, groups["ORC"], declared, meta))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    tmp = os.path.join(spool_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(tmp)
+    k = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        src = os.path.join(tmp, name)
+        # the 'm' segment sorts materialized output after same-sync
+        # symlinks; discovery order within a sync is not semantic
+        os.rename(
+            src, os.path.join(spool_dir, f"{cur:020d}-m{k:05d}-{name}")
+        )
+        k += 1
+    shutil.rmtree(tmp)
+    for e in todo:
+        with open(
+            os.path.join(
+                mark_dir, os.path.basename(e["path"]) + ".done"
+            ),
+            "w",
+        ):
+            pass
 
 
 def _check_footers_match_schema(
@@ -135,7 +243,7 @@ def stream_from_iceberg(
     """Tail an append-only Iceberg table as a real Structured Streaming
     DataFrame. Returns ``(streaming_df, synced_snapshot_id)`` — checkpoint
     the snapshot id alongside the sink and pass it back to resume."""
-    snap = sync_iceberg_spool(path, spool_dir, since_snapshot_id)
+    snap = sync_iceberg_spool(path, spool_dir, since_snapshot_id, spark=spark)
     meta = _ice._load_metadata(path)
     schema = _ice._declared_spark_schema(meta)
     if schema is None:
@@ -219,7 +327,10 @@ def sync_iceberg_cdf_spool(
             if prev is not None
             else ([], [])
         )
-        s_data, s_del = _ice._snapshot_content(meta, sid, path)
+        s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
+        s_data = [d["path"] for d in s_plan]
+        s_fmt = {d["path"]: (d.get("format") or "PARQUET") for d in s_plan}
+        s_del = [d["path"] for d in s_del_plan]
         new_deletes = set(s_del) - set(p_del)
         added = [f for f in s_data if f not in set(p_data)]
         added_local = [
@@ -227,6 +338,11 @@ def sync_iceberg_cdf_spool(
             for f in added
         ]
         materialize = bool(new_deletes)
+        if not materialize and any(s_fmt[f] != "PARQUET" for f in added):
+            # AVRO/ORC appends (round 10): a parquet file stream cannot
+            # scan them in place — materialize the snapshot's rows once,
+            # through the format-aware CDF reader
+            materialize = True
         if not materialize and added_local:
             _check_footers_match_schema(meta, added_local, path)
             for f in added_local:

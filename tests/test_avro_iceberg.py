@@ -1870,9 +1870,11 @@ def test_avro_maintenance_lifecycle(spark, tmp_path):
     assert leftover == [], "expiration must reclaim superseded avro files"
 
 
-def test_spool_refuses_rowfmt_files(spark, tmp_path):
-    """The streaming spool feeds a PARQUET file stream — an AVRO/ORC
-    data file must refuse loudly instead of being misread."""
+def test_spool_materializes_rowfmt_files(spark, tmp_path):
+    """Round 10: the streaming spool MATERIALIZES AVRO/ORC data files
+    into parquet (one distributed decode per sync, idempotent markers);
+    the metadata-only call shape (no spark) still refuses loudly rather
+    than misreading bytes."""
     from feature_store_ml_spark.streaming import iceberg_source
 
     root = str(tmp_path / "avro_spool")
@@ -1880,8 +1882,27 @@ def test_spool_refuses_rowfmt_files(spark, tmp_path):
         spark, spark.range(5).select("id"), root, format_version=2,
         data_format="avro",
     )
-    with pytest.raises(NotImplementedError, match="non-parquet"):
+    with pytest.raises(NotImplementedError, match="materializ"):
         iceberg_source.sync_iceberg_spool(root, str(tmp_path / "spool"))
+    spool = str(tmp_path / "spool2")
+    snap = iceberg_source.sync_iceberg_spool(root, spool, spark=spark)
+    # idempotent: a second sync (same snapshot) adds nothing
+    iceberg_source.sync_iceberg_spool(root, spool, spark=spark)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == [0, 1, 2, 3, 4]
+    # incremental: a second avro append materializes only the new rows
+    iceberg.write_iceberg(
+        spark, spark.range(5, 8).select("id"), root, format_version=2,
+        data_format="avro",
+    )
+    iceberg_source.sync_iceberg_spool(root, spool, since_snapshot_id=snap,
+                                      spark=spark)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == list(range(8))
+    # overlapping re-sync from the beginning must not duplicate rows
+    iceberg_source.sync_iceberg_spool(root, spool, spark=spark)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == list(range(8))
 
 
 try:

@@ -645,3 +645,67 @@ def test_id_mode_foreign_fids_fail_loud(spark, tmp_path, monkeypatch):
     shutil.copyfile(part, os.path.join(root, rel))
     with pytest.raises(NotImplementedError, match="different physical names"):
         delta_source.sync_delta_spool(root, str(tmp_path / "spool"))
+
+
+def test_iceberg_tail_avro_table_materializes(spark, tmp_path):
+    """Round 10: stream_from_iceberg over an AVRO data table — the spool
+    sync materializes the rowfmt files into parquet (one distributed
+    decode per sync) and the tail-then-resume contract is unchanged."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "ia")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    iceberg.write_iceberg(
+        spark, spark.range(20).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2, data_format="avro",
+    )
+    stream, snap = iceberg_source.stream_from_iceberg(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(20))
+    # resume: one more avro snapshot, only the delta materializes
+    iceberg.write_iceberg(
+        spark, spark.range(20, 30).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2, data_format="avro",
+    )
+    stream2, snap2 = iceberg_source.stream_from_iceberg(
+        spark, root, spool, since_snapshot_id=snap
+    )
+    assert snap2 > snap
+    _run_available(stream2, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(30))
+    # values decoded, not NULL-backfilled
+    assert all(r.v == 2 * r.id for r in spark.read.parquet(out).collect())
+
+
+def test_iceberg_cdf_stream_over_orc_with_update(spark, tmp_path):
+    """Round 10: the CDF tail over an ORC table whose history includes a
+    merge-on-read UPDATE — rowfmt appends route through the materialize
+    leg, the mutation snapshot through read_iceberg_cdf (format-aware)."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "ic")
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        root, format_version=2, data_format="orc",
+    )
+    iceberg.update_iceberg(spark, root, {"name": "'X'"}, where="id = 1")
+    stream, _ = iceberg_source.stream_iceberg_cdf(spark, root, spool)
+    _run_available(stream, out, ckpt)
+    rows = {
+        (r.id, r.name, r._change_type)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+        (1, "a", "delete"),
+        (1, "X", "insert"),
+    }
