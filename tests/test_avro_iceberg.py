@@ -1949,3 +1949,76 @@ try:
 
 except ImportError:
     pass
+
+
+def test_write_container_columnar_bit_parity():
+    """Round 10: the vectorized columnar avro writer produces BYTE-
+    IDENTICAL containers to the per-row writer for flat nullable-
+    primitive schemas (the Iceberg data-file shape) — same union
+    framing, varints, IEEE bytes, single block."""
+    import random
+    import tempfile
+
+    import numpy as np
+
+    from feature_store_ml_spark.io import avro_lite as A
+
+    schema = {
+        "type": "record", "name": "row",
+        "fields": [
+            {"name": "i", "type": ["null", "int"], "field-id": 1},
+            {"name": "l", "type": ["null", "long"], "field-id": 2},
+            {"name": "f", "type": ["null", "float"], "field-id": 3},
+            {"name": "d", "type": ["null", "double"], "field-id": 4},
+            {"name": "b", "type": ["null", "boolean"], "field-id": 5},
+            {"name": "s", "type": ["null", "string"], "field-id": 6},
+        ],
+    }
+    rng = random.Random(7)
+    recs = [
+        {
+            "i": None if k % 7 == 0 else rng.randint(-(2**31), 2**31 - 1),
+            "l": None if k % 11 == 0 else rng.randint(-(2**62), 2**62),
+            "f": None if k % 5 == 0 else rng.uniform(-1e30, 1e30),
+            "d": None if k % 13 == 0 else rng.uniform(-1e300, 1e300),
+            "b": None if k % 17 == 0 else (k % 2 == 0),
+            "s": None if k % 3 == 0 else ("héllo" * (k % 4) + str(k)),
+        }
+        for k in range(3000)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p1, p2 = f"{d}/row.avro", f"{d}/col.avro"
+        A.write_container(p1, schema, recs)
+
+        def col(name, prim):
+            nulls = np.array([r[name] is None for r in recs])
+            if prim in ("int", "long"):
+                vals = np.array(
+                    [0 if r[name] is None else r[name] for r in recs],
+                    dtype=np.int64,
+                )
+            elif prim in ("float", "double"):
+                vals = np.array(
+                    [0.0 if r[name] is None else r[name] for r in recs],
+                    dtype=np.float64,
+                )
+            elif prim == "boolean":
+                vals = np.array(
+                    [bool(r[name]) for r in recs], dtype=bool
+                )
+            else:
+                vals = np.array(
+                    ["" if r[name] is None else r[name] for r in recs],
+                    dtype=object,
+                )
+            return (vals, nulls, prim)
+
+        A.write_container_columnar(
+            p2, schema,
+            [col("i", "int"), col("l", "long"), col("f", "float"),
+             col("d", "double"), col("b", "boolean"), col("s", "string")],
+        )
+        b1 = open(p1, "rb").read()
+        b2 = open(p2, "rb").read()
+        assert b1 == b2, "columnar writer must be bit-identical to row writer"
+        assert A.read_container(p2)[1]["s"] == recs[1]["s"]
