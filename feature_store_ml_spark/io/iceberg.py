@@ -506,6 +506,20 @@ def _read_eq_delete_keys(
             f"{dfile}: non-parquet equality-delete files need a declared "
             "table schema to type their keys"
         )
+    # the rowfmt branch decodes DRIVER-side and every consumer broadcasts
+    # the key set — bounded by contract, so enforce the contract: a
+    # multi-GB eq-delete file from a foreign writer must fail loudly
+    # BEFORE the decode, not OOM the driver mid-parse
+    _EQ_DELETE_MAX_BYTES = 256 << 20
+    _sz = os.path.getsize(dfile)
+    if _sz > _EQ_DELETE_MAX_BYTES:
+        raise NotImplementedError(
+            f"{dfile}: {_sz >> 20} MiB equality-delete file exceeds the "
+            f"{_EQ_DELETE_MAX_BYTES >> 20} MiB driver-decode/broadcast "
+            "bound for non-parquet delete containers — rewrite the "
+            "table's deletes (compact_iceberg) or ship the deletes as "
+            "parquet"
+        )
     dtypes = {c: schema[c].dataType for c in cols}
     if magic == b"Obj\x01":
         wschema, rows = avro_lite.read_container_with_schema(dfile)

@@ -479,9 +479,12 @@ def bm25_topk(
     terms tokenize through the SAME normalizer as documents and join
     BROADCAST into the (doc, term) frequency table, so document
     frequencies and scores are computed only for matching terms, never
-    the whole vocabulary. Scale shape: one token explode + one
-    (doc, term) agg over the corpus, one doc-length agg, then
-    candidate-only joins; top-k is a window over candidates.
+    the whole vocabulary. Scale shape (round 10): ONE document-scale
+    shuffle (repartition by id before the explode) on which the token
+    explode, the (doc, term) agg, the doc-length window and the final
+    (query, doc) agg all plan exchange-free — corpus-scale data crosses
+    the wire exactly once; the only other exchanges are candidate-only
+    (df agg) or tiny (final top-k window).
 
     Ranking is over the 6-decimal-ROUNDED score with doc id as the tie
     break — deterministic across engines (unrounded float ranking would
@@ -499,15 +502,35 @@ def bm25_topk(
         "query_id", F.explode(words(F.col("query_text"))).alias("term")
     ).distinct()
     ndocs = df.agg(F.count("*").alias("__n_docs"))
-    toks = df.select(
+    # ONE shuffle, at DOCUMENT scale (pre-explode — the cheapest place;
+    # token rows are ~dl x bigger): cluster documents by id. Generate
+    # (explode) preserves the child's HashPartitioning, and every
+    # downstream corpus-sized operator keys on doc_id or a superset —
+    # tf's (doc_id, term) agg, the dl window, the per-doc-length agg and
+    # the final (query_id, doc_id) agg — all satisfied by
+    # HashPartitioning(doc_id) under the subset rule, so Catalyst plans
+    # them exchange-free on top of this one shuffle. The round-9
+    # formulation shuffled corpus-scale data three more times: tf by
+    # (doc_id, term), dl by doc_id, and a cand⋈dl join (VERDICT r9
+    # item 2 — at 100x the (doc, term) exchanges dominate).
+    toks = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(words(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # doc length = sum of its term counts — derived from tf so the corpus
-    # explodes ONCE (a second toks scan would re-shuffle 100 TB of tokens)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
+    # doc length = sum of the doc's term counts, as a WINDOW over the
+    # co-partitioned tf — no separate dl branch, no corpus-scale join
+    tf = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    # avgdl averages one dl per DOCUMENT (docs with >=1 token), exactly
+    # as the former groupBy formulation; the agg is exchange-free on the
+    # doc_id partitioning and reduces to a broadcast single row
+    avgdl = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.avg("dl").alias("__avgdl"))
+    )
     cand = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
     docfreq = cand.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
@@ -524,7 +547,6 @@ def bm25_topk(
     scored = (
         cand.join(F.broadcast(qterms), "term")
         .join(F.broadcast(docfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(ndocs))
         .crossJoin(F.broadcast(avgdl))
         .groupBy("query_id", "doc_id")
