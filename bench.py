@@ -120,6 +120,12 @@ HEADLINE = [
     "e1_iceberg_avro",
     "e1_iceberg_multiformat",
     "e14_jpeg_progressive",
+    # round-10 joiners (first pins in BASELINE.md round-10 section):
+    # merge-on-read UPDATE+MERGE on an AVRO data table (same-format
+    # replacement staging), and the streaming tail over AVRO data files
+    # (spool materialization)
+    "e1_iceberg_rowfmt_dml",
+    "e13_stream_iceberg_avro",
 ]
 
 
@@ -132,6 +138,18 @@ def main() -> None:
     # JVM/codegen warm-up on the smallest query so q1 doesn't pay session
     # startup; not counted.
     q["e6_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # page-cache warm-up, also not counted: BASELINE.md pins are
+    # warm-cache best-of-N by definition, but the driver regenerates the
+    # corpus right before benching, so each table's FIRST reader used to
+    # pay the cold-disk touch — a disk-cache-state measurement, not an
+    # engine one (the r8/r9 e9-family >1.45x readings were exactly this;
+    # idle best-of-5 re-measures sat at 0.80x of pin both times). One
+    # full noop scan per table makes every timed reading warm-cache,
+    # like-for-like with the pins.
+    import glob as _glob
+
+    for _t in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(_t).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
