@@ -2007,49 +2007,13 @@ def write_iceberg(
             raise ValueError(
                 f"{path}: table is format-version {fv}, append requested {format_version}"
             )
-        # GUARD (the append twin of the MoR-DML format resolver): an
-        # append whose data_format differs from the live files' format on
-        # a snapshot that carries DELETE files would commit fine but
-        # leave the table unreadable — the read path refuses delete
-        # content over mixed formats, and compact (which reads) would be
-        # locked out too. Refuse BEFORE committing. Branch writes check
-        # their own head's lineage.
-        _base_snap = (
-            (prior_meta.get("refs") or {}).get(branch, {}).get("snapshot-id")
-            if branch is not None
-            else prior_meta.get("current-snapshot-id")
-        )
-        if _base_snap not in (None, -1):
-            # cheap pre-check first: ONE manifest-list read answers "any
-            # delete manifests?" (content==1); the O(#manifests) format
-            # walk only runs when there are — plain append chains never
-            # pay it
-            _snaps0 = {
-                s["snapshot-id"]: s for s in prior_meta.get("snapshots", [])
-            }
-            _has_dels = any(
-                (e.get("content", 0) or 0) == 1
-                for e in avro_lite.read_container(
-                    _localize(
-                        _snaps0[_base_snap]["manifest-list"], path
-                    )
-                )
-            )
-            if _has_dels:
-                _live, _dels = _snapshot_scan_plan(
-                    prior_meta, _base_snap, path
-                )
-                _live_fmts = {(d.get("format") or "PARQUET") for d in _live}
-                if _dels and (_live_fmts - {data_format.upper()}):
-                    raise NotImplementedError(
-                        f"{path}: append of {data_format.upper()} data "
-                        f"files onto live {sorted(_live_fmts)} files under "
-                        "delete content would leave the table unreadable "
-                        "(delete masks cannot interleave across formats) — "
-                        "append data_format="
-                        f"{sorted(_live_fmts)[0].lower()!r}, or rewrite to "
-                        "one format via compact_iceberg first"
-                    )
+        # Appends may mix data-file formats freely, with or without live
+        # delete content: the read path (round 10) runs one mask
+        # pipeline per format group — position deletes key on the target
+        # file's path and equality deletes broadcast into every group
+        # under the same sequence rule — so a parquet append onto an
+        # AVRO table with deletes reads correctly. (Round 9 refused this
+        # mix at read; the short-lived write-side guard died with it.)
         spec = next(
             (
                 s
@@ -3518,6 +3482,7 @@ def read_iceberg(
         raise NotImplementedError(
             f"{path}: unsupported data-file format(s) {sorted(unknown_fmt)}"
         )
+    rowfmt_union = None
     if rowfmt_entries["AVRO"] or rowfmt_entries["ORC"]:
         # NON-PARQUET DATA FILES (AVRO round 8, ORC round 9; partitions +
         # field-id resolution round 9): scanned distributed inside
@@ -3531,21 +3496,17 @@ def read_iceberg(
         # the readers emit (_fp, _ri) row identity themselves — decode
         # order IS file order, no parquet _metadata needed — position
         # deletes anti-join those, equality deletes apply per-sequence
-        # branch under the strictly-older rule. Still refused, loudly:
-        # row identity, and deletes on a table MIXING rowfmt with
-        # parquet data files (the two mask pipelines would need to
-        # interleave). Mixed tables without deletes union the parquet
-        # subset through the normal path.
+        # branch under the strictly-older rule.
+        #
+        # MIXED tables (round 10): the two mask pipelines run
+        # independently — position-delete rows key on the TARGET file's
+        # path, so each pipeline's anti-join consumes only its own
+        # files' rows and the other side's rows simply never match;
+        # equality deletes broadcast into both under the same
+        # strictly-older sequence rule. The parquet subset falls through
+        # to the main path below (field-id reads, identity backfill,
+        # per-sequence masks) and the two legs union at exit.
         _fmts = "+".join(k for k, v in rowfmt_entries.items() if v)
-        _pq_present = any(
-            (d.get("format") or "PARQUET") == "PARQUET" for d in data
-        )
-        if (deletes or with_row_identity) and _pq_present:
-            raise NotImplementedError(
-                f"{path}: delete content / row identity on a table "
-                f"mixing {_fmts} and parquet data files is unsupported "
-                "(rewrite to one format via compact_iceberg first)"
-            )
         if declared is None:
             raise NotImplementedError(
                 f"{path}: {_fmts} data files need a declared schema"
@@ -3620,47 +3581,37 @@ def read_iceberg(
                 )
             elif want_pos:
                 out = out.drop("_fp", "_ri")
-            return out.filter(where) if where else out
-        outs = []
-        if rowfmt_entries["AVRO"]:
-            outs.append(
-                _read_avro_data(spark, rowfmt_entries["AVRO"], declared, meta)
-            )
-        if rowfmt_entries["ORC"]:
-            outs.append(
-                _read_orc_data(spark, rowfmt_entries["ORC"], declared, meta)
-            )
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
-        pq_files = [
-            d["path"]
-            for d in data
-            if (d.get("format") or "PARQUET") == "PARQUET"
+            rowfmt_union = out
+        else:
+            outs = []
+            if rowfmt_entries["AVRO"]:
+                outs.append(
+                    _read_avro_data(
+                        spark, rowfmt_entries["AVRO"], declared, meta
+                    )
+                )
+            if rowfmt_entries["ORC"]:
+                outs.append(
+                    _read_orc_data(
+                        spark, rowfmt_entries["ORC"], declared, meta
+                    )
+                )
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o)
+            rowfmt_union = out
+        # the parquet subset (if any) falls through to the main path —
+        # field-id resolution, identity backfill and the per-sequence
+        # mask pipeline all apply to it exactly as for a pure-parquet
+        # table; the rowfmt leg unions back in at exit
+        data = [
+            d for d in data if (d.get("format") or "PARQUET") == "PARQUET"
         ]
-        _spec0 = next(
-            (
-                s
-                for s in meta.get("partition-specs") or []
-                if s.get("spec-id") == meta.get("default-spec-id", 0)
-            ),
-            {"fields": []},
-        )
-        if pq_files and (_spec0.get("fields") or []):
-            raise NotImplementedError(
-                f"{path}: partitioned table mixing {_fmts} and parquet "
-                "data files — the fast parquet union here skips identity "
-                "backfill; rewrite to one format via compact_iceberg"
+        files = [d["path"] for d in data]
+        if not files:
+            return (
+                rowfmt_union.filter(where) if where else rowfmt_union
             )
-        if pq_files:
-            # field-id-resolved, NOT spark.read.schema(declared): a table
-            # that renamed a column before its first rowfmt append holds
-            # pre-rename parquet files whose footers carry the OLD name —
-            # a name-based read silently backfills NULL for them
-            out = out.unionByName(
-                _read_parquet_fid(spark, pq_files, declared, meta)
-            )
-        return out.filter(where) if where else out
     def _read(paths: list[str], want_meta: bool = False) -> DataFrame:
         """Field-id-resolved parquet read — see :func:`_read_parquet_fid`
         (shared with the mixed-format union, incremental changes and the
@@ -3734,6 +3685,27 @@ def read_iceberg(
                         miss
                     )
 
+    def _with_rowfmt(df):
+        """Union the rowfmt mask leg into the parquet leg (mixed tables,
+        round 10). With row identity, the parquet ``_metadata`` hidden
+        struct (7 fields) is narrowed to the (file_path, row_index)
+        struct the rowfmt readers synthesize — the only fields any
+        identity consumer (delete writers, CDF position joins, compact)
+        reads — so the union is type-stable."""
+        if rowfmt_union is None:
+            return df
+        if with_row_identity:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[f.name for f in declared.fields],
+                F.struct(
+                    F.col("_metadata.file_path").alias("file_path"),
+                    F.col("_metadata.row_index").alias("row_index"),
+                ).alias("_metadata"),
+            )
+        return df.unionByName(rowfmt_union)
+
     pos = [d["path"] for d in deletes if d["kind"] == "pos"]
     eq = [d for d in deletes if d["kind"] == "eq"]
     if not eq:
@@ -3786,6 +3758,7 @@ def read_iceberg(
             df = _apply_position_deletes(spark, path, df, pos, files)
             if not with_row_identity:
                 df = df.drop("_metadata")
+        df = _with_rowfmt(df)
         return df.filter(where) if where else df
     # EQUALITY deletes are sequence-scoped (strictly older data only), so
     # the scan unions one branch per distinct data sequence number, each
@@ -3832,6 +3805,7 @@ def read_iceberg(
         df = _join_out_positions(spark, path, df, pos).drop("_fp", "_ri")
     if not with_row_identity and "_metadata" in df.columns:
         df = df.drop("_metadata")
+    df = _with_rowfmt(df)
     return df.filter(where) if where else df
 
 
@@ -4347,15 +4321,15 @@ def _stage_data_entry(
 
 
 def _mor_data_format(spark_unused, path: str, op: str) -> str:
-    """Resolve the data-file format merge-on-read DML must stage its
+    """Resolve the data-file format merge-on-read DML stages its
     replacement files in: the table's OWN live format ('parquet', 'avro'
     or 'orc'), so update/merge/overwrite-where on an AVRO/ORC table add
-    same-format data files and the snapshot stays readable (the read
-    path refuses delete content over MIXED formats — the two mask
-    pipelines would need to interleave). A genuinely mixed
-    rowfmt+parquet table is the one shape that still refuses: any
-    replacement format would deepen the mix under delete content and
-    wedge the table, with compact (which reads) locked out too."""
+    same-format data files and the table keeps ONE format. A table that
+    already mixes rowfmt and parquet data files stages parquet — the
+    round-10 read path interleaves delete masks across format groups
+    correctly, so mixing is a non-event; parquet is simply the format
+    the rest of the ecosystem (conversion, streaming symlink tail)
+    prefers, and compact_iceberg normalizes the mix on demand."""
     if not is_iceberg_table(path):
         return "parquet"  # first MERGE creates the table — parquet default
     meta = _load_metadata(path)
@@ -4364,14 +4338,9 @@ def _mor_data_format(spark_unused, path: str, op: str) -> str:
         return "parquet"
     data, _dels = _snapshot_scan_plan(meta, cur, path)
     fmts = {(d.get("format") or "PARQUET") for d in data}
-    if len(fmts) > 1:
-        raise NotImplementedError(
-            f"{path}: {op} on a table mixing {sorted(fmts)} data files — "
-            "replacement files of any one format would be unreadable "
-            "under the commit's delete content; rewrite to one format "
-            "via compact_iceberg first"
-        )
-    return (fmts.pop() if fmts else "PARQUET").lower()
+    if len(fmts) == 1:
+        return fmts.pop().lower()
+    return "parquet"
 
 
 def update_iceberg(
@@ -4558,13 +4527,9 @@ def overwrite_iceberg(
     )
     now_ms = int(_time.time() * 1000)
     # preserve the table's own data-file format (an AVRO table stays
-    # AVRO across a full overwrite); a MIXED table is the one case a
-    # full replace may normalize — the old files all drop out of the
-    # current view, so parquet replacements cannot mix with anything
-    try:
-        _ow_fmt = _mor_data_format(spark, path, "overwrite_iceberg")
-    except NotImplementedError:
-        _ow_fmt = "parquet"
+    # AVRO across a full overwrite); a MIXED table normalizes to parquet
+    # — the old files all drop out of the current view
+    _ow_fmt = _mor_data_format(spark, path, "overwrite_iceberg")
     data_entry = _stage_data_entry(
         path, prior_meta, df, snap_id, seq, data_format=_ow_fmt
     )

@@ -5275,6 +5275,89 @@ def e1_iceberg_rowfmt_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_mixed_deletes",
+    """
+    WITH base AS (
+      SELECT l_orderkey AS k, l_returnflag AS rf,
+             l_quantity AS qty, l_linenumber AS ln
+      FROM lineitem WHERE l_orderkey % 6 = 0
+    ),
+    after_del AS (
+      SELECT * FROM base WHERE ln NOT IN (2, 5)
+    ),
+    after_upd AS (
+      SELECT k, rf,
+             CASE WHEN rf = 'R' THEN qty + 1 ELSE qty END AS qty,
+             ln
+      FROM after_del
+    )
+    SELECT rf,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(qty AS DECIMAL(30,8))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty,
+           CAST(SUM(ln) AS BIGINT) AS sum_ln
+    FROM after_upd
+    GROUP BY rf
+    ORDER BY rf
+    """,
+)
+def e1_iceberg_mixed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format Iceberg table under DELETE content (round 10): an
+    AVRO generation and a parquet generation accumulate in one table, a
+    single position-delete commit masks rows in BOTH format groups, then
+    a merge-on-read UPDATE adds parquet replacement files on the mixed
+    table — every shape the round-9 reader refused. The scan runs one
+    mask pipeline per format group (position deletes key on the target
+    file's path, equality deletes broadcast into both under the
+    strictly-older sequence rule) and unions the legs. In-query asserts
+    prove the plan really holds both formats AND live delete files.
+    Oracle: the NOT IN / CASE reformulation of the two mutations."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_linenumber").alias("ln"),
+    ).where("l_orderkey % 6 = 0")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_mixed_deletes"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark, base.where("ln <= 3"), path, format_version=2,
+        data_format="avro",
+    )
+    iceberg.write_iceberg(spark, base.where("ln > 3"), path, format_version=2)
+    iceberg.delete_iceberg(spark, path, "ln IN (2, 5)")
+    iceberg.update_iceberg(
+        spark, path, {"qty": "qty + 1"}, where="rf = 'R'"
+    )
+    meta = iceberg._load_metadata(path)
+    plan, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    fmts = {d.get("format") for d in plan}
+    if fmts != {"AVRO", "PARQUET"} or not dels:
+        raise RuntimeError(
+            "e1_iceberg_mixed_deletes: expected AVRO+PARQUET plan with "
+            f"live deletes, got formats={fmts}, deletes={len(dels)}"
+        )
+    return (
+        iceberg.read_iceberg(spark, path)
+        .groupBy("rf")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("qty").alias("sum_qty"),
+            F.sum("ln").cast("long").alias("sum_ln"),
+        )
+        .orderBy("rf")
+    )
+
+
+@register(
     "e14_jpeg_decode",
     """
     WITH dims AS (
@@ -7261,6 +7344,10 @@ _FINAL_ORDER = [
     "e13_stream_iceberg_avro",  # round 10: streaming tail over AVRO
                                 # data files (spool materialization),
                                 # exact oracle — swept tail
+    "e1_iceberg_mixed_deletes",  # round 10: per-format mask pipelines on
+                                 # a mixed AVRO+parquet table (pos delete
+                                 # spanning both groups + MoR UPDATE),
+                                 # exact oracle — swept tail
     "e12_interpolate",        # rotated out r9, displaced by
                               # e1_iceberg_avro (driver-green r7+r8;
                               # e12 family keeps feature_upsert + scd2
@@ -7447,7 +7534,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 101, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 102, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

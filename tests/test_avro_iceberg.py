@@ -1539,21 +1539,34 @@ def test_avro_missing_column_without_fids_fails_loud(spark, tmp_path):
         iceberg.read_iceberg(spark, root).collect()
 
 
-def test_avro_mixed_partitioned_refuses(spark, tmp_path):
-    """Partitioned table mixing AVRO and parquet data files refuses: the
-    mixed branch's parquet union skips identity backfill."""
+def test_avro_mixed_partitioned_reads_with_backfill(spark, tmp_path):
+    """Round 10: a partitioned table mixing AVRO and parquet data files
+    reads — the parquet subset routes through the MAIN scan path, whose
+    identity-backfill fills partition source columns the files omit
+    (the round-9 fast union skipped backfill and refused instead)."""
     import datetime as dt
 
     root = str(tmp_path / "mixed_part")
-    df = spark.createDataFrame(
-        [(1, dt.date(2024, 1, 1))], "id long, d date"
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, dt.date(2024, 1, 1))], "id long, d date"),
+        root, format_version=2, data_format="avro", partition_by=["d"],
     )
     iceberg.write_iceberg(
-        spark, df, root, format_version=2, data_format="avro", partition_by=["d"]
+        spark,
+        spark.createDataFrame([(2, dt.date(2024, 1, 2))], "id long, d date"),
+        root, format_version=2, partition_by=["d"],
     )
-    iceberg.write_iceberg(spark, df, root, format_version=2, partition_by=["d"])
-    with pytest.raises(NotImplementedError, match="mixing AVRO and parquet"):
-        iceberg.read_iceberg(spark, root)
+    got = sorted(
+        (r.id, r.d.isoformat())
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, "2024-01-01"), (2, "2024-01-02")]
+    # partition pruning still engages across both format groups
+    assert (
+        iceberg.read_iceberg(spark, root, where="d = DATE'2024-01-02'")
+        .count() == 1
+    )
 
 
 def test_write_avro_unsupported_type_fails_loud(spark, tmp_path):

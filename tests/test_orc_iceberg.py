@@ -205,9 +205,11 @@ def test_orc_equality_delete_on_orc_data(spark, tmp_path):
     assert got == list(range(10))
 
 
-def test_mixed_format_with_deletes_refuses(spark, tmp_path):
-    """Deletes on a table MIXING rowfmt and parquet data files refuse
-    loudly (the two mask pipelines would need to interleave)."""
+def test_mixed_format_with_deletes_works(spark, tmp_path):
+    """Round 10: deletes on a table MIXING rowfmt and parquet data
+    files work — each format group runs its own mask pipeline
+    (position deletes key on the target file's path, so each pipeline
+    consumes only its own rows) and the legs union at exit."""
     root = str(tmp_path / "orc_mixed_del")
     iceberg.write_iceberg(
         spark, spark.range(5).select("id"), root, format_version=2,
@@ -216,8 +218,10 @@ def test_mixed_format_with_deletes_refuses(spark, tmp_path):
     iceberg.write_iceberg(
         spark, spark.range(5, 10).select("id"), root, format_version=2
     )
-    with pytest.raises(NotImplementedError, match="mixing"):
-        iceberg.delete_iceberg(spark, root, "id = 3")
+    # one commit masking a row in EACH format group
+    iceberg.delete_iceberg(spark, root, "id IN (3, 7)")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 4, 5, 6, 8, 9]
 
 
 def test_orc_mixed_with_parquet_unpartitioned_unions(spark, tmp_path):

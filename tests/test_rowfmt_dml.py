@@ -217,10 +217,10 @@ def test_rowfmt_update_roundtrips_timestamptz(spark, tmp_path):
     assert got == {1: 1718000000_000000, 12: 1718000555_000000}
 
 
-def test_mixed_format_table_still_refuses_dml(spark, tmp_path):
-    """A table that already mixes rowfmt and parquet data files keeps
-    the upfront refusal: any single replacement format would deepen the
-    mix under delete content and wedge reads + compact."""
+def test_mixed_format_dml_stages_parquet(spark, tmp_path):
+    """Round 10: DML on a table mixing rowfmt and parquet data files
+    works — replacements stage as parquet (the normalizing choice) and
+    the read path interleaves the per-format mask pipelines."""
     root = str(tmp_path / "mixed")
     iceberg.write_iceberg(
         spark,
@@ -235,25 +235,21 @@ def test_mixed_format_table_still_refuses_dml(spark, tmp_path):
         format_version=2,
         data_format="avro",
     )
-    for op in (
-        lambda: iceberg.update_iceberg(spark, root, {"s": "'x'"}, where="id=1"),
-        lambda: iceberg.merge_iceberg(
-            spark,
-            spark.createDataFrame([(1, "m")], "id int, s string"),
-            root,
-            ["id"],
-        ),
-        lambda: iceberg.overwrite_iceberg_where(
-            spark,
-            spark.createDataFrame([(1, "o")], "id int, s string"),
-            root,
-            "id = 1",
-        ),
-    ):
-        with pytest.raises(NotImplementedError, match="mixing"):
-            op()
-    # no commit happened; the (delete-free) mixed table still reads
-    assert iceberg.read_iceberg(spark, root).count() == 2
+    # update a row living in the AVRO generation: pos-delete masks it
+    # there, the replacement lands parquet
+    iceberg.update_iceberg(spark, root, {"s": "'x'"}, where="id = 2")
+    got = {r.id: r.s for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {1: "a", 2: "x"}
+    iceberg.merge_iceberg(
+        spark,
+        spark.createDataFrame([(1, "m"), (3, "n")], "id int, s string"),
+        root,
+        ["id"],
+    )
+    got = {r.id: r.s for r in iceberg.read_iceberg(spark, root).collect()}
+    assert got == {1: "m", 2: "x", 3: "n"}
+    fmts, dels = _fmts_and_deletes(root)
+    assert fmts == {"AVRO", "PARQUET"} and dels
     # full overwrite NORMALIZES a mixed table (old files all drop out)
     iceberg.overwrite_iceberg(
         spark, spark.createDataFrame([(9, "z")], "id int, s string"), root
@@ -262,57 +258,104 @@ def test_mixed_format_table_still_refuses_dml(spark, tmp_path):
     assert fmts == {"PARQUET"}
 
 
-def test_append_refuses_format_mixing_under_delete_content(spark, tmp_path):
-    """ADVICE round 10: a plain append whose data_format differs from
-    the live files' format on a snapshot with delete files would commit
-    fine but leave the table unreadable (and compact locked out, since
-    it reads). The append guard refuses BEFORE committing; same-format
-    appends stay allowed."""
-    root = str(tmp_path / "guard")
+def test_mixed_format_lifecycle_with_deletes(spark, tmp_path):
+    """Round 10: the full mixed-table lifecycle — position deletes
+    masking rows in BOTH format groups from one commit, row identity,
+    sequence-scoped equality deletes with re-ingest, cross-format
+    appends under live delete content, CDF, pruned reads and compaction.
+    (Round 9 refused every shape here; the short-lived append-format
+    guard died with the read-side fix.)"""
+    root = str(tmp_path / "mx")
     iceberg.write_iceberg(
         spark,
-        spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string"),
-        root,
-        format_version=2,
-        data_format="avro",
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        root, format_version=2, data_format="avro",
     )
-    iceberg.delete_iceberg(spark, root, "id = 1")
-    with pytest.raises(NotImplementedError, match="compact_iceberg"):
-        iceberg.write_iceberg(
-            spark,
-            spark.createDataFrame([(3, "z")], "id int, v string"),
-            root,
-            format_version=2,
-        )
-    # table untouched by the refused append
-    assert iceberg.read_iceberg(spark, root).count() == 1
-    # same-format append is fine
     iceberg.write_iceberg(
         spark,
-        spark.createDataFrame([(3, "z")], "id int, v string"),
-        root,
-        format_version=2,
-        data_format="avro",
+        spark.createDataFrame([(3, "c"), (4, "d")], "id int, v string"),
+        root, format_version=2,
+    )
+    # one pos-delete commit masking a row in EACH format group
+    iceberg.delete_iceberg(spark, root, "id IN (1, 3)")
+    got = sorted(
+        (r.id, r.v) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(2, "b"), (4, "d")]
+    # row identity surfaces on both legs (narrowed _metadata struct)
+    ri = iceberg.read_iceberg(spark, root, with_row_identity=True)
+    idents = [
+        (r.id, r._metadata.file_path, r._metadata.row_index)
+        for r in ri.collect()
+    ]
+    assert len(idents) == 2 and all(fp for _, fp, _ in idents)
+    # equality delete applies to both groups; re-ingest survives
+    # (strictly-older rule), landing AVRO under live delete content
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(2,)], "id int")
     )
     assert sorted(
         r.id for r in iceberg.read_iceberg(spark, root).collect()
-    ) == [2, 3]
-    # delete-free mixing is still allowed (reads union the formats)
-    root2 = str(tmp_path / "nodel")
+    ) == [4]
     iceberg.write_iceberg(
         spark,
-        spark.createDataFrame([(1, "x")], "id int, v string"),
-        root2,
+        spark.createDataFrame([(2, "B2")], "id int, v string"),
+        root, format_version=2, data_format="avro",
+    )
+    got = sorted(
+        (r.id, r.v) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(2, "B2"), (4, "d")]
+    # second delete names original positions; pruned read still fine
+    iceberg.delete_iceberg(spark, root, "id = 4")
+    assert [
+        r.id for r in iceberg.read_iceberg(spark, root, where="id = 2").collect()
+    ] == [2]
+    # compact normalizes everything to parquet and drops masked rows
+    iceberg.compact_iceberg(spark, root)
+    fmts, dels = _fmts_and_deletes(root)
+    assert fmts == {"PARQUET"} and not dels
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, root).collect()
+    ) == [2]
+
+
+def test_mixed_partitioned_identity_backfill(spark, tmp_path):
+    """Round 10: the parquet subset of a mixed PARTITIONED table routes
+    through the main scan path, so identity-partition source columns
+    omitted from parquet footers backfill from manifest tuples — the
+    round-9 fast-union skipped this and refused instead."""
+    from feature_store_ml_spark.io import convert as _convert
+    from feature_store_ml_spark.io import lakehouse as _lake
+
+    # Delta partitioned table (source columns live in DIRS, not files),
+    # converted to Iceberg: the parquet files omit the partition column
+    root = str(tmp_path / "delta_src")
+    _lake.write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "us"), (2, "eu"), (3, "us")], "id int, region string"
+        ),
+        root,
+        partition_by=["region"],
+    )
+    _convert.convert_delta_to_iceberg(spark, root)  # in place
+    # append an AVRO generation -> mixed partitioned table
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(4, "ap")], "id int, region string"),
+        root,
         format_version=2,
+        partition_by=["region"],
         data_format="avro",
     )
-    iceberg.write_iceberg(
-        spark,
-        spark.createDataFrame([(2, "y")], "id int, v string"),
-        root2,
-        format_version=2,
+    got = sorted(
+        (r.id, r.region)
+        for r in iceberg.read_iceberg(spark, root).collect()
     )
-    assert iceberg.read_iceberg(spark, root2).count() == 2
+    assert got == [(1, "us"), (2, "eu"), (3, "us"), (4, "ap")], (
+        "identity backfill must fill the parquet leg's partition column"
+    )
 
 
 def test_mixed_union_resolves_renamed_column_by_field_id(spark, tmp_path):
