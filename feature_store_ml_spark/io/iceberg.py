@@ -151,6 +151,11 @@ def _snapshot_scan_plan(
         for m in avro_lite.read_container(manifest_path):
             if m.get("status") == _STATUS_DELETED:
                 continue
+            # spec inheritance: an entry's explicit sequence_number wins;
+            # null inherits the manifest-list entry's (rewrite_manifests
+            # stamps explicit seqs when consolidating across commits)
+            _eseq = m.get("sequence_number")
+            mseq_e = int(_eseq) if _eseq is not None else mseq
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
@@ -170,7 +175,7 @@ def _snapshot_scan_plan(
             if is_delete_manifest:
                 if content == 1:
                     deletes.append(
-                        {"path": p, "seq": mseq, "kind": "pos",
+                        {"path": p, "seq": mseq_e, "kind": "pos",
                          "equality_ids": None,
                          "record_count": df_struct.get("record_count")}
                     )
@@ -178,7 +183,7 @@ def _snapshot_scan_plan(
                     deletes.append(
                         {
                             "path": p,
-                            "seq": mseq,
+                            "seq": mseq_e,
                             "kind": "eq",
                             "equality_ids": df_struct.get("equality_ids") or [],
                         }
@@ -193,7 +198,7 @@ def _snapshot_scan_plan(
                 data.append(
                     {
                         "path": p,
-                        "seq": mseq,
+                        "seq": mseq_e,
                         "format": fmt,
                         # planning-phase skipping inputs (absent in entries
                         # from writers that don't record them — fail open)
@@ -848,12 +853,23 @@ def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dic
                 "type": ["null", {"type": "array", "items": "int"}],
             }
         )
+    entry_fields = [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+    ]
+    if fv >= 2:
+        # spec §Manifests field 3: per-entry data sequence number —
+        # null means INHERIT the manifest-list entry's (our writers
+        # leave it null on ADDED entries); rewrite_manifests stamps it
+        # EXPLICITLY on carried entries so consolidation across commits
+        # preserves delete scoping (round 10)
+        entry_fields.append(
+            {"name": "sequence_number", "type": ["null", "long"]}
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"]},
+        "fields": entry_fields + [
             {
                 "name": "data_file",
                 "type": {"type": "record", "name": "r2", "fields": data_file_fields},
@@ -5993,16 +6009,19 @@ def rewrite_manifests_iceberg(
     design) grows that linearly — this is the periodic bound, exactly
     like checkpoint_delta bounds Delta's JSON replay.
 
-    Sequence-number honesty: our manifests carry ONE sequence number (the
-    manifest-list entry's), and position/equality-delete scoping compares
-    against it — merging manifests of different sequences would either
-    over-mask (min) or resurrect rows (max). So consolidation runs only
-    when the snapshot has NO live delete manifests (the append-only case
-    that actually explodes manifest counts); otherwise it's a no-op and
-    says so. Returns {"before", "after", "snapshot_id"} (snapshot_id
-    None when nothing was rewritten). Prior snapshots stay
-    time-travelable; expire_iceberg_snapshots reclaims the old manifest
-    files once their snapshots age out."""
+    Sequence-number honesty (round 10): position/equality-delete scoping
+    compares each data file's sequence number, so carried entries are
+    stamped with an EXPLICIT per-entry ``sequence_number`` (spec
+    §Manifests field 3 — null inherits the manifest-list entry's, a
+    non-null value wins) taken from their source manifest. Consolidation
+    is therefore safe WITH live delete manifests: data manifests of any
+    mix of sequences merge, delete manifests carry over verbatim under
+    their original sequence, and every mask applies to exactly the same
+    files afterwards. Returns {"before", "after", "snapshot_id"}
+    (snapshot_id None when nothing was rewritten — fewer than two data
+    manifests). Prior snapshots stay time-travelable;
+    expire_iceberg_snapshots reclaims the old manifest files once their
+    snapshots age out."""
     import time as _time
     import uuid as _uuid
 
@@ -6016,7 +6035,7 @@ def rewrite_manifests_iceberg(
     ml_entries = avro_lite.read_container(_localize(snap["manifest-list"], path))
     data_ml = [e for e in ml_entries if e.get("content", 0) == 0]
     delete_ml = [e for e in ml_entries if e.get("content", 0) == 1]
-    if delete_ml or len(data_ml) <= 1:
+    if len(data_ml) <= 1:
         return {"before": len(data_ml), "after": len(data_ml),
                 "snapshot_id": None}
     fv = meta.get("format-version", 1)
@@ -6028,10 +6047,23 @@ def rewrite_manifests_iceberg(
         for m in avro_lite.read_container(_localize(e["manifest_path"], path)):
             if m.get("status") == _STATUS_DELETED:
                 continue
+            _eseq = m.get("sequence_number")
             entries.append(
                 {
                     "status": 0,  # EXISTING: carried, not added here
                     "snapshot_id": m.get("snapshot_id") or cur,
+                    # explicit per-entry seq (source manifest's, unless
+                    # the entry already carried its own) — delete
+                    # scoping survives the cross-sequence merge
+                    **(
+                        {
+                            "sequence_number": (
+                                int(_eseq) if _eseq is not None else mseq
+                            )
+                        }
+                        if fv >= 2
+                        else {}
+                    ),
                     "data_file": m["data_file"],
                 }
             )
@@ -6081,13 +6113,18 @@ def rewrite_manifests_iceberg(
                 "partition_spec_id": meta.get("default-spec-id", 0),
                 "added_snapshot_id": snap_id,
                 "content": 0,
-                # no delete content is live (gate above), so the carried
-                # data files' scoping is unconstrained; min is recorded
-                # for metadata honesty
+                # every carried entry stamps its OWN sequence number, so
+                # the list-entry seq is only the inheritance default for
+                # (nonexistent) null entries; min_sequence_number records
+                # the true floor for planning honesty
                 "sequence_number": min_seq or seq,
                 "min_sequence_number": min_seq or seq,
             }
         )
+    n_data_created = len(new_ml)
+    # live DELETE manifests carry over verbatim under their original
+    # sequence numbers — consolidation touches only data manifests
+    new_ml.extend(delete_ml)
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
     mf_schema = _manifest_file_schema(fv)
     keep = {f["name"] for f in mf_schema["fields"]}
@@ -6102,7 +6139,8 @@ def rewrite_manifests_iceberg(
         "summary": {
             "operation": "replace",
             "manifests-replaced": str(len(data_ml)),
-            "manifests-created": str(len(new_ml)),
+            "manifests-created": str(n_data_created),
+            "manifests-kept": str(len(delete_ml)),
         },
         "schema-id": meta.get("current-schema-id", 0),
     }
@@ -6127,7 +6165,7 @@ def rewrite_manifests_iceberg(
     if carried:
         meta2["statistics"] = list(meta.get("statistics") or []) + carried
     _swap_metadata(path, meta2)
-    return {"before": len(data_ml), "after": len(new_ml),
+    return {"before": len(data_ml), "after": n_data_created,
             "snapshot_id": snap_id}
 
 

@@ -1043,7 +1043,8 @@ def test_rewrite_manifests_consolidates(spark, tmp_path):
     # idempotent-ish: single manifest → no-op
     out2 = iceberg.rewrite_manifests_iceberg(spark, root)
     assert out2["snapshot_id"] is None and out2["after"] == 1
-    # live deletes: stated no-op, never a wrong consolidation
+    # round 10: consolidation WITH live deletes — carried entries stamp
+    # explicit per-entry sequence numbers, so delete scoping survives
     iceberg.write_iceberg(
         spark,
         spark.range(600, 700).select(
@@ -1054,8 +1055,45 @@ def test_rewrite_manifests_consolidates(spark, tmp_path):
     )
     iceberg.delete_iceberg(spark, root, "id = 5")
     out3 = iceberg.rewrite_manifests_iceberg(spark, root)
-    assert out3["snapshot_id"] is None
+    assert out3["snapshot_id"] is not None and out3["after"] == 1
     assert iceberg.read_iceberg(spark, root).count() == 699
+
+
+def test_rewrite_manifests_preserves_eq_delete_scoping(spark, tmp_path):
+    """Round 10: the sharp edge of cross-sequence consolidation — an
+    EQUALITY delete applies only to data files with sequence STRICTLY
+    LESS than its own. A re-ingested key in a LATER append must survive
+    the merge of its manifest with pre-delete manifests (a naive merge
+    under one min/max sequence would resurrect or over-mask)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "rw_eq")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    # eq-delete id IN (1, 2) at seq 2
+    iceberg.delete_iceberg_equality(
+        spark, root, spark.createDataFrame([(1,), (2,)], "id long")
+    )
+    # re-ingest id=1 at seq 3 (strictly newer -> survives the delete)
+    iceberg.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id long"), root,
+        format_version=2,
+    )
+    pre = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert pre == [0, 1, 3, 4]
+    out = iceberg.rewrite_manifests_iceberg(spark, root)
+    assert out["snapshot_id"] is not None and out["after"] == 1
+    post = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert post == pre, (
+        "consolidation must not change delete scoping: the re-ingested "
+        "row survives, the seq-1 rows stay masked"
+    )
+    # position delete AFTER consolidation still lands on the right rows
+    iceberg.delete_iceberg(spark, root, "id = 4")
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, root).collect()
+    ) == [0, 1, 3]
 
 
 def test_rewrite_manifests_partitioned(spark, tmp_path):
