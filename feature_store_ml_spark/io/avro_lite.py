@@ -298,6 +298,333 @@ def _write_datum(buf: BinaryIO, datum: Any, schema: Any, named: dict) -> None:
         raise NotImplementedError(f"avro type {t!r} not supported by avro_lite")
 
 
+def read_container_columnar(path: str):
+    """Vectorized COLUMNAR decode of a flat nullable-primitive container
+    — the read twin of :func:`write_container_columnar` and the fast
+    path for Iceberg AVRO data files. Returns ``(writer_schema, cols,
+    n)`` where ``cols[name] = (values, null_mask)``: numpy int64 for
+    int/long (and their logical types, physical values), float64 for
+    float/double, bool for boolean, object (str) for string — null rows
+    hold don't-care values under a True mask.
+
+    Decode is TWO-PASS: a SCHEMA-SPECIALIZED generated skip-pass (the
+    decoder's whole-stage codegen — one exec-compiled function per
+    field layout, append-bound locals, no per-field dispatch or value
+    boxing) walks the byte stream once recording per-field
+    offsets/lengths of live rows; numpy then extracts every column in
+    bulk — varints via an (n, 10) gather + 7-bit accumulation,
+    fixed-width floats via reshape/view, strings via one row-order byte
+    gather into a pyarrow StringArray. Raises ValueError for any schema
+    outside the flat ``["null", primitive]`` shape or a non-canonical
+    union index — callers fall back to
+    :func:`read_container_with_schema`."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        if fh.read(4) != _MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            nkv = _read_long(fh)
+            if nkv == 0:
+                break
+            if nkv < 0:
+                nkv = -nkv
+                _read_long(fh)
+            for _ in range(nkv):
+                k = _read_bytes(fh).decode("utf-8")
+                meta[k] = _read_bytes(fh)
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise NotImplementedError(f"{path}: avro codec {codec!r} unsupported")
+        sync = fh.read(16)
+        fields = schema.get("fields") if isinstance(schema, dict) else None
+        if schema.get("type") != "record" or not fields:
+            raise ValueError("not a flat record schema")
+        # kind codes: 0 = varint, 1 = fixed(width), 2 = string
+        kinds: list[tuple[int, int, str]] = []
+        for f in fields:
+            t = f.get("type")
+            if not (isinstance(t, list) and len(t) == 2 and t[0] == "null"):
+                raise ValueError("field is not a ['null', primitive] union")
+            prim = t[1]
+            if isinstance(prim, dict):
+                prim = prim.get("type")
+            if prim in ("int", "long"):
+                kinds.append((0, 0, prim))
+            elif prim == "float":
+                kinds.append((1, 4, prim))
+            elif prim == "double":
+                kinds.append((1, 8, prim))
+            elif prim == "boolean":
+                kinds.append((1, 1, prim))
+            elif prim == "string":
+                kinds.append((2, 0, prim))
+            else:
+                raise ValueError(f"primitive {prim!r} not columnar-decodable")
+        blocks: list[tuple[bytes, int]] = []
+        total = 0
+        while True:
+            head = fh.read(1)
+            if not head:
+                break
+            fh.seek(-1, 1)
+            cnt = _read_long(fh)
+            payload = _read_bytes(fh)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            if fh.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+            blocks.append((payload, cnt))
+            total += cnt
+
+    scan = _compiled_scan(tuple((c, w) for c, w, _p in kinds))
+    rowlens = meta.get("fsml.rowlens")
+    chunks: list[dict] = []
+    base = 0
+    for payload, cnt in blocks:
+        triples = None
+        if rowlens is not None and len(rowlens) == 4 * total:
+            # vectorized scan: the writer's per-record byte lengths give
+            # record starts for free; every field decodes in lockstep
+            # across all records, zero per-record python. Any
+            # inconsistency (foreign rewrite, corrupt sidecar) falls
+            # back to the compiled scalar scan.
+            rl = np.frombuffer(rowlens, dtype="<u4")[
+                base : base + cnt
+            ].astype(np.int64)
+            if int(rl.sum()) == len(payload):
+                starts0 = np.zeros(cnt, dtype=np.int64)
+                np.cumsum(rl[:-1], out=starts0[1:])
+                try:
+                    triples = _scan_vector(
+                        np, np.frombuffer(payload, dtype=np.uint8),
+                        starts0, rl, kinds,
+                    )
+                except ValueError:
+                    triples = None
+        if triples is None:
+            triples = _scan_scalar(np, payload, cnt, kinds, scan)
+        chunks.append(
+            _extract_block(np, payload, cnt, kinds, fields, triples)
+        )
+        base += cnt
+    cols: dict = {}
+    for f in fields:
+        name = f["name"]
+        if len(chunks) == 1:
+            cols[name] = chunks[0][name]
+        else:
+            vs = np.concatenate([c[name][0] for c in chunks])
+            ms = np.concatenate([c[name][1] for c in chunks])
+            cols[name] = (vs, ms)
+    return schema, cols, total
+
+
+_SCAN_CACHE: dict = {}
+
+
+def _compiled_scan(layout: tuple):
+    """exec-compile the scalar skip-pass for one field LAYOUT (kind/width
+    tuple): per record, per field, append the null flag and (for live
+    rows) the value offset/length — nothing else. Append methods are
+    bound locals; there is no per-field dispatch, loop, or boxing. The
+    compiled function is cached per layout (schemas repeat across files
+    and blocks). This is the FOREIGN-FILE path; files our own writer
+    produced carry the fsml.rowlens sidecar and take the fully
+    vectorized :func:`_scan_vector` instead."""
+    fn = _SCAN_CACHE.get(layout)
+    if fn is not None:
+        return fn
+    lines = ["def _scan(mv, cnt, A):", "    c = 0"]
+    names = []
+    for f in range(len(layout)):
+        names += [f"n{f}", f"s{f}", f"l{f}"]
+    lines.append(f"    {', '.join(names)} = A")
+    lines.append("    for _ in range(cnt):")
+    for f, (code, w) in enumerate(layout):
+        lines.append("        b = mv[c]; c += 1")
+        lines.append("        if b == 0:")
+        lines.append(f"            n{f}(True)")
+        lines.append("        elif b != 2:")
+        lines.append(
+            "            raise ValueError('non-canonical union index')"
+        )
+        lines.append("        else:")
+        lines.append(f"            n{f}(False)")
+        if code == 0:
+            lines.append("            s = c")
+            lines.append("            while mv[c] & 128: c += 1")
+            lines.append("            c += 1")
+            lines.append(f"            s{f}(s); l{f}(c - s)")
+        elif code == 1:
+            lines.append(f"            s{f}(c); c += {w}")
+        else:
+            lines.append("            zz = 0; sh = 0")
+            lines.append("            while True:")
+            lines.append("                y = mv[c]; c += 1")
+            lines.append("                zz |= (y & 127) << sh")
+            lines.append("                if not y & 128: break")
+            lines.append("                sh += 7")
+            lines.append("            ln = (zz >> 1) ^ -(zz & 1)")
+            lines.append(f"            s{f}(c); l{f}(ln); c += ln")
+    lines.append("    return c")
+    ns: dict = {}
+    exec("\n".join(lines), ns)  # noqa: S102 — generated from the layout only
+    fn = ns["_scan"]
+    _SCAN_CACHE[layout] = fn
+    return fn
+
+
+def _scan_scalar(np, payload: bytes, cnt: int, kinds, scan):
+    """Run the compiled scalar skip-pass and densify its compact
+    per-live-row offset lists into the full-length (nulls, starts,
+    lens) triples extraction consumes."""
+    nf = len(kinds)
+    acc: list = []
+    store: list = []
+    for _ in range(nf):
+        nl: list = []
+        sl: list = []
+        ll: list = []
+        store.append((nl, sl, ll))
+        acc += [nl.append, sl.append, ll.append]
+    scan(payload, cnt, tuple(acc))
+    triples = []
+    for f, (code, w, _p) in enumerate(kinds):
+        nl, sl, ll = store[f]
+        nulls = np.array(nl, dtype=bool) if nl else np.zeros(cnt, dtype=bool)
+        live = ~nulls
+        starts = np.zeros(cnt, dtype=np.int64)
+        lens = np.zeros(cnt, dtype=np.int64)
+        if sl:
+            starts[live] = np.array(sl, dtype=np.int64)
+        if code == 1:
+            lens[live] = w
+        elif ll:
+            lens[live] = np.array(ll, dtype=np.int64)
+        triples.append((nulls, starts, lens))
+    return triples
+
+
+def _scan_vector(np, data, rec_starts, rec_lens, kinds):
+    """Fully vectorized skip-pass: with record starts known (sidecar),
+    each field decodes in LOCKSTEP across all records — union prefix
+    gather, varint lengths from the first clear high bit of an (n, 10)
+    gather, string lengths zigzag-decoded in bulk, cursors advanced by
+    vector adds. Raises ValueError on any inconsistency (non-canonical
+    union byte, >10-byte varint, cursor drift vs the sidecar lengths)
+    so the caller can fall back to the scalar scan."""
+    n = len(rec_starts)
+    dlen = len(data)
+    cur = rec_starts.copy()
+    ar10 = np.arange(10)
+    k7 = (np.uint64(7) * ar10.astype(np.uint64))[None, :]
+    triples = []
+    for code, w, _prim in kinds:
+        prefix = data[np.minimum(cur, dlen - 1)]
+        nulls = prefix == 0
+        if (~nulls & (prefix != 2)).any():
+            raise ValueError("non-canonical union index")
+        cur = cur + 1
+        if code == 1:
+            starts = np.where(nulls, 0, cur)
+            lens = np.where(nulls, 0, w).astype(np.int64)
+            cur = cur + lens
+        else:
+            idx = cur[:, None] + ar10
+            m = data[np.minimum(idx, dlen - 1)]
+            stop = (m & 0x80) == 0
+            vlen = stop.argmax(axis=1) + 1
+            if not stop.any(axis=1).all():
+                raise ValueError("varint longer than 10 bytes")
+            vlen = np.where(nulls, 0, vlen).astype(np.int64)
+            if code == 0:
+                starts = np.where(nulls, 0, cur)
+                lens = vlen
+                cur = cur + vlen
+            else:
+                keep = ar10[None, :] < vlen[:, None]
+                zz = np.where(
+                    keep, (m.astype(np.uint64) & np.uint64(0x7F)) << k7,
+                    np.uint64(0),
+                ).sum(axis=1, dtype=np.uint64)
+                slen = ((zz >> np.uint64(1)).astype(np.int64)) ^ -(
+                    (zz & np.uint64(1)).astype(np.int64)
+                )
+                slen = np.where(nulls, 0, slen)
+                if (slen < 0).any():
+                    raise ValueError("negative string length")
+                starts = np.where(nulls, 0, cur + vlen)
+                lens = slen
+                cur = cur + vlen + slen
+        triples.append((nulls, starts, lens))
+    if not (cur == rec_starts + rec_lens).all():
+        raise ValueError("cursor drift vs sidecar record lengths")
+    return triples
+
+
+def _extract_block(np, payload: bytes, cnt: int, kinds, fields, triples) -> dict:
+    """Numpy bulk extraction from full-length (nulls, starts, lens)
+    triples. Returns {name: (values, null_mask)} with live-row values
+    scattered into full-length arrays."""
+    data = np.frombuffer(payload, dtype=np.uint8)
+    out: dict = {}
+    for f, (code, w, prim) in enumerate(kinds):
+        name = fields[f]["name"]
+        nmask, starts, lens = triples[f]
+        live = ~nmask
+        st = starts[live]
+        ln = lens[live]
+        if prim in ("int", "long"):
+            vals = np.zeros(cnt, dtype=np.int64)
+            if len(st):
+                idx = st[:, None] + np.arange(10)
+                m = data[np.minimum(idx, len(data) - 1)].astype(np.uint64)
+                k = np.arange(10, dtype=np.uint64)[None, :]
+                keep = np.arange(10)[None, :] < ln[:, None]
+                zz = np.where(
+                    keep, (m & np.uint64(0x7F)) << (np.uint64(7) * k),
+                    np.uint64(0),
+                ).sum(axis=1, dtype=np.uint64)
+                vals[live] = ((zz >> np.uint64(1)).astype(np.int64)) ^ -(
+                    (zz & np.uint64(1)).astype(np.int64)
+                )
+        elif prim in ("float", "double"):
+            vals = np.zeros(cnt, dtype=np.float64)
+            if len(st):
+                idx = st[:, None] + np.arange(w)
+                raw = np.ascontiguousarray(data[idx])
+                vals[live] = raw.view(
+                    "<f4" if w == 4 else "<f8"
+                ).reshape(-1).astype(np.float64)
+        elif prim == "boolean":
+            vals = np.zeros(cnt, dtype=bool)
+            if len(st):
+                vals[live] = data[st] == 1
+        else:  # string: one row-order gather into a pyarrow StringArray
+            import pyarrow as pa
+
+            vals = np.empty(cnt, dtype=object)
+            vals[:] = None
+            if len(st):
+                gather = np.repeat(
+                    st - np.concatenate(([0], np.cumsum(ln[:-1]))), ln
+                ) + np.arange(int(ln.sum()))
+                body = data[gather].tobytes()
+                offs = np.zeros(len(ln) + 1, dtype=np.int32)
+                np.cumsum(ln, out=offs[1:])
+                arr = pa.StringArray.from_buffers(
+                    len(ln),
+                    pa.py_buffer(offs.tobytes()),
+                    pa.py_buffer(body),
+                )
+                vals[live] = np.asarray(arr.to_pandas(), dtype=object)
+        out[name] = (vals, nmask)
+    return out
+
+
 def _varint_stream(vals, nulls):
     """Vectorized zigzag-varint encode of an int64 array: returns
     ``(flat_bytes_uint8, per_row_len_int64)`` where null rows contribute
@@ -430,6 +757,14 @@ def write_container_columnar(path: str, schema: dict, columns: list) -> None:
             "avro.schema": json.dumps(schema).encode(),
             "avro.codec": b"null",
         }
+        if n and bool(int(row_len.max()) < (1 << 32)):
+            # SIDECAR (spec-legal custom file-metadata key, ignored by
+            # foreign readers): per-record byte lengths as raw LE u32 —
+            # the writer knows them for free, and they are exactly what
+            # makes the columnar READ fully vectorizable (record starts
+            # = exclusive cumsum; every field then decodes in lockstep
+            # across all records with no per-record python). ~4 B/row.
+            meta["fsml.rowlens"] = row_len.astype("<u4").tobytes()
         _write_long(fh, len(meta))
         for k, v in meta.items():
             _write_bytes(fh, k.encode())
