@@ -443,13 +443,29 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
 
             for pdf in it:
                 for p in pdf["path"]:
-                    rows = _avro.read_container(p)
-                    yield _pd.DataFrame(
-                        {
-                            "file_path": [str(r["file_path"]) for r in rows],
-                            "pos": [int(r["pos"]) for r in rows],
-                        }
-                    )
+                    # flat (file_path, pos) schema — take the columnar
+                    # decode (vectorized for sidecar files, compiled
+                    # scan otherwise); row decode only for exotic
+                    # foreign shapes
+                    try:
+                        _sch, cols_, _n = _avro.read_container_columnar(p)
+                        fp, fp_null = cols_["file_path"]
+                        pos, pos_null = cols_["pos"]
+                        if fp_null.any() or pos_null.any():
+                            raise ValueError("null in position-delete row")
+                        yield _pd.DataFrame(
+                            {"file_path": fp, "pos": pos}
+                        )
+                    except (ValueError, KeyError):
+                        rows = _avro.read_container(p)
+                        yield _pd.DataFrame(
+                            {
+                                "file_path": [
+                                    str(r["file_path"]) for r in rows
+                                ],
+                                "pos": [int(r["pos"]) for r in rows],
+                            }
+                        )
 
         parts.append(_mapped(by_fmt["avro"], _avro_batches))
     if by_fmt["orc"]:
