@@ -613,13 +613,24 @@ def _extract_block(np, payload: bytes, cnt: int, kinds, fields, triples) -> dict
                     st - np.concatenate(([0], np.cumsum(ln[:-1]))), ln
                 ) + np.arange(int(ln.sum()))
                 body = data[gather].tobytes()
-                offs = np.zeros(len(ln) + 1, dtype=np.int32)
-                np.cumsum(ln, out=offs[1:])
-                arr = pa.StringArray.from_buffers(
-                    len(ln),
-                    pa.py_buffer(offs.tobytes()),
-                    pa.py_buffer(body),
-                )
+                if int(ln.sum()) < (1 << 31):
+                    offs = np.zeros(len(ln) + 1, dtype=np.int32)
+                    np.cumsum(ln, out=offs[1:])
+                    arr = pa.StringArray.from_buffers(
+                        len(ln),
+                        pa.py_buffer(offs.tobytes()),
+                        pa.py_buffer(body),
+                    )
+                else:
+                    # >2 GiB of string bytes in one block: int32 offsets
+                    # would overflow — use the 64-bit-offset variant
+                    offs = np.zeros(len(ln) + 1, dtype=np.int64)
+                    np.cumsum(ln, out=offs[1:])
+                    arr = pa.LargeStringArray.from_buffers(
+                        len(ln),
+                        pa.py_buffer(offs.tobytes()),
+                        pa.py_buffer(body),
+                    )
                 vals[live] = np.asarray(arr.to_pandas(), dtype=object)
         out[name] = (vals, nmask)
     return out
@@ -666,7 +677,9 @@ def _fixed_stream(raw_bytes, width, nulls):
     return flat, lens
 
 
-def write_container_columnar(path: str, schema: dict, columns: list) -> None:
+def write_container_columnar(
+    path: str, schema: dict, columns: list, codec: str = "null"
+) -> None:
     """Vectorized writer for FLAT nullable-primitive record schemas — the
     batch-encode fast path for Iceberg AVRO data files (the per-row
     :func:`write_container` stays for manifests and nested fixtures).
@@ -750,12 +763,18 @@ def write_container_columnar(path: str, schema: dict, columns: list) -> None:
             out[pos] = flat
         within += lens
     body = out.tobytes()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"write_container_columnar: codec {codec!r}")
+    if codec == "deflate":
+        # avro deflate = raw DEFLATE stream (no zlib header), spec §Codecs
+        _c = zlib.compressobj(wbits=-15)
+        body = _c.compress(body) + _c.flush()
     sync = b"\x00" * 8 + b"avrolite"
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
         meta = {
             "avro.schema": json.dumps(schema).encode(),
-            "avro.codec": b"null",
+            "avro.codec": codec.encode(),
         }
         if n and bool(int(row_len.max()) < (1 << 32)):
             # SIDECAR (spec-legal custom file-metadata key, ignored by

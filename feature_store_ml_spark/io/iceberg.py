@@ -1428,6 +1428,7 @@ def _stage_avro_data(
     ice_fields: list[dict],
     partition_by: list[str],
     derive_cols: dict,
+    codec: str = "null",
 ) -> list[dict]:
     """Executor-side AVRO data-file staging for ``write_iceberg(
     data_format='avro')``: one ``mapInPandas`` pass writes spec-encoded
@@ -1585,7 +1586,9 @@ def _stage_avro_data(
                             smin, smax = cast(live.min()), cast(live.max())
                     stats[c] = [int(nulls.sum()), smin, smax]
                     columns.append((vals, nulls, prim))
-                _avro.write_container_columnar(fname, schema, columns)
+                _avro.write_container_columnar(
+                    fname, schema, columns, codec=codec
+                )
                 return n, stats
 
             def _encode_rows(g, fname):
@@ -1939,6 +1942,7 @@ def write_iceberg(
     sort_by: list[str] | None = None,
     branch: str | None = None,
     data_format: str = "parquet",
+    data_codec: str = "null",
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -1992,6 +1996,16 @@ def write_iceberg(
     if data_format not in ("parquet", "avro", "orc"):
         raise ValueError(
             f"write_iceberg: data_format must be parquet|avro|orc, got {data_format!r}"
+        )
+    data_codec = (data_codec or "null").lower()
+    if data_codec not in ("null", "deflate"):
+        raise ValueError(
+            f"write_iceberg: data_codec must be null|deflate, got {data_codec!r}"
+        )
+    if data_codec != "null" and data_format != "avro":
+        raise ValueError(
+            "write_iceberg: data_codec applies to data_format='avro' "
+            "(parquet/orc compression rides their own writers)"
         )
     pfields = [parse_partition_field(s) for s in (partition_by or [])]
     partition_by = [f["name"] for f in pfields]
@@ -2233,7 +2247,8 @@ def write_iceberg(
         _fields_now = declared["fields"] if existing else _iceberg_fields(df)
         _stage = _stage_avro_data if data_format == "avro" else _stage_orc_data
         staged_meta = _stage(
-            spark, df, staging, _fields_now, partition_by, derive_cols
+            spark, df, staging, _fields_now, partition_by, derive_cols,
+            **({"codec": data_codec} if data_format == "avro" else {}),
         )
         for fm in staged_meta:
             raw = fm["pvals"]

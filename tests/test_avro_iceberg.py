@@ -2098,3 +2098,56 @@ def test_write_container_columnar_bit_parity():
                         assert mask[i]
                     else:
                         assert not mask[i] and vals[i] == exp
+
+
+def test_write_iceberg_avro_deflate_codec(spark, tmp_path):
+    """Round 10: write_iceberg(data_format='avro', data_codec='deflate')
+    writes spec-codec deflate containers (raw DEFLATE block payloads,
+    'avro.codec'='deflate' in the header) — smaller on disk, read back
+    identically by both decode paths, delete content unaffected."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = spark.range(4000).select(
+        "id",
+        F.concat(F.lit("padpadpad-"), (F.col("id") % 50).cast("string"))
+        .alias("s"),
+    )
+    root_d = str(tmp_path / "defl")
+    root_n = str(tmp_path / "plain")
+    iceberg.write_iceberg(
+        spark, rows, root_d, format_version=2, data_format="avro",
+        data_codec="deflate",
+    )
+    iceberg.write_iceberg(
+        spark, rows, root_n, format_version=2, data_format="avro",
+    )
+
+    def _data_bytes(root):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "data"))
+            for f in fs
+        )
+
+    assert _data_bytes(root_d) < 0.8 * _data_bytes(root_n), (
+        "deflate data files should be materially smaller"
+    )
+    a = sorted((r.id, r.s) for r in iceberg.read_iceberg(spark, root_d).collect())
+    b = sorted((r.id, r.s) for r in iceberg.read_iceberg(spark, root_n).collect())
+    assert a == b and len(a) == 4000
+    # DML still works on the deflate table (decode feeds the identity scan)
+    iceberg.delete_iceberg(spark, root_d, "id % 100 = 0")
+    assert iceberg.read_iceberg(spark, root_d).count() == 3960
+    iceberg.update_iceberg(spark, root_d, {"s": "'X'"}, where="id = 1")
+    assert (
+        iceberg.read_iceberg(spark, root_d).where("id = 1").collect()[0].s
+        == "X"
+    )
+    # invalid combos refuse
+    with pytest.raises(ValueError, match="data_codec"):
+        iceberg.write_iceberg(
+            spark, rows, str(tmp_path / "bad"), format_version=2,
+            data_codec="deflate",
+        )
