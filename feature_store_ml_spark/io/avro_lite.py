@@ -334,17 +334,30 @@ def read_container_columnar(path: str):
             for _ in range(nkv):
                 k = _read_bytes(fh).decode("utf-8")
                 meta[k] = _read_bytes(fh)
-        schema = json.loads(meta["avro.schema"])
+        # every "unsupported shape" must exit as ValueError — the
+        # callers' columnar->row fallback catches exactly that type, so
+        # a KeyError (missing avro.schema) or AttributeError (non-dict
+        # top-level schema) would crash the scan instead of degrading
+        if "avro.schema" not in meta:
+            raise ValueError(f"{path}: container missing avro.schema header")
+        try:
+            schema = json.loads(meta["avro.schema"])
+        except Exception as exc:
+            raise ValueError(f"{path}: unparsable avro.schema: {exc}") from exc
         codec = meta.get("avro.codec", b"null").decode()
         if codec not in ("null", "deflate"):
             raise NotImplementedError(f"{path}: avro codec {codec!r} unsupported")
         sync = fh.read(16)
-        fields = schema.get("fields") if isinstance(schema, dict) else None
+        if not isinstance(schema, dict):
+            raise ValueError("not a flat record schema")
+        fields = schema.get("fields")
         if schema.get("type") != "record" or not fields:
             raise ValueError("not a flat record schema")
         # kind codes: 0 = varint, 1 = fixed(width), 2 = string
         kinds: list[tuple[int, int, str]] = []
         for f in fields:
+            if not isinstance(f, dict):
+                raise ValueError("field entry is not a record-field object")
             t = f.get("type")
             if not (isinstance(t, list) and len(t) == 2 and t[0] == "null"):
                 raise ValueError("field is not a ['null', primitive] union")

@@ -495,129 +495,197 @@ def _read_eq_delete_keys(
 ):
     """DISTINCT key tuples of one EQUALITY-delete file, columns aliased
     ``{prefix}{logical_name}`` and typed like the data scan (``schema`` =
-    the scan's StructType). Parquet scans natively and distributed (our
-    writer's names match the logical ones); AVRO/ORC eq-delete files
-    (round 9 — foreign upsert writers) decode DRIVER-side — every
-    consumer broadcasts the key set, so it is memory-bounded by contract
-    — resolving columns by FIELD ID from the file's own schema
-    (rename-safe), with a fail-loud name fallback. AVRO logical types
-    arrive physical (days ints / micros longs) and convert per the
-    declared column type; ORC arrives typed."""
-    import datetime as _dt
+    the scan's StructType). Parquet scans natively; AVRO/ORC eq-delete
+    files (foreign upsert writers — Flink CDC emits Avro) decode
+    DISTRIBUTED inside mapInPandas (round 11 — the rows never hit the
+    driver, so there is no size bound), resolving columns by FIELD ID
+    from the file's own schema (rename-safe) with a fail-loud name
+    fallback. AVRO logical types arrive physical (days ints / micros
+    longs) and convert per the declared column type; ORC arrives typed.
 
+    The returned frame carries a BROADCAST hint when the file's
+    record count (container metadata, no data read) is at most
+    ``_EQ_BROADCAST_MAX_KEYS`` — the common CDC case, keeping the
+    data side shuffle-free; a jumbo key set is left unhinted so the
+    anti-join shuffles both sides on the key columns instead of
+    OOMing the executors with a giant broadcast table."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        DateType,
-        StructField,
-        StructType,
-        TimestampNTZType,
-        TimestampType,
-    )
+    from pyspark.sql.types import StructField, StructType
 
     with open(dfile, "rb") as fh:
         magic = fh.read(4)
     if magic != b"Obj\x01" and magic[:3] != b"ORC":
-        return (
+        keys = (
             spark.read.parquet(dfile)
             .select(*[F.col(c).alias(f"{prefix}{c}") for c in cols])
             .distinct()
         )
+        return _hint_eq_keys(keys, dfile, magic)
     if schema is None:
         raise NotImplementedError(
             f"{dfile}: non-parquet equality-delete files need a declared "
             "table schema to type their keys"
         )
-    # the rowfmt branch decodes DRIVER-side and every consumer broadcasts
-    # the key set — bounded by contract, so enforce the contract: a
-    # multi-GB eq-delete file from a foreign writer must fail loudly
-    # BEFORE the decode, not OOM the driver mid-parse
-    _EQ_DELETE_MAX_BYTES = 256 << 20
-    _sz = os.path.getsize(dfile)
-    if _sz > _EQ_DELETE_MAX_BYTES:
-        raise NotImplementedError(
-            f"{dfile}: {_sz >> 20} MiB equality-delete file exceeds the "
-            f"{_EQ_DELETE_MAX_BYTES >> 20} MiB driver-decode/broadcast "
-            "bound for non-parquet delete containers — rewrite the "
-            "table's deletes (compact_iceberg) or ship the deletes as "
-            "parquet"
-        )
     dtypes = {c: schema[c].dataType for c in cols}
-    if magic == b"Obj\x01":
-        wschema, rows = avro_lite.read_container_with_schema(dfile)
-        name_by_fid = {
-            f["field-id"]: f["name"]
-            for f in (wschema.get("fields") or [])
-            if isinstance(f.get("field-id"), int)
-        }
-
-        def _get(r, c, fid):
-            if fid in name_by_fid:
-                return r.get(name_by_fid[fid])
-            if c in r:
-                return r[c]
-            raise ValueError(
-                f"{dfile}: equality-delete column {c!r} (field id {fid}) "
-                "absent from the AVRO file"
-            )
-
-        def _typed(v, t):
-            if v is None:
-                return None
-            if isinstance(t, DateType):
-                return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
-            if isinstance(t, TimestampNTZType):
-                return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                    microseconds=int(v)
-                )
-            if isinstance(t, TimestampType):
-                return _dt.datetime(
-                    1970, 1, 1, tzinfo=_dt.timezone.utc
-                ) + _dt.timedelta(microseconds=int(v))
-            return v
-
-        tuples = {
-            tuple(_typed(_get(r, c, fid), dtypes[c])
-                  for c, fid in zip(cols, fids))
-            for r in rows
-        }
-    elif magic[:3] == b"ORC":
-        import pyarrow.orc as _pa_orc
-
-        tbl = _pa_orc.ORCFile(dfile).read()
-        name_by_fid = {}
-        for fld in tbl.schema:
-            raw_id = (fld.metadata or {}).get(b"iceberg.id")
-            if raw_id is not None:
-                name_by_fid[int(raw_id)] = fld.name
-
-        def _col(c, fid):
-            if fid in name_by_fid:
-                return tbl[name_by_fid[fid]]
-            if c in tbl.schema.names:
-                return tbl[c]
-            raise ValueError(
-                f"{dfile}: equality-delete column {c!r} (field id {fid}) "
-                "absent from the ORC file"
-            )
-
-        def _typed(v, t):
-            if v is None:
-                return None
-            if isinstance(t, TimestampNTZType) and hasattr(
-                v, "to_pydatetime"
-            ):
-                return v.to_pydatetime()
-            return v
-
-        lists = [
-            [_typed(v, dtypes[c]) for v in _col(c, fid).to_pylist()]
-            for c, fid in zip(cols, fids)
-        ]
-        tuples = set(zip(*lists)) if lists and lists[0] else set()
     out_schema = StructType(
         [StructField(f"{prefix}{c}", dtypes[c], True) for c in cols]
     )
-    return spark.createDataFrame(sorted(tuples, key=repr), out_schema)
+    kind = "avro" if magic == b"Obj\x01" else "orc"
+    #: per-column conversion tag shipped to the executor (DataType objects
+    #: pickle fine, but tags keep the closure tiny and version-proof)
+    tags = [_eq_type_tag(dtypes[c]) for c in cols]
+    cols_l, fids_l, prefix_l = list(cols), list(fids), prefix
+
+    def _decode(it):
+        import datetime as _dt
+
+        import pandas as _pd
+
+        def _typed_list(vals, tag):
+            if tag == "date":
+                return [
+                    None
+                    if v is None
+                    else _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+                    for v in vals
+                ]
+            if tag == "ts":
+                return [
+                    None
+                    if v is None
+                    else (
+                        v.to_pydatetime()
+                        if hasattr(v, "to_pydatetime")
+                        else _dt.datetime(1970, 1, 1)
+                        + _dt.timedelta(microseconds=int(v))
+                    )
+                    for v in vals
+                ]
+            if tag == "tstz":
+                return [
+                    None
+                    if v is None
+                    else (
+                        v.to_pydatetime()
+                        if hasattr(v, "to_pydatetime")
+                        else _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                        + _dt.timedelta(microseconds=int(v))
+                    )
+                    for v in vals
+                ]
+            return list(vals)
+
+        for pdf in it:
+            for p in pdf["path"]:
+                if kind == "avro":
+                    from feature_store_ml_spark.io import avro_lite as _avro
+
+                    wschema, rows = _avro.read_container_with_schema(p)
+                    name_by_fid = {
+                        f["field-id"]: f["name"]
+                        for f in (wschema.get("fields") or [])
+                        if isinstance(f.get("field-id"), int)
+                    }
+
+                    def _get(r, c, fid):
+                        if fid in name_by_fid:
+                            return r.get(name_by_fid[fid])
+                        if c in r:
+                            return r[c]
+                        raise ValueError(
+                            f"{p}: equality-delete column {c!r} (field id "
+                            f"{fid}) absent from the AVRO file"
+                        )
+
+                    raw = {
+                        c: [_get(r, c, fid) for r in rows]
+                        for c, fid in zip(cols_l, fids_l)
+                    }
+                else:
+                    import pyarrow.orc as _pa_orc
+
+                    tbl = _pa_orc.ORCFile(p).read()
+                    name_by_fid = {}
+                    for fld in tbl.schema:
+                        raw_id = (fld.metadata or {}).get(b"iceberg.id")
+                        if raw_id is not None:
+                            name_by_fid[int(raw_id)] = fld.name
+
+                    def _col(c, fid):
+                        if fid in name_by_fid:
+                            return tbl[name_by_fid[fid]]
+                        if c in tbl.schema.names:
+                            return tbl[c]
+                        raise ValueError(
+                            f"{p}: equality-delete column {c!r} (field id "
+                            f"{fid}) absent from the ORC file"
+                        )
+
+                    raw = {
+                        c: _col(c, fid).to_pylist()
+                        for c, fid in zip(cols_l, fids_l)
+                    }
+                yield _pd.DataFrame(
+                    {
+                        f"{prefix_l}{c}": _pd.Series(
+                            _typed_list(raw[c], tag), dtype=object
+                        )
+                        for c, tag in zip(cols_l, tags)
+                    },
+                    columns=[f"{prefix_l}{c}" for c in cols_l],
+                )
+
+    keys = (
+        spark.createDataFrame(
+            [(os.path.abspath(dfile),)], "path string"
+        )
+        .mapInPandas(_decode, out_schema)
+        .distinct()
+    )
+    return _hint_eq_keys(keys, dfile, magic)
+
+
+#: broadcast an eq-delete key set only below this many records — above
+#: it the anti-join shuffles both sides on the key columns instead
+_EQ_BROADCAST_MAX_KEYS = 4_000_000
+
+
+def _eq_type_tag(t) -> str | None:
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(t, DateType):
+        return "date"
+    if isinstance(t, TimestampNTZType):
+        return "ts"
+    if isinstance(t, TimestampType):
+        return "tstz"
+    return None
+
+
+def _hint_eq_keys(keys, dfile: str, magic: bytes):
+    """Attach a broadcast hint iff the delete file's record count (from
+    container METADATA — avro block headers / ORC footer / parquet
+    footer, no data read) is small enough to replicate. Consumers join
+    the returned frame plainly; the strategy decision lives here, next
+    to the decode."""
+    from pyspark.sql import functions as F
+
+    try:
+        if magic == b"Obj\x01":
+            n = avro_lite.count_container_records(dfile)
+        elif magic[:3] == b"ORC":
+            import pyarrow.orc as _pa_orc
+
+            n = _pa_orc.ORCFile(dfile).nrows
+        else:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(dfile).metadata.num_rows
+    except Exception:
+        n = None  # unreadable metadata: err toward the shuffle join
+    if n is not None and n <= _EQ_BROADCAST_MAX_KEYS:
+        return F.broadcast(keys)
+    return keys
 
 
 def _join_out_positions(
@@ -1513,6 +1581,19 @@ def _stage_avro_data(
                 "boolean": "boolean", "string": "string",
             }
 
+            def _as_ns_unit(dtv):
+                """Pin a datetime series to ns resolution before taking
+                the int64 view: pandas 2.x may hand mapInPandas a
+                datetime64[us] series, and ``astype('int64')`` on that
+                would be off by 1000x. Out-of-ns-range values raise
+                OutOfBoundsDatetime, handing the row to the
+                unit-independent timedelta fallback (same contract as
+                before)."""
+                try:
+                    return dtv.dt.as_unit("ns")
+                except AttributeError:
+                    return dtv  # pandas<2: always ns already
+
             def _encode_columnar(g, fname):
                 """Batch encode (round 10): vectorized physical
                 conversion + numpy-scatter avro block assembly —
@@ -1533,7 +1614,7 @@ def _stage_avro_data(
                     if k == "date":
                         vals = _np.zeros(n, dtype=_np.int64)
                         if nn.any():
-                            dtv = _pd.to_datetime(s[nn])
+                            dtv = _as_ns_unit(_pd.to_datetime(s[nn]))
                             vals[nn] = (
                                 dtv.astype("int64").to_numpy()
                                 // 86_400_000_000_000
@@ -1541,7 +1622,7 @@ def _stage_avro_data(
                     elif k == "timestamp":
                         vals = _np.zeros(n, dtype=_np.int64)
                         if nn.any():
-                            dtv = _pd.to_datetime(s[nn])
+                            dtv = _as_ns_unit(_pd.to_datetime(s[nn]))
                             vals[nn] = (
                                 dtv.astype("int64").to_numpy() // 1_000
                             )
@@ -1549,8 +1630,10 @@ def _stage_avro_data(
                         # session-wall-clock -> UTC instant micros
                         vals = _np.zeros(n, dtype=_np.int64)
                         if nn.any():
-                            dtv = _pd.to_datetime(s[nn]).dt.tz_localize(
-                                sess_tz
+                            dtv = _as_ns_unit(
+                                _pd.to_datetime(s[nn]).dt.tz_localize(
+                                    sess_tz
+                                )
                             )
                             vals[nn] = (
                                 dtv.astype("int64").to_numpy() // 1_000
@@ -3608,7 +3691,7 @@ def read_iceberg(
                         lambda a, b: a & b,
                         [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
                     )
-                    g = g.join(F.broadcast(keys), cond, "left_anti")
+                    g = g.join(keys, cond, "left_anti")
                 branches.append(g)
             out = _red(lambda a, b: a.unionByName(b), branches)
             if pos:
@@ -3845,7 +3928,7 @@ def read_iceberg(
                 lambda a, b: a & b,
                 [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
             )
-            g = g.join(F.broadcast(keys), cond, "left_anti")
+            g = g.join(keys, cond, "left_anti")
         branches.append(g)
     df = reduce(lambda a, b: a.unionByName(b), branches)
     if pos:
@@ -5530,13 +5613,13 @@ def read_iceberg_cdf(
                     lambda a, b: a & b,
                     [g[c].eqNullSafe(F.col(f"_pq_{c}")) for c in pcols],
                 )
-                g = g.join(F.broadcast(pkeys), cond, "left_anti")
+                g = g.join(pkeys, cond, "left_anti")
             cond = reduce(
                 lambda a, b: a & b,
                 [g[c].eqNullSafe(F.col(f"_eq_{c}")) for c in cols],
             )
             dead_rows = (
-                g.join(F.broadcast(keys), cond, "left_semi")
+                g.join(keys, cond, "left_semi")
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
             )

@@ -25,6 +25,7 @@ batch reader handles this via field-id grouping, a file source cannot).
 
 from __future__ import annotations
 
+import json as _json
 import os
 from urllib.parse import urlparse
 
@@ -149,12 +150,26 @@ def _materialize_rowfmt(
     their rows as parquet in the spool. A zero-byte marker per SOURCE
     basename under ``<spool>/.materialized/`` is the idempotency ledger:
     re-syncs and checkpoint overlaps skip already-converted files instead
-    of duplicating rows (symlinks get this for free from lexists)."""
+    of duplicating rows (symlinks get this for free from lexists).
+
+    CRASH SAFETY (round 11): output parts land in the flat spool one
+    rename at a time, so a bare rename loop would leave a crash window
+    where some rows are live but no ``.done`` marker exists — the next
+    sync would re-materialize every todo file and DUPLICATE the already
+    landed rows. Publication is therefore two-phase: an ``_inflight.json``
+    ledger (itself published by atomic replace, and invisible to the file
+    source under the dot-dir) records the exact tmp-part -> spool-name
+    plan plus the source basenames BEFORE the first rename;
+    :func:`_recover_partial_materialization` replays an interrupted plan
+    to completion (renames are idempotent against the recorded names) and
+    only then writes the source markers, so every source file's rows land
+    exactly once no matter where the previous process died."""
     import shutil
     import uuid
 
     mark_dir = os.path.join(spool_dir, ".materialized")
     os.makedirs(mark_dir, exist_ok=True)
+    _recover_partial_materialization(spool_dir, mark_dir)
     todo = [
         e
         for e in entries
@@ -183,26 +198,72 @@ def _materialize_rowfmt(
         df = df.unionByName(p)
     tmp = os.path.join(spool_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
     df.write.parquet(tmp)
-    k = 0
-    for name in sorted(os.listdir(tmp)):
-        if not name.endswith(".parquet"):
-            continue
-        src = os.path.join(tmp, name)
-        # the 'm' segment sorts materialized output after same-sync
-        # symlinks; discovery order within a sync is not semantic
-        os.rename(
-            src, os.path.join(spool_dir, f"{cur:020d}-m{k:05d}-{name}")
+    # the 'm' segment sorts materialized output after same-sync
+    # symlinks; discovery order within a sync is not semantic
+    plan = [
+        (name, f"{cur:020d}-m{k:05d}-{name}")
+        for k, name in enumerate(
+            n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
         )
-        k += 1
+    ]
+    ledger = {
+        "tmp": os.path.basename(tmp),
+        "parts": plan,
+        "sources": [os.path.basename(e["path"]) for e in todo],
+    }
+    ledger_path = os.path.join(mark_dir, "_inflight.json")
+    ltmp = ledger_path + ".tmp"
+    with open(ltmp, "w") as fh:
+        _json.dump(ledger, fh)
+    os.replace(ltmp, ledger_path)  # publish the plan before any rename
+    for name, dest in plan:
+        os.rename(os.path.join(tmp, name), os.path.join(spool_dir, dest))
     shutil.rmtree(tmp)
-    for e in todo:
-        with open(
-            os.path.join(
-                mark_dir, os.path.basename(e["path"]) + ".done"
-            ),
-            "w",
-        ):
+    for src_name in ledger["sources"]:
+        with open(os.path.join(mark_dir, src_name + ".done"), "w"):
             pass
+    os.remove(ledger_path)
+
+
+def _recover_partial_materialization(spool_dir: str, mark_dir: str) -> None:
+    """Replay an interrupted :func:`_materialize_rowfmt` publication. If
+    an ``_inflight.json`` ledger exists, a previous process died after
+    committing to the plan: finish the remaining tmp->spool renames (each
+    is present in exactly one of the two places), write the source
+    markers, drop the ledger. Without a ledger, any ``_tmp_*`` directory
+    is pre-commit garbage whose rows never became visible — delete it and
+    let the normal todo pass redo the work."""
+    import shutil
+
+    ledger_path = os.path.join(mark_dir, "_inflight.json")
+    if not os.path.exists(ledger_path):
+        for name in os.listdir(spool_dir):
+            if name.startswith("_tmp_"):
+                shutil.rmtree(
+                    os.path.join(spool_dir, name), ignore_errors=True
+                )
+        return
+    with open(ledger_path) as fh:
+        ledger = _json.load(fh)
+    tmp = os.path.join(spool_dir, ledger["tmp"])
+    for name, dest in ledger["parts"]:
+        dpath = os.path.join(spool_dir, dest)
+        if os.path.exists(dpath):
+            continue
+        spath = os.path.join(tmp, name)
+        if not os.path.exists(spath):
+            raise RuntimeError(
+                f"{spool_dir}: in-flight materialization part {name!r} is "
+                f"missing from both the staging dir and the spool — the "
+                "spool was externally modified; rebuild it from scratch"
+            )
+        os.rename(spath, dpath)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    for src_name in ledger["sources"]:
+        with open(os.path.join(mark_dir, src_name + ".done"), "w"):
+            pass
+    os.remove(ledger_path)
 
 
 def _check_footers_match_schema(

@@ -2151,3 +2151,40 @@ def test_write_iceberg_avro_deflate_codec(spark, tmp_path):
             spark, rows, str(tmp_path / "bad"), format_version=2,
             data_codec="deflate",
         )
+
+
+def test_avro_equality_deletes_distributed_decode_and_jumbo_path(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: non-parquet equality-delete keys decode DISTRIBUTED (no
+    driver size bound) and the join strategy follows the file's record
+    count — below `_EQ_BROADCAST_MAX_KEYS` the keys carry a broadcast
+    hint; above it the SAME read stays hash-exact through an unhinted
+    (shuffle) anti-join. The threshold is lowered to force the jumbo leg
+    without a multi-GB fixture."""
+    root = str(tmp_path / "avro_eqdel_jumbo")
+    iceberg.write_iceberg(
+        spark, spark.range(50).select("id"), root, format_version=2
+    )
+    iceberg.delete_iceberg_equality(
+        spark,
+        root,
+        spark.createDataFrame([(i,) for i in range(0, 50, 7)], "id long"),
+    )
+    _transcode_eq_deletes_to_avro(root)
+    expect = [i for i in range(50) if i % 7 != 0]
+
+    # small-file leg: broadcast hint present in the optimized plan
+    plan = iceberg.read_iceberg(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == expect
+
+    # jumbo leg: force every key set over the bound; result identical,
+    # anti-join no longer broadcasts the keys
+    monkeypatch.setattr(iceberg, "_EQ_BROADCAST_MAX_KEYS", 0)
+    df = iceberg.read_iceberg(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    got = sorted(r.id for r in df.collect())
+    assert got == expect

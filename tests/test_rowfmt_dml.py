@@ -6,17 +6,19 @@ content and wedge the table). Round 10 removes the wedge at the root:
 ``_mor_data_format`` resolves the table's OWN live data-file format and
 ``_stage_data_entry`` stages the replacement files through the same
 AVRO/ORC stagers ``write_iceberg(data_format=...)`` uses — same-format
-replacements, nothing mixes. The refusal survives only for tables that
-ALREADY mix rowfmt and parquet data files.
+replacements, nothing mixes. Tables that already mix rowfmt and parquet
+stage parquet replacements, and mixed tables are first-class readers
+(one mask pipeline per format group).
 
-Also covers the two round-10 ADVICE guards:
-- write_iceberg append refuses a data_format that differs from the live
-  files' format when the snapshot carries delete files (the append twin
-  of the MoR resolver — committing would wedge reads AND compact);
-- the parquet subset of mixed-format unions (main scan, incremental
-  changes, CDF) resolves columns by FIELD ID (shared
-  ``_read_parquet_fid``), so a column renamed before the first rowfmt
-  append still reads real values from pre-rename parquet files.
+Also covers the round-10 read-side guarantee: the parquet subset of
+mixed-format unions (main scan, incremental changes, CDF) resolves
+columns by FIELD ID (shared ``_read_parquet_fid``), so a column renamed
+before the first rowfmt append still reads real values from pre-rename
+parquet files. A write-side append-format guard existed briefly during
+round 10 and was REMOVED in the same round — its premise (mixed formats
+under delete content being unreadable) died with the mixed-read fix;
+``test_mixed_format_lifecycle_with_deletes`` pins the permissive
+behavior.
 """
 
 import datetime as dt
