@@ -200,6 +200,11 @@ def _snapshot_scan_plan(
                         "path": p,
                         "seq": mseq_e,
                         "format": fmt,
+                        # v3 row lineage (spec §Row Lineage): the id of
+                        # this file's first row; None for files written
+                        # before lineage was enabled (their rows read a
+                        # null _row_id, per spec)
+                        "first_row_id": df_struct.get("first_row_id"),
                         # planning-phase skipping inputs (absent in entries
                         # from writers that don't record them — fail open)
                         "partition": df_struct.get("partition") or {},
@@ -937,6 +942,14 @@ def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dic
                 "type": ["null", {"type": "array", "items": "int"}],
             }
         )
+        # v3 row lineage (spec §Row Lineage, data_file field
+        # `first_row_id`): id assigned to the file's first row at
+        # commit; null until lineage is enabled (avro schema
+        # resolution: readers of older manifests simply never see the
+        # key, writers fill None for carried entries that predate it)
+        data_file_fields.append(
+            {"name": "first_row_id", "type": ["null", "long"]}
+        )
     entry_fields = [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
@@ -976,6 +989,92 @@ def _manifest_file_schema(fv: int) -> dict:
             {"name": "min_sequence_number", "type": "long"},
         ]
     return {"type": "record", "name": "manifest_file", "fields": fields}
+
+
+# ---------------------------------------------------------------- row lineage
+# Iceberg v3 ROW LINEAGE (spec §Row Lineage), the table-format twin of
+# Delta's row tracking (io/lakehouse _commit_row_tracked): every row gets
+# a STABLE id that survives DML rewrites. The id of a row is
+#   coalesce(materialized `_row_id` column, file.first_row_id + position)
+# and its last-modified stamp is
+#   coalesce(materialized `_last_updated_sequence_number`, file data seq).
+# Commits allocate `first_row_id` blocks to new data files from the
+# table-level `next-row-id` counter (advanced by record_count per file —
+# ids "wasted" on rows that carry a materialized value are never reused,
+# per spec); rewrites that CARRY rows (UPDATE/MERGE replacements,
+# compaction) materialize the surviving rows' ids as physical columns
+# under the spec's reserved field ids, which is what makes lineage work
+# on AVRO/ORC data files too — the rowfmt readers resolve the
+# materialized columns by field id exactly like any other column.
+# Enabled via write_iceberg(row_lineage=True) at creation or
+# enable_iceberg_row_lineage() later; files from before enablement read
+# a null _row_id (spec upgrade semantics).
+
+_ROW_ID_COL = "_row_id"
+_LAST_UPD_COL = "_last_updated_sequence_number"
+#: reserved field ids, spec §Reserved field ids (v3 additions)
+_ROW_ID_FID = 2147483540
+_LAST_UPD_FID = 2147483539
+
+
+def _lineage_field_dicts(cols: "list[str] | None" = None) -> list[dict]:
+    """Iceberg field dicts for the lineage metadata columns (optional
+    longs under reserved ids) — appended to schemas wherever the scan or
+    the DML stagers must treat them as ordinary columns."""
+    all_ = [
+        {"id": _ROW_ID_FID, "name": _ROW_ID_COL, "required": False,
+         "type": "long"},
+        {"id": _LAST_UPD_FID, "name": _LAST_UPD_COL, "required": False,
+         "type": "long"},
+    ]
+    if cols is None:
+        return all_
+    return [f for f in all_ if f["name"] in cols]
+
+
+def _lineage_enabled(meta: dict) -> bool:
+    return "next-row-id" in meta
+
+
+def _lineage_meta(meta: dict) -> dict:
+    """A shallow metadata copy whose CURRENT schema carries the lineage
+    columns — handing this to the scan legs makes field-id resolution,
+    null backfill and type decode treat `_row_id` /
+    `_last_updated_sequence_number` like any declared column (files
+    without them, or without the reserved ids, read null)."""
+    sid = meta.get("current-schema-id", 0)
+    out = dict(meta)
+    out["schemas"] = [
+        (
+            {**s, "fields": list(s.get("fields", [])) + _lineage_field_dicts()}
+            if s.get("schema-id") == sid
+            else s
+        )
+        for s in meta.get("schemas", [])
+    ]
+    if meta.get("schema"):
+        out["schema"] = {
+            **meta["schema"],
+            "fields": list(meta["schema"].get("fields", []))
+            + _lineage_field_dicts(),
+        }
+    return out
+
+
+def _assign_first_row_ids(next_rid: int, manifest_records: list[dict]) -> int:
+    """Allocate `first_row_id` blocks to ADDED data-file records that
+    don't already carry one (spec §Row Lineage assignment: the block is
+    the file's record_count; carried entries keep theirs). Mutates the
+    records in place; returns the advanced next-row-id."""
+    for m in manifest_records:
+        dfs = m.get("data_file") or {}
+        if (dfs.get("content") or 0) != 0:
+            continue
+        if dfs.get("first_row_id") is not None:
+            continue
+        dfs["first_row_id"] = next_rid
+        next_rid += int(dfs.get("record_count") or 0)
+    return next_rid
 
 
 #: iceberg primitive -> python parser for identity-partition dir values
@@ -2026,6 +2125,7 @@ def write_iceberg(
     branch: str | None = None,
     data_format: str = "parquet",
     data_codec: str = "null",
+    row_lineage: bool = False,
 ) -> int:
     """Append ``df`` to an Iceberg table at ``path`` (creating the table on
     first write), per the public spec: new parquet data files under
@@ -2089,6 +2189,11 @@ def write_iceberg(
         raise ValueError(
             "write_iceberg: data_codec applies to data_format='avro' "
             "(parquet/orc compression rides their own writers)"
+        )
+    if row_lineage and format_version < 2:
+        raise NotImplementedError(
+            "write_iceberg: row_lineage needs format_version 2 "
+            "(lineage composes with merge-on-read DML)"
         )
     pfields = [parse_partition_field(s) for s in (partition_by or [])]
     partition_by = [f["name"] for f in pfields]
@@ -2437,30 +2542,36 @@ def write_iceberg(
         for c in partition_by
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    _records = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "data_file": {
+                **({"content": 0} if format_version >= 2 else {}),
+                "file_path": f"file:{f}",
+                "file_format": data_format.upper(),
+                "partition": pvals,
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
+                **(
+                    avro_stats[f]
+                    if f in avro_stats
+                    else _file_stats_maps(f, fields)
+                ),
+            },
+        }
+        for f, rows, size, pvals in data_files
+    ]
+    _lineage = row_lineage or _lineage_enabled(prior_meta)
+    _next_rid = int(prior_meta.get("next-row-id", 0))
+    _first_rid = _next_rid
+    if _lineage:
+        _next_rid = _assign_first_row_ids(_next_rid, _records)
     avro_lite.write_container(
         manifest,
         _manifest_entry_schema(format_version, partition_fields),
-        [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
-                    **({"content": 0} if format_version >= 2 else {}),
-                    "file_path": f"file:{f}",
-                    "file_format": data_format.upper(),
-                    "partition": pvals,
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    **({"block_size_in_bytes": 1 << 26} if format_version == 1 else {}),
-                    **(
-                        avro_stats[f]
-                        if f in avro_stats
-                        else _file_stats_maps(f, fields)
-                    ),
-                },
-            }
-            for f, rows, size, pvals in data_files
-        ],
+        _records,
     )
 
     # 3. manifest list: BASE snapshot's manifests + the new one — the
@@ -2518,6 +2629,8 @@ def write_iceberg(
         # spec's string-map) — e.g. a streaming sink's (app, batch) stamp
         "summary": {"operation": "append", **(summary_props or {})},
         "schema-id": 0,
+        # v3 row lineage: the snapshot's first assigned row id
+        **({"first-row-id": _first_rid} if _lineage else {}),
     }
     if format_version >= 2:
         snapshot["sequence-number"] = seq
@@ -2614,6 +2727,8 @@ def write_iceberg(
         # v1 readers may look at the legacy singular fields
         meta["schema"] = {"type": "struct", "fields": fields}
         meta["partition-spec"] = spec_fields
+    if _lineage:
+        meta["next-row-id"] = _next_rid
     new_version = prior_version + 1
     final_path = os.path.join(meta_dir, f"v{new_version}.metadata.json")
     tmp = os.path.join(meta_dir, f".v{new_version}.{uuid.uuid4().hex[:8]}.tmp")
@@ -3499,6 +3614,7 @@ def read_iceberg(
     where: str | None = None,
     with_row_identity: bool = False,
     ref: str | None = None,
+    _lineage_cols: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
@@ -3538,21 +3654,27 @@ def read_iceberg(
         snapshot_id = resolve_iceberg_ref(_load_metadata(path), ref)
     if snapshot_id is not None and as_of_ms is not None:
         raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
-    try:
-        reader = spark.read.format("iceberg")
-        if snapshot_id is not None:
-            reader = reader.option("snapshot-id", str(snapshot_id))
-        if as_of_ms is not None:
-            reader = reader.option("as-of-timestamp", str(as_of_ms))
-        native = reader.load(path)
-        if with_row_identity:
-            from pyspark.sql import functions as F
+    if not _lineage_cols:
+        # lineage scans skip the native-jar attempt: the materialized
+        # lineage columns resolve through OUR field-id machinery
+        try:
+            reader = spark.read.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
+            if as_of_ms is not None:
+                reader = reader.option("as-of-timestamp", str(as_of_ms))
+            native = reader.load(path)
+            if with_row_identity:
+                from pyspark.sql import functions as F
 
-            native = native.select("*", F.col("_metadata"))
-        return native.filter(where) if where else native
-    except Exception as exc:
-        if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
-            raise
+                native = native.select("*", F.col("_metadata"))
+            return native.filter(where) if where else native
+        except Exception as exc:
+            if (
+                "DATA_SOURCE_NOT_FOUND" not in str(exc)
+                and "Failed to find" not in str(exc)
+            ):
+                raise
     if snapshot_id is not None or as_of_ms is not None:
         meta = _load_metadata(path)
         if as_of_ms is not None:
@@ -3576,6 +3698,11 @@ def read_iceberg(
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
             raise ValueError(f"{path}: table has no current snapshot")
+    if _lineage_cols:
+        # lineage columns become declared columns for THIS scan: field-id
+        # resolution surfaces materialized values, every other file reads
+        # null (the read twin of the DML materialization)
+        meta = _lineage_meta(meta)
     data, deletes = _snapshot_scan_plan(meta, snapshot_id, path)
     if where:
         # scan-planning DATA SKIPPING: manifest partition tuples + column
@@ -3939,6 +4066,115 @@ def read_iceberg(
     return df.filter(where) if where else df
 
 
+def enable_iceberg_row_lineage(path: str) -> int:
+    """Turn on ROW LINEAGE for an existing v2 table (spec §Row Lineage —
+    the v3 feature, implemented here over v2 metadata): stamps
+    ``next-row-id`` so every subsequent commit allocates stable row-id
+    blocks to its new data files. Rows in files written BEFORE enabling
+    read a null ``_row_id`` until a rewrite (compact_iceberg) assigns
+    them ids — the spec's upgrade semantics; enabling at creation
+    (``write_iceberg(row_lineage=True)``) gives every row an id from the
+    start. Returns the new metadata version."""
+    meta = _load_metadata(path)
+    if meta.get("format-version", 1) < 2:
+        raise NotImplementedError(
+            f"{path}: row lineage needs format-version 2"
+        )
+    if _lineage_enabled(meta):
+        head = (
+            os.path.basename(latest_metadata_path(path))
+            .split(".metadata.json")[0]
+            .lstrip("v")
+            .split("-")[0]
+        )
+        return int(head) if head.isdigit() else 0
+    meta["next-row-id"] = 0
+    return _swap_metadata(path, meta)
+
+
+def read_iceberg_row_ids(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    keep_identity: bool = False,
+) -> DataFrame:
+    """The delete-masked scan plus the two ROW-LINEAGE metadata columns
+    (spec §Row Lineage; the Iceberg twin of
+    ``lakehouse.read_delta_row_ids``):
+
+    - ``_row_id``: coalesce(materialized column, file.first_row_id +
+      position) — stable across UPDATE/MERGE/compaction because rewrites
+      MATERIALIZE surviving ids; null for rows in files from before
+      lineage was enabled.
+    - ``_last_updated_sequence_number``: coalesce(materialized column,
+      file's data sequence number) — the commit that last touched the
+      row.
+
+    Works on parquet, AVRO and ORC data files alike: the materialized
+    columns carry the spec's reserved field ids and resolve through the
+    same field-id machinery as user columns. The per-file
+    (first_row_id, seq) map is driver-built O(#files) — the same
+    planning metadata every scan walks — and broadcast-joined on the
+    row's file identity, so the data path stays fully distributed.
+    ``keep_identity`` retains the ``_metadata`` struct for callers that
+    also need (file, position) identity."""
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(path)
+    if not _lineage_enabled(meta):
+        raise ValueError(
+            f"{path}: row lineage is not enabled — "
+            "write_iceberg(row_lineage=True) at creation or "
+            "enable_iceberg_row_lineage(path) first"
+        )
+    df = read_iceberg(
+        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms,
+        with_row_identity=True, _lineage_cols=True,
+    )
+    sid = snapshot_id
+    if sid is None and as_of_ms is None:
+        sid = meta.get("current-snapshot-id")
+    elif sid is None:
+        log = meta.get("snapshot-log") or []
+        eligible = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+        if not eligible:
+            raise ValueError(f"{path}: no snapshot at or before {as_of_ms}")
+        sid = max(eligible, key=lambda e: e["timestamp-ms"])["snapshot-id"]
+    plan, _dels = _snapshot_scan_plan(meta, sid, path)
+    mapping = [
+        (
+            "file:" + os.path.abspath(_localize_decoded(d["path"], path)),
+            d.get("first_row_id"),
+            int(d["seq"]),
+        )
+        for d in plan
+    ]
+    m = spark.createDataFrame(
+        mapping, "_l_fp string, _l_first long, _l_seq long"
+    )
+    out = (
+        df.join(
+            F.broadcast(m),
+            _decoded_meta_path([p for p, _f, _s in mapping])
+            == F.col("_l_fp"),
+            "left",
+        )
+        .withColumn(
+            _ROW_ID_COL,
+            F.coalesce(
+                F.col(_ROW_ID_COL),
+                F.col("_l_first") + F.col("_metadata.row_index"),
+            ),
+        )
+        .withColumn(
+            _LAST_UPD_COL, F.coalesce(F.col(_LAST_UPD_COL), F.col("_l_seq"))
+        )
+        .drop("_l_fp", "_l_first", "_l_seq")
+    )
+    return out if keep_identity else out.drop("_metadata")
+
+
 def _commit_delete_snapshot(
     path: str,
     prior_meta: dict,
@@ -3972,6 +4208,22 @@ def _commit_delete_snapshot(
         else [del_entry] if del_entry is not None
         else []
     )
+    # row lineage: a staged data entry carries the advanced next-row-id
+    # (ids were assigned when its manifest was written); the commit
+    # advances the table counter atomically with the snapshot
+    _next_rid = None
+    for e in new_entries:
+        v = e.pop("_fsml_next_row_id", None)
+        if v is not None:
+            if _next_rid is not None:
+                # two data manifests staged off the same base counter
+                # would hold OVERLAPPING id blocks — every commit shape
+                # stages at most one (update/merge/overwrite-where)
+                raise RuntimeError(
+                    f"{path}: multiple data manifests carry row-id "
+                    "assignments in one commit — staging bug"
+                )
+            _next_rid = v
     if new_entries or replace:
         # replace=True: the manifest list holds ONLY the new entries —
         # the full-overwrite / compaction shape; prior snapshots still
@@ -4005,8 +4257,15 @@ def _commit_delete_snapshot(
         "summary": {"operation": operation, **(summary_props or {})},
         "schema-id": prior_meta.get("current-schema-id", 0),
         "sequence-number": seq,
+        **(
+            {"first-row-id": int(prior_meta.get("next-row-id", 0))}
+            if _lineage_enabled(prior_meta)
+            else {}
+        ),
     }
     meta = dict(prior_meta)
+    if _next_rid is not None:
+        meta["next-row-id"] = _next_rid
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snap_id
     meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
@@ -4266,6 +4525,16 @@ def _stage_data_entry(
     from pyspark.sql import functions as F
 
     cur_schema = _current_schema(prior_meta)
+    # row lineage: replacement rows may carry materialized `_row_id` /
+    # `_last_updated_sequence_number` — staged as ordinary nullable longs
+    # under the spec's reserved field ids, in EVERY data format (the
+    # read side resolves them by field id like any other column)
+    _lin_present = [
+        f for f in _lineage_field_dicts()
+        if f["name"] in rows.columns
+    ]
+    staged_fields = list(cur_schema.get("fields", [])) + _lin_present
+    cur_schema = {**cur_schema, "fields": staged_fields}
     names = [f["name"] for f in cur_schema.get("fields", [])]
     fid_by_name = {
         f["name"]: f["id"] for f in cur_schema["fields"] if "id" in f
@@ -4415,29 +4684,33 @@ def _stage_data_entry(
         for c in pfields_parsed
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    _records = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file:{f}",
+                "file_format": data_format.upper(),
+                "partition": pvals,
+                "record_count": rows_n,
+                "file_size_in_bytes": size,
+                **(
+                    rowfmt_stats[f]
+                    if f in rowfmt_stats
+                    else _file_stats_maps(f, cur_schema["fields"])
+                ),
+            },
+        }
+        for f, rows_n, size, pvals in data_files
+    ]
+    _next_rid = None
+    if _lineage_enabled(prior_meta):
+        _next_rid = _assign_first_row_ids(
+            int(prior_meta.get("next-row-id", 0)), _records
+        )
     avro_lite.write_container(
-        manifest,
-        _manifest_entry_schema(2, partition_fields),
-        [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"file:{f}",
-                    "file_format": data_format.upper(),
-                    "partition": pvals,
-                    "record_count": rows_n,
-                    "file_size_in_bytes": size,
-                    **(
-                        rowfmt_stats[f]
-                        if f in rowfmt_stats
-                        else _file_stats_maps(f, cur_schema["fields"])
-                    ),
-                },
-            }
-            for f, rows_n, size, pvals in data_files
-        ],
+        manifest, _manifest_entry_schema(2, partition_fields), _records
     )
     return {
         "manifest_path": f"file:{manifest}",
@@ -4447,6 +4720,10 @@ def _stage_data_entry(
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
+        # consumed (and stripped) by _commit_delete_snapshot — the
+        # commit must advance the table-level next-row-id atomically
+        # with the snapshot that references these assignments
+        **({"_fsml_next_row_id": _next_rid} if _next_rid is not None else {}),
     }
 
 
@@ -4547,8 +4824,18 @@ def update_iceberg(
     declared_types = {f.name: f.dataType for f in declared.fields}
     pred = where or "true"
 
+    _lineage = _lineage_enabled(prior_meta)
     matched = (
-        read_iceberg(spark, path, with_row_identity=True)
+        (
+            # lineage tables: the matched rows' CURRENT ids ride along so
+            # the replacement files can materialize them (id stability
+            # through UPDATE — spec §Row Lineage; the updated rows' new
+            # _last_updated_sequence_number is the replacement file's own
+            # seq, so it inherits un-materialized)
+            read_iceberg_row_ids(spark, path, keep_identity=True)
+            if _lineage
+            else read_iceberg(spark, path, with_row_identity=True)
+        )
         .where(pred)
         .withColumn("_fp", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
@@ -4600,7 +4887,7 @@ def update_iceberg(
         #    moves the row to its new partition
         updated = matched.withColumns(
             {c: F.expr(e).cast(declared_types[c]) for c, e in set.items()}
-        ).select(*names)
+        ).select(*names, *([_ROW_ID_COL] if _lineage else []))
         data_entry = _stage_data_entry(
             path, prior_meta, updated, snap_id, seq, data_format=_dml_fmt
         )
@@ -4981,11 +5268,32 @@ def merge_iceberg(
                 "MERGE cardinality check); de-duplicate the source first"
             )
         src_keys = key_counts.select(*keys)
+        _lineage = _lineage_enabled(prior_meta)
         target = (
-            read_iceberg(spark, path, with_row_identity=True)
+            (
+                # lineage tables: matched target ids ride along so the
+                # replacement rows keep their identity (spec §Row
+                # Lineage preservation through MERGE)
+                read_iceberg_row_ids(spark, path, keep_identity=True)
+                if _lineage
+                else read_iceberg(spark, path, with_row_identity=True)
+            )
             .withColumn("_fp", F.col("_metadata.file_path"))
             .withColumn("_ri", F.col("_metadata.row_index").cast("long"))
         )
+
+        def _carry_ids(adds, matched_target):
+            """LEFT-join the matched target rows' ids onto the
+            replacement rows by key: a matched source row keeps the
+            target row's `_row_id` (min over duplicate target keys —
+            deterministic), an unmatched insert gets null and draws a
+            fresh id from its file's first_row_id block."""
+            if not _lineage or adds is None:
+                return adds
+            tgt_ids = matched_target.groupBy(*keys).agg(
+                F.min(F.col(_ROW_ID_COL)).alias(_ROW_ID_COL)
+            )
+            return adds.join(tgt_ids, on=list(keys), how="left")
         if when_matched == "delete":
             dead = target.join(src_keys, on=list(keys), how="left_semi")
             adds_df = None
@@ -5016,14 +5324,21 @@ def merge_iceberg(
                 "inner",
             )
             matched_keys = dead.select(*keys).distinct()
-            adds_df = pairs.select(*proj).unionByName(
-                source.select(*names).join(
-                    matched_keys, on=list(keys), how="left_anti"
-                )
+            if _lineage:
+                # partial update pairs each matched target row with its
+                # source — identity carries PER ROW, not per key
+                proj.append(F.col(f"t.{_ROW_ID_COL}").alias(_ROW_ID_COL))
+            inserts = source.select(*names).join(
+                matched_keys, on=list(keys), how="left_anti"
             )
+            if _lineage:
+                inserts = inserts.withColumn(
+                    _ROW_ID_COL, F.lit(None).cast("long")
+                )
+            adds_df = pairs.select(*proj).unionByName(inserts)
         elif newer_wins_col is None:
             dead = target.join(src_keys, on=list(keys), how="left_semi")
-            adds_df = source.select(*names)
+            adds_df = _carry_ids(source.select(*names), dead)
         else:
             # strictly-newer wins, one winner per key (ties keep target):
             # matched target rows ∪ source rows through a per-key window —
@@ -5047,9 +5362,12 @@ def merge_iceberg(
             )
             ranked = cand.withColumn("_rn", F.row_number().over(w)).persist()
             dead = ranked.where((F.col("_rn") > 1) & (F.col("_src") == 0))
-            adds_df = ranked.where(
-                (F.col("_rn") == 1) & (F.col("_src") == 1)
-            ).select(*names)
+            adds_df = _carry_ids(
+                ranked.where(
+                    (F.col("_rn") == 1) & (F.col("_src") == 1)
+                ).select(*names),
+                matched_tgt,
+            )
         if not_matched_by_source == "delete":
             # third clause: UNMATCHED target rows satisfying the condition
             # join the position-delete mask (and are never re-added) — in
@@ -5193,7 +5511,16 @@ def compact_iceberg(
     )
     part_cols = [f["name"] for f in spec.get("fields") or []]
 
-    live = read_iceberg(spark, path)  # delete-masked scan
+    _lineage = _lineage_enabled(prior_meta)
+    live = (
+        # lineage tables: compaction MATERIALIZES every surviving row's
+        # id AND last-updated sequence into the rewritten files (the
+        # new files get a new seq, so inheriting would falsely stamp
+        # every row as touched by the compaction — spec §Row Lineage)
+        read_iceberg_row_ids(spark, path)
+        if _lineage
+        else read_iceberg(spark, path)  # delete-masked scan
+    )
     data_files_meta = _snapshot_content(prior_meta, cur, path)[0]
     total = sum(os.path.getsize(f) for f in data_files_meta if os.path.exists(f))
     n_out = max(1, -(-total // target_file_bytes))
@@ -5318,28 +5645,34 @@ def compact_iceberg(
         for c in part_cols
     ]
     manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    _records = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                **({"content": 0} if fv >= 2 else {}),
+                "file_path": f"file:{f}",
+                "file_format": "PARQUET",
+                "partition": pvals,
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                **({"block_size_in_bytes": 1 << 26} if fv == 1 else {}),
+                # compacted files get FRESH stats — tighter bounds than
+                # any of the inputs they merged
+                **_file_stats_maps(f, schema.get("fields", [])),
+            },
+        }
+        for f, rows, size, pvals in new_files
+    ]
+    _next_rid = int(prior_meta.get("next-row-id", 0))
+    _first_rid = _next_rid
+    if _lineage:
+        # fresh blocks for the rewritten files; every surviving row
+        # carries a MATERIALIZED id that wins over the block, exactly as
+        # the spec prescribes for rewrites
+        _next_rid = _assign_first_row_ids(_next_rid, _records)
     avro_lite.write_container(
-        manifest,
-        _manifest_entry_schema(fv, partition_fields),
-        [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    **({"content": 0} if fv >= 2 else {}),
-                    "file_path": f"file:{f}",
-                    "file_format": "PARQUET",
-                    "partition": pvals,
-                    "record_count": rows,
-                    "file_size_in_bytes": size,
-                    **({"block_size_in_bytes": 1 << 26} if fv == 1 else {}),
-                    # compacted files get FRESH stats — tighter bounds than
-                    # any of the inputs they merged
-                    **_file_stats_maps(f, schema.get("fields", [])),
-                },
-            }
-            for f, rows, size, pvals in new_files
-        ],
+        manifest, _manifest_entry_schema(fv, partition_fields), _records
     )
     # manifest list holds ONLY the rewrite manifest — the replacement
     mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
@@ -5362,10 +5695,13 @@ def compact_iceberg(
         "manifest-list": f"file:{mlist}",
         "summary": {"operation": "replace"},
         "schema-id": prior_meta.get("current-schema-id", 0),
+        **({"first-row-id": _first_rid} if _lineage else {}),
     }
     if fv >= 2:
         snapshot["sequence-number"] = seq
     meta = dict(prior_meta)
+    if _lineage:
+        meta["next-row-id"] = _next_rid
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snap_id
     meta["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
@@ -6439,6 +6775,10 @@ def _read_avro_data(
                         out[n] = raw[n]
                     elif n in backfill:
                         out[n] = backfill[n]
+                    elif n in ("_row_id", "_last_updated_sequence_number"):
+                        # reserved lineage columns can never have been
+                        # renamed — absence simply means not materialized
+                        out[n] = None
                     else:
                         raise ValueError(
                             f"{p}: declared column {n!r} absent from an "
@@ -6581,6 +6921,10 @@ def _read_orc_data(
                         out[n] = raw[n]
                     elif n in backfill:
                         out[n] = _bf_typed(n, backfill[n])
+                    elif n in ("_row_id", "_last_updated_sequence_number"):
+                        # reserved lineage columns can never have been
+                        # renamed — absence simply means not materialized
+                        out[n] = None
                     else:
                         raise ValueError(
                             f"{p}: declared column {n!r} absent from an "

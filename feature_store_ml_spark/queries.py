@@ -4032,6 +4032,105 @@ def e1_delta_row_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_row_lineage",
+    """
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 2000),
+         ins  AS (SELECT o_orderkey FROM orders
+                  WHERE o_orderkey > 2000 AND o_orderkey <= 2400),
+         del  AS (SELECT o_orderkey FROM base WHERE o_orderkey % 3 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM del)
+              + (SELECT COUNT(*) FROM ins) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM base) - (SELECT COUNT(*) FROM del)
+              + (SELECT COUNT(*) FROM ins) AS BIGINT) AS n_distinct_ids,
+           CAST((SELECT COUNT(*) FROM base)
+              - (SELECT COUNT(*) FROM del) AS BIGINT) AS n_stable,
+           CAST((SELECT COUNT(*) FROM base
+                 WHERE o_orderkey % 5 = 1 AND o_orderkey % 3 <> 0)
+                AS BIGINT) AS n_updated,
+           CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_inserted
+    """,
+)
+def e1_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG ROW LINEAGE through merge-on-read DML on an AVRO table
+    (round 11 — io/iceberg read_iceberg_row_ids / _assign_first_row_ids
+    / the _stage_data_entry lineage materialization; Iceberg spec §Row
+    Lineage, the v3 feature, over this module's v2 tables — the Iceberg
+    twin of e1_delta_row_dml and the closure of the round-10 "row
+    tracking on rowfmt tables" refusal). Lifecycle on AVRO data files:
+    create with lineage, MERGE an upsert batch (price bump for every 5th
+    key + brand-new keys — the replacement files MATERIALIZE surviving
+    ids as reserved-field-id columns IN AVRO), then a keyed MERGE-delete
+    of every 3rd key. The final snapshot joins the pre-merge snapshot ON
+    _row_id:
+
+    - n_stable: surviving pre-merge ids still mapping to the same key —
+      UPDATED ROWS INCLUDED (a delete+reinsert implementation zeroes it);
+    - n_updated: stable rows whose _last_updated_sequence_number moved
+      to the merge commit (kept neighbors keep their original seq);
+    - n_inserted: final ids with no pre-merge match (fresh blocks above
+      next-row-id);
+    - n_rows == n_distinct_ids: no id collisions across assignment +
+      materialization.
+
+    The oracle restates every count from bare orders arithmetic. Scale
+    shape: the id computation is a per-file broadcast map join
+    (O(#files) driver metadata — the same planning walk every scan
+    does); the lineage join is one shuffle on _row_id, bounded by the
+    subset size."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    t = f"{tempfile.gettempdir()}/fsml_ice_row_lineage"
+    shutil.rmtree(t, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    base = o.where("o_orderkey <= 2000").select(*cols)
+    s0 = iceberg.write_iceberg(
+        spark, base, t, format_version=2, row_lineage=True,
+        data_format="avro",
+    )
+    upd = base.where("o_orderkey % 5 = 1").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100000.0)
+    )
+    ins = o.where("o_orderkey > 2000 AND o_orderkey <= 2400").select(*cols)
+    iceberg.merge_iceberg(spark, upd.unionByName(ins), t, keys=["o_orderkey"])
+    merge_seq = iceberg._load_metadata(t)["last-sequence-number"]
+    iceberg.merge_iceberg(
+        spark,
+        base.where("o_orderkey % 3 = 0").select("o_orderkey"),
+        t,
+        keys=["o_orderkey"],
+        when_matched="delete",
+    )
+    pre = iceberg.read_iceberg_row_ids(spark, t, snapshot_id=s0).select(
+        F.col("_row_id").alias("_rid0"), F.col("o_orderkey").alias("_k0")
+    )
+    fin = iceberg.read_iceberg_row_ids(spark, t)
+    stable = F.col("_k0") == F.col("o_orderkey")
+    return fin.join(
+        pre, fin["_row_id"] == pre["_rid0"], "left"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_distinct_ids"),
+        F.sum(F.when(stable, 1).otherwise(0)).cast("long").alias("n_stable"),
+        F.sum(
+            F.when(
+                stable
+                & (F.col("_last_updated_sequence_number") == F.lit(merge_seq)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("_k0").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+    )
+
+
+@register(
     "e1_delta_merge_set",
     """
     SELECT o_orderstatus, COUNT(*) AS n,
@@ -6261,19 +6360,30 @@ def e13_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT o_orderkey, 'delete' AS _change_type, 2 AS _change_ord
     FROM orders WHERE o_totalprice > 400000.0
+    UNION ALL
+    SELECT o_orderkey, 'insert' AS _change_type, 2 AS _change_ord
+    FROM orders WHERE o_totalprice > 400000.0
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 3 AS _change_ord
+    FROM orders WHERE o_orderkey % 7 = 3
     """,
 )
 def e13_stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING change feed for ICEBERG
+    """STREAMING change feed for ICEBERG over AVRO data files
     (streaming/iceberg_source.stream_iceberg_cdf — the online twin of
-    read_iceberg_cdf and the Iceberg twin of e13_stream_delta_cdf):
-    create from pre-1997 orders (genesis, excluded via since=s0), append
-    the rest (zero-copy insert tail), then a position-delete mutation
-    whose row diff the spool MATERIALIZES once — consumed as one real
+    read_iceberg_cdf and the Iceberg twin of e13_stream_delta_cdf;
+    round 11 widens it to the full mutation matrix the Delta twin
+    covers): create from pre-1997 orders as an AVRO table (genesis,
+    excluded via since=s0), append the rest (the spool's rowfmt leg
+    materializes AVRO appends once, through the format-aware reader),
+    then an UPDATE commit (position delete + same-format replacement
+    files in ONE snapshot — its diff is delete+insert per touched row)
+    and an EQUALITY-delete commit (the Flink-CDC shape; strictly-older
+    scoping kills original AND replacement rows) — consumed as one real
     Structured Streaming query. Snapshot ids are not stable constants,
     so the commit dimension is surfaced as the DENSE RANK of
-    _commit_snapshot_id (1 = the append, 2 = the delete); the oracle
-    computes both sets from the source parquet."""
+    _commit_snapshot_id (1 = append, 2 = update, 3 = eq-delete); the
+    oracle restates all four change sets from the source parquet."""
     import shutil
     import tempfile
 
@@ -6293,6 +6403,7 @@ def e13_stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate"),
         path,
         format_version=2,
+        data_format="avro",
     )
     iceberg.write_iceberg(
         spark,
@@ -6300,8 +6411,16 @@ def e13_stream_iceberg_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate"),
         path,
         format_version=2,
+        data_format="avro",
     )
-    iceberg.delete_iceberg(spark, path, "o_totalprice > 400000.0")
+    iceberg.update_iceberg(
+        spark, path, {"o_totalprice": "o_totalprice + 1.0"},
+        where="o_totalprice > 400000.0",
+    )
+    iceberg.delete_iceberg_equality(
+        spark, path,
+        o.where("o_orderkey % 7 = 3").select("o_orderkey").distinct(),
+    )
     stream, _ = iceberg_source.stream_iceberg_cdf(
         spark, path, spool, since_snapshot_id=s0
     )
@@ -7229,7 +7348,12 @@ _FINAL_ORDER = [
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
-    "e1_delta_row_dml",         # round 7: DML materializes ids (invariant)
+    "e1_iceberg_row_lineage",   # round 11: Iceberg v3-model row lineage
+                                # through MoR DML on AVRO data files —
+                                # displaces e1_delta_row_dml (driver-green
+                                # r7-r10; the row-identity DML contract
+                                # stays in-window through this query and
+                                # e1_delta_row_tracking)
     "e1_metadata_tables",       # round 7: $partitions/file views vs data
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_iceberg_wap",        # round 7: branch write + fast-forward publish
@@ -7238,7 +7362,11 @@ _FINAL_ORDER = [
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e11_bm25_search",       # round 7: Okapi BM25 top-k, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
-    "e13_stream_from_delta_partitioned",
+    "e13_stream_iceberg_cdf",   # round 11: full mutation matrix over AVRO
+                                # (update + equality-delete commits) —
+                                # displaces e13_stream_from_delta_partitioned
+                                # (driver-green r7-r10; the lakehouse CDF
+                                # tail family stays in-window through this)
     "e9_dedup_canonical",
     # -- round-5 rotation (VERDICT r4 item 6): queries whose last hard
     #    driver verification is stale (rotated out in r4, or never in a
@@ -7464,7 +7592,9 @@ _FINAL_ORDER = [
     "e13_stream_upsert",  # round 5: streaming upsert end-state vs max-ts oracle
     "e13_stream_from_iceberg",  # round 6: iceberg tail twin (delta twin in-window)
     "e13_stream_delta_cdf",     # round 6: streaming change feed vs batch oracle
-    "e13_stream_iceberg_cdf",   # round 6 cont.: the Iceberg CDF tail twin
+    "e13_stream_from_delta_partitioned",  # rotated out r11 (green r7-r10)
+    "e1_delta_row_dml",         # rotated out r11 (green r7-r10); round 7:
+                                # DML materializes ids (invariant oracle)
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",
@@ -7534,7 +7664,7 @@ def _apply_final_order() -> None:
     # in round 8 (6 new oracle-backed queries entered the window
     # displacing 6 multi-round-green ones; e1_iceberg_rewrite_manifests
     # and e1_iceberg_merge_sync are tail-registered)
-    assert n_oracle_tail <= 102, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 104, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
