@@ -11,18 +11,29 @@ snapshot is resolved from the PUBLIC table spec
     each manifest               -> data_file entries + status (Avro)
 
 Avro parsing is `avro_lite` (driver-side, metadata-sized — the identical
-material every Iceberg reader's planning phase parses). The surviving data
-files are parquet and are scanned with the normal DISTRIBUTED reader, so
-pushdown/pruning/codegen all apply; identity-partition source columns are
-physically present in Iceberg data files (unlike Hive/Delta layouts), so
-no path-based schema reconstruction is needed.
-
-Merge-on-read is fully supported for v2: POSITION deletes
+material every Iceberg reader's planning phase parses). Data files in
+ALL THREE spec formats — parquet, AVRO and ORC, mixed freely within one
+table — scan DISTRIBUTED (parquet natively with pushdown/pruning/codegen;
+AVRO/ORC through mapInPandas container readers with field-id resolution),
+and every DML/maintenance verb works across them: merge-on-read UPDATE/
+MERGE/overwrite-where stage same-format replacements, POSITION deletes
 (delete_iceberg) and sequence-scoped EQUALITY deletes
-(delete_iceberg_equality) are both read-masked and writable. Fail-loud
-limits: format-version ≤ 2, parquet data files only. Time travel reads
+(delete_iceberg_equality) read-mask and write in any format (equality-
+delete keys decode DISTRIBUTED, no driver size bound), row lineage
+(spec §Row Lineage, the v3 model) assigns and preserves stable row ids
+through rewrites in every format. Identity-partition source columns are
+physically present in Iceberg data files (unlike Hive/Delta layouts), so
+no path-based schema reconstruction is needed; files that omit them
+(conversions) backfill from manifest partition tuples. Time travel reads
 any RETAINED snapshot (by id or as-of timestamp via the snapshot-log);
 expired history fails loudly.
+
+Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
+loud refusals", kept honest by tests/test_header_drift.py): metadata
+format-version ≤ 2 (row lineage is the one v3 feature, implemented as a
+documented extension over v2); write_iceberg(branch='main') and schema
+evolution through a side branch; zoneless wall-clock ORC files declared
+timestamptz.
 """
 
 from __future__ import annotations

@@ -16,14 +16,21 @@ pruning and partition pruning all still apply — the fallback only resolves
 WHICH files are live; the scan itself is a first-class parquet scan.
 
 The fallback reader supports time travel (version + timestamp), deletion
-vectors, column mapping (name mode), CHECK constraints, checkpoints (a
-checkpoint is itself parquet holding the reconciled action state, parsed
-driver-side with pyarrow, then later JSON commits are replayed on top),
-change feeds, and per-file stats-based data skipping (io/skipping.py).
-Remaining fail-loud gaps: column-mapping ID mode, column mapping on
-partitioned tables, v2Checkpoints, non-Hive partition layouts — each
-raises via the protocol guard or an explicit NotImplementedError rather
-than returning wrong rows.
+vectors, column mapping (BOTH name and ID mode, partitioned included),
+CHECK constraints, checkpoints (classic AND v2Checkpoints — a checkpoint
+is itself parquet holding the reconciled action state, parsed driver-side
+with pyarrow, then later JSON commits are replayed on top), change feeds,
+non-Hive partition layouts (add-action partitionValues are authoritative),
+row tracking, identity columns, type widening, constraints, clones, and
+per-file stats-based data skipping (io/skipping.py).
+
+Remaining fail-loud refusals (each raises via the protocol guard or an
+explicit NotImplementedError rather than returning wrong rows; the
+canonical inventory lives in STATUS.md "Remaining loud refusals" and
+tests/test_header_drift.py keeps this header honest): byte/short ->
+decimal type widening; MERGE on IDENTITY key columns / SET on an
+identity column; row tracking or identity columns combined with column
+mapping; writer features beyond the supported protocol versions.
 """
 
 from __future__ import annotations
