@@ -263,53 +263,230 @@ def ivf_topk(
     n_probe. Complements LSH: IVF wins on clustered corpora, LSH on
     uniform ones.
     """
+    assigned, centers_df = _ivf_fit_assign(corpus, id_col, vec_col, n_clusters, seed)
+    assigned = assigned.cache()
+    probes = _ivf_probes(queries, centers_df, id_col, vec_col, n_probe)
+    out = _ivf_score_topk(assigned, probes, k, round_scale)
+    return autorelease(out, assigned)
+
+
+def _ivf_fit_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF coarse-quantizer fit: returns (assigned, centers_df) where
+    ``assigned`` is (neighbor_id, c_vec, cluster) and ``centers_df`` is
+    (cluster, center array<double>). Both ``ivf_topk`` and
+    ``ivf_build_index`` ride this, so the persisted index and the ad-hoc
+    path produce identical partitionings for the same (corpus, seed)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("_fv"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_fv"),
     )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster")
     model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cluster").cache()
-
+    assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cluster")
     centers = [c.tolist() for c in model.clusterCenters()]
     centers_df = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cluster int, center array<double>"
     )
+    return assigned, centers_df
 
+
+def _ivf_probes(
+    queries: DataFrame,
+    centers_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Per-query n_probe nearest clusters: (query_id, q_vec, cluster).
+    Centroid table is broadcast (n_clusters rows — always tiny)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_probes = (
-        q.crossJoin(F.broadcast(centers_df))
-        .select(
-            "query_id",
-            "q_vec",
-            "cluster",
-            cosine(F.col("q_vec"), F.col("center")).alias("c_sim"),
-        )
+    q_probes = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "q_vec",
+        "cluster",
+        cosine(F.col("q_vec"), F.col("center")).alias("c_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cluster"))
-    probes = (
+    return (
         q_probes.withColumn("pr", F.row_number().over(w))
         .where(F.col("pr") <= n_probe)
         .select("query_id", "q_vec", "cluster")
     )
+
+
+def _ivf_score_topk(
+    assigned: DataFrame, probes: DataFrame, k: int, round_scale: int
+) -> DataFrame:
     scored = (
         assigned.join(F.broadcast(probes), "cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias("cos_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias(
+                "cos_sim"
+            ),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    out = scored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
-    return autorelease(out, assigned)
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Build and PERSIST an IVF index so similarity serving survives
+    restarts — the E10 twin of ``dedup.minhash_lsh_incremental``'s index
+    contract (build once, query many, append without refit). Layout under
+    ``index_path``:
+
+    - ``centroids/``    n_clusters rows (cluster, center) — broadcast-sized,
+                        read once per query batch;
+    - ``assignments/``  the inverted lists: (neighbor_id, c_vec) PARTITIONED
+                        BY cluster in Hive layout, so a probe of p clusters
+                        is a STATICALLY PRUNED scan reading ~p/n_clusters of
+                        the corpus bytes — at 100 TB this pruning, not the
+                        join, is the whole economics of IVF;
+    - ``_ivf_meta.json`` contract stamp (id/vec column names, n_clusters,
+                        seed, dim) checked at query/append time so an index
+                        built under one geometry cannot silently serve
+                        another.
+
+    Returns the meta dict. Rebuild (same path) overwrites atomically-enough
+    for a single writer: meta is written LAST, so a torn build fails loud at
+    query time (missing meta) rather than serving half an index."""
+    import json
+    import os
+
+    assigned, centers_df = _ivf_fit_assign(corpus, id_col, vec_col, n_clusters, seed)
+    dim_row = corpus.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()  # metadata-sized: one row, one int
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    centers_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids")
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(index_path, "assignments")
+    )
+    meta = {
+        "format": "fsml-ivf-v1",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_clusters": n_clusters,
+        "seed": seed,
+        "dim": dim,
+    }
+    with open(os.path.join(index_path, "_ivf_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _ivf_load_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    mp = os.path.join(index_path, "_ivf_meta.json")
+    if not os.path.exists(mp):
+        raise ValueError(
+            f"{index_path}: no _ivf_meta.json — not an IVF index (or a torn "
+            "build; meta is written last). Rebuild with ivf_build_index."
+        )
+    with open(mp) as fh:
+        meta = json.load(fh)
+    if meta.get("format") != "fsml-ivf-v1":
+        raise ValueError(f"{index_path}: unknown IVF index format {meta.get('format')!r}")
+    return meta
+
+
+def ivf_append_index(
+    new_corpus: DataFrame,
+    index_path: str,
+) -> int:
+    """Append new vectors to a persisted IVF index WITHOUT refitting: each
+    new vector is assigned to its nearest EXISTING centroid (broadcast
+    n_clusters comparisons — no shuffle beyond the partitioned write) and
+    appended to that cluster's inverted list. Centroids drift as data
+    grows — rebuild when recall degrades; appends keep serving correct
+    (every vector lands in the list its probe will scan) at O(new rows)
+    cost. Returns the number of appended rows."""
+    import os
+
+    meta = _ivf_load_meta(index_path)
+    spark = new_corpus.sparkSession
+    centers_df = spark.read.parquet(os.path.join(index_path, "centroids"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    nearest = _ivf_probes(new_corpus, centers_df, id_col, vec_col, n_probe=1).select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("q_vec").alias("c_vec"),
+        "cluster",
+    )
+    n = nearest.count()
+    nearest.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(index_path, "assignments")
+    )
+    return n
+
+
+def ivf_query_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index (see ivf_build_index). The probe set's
+    distinct cluster ids (≤ n_clusters — metadata-sized by construction) are
+    collected and pushed as a PARTITION FILTER on the assignments scan, so
+    the parquet source lists and reads only the probed clusters' directories
+    — the explain shows PartitionFilters, not a full-corpus scan. Scoring is
+    then the same broadcast-probes join as ``ivf_topk``.
+
+    Column names default to the ones stamped at build time; passing
+    different ones is an error-by-construction the meta check surfaces."""
+    import os
+
+    meta = _ivf_load_meta(index_path)
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
+        raise ValueError(
+            f"{index_path}: index was built over ({meta['id_col']}, "
+            f"{meta['vec_col']}), queried with ({id_col}, {vec_col})"
+        )
+    centers_df = spark.read.parquet(os.path.join(index_path, "centroids"))
+    probes = _ivf_probes(queries, centers_df, id_col, vec_col, n_probe).cache()
+    # bounded collect: ≤ n_clusters ints (index geometry, not data scale)
+    probe_clusters = [
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    ]
+    assigned = spark.read.parquet(os.path.join(index_path, "assignments")).where(
+        F.col("cluster").isin(probe_clusters)
+    )
+    out = _ivf_score_topk(assigned, probes, k, round_scale)
+    return autorelease(out, probes)
 
 
 def quantize_int8(
