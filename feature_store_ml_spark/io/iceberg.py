@@ -3626,6 +3626,7 @@ def read_iceberg(
     with_row_identity: bool = False,
     ref: str | None = None,
     _lineage_cols: bool = False,
+    _only_paths: "set[str] | None" = None,
 ) -> DataFrame:
     """Read an Iceberg table: native `format("iceberg")` when a runtime jar
     is on the classpath, else the pure-python metadata walk + distributed
@@ -3665,9 +3666,11 @@ def read_iceberg(
         snapshot_id = resolve_iceberg_ref(_load_metadata(path), ref)
     if snapshot_id is not None and as_of_ms is not None:
         raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
-    if not _lineage_cols:
+    if not _lineage_cols and _only_paths is None:
         # lineage scans skip the native-jar attempt: the materialized
-        # lineage columns resolve through OUR field-id machinery
+        # lineage columns resolve through OUR field-id machinery;
+        # subset scans (_only_paths — incremental compaction's selected
+        # set) have no native equivalent either
         try:
             reader = spark.read.format("iceberg")
             if snapshot_id is not None:
@@ -3715,6 +3718,22 @@ def read_iceberg(
         # null (the read twin of the DML materialization)
         meta = _lineage_meta(meta)
     data, deletes = _snapshot_scan_plan(meta, snapshot_id, path)
+    if _only_paths is not None:
+        # SUBSET scan (incremental compaction): plan only the named data
+        # files; delete masks still apply in full, so the rows produced
+        # are exactly the live rows of those files
+        data = [d for d in data if d["path"] in _only_paths]
+        if not data:
+            empty_schema = _declared_spark_schema(meta)
+            if empty_schema is not None:
+                from pyspark.sql.types import LongType, StringType
+
+                if _lineage_cols:
+                    empty_schema = empty_schema.add(
+                        "_row_id", LongType()
+                    ).add("_last_updated_sequence_number", LongType())
+                return spark.createDataFrame([], empty_schema)
+            raise ValueError(f"{path}: _only_paths matched no data files")
     if where:
         # scan-planning DATA SKIPPING: manifest partition tuples + column
         # bounds prune files before any data IO; the predicate is also
@@ -4109,6 +4128,7 @@ def read_iceberg_row_ids(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     keep_identity: bool = False,
+    _only_paths: "set[str] | None" = None,
 ) -> DataFrame:
     """The delete-masked scan plus the two ROW-LINEAGE metadata columns
     (spec §Row Lineage; the Iceberg twin of
@@ -4141,7 +4161,7 @@ def read_iceberg_row_ids(
         )
     df = read_iceberg(
         spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms,
-        with_row_identity=True, _lineage_cols=True,
+        with_row_identity=True, _lineage_cols=True, _only_paths=_only_paths,
     )
     sid = snapshot_id
     if sid is None and as_of_ms is None:
@@ -5480,81 +5500,32 @@ def write_iceberg_batch(
     )
 
 
-def compact_iceberg(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
-) -> int:
-    """REWRITE the current snapshot into clean, right-sized data files —
-    Iceberg's rewrite_data_files maintenance action: merges small
-    append files AND physically applies accumulated position/equality
-    deletes (the new files carry the masked scan's rows, no delete
-    manifests survive). Pair with expire_iceberg_snapshots to actually
-    drop the replaced files; without this, a merge-on-read table's scan
-    cost grows with every delete forever.
-
-    The new snapshot's manifest REPLACES all priors (operation
-    'replace'); readers before/after see identical rows. Unpartitioned
-    rewrite (partitioned tables keep their declared layout via a
-    partition-preserving rewrite). Returns the new snapshot id.
-    """
-    import time as _time
+def _stage_rewrite_files(
+    live,
+    prior_meta: dict,
+    path: str,
+    staging: str,
+    n_out: int,
+    spec: dict,
+    sort_override: "list[str] | None" = None,
+) -> tuple[list[tuple[str, int, int, dict]], dict[str, str]]:
+    """Shared data-file staging for snapshot rewrites (full and
+    incremental compaction): write ``live`` into right-sized parquet
+    files preserving the table's declared partition layout (each
+    transform value RE-DERIVED from its source column) and sort order,
+    rename into ``data/``, and return (``[(final_path, rows, size,
+    partition_tuple)]``, partition result types by name)."""
+    import shutil
     import uuid
+    from urllib.parse import unquote
 
     import pyarrow.parquet as pq
 
-    if not is_iceberg_table(path):
-        raise ValueError(f"{path}: not an Iceberg table")
-    mp = latest_metadata_path(path)
-    with open(mp) as fh:
-        prior_meta = json.load(fh)
-    fv = prior_meta.get("format-version", 1)
-    cur = prior_meta.get("current-snapshot-id")
-    if cur in (None, -1):
-        raise ValueError(f"{path}: table has no current snapshot")
-    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
-    prior_version = int(head) if head.isdigit() else 0
-    spec = next(
-        (
-            s
-            for s in prior_meta.get("partition-specs") or []
-            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
-        ),
-        {"fields": []},
-    )
-    part_cols = [f["name"] for f in spec.get("fields") or []]
-
-    _lineage = _lineage_enabled(prior_meta)
-    live = (
-        # lineage tables: compaction MATERIALIZES every surviving row's
-        # id AND last-updated sequence into the rewritten files (the
-        # new files get a new seq, so inheriting would falsely stamp
-        # every row as touched by the compaction — spec §Row Lineage)
-        read_iceberg_row_ids(spark, path)
-        if _lineage
-        else read_iceberg(spark, path)  # delete-masked scan
-    )
-    data_files_meta = _snapshot_content(prior_meta, cur, path)[0]
-    total = sum(os.path.getsize(f) for f in data_files_meta if os.path.exists(f))
-    n_out = max(1, -(-total // target_file_bytes))
-
-    data_dir = os.path.join(path, "data")
-    meta_dir = os.path.join(path, "metadata")
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    now_ms = int(_time.time() * 1000)
-    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
-    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
-
-    import shutil
-    from urllib.parse import unquote
-
-    from pyspark.sql import functions as F
-
-    sid = prior_meta.get("current-schema-id", 0)
-    schema = next(
-        (s for s in prior_meta.get("schemas", []) if s.get("schema-id") == sid),
-        prior_meta.get("schema") or {},
-    )
+    schema = _current_schema(prior_meta)
     type_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
     fid_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    part_cols = [f["name"] for f in spec.get("fields") or []]
+    data_dir = os.path.join(path, "data")
     # reconstruct the spec's transform fields and RE-DERIVE each partition
     # value from its source column (identity, time transforms, bucket,
     # truncate) — the rewrite must preserve the declared layout exactly
@@ -5575,12 +5546,17 @@ def compact_iceberg(
     # rewrite_data_files contract): compaction restores clustering that
     # merge-on-read mutations eroded, so per-file bounds stay prunable
     sort_cols: list[str] = []
+    if sort_override:
+        # caller-directed reclustering (incremental compaction's
+        # cluster_by): range-cluster the rewritten subset on these
+        # columns instead of the declared order
+        sort_cols = [c for c in sort_override if c in live.columns]
     _orders = prior_meta.get("sort-orders") or []
     _dsid = prior_meta.get("default-sort-order-id", 0)
     _cur_order = next(
         (o for o in _orders if o.get("order-id") == _dsid), None
     )
-    if _cur_order and _cur_order.get("fields"):
+    if not sort_cols and _cur_order and _cur_order.get("fields"):
         _id_to_name = _field_id_map(prior_meta)
         sort_cols = [
             c
@@ -5650,6 +5626,76 @@ def compact_iceberg(
                 )
             )
     shutil.rmtree(staging)
+    return new_files, part_types
+
+
+def compact_iceberg(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """REWRITE the current snapshot into clean, right-sized data files —
+    Iceberg's rewrite_data_files maintenance action: merges small
+    append files AND physically applies accumulated position/equality
+    deletes (the new files carry the masked scan's rows, no delete
+    manifests survive). Pair with expire_iceberg_snapshots to actually
+    drop the replaced files; without this, a merge-on-read table's scan
+    cost grows with every delete forever.
+
+    The new snapshot's manifest REPLACES all priors (operation
+    'replace'); readers before/after see identical rows. Unpartitioned
+    rewrite (partitioned tables keep their declared layout via a
+    partition-preserving rewrite). Returns the new snapshot id.
+    """
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    mp = latest_metadata_path(path)
+    with open(mp) as fh:
+        prior_meta = json.load(fh)
+    fv = prior_meta.get("format-version", 1)
+    cur = prior_meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    head = os.path.basename(mp).split(".metadata.json")[0].lstrip("v").split("-")[0]
+    prior_version = int(head) if head.isdigit() else 0
+    spec = next(
+        (
+            s
+            for s in prior_meta.get("partition-specs") or []
+            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    part_cols = [f["name"] for f in spec.get("fields") or []]
+
+    _lineage = _lineage_enabled(prior_meta)
+    live = (
+        # lineage tables: compaction MATERIALIZES every surviving row's
+        # id AND last-updated sequence into the rewritten files (the
+        # new files get a new seq, so inheriting would falsely stamp
+        # every row as touched by the compaction — spec §Row Lineage)
+        read_iceberg_row_ids(spark, path)
+        if _lineage
+        else read_iceberg(spark, path)  # delete-masked scan
+    )
+    data_files_meta = _snapshot_content(prior_meta, cur, path)[0]
+    total = sum(os.path.getsize(f) for f in data_files_meta if os.path.exists(f))
+    n_out = max(1, -(-total // target_file_bytes))
+
+    data_dir = os.path.join(path, "data")
+    meta_dir = os.path.join(path, "metadata")
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    now_ms = int(_time.time() * 1000)
+    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+
+    new_files, part_types = _stage_rewrite_files(
+        live, prior_meta, path, staging, n_out, spec
+    )
+    schema = _current_schema(prior_meta)
 
     partition_fields = [
         {"name": c, "type": ["null", _avro_partition_type(part_types[c])]}
@@ -5750,6 +5796,298 @@ def compact_iceberg(
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(new_version))
     return snap_id
+
+
+def compact_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: "list[str] | None" = None,
+    min_group: int = 2,
+    purge_deletes: bool = False,
+) -> dict:
+    """INCREMENTAL rewrite_data_files (round 11, VERDICT r10 item 6) —
+    the Iceberg twin of ``lakehouse.compact_delta_incremental``: rewrite
+    only the files the selection policy targets instead of
+    ``compact_iceberg``'s whole-snapshot rewrite, so maintenance cost is
+    O(touched files). Untouched files' manifest entries are CARRIED
+    verbatim (status EXISTING with explicit per-entry sequence numbers —
+    the same honesty contract as ``rewrite_manifests_iceberg``), so
+    delete scoping over kept files is unchanged.
+
+    Selection per partition tuple (operators/layout.
+    select_files_for_compaction): small files with a merge partner and —
+    when ``cluster_by`` is given — interval-graph components of files
+    whose manifest lower/upper bounds on ``cluster_by[0]`` overlap. The
+    rewritten subset is range-clustered on ``cluster_by``, restoring
+    disjoint bounds so the manifest pruner can skip again.
+
+    Delete files: by default they are carried forward untouched — the
+    rewritten files take the new snapshot's sequence number, above every
+    existing delete, and their rows were materialized through the masked
+    scan, so semantics are exact. With ``purge_deletes=True`` every data
+    file any live delete could apply to (sequence scoping) is ALSO
+    selected, and the delete manifests are dropped from the new snapshot
+    — the incremental twin of compact_iceberg's fold-in.
+
+    Replacement files are written as PARQUET regardless of source format
+    (mixed-format tables are first-class readers here). Returns
+    ``{"snapshot_id", "rewritten", "added", "kept", "reasons",
+    "deletes_purged"}``; ``snapshot_id`` None = nothing selected, no
+    commit."""
+    import time as _time
+    import uuid
+
+    from ..operators.layout import select_files_for_compaction
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    prior_meta = _load_metadata(path)
+    fv = prior_meta.get("format-version", 1)
+    cur = prior_meta.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise ValueError(f"{path}: table has no current snapshot")
+    data, deletes = _snapshot_scan_plan(prior_meta, cur, path)
+
+    fields = _current_schema(prior_meta).get("fields", [])
+    fid_by_name = {f["name"]: f["id"] for f in fields}
+    ice_type = {f["name"]: f["type"] for f in fields}
+    ckey_fid = ckey_type = None
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in fid_by_name]
+        if missing:
+            raise ValueError(f"{path}: cluster_by columns not in schema: {missing}")
+        ckey_fid = fid_by_name[cluster_by[0]]
+        ckey_type = ice_type[cluster_by[0]]
+
+    def _kv(entry_list):
+        return {kv["key"]: kv["value"] for kv in (entry_list or [])}
+
+    def _bound(d: dict, which: str):
+        if ckey_fid is None:
+            return None
+        v = _decode_bound(_kv(d.get(which)).get(ckey_fid), ckey_type)
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+
+    def _applies(d: dict, f: dict) -> bool:
+        return f["seq"] <= d["seq"] if d["kind"] == "pos" else f["seq"] < d["seq"]
+
+    groups: dict[str, list[dict]] = {}
+    for f in data:
+        groups.setdefault(
+            json.dumps(f.get("partition") or {}, sort_keys=True, default=str), []
+        ).append(f)
+    selected: set[str] = set()
+    reasons: dict[str, str] = {}
+    for members in groups.values():
+        infos = [
+            {
+                "name": f["path"],
+                "size": (
+                    os.path.getsize(f["path"]) if os.path.exists(f["path"]) else 0
+                ),
+                "has_deletes": purge_deletes
+                and any(_applies(d, f) for d in deletes),
+                "min": _bound(f, "lower_bounds"),
+                "max": _bound(f, "upper_bounds"),
+            }
+            for f in members
+        ]
+        sel, why = select_files_for_compaction(infos, small_file_bytes, min_group)
+        selected.update(sel)
+        reasons.update(why)
+    if not selected:
+        return {
+            "snapshot_id": None,
+            "rewritten": [],
+            "added": [],
+            "kept": len(data),
+            "reasons": {},
+            "deletes_purged": 0,
+        }
+
+    _lineage = _lineage_enabled(prior_meta)
+    live = (
+        read_iceberg_row_ids(spark, path, _only_paths=selected)
+        if _lineage
+        else read_iceberg(spark, path, _only_paths=selected)
+    )
+    total = sum(os.path.getsize(p) for p in selected if os.path.exists(p))
+    n_out = max(1, -(-total // target_file_bytes))
+    spec = next(
+        (
+            s
+            for s in prior_meta.get("partition-specs") or []
+            if s.get("spec-id") == prior_meta.get("default-spec-id", 0)
+        ),
+        {"fields": []},
+    )
+    meta_dir = os.path.join(path, "metadata")
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    now_ms = int(_time.time() * 1000)
+    snap_id = max(s["snapshot-id"] for s in prior_meta.get("snapshots", [])) + 1
+    seq = (prior_meta.get("last-sequence-number", 0) or 0) + 1
+    new_files, part_types = _stage_rewrite_files(
+        live, prior_meta, path, staging, n_out, spec, sort_override=cluster_by
+    )
+    schema = _current_schema(prior_meta)
+    part_cols = [f["name"] for f in spec.get("fields") or []]
+    partition_fields = [
+        {"name": c, "type": ["null", _avro_partition_type(part_types[c])]}
+        for c in part_cols
+    ]
+    added_manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    added_records = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                **({"content": 0} if fv >= 2 else {}),
+                "file_path": f"file:{f}",
+                "file_format": "PARQUET",
+                "partition": pvals,
+                "record_count": rows,
+                "file_size_in_bytes": size,
+                **({"block_size_in_bytes": 1 << 26} if fv == 1 else {}),
+                **_file_stats_maps(f, schema.get("fields", [])),
+            },
+        }
+        for f, rows, size, pvals in new_files
+    ]
+    _next_rid = int(prior_meta.get("next-row-id", 0))
+    _first_rid = _next_rid
+    if _lineage:
+        _next_rid = _assign_first_row_ids(_next_rid, added_records)
+    avro_lite.write_container(
+        added_manifest, _manifest_entry_schema(fv, partition_fields), added_records
+    )
+    mf_schema = _manifest_file_schema(fv)
+    keep_fields = {f["name"] for f in mf_schema["fields"]}
+    new_ml: list[dict] = [
+        {
+            "manifest_path": f"file:{added_manifest}",
+            "manifest_length": os.path.getsize(added_manifest),
+            "partition_spec_id": prior_meta.get("default-spec-id", 0),
+            "added_snapshot_id": snap_id,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+        }
+    ]
+    # carry every kept data entry (status EXISTING, explicit seq — same
+    # contract as rewrite_manifests_iceberg) and drop replaced ones
+    prior_snap = next(
+        s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
+    )
+    ml_entries = avro_lite.read_container(_localize(prior_snap["manifest-list"], path))
+    kept_entries: list[dict] = []
+    min_kept_seq = None
+    for e in ml_entries:
+        if (e.get("content", 0) or 0) != 0:
+            continue
+        mseq = int(e.get("sequence_number") or 0)
+        for m in avro_lite.read_container(_localize(e["manifest_path"], path)):
+            if m.get("status") == _STATUS_DELETED:
+                continue
+            p = _localize(m["data_file"]["file_path"], path)
+            if p in selected:
+                continue
+            _eseq = m.get("sequence_number")
+            eseq = int(_eseq) if _eseq is not None else mseq
+            min_kept_seq = eseq if min_kept_seq is None else min(min_kept_seq, eseq)
+            kept_entries.append(
+                {
+                    "status": 0,
+                    "snapshot_id": m.get("snapshot_id") or cur,
+                    **({"sequence_number": eseq} if fv >= 2 else {}),
+                    # data_file carried VERBATIM — bounds, counts,
+                    # partition tuple, format AND first_row_id (lineage
+                    # blocks of kept files must not move)
+                    "data_file": m["data_file"],
+                }
+            )
+    if kept_entries:
+        kept_manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+        avro_lite.write_container(
+            kept_manifest, _manifest_entry_schema(fv, partition_fields), kept_entries
+        )
+        new_ml.append(
+            {
+                "manifest_path": f"file:{kept_manifest}",
+                "manifest_length": os.path.getsize(kept_manifest),
+                "partition_spec_id": prior_meta.get("default-spec-id", 0),
+                "added_snapshot_id": snap_id,
+                "content": 0,
+                "sequence_number": min_kept_seq or seq,
+                "min_sequence_number": min_kept_seq or seq,
+            }
+        )
+    deletes_purged = 0
+    if purge_deletes:
+        deletes_purged = sum(
+            1 for e in ml_entries if (e.get("content", 0) or 0) == 1
+        )
+    else:
+        # delete manifests ride forward verbatim: kept files keep their
+        # masks; rewritten files carry the new (higher) sequence, above
+        # every existing delete's scope
+        new_ml.extend(e for e in ml_entries if (e.get("content", 0) or 0) == 1)
+    mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    avro_lite.write_container(
+        mlist, mf_schema, [{k: e.get(k, 0) for k in keep_fields} for e in new_ml]
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": cur,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file:{mlist}",
+        "summary": {
+            "operation": "replace",
+            "incremental": "true",
+            "rewritten-data-files": str(len(selected)),
+            "kept-data-files": str(len(kept_entries)),
+            **({"removed-delete-manifests": str(deletes_purged)}
+               if deletes_purged else {}),
+        },
+        "schema-id": prior_meta.get("current-schema-id", 0),
+        **({"first-row-id": _first_rid} if _lineage else {}),
+    }
+    if fv >= 2:
+        snapshot["sequence-number"] = seq
+    meta2 = dict(prior_meta)
+    if _lineage:
+        meta2["next-row-id"] = _next_rid
+    meta2["last-updated-ms"] = now_ms
+    meta2["current-snapshot-id"] = snap_id
+    meta2["snapshots"] = list(prior_meta.get("snapshots", [])) + [snapshot]
+    if fv >= 2:
+        meta2["last-sequence-number"] = seq
+    meta2["snapshot-log"] = list(prior_meta.get("snapshot-log", [])) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+    ]
+    # pure rearrangement preserves content, so NDV statistics ride
+    # forward — but only when no delete content was in play (same
+    # conservative rule as compact_iceberg)
+    if not deletes:
+        carried_stats = [
+            {**e, "snapshot-id": snap_id}
+            for e in prior_meta.get("statistics") or []
+            if e.get("snapshot-id") == cur
+        ]
+        if carried_stats:
+            meta2["statistics"] = (
+                list(prior_meta.get("statistics") or []) + carried_stats
+            )
+    _swap_metadata(path, meta2)
+    return {
+        "snapshot_id": snap_id,
+        "rewritten": sorted(selected),
+        "added": [f for f, _r, _s, _p in new_files],
+        "kept": len(kept_entries),
+        "reasons": reasons,
+        "deletes_purged": deletes_purged,
+    }
 
 
 def read_iceberg_cdf(

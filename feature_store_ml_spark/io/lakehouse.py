@@ -1763,6 +1763,172 @@ def compact_delta(
     return _uniform_sync(spark, path, meta, _commit(path, actions))
 
 
+def compact_delta_incremental(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: list[str] | None = None,
+    min_group: int = 2,
+) -> dict:
+    """INCREMENTAL OPTIMIZE (round 11, VERDICT r10 item 6): rewrite only
+    the files a maintenance pass should touch — liquid-clustering-style
+    file selection instead of ``compact_delta``'s whole-snapshot rewrite,
+    so the cost of keeping a 100 TB table healthy is O(touched files),
+    not O(table).
+
+    Selection per partition (operators/layout.select_files_for_compaction):
+    DV'd files (purge), small files with a merge partner, and — when
+    ``cluster_by`` is given — interval-graph components of files whose
+    min/max bounds on ``cluster_by[0]`` overlap (their stats shadow each
+    other, so the clustering key prunes nothing until they are rewritten
+    disjoint). Selected rows are re-clustered along the Morton curve over
+    ``cluster_by`` within their partitions; unselected files are NOT read,
+    NOT rewritten, and keep their add actions untouched.
+
+    Commit shape is OPTIMIZE's: remove(selected) + add(new) with
+    ``dataChange: false``. Returns ``{"version", "rewritten", "added",
+    "kept"}`` — ``rewritten``/``added`` are table-relative paths,
+    ``kept`` the untouched live-file count (the O(touched) proof the
+    tests pin)."""
+    import time as _time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.layout import select_files_for_compaction, zorder_key
+
+    adds_map, meta = _replay_log_adds(path)
+    _proto = _check_write_allowed(path, meta, "optimize")
+    part_cols = meta.get("partitionColumns") or []
+    if not adds_map:
+        raise ValueError(f"{path}: nothing to compact (empty snapshot)")
+
+    stat_col = None
+    if cluster_by:
+        mapping = _column_mapping(meta) if meta.get("schemaString") else None
+        stat_col = (mapping or {}).get(cluster_by[0], cluster_by[0])
+
+    def _bound(rel: str, which: str):
+        stats = adds_map[rel].get("stats")
+        if not stats or stat_col is None:
+            return None
+        v = (json.loads(stats).get(which) or {}).get(stat_col)
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in adds_map.items():
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(rel)
+    selected: list[str] = []
+    reasons: dict[str, str] = {}
+    for rels in groups.values():
+        infos = [
+            {
+                "name": rel,
+                "size": int(adds_map[rel].get("size") or 0),
+                "has_deletes": bool(adds_map[rel].get("deletionVector")),
+                "min": _bound(rel, "minValues"),
+                "max": _bound(rel, "maxValues"),
+            }
+            for rel in rels
+        ]
+        sel, why = select_files_for_compaction(infos, small_file_bytes, min_group)
+        selected.extend(sel)
+        reasons.update(why)
+    if not selected:
+        return {
+            "version": None,
+            "rewritten": [],
+            "added": [],
+            "kept": len(adds_map),
+            "reasons": {},
+        }
+
+    sel_adds = {rel: adds_map[rel] for rel in selected}
+    sel_files = [os.path.join(path, rel) for rel in selected]
+    mats = _rt_materialization(meta, path)
+    rt = mats is not None or "rowTracking" in (_proto.get("writerFeatures") or [])
+    if mats is not None:
+        mat_id, mat_ver = mats
+        live = (
+            _scan_with_row_ids(spark, path, meta, sel_adds)
+            .withColumnRenamed("row_id", mat_id)
+            .withColumnRenamed("row_commit_version", mat_ver)
+        )
+    else:
+        live = _scan_files(spark, path, sel_files, meta, sel_adds)
+
+    total = sum(int(adds_map[rel].get("size") or 0) for rel in selected)
+    n_out = max(1, -(-total // target_file_bytes))
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
+    if part_cols:
+        routed = live.repartition(n_out, *part_cols)
+        if cluster_by:
+            routed = zorder_key(routed, cluster_by)
+            routed = routed.sortWithinPartitions(*part_cols, "_zkey").drop("_zkey")
+        _m = _stage_partition_names(meta)
+        _to_physical(routed, meta).write.partitionBy(
+            *[_m.get(c, c) for c in part_cols]
+        ).parquet(staging)
+    else:
+        if cluster_by:
+            from ..operators.layout import zorder_layout
+
+            rewritten_df = zorder_layout(live, cluster_by, n_out)
+        else:
+            rewritten_df = live.coalesce(n_out)
+        _to_physical(rewritten_df, meta).write.parquet(staging)
+    now_ms = int(_time.time() * 1000)
+    adds = _promote_staged(staging, path, now_ms, data_change=False)
+    actions = (
+        [
+            {
+                "remove": {
+                    "path": rel,
+                    "dataChange": False,
+                    "deletionTimestamp": now_ms,
+                }
+            }
+            for rel in sorted(selected)
+        ]
+        + adds
+        + [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "incremental": "true",
+                        "selectedFiles": str(len(selected)),
+                        **(
+                            {"zOrderBy": json.dumps(cluster_by)}
+                            if cluster_by
+                            else {}
+                        ),
+                    },
+                }
+            }
+        ]
+    )
+    if rt:
+        version = _uniform_sync(
+            spark,
+            path,
+            meta,
+            _commit_row_tracked(path, actions, adds, "compaction"),
+        )
+    else:
+        version = _uniform_sync(spark, path, meta, _commit(path, actions))
+    return {
+        "version": version,
+        "rewritten": sorted(selected),
+        "added": [a["add"]["path"] for a in adds],
+        "kept": len(adds_map) - len(selected),
+        "reasons": reasons,
+    }
+
+
 def vacuum_delta(
     path: str, dry_run: bool = False, retention_hours: float = 0.0
 ) -> list[str]:

@@ -68,6 +68,70 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     return with_stats.select(*df.columns, _interleave(scaled, bits))
 
 
+def select_files_for_compaction(
+    files: list[dict],
+    small_file_bytes: int = 32 << 20,
+    min_group: int = 2,
+) -> tuple[list[str], dict[str, str]]:
+    """Incremental-OPTIMIZE file-selection policy (liquid-clustering-style
+    maintenance: cost O(touched files), never a whole-partition rewrite).
+    Pure metadata function shared by the Delta and Iceberg incremental
+    compactors — each ``files`` entry describes ONE data file of ONE
+    partition:
+
+        {"name": str, "size": int,
+         "has_deletes": bool,              # live DV / pos / eq content
+         "min": number|None, "max": number|None}  # clustering-key bounds
+
+    Selection rules, in priority order:
+
+    1. DELETE PURGE — a file carrying live delete content is always
+       selected (rewriting it folds the mask in and retires the delete).
+    2. SMALL-FILE MERGE — files under ``small_file_bytes`` are selected
+       when at least ``min_group`` of them exist in the partition; a lone
+       small file stays (rewriting it alone buys nothing).
+    3. OVERLAP-BOUND RECLUSTER — when clustering bounds are present,
+       files whose [min, max] intervals intersect form interval-graph
+       components; every component of ≥2 files is selected (their ranges
+       shadow each other, so predicates on the clustering key cannot
+       prune any of them — rewriting the component restores disjoint
+       bounds). Files without bounds never join a component.
+
+    Returns (selected names sorted, name -> reason). Callers group files
+    per partition BEFORE calling — files never merge across partitions.
+    """
+    reasons: dict[str, str] = {}
+    for f in files:
+        if f.get("has_deletes"):
+            reasons[f["name"]] = "delete-purge"
+    small = [
+        f["name"]
+        for f in files
+        if f["size"] < small_file_bytes and f["name"] not in reasons
+    ]
+    n_small_total = sum(1 for f in files if f["size"] < small_file_bytes)
+    if n_small_total >= min_group:
+        for n in small:
+            reasons[n] = "small-file"
+    bounded = sorted(
+        (f for f in files if f.get("min") is not None and f.get("max") is not None),
+        key=lambda f: (f["min"], f["max"], f["name"]),
+    )
+    comp: list[dict] = []
+    comp_max = None
+    for f in bounded + [None]:
+        if f is not None and comp and f["min"] <= comp_max:
+            comp.append(f)
+            comp_max = max(comp_max, f["max"])
+            continue
+        if len(comp) >= 2:
+            for m in comp:
+                reasons.setdefault(m["name"], "overlap")
+        comp = [f] if f is not None else []
+        comp_max = f["max"] if f is not None else None
+    return sorted(reasons), reasons
+
+
 def zorder_layout(
     df: DataFrame, cols: list[str], n_partitions: int, bits: int = 12
 ) -> DataFrame:
