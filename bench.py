@@ -126,6 +126,16 @@ HEADLINE = [
     # (spool materialization)
     "e1_iceberg_rowfmt_dml",
     "e13_stream_iceberg_avro",
+    # round-11 joiners (first pins in BASELINE.md round-11 section):
+    # Iceberg v3 row lineage through MoR DML on AVRO files, the full
+    # mutation matrix CDF stream, incremental OPTIMIZE on both formats
+    # (file-selection policy + partial rewrite), and the persisted IVF
+    # serving lifecycle (build + append + two query batches)
+    "e1_iceberg_row_lineage",
+    "e13_stream_iceberg_cdf",
+    "e1_optimize_incremental",
+    "e1_iceberg_optimize_incremental",
+    "e10_ivf_index",
 ]
 
 

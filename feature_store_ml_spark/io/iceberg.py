@@ -2783,6 +2783,78 @@ def _swap_metadata(path: str, meta: dict) -> int:
     return new_version
 
 
+def _declared_sort_cols(meta: dict) -> list[str]:
+    """Identity columns of the table's default sort order, [] when
+    unsorted — the Iceberg clustering declaration."""
+    orders = meta.get("sort-orders") or []
+    dsid = meta.get("default-sort-order-id", 0)
+    cur = next((o for o in orders if o.get("order-id") == dsid), None)
+    if not cur or not cur.get("fields"):
+        return []
+    id_to_name = _field_id_map(meta)
+    return [
+        c
+        for c in (
+            id_to_name.get(f.get("source-id"))
+            for f in cur["fields"]
+            if f.get("transform") == "identity"
+        )
+        if c
+    ]
+
+
+def set_iceberg_sort_order(path: str, cols: list[str]) -> int:
+    """ALTER TABLE ... WRITE ORDERED BY (spec §Sorting) — the Iceberg
+    twin of ``lakehouse.cluster_delta_by``: append a new sort order over
+    ``cols`` (identity, asc, nulls-first) and make it the default. ZERO
+    data rewrite — existing files keep their layout; subsequent appends
+    apply the order (write_iceberg's range-distribute + local-sort leg),
+    and ``compact_iceberg_incremental`` defaults both its overlap
+    SELECTION and its recluster layout to these columns, so plain
+    maintenance calls converge the table toward the declared clustering
+    at O(touched) cost. ``cols=[]`` is WRITE UNORDERED (points the
+    default at the empty order). Returns the new metadata version."""
+    import time as _time
+
+    if not is_iceberg_table(path):
+        raise ValueError(f"{path}: not an Iceberg table")
+    meta = _load_metadata(path)
+    orders = list(meta.get("sort-orders") or [])
+    if cols:
+        name_to_fid = {
+            f["name"]: f["id"] for f in _current_schema(meta).get("fields", [])
+        }
+        missing = [c for c in cols if c not in name_to_fid]
+        if missing:
+            raise ValueError(f"{path}: sort columns not in schema: {missing}")
+        new_id = max((o.get("order-id", 0) for o in orders), default=0) + 1
+        orders.append(
+            {
+                "order-id": new_id,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": name_to_fid[c],
+                        "direction": "asc",
+                        "null-order": "nulls-first",
+                    }
+                    for c in cols
+                ],
+            }
+        )
+    else:
+        new_id = 0
+        if not any(o.get("order-id") == 0 for o in orders):
+            orders.insert(0, {"order-id": 0, "fields": []})
+    meta2 = {
+        **meta,
+        "sort-orders": orders,
+        "default-sort-order-id": new_id,
+        "last-updated-ms": int(_time.time() * 1000),
+    }
+    return _swap_metadata(path, meta2)
+
+
 def set_iceberg_ref(
     path: str,
     name: str,
@@ -5849,6 +5921,10 @@ def compact_iceberg_incremental(
     if cur in (None, -1):
         raise ValueError(f"{path}: table has no current snapshot")
     data, deletes = _snapshot_scan_plan(prior_meta, cur, path)
+    if cluster_by is None:
+        # SORTED TABLE (set_iceberg_sort_order / sort_by at CREATE):
+        # plain maintenance calls pick up the declared clustering
+        cluster_by = _declared_sort_cols(prior_meta) or None
 
     fields = _current_schema(prior_meta).get("fields", [])
     fid_by_name = {f["name"]: f["id"] for f in fields}

@@ -1803,6 +1803,11 @@ def compact_delta_incremental(
     part_cols = meta.get("partitionColumns") or []
     if not adds_map:
         raise ValueError(f"{path}: nothing to compact (empty snapshot)")
+    if cluster_by is None:
+        # CLUSTERED TABLE (cluster_delta_by): plain OPTIMIZE calls pick
+        # up the declared clustering columns — the liquid-clustering
+        # maintenance loop needs no per-call configuration
+        cluster_by = delta_clustering_columns(path) or None
 
     stat_col = None
     if cluster_by:
@@ -1927,6 +1932,103 @@ def compact_delta_incremental(
         "kept": len(adds_map) - len(selected),
         "reasons": reasons,
     }
+
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def cluster_delta_by(spark: SparkSession, path: str, cols: list[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY — Delta's CLUSTERED TABLE declaration
+    (PROTOCOL.md §Clustered Table): record the clustering columns in the
+    ``delta.clustering`` DOMAIN METADATA (PHYSICAL names on mapped
+    tables, per spec) and declare the ``clustering`` + ``domainMetadata``
+    writer features. Per spec, writers may keep ADDING files without
+    clustering them as long as the domain survives — which it does here
+    through commits, checkpoints and log cleanup — and maintenance
+    re-clusters incrementally: ``compact_delta_incremental`` defaults its
+    ``cluster_by`` to these columns, so plain OPTIMIZE calls on a
+    clustered table target overlap-bound components and restore the
+    declared layout at O(touched) cost (the liquid-clustering loop).
+
+    ``cols=[]`` is CLUSTER BY NONE: the declaration stays, maintenance
+    stops re-clustering. Columns must exist and be numeric/temporal (the
+    Morton key is numeric — same contract as OPTIMIZE ZORDER BY).
+    Returns the committed version."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    if cols:
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(meta["schemaString"]))
+        by_name = {f.name: f.dataType.typeName() for f in declared.fields}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(f"{path}: clustering columns not in schema: {missing}")
+        bad = [
+            c for c in cols
+            if by_name[c] not in (
+                "byte", "short", "integer", "long", "float", "double",
+                "decimal", "date", "timestamp", "timestamp_ntz",
+            ) and not by_name[c].startswith("decimal")
+        ]
+        if bad:
+            raise ValueError(
+                f"{path}: clustering needs numeric/temporal columns, got "
+                f"{[(c, by_name[c]) for c in bad]}"
+            )
+    mapping = _column_mapping(meta) if meta.get("schemaString") else None
+    physical = [(mapping or {}).get(c, c) for c in cols]
+    proto = _current_protocol(path)
+    r0, w0 = _protocol_as_features(proto)
+    new_proto = {
+        "minReaderVersion": max(proto.get("minReaderVersion", 1) or 1, 1),
+        "minWriterVersion": 7,
+        **({"readerFeatures": sorted(r0)} if (proto.get("minReaderVersion", 1) or 1) >= 3 else {}),
+        "writerFeatures": sorted(w0 | {"clustering", "domainMetadata"}),
+    }
+    now_ms = int(_time.time() * 1000)
+    return _commit(
+        path,
+        [
+            {"protocol": new_proto},
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in physical]}
+                    ),
+                    "removed": False,
+                }
+            },
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLUSTER BY",
+                    "operationParameters": {"columns": json.dumps(cols)},
+                }
+            },
+        ],
+    )
+
+
+def delta_clustering_columns(path: str) -> list[str]:
+    """The table's declared clustering columns (LOGICAL names), [] when
+    the table is not clustered (or CLUSTER BY NONE)."""
+    cfg = _domain_metadata(path).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    physical = [c[0] for c in json.loads(cfg).get("clusteringColumns") or []]
+    if not physical:
+        return []
+    _, meta = _replay_log_adds(path)
+    mapping = _column_mapping(meta) if meta.get("schemaString") else None
+    if mapping:
+        back = {p: l for l, p in mapping.items()}
+        return [back.get(p, p) for p in physical]
+    return physical
 
 
 def vacuum_delta(

@@ -399,3 +399,100 @@ def test_iceberg_incremental_preserves_row_lineage(spark, tmp_path):
         for r in iceberg.read_iceberg_row_ids(spark, path).collect()
     }
     assert ids_after == ids_before
+
+
+# ------------------------------------------------------- clustered tables
+
+
+def test_cluster_delta_by_roundtrip_and_auto_recluster(spark, tmp_path):
+    """CLUSTER BY declares the clustering domain; a plain incremental
+    OPTIMIZE then re-clusters overlap components without being told the
+    columns. CLUSTER BY NONE stops it."""
+    path = str(tmp_path / "t")
+    lakehouse.write_delta(
+        spark, _mkdf(spark, 0, 300).where("k % 2 = 0").coalesce(1), path
+    )
+    lakehouse.write_delta(
+        spark, _mkdf(spark, 0, 300).where("k % 2 = 1").coalesce(1), path
+    )
+    lakehouse.write_delta(spark, _mkdf(spark, 1000, 1100).coalesce(1), path)
+    lakehouse.cluster_delta_by(spark, path, ["k"])
+    assert lakehouse.delta_clustering_columns(path) == ["k"]
+    out = lakehouse.compact_delta_incremental(spark, path, small_file_bytes=1)
+    assert len(out["rewritten"]) == 2
+    assert set(out["reasons"].values()) == {"overlap"}
+    assert lakehouse.read_delta(spark, path).count() == 400
+    # table still reads under the clustering writer feature
+    proto = lakehouse._current_protocol(path)
+    assert "clustering" in proto["writerFeatures"]
+    # CLUSTER BY NONE: declaration survives, maintenance stops
+    lakehouse.cluster_delta_by(spark, path, [])
+    assert lakehouse.delta_clustering_columns(path) == []
+    out2 = lakehouse.compact_delta_incremental(spark, path, small_file_bytes=1)
+    assert out2["version"] is None  # nothing overlaps-selects anymore
+
+
+def test_cluster_delta_by_validation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lakehouse.write_delta(
+        spark,
+        spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("s")),
+        path,
+    )
+    with pytest.raises(ValueError, match="not in schema"):
+        lakehouse.cluster_delta_by(spark, path, ["nope"])
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        lakehouse.cluster_delta_by(spark, path, ["s"])
+
+
+def test_clustering_domain_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lakehouse.write_delta(spark, _mkdf(spark, 0, 10), path)
+    lakehouse.cluster_delta_by(spark, path, ["k"])
+    lakehouse.checkpoint_delta(path)
+    lakehouse.cleanup_delta_log(path)
+    assert lakehouse.delta_clustering_columns(path) == ["k"]
+
+
+def test_iceberg_write_ordered_by_auto_recluster(spark, tmp_path):
+    """ALTER ... WRITE ORDERED BY is zero-rewrite; plain incremental
+    maintenance then selects overlap components on the declared columns
+    and appends apply the order automatically."""
+    path = str(tmp_path / "t")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(0, 1000).where("id % 2 = 0")
+        .select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+        .coalesce(1),
+        path, format_version=2,
+    )
+    iceberg.write_iceberg(
+        spark,
+        spark.range(0, 1000).where("id % 2 = 1")
+        .select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+        .coalesce(1),
+        path, format_version=2,
+    )
+    files_before = {d["path"] for d in _iplan(path)[0]}
+    v = iceberg.set_iceberg_sort_order(path, ["k"])
+    assert v > 0
+    # zero rewrite: same files
+    assert {d["path"] for d in _iplan(path)[0]} == files_before
+    out = iceberg.compact_iceberg_incremental(spark, path, small_file_bytes=1)
+    assert len(out["rewritten"]) == 2
+    assert set(out["reasons"].values()) == {"overlap"}
+    assert iceberg.read_iceberg(spark, path).count() == 1000
+    # subsequent append applies the declared order without sort_by
+    _iwrite(spark, path, 2000, 2100)
+    assert iceberg.read_iceberg(spark, path).count() == 1100
+    # WRITE UNORDERED stops reclustering
+    iceberg.set_iceberg_sort_order(path, [])
+    out2 = iceberg.compact_iceberg_incremental(spark, path, small_file_bytes=1)
+    assert out2["snapshot_id"] is None
+
+
+def test_iceberg_sort_order_validation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _iwrite(spark, path, 0, 10)
+    with pytest.raises(ValueError, match="not in schema"):
+        iceberg.set_iceberg_sort_order(path, ["nope"])
