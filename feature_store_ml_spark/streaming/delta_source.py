@@ -79,7 +79,14 @@ def _partition_subdir(meta: dict, action_values: dict | None) -> str:
     )
 
 
-def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
+def sync_delta_spool(
+    path: str,
+    spool_dir: str,
+    since_version: int = -1,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
+    spark: "SparkSession | None" = None,
+) -> int:
     """Link data files committed to the Delta table at ``path`` after
     ``since_version`` into ``spool_dir``; return the highest version
     synced. Idempotent: link names are deterministic
@@ -87,11 +94,30 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
     re-syncing from an older version (or calling on a poll loop while a
     streaming query runs) adds exactly the new commits.
 
-    Append-only discipline (same contract as read_delta_changes):
-    a commit that removes data files with ``dataChange: true`` or attaches
-    a deletion vector makes tailing ill-defined — fail loud. Compaction
-    commits (``dataChange: false``) are invisible, as Delta's own
-    streaming source treats them with ignoreChanges unset."""
+    Append-only discipline by DEFAULT (same contract as
+    read_delta_changes): a commit that removes data files with
+    ``dataChange: true`` or attaches a deletion vector makes tailing
+    ill-defined — fail loud, exactly like Delta's own streaming source
+    with neither option set. The two public escape hatches carry
+    delta-spark's documented semantics (round 11):
+
+    - ``ignore_deletes``: commits that ONLY remove files (partition/
+      whole-file deletes) are SKIPPED — their deleted rows are simply
+      never retracted downstream, the ignoreDeletes contract.
+    - ``ignore_changes``: commits that rewrite files (UPDATE/MERGE/
+      overwrite — remove+add) RE-EMIT their added files in full, so
+      downstream must tolerate duplicates of surviving rows (the
+      ignoreChanges contract; implies ignore_deletes). An added file
+      carrying a DELETION VECTOR cannot ride the plain file source
+      (nothing would apply the mask), so its LIVE rows are MATERIALIZED
+      into the spool once — semantically identical to delta-spark, whose
+      format reader applies the DV on emit. Materialization needs
+      ``spark`` and is crash-safe: parts land under dot-temp names and a
+      ``.mat-<version>.done`` marker commits them; a re-sync after a
+      crash sweeps the orphans and redoes the version.
+
+    Compaction commits (``dataChange: false``) are invisible under every
+    setting."""
     log = lakehouse._delta_log_dir(path)
     if not lakehouse.is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
@@ -114,7 +140,8 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
         v = int(name[:20])
         if v <= since_version:
             continue
-        i = 0
+        adds: list[dict] = []
+        removed = False
         with open(os.path.join(log, name), encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -122,37 +149,105 @@ def sync_delta_spool(path: str, spool_dir: str, since_version: int = -1) -> int:
                     continue
                 action = json.loads(line)
                 if "add" in action and action["add"].get("dataChange", True):
-                    if action["add"].get("deletionVector"):
-                        raise ValueError(
-                            f"{path}: commit {v} attached a deletion "
-                            "vector — tailing an append-only stream off "
-                            "this table is ill-defined"
-                        )
-                    src = os.path.abspath(
-                        os.path.join(path, action["add"]["path"])
-                    )
-                    _probe_id_mode_file(path, meta, src)
-                    sub = _partition_subdir(
-                        meta, action["add"].get("partitionValues")
-                    )
-                    dirpath = os.path.join(spool_dir, sub) if sub else spool_dir
-                    os.makedirs(dirpath, exist_ok=True)
-                    link = os.path.join(
-                        dirpath,
-                        f"{v:020d}-{i:05d}-{os.path.basename(src)}",
-                    )
-                    if not os.path.lexists(link):
-                        os.symlink(src, link)
-                    i += 1
+                    adds.append(action["add"])
                 elif "remove" in action and action["remove"].get(
                     "dataChange", True
                 ):
-                    raise ValueError(
-                        f"{path}: commit {v} removed data files "
-                        "(overwrite/delete) — tailing an append-only "
-                        "stream off this table is ill-defined"
-                    )
+                    removed = True
+        dv_adds = [a for a in adds if a.get("deletionVector")]
+        if (removed or dv_adds) and not ignore_changes:
+            if removed and not adds and ignore_deletes:
+                continue  # delete-only commit, skipped by contract
+            if removed and not adds:
+                raise ValueError(
+                    f"{path}: commit {v} removed data files (delete) — "
+                    "tailing an append-only stream off this table is "
+                    "ill-defined; pass ignore_deletes=True to skip "
+                    "delete-only commits (their rows are never retracted)"
+                )
+            raise ValueError(
+                f"{path}: commit {v} "
+                + ("attached a deletion vector" if dv_adds
+                   else "rewrote data files (update/merge/overwrite)")
+                + " — tailing an append-only stream off this table is "
+                "ill-defined; pass ignore_changes=True to re-emit "
+                "rewritten files (downstream must tolerate duplicates)"
+            )
+        if dv_adds:
+            _materialize_dv_adds(spark, path, meta, spool_dir, v, dv_adds)
+        for i, add in enumerate(adds):
+            if add.get("deletionVector"):
+                continue  # materialized above
+            src = os.path.abspath(os.path.join(path, add["path"]))
+            _probe_id_mode_file(path, meta, src)
+            sub = _partition_subdir(meta, add.get("partitionValues"))
+            dirpath = os.path.join(spool_dir, sub) if sub else spool_dir
+            os.makedirs(dirpath, exist_ok=True)
+            link = os.path.join(
+                dirpath,
+                f"{v:020d}-{i:05d}-{os.path.basename(src)}",
+            )
+            if not os.path.lexists(link):
+                os.symlink(src, link)
     return hi
+
+
+def _materialize_dv_adds(
+    spark, path: str, meta: dict, spool_dir: str, v: int, dv_adds: list[dict]
+) -> None:
+    """Write the LIVE rows of a commit's DV-carrying added files into the
+    spool as plain parquet (physical schema, partition columns dropped —
+    they backfill from the Hive dir), once per version. Ledger: parts are
+    staged under a dot-temp dir (invisible to the file source), renamed
+    in, then the ``.mat-<v>.done`` marker commits the version; a re-sync
+    that finds no marker sweeps any orphaned ``<v>-*-m*`` parts and
+    redoes the whole version, so a crash can never double-land rows."""
+    import shutil
+    import uuid
+
+    if spark is None:
+        raise ValueError(
+            f"{path}: commit {v} needs DV materialization — pass the "
+            "SparkSession (stream_from_delta does this automatically)"
+        )
+    marker = os.path.join(spool_dir, f".mat-{v:020d}.done")
+    if os.path.exists(marker):
+        return
+    # crash recovery: orphaned parts from a sync that died before its
+    # marker landed
+    for dirpath, _dirs, names in os.walk(spool_dir):
+        for n in names:
+            if n.startswith(f"{v:020d}-") and "-m" in n and n.endswith(".parquet"):
+                os.remove(os.path.join(dirpath, n))
+    part_cols = meta.get("partitionColumns") or []
+    for i, add in enumerate(dv_adds):
+        src = os.path.abspath(os.path.join(path, add["path"]))
+        _probe_id_mode_file(path, meta, src)
+        live = lakehouse._scan_files(
+            spark, path, [src], meta, {add["path"]: add}
+        )
+        if part_cols:
+            live = live.drop(*part_cols)
+        staged = lakehouse._to_physical(live, meta).coalesce(1)
+        tmp = os.path.join(spool_dir, f".mat_tmp_{uuid.uuid4().hex[:12]}")
+        staged.write.parquet(tmp)
+        sub = _partition_subdir(meta, add.get("partitionValues"))
+        dirpath = os.path.join(spool_dir, sub) if sub else spool_dir
+        os.makedirs(dirpath, exist_ok=True)
+        j = 0
+        for n in sorted(os.listdir(tmp)):
+            if not n.endswith(".parquet") or os.path.getsize(
+                os.path.join(tmp, n)
+            ) == 0:
+                continue
+            os.rename(
+                os.path.join(tmp, n),
+                os.path.join(dirpath, f"{v:020d}-{i:05d}-m{j:05d}.parquet"),
+            )
+            j += 1
+        shutil.rmtree(tmp)
+    with open(marker, "w") as fh:
+        fh.write("done")
 
 
 def _probe_id_mode_file(path: str, meta: dict, src: str) -> None:
@@ -251,11 +346,19 @@ def stream_from_delta(
     spool_dir: str,
     since_version: int = -1,
     max_files_per_trigger: int | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
 ) -> tuple[DataFrame, int]:
     """Tail an append-only Delta table as a real Structured Streaming
     DataFrame. Returns ``(streaming_df, synced_version)`` — feed the frame
     to the watermark aggregations in streaming/events.py and checkpoint
     ``synced_version`` alongside the sink to resume the spool sync.
+
+    ``ignore_deletes`` / ``ignore_changes`` carry delta-spark's
+    documented streaming-source options (see sync_delta_spool): skip
+    delete-only commits / re-emit rewritten files (duplicates
+    downstream). For row-exact mutation consumption use
+    ``stream_delta_cdf`` instead.
 
     The schema is the TABLE's declared schema (from the log's metaData
     action), not an inference over the spool — new files appended while
@@ -265,7 +368,11 @@ def stream_from_delta(
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField
 
-    v = sync_delta_spool(path, spool_dir, since_version)
+    v = sync_delta_spool(
+        path, spool_dir, since_version,
+        ignore_deletes=ignore_deletes, ignore_changes=ignore_changes,
+        spark=spark,
+    )
     _, meta = lakehouse._replay_log(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")

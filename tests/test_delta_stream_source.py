@@ -709,3 +709,148 @@ def test_iceberg_cdf_stream_over_orc_with_update(spark, tmp_path):
         (1, "a", "delete"),
         (1, "X", "insert"),
     }
+
+
+# ------------------------------------------------ ignoreDeletes/ignoreChanges
+# (round 11: the delta-spark streaming-source options, documented
+# duplicate/no-retraction semantics; DV'd re-adds materialize live rows)
+
+
+def test_ignore_deletes_skips_delete_only_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    _append(spark, root, 0, 30)
+    _append(spark, root, 30, 40)
+    # foreign-writer partition delete: a remove-only commit
+    adds, _m = lakehouse._replay_log_adds(root)
+    victim = sorted(adds)[-1]
+    lakehouse._commit(
+        root,
+        [
+            {"remove": {"path": victim, "dataChange": True,
+                        "deletionTimestamp": 1}},
+            {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+        ],
+    )
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        delta_source.sync_delta_spool(root, spool)
+    _append(spark, root, 40, 45)
+    stream, v = delta_source.stream_from_delta(
+        spark, root, spool, ignore_deletes=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available(stream, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    # deleted rows are NEVER retracted (the documented contract): the
+    # stream emitted every appended row, including the removed file's
+    assert got == list(range(45))
+
+
+def test_ignore_changes_reemits_rewritten_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 30).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root, mode="overwrite",
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(30, 40).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root, mode="append",
+    )
+    lakehouse.update_delta(spark, root, {"v": "v + 1"}, where="id >= 35")
+    with pytest.raises(ValueError, match="ignore_changes"):
+        delta_source.sync_delta_spool(root, spool)
+    stream, _v = delta_source.stream_from_delta(
+        spark, root, spool, ignore_changes=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available(stream, out, ckpt)
+    from collections import Counter
+
+    got = Counter(r.id for r in spark.read.parquet(out).collect())
+    # rows of the rewritten file arrive twice (original emission + the
+    # rewrite re-emission) — delta-spark's ignoreChanges duplicates
+    assert all(got[i] == 1 for i in range(30))
+    assert all(got[i] == 2 for i in range(30, 40))
+
+
+def test_ignore_changes_materializes_dv_adds(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 30).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root, mode="overwrite",
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(30, 40).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root, mode="append",
+    )
+    lakehouse.delete_delta(spark, root, "id >= 38")  # DV attach on file 2
+    stream, _v = delta_source.stream_from_delta(
+        spark, root, spool, ignore_changes=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available(stream, out, ckpt)
+    from collections import Counter
+
+    got = Counter(r.id for r in spark.read.parquet(out).collect())
+    assert all(got[i] == 1 for i in range(30))
+    # live rows of the DV'd file: original link + materialized live copy
+    assert all(got[i] == 2 for i in range(30, 38))
+    # DEAD rows appear exactly once (the pre-delete link emission) and
+    # are never re-emitted by the materialization
+    assert all(got[i] == 1 for i in (38, 39))
+
+
+def test_dv_materialization_crash_recovery(spark, tmp_path):
+    """A sync that died between landing parts and writing the marker must
+    not double-land rows on the next sync."""
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    _append(spark, root, 0, 10)
+    lakehouse.delete_delta(spark, root, "id >= 8")
+    delta_source.sync_delta_spool(
+        root, spool, ignore_changes=True, spark=spark
+    )
+    markers = [n for n in os.listdir(spool) if n.startswith(".mat-")]
+    assert len(markers) == 1
+    n_parts = sum(
+        1 for n in os.listdir(spool) if "-m" in n and n.endswith(".parquet")
+    )
+    # simulate the crash: marker gone, parts (possibly partial) present
+    os.remove(os.path.join(spool, markers[0]))
+    delta_source.sync_delta_spool(
+        root, spool, ignore_changes=True, spark=spark
+    )
+    n_parts2 = sum(
+        1 for n in os.listdir(spool) if "-m" in n and n.endswith(".parquet")
+    )
+    assert n_parts2 == n_parts  # swept and redone, not doubled
+    assert os.path.exists(os.path.join(spool, markers[0]))
+
+
+def test_ignore_changes_partitioned_dv(spark, tmp_path):
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    df = spark.range(0, 40).select(
+        (F.col("id") % 2).cast("string").alias("p"), "id"
+    )
+    lakehouse.write_delta(spark, df.repartition(1), root, partition_by=["p"])
+    lakehouse.delete_delta(spark, root, "id >= 36")
+    stream, _v = delta_source.stream_from_delta(
+        spark, root, spool, ignore_changes=True
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available(stream, out, ckpt)
+    from collections import Counter
+
+    rows = spark.read.parquet(out).collect()
+    got = Counter(r.id for r in rows)
+    # partition column backfills from the Hive dir for materialized parts
+    assert all(r.p == str(r.id % 2) for r in rows)
+    assert all(got[i] == 2 for i in range(36))   # both files DV'd: re-emit
+    assert all(got[i] == 1 for i in (36, 37, 38, 39))
