@@ -291,10 +291,19 @@ def _ivf_fit_assign(
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("_fv"),
+    ).cache()  # KMeans iterates over this ~maxIter times — without the
+    #            cache every iteration re-reads the source and re-runs
+    #            the array->vector projection
+    # random init: a coarse quantizer doesn't need k-means||'s extra
+    # init passes (2+ full scans); recall is gated by the probe count,
+    # not centroid polish (pytest-held with margin)
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster",
+        initMode="random",
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster")
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cluster")
+    corpus_v.unpersist()
     centers = [c.tolist() for c in model.clusterCenters()]
     centers_df = corpus.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cluster int, center array<double>"
@@ -353,6 +362,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    files_per_cluster: int = 1,
 ) -> dict:
     """Build and PERSIST an IVF index so similarity serving survives
     restarts — the E10 twin of ``dedup.minhash_lsh_incremental``'s index
@@ -385,7 +395,16 @@ def ivf_build_index(
     centers_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_path, "centroids")
     )
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+    # route each cluster's rows to one task before the partitioned write:
+    # without this every task writes a sliver per cluster it holds
+    # (tasks x clusters tiny files). files_per_cluster=1 suits corpora up
+    # to ~task-size x n_clusters; raise it (more write tasks per cluster,
+    # salt below spreads rows) when a cluster outgrows one task
+    n_write = n_clusters * max(1, files_per_cluster)
+    routed = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(max(1, files_per_cluster)))
+    ).repartition(n_write, "cluster", "_salt").drop("_salt")
+    routed.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(index_path, "assignments")
     )
     meta = {
