@@ -275,6 +275,52 @@ def _pos_deletes_to_bitmaps(
             )
         )
         raw = fmt_raw if raw is None else raw.unionByName(fmt_raw)
+    if _by_fmt.get("puffin"):
+        # v3 DELETION VECTORS: decode each puffin blob to the referenced
+        # file's positions (round 11) — the conversion then re-encodes
+        # them as Delta DVs like any other position content
+
+        def _puffin_batches(it):
+            import os as _os
+
+            import pandas as _pd
+
+            from feature_store_ml_spark.io import puffin as _puf
+            from feature_store_ml_spark.io import roaring as _roar
+
+            for pdf in it:
+                for p in pdf["path"]:
+                    fps, poss = [], []
+                    blobs, _props = _puf.read_puffin(p)
+                    for b in blobs:
+                        if b.get("type") != _puf.BLOB_TYPE_DV:
+                            continue
+                        ref = (b.get("properties") or {}).get(
+                            "referenced-data-file"
+                        )
+                        pp = _roar.deserialize_positions(
+                            _roar.read_dv_blob(b["payload"], 0, None)
+                        )
+                        fps.extend([ref] * len(pp))
+                        poss.extend(pp)
+                    yield _pd.DataFrame(
+                        {
+                            "file_path": fps,
+                            "pos": poss,
+                            "_src": [f"file:{_os.path.abspath(p)}"]
+                            * len(fps),
+                        }
+                    )
+
+        _pf = _by_fmt["puffin"]
+        pf_raw = (
+            spark.createDataFrame([(p,) for p in _pf], "path string")
+            .repartition(min(len(_pf), 64))
+            .mapInPandas(
+                _puffin_batches, "file_path string, pos long, _src string"
+            )
+        )
+        raw = pf_raw if raw is None else raw.unionByName(pf_raw)
     src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
     distinct = [
         r["file_path"] for r in raw.select("file_path").distinct().collect()

@@ -1,4 +1,4 @@
-"""Pure-python Apache Iceberg v1/v2 metadata reader (SURVEY.md §2B E1
+"""Pure-python Apache Iceberg v1/v2/v3 metadata reader (SURVEY.md §2B E1
 stretch — the reference has no lakehouse surface; this exists for the
 100 TB north star where tables live behind a table format).
 
@@ -28,12 +28,19 @@ no path-based schema reconstruction is needed; files that omit them
 any RETAINED snapshot (by id or as-of timestamp via the snapshot-log);
 expired history fails loudly.
 
+Format-version 3 (round 11): DELETION VECTORS — row-level deletes land
+as puffin `deletion-vector-v1` blobs (Delta-framed roaring bitmaps, one
+per data file, unioned + superseded-in-same-snapshot per spec) across
+DELETE/UPDATE/MERGE/overwrite-where, with row lineage mandatory; v2
+tables keep writing position-delete files unchanged.
+
 Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
 loud refusals", kept honest by tests/test_header_drift.py): metadata
-format-version ≤ 2 (row lineage is the one v3 feature, implemented as a
-documented extension over v2); write_iceberg(branch='main') and schema
-evolution through a side branch; zoneless wall-clock ORC files declared
-timestamptz.
+format-version 4+; the v3 features outside the DV+lineage surface —
+column default values (initial-default) and v3-only types
+(timestamptz_ns/variant/geometry); write_iceberg(branch='main') and
+schema evolution through a side branch; zoneless wall-clock ORC files
+declared timestamptz.
 """
 
 from __future__ import annotations
@@ -129,8 +136,33 @@ def _load_metadata(table_root: str) -> dict:
     with open(latest_metadata_path(table_root)) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version", 1)
-    if fv > 2:
-        raise NotImplementedError(f"{table_root}: iceberg format-version {fv} > 2")
+    if fv > 3:
+        raise NotImplementedError(f"{table_root}: iceberg format-version {fv} > 3")
+    if fv == 3:
+        # v3 support (round 11): deletion vectors + row lineage + the v2
+        # surface. Guard the v3 features this reader does NOT implement,
+        # loudly, before any scan could go silently wrong:
+        # - column DEFAULT VALUES (initial-default backfills old files'
+        #   rows with a constant this reader would surface as null)
+        # - v3-only types (timestamptz_ns / variant / geometry...)
+        for s in meta.get("schemas") or ([meta["schema"]] if meta.get("schema") else []):
+            for f in s.get("fields", []):
+                if "initial-default" in f or "write-default" in f:
+                    raise NotImplementedError(
+                        f"{table_root}: v3 column default on field "
+                        f"{f.get('name')!r} — default-value backfill is "
+                        "not implemented (reads would return null where "
+                        "the spec says the default)"
+                    )
+                t = f.get("type")
+                if isinstance(t, str) and (
+                    t.endswith("_ns") or t in ("variant", "geometry", "geography", "unknown")
+                ):
+                    raise NotImplementedError(
+                        f"{table_root}: v3 type {t!r} on field "
+                        f"{f.get('name')!r} is outside this reader's "
+                        "primitive mapping"
+                    )
     return meta
 
 
@@ -170,6 +202,34 @@ def _snapshot_scan_plan(
             df_struct = m["data_file"]
             content = df_struct.get("content") or 0
             fmt = (df_struct.get("file_format") or "PARQUET").upper()
+            if fmt == "PUFFIN" and is_delete_manifest and content == 1:
+                # v3 DELETION VECTOR (spec §Position Delete Files: "v3+
+                # tables must use deletion vectors"): a puffin blob of
+                # roaring-serialized positions for ONE data file. The
+                # entry keeps kind 'pos' — every consumer funnels delete
+                # PATHS into the shared readers, which sniff the puffin
+                # magic and decode blobs to (file_path, pos) pairs.
+                deletes.append(
+                    {
+                        "path": _localize(df_struct["file_path"], table_root),
+                        "seq": (
+                            int(m["sequence_number"])
+                            if m.get("sequence_number") is not None
+                            else mseq
+                        ),
+                        "kind": "pos",
+                        "equality_ids": None,
+                        "record_count": df_struct.get("record_count"),
+                        "referenced_data_file": df_struct.get(
+                            "referenced_data_file"
+                        ),
+                        "content_offset": df_struct.get("content_offset"),
+                        "content_size_in_bytes": df_struct.get(
+                            "content_size_in_bytes"
+                        ),
+                    }
+                )
+                continue
             if fmt not in ("PARQUET", "AVRO", "ORC"):
                 # AVRO DATA files read through the shipped avro_lite
                 # container reader (round 8), ORC through pyarrow.orc
@@ -418,7 +478,9 @@ def _delete_files_by_fmt(delete_files: list[str]) -> dict[str, list[str]]:
     bytes per delete file, O(#delete files). Position deletes are
     format-agnostic in the spec: Flink's classic default emits Avro,
     Hive/Trino ORC writers emit ORC, ours are parquet."""
-    out: dict[str, list[str]] = {"parquet": [], "avro": [], "orc": []}
+    out: dict[str, list[str]] = {
+        "parquet": [], "avro": [], "orc": [], "puffin": [],
+    }
     for f in delete_files:
         with open(f, "rb") as fh:
             magic = fh.read(4)
@@ -426,6 +488,10 @@ def _delete_files_by_fmt(delete_files: list[str]) -> dict[str, list[str]]:
             out["avro"].append(f)
         elif magic[:3] == b"ORC":
             out["orc"].append(f)
+        elif magic == b"PFA1":
+            # v3 DELETION VECTORS: puffin container of per-data-file
+            # roaring bitmaps (deletion-vector-v1 blobs)
+            out["puffin"].append(f)
         else:
             out["parquet"].append(f)
     return out
@@ -495,6 +561,38 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
                     yield t.to_pandas()
 
         parts.append(_mapped(by_fmt["orc"], _orc_batches))
+    if by_fmt["puffin"]:
+
+        def _puffin_batches(it):
+            import pandas as _pd
+
+            from feature_store_ml_spark.io import puffin as _puf
+            from feature_store_ml_spark.io import roaring as _roar
+
+            for pdf in it:
+                for p in pdf["path"]:
+                    fps: list[str] = []
+                    poss: list[int] = []
+                    blobs, _props = _puf.read_puffin(p)
+                    for b in blobs:
+                        if b.get("type") != _puf.BLOB_TYPE_DV:
+                            continue
+                        ref = (b.get("properties") or {}).get(
+                            "referenced-data-file"
+                        )
+                        if not ref:
+                            raise ValueError(
+                                f"{p}: deletion-vector blob without "
+                                "referenced-data-file property"
+                            )
+                        positions = _roar.deserialize_positions(
+                            _roar.read_dv_blob(b["payload"], 0, None)
+                        )
+                        fps.extend([ref] * len(positions))
+                        poss.extend(positions)
+                    yield _pd.DataFrame({"file_path": fps, "pos": poss})
+
+        parts.append(_mapped(by_fmt["puffin"], _puffin_batches))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -747,10 +845,22 @@ def _join_out_positions(
     import pyarrow.parquet as pq
 
     _by = _delete_files_by_fmt(delete_files)
+
+    def _puffin_cardinality(f: str) -> int:
+        from . import puffin as _puf
+
+        blobs, _props = _puf.read_puffin(f)
+        return sum(
+            int((b.get("properties") or {}).get("cardinality", 0))
+            for b in blobs
+            if b.get("type") == _puf.BLOB_TYPE_DV
+        )
+
     total_rows = (
         sum(pq.ParquetFile(f).metadata.num_rows for f in _by["parquet"])
         + sum(avro_lite.count_container_records(f) for f in _by["avro"])
         + sum(_pa_orc.ORCFile(f).nrows for f in _by["orc"])
+        + sum(_puffin_cardinality(f) for f in _by["puffin"])
     )
     if total_rows <= 5_000_000:
         deleted = F.broadcast(deleted)
@@ -960,6 +1070,17 @@ def _manifest_entry_schema(fv: int, partition_fields: list | None = None) -> dic
         # key, writers fill None for carried entries that predate it)
         data_file_fields.append(
             {"name": "first_row_id", "type": ["null", "long"]}
+        )
+    if fv >= 3:
+        # v3 DELETION VECTORS (spec data_file fields 143-145): the
+        # referenced data file, and where the DV blob lives inside the
+        # puffin container; null on data files and equality deletes
+        data_file_fields.extend(
+            [
+                {"name": "referenced_data_file", "type": ["null", "string"]},
+                {"name": "content_offset", "type": ["null", "long"]},
+                {"name": "content_size_in_bytes", "type": ["null", "long"]},
+            ]
         )
     entry_fields = [
         {"name": "status", "type": "int"},
@@ -2184,8 +2305,14 @@ def write_iceberg(
 
     import pyarrow.parquet as pq
 
-    if format_version not in (1, 2):
-        raise ValueError(f"write_iceberg: format_version must be 1|2, got {format_version}")
+    if format_version not in (1, 2, 3):
+        raise ValueError(
+            f"write_iceberg: format_version must be 1|2|3, got {format_version}"
+        )
+    if format_version >= 3:
+        # v3 makes row lineage MANDATORY (spec §Row Lineage: "Row
+        # lineage is required in v3") — the writer simply enables it
+        row_lineage = True
     data_format = (data_format or "parquet").lower()
     if data_format not in ("parquet", "avro", "orc"):
         raise ValueError(
@@ -4289,6 +4416,7 @@ def _commit_delete_snapshot(
     operation: str = "delete",
     summary_props: dict | None = None,
     replace: bool = False,
+    drop_manifests: "set[str] | None" = None,
 ) -> int:
     """Shared commit tail for the row-level mutations (both delete
     flavors, and UPDATE's combined delete+data snapshot): build the
@@ -4298,7 +4426,11 @@ def _commit_delete_snapshot(
     (single-writer conflict check). ``del_entry`` is the new
     manifest-list entry (or a list of them — UPDATE commits a delete
     manifest AND a data manifest in ONE snapshot), or None for a
-    no-match mutation (the snapshot reuses the prior manifest list)."""
+    no-match mutation (the snapshot reuses the prior manifest list).
+    ``drop_manifests``: prior manifest-list entries whose (localized)
+    manifest_path is in this set are NOT carried — the v3 deletion-vector
+    rule that a superseded DV must leave in the same snapshot (its
+    manifest is absorbed into the new consolidated one)."""
     import uuid
 
     meta_dir = os.path.join(path, "metadata")
@@ -4340,6 +4472,12 @@ def _commit_delete_snapshot(
                 )
             )
         )
+        if drop_manifests:
+            prior_manifests = [
+                e
+                for e in prior_manifests
+                if _localize(e["manifest_path"], path) not in drop_manifests
+            ]
         mlist = os.path.join(meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
         mf_schema = _manifest_file_schema(2)
         keep = {f["name"] for f in mf_schema["fields"]}
@@ -4453,6 +4591,241 @@ def _delete_manifest_entry(
     }
 
 
+def _stage_dv_delete(
+    spark: SparkSession,
+    path: str,
+    prior_meta: dict,
+    matched_df: DataFrame,
+    snap_id: int,
+    seq: int,
+) -> "tuple[dict | None, set[str]]":
+    """v3 DELETION-VECTOR staging (spec §Position Delete Files: "v3+
+    writers must use deletion vectors, one per data file; a superseded
+    DV must leave in the same snapshot"): turn matched ``(file_path,
+    pos)`` pairs into ONE puffin file holding one ``deletion-vector-v1``
+    blob per touched data file — each blob the Delta-framed 64-bit
+    roaring bitmap, UNIONED with the file's existing DV when one lives —
+    plus a CONSOLIDATED delete manifest carrying every untouched live DV
+    entry (status EXISTING, explicit sequence). Returns
+    ``(manifest-list entry | None, manifest paths to drop)``.
+
+    Scale shape: bitmap construction is distributed (applyInPandas per
+    touched file); the driver collects O(#touched files) framed blobs —
+    bitmap bytes, the same bound as the Delta DV writer — and every
+    untouched DV entry is carried as metadata, zero data IO."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from . import puffin as _puf
+    from . import roaring as _roar
+
+    def _per_file(key, pdf):
+        import pandas as _pd
+
+        from feature_store_ml_spark.io import roaring as _r
+
+        data = _r.serialize_positions([int(p) for p in pdf["pos"]])
+        return _pd.DataFrame(
+            {
+                "file_path": [key[0]],
+                "dv": [_r.frame_dv_blob(data)],
+                "card": [int(pdf["pos"].nunique())],
+            }
+        )
+
+    new_dvs = {
+        r["file_path"]: (bytes(r["dv"]), int(r["card"]))
+        for r in matched_df.groupBy("file_path")
+        .applyInPandas(_per_file, "file_path string, dv binary, card long")
+        .collect()  # O(#touched files) rows, bitmap-sized payloads
+    }
+    if not new_dvs:
+        return None, set()
+
+    def _norm(raw: str) -> str:
+        return "file:" + os.path.abspath(_localize_decoded(raw, path))
+
+    cur = prior_meta["current-snapshot-id"]
+    prior_snap = next(
+        s for s in prior_meta["snapshots"] if s["snapshot-id"] == cur
+    )
+    ml_entries = avro_lite.read_container(
+        _localize(prior_snap["manifest-list"], path)
+    )
+    touched = {_norm(p) for p in new_dvs}
+    drop: set[str] = set()
+    carried: list[dict] = []  # (entries from absorbed manifests)
+    superseded: dict[str, dict] = {}  # norm ref -> old DV data_file struct
+    for e in ml_entries:
+        if (e.get("content", 0) or 0) != 1:
+            continue
+        mpath = _localize(e["manifest_path"], path)
+        entries = [
+            m
+            for m in avro_lite.read_container(mpath)
+            if m.get("status") != _STATUS_DELETED
+        ]
+        has_dv = any(
+            (m["data_file"].get("file_format") or "").upper() == "PUFFIN"
+            for m in entries
+        )
+        if not has_dv:
+            continue  # eq-delete manifest: rides forward untouched
+        drop.add(mpath)
+        mseq = int(e.get("sequence_number") or 0)
+        for m in entries:
+            dfs = m["data_file"]
+            eseq = (
+                int(m["sequence_number"])
+                if m.get("sequence_number") is not None
+                else mseq
+            )
+            is_dv = (dfs.get("file_format") or "").upper() == "PUFFIN"
+            ref = _norm(dfs.get("referenced_data_file") or "") if is_dv else None
+            if is_dv and ref in touched:
+                superseded[ref] = dfs  # merged below, not carried
+                continue
+            carried.append(
+                {
+                    "status": 0,
+                    "snapshot_id": m.get("snapshot_id") or cur,
+                    "sequence_number": eseq,
+                    "data_file": dfs,
+                }
+            )
+    # merge superseded DVs into the new bitmaps (driver-side union of
+    # bitmap-sized payloads)
+    blobs: list[tuple[dict, bytes]] = []
+    cards: dict[str, int] = {}
+    for raw, (framed, card) in sorted(new_dvs.items()):
+        positions = _roar.deserialize_positions(_roar.read_dv_blob(framed, 0, None))
+        old = superseded.get(_norm(raw))
+        if old is not None:
+            with open(_localize_decoded(old["file_path"], path), "rb") as fh:
+                buf = fh.read()
+            positions = sorted(
+                set(positions)
+                | set(
+                    _roar.deserialize_positions(
+                        # content_size_in_bytes is the FRAMED blob length
+                        # (size prefix + data + CRC); the stored dataSize
+                        # + CRC check inside read_dv_blob validate it
+                        _roar.read_dv_blob(
+                            buf, int(old.get("content_offset") or 0), None
+                        )
+                    )
+                )
+            )
+        payload = _roar.frame_dv_blob(_roar.serialize_positions(positions))
+        cards[raw] = len(positions)
+        blobs.append(
+            (
+                {
+                    "type": _puf.BLOB_TYPE_DV,
+                    "fields": [],
+                    "snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": raw,
+                        "cardinality": str(len(positions)),
+                    },
+                },
+                payload,
+            )
+        )
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dv_file = os.path.join(data_dir, f"delete-{uuid.uuid4().hex}.puffin")
+    info = _puf.write_puffin(dv_file, blobs)
+    meta_dir = os.path.join(path, "metadata")
+    new_entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "content": 1,
+                "file_path": f"file:{dv_file}",
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": cards[bm["properties"]["referenced-data-file"]],
+                "file_size_in_bytes": info["file-size-in-bytes"],
+                "equality_ids": None,
+                "referenced_data_file": bm["properties"]["referenced-data-file"],
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            },
+        }
+        for bm in info["blob-metadata"]
+    ]
+    manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest, _manifest_entry_schema(3), new_entries + carried
+    )
+    min_seq = min([seq] + [c["sequence_number"] for c in carried])
+    return (
+        {
+            "manifest_path": f"file:{manifest}",
+            "manifest_length": os.path.getsize(manifest),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap_id,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+        },
+        drop,
+    )
+
+
+def _stage_position_deletes(
+    spark: SparkSession,
+    path: str,
+    prior_meta: dict,
+    pairs_df: DataFrame,
+    snap_id: int,
+    seq: int,
+) -> "tuple[dict | None, set[str]]":
+    """Delete-content staging shared by every row-level mutation
+    (DELETE/UPDATE/MERGE/overwrite-where): v2 tables get the
+    spec-ordered parquet position-delete files (distributed write, the
+    pairs never reach the driver); v3 tables get DELETION VECTORS
+    (_stage_dv_delete — puffin blobs, superseded DVs absorbed). Returns
+    ``(delete manifest-list entry | None, manifest paths to drop)`` —
+    thread the drop set into _commit_delete_snapshot."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if prior_meta.get("format-version", 1) >= 3:
+        return _stage_dv_delete(spark, path, prior_meta, pairs_df, snap_id, seq)
+    meta_dir = os.path.join(path, "metadata")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
+    (
+        pairs_df.repartitionByRange("file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staging)
+    )
+    run = uuid.uuid4().hex
+    del_files: list[tuple[str, int]] = []
+    for i, part in enumerate(
+        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
+    ):
+        src = os.path.join(staging, part)
+        n_rows = pq.ParquetFile(src).metadata.num_rows
+        if n_rows == 0:
+            continue
+        dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
+        os.rename(src, dst)
+        del_files.append((dst, n_rows))
+    shutil.rmtree(staging)
+    if not del_files:
+        return None, set()
+    return _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None), set()
+
+
 def delete_iceberg(
     spark: SparkSession,
     path: str,
@@ -4507,33 +4880,11 @@ def delete_iceberg(
         )
     )
     now_ms = int(_time.time() * 1000)
-    meta_dir = os.path.join(path, "metadata")
-    del_entry = None
-    data_dir = os.path.join(path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-    (
-        matched_df.repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(staging)
+    # v2: spec-ordered parquet position-delete files; v3: DELETION
+    # VECTORS (puffin blobs, superseded DVs absorbed) — shared staging
+    del_entry, drops = _stage_position_deletes(
+        spark, path, prior_meta, matched_df, snap_id, seq
     )
-    del_files: list[tuple[str, int]] = []
-    run = uuid.uuid4().hex
-    for i, part in enumerate(
-        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
-    ):
-        src = os.path.join(staging, part)
-        n_rows = pq.ParquetFile(src).metadata.num_rows
-        if n_rows == 0:
-            continue
-        dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
-        os.rename(src, dst)
-        del_files.append((dst, n_rows))
-    shutil.rmtree(staging)
-    if del_files:
-        del_entry = _delete_manifest_entry(
-            meta_dir, snap_id, seq, del_files, None
-        )
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms, del_entry,
         summary_props=(
@@ -4541,6 +4892,7 @@ def delete_iceberg(
             if batch is not None
             else None
         ),
+        drop_manifests=drops,
     )
 
 
@@ -4949,40 +5301,23 @@ def update_iceberg(
         data_dir = os.path.join(path, "data")
         os.makedirs(data_dir, exist_ok=True)
 
-        # 1. position-delete files: distributed, spec-ordered write —
-        #    matched positions never reach the driver (same shape as
-        #    delete_iceberg)
-        staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-        (
+        # 1. delete content for the matched rows: v2 position-delete
+        #    files / v3 deletion vectors — distributed either way, the
+        #    matched positions never reach the driver (v3 collects only
+        #    O(#touched files) bitmap blobs)
+        del_entry, _dv_drops = _stage_position_deletes(
+            spark, path, prior_meta,
             matched.select(
                 F.col("_fp").alias("file_path"),
                 F.col("_ri").cast("long").alias("pos"),
-            )
-            .repartitionByRange("file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
-            .write.parquet(staging)
+            ),
+            snap_id, seq,
         )
-        run = uuid.uuid4().hex
-        del_files: list[tuple[str, int]] = []
-        for i, part in enumerate(
-            sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
-        ):
-            src = os.path.join(staging, part)
-            n_rows = pq.ParquetFile(src).metadata.num_rows
-            if n_rows == 0:
-                continue
-            dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
-            os.rename(src, dst)
-            del_files.append((dst, n_rows))
-        shutil.rmtree(staging)
-        if not del_files:
+        if del_entry is None:
             return _commit_delete_snapshot(
                 path, prior_meta, prior_version, snap_id, seq, now_ms,
                 None, operation="overwrite", summary_props=_upd_summary,
             )
-        del_entry = _delete_manifest_entry(
-            meta_dir, snap_id, seq, del_files, None
-        )
 
         # 2. transformed rows as new data files — the shared staging tail
         #    (field-id stamping, partition re-derivation, stats) lives in
@@ -4998,6 +5333,7 @@ def update_iceberg(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
             [del_entry] + ([data_entry] if data_entry else []),
             operation="overwrite", summary_props=_upd_summary,
+            drop_manifests=_dv_drops,
         )
     finally:
         matched.unpersist()
@@ -5124,8 +5460,8 @@ def overwrite_iceberg_where(
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
 
-    # 1. position-delete files for the matched rows (distributed,
-    #    spec-ordered; same shape as delete_iceberg / update_iceberg)
+    # 1. delete content for the matched rows (v2 position-delete files /
+    #    v3 deletion vectors; same shape as delete_iceberg / update_iceberg)
     matched = (
         read_iceberg(spark, path, with_row_identity=True)
         .where(matched_cond)
@@ -5134,29 +5470,8 @@ def overwrite_iceberg_where(
             F.col("_metadata.row_index").cast("long").alias("pos"),
         )
     )
-    staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-    (
-        matched.repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(staging)
-    )
-    run = uuid.uuid4().hex
-    del_files: list[tuple[str, int]] = []
-    for i, part in enumerate(
-        sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
-    ):
-        src = os.path.join(staging, part)
-        n_rows = pq.ParquetFile(src).metadata.num_rows
-        if n_rows == 0:
-            continue
-        dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
-        os.rename(src, dst)
-        del_files.append((dst, n_rows))
-    shutil.rmtree(staging)
-    del_entry = (
-        _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None)
-        if del_files
-        else None
+    del_entry, _dv_drops = _stage_position_deletes(
+        spark, path, prior_meta, matched, snap_id, seq
     )
 
     # 2. the replacement rows (no-match case still ADDS: backfilling an
@@ -5167,7 +5482,7 @@ def overwrite_iceberg_where(
     entries = [e for e in (del_entry, data_entry) if e]
     return _commit_delete_snapshot(
         path, prior_meta, prior_version, snap_id, seq, now_ms,
-        entries or None, operation="overwrite",
+        entries or None, operation="overwrite", drop_manifests=_dv_drops,
     )
 
 
@@ -5483,35 +5798,13 @@ def merge_iceberg(
             )
 
         now_ms = int(_time.time() * 1000)
-        meta_dir = os.path.join(path, "metadata")
-        data_dir = os.path.join(path, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-        (
+        del_entry, _dv_drops = _stage_position_deletes(
+            spark, path, prior_meta,
             dead.select(
-                F.col("_fp").alias("file_path"), F.col("_ri").alias("pos")
-            )
-            .repartitionByRange("file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
-            .write.parquet(staging)
-        )
-        run = uuid.uuid4().hex
-        del_files: list[tuple[str, int]] = []
-        for i, part in enumerate(
-            sorted(n for n in os.listdir(staging) if n.endswith(".parquet"))
-        ):
-            src_f = os.path.join(staging, part)
-            n_rows = pq.ParquetFile(src_f).metadata.num_rows
-            if n_rows == 0:
-                continue
-            dst = os.path.join(data_dir, f"delete-{run}-{i}.parquet")
-            os.rename(src_f, dst)
-            del_files.append((dst, n_rows))
-        shutil.rmtree(staging)
-        del_entry = (
-            _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None)
-            if del_files
-            else None
+                F.col("_fp").alias("file_path"),
+                F.col("_ri").cast("long").alias("pos"),
+            ),
+            snap_id, seq,
         )
         data_entry = (
             _stage_data_entry(
@@ -5524,7 +5817,7 @@ def merge_iceberg(
         return _commit_delete_snapshot(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
             entries or None, operation="overwrite",
-            summary_props=summary_props,
+            summary_props=summary_props, drop_manifests=_dv_drops,
         )
     finally:
         key_counts.unpersist()
@@ -6298,9 +6591,45 @@ def read_iceberg_cdf(
             import pyarrow.parquet as pq
 
             pairs = []
+            # v3 DVs: a merged deletion vector carries the file's PRIOR
+            # positions too — the feed must report only the NEW ones, so
+            # subtract the previous snapshot's DV per referenced file
+            _prior_dv_pos: dict[str, set] = {}
+
+            def _dv_positions_of(entry_path: str) -> "dict[str, list[int]]":
+                from . import puffin as _puf
+                from . import roaring as _roar
+
+                out: dict[str, list[int]] = {}
+                blobs, _props = _puf.read_puffin(entry_path)
+                for b in blobs:
+                    if b.get("type") != _puf.BLOB_TYPE_DV:
+                        continue
+                    ref = (b.get("properties") or {}).get(
+                        "referenced-data-file"
+                    )
+                    out[
+                        "file:"
+                        + os.path.abspath(_localize_decoded(ref, path))
+                    ] = _roar.deserialize_positions(
+                        _roar.read_dv_blob(b["payload"], 0, None)
+                    )
+                return out
+
+            for x in prev_deletes:
+                if x["kind"] == "pos" and x.get("referenced_data_file"):
+                    for uri, poss in _dv_positions_of(x["path"]).items():
+                        _prior_dv_pos.setdefault(uri, set()).update(poss)
             for dfile in pos_new:
                 with open(dfile, "rb") as _fh:
                     _magic = _fh.read(4)
+                if _magic == b"PFA1":
+                    for uri, poss in _dv_positions_of(dfile).items():
+                        prior = _prior_dv_pos.get(uri, set())
+                        pairs.extend(
+                            (uri, p_) for p_ in poss if p_ not in prior
+                        )
+                    continue
                 if _magic == b"Obj\x01":
                     # foreign AVRO position deletes (round 9)
                     _rows = avro_lite.read_container(dfile)

@@ -34,6 +34,12 @@ import struct
 
 MAGIC = b"PFA1"
 BLOB_TYPE_THETA = "apache-datasketches-theta-v1"
+#: Iceberg v3 deletion vector blob (table spec §Position Delete Files /
+#: Puffin spec `deletion-vector-v1`): payload is the Delta-framed
+#: 64-bit RoaringBitmapArray (io/roaring.frame_dv_blob), one blob per
+#: referenced data file, `referenced-data-file` + `cardinality` in the
+#: blob properties.
+BLOB_TYPE_DV = "deletion-vector-v1"
 
 #: hash domain is [0, 2^63) like DataSketches (signed-long safe)
 _MAX63 = (1 << 63) - 1

@@ -221,11 +221,13 @@ def frame_dv_blob(data: bytes) -> bytes:
     )
 
 
-def read_dv_blob(buf: bytes, offset: int, size_in_bytes: int) -> bytes:
+def read_dv_blob(buf: bytes, offset: int, size_in_bytes: "int | None") -> bytes:
     """Extract + checksum-verify the DV data at ``offset`` (which points at
-    the dataSize field, per the descriptor spec)."""
+    the dataSize field, per the descriptor spec). ``size_in_bytes=None``
+    trusts the stored dataSize (Iceberg v3 puffin blobs, where the blob
+    length is already footer-framed)."""
     (size,) = struct.unpack_from(">i", buf, offset)
-    if size != size_in_bytes:
+    if size_in_bytes is not None and size != size_in_bytes:
         raise ValueError(
             f"deletion vector: descriptor sizeInBytes={size_in_bytes} but "
             f"stored dataSize={size}"

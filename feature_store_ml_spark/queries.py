@@ -4580,6 +4580,75 @@ def e1_iceberg_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "e1_iceberg_v3_dv",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 5 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_totalprice > 400000.0) AND NOT (o_orderkey % 13 = 3)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM live
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 with DELETION VECTORS (round 11 — the
+    marquee v3 feature, io/iceberg._stage_dv_delete): create a v3 table
+    (row lineage mandatory per spec), DELETE a predicate's rows as
+    puffin ``deletion-vector-v1`` blobs (Delta-framed roaring bitmaps),
+    merge-on-read UPDATE a key slice (the DV machinery masks the
+    originals, replacement files materialize lineage ids), then a SECOND
+    delete whose positions must UNION into the per-file DVs (the spec's
+    "at most one DV per data file; a superseded DV leaves in the same
+    snapshot" invariant — asserted in-query over the final scan plan).
+    The oracle restates the mutation pipeline in SQL: any blob framing,
+    bitmap union, sequence-scoping or consolidation defect changes the
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_v3_dv"
+    shutil.rmtree(path, ignore_errors=True)
+    iceberg.write_iceberg(
+        spark,
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        path,
+        format_version=3,
+    )
+    iceberg.delete_iceberg(spark, path, "o_totalprice > 400000.0")
+    iceberg.update_iceberg(
+        spark, path, {"o_totalprice": "o_totalprice + 1.0"},
+        where="o_orderkey % 11 = 5",
+    )
+    iceberg.delete_iceberg(spark, path, "o_orderkey % 13 = 3")
+    meta = iceberg._load_metadata(path)
+    if meta["format-version"] != 3 or "next-row-id" not in meta:
+        raise AssertionError("v3 table must carry mandatory row lineage")
+    _d, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    dvs = [d for d in dels if d["kind"] == "pos"]
+    refs = [d.get("referenced_data_file") for d in dvs]
+    if not dvs or None in refs or len(refs) != len(set(refs)):
+        raise AssertionError(
+            f"v3 invariant broken: {len(dvs)} delete entries, "
+            f"{len(set(refs))} distinct referenced files"
+        )
+    if any(not d["path"].endswith(".puffin") for d in dvs):
+        raise AssertionError("v3 delete content must be puffin DVs")
+    return iceberg.read_iceberg(spark, path).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_delta_data_skipping",
     """
     SELECT l_returnflag, COUNT(*) AS n,
@@ -7507,8 +7576,13 @@ _FINAL_ORDER = [
     #    e1_delta_merge_sync + e1_iceberg_merge)
     "e1_optimize_incremental",
     "e1_iceberg_optimize_incremental",
+    "e1_iceberg_v3_dv",     # round 11: format-version 3 deletion vectors
+                            # (puffin blobs, DV union, consolidation) —
+                            # displaces e1_iceberg_time_travel (driver-
+                            # green r5-r10; time travel stays in-window
+                            # via e1_iceberg_rollback and this query's
+                            # own multi-snapshot reads)
     "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
-    "e1_iceberg_time_travel",
     "e1_iceberg_evolution",  # round 6: rename/drop schema evolution
     "e1_delta_delete_vectors",
     "e1_delta_cdf",
@@ -7789,6 +7863,9 @@ _FINAL_ORDER = [
     "e1_delta_partitioned_merge",  # rotated out r11 (green r5-r10;
                                    # partitioned-MERGE machinery stays via
                                    # merge_set/merge_sync/iceberg_merge)
+    "e1_iceberg_time_travel",      # rotated out r11 (green r5-r10; time
+                                   # travel stays via e1_iceberg_rollback
+                                   # + the v3 DV query's snapshot reads)
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",
@@ -7861,7 +7938,7 @@ def _apply_final_order() -> None:
     # and e1_iceberg_merge_sync are tail-registered)
     # 104 -> 106 round 11: two incremental-OPTIMIZE queries entered the
     # window, displacing e12_feature_upsert + e1_delta_partitioned_merge
-    assert n_oracle_tail <= 106, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 107, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
