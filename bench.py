@@ -136,6 +136,7 @@ HEADLINE = [
     "e1_optimize_incremental",
     "e1_iceberg_optimize_incremental",
     "e10_ivf_index",
+    "e1_iceberg_v3_dv",
 ]
 
 
