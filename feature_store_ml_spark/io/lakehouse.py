@@ -5495,6 +5495,52 @@ def widen_delta_column_type(
     return _commit(path, actions)
 
 
+def _historic_logical_to_current(path: str, meta: dict) -> dict[str, str]:
+    """OLD logical column name -> CURRENT logical name, via the stable
+    physical names: fold every metaData action in the log (checkpoint +
+    JSON commits), map each historical field's logical name to its
+    physicalName (pre-mapping schemas: physical == logical), then
+    physical -> current logical. Metadata-sized — the same replay pass
+    the snapshot build walks. Used to resolve cdc files written before a
+    rename."""
+    mode = _mapping_mode(meta) if meta.get("schemaString") else None
+    if mode == "name":
+        phys_to_cur = {p: l for l, p in (_column_mapping(meta) or {}).items()}
+    elif mode == "id":
+        phys_to_cur = {p: l for l, p in _physical_names(meta).items()}
+    else:
+        return {}
+    out: dict[str, str] = {}
+
+    def _fold(md) -> None:
+        if not md or not md.get("schemaString"):
+            return
+        sch = json.loads(md["schemaString"])
+        for f in sch.get("fields", []):
+            phys = (
+                (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+                or f["name"]
+            )
+            cur = phys_to_cur.get(phys)
+            if cur is not None:
+                out[f["name"]] = cur
+
+    log = _delta_log_dir(path)
+    ckpt_version, ckpt_files = _latest_checkpoint(log)
+    for fpath in ckpt_files:
+        for row in _manifest_rows(fpath, log, follow_sidecars=True):
+            _fold(row.get("metaData"))
+    for name in sorted(os.listdir(log)):
+        if not _is_commit_json(name):
+            continue
+        with open(os.path.join(log, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _fold(json.loads(line).get("metaData"))
+    return out
+
+
 def read_delta_cdf(
     spark: SparkSession, path: str, since_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -5618,12 +5664,39 @@ def read_delta_cdf(
             f"{os.path.basename(missing[0])}) — history is gone"
         )
 
+    from pyspark.sql.types import StructType
+
     parts: list[DataFrame] = []
+    _hist_map: "dict[str, str] | None" = None
+    cur_names = (
+        {f.name for f in StructType.fromJson(json.loads(meta["schemaString"])).fields}
+        if meta.get("schemaString")
+        else set()
+    ) | {"_change_type"}
     for v, fs in cdc_files:
-        parts.append(
-            spark.read.parquet(*fs).withColumn(
-                "_commit_version", F.lit(v).cast("long")
+        df_cdc = spark.read.parquet(*fs)
+        unknown = set(df_cdc.columns) - cur_names
+        if unknown:
+            # cdc files carry the LOGICAL names current at their commit;
+            # after a rename those names are orphans. Physical names are
+            # stable, so replay the log's metaData history once and map
+            # old-logical -> physical -> current-logical (round 11 —
+            # formerly a refusal in the streaming tail and a silent
+            # unionByName failure here).
+            if _hist_map is None:
+                _hist_map = _historic_logical_to_current(path, meta)
+            unresolvable = [c for c in sorted(unknown) if c not in _hist_map]
+            if unresolvable:
+                raise ValueError(
+                    f"{path}: cdc file columns {unresolvable} resolve to "
+                    "no current column through the log's schema history — "
+                    "commits before the retained checkpoint were cleaned?"
+                )
+            df_cdc = df_cdc.select(
+                *[F.col(c).alias(_hist_map.get(c, c)) for c in df_cdc.columns]
             )
+        parts.append(
+            df_cdc.withColumn("_commit_version", F.lit(v).cast("long"))
         )
     for v, files in inserts:
         parts.append(

@@ -529,6 +529,14 @@ def _sync_cdf_materialized(
         )
     chg_dir = os.path.join(spool_dir, "changes")
     os.makedirs(chg_dir, exist_ok=True)
+    _, _cur_meta = lakehouse._replay_log(path)
+    hist_map = {
+        old: cur
+        for old, cur in lakehouse._historic_logical_to_current(
+            path, _cur_meta
+        ).items()
+        if old != cur
+    }
     for v in sorted(have):
         if v <= since_version:
             continue
@@ -549,6 +557,15 @@ def _sync_cdf_materialized(
             rows = lakehouse.read_delta_cdf(spark, path, v - 1, v)
         if rows.isEmpty():
             continue
+        if hist_map:
+            # a commit's diff carries the logical names current AT that
+            # commit; the stream reads the whole spool under ONE schema
+            # (today's names) — project renamed columns forward
+            from pyspark.sql import functions as F
+
+            rows = rows.select(
+                *[F.col(c).alias(hist_map.get(c, c)) for c in rows.columns]
+            )
         tmp = os.path.join(chg_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
         rows.write.parquet(tmp)
         os.rename(tmp, final)
@@ -578,12 +595,66 @@ def stream_delta_cdf(
     _, meta = lakehouse._replay_log(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode") == "id":
-        # ID-mode: files may disagree on physical names per footer, so no
-        # single file-source schema spans the spool — MATERIALIZE each
-        # commit's row diff through the batch reader instead (field-id
-        # resolution, DV bitmap diffs included). Cost O(changed rows)
-        # once per commit, the same trade the Iceberg CDF spool makes.
+    schema0 = StructType.fromJson(json.loads(meta["schemaString"]))
+    mode0 = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    materialize = mode0 == "id"
+    if not materialize and mode0 == "name":
+        # NAME-mapped table: cdc files are staged under the LOGICAL names
+        # current at their commit, so files from before a rename carry
+        # names one file-source schema cannot span. Probe the log's cdc
+        # footers (O(#cdc files), driver metadata) and route
+        # rename-spanning streams through the MATERIALIZED leg, which
+        # resolves per commit (round 11 — formerly a loud refusal).
+        import pyarrow.parquet as _pq
+
+        want0 = {f.name for f in schema0.fields} | {"_change_type"}
+        log = lakehouse._delta_log_dir(path)
+        for name in sorted(os.listdir(log)):
+            if materialize or not lakehouse._is_commit_json(name):
+                continue
+            if int(name[:20]) <= since_version:
+                continue
+            with open(os.path.join(log, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" not in action:
+                        continue
+                    f = os.path.join(path, action["cdc"]["path"])
+                    if not set(_pq.read_schema(f).names) <= want0:
+                        materialize = True
+                        break
+            if materialize:
+                break
+    # the two legs lay the spool out differently (links+Hive dirs vs
+    # per-commit materialized dirs) — a spool must never mix them, so
+    # the first sync stamps its mode and a resume under the other mode
+    # fails loud instead of double-counting commits
+    os.makedirs(spool_dir, exist_ok=True)
+    mode_marker = os.path.join(spool_dir, ".cdf-mode")
+    want_mode = "materialized" if materialize else "plain"
+    if os.path.exists(mode_marker):
+        prior_mode = open(mode_marker).read().strip()
+        if prior_mode == "materialized" and not materialize:
+            materialize = True  # sticky: the spool already holds diffs
+        elif prior_mode == "plain" and materialize:
+            raise ValueError(
+                f"{path}: this spool was synced link-based, but the "
+                "stream now needs materialization (rename-spanning cdc "
+                "files) — restart with a FRESH spool_dir"
+            )
+    else:
+        with open(mode_marker, "w") as fh:
+            fh.write(want_mode)
+    if materialize:
+        # ID-mode (files may disagree on physical names per footer) or
+        # rename-spanning cdc: no single file-source schema spans the
+        # spool — MATERIALIZE each commit's row diff through the batch
+        # reader instead (field-id resolution, DV bitmap diffs included).
+        # Cost O(changed rows) once per commit, the same trade the
+        # Iceberg CDF spool makes.
         v = _sync_cdf_materialized(spark, path, spool_dir, since_version)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         chg_schema = StructType(
@@ -641,11 +712,13 @@ def stream_delta_cdf(
 
             got = set(pq.read_schema(os.path.join(dirpath, n)).names)
             if not got <= want_cols:
-                raise NotImplementedError(
-                    f"{path}: cdc file {n} carries columns "
+                raise ValueError(
+                    f"{path}: spooled cdc file {n} carries columns "
                     f"{sorted(got - want_cols)} outside the current "
-                    "logical schema (written before a rename?) — use "
-                    "read_delta_cdf, which resolves per commit"
+                    "logical schema (written before a rename) — this "
+                    "link-based spool cannot span it; restart with a "
+                    "FRESH spool_dir (the new stream will materialize "
+                    "per commit)"
                 )
     chg_schema = schema.add("_change_type", StringType())
     chg = (

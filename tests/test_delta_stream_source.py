@@ -854,3 +854,59 @@ def test_ignore_changes_partitioned_dv(spark, tmp_path):
     assert all(r.p == str(r.id % 2) for r in rows)
     assert all(got[i] == 2 for i in range(36))   # both files DV'd: re-emit
     assert all(got[i] == 1 for i in (36, 37, 38, 39))
+
+
+def test_stream_delta_cdf_across_rename_materializes(spark, tmp_path):
+    """Round 11: a NAME-mapped table whose cdc files predate a rename
+    routes through the materialized leg automatically (formerly a loud
+    refusal) — parity with the per-commit-resolving batch reader."""
+    root = str(tmp_path / "cdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 10).alias("v")),
+        root,
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.enable_delta_column_mapping(spark, root)
+    lakehouse.delete_delta(spark, root, "id = 3")       # cdc under old name
+    lakehouse.rename_delta_column(spark, root, "v", "val")
+    src = spark.createDataFrame([(1, -1)], "id long, val long")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])  # cdc under new name
+
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool, since_version=2)
+    assert os.path.exists(os.path.join(spool, ".cdf-mode"))
+    assert open(os.path.join(spool, ".cdf-mode")).read().strip() == "materialized"
+    from feature_store_ml_spark.streaming import events as sev
+
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    batch = lakehouse.read_delta_cdf(spark, root, since_version=2)
+    g = sorted(map(tuple, got.select(
+        "id", "val", "_change_type", "_commit_version").collect()))
+    b = sorted(map(tuple, batch.select(
+        "id", "val", "_change_type", "_commit_version").collect()))
+    assert g == b and g
+
+
+def test_stream_delta_cdf_spool_mode_is_sticky(spark, tmp_path):
+    """A spool synced link-based refuses to silently switch legs when a
+    later rename makes materialization necessary."""
+    root = str(tmp_path / "cdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark, spark.range(10).select("id", (F.col("id") * 10).alias("v")),
+        root,
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.enable_delta_column_mapping(spark, root)
+    lakehouse.delete_delta(spark, root, "id = 3")
+    stream, v = delta_source.stream_delta_cdf(spark, root, spool)
+    assert open(os.path.join(spool, ".cdf-mode")).read().strip() == "plain"
+    lakehouse.rename_delta_column(spark, root, "v", "val")
+    src = spark.createDataFrame([(1, -1)], "id long, val long")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    with pytest.raises(ValueError, match="FRESH spool"):
+        delta_source.stream_delta_cdf(spark, root, spool, since_version=v)
