@@ -449,6 +449,7 @@ def _deletes_to_bitmaps_via_survivors(
 def convert_delta_to_iceberg(
     spark: SparkSession, path: str, refresh: bool = False,
     stats_threshold: int = _DISTRIBUTED_STATS_THRESHOLD,
+    format_version: "int | None" = None,
 ) -> int:
     """Write Iceberg metadata (``metadata/`` + manifests) over a Delta
     table's CURRENT live file set, in place — after this, the same
@@ -457,7 +458,16 @@ def convert_delta_to_iceberg(
     converted table after NEW Delta commits (the per-commit UniForm
     shape): the next metadata version appends one snapshot holding the
     current live set, field ids stay STABLE by column name, and prior
-    Iceberg snapshots remain time-travelable. Returns the snapshot id."""
+    Iceberg snapshots remain time-travelable. Returns the snapshot id.
+
+    ``format_version=3`` (round 11) emits an Iceberg v3 view: live Delta
+    DELETION VECTORS translate to puffin ``deletion-vector-v1`` blobs by
+    a straight bytes re-frame — Delta DV data and Iceberg v3 DV payloads
+    share the same 64-bit roaring serialization, so the translation is
+    O(bitmap bytes) with ZERO position decode — and data files receive
+    ``first_row_id`` blocks (v3's mandatory row lineage). A refresh
+    keeps the table's established format version; asking for a different
+    one fails loud."""
     import time as _time
     import uuid
 
@@ -466,6 +476,11 @@ def convert_delta_to_iceberg(
 
     if not lakehouse.is_delta_table(path):
         raise ValueError(f"{path}: not a Delta table")
+    if format_version not in (None, 2, 3):
+        raise ValueError(
+            f"convert_delta_to_iceberg: format_version must be 2|3, got "
+            f"{format_version}"
+        )
     prior_ice: dict | None = None
     if os.path.exists(os.path.join(path, "metadata")):
         if not refresh:
@@ -474,6 +489,15 @@ def convert_delta_to_iceberg(
                 "re-sync the Iceberg view after new Delta commits"
             )
         prior_ice = iceberg._load_metadata(path)
+        prior_fv = prior_ice.get("format-version", 2)
+        if format_version is not None and format_version != prior_fv:
+            raise ValueError(
+                f"{path}: Iceberg view is format-version {prior_fv}; a "
+                f"refresh cannot change it to {format_version}"
+            )
+        format_version = prior_fv
+    else:
+        format_version = format_version or 2
     adds_map, meta = lakehouse._replay_log_adds(path)
     if not meta.get("schemaString"):
         raise ValueError(f"{path}: table declares no schema")
@@ -811,7 +835,7 @@ def convert_delta_to_iceberg(
             mf_rw = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
             avro_lite.write_container(
                 mf_rw,
-                iceberg._manifest_entry_schema(2, partition_fields),
+                iceberg._manifest_entry_schema(format_version, partition_fields),
                 [
                     {
                         "status": 1,
@@ -836,11 +860,16 @@ def convert_delta_to_iceberg(
                     ),
                 }
             )
+    _next_rid = int((prior_ice or {}).get("next-row-id", 0) or 0)
     if entries or not (incremental or incremental_rm):
+        if format_version >= 3:
+            # v3 row lineage is mandatory: every converted data file gets
+            # a first_row_id block from the table counter
+            _next_rid = iceberg._assign_first_row_ids(_next_rid, entries)
         manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m0.avro")
         avro_lite.write_container(
             manifest,
-            iceberg._manifest_entry_schema(2, partition_fields),
+            iceberg._manifest_entry_schema(format_version, partition_fields),
             entries,
         )
         ml_entries.append(
@@ -864,6 +893,73 @@ def convert_delta_to_iceberg(
         # under incremental_rm too: rewritten data manifests keep their
         # original sequence numbers, so delete scoping is unchanged)
         ml_entries.extend(prior_delete_rows)
+    elif dv_descs and format_version >= 3:
+        # v3 target: Delta DVs re-frame into puffin deletion-vector-v1
+        # blobs BYTES-VERBATIM (same roaring serialization both sides) —
+        # O(bitmap bytes), zero position decode
+        from . import puffin as _puf
+        from . import roaring as _roar
+
+        blobs = []
+        dv_entries = []
+        dv_file = os.path.join(meta_dir, f"dv-{uuid.uuid4().hex}.puffin")
+        for rel, desc in sorted(dv_descs.items()):
+            uri = "file:" + os.path.abspath(os.path.join(path, rel))
+            payload = _roar.frame_dv_blob(lakehouse._dv_bytes(path, desc))
+            blobs.append(
+                (
+                    {
+                        "type": _puf.BLOB_TYPE_DV,
+                        "fields": [],
+                        "snapshot-id": snap_id,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": uri,
+                            "cardinality": str(desc.get("cardinality") or 0),
+                        },
+                    },
+                    payload,
+                )
+            )
+        info = _puf.write_puffin(dv_file, blobs)
+        for bm in info["blob-metadata"]:
+            dv_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": f"file:{dv_file}",
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": int(
+                            bm["properties"]["cardinality"]
+                        ),
+                        "file_size_in_bytes": info["file-size-in-bytes"],
+                        "equality_ids": None,
+                        "referenced_data_file": bm["properties"][
+                            "referenced-data-file"
+                        ],
+                        "content_offset": bm["offset"],
+                        "content_size_in_bytes": bm["length"],
+                    },
+                }
+            )
+        dv_manifest = os.path.join(meta_dir, f"{uuid.uuid4().hex}-m1.avro")
+        avro_lite.write_container(
+            dv_manifest, iceberg._manifest_entry_schema(3), dv_entries
+        )
+        ml_entries.append(
+            {
+                "manifest_path": f"file:{dv_manifest}",
+                "manifest_length": os.path.getsize(dv_manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snap_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+            }
+        )
     elif dv_descs:
         # pos deletes at the SAME sequence as the data manifest: the spec
         # scopes position deletes to data files with seq <= theirs, so a
@@ -930,6 +1026,11 @@ def convert_delta_to_iceberg(
                 "snapshot-log": list(prior_ice.get("snapshot-log") or [])
                 + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
                 "last-sequence-number": seq,
+                **(
+                    {"next-row-id": _next_rid}
+                    if format_version >= 3
+                    else {}
+                ),
             }
         )
         if "schema" in ice_meta:
@@ -949,7 +1050,8 @@ def convert_delta_to_iceberg(
         "sequence-number": seq,
     }
     ice_meta = {
-        "format-version": 2,
+        "format-version": format_version,
+        **({"next-row-id": _next_rid} if format_version >= 3 else {}),
         "table-uuid": str(__import__("uuid").uuid4()),
         "location": path,
         "last-updated-ms": now_ms,

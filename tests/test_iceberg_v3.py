@@ -178,3 +178,61 @@ def test_v3_reader_guards_fail_loud(spark, tmp_path):
     json.dump(meta, open(mp, "w"))
     with pytest.raises(NotImplementedError, match="format-version 4"):
         iceberg.read_iceberg(spark, root)
+
+
+def test_v3_uniform_from_delta_dvs_reframe(spark, tmp_path):
+    """convert_delta_to_iceberg(format_version=3): Delta DVs re-frame
+    into puffin DV blobs bytes-verbatim; the v3 view reads identically,
+    carries mandatory lineage, and a refresh keeps the format version."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "t")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1),
+        root,
+    )
+    lakehouse.delete_delta(spark, root, "k >= 90 OR k = 7")
+    convert.convert_delta_to_iceberg(spark, root, format_version=3)
+    meta = iceberg._load_metadata(root)
+    assert meta["format-version"] == 3 and "next-row-id" in meta
+    ks = {r.k for r in iceberg.read_iceberg(spark, root).select("k").collect()}
+    assert ks == set(range(90)) - {7}
+    dvs = _dv_entries(root)
+    assert dvs and all(d["path"].endswith(".puffin") for d in dvs)
+    assert sum(d["record_count"] for d in dvs) == 11
+    # lineage columns resolve on the converted view
+    ids = iceberg.read_iceberg_row_ids(spark, root)
+    assert ids.count() == 89
+    assert ids.select("_row_id").distinct().count() == 89
+    # refresh after a new Delta commit keeps v3 and stays row-identical
+    lakehouse.write_delta(
+        spark,
+        spark.createDataFrame([(500, 1000)], "k long, v long"),
+        root, mode="append",
+    )
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    meta2 = iceberg._load_metadata(root)
+    assert meta2["format-version"] == 3
+    assert iceberg.read_iceberg(spark, root).count() == 90
+    with pytest.raises(ValueError, match="cannot change"):
+        convert.convert_delta_to_iceberg(
+            spark, root, refresh=True, format_version=2
+        )
+
+
+def test_v3_uniform_refresh_guard_on_v2_view(spark, tmp_path):
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "t")
+    lakehouse.write_delta(
+        spark, spark.range(5).select(F.col("id").alias("k")), root
+    )
+    convert.convert_delta_to_iceberg(spark, root)  # v2 view
+    assert iceberg._load_metadata(root)["format-version"] == 2
+    with pytest.raises(ValueError, match="cannot change"):
+        convert.convert_delta_to_iceberg(
+            spark, root, refresh=True, format_version=3
+        )
