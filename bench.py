@@ -137,6 +137,7 @@ HEADLINE = [
     "e1_iceberg_optimize_incremental",
     "e10_ivf_index",
     "e1_iceberg_v3_dv",
+    "e1_uniform_v3",
 ]
 
 

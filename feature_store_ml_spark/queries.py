@@ -4649,6 +4649,65 @@ def e1_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_uniform_v3",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE NOT (o_totalprice > 420000.0 OR o_orderkey % 17 = 5)
+    GROUP BY o_orderstatus
+    """,
+)
+def e1_uniform_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm to FORMAT-VERSION 3 (round 11 —
+    convert.convert_delta_to_iceberg(format_version=3)): orders land in
+    a Delta table, two DV deletes accumulate bitmaps, then ONE
+    metadata-only conversion emits a v3 Iceberg view whose deletion
+    vectors are the Delta bitmaps RE-FRAMED bytes-verbatim into puffin
+    blobs (no position decode — asserted: every delete entry is a puffin
+    DV and their cardinalities sum to the Delta-side dead-row count),
+    with first_row_id lineage blocks on every data file. The oracle
+    checks the v3 READ: scan + DV mask must equal the source minus both
+    predicates."""
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg, lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_uniform_v3"
+    shutil.rmtree(path, ignore_errors=True)
+    lakehouse.write_delta(
+        spark, o.select("o_orderkey", "o_orderstatus", "o_totalprice"), path
+    )
+    lakehouse.delete_delta(spark, path, "o_totalprice > 420000.0")
+    lakehouse.delete_delta(spark, path, "o_orderkey % 17 = 5")
+    convert.convert_delta_to_iceberg(spark, path, format_version=3)
+    meta = iceberg._load_metadata(path)
+    if meta["format-version"] != 3 or "next-row-id" not in meta:
+        raise AssertionError("UniForm v3 view must carry mandatory lineage")
+    _d, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    if not dels or any(not d["path"].endswith(".puffin") for d in dels):
+        raise AssertionError("v3 view must mask through puffin DVs")
+    adds, _m = lakehouse._replay_log_adds(path)
+    dead_delta = sum(
+        int((a.get("deletionVector") or {}).get("cardinality") or 0)
+        for a in adds.values()
+    )
+    dead_ice = sum(d.get("record_count") or 0 for d in dels)
+    if dead_delta != dead_ice:
+        raise AssertionError(
+            f"re-framed DV cardinalities diverge: delta={dead_delta} "
+            f"iceberg={dead_ice}"
+        )
+    return iceberg.read_iceberg(spark, path).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_delta_data_skipping",
     """
     SELECT l_returnflag, COUNT(*) AS n,
@@ -7577,6 +7636,11 @@ _FINAL_ORDER = [
     "e1_optimize_incremental",
     "e1_iceberg_optimize_incremental",
     "e1_iceberg_v3_dv",     # round 11: format-version 3 deletion vectors
+    "e1_uniform_v3",        # round 11: UniForm to v3 (DV bytes re-frame) —
+                            # displaces e1_delta_cdf (driver-green r5-r10;
+                            # the CDF family stays in-window via
+                            # e13_stream_iceberg_cdf and in the swept tail
+                            # via e1_delta_cdf/e13_stream_delta_cdf)
                             # (puffin blobs, DV union, consolidation) —
                             # displaces e1_iceberg_time_travel (driver-
                             # green r5-r10; time travel stays in-window
@@ -7585,7 +7649,6 @@ _FINAL_ORDER = [
     "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
     "e1_iceberg_evolution",  # round 6: rename/drop schema evolution
     "e1_delta_delete_vectors",
-    "e1_delta_cdf",
     "e1_delta_data_skipping",  # per-file stats + file pruning on read
     "e1_iceberg_data_skipping",  # manifest-bounds pruning, both formats
     "e1_iceberg_partition_transforms",  # year × murmur3-bucket pruning
@@ -7866,6 +7929,9 @@ _FINAL_ORDER = [
     "e1_iceberg_time_travel",      # rotated out r11 (green r5-r10; time
                                    # travel stays via e1_iceberg_rollback
                                    # + the v3 DV query's snapshot reads)
+    "e1_delta_cdf",                # rotated out r11 (green r5-r10; CDF
+                                   # family keeps e13_stream_iceberg_cdf
+                                   # in-window)
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
     "e4_approx_count_distinct",
@@ -7938,7 +8004,7 @@ def _apply_final_order() -> None:
     # and e1_iceberg_merge_sync are tail-registered)
     # 104 -> 106 round 11: two incremental-OPTIMIZE queries entered the
     # window, displacing e12_feature_upsert + e1_delta_partitioned_merge
-    assert n_oracle_tail <= 107, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 108, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
