@@ -236,3 +236,23 @@ def test_v3_uniform_refresh_guard_on_v2_view(spark, tmp_path):
         convert.convert_delta_to_iceberg(
             spark, root, refresh=True, format_version=3
         )
+
+
+def test_v3_expire_reclaims_superseded_puffin(spark, tmp_path):
+    """Superseded DV puffin files (older snapshots only) reclaim on
+    expiration; the live snapshot's puffin survives and still masks."""
+    import glob
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    iceberg.delete_iceberg(spark, root, "k >= 95")
+    iceberg.delete_iceberg(spark, root, "k < 3")  # supersedes DV 1
+    puffins = lambda: sorted(glob.glob(os.path.join(root, "data", "*.puffin")))
+    assert len(puffins()) == 2
+    out = iceberg.expire_iceberg_snapshots(root, keep=1)
+    # the first delete's puffin was only referenced by the expired
+    # snapshot — reclaimed; the live merged DV survives
+    assert len(puffins()) == 1
+    assert any(p.endswith(".puffin") for p in out["files"])
+    ks = {r.k for r in iceberg.read_iceberg(spark, root).select("k").collect()}
+    assert ks == set(range(3, 95))
