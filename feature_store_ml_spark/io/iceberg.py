@@ -36,9 +36,9 @@ tables keep writing position-delete files unchanged.
 
 Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
 loud refusals", kept honest by tests/test_header_drift.py): metadata
-format-version 4+; the v3 features outside the DV+lineage surface —
-column default values (initial-default) and v3-only types
-(timestamptz_ns/variant/geometry); write_iceberg(branch='main') and
+format-version 4+; v3-only types (timestamptz_ns/variant/geometry);
+column defaults on a table whose schema this reader cannot express as a
+Spark StructType (nested types); write_iceberg(branch='main') and
 schema evolution through a side branch; zoneless wall-clock ORC files
 declared timestamptz.
 """
@@ -139,21 +139,19 @@ def _load_metadata(table_root: str) -> dict:
     if fv > 3:
         raise NotImplementedError(f"{table_root}: iceberg format-version {fv} > 3")
     if fv == 3:
-        # v3 support (round 11): deletion vectors + row lineage + the v2
-        # surface. Guard the v3 features this reader does NOT implement,
-        # loudly, before any scan could go silently wrong:
-        # - column DEFAULT VALUES (initial-default backfills old files'
-        #   rows with a constant this reader would surface as null)
-        # - v3-only types (timestamptz_ns / variant / geometry...)
+        # v3 support (rounds 11-12): deletion vectors + row lineage +
+        # column DEFAULT VALUES + the v2 surface. Guard the v3 features
+        # this reader does NOT implement, loudly, before any scan could
+        # go silently wrong: v3-only types (timestamptz_ns / variant /
+        # geometry...). Column defaults are validated at load — a
+        # default this module cannot parse (nested type, malformed JSON
+        # single-value) must refuse here, not surface null mid-scan.
         for s in meta.get("schemas") or ([meta["schema"]] if meta.get("schema") else []):
             for f in s.get("fields", []):
                 if "initial-default" in f or "write-default" in f:
-                    raise NotImplementedError(
-                        f"{table_root}: v3 column default on field "
-                        f"{f.get('name')!r} — default-value backfill is "
-                        "not implemented (reads would return null where "
-                        "the spec says the default)"
-                    )
+                    for k in ("initial-default", "write-default"):
+                        if k in f and f[k] is not None:
+                            _default_parse(f.get("type"), f[k], f.get("name"))
                 t = f.get("type")
                 if isinstance(t, str) and (
                     t.endswith("_ns") or t in ("variant", "geometry", "geography", "unknown")
@@ -356,6 +354,150 @@ def _spark_to_ice_type(t: str) -> str | None:
     if m:
         return f"decimal({m.group(1)},{m.group(2)})"
     return None
+
+
+def _default_json(ice_type: str, v):
+    """Python value -> the spec's JSON single-value serialization
+    (spec §Appendix D: JSON single-value serialization) for storage in a
+    field's ``initial-default`` / ``write-default``. Fail-loud on types
+    outside the primitive mapping — a default this module cannot later
+    parse must never be written."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None:
+        raise ValueError("column default cannot be null (omit it instead)")
+    t = (ice_type or "").strip()
+    if t == "boolean":
+        if not isinstance(v, bool):
+            raise ValueError(f"boolean default must be a bool, got {v!r}")
+        return v
+    if t in ("int", "long"):
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise ValueError(f"{t} default must be an int, got {v!r}")
+        return v
+    if t in ("float", "double"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"{t} default must be numeric, got {v!r}")
+        return float(v)
+    if t == "string":
+        if not isinstance(v, str):
+            raise ValueError(f"string default must be a str, got {v!r}")
+        return v
+    if t == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v.isoformat()
+        if isinstance(v, str):
+            _dt.date.fromisoformat(v)
+            return v
+        raise ValueError(f"date default must be a date or ISO str, got {v!r}")
+    if t in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            if t == "timestamptz":
+                if v.tzinfo is None:
+                    raise ValueError(
+                        "timestamptz default must be timezone-aware"
+                    )
+                v = v.astimezone(_dt.timezone.utc)
+                return v.isoformat().replace("+00:00", "+00:00")
+            if v.tzinfo is not None:
+                raise ValueError("timestamp (ntz) default must be naive")
+            return v.isoformat()
+        if isinstance(v, str):
+            _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            return v
+        raise ValueError(
+            f"{t} default must be a datetime or ISO str, got {v!r}"
+        )
+    if re.fullmatch(r"decimal\(\d+,\s*\d+\)", t):
+        return str(_decimal.Decimal(str(v)))
+    if t == "binary" or t.startswith("fixed"):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex().upper()
+        if isinstance(v, str):
+            bytes.fromhex(v)
+            return v.upper()
+        raise ValueError(f"{t} default must be bytes or hex str, got {v!r}")
+    raise NotImplementedError(
+        f"column default on iceberg type {ice_type!r} is outside this "
+        "module's primitive mapping"
+    )
+
+
+def _default_parse(ice_type, j, name=None):
+    """JSON single-value -> python value (the inverse of
+    :func:`_default_json`), typed for ``F.lit(...).cast(declared)``.
+    Raises with the field name on anything outside the primitive
+    mapping, so `_load_metadata` refuses a foreign table whose default
+    this reader would otherwise silently mangle."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    ctx = f" (field {name!r})" if name else ""
+    t = (ice_type or "") if isinstance(ice_type, str) else ""
+    try:
+        if t == "boolean":
+            return bool(j)
+        if t in ("int", "long"):
+            return int(j)
+        if t in ("float", "double"):
+            return float(j)
+        if t == "string":
+            return str(j)
+        if t == "date":
+            return _dt.date.fromisoformat(j)
+        if t == "timestamp":
+            return _dt.datetime.fromisoformat(j)
+        if t == "timestamptz":
+            dt = _dt.datetime.fromisoformat(str(j).replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            return dt.astimezone(_dt.timezone.utc)
+        if re.fullmatch(r"decimal\(\d+,\s*\d+\)", t):
+            return _decimal.Decimal(str(j))
+        if t == "binary" or t.startswith("fixed"):
+            return bytes.fromhex(str(j))
+    except (ValueError, TypeError, _decimal.InvalidOperation) as e:
+        raise ValueError(
+            f"unparseable column default {j!r} for iceberg type "
+            f"{ice_type!r}{ctx}: {e}"
+        ) from None
+    raise NotImplementedError(
+        f"column default on iceberg type {ice_type!r}{ctx} is outside "
+        "this reader's primitive mapping"
+    )
+
+
+def _default_phys(ice_type, j):
+    """JSON single-value -> the PHYSICAL encoding the rowfmt scan legs
+    traffic in before their per-kind decode (days int for dates, micros
+    for timestamps, UTC micros for timestamptz; everything else is
+    already physical)."""
+    import datetime as _dt
+
+    v = _default_parse(ice_type, j)
+    if ice_type == "date":
+        return (v - _dt.date(1970, 1, 1)).days
+    if ice_type == "timestamp":
+        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if ice_type == "timestamptz":
+        return int(v.timestamp() * 1_000_000)
+    return v
+
+
+def _schema_defaults(meta: dict) -> dict[int, tuple[str, str, object]]:
+    """``field-id -> (name, ice_type, initial-default JSON)`` for every
+    CURRENT-schema field carrying an ``initial-default`` (spec §Default
+    values, v3): the constant a scan must surface for rows in data files
+    written before the field existed. Values are validated here
+    (``_default_parse``) so every consumer fails loudly on a default
+    outside the primitive mapping instead of surfacing null."""
+    out: dict[int, tuple[str, str, object]] = {}
+    for f in _current_schema(meta).get("fields", []):
+        if f.get("initial-default") is not None:
+            _default_parse(f.get("type"), f["initial-default"], f.get("name"))
+            out[f["id"]] = (f["name"], f.get("type"), f["initial-default"])
+    return out
 
 
 def _declared_spark_schema(meta: dict):
@@ -2441,6 +2583,37 @@ def write_iceberg(
         want = [(f["name"], f["type"]) for f in declared["fields"]]
         got = [(f.name, _spark_to_ice_type(f.dataType.simpleString()))
                for f in df.schema.fields]
+        # WRITE-DEFAULT (spec §Default values, v3): a batch may omit a
+        # column carrying write-default — the writer materializes the
+        # constant into the data files (the spec's "assign the default"
+        # obligation), then the ordinary schema check runs on the
+        # completed frame. Column order is restored to the declared
+        # order so positional comparison below stays meaningful.
+        _missing_wd = [
+            f
+            for f in declared["fields"]
+            if f.get("write-default") is not None
+            and f["name"] not in set(df.columns)
+        ]
+        if _missing_wd:
+            from pyspark.sql import functions as _F
+
+            for f in _missing_wd:
+                df = df.withColumn(
+                    f["name"],
+                    _F.lit(
+                        _default_parse(
+                            f["type"], f["write-default"], f["name"]
+                        )
+                    ).cast(_ice_to_spark_type(f["type"])),
+                )
+            order = [f["name"] for f in declared["fields"]]
+            df = df.select(
+                *[n for n in order if n in set(df.columns)],
+                *[c for c in df.columns if c not in set(order)],
+            )
+            got = [(f.name, _spark_to_ice_type(f.dataType.simpleString()))
+                   for f in df.schema.fields]
         if got != want and merge_schema and got[: len(want)] == want:
             # SCHEMA EVOLUTION (add-only): the batch carries every declared
             # column in order plus new nullable ones at the end — widen the
@@ -3773,6 +3946,16 @@ def _read_parquet_fid(
     fid_of = {
         f["name"]: f.get("id") for f in _current_schema(meta).get("fields", [])
     }
+    # COLUMN DEFAULTS (spec §Default values, v3): a field with
+    # initial-default surfaces the constant — not null — for rows in
+    # files written before the field existed. Per footer group the
+    # evidence is the field id: stamped footers missing the id provably
+    # predate the column; unstamped footers are probed by physical NAME
+    # (one extra driver footer read, paid only on defaulted tables).
+    dflt_lit = {
+        name: _default_parse(ice_t, j, name)
+        for _fid, (name, ice_t, j) in _schema_defaults(meta).items()
+    }
 
     def _plain(ps):
         g = (
@@ -3788,7 +3971,39 @@ def _read_parquet_fid(
     if declared is None or any(
         urlparse(p).scheme not in ("", "file") for p in paths
     ):
+        if dflt_lit:
+            raise NotImplementedError(
+                "iceberg column defaults require a declared-schema local "
+                f"scan (defaults on {sorted(dflt_lit)}; declared="
+                f"{'mapped' if declared is not None else 'unmappable'})"
+            )
         return _plain(paths)
+
+    def _branch(gfiles, src, use_default):
+        """One scan branch: read non-default fields under the group's
+        physical names, project defaults as typed literals."""
+        if not use_default and all(
+            src[f.name] == f.name for f in declared.fields
+        ):
+            return _plain(gfiles)
+        physical = StructType(
+            [
+                StructField(src[f.name], f.dataType, f.nullable)
+                for f in declared.fields
+                if f.name not in use_default
+            ]
+        )
+        g = spark.read.schema(physical).parquet(*gfiles)
+        cols = [
+            F.lit(dflt_lit[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in use_default
+            else F.col(src[f.name]).alias(f.name)
+            for f in declared.fields
+        ]
+        if want_meta:
+            cols.append(F.col("_metadata"))
+        return g.select(*cols)
+
     branches = []
     for phys_by_fid, gfiles in _group_files_by_field_ids(local):
         src = {
@@ -3799,20 +4014,28 @@ def _read_parquet_fid(
             )
             for f in declared.fields
         }
-        if all(src[f.name] == f.name for f in declared.fields):
-            branches.append(_plain(gfiles))
-            continue
-        physical = StructType(
-            [
-                StructField(src[f.name], f.dataType, f.nullable)
+        if phys_by_fid or not dflt_lit:
+            use_default = {
+                f.name
                 for f in declared.fields
-            ]
-        )
-        g = spark.read.schema(physical).parquet(*gfiles)
-        cols = [F.col(src[f.name]).alias(f.name) for f in declared.fields]
-        if want_meta:
-            cols.append(F.col("_metadata"))
-        branches.append(g.select(*cols))
+                if f.name in dflt_lit
+                and phys_by_fid
+                and fid_of.get(f.name) is not None
+                and fid_of[f.name] not in phys_by_fid
+            }
+            branches.append(_branch(gfiles, src, use_default))
+            continue
+        # unstamped footers + declared defaults: group by which
+        # defaulted columns each file physically carries
+        import pyarrow.parquet as _pq
+
+        sub: dict[frozenset, list[str]] = {}
+        for gf in gfiles:
+            names = set(_pq.read_schema(gf).names)
+            key = frozenset(n for n in dflt_lit if n not in names)
+            sub.setdefault(key, []).append(gf)
+        for absent, sfiles in sub.items():
+            branches.append(_branch(sfiles, src, set(absent)))
     return _reduce(lambda a, b: a.unionByName(b), branches)
 
 
@@ -6579,7 +6802,16 @@ def read_iceberg_cdf(
                 .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
             )
         new_deletes = [d for d in deletes if d["path"] not in prev_delete_set]
-        pos_new = [d["path"] for d in new_deletes if d["kind"] == "pos"]
+        # one puffin file carries DV blobs for MANY data files and the
+        # manifest lists one entry PER referenced file, all sharing the
+        # path — visit each physical file once or every dead row in it
+        # is emitted once per entry (the inner join below multiplies,
+        # unlike the read path's idempotent anti-join)
+        pos_new = list(
+            dict.fromkeys(
+                d["path"] for d in new_deletes if d["kind"] == "pos"
+            )
+        )
         if pos_new:
             # the named rows themselves are the delete records
             merged_map = {**prev_data_map, **data_map}
@@ -6762,6 +6994,12 @@ def _commit_schema_evolution(path: str, new_fields: list[dict]) -> int:
     meta["schemas"] = schemas
     meta["current-schema-id"] = new_sid
     meta["last-updated-ms"] = int(_time.time() * 1000)
+    # last-column-id is the allocator foreign writers draw fresh ids
+    # from — keep it ≥ every id this evolution introduced
+    meta["last-column-id"] = max(
+        [meta.get("last-column-id", 0)]
+        + [f.get("id", 0) for f in new_fields],
+    )
     if "schema" in meta:
         # keep the v1 legacy singular field in lockstep — popping it would
         # break readers that only look there
@@ -6915,6 +7153,80 @@ def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
         {**f, "type": new_type} if f["name"] == name else dict(f)
         for f in cur["fields"]
     ]
+    return _commit_schema_evolution(path, new_fields)
+
+
+def add_iceberg_column(
+    path: str,
+    name: str,
+    ice_type: str,
+    default=None,
+    write_default=None,
+    required: bool = False,
+    doc: str | None = None,
+) -> int:
+    """ALTER TABLE ADD COLUMN as a ZERO-REWRITE metadata commit (spec
+    §Schema Evolution + §Default values): the new schema appends a field
+    with a FRESH id; no data file changes. With ``default=``, the field
+    carries both ``initial-default`` (the constant scans surface for
+    rows in files that predate the column — the v3 alternative to
+    rewriting 100 TB of parquet to backfill a constant) and
+    ``write-default`` (the value a writer that omits the column
+    materializes — ``write_default=`` overrides it when the two should
+    differ, the spec allows that), serialized per the spec's JSON
+    single-value rules.
+
+    Fail-loud: defaults on a table below format-version 3 (the spec
+    gates them on v3), ``required=True`` without a default (existing
+    files would have no value for a required field), duplicate names,
+    unmappable types. Returns the new schema id."""
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    names = [f["name"] for f in cur.get("fields", [])]
+    if name in names:
+        raise ValueError(f"{path}: column {name!r} already exists")
+    ice_type = ice_type.strip().lower().replace(" ", "")
+    if _ice_to_spark_type(ice_type) is None:
+        raise NotImplementedError(
+            f"{path}: add column of iceberg type {ice_type!r} is outside "
+            "this module's primitive mapping"
+        )
+    fv = meta.get("format-version", 1)
+    if write_default is not None and default is None:
+        raise ValueError(
+            f"{path}: write_default without default (initial-default) — "
+            "pass default= too; existing files would otherwise surface "
+            "null while new omitting writers surface the constant"
+        )
+    if default is not None and fv < 3:
+        raise ValueError(
+            f"{path}: column defaults require format-version 3 "
+            f"(table is v{fv}) — the spec gates initial-default on v3"
+        )
+    if required and default is None:
+        raise ValueError(
+            f"{path}: adding a REQUIRED column without a default would "
+            "leave existing files with no value for it (spec: new "
+            "required fields must carry initial-default)"
+        )
+    last_id = max(
+        [f.get("id", 0) for f in cur.get("fields", [])]
+        + [meta.get("last-column-id", 0)],
+    )
+    field: dict = {
+        "id": last_id + 1,
+        "name": name,
+        "required": bool(required),
+        "type": ice_type,
+    }
+    if doc:
+        field["doc"] = doc
+    if default is not None:
+        field["initial-default"] = _default_json(ice_type, default)
+        field["write-default"] = _default_json(
+            ice_type, write_default if write_default is not None else default
+        )
+    new_fields = [dict(f) for f in cur["fields"]] + [field]
     return _commit_schema_evolution(path, new_fields)
 
 
@@ -7439,7 +7751,16 @@ def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
             if k in ident_src
         }
         backfill_json[e["path"]] = _json.dumps(tup)
-    return names, kinds, fid_of, backfill_json
+    # COLUMN DEFAULTS (spec §Default values, v3) in PHYSICAL encoding —
+    # the legs substitute these where a fid-stamped file provably
+    # predates the column, and the shared per-kind decode (or the ORC
+    # leg's typed backfill) converts them exactly like manifest-tuple
+    # backfill values
+    default_phys = {
+        name: _default_phys(ice_t, j)
+        for _fid, (name, ice_t, j) in _schema_defaults(meta).items()
+    }
+    return names, kinds, fid_of, backfill_json, default_phys
 
 
 def _read_avro_data(
@@ -7471,7 +7792,7 @@ def _read_avro_data(
     the session zone; the stager wrote the same physical micros)."""
     import json as _json
 
-    names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
+    names, kinds, fid_of, backfill_json, default_phys = _rowfmt_scan_prelude(
         declared, meta, entries, "AVRO"
     )
     out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
@@ -7523,8 +7844,9 @@ def _read_avro_data(
                             out[n] = backfill[n]
                         else:
                             # id absent from a fid-stamped file: the
-                            # column was added AFTER the file was written
-                            out[n] = None
+                            # column was added AFTER the file was
+                            # written — its initial-default (or null)
+                            out[n] = default_phys.get(n)
                     elif n in file_names:
                         out[n] = raw[n]
                     elif n in backfill:
@@ -7615,7 +7937,7 @@ def _read_orc_data(
     instant is unrecoverable."""
     import json as _json
 
-    names, kinds, fid_of, backfill_json = _rowfmt_scan_prelude(
+    names, kinds, fid_of, backfill_json, default_phys = _rowfmt_scan_prelude(
         declared, meta, entries, "ORC"
     )
     out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
@@ -7669,8 +7991,9 @@ def _read_orc_data(
                             out[n] = _bf_typed(n, backfill[n])
                         else:
                             # id absent from an id-stamped file: the
-                            # column was added AFTER the file was written
-                            out[n] = None
+                            # column was added AFTER the file was
+                            # written — its initial-default (or null)
+                            out[n] = _bf_typed(n, default_phys.get(n))
                     elif n in file_names:
                         out[n] = raw[n]
                     elif n in backfill:

@@ -2849,6 +2849,88 @@ def e1_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_v3_defaults",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderdate <  TIMESTAMP '1996-01-01' THEN 'legacy'
+                  WHEN o_orderdate <  TIMESTAMP '1997-06-01' THEN 'web'
+                  ELSE 'c' || CAST(o_orderkey % 3 AS VARCHAR) END AS channel,
+             CASE WHEN o_orderdate <  TIMESTAMP '1997-06-01' THEN 7
+                  ELSE o_orderkey % 5 END AS score
+      FROM orders
+    )
+    SELECT channel, COUNT(*) AS n,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM tagged
+    GROUP BY channel
+    """,
+)
+def e1_iceberg_v3_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 COLUMN DEFAULT VALUES (round 12 — spec §Default
+    values, io/iceberg.add_iceberg_column): write pre-1996 orders as a
+    v3 table, ADD two columns carrying defaults — ``chan`` with
+    initial-default 'legacy' and a DIFFERENT write-default 'web' (the
+    spec allows the pair to diverge), ``score`` long default 7 — then
+    append a mid-generation batch that OMITS both columns (the writer
+    materializes write-defaults into the data files) and a late batch
+    with EXPLICIT values, RENAME chan -> channel (defaults are keyed by
+    field id and must survive), and aggregate across all three file
+    generations. Three default paths meet one oracle: initial-default
+    surfaced at scan for the pre-add files, write-default materialized
+    at append, explicit values untouched. In-query asserts pin the
+    metadata shape: the renamed field still carries both defaults and
+    no data file was rewritten by the ADD/RENAME commits."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    src = o.select("o_orderkey", "o_totalprice", "o_orderdate")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_v3_defaults"
+    shutil.rmtree(path, ignore_errors=True)
+    cut1 = F.lit("1996-01-01").cast("timestamp")
+    cut2 = F.lit("1997-06-01").cast("timestamp")
+    iceberg.write_iceberg(
+        spark, src.where(F.col("o_orderdate") < cut1), path, format_version=3
+    )
+    n_files_gen1 = len(iceberg._live_data_files(path))
+    iceberg.add_iceberg_column(
+        path, "chan", "string", default="legacy", write_default="web"
+    )
+    iceberg.add_iceberg_column(path, "score", "long", default=7)
+    # the ADDs are metadata-only: zero data files rewritten
+    if len(iceberg._live_data_files(path)) != n_files_gen1:
+        raise AssertionError("ADD COLUMN must not touch data files")
+    mid = src.where((F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2))
+    iceberg.write_iceberg(spark, mid, path, format_version=3)
+    late = src.where(F.col("o_orderdate") >= cut2).select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 3).cast("string")).alias("chan"),
+        (F.col("o_orderkey") % 5).alias("score"),
+    )
+    iceberg.write_iceberg(spark, late, path, format_version=3)
+    iceberg.rename_iceberg_column(path, "chan", "channel")
+    meta = iceberg._load_metadata(path)
+    fld = next(
+        f for f in iceberg._current_schema(meta)["fields"]
+        if f["name"] == "channel"
+    )
+    if fld.get("initial-default") != "legacy" or fld.get("write-default") != "web":
+        raise AssertionError(
+            f"defaults must survive a rename (field-id keyed): {fld}"
+        )
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy("channel").agg(
+        F.count("*").alias("n"),
+        F.sum("score").cast("long").alias("sum_score"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
     "e1_delta_id_mode",
     """
     SELECT l_returnflag,
@@ -6666,6 +6748,240 @@ def e13_stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e13_stream_iceberg_v3_cdf",
+    """
+    SELECT o_orderkey, 'insert' AS _change_type, 1 AS _change_ord
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 2 AS _change_ord
+    FROM orders WHERE o_totalprice > 400000.0
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 3 AS _change_ord
+    FROM orders WHERE o_orderkey % 11 = 5 AND o_totalprice <= 400000.0
+    UNION ALL
+    SELECT o_orderkey, 'insert' AS _change_type, 3 AS _change_ord
+    FROM orders WHERE o_orderkey % 11 = 5 AND o_totalprice <= 400000.0
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS _change_type, 4 AS _change_ord
+    FROM orders WHERE o_orderkey % 13 = 3 AND o_totalprice <= 400000.0
+    """,
+)
+def e13_stream_iceberg_v3_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed over a FORMAT-VERSION 3 table (round 12 —
+    VERDICT r11 item 5): the full DV mutation matrix flows through the
+    CDF spool under Structured Streaming — append (inserts), a puffin
+    deletion-vector commit (deletes), a merge-on-read UPDATE (DV mask +
+    replacement files: delete+insert per touched row), and a SECOND DV
+    delete whose positions UNION into per-file DVs (the supersede path —
+    its diff must be exactly the newly-dead rows, not the whole bitmap).
+    In-query asserts pin v3: mandatory row lineage in the metadata and
+    puffin-framed DV entries in the final scan plan. The commit
+    dimension is the dense rank of _commit_snapshot_id (1 = append,
+    2 = DV delete, 3 = update, 4 = superseding DV delete); the oracle
+    restates all five change sets from the source parquet."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .io import iceberg
+    from .streaming import iceberg_source
+
+    (o,) = _t(spark, sf_dir, "orders")
+    base = f"{tempfile.gettempdir()}/fsml_stream_iceberg_v3_cdf"
+    shutil.rmtree(base, ignore_errors=True)
+    path, spool = f"{base}/table", f"{base}/spool"
+    cut = "1997-01-01"
+    s0 = iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path, format_version=3,
+    )
+    iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path, format_version=3,
+    )
+    iceberg.delete_iceberg(spark, path, "o_totalprice > 400000.0")
+    iceberg.update_iceberg(
+        spark, path, {"o_totalprice": "o_totalprice + 1.0"},
+        where="o_orderkey % 11 = 5",
+    )
+    iceberg.delete_iceberg(spark, path, "o_orderkey % 13 = 3")
+    meta = iceberg._load_metadata(path)
+    if meta["format-version"] != 3 or "next-row-id" not in meta:
+        raise AssertionError("v3 table must carry mandatory row lineage")
+    _d, dels = iceberg._snapshot_scan_plan(
+        meta, meta["current-snapshot-id"], path
+    )
+    if not dels or any(not d["path"].endswith(".puffin") for d in dels):
+        raise AssertionError("v3 delete content must be puffin DVs")
+    stream, _ = iceberg_source.stream_iceberg_cdf(
+        spark, path, spool, since_snapshot_id=s0
+    )
+    out = streaming_events.run_stream_to_table(spark, stream, mode="append")
+    return out.select(
+        "o_orderkey",
+        "_change_type",
+        F.dense_rank()
+        .over(Window.orderBy("_commit_snapshot_id"))
+        .cast("int")
+        .alias("_change_ord"),
+    )
+
+
+@register(
+    "e13_stream_iceberg_mutations",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ), feed AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM src WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1.0 AS price
+      FROM src
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_orderkey % 10 = 0 AND o_totalprice <= 420000.0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice AS price
+      FROM src WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_orderkey % 5 AS INT) AS bucket, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY 1
+    """,
+)
+def e13_stream_iceberg_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN Iceberg tail over a MUTATING table (round 12 —
+    streaming/iceberg_source.sync_iceberg_spool ignore_deletes/
+    ignore_changes, twin of the Delta tail's round-11 options): create,
+    DELETE a slice (delete-only commit — SKIPPED, rows never
+    retracted), UPDATE a key slice (rewrite commit — its replacement
+    files RE-EMIT in full, duplicates by contract), then append — all
+    consumed by one Structured Streaming query. The oracle restates the
+    contract exactly: base rows in full (the delete never retracts),
+    plus one updated copy per rewritten live row, plus the appended
+    rows — any slip in per-snapshot classification (a skipped rewrite,
+    a re-emitted delete) changes both counts and sums."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+    from .streaming import iceberg_source
+
+    (o,) = _t(spark, sf_dir, "orders")
+    base = f"{tempfile.gettempdir()}/fsml_stream_iceberg_mut"
+    shutil.rmtree(base, ignore_errors=True)
+    path, spool = f"{base}/table", f"{base}/spool"
+    cut = F.lit("1997-01-01").cast("timestamp")
+    iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", F.col("o_totalprice").alias("price")),
+        path, format_version=2,
+    )
+    iceberg.delete_iceberg(spark, path, "price > 420000.0")
+    iceberg.update_iceberg(
+        spark, path, {"price": "price + 1.0"}, where="o_orderkey % 10 = 0"
+    )
+    iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", F.col("o_totalprice").alias("price")),
+        path, format_version=2,
+    )
+    stream, _ = iceberg_source.stream_from_iceberg(
+        spark, path, spool, ignore_changes=True
+    )
+    out = streaming_events.run_stream_to_table(spark, stream, mode="append")
+    return out.groupBy(
+        (F.col("o_orderkey") % 5).cast("int").alias("bucket")
+    ).agg(F.count("*").alias("n"), dsum("price").alias("sum_price"))
+
+
+@register(
+    "e13_stream_delta_cdf_rename",
+    """
+    SELECT o_orderkey, o_totalprice AS price,
+           'delete' AS _change_type, 3 AS _commit_version
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 420000.0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price,
+           'insert' AS _change_type, 5 AS _commit_version
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price,
+           'delete' AS _change_type, 6 AS _commit_version
+    FROM orders
+    WHERE o_totalprice > 380000.0
+      AND NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_totalprice > 420000.0)
+    """,
+)
+def e13_stream_delta_cdf_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed across a COLUMN RENAME (round 12 —
+    streaming/delta_source.stream_delta_cdf, materialized leg): a
+    NAME-mapped CDF table deletes a slice (cdc files under the OLD
+    logical name), renames o_totalprice -> price, then appends and
+    deletes again under the new name. The stream's footer probe detects
+    the rename-spanning cdc files and routes through per-commit
+    materialization (read_delta_cdf's physical-schema scan + logical
+    projection), so one Structured Streaming query spans both name
+    generations — the online twin of the batch reader's rename
+    handling, and the closure of VERDICT r11 gap #2. The renamed
+    ``price`` column is in the output, so a projection slip (null
+    backfill of pre-rename rows — the classic silent failure) breaks
+    the hash, not just the row count."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+    from .streaming import delta_source
+
+    (o,) = _t(spark, sf_dir, "orders")
+    base = f"{tempfile.gettempdir()}/fsml_stream_delta_cdf_rename"
+    shutil.rmtree(base, ignore_errors=True)
+    path, spool = f"{base}/table", f"{base}/spool"
+    cut = "1997-01-01"
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        path,
+    )  # v0 (outside the feed range)
+    lakehouse.alter_delta_properties(
+        path, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    lakehouse.enable_delta_column_mapping(spark, path)  # v2
+    lakehouse.delete_delta(spark, path, "o_totalprice > 420000.0")  # v3
+    lakehouse.rename_delta_column(spark, path, "o_totalprice", "price")  # v4
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") >= cut)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderdate",
+        ),
+        path, mode="append",
+    )  # v5: inserts under the NEW name
+    lakehouse.delete_delta(spark, path, "price > 380000.0")  # v6
+    stream, _ = delta_source.stream_delta_cdf(
+        spark, path, spool, since_version=2
+    )
+    out = streaming_events.run_stream_to_table(spark, stream, mode="append")
+    return out.select(
+        "o_orderkey",
+        "price",
+        "_change_type",
+        F.col("_commit_version").cast("int").alias("_commit_version"),
+    )
+
+
+@register(
     "e13_stream_iceberg_cdf",
     """
     SELECT o_orderkey, 'insert' AS _change_type, 1 AS _change_ord
@@ -7646,17 +7962,37 @@ _FINAL_ORDER = [
                             # green r5-r10; time travel stays in-window
                             # via e1_iceberg_rollback and this query's
                             # own multi-snapshot reads)
+    "e1_iceberg_v3_defaults",  # round 12: v3 column defaults (initial-
+                               # default scan backfill + write-default
+                               # materialization + rename survival) —
+                               # displaces e1_iceberg_evolution (driver-
+                               # green r6-r11; the schema-evolution family
+                               # stays in-window through this query, a
+                               # strict superset: add + rename + defaults
+                               # + mixed-generation resolution)
     "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
-    "e1_iceberg_evolution",  # round 6: rename/drop schema evolution
     "e1_delta_delete_vectors",
     "e1_delta_data_skipping",  # per-file stats + file pruning on read
     "e1_iceberg_data_skipping",  # manifest-bounds pruning, both formats
     "e1_iceberg_partition_transforms",  # year × murmur3-bucket pruning
     # -- new in round 6 (late): zero-rewrite ALTER COLUMN TYPE on both
     #    formats, and the partitioned Delta streaming tail
-    "e1_delta_type_widening",
+    "e13_stream_iceberg_v3_cdf",  # round 12: v3 puffin-DV mutation
+                                  # matrix under SS (union/supersede
+                                  # diffs) — displaces
+                                  # e1_delta_type_widening (driver-green
+                                  # r6-r11; the widening family stays
+                                  # in-window via e1_iceberg_type_widening
+                                  # and Delta widening in the swept tail)
     "e1_iceberg_type_widening",
-    "e1_delta_update",       # copy-on-write UPDATE, third DML leg
+    "e13_stream_delta_cdf_rename",  # round 12: CDF stream spanning a
+                                    # column rename (materialized leg,
+                                    # VERDICT r11 gap #2) — displaces
+                                    # e1_delta_update (driver-green
+                                    # r6-r11; the COW UPDATE family stays
+                                    # in-window via e1_delta_replace_where
+                                    # + e1_delta_merge_set/sync, and
+                                    # update itself in the swept tail)
     "e1_iceberg_rowfmt_dml",  # round 10: MoR UPDATE+MERGE on AVRO data
                               # files (same-format replacement staging),
                               # exact oracle — displaces e1_iceberg_update
@@ -7795,9 +8131,27 @@ _FINAL_ORDER = [
                               # e1_iceberg_rowfmt_dml (driver-green
                               # r6-r9; the MoR UPDATE machinery stays
                               # in-window through the rowfmt DML query)
+    "e1_iceberg_evolution",   # rotated out r12, displaced by
+                              # e1_iceberg_v3_defaults (driver-green
+                              # r6-r11; the schema-evolution family stays
+                              # in-window through the defaults query —
+                              # add + rename + mixed-generation reads)
+    "e1_delta_update",        # rotated out r12, displaced by
+                              # e13_stream_delta_cdf_rename (driver-green
+                              # r6-r11; COW UPDATE family stays in-window
+                              # via replace_where + merge_set/sync)
+    "e1_delta_type_widening",  # rotated out r12, displaced by
+                               # e13_stream_iceberg_v3_cdf (driver-green
+                               # r6-r11; widening family stays in-window
+                               # via e1_iceberg_type_widening)
     "e13_stream_iceberg_avro",  # round 10: streaming tail over AVRO
                                 # data files (spool materialization),
                                 # exact oracle — swept tail
+    "e13_stream_iceberg_mutations",  # round 12: plain tail with
+                                     # ignore_deletes/ignore_changes
+                                     # (delete skipped, rewrite re-
+                                     # emitted), exact oracle — swept
+                                     # tail
     "e1_iceberg_mixed_deletes",  # round 10: per-format mask pipelines on
                                  # a mixed AVRO+parquet table (pos delete
                                  # spanning both groups + MoR UPDATE),
@@ -8004,7 +8358,11 @@ def _apply_final_order() -> None:
     # and e1_iceberg_merge_sync are tail-registered)
     # 104 -> 106 round 11: two incremental-OPTIMIZE queries entered the
     # window, displacing e12_feature_upsert + e1_delta_partitioned_merge
-    assert n_oracle_tail <= 108, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 106 -> 111 round 12: v3 defaults + rename-spanning Delta CDF stream
+    # + v3-DV CDF stream entered displacing three multi-round-green ones,
+    # and the ignore_deletes/ignore_changes plain-tail query is
+    # tail-registered
+    assert n_oracle_tail <= 111, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -15,12 +15,15 @@ one distributed decode pass per sync through the batch rowfmt readers,
 idempotent via per-source-file markers. The CDF spool does the same by
 routing rowfmt appends through its existing materialization leg.
 
-Fail-loud boundaries: history rewrites (files gone between snapshots),
-any row-level delete files on the PLAIN tail (a spool scan would
-resurrect masked rows — the CDF tail handles them), and schema-evolved
-tables whose staged footers no longer match the current column names (a
-name-based file-source read would NULL renamed columns silently — the
-batch reader handles this via field-id grouping, a file source cannot).
+Fail-loud boundaries: row-removing or rewriting snapshots on the PLAIN
+tail fail loud by DEFAULT — ``ignore_deletes`` / ``ignore_changes``
+(round 12, twin of delta_source's options) opt into delta-spark's
+documented skip / re-emit semantics, with 'replace' (compaction)
+snapshots invisible like Delta's ``dataChange: false`` (the CDF tail
+retracts rows properly instead); and schema-evolved tables whose staged
+footers no longer match the current column names (a name-based
+file-source read would NULL renamed columns silently — the batch reader
+handles this via field-id grouping, a file source cannot).
 """
 
 from __future__ import annotations
@@ -39,11 +42,34 @@ def sync_iceberg_spool(
     spool_dir: str,
     since_snapshot_id: int | None = None,
     spark: SparkSession | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
 ) -> int:
     """Link data files committed after ``since_snapshot_id`` (None = from
     the beginning) into ``spool_dir``; return the current snapshot id to
     checkpoint for the next sync. Idempotent (deterministic link names,
-    existing links skipped).
+    existing links skipped). Walks the snapshot history PER COMMIT in
+    sequence order (round 12 — formerly one endpoint diff), so each
+    snapshot's operation classifies it exactly like the Delta twin's
+    per-version walk:
+
+    - pure APPEND snapshots link their added files;
+    - 'replace' snapshots (compaction — rewrite_data_files) change no
+      rows by contract and are INVISIBLE under every setting, like
+      Delta's ``dataChange: false`` commits (formerly a loud refusal);
+    - a snapshot that ONLY removes rows (delete files or whole-file
+      removes, no adds) fails loud by default; ``ignore_deletes=True``
+      SKIPS it — its rows are simply never retracted downstream
+      (delta-spark's ignoreDeletes contract);
+    - a snapshot that REWRITES files (UPDATE/MERGE/overwrite:
+      removes + adds) fails loud by default; ``ignore_changes=True``
+      (implies ignore_deletes) re-emits its added files in full, so
+      downstream must tolerate duplicates of surviving rows
+      (the ignoreChanges contract). Added files that a live
+      position-delete/DV could mask at that snapshot are MATERIALIZED
+      as their live rows instead of linked (nothing in a file source
+      would apply the mask) — one batched distributed job per sync,
+      crash-safe via the ``_inflight.json`` ledger.
 
     PARQUET files symlink (zero-copy). AVRO/ORC data files (round 10)
     cannot feed a parquet file stream byte-for-byte, so they MATERIALIZE:
@@ -53,87 +79,199 @@ def sync_iceberg_spool(
     Per-source-file markers under ``<spool>/.materialized/`` make the
     conversion idempotent across re-syncs and overlapping checkpoints.
     Materialization needs a SparkSession; the metadata-only call shape
-    (``spark=None``) keeps refusing rowfmt files loudly."""
+    (``spark=None``) keeps refusing loudly."""
     meta = _ice._load_metadata(path)
     cur = meta.get("current-snapshot-id")
     if cur in (None, -1):
         raise ValueError(f"{path}: table has no current snapshot")
-    plan, new_deletes = _ice._snapshot_scan_plan(meta, cur, path)
-    new = [d["path"] for d in plan]
-    fmt_of = {d["path"]: (d.get("format") or "PARQUET") for d in plan}
-    entry_of = {d["path"]: d for d in plan}
-    if new_deletes:
-        raise ValueError(
-            f"{path}: snapshot {cur} carries row-level delete files — "
-            "tailing an append-only stream off this table would resurrect "
-            "masked rows; compact (rewrite_data_files) first"
-        )
-    if since_snapshot_id is not None and since_snapshot_id != -1:
-        if since_snapshot_id == cur:
-            return cur
-        old, _old_deletes = _ice._snapshot_content(
-            meta, since_snapshot_id, path
-        )
-        gone = set(old) - set(new)
-        if gone:
-            raise ValueError(
-                f"{path}: {len(gone)} files live at snapshot "
-                f"{since_snapshot_id} are gone at {cur} — history "
-                "rewritten (compaction/overwrite); the stream is "
-                "ill-defined, restart from a full snapshot"
-            )
-        added = [f for f in new if f not in set(old)]
-    else:
-        added = list(new)
-    added_local = [
-        urlparse(f).path if urlparse(f).scheme in ("", "file") else f
-        for f in added
-    ]
-    if any("://" in f for f in added_local):
-        raise NotImplementedError(
-            f"{path}: spool links need local paths; found object-store URIs"
-        )
-    pq_added: list[str] = []
-    rowfmt_added: list[str] = []
-    for orig, f in zip(added, added_local):
-        if fmt_of[orig] != "PARQUET":
-            rowfmt_added.append(orig)
-            continue
-        # magic sniff stays as the fail-loud for mislabeled manifests: a
-        # linked non-parquet file would be misread byte-for-byte
-        with open(f, "rb") as fh:
-            magic = fh.read(4)
-        if magic != b"PAR1":
-            raise NotImplementedError(
-                f"{path}: data file {os.path.basename(f)} is labeled "
-                "PARQUET in its manifest but does not start with PAR1 — "
-                "refusing to spool a mislabeled file"
-            )
-        pq_added.append(f)
-    if rowfmt_added and spark is None:
-        raise NotImplementedError(
-            f"{path}: {len(rowfmt_added)} non-parquet data files need "
-            "materialization into the parquet spool — pass spark= (or "
-            "use stream_from_iceberg, which does), or compact_iceberg "
-            "to parquet first"
-        )
-    _check_footers_match_schema(meta, pq_added, path)
+    if ignore_changes:
+        ignore_deletes = True
+    ordered = sorted(
+        meta.get("snapshots", []),
+        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
+    )
     os.makedirs(spool_dir, exist_ok=True)
-    # snapshot ids are monotone (max+1 allocation), so prefixing with the
-    # sync's snapshot id keeps discovery order aligned with commit order
-    # across syncs; within one sync the sorted basenames are stable
-    for i, src in enumerate(sorted(pq_added)):
-        link = os.path.join(
-            spool_dir, f"{cur:020d}-{i:05d}-{os.path.basename(src)}"
+    seen_since = since_snapshot_id is None or since_snapshot_id == -1
+    prev = None
+    rowfmt_batch: list[dict] = []
+    rewrite_batch: list[tuple[int, list[str]]] = []
+
+    def _link_parquet(sid: int, entries: list[dict]) -> None:
+        locals_ = []
+        for e in entries:
+            f = e["path"]
+            f = urlparse(f).path if urlparse(f).scheme in ("", "file") else f
+            if "://" in f:
+                raise NotImplementedError(
+                    f"{path}: spool links need local paths; found "
+                    "object-store URIs"
+                )
+            # magic sniff stays as the fail-loud for mislabeled
+            # manifests: a linked non-parquet file would be misread
+            # byte-for-byte
+            with open(f, "rb") as fh:
+                magic = fh.read(4)
+            if magic != b"PAR1":
+                raise NotImplementedError(
+                    f"{path}: data file {os.path.basename(f)} is labeled "
+                    "PARQUET in its manifest but does not start with "
+                    "PAR1 — refusing to spool a mislabeled file"
+                )
+            locals_.append(f)
+        _check_footers_match_schema(meta, locals_, path)
+        # snapshot ids are monotone (max+1 allocation), so prefixing
+        # with the owning snapshot id keeps discovery order aligned
+        # with commit order; within one snapshot sorted basenames are
+        # stable
+        for i, src in enumerate(sorted(locals_)):
+            link = os.path.join(
+                spool_dir, f"{sid:020d}-{i:05d}-{os.path.basename(src)}"
+            )
+            if not os.path.lexists(link):
+                os.symlink(os.path.abspath(src), link)
+
+    for snap in ordered:
+        sid = snap["snapshot-id"]
+        if not seen_since:
+            if sid == since_snapshot_id:
+                seen_since = True
+            prev = snap
+            continue
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            prev = snap
+            continue  # compaction: rows identical by contract
+        p_data, p_del = (
+            _ice._snapshot_content(meta, prev["snapshot-id"], path)
+            if prev is not None
+            else ([], [])
         )
-        if not os.path.lexists(link):
-            os.symlink(os.path.abspath(src), link)
-    if rowfmt_added:
-        _materialize_rowfmt(
-            spark, path, meta, spool_dir, cur,
-            [entry_of[p] for p in rowfmt_added],
+        s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
+        s_data = [d["path"] for d in s_plan]
+        added = [d for d in s_plan if d["path"] not in set(p_data)]
+        removed = bool(set(p_data) - set(s_data))
+        new_deletes = {d["path"] for d in s_del_plan} - set(p_del)
+        if removed or new_deletes:
+            if prev is None:
+                raise ValueError(
+                    f"{path}: first snapshot {sid} carries delete "
+                    "content — corrupt history"
+                )
+            if not added:
+                if ignore_deletes:
+                    prev = snap
+                    continue  # delete-only commit, skipped by contract
+                raise ValueError(
+                    f"{path}: snapshot {sid} removed rows (delete "
+                    "files / whole-file deletes) — tailing an "
+                    "append-only stream off this table is ill-defined; "
+                    "pass ignore_deletes=True to skip delete-only "
+                    "commits (their rows are never retracted)"
+                )
+            if not ignore_changes:
+                raise ValueError(
+                    f"{path}: snapshot {sid} rewrote data files "
+                    "(update/merge/overwrite) — tailing an append-only "
+                    "stream off this table is ill-defined; pass "
+                    "ignore_changes=True to re-emit rewritten files "
+                    "(downstream must tolerate duplicates)"
+                )
+            # re-emit semantics: link added files in full; files a live
+            # position-delete could mask at THIS snapshot materialize
+            # their live rows instead (eq-deletes only reach files with
+            # a LOWER sequence, so same-commit adds are out of range)
+            refs: set[str] = set()
+            unknown_pos_refs = False
+            for d in s_del_plan:
+                if d.get("kind") != "pos":
+                    continue
+                r = d.get("referenced_data_file")
+                if r is None:
+                    unknown_pos_refs = True
+                else:
+                    refs.add(r)
+            masked = [
+                e for e in added
+                if unknown_pos_refs or e["path"] in refs
+            ]
+            if masked:
+                if spark is None:
+                    raise NotImplementedError(
+                        f"{path}: snapshot {sid} adds files that carry "
+                        "live delete masks — materializing their live "
+                        "rows needs spark= (or use stream_from_iceberg)"
+                    )
+                rewrite_batch.append((sid, [e["path"] for e in masked]))
+                masked_set = {e["path"] for e in masked}
+                added = [e for e in added if e["path"] not in masked_set]
+        pq_entries = [
+            e for e in added if (e.get("format") or "PARQUET") == "PARQUET"
+        ]
+        rowfmt_entries = [
+            e for e in added if (e.get("format") or "PARQUET") != "PARQUET"
+        ]
+        if rowfmt_entries and spark is None:
+            raise NotImplementedError(
+                f"{path}: {len(rowfmt_entries)} non-parquet data files "
+                "need materialization into the parquet spool — pass "
+                "spark= (or use stream_from_iceberg, which does), or "
+                "compact_iceberg to parquet first"
+            )
+        _link_parquet(sid, pq_entries)
+        rowfmt_batch.extend(rowfmt_entries)
+        prev = snap
+    if not seen_since:
+        raise ValueError(
+            f"{path}: snapshot {since_snapshot_id} is not retained — "
+            "history expired; restart from a full snapshot"
         )
+    if rowfmt_batch:
+        _materialize_rowfmt(spark, path, meta, spool_dir, cur, rowfmt_batch)
+    if rewrite_batch:
+        _materialize_rewrites(spark, path, spool_dir, rewrite_batch)
     return cur
+
+
+def _materialize_rewrites(
+    spark: SparkSession,
+    path: str,
+    spool_dir: str,
+    batch: list[tuple[int, list[str]]],
+) -> None:
+    """Live rows of rewrite-snapshot added files, each read with its
+    delete masks applied AT ITS OWN snapshot (``read_iceberg`` subset
+    scan) — what delta-spark's ignoreChanges emits when a rewritten file
+    carries a DV. All pending snapshots union into ONE distributed job
+    per sync; publication rides the same crash-safe ledger as the
+    rowfmt decode (``_publish_parts``), keyed ``rewrite-<sid>.done``."""
+    from functools import reduce as _reduce
+
+    mark_dir = os.path.join(spool_dir, ".materialized")
+    os.makedirs(mark_dir, exist_ok=True)
+    _recover_partial_materialization(spool_dir, mark_dir)
+    todo = [
+        (sid, paths)
+        for sid, paths in batch
+        if not os.path.exists(os.path.join(mark_dir, f"rewrite-{sid}.done"))
+    ]
+    if not todo:
+        return
+    dfs = [
+        _ice.read_iceberg(spark, path, snapshot_id=sid, _only_paths=set(paths))
+        for sid, paths in todo
+    ]
+    df = _stamp_fids(
+        _reduce(lambda a, b: a.unionByName(b), dfs),
+        _ice._load_metadata(path),
+    )
+    hi = max(sid for sid, _ in todo)
+    _publish_parts(
+        spool_dir,
+        mark_dir,
+        df,
+        f"{hi:020d}-r",
+        [f"rewrite-{sid}" for sid, _ in todo],
+    )
 
 
 def _materialize_rowfmt(
@@ -164,9 +302,6 @@ def _materialize_rowfmt(
     to completion (renames are idempotent against the recorded names) and
     only then writes the source markers, so every source file's rows land
     exactly once no matter where the previous process died."""
-    import shutil
-    import uuid
-
     mark_dir = os.path.join(spool_dir, ".materialized")
     os.makedirs(mark_dir, exist_ok=True)
     _recover_partial_materialization(spool_dir, mark_dir)
@@ -196,12 +331,57 @@ def _materialize_rowfmt(
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    tmp = os.path.join(spool_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
-    df.write.parquet(tmp)
+    df = _stamp_fids(df, meta)
     # the 'm' segment sorts materialized output after same-sync
     # symlinks; discovery order within a sync is not semantic
+    _publish_parts(
+        spool_dir,
+        mark_dir,
+        df,
+        f"{cur:020d}-m",
+        [os.path.basename(e["path"]) for e in todo],
+    )
+
+
+def _stamp_fids(df, meta: dict):
+    """Stamp each column's Iceberg FIELD ID into the staged parquet
+    footers (alias metadata -> footer, like the table writer does):
+    spooled symlinks carry footer field ids, and Spark's field-id read
+    refuses a scan that mixes id-carrying and id-less files — the
+    materialized parts must match."""
+    from pyspark.sql import functions as F
+
+    fids = {
+        f["name"]: f["id"]
+        for f in _ice._current_schema(meta).get("fields", [])
+        if "id" in f
+    }
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": fids[c]})
+            if c in fids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _publish_parts(
+    spool_dir: str, mark_dir: str, df, prefix: str, sources: list[str]
+) -> None:
+    """Two-phase crash-safe publication of ``df``'s parquet parts into
+    the flat spool under ``<prefix><k>-<part>`` names, committing
+    ``<source>.done`` markers only after every rename (the
+    ``_inflight.json`` ledger protocol — see
+    :func:`_materialize_rowfmt`). Shared by the rowfmt decode leg and
+    the ignore_changes rewrite leg."""
+    import shutil
+    import uuid
+
+    tmp = os.path.join(spool_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
+    df.write.parquet(tmp)
     plan = [
-        (name, f"{cur:020d}-m{k:05d}-{name}")
+        (name, f"{prefix}{k:05d}-{name}")
         for k, name in enumerate(
             n for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
         )
@@ -209,7 +389,7 @@ def _materialize_rowfmt(
     ledger = {
         "tmp": os.path.basename(tmp),
         "parts": plan,
-        "sources": [os.path.basename(e["path"]) for e in todo],
+        "sources": sources,
     }
     ledger_path = os.path.join(mark_dir, "_inflight.json")
     ltmp = ledger_path + ".tmp"
@@ -300,11 +480,22 @@ def stream_from_iceberg(
     spool_dir: str,
     since_snapshot_id: int | None = None,
     max_files_per_trigger: int | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
 ) -> tuple[DataFrame, int]:
     """Tail an append-only Iceberg table as a real Structured Streaming
     DataFrame. Returns ``(streaming_df, synced_snapshot_id)`` — checkpoint
-    the snapshot id alongside the sink and pass it back to resume."""
-    snap = sync_iceberg_spool(path, spool_dir, since_snapshot_id, spark=spark)
+    the snapshot id alongside the sink and pass it back to resume.
+    ``ignore_deletes`` / ``ignore_changes`` carry delta-spark's
+    documented mutation-tolerance semantics (see sync_iceberg_spool)."""
+    snap = sync_iceberg_spool(
+        path,
+        spool_dir,
+        since_snapshot_id,
+        spark=spark,
+        ignore_deletes=ignore_deletes,
+        ignore_changes=ignore_changes,
+    )
     meta = _ice._load_metadata(path)
     schema = _ice._declared_spark_schema(meta)
     if schema is None:

@@ -368,22 +368,27 @@ def test_iceberg_tail_fail_louds(spark, tmp_path):
     with pytest.raises(ValueError, match="delete files"):
         iceberg_source.sync_iceberg_spool(root, str(tmp_path / "s1"))
 
-    # history rewrite (compaction) between checkpoints
+    # compaction between checkpoints is INVISIBLE (round 12 — 'replace'
+    # snapshots change no rows, like Delta's dataChange:false; formerly
+    # a loud history-rewrite refusal): the sync emits exactly the
+    # appended rows, never the compacted rewrites
     root2 = str(tmp_path / "cmp")
     iceberg.write_iceberg(
         spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
         root2, format_version=2,
     )
-    snap = iceberg_source.sync_iceberg_spool(root2, str(tmp_path / "s2"))
+    spool2 = str(tmp_path / "s2")
+    snap = iceberg_source.sync_iceberg_spool(root2, spool2)
     iceberg.write_iceberg(
         spark, spark.range(10, 20).select("id", (F.col("id") * 2).alias("v")),
         root2, format_version=2,
     )
     iceberg.compact_iceberg(spark, root2)
-    with pytest.raises(ValueError, match="history rewritten|gone at"):
-        iceberg_source.sync_iceberg_spool(
-            root2, str(tmp_path / "s2"), since_snapshot_id=snap
-        )
+    iceberg_source.sync_iceberg_spool(
+        root2, spool2, since_snapshot_id=snap
+    )
+    got = sorted(r.id for r in spark.read.parquet(spool2).collect())
+    assert got == list(range(20))
 
     # rename evolution: file source would NULL the renamed column
     root3 = str(tmp_path / "ren")
@@ -394,6 +399,84 @@ def test_iceberg_tail_fail_louds(spark, tmp_path):
     iceberg.rename_iceberg_column(root3, "v", "speed")
     with pytest.raises(NotImplementedError, match="rename evolution"):
         iceberg_source.sync_iceberg_spool(root3, str(tmp_path / "s3"))
+
+
+def test_iceberg_tail_ignore_deletes(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 4): ignore_deletes skips delete-only
+    snapshots — their rows are never retracted; later appends still
+    flow. Twin of the Delta tail's option."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "id = 3")  # pos/DV delete commit
+    iceberg.write_iceberg(
+        spark, spark.range(10, 13).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        iceberg_source.sync_iceberg_spool(root, spool)
+    snap = iceberg_source.sync_iceberg_spool(root, spool, ignore_deletes=True)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    # id=3 is NOT retracted (skip contract); appended rows present
+    assert got == list(range(13))
+    # v3 DV commit under ignore_deletes: same skip
+    root3 = str(tmp_path / "t3")
+    spool3 = str(tmp_path / "spool3")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root3, format_version=3
+    )
+    iceberg.delete_iceberg(spark, root3, "id = 1")  # puffin DV commit
+    with pytest.raises(ValueError, match="ignore_deletes"):
+        iceberg_source.sync_iceberg_spool(root3, spool3)
+    iceberg_source.sync_iceberg_spool(root3, spool3, ignore_deletes=True)
+    assert sorted(
+        r.id for r in spark.read.parquet(spool3).collect()
+    ) == [0, 1, 2, 3, 4]
+
+
+def test_iceberg_tail_ignore_changes(spark, tmp_path):
+    """Round 12: ignore_changes re-emits a rewrite snapshot's added
+    files (duplicates allowed downstream); replacement files that a
+    same-snapshot position delete could mask materialize their LIVE
+    rows. ignore_deletes alone refuses a rewrite."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    iceberg.write_iceberg(
+        spark, spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, format_version=2,
+    )
+    snap0 = iceberg_source.sync_iceberg_spool(root, spool)
+    iceberg.update_iceberg(
+        spark, root, {"v": "v + 100"}, where="id >= 8"
+    )  # rewrite: pos-deletes on old files + replacement files
+    with pytest.raises(ValueError, match="ignore_changes"):
+        iceberg_source.sync_iceberg_spool(
+            root, spool, since_snapshot_id=snap0, ignore_deletes=True
+        )
+    iceberg_source.sync_iceberg_spool(
+        root, spool, since_snapshot_id=snap0, spark=spark,
+        ignore_changes=True,
+    )
+    rows = [(r.id, r.v) for r in spark.read.parquet(spool).collect()]
+    # originals all present (never retracted) + updated copies re-emitted
+    assert sorted(rows) == sorted(
+        [(i, i * 2) for i in range(10)] + [(8, 116), (9, 118)]
+    )
+    # idempotent: re-sync adds nothing
+    iceberg_source.sync_iceberg_spool(
+        root, spool, since_snapshot_id=snap0, spark=spark,
+        ignore_changes=True,
+    )
+    assert len(spark.read.parquet(spool).collect()) == 12
 
 
 # --- CDF streaming source ----------------------------------------------------

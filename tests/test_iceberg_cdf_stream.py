@@ -100,3 +100,73 @@ def test_cdf_stream_materializes_converted_partition_columns(spark, tmp_path):
     assert sorted((r.id, r.p) for r in got.collect()) == [
         (i, i % 2) for i in range(8)
     ]
+
+
+def test_v3_dv_cdf_diff_counts_each_dead_row_once(spark, tmp_path):
+    """Round-12 regression: a v3 DV delete commit stages ONE puffin file
+    whose manifest lists one entry PER referenced data file (same path);
+    the CDF diff must visit the physical file once — the bug emitted
+    every dead row once per entry (2 files -> 2x deletes)."""
+    root = str(tmp_path / "t")
+    # several data files so the puffin carries several DV blobs
+    iceberg.write_iceberg(
+        spark,
+        spark.range(0, 100).select("id", (F.col("id") * 2).alias("v"))
+        .repartition(4),
+        root,
+        format_version=3,
+    )
+    meta = iceberg._load_metadata(root)
+    s0 = meta["current-snapshot-id"]
+    iceberg.delete_iceberg(spark, root, "id % 10 = 3")
+    meta = iceberg._load_metadata(root)
+    dels = iceberg._snapshot_scan_plan(meta, meta["current-snapshot-id"], root)[1]
+    assert len(dels) > len({d["path"] for d in dels}), (
+        "fixture must exercise entry-per-ref puffin sharing"
+    )
+    cdf = iceberg.read_iceberg_cdf(spark, root, s0).collect()
+    dead = sorted(r.id for r in cdf if r._change_type == "delete")
+    assert dead == [i for i in range(100) if i % 10 == 3]
+
+
+def test_v3_dv_cdf_stream_restart_mid_matrix(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 5): a v3 DV mutation matrix consumed
+    in TWO stream sessions — sync/checkpoint mid-matrix, mutate more
+    (including a superseding DV delete), resume from the checkpointed
+    snapshot — unions to exactly the batch feed."""
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    s0 = iceberg.write_iceberg(
+        spark,
+        spark.range(0, 60).select("id", (F.col("id") * 2).alias("v"))
+        .repartition(3),
+        root,
+        format_version=3,
+    )
+    iceberg.delete_iceberg(spark, root, "id < 10")
+    # first session: genesis + first DV commit
+    stream1, snap1 = iceberg_source.stream_iceberg_cdf(spark, root, spool)
+    got1 = sev.run_stream_to_table(spark, stream1, mode="append")
+    n1 = got1.count()
+    assert n1 == 60 + 10
+    # mutate more: MoR update (DV + replacements) and a SUPERSEDING delete
+    iceberg.update_iceberg(spark, root, {"v": "v + 1"}, where="id % 7 = 0")
+    iceberg.delete_iceberg(spark, root, "id % 9 = 5")
+    # second session resumes from the checkpointed snapshot (fresh spool,
+    # like a restart that prunes consumed links)
+    spool2 = str(tmp_path / "spool2")
+    stream2, _ = iceberg_source.stream_iceberg_cdf(
+        spark, root, spool2, since_snapshot_id=snap1
+    )
+    got2 = sev.run_stream_to_table(spark, stream2, mode="append")
+    both = got1.unionByName(got2)
+    want = iceberg.read_iceberg_cdf(spark, root, s0).unionByName(
+        iceberg.read_iceberg(spark, root, snapshot_id=s0).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(s0).cast("long").alias("_commit_snapshot_id"),
+        )
+    )
+    g = sorted(map(tuple, both.select("id", "v", "_change_type").collect()))
+    w = sorted(map(tuple, want.select("id", "v", "_change_type").collect()))
+    assert g == w and g

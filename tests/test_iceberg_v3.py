@@ -165,10 +165,11 @@ def test_v3_reader_guards_fail_loud(spark, tmp_path):
     _mk(spark, root, n=5)
     mp = iceberg.latest_metadata_path(root)
     meta = json.load(open(mp))
+    # round 12: a parseable column default no longer refuses — it reads
+    # (the field exists in every file here, so the default never fires)
     meta["schemas"][0]["fields"][0]["initial-default"] = 0
     json.dump(meta, open(mp, "w"))
-    with pytest.raises(NotImplementedError, match="initial-default|default"):
-        iceberg.read_iceberg(spark, root)
+    assert iceberg.read_iceberg(spark, root).count() == 5
     meta["schemas"][0]["fields"][0].pop("initial-default")
     meta["schemas"][0]["fields"][1]["type"] = "timestamptz_ns"
     json.dump(meta, open(mp, "w"))
