@@ -138,6 +138,13 @@ HEADLINE = [
     "e10_ivf_index",
     "e1_iceberg_v3_dv",
     "e1_uniform_v3",
+    # round-12 joiners (first pins in BASELINE.md round-12 section):
+    # v3 column defaults across three file generations, the CDF stream
+    # spanning a column rename (materialized leg), and the v3 puffin-DV
+    # mutation matrix under Structured Streaming
+    "e1_iceberg_v3_defaults",
+    "e13_stream_delta_cdf_rename",
+    "e13_stream_iceberg_v3_cdf",
 ]
 
 

@@ -1125,6 +1125,42 @@ def convert_iceberg_to_delta(
             f"{path}: table schema holds types outside the primitive "
             "bridge — cannot express it as a Delta schemaString"
         )
+    # v3 COLUMN DEFAULTS (round 12): Delta has no initial-default read
+    # semantics — a Delta reader null-backfills a column absent from a
+    # file's footer. Refuse ONLY when a live file actually predates a
+    # defaulted column (footer probe, the same O(#files) pass the
+    # field-id grouping pays); a defaulted table whose files all carry
+    # the column converts fine.
+    _dflt = iceberg._schema_defaults(meta)
+    if _dflt:
+        import pyarrow.parquet as _pq
+
+        from .lakehouse import _group_files_by_field_ids
+
+        _live_local = [iceberg._local_path(d["path"]) for d in data]
+        for _phys_by_fid, _gfiles in _group_files_by_field_ids(_live_local):
+            if _phys_by_fid:
+                _missing = sorted(
+                    name
+                    for fid, (name, _t, _j) in _dflt.items()
+                    if fid not in _phys_by_fid
+                )
+            else:
+                _missing = sorted(
+                    {
+                        name
+                        for _fid, (name, _t, _j) in _dflt.items()
+                        for g in _gfiles
+                        if name not in set(_pq.read_schema(g).names)
+                    }
+                )
+            if _missing:
+                raise NotImplementedError(
+                    f"{path}: live data files predate defaulted columns "
+                    f"{_missing} — a Delta view would surface null where "
+                    "the Iceberg spec says the default; rewrite them "
+                    "(compact_iceberg) before converting"
+                )
     spec = next(
         (
             s

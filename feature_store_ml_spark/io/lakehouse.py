@@ -494,6 +494,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # (delta.invariants field metadata) — enforced by _enforce_constraints
     # on every write path, same probe as CHECK constraints
     "invariants",
+    # allowColumnDefaults: CURRENT_DEFAULT field metadata — appends that
+    # omit the column materialize the expression (_apply_write_defaults);
+    # write-time only per spec, reads never substitute
+    "allowColumnDefaults",
     # changeDataFeed: _write_change_data emits _change_data files on every
     # mutation when delta.enableChangeDataFeed=true; read_delta_cdf reads
     "changeDataFeed",
@@ -809,6 +813,122 @@ def alter_delta_properties(path: str, props: dict) -> int:
                 }
             },
         ],
+    )
+
+
+def set_delta_column_default(
+    spark: SparkSession, path: str, col: str, default_sql: "str | None"
+) -> int:
+    """ALTER COLUMN ... SET DEFAULT (PROTOCOL.md §Default Columns,
+    writer feature ``allowColumnDefaults``): store ``default_sql`` as
+    the field's ``CURRENT_DEFAULT`` metadata — the SQL expression a
+    writer MUST materialize when an insert omits the column. Delta
+    defaults are WRITE-time only (the deliberate contrast with Iceberg
+    v3's initial-default): existing rows are NOT backfilled and reads
+    never substitute, which is exactly why the protocol allows SET
+    DEFAULT only on existing columns, never ADD COLUMN ... DEFAULT.
+    ``default_sql=None`` drops the default. The commit upgrades the
+    protocol to table-features form carrying ``allowColumnDefaults``
+    (legacy versions expand first — never un-declares active features).
+    Returns the committed version."""
+    import time as _time
+
+    if not is_delta_table(path):
+        raise ValueError(f"{path}: not a Delta table")
+    _, meta = _replay_log_adds(path)
+    schema = json.loads(meta["schemaString"])
+    target = next(
+        (f for f in schema.get("fields", []) if f["name"] == col), None
+    )
+    if target is None:
+        raise ValueError(
+            f"{path}: no column {col!r} "
+            f"(have {[f['name'] for f in schema.get('fields', [])]})"
+        )
+    md = dict(target.get("metadata") or {})
+    if default_sql is None:
+        md.pop("CURRENT_DEFAULT", None)
+    else:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        # validate NOW: the expression must parse and cast to the
+        # column's type, or every future omitting writer fails instead
+        probe = spark.range(1).select(
+            F.expr(default_sql).cast(
+                StructType.fromJson(
+                    {"type": "struct", "fields": [target]}
+                ).fields[0].dataType
+            )
+        )
+        probe.collect()  # one local row — parse + cast check
+        md["CURRENT_DEFAULT"] = default_sql
+    target["metadata"] = md
+    proto = _current_protocol(path)
+    r0, w0 = _protocol_as_features(proto)
+    actions: list[dict] = []
+    if default_sql is not None and "allowColumnDefaults" not in w0:
+        pa: dict = {
+            "minReaderVersion": proto.get("minReaderVersion", 1) or 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(w0 | {"allowColumnDefaults"}),
+        }
+        if pa["minReaderVersion"] >= 3:
+            pa["readerFeatures"] = sorted(r0)
+        actions.append({"protocol": pa})
+    now_ms = int(_time.time() * 1000)
+    actions += [
+        {
+            "metaData": {
+                **{k: v for k, v in meta.items() if k != "schemaString"},
+                "schemaString": json.dumps(schema),
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ALTER COLUMN",
+                "operationParameters": {
+                    "column": col,
+                    "default": default_sql,
+                },
+            }
+        },
+    ]
+    return _commit(path, actions)
+
+
+def _apply_write_defaults(df: DataFrame, meta: dict, declared) -> DataFrame:
+    """Materialize ``CURRENT_DEFAULT`` expressions for declared columns
+    the batch omits (the spec's writer obligation under
+    allowColumnDefaults), restoring declared column order so the
+    positional schema check stays meaningful. No-op when every declared
+    column is present."""
+    from pyspark.sql import functions as F
+
+    schema = json.loads(meta["schemaString"])
+    have = set(df.columns)
+    missing = [
+        f
+        for f in schema.get("fields", [])
+        if f["name"] not in have
+        and (f.get("metadata") or {}).get("CURRENT_DEFAULT") is not None
+    ]
+    if not missing:
+        return df
+    dtypes = {f.name: f.dataType for f in declared.fields}
+    for f in missing:
+        df = df.withColumn(
+            f["name"],
+            F.expr((f["metadata"])["CURRENT_DEFAULT"]).cast(
+                dtypes[f["name"]]
+            ),
+        )
+    order = [f["name"] for f in schema.get("fields", [])]
+    in_order = set(order)
+    return df.select(
+        *[n for n in order if n in set(df.columns)],
+        *[c for c in df.columns if c not in in_order],
     )
 
 
@@ -3044,6 +3164,10 @@ def write_delta(
             from pyspark.sql.types import StructField, StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
+            # COLUMN DEFAULTS (PROTOCOL.md §Default Columns): a batch may
+            # omit a column carrying CURRENT_DEFAULT — the writer
+            # materializes the expression, then the ordinary check runs
+            df = _apply_write_defaults(df, meta, declared)
             got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
             want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
             if got != want and not merge_schema:

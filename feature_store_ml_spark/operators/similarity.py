@@ -296,10 +296,13 @@ def _ivf_fit_assign(
     #            the array->vector projection
     # random init: a coarse quantizer doesn't need k-means||'s extra
     # init passes (2+ full scans); recall is gated by the probe count,
-    # not centroid polish (pytest-held with margin)
+    # not centroid polish (pytest-held with margin). Same reasoning caps
+    # Lloyd at 10 iterations (MLlib's default 20 is ~half the build's
+    # wall clock as fixed-cost job rounds; the tol early-stop rarely
+    # fires before it on real embeddings)
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cluster",
-        initMode="random",
+        initMode="random", maxIter=10,
     )
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cluster")
@@ -388,11 +391,18 @@ def ivf_build_index(
     import os
 
     assigned, centers_df = _ivf_fit_assign(corpus, id_col, vec_col, n_clusters, seed)
-    dim_row = corpus.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).limit(1).collect()  # metadata-sized: one row, one int
+    # dim comes off the fitted centroids (driver-side, zero jobs) — a
+    # dedicated limit(1) scan was one more fixed-cost job per build
+    dim_row = centers_df.select(
+        F.size(F.col("center")).alias("d")
+    ).limit(1).collect()  # local relation: no cluster job
     dim = int(dim_row[0]["d"]) if dim_row else 0
-    centers_df.coalesce(1).write.mode("overwrite").parquet(
+    # repartition(1), NOT coalesce(1): coalescing a LOCAL relation
+    # (createDataFrame) de-optimizes its arrow-embedded scan into a
+    # single py4j-iterated task — measured ~4.5 s flat for 16 rows on
+    # local[32]; the round-robin exchange writes the same one file in
+    # ~0.4 s
+    centers_df.repartition(1).write.mode("overwrite").parquet(
         os.path.join(index_path, "centroids")
     )
     # route each cluster's rows to one task before the partitioned write:
@@ -459,11 +469,15 @@ def ivf_append_index(
         F.col("q_vec").alias("c_vec"),
         "cluster",
     )
-    n = nearest.count()
-    nearest.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(index_path, "assignments")
-    )
-    return n
+    # the appended-row count rides the WRITE job as an observed metric —
+    # a separate count() was a second full pass over the new corpus
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    nearest.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(os.path.join(index_path, "assignments"))
+    return int(obs.get["n"])
 
 
 def ivf_query_index(

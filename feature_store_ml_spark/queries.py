@@ -2849,6 +2849,72 @@ def e1_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_column_defaults",
+    """
+    WITH tagged AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 'seed'
+                  WHEN o_orderdate < TIMESTAMP '1997-06-01' THEN 'bulk'
+                  ELSE 'c' || CAST(o_orderkey % 3 AS VARCHAR) END AS chan
+      FROM orders
+    )
+    SELECT chan, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM tagged GROUP BY chan
+    """,
+)
+def e1_delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN DEFAULTS (round 12 — PROTOCOL.md §Default Columns,
+    the write-time twin of e1_iceberg_v3_defaults): create with explicit
+    values, ALTER COLUMN SET DEFAULT (CURRENT_DEFAULT field metadata +
+    allowColumnDefaults protocol upgrade), append a batch that OMITS the
+    column (the writer materializes the expression — the spec's
+    obligation), then a batch with explicit values. Unlike Iceberg's
+    initial-default there is no read-time substitution — every row's
+    value is physically in its file, which is what the oracle checks."""
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_delta_column_defaults"
+    shutil.rmtree(path, ignore_errors=True)
+    cut1 = F.lit("1996-01-01").cast("timestamp")
+    cut2 = F.lit("1997-06-01").cast("timestamp")
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") < cut1).select(
+            "o_orderkey", "o_totalprice", F.lit("seed").alias("chan")
+        ),
+        path,
+    )
+    lakehouse.set_delta_column_default(spark, path, "chan", "'bulk'")
+    lakehouse.write_delta(
+        spark,
+        o.where(
+            (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+        ).select("o_orderkey", "o_totalprice"),
+        path, mode="append",
+    )
+    lakehouse.write_delta(
+        spark,
+        o.where(F.col("o_orderdate") >= cut2).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.concat(
+                F.lit("c"), (F.col("o_orderkey") % 3).cast("string")
+            ).alias("chan"),
+        ),
+        path, mode="append",
+    )
+    back = lakehouse.read_delta(spark, path)
+    return back.groupBy("chan").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+@register(
     "e1_iceberg_v3_defaults",
     """
     WITH tagged AS (
@@ -8152,6 +8218,9 @@ _FINAL_ORDER = [
                                      # (delete skipped, rewrite re-
                                      # emitted), exact oracle — swept
                                      # tail
+    "e1_delta_column_defaults",  # round 12: CURRENT_DEFAULT write-time
+                                 # materialization (allowColumnDefaults),
+                                 # exact oracle — swept tail
     "e1_iceberg_mixed_deletes",  # round 10: per-format mask pipelines on
                                  # a mixed AVRO+parquet table (pos delete
                                  # spanning both groups + MoR UPDATE),
@@ -8358,11 +8427,11 @@ def _apply_final_order() -> None:
     # and e1_iceberg_merge_sync are tail-registered)
     # 104 -> 106 round 11: two incremental-OPTIMIZE queries entered the
     # window, displacing e12_feature_upsert + e1_delta_partitioned_merge
-    # 106 -> 111 round 12: v3 defaults + rename-spanning Delta CDF stream
-    # + v3-DV CDF stream entered displacing three multi-round-green ones,
-    # and the ignore_deletes/ignore_changes plain-tail query is
-    # tail-registered
-    assert n_oracle_tail <= 111, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 106 -> 112 round 12: v3 defaults + rename-spanning Delta CDF stream
+    # + v3-DV CDF stream entered displacing three multi-round-green ones;
+    # the ignore_deletes/ignore_changes plain-tail query and the Delta
+    # column-defaults query are tail-registered
+    assert n_oracle_tail <= 112, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

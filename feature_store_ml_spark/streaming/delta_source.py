@@ -500,17 +500,78 @@ def sync_delta_cdf_spool(
     return hi
 
 
+def _recover_cdf_batch(chg_dir: str) -> None:
+    """Replay an interrupted batched-materialization publication: the
+    ``.cdf-batch-inflight.json`` ledger records the tmp dir, final dir
+    name and covered versions BEFORE the rename; recovery finishes the
+    rename (idempotent) and the per-version markers, so a crash between
+    rename and markers can never re-materialize covered commits into a
+    second dir (duplicate rows). Without a ledger, ``_tmp_*`` dirs are
+    pre-commit garbage."""
+    import shutil
+
+    ledger_path = os.path.join(chg_dir, ".cdf-batch-inflight.json")
+    if not os.path.exists(ledger_path):
+        for name in os.listdir(chg_dir):
+            if name.startswith("_tmp_"):
+                shutil.rmtree(os.path.join(chg_dir, name), ignore_errors=True)
+        return
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)
+    tmp = os.path.join(chg_dir, ledger["tmp"])
+    final = os.path.join(chg_dir, ledger["final"])
+    if not os.path.exists(final):
+        if not os.path.isdir(tmp):
+            raise RuntimeError(
+                f"{chg_dir}: in-flight CDF batch {ledger['final']!r} is "
+                "missing from both the staging dir and the spool — the "
+                "spool was externally modified; rebuild it from scratch"
+            )
+        os.rename(tmp, final)
+    for key in ledger["covered"]:
+        with open(os.path.join(chg_dir, f".covered-{key}"), "w"):
+            pass
+    os.remove(ledger_path)
+
+
+def _publish_cdf_batch(chg_dir: str, df, final_name: str, covered: list[str]) -> None:
+    """ONE distributed job materializes every pending commit's diff
+    (their plans union), then the crash-safe ledger publication: tmp
+    write -> ledger -> rename -> ``.covered-<key>`` markers. The fixed
+    per-commit job cost this replaces dominated the CDF-stream pins
+    (round 12; the per-commit dirs remain readable — recursive lookup
+    spans both layouts)."""
+    import uuid
+
+    tmp_name = f"_tmp_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(os.path.join(chg_dir, tmp_name))
+    ledger = {"tmp": tmp_name, "final": final_name, "covered": covered}
+    ledger_path = os.path.join(chg_dir, ".cdf-batch-inflight.json")
+    ltmp = ledger_path + ".tmp"
+    with open(ltmp, "w") as fh:
+        json.dump(ledger, fh)
+    os.replace(ltmp, ledger_path)
+    os.rename(os.path.join(chg_dir, tmp_name), os.path.join(chg_dir, final_name))
+    for key in covered:
+        with open(os.path.join(chg_dir, f".covered-{key}"), "w"):
+            pass
+    os.remove(ledger_path)
+
+
 def _sync_cdf_materialized(
     spark: SparkSession, path: str, spool_dir: str, since_version: int
 ) -> int:
     """Materializing CDF spool sync for tables the link-based spool
-    cannot express (ID-mode column mapping): per commit after
-    ``since_version``, write the commit's row-level diff (via
+    cannot express (ID-mode column mapping, rename-spanning cdc): the
+    row-level diff of every pending commit after ``since_version`` (via
     ``read_delta_cdf`` — field-id resolution and DV bitmap diffs
-    included) into ``<spool>/changes/<version>/``. Idempotent (a commit's
-    dir is written once, atomic rename); empty commits (metadata-only)
-    write nothing. Returns the highest synced version."""
-    import uuid
+    included) lands under ``<spool>/changes/`` in ONE distributed job
+    per sync (round 12 — formerly one job per commit; the per-commit
+    scheduling constant dominated the pin). Idempotent via
+    ``.covered-<version>`` markers committed by the crash-safe batch
+    ledger; empty commits (metadata-only) are covered without rows.
+    Returns the highest synced version."""
+    from functools import reduce as _reduce
 
     log = lakehouse._delta_log_dir(path)
     if not lakehouse.is_delta_table(path):
@@ -529,6 +590,7 @@ def _sync_cdf_materialized(
         )
     chg_dir = os.path.join(spool_dir, "changes")
     os.makedirs(chg_dir, exist_ok=True)
+    _recover_cdf_batch(chg_dir)
     _, _cur_meta = lakehouse._replay_log(path)
     hist_map = {
         old: cur
@@ -537,17 +599,22 @@ def _sync_cdf_materialized(
         ).items()
         if old != cur
     }
-    for v in sorted(have):
-        if v <= since_version:
-            continue
-        final = os.path.join(chg_dir, f"{v:020d}")
-        if os.path.exists(final):
-            continue
+    pending = [
+        v
+        for v in sorted(have)
+        if v > since_version
+        and not os.path.exists(os.path.join(chg_dir, f"{v:020d}"))
+        and not os.path.exists(os.path.join(chg_dir, f".covered-{v:020d}"))
+    ]
+    if not pending:
+        return hi
+    from pyspark.sql import functions as F
+
+    parts = []
+    for v in pending:
         if v == 0:
             # genesis: everything is an insert (read_delta_cdf's (from, to]
             # contract needs a prior version in the log)
-            from pyspark.sql import functions as F
-
             rows = lakehouse.read_delta(spark, path, version=0).select(
                 "*",
                 F.lit("insert").alias("_change_type"),
@@ -555,20 +622,21 @@ def _sync_cdf_materialized(
             )
         else:
             rows = lakehouse.read_delta_cdf(spark, path, v - 1, v)
-        if rows.isEmpty():
-            continue
         if hist_map:
             # a commit's diff carries the logical names current AT that
             # commit; the stream reads the whole spool under ONE schema
             # (today's names) — project renamed columns forward
-            from pyspark.sql import functions as F
-
             rows = rows.select(
                 *[F.col(c).alias(hist_map.get(c, c)) for c in rows.columns]
             )
-        tmp = os.path.join(chg_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
-        rows.write.parquet(tmp)
-        os.rename(tmp, final)
+        parts.append(rows)
+    df = _reduce(lambda a, b: a.unionByName(b), parts)
+    _publish_cdf_batch(
+        chg_dir,
+        df,
+        f"{pending[-1]:020d}",
+        [f"{v:020d}" for v in pending],
+    )
     return hi
 
 

@@ -536,10 +536,9 @@ def sync_iceberg_cdf_spool(
     commit order) plus its id, so ``stream_iceberg_cdf`` surfaces
     ``_commit_snapshot_id`` from the path for inserts. Idempotent.
     Returns the current snapshot id to checkpoint."""
-    import shutil
-    import uuid
-
     import pyarrow.parquet as pq
+
+    from .delta_source import _publish_cdf_batch, _recover_cdf_batch
 
     meta = _ice._load_metadata(path)
     cur = meta.get("current-snapshot-id")
@@ -560,8 +559,13 @@ def sync_iceberg_cdf_spool(
     chg_dir = os.path.join(spool_dir, "changes")
     os.makedirs(ins_dir, exist_ok=True)
     os.makedirs(chg_dir, exist_ok=True)
+    _recover_cdf_batch(chg_dir)
     seen_since = since_snapshot_id is None or since_snapshot_id == -1
     prev = None
+    #: pending materializations, published in ONE distributed job per
+    #: sync (round 12 — formerly one job per snapshot; the per-commit
+    #: scheduling constant dominated the CDF-stream pins)
+    batch: list = []
     for snap in ordered:
         sid = snap["snapshot-id"]
         if not seen_since:
@@ -602,8 +606,11 @@ def sync_iceberg_cdf_spool(
                     materialize = True  # partition cols live in metadata
                     break
         if materialize:
-            final = os.path.join(chg_dir, f"{seq:020d}-{sid}")
-            if not os.path.exists(final):
+            key = f"{seq:020d}-{sid}"
+            covered = os.path.exists(
+                os.path.join(chg_dir, key)
+            ) or os.path.exists(os.path.join(chg_dir, f".covered-{key}"))
+            if not covered:
                 if prev is None and new_deletes:
                     raise ValueError(
                         f"{path}: first snapshot {sid} carries delete "
@@ -625,9 +632,7 @@ def sync_iceberg_cdf_spool(
                     rows = _ice.read_iceberg_cdf(
                         spark, path, prev["snapshot-id"], sid
                     )
-                tmp = os.path.join(chg_dir, f"_tmp_{uuid.uuid4().hex[:8]}")
-                rows.write.parquet(tmp)
-                os.rename(tmp, final)
+                batch.append((key, rows))
         else:
             for i, src in enumerate(sorted(added_local)):
                 link = os.path.join(
@@ -641,6 +646,13 @@ def sync_iceberg_cdf_spool(
         raise ValueError(
             f"{path}: snapshot {since_snapshot_id} is not retained — "
             "history expired; restart from a full snapshot"
+        )
+    if batch:
+        from functools import reduce as _reduce
+
+        df = _reduce(lambda a, b: a.unionByName(b), [r for _k, r in batch])
+        _publish_cdf_batch(
+            chg_dir, df, batch[-1][0], [k for k, _r in batch]
         )
     return cur
 

@@ -189,3 +189,20 @@ def test_last_column_id_advances(spark, tmp_path):
     )
     assert fid > before
     assert meta.get("last-column-id", 0) >= fid
+
+
+def test_convert_to_delta_refuses_stale_defaulted_files(spark, tmp_path):
+    """Round 12: a Delta view cannot express initial-default (its
+    readers null-backfill absent columns), so conversion refuses while
+    any live file predates a defaulted column — and succeeds once
+    compaction rewrites them (the default materializes into the data)."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = _mk(spark, tmp_path)
+    iceberg.add_iceberg_column(root, "chan", "string", default="legacy")
+    with pytest.raises(NotImplementedError, match="predate defaulted"):
+        convert.convert_iceberg_to_delta(spark, root)
+    iceberg.compact_iceberg(spark, root)
+    convert.convert_iceberg_to_delta(spark, root)
+    back = lakehouse.read_delta(spark, root)
+    assert {r.chan for r in back.collect()} == {"legacy"}
