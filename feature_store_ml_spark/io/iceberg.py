@@ -500,6 +500,52 @@ def _schema_defaults(meta: dict) -> dict[int, tuple[str, str, object]]:
     return out
 
 
+def _table_name_mapping(meta: dict) -> dict[int, list[str]]:
+    """Parsed ``schema.name-mapping.default`` (spec §Name Mapping
+    Serialization): field-id -> candidate physical names, the escape
+    hatch for resolving data files WITHOUT field ids (Hive migrations,
+    foreign writers). Flat fields only — a nested entry refuses, this
+    module's whole schema surface is flat. Entries without a field-id
+    are legal per spec (explicitly unmapped names) and skip."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    out: dict[int, list[str]] = {}
+    for e in json.loads(raw):
+        if e.get("fields"):
+            raise NotImplementedError(
+                "nested name-mapping entries are outside this module's "
+                "flat schema surface"
+            )
+        fid = e.get("field-id")
+        if fid is None:
+            continue
+        out[int(fid)] = [str(n) for n in (e.get("names") or [])]
+    return out
+
+
+def set_iceberg_name_mapping(path: str) -> int:
+    """Stamp (or refresh) ``schema.name-mapping.default`` from the
+    CURRENT schema — the migration-prep step real engines' snapshot/
+    migrate procedures perform so field-id-less files (Hive layouts,
+    plain ``spark.write.parquet`` output) resolve by mapped name instead
+    of silently null-filling after a rename. Each field's candidate
+    list MERGES its current name into any existing entry (old names
+    persist, so files written under pre-rename names keep resolving).
+    Metadata-only commit; returns the new metadata version."""
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    existing = _table_name_mapping(meta)
+    entries = []
+    for f in cur.get("fields", []):
+        names = list(dict.fromkeys(existing.get(f["id"], []) + [f["name"]]))
+        entries.append({"field-id": f["id"], "names": names})
+    props = dict(meta.get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(entries)
+    meta["properties"] = props
+    return _swap_metadata(path, meta)
+
+
 def _declared_spark_schema(meta: dict):
     """The table's CURRENT schema as a Spark StructType, or None when it
     contains a type this mapping doesn't cover (nested, decimal, ...) —
@@ -4004,38 +4050,57 @@ def _read_parquet_fid(
             cols.append(F.col("_metadata"))
         return g.select(*cols)
 
+    nmap = _table_name_mapping(meta)
     branches = []
     for phys_by_fid, gfiles in _group_files_by_field_ids(local):
-        src = {
-            f.name: (
-                phys_by_fid.get(fid_of[f.name], f.name)
-                if fid_of.get(f.name) is not None and phys_by_fid
-                else f.name
-            )
-            for f in declared.fields
-        }
-        if phys_by_fid or not dflt_lit:
+        if phys_by_fid or not (nmap or dflt_lit):
+            subgroups = [(phys_by_fid, gfiles)]
+        else:
+            # unstamped footers with a NAME MAPPING and/or declared
+            # defaults: derive each file's fid -> physical-name map from
+            # its footer names (spec §Column Projection: mapped names
+            # resolve like field ids; absent fids prove the file
+            # predates the column, so defaults apply) and sub-group by
+            # it — files sharing a map scan as one stamped-style branch
+            import pyarrow.parquet as _pq
+
+            sub: dict[tuple, list[str]] = {}
+            for gf in gfiles:
+                fnames = set(_pq.read_schema(gf).names)
+                if nmap:
+                    m = {}
+                    for fid, cands in nmap.items():
+                        hit = next((n for n in cands if n in fnames), None)
+                        if hit is not None:
+                            m[fid] = hit
+                else:
+                    # defaults only, no mapping: name-identity evidence
+                    m = {
+                        fid_of[f.name]: f.name
+                        for f in declared.fields
+                        if fid_of.get(f.name) is not None
+                        and f.name in fnames
+                    }
+                sub.setdefault(tuple(sorted(m.items())), []).append(gf)
+            subgroups = [(dict(k), v) for k, v in sub.items()]
+        for pbf, gf2 in subgroups:
+            src = {
+                f.name: (
+                    pbf.get(fid_of[f.name], f.name)
+                    if fid_of.get(f.name) is not None and pbf
+                    else f.name
+                )
+                for f in declared.fields
+            }
             use_default = {
                 f.name
                 for f in declared.fields
                 if f.name in dflt_lit
-                and phys_by_fid
+                and pbf
                 and fid_of.get(f.name) is not None
-                and fid_of[f.name] not in phys_by_fid
+                and fid_of[f.name] not in pbf
             }
-            branches.append(_branch(gfiles, src, use_default))
-            continue
-        # unstamped footers + declared defaults: group by which
-        # defaulted columns each file physically carries
-        import pyarrow.parquet as _pq
-
-        sub: dict[frozenset, list[str]] = {}
-        for gf in gfiles:
-            names = set(_pq.read_schema(gf).names)
-            key = frozenset(n for n in dflt_lit if n not in names)
-            sub.setdefault(key, []).append(gf)
-        for absent, sfiles in sub.items():
-            branches.append(_branch(sfiles, src, set(absent)))
+            branches.append(_branch(gf2, src, use_default))
     return _reduce(lambda a, b: a.unionByName(b), branches)
 
 
@@ -5891,6 +5956,37 @@ def merge_iceberg(
             "bridge — MERGE cannot stage replacements faithfully"
         )
     if when_matched == "update":
+        # WRITE-DEFAULT columns a plain-update source omits (spec
+        # §Default values: a MERGE insert is an insert): inserts get the
+        # constant, matched rows KEEP the target's value — expressed as
+        # the partial-update form over the source's own columns. Only on
+        # the plain path; explicit set_clauses / newer_wins semantics
+        # stay the caller's contract, everything else keeps failing loud.
+        _src_have = set(source.columns)
+        _missing = [
+            f
+            for f in cur_schema.get("fields", [])
+            if f["name"] not in _src_have
+        ]
+        _wd = [f for f in _missing if f.get("write-default") is not None]
+        if (
+            _wd
+            and len(_wd) == len(_missing)
+            and set_clauses is None
+            and newer_wins_col is None
+        ):
+            set_clauses = {
+                c: f"s.{c}" for c in source.columns if c not in keys
+            }
+            dtypes = {f.name: f.dataType for f in declared.fields}
+            for f in _wd:
+                source = source.withColumn(
+                    f["name"],
+                    F.lit(
+                        _default_parse(f["type"], f["write-default"], f["name"])
+                    ).cast(dtypes[f["name"]]),
+                )
+            source = source.select(*[f.name for f in declared.fields])
         got = [(f.name, f.dataType.simpleString()) for f in source.schema.fields]
         want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
         if got != want:
@@ -7760,7 +7856,7 @@ def _rowfmt_scan_prelude(declared, meta, entries: list[dict], fmt: str):
         name: _default_phys(ice_t, j)
         for _fid, (name, ice_t, j) in _schema_defaults(meta).items()
     }
-    return names, kinds, fid_of, backfill_json, default_phys
+    return names, kinds, fid_of, backfill_json, default_phys, _table_name_mapping(meta)
 
 
 def _read_avro_data(
@@ -7792,8 +7888,8 @@ def _read_avro_data(
     the session zone; the stager wrote the same physical micros)."""
     import json as _json
 
-    names, kinds, fid_of, backfill_json, default_phys = _rowfmt_scan_prelude(
-        declared, meta, entries, "AVRO"
+    names, kinds, fid_of, backfill_json, default_phys, nmap = (
+        _rowfmt_scan_prelude(declared, meta, entries, "AVRO")
     )
     out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
 
@@ -7833,6 +7929,17 @@ def _read_avro_data(
                     if isinstance(f.get("field-id"), int)
                 }
                 file_names = {f["name"] for f in wfields}
+                if not name_by_fid and nmap:
+                    # spec §Name Mapping: fid-less files resolve through
+                    # the table's mapped candidate names
+                    name_by_fid = {
+                        fid: hit
+                        for fid, cands in nmap.items()
+                        for hit in [
+                            next((n for n in cands if n in file_names), None)
+                        ]
+                        if hit is not None
+                    }
                 out = _pd.DataFrame(index=raw.index)
                 for n in names:
                     fid = fid_of.get(n)
@@ -7937,8 +8044,8 @@ def _read_orc_data(
     instant is unrecoverable."""
     import json as _json
 
-    names, kinds, fid_of, backfill_json, default_phys = _rowfmt_scan_prelude(
-        declared, meta, entries, "ORC"
+    names, kinds, fid_of, backfill_json, default_phys, nmap = (
+        _rowfmt_scan_prelude(declared, meta, entries, "ORC")
     )
     out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
 
@@ -7979,6 +8086,17 @@ def _read_orc_data(
                         except ValueError:
                             pass
                 file_names = set(tbl.schema.names)
+                if not name_by_fid and nmap:
+                    # spec §Name Mapping: fid-less files resolve through
+                    # the table's mapped candidate names
+                    name_by_fid = {
+                        fid: hit
+                        for fid, cands in nmap.items()
+                        for hit in [
+                            next((n for n in cands if n in file_names), None)
+                        ]
+                        if hit is not None
+                    }
                 raw = tbl.to_pandas()
                 out = _pd.DataFrame(index=raw.index)
                 for n in names:

@@ -206,3 +206,32 @@ def test_convert_to_delta_refuses_stale_defaulted_files(spark, tmp_path):
     convert.convert_iceberg_to_delta(spark, root)
     back = lakehouse.read_delta(spark, root)
     assert {r.chan for r in back.collect()} == {"legacy"}
+
+
+def test_merge_insert_gets_write_default(spark, tmp_path):
+    """A plain-update MERGE whose source omits a defaulted column: the
+    spec's write-default obligation applies to its INSERTS; matched rows
+    KEEP their value (auto partial-update form). Explicit set_clauses /
+    newer_wins paths keep the caller's contract untouched."""
+    root = _mk(spark, tmp_path)
+    iceberg.add_iceberg_column(
+        root, "chan", "string", default="legacy", write_default="web"
+    )
+    src = spark.createDataFrame([(1, -1), (99, 99)], "id bigint, v bigint")
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    got = {
+        (r.id, r.v, r.chan)
+        for r in iceberg.read_iceberg(spark, root).collect()
+    }
+    assert (1, -1, "legacy") in got      # updated, default column kept
+    assert (99, 99, "web") in got        # inserted, write-default applied
+    assert (0, 0, "legacy") in got       # untouched
+    # a source omitting a NON-defaulted column still fails loud
+    iceberg.add_iceberg_column(root, "plain", "long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        iceberg.merge_iceberg(
+            spark,
+            spark.createDataFrame([(2, 5)], "id bigint, v bigint"),
+            root,
+            keys=["id"],
+        )
