@@ -1146,14 +1146,15 @@ def convert_iceberg_to_delta(
                     if fid not in _phys_by_fid
                 )
             else:
-                _missing = sorted(
-                    {
+                _missing_set: set = set()
+                for g in _gfiles:  # one footer read per file
+                    _names = set(_pq.read_schema(g).names)
+                    _missing_set.update(
                         name
                         for _fid, (name, _t, _j) in _dflt.items()
-                        for g in _gfiles
-                        if name not in set(_pq.read_schema(g).names)
-                    }
-                )
+                        if name not in _names
+                    )
+                _missing = sorted(_missing_set)
             if _missing:
                 raise NotImplementedError(
                     f"{path}: live data files predate defaulted columns "

@@ -399,7 +399,7 @@ def _default_json(ice_type: str, v):
                         "timestamptz default must be timezone-aware"
                     )
                 v = v.astimezone(_dt.timezone.utc)
-                return v.isoformat().replace("+00:00", "+00:00")
+                return v.isoformat()
             if v.tzinfo is not None:
                 raise ValueError("timestamp (ntz) default must be naive")
             return v.isoformat()
@@ -498,6 +498,31 @@ def _schema_defaults(meta: dict) -> dict[int, tuple[str, str, object]]:
             _default_parse(f.get("type"), f["initial-default"], f.get("name"))
             out[f["id"]] = (f["name"], f.get("type"), f["initial-default"])
     return out
+
+
+def _ancestry_chain(meta: dict) -> list[dict]:
+    """The CURRENT snapshot's ancestry, root first — the main-line
+    commit sequence. Walking ``meta['snapshots']`` sorted by
+    (sequence-number, id) is wrong twice over: WAP leaves staged
+    non-ancestor snapshots in the list (their files were never
+    published), and foreign v1 tables may allocate arbitrary snapshot
+    ids with no sequence numbers — only the parent-snapshot-id chain is
+    authoritative commit order."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur = meta.get("current-snapshot-id")
+    chain: list[dict] = []
+    seen: set[int] = set()
+    while cur is not None and cur != -1 and cur in by_id:
+        if cur in seen:
+            raise ValueError(
+                f"snapshot ancestry cycle at {cur} — corrupt metadata"
+            )
+        seen.add(cur)
+        snap = by_id[cur]
+        chain.append(snap)
+        cur = snap.get("parent-snapshot-id")
+    chain.reverse()
+    return chain
 
 
 def _table_name_mapping(meta: dict) -> dict[int, list[str]]:

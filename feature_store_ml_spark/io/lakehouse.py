@@ -852,8 +852,11 @@ def set_delta_column_default(
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        # validate NOW: the expression must parse and cast to the
-        # column's type, or every future omitting writer fails instead
+        # validate NOW: the expression must parse AND survive the cast
+        # to the column's type. Under non-ANSI mode a mistyped default
+        # casts to null silently, so assert the probed value is
+        # non-null — a null default is pointless anyway (drop it with
+        # default_sql=None instead)
         probe = spark.range(1).select(
             F.expr(default_sql).cast(
                 StructType.fromJson(
@@ -861,7 +864,13 @@ def set_delta_column_default(
                 ).fields[0].dataType
             )
         )
-        probe.collect()  # one local row — parse + cast check
+        if probe.collect()[0][0] is None:  # one local row
+            raise ValueError(
+                f"{path}: default {default_sql!r} for column {col!r} "
+                f"evaluates to null under the column's type "
+                f"{target['type']!r} — a mistyped default would make "
+                "every omitting writer silently materialize NULL"
+            )
         md["CURRENT_DEFAULT"] = default_sql
     target["metadata"] = md
     proto = _current_protocol(path)
@@ -3202,7 +3211,42 @@ def write_delta(
                 ]
                 evolved = StructType(list(declared.fields) + new_fields)
                 df = df.select(*[fld.name for fld in evolved.fields])
-                evolved_schema_json = evolved.json()
+                if _mapping_mode(meta) in ("name", "id"):
+                    # a MAPPED table's new columns need physicalName +
+                    # columnMapping.id metadata or the table's own
+                    # validator (and any real reader) refuses it as
+                    # corrupt; fresh ids come off the recorded max
+                    ev = json.loads(evolved.json())
+                    conf0 = dict(meta.get("configuration") or {})
+                    next_id = int(conf0.get("delta.columnMapping.maxColumnId", 0))
+                    prior_fields = {
+                        f["name"]: f
+                        for f in json.loads(meta["schemaString"])["fields"]
+                    }
+                    for fld in ev["fields"]:
+                        if fld["name"] in prior_fields:
+                            fld["metadata"] = prior_fields[fld["name"]].get(
+                                "metadata"
+                            ) or {}
+                            continue
+                        next_id += 1
+                        fld["metadata"] = {
+                            **(fld.get("metadata") or {}),
+                            "delta.columnMapping.physicalName": fld["name"],
+                            "delta.columnMapping.id": next_id,
+                        }
+                    conf0["delta.columnMapping.maxColumnId"] = str(next_id)
+                    evolved_schema_json = json.dumps(ev)
+                    # downstream staging (_to_physical) and the metaData
+                    # re-emit must all see the evolved MAPPED schema
+                    meta = {
+                        **meta,
+                        "schemaString": evolved_schema_json,
+                        "configuration": conf0,
+                    }
+                    table_meta = meta
+                else:
+                    evolved_schema_json = evolved.json()
         if mode == "overwrite":
             prior_files = [os.path.relpath(f, path) for f in prior_live]
     elif id_specs:

@@ -581,11 +581,15 @@ def ivf_maintain(
     serving contract (``ivf_append_index`` documents "rebuild when
     recall degrades"; this is the thing that notices). A refit re-runs
     k-means over the FULL indexed corpus under the stamped geometry
-    (same id/vec columns, n_clusters, seed) and atomically re-persists
-    (meta written last, same torn-build contract as ivf_build_index).
-    The corpus is lineage-cut (localCheckpoint) before the overwrite so
-    the rebuild never scans the files it is replacing. Returns
-    ``{"recall": r, "rebuilt": bool, "recall_after": r2 | None}``."""
+    (same id/vec columns, n_clusters, seed) into a SIDECAR directory,
+    then swaps it in whole: a crash mid-rebuild leaves either the old
+    index intact or a fail-loud missing-meta window, never a
+    valid-looking index whose centroids and assignments disagree
+    (an in-place overwrite had exactly that torn state — new centroids
+    over old lists, recall silently collapsed). The corpus is
+    lineage-cut (localCheckpoint) so the rebuild never scans files it
+    replaces. Returns ``{"recall": r, "rebuilt": bool, "recall_after":
+    r2 | None}``."""
     import os
 
     meta = _ivf_load_meta(index_path)
@@ -601,14 +605,23 @@ def ivf_maintain(
         )
         .localCheckpoint(eager=True)
     )
+    import shutil
+
+    fresh = index_path.rstrip("/") + ".rebuild"
+    shutil.rmtree(fresh, ignore_errors=True)
     ivf_build_index(
         corpus,
-        index_path,
+        fresh,
         id_col=id_col,
         vec_col=vec_col,
         n_clusters=meta["n_clusters"],
         seed=meta["seed"],
     )
+    doomed = index_path.rstrip("/") + ".old"
+    shutil.rmtree(doomed, ignore_errors=True)
+    os.rename(index_path, doomed)
+    os.rename(fresh, index_path)
+    shutil.rmtree(doomed, ignore_errors=True)
     r2 = ivf_index_recall(spark, index_path, k=k, n_probe=n_probe, sample=sample)
     return {"recall": r, "rebuilt": True, "recall_after": r2}
 

@@ -630,7 +630,13 @@ def _sync_cdf_materialized(
                 *[F.col(c).alias(hist_map.get(c, c)) for c in rows.columns]
             )
         parts.append(rows)
-    df = _reduce(lambda a, b: a.unionByName(b), parts)
+    # schema may evolve INSIDE the pending range (merge_schema adds a
+    # column at version N while earlier versions are still pending):
+    # null-fill missing columns exactly like the fixed-schema per-commit
+    # reader used to
+    df = _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
     _publish_cdf_batch(
         chg_dir,
         df,

@@ -86,13 +86,17 @@ def sync_iceberg_spool(
         raise ValueError(f"{path}: table has no current snapshot")
     if ignore_changes:
         ignore_deletes = True
-    ordered = sorted(
-        meta.get("snapshots", []),
-        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
-    )
+    # ANCESTRY chain, not the raw snapshot list: WAP leaves staged
+    # non-ancestor snapshots in metadata (their files were never
+    # published — linking them would feed phantom rows), and foreign v1
+    # tables may allocate arbitrary ids with no sequence numbers
+    ordered = _ice._ancestry_chain(meta)
     os.makedirs(spool_dir, exist_ok=True)
     seen_since = since_snapshot_id is None or since_snapshot_id == -1
     prev = None
+    #: previous ancestor's (data paths, delete paths), carried forward
+    #: so each snapshot's manifests replay ONCE per sync, not twice
+    prev_content: "tuple[list[str], list[str]] | None" = None
     rowfmt_batch: list[dict] = []
     rewrite_batch: list[tuple[int, list[str]]] = []
 
@@ -136,20 +140,28 @@ def sync_iceberg_spool(
             if sid == since_snapshot_id:
                 seen_since = True
             prev = snap
+            prev_content = None
             continue
         op = (snap.get("summary") or {}).get("operation", "append")
-        if op == "replace":
-            prev = snap
-            continue  # compaction: rows identical by contract
-        p_data, p_del = (
-            _ice._snapshot_content(meta, prev["snapshot-id"], path)
-            if prev is not None
-            else ([], [])
-        )
+        if prev_content is None and prev is not None:
+            prev_content = _ice._snapshot_content(
+                meta, prev["snapshot-id"], path
+            )
+        p_data, p_del = prev_content if prev_content is not None else ([], [])
         s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
         s_data = [d["path"] for d in s_plan]
-        added = [d for d in s_plan if d["path"] not in set(p_data)]
-        removed = bool(set(p_data) - set(s_data))
+        prev_set = set(p_data)
+        if op == "replace":
+            # compaction: rows identical by contract — emit nothing,
+            # but HARDEN any spool symlink pointing at a replaced file:
+            # snapshot expiration may physically delete the originals
+            # later, and a dangling link kills the consumer mid-stream
+            _harden_links(spool_dir, prev_set - set(s_data))
+            prev = snap
+            prev_content = (s_data, [d["path"] for d in s_del_plan])
+            continue
+        added = [d for d in s_plan if d["path"] not in prev_set]
+        removed = bool(prev_set - set(s_data))
         new_deletes = {d["path"] for d in s_del_plan} - set(p_del)
         if removed or new_deletes:
             if prev is None:
@@ -160,6 +172,9 @@ def sync_iceberg_spool(
             if not added:
                 if ignore_deletes:
                     prev = snap
+                    prev_content = (
+                        s_data, [d["path"] for d in s_del_plan]
+                    )
                     continue  # delete-only commit, skipped by contract
                 raise ValueError(
                     f"{path}: snapshot {sid} removed rows (delete "
@@ -220,16 +235,54 @@ def sync_iceberg_spool(
         _link_parquet(sid, pq_entries)
         rowfmt_batch.extend(rowfmt_entries)
         prev = snap
+        prev_content = (s_data, [d["path"] for d in s_del_plan])
     if not seen_since:
         raise ValueError(
-            f"{path}: snapshot {since_snapshot_id} is not retained — "
-            "history expired; restart from a full snapshot"
+            f"{path}: snapshot {since_snapshot_id} is not an ancestor "
+            "of the current snapshot (expired history, or a rolled-back "
+            "/ staged branch) — restart from a full snapshot"
         )
     if rowfmt_batch:
         _materialize_rowfmt(spark, path, meta, spool_dir, cur, rowfmt_batch)
     if rewrite_batch:
         _materialize_rewrites(spark, path, spool_dir, rewrite_batch)
     return cur
+
+
+def _harden_links(spool_dir: str, replaced: set) -> None:
+    """Turn spool SYMLINKS whose targets a compaction just replaced into
+    HARD links (fallback: byte copies across filesystems): the replaced
+    originals stay live on disk only until snapshot expiration reclaims
+    them, and a dangling symlink would kill a restarted consumer
+    mid-stream. Hard links pin the inode at zero copy; the spool's
+    retention (prune_spool) is what eventually releases the bytes.
+    O(#links) readlink scan, paid only on replace snapshots."""
+    import shutil
+
+    if not replaced:
+        return
+    targets = {
+        os.path.abspath(
+            urlparse(p).path if urlparse(p).scheme in ("", "file") else p
+        )
+        for p in replaced
+    }
+    for dirpath, _dirs, names in os.walk(spool_dir):
+        if os.path.basename(dirpath).startswith("."):
+            continue
+        for n in names:
+            link = os.path.join(dirpath, n)
+            if not os.path.islink(link):
+                continue
+            tgt = os.path.realpath(link)
+            if tgt not in targets or not os.path.exists(tgt):
+                continue
+            tmp = link + ".hard"
+            try:
+                os.link(tgt, tmp)
+            except OSError:
+                shutil.copy2(tgt, tmp)
+            os.replace(tmp, link)
 
 
 def _materialize_rewrites(
@@ -551,10 +604,9 @@ def sync_iceberg_cdf_spool(
             "primitive mapping — cannot derive a streaming schema"
         )
     want_names = {f.name for f in declared.fields}
-    ordered = sorted(
-        meta.get("snapshots", []),
-        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
-    )
+    # ancestry chain, not the raw snapshot list (WAP staged snapshots,
+    # foreign v1 id allocation) — same contract as the plain tail
+    ordered = _ice._ancestry_chain(meta)
     ins_dir = os.path.join(spool_dir, "inserts")
     chg_dir = os.path.join(spool_dir, "changes")
     os.makedirs(ins_dir, exist_ok=True)
@@ -562,6 +614,9 @@ def sync_iceberg_cdf_spool(
     _recover_cdf_batch(chg_dir)
     seen_since = since_snapshot_id is None or since_snapshot_id == -1
     prev = None
+    #: previous ancestor's (data paths, delete paths), carried forward
+    #: so each snapshot's manifests replay ONCE per sync, not twice
+    prev_content: "tuple[list[str], list[str]] | None" = None
     #: pending materializations, published in ONE distributed job per
     #: sync (round 12 — formerly one job per snapshot; the per-commit
     #: scheduling constant dominated the CDF-stream pins)
@@ -572,23 +627,30 @@ def sync_iceberg_cdf_spool(
             if sid == since_snapshot_id:
                 seen_since = True
             prev = snap
+            prev_content = None
             continue
         seq = snap.get("sequence-number", 0) or 0
         op = (snap.get("summary") or {}).get("operation", "append")
-        if op == "replace":
-            prev = snap
-            continue  # compaction: rows identical by contract
-        p_data, p_del = (
-            _ice._snapshot_content(meta, prev["snapshot-id"], path)
-            if prev is not None
-            else ([], [])
-        )
+        if prev_content is None and prev is not None:
+            prev_content = _ice._snapshot_content(
+                meta, prev["snapshot-id"], path
+            )
+        p_data, p_del = prev_content if prev_content is not None else ([], [])
         s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
         s_data = [d["path"] for d in s_plan]
+        prev_set = set(p_data)
+        if op == "replace":
+            # compaction: rows identical by contract — harden symlinks
+            # whose targets the replace superseded (expiration may
+            # reclaim them later)
+            _harden_links(spool_dir, prev_set - set(s_data))
+            prev = snap
+            prev_content = (s_data, [d["path"] for d in s_del_plan])
+            continue
         s_fmt = {d["path"]: (d.get("format") or "PARQUET") for d in s_plan}
         s_del = [d["path"] for d in s_del_plan]
         new_deletes = set(s_del) - set(p_del)
-        added = [f for f in s_data if f not in set(p_data)]
+        added = [f for f in s_data if f not in prev_set]
         added_local = [
             urlparse(f).path if urlparse(f).scheme in ("", "file") else f
             for f in added
@@ -642,15 +704,23 @@ def sync_iceberg_cdf_spool(
                 if not os.path.lexists(link):
                     os.symlink(os.path.abspath(src), link)
         prev = snap
+        prev_content = (s_data, s_del)
     if not seen_since:
         raise ValueError(
-            f"{path}: snapshot {since_snapshot_id} is not retained — "
-            "history expired; restart from a full snapshot"
+            f"{path}: snapshot {since_snapshot_id} is not an ancestor "
+            "of the current snapshot (expired history, or a rolled-back "
+            "/ staged branch) — restart from a full snapshot"
         )
     if batch:
         from functools import reduce as _reduce
 
-        df = _reduce(lambda a, b: a.unionByName(b), [r for _k, r in batch])
+        # schema may evolve INSIDE the pending range (merge_schema adds a
+        # column mid-history): null-fill the missing columns exactly
+        # like the fixed-schema per-commit reader used to
+        df = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [r for _k, r in batch],
+        )
         _publish_cdf_batch(
             chg_dir, df, batch[-1][0], [k for k, _r in batch]
         )

@@ -993,3 +993,88 @@ def test_stream_delta_cdf_spool_mode_is_sticky(spark, tmp_path):
     lakehouse.merge_delta(spark, src, root, keys=["id"])
     with pytest.raises(ValueError, match="FRESH spool"):
         delta_source.stream_delta_cdf(spark, root, spool, since_version=v)
+
+
+def test_iceberg_tail_ignores_wap_staged_snapshots(spark, tmp_path):
+    """Round-12 review fix: the per-commit walk follows the CURRENT
+    snapshot's ancestry — a WAP-staged snapshot (present in metadata,
+    not an ancestor) must never leak its unpublished files into the
+    spool as phantom rows."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    iceberg.set_iceberg_ref(root, "audit", ref_type="branch")
+    iceberg.write_iceberg(
+        spark, spark.range(100, 103).select("id"), root, format_version=2,
+        branch="audit",
+    )  # staged: NOT on main
+    iceberg.write_iceberg(
+        spark, spark.range(5, 8).select("id"), root, format_version=2
+    )
+    iceberg_source.sync_iceberg_spool(root, spool)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == list(range(8)), "staged WAP rows must not leak"
+
+
+def test_iceberg_tail_survives_compaction_then_expiration(spark, tmp_path):
+    """Round-12 review fix: compaction is invisible to the tail, but the
+    spool's symlinks to replaced files HARDEN (hard links) so snapshot
+    expiration reclaiming the originals cannot dangle the spool."""
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    snap = iceberg_source.sync_iceberg_spool(root, spool)
+    iceberg.write_iceberg(
+        spark, spark.range(5, 8).select("id"), root, format_version=2
+    )
+    iceberg.compact_iceberg(spark, root)
+    iceberg_source.sync_iceberg_spool(root, spool, since_snapshot_id=snap)
+    iceberg.expire_iceberg_snapshots(root, keep=1)
+    # every spool entry must still be readable after the originals died
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == list(range(8))
+
+
+def test_delta_cdf_materialized_spans_schema_evolution(spark, tmp_path):
+    """Round-12 review fix: the batched materialization null-fills
+    columns missing from earlier pending commits (merge_schema added a
+    column mid-range) instead of crashing the unionByName."""
+    from feature_store_ml_spark.streaming import events as sev
+
+    root = str(tmp_path / "cdf")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark, spark.range(6).select("id", (F.col("id") * 10).alias("v")),
+        root,
+    )
+    lakehouse.alter_delta_properties(
+        root, {"delta.enableChangeDataFeed": "true"}
+    )
+    lakehouse.enable_delta_column_mapping(spark, root)
+    lakehouse.delete_delta(spark, root, "id = 3")        # cdc, old schema
+    lakehouse.write_delta(
+        spark,
+        spark.range(6, 8).select(
+            "id", (F.col("id") * 10).alias("v"), F.lit(1).alias("extra")
+        ),
+        root, mode="append", merge_schema=True,          # schema widens
+    )
+    lakehouse.rename_delta_column(spark, root, "v", "val")  # force
+    src = spark.createDataFrame([(1, -1, 9)], "id long, val long, extra int")
+    lakehouse.merge_delta(spark, src, root, keys=["id"])    # cdc, new name
+    stream, _ = delta_source.stream_delta_cdf(spark, root, spool)
+    got = sev.run_stream_to_table(spark, stream, mode="append")
+    rows = {(r.id, r.val, r.extra, r._change_type) for r in got.collect()}
+    assert (3, 30, None, "delete") in rows       # pre-evolution commit
+    assert (6, 60, 1, "insert") in rows          # widened append
+    assert (1, -1, 9, "update_postimage") in rows

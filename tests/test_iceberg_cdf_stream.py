@@ -74,7 +74,7 @@ def test_cdf_stream_resume_and_compaction_skipped(spark, tmp_path):
     )
     assert rows == want
     # expired since-snapshot fails loud
-    with pytest.raises(ValueError, match="not retained"):
+    with pytest.raises(ValueError, match="not an ancestor"):
         iceberg_source.sync_iceberg_cdf_spool(
             spark, root, str(tmp_path / "s2"), since_snapshot_id=12345
         )
