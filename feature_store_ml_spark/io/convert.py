@@ -1076,6 +1076,145 @@ def convert_delta_to_iceberg(
     return snap_id
 
 
+def snapshot_parquet_to_iceberg(
+    spark: SparkSession,
+    path: str,
+    stats_threshold: int = _DISTRIBUTED_STATS_THRESHOLD,
+) -> int:
+    """Register a plain parquet DIRECTORY as an Iceberg table IN PLACE —
+    the ecosystem's ``snapshot``/``migrate`` procedure: zero data
+    movement, one manifest referencing the existing files with
+    footer-harvested column bounds (so data skipping works from day
+    one), the schema inferred from the files with fresh field ids, and
+    ``schema.name-mapping.default`` stamped in the same commit — the
+    files carry NO field ids, so the mapping is what keeps them
+    resolvable through every future rename (spec §Name Mapping;
+    without it the first rename would silently null the column on the
+    migrated files). After this, write_iceberg appends, DML and
+    maintenance all work; the original files are never rewritten.
+
+    Flat directories only: a Hive-partitioned layout (key=value
+    subdirectories) keeps its values in paths, not files — registering
+    it needs identity-partition backfill this procedure does not do
+    yet; fail loud."""
+    import time as _time
+    import uuid as _uuid
+
+    if iceberg.is_iceberg_table(path):
+        raise ValueError(f"{path}: already an Iceberg table")
+    if lakehouse.is_delta_table(path):
+        raise ValueError(
+            f"{path}: a Delta table — use convert_delta_to_iceberg"
+        )
+    names = sorted(os.listdir(path))
+    files = [
+        os.path.abspath(os.path.join(path, n))
+        for n in names
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    subdirs = [
+        n
+        for n in names
+        if os.path.isdir(os.path.join(path, n))
+        and not n.startswith((".", "_"))
+    ]
+    if subdirs:
+        raise NotImplementedError(
+            f"{path}: subdirectories {subdirs[:3]} — a Hive-partitioned "
+            "layout keeps partition values in paths, which this "
+            "procedure does not register; point it at a flat directory"
+        )
+    if not files:
+        raise ValueError(f"{path}: no parquet files to register")
+    df = spark.read.parquet(path)
+    fields = iceberg._iceberg_fields(df)
+    harvest = _gather_file_stats(spark, files, fields, stats_threshold)
+    snap_id = 1
+    now_ms = int(_time.time() * 1000)
+    entries = []
+    for p in files:
+        n_rows, size, ice_stats, _dstats, _probe = harvest[p]
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file:{p}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": int(n_rows),
+                    "file_size_in_bytes": int(size),
+                    **ice_stats,
+                },
+            }
+        )
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+    avro_lite.write_container(
+        manifest, iceberg._manifest_entry_schema(2), entries
+    )
+    mlist = os.path.join(
+        meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    )
+    mf_schema = iceberg._manifest_file_schema(2)
+    keep = {f["name"] for f in mf_schema["fields"]}
+    ml_row = {
+        "manifest_path": f"file:{manifest}",
+        "manifest_length": os.path.getsize(manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap_id,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+    }
+    avro_lite.write_container(
+        mlist, mf_schema, [{k: ml_row.get(k, 0) for k in keep}]
+    )
+    name_mapping = [
+        {"field-id": f["id"], "names": [f["name"]]} for f in fields
+    ]
+    ice_meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": path,
+        "last-updated-ms": now_ms,
+        "last-column-id": max((f["id"] for f in fields), default=0),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {
+            "schema.name-mapping.default": json.dumps(name_mapping)
+        },
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": now_ms,
+                "manifest-list": f"file:{mlist}",
+                "summary": {
+                    "operation": "append",
+                    "converted-from": "parquet",
+                },
+                "schema-id": 0,
+                "sequence-number": 1,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "last-sequence-number": 1,
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(ice_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return snap_id
+
+
 def convert_iceberg_to_delta(
     spark: SparkSession, path: str, refresh: bool = False,
     stats_threshold: int = _DISTRIBUTED_STATS_THRESHOLD,

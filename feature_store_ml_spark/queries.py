@@ -2849,6 +2849,61 @@ def e1_iceberg_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_parquet_migrate",
+    """
+    WITH feed AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderdate FROM orders
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(price AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM feed
+    WHERE NOT (o_orderkey % 9 = 4)
+    GROUP BY 1
+    """,
+)
+def e1_parquet_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet-directory MIGRATION (round 12 —
+    convert.snapshot_parquet_to_iceberg, the ecosystem's snapshot/
+    migrate procedure): a plain ``df.write.parquet`` directory registers
+    IN PLACE as an Iceberg table (one manifest over the existing
+    fid-less files, footer-harvested bounds, name mapping stamped),
+    then lives a full table life — RENAME (the mapping is what keeps
+    the migrated files resolving), an append through the real writer
+    under the new name, and a MoR position delete spanning both file
+    generations. The oracle aggregates the same feed from the source
+    parquet; a resolution slip on the fid-less originals (null
+    backfill) or a mask slip breaks count and hash alike."""
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_parquet_migrate"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    o.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).write.parquet(path)
+    convert.snapshot_parquet_to_iceberg(spark, path)
+    iceberg.rename_iceberg_column(path, "o_totalprice", "price")
+    iceberg.write_iceberg(
+        spark,
+        o.where(F.col("o_orderdate") >= cut).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderdate",
+        ),
+        path, format_version=2,
+    )
+    iceberg.delete_iceberg(spark, path, "o_orderkey % 9 = 4")
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(F.count("*").alias("n"), dsum("price").alias("sum_price"))
+
+
+@register(
     "e1_delta_column_defaults",
     """
     WITH tagged AS (
@@ -8221,6 +8276,10 @@ _FINAL_ORDER = [
     "e1_delta_column_defaults",  # round 12: CURRENT_DEFAULT write-time
                                  # materialization (allowColumnDefaults),
                                  # exact oracle — swept tail
+    "e1_parquet_migrate",  # round 12: snapshot/migrate a plain parquet
+                           # dir in place + rename via stamped name
+                           # mapping + MoR delete, exact oracle — swept
+                           # tail
     "e1_iceberg_mixed_deletes",  # round 10: per-format mask pipelines on
                                  # a mixed AVRO+parquet table (pos delete
                                  # spanning both groups + MoR UPDATE),
@@ -8429,9 +8488,10 @@ def _apply_final_order() -> None:
     # window, displacing e12_feature_upsert + e1_delta_partitioned_merge
     # 106 -> 112 round 12: v3 defaults + rename-spanning Delta CDF stream
     # + v3-DV CDF stream entered displacing three multi-round-green ones;
-    # the ignore_deletes/ignore_changes plain-tail query and the Delta
-    # column-defaults query are tail-registered
-    assert n_oracle_tail <= 112, f"{n_oracle_tail} oracle-backed queries outside window"
+    # the ignore_deletes/ignore_changes plain-tail query, the Delta
+    # column-defaults query and the parquet-migrate query are
+    # tail-registered
+    assert n_oracle_tail <= 113, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -845,3 +845,58 @@ def test_compact_sync_drops_whole_manifests(spark, tmp_path):
     assert _rows(iceberg.read_iceberg(spark, root).select("id", "v")) == _rows(
         lakehouse.read_delta(spark, root).select("id", "v")
     )
+
+
+# ------------------------------------------------- parquet dir -> Iceberg
+# (round 12): the snapshot/migrate procedure — register in place, stamp
+# name mapping so the fid-less originals survive renames.
+
+
+def test_snapshot_parquet_registers_in_place(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    spark.range(20).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    ).repartition(3).write.parquet(root)
+    convert.snapshot_parquet_to_iceberg(spark, root)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+    # name mapping was stamped: a rename keeps the fid-less originals
+    iceberg.rename_iceberg_column(root, "v", "speed")
+    got = sorted(
+        (r.id, r.speed) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(i, i * 2.0) for i in range(20)]
+    # the registered table is a full citizen: append + MoR delete
+    iceberg.write_iceberg(
+        spark,
+        spark.range(20, 23).select("id", (F.col("id") * 2.0).alias("speed")),
+        root,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, root, "id = 5")
+    assert iceberg.read_iceberg(spark, root).count() == 22
+    # harvested footer bounds drive file pruning from day one
+    rep = iceberg.iceberg_scan_report(root, "id > 1000000")
+    assert rep["skipped_files"] >= rep["total_files"] - 1
+
+
+def test_snapshot_parquet_refusals(spark, tmp_path):
+    # already iceberg
+    root = str(tmp_path / "ice")
+    iceberg.write_iceberg(
+        spark, spark.range(3).select("id"), root, format_version=2
+    )
+    with pytest.raises(ValueError, match="already an Iceberg"):
+        convert.snapshot_parquet_to_iceberg(spark, root)
+    # delta
+    root2 = str(tmp_path / "dl")
+    lakehouse.write_delta(spark, spark.range(3).select("id"), root2)
+    with pytest.raises(ValueError, match="Delta table"):
+        convert.snapshot_parquet_to_iceberg(spark, root2)
+    # hive-partitioned layout
+    root3 = str(tmp_path / "hive")
+    spark.range(6).select(
+        "id", (F.col("id") % 2).alias("p")
+    ).write.partitionBy("p").parquet(root3)
+    with pytest.raises(NotImplementedError, match="Hive-partitioned"):
+        convert.snapshot_parquet_to_iceberg(spark, root3)
