@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
 
@@ -1093,12 +1094,23 @@ def snapshot_parquet_to_iceberg(
     migrated files). After this, write_iceberg appends, DML and
     maintenance all work; the original files are never rewritten.
 
-    Flat directories only: a Hive-partitioned layout (key=value
-    subdirectories) keeps its values in paths, not files — registering
-    it needs identity-partition backfill this procedure does not do
-    yet; fail loud."""
+    HIVE-PARTITIONED layouts register too: ``key=value`` directory
+    components become an IDENTITY partition spec, each file's tuple is
+    recorded TYPED in its manifest entry (physical encoding — days
+    ints for dates), and reads backfill the partition columns from the
+    tuples (spec §Column Projection — the files never stored them).
+    Partition value types come from Spark's own partition inference,
+    restricted to the identity set this writer supports
+    (int/long/string/date); anything else fails loud."""
     import time as _time
     import uuid as _uuid
+
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
 
     if iceberg.is_iceberg_table(path):
         raise ValueError(f"{path}: already an Iceberg table")
@@ -1106,29 +1118,65 @@ def snapshot_parquet_to_iceberg(
         raise ValueError(
             f"{path}: a Delta table — use convert_delta_to_iceberg"
         )
-    names = sorted(os.listdir(path))
-    files = [
-        os.path.abspath(os.path.join(path, n))
-        for n in names
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    ]
-    subdirs = [
-        n
-        for n in names
-        if os.path.isdir(os.path.join(path, n))
-        and not n.startswith((".", "_"))
-    ]
-    if subdirs:
-        raise NotImplementedError(
-            f"{path}: subdirectories {subdirs[:3]} — a Hive-partitioned "
-            "layout keeps partition values in paths, which this "
-            "procedure does not register; point it at a flat directory"
+    files: list[str] = []
+    for dirpath, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        files.extend(
+            os.path.abspath(os.path.join(dirpath, n))
+            for n in fnames
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
         )
+    files.sort()
     if not files:
         raise ValueError(f"{path}: no parquet files to register")
-    df = spark.read.parquet(path)
+    root_abs = os.path.abspath(path)
+
+    def _dir_tuple(p: str) -> dict:
+        out = {}
+        rel = os.path.relpath(os.path.dirname(p), root_abs)
+        for comp in () if rel == "." else rel.split(os.sep):
+            if "=" not in comp:
+                raise NotImplementedError(
+                    f"{path}: directory component {comp!r} is not "
+                    "key=value Hive layout — cannot derive partition "
+                    "values"
+                )
+            k, v = comp.split("=", 1)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        return out
+
+    raw_tuples = {p: _dir_tuple(p) for p in files}
+    part_cols = sorted({k for t in raw_tuples.values() for k in t})
+    for p, t in raw_tuples.items():
+        if sorted(t) != part_cols:
+            raise ValueError(
+                f"{path}: inconsistent partition depth at "
+                f"{os.path.relpath(p, root_abs)} (have {sorted(t)}, "
+                f"expected {part_cols})"
+            )
+    df = spark.read.parquet(path)  # partition columns inferred + typed
     fields = iceberg._iceberg_fields(df)
-    harvest = _gather_file_stats(spark, files, fields, stats_threshold)
+    fid_of = {f["name"]: f["id"] for f in fields}
+    spark_t = {f.name: f.dataType for f in df.schema.fields}
+    parsers = {}
+    for c in part_cols:
+        t = spark_t.get(c)
+        if isinstance(t, (IntegerType, LongType)):
+            parsers[c] = lambda v: None if v is None else int(v)
+        elif isinstance(t, DateType):
+            parsers[c] = (
+                lambda v: None if v is None else iceberg._parse_date_days(v)
+            )
+        elif isinstance(t, StringType):
+            parsers[c] = lambda v: v
+        else:
+            raise NotImplementedError(
+                f"{path}: partition column {c!r} inferred as "
+                f"{t.simpleString() if t else '?'} — identity partition "
+                "sources support int/long/string/date"
+            )
+    data_fields = [f for f in fields if f["name"] not in set(part_cols)]
+    harvest = _gather_file_stats(spark, files, data_fields, stats_threshold)
     snap_id = 1
     now_ms = int(_time.time() * 1000)
     entries = []
@@ -1142,18 +1190,42 @@ def snapshot_parquet_to_iceberg(
                     "content": 0,
                     "file_path": f"file:{p}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {
+                        c: parsers[c](raw_tuples[p].get(c))
+                        for c in part_cols
+                    },
                     "record_count": int(n_rows),
                     "file_size_in_bytes": int(size),
                     **ice_stats,
                 },
             }
         )
+    ice_type = {
+        f["name"]: f["type"] for f in fields if f["name"] in set(part_cols)
+    }
+    partition_fields = [
+        {
+            "name": c,
+            "type": ["null", iceberg._avro_partition_type(ice_type[c])],
+        }
+        for c in part_cols
+    ]
+    spec_fields = [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": fid_of[c],
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(part_cols)
+    ]
     meta_dir = os.path.join(path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     manifest = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
     avro_lite.write_container(
-        manifest, iceberg._manifest_entry_schema(2), entries
+        manifest,
+        iceberg._manifest_entry_schema(2, partition_fields or None),
+        entries,
     )
     mlist = os.path.join(
         meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
@@ -1173,7 +1245,7 @@ def snapshot_parquet_to_iceberg(
         mlist, mf_schema, [{k: ml_row.get(k, 0) for k in keep}]
     )
     name_mapping = [
-        {"field-id": f["id"], "names": [f["name"]]} for f in fields
+        {"field-id": f["id"], "names": [f["name"]]} for f in data_fields
     ]
     ice_meta = {
         "format-version": 2,
@@ -1183,9 +1255,9 @@ def snapshot_parquet_to_iceberg(
         "last-column-id": max((f["id"] for f in fields), default=0),
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {

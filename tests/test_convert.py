@@ -893,10 +893,52 @@ def test_snapshot_parquet_refusals(spark, tmp_path):
     lakehouse.write_delta(spark, spark.range(3).select("id"), root2)
     with pytest.raises(ValueError, match="Delta table"):
         convert.snapshot_parquet_to_iceberg(spark, root2)
-    # hive-partitioned layout
-    root3 = str(tmp_path / "hive")
-    spark.range(6).select(
-        "id", (F.col("id") % 2).alias("p")
-    ).write.partitionBy("p").parquet(root3)
-    with pytest.raises(NotImplementedError, match="Hive-partitioned"):
+    # non-hive subdirectory
+    root3 = str(tmp_path / "odd")
+    spark.range(3).select("id").write.parquet(os.path.join(root3, "plain_subdir"))
+    with pytest.raises(NotImplementedError, match="key=value"):
         convert.snapshot_parquet_to_iceberg(spark, root3)
+
+
+def test_snapshot_hive_partitioned_registers_with_backfill(spark, tmp_path):
+    """Hive key=value layouts register: directory components become an
+    identity spec, tuples land typed in the manifest entries, reads
+    backfill the partition columns (the files never stored them), and
+    the tuples drive partition pruning."""
+    root = str(tmp_path / "hive")
+    spark.range(20).select(
+        "id",
+        (F.col("id") % 3).cast("int").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    ).write.partitionBy("p").parquet(root)
+    convert.snapshot_parquet_to_iceberg(spark, root)
+    got = sorted(
+        (r.id, r.p, r.v) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(i, i % 3, i * 2.0) for i in range(20)]
+    rep = iceberg.iceberg_scan_report(root, "p = 1")
+    assert rep["skipped_files"] > 0
+    # rename a data column: mapping + partition backfill coexist
+    iceberg.rename_iceberg_column(root, "v", "speed")
+    assert iceberg.read_iceberg(spark, root, where="p = 2").count() == len(
+        [i for i in range(20) if i % 3 == 2]
+    )
+
+
+def test_snapshot_hive_partitioned_date_and_null(spark, tmp_path):
+    root = str(tmp_path / "hive2")
+    df = spark.createDataFrame(
+        [(0, "2024-01-02", 1.0), (1, "2024-01-03", 2.0), (2, None, 3.0)],
+        "id long, d string, v double",
+    ).select("id", F.col("d").cast("date").alias("d"), "v")
+    df.write.partitionBy("d").parquet(root)
+    convert.snapshot_parquet_to_iceberg(spark, root)
+    got = sorted(
+        (r.id, str(r.d), r.v)
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [
+        (0, "2024-01-02", 1.0),
+        (1, "2024-01-03", 2.0),
+        (2, "None", 3.0),
+    ]
