@@ -475,13 +475,19 @@ def _default_phys(ice_type, j):
     already physical)."""
     import datetime as _dt
 
+    def _micros(td: "_dt.timedelta") -> int:
+        # integer arithmetic, NOT total_seconds()*1e6: the float form
+        # loses sub-microsecond bits past ~2^53 µs (~1987 already) —
+        # caught by the round-trip property test
+        return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+
     v = _default_parse(ice_type, j)
     if ice_type == "date":
         return (v - _dt.date(1970, 1, 1)).days
     if ice_type == "timestamp":
-        return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        return _micros(v - _dt.datetime(1970, 1, 1))
     if ice_type == "timestamptz":
-        return int(v.timestamp() * 1_000_000)
+        return _micros(v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc))
     return v
 
 

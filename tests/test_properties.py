@@ -183,3 +183,84 @@ def test_merge_newer_wins_matches_reference_model(spark, tmp_path_factory, data)
                 model[k] = (t, v)
     got = {r.k: (r.ts, r.v) for r in lakehouse.read_delta(spark, root).collect()}
     assert got == model
+
+
+# ------------------------------------------------- v3 default round-trips
+# (round 12): _default_json and _default_parse are inverses over the
+# primitive mapping — the property that keeps a default written by this
+# engine readable by this engine (and spec-shaped for foreign readers).
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_default_roundtrip_long(v):
+    from feature_store_ml_spark.io import iceberg
+
+    assert iceberg._default_parse("long", iceberg._default_json("long", v)) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+def test_default_roundtrip_double(v):
+    from feature_store_ml_spark.io import iceberg
+
+    assert iceberg._default_parse(
+        "double", iceberg._default_json("double", v)
+    ) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=40))
+def test_default_roundtrip_string(v):
+    from feature_store_ml_spark.io import iceberg
+
+    assert iceberg._default_parse(
+        "string", iceberg._default_json("string", v)
+    ) == v
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dates())
+def test_default_roundtrip_date_and_phys(v):
+    import datetime
+
+    from feature_store_ml_spark.io import iceberg
+
+    j = iceberg._default_json("date", v)
+    assert iceberg._default_parse("date", j) == v
+    assert iceberg._default_phys("date", j) == (
+        v - datetime.date(1970, 1, 1)
+    ).days
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1900, 1, 1),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    )
+)
+def test_default_roundtrip_timestamp(v):
+    from feature_store_ml_spark.io import iceberg
+
+    j = iceberg._default_json("timestamp", v)
+    assert iceberg._default_parse("timestamp", j) == v
+    # physical micros decode back to the same wall clock
+    import datetime
+
+    micros = iceberg._default_phys("timestamp", j)
+    assert datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=micros
+    ) == v.replace(microsecond=v.microsecond)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=32))
+def test_default_roundtrip_binary(v):
+    from feature_store_ml_spark.io import iceberg
+
+    assert iceberg._default_parse(
+        "binary", iceberg._default_json("binary", v)
+    ) == v
