@@ -1105,13 +1105,6 @@ def snapshot_parquet_to_iceberg(
     import time as _time
     import uuid as _uuid
 
-    from pyspark.sql.types import (
-        DateType,
-        IntegerType,
-        LongType,
-        StringType,
-    )
-
     if iceberg.is_iceberg_table(path):
         raise ValueError(f"{path}: already an Iceberg table")
     if lakehouse.is_delta_table(path):
@@ -1157,26 +1150,40 @@ def snapshot_parquet_to_iceberg(
     df = spark.read.parquet(path)  # partition columns inferred + typed
     fields = iceberg._iceberg_fields(df)
     fid_of = {f["name"]: f["id"] for f in fields}
-    spark_t = {f.name: f.dataType for f in df.schema.fields}
+    ice_of = {f["name"]: f["type"] for f in fields}
     parsers = {}
     for c in part_cols:
-        t = spark_t.get(c)
-        if isinstance(t, (IntegerType, LongType)):
-            parsers[c] = lambda v: None if v is None else int(v)
-        elif isinstance(t, DateType):
-            parsers[c] = (
-                lambda v: None if v is None else iceberg._parse_date_days(v)
-            )
-        elif isinstance(t, StringType):
-            parsers[c] = lambda v: v
-        else:
+        t = ice_of.get(c)
+        if t not in iceberg._PARTITION_PARSERS:
             raise NotImplementedError(
-                f"{path}: partition column {c!r} inferred as "
-                f"{t.simpleString() if t else '?'} — identity partition "
-                "sources support int/long/string/date"
+                f"{path}: partition column {c!r} inferred as {t!r} — "
+                "identity partition sources support "
+                f"{sorted(iceberg._PARTITION_PARSERS)}"
             )
+        parsers[c] = (
+            lambda v, _p=iceberg._PARTITION_PARSERS[t]: None
+            if v is None
+            else _p(v)
+        )
     data_fields = [f for f in fields if f["name"] not in set(part_cols)]
     harvest = _gather_file_stats(spark, files, data_fields, stats_threshold)
+    # every file must carry EXACTLY the data columns: Spark's inferred
+    # schema would silently null-fill a narrower file (and the stamped
+    # name mapping makes that backfill invisible forever), or silently
+    # DROP a wider file's extra column — both are fail-loud here, using
+    # the footer probe the harvest already paid for
+    want_cols = {f["name"] for f in data_fields}
+    for f in files:
+        got_cols = set(harvest[f][4][0])
+        if got_cols != want_cols:
+            rel = os.path.relpath(f, root_abs)
+            raise ValueError(
+                f"{path}: file {rel} carries columns {sorted(got_cols)} "
+                f"but the directory's inferred schema is "
+                f"{sorted(want_cols)} — heterogeneous-schema directories "
+                "would register with silent null backfill; unify the "
+                "files first"
+            )
     snap_id = 1
     now_ms = int(_time.time() * 1000)
     entries = []
@@ -1247,6 +1254,9 @@ def snapshot_parquet_to_iceberg(
     name_mapping = [
         {"field-id": f["id"], "names": [f["name"]]} for f in data_fields
     ]
+    # NOTE: this initial-metadata shape mirrors convert_delta_to_iceberg's
+    # fresh-table branch above — change them together (same spec contract:
+    # last-partition-id = 999+len(spec), v1 + version-hint protocol)
     ice_meta = {
         "format-version": 2,
         "table-uuid": str(_uuid.uuid4()),

@@ -6845,11 +6845,22 @@ def read_iceberg_cdf(
     if from_snapshot_id not in snaps or to_id not in snaps:
         missing = [i for i in (from_snapshot_id, to_id) if i not in snaps]
         raise ValueError(f"{path}: snapshot {missing[0]} not in metadata")
-    # order the in-range snapshots by sequence number (commit order)
-    ordered = sorted(
-        (s for s in meta["snapshots"]),
-        key=lambda s: (s.get("sequence-number", 0), s["snapshot-id"]),
-    )
+    # ANCESTRY order (round 12): the raw snapshot list sorted by
+    # sequence number interleaves WAP-staged non-ancestor snapshots —
+    # their unpublished files would surface as phantom inserts (or the
+    # diff would spuriously see removals). Only the parent chain is
+    # commit order. Both endpoints must live on it.
+    ordered = _ancestry_chain(meta)
+    chain_ids = {s["snapshot-id"] for s in ordered}
+    off_chain = [
+        i for i in (from_snapshot_id, to_id) if i not in chain_ids
+    ]
+    if off_chain:
+        raise ValueError(
+            f"{path}: snapshot {off_chain[0]} is not an ancestor of the "
+            "current snapshot (staged branch or rolled-back history) — "
+            "the change feed is defined over the main line only"
+        )
     from_idx = next(
         i for i, s in enumerate(ordered) if s["snapshot-id"] == from_snapshot_id
     )

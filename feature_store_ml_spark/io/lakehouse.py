@@ -3218,11 +3218,26 @@ def write_delta(
                     # corrupt; fresh ids come off the recorded max
                     ev = json.loads(evolved.json())
                     conf0 = dict(meta.get("configuration") or {})
-                    next_id = int(conf0.get("delta.columnMapping.maxColumnId", 0))
                     prior_fields = {
                         f["name"]: f
                         for f in json.loads(meta["schemaString"])["fields"]
                     }
+                    # fresh ids start past BOTH the recorded HWM and
+                    # every existing field's id — a foreign writer that
+                    # omitted maxColumnId must not cause id collisions
+                    # (two logical names on one parquet field id reads
+                    # the wrong column silently in id mode)
+                    next_id = max(
+                        [int(conf0.get("delta.columnMapping.maxColumnId", 0))]
+                        + [
+                            int(
+                                (f.get("metadata") or {}).get(
+                                    "delta.columnMapping.id", 0
+                                )
+                            )
+                            for f in prior_fields.values()
+                        ]
+                    )
                     for fld in ev["fields"]:
                         if fld["name"] in prior_fields:
                             fld["metadata"] = prior_fields[fld["name"]].get(

@@ -261,8 +261,12 @@ def _harden_links(spool_dir: str, replaced: set) -> None:
 
     if not replaced:
         return
+    # realpath, not abspath: the link-side comparison below uses
+    # os.path.realpath, and a symlinked component in the TABLE path
+    # (symlinked data mounts, macOS /tmp) would otherwise make every
+    # membership check miss and silently skip the hardening
     targets = {
-        os.path.abspath(
+        os.path.realpath(
             urlparse(p).path if urlparse(p).scheme in ("", "file") else p
         )
         for p in replaced

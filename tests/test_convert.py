@@ -942,3 +942,39 @@ def test_snapshot_hive_partitioned_date_and_null(spark, tmp_path):
         (1, "2024-01-03", 2.0),
         (2, "None", 3.0),
     ]
+
+
+def test_snapshot_refuses_heterogeneous_schemas(spark, tmp_path):
+    """Round-12 review fix: a directory mixing file schemas must refuse
+    — Spark's inferred schema would silently null-fill the narrower
+    files (and the stamped name mapping makes that invisible forever)."""
+    root = str(tmp_path / "mixed")
+    os.makedirs(root)
+    spark.range(3).select("id", (F.col("id") * 2.0).alias("v")).coalesce(
+        1
+    ).write.mode("append").parquet(root)
+    spark.range(3, 6).select("id").coalesce(1).write.mode("append").parquet(
+        root
+    )
+    with pytest.raises(ValueError, match="heterogeneous"):
+        convert.snapshot_parquet_to_iceberg(spark, root)
+
+
+def test_cdf_ignores_wap_staged_snapshots(spark, tmp_path):
+    """Round-12 review fix: read_iceberg_cdf walks the ancestry chain —
+    a WAP-staged snapshot between from/to neither crashes the diff nor
+    leaks phantom inserts; an off-chain endpoint fails loud."""
+    root = str(tmp_path / "wap")
+    s0 = iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    iceberg.set_iceberg_ref(root, "audit", ref_type="branch")
+    staged = iceberg.write_iceberg(
+        spark, spark.range(100, 103).select("id"), root, format_version=2,
+        branch="audit",
+    )
+    iceberg.delete_iceberg(spark, root, "id = 3")
+    cdf = iceberg.read_iceberg_cdf(spark, root, s0).collect()
+    assert sorted((r.id, r._change_type) for r in cdf) == [(3, "delete")]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        iceberg.read_iceberg_cdf(spark, root, staged)

@@ -1078,3 +1078,32 @@ def test_delta_cdf_materialized_spans_schema_evolution(spark, tmp_path):
     assert (3, 30, None, "delete") in rows       # pre-evolution commit
     assert (6, 60, 1, "insert") in rows          # widened append
     assert (1, -1, 9, "update_postimage") in rows
+
+
+def test_harden_links_through_symlinked_table_path(spark, tmp_path):
+    """Round-12 review fix: hardening compares realpaths, so a table
+    addressed through a symlinked path component still hardens its
+    spool entries before expiration reclaims the replaced files."""
+    import os
+
+    from feature_store_ml_spark.io import iceberg
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    real = tmp_path / "realdir"
+    real.mkdir()
+    link = tmp_path / "lnkdir"
+    os.symlink(str(real), str(link))
+    root = str(link / "t")
+    spool = str(tmp_path / "spool")
+    iceberg.write_iceberg(
+        spark, spark.range(5).select("id"), root, format_version=2
+    )
+    snap = iceberg_source.sync_iceberg_spool(root, spool)
+    iceberg.write_iceberg(
+        spark, spark.range(5, 8).select("id"), root, format_version=2
+    )
+    iceberg.compact_iceberg(spark, root)
+    iceberg_source.sync_iceberg_spool(root, spool, since_snapshot_id=snap)
+    iceberg.expire_iceberg_snapshots(root, keep=1)
+    got = sorted(r.id for r in spark.read.parquet(spool).collect())
+    assert got == list(range(8))
