@@ -165,7 +165,10 @@ def _load_metadata(table_root: str) -> dict:
 
 
 def _snapshot_scan_plan(
-    meta: dict, snap_id: int, table_root: str
+    meta: dict,
+    snap_id: int,
+    table_root: str,
+    _manifest_cache: dict | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """The planning-phase view of one snapshot (manifest-list walk):
     ``(data, deletes)`` where each data entry is ``{path, seq}`` and each
@@ -189,7 +192,19 @@ def _snapshot_scan_plan(
         manifest_path = _localize(entry["manifest_path"], table_root)
         is_delete_manifest = (entry.get("content", 0) or 0) == 1
         mseq = entry.get("sequence_number") or 0
-        for m in avro_lite.read_container(manifest_path):
+        # manifests are IMMUTABLE once written, so a caller walking many
+        # snapshots (CDF diffs, streaming syncs) may pass a dict to
+        # memoize the avro decode — consecutive snapshots share most of
+        # their manifests, turning an O(snapshots × manifests) walk into
+        # O(distinct manifests) file reads
+        if _manifest_cache is not None:
+            rows = _manifest_cache.get(manifest_path)
+            if rows is None:
+                rows = list(avro_lite.read_container(manifest_path))
+                _manifest_cache[manifest_path] = rows
+        else:
+            rows = avro_lite.read_container(manifest_path)
+        for m in rows:
             if m.get("status") == _STATUS_DELETED:
                 continue
             # spec inheritance: an entry's explicit sequence_number wins;
@@ -292,11 +307,16 @@ def _snapshot_scan_plan(
 
 
 def _snapshot_content(
-    meta: dict, snap_id: int, table_root: str
+    meta: dict,
+    snap_id: int,
+    table_root: str,
+    _manifest_cache: dict | None = None,
 ) -> tuple[list[str], list[str]]:
     """(data file paths, delete file paths) of one snapshot — the
     path-only view of _snapshot_scan_plan."""
-    data, deletes = _snapshot_scan_plan(meta, snap_id, table_root)
+    data, deletes = _snapshot_scan_plan(
+        meta, snap_id, table_root, _manifest_cache=_manifest_cache
+    )
     return [d["path"] for d in data], [d["path"] for d in deletes]
 
 
@@ -379,6 +399,17 @@ def _default_json(ice_type: str, v):
     if t in ("float", "double"):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise ValueError(f"{t} default must be numeric, got {v!r}")
+        import math as _math
+
+        if not _math.isfinite(float(v)):
+            # json.dumps would emit NaN/Infinity tokens, which RFC 8259
+            # forbids and the spec's single-value serialization (Appendix
+            # D) has no representation for — foreign readers would reject
+            # the metadata file outright
+            raise ValueError(
+                f"{t} default must be finite, got {v!r} (the spec's JSON "
+                "single-value serialization cannot represent NaN/Infinity)"
+            )
         return float(v)
     if t == "string":
         if not isinstance(v, str):
@@ -6915,15 +6946,21 @@ def read_iceberg_cdf(
         return out
 
     id_to_name = _field_id_map(meta)
+    # one manifest-decode memo for the whole ancestry walk: consecutive
+    # snapshots share most manifests (ADVICE r12 — the per-snapshot full
+    # replay was O(snapshots × manifests) driver file reads)
+    mcache: dict = {}
     prev_data, prev_deletes = _snapshot_scan_plan(
-        meta, ordered[from_idx]["snapshot-id"], path
+        meta, ordered[from_idx]["snapshot-id"], path, _manifest_cache=mcache
     )
     prev_data_map = {d["path"]: d for d in prev_data}
     prev_delete_set = {d["path"] for d in prev_deletes}
     parts: list[DataFrame] = []
     for s in ordered[from_idx + 1 : to_idx + 1]:
         sid = s["snapshot-id"]
-        data, deletes = _snapshot_scan_plan(meta, sid, path)
+        data, deletes = _snapshot_scan_plan(
+            meta, sid, path, _manifest_cache=mcache
+        )
         data_map = {d["path"]: d for d in data}
         gone = set(prev_data_map) - set(data_map)
         if gone:

@@ -3238,6 +3238,12 @@ def write_delta(
                             for f in prior_fields.values()
                         ]
                     )
+                    used_phys = {
+                        (f.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName"
+                        )
+                        for f in prior_fields.values()
+                    }
                     for fld in ev["fields"]:
                         if fld["name"] in prior_fields:
                             fld["metadata"] = prior_fields[fld["name"]].get(
@@ -3245,9 +3251,20 @@ def write_delta(
                             ) or {}
                             continue
                         next_id += 1
+                        # opaque physical name, like the create path: a
+                        # rename keeps the OLD physicalName on the renamed
+                        # field, so re-using the freed logical name here
+                        # with physicalName==logical would put two fields
+                        # on one physical column (duplicate parquet column
+                        # on write; both logical columns reading one
+                        # physical column in name mode)
+                        phys = f"col-{uuid.uuid4().hex[:8]}"
+                        while phys in used_phys:  # pragma: no cover
+                            phys = f"col-{uuid.uuid4().hex[:8]}"
+                        used_phys.add(phys)
                         fld["metadata"] = {
                             **(fld.get("metadata") or {}),
-                            "delta.columnMapping.physicalName": fld["name"],
+                            "delta.columnMapping.physicalName": phys,
                             "delta.columnMapping.id": next_id,
                         }
                     conf0["delta.columnMapping.maxColumnId"] = str(next_id)

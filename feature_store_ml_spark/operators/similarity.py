@@ -430,20 +430,35 @@ def ivf_build_index(
     return meta
 
 
-def _ivf_load_meta(index_path: str) -> dict:
+def _ivf_load_meta(index_path: str, allow_fallback: bool = False) -> dict:
+    """Load index meta; stamps ``meta["_dir"]`` with the directory the
+    caller must read centroids/assignments from. With ``allow_fallback``
+    (read-only callers: query, recall), a missing index falls back to the
+    ``<index>.old`` sidecar ``ivf_maintain`` leaves during its two-rename
+    swap — a query racing maintenance (or recovering a crash between the
+    renames) serves the pre-rebuild index instead of erroring. Write
+    paths (append) must NOT fall back: .old is doomed."""
     import json
     import os
 
+    resolved = index_path
     mp = os.path.join(index_path, "_ivf_meta.json")
     if not os.path.exists(mp):
-        raise ValueError(
-            f"{index_path}: no _ivf_meta.json — not an IVF index (or a torn "
-            "build; meta is written last). Rebuild with ivf_build_index."
-        )
+        old = index_path.rstrip("/") + ".old"
+        old_mp = os.path.join(old, "_ivf_meta.json")
+        if allow_fallback and os.path.exists(old_mp):
+            resolved, mp = old, old_mp
+        else:
+            raise ValueError(
+                f"{index_path}: no _ivf_meta.json — not an IVF index (or a "
+                "torn build; meta is written last). Rebuild with "
+                "ivf_build_index."
+            )
     with open(mp) as fh:
         meta = json.load(fh)
     if meta.get("format") != "fsml-ivf-v1":
         raise ValueError(f"{index_path}: unknown IVF index format {meta.get('format')!r}")
+    meta["_dir"] = resolved
     return meta
 
 
@@ -501,7 +516,7 @@ def ivf_query_index(
     different ones is an error-by-construction the meta check surfaces."""
     import os
 
-    meta = _ivf_load_meta(index_path)
+    meta = _ivf_load_meta(index_path, allow_fallback=True)
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     if id_col != meta["id_col"] or vec_col != meta["vec_col"]:
@@ -509,13 +524,13 @@ def ivf_query_index(
             f"{index_path}: index was built over ({meta['id_col']}, "
             f"{meta['vec_col']}), queried with ({id_col}, {vec_col})"
         )
-    centers_df = spark.read.parquet(os.path.join(index_path, "centroids"))
+    centers_df = spark.read.parquet(os.path.join(meta["_dir"], "centroids"))
     probes = _ivf_probes(queries, centers_df, id_col, vec_col, n_probe).cache()
     # bounded collect: ≤ n_clusters ints (index geometry, not data scale)
     probe_clusters = [
         r["cluster"] for r in probes.select("cluster").distinct().collect()
     ]
-    assigned = spark.read.parquet(os.path.join(index_path, "assignments")).where(
+    assigned = spark.read.parquet(os.path.join(meta["_dir"], "assignments")).where(
         F.col("cluster").isin(probe_clusters)
     )
     out = _ivf_score_topk(assigned, probes, k, round_scale)
@@ -542,10 +557,10 @@ def ivf_index_recall(
     path; run it on maintenance cadence, not per query."""
     import os
 
-    meta = _ivf_load_meta(index_path)
+    meta = _ivf_load_meta(index_path, allow_fallback=True)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     corpus = spark.read.parquet(
-        os.path.join(index_path, "assignments")
+        os.path.join(meta["_dir"], "assignments")
     ).select(
         F.col("neighbor_id").alias(id_col), F.col("c_vec").alias(vec_col)
     )
@@ -583,8 +598,11 @@ def ivf_maintain(
     k-means over the FULL indexed corpus under the stamped geometry
     (same id/vec columns, n_clusters, seed) into a SIDECAR directory,
     then swaps it in whole: a crash mid-rebuild leaves either the old
-    index intact or a fail-loud missing-meta window, never a
-    valid-looking index whose centroids and assignments disagree
+    index intact or the ``<index>.old`` sidecar the read paths fall
+    back to (``_ivf_load_meta(allow_fallback=True)`` — a query racing
+    the two-rename swap, or recovering a crash between them, serves the
+    pre-rebuild index instead of erroring), never a valid-looking
+    index whose centroids and assignments disagree
     (an in-place overwrite had exactly that torn state — new centroids
     over old lists, recall silently collapsed). The corpus is
     lineage-cut (localCheckpoint) so the rebuild never scans files it

@@ -134,6 +134,11 @@ def sync_iceberg_spool(
             if not os.path.lexists(link):
                 os.symlink(os.path.abspath(src), link)
 
+    # one manifest-decode memo across the whole ancestry walk (ADVICE
+    # r12): manifests are immutable and consecutive snapshots share most
+    # of theirs, so a first sync over a long history no longer replays
+    # every snapshot's full manifest list from disk
+    mcache: dict = {}
     for snap in ordered:
         sid = snap["snapshot-id"]
         if not seen_since:
@@ -145,10 +150,12 @@ def sync_iceberg_spool(
         op = (snap.get("summary") or {}).get("operation", "append")
         if prev_content is None and prev is not None:
             prev_content = _ice._snapshot_content(
-                meta, prev["snapshot-id"], path
+                meta, prev["snapshot-id"], path, _manifest_cache=mcache
             )
         p_data, p_del = prev_content if prev_content is not None else ([], [])
-        s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
+        s_plan, s_del_plan = _ice._snapshot_scan_plan(
+            meta, sid, path, _manifest_cache=mcache
+        )
         s_data = [d["path"] for d in s_plan]
         prev_set = set(p_data)
         if op == "replace":
@@ -625,6 +632,8 @@ def sync_iceberg_cdf_spool(
     #: sync (round 12 — formerly one job per snapshot; the per-commit
     #: scheduling constant dominated the CDF-stream pins)
     batch: list = []
+    # shared manifest-decode memo for the walk (see the plain-tail twin)
+    mcache: dict = {}
     for snap in ordered:
         sid = snap["snapshot-id"]
         if not seen_since:
@@ -637,10 +646,12 @@ def sync_iceberg_cdf_spool(
         op = (snap.get("summary") or {}).get("operation", "append")
         if prev_content is None and prev is not None:
             prev_content = _ice._snapshot_content(
-                meta, prev["snapshot-id"], path
+                meta, prev["snapshot-id"], path, _manifest_cache=mcache
             )
         p_data, p_del = prev_content if prev_content is not None else ([], [])
-        s_plan, s_del_plan = _ice._snapshot_scan_plan(meta, sid, path)
+        s_plan, s_del_plan = _ice._snapshot_scan_plan(
+            meta, sid, path, _manifest_cache=mcache
+        )
         s_data = [d["path"] for d in s_plan]
         prev_set = set(p_data)
         if op == "replace":

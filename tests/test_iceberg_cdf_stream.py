@@ -170,3 +170,51 @@ def test_v3_dv_cdf_stream_restart_mid_matrix(spark, tmp_path):
     g = sorted(map(tuple, both.select("id", "v", "_change_type").collect()))
     w = sorted(map(tuple, want.select("id", "v", "_change_type").collect()))
     assert g == w and g
+
+
+def test_manifest_cache_identical_plans_fewer_reads(spark, tmp_path):
+    """_snapshot_scan_plan with a shared _manifest_cache returns plans
+    identical to the uncached walk, and the ancestry walk stops
+    re-decoding manifests shared between consecutive snapshots
+    (ADVICE r12 — first sync over a long history was
+    O(snapshots x manifests) driver file reads)."""
+    from feature_store_ml_spark.io import avro_lite
+
+    root = str(tmp_path / "mc")
+    for lo in range(0, 40, 10):
+        iceberg.write_iceberg(
+            spark,
+            spark.range(lo, lo + 10).select("id", (F.col("id") * 2).alias("v")),
+            root,
+            format_version=2,
+        )
+    meta = iceberg._load_metadata(root)
+    sids = [s["snapshot-id"] for s in meta["snapshots"]]
+    cache: dict = {}
+    plain = [iceberg._snapshot_scan_plan(meta, s, root) for s in sids]
+    cached = [
+        iceberg._snapshot_scan_plan(meta, s, root, _manifest_cache=cache)
+        for s in sids
+    ]
+    assert plain == cached
+    # the walk touches every manifest exactly once via the cache
+    calls: list[str] = []
+    orig = avro_lite.read_container
+
+    def counting(p, *a, **k):
+        calls.append(p)
+        return orig(p, *a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(avro_lite, "read_container", counting):
+        c2: dict = {}
+        for s in sids:
+            iceberg._snapshot_scan_plan(meta, s, root, _manifest_cache=c2)
+        cached_manifest_reads = sum(
+            1 for p in calls if "manifest-list" not in p.replace("snap-", "")
+        )
+    # uncached: snapshot i replays i+1 manifests -> 1+2+3+4 = 10 decodes;
+    # cached: each of the 4 manifests decodes once
+    assert len(c2) == 4
+    assert cached_manifest_reads <= len(c2) + len(sids)  # manifests + lists

@@ -235,3 +235,19 @@ def test_merge_insert_gets_write_default(spark, tmp_path):
             root,
             keys=["id"],
         )
+
+
+def test_nonfinite_float_default_refused(spark, tmp_path):
+    """NaN/Infinity defaults must be refused (ADVICE r12): json.dumps
+    would emit non-RFC tokens into *.metadata.json and the spec's JSON
+    single-value serialization has no NaN representation — strict
+    parsers and foreign readers reject the whole metadata file."""
+    root = _mk(spark, tmp_path, name="nf")
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="finite"):
+            iceberg.add_iceberg_column(root, "w", "double", default=bad)
+        with pytest.raises(ValueError, match="finite"):
+            iceberg.add_iceberg_column(root, "w", "float", default=bad)
+    # the metadata file must still be strict-JSON parseable afterwards
+    iceberg.add_iceberg_column(root, "w", "double", default=1.5)
+    assert {r.w for r in iceberg.read_iceberg(spark, root).collect()} == {1.5}

@@ -88,3 +88,32 @@ def test_merge_evolution_refused_on_mapped_tables(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="column-mapped"):
         lh.merge_delta(spark, src, root, keys=["id"], merge_schema=True)
+
+
+def test_append_evolution_after_rename_reusing_freed_name(spark, tmp_path):
+    """merge_schema append on a MAPPED table must give new columns an
+    OPAQUE physicalName (ADVICE r12): a rename keeps the old physical
+    name on the renamed field, so re-adding a column under the freed
+    logical name with physicalName==logical would put two logical
+    fields on ONE physical parquet column — duplicate column on write,
+    both logical columns resolving from one physical column on read."""
+    import json
+
+    root = str(tmp_path / "rn")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id int, a int")
+    lh.write_delta(spark, df, root)
+    lh.rename_delta_column(spark, root, "a", "b")  # b keeps physical 'a'
+    src = spark.createDataFrame([(3, 30, 99)], "id int, b int, a int")
+    lh.write_delta(spark, src, root, mode="append", merge_schema=True)
+    _live, meta = lh._replay_log(root)
+    fields = json.loads(meta["schemaString"])["fields"]
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+    assert phys["b"] == "a"  # rename-stable
+    assert phys["a"] != "a"  # opaque, NOT the freed name
+    assert len(set(phys.values())) == len(phys)  # all unique
+    back = lh.read_delta(spark, root)
+    rows = {(r.id, r.b, r.a) for r in back.collect()}
+    assert rows == {(1, 10, None), (2, 20, None), (3, 30, 99)}

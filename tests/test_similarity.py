@@ -268,3 +268,28 @@ def test_ivf_maintain_recall_gated_rebuild(spark, tmp_path):
         spark.read.parquet(os.path.join(idx, "assignments")).count()
     )
     assert n == 200
+
+
+def test_ivf_query_falls_back_to_old_sidecar(spark, sf_dir, tmp_path):
+    """A query racing ivf_maintain's two-rename swap (or recovering a
+    crash between the renames) serves the ``<index>.old`` sidecar
+    instead of erroring (ADVICE r12). Write paths must NOT fall back —
+    .old is doomed."""
+    import os
+
+    idx = str(tmp_path / "ivf")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    similarity.ivf_build_index(emb, idx)
+    queries = emb.where(F.col("vec_id") < 5)
+
+    def rows(df):
+        return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+    before = rows(similarity.ivf_query_index(spark, idx, queries, k=3))
+    # simulate the mid-swap state: index renamed away, rebuild not yet in
+    os.rename(idx, idx + ".old")
+    after = rows(similarity.ivf_query_index(spark, idx, queries, k=3))
+    assert after == before and after
+    assert similarity.ivf_index_recall(spark, idx, k=3, sample=8) > 0
+    with pytest.raises(ValueError, match="_ivf_meta"):
+        similarity.ivf_append_index(emb.limit(1), idx)  # writes: loud
