@@ -34,13 +34,22 @@ per data file, unioned + superseded-in-same-snapshot per spec) across
 DELETE/UPDATE/MERGE/overwrite-where, with row lineage mandatory; v2
 tables keep writing position-delete files unchanged.
 
+Nested types (round 13): struct/list/map are first-class on the parquet
+leg — spec JSON schema forms with per-nested-field ids (covered by
+last-column-id), declared-schema reads, zero-rewrite rename of nested
+parents via footer field-id resolution, merge_schema evolution adding
+nested columns, MoR deletes/DVs over nested tables. Manifests carry no
+bounds for nested fields (spec-optional; the pruner fails open).
+
 Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
 loud refusals", kept honest by tests/test_header_drift.py): metadata
 format-version 4+; v3-only types (timestamptz_ns/variant/geometry);
-column defaults on a table whose schema this reader cannot express as a
-Spark StructType (nested types); write_iceberg(branch='main') and
-schema evolution through a side branch; zoneless wall-clock ORC files
-declared timestamptz.
+column DEFAULTS on nested types and add_iceberg_column of a nested
+type (append with merge_schema instead); AVRO/ORC data-file staging of
+nested columns (parquet only); nested entries in a foreign name
+mapping; renaming an INNER nested field (only the parent column
+renames); write_iceberg(branch='main') and schema evolution through a
+side branch; zoneless wall-clock ORC files declared timestamptz.
 """
 
 from __future__ import annotations
@@ -376,6 +385,193 @@ def _spark_to_ice_type(t: str) -> str | None:
     return None
 
 
+# --------------------------------------------------------- nested types ----
+# (spec §Schemas: struct/list/map are first-class; every nested field —
+# struct member, list element, map key/value — carries its OWN field id,
+# unique across the whole schema and covered by last-column-id)
+
+
+def _spark_dt_to_ice(dt, alloc=None):
+    """Spark DataType -> Iceberg type (str for primitives, dict for
+    struct/list/map per the spec's JSON schema forms). ``alloc`` is a
+    zero-arg fresh-field-id allocator used for NESTED ids (struct member
+    / element-id / key-id / value-id); the CALLER assigns top-level ids.
+    With ``alloc=None`` ids are omitted — the id-free form
+    ``_ice_type_fingerprint`` compares. Fail-loud on unmappable types."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        eid = alloc() if alloc else None
+        out = {
+            "type": "list",
+            "element-required": not dt.containsNull,
+            "element": _spark_dt_to_ice(dt.elementType, alloc),
+        }
+        if eid is not None:
+            out["element-id"] = eid
+        return out
+    if isinstance(dt, T.MapType):
+        kid = alloc() if alloc else None
+        vid = alloc() if alloc else None
+        out = {
+            "type": "map",
+            "key": _spark_dt_to_ice(dt.keyType, alloc),
+            "value-required": not dt.valueContainsNull,
+            "value": _spark_dt_to_ice(dt.valueType, alloc),
+        }
+        if kid is not None:
+            out["key-id"] = kid
+            out["value-id"] = vid
+        return out
+    if isinstance(dt, T.StructType):
+        # direct members get ids BEFORE their own nested types are
+        # visited (java Iceberg's assignFreshIds order)
+        fids = [alloc() if alloc else None for _ in dt.fields]
+        fields = []
+        for f, fid in zip(dt.fields, fids):
+            entry = {
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _spark_dt_to_ice(f.dataType, alloc),
+            }
+            if fid is not None:
+                entry["id"] = fid
+            fields.append(entry)
+        return {"type": "struct", "fields": fields}
+    prim = _spark_to_ice_type(dt.simpleString())
+    if prim is None:
+        raise NotImplementedError(
+            f"write_iceberg: spark type {dt.simpleString()!r} has no "
+            "iceberg mapping in this writer"
+        )
+    return prim
+
+
+def _ice_type_to_spark_json(t):
+    """Iceberg type (str or nested dict) -> Spark JSON type value (the
+    form StructType.fromJson consumes), recursing through struct/list/
+    map. None when any leaf is unmapped (v3-only types etc.) — callers
+    fall back exactly as for flat schemas."""
+    if isinstance(t, str):
+        return _ice_to_spark_type(t)
+    if not isinstance(t, dict):
+        return None
+    kind = t.get("type")
+    if kind == "list":
+        el = _ice_type_to_spark_json(t.get("element"))
+        if el is None:
+            return None
+        return {
+            "type": "array",
+            "elementType": el,
+            "containsNull": not t.get("element-required", False),
+        }
+    if kind == "map":
+        k = _ice_type_to_spark_json(t.get("key"))
+        v = _ice_type_to_spark_json(t.get("value"))
+        if k is None or v is None:
+            return None
+        return {
+            "type": "map",
+            "keyType": k,
+            "valueType": v,
+            "valueContainsNull": not t.get("value-required", False),
+        }
+    if kind == "struct":
+        fields = []
+        for f in t.get("fields", []):
+            ft = _ice_type_to_spark_json(f.get("type"))
+            if ft is None:
+                return None
+            fields.append(
+                {
+                    "name": f["name"],
+                    "type": ft,
+                    "nullable": not f.get("required", False),
+                    "metadata": {},
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    return None
+
+
+def _ice_type_fingerprint(t):
+    """Canonical ID-FREE form of an Iceberg type for schema comparison
+    (append checks): ids are table-assigned identity the batch cannot
+    know, and required-ness is not compared — matching the flat path's
+    name+type leniency (Spark frames default to nullable)."""
+    if isinstance(t, str):
+        return t
+    if not isinstance(t, dict):
+        return ("?", repr(t))
+    kind = t.get("type")
+    if kind == "list":
+        return ("list", _ice_type_fingerprint(t.get("element")))
+    if kind == "map":
+        return (
+            "map",
+            _ice_type_fingerprint(t.get("key")),
+            _ice_type_fingerprint(t.get("value")),
+        )
+    if kind == "struct":
+        return (
+            "struct",
+            tuple(
+                (f["name"], _ice_type_fingerprint(f.get("type")))
+                for f in t.get("fields", [])
+            ),
+        )
+    return ("?", repr(t))
+
+
+def _spark_dt_fingerprint(dt):
+    """Fingerprint of a Spark DataType in the same id-free space as
+    ``_ice_type_fingerprint`` — None when unmappable (so comparisons
+    report a mismatch instead of raising mid-check)."""
+    try:
+        return _ice_type_fingerprint(_spark_dt_to_ice(dt, None))
+    except NotImplementedError:
+        return None
+
+
+def _max_field_id(fields: list[dict]) -> int:
+    """Max field id across a schema INCLUDING nested struct member /
+    element / key / value ids — the number last-column-id must cover
+    (a foreign writer draws fresh ids from it; missing a nested id
+    means a later add collides with a live nested field)."""
+
+    def _of_type(t) -> int:
+        if not isinstance(t, dict):
+            return 0
+        kind = t.get("type")
+        if kind == "list":
+            return max(t.get("element-id") or 0, _of_type(t.get("element")))
+        if kind == "map":
+            return max(
+                t.get("key-id") or 0,
+                t.get("value-id") or 0,
+                _of_type(t.get("key")),
+                _of_type(t.get("value")),
+            )
+        if kind == "struct":
+            return max(
+                (
+                    max(f.get("id") or 0, _of_type(f.get("type")))
+                    for f in t.get("fields", [])
+                ),
+                default=0,
+            )
+        return 0
+
+    return max(
+        (
+            max(f.get("id") or 0, _of_type(f.get("type")))
+            for f in fields
+        ),
+        default=0,
+    )
+
+
 def _default_json(ice_type: str, v):
     """Python value -> the spec's JSON single-value serialization
     (spec §Appendix D: JSON single-value serialization) for storage in a
@@ -609,12 +805,13 @@ def set_iceberg_name_mapping(path: str) -> int:
 
 
 def _declared_spark_schema(meta: dict):
-    """The table's CURRENT schema as a Spark StructType, or None when it
-    contains a type this mapping doesn't cover (nested, decimal, ...) —
-    callers fall back to parquet inference then. Reading with the declared
-    schema is what makes SCHEMA EVOLUTION work: files written before a
-    column was added backfill null instead of the scan adopting whichever
-    file's schema comes first."""
+    """The table's CURRENT schema as a Spark StructType — struct/list/map
+    included (round 13) — or None when it contains a type this mapping
+    doesn't cover (v3-only variant/geometry, ...): callers fall back to
+    parquet inference then. Reading with the declared schema is what
+    makes SCHEMA EVOLUTION work: files written before a column was added
+    backfill null instead of the scan adopting whichever file's schema
+    comes first."""
     sid = meta.get("current-schema-id", 0)
     schema = next(
         (s for s in meta.get("schemas", []) if s.get("schema-id") == sid),
@@ -624,7 +821,7 @@ def _declared_spark_schema(meta: dict):
         return None
     fields = []
     for f in schema.get("fields", []):
-        spark_t = _ice_to_spark_type(f.get("type"))
+        spark_t = _ice_type_to_spark_json(f.get("type"))
         if spark_t is None:
             return None
         fields.append(
@@ -1169,19 +1366,18 @@ def read_iceberg_changes(
         current = current or meta.get("schema")
         if current is None:
             raise ValueError(f"{path}: no new files and no declared schema")
-        # iceberg primitive names -> spark JSON type names
-        tmap = {"int": "integer", "timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
         spark_fields = []
         for f in current["fields"]:
-            t = f["type"]
-            if not isinstance(t, str):
+            t = _ice_type_to_spark_json(f["type"])
+            if t is None:
                 raise NotImplementedError(
-                    f"{path}: nested iceberg type in empty-diff schema: {t}"
+                    f"{path}: unmappable iceberg type in empty-diff "
+                    f"schema: {f['type']}"
                 )
             spark_fields.append(
                 {
                     "name": f["name"],
-                    "type": tmap.get(t, t),
+                    "type": t,
                     "nullable": not f.get("required", False),
                     "metadata": {},
                 }
@@ -1244,15 +1440,27 @@ _SPARK_TO_ICEBERG = {
 
 
 def _iceberg_fields(df: DataFrame) -> list[dict]:
+    """Fresh-id Iceberg schema fields for a CREATE: top-level columns get
+    ids 1..N (flat tables stay byte-identical with earlier rounds), then
+    nested struct/list/map ids allocate from N+1 in field order,
+    depth-first — every id unique across the tree (spec §Schemas)."""
+    import itertools as _it
+
+    n = len(df.schema.fields)
+    counter = _it.count(n + 1)
+
+    def alloc() -> int:
+        return next(counter)
+
     out = []
     for i, f in enumerate(df.schema.fields, start=1):
-        t = f.dataType.simpleString()
-        ice_t = _spark_to_ice_type(t)
-        if ice_t is None:
+        try:
+            ice_t = _spark_dt_to_ice(f.dataType, alloc)
+        except NotImplementedError:
             raise NotImplementedError(
-                f"write_iceberg: spark type {t!r} (column {f.name!r}) has no "
-                "iceberg primitive mapping in this writer"
-            )
+                f"write_iceberg: spark type {f.dataType.simpleString()!r} "
+                f"(column {f.name!r}) has no iceberg mapping in this writer"
+            ) from None
         out.append(
             {
                 "id": i,
@@ -2688,9 +2896,17 @@ def write_iceberg(
         )
         if declared is None:
             raise ValueError(f"{path}: no declared schema in table metadata")
-        want = [(f["name"], f["type"]) for f in declared["fields"]]
-        got = [(f.name, _spark_to_ice_type(f.dataType.simpleString()))
-               for f in df.schema.fields]
+        # compare in the id-free fingerprint space: nested batch types
+        # carry no field ids (table-assigned identity), and the flat
+        # comparison was name+type anyway
+        want = [
+            (f["name"], _ice_type_fingerprint(f["type"]))
+            for f in declared["fields"]
+        ]
+        got = [
+            (f.name, _spark_dt_fingerprint(f.dataType))
+            for f in df.schema.fields
+        ]
         # WRITE-DEFAULT (spec §Default values, v3): a batch may omit a
         # column carrying write-default — the writer materializes the
         # constant into the data files (the spec's "assign the default"
@@ -2720,30 +2936,47 @@ def write_iceberg(
                 *[n for n in order if n in set(df.columns)],
                 *[c for c in df.columns if c not in set(order)],
             )
-            got = [(f.name, _spark_to_ice_type(f.dataType.simpleString()))
-                   for f in df.schema.fields]
+            got = [
+                (f.name, _spark_dt_fingerprint(f.dataType))
+                for f in df.schema.fields
+            ]
         if got != want and merge_schema and got[: len(want)] == want:
             # SCHEMA EVOLUTION (add-only): the batch carries every declared
             # column in order plus new nullable ones at the end — widen the
-            # declared schema with fresh field ids; the reader's
-            # declared-schema scan backfills old files with null
-            last_id = max(
-                (f.get("id", 0) for f in declared["fields"]),
-                default=len(declared["fields"]),
+            # declared schema with fresh field ids (nested member ids
+            # allocate from the same counter, past every live id incl.
+            # nested — _max_field_id); the reader's declared-schema scan
+            # backfills old files with null
+            import itertools as _it
+
+            _ctr = _it.count(
+                max(
+                    _max_field_id(declared["fields"]),
+                    prior_meta.get("last-column-id", 0) or 0,
+                )
+                + 1
             )
-            new_fields = [
-                {
-                    "id": last_id + j + 1,
-                    "name": name,
-                    "required": False,
-                    "type": t,
-                }
-                for j, (name, t) in enumerate(got[len(want):])
-            ]
-            if any(f["type"] is None for f in new_fields):
-                raise ValueError(
-                    f"{path}: evolution adds a column with an unmappable "
-                    "spark type"
+
+            def _alloc() -> int:
+                return next(_ctr)
+
+            new_fields = []
+            for f in df.schema.fields[len(want):]:
+                fid = _alloc()
+                try:
+                    ice_t = _spark_dt_to_ice(f.dataType, _alloc)
+                except NotImplementedError:
+                    raise ValueError(
+                        f"{path}: evolution adds column {f.name!r} with an "
+                        "unmappable spark type"
+                    ) from None
+                new_fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": False,
+                        "type": ice_t,
+                    }
                 )
             declared = {
                 **declared,
@@ -3068,8 +3301,12 @@ def write_iceberg(
         "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
         "location": path,
         "last-updated-ms": now_ms,
+        # covers NESTED ids too (struct member / element / key / value) —
+        # the allocator foreign writers draw fresh ids from
         "last-column-id": max(
-            f.get("id", i) for i, f in enumerate(fields, start=1)
+            _max_field_id(fields),
+            len(fields),
+            prior_meta.get("last-column-id", 0) or 0,
         ),
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
@@ -5967,9 +6204,13 @@ def merge_iceberg(
         # declared-schema scan, DROP/retype stay fail-loud.
         meta0 = _load_metadata(path)
         cur0 = _current_schema(meta0)
-        want0 = [(f["name"], f["type"]) for f in cur0["fields"]]
+        want0 = [
+            (f["name"], _ice_type_fingerprint(f["type"]))
+            for f in cur0["fields"]
+        ]
+        by_name0 = {f.name: f for f in source.schema.fields}
         got0 = [
-            (f.name, _spark_to_ice_type(f.dataType.simpleString()))
+            (f.name, _spark_dt_fingerprint(f.dataType))
             for f in source.schema.fields
         ]
         if got0 != want0:
@@ -5986,28 +6227,37 @@ def merge_iceberg(
                         f"column {n!r} from {t} to {got_map[n]}"
                     )
             declared_names = {n for n, _ in want0}
-            new_cols = [(n, t) for n, t in got0 if n not in declared_names]
-            if any(t is None for _, t in new_cols):
-                raise ValueError(
-                    f"{path}: evolution adds a column with an unmappable "
-                    "spark type"
+            new_cols = [n for n, _ in got0 if n not in declared_names]
+            import itertools as _it
+
+            _ctr0 = _it.count(
+                max(
+                    _max_field_id(cur0["fields"]),
+                    meta0.get("last-column-id", 0) or 0,
                 )
-            last_id = max(
-                (f.get("id", 0) for f in cur0["fields"]),
-                default=len(cur0["fields"]),
+                + 1
             )
+
+            def _alloc0() -> int:
+                return next(_ctr0)
+
+            added_fields0 = []
+            for n in new_cols:
+                fid = _alloc0()
+                try:
+                    ice_t = _spark_dt_to_ice(by_name0[n].dataType, _alloc0)
+                except NotImplementedError:
+                    raise ValueError(
+                        f"{path}: evolution adds column {n!r} with an "
+                        "unmappable spark type"
+                    ) from None
+                added_fields0.append(
+                    {"id": fid, "name": n, "required": False, "type": ice_t}
+                )
             _commit_schema_evolution(
-                path,
-                list(cur0["fields"])
-                + [
-                    {"id": last_id + j + 1, "name": n, "required": False,
-                     "type": t}
-                    for j, (n, t) in enumerate(new_cols)
-                ],
+                path, list(cur0["fields"]) + added_fields0
             )
-            source = source.select(
-                *[n for n, _ in want0], *[n for n, _ in new_cols]
-            )
+            source = source.select(*[n for n, _ in want0], *new_cols)
     prior_meta, prior_version, snap_id, seq = _prepare_delete(path)
     cur_schema = _current_schema(prior_meta)
     names = [f["name"] for f in cur_schema.get("fields", [])]
@@ -7170,10 +7420,10 @@ def _commit_schema_evolution(path: str, new_fields: list[dict]) -> int:
     meta["current-schema-id"] = new_sid
     meta["last-updated-ms"] = int(_time.time() * 1000)
     # last-column-id is the allocator foreign writers draw fresh ids
-    # from — keep it ≥ every id this evolution introduced
+    # from — keep it ≥ every id this evolution introduced, nested
+    # member/element/key/value ids included
     meta["last-column-id"] = max(
-        [meta.get("last-column-id", 0)]
-        + [f.get("id", 0) for f in new_fields],
+        meta.get("last-column-id", 0), _max_field_id(new_fields)
     )
     if "schema" in meta:
         # keep the v1 legacy singular field in lockstep — popping it would
@@ -7385,8 +7635,8 @@ def add_iceberg_column(
             "required fields must carry initial-default)"
         )
     last_id = max(
-        [f.get("id", 0) for f in cur.get("fields", [])]
-        + [meta.get("last-column-id", 0)],
+        _max_field_id(cur.get("fields", [])),
+        meta.get("last-column-id", 0) or 0,
     )
     field: dict = {
         "id": last_id + 1,

@@ -3052,6 +3052,161 @@ def e1_iceberg_v3_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_nested",
+    """
+    WITH live AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 7 <> 0
+    ),
+    per AS (
+      SELECT CAST(label % 4 AS INT) AS lbl,
+             ROUND(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE))), 6) AS s,
+             len(embedding) AS dim
+      FROM live)
+    SELECT lbl, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(s AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_elems,
+           CAST(SUM(dim) AS BIGINT) AS sum_dim
+    FROM per GROUP BY lbl
+    """,
+)
+def e1_iceberg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NESTED TYPES lifecycle (round 13 — spec §Schemas:
+    struct/list/map with per-nested-field ids): write the embeddings
+    table as list<float> + struct + map columns, RENAME the nested
+    parent (zero-rewrite; old files resolve by footer field id), append
+    a post-rename batch, MoR-DELETE a slice, then aggregate OVER the
+    list elements / struct member / map value — the driver's own
+    ``array<float>`` embedding column finally lives under Iceberg DML
+    and time travel. In-query asserts pin the metadata shape: nested
+    ids unique and covered by last-column-id, and the rename commit
+    touched zero data files."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def nest(df, vec_name):
+        return df.select(
+            "vec_id",
+            F.col("embedding").alias(vec_name),
+            F.struct(
+                F.col("label"), F.size("embedding").alias("dim")
+            ).alias("meta"),
+            F.create_map(
+                F.lit("lbl"), (F.col("label") % 4).cast("int")
+            ).alias("tags"),
+        )
+
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_nested"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = 400
+    iceberg.write_iceberg(
+        spark, nest(e.where(F.col("vec_id") < cut), "vec"), path,
+        format_version=2,
+    )
+    meta0 = iceberg._load_metadata(path)
+    if iceberg._max_field_id(
+        iceberg._current_schema(meta0)["fields"]
+    ) != meta0["last-column-id"]:
+        raise AssertionError("last-column-id must cover nested ids")
+    files_before = set(iceberg._live_data_files(path))
+    iceberg.rename_iceberg_column(path, "vec", "emb")
+    if set(iceberg._live_data_files(path)) != files_before:
+        raise AssertionError("nested-parent rename must be metadata-only")
+    iceberg.write_iceberg(
+        spark, nest(e.where(F.col("vec_id") >= cut), "emb"), path,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, path, "vec_id % 7 = 0")
+    back = iceberg.read_iceberg(spark, path)
+    per = back.select(
+        F.col("tags")["lbl"].alias("lbl"),
+        F.round(
+            F.aggregate(
+                F.transform("emb", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("s"),
+        F.col("meta.dim").alias("dim"),
+    )
+    return per.groupBy("lbl").agg(
+        F.count("*").alias("n"),
+        dsum("s").alias("sum_elems"),
+        F.sum("dim").cast("long").alias("sum_dim"),
+    )
+
+
+@register(
+    "e12_feature_embeddings",
+    """
+    WITH live AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 11 <> 0
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM live WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM live),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(
+               list_sum(list_transform(range(1, 1 + len(qv)),
+                        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+      FROM c CROSS JOIN q
+      WHERE neighbor_id <> query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def e12_feature_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING FEATURE GROUP end-to-end on the Iceberg backend (round
+    13, rides the nested-type support): materialize the embeddings
+    table as a FeatureStore group (array<float> under Iceberg),
+    GDPR-RETRACT every 11th entity (merge-on-read position deletes —
+    feature_store.retract), then run exact brute-force ANN straight
+    off the lakehouse read. The oracle recomputes cosine top-k over the
+    raw parquet EXCLUDING the retracted entities — a single surviving
+    retracted vector in any top-5 breaks the hash."""
+    import shutil
+    import tempfile
+
+    from .feature_store import FeatureGroup, FeatureStore
+
+    root = f"{tempfile.gettempdir()}/fsml_feature_embeddings"
+    shutil.rmtree(root, ignore_errors=True)
+    store = FeatureStore(root=root, table_format="iceberg")
+    store.register(
+        FeatureGroup(
+            name="emb",
+            keys=("vec_id",),
+            ts_col="ts",
+            build=lambda src: src.select(
+                "vec_id",
+                "embedding",
+                F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
+            ),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    store.materialize(spark, e, "emb", run_version=1)
+    doomed = e.where(F.col("vec_id") % 11 == 0).select("vec_id")
+    store.retract(spark, "emb", doomed, run_version=2)
+    feat = store.read(spark, "emb").select("vec_id", "embedding")
+    return similarity.cosine_topk(
+        feat, feat.where(F.col("vec_id") < 10), k=5
+    )
+
+
+@register(
     "e1_delta_id_mode",
     """
     SELECT l_returnflag,
@@ -8092,10 +8247,39 @@ _FINAL_ORDER = [
                                # strict superset: add + rename + defaults
                                # + mixed-generation resolution)
     "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
-    "e1_delta_delete_vectors",
-    "e1_delta_data_skipping",  # per-file stats + file pruning on read
+    # -- new in round 13: NESTED TYPES on the Iceberg leg (VERDICT r12
+    #    item 1) + the embedding feature group that rides them (item 2),
+    #    plus the three r12 oracle-backed tail queries brought in for
+    #    first driver verification (item 7)
+    "e1_iceberg_nested",    # round 13: struct/list/map lifecycle — write,
+                            # nested-parent rename, MoR delete, aggregate
+                            # over list elements — displaces
+                            # e1_delta_delete_vectors (driver-green
+                            # r5-r12; the DV family stays in-window via
+                            # e1_uniform_v3 + e1_delta_id_mode's DV
+                            # delete + e13_stream_delta_cdf_rename)
+    "e12_feature_embeddings",  # round 13: embedding feature group under
+                               # Iceberg (materialize -> GDPR retract ->
+                               # exact ANN off the lakehouse read) —
+                               # displaces e1_delta_data_skipping
+                               # (driver-green r5-r12; skipping stays
+                               # in-window via e1_iceberg_data_skipping)
+    "e1_parquet_migrate",   # round 12 tail joiner, first window run —
+                            # displaces e1_iceberg_partition_transforms
+                            # (driver-green r6-r12; transform pruning
+                            # stays via e1_iceberg_data_skipping and the
+                            # swept tail)
+    "e1_delta_column_defaults",  # round 12 tail joiner, first window run
+                                 # — displaces e1_delta_replace_where
+                                 # (driver-green r6-r12; COW overwrite
+                                 # family stays via e1_delta_merge_set/
+                                 # sync)
+    "e13_stream_iceberg_mutations",  # round 12 tail joiner, first window
+                                     # run — displaces e8_string_funcs
+                                     # (driver-green r5-r12; the scalar
+                                     # function family keeps 5 sibling
+                                     # queries in the swept tail)
     "e1_iceberg_data_skipping",  # manifest-bounds pruning, both formats
-    "e1_iceberg_partition_transforms",  # year × murmur3-bucket pruning
     # -- new in round 6 (late): zero-rewrite ALTER COLUMN TYPE on both
     #    formats, and the partitioned Delta streaming tail
     "e13_stream_iceberg_v3_cdf",  # round 12: v3 puffin-DV mutation
@@ -8124,7 +8308,6 @@ _FINAL_ORDER = [
     # -- round 6 continuation: selective overwrite (replaceWhere backfill),
     #    Iceberg rollback (restore twin), Iceberg keyed MERGE (MoR upsert
     #    with partition moves + inserts)
-    "e1_delta_replace_where",
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
     "e1_convert_cross_format",
@@ -8159,7 +8342,6 @@ _FINAL_ORDER = [
     #    in-window, and stay hash-checked every round by the local sweep
     #    (tools/check_oracle.py → CORRECTNESS_LOCAL.json, gated by
     #    tests/test_rotation_gate.py).
-    "e8_string_funcs",      # merged: includes former e8_string_funcs2 columns
     # -- round-6 rotation (VERDICT r5 item 7): oracle-backed queries never
     #    (or longest-ago) hard-verified by the driver come IN; the
     #    r5-green ones they displace move below the boundary with their
@@ -8268,18 +8450,28 @@ _FINAL_ORDER = [
     "e13_stream_iceberg_avro",  # round 10: streaming tail over AVRO
                                 # data files (spool materialization),
                                 # exact oracle — swept tail
-    "e13_stream_iceberg_mutations",  # round 12: plain tail with
-                                     # ignore_deletes/ignore_changes
-                                     # (delete skipped, rewrite re-
-                                     # emitted), exact oracle — swept
-                                     # tail
-    "e1_delta_column_defaults",  # round 12: CURRENT_DEFAULT write-time
-                                 # materialization (allowColumnDefaults),
-                                 # exact oracle — swept tail
-    "e1_parquet_migrate",  # round 12: snapshot/migrate a plain parquet
-                           # dir in place + rename via stamped name
-                           # mapping + MoR delete, exact oracle — swept
-                           # tail
+    # (e13_stream_iceberg_mutations / e1_delta_column_defaults /
+    #  e1_parquet_migrate moved INTO the window in round 13 for first
+    #  driver verification — VERDICT r12 item 7)
+    "e1_delta_delete_vectors",  # rotated out r13, displaced by
+                                # e1_iceberg_nested (driver-green
+                                # r5-r12; DV family stays in-window via
+                                # e1_uniform_v3 + e1_delta_id_mode +
+                                # e13_stream_delta_cdf_rename)
+    "e1_delta_data_skipping",   # rotated out r13, displaced by
+                                # e12_feature_embeddings (driver-green
+                                # r5-r12; skipping family stays via
+                                # e1_iceberg_data_skipping in-window)
+    "e1_iceberg_partition_transforms",  # rotated out r13, displaced by
+                                        # e1_parquet_migrate (driver-
+                                        # green r6-r12)
+    "e1_delta_replace_where",   # rotated out r13, displaced by
+                                # e1_delta_column_defaults (driver-green
+                                # r6-r12)
+    "e8_string_funcs",          # rotated out r13, displaced by
+                                # e13_stream_iceberg_mutations (driver-
+                                # green r5-r12; 5 e8 siblings stay in
+                                # the swept tail)
     "e1_iceberg_mixed_deletes",  # round 10: per-format mask pipelines on
                                  # a mixed AVRO+parquet table (pos delete
                                  # spanning both groups + MoR UPDATE),
@@ -8491,7 +8683,7 @@ def _apply_final_order() -> None:
     # the ignore_deletes/ignore_changes plain-tail query, the Delta
     # column-defaults query and the parquet-migrate query are
     # tail-registered
-    assert n_oracle_tail <= 113, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 115, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

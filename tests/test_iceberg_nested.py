@@ -1,0 +1,207 @@
+"""Iceberg NESTED TYPES (round 13 — spec §Schemas: struct/list/map are
+first-class, every nested field carries its own unique field id covered
+by last-column-id): create/read with declared-schema backfill, zero-
+rewrite rename of a nested parent with field-id resolution across file
+generations, merge_schema evolution adding nested columns, MoR deletes
+and v3 DVs over nested tables, and the fail-louds that stay (avro/orc
+staging, defaults on nested, name-mapping nested entries)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import iceberg
+
+
+def _mk(spark, tmp_path, name="t", fv=2):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], {"a": 1}, (10, "x")),
+            (2, [3.0], {"b": 2}, (20, "y")),
+        ],
+        "id bigint, vec array<double>, m map<string,int>, "
+        "s struct<n:int,t:string>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=fv)
+    return root
+
+
+def test_nested_schema_ids_unique_and_covered(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    meta = iceberg._load_metadata(root)
+    fields = iceberg._current_schema(meta)["fields"]
+
+    ids: list[int] = []
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "list":
+            ids.append(t["element-id"])
+            walk(t["element"])
+        elif t["type"] == "map":
+            ids.extend([t["key-id"], t["value-id"]])
+            walk(t["key"])
+            walk(t["value"])
+        elif t["type"] == "struct":
+            for f in t["fields"]:
+                ids.append(f["id"])
+                walk(f["type"])
+
+    for f in fields:
+        ids.append(f["id"])
+        walk(f["type"])
+    assert len(ids) == len(set(ids))  # unique across the tree
+    assert meta["last-column-id"] == max(ids)
+    # spec JSON forms round-trip through strict json
+    json.loads(json.dumps(fields))
+
+
+def test_nested_roundtrip_and_declared_backfill(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    back = iceberg.read_iceberg(spark, root)
+    rows = sorted(
+        (r.id, r.vec, dict(r.m), (r.s.n, r.s.t)) for r in back.collect()
+    )
+    assert rows == [
+        (1, [1.0, 2.0], {"a": 1}, (10, "x")),
+        (2, [3.0], {"b": 2}, (20, "y")),
+    ]
+    # merge_schema evolution ADDS a nested column; old files backfill null
+    df2 = spark.createDataFrame(
+        [(3, [4.0], {"c": 3}, (30, "z"), [("k", 1.5)])],
+        "id bigint, vec array<double>, m map<string,int>, "
+        "s struct<n:int,t:string>, extra array<struct<k:string,v:double>>",
+    )
+    iceberg.write_iceberg(
+        spark, df2, root, format_version=2, merge_schema=True
+    )
+    meta = iceberg._load_metadata(root)
+    fields = iceberg._current_schema(meta)["fields"]
+    assert [f["name"] for f in fields][-1] == "extra"
+    # the added column's nested ids are fresh (past every prior id)
+    assert meta["last-column-id"] == iceberg._max_field_id(fields)
+    got = {
+        r.id: r.extra
+        for r in iceberg.read_iceberg(spark, root).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert [(e.k, e.v) for e in got[3]] == [("k", 1.5)]
+
+
+def test_nested_parent_rename_resolves_across_generations(spark, tmp_path):
+    """Rename the list-typed column, append post-rename, read: the old
+    files carry the OLD physical name and resolve by footer field id."""
+    root = _mk(spark, tmp_path)
+    iceberg.rename_iceberg_column(root, "vec", "embedding")
+    df2 = spark.createDataFrame(
+        [(3, [4.0, 5.0], {"c": 3}, (30, "z"))],
+        "id bigint, embedding array<double>, m map<string,int>, "
+        "s struct<n:int,t:string>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted((r.id, r.embedding) for r in back.collect()) == [
+        (1, [1.0, 2.0]),
+        (2, [3.0]),
+        (3, [4.0, 5.0]),
+    ]
+
+
+def test_nested_mor_delete_and_merge(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    iceberg.delete_iceberg(spark, root, "id = 1")
+    src = spark.createDataFrame(
+        [(2, [9.9], {"u": 9}, (99, "up")), (7, [7.0], {"n": 7}, (70, "new"))],
+        "id bigint, vec array<double>, m map<string,int>, "
+        "s struct<n:int,t:string>",
+    )
+    iceberg.merge_iceberg(spark, src, root, keys=["id"])
+    rows = sorted(
+        (r.id, r.vec, r.s.t)
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert rows == [(2, [9.9], "up"), (7, [7.0], "new")]
+
+
+def test_nested_v3_dv_and_lineage(spark, tmp_path):
+    root = str(tmp_path / "v3")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i * 2)]) for i in range(8)],
+        "id bigint, vec array<double>",
+    )
+    s0 = iceberg.write_iceberg(spark, df, root, format_version=3)
+    iceberg.delete_iceberg(spark, root, "id = 3")  # puffin DV on v3
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2, 4, 5, 6, 7]
+    cdf = iceberg.read_iceberg_cdf(spark, root, s0)
+    assert {r._change_type for r in cdf.collect()} == {"delete"}
+    lin = iceberg.read_iceberg_row_ids(spark, root)
+    got = {r.id: r._row_id for r in lin.collect()}
+    assert sorted(got.values()) == [0, 1, 2, 4, 5, 6, 7]  # 3's id retired
+
+
+def test_nested_compaction_and_time_travel(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    meta0 = iceberg._load_metadata(root)
+    s0 = meta0["current-snapshot-id"]
+    df2 = spark.createDataFrame(
+        [(3, [7.0], {"d": 4}, (40, "w"))],
+        "id bigint, vec array<double>, m map<string,int>, "
+        "s struct<n:int,t:string>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    iceberg.compact_iceberg(spark, root)
+    assert iceberg.read_iceberg(spark, root).count() == 3
+    assert iceberg.read_iceberg(spark, root, snapshot_id=s0).count() == 2
+
+
+def test_nested_partitioned_with_pruning(spark, tmp_path):
+    root = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i)]) for i in range(9)],
+        "id bigint, p bigint, vec array<double>",
+    )
+    iceberg.write_iceberg(spark, df, root, partition_by=["p"])
+    out = iceberg.read_iceberg(spark, root, where="p = 1")
+    assert sorted(r.id for r in out.collect()) == [1, 4, 7]
+    # skipping report: nested column carries no bounds, pruner fails open
+    rep = iceberg.iceberg_scan_report(root, "id > 100")
+    assert rep["kept_files"] + rep["skipped_files"] == rep["total_files"]
+
+
+def test_nested_stays_refused_where_it_must(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    # defaults on nested types (add_iceberg_column is primitive-only)
+    with pytest.raises(NotImplementedError, match="primitive"):
+        iceberg.add_iceberg_column(root, "nn", "list<double>")
+    # but PRIMITIVE columns alongside nested ones must add fine, with
+    # an id past every nested id
+    iceberg.add_iceberg_column(root, "flag", "string")
+    meta = iceberg._load_metadata(root)
+    fields = iceberg._current_schema(meta)["fields"]
+    flag = next(f for f in fields if f["name"] == "flag")
+    assert flag["id"] > iceberg._max_field_id(fields[:-1])
+    assert {r.flag for r in iceberg.read_iceberg(spark, root).collect()} == {
+        None
+    }
+    # avro/orc data staging refuses nested
+    root2 = str(tmp_path / "avro")
+    df = spark.createDataFrame([(1, [1.0])], "id bigint, vec array<double>")
+    with pytest.raises(NotImplementedError, match="avro"):
+        iceberg.write_iceberg(spark, df, root2, data_format="avro")
+
+
+def test_nested_name_mapping_top_level(spark, tmp_path):
+    """Name mapping on a table WITH nested columns: top-level entries
+    resolve field-id-less files; nested inner fields resolve by name
+    within the column (spec §Column Projection)."""
+    root = _mk(spark, tmp_path)
+    iceberg.set_iceberg_name_mapping(root)
+    meta = iceberg._load_metadata(root)
+    nmap = iceberg._table_name_mapping(meta)
+    assert set(nmap) == {1, 2, 3, 4}  # one entry per top-level field
+    back = iceberg.read_iceberg(spark, root)
+    assert back.count() == 2
