@@ -145,6 +145,15 @@ HEADLINE = [
     "e1_iceberg_v3_defaults",
     "e13_stream_delta_cdf_rename",
     "e13_stream_iceberg_v3_cdf",
+    # round-13 joiners (first pins in BASELINE.md round-13 section):
+    # the nested-type lifecycle (struct/list/map write + rename + MoR
+    # delete + list aggregate), the embedding feature group (Iceberg
+    # materialize + GDPR retract + ANN off the lakehouse read), and the
+    # v3 variant read lifecycle (register shredded variant parquet +
+    # DV delete + rename + variant_get aggregate)
+    "e1_iceberg_nested",
+    "e12_feature_embeddings",
+    "e1_iceberg_variant",
 ]
 
 

@@ -68,7 +68,14 @@ def _harvest_one(p: str, fields: list) -> tuple:
 
     import pyarrow.parquet as _pq
 
-    pf = _pq.ParquetFile(p)
+    try:
+        pf = _pq.ParquetFile(p)
+    except Exception:
+        # footers pyarrow cannot decode (VARIANT Thrift logical type,
+        # pyarrow 16): the caller backfills row counts via one Spark job
+        # and column names via the JVM footer reader; no bounds (the
+        # pruner fails open)
+        return (None, _os.path.getsize(p), {}, None, (None, ()))
     sch = pf.schema_arrow
     fids = sorted(
         int((fld.metadata or {}).get(b"PARQUET:field_id"))
@@ -703,6 +710,12 @@ def convert_delta_to_iceberg(
             if os.path.abspath(abs_p0) in prior_entries:
                 continue  # resolved at first conversion; bytes unchanged
             names, fids = harvest[abs_p0][4]
+            if names is None:
+                raise NotImplementedError(
+                    f"{path}: footer of {rel} is unreadable (VARIANT "
+                    "logical type?) — mapped-table conversion needs the "
+                    "footer's resolution evidence"
+                )
             if want_ids <= set(fids) or logical <= set(names):
                 continue  # fid resolution, or logical-name fallback
             raise NotImplementedError(
@@ -790,6 +803,12 @@ def convert_delta_to_iceberg(
         n_rows = stats.get("numRecords")
         if n_rows is None:
             n_rows = n_rows_h
+        if n_rows is None:
+            raise NotImplementedError(
+                f"{path}: footer of {rel} is unreadable (VARIANT logical "
+                "type?) and the Delta add carries no numRecords — cannot "
+                "record an exact record_count"
+            )
         pvals = {
             # add-side tuples are keyed by PHYSICAL name on mapped tables
             c: _pval(c, (add.get("partitionValues") or {}).get(phys.get(c, c)))
@@ -1148,9 +1167,17 @@ def snapshot_parquet_to_iceberg(
                 f"expected {part_cols})"
             )
     df = spark.read.parquet(path)  # partition columns inferred + typed
-    fields = iceberg._iceberg_fields(df)
+    # variant_ok: registration is read-only over files Spark already
+    # wrote — the v3 'variant' type lands in the schema; scans decode it
+    # through Spark's native VariantType (write_iceberg keeps refusing
+    # variant creates)
+    fields = iceberg._iceberg_fields(df, variant_ok=True)
     fid_of = {f["name"]: f["id"] for f in fields}
     ice_of = {f["name"]: f["type"] for f in fields}
+    if any(f["type"] == "variant" for f in fields):
+        meta_fv = 3  # variant is a v3-only type (spec §Primitive Types)
+    else:
+        meta_fv = 2
     parsers = {}
     for c in part_cols:
         t = ice_of.get(c)
@@ -1167,6 +1194,34 @@ def snapshot_parquet_to_iceberg(
         )
     data_fields = [f for f in fields if f["name"] not in set(part_cols)]
     harvest = _gather_file_stats(spark, files, data_fields, stats_threshold)
+    # footers pyarrow could not decode (VARIANT logical type): backfill
+    # the column-name probe via the JVM footer reader (driver-side, no
+    # job) and the row counts via ONE distributed job over all such
+    # files — never one job per file
+    bad = [p for p in files if harvest[p][0] is None]
+    if bad:
+        from urllib.parse import urlparse as _up
+
+        counts_rows = (
+            spark.read.parquet(*bad)
+            .groupBy(iceberg._decoded_meta_path(None).alias("_p"))
+            .count()
+            .collect()
+        )
+        counts = {}
+        for r in counts_rows:
+            raw = r["_p"]
+            pr = _up(raw)
+            counts[pr.path if pr.scheme in ("", "file") else raw] = r["count"]
+        for p in bad:
+            names = tuple(spark.read.parquet(p).schema.names)
+            harvest[p] = (
+                int(counts.get(os.path.abspath(p), 0)),
+                harvest[p][1],
+                {},
+                None,
+                (names, ()),
+            )
     # every file must carry EXACTLY the data columns: Spark's inferred
     # schema would silently null-fill a narrower file (and the stamped
     # name mapping makes that backfill invisible forever), or silently
@@ -1258,11 +1313,13 @@ def snapshot_parquet_to_iceberg(
     # fresh-table branch above — change them together (same spec contract:
     # last-partition-id = 999+len(spec), v1 + version-hint protocol)
     ice_meta = {
-        "format-version": 2,
+        "format-version": meta_fv,
         "table-uuid": str(_uuid.uuid4()),
         "location": path,
         "last-updated-ms": now_ms,
-        "last-column-id": max((f["id"] for f in fields), default=0),
+        "last-column-id": max(
+            iceberg._max_field_id(fields), len(fields)
+        ),
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
@@ -1270,6 +1327,11 @@ def snapshot_parquet_to_iceberg(
         "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
+        # v3 (variant tables): row lineage is mandatory — the counter
+        # starts at 0; the registered files carry no first_row_id and
+        # read null _row_id (the spec's upgrade semantics), future
+        # appends assign from here
+        **({"next-row-id": 0} if meta_fv >= 3 else {}),
         "properties": {
             "schema.name-mapping.default": json.dumps(name_mapping)
         },

@@ -41,9 +41,18 @@ parents via footer field-id resolution, merge_schema evolution adding
 nested columns, MoR deletes/DVs over nested tables. Manifests carry no
 bounds for nested fields (spec-optional; the pruner fails open).
 
+v3 VARIANT is READ-ONLY (round 13): register existing variant parquet
+(Spark 4's native writes, shredded or not) via
+snapshot_parquet_to_iceberg; scans decode through Spark's VariantType
+reader (variant_get / cast to string), renames resolve via the stamped
+name mapping with a JVM footer fallback where pyarrow cannot parse the
+VARIANT logical type. Variant WRITES refuse (the commit phase needs
+footer readbacks pyarrow cannot do).
+
 Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
 loud refusals", kept honest by tests/test_header_drift.py): metadata
-format-version 4+; v3-only types (timestamptz_ns/variant/geometry);
+format-version 4+; v3-only types (timestamptz_ns/geometry) and variant
+WRITES (reads land in round 13, registration-only);
 column DEFAULTS on nested types and add_iceberg_column of a nested
 type (append with merge_schema instead); AVRO/ORC data-file staging of
 nested columns (parquet only); nested entries in a foreign name
@@ -162,8 +171,12 @@ def _load_metadata(table_root: str) -> dict:
                         if k in f and f[k] is not None:
                             _default_parse(f.get("type"), f[k], f.get("name"))
                 t = f.get("type")
+                # 'variant' is READABLE since round 13 (Spark's native
+                # VariantType decodes the binary encoding; shredded
+                # layouts fail loud at scan); defaults on variant stay
+                # refused via _default_parse above
                 if isinstance(t, str) and (
-                    t.endswith("_ns") or t in ("variant", "geometry", "geography", "unknown")
+                    t.endswith("_ns") or t in ("geometry", "geography", "unknown")
                 ):
                     raise NotImplementedError(
                         f"{table_root}: v3 type {t!r} on field "
@@ -391,15 +404,30 @@ def _spark_to_ice_type(t: str) -> str | None:
 # unique across the whole schema and covered by last-column-id)
 
 
-def _spark_dt_to_ice(dt, alloc=None):
+def _spark_dt_to_ice(dt, alloc=None, variant_ok=False):
     """Spark DataType -> Iceberg type (str for primitives, dict for
     struct/list/map per the spec's JSON schema forms). ``alloc`` is a
     zero-arg fresh-field-id allocator used for NESTED ids (struct member
     / element-id / key-id / value-id); the CALLER assigns top-level ids.
     With ``alloc=None`` ids are omitted — the id-free form
-    ``_ice_type_fingerprint`` compares. Fail-loud on unmappable types."""
+    ``_ice_type_fingerprint`` compares. Fail-loud on unmappable types.
+
+    ``variant_ok``: VariantType maps to the spec's v3 ``variant`` ONLY
+    on registration paths (parquet-directory migration — the files
+    already exist, Spark wrote them); write_iceberg keeps refusing
+    variant creates because pyarrow cannot read back the footers the
+    commit phase needs (VARIANT Thrift logical type)."""
     from pyspark.sql import types as T
 
+    if isinstance(dt, T.VariantType):
+        if variant_ok:
+            return "variant"
+        raise NotImplementedError(
+            "write_iceberg: variant columns are read-only in this module "
+            "(register existing variant parquet via "
+            "snapshot_parquet_to_iceberg; writes need a footer reader "
+            "that understands the VARIANT logical type)"
+        )
     if isinstance(dt, T.ArrayType):
         eid = alloc() if alloc else None
         out = {
@@ -453,6 +481,12 @@ def _ice_type_to_spark_json(t):
     map. None when any leaf is unmapped (v3-only types etc.) — callers
     fall back exactly as for flat schemas."""
     if isinstance(t, str):
+        if t == "variant":
+            # v3 variant (round 13, READ surface): Spark 4 has a native
+            # VariantType whose parquet reader decodes the binary
+            # encoding — the declared-schema scan rides it; extraction
+            # via variant_get / cast to string
+            return "variant"
         return _ice_to_spark_type(t)
     if not isinstance(t, dict):
         return None
@@ -1439,11 +1473,12 @@ _SPARK_TO_ICEBERG = {
 }
 
 
-def _iceberg_fields(df: DataFrame) -> list[dict]:
+def _iceberg_fields(df: DataFrame, variant_ok: bool = False) -> list[dict]:
     """Fresh-id Iceberg schema fields for a CREATE: top-level columns get
     ids 1..N (flat tables stay byte-identical with earlier rounds), then
     nested struct/list/map ids allocate from N+1 in field order,
-    depth-first — every id unique across the tree (spec §Schemas)."""
+    depth-first — every id unique across the tree (spec §Schemas).
+    ``variant_ok`` is the registration-path escape (see _spark_dt_to_ice)."""
     import itertools as _it
 
     n = len(df.schema.fields)
@@ -1455,8 +1490,10 @@ def _iceberg_fields(df: DataFrame) -> list[dict]:
     out = []
     for i, f in enumerate(df.schema.fields, start=1):
         try:
-            ice_t = _spark_dt_to_ice(f.dataType, alloc)
-        except NotImplementedError:
+            ice_t = _spark_dt_to_ice(f.dataType, alloc, variant_ok=variant_ok)
+        except NotImplementedError as exc:
+            if "variant" in str(exc):
+                raise  # the targeted read-only message, column context moot
             raise NotImplementedError(
                 f"write_iceberg: spark type {f.dataType.simpleString()!r} "
                 f"(column {f.name!r}) has no iceberg mapping in this writer"
@@ -4365,7 +4402,15 @@ def _read_parquet_fid(
 
             sub: dict[tuple, list[str]] = {}
             for gf in gfiles:
-                fnames = set(_pq.read_schema(gf).names)
+                try:
+                    fnames = set(_pq.read_schema(gf).names)
+                except Exception:
+                    # VARIANT-footer files (pyarrow 16 can't parse the
+                    # logical type): the JVM footer reader can — a
+                    # driver-side schema probe, no job. Falling back to
+                    # "no evidence" instead would resolve by declared
+                    # name and silently NULL renamed columns.
+                    fnames = set(spark.read.parquet(gf).schema.names)
                 if nmap:
                     m = {}
                     for fid, cands in nmap.items():
@@ -5521,12 +5566,20 @@ def delete_iceberg_equality(
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-    distinct = keys.distinct()
+    # SINGLE PASS (round 13, VERDICT r12 item 4): the distinct-key count
+    # rides the staging write as an observed metric — a separate count()
+    # re-ran the whole distinct shuffle just for one number (the same
+    # pattern r12 applied to IVF append)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    distinct = keys.distinct().observe(obs, F.count(F.lit(1)).alias("n"))
     distinct.coalesce(1).write.parquet(staging)
     part = next(
         n for n in sorted(os.listdir(staging)) if n.endswith(".parquet")
     )
-    n_rows = distinct.count()
+    n_rows = int(obs.get["n"])
     del_file = os.path.join(data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet")
     os.rename(os.path.join(staging, part), del_file)
     shutil.rmtree(staging)

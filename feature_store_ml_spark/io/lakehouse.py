@@ -428,8 +428,14 @@ def _group_files_by_field_ids(
 
     groups: dict[tuple, tuple[dict[int, str], list[str]]] = {}
     for f in files:
-        schema = pq.read_schema(f)
         phys_by_fid: dict[int, str] = {}
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            # footers pyarrow cannot decode (VARIANT Thrift logical type,
+            # pyarrow 16) group as unstamped — they resolve by declared
+            # name, the same contract as pre-stamping writers
+            schema = []
         for field in schema:
             fid = (field.metadata or {}).get(b"PARQUET:field_id")
             if fid is not None:

@@ -3141,6 +3141,68 @@ def e1_iceberg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_variant",
+    """
+    SELECT o_orderpriority AS pr, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 VARIANT read (round 13 — spec §Primitive Types; binary
+    encoding per the parquet-variant spec): Spark 4 writes orders as a
+    VARIANT column (parse_json — shredded layout, Spark's default),
+    ``snapshot_parquet_to_iceberg`` registers the directory as a v3
+    table with a ``variant`` schema field, then the lifecycle runs ON
+    the variant table: MoR DELETE a slice (puffin DV), RENAME the
+    variant column (name-mapping resolution — pyarrow cannot even parse
+    these footers; the JVM fallback provides the evidence), and
+    aggregate over ``variant_get``-extracted fields. The oracle
+    recomputes from the raw orders parquet minus the deleted slice, so
+    a mis-decoded variant value or a resolution slip breaks the hash.
+    Writes stay refused (in-query assert)."""
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_variant"
+    shutil.rmtree(path, ignore_errors=True)
+    o.selectExpr(
+        "o_orderkey AS id",
+        "parse_json(to_json(struct(o_orderpriority AS pr, "
+        "o_totalprice AS price))) AS v",
+    ).write.parquet(path)
+    convert.snapshot_parquet_to_iceberg(spark, path)
+    meta = iceberg._load_metadata(path)
+    if meta["format-version"] != 3:
+        raise AssertionError("variant registration must land as v3")
+    iceberg.delete_iceberg(spark, path, "id % 5 = 0")
+    iceberg.rename_iceberg_column(path, "v", "payload")
+    try:
+        iceberg.write_iceberg(
+            spark,
+            iceberg.read_iceberg(spark, path).limit(1),
+            path,
+            format_version=3,
+        )
+        raise AssertionError("variant appends must refuse")
+    except (NotImplementedError, ValueError):
+        pass
+    back = iceberg.read_iceberg(spark, path)
+    per = back.selectExpr(
+        "variant_get(payload, '$.pr', 'string') AS pr",
+        "variant_get(payload, '$.price', 'double') AS price",
+    )
+    return per.groupBy("pr").agg(
+        F.count("*").alias("n"), dsum("price").alias("sum_price")
+    )
+
+
+@register(
     "e12_feature_embeddings",
     """
     WITH live AS (
@@ -8246,7 +8308,14 @@ _FINAL_ORDER = [
                                # stays in-window through this query, a
                                # strict superset: add + rename + defaults
                                # + mixed-generation resolution)
-    "e1_delta_id_mode",     # round 6: ID-mode column-mapping write lifecycle
+    "e1_iceberg_variant",   # round 13: v3 VARIANT read lifecycle
+                            # (register Spark-4 shredded variant parquet
+                            # -> MoR DV delete -> rename -> variant_get
+                            # aggregate, exact oracle; writes refused) —
+                            # displaces e1_delta_id_mode (driver-green
+                            # r6-r12; column-mapping family stays via
+                            # e13_stream_delta_cdf_rename in-window and
+                            # the ID-mode sweep tail)
     # -- new in round 13: NESTED TYPES on the Iceberg leg (VERDICT r12
     #    item 1) + the embedding feature group that rides them (item 2),
     #    plus the three r12 oracle-backed tail queries brought in for
@@ -8453,6 +8522,10 @@ _FINAL_ORDER = [
     # (e13_stream_iceberg_mutations / e1_delta_column_defaults /
     #  e1_parquet_migrate moved INTO the window in round 13 for first
     #  driver verification — VERDICT r12 item 7)
+    "e1_delta_id_mode",         # rotated out r13, displaced by
+                                # e1_iceberg_variant (driver-green
+                                # r6-r12; mapping family stays via
+                                # e13_stream_delta_cdf_rename in-window)
     "e1_delta_delete_vectors",  # rotated out r13, displaced by
                                 # e1_iceberg_nested (driver-green
                                 # r5-r12; DV family stays in-window via
@@ -8683,7 +8756,7 @@ def _apply_final_order() -> None:
     # the ignore_deletes/ignore_changes plain-tail query, the Delta
     # column-defaults query and the parquet-migrate query are
     # tail-registered
-    assert n_oracle_tail <= 115, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 116, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -1107,3 +1107,45 @@ def test_harden_links_through_symlinked_table_path(spark, tmp_path):
     iceberg.expire_iceberg_snapshots(root, keep=1)
     got = sorted(r.id for r in spark.read.parquet(spool).collect())
     assert got == list(range(8))
+
+
+def test_dv_materialization_is_one_job_per_version(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 3): a commit masking K files with DVs
+    must materialize ALL their live rows in ONE distributed write job
+    per version — not K driver-sequential jobs (the Iceberg twin,
+    _materialize_rewrites, already batched). Counted by spying on
+    DataFrameWriter.parquet during the sync."""
+    import unittest.mock as mock
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    root = str(tmp_path / "t")
+    spool = str(tmp_path / "spool")
+    lakehouse.write_delta(
+        spark,
+        spark.range(0, 40).select("id", (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        root,
+    )
+    # one DELETE touching every file -> ONE commit with 4 DV-masked adds
+    lakehouse.delete_delta(spark, root, "id % 10 = 9")
+    calls = []
+    orig = DataFrameWriter.parquet
+
+    def counting(self, *a, **k):
+        calls.append(a[0] if a else k.get("path"))
+        return orig(self, *a, **k)
+
+    with mock.patch.object(DataFrameWriter, "parquet", counting):
+        delta_source.sync_delta_spool(
+            root, spool, ignore_changes=True, spark=spark
+        )
+    mat_writes = [p for p in calls if ".mat_tmp_" in str(p)]
+    assert len(mat_writes) == 1, mat_writes
+    # and the batched result is still exactly the live rows
+    import glob
+
+    parts = glob.glob(os.path.join(spool, "*-m*.parquet"))
+    assert parts
+    got = sorted(r.id for r in spark.read.parquet(*parts).collect())
+    assert got == [i for i in range(40) if i % 10 != 9]
