@@ -5560,6 +5560,29 @@ def delete_iceberg_equality(
             f"{path}: equality-delete columns {missing} not in the table "
             f"schema (have {sorted(name_to_id)})"
         )
+    # spec §Identifier Field IDs (equality fields share the rules):
+    # primitive, and never float/double — NaN/-0.0 equality is
+    # engine-dependent, and nested comparison is undefined for foreign
+    # readers
+    _type_of = {
+        f["name"]: f["type"]
+        for f in _current_schema(prior_meta).get("fields", [])
+    }
+    for c in keys.columns:
+        t = _type_of.get(c)
+        if not isinstance(t, str):
+            raise ValueError(
+                f"{path}: equality-delete column {c!r} is a nested type "
+                f"({t and t.get('type')}) — the spec restricts equality "
+                "fields to primitives (use delete_iceberg with a "
+                "predicate, or merge_iceberg's position-delete path)"
+            )
+        if t in ("float", "double"):
+            raise ValueError(
+                f"{path}: equality-delete column {c!r} is {t} — the spec "
+                "forbids float/double equality fields (NaN/-0.0 equality "
+                "is engine-dependent)"
+            )
     equality_ids = [name_to_id[c] for c in keys.columns]
     now_ms = int(_time.time() * 1000)
     meta_dir = os.path.join(path, "metadata")

@@ -205,3 +205,21 @@ def test_nested_name_mapping_top_level(spark, tmp_path):
     assert set(nmap) == {1, 2, 3, 4}  # one entry per top-level field
     back = iceberg.read_iceberg(spark, root)
     assert back.count() == 2
+
+
+def test_equality_delete_refuses_nested_and_float_keys(spark, tmp_path):
+    """spec §Identifier Field IDs: equality fields must be primitive and
+    never float/double — fail loud instead of writing a delete file
+    foreign readers compare undefined."""
+    root = str(tmp_path / "eqg")
+    df = spark.createDataFrame(
+        [(1, 1.5, [1.0]), (2, 2.5, [2.0])],
+        "id bigint, score double, vec array<double>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    with pytest.raises(ValueError, match="nested"):
+        iceberg.delete_iceberg_equality(spark, root, df.select("vec"))
+    with pytest.raises(ValueError, match="float/double"):
+        iceberg.delete_iceberg_equality(spark, root, df.select("score"))
+    iceberg.delete_iceberg_equality(spark, root, df.where("id=1").select("id"))
+    assert [r.id for r in iceberg.read_iceberg(spark, root).collect()] == [2]

@@ -264,3 +264,95 @@ def test_default_roundtrip_binary(v):
     assert iceberg._default_parse(
         "binary", iceberg._default_json("binary", v)
     ) == v
+
+
+# ---- round 13: nested-type bridge invariants (pure metadata, no JVM) ----
+
+_PRIM = st.sampled_from(
+    ["int", "bigint", "float", "double", "boolean", "string",
+     "binary", "date", "timestamp", "decimal(12,3)"]
+)
+
+
+def _spark_dt(draw_type):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(draw_type)
+
+
+_NESTED = st.recursive(
+    _PRIM,
+    lambda inner: st.one_of(
+        inner.map(lambda t: f"array<{t}>"),
+        st.tuples(_PRIM, inner).map(lambda kv: f"map<{kv[0]},{kv[1]}>"),
+        st.lists(
+            st.tuples(st.sampled_from("abcdef"), inner), min_size=1,
+            max_size=3, unique_by=lambda kv: kv[0],
+        ).map(
+            lambda fs: "struct<"
+            + ",".join(f"{k}:{t}" for k, t in fs) + ">"
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+@given(type_str=_NESTED)
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nested_type_bridge_roundtrip(spark, type_str):
+    """spark type -> iceberg JSON (fresh nested ids) -> spark JSON type
+    round-trips structurally, ids are unique, and _max_field_id covers
+    every allocated id."""
+    import itertools
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from feature_store_ml_spark.io import iceberg
+
+    dt = _parse_datatype_string(type_str)
+    ctr = itertools.count(1)
+    ice = iceberg._spark_dt_to_ice(dt, lambda: next(ctr))
+    allocated = next(ctr) - 1
+
+    ids: list[int] = []
+
+    def walk(t):
+        if not isinstance(t, dict):
+            return
+        if t["type"] == "list":
+            ids.append(t["element-id"])
+            walk(t["element"])
+        elif t["type"] == "map":
+            ids.extend([t["key-id"], t["value-id"]])
+            walk(t["key"])
+            walk(t["value"])
+        elif t["type"] == "struct":
+            for f in t["fields"]:
+                ids.append(f["id"])
+                walk(f["type"])
+
+    walk(ice)
+    assert len(ids) == len(set(ids)) == allocated
+    fake_field = [{"id": 0, "name": "x", "required": False, "type": ice}]
+    assert iceberg._max_field_id(fake_field) == (max(ids) if ids else 0)
+
+    back = iceberg._ice_type_to_spark_json(ice)
+    assert back is not None
+    from pyspark.sql.types import StructType
+
+    rt = StructType.fromJson(
+        {"type": "struct",
+         "fields": [{"name": "x", "type": back, "nullable": True,
+                     "metadata": {}}]}
+    ).fields[0].dataType
+    assert rt == dt
+
+    # the id-free fingerprint is stable across fresh-id allocations
+    ctr2 = itertools.count(1000)
+    ice2 = iceberg._spark_dt_to_ice(dt, lambda: next(ctr2))
+    assert iceberg._ice_type_fingerprint(ice) == iceberg._ice_type_fingerprint(ice2)
+    assert iceberg._spark_dt_fingerprint(dt) == iceberg._ice_type_fingerprint(ice)
