@@ -154,6 +154,10 @@ HEADLINE = [
     "e1_iceberg_nested",
     "e12_feature_embeddings",
     "e1_iceberg_variant",
+    # round-13 late joiner: Delta variant WRITE lifecycle (feature
+    # protocol at create, two generations, DV delete on a variant_get
+    # predicate)
+    "e1_delta_variant",
 ]
 
 

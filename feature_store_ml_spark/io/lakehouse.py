@@ -119,6 +119,10 @@ _SUPPORTED_READER_FEATURES = {
     # precision/scale growth, int->decimal, date->timestamp_ntz) inside
     # the vectorized reader — verified empirically, no extra work here
     "typeWidening",
+    # variantType (round 13): scans read with the DECLARED schema and
+    # Spark 4's native VariantType parquet reader decodes the binary
+    # encoding (shredded and unshredded alike) — nothing extra here
+    "variantType",
 }
 
 
@@ -492,6 +496,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # delta.generationExpression (_enforce_generated) per the spec's
     # compute-or-validate writer obligation
     "generatedColumns",
+    # variantType (round 13): writers stage variant through Spark's own
+    # parquet writer (the binary encoding is Spark's), and every write
+    # path validates batches against the declared schema as usual
+    "variantType",
     # identityColumns: appends GENERATE values (delta.identity.* field
     # metadata; high water mark advanced in the same commit from the
     # staged files' footer stats) — see write_delta(identity_columns=)
@@ -3400,6 +3408,31 @@ def write_delta(
         # time below
         rt_domain_action = _allocate_base_row_ids(path, adds)
 
+    def _schema_has_variant(schema_json: str) -> bool:
+        """True when any (possibly nested) field is VariantType —
+        PROTOCOL.md §Variant Data Type gates such tables behind the
+        `variantType` reader+writer feature; emitting them under a
+        legacy protocol lets a non-variant reader misread the column as
+        a plain struct."""
+
+        def walk(t) -> bool:
+            if t == "variant":
+                return True
+            if isinstance(t, dict):
+                k = t.get("type")
+                if k == "variant":
+                    return True
+                if k == "struct":
+                    return any(walk(f.get("type")) for f in t.get("fields", []))
+                if k == "array":
+                    return walk(t.get("elementType"))
+                if k == "map":
+                    return walk(t.get("keyType")) or walk(t.get("valueType"))
+            return False
+
+        sch = json.loads(schema_json)
+        return any(walk(f.get("type")) for f in sch.get("fields", []))
+
     # 3. commit: protocol+metaData on table creation; metaData re-emitted on
     #    overwrite (an overwrite may change the schema — real readers take
     #    the LAST metaData action, so this keeps them agreeing with the
@@ -3517,6 +3550,31 @@ def write_delta(
                 }
             }
         )
+    # VARIANT protocol gate (PROTOCOL.md §Variant Data Type): when this
+    # commit's effective schema carries a variant column and the protocol
+    # (whatever base this write chose above, or the table's current one)
+    # does not yet declare the feature, upgrade to table-features form
+    # with variantType on BOTH lists in the same commit
+    _schema_now = next(
+        (a["metaData"]["schemaString"] for a in actions if "metaData" in a),
+        table_meta.get("schemaString") if existing else df.schema.json(),
+    )
+    if _schema_now and _schema_has_variant(_schema_now):
+        _base = next(
+            (a["protocol"] for a in actions if "protocol" in a),
+            _current_protocol(path) if existing else
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+        )
+        _r, _w = _protocol_as_features(_base)
+        if "variantType" not in _w or "variantType" not in _r:
+            pa = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(_r | {"variantType"}),
+                "writerFeatures": sorted(_w | {"variantType"}),
+            }
+            actions = [a for a in actions if "protocol" not in a]
+            actions.insert(0, {"protocol": pa})
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}

@@ -3203,6 +3203,68 @@ def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_delta_variant",
+    """
+    SELECT o_orderpriority AS pr, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice <= 400000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VARIANT columns (round 13 — PROTOCOL.md §Variant Data Type):
+    unlike the Iceberg leg (read-only registration), Delta variant
+    tables have the FULL write surface — CREATE (the commit stamps the
+    `variantType` reader+writer feature at protocol 3/7; a legacy
+    protocol would let non-variant readers misread the column as a
+    plain struct), append a second generation, DV-DELETE a slice, and
+    aggregate over ``variant_get``-extracted fields. The oracle
+    recomputes from the raw orders parquet minus the deleted slice —
+    a mis-decoded variant value, a feature slip, or a DV miss breaks
+    the hash. In-query assert pins the protocol shape."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .io import lakehouse
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_delta_variant"
+    shutil.rmtree(path, ignore_errors=True)
+    src = o.selectExpr(
+        "o_orderkey AS id",
+        "parse_json(to_json(struct(o_orderpriority AS pr, "
+        "o_totalprice AS price))) AS v",
+    )
+    lakehouse.write_delta(spark, src.where("id % 2 = 0"), path)
+    lakehouse.write_delta(
+        spark, src.where("id % 2 = 1"), path, mode="append"
+    )
+    lakehouse.delete_delta(
+        spark, path, "variant_get(v, '$.price', 'double') > 400000.0"
+    )
+    with open(_os.path.join(path, "_delta_log",
+                            "00000000000000000000.json")) as fh:
+        proto = next(
+            a["protocol"] for a in map(_json.loads, fh) if "protocol" in a
+        )
+    if "variantType" not in (proto.get("readerFeatures") or []):
+        raise AssertionError(
+            f"variant table must stamp the variantType feature: {proto}"
+        )
+    back = lakehouse.read_delta(spark, path)
+    per = back.selectExpr(
+        "variant_get(v, '$.pr', 'string') AS pr",
+        "variant_get(v, '$.price', 'double') AS price",
+    )
+    return per.groupBy("pr").agg(
+        F.count("*").alias("n"), dsum("price").alias("sum_price")
+    )
+
+
+@register(
     "e12_feature_embeddings",
     """
     WITH live AS (
@@ -8308,6 +8370,14 @@ _FINAL_ORDER = [
                                # stays in-window through this query, a
                                # strict superset: add + rename + defaults
                                # + mixed-generation resolution)
+    "e1_delta_variant",     # round 13: Delta VARIANT write lifecycle
+                            # (variantType feature protocol at CREATE,
+                            # two generations, DV delete keyed on a
+                            # variant_get predicate, exact oracle) —
+                            # displaces e1_delta_clone (driver-green
+                            # r7-r12; the clone lifecycle stays swept in
+                            # the tail, zero-copy reads also exercised
+                            # by e1_metadata_tables in-window)
     "e1_iceberg_variant",   # round 13: v3 VARIANT read lifecycle
                             # (register Spark-4 shredded variant parquet
                             # -> MoR DV delete -> rename -> variant_get
@@ -8393,7 +8463,6 @@ _FINAL_ORDER = [
     "e1_iceberg_refs",       # tag/branch refs + expiration protection
     "e1_iceberg_wap",        # round 7: branch write + fast-forward publish
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
-    "e1_delta_clone",        # zero-copy shallow clone + isolated mutation
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e11_bm25_search",       # round 7: Okapi BM25 top-k, exact oracle
     "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
@@ -8522,6 +8591,10 @@ _FINAL_ORDER = [
     # (e13_stream_iceberg_mutations / e1_delta_column_defaults /
     #  e1_parquet_migrate moved INTO the window in round 13 for first
     #  driver verification — VERDICT r12 item 7)
+    "e1_delta_clone",           # rotated out r13, displaced by
+                                # e1_delta_variant (driver-green r7-r12;
+                                # zero-copy reads stay in-window via
+                                # e1_metadata_tables)
     "e1_delta_id_mode",         # rotated out r13, displaced by
                                 # e1_iceberg_variant (driver-green
                                 # r6-r12; mapping family stays via
@@ -8756,7 +8829,7 @@ def _apply_final_order() -> None:
     # the ignore_deletes/ignore_changes plain-tail query, the Delta
     # column-defaults query and the parquet-migrate query are
     # tail-registered
-    assert n_oracle_tail <= 116, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 117, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

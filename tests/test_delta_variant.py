@@ -1,0 +1,130 @@
+"""Delta VARIANT columns (round 13 — PROTOCOL.md §Variant Data Type):
+full write+read support through Spark's native VariantType, gated behind
+the `variantType` reader+writer table feature. Unlike the Iceberg leg
+(read-only registration), Delta variant tables CREATE, append, evolve,
+DV-delete, MERGE and stream CDF."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import lakehouse as lh
+
+
+def _protocols(root):
+    out = []
+    log = os.path.join(root, "_delta_log")
+    for n in sorted(os.listdir(log)):
+        if not n.endswith(".json"):
+            continue
+        for line in open(os.path.join(log, n)):
+            a = json.loads(line)
+            if "protocol" in a:
+                out.append(a["protocol"])
+    return out
+
+
+def _mk(spark, tmp_path, n=10):
+    root = str(tmp_path / "t")
+    df = spark.range(n).selectExpr(
+        "id",
+        "parse_json(to_json(struct(id AS a, concat('s', id) AS s))) AS v",
+    )
+    lh.write_delta(spark, df, root)
+    return root
+
+
+def test_variant_create_stamps_feature_protocol(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    p = _protocols(root)[0]
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert "variantType" in p["readerFeatures"]
+    assert "variantType" in p["writerFeatures"]
+    out = lh.read_delta(spark, root).selectExpr(
+        "id", "variant_get(v, '$.a', 'bigint') AS a"
+    )
+    assert sorted((r.id, r.a) for r in out.collect()) == [
+        (i, i) for i in range(10)
+    ]
+
+
+def test_variant_dv_delete_merges_features(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    lh.delete_delta(spark, root, "id = 3")
+    p = _protocols(root)[-1]
+    assert {"deletionVectors", "variantType"} <= set(p["readerFeatures"])
+    got = sorted(r.id for r in lh.read_delta(spark, root).collect())
+    assert got == [i for i in range(10) if i != 3]
+
+
+def test_variant_arrives_via_merge_schema_evolution(spark, tmp_path):
+    """A plain table gaining a variant column through merge_schema must
+    upgrade the protocol in the SAME commit — a reader replaying to the
+    evolved version under protocol 1/2 would misread the column."""
+    root = str(tmp_path / "e")
+    lh.write_delta(spark, spark.range(3).selectExpr("id"), root)
+    assert _protocols(root)[0]["minReaderVersion"] == 1
+    lh.write_delta(
+        spark,
+        spark.range(3, 5).selectExpr("id", "parse_json('1') AS v"),
+        root,
+        mode="append",
+        merge_schema=True,
+    )
+    p = _protocols(root)[-1]
+    assert "variantType" in p.get("readerFeatures", [])
+    back = lh.read_delta(spark, root)
+    vals = {r.id: r.v for r in back.collect()}
+    assert vals[0] is None and str(vals[4]) == "1"
+
+
+def test_variant_merge(spark, tmp_path):
+    root = _mk(spark, tmp_path, n=5)
+    src = spark.range(4, 7).selectExpr("id", "parse_json('99') AS v")
+    lh.merge_delta(spark, src, root, keys=["id"])
+    out = lh.read_delta(spark, root).selectExpr(
+        "id", "cast(v AS string) AS js"
+    )
+    got = {r.id: r.js for r in out.collect()}
+    assert len(got) == 7 and got[4] == "99" and got[6] == "99"
+    assert json.loads(got[0]) == {"a": 0, "s": "s0"}
+
+
+def test_variant_cdf_over_append_and_dv_delete(spark, tmp_path):
+    root = _mk(spark, tmp_path, n=5)
+    lh.write_delta(
+        spark,
+        spark.range(5, 8).selectExpr("id", "parse_json('7') AS v"),
+        root,
+        mode="append",
+    )
+    lh.delete_delta(spark, root, "id = 1")
+    cdf = lh.read_delta_cdf(spark, root, 0)
+    got = {(r.id, r._change_type) for r in cdf.collect()}
+    assert (1, "delete") in got
+    assert {(i, "insert") for i in range(5, 8)} <= got
+
+
+def test_variant_foreign_feature_table_reads(spark, tmp_path):
+    """A foreign table declaring variantType in readerFeatures must read
+    (the feature is in the supported set), and an UNKNOWN reader feature
+    must still refuse."""
+    root = _mk(spark, tmp_path)
+    assert lh.read_delta(spark, root).count() == 10
+    # sanity: the gate still fails loud on genuinely unknown features
+    log = os.path.join(root, "_delta_log")
+    vs = sorted(n for n in os.listdir(log) if n.endswith(".json"))
+    bogus = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "futureFeatureX"],
+            "writerFeatures": ["variantType"],
+        }
+    }
+    with open(os.path.join(log, f"{len(vs):020d}.json"), "w") as fh:
+        fh.write(json.dumps(bogus) + "\n")
+    with pytest.raises(NotImplementedError, match="futureFeatureX"):
+        lh.read_delta(spark, root).count()
