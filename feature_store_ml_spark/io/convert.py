@@ -504,7 +504,9 @@ def convert_delta_to_iceberg(
                 f"refresh cannot change it to {format_version}"
             )
         format_version = prior_fv
+        _fv_defaulted = False
     else:
+        _fv_defaulted = format_version is None
         format_version = format_version or 2
     adds_map, meta = lakehouse._replay_log_adds(path)
     if not meta.get("schemaString"):
@@ -550,33 +552,100 @@ def convert_delta_to_iceberg(
         if a.get("deletionVector")
     }
     declared = StructType.fromJson(json.loads(meta["schemaString"]))
-    prior_fid: dict[str, int] = {}
+    prior_field_by_name: dict[str, dict] = {}
     if prior_ice is not None:
-        prior_fid = {
-            f["name"]: f["id"]
+        prior_field_by_name = {
+            f["name"]: f
             for f in iceberg._current_schema(prior_ice).get("fields", [])
             if "id" in f
         }
-    next_id = max(prior_fid.values(), default=0)
+    # fresh ids (top-level AND nested member/element/key/value — round 13)
+    # allocate past every id any prior view or the column mapping holds
+    import itertools as _it
+
+    _ctr = _it.count(
+        max(
+            iceberg._max_field_id(list(prior_field_by_name.values())),
+            max(cm_ids.values(), default=0),
+        )
+        + 1
+    )
+
+    def _alloc() -> int:
+        return next(_ctr)
+
     fields = []
     for f in declared.fields:
-        ice_t = iceberg._spark_to_ice_type(f.dataType.simpleString())
-        if ice_t is None:
+        prior_f = prior_field_by_name.get(f.name)
+        # variant_ok: conversion registers EXISTING files (Spark wrote
+        # them) — the Iceberg view of a Delta variant table is read-only
+        # on the Iceberg side anyway
+        try:
+            want_fp = iceberg._ice_type_fingerprint(
+                iceberg._spark_dt_to_ice(f.dataType, None, variant_ok=True)
+            )
+        except NotImplementedError:
+            want_fp = None
+        if want_fp is None:
             raise NotImplementedError(
                 f"{path}: column {f.name!r} has spark type "
-                f"{f.dataType.simpleString()!r} with no iceberg primitive "
+                f"{f.dataType.simpleString()!r} with no iceberg "
                 "mapping in this writer"
             )
+        if (
+            prior_f is not None
+            and iceberg._ice_type_fingerprint(prior_f["type"]) == want_fp
+        ):
+            # refresh: the prior field's FULL type dict carries over, so
+            # NESTED ids stay stable across re-syncs (nested identity is
+            # per-inner-field, not just the top-level id)
+            ice_t = prior_f["type"]
+        else:
+            try:
+                ice_t = iceberg._spark_dt_to_ice(
+                    f.dataType, _alloc, variant_ok=True
+                )
+            except NotImplementedError:
+                raise NotImplementedError(
+                    f"{path}: column {f.name!r} has spark type "
+                    f"{f.dataType.simpleString()!r} with no iceberg "
+                    "mapping in this writer"
+                ) from None
         if mapping_mode:
             fid_val = cm_ids[f.name]  # the mapping ids ARE the identity
-        elif f.name in prior_fid:
-            fid_val = prior_fid[f.name]  # column identity survives refresh
+        elif prior_f is not None:
+            fid_val = prior_f["id"]  # column identity survives refresh
         else:
-            next_id += 1
-            fid_val = next_id
+            fid_val = _alloc()
         fields.append(
             {"id": fid_val, "name": f.name, "required": False, "type": ice_t}
         )
+    # variant is a v3-only Iceberg type: a fresh conversion of a variant
+    # Delta table defaults to a v3 view; an EXPLICIT format_version=2 (or
+    # an existing v2 view on refresh) fails loud instead of emitting
+    # metadata foreign v2 readers reject
+    def _is_var(t) -> bool:
+        if t == "variant":
+            return True
+        if isinstance(t, dict):
+            return any(
+                _is_var(v)
+                for k, v in t.items()
+                if k in ("element", "key", "value")
+            ) or any(
+                _is_var(f2.get("type")) for f2 in t.get("fields", [])
+            )
+        return False
+
+    if any(_is_var(f["type"]) for f in fields):
+        if format_version < 3 and _fv_defaulted:
+            format_version = 3
+        elif format_version < 3:
+            raise ValueError(
+                f"{path}: the table carries a variant column — the "
+                "Iceberg view must be format_version 3 (variant is a "
+                "v3-only type)"
+            )
     fid = {f["name"]: f["id"] for f in fields}
     ice_type = {f["name"]: f["type"] for f in fields}
     part_cols = meta.get("partitionColumns") or []
@@ -784,6 +853,35 @@ def convert_delta_to_iceberg(
     # cost per commit drops from O(#table-files) to O(files in touched
     # manifests + adds).
     incremental_rm = _carry_ok and bool(removed_since)
+    # row-count backfill for footers pyarrow cannot decode (VARIANT
+    # logical type) when the Delta add also lacks numRecords stats: ONE
+    # distributed count job over ALL such files, never per-file
+    _need_count: list[str] = []
+    for rel, add in ordered_adds:
+        abs_p = os.path.join(path, rel)
+        if os.path.abspath(abs_p) in prior_entries:
+            continue
+        if harvest[abs_p][0] is not None:
+            continue
+        try:
+            if json.loads(add.get("stats") or "{}").get("numRecords") is not None:
+                continue
+        except (TypeError, ValueError):
+            pass
+        _need_count.append(abs_p)
+    _counted: dict[str, int] = {}
+    if _need_count:
+        from urllib.parse import urlparse as _up
+
+        for r in (
+            spark.read.parquet(*_need_count)
+            .groupBy(iceberg._decoded_meta_path(None).alias("_p"))
+            .count()
+            .collect()
+        ):
+            pr = _up(r["_p"])
+            key = pr.path if pr.scheme in ("", "file") else r["_p"]
+            _counted[os.path.abspath(key)] = int(r["count"])
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
         carried = prior_entries.get(os.path.abspath(abs_p))
@@ -804,11 +902,20 @@ def convert_delta_to_iceberg(
         if n_rows is None:
             n_rows = n_rows_h
         if n_rows is None:
-            raise NotImplementedError(
-                f"{path}: footer of {rel} is unreadable (VARIANT logical "
-                "type?) and the Delta add carries no numRecords — cannot "
-                "record an exact record_count"
-            )
+            n_rows = _counted.get(os.path.abspath(abs_p))
+        if n_rows is None:
+            # a zero-row file produces no groupBy row — distinguish from
+            # a genuinely uncounted one by membership
+            if os.path.abspath(abs_p) in {
+                os.path.abspath(p) for p in _need_count
+            }:
+                n_rows = 0
+            else:
+                raise NotImplementedError(
+                    f"{path}: footer of {rel} is unreadable and no row "
+                    "count could be derived — cannot record an exact "
+                    "record_count"
+                )
         pvals = {
             # add-side tuples are keyed by PHYSICAL name on mapped tables
             c: _pval(c, (add.get("partitionValues") or {}).get(phys.get(c, c)))
@@ -1037,7 +1144,10 @@ def convert_delta_to_iceberg(
         ice_meta.update(
             {
                 "last-updated-ms": now_ms,
-                "last-column-id": max(f["id"] for f in fields),
+                "last-column-id": max(
+                    iceberg._max_field_id(fields),
+                    prior_ice.get("last-column-id", 0) or 0,
+                ),
                 "schemas": schemas,
                 "current-schema-id": schema_id,
                 "current-snapshot-id": snap_id,
@@ -1075,7 +1185,7 @@ def convert_delta_to_iceberg(
         "table-uuid": str(__import__("uuid").uuid4()),
         "location": path,
         "last-updated-ms": now_ms,
-        "last-column-id": max((f["id"] for f in fields), default=0),
+        "last-column-id": iceberg._max_field_id(fields),
         "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],

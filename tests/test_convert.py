@@ -978,3 +978,78 @@ def test_cdf_ignores_wap_staged_snapshots(spark, tmp_path):
     assert sorted((r.id, r._change_type) for r in cdf) == [(3, "delete")]
     with pytest.raises(ValueError, match="not an ancestor"):
         iceberg.read_iceberg_cdf(spark, root, staged)
+
+
+def test_convert_nested_delta_to_iceberg_with_dv(spark, tmp_path):
+    """Round 13: a Delta table with struct/list/map columns converts to
+    an Iceberg v3 view — nested fields get fresh unique ids covered by
+    last-column-id, a Delta-side DV delete translates on refresh, and
+    the nested ids are STABLE across re-syncs (nested identity is
+    per-inner-field)."""
+    root = str(tmp_path / "nc")
+    df = spark.createDataFrame(
+        [(i, [float(i)], {"k": i}, (i * 10, f"t{i}")) for i in range(8)],
+        "id bigint, vec array<double>, m map<string,int>, "
+        "s struct<n:bigint,t:string>",
+    )
+    lakehouse.write_delta(spark, df, root)
+    convert.convert_delta_to_iceberg(spark, root, format_version=3)
+    meta = iceberg._load_metadata(root)
+    fields = iceberg._current_schema(meta)["fields"]
+    assert meta["last-column-id"] == iceberg._max_field_id(fields)
+    got = sorted(
+        (r.id, r.vec, r.s.n)
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(i, [float(i)], i * 10) for i in range(8)]
+    lakehouse.delete_delta(spark, root, "id = 2")  # Delta DV
+    convert.convert_delta_to_iceberg(spark, root, refresh=True)
+    meta2 = iceberg._load_metadata(root)
+    assert iceberg._current_schema(meta2)["fields"] == fields  # ids stable
+    assert sorted(
+        r.id for r in iceberg.read_iceberg(spark, root).collect()
+    ) == [0, 1, 3, 4, 5, 6, 7]
+
+
+def test_uniform_auto_sync_nested(spark, tmp_path):
+    """UniForm on a nested table: per-commit refresh keeps the Iceberg
+    view in lockstep, nested rows intact."""
+    root = str(tmp_path / "unin")
+    df = spark.range(0, 10).selectExpr(
+        "id", "array(cast(id as double), 2.0 * id) AS vec"
+    )
+    lakehouse.write_delta(spark, df, root)
+    lakehouse.alter_delta_properties(
+        root, {"delta.universalFormat.enabledFormats": "iceberg"}
+    )
+    lakehouse.write_delta(
+        spark,
+        spark.range(10, 15).selectExpr(
+            "id", "array(cast(id as double)) AS vec"
+        ),
+        root,
+        mode="append",
+    )
+    assert iceberg.is_iceberg_table(root)
+    back = iceberg.read_iceberg(spark, root)
+    vals = {r.id: r.vec for r in back.collect()}
+    assert len(vals) == 15 and vals[3] == [3.0, 6.0] and vals[12] == [12.0]
+
+
+def test_convert_nested_iceberg_to_delta(spark, tmp_path):
+    """Round 13, other direction: a nested Iceberg table (with a MoR
+    delete) converts to a Delta view — _declared_spark_schema expresses
+    the nested StructType and the position deletes carry."""
+    root = str(tmp_path / "i2d")
+    df = spark.createDataFrame(
+        [(i, [float(i)], (i * 10, f"t{i}")) for i in range(6)],
+        "id bigint, vec array<double>, s struct<n:bigint,t:string>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.delete_iceberg(spark, root, "id = 4")
+    convert.convert_iceberg_to_delta(spark, root)
+    got = sorted(
+        (r.id, r.vec, r.s.n)
+        for r in lakehouse.read_delta(spark, root).collect()
+    )
+    assert got == [(i, [float(i)], i * 10) for i in (0, 1, 2, 3, 5)]
