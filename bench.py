@@ -154,10 +154,13 @@ HEADLINE = [
     "e1_iceberg_nested",
     "e12_feature_embeddings",
     "e1_iceberg_variant",
-    # round-13 late joiner: Delta variant WRITE lifecycle (feature
+    # round-13 late joiners: Delta variant WRITE lifecycle (feature
     # protocol at create, two generations, DV delete on a variant_get
-    # predicate)
+    # predicate), and the inner struct-member rename lifecycle (write
+    # nested -> rename meta.lab -> append -> MoR delete -> aggregate on
+    # the renamed member across generations)
     "e1_delta_variant",
+    "e1_iceberg_inner_rename",
 ]
 
 

@@ -56,9 +56,13 @@ WRITES (reads land in round 13, registration-only);
 column DEFAULTS on nested types and add_iceberg_column of a nested
 type (append with merge_schema instead); AVRO/ORC data-file staging of
 nested columns (parquet only); nested entries in a foreign name
-mapping; renaming an INNER nested field (only the parent column
-renames); write_iceberg(branch='main') and schema evolution through a
-side branch; zoneless wall-clock ORC files declared timestamptz.
+mapping; inner renames BELOW the first struct level, on non-parquet
+data files, on tables with column defaults, or when a live file lacks
+member field ids (compact first — direct struct-member renames
+themselves land in round 13 via rename_iceberg_nested_field); the
+file-source streaming tail of inner-renamed tables;
+write_iceberg(branch='main') and schema evolution through a side
+branch; zoneless wall-clock ORC files declared timestamptz.
 """
 
 from __future__ import annotations
@@ -566,6 +570,101 @@ def _spark_dt_fingerprint(dt):
         return _ice_type_fingerprint(_spark_dt_to_ice(dt, None))
     except NotImplementedError:
         return None
+
+
+def _with_nested_field_ids(spark_dt, ice_t):
+    """Mirror ``spark_dt`` with ``parquet.field.id`` metadata attached to
+    every STRUCT member, walked in lockstep with the Iceberg type tree.
+    List element / map key/value ids have no Spark metadata slot — the
+    spec's ids for them exist only in the table schema (elements are not
+    renamable, so id resolution is never needed there)."""
+    from pyspark.sql import types as T
+
+    if (
+        isinstance(spark_dt, T.StructType)
+        and isinstance(ice_t, dict)
+        and ice_t.get("type") == "struct"
+    ):
+        by = {f["name"]: f for f in ice_t.get("fields", [])}
+        out = []
+        for f in spark_dt.fields:
+            e = by.get(f.name)
+            md = (
+                {"parquet.field.id": e["id"]}
+                if e is not None and "id" in e
+                else {}
+            )
+            out.append(
+                T.StructField(
+                    f.name,
+                    _with_nested_field_ids(
+                        f.dataType, e.get("type") if e else None
+                    ),
+                    f.nullable,
+                    metadata=md,
+                )
+            )
+        return T.StructType(out)
+    if (
+        isinstance(spark_dt, T.ArrayType)
+        and isinstance(ice_t, dict)
+        and ice_t.get("type") == "list"
+    ):
+        return T.ArrayType(
+            _with_nested_field_ids(spark_dt.elementType, ice_t.get("element")),
+            spark_dt.containsNull,
+        )
+    if (
+        isinstance(spark_dt, T.MapType)
+        and isinstance(ice_t, dict)
+        and ice_t.get("type") == "map"
+    ):
+        return T.MapType(
+            _with_nested_field_ids(spark_dt.keyType, ice_t.get("key")),
+            _with_nested_field_ids(spark_dt.valueType, ice_t.get("value")),
+            spark_dt.valueContainsNull,
+        )
+    return spark_dt
+
+
+def _stamp_field_ids(df: DataFrame, ice_fields: list[dict]) -> DataFrame:
+    """Stamp every data column's FIELD ID into the parquet footers
+    (Spark's fieldId.write, default on) — the spec requires it and the
+    reader's rename-safe resolution depends on it. Flat schemas keep the
+    round-5 alias-metadata path (byte-identical output); schemas with
+    nested columns go through ``df.to(...)`` so STRUCT MEMBER ids land in
+    the footers too (round 13 — what makes inner-field renames
+    resolvable)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    by = {f["name"]: f for f in ice_fields}
+    if not any(isinstance(f.get("type"), dict) for f in ice_fields):
+        return df.select(
+            *[
+                F.col(c).alias(
+                    c, metadata={"parquet.field.id": by[c]["id"]}
+                )
+                if c in by and "id" in by[c]
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    fields = []
+    for f in df.schema.fields:
+        e = by.get(f.name)
+        md = {"parquet.field.id": e["id"]} if e and "id" in e else {}
+        fields.append(
+            T.StructField(
+                f.name,
+                _with_nested_field_ids(
+                    f.dataType, e.get("type") if e else None
+                ),
+                f.nullable,
+                metadata=md,
+            )
+        )
+    return df.to(T.StructType(fields))
 
 
 def _max_field_id(fields: list[dict]) -> int:
@@ -3096,22 +3195,10 @@ def write_iceberg(
         )
 
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex[:12]}")
-    # stamp each data column's FIELD ID into the parquet footers (alias
-    # metadata -> footer under Spark's fieldId.write, default on) — the
-    # spec requires it, and the reader's rename-safe resolution
-    # (read_iceberg._read footer grouping) depends on it
-    _fid_by_name = {
-        f["name"]: f["id"]
-        for f in (declared["fields"] if existing else _iceberg_fields(df))
-        if "id" in f
-    }
-    df = df.select(
-        *[
-            F.col(c).alias(c, metadata={"parquet.field.id": _fid_by_name[c]})
-            if c in _fid_by_name
-            else F.col(c)
-            for c in df.columns
-        ]
+    # stamp field ids (top-level AND struct members) into the footers —
+    # the spec requires it, and rename-safe resolution depends on it
+    df = _stamp_field_ids(
+        df, declared["fields"] if existing else _iceberg_fields(df)
     )
     # (abs path, rows, bytes, partition value dict)
     data_files: list[tuple[str, int, int, dict]] = []
@@ -4299,6 +4386,112 @@ def iceberg_scan_report(
     }
 
 
+def _read_nested_renamed(
+    spark: SparkSession,
+    paths: list[str],
+    declared,
+    meta: dict,
+    want_meta: bool,
+) -> DataFrame:
+    """Scan leg for tables after an INNER struct-member rename
+    (rename_iceberg_nested_field): group files by their footers' full
+    fid -> physical-name map (members included), scan each group under
+    the group's PHYSICAL schema, and rebuild renamed structs one level
+    deep back to declared member names. Null structs stay null (the
+    rebuild is guarded — a bare F.struct would turn them into rows of
+    nulls)."""
+    from functools import reduce as _reduce
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    ice_by_name = {
+        f["name"]: f for f in _current_schema(meta).get("fields", [])
+    }
+
+    def _fidmap(sch) -> dict[int, str]:
+        out: dict[int, str] = {}
+
+        def walk(field):
+            fid = (field.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                out[int(fid)] = field.name
+            t = field.type
+            if hasattr(t, "num_fields"):
+                for i in range(t.num_fields):
+                    walk(t.field(i))
+
+        for f in sch:
+            walk(f)
+        return out
+
+    groups: dict[tuple, list[str]] = {}
+    maps: dict[tuple, dict[int, str]] = {}
+    for p in paths:
+        m = _fidmap(pq.read_schema(p))
+        k = tuple(sorted(m.items()))
+        groups.setdefault(k, []).append(p)
+        maps[k] = m
+
+    branches = []
+    for k, gfiles in sorted(groups.items()):
+        m = maps[k]
+        phys_fields: list[StructField] = []
+        exprs = []
+        for f in declared.fields:
+            e = ice_by_name.get(f.name) or {}
+            top_phys = m.get(e.get("id"), f.name)
+            t = e.get("type")
+            if (
+                isinstance(t, dict)
+                and t.get("type") == "struct"
+                and isinstance(f.dataType, StructType)
+            ):
+                by_inner = {g2["name"]: g2 for g2 in t.get("fields", [])}
+                inner_phys: list[StructField] = []
+                inner_exprs = []
+                diverged = top_phys != f.name
+                for sf in f.dataType.fields:
+                    ie = by_inner.get(sf.name) or {}
+                    ip = m.get(ie.get("id"), sf.name)
+                    diverged = diverged or ip != sf.name
+                    inner_phys.append(
+                        StructField(ip, sf.dataType, sf.nullable)
+                    )
+                    inner_exprs.append(
+                        F.col(top_phys).getField(ip).alias(sf.name)
+                    )
+                phys_fields.append(
+                    StructField(top_phys, StructType(inner_phys), f.nullable)
+                )
+                if diverged:
+                    exprs.append(
+                        F.when(
+                            F.col(top_phys).isNull(), F.lit(None)
+                        )
+                        .otherwise(F.struct(*inner_exprs))
+                        .alias(f.name)
+                    )
+                else:
+                    exprs.append(F.col(top_phys))
+            else:
+                phys_fields.append(
+                    StructField(top_phys, f.dataType, f.nullable)
+                )
+                exprs.append(
+                    F.col(top_phys).alias(f.name)
+                    if top_phys != f.name
+                    else F.col(top_phys)
+                )
+        g = spark.read.schema(StructType(phys_fields)).parquet(*gfiles)
+        cols = list(exprs)
+        if want_meta:
+            cols.append(F.col("_metadata"))
+        branches.append(g.select(*cols))
+    return _reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def _read_parquet_fid(
     spark: SparkSession,
     paths: list[str],
@@ -4350,6 +4543,29 @@ def _read_parquet_fid(
     # _local_path, not urlparse: a raw '#' in the table root would
     # truncate at the fragment and footer-group a nonexistent file
     local = [_local_path(p) for p in paths]
+    if (
+        declared is not None
+        and (meta.get("properties") or {}).get("fsml.field-id-read")
+        == "true"
+        and all(urlparse(p).scheme in ("", "file") for p in paths)
+    ):
+        # INNER-RENAME RESOLUTION (round 13, rename_iceberg_nested_field):
+        # files are grouped by their footers' FULL fid -> physical-name
+        # map (struct members included — the rename commit proved every
+        # live file stamps them), each group scans under a PHYSICAL
+        # schema derived from that map, and a one-level struct REBUILD
+        # projects members back to declared names. All name-based
+        # mechanics — no fieldId.read session conf, whose id metadata
+        # Spark's nested-schema pruning silently DROPS (measured:
+        # projected inner fields read null under it).
+        if dflt_lit:
+            raise NotImplementedError(
+                "inner-renamed tables cannot combine with column "
+                f"defaults (defaults on {sorted(dflt_lit)})"
+            )
+        return _read_nested_renamed(
+            spark, local, declared, meta, want_meta
+        )
     if declared is None or any(
         urlparse(p).scheme not in ("", "file") for p in paths
     ):
@@ -5654,16 +5870,8 @@ def _stage_data_entry(
     staged_fields = list(cur_schema.get("fields", [])) + _lin_present
     cur_schema = {**cur_schema, "fields": staged_fields}
     names = [f["name"] for f in cur_schema.get("fields", [])]
-    fid_by_name = {
-        f["name"]: f["id"] for f in cur_schema["fields"] if "id" in f
-    }
-    rows = rows.select(
-        *[
-            F.col(n).alias(n, metadata={"parquet.field.id": fid_by_name[n]})
-            if n in fid_by_name
-            else F.col(n)
-            for n in names
-        ]
+    rows = _stamp_field_ids(
+        rows.select(*names), cur_schema["fields"]
     )
     spec = next(
         (
@@ -6594,6 +6802,22 @@ def _stage_rewrite_files(
     import pyarrow.parquet as pq
 
     schema = _current_schema(prior_meta)
+    # stamp field ids on the REWRITTEN files (round 13 — this was the
+    # one staging path that didn't, a LATENT WRONG ANSWER: compacted
+    # files carried no ids, so the next rename resolved the column by
+    # its new name against old-name footers and silently read NULL;
+    # regression-tested in tests/test_iceberg_inner_rename.py and
+    # test_incremental_optimize.py)
+    _stampable = {f["name"] for f in schema.get("fields", [])}
+    live = _stamp_field_ids(
+        live,
+        list(schema.get("fields", []))
+        + [
+            f
+            for f in _lineage_field_dicts()
+            if f["name"] in set(live.columns) - _stampable
+        ],
+    )
     type_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
     fid_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
     part_cols = [f["name"] for f in spec.get("fields") or []]
@@ -7472,7 +7696,11 @@ def read_iceberg_cdf(
     return out
 
 
-def _commit_schema_evolution(path: str, new_fields: list[dict]) -> int:
+def _commit_schema_evolution(
+    path: str,
+    new_fields: list[dict],
+    extra_properties: "dict[str, str] | None" = None,
+) -> int:
     """Shared commit tail for metadata-only schema changes: append a new
     schema (fresh schema-id, field ids PRESERVED — ids are the spec's
     column identity and must never be reused), point current-schema-id at
@@ -7501,6 +7729,11 @@ def _commit_schema_evolution(path: str, new_fields: list[dict]) -> int:
     meta["last-column-id"] = max(
         meta.get("last-column-id", 0), _max_field_id(new_fields)
     )
+    if extra_properties:
+        meta["properties"] = {
+            **(meta.get("properties") or {}),
+            **extra_properties,
+        }
     if "schema" in meta:
         # keep the v1 legacy singular field in lockstep — popping it would
         # break readers that only look there
@@ -7547,6 +7780,119 @@ def rename_iceberg_column(path: str, old: str, new: str) -> int:
         for f in cur["fields"]
     ]
     return _commit_schema_evolution(path, new_fields)
+
+
+def rename_iceberg_nested_field(
+    path: str, column: str, old: str, new: str
+) -> int:
+    """ZERO-REWRITE rename of a STRUCT MEMBER (spec §Schema Evolution —
+    nested field ids are column identity exactly like top-level ones):
+    ``rename_iceberg_nested_field(t, "s", "n", "count")`` renames
+    ``s.n`` to ``s.count`` in one metadata commit.
+
+    Resolution contract (round 13): after an inner rename, name-based
+    struct access would silently NULL the member on pre-rename files, so
+    the commit stamps the ``fsml.field-id-read`` table property and
+    every scan from then on goes through ``_read_nested_renamed``: files
+    group by their footers' full fid -> physical-name map (struct
+    members included), each group scans under its PHYSICAL schema, and
+    renamed structs rebuild one level deep back to declared member
+    names. (Spark's own ``fieldId.read`` matcher was rejected: its
+    nested-schema pruning drops the id metadata and silently nulls
+    projected members — measured.) That resolution is only sound when
+    every live data file actually CARRIES the member's id, so this
+    commit first probes every live parquet footer and fail-louds on any
+    file missing it (files staged before round 13 stamped only
+    top-level ids — run ``compact_iceberg`` to rewrite them, then
+    rename). Non-parquet data files, tables carrying column defaults,
+    and members BELOW the first struct level refuse."""
+    import pyarrow.parquet as pq
+
+    meta = _load_metadata(path)
+    cur = _current_schema(meta)
+    top = next(
+        (f for f in cur.get("fields", []) if f["name"] == column), None
+    )
+    if top is None:
+        raise ValueError(
+            f"{path}: no column {column!r} "
+            f"(have {[f['name'] for f in cur.get('fields', [])]})"
+        )
+    t = top.get("type")
+    if not (isinstance(t, dict) and t.get("type") == "struct"):
+        raise ValueError(
+            f"{path}: column {column!r} is not a struct — inner renames "
+            "apply to struct members (list elements and map entries have "
+            "no names)"
+        )
+    inner_names = [f["name"] for f in t.get("fields", [])]
+    if old not in inner_names:
+        raise ValueError(
+            f"{path}: no member {column}.{old!r} (have {inner_names})"
+        )
+    if new in inner_names:
+        raise ValueError(f"{path}: member {column}.{new!r} already exists")
+    inner = next(f for f in t["fields"] if f["name"] == old)
+    if _schema_defaults(meta):
+        raise NotImplementedError(
+            f"{path}: inner renames on a table with column defaults are "
+            "not implemented (field-id reads cannot combine with the "
+            "defaults' footer-evidence machinery)"
+        )
+    # every live file must carry the member's id — otherwise field-id
+    # reads (the only sound resolution after this rename) would error or
+    # null the member on those files
+    cur_sid = meta.get("current-snapshot-id")
+    if cur_sid not in (None, -1):
+        data, _dels = _snapshot_scan_plan(meta, cur_sid, path)
+        top_id, inner_id = top.get("id"), inner.get("id")
+        for d in data:
+            if (d.get("format") or "PARQUET") != "PARQUET":
+                raise NotImplementedError(
+                    f"{path}: inner renames on {d.get('format')} data "
+                    "files are not implemented (parquet only)"
+                )
+            lp = _local_path(d["path"])
+            sch = pq.read_schema(lp)
+            holder = None
+            for fld in sch:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None and int(fid) == top_id:
+                    holder = fld
+                    break
+            if holder is None:
+                holder = next(
+                    (fld for fld in sch if fld.name == column), None
+                )
+            ok = False
+            if holder is not None and hasattr(holder.type, "num_fields"):
+                for i in range(holder.type.num_fields):
+                    mf = holder.type.field(i)
+                    fid = (mf.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None and int(fid) == inner_id:
+                        ok = True
+                        break
+            if not ok:
+                raise NotImplementedError(
+                    f"{path}: data file {os.path.basename(lp)} does not "
+                    f"stamp the field id of {column}.{old} — field-id "
+                    "reads cannot resolve it after the rename; run "
+                    "compact_iceberg first (rewrites stamp member ids), "
+                    "then rename"
+                )
+    new_inner = [
+        {**f, "name": new} if f["name"] == old else dict(f)
+        for f in t["fields"]
+    ]
+    new_fields = [
+        {**f, "type": {**t, "fields": new_inner}}
+        if f["name"] == column
+        else dict(f)
+        for f in cur["fields"]
+    ]
+    return _commit_schema_evolution(
+        path, new_fields, extra_properties={"fsml.field-id-read": "true"}
+    )
 
 
 def drop_iceberg_column(path: str, name: str) -> int:

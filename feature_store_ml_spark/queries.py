@@ -3203,6 +3203,81 @@ def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_inner_rename",
+    """
+    WITH live AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 9 <> 0
+    ),
+    per AS (
+      SELECT CAST(label % 3 AS INT) AS lbl,
+             ROUND(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE))), 6) AS s
+      FROM live)
+    SELECT lbl, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(s AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_elems
+    FROM per GROUP BY lbl
+    """,
+)
+def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER struct-member rename (round 13 —
+    io/iceberg.rename_iceberg_nested_field; spec §Schema Evolution:
+    nested field ids are column identity): write embeddings nested
+    (vec list + a struct whose members carry the label and a per-row
+    list sum), RENAME the struct member (`meta.lab` -> `meta.lbl`,
+    zero-rewrite), append a post-rename generation, MoR-DELETE a
+    slice, and aggregate ON the renamed member across both file
+    generations — resolution is per-group physical schemas + struct
+    rebuild keyed on the members' footer field ids; a silent NULL on
+    the pre-rename files breaks count and hash alike. In-query asserts
+    pin zero data files touched by the rename."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def nest(df, member):
+        return df.select(
+            "vec_id",
+            F.col("embedding").alias("vec"),
+            F.struct(
+                (F.col("label") % 3).cast("int").alias(member),
+                F.round(
+                    F.aggregate(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    6,
+                ).alias("s"),
+            ).alias("meta"),
+        )
+
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_inner_rename"
+    shutil.rmtree(path, ignore_errors=True)
+    cut = 350
+    iceberg.write_iceberg(
+        spark, nest(e.where(F.col("vec_id") < cut), "lab"), path,
+        format_version=2,
+    )
+    files_before = set(iceberg._live_data_files(path))
+    iceberg.rename_iceberg_nested_field(path, "meta", "lab", "lbl")
+    if set(iceberg._live_data_files(path)) != files_before:
+        raise AssertionError("inner rename must be metadata-only")
+    iceberg.write_iceberg(
+        spark, nest(e.where(F.col("vec_id") >= cut), "lbl"), path,
+        format_version=2,
+    )
+    iceberg.delete_iceberg(spark, path, "vec_id % 9 = 0")
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy(F.col("meta.lbl").alias("lbl")).agg(
+        F.count("*").alias("n"),
+        dsum("meta.s").alias("sum_elems"),
+    )
+
+
+@register(
     "e1_delta_variant",
     """
     SELECT o_orderpriority AS pr, COUNT(*) AS n,
@@ -8370,6 +8445,14 @@ _FINAL_ORDER = [
                                # stays in-window through this query, a
                                # strict superset: add + rename + defaults
                                # + mixed-generation resolution)
+    "e1_iceberg_inner_rename",  # round 13: struct-member rename across
+                                # file generations (per-group physical
+                                # schemas + struct rebuild by member
+                                # field id, exact oracle) — displaces
+                                # e1_convert_cross_format (driver-green
+                                # r6-r12; the conversion family stays
+                                # in-window via e1_convert_with_deletes
+                                # + e1_uniform_v3 + e1_delta_uniform)
     "e1_delta_variant",     # round 13: Delta VARIANT write lifecycle
                             # (variantType feature protocol at CREATE,
                             # two generations, DV delete keyed on a
@@ -8449,7 +8532,6 @@ _FINAL_ORDER = [
     #    with partition moves + inserts)
     "e1_iceberg_rollback",
     "e1_iceberg_merge",
-    "e1_convert_cross_format",
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
@@ -8591,6 +8673,11 @@ _FINAL_ORDER = [
     # (e13_stream_iceberg_mutations / e1_delta_column_defaults /
     #  e1_parquet_migrate moved INTO the window in round 13 for first
     #  driver verification — VERDICT r12 item 7)
+    "e1_convert_cross_format",  # rotated out r13, displaced by
+                                # e1_iceberg_inner_rename (driver-green
+                                # r6-r12; conversion family stays via
+                                # e1_convert_with_deletes +
+                                # e1_uniform_v3 + e1_delta_uniform)
     "e1_delta_clone",           # rotated out r13, displaced by
                                 # e1_delta_variant (driver-green r7-r12;
                                 # zero-copy reads stay in-window via
@@ -8829,7 +8916,7 @@ def _apply_final_order() -> None:
     # the ignore_deletes/ignore_changes plain-tail query, the Delta
     # column-defaults query and the parquet-migrate query are
     # tail-registered
-    assert n_oracle_tail <= 117, f"{n_oracle_tail} oracle-backed queries outside window"
+    assert n_oracle_tail <= 118, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -520,6 +520,12 @@ def _check_footers_match_schema(
     there."""
     from ..io.lakehouse import _group_files_by_field_ids
 
+    if (meta.get("properties") or {}).get("fsml.field-id-read") == "true":
+        raise NotImplementedError(
+            f"{path}: the table had an inner struct-member rename "
+            "(field-id reads) — the file-source tail resolves by name; "
+            "use batch read_iceberg / read_iceberg_cdf instead"
+        )
     cur = _ice._current_schema(meta)
     want = {
         f["id"]: f["name"] for f in cur.get("fields", []) if "id" in f

@@ -1,0 +1,136 @@
+"""INNER struct-member renames (round 13 — spec §Schema Evolution:
+nested field ids are column identity): rename_iceberg_nested_field is a
+zero-rewrite metadata commit; reads resolve renamed members across file
+generations by footer field id (per-group physical schemas + one-level
+struct rebuild — NOT Spark's fieldId.read conf, whose nested-schema
+pruning drops the id metadata and silently nulls projected members)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_ml_spark.io import iceberg
+
+
+def _mk(spark, tmp_path, n=6):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, (i * 10, f"t{i}"), [float(i)]) for i in range(n)],
+        "id bigint, s struct<n:bigint,t:string>, vec array<double>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    return root
+
+
+def test_inner_rename_resolves_across_generations(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    files_before = set(iceberg._live_data_files(root))
+    iceberg.rename_iceberg_nested_field(root, "s", "n", "count")
+    assert set(iceberg._live_data_files(root)) == files_before  # zero-rewrite
+    df2 = spark.createDataFrame(
+        [(6, (60, "t6"), [6.0]), (7, None, None)],
+        "id bigint, s struct<count:bigint,t:string>, vec array<double>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    back = iceberg.read_iceberg(spark, root)
+    got = sorted(
+        (r.id, r.s["count"] if r.s else None) for r in back.collect()
+    )
+    assert got == [(i, i * 10) for i in range(7)] + [(7, None)]
+    # PROJECTED access (the path Spark's fieldId.read conf silently
+    # nulls under nested-schema pruning) must work too
+    proj = back.selectExpr("id", "s.count AS c")
+    assert sorted((r.id, r.c) for r in proj.collect()) == got
+
+
+def test_inner_rename_stacks_with_everything(spark, tmp_path):
+    """Inner rename + MoR delete + TOP-level rename of the same struct +
+    aggregate over the renamed member — the full stack."""
+    root = _mk(spark, tmp_path)
+    iceberg.rename_iceberg_nested_field(root, "s", "n", "count")
+    iceberg.delete_iceberg(spark, root, "id = 2")
+    iceberg.rename_iceberg_column(root, "s", "meta2")
+    out = iceberg.read_iceberg(spark, root)
+    assert sorted(
+        (r.id, r.meta2["count"], r.meta2.t) for r in out.collect()
+    ) == [(i, i * 10, f"t{i}") for i in range(6) if i != 2]
+    agg = out.agg(F.sum(F.col("meta2")["count"]).alias("x")).collect()
+    assert agg[0].x == sum(i * 10 for i in range(6) if i != 2)
+    # time travel to before the delete still resolves the rename
+    meta = iceberg._load_metadata(root)
+    first = min(s["snapshot-id"] for s in meta["snapshots"])
+    tt = iceberg.read_iceberg(spark, root, snapshot_id=first)
+    assert tt.count() == 6 and "count" in tt.schema["meta2"].dataType.names
+
+
+def test_inner_rename_cdf_and_lineage(spark, tmp_path):
+    root = str(tmp_path / "v3")
+    df = spark.createDataFrame(
+        [(i, (i * 10, f"t{i}")) for i in range(5)],
+        "id bigint, s struct<n:bigint,t:string>",
+    )
+    s0 = iceberg.write_iceberg(spark, df, root, format_version=3)
+    iceberg.rename_iceberg_nested_field(root, "s", "n", "count")
+    iceberg.delete_iceberg(spark, root, "id = 1")  # v3 puffin DV
+    cdf = iceberg.read_iceberg_cdf(spark, root, s0)
+    rows = cdf.collect()
+    assert {r._change_type for r in rows} == {"delete"}
+    assert [r.s["count"] for r in rows] == [10]
+    lin = iceberg.read_iceberg_row_ids(spark, root)
+    got = {r.id: (r._row_id, r.s["count"]) for r in lin.collect()}
+    assert got[0] == (0, 0) and 1 not in got
+
+
+def test_inner_rename_fail_louds(spark, tmp_path):
+    root = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not a struct"):
+        iceberg.rename_iceberg_nested_field(root, "vec", "x", "y")
+    with pytest.raises(ValueError, match="no member"):
+        iceberg.rename_iceberg_nested_field(root, "s", "zz", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg.rename_iceberg_nested_field(root, "s", "n", "t")
+    # files WITHOUT member ids (simulated pre-r13 staging) refuse with a
+    # pointer at compaction
+    root2 = str(tmp_path / "old")
+    df = spark.createDataFrame(
+        [(1, (10, "x"))], "id bigint, s struct<n:bigint,t:string>"
+    )
+    iceberg.write_iceberg(spark, df, root2, format_version=2)
+    # strip member ids by rewriting the file through plain Spark
+    import glob
+    import os
+
+    f = glob.glob(f"{root2}/data/*.parquet")[0]
+    # strip ALL field-id metadata via pyarrow (Spark faithfully re-stamps
+    # ids it can trace through projections, even named_struct rebuilds)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f)
+
+    def strip(field):
+        ft = field.type
+        if pa.types.is_struct(ft):
+            ft = pa.struct([strip(ft.field(i)) for i in range(ft.num_fields)])
+        return pa.field(field.name, ft, field.nullable)
+
+    bare = pa.schema([strip(fl) for fl in t.schema])
+    pq.write_table(t.cast(bare), f)
+    with pytest.raises(NotImplementedError, match="compact_iceberg"):
+        iceberg.rename_iceberg_nested_field(root2, "s", "n", "count")
+    # compaction rewrites with member ids; the rename then lands
+    iceberg.compact_iceberg(spark, root2)
+    iceberg.rename_iceberg_nested_field(root2, "s", "n", "count")
+    assert [
+        r.s["count"] for r in iceberg.read_iceberg(spark, root2).collect()
+    ] == [10]
+
+
+def test_inner_rename_streaming_tail_refuses(spark, tmp_path):
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = _mk(spark, tmp_path)
+    iceberg.rename_iceberg_nested_field(root, "s", "n", "count")
+    with pytest.raises(NotImplementedError, match="inner struct-member"):
+        iceberg_source.sync_iceberg_spool(
+            root, str(tmp_path / "spool"), spark=spark
+        )

@@ -496,3 +496,32 @@ def test_iceberg_sort_order_validation(spark, tmp_path):
     _iwrite(spark, path, 0, 10)
     with pytest.raises(ValueError, match="not in schema"):
         iceberg.set_iceberg_sort_order(path, ["nope"])
+
+
+def test_compacted_files_stamp_field_ids_rename_survives(spark, tmp_path):
+    """REGRESSION (round 13, latent since the compaction round):
+    _stage_rewrite_files wrote UNSTAMPED parquet, so a rename AFTER a
+    compaction resolved the column by its new name against old-name
+    footers and silently read NULL. Compacted files must stamp field
+    ids like every other staging path."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "cr")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(6).selectExpr("id", "id * 2 AS v"),
+        root,
+        format_version=2,
+    )
+    iceberg.compact_iceberg(spark, root)
+    for f in iceberg._live_data_files(root):
+        sch = pq.read_schema(f)
+        assert all(
+            (fl.metadata or {}).get(b"PARQUET:field_id") is not None
+            for fl in sch
+        ), f
+    iceberg.rename_iceberg_column(root, "v", "w")
+    got = sorted(
+        (r.id, r.w) for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got == [(i, i * 2) for i in range(6)]  # was all-NULL w
