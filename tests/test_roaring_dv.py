@@ -224,18 +224,19 @@ def test_incremental_read_range_with_delete_fails_loud(spark, tmp_path):
 
 
 def test_unknown_reader_feature_fails_loud(spark, tmp_path):
-    # typeWidening joined the supported set in round 6; variantType is a
-    # real spec feature this fallback genuinely does not implement
+    # typeWidening joined the supported set in round 6, variantType in
+    # round 13; collations is a real spec feature this fallback
+    # genuinely does not implement
     root = str(tmp_path / "d")
     lakehouse.write_delta(spark, spark.range(5).select("id"), root)
     log = os.path.join(root, "_delta_log")
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors", "variantType"],
+            "readerFeatures": ["deletionVectors", "collations"],
             "writerFeatures": [],
         }}) + "\n")
-    with pytest.raises(NotImplementedError, match="variantType"):
+    with pytest.raises(NotImplementedError, match="collations"):
         lakehouse.read_delta(spark, root).collect()
 
 
