@@ -873,6 +873,7 @@ def convert_delta_to_iceberg(
     if _need_count:
         from urllib.parse import urlparse as _up
 
+        _nc_abs = {os.path.abspath(p) for p in _need_count}
         for r in (
             spark.read.parquet(*_need_count)
             .groupBy(iceberg._decoded_meta_path(None).alias("_p"))
@@ -880,8 +881,20 @@ def convert_delta_to_iceberg(
             .collect()
         ):
             pr = _up(r["_p"])
-            key = pr.path if pr.scheme in ("", "file") else r["_p"]
-            _counted[os.path.abspath(key)] = int(r["count"])
+            key = os.path.abspath(
+                pr.path if pr.scheme in ("", "file") else r["_p"]
+            )
+            if key not in _nc_abs:
+                # same hazard as the snapshot-registration twin: a group
+                # key outside the counted set is a path-normalization
+                # mismatch, and the zero-row membership fallback below
+                # would silently record 0 for a real file
+                raise ValueError(
+                    f"{path}: row-count backfill saw file path "
+                    f"{r['_p']!r} that does not normalize to any counted "
+                    "file — path-normalization mismatch; refusing"
+                )
+            _counted[key] = int(r["count"])
     for rel, add in ordered_adds:
         abs_p = os.path.join(path, rel)
         carried = prior_entries.get(os.path.abspath(abs_p))
@@ -1318,14 +1331,33 @@ def snapshot_parquet_to_iceberg(
             .count()
             .collect()
         )
+        bad_abs = {os.path.abspath(p) for p in bad}
         counts = {}
         for r in counts_rows:
             raw = r["_p"]
             pr = _up(raw)
-            counts[pr.path if pr.scheme in ("", "file") else raw] = r["count"]
+            key = os.path.abspath(
+                pr.path if pr.scheme in ("", "file") else raw
+            )
+            if key not in bad_abs:
+                # a group key that maps OUTSIDE the counted set means
+                # Spark's _metadata.file_path and the driver-built path
+                # normalize differently (symlinked table root, alternate
+                # mount) — recording 0 for the real file would be a
+                # silent wrong record_count (ADVICE r13)
+                raise ValueError(
+                    f"{path}: row-count backfill saw file path {raw!r} "
+                    "that does not normalize to any counted file — "
+                    "path-normalization mismatch; refusing to record "
+                    "record_count=0"
+                )
+            counts[key] = r["count"]
         for p in bad:
             names = tuple(spark.read.parquet(p).schema.names)
             harvest[p] = (
+                # every group row provably mapped into the counted set
+                # above, so a missing key here means the file produced
+                # no groupBy row at all — it is empty; 0 is exact
                 int(counts.get(os.path.abspath(p), 0)),
                 harvest[p][1],
                 {},

@@ -187,6 +187,34 @@ def _load_metadata(table_root: str) -> dict:
                         f"{f.get('name')!r} is outside this reader's "
                         "primitive mapping"
                     )
+    else:
+        # 'variant' is a v3-ONLY type (spec §Schemas): a v1/v2 metadata
+        # file declaring it is spec-invalid (foreign/corrupt metadata) —
+        # refuse rather than scan fail-open (ADVICE r13)
+        def _has_variant(t) -> bool:
+            if t == "variant":
+                return True
+            if isinstance(t, dict):
+                return any(
+                    _has_variant(t.get(k))
+                    for k in ("element", "key", "value")
+                    if k in t
+                ) or any(
+                    _has_variant(f2.get("type"))
+                    for f2 in t.get("fields", [])
+                )
+            return False
+
+        for s in meta.get("schemas") or (
+            [meta["schema"]] if meta.get("schema") else []
+        ):
+            for f in s.get("fields", []):
+                if _has_variant(f.get("type")):
+                    raise ValueError(
+                        f"{table_root}: field {f.get('name')!r} declares "
+                        f"the v3-only type 'variant' in a format-version "
+                        f"{fv} metadata file — spec-invalid; refuse"
+                    )
     return meta
 
 
@@ -4543,12 +4571,28 @@ def _read_parquet_fid(
     # _local_path, not urlparse: a raw '#' in the table root would
     # truncate at the fragment and footer-group a nonexistent file
     local = [_local_path(p) for p in paths]
-    if (
-        declared is not None
-        and (meta.get("properties") or {}).get("fsml.field-id-read")
-        == "true"
-        and all(urlparse(p).scheme in ("", "file") for p in paths)
+    _fid_read = (
+        meta.get("properties") or {}
+    ).get("fsml.field-id-read") == "true"
+    if _fid_read and (
+        declared is None
+        or any(urlparse(p).scheme not in ("", "file") for p in paths)
     ):
+        # the property marks name resolution as UNSAFE (an inner rename
+        # happened — pre-rename files carry old member names, so a
+        # name-based scan silently reads NULL struct members). If the
+        # member-resolving branch cannot run, refuse; never fall
+        # through to _plain/name resolution (ADVICE r13).
+        raise NotImplementedError(
+            "table requires field-id member resolution "
+            "(fsml.field-id-read) but the scan cannot run it: "
+            + (
+                "declared schema is unmappable"
+                if declared is None
+                else "non-local path scheme"
+            )
+        )
+    if _fid_read:
         # INNER-RENAME RESOLUTION (round 13, rename_iceberg_nested_field):
         # files are grouped by their footers' FULL fid -> physical-name
         # map (struct members included — the rename commit proved every

@@ -639,7 +639,12 @@ def ivf_maintain(
     shutil.rmtree(doomed, ignore_errors=True)
     os.rename(index_path, doomed)
     os.rename(fresh, index_path)
-    shutil.rmtree(doomed, ignore_errors=True)
+    # DO NOT remove ``doomed`` here: a reader that resolved its _dir to
+    # the .old sidecar via the _ivf_load_meta fallback may still have a
+    # LAZY centroids/assignments scan pending against it — an immediate
+    # rmtree races that scan into FileNotFoundError mid-query (ADVICE
+    # r13). The sidecar is cleaned by the NEXT maintain run's
+    # pre-swap rmtree above, bounding the garbage to one stale copy.
     r2 = ivf_index_recall(spark, index_path, k=k, n_probe=n_probe, sample=sample)
     return {"recall": r, "rebuilt": True, "recall_after": r2}
 

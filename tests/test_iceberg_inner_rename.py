@@ -134,3 +134,34 @@ def test_inner_rename_streaming_tail_refuses(spark, tmp_path):
         iceberg_source.sync_iceberg_spool(
             root, str(tmp_path / "spool"), spark=spark
         )
+
+
+def test_fid_read_required_never_falls_through(spark):
+    """If fsml.field-id-read is set (an inner rename happened) but the
+    member-resolving branch cannot run, the scan must REFUSE — a
+    name-based fallback would silently read NULL struct members from
+    pre-rename files (ADVICE r13)."""
+    from pyspark.sql.types import StructType
+
+    meta = {
+        "format-version": 2,
+        "properties": {"fsml.field-id-read": "true"},
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+    }
+    declared = StructType.fromDDL("id bigint")
+    with pytest.raises(NotImplementedError, match="non-local path scheme"):
+        iceberg._read_parquet_fid(
+            spark, ["s3a://bucket/x.parquet"], declared, meta, False
+        )
+    with pytest.raises(NotImplementedError, match="unmappable"):
+        iceberg._read_parquet_fid(
+            spark, ["/tmp/x.parquet"], None, meta, False
+        )

@@ -86,3 +86,43 @@ def test_variant_defaults_stay_refused(spark, tmp_path):
     root = _mk(spark, tmp_path)
     with pytest.raises((NotImplementedError, ValueError)):
         iceberg.add_iceberg_column(root, "w", "variant")
+
+
+def test_variant_in_v2_metadata_refused(spark, tmp_path):
+    """'variant' is a v3-ONLY type (spec §Schemas): a v1/v2 metadata
+    file declaring it is spec-invalid foreign/corrupt metadata and must
+    refuse at load, not scan fail-open (ADVICE r13)."""
+    import json
+    import os
+
+    root = _mk(spark, tmp_path)
+    meta_dir = os.path.join(root, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        v = fh.read().strip()
+    mf = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta = json.load(open(mf))
+    meta["format-version"] = 2
+    json.dump(meta, open(mf, "w"))
+    with pytest.raises(ValueError, match="v3-only type 'variant'"):
+        iceberg._load_metadata(root)
+
+
+def test_variant_zero_row_file_registers_exact(spark, tmp_path):
+    """A zero-row variant parquet file (footer pyarrow cannot decode)
+    produces no groupBy row in the registration's row-count backfill —
+    record_count=0 is EXACT for it, not a silent default (ADVICE r13:
+    the missing-key fallback is provably-empty-only now)."""
+    root = str(tmp_path / "t0")
+    spark.range(10).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    ).repartition(1).write.parquet(root)
+    spark.range(0).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    ).repartition(1).write.mode("append").parquet(root)
+    convert.snapshot_parquet_to_iceberg(spark, root)
+    meta = iceberg._load_metadata(root)
+    snap = meta["snapshots"][-1]["snapshot-id"]
+    data, _ = iceberg._snapshot_scan_plan(meta, snap, root)
+    assert len(data) == 2
+    assert iceberg.read_iceberg(spark, root).count() == 10

@@ -293,3 +293,31 @@ def test_ivf_query_falls_back_to_old_sidecar(spark, sf_dir, tmp_path):
     assert similarity.ivf_index_recall(spark, idx, k=3, sample=8) > 0
     with pytest.raises(ValueError, match="_ivf_meta"):
         similarity.ivf_append_index(emb.limit(1), idx)  # writes: loud
+
+
+def test_ivf_maintain_defers_old_sidecar_removal(spark, tmp_path):
+    """After a rebuild swap the ``<index>.old`` sidecar must SURVIVE the
+    maintain call — a racing reader that resolved its _dir to .old via
+    the load-meta fallback still has lazy scans against it (ADVICE r13:
+    an immediate rmtree raced those into FileNotFoundError). The NEXT
+    maintain's pre-swap cleanup collects it."""
+    import os
+
+    dim = 6
+    e1 = [1.0, 0.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    idx = str(tmp_path / "ivf")
+    base = _blob(spark, 0, 60, e1, dim).unionByName(
+        _blob(spark, 1000, 60, e2, dim)
+    )
+    similarity.ivf_build_index(base, idx, n_clusters=2)
+    similarity.ivf_append_index(_straddle_pairs(spark, 2000, 40, dim), idx)
+    res = similarity.ivf_maintain(
+        spark, idx, min_recall=0.95, k=5, n_probe=1, sample=60
+    )
+    assert res["rebuilt"] is True
+    old = idx + ".old"
+    assert os.path.isdir(old)  # deferred: racing lazy readers stay alive
+    # the stale sidecar still SERVES (the exact racing-reader scenario)
+    emb = spark.read.parquet(os.path.join(old, "assignments"))
+    assert emb.count() > 0
