@@ -56,10 +56,10 @@ WRITES (reads land in round 13, registration-only);
 column DEFAULTS on nested types and add_iceberg_column of a nested
 type (append with merge_schema instead); AVRO/ORC data-file staging of
 nested columns (parquet only); nested entries in a foreign name
-mapping; inner renames BELOW the first struct level, on non-parquet
-data files, on tables with column defaults, or when a live file lacks
-member field ids (compact first — direct struct-member renames
-themselves land in round 13 via rename_iceberg_nested_field); the
+mapping; inner renames on non-parquet data files, on tables with
+column defaults, or when a live file lacks member field ids (compact
+first — struct-member renames land in round 13, ANY-depth dotted
+paths in round 14, via rename_iceberg_nested_field); the
 file-source streaming tail of inner-renamed tables;
 write_iceberg(branch='main') and schema evolution through a side
 branch; zoneless wall-clock ORC files declared timestamptz.
@@ -4424,10 +4424,10 @@ def _read_nested_renamed(
     """Scan leg for tables after an INNER struct-member rename
     (rename_iceberg_nested_field): group files by their footers' full
     fid -> physical-name map (members included), scan each group under
-    the group's PHYSICAL schema, and rebuild renamed structs one level
-    deep back to declared member names. Null structs stay null (the
-    rebuild is guarded — a bare F.struct would turn them into rows of
-    nulls)."""
+    the group's PHYSICAL schema, and rebuild renamed structs
+    RECURSIVELY (any depth — round 14) back to declared member names.
+    Null structs stay null at every level (the rebuild is guarded — a
+    bare F.struct would turn them into rows of nulls)."""
     from functools import reduce as _reduce
 
     import pyarrow.parquet as pq
@@ -4462,6 +4462,42 @@ def _read_nested_renamed(
         groups.setdefault(k, []).append(p)
         maps[k] = m
 
+    def _phys_and_expr(spark_t, ice_t, m, col_expr):
+        """Recursive rebuild (round 14 — VERDICT r13 item 3): returns
+        ``(physical_dataType, rebuilt_expr, diverged)`` for one member.
+        Structs recurse to ANY depth — each member's physical name comes
+        from the group's fid map, a renamed subtree rebuilds back to
+        declared names, and the null-struct guard applies at EVERY level
+        (a bare F.struct turns a null struct into a row of nulls).
+        Non-struct types pass through: list elements and map entries
+        have no names, so they cannot diverge."""
+        if (
+            isinstance(ice_t, dict)
+            and ice_t.get("type") == "struct"
+            and isinstance(spark_t, StructType)
+        ):
+            by_inner = {g2["name"]: g2 for g2 in ice_t.get("fields", [])}
+            phys_members: list[StructField] = []
+            member_exprs = []
+            div = False
+            for sf in spark_t.fields:
+                ie = by_inner.get(sf.name) or {}
+                ip = m.get(ie.get("id"), sf.name)
+                pdt, e, d = _phys_and_expr(
+                    sf.dataType, ie.get("type"), m, col_expr.getField(ip)
+                )
+                div = div or d or ip != sf.name
+                phys_members.append(StructField(ip, pdt, sf.nullable))
+                member_exprs.append(e.alias(sf.name))
+            if div:
+                rebuilt = F.when(col_expr.isNull(), F.lit(None)).otherwise(
+                    F.struct(*member_exprs)
+                )
+            else:
+                rebuilt = col_expr
+            return StructType(phys_members), rebuilt, div
+        return spark_t, col_expr, False
+
     branches = []
     for k, gfiles in sorted(groups.items()):
         m = maps[k]
@@ -4470,48 +4506,14 @@ def _read_nested_renamed(
         for f in declared.fields:
             e = ice_by_name.get(f.name) or {}
             top_phys = m.get(e.get("id"), f.name)
-            t = e.get("type")
-            if (
-                isinstance(t, dict)
-                and t.get("type") == "struct"
-                and isinstance(f.dataType, StructType)
-            ):
-                by_inner = {g2["name"]: g2 for g2 in t.get("fields", [])}
-                inner_phys: list[StructField] = []
-                inner_exprs = []
-                diverged = top_phys != f.name
-                for sf in f.dataType.fields:
-                    ie = by_inner.get(sf.name) or {}
-                    ip = m.get(ie.get("id"), sf.name)
-                    diverged = diverged or ip != sf.name
-                    inner_phys.append(
-                        StructField(ip, sf.dataType, sf.nullable)
-                    )
-                    inner_exprs.append(
-                        F.col(top_phys).getField(ip).alias(sf.name)
-                    )
-                phys_fields.append(
-                    StructField(top_phys, StructType(inner_phys), f.nullable)
-                )
-                if diverged:
-                    exprs.append(
-                        F.when(
-                            F.col(top_phys).isNull(), F.lit(None)
-                        )
-                        .otherwise(F.struct(*inner_exprs))
-                        .alias(f.name)
-                    )
-                else:
-                    exprs.append(F.col(top_phys))
+            pdt, expr, diverged = _phys_and_expr(
+                f.dataType, e.get("type"), m, F.col(top_phys)
+            )
+            phys_fields.append(StructField(top_phys, pdt, f.nullable))
+            if diverged or top_phys != f.name:
+                exprs.append(expr.alias(f.name))
             else:
-                phys_fields.append(
-                    StructField(top_phys, f.dataType, f.nullable)
-                )
-                exprs.append(
-                    F.col(top_phys).alias(f.name)
-                    if top_phys != f.name
-                    else F.col(top_phys)
-                )
+                exprs.append(F.col(top_phys))
         g = spark.read.schema(StructType(phys_fields)).parquet(*gfiles)
         cols = list(exprs)
         if want_meta:
@@ -4597,8 +4599,8 @@ def _read_parquet_fid(
         # files are grouped by their footers' FULL fid -> physical-name
         # map (struct members included — the rename commit proved every
         # live file stamps them), each group scans under a PHYSICAL
-        # schema derived from that map, and a one-level struct REBUILD
-        # projects members back to declared names. All name-based
+        # schema derived from that map, and a RECURSIVE struct rebuild
+        # projects members back to declared names at any depth. All name-based
         # mechanics — no fieldId.read session conf, whose id metadata
         # Spark's nested-schema pruning silently DROPS (measured:
         # projected inner fields read null under it).
@@ -7832,7 +7834,10 @@ def rename_iceberg_nested_field(
     """ZERO-REWRITE rename of a STRUCT MEMBER (spec §Schema Evolution —
     nested field ids are column identity exactly like top-level ones):
     ``rename_iceberg_nested_field(t, "s", "n", "count")`` renames
-    ``s.n`` to ``s.count`` in one metadata commit.
+    ``s.n`` to ``s.count`` in one metadata commit. ``column`` accepts a
+    DOTTED member path for structs below the first level (round 14):
+    ``rename_iceberg_nested_field(t, "address.geo", "lat", "latitude")``
+    renames ``address.geo.lat`` — every path component must be a struct.
 
     Resolution contract (round 13): after an inner rename, name-based
     struct access would silently NULL the member on pre-rename files, so
@@ -7840,35 +7845,45 @@ def rename_iceberg_nested_field(
     every scan from then on goes through ``_read_nested_renamed``: files
     group by their footers' full fid -> physical-name map (struct
     members included), each group scans under its PHYSICAL schema, and
-    renamed structs rebuild one level deep back to declared member
-    names. (Spark's own ``fieldId.read`` matcher was rejected: its
+    renamed structs rebuild RECURSIVELY back to declared member names.
+    (Spark's own ``fieldId.read`` matcher was rejected: its
     nested-schema pruning drops the id metadata and silently nulls
     projected members — measured.) That resolution is only sound when
     every live data file actually CARRIES the member's id, so this
     commit first probes every live parquet footer and fail-louds on any
-    file missing it (files staged before round 13 stamped only
-    top-level ids — run ``compact_iceberg`` to rewrite them, then
-    rename). Non-parquet data files, tables carrying column defaults,
-    and members BELOW the first struct level refuse."""
+    file missing the id of ANY struct field on the path or the renamed
+    member itself (files staged before round 13 stamped only top-level
+    ids — run ``compact_iceberg`` to rewrite them, then rename).
+    Non-parquet data files and tables carrying column defaults
+    refuse."""
     import pyarrow.parquet as pq
 
     meta = _load_metadata(path)
     cur = _current_schema(meta)
-    top = next(
-        (f for f in cur.get("fields", []) if f["name"] == column), None
-    )
-    if top is None:
-        raise ValueError(
-            f"{path}: no column {column!r} "
-            f"(have {[f['name'] for f in cur.get('fields', [])]})"
+    parts = column.split(".")
+    node = None
+    t = None
+    path_ids: list[int] = []  # struct field ids along the dotted path
+    fields_here = cur.get("fields", [])
+    for depth, comp in enumerate(parts):
+        node = next(
+            (f for f in fields_here if f["name"] == comp), None
         )
-    t = top.get("type")
-    if not (isinstance(t, dict) and t.get("type") == "struct"):
-        raise ValueError(
-            f"{path}: column {column!r} is not a struct — inner renames "
-            "apply to struct members (list elements and map entries have "
-            "no names)"
-        )
+        if node is None:
+            where = ".".join(parts[:depth]) or "top level"
+            raise ValueError(
+                f"{path}: no column {comp!r} at {where} "
+                f"(have {[f['name'] for f in fields_here]})"
+            )
+        path_ids.append(node.get("id"))
+        t = node.get("type")
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"{path}: {'.'.join(parts[: depth + 1])!r} is not a "
+                "struct — inner renames apply to struct members (list "
+                "elements and map entries have no names)"
+            )
+        fields_here = t.get("fields", [])
     inner_names = [f["name"] for f in t.get("fields", [])]
     if old not in inner_names:
         raise ValueError(
@@ -7883,13 +7898,13 @@ def rename_iceberg_nested_field(
             "not implemented (field-id reads cannot combine with the "
             "defaults' footer-evidence machinery)"
         )
-    # every live file must carry the member's id — otherwise field-id
-    # reads (the only sound resolution after this rename) would error or
-    # null the member on those files
+    # every live file must carry the ids of the full path AND the
+    # renamed member — otherwise field-id reads (the only sound
+    # resolution after this rename) would error or null the member
     cur_sid = meta.get("current-snapshot-id")
     if cur_sid not in (None, -1):
         data, _dels = _snapshot_scan_plan(meta, cur_sid, path)
-        top_id, inner_id = top.get("id"), inner.get("id")
+        inner_id = inner.get("id")
         for d in data:
             if (d.get("format") or "PARQUET") != "PARQUET":
                 raise NotImplementedError(
@@ -7898,24 +7913,50 @@ def rename_iceberg_nested_field(
                 )
             lp = _local_path(d["path"])
             sch = pq.read_schema(lp)
-            holder = None
-            for fld in sch:
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None and int(fid) == top_id:
-                    holder = fld
-                    break
-            if holder is None:
-                holder = next(
-                    (fld for fld in sch if fld.name == column), None
+
+            def _child_by_fid(container, fid_want, name_fallback):
+                """container: a schema (top) or a struct type node."""
+                kids = (
+                    list(container)
+                    if not hasattr(container, "num_fields")
+                    else [
+                        container.field(i)
+                        for i in range(container.num_fields)
+                    ]
                 )
+                for fld in kids:
+                    fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None and int(fid) == fid_want:
+                        return fld
+                if name_fallback is not None:
+                    return next(
+                        (f2 for f2 in kids if f2.name == name_fallback),
+                        None,
+                    )
+                return None
+
+            # walk the dotted path down the footer; only the TOP level
+            # may fall back to name (pre-stamping files stamped nothing
+            # below it — those fail the leaf check and refuse)
+            holder = _child_by_fid(sch, path_ids[0], parts[0])
+            ok_path = holder is not None
+            for fid_want in path_ids[1:]:
+                if holder is None or not hasattr(
+                    holder.type, "num_fields"
+                ):
+                    ok_path = False
+                    break
+                holder = _child_by_fid(holder.type, fid_want, None)
+                ok_path = ok_path and holder is not None
             ok = False
-            if holder is not None and hasattr(holder.type, "num_fields"):
-                for i in range(holder.type.num_fields):
-                    mf = holder.type.field(i)
-                    fid = (mf.metadata or {}).get(b"PARQUET:field_id")
-                    if fid is not None and int(fid) == inner_id:
-                        ok = True
-                        break
+            if (
+                ok_path
+                and holder is not None
+                and hasattr(holder.type, "num_fields")
+            ):
+                ok = (
+                    _child_by_fid(holder.type, inner_id, None) is not None
+                )
             if not ok:
                 raise NotImplementedError(
                     f"{path}: data file {os.path.basename(lp)} does not "
@@ -7924,16 +7965,25 @@ def rename_iceberg_nested_field(
                     "compact_iceberg first (rewrites stamp member ids), "
                     "then rename"
                 )
-    new_inner = [
-        {**f, "name": new} if f["name"] == old else dict(f)
-        for f in t["fields"]
-    ]
-    new_fields = [
-        {**f, "type": {**t, "fields": new_inner}}
-        if f["name"] == column
-        else dict(f)
-        for f in cur["fields"]
-    ]
+
+    def _rebuild(fields_at, depth) -> list:
+        out = []
+        for f in fields_at:
+            if f["name"] != parts[depth]:
+                out.append(dict(f))
+                continue
+            ft = f["type"]
+            if depth == len(parts) - 1:
+                new_inner = [
+                    {**g, "name": new} if g["name"] == old else dict(g)
+                    for g in ft["fields"]
+                ]
+            else:
+                new_inner = _rebuild(ft["fields"], depth + 1)
+            out.append({**f, "type": {**ft, "fields": new_inner}})
+        return out
+
+    new_fields = _rebuild(cur["fields"], 0)
     return _commit_schema_evolution(
         path, new_fields, extra_properties={"fsml.field-id-read": "true"}
     )

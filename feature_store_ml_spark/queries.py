@@ -3219,17 +3219,18 @@ def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INNER struct-member rename (round 13 —
+    """INNER struct-member rename (round 13, DEPTH-2 in round 14 —
     io/iceberg.rename_iceberg_nested_field; spec §Schema Evolution:
     nested field ids are column identity): write embeddings nested
-    (vec list + a struct whose members carry the label and a per-row
-    list sum), RENAME the struct member (`meta.lab` -> `meta.lbl`,
+    (vec list + a struct carrying a DEPTH-2 struct with the label,
+    plus a per-row list sum), RENAME the depth-2 member
+    (`meta.tag.lab` -> `meta.tag.lbl` via the dotted member path,
     zero-rewrite), append a post-rename generation, MoR-DELETE a
     slice, and aggregate ON the renamed member across both file
-    generations — resolution is per-group physical schemas + struct
-    rebuild keyed on the members' footer field ids; a silent NULL on
-    the pre-rename files breaks count and hash alike. In-query asserts
-    pin zero data files touched by the rename."""
+    generations — resolution is per-group physical schemas + the
+    RECURSIVE struct rebuild keyed on the members' footer field ids; a
+    silent NULL on the pre-rename files breaks count and hash alike.
+    In-query asserts pin zero data files touched by the rename."""
     import shutil
     import tempfile
 
@@ -3242,7 +3243,9 @@ def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("embedding").alias("vec"),
             F.struct(
-                (F.col("label") % 3).cast("int").alias(member),
+                F.struct(
+                    (F.col("label") % 3).cast("int").alias(member)
+                ).alias("tag"),
                 F.round(
                     F.aggregate(
                         F.transform("embedding", lambda x: x.cast("double")),
@@ -3262,7 +3265,7 @@ def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         format_version=2,
     )
     files_before = set(iceberg._live_data_files(path))
-    iceberg.rename_iceberg_nested_field(path, "meta", "lab", "lbl")
+    iceberg.rename_iceberg_nested_field(path, "meta.tag", "lab", "lbl")
     if set(iceberg._live_data_files(path)) != files_before:
         raise AssertionError("inner rename must be metadata-only")
     iceberg.write_iceberg(
@@ -3271,7 +3274,7 @@ def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iceberg.delete_iceberg(spark, path, "vec_id % 9 = 0")
     back = iceberg.read_iceberg(spark, path)
-    return back.groupBy(F.col("meta.lbl").alias("lbl")).agg(
+    return back.groupBy(F.col("meta.tag.lbl").alias("lbl")).agg(
         F.count("*").alias("n"),
         dsum("meta.s").alias("sum_elems"),
     )

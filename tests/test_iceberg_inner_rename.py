@@ -165,3 +165,86 @@ def test_fid_read_required_never_falls_through(spark):
         iceberg._read_parquet_fid(
             spark, ["/tmp/x.parquet"], None, meta, False
         )
+
+
+def _mk_deep(spark, tmp_path, name="deep", n=5):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [
+            (i, ((float(i), float(-i)), f"c{i}"))
+            for i in range(n)
+        ],
+        "id bigint, address struct<"
+        "geo:struct<lat:double,lon:double>, city:string>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    return root
+
+
+def test_inner_rename_depth2_resolves_across_generations(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 3): renames BELOW the first struct
+    level — dotted member path, recursive struct rebuild on read."""
+    root = _mk_deep(spark, tmp_path)
+    files_before = set(iceberg._live_data_files(root))
+    iceberg.rename_iceberg_nested_field(root, "address.geo", "lat", "latitude")
+    assert set(iceberg._live_data_files(root)) == files_before
+    df2 = spark.createDataFrame(
+        [
+            (5, ((5.0, -5.0), "c5")),
+            (6, (None, "c6")),  # null INNER struct
+            (7, None),  # null OUTER struct
+        ],
+        "id bigint, address struct<"
+        "geo:struct<latitude:double,lon:double>, city:string>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    back = iceberg.read_iceberg(spark, root)
+    got = sorted(
+        (
+            r.id,
+            r.address["geo"]["latitude"] if r.address and r.address["geo"] else None,
+            r.address["city"] if r.address else None,
+        )
+        for r in back.collect()
+    )
+    assert got == [(i, float(i), f"c{i}") for i in range(6)] + [
+        (6, None, "c6"),
+        (7, None, None),
+    ]
+    # PROJECTED access at depth 2 (the exact shape Spark's fieldId.read
+    # nulls under nested pruning)
+    proj = back.selectExpr("id", "address.geo.latitude AS la")
+    assert sorted((r.id, r.la) for r in proj.collect()) == [
+        (i, float(i)) for i in range(6)
+    ] + [(6, None), (7, None)]
+    # MoR delete over both generations still resolves
+    iceberg.delete_iceberg(spark, root, "id = 1")
+    agg = iceberg.read_iceberg(spark, root).agg(
+        F.sum("address.geo.latitude").alias("x")
+    ).collect()
+    assert agg[0].x == sum(float(i) for i in range(6) if i != 1)
+
+
+def test_inner_rename_depth2_then_depth1_stacks(spark, tmp_path):
+    """A depth-2 rename, then a depth-1 rename of a SIBLING member, then
+    a rename of the intermediate struct itself — all resolve."""
+    root = _mk_deep(spark, tmp_path, name="stack")
+    iceberg.rename_iceberg_nested_field(root, "address.geo", "lat", "latitude")
+    iceberg.rename_iceberg_nested_field(root, "address", "city", "town")
+    iceberg.rename_iceberg_nested_field(root, "address", "geo", "point")
+    out = iceberg.read_iceberg(spark, root)
+    rows = sorted(
+        (r.id, r.address["point"]["latitude"], r.address["town"])
+        for r in out.collect()
+    )
+    assert rows == [(i, float(i), f"c{i}") for i in range(5)]
+
+
+def test_inner_rename_depth2_fail_louds(spark, tmp_path):
+    root = _mk_deep(spark, tmp_path, name="fl")
+    with pytest.raises(ValueError, match="no column 'zz'"):
+        iceberg.rename_iceberg_nested_field(root, "address.zz", "a", "b")
+    with pytest.raises(ValueError, match="not a struct"):
+        iceberg.rename_iceberg_nested_field(root, "address.city", "a", "b")
+    with pytest.raises(ValueError, match="no member"):
+        iceberg.rename_iceberg_nested_field(root, "address.geo", "zz", "b")
