@@ -161,6 +161,11 @@ HEADLINE = [
     # the renamed member across generations)
     "e1_delta_variant",
     "e1_iceberg_inner_rename",
+    # round-14 joiners (first pins in BASELINE.md round-14 section): the
+    # distributed footer fid-map probe at an inflated path count (the
+    # scan path's last serial-driver loop, now a mapInPandas job +
+    # agreement hard-fail against the driver evaluator)
+    "e1_footer_probe_planning",
 ]
 
 

@@ -1563,7 +1563,9 @@ def convert_iceberg_to_delta(
         from .lakehouse import _group_files_by_field_ids
 
         _live_local = [iceberg._local_path(d["path"]) for d in data]
-        for _phys_by_fid, _gfiles in _group_files_by_field_ids(_live_local):
+        for _phys_by_fid, _gfiles in _group_files_by_field_ids(
+            _live_local, spark=spark
+        ):
             if _phys_by_fid:
                 _missing = sorted(
                     name

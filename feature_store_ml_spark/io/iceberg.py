@@ -4430,34 +4430,28 @@ def _read_nested_renamed(
     bare F.struct would turn them into rows of nulls)."""
     from functools import reduce as _reduce
 
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
+
+    from .lakehouse import _footer_fid_maps
 
     ice_by_name = {
         f["name"]: f for f in _current_schema(meta).get("fields", [])
     }
 
-    def _fidmap(sch) -> dict[int, str]:
-        out: dict[int, str] = {}
-
-        def walk(field):
-            fid = (field.metadata or {}).get(b"PARQUET:field_id")
-            if fid is not None:
-                out[int(fid)] = field.name
-            t = field.type
-            if hasattr(t, "num_fields"):
-                for i in range(t.num_fields):
-                    walk(t.field(i))
-
-        for f in sch:
-            walk(f)
-        return out
-
+    # FULL-tree fid maps (struct members included) — driver loop below
+    # the threshold, one Spark job above it (VERDICT r13 item 1: this
+    # was the scan path's last O(#files) sequential driver loop)
+    fmaps = _footer_fid_maps(paths, spark=spark, nested=True)
     groups: dict[tuple, list[str]] = {}
     maps: dict[tuple, dict[int, str]] = {}
     for p in paths:
-        m = _fidmap(pq.read_schema(p))
+        m = fmaps[p]
+        if m is None:
+            raise NotImplementedError(
+                f"{p}: footer is unreadable (VARIANT logical type?) — "
+                "inner-rename resolution needs its member field ids"
+            )
         k = tuple(sorted(m.items()))
         groups.setdefault(k, []).append(p)
         maps[k] = m
@@ -4650,7 +4644,7 @@ def _read_parquet_fid(
 
     nmap = _table_name_mapping(meta)
     branches = []
-    for phys_by_fid, gfiles in _group_files_by_field_ids(local):
+    for phys_by_fid, gfiles in _group_files_by_field_ids(local, spark=spark):
         if phys_by_fid or not (nmap or dflt_lit):
             subgroups = [(phys_by_fid, gfiles)]
         else:

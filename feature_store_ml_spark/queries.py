@@ -2738,6 +2738,90 @@ def e1_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("e1_footer_probe_planning", None)  # planning metadata op
+def e1_footer_probe_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED FOOTER FID-MAP PROBE at an inflated file count
+    (round 14, VERDICT r13 item 1 — the scan path's last O(#files)
+    sequential driver loop): 50k parquet paths (symlinks fanned out
+    over 40 real footers across TWO field-id generations — each path
+    still pays a real footer open+parse; symlinks only dodge the
+    write cost, exactly like e1_prune_planning fabricates stats) are
+    probed through the Spark-job branch of
+    io/lakehouse._footer_fid_maps (mapInPandas over the paths) AND the
+    sequential driver loop, and the query HARD-FAILS if the two
+    disagree on any path or if the grouping does not recover exactly
+    the two generations. At 100 TB an ID-mode/renamed-table snapshot
+    holds ~10^6 files and this probe gates every scan; agreement
+    transfers the driver path's property tests
+    (tests/test_footer_probe.py) to the distributed one."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .io.lakehouse import (
+        _footer_fid_map,
+        _footer_fid_maps,
+        _group_files_by_field_ids,
+    )
+
+    base = f"{__import__('tempfile').gettempdir()}/fsml_footer_planning"
+    _shutil.rmtree(base, ignore_errors=True)
+    real_dir = _os.path.join(base, "real")
+    _os.makedirs(real_dir)
+    reals = []
+    for g, fid in ((0, 1), (1, 101)):
+        sch = _pa.schema(
+            [
+                _pa.field(
+                    "k",
+                    _pa.int64(),
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                ),
+                _pa.field(
+                    "v",
+                    _pa.int64(),
+                    metadata={b"PARQUET:field_id": str(fid + 1).encode()},
+                ),
+            ]
+        )
+        for i in range(20):
+            f = _os.path.join(real_dir, f"g{g}-{i:02d}.parquet")
+            _pq.write_table(
+                _pa.Table.from_arrays(
+                    [_pa.array([i]), _pa.array([i * 2])], schema=sch
+                ),
+                f,
+            )
+            reals.append(f)
+    n = 50_000
+    link_dir = _os.path.join(base, "links")
+    _os.makedirs(link_dir)
+    links = []
+    for i in range(n):
+        pth = _os.path.join(link_dir, f"part-{i:06d}.parquet")
+        _os.symlink(reals[i % len(reals)], pth)
+        links.append(pth)
+    job = _footer_fid_maps(links, spark=spark)  # n >> threshold: the job
+    drv = {f: _footer_fid_map(f) for f in links}
+    if job != drv:
+        bad = [f for f in links if job.get(f) != drv[f]]
+        raise RuntimeError(
+            f"distributed footer probe disagrees with the driver loop "
+            f"on {len(bad)} of {n} paths (first: {bad[0]!r})"
+        )
+    groups = _group_files_by_field_ids(links, spark=spark)
+    keys = sorted(tuple(sorted(m.items())) for m, _fs in groups)
+    if keys != [((1, "k"), (2, "v")), ((101, "k"), (102, "v"))]:
+        raise RuntimeError(f"grouping recovered wrong generations: {keys}")
+    n_per = sorted(len(fs) for _m, fs in groups)
+    return spark.createDataFrame(
+        [(n, len(groups), n_per[0], n_per[1])],
+        "total_files long, n_groups long, g_small long, g_large long",
+    )
+
+
 @register("e1_prune_planning", None)  # planning metadata op: no row oracle
 def e1_prune_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED SCAN PLANNING at an inflated file count (round 6): a
@@ -8844,6 +8928,10 @@ _FINAL_ORDER = [
                                    # in-window)
     # rows-only (no oracle by design)
     "e1_prune_planning",   # round 6: distributed scan planning at 100k files
+    "e1_footer_probe_planning",  # round 14: distributed footer fid-map
+                                 # probe at 50k paths, job/driver
+                                 # agreement hard-fail (rows-only twin of
+                                 # tests/test_footer_probe.py)
     "e4_approx_count_distinct",
     "e4_approx_percentile",
     "e9_dedup_minhash",

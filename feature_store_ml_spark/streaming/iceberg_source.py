@@ -122,7 +122,7 @@ def sync_iceberg_spool(
                     "PAR1 — refusing to spool a mislabeled file"
                 )
             locals_.append(f)
-        _check_footers_match_schema(meta, locals_, path)
+        _check_footers_match_schema(meta, locals_, path, spark=spark)
         # snapshot ids are monotone (max+1 allocation), so prefixing
         # with the owning snapshot id keeps discovery order aligned
         # with commit order; within one snapshot sorted basenames are
@@ -511,7 +511,7 @@ def _recover_partial_materialization(spool_dir: str, mark_dir: str) -> None:
 
 
 def _check_footers_match_schema(
-    meta: dict, files: list[str], path: str
+    meta: dict, files: list[str], path: str, spark=None
 ) -> None:
     """Refuse to spool files whose footer column names no longer match the
     CURRENT schema (rename evolution): the file source resolves by NAME,
@@ -532,7 +532,7 @@ def _check_footers_match_schema(
     }
     if not want:
         return
-    for phys_by_fid, gfiles in _group_files_by_field_ids(files):
+    for phys_by_fid, gfiles in _group_files_by_field_ids(files, spark=spark):
         for fid, phys in phys_by_fid.items():
             if fid in want and want[fid] != phys:
                 raise NotImplementedError(
@@ -683,7 +683,9 @@ def sync_iceberg_cdf_spool(
             # through the format-aware CDF reader
             materialize = True
         if not materialize and added_local:
-            _check_footers_match_schema(meta, added_local, path)
+            _check_footers_match_schema(
+                meta, added_local, path, spark=spark
+            )
             for f in added_local:
                 if not want_names <= set(pq.read_schema(f).names):
                     materialize = True  # partition cols live in metadata
