@@ -164,8 +164,11 @@ HEADLINE = [
     # round-14 joiners (first pins in BASELINE.md round-14 section): the
     # distributed footer fid-map probe at an inflated path count (the
     # scan path's last serial-driver loop, now a mapInPandas job +
-    # agreement hard-fail against the driver evaluator)
+    # agreement hard-fail against the driver evaluator), and the v3
+    # variant WRITE lifecycle (shredded staging, one-job count backfill,
+    # DV delete on variant_get, rename via merged name mapping)
     "e1_footer_probe_planning",
+    "e1_iceberg_variant_write",
 ]
 
 

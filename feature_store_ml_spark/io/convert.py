@@ -1290,10 +1290,10 @@ def snapshot_parquet_to_iceberg(
                 f"expected {part_cols})"
             )
     df = spark.read.parquet(path)  # partition columns inferred + typed
-    # variant_ok: registration is read-only over files Spark already
-    # wrote — the v3 'variant' type lands in the schema; scans decode it
-    # through Spark's native VariantType (write_iceberg keeps refusing
-    # variant creates)
+    # variant_ok: registration admits files Spark already wrote — the
+    # v3 'variant' type lands in the schema; scans decode it through
+    # Spark's native VariantType (write_iceberg writes variant directly
+    # at format_version=3 since round 14)
     fields = iceberg._iceberg_fields(df, variant_ok=True)
     fid_of = {f["name"]: f["id"] for f in fields}
     ice_of = {f["name"]: f["type"] for f in fields}

@@ -41,18 +41,22 @@ parents via footer field-id resolution, merge_schema evolution adding
 nested columns, MoR deletes/DVs over nested tables. Manifests carry no
 bounds for nested fields (spec-optional; the pruner fails open).
 
-v3 VARIANT is READ-ONLY (round 13): register existing variant parquet
-(Spark 4's native writes, shredded or not) via
+v3 VARIANT has the FULL WRITE SURFACE (round 14; reads landed in round
+13): write_iceberg(format_version=3) stages Spark's spec-shredded
+variant parquet (CREATE / append / merge_schema evolution / UPDATE /
+MERGE / MoR DV deletes), with record_counts backfilled in one
+distributed job and a name mapping merged on every commit — pyarrow
+cannot parse VARIANT footers, so renames resolve via mapped names with
+a JVM footer fallback. Existing variant parquet still registers via
 snapshot_parquet_to_iceberg; scans decode through Spark's VariantType
-reader (variant_get / cast to string), renames resolve via the stamped
-name mapping with a JVM footer fallback where pyarrow cannot parse the
-VARIANT logical type. Variant WRITES refuse (the commit phase needs
+reader (variant_get / cast to string). Variant WRITES refuse (the commit phase needs
 footer readbacks pyarrow cannot do).
 
 Remaining fail-loud refusals (canonical inventory: STATUS.md "Remaining
 loud refusals", kept honest by tests/test_header_drift.py): metadata
-format-version 4+; v3-only types (timestamptz_ns/geometry) and variant
-WRITES (reads land in round 13, registration-only);
+format-version 4+; v3-only types (timestamptz_ns/geometry); AVRO/ORC
+staging of variant columns and defaults on variant (the parquet write
+surface lands in round 14);
 column DEFAULTS on nested types and add_iceberg_column of a nested
 type (append with merge_schema instead); AVRO/ORC data-file staging of
 nested columns (parquet only); nested entries in a foreign name
@@ -436,6 +440,37 @@ def _spark_to_ice_type(t: str) -> str | None:
 # unique across the whole schema and covered by last-column-id)
 
 
+def _ice_type_has_variant(t) -> bool:
+    """True when an Iceberg type (str or nested dict form) contains the
+    v3-only ``variant`` type anywhere in its tree."""
+    if t == "variant":
+        return True
+    if isinstance(t, dict):
+        return any(
+            _ice_type_has_variant(t.get(k))
+            for k in ("element", "key", "value")
+            if k in t
+        ) or any(_ice_type_has_variant(f.get("type")) for f in t.get("fields", []))
+    return False
+
+
+def _spark_schema_has_variant(dt) -> bool:
+    """True when a Spark DataType tree contains VariantType anywhere."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_spark_schema_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _spark_schema_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _spark_schema_has_variant(dt.keyType) or _spark_schema_has_variant(
+            dt.valueType
+        )
+    return False
+
+
 def _spark_dt_to_ice(dt, alloc=None, variant_ok=False):
     """Spark DataType -> Iceberg type (str for primitives, dict for
     struct/list/map per the spec's JSON schema forms). ``alloc`` is a
@@ -444,28 +479,27 @@ def _spark_dt_to_ice(dt, alloc=None, variant_ok=False):
     With ``alloc=None`` ids are omitted — the id-free form
     ``_ice_type_fingerprint`` compares. Fail-loud on unmappable types.
 
-    ``variant_ok``: VariantType maps to the spec's v3 ``variant`` ONLY
-    on registration paths (parquet-directory migration — the files
-    already exist, Spark wrote them); write_iceberg keeps refusing
-    variant creates because pyarrow cannot read back the footers the
-    commit phase needs (VARIANT Thrift logical type)."""
+    ``variant_ok``: VariantType maps to the spec's v3 ``variant`` only
+    when the caller is on a v3 surface (write_iceberg with
+    format_version=3 — round 14; registration/conversion paths — round
+    13). The default refuses so v1/v2 writers cannot emit a type their
+    format version forbids."""
     from pyspark.sql import types as T
 
     if isinstance(dt, T.VariantType):
         if variant_ok:
             return "variant"
         raise NotImplementedError(
-            "write_iceberg: variant columns are read-only in this module "
-            "(register existing variant parquet via "
-            "snapshot_parquet_to_iceberg; writes need a footer reader "
-            "that understands the VARIANT logical type)"
+            "variant is a v3-only iceberg type — pass format_version=3 "
+            "to write_iceberg (writes land in round 14), or register "
+            "existing variant parquet via snapshot_parquet_to_iceberg"
         )
     if isinstance(dt, T.ArrayType):
         eid = alloc() if alloc else None
         out = {
             "type": "list",
             "element-required": not dt.containsNull,
-            "element": _spark_dt_to_ice(dt.elementType, alloc),
+            "element": _spark_dt_to_ice(dt.elementType, alloc, variant_ok),
         }
         if eid is not None:
             out["element-id"] = eid
@@ -475,9 +509,9 @@ def _spark_dt_to_ice(dt, alloc=None, variant_ok=False):
         vid = alloc() if alloc else None
         out = {
             "type": "map",
-            "key": _spark_dt_to_ice(dt.keyType, alloc),
+            "key": _spark_dt_to_ice(dt.keyType, alloc, variant_ok),
             "value-required": not dt.valueContainsNull,
-            "value": _spark_dt_to_ice(dt.valueType, alloc),
+            "value": _spark_dt_to_ice(dt.valueType, alloc, variant_ok),
         }
         if kid is not None:
             out["key-id"] = kid
@@ -492,7 +526,7 @@ def _spark_dt_to_ice(dt, alloc=None, variant_ok=False):
             entry = {
                 "name": f.name,
                 "required": not f.nullable,
-                "type": _spark_dt_to_ice(f.dataType, alloc),
+                "type": _spark_dt_to_ice(f.dataType, alloc, variant_ok),
             }
             if fid is not None:
                 entry["id"] = fid
@@ -595,7 +629,9 @@ def _spark_dt_fingerprint(dt):
     ``_ice_type_fingerprint`` — None when unmappable (so comparisons
     report a mismatch instead of raising mid-check)."""
     try:
-        return _ice_type_fingerprint(_spark_dt_to_ice(dt, None))
+        return _ice_type_fingerprint(
+            _spark_dt_to_ice(dt, None, variant_ok=True)
+        )
     except NotImplementedError:
         return None
 
@@ -2285,6 +2321,62 @@ def _decode_bound(b: bytes, ice_type: str):
     return None
 
 
+def _pq_num_rows_or_none(path: str) -> "int | None":
+    """Footer row count via pyarrow, or None when the footer cannot be
+    decoded (VARIANT Thrift logical type, pyarrow 16) — callers backfill
+    through _backfill_unreadable_rowcounts in ONE distributed job."""
+    import pyarrow.parquet as pq
+
+    try:
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
+def _backfill_unreadable_rowcounts(
+    spark: SparkSession,
+    data_files: "list[tuple[str, int | None, int, dict]]",
+) -> "list[tuple[str, int, int, dict]]":
+    """Replace ``None`` row counts (footers pyarrow cannot decode —
+    VARIANT logical type) with exact counts from ONE distributed count
+    job over all such files, never per-file. Every groupBy key must
+    normalize into the counted set (a mismatch means Spark's
+    _metadata.file_path and the driver-built path diverge — recording 0
+    would be silent corruption); a counted file with no group row is
+    provably empty, so 0 is exact for it."""
+    uncounted = [f for f, rows, _s, _p in data_files if rows is None]
+    if not uncounted:
+        return data_files
+    from urllib.parse import urlparse as _up
+
+    nc_abs = {os.path.abspath(f) for f in uncounted}
+    counted: dict[str, int] = {}
+    for r in (
+        spark.read.parquet(*uncounted)
+        .groupBy(_decoded_meta_path(None).alias("_p"))
+        .count()
+        .collect()
+    ):
+        pr = _up(r["_p"])
+        key = os.path.abspath(pr.path if pr.scheme in ("", "file") else r["_p"])
+        if key not in nc_abs:
+            raise ValueError(
+                f"row-count backfill saw file path {r['_p']!r} that does "
+                "not normalize to any staged file — path-normalization "
+                "mismatch; refusing to record record_count=0"
+            )
+        counted[key] = int(r["count"])
+    return [
+        (
+            f,
+            counted.get(os.path.abspath(f), 0) if rows is None else rows,
+            sz,
+            pv,
+        )
+        for f, rows, sz, pv in data_files
+    ]
+
+
 def _file_stats_maps(file_path: str, fields: list[dict]) -> dict:
     """Fold one data file's parquet-footer statistics into the manifest's
     field-id-keyed stats maps (null_value_counts / lower_bounds /
@@ -2867,6 +2959,28 @@ def _avro_stats_maps(stats: dict, fields: list[dict]) -> dict:
     return out
 
 
+def _merged_variant_name_mapping(prior_meta: dict, fields: list[dict]) -> dict:
+    """Table properties with ``schema.name-mapping.default`` refreshed
+    from the CURRENT top-level names, merging any existing entry's
+    candidates (old names persist so pre-rename files keep resolving) —
+    the write-path twin of set_iceberg_name_mapping, folded into the
+    same commit."""
+    existing_map = _table_name_mapping(prior_meta) if prior_meta else {}
+    entries = [
+        {
+            "field-id": f["id"],
+            "names": list(
+                dict.fromkeys(existing_map.get(f["id"], []) + [f["name"]])
+            ),
+        }
+        for f in fields
+        if "id" in f
+    ]
+    props = dict((prior_meta or {}).get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(entries)
+    return props
+
+
 def write_iceberg(
     spark: SparkSession,
     df: DataFrame,
@@ -2954,6 +3068,24 @@ def write_iceberg(
         raise NotImplementedError(
             "write_iceberg: row_lineage needs format_version 2 "
             "(lineage composes with merge-on-read DML)"
+        )
+    # VARIANT writes (round 14, VERDICT r13 item 2): Spark's own writer
+    # emits spec-shredded variant parquet, so staging is ordinary — the
+    # gates are the v3-only type rule and the parquet-only staging leg;
+    # footer handling rides _pq_num_rows_or_none + the one-job backfill
+    # (pyarrow cannot parse VARIANT footers) and a merged name mapping
+    # (stamped below) keeps renames resolvable
+    _variant_write = _spark_schema_has_variant(df.schema)
+    if _variant_write and format_version < 3:
+        raise ValueError(
+            "write_iceberg: variant is a v3-only type (spec §Primitive "
+            "Types) — pass format_version=3"
+        )
+    if _variant_write and data_format != "parquet":
+        raise NotImplementedError(
+            "write_iceberg: variant columns stage as parquet only "
+            "(Spark's shredded variant writer); AVRO/ORC staging of "
+            "variant is not implemented"
         )
     pfields = [parse_partition_field(s) for s in (partition_by or [])]
     partition_by = [f["name"] for f in pfields]
@@ -3128,7 +3260,9 @@ def write_iceberg(
             for f in df.schema.fields[len(want):]:
                 fid = _alloc()
                 try:
-                    ice_t = _spark_dt_to_ice(f.dataType, _alloc)
+                    ice_t = _spark_dt_to_ice(
+                        f.dataType, _alloc, variant_ok=(format_version == 3)
+                    )
                 except NotImplementedError:
                     raise ValueError(
                         f"{path}: evolution adds column {f.name!r} with an "
@@ -3226,7 +3360,10 @@ def write_iceberg(
     # stamp field ids (top-level AND struct members) into the footers —
     # the spec requires it, and rename-safe resolution depends on it
     df = _stamp_field_ids(
-        df, declared["fields"] if existing else _iceberg_fields(df)
+        df,
+        declared["fields"]
+        if existing
+        else _iceberg_fields(df, variant_ok=(format_version == 3)),
     )
     # (abs path, rows, bytes, partition value dict)
     data_files: list[tuple[str, int, int, dict]] = []
@@ -3326,12 +3463,15 @@ def write_iceberg(
             data_files.append(
                 (
                     final,
-                    pq.ParquetFile(final).metadata.num_rows,
+                    _pq_num_rows_or_none(final),
                     os.path.getsize(final),
                     dict(pvals),
                 )
             )
     shutil.rmtree(staging, ignore_errors=True)  # already gone for avro
+    # variant footers are opaque to pyarrow: one distributed count job
+    # backfills exact record_counts for them (never per-file)
+    data_files = _backfill_unreadable_rowcounts(spark, data_files)
 
     now_ms = int(_time.time() * 1000)
     snapshots = list(prior_meta.get("snapshots", []))
@@ -3340,7 +3480,11 @@ def write_iceberg(
 
     # 2. manifest of ADDED entries (partition struct typed per the spec),
     #    each carrying footer-derived column stats for scan-time skipping
-    fields = declared["fields"] if existing else _iceberg_fields(df)
+    fields = (
+        declared["fields"]
+        if existing
+        else _iceberg_fields(df, variant_ok=(format_version == 3))
+    )
     partition_fields = [
         {"name": c, "type": ["null", _avro_partition_type(part_types[c])]}
         for c in partition_by
@@ -3490,8 +3634,17 @@ def write_iceberg(
             or [{"order-id": 0, "fields": []}]
         ),
         # properties and refs are durable table state — an append that
-        # dropped them would silently un-tag snapshots / reset config
-        "properties": prior_meta.get("properties") or {},
+        # dropped them would silently un-tag snapshots / reset config.
+        # Variant tables additionally merge a NAME MAPPING (spec §Name
+        # Mapping) on every write: their footers are opaque to pyarrow,
+        # so THIS module's reader cannot fid-group them after a rename —
+        # the JVM-footer-name fallback resolves through the mapping
+        # instead (old names persist across renames by the merge).
+        "properties": (
+            _merged_variant_name_mapping(prior_meta, fields)
+            if any(_ice_type_has_variant(f["type"]) for f in fields)
+            else prior_meta.get("properties") or {}
+        ),
         # a branch write moves ONLY the branch pointer: main
         # (current-snapshot-id) and its snapshot-log are untouched, so
         # time travel and production reads never see unpublished rows
@@ -6021,7 +6174,7 @@ def _stage_data_entry(
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(dirpath, name)
-            n_rows = pq.ParquetFile(src).metadata.num_rows
+            n_rows = _pq_num_rows_or_none(src)
             if n_rows == 0:
                 continue
             if pfields_parsed:
@@ -6043,6 +6196,16 @@ def _stage_data_entry(
                 (final, n_rows, os.path.getsize(final), dict(pvals))
             )
     shutil.rmtree(staging, ignore_errors=True)  # already gone for rowfmt
+    # variant footers (unreadable to pyarrow) backfill counts in one job;
+    # zero-row stragglers among them drop here instead of at the walk
+    if any(n is None for _f, n, _s, _p in data_files):
+        data_files = _backfill_unreadable_rowcounts(
+            rows.sparkSession, data_files
+        )
+        for f, rows, _sz, _pv in list(data_files):
+            if rows == 0:
+                os.remove(f)
+        data_files = [e for e in data_files if e[1] != 0]
     if not data_files:
         return None
     partition_fields = [
@@ -6956,12 +7119,14 @@ def _stage_rewrite_files(
             new_files.append(
                 (
                     final,
-                    pq.ParquetFile(final).metadata.num_rows,
+                    _pq_num_rows_or_none(final),
                     os.path.getsize(final),
                     dict(pvals),
                 )
             )
     shutil.rmtree(staging)
+    # variant footers (unreadable to pyarrow): one job backfills counts
+    new_files = _backfill_unreadable_rowcounts(live.sparkSession, new_files)
     return new_files, part_types
 
 

@@ -3246,7 +3246,8 @@ def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over ``variant_get``-extracted fields. The oracle
     recomputes from the raw orders parquet minus the deleted slice, so
     a mis-decoded variant value or a resolution slip breaks the hash.
-    Writes stay refused (in-query assert)."""
+    (Writes compose since round 14 — e1_iceberg_variant_write covers
+    them; this query stays the registration-leg anchor.)"""
     import shutil
     import tempfile
 
@@ -3266,16 +3267,6 @@ def e1_iceberg_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("variant registration must land as v3")
     iceberg.delete_iceberg(spark, path, "id % 5 = 0")
     iceberg.rename_iceberg_column(path, "v", "payload")
-    try:
-        iceberg.write_iceberg(
-            spark,
-            iceberg.read_iceberg(spark, path).limit(1),
-            path,
-            format_version=3,
-        )
-        raise AssertionError("variant appends must refuse")
-    except (NotImplementedError, ValueError):
-        pass
     back = iceberg.read_iceberg(spark, path)
     per = back.selectExpr(
         "variant_get(payload, '$.pr', 'string') AS pr",
@@ -3361,6 +3352,71 @@ def e1_iceberg_inner_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("meta.tag.lbl").alias("lbl")).agg(
         F.count("*").alias("n"),
         dsum("meta.s").alias("sum_elems"),
+    )
+
+
+@register(
+    "e1_iceberg_variant_write",
+    """
+    SELECT o_orderpriority AS pr, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice <= 350000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def e1_iceberg_variant_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 VARIANT WRITE lifecycle (round 14, VERDICT r13 item 2
+    — writes join the round-13 read surface): CREATE the table through
+    write_iceberg(format_version=3) with orders staged as Spark's
+    spec-shredded variant parquet, append a second generation, MoR
+    DV-DELETE a slice keyed on a ``variant_get`` predicate, RENAME the
+    variant column (the merged name mapping + JVM footer fallback
+    resolve it — pyarrow cannot parse VARIANT footers), and aggregate
+    over extracted fields across both generations. The oracle
+    recomputes from the raw orders parquet minus the deleted slice — a
+    mis-decoded value, a wrong record_count backfill, or a DV miss
+    breaks the hash. In-query assert pins the v3 + variant schema
+    shape."""
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    (o,) = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_variant_write"
+    shutil.rmtree(path, ignore_errors=True)
+    src = o.selectExpr(
+        "o_orderkey AS id",
+        "parse_json(to_json(struct(o_orderpriority AS pr, "
+        "o_totalprice AS price))) AS v",
+    )
+    iceberg.write_iceberg(
+        spark, src.where("id % 2 = 0"), path, format_version=3
+    )
+    iceberg.write_iceberg(
+        spark, src.where("id % 2 = 1"), path, format_version=3
+    )
+    meta = iceberg._load_metadata(path)
+    if meta["format-version"] != 3 or [
+        f["type"]
+        for f in iceberg._current_schema(meta)["fields"]
+        if f["name"] == "v"
+    ] != ["variant"]:
+        raise AssertionError(
+            "variant write must land a v3 table with a variant column"
+        )
+    iceberg.delete_iceberg(
+        spark, path, "variant_get(v, '$.price', 'double') > 350000.0"
+    )
+    iceberg.rename_iceberg_column(path, "v", "payload")
+    back = iceberg.read_iceberg(spark, path)
+    per = back.selectExpr(
+        "variant_get(payload, '$.pr', 'string') AS pr",
+        "variant_get(payload, '$.price', 'double') AS price",
+    )
+    return per.groupBy("pr").agg(
+        F.count("*").alias("n"), dsum("price").alias("sum_price")
     )
 
 
@@ -8548,10 +8604,21 @@ _FINAL_ORDER = [
                             # r7-r12; the clone lifecycle stays swept in
                             # the tail, zero-copy reads also exercised
                             # by e1_metadata_tables in-window)
+    "e1_iceberg_variant_write",  # round 14: v3 VARIANT WRITE lifecycle
+                                 # (CREATE via write_iceberg(fv=3) with
+                                 # shredded staging + one-job count
+                                 # backfill, append, DV delete on a
+                                 # variant_get predicate, rename via the
+                                 # merged name mapping, exact oracle) —
+                                 # displaces e1_iceberg_rollback (driver-
+                                 # green r6-r13; rollback/time-travel
+                                 # family stays in-window via
+                                 # e1_iceberg_wap + e1_iceberg_refs and
+                                 # the swept tail)
     "e1_iceberg_variant",   # round 13: v3 VARIANT read lifecycle
                             # (register Spark-4 shredded variant parquet
                             # -> MoR DV delete -> rename -> variant_get
-                            # aggregate, exact oracle; writes refused) —
+                            # aggregate, exact oracle; writes land r14) —
                             # displaces e1_delta_id_mode (driver-green
                             # r6-r12; column-mapping family stays via
                             # e13_stream_delta_cdf_rename in-window and
@@ -8617,7 +8684,6 @@ _FINAL_ORDER = [
     # -- round 6 continuation: selective overwrite (replaceWhere backfill),
     #    Iceberg rollback (restore twin), Iceberg keyed MERGE (MoR upsert
     #    with partition moves + inserts)
-    "e1_iceberg_rollback",
     "e1_iceberg_merge",
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
@@ -8686,6 +8752,10 @@ _FINAL_ORDER = [
     # -- round-1-green keepers
     "e3_join_asof",
     # ---------------- position 50 boundary ----------------
+    "e1_iceberg_rollback",  # rotated out r14 (driver-green r6-r13),
+                            # displaced by e1_iceberg_variant_write;
+                            # time-travel/rollback family stays in-window
+                            # via e1_iceberg_wap + e1_iceberg_refs
     # rotated out r7, displaced by e1_convert_with_deletes,
     # e1_delta_identity and e11_bm25_search (all driver-green r5+r6;
     # TPC-H family keeps q2/q4/q6/q7/q8/q19/q20 in-window, e11 family
@@ -9007,7 +9077,9 @@ def _apply_final_order() -> None:
     # the ignore_deletes/ignore_changes plain-tail query, the Delta
     # column-defaults query and the parquet-migrate query are
     # tail-registered
-    assert n_oracle_tail <= 118, f"{n_oracle_tail} oracle-backed queries outside window"
+    # 118 -> 119 round 14: e1_iceberg_variant_write entered the window
+    # displacing e1_iceberg_rollback (driver-green r6-r13) to the tail
+    assert n_oracle_tail <= 119, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 

@@ -69,16 +69,21 @@ def test_variant_time_travel_and_pruning(spark, tmp_path):
     assert iceberg.read_iceberg(spark, root, where="id >= 8").count() == 2
 
 
-def test_variant_writes_refuse(spark, tmp_path):
-    root = _mk(spark, tmp_path)
-    df = iceberg.read_iceberg(spark, root).limit(1)
-    with pytest.raises((NotImplementedError, ValueError)):
-        iceberg.write_iceberg(spark, df, root, format_version=3)
-    # CREATE refuses too, with the targeted read-only message
+def test_variant_write_gates(spark, tmp_path):
+    """Writes land in round 14 — the remaining gates are the v3-only
+    type rule and the parquet-only staging leg."""
     df2 = spark.range(1).selectExpr("id", "parse_json('1') AS v")
-    with pytest.raises(NotImplementedError, match="read-only"):
+    with pytest.raises(ValueError, match="v3-only"):
         iceberg.write_iceberg(
-            spark, df2, str(tmp_path / "new"), format_version=3
+            spark, df2, str(tmp_path / "v2"), format_version=2
+        )
+    with pytest.raises(NotImplementedError, match="parquet only"):
+        iceberg.write_iceberg(
+            spark,
+            df2,
+            str(tmp_path / "avro"),
+            format_version=3,
+            data_format="avro",
         )
 
 
@@ -126,3 +131,127 @@ def test_variant_zero_row_file_registers_exact(spark, tmp_path):
     data, _ = iceberg._snapshot_scan_plan(meta, snap, root)
     assert len(data) == 2
     assert iceberg.read_iceberg(spark, root).count() == 10
+
+
+def test_variant_write_lifecycle(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 2): CREATE a v3 variant table through
+    write_iceberg, append, MoR DV delete keyed on variant_get, rename,
+    post-rename append — every generation decodes."""
+    root = str(tmp_path / "w")
+
+    def gen(a, b):
+        return spark.range(a, b).selectExpr(
+            "id", "parse_json(to_json(struct(id AS a, id * 2 AS b))) AS v"
+        )
+
+    iceberg.write_iceberg(spark, gen(0, 10), root, format_version=3)
+    meta = iceberg._load_metadata(root)
+    assert meta["format-version"] == 3
+    assert "next-row-id" in meta  # v3 lineage mandatory
+    fields = iceberg._current_schema(meta)["fields"]
+    assert [f["type"] for f in fields if f["name"] == "v"] == ["variant"]
+    # record_count backfill was exact (pyarrow cannot read the footers):
+    # the first snapshot's manifest entries must sum to the 10 rows
+    from feature_store_ml_spark.io import avro_lite
+
+    snap = meta["snapshots"][0]
+    total = 0
+    for e in avro_lite.read_container(
+        iceberg._localize(snap["manifest-list"], root)
+    ):
+        for rec in avro_lite.read_container(
+            iceberg._localize(e["manifest_path"], root)
+        ):
+            total += int(rec["data_file"]["record_count"])
+    assert total == 10
+    iceberg.write_iceberg(spark, gen(10, 15), root, format_version=3)
+    iceberg.delete_iceberg(spark, root, "variant_get(v, '$.a', 'long') % 3 = 0")
+    iceberg.rename_iceberg_column(root, "v", "payload")
+    back = iceberg.read_iceberg(spark, root)
+    keep = [i for i in range(15) if i % 3 != 0]
+    got = sorted(
+        r.a
+        for r in back.selectExpr(
+            "variant_get(payload, '$.a', 'long') AS a"
+        ).collect()
+    )
+    assert got == keep
+    # post-rename append: footers now carry the NEW name; the merged
+    # name mapping plus declared-name fallback must resolve BOTH
+    df3 = spark.range(15, 18).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a, id * 2 AS b))) AS payload"
+    )
+    iceberg.write_iceberg(spark, df3, root, format_version=3)
+    got = sorted(
+        r.a
+        for r in iceberg.read_iceberg(spark, root)
+        .selectExpr("variant_get(payload, '$.a', 'long') AS a")
+        .collect()
+    )
+    assert got == keep + [15, 16, 17]
+
+
+def test_variant_write_stamps_name_mapping(spark, tmp_path):
+    root = str(tmp_path / "nm")
+    df = spark.range(3).selectExpr("id", "parse_json('1') AS v")
+    iceberg.write_iceberg(spark, df, root, format_version=3)
+    meta = iceberg._load_metadata(root)
+    nmap = iceberg._table_name_mapping(meta)
+    names = {f["name"]: f["id"] for f in iceberg._current_schema(meta)["fields"]}
+    assert nmap[names["v"]] == ["v"]
+    # rename then append: the mapping MERGES (old name persists)
+    iceberg.rename_iceberg_column(root, "v", "w")
+    iceberg.write_iceberg(
+        spark,
+        spark.range(3, 5).selectExpr("id", "parse_json('2') AS w"),
+        root,
+        format_version=3,
+    )
+    nmap = iceberg._table_name_mapping(iceberg._load_metadata(root))
+    assert nmap[names["v"]] == ["v", "w"]
+
+
+def test_variant_evolution_and_update(spark, tmp_path):
+    root = str(tmp_path / "evo")
+    iceberg.write_iceberg(
+        spark, spark.range(5).selectExpr("id"), root, format_version=3
+    )
+    # merge_schema adds a variant column mid-table
+    df2 = spark.range(5, 8).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=3, merge_schema=True)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted((r.id, r.v is not None) for r in back.collect()) == [
+        (i, i >= 5) for i in range(8)
+    ]
+    # UPDATE with a variant_get predicate (stages replacement files)
+    iceberg.update_iceberg(
+        spark, root, {"id": "id + 100"}, "variant_get(v, '$.a', 'long') = 6"
+    )
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 7, 106]
+
+
+def test_variant_convert_then_append(spark, tmp_path):
+    """Delta->Iceberg conversion of a variant table is write-capable on
+    the Iceberg side afterwards (round 14 upgrade from view-only)."""
+    from feature_store_ml_spark.io import convert, lakehouse
+
+    root = str(tmp_path / "conv")
+    dfd = spark.range(4).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    )
+    lakehouse.write_delta(spark, dfd, root)
+    convert.convert_delta_to_iceberg(spark, root)
+    dfa = spark.range(4, 7).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    )
+    iceberg.write_iceberg(spark, dfa, root, format_version=3)
+    got = sorted(
+        r.a
+        for r in iceberg.read_iceberg(spark, root)
+        .selectExpr("variant_get(v, '$.a', 'long') AS a")
+        .collect()
+    )
+    assert got == list(range(7))
