@@ -91,6 +91,185 @@ def _harvest_one(p: str, fields: list) -> tuple:
     )
 
 
+def _delta_nested_ids(fields_json: list) -> list[int]:
+    """Every delta.columnMapping.id in a Delta schema JSON, walked
+    recursively through struct members (list/map inner nodes are not
+    StructFields and carry none)."""
+    out: list[int] = []
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f0 in t.get("fields", []):
+                    md = f0.get("metadata") or {}
+                    if md.get("delta.columnMapping.id") is not None:
+                        out.append(int(md["delta.columnMapping.id"]))
+                    walk_type(f0.get("type"))
+            elif t.get("type") == "array":
+                walk_type(t.get("elementType"))
+            elif t.get("type") == "map":
+                walk_type(t.get("keyType"))
+                walk_type(t.get("valueType"))
+
+    for f0 in fields_json:
+        md = f0.get("metadata") or {}
+        if md.get("delta.columnMapping.id") is not None:
+            out.append(int(md["delta.columnMapping.id"]))
+        walk_type(f0.get("type"))
+    return out
+
+
+def _spark_contains_struct(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _spark_contains_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _spark_contains_struct(dt.keyType) or _spark_contains_struct(
+            dt.valueType
+        )
+    return False
+
+
+def _mapped_ice_type(spark_dt, delta_t, alloc, where: str, derived: list):
+    """Iceberg type for a column of a COLUMN-MAPPED Delta table (ADVICE
+    r13, round 14): struct member ids come from the members' OWN
+    delta.columnMapping.id when the Delta metadata carries one —
+    standard delta-spark stamps one per nested StructField and (in id
+    mode) writes it into the parquet footers, so deriving FRESH member
+    ids there would declare an Iceberg schema whose ids mismatch every
+    footer and silently NULL the members for any id-resolving reader;
+    ``derived`` gets a True appended so the caller stamps the
+    member-resolving read property. Members WITHOUT metadata ids (this
+    repo's own mapped writer: top-level mapping only, members stored
+    under logical names) allocate fresh ids and resolve by name — the
+    round-13 contract, still validated per file by the logical-path
+    probe. list/map inner nodes are not StructFields and carry no Delta
+    id — they allocate fresh (no footer conflict: Spark has no metadata
+    slot for them either). A list/map CARRYING a struct with
+    metadata-mapped members refuses: members inside containers are
+    stored under physical names and the reader has no container-level
+    rebuild leg."""
+    from pyspark.sql import types as T
+
+    if isinstance(spark_dt, T.StructType):
+        by = {
+            f0["name"]: f0
+            for f0 in (
+                delta_t.get("fields", []) if isinstance(delta_t, dict) else []
+            )
+        }
+        out = []
+        for sf in spark_dt.fields:
+            f0 = by.get(sf.name) or {}
+            md = f0.get("metadata") or {}
+            mid = md.get("delta.columnMapping.id")
+            if mid is not None:
+                derived.append(True)
+            out.append(
+                {
+                    "id": int(mid) if mid is not None else alloc(),
+                    "name": sf.name,
+                    "required": not sf.nullable,
+                    "type": _mapped_ice_type(
+                        sf.dataType,
+                        f0.get("type"),
+                        alloc,
+                        f"{where}.{sf.name}",
+                        derived,
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": out}
+    if isinstance(spark_dt, (T.ArrayType, T.MapType)):
+        if _delta_nested_ids_in_type(delta_t):
+            raise NotImplementedError(
+                f"mapped column {where}: a list/map carrying a "
+                "metadata-mapped struct has no member-resolution leg on "
+                "the read side — unsupported under column mapping"
+            )
+        return iceberg._spark_dt_to_ice(spark_dt, alloc, variant_ok=True)
+    return iceberg._spark_dt_to_ice(spark_dt, None, variant_ok=True)
+
+
+def _delta_nested_ids_in_type(t) -> list[int]:
+    """delta.columnMapping.ids anywhere inside one Delta JSON TYPE value
+    (struct members walked recursively through containers)."""
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return _delta_nested_ids(t.get("fields", []))
+    if isinstance(t, dict) and t.get("type") == "array":
+        return _delta_nested_ids_in_type(t.get("elementType"))
+    if isinstance(t, dict) and t.get("type") == "map":
+        return _delta_nested_ids_in_type(
+            t.get("keyType")
+        ) + _delta_nested_ids_in_type(t.get("valueType"))
+    return []
+
+
+def _ice_struct_member_ids(t, part: bool = False) -> list[int]:
+    """All struct-member ids in an Iceberg type tree (the footer-evidence
+    set for mapped nested columns; list/map inner ids excluded — footers
+    never stamp them)."""
+    out: list[int] = []
+    if isinstance(t, dict) and t.get("type") == "struct":
+        for f in t.get("fields", []):
+            if "id" in f:
+                out.append(f["id"])
+            out.extend(_ice_struct_member_ids(f.get("type")))
+    return out
+
+
+def _member_evidence_ok(sch, ice_fields: list, part_cols: list) -> bool:
+    """MIRROR of the read-side member resolution, run as the conversion
+    probe: for every declared struct column, locate the TOP node in the
+    footer by field id (falling back to the logical name), then each
+    member under it by ITS field id (falling back to its logical name),
+    recursively. A member resolvable by neither would read silently
+    NULL — the caller refuses the file."""
+
+    def _fid(field):
+        v = (field.metadata or {}).get(b"PARQUET:field_id")
+        return None if v is None else int(v)
+
+    def _child(container, want_id, want_name):
+        kids = (
+            [container.field(i) for i in range(container.num_fields)]
+            if hasattr(container, "num_fields")
+            else list(container)
+        )
+        hit = next((k for k in kids if _fid(k) == want_id), None)
+        if hit is None:
+            hit = next((k for k in kids if k.name == want_name), None)
+        return hit
+
+    def _members_ok(node_type, ice_t) -> bool:
+        if not (isinstance(ice_t, dict) and ice_t.get("type") == "struct"):
+            return True
+        if not hasattr(node_type, "num_fields"):
+            return False
+        for g in ice_t.get("fields", []):
+            m = _child(node_type, g.get("id"), g["name"])
+            if m is None:
+                return False
+            if not _members_ok(m.type, g.get("type")):
+                return False
+        return True
+
+    for f in ice_fields:
+        if f["name"] in part_cols:
+            continue
+        if not (
+            isinstance(f["type"], dict) and f["type"].get("type") == "struct"
+        ):
+            continue
+        top = _child(sch, f.get("id"), f["name"])
+        if top is None or not _members_ok(top.type, f["type"]):
+            return False
+    return True
+
+
 def _gather_file_stats(
     spark: SparkSession,
     paths: list[str],
@@ -543,6 +722,17 @@ def convert_delta_to_iceberg(
             phys[f0["name"]] = md.get(
                 "delta.columnMapping.physicalName", f0["name"]
             )
+    # raw Delta field JSON by name: mapped NESTED columns derive their
+    # member ids from the members' own columnMapping metadata (round 14,
+    # ADVICE r13 — fresh member ids would mismatch every id-mode footer)
+    _delta_json_by_name = {
+        f0["name"]: f0 for f0 in json.loads(meta["schemaString"])["fields"]
+    }
+    _all_delta_ids = (
+        _delta_nested_ids(list(_delta_json_by_name.values()))
+        if mapping_mode
+        else []
+    )
     # live deletion vectors CONVERT: each DV becomes position-delete rows
     # in the new snapshot's delete manifest (below) — deleted rows stay
     # masked on the Iceberg side without rewriting a byte of data
@@ -567,6 +757,7 @@ def convert_delta_to_iceberg(
         max(
             iceberg._max_field_id(list(prior_field_by_name.values())),
             max(cm_ids.values(), default=0),
+            max(_all_delta_ids, default=0),
         )
         + 1
     )
@@ -575,6 +766,10 @@ def convert_delta_to_iceberg(
         return next(_ctr)
 
     fields = []
+    #: True entries appended when a struct member id was DERIVED from
+    #: Delta's nested columnMapping metadata (physical member names in
+    #: the files -> the member-resolving read property must be stamped)
+    _derived_member_ids: list = []
     for f in declared.fields:
         prior_f = prior_field_by_name.get(f.name)
         # variant_ok: conversion registers EXISTING files (Spark wrote
@@ -600,6 +795,17 @@ def convert_delta_to_iceberg(
             # NESTED ids stay stable across re-syncs (nested identity is
             # per-inner-field, not just the top-level id)
             ice_t = prior_f["type"]
+        elif mapping_mode:
+            # mapped tables: struct member ids come from Delta's nested
+            # columnMapping metadata when present, never fresh for
+            # metadata-mapped members (ADVICE r13)
+            ice_t = _mapped_ice_type(
+                f.dataType,
+                (_delta_json_by_name.get(f.name) or {}).get("type"),
+                _alloc,
+                f"{path}:{f.name}",
+                _derived_member_ids,
+            )
         else:
             try:
                 ice_t = iceberg._spark_dt_to_ice(
@@ -649,6 +855,22 @@ def convert_delta_to_iceberg(
     fid = {f["name"]: f["id"] for f in fields}
     ice_type = {f["name"]: f["type"] for f in fields}
     part_cols = meta.get("partitionColumns") or []
+    #: metadata-derived member ids present -> files store members under
+    #: PHYSICAL names; scans must go through the member-resolving leg
+    _mapped_nested = bool(_derived_member_ids)
+    #: any struct under mapping at all -> the probe validates member
+    #: evidence per file (fid OR full logical paths)
+    _probe_nested = bool(mapping_mode) and any(
+        isinstance(f["type"], dict) and f["type"].get("type") == "struct"
+        for f in fields
+    )
+    if _mapped_nested and part_cols:
+        raise NotImplementedError(
+            f"{path}: column-mapped AND partitioned AND nested with "
+            "metadata-mapped members — the member-resolving scan leg "
+            "does not compose with Hive-layout partition "
+            "reconstruction; unsupported"
+        )
     for c in part_cols:
         if c not in fid:
             raise ValueError(f"{path}: partition column {c!r} not in schema")
@@ -774,6 +996,28 @@ def convert_delta_to_iceberg(
         # identity projection backfill)
         want_ids = {i for c, i in cm_ids.items() if c not in part_cols}
         logical = {f["name"] for f in fields if f["name"] not in part_cols}
+        # MEMBER-level evidence (round 14, ADVICE r13): top-level ids
+        # prove nothing about struct members — a standard id-mode
+        # delta-spark table stores members under PHYSICAL names, and
+        # admitting it on top-level evidence alone read members silently
+        # NULL. Each new file must carry the member field ids (one
+        # nested footer probe, distributed above the threshold) or the
+        # full LOGICAL member paths (pre-mapping files).
+        member_ids: set = set()
+        if _probe_nested:
+            for f in fields:
+                if f["name"] in part_cols:
+                    continue
+                member_ids.update(_ice_struct_member_ids(f["type"]))
+            from .lakehouse import _footer_fid_maps as _ffm
+
+            _new_files = [
+                os.path.join(path, rel)
+                for rel, _ in ordered_adds
+                if os.path.abspath(os.path.join(path, rel))
+                not in prior_entries
+            ]
+            _nested_maps = _ffm(_new_files, spark=spark, nested=True)
         for rel, _add in ordered_adds:
             abs_p0 = os.path.join(path, rel)
             if os.path.abspath(abs_p0) in prior_entries:
@@ -785,13 +1029,35 @@ def convert_delta_to_iceberg(
                     "logical type?) — mapped-table conversion needs the "
                     "footer's resolution evidence"
                 )
-            if want_ids <= set(fids) or logical <= set(names):
-                continue  # fid resolution, or logical-name fallback
-            raise NotImplementedError(
-                f"{path}: file {rel} carries neither the mapped field ids "
-                "nor the logical column names — the Iceberg side could "
-                "not resolve its columns; rewrite it (compact) first"
-            )
+            if not (want_ids <= set(fids) or logical <= set(names)):
+                raise NotImplementedError(
+                    f"{path}: file {rel} carries neither the mapped field "
+                    "ids nor the logical column names — the Iceberg side "
+                    "could not resolve its columns; rewrite it (compact) "
+                    "first"
+                )
+            if _probe_nested:
+                nm = _nested_maps.get(abs_p0) or {}
+                if member_ids and member_ids <= set(nm.keys()):
+                    continue  # full member fid resolution (fast path —
+                    # no extra footer read; the nested map came from the
+                    # distributed probe)
+                import pyarrow.parquet as _pq2
+
+                try:
+                    ok = _member_evidence_ok(
+                        _pq2.read_schema(abs_p0), fields, part_cols
+                    )
+                except Exception:
+                    ok = False
+                if ok:
+                    continue  # per-level fid-or-logical-name resolution
+                raise NotImplementedError(
+                    f"{path}: file {rel} cannot resolve every struct "
+                    "MEMBER (neither member field ids nor member names "
+                    "match the schema) — members would read silently "
+                    "NULL; rewrite it (compact) first"
+                )
     # ---- per-commit incremental sync (the real UniForm action shape) ----
     # When the Delta change since the prior conversion is PURELY additive
     # (no file removed, schema/spec/type map unchanged), the prior
@@ -1178,6 +1444,11 @@ def convert_delta_to_iceberg(
         )
         if "schema" in ice_meta:
             ice_meta["schema"] = {"type": "struct", "fields": fields}
+        if _mapped_nested:
+            ice_meta["properties"] = {
+                **(ice_meta.get("properties") or {}),
+                "fsml.field-id-read": "true",
+            }
         iceberg._swap_metadata(path, ice_meta)
         return snap_id
     snapshot = {
@@ -1206,7 +1477,12 @@ def convert_delta_to_iceberg(
         "last-partition-id": 999 + len(spec_fields),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
-        "properties": {},
+        # mapped nested tables: members resolve ONLY by footer field id
+        # (physical member names) — route every scan through the
+        # member-resolving leg, same contract as inner renames
+        "properties": (
+            {"fsml.field-id-read": "true"} if _mapped_nested else {}
+        ),
         "current-snapshot-id": snap_id,
         "snapshots": [snapshot],
         "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
