@@ -57,8 +57,9 @@ loud refusals", kept honest by tests/test_header_drift.py): metadata
 format-version 4+; v3-only types (timestamptz_ns/geometry); AVRO/ORC
 staging of variant columns and defaults on variant (the parquet write
 surface lands in round 14);
-column DEFAULTS on nested types and add_iceberg_column of a nested
-type (append with merge_schema instead); AVRO/ORC data-file staging of
+column DEFAULTS on nested/variant types (spec §Default values forbids
+them; add_iceberg_column of nested types itself lands in round 14);
+AVRO/ORC data-file staging of
 nested columns (parquet only); nested entries in a foreign name
 mapping; inner renames on non-parquet data files, on tables with
 column defaults, or when a live file lacks member field ids (compact
@@ -8256,6 +8257,137 @@ def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
     return _commit_schema_evolution(path, new_fields)
 
 
+def _parse_ice_type_string(src: str, alloc):
+    """Parse an Iceberg type STRING — primitives plus the spec's nested
+    forms ``struct<name:type,...>`` / ``list<type>`` /
+    ``map<key,value>`` — into the metadata JSON type (str for
+    primitives, dict with FRESH ids from ``alloc`` for nested
+    member/element/key/value). Round 14: ADD COLUMN struct<...> is
+    ordinary DDL for a foreign catalog user."""
+    text = src.strip()
+    pos = 0
+
+    def peek():
+        return text[pos] if pos < len(text) else ""
+
+    def skip_ws():
+        nonlocal pos
+        while pos < len(text) and text[pos] in " \t":
+            pos += 1
+
+    def parse_type():
+        nonlocal pos
+        skip_ws()
+        start = pos
+        while pos < len(text) and (text[pos].isalnum() or text[pos] == "_"):
+            pos += 1
+        word = text[start:pos].lower()
+        skip_ws()
+        if word == "struct":
+            if peek() != "<":
+                raise ValueError(f"{src!r}: struct needs <...> at {pos}")
+            pos += 1
+            fields = []
+            while True:
+                skip_ws()
+                nstart = pos
+                while pos < len(text) and (
+                    text[pos].isalnum() or text[pos] in "_-"
+                ):
+                    pos += 1
+                fname = text[nstart:pos]
+                if not fname:
+                    raise ValueError(
+                        f"{src!r}: expected member name at {pos}"
+                    )
+                skip_ws()
+                if peek() != ":":
+                    raise ValueError(f"{src!r}: expected ':' at {pos}")
+                pos += 1
+                # java order: the member id is assigned BEFORE its own
+                # nested type's ids (assignFreshIds)
+                fid = alloc()
+                ftype = parse_type()
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": fname,
+                        "required": False,
+                        "type": ftype,
+                    }
+                )
+                skip_ws()
+                if peek() == ",":
+                    pos += 1
+                    continue
+                if peek() == ">":
+                    pos += 1
+                    break
+                raise ValueError(f"{src!r}: expected ',' or '>' at {pos}")
+            return {"type": "struct", "fields": fields}
+        if word == "list":
+            if peek() != "<":
+                raise ValueError(f"{src!r}: list needs <...> at {pos}")
+            pos += 1
+            eid = alloc()
+            el = parse_type()
+            skip_ws()
+            if peek() != ">":
+                raise ValueError(f"{src!r}: expected '>' at {pos}")
+            pos += 1
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element-required": False,
+                "element": el,
+            }
+        if word == "map":
+            if peek() != "<":
+                raise ValueError(f"{src!r}: map needs <...> at {pos}")
+            pos += 1
+            kid = alloc()
+            vid = alloc()
+            k = parse_type()
+            skip_ws()
+            if peek() != ",":
+                raise ValueError(f"{src!r}: expected ',' at {pos}")
+            pos += 1
+            v = parse_type()
+            skip_ws()
+            if peek() != ">":
+                raise ValueError(f"{src!r}: expected '>' at {pos}")
+            pos += 1
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": k,
+                "value-id": vid,
+                "value-required": False,
+                "value": v,
+            }
+        # primitive (decimal(p,s) / fixed[n] carry a parenthesized tail)
+        if peek() and peek() in "([":
+            close = ")" if peek() == "(" else "]"
+            pstart = pos
+            while pos < len(text) and text[pos] != close:
+                pos += 1
+            if pos >= len(text):
+                raise ValueError(f"{src!r}: unterminated {close!r}")
+            pos += 1
+            word = (word + text[pstart:pos]).replace(" ", "")
+        if _ice_to_spark_type(word) is None and word != "variant":
+            raise NotImplementedError(
+                f"iceberg type {word!r} is outside this module's mapping"
+            )
+        return word
+
+    out = parse_type()
+    skip_ws()
+    if pos != len(text):
+        raise ValueError(f"{src!r}: trailing input at {pos}")
+    return out
+
+
 def add_iceberg_column(
     path: str,
     name: str,
@@ -8276,22 +8408,72 @@ def add_iceberg_column(
     differ, the spec allows that), serialized per the spec's JSON
     single-value rules.
 
+    ``ice_type`` accepts primitives AND the spec's nested forms
+    (round 14): ``struct<name:type,...>`` / ``list<type>`` /
+    ``map<key,value>``, nested arbitrarily — member/element/key/value
+    ids allocate fresh past last-column-id (java assignFreshIds order)
+    and the commit keeps last-column-id covering them.
+
     Fail-loud: defaults on a table below format-version 3 (the spec
-    gates them on v3), ``required=True`` without a default (existing
-    files would have no value for a required field), duplicate names,
-    unmappable types. Returns the new schema id."""
+    gates them on v3), defaults on NESTED or variant types (spec
+    §Default values forbids them), ``required=True`` without a default
+    (existing files would have no value for a required field),
+    duplicate names, unmappable types. Returns the new schema id."""
     meta = _load_metadata(path)
     cur = _current_schema(meta)
     names = [f["name"] for f in cur.get("fields", [])]
     if name in names:
         raise ValueError(f"{path}: column {name!r} already exists")
-    ice_type = ice_type.strip().lower().replace(" ", "")
-    if _ice_to_spark_type(ice_type) is None:
-        raise NotImplementedError(
-            f"{path}: add column of iceberg type {ice_type!r} is outside "
-            "this module's primitive mapping"
-        )
     fv = meta.get("format-version", 1)
+    import itertools as _it
+
+    _base_id = max(
+        _max_field_id(cur.get("fields", [])),
+        meta.get("last-column-id", 0) or 0,
+    )
+    # the TOP id allocates first, nested member/element/key/value ids
+    # after it (java assignFreshIds order); _commit_schema_evolution
+    # covers them all in last-column-id
+    _ctr = _it.count(_base_id + 2)
+    parsed_type = _parse_ice_type_string(ice_type, lambda: next(_ctr))
+    if isinstance(parsed_type, dict):
+        # NESTED add-column (round 14, VERDICT r13 item 5)
+        if _ice_type_has_variant(parsed_type):
+            if fv < 3:
+                raise ValueError(
+                    f"{path}: variant is a v3-only type (table is v{fv})"
+                )
+        if default is not None or write_default is not None:
+            raise NotImplementedError(
+                f"{path}: defaults on nested types are not supported "
+                "(spec §Default values: 'Default values are not "
+                "supported for... nested types')"
+            )
+        if required:
+            raise ValueError(
+                f"{path}: adding a REQUIRED column without a default "
+                "would leave existing files with no value for it"
+            )
+        field = {
+            "id": _base_id + 1,
+            "name": name,
+            "required": False,
+            "type": parsed_type,
+        }
+        if doc:
+            field["doc"] = doc
+        new_fields = [dict(f) for f in cur["fields"]] + [field]
+        return _commit_schema_evolution(path, new_fields)
+    ice_type = parsed_type
+    if ice_type == "variant":
+        if fv < 3:
+            raise ValueError(
+                f"{path}: variant is a v3-only type (table is v{fv})"
+            )
+        if default is not None or write_default is not None:
+            raise NotImplementedError(
+                f"{path}: defaults on variant are not supported"
+            )
     if write_default is not None and default is None:
         raise ValueError(
             f"{path}: write_default without default (initial-default) — "
@@ -8309,12 +8491,8 @@ def add_iceberg_column(
             "leave existing files with no value for it (spec: new "
             "required fields must carry initial-default)"
         )
-    last_id = max(
-        _max_field_id(cur.get("fields", [])),
-        meta.get("last-column-id", 0) or 0,
-    )
     field: dict = {
-        "id": last_id + 1,
+        "id": _base_id + 1,
         "name": name,
         "required": bool(required),
         "type": ice_type,

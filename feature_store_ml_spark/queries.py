@@ -3161,9 +3161,13 @@ def e1_iceberg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     a post-rename batch, MoR-DELETE a slice, then aggregate OVER the
     list elements / struct member / map value — the driver's own
     ``array<float>`` embedding column finally lives under Iceberg DML
-    and time travel. In-query asserts pin the metadata shape: nested
-    ids unique and covered by last-column-id, and the rename commit
-    touched zero data files."""
+    and time travel. Round 14 adds an ADD COLUMN struct<...> commit
+    mid-lifecycle (add_iceberg_column of a nested type — fresh unique
+    ids past last-column-id; the post-add scan must backfill the new
+    struct null on every prior file WITHOUT disturbing the aggregate).
+    In-query asserts pin the metadata shape: nested ids unique and
+    covered by last-column-id, and the rename commit touched zero data
+    files."""
     import shutil
     import tempfile
 
@@ -3204,7 +3208,15 @@ def e1_iceberg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         format_version=2,
     )
     iceberg.delete_iceberg(spark, path, "vec_id % 7 = 0")
+    iceberg.add_iceberg_column(path, "extra", "struct<w:long, tag:string>")
+    meta1 = iceberg._load_metadata(path)
+    if iceberg._max_field_id(
+        iceberg._current_schema(meta1)["fields"]
+    ) != meta1["last-column-id"]:
+        raise AssertionError("add-column nested ids must be covered")
     back = iceberg.read_iceberg(spark, path)
+    if back.where(F.col("extra").isNotNull()).take(1):
+        raise AssertionError("added nested column must backfill null")
     per = back.select(
         F.col("tags")["lbl"].alias("lbl"),
         F.round(

@@ -174,10 +174,11 @@ def test_nested_partitioned_with_pruning(spark, tmp_path):
 
 def test_nested_stays_refused_where_it_must(spark, tmp_path):
     root = _mk(spark, tmp_path)
-    # defaults on nested types (add_iceberg_column is primitive-only)
-    with pytest.raises(NotImplementedError, match="primitive"):
-        iceberg.add_iceberg_column(root, "nn", "list<double>")
-    # but PRIMITIVE columns alongside nested ones must add fine, with
+    # nested ADD COLUMN lands in round 14 — DEFAULTS on nested refuse
+    # (spec §Default values forbids them)
+    with pytest.raises(NotImplementedError, match="Default values"):
+        iceberg.add_iceberg_column(root, "nn", "list<double>", default="[]")
+    # PRIMITIVE columns alongside nested ones must add fine, with
     # an id past every nested id
     iceberg.add_iceberg_column(root, "flag", "string")
     meta = iceberg._load_metadata(root)
@@ -223,3 +224,101 @@ def test_equality_delete_refuses_nested_and_float_keys(spark, tmp_path):
         iceberg.delete_iceberg_equality(spark, root, df.select("score"))
     iceberg.delete_iceberg_equality(spark, root, df.where("id=1").select("id"))
     assert [r.id for r in iceberg.read_iceberg(spark, root).collect()] == [2]
+
+
+def test_add_nested_column_lifecycle(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 5): ADD COLUMN of nested types — fresh
+    unique ids covered by last-column-id, null backfill on old files,
+    appends carry values."""
+    root = str(tmp_path / "addc")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, t string")
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    iceberg.add_iceberg_column(root, "geo", "struct<lat:double, lon:double>")
+    iceberg.add_iceberg_column(root, "tags", "list<string>")
+    iceberg.add_iceberg_column(
+        root, "deep", "struct<g:struct<x:long>, ys:list<decimal(10,2)>>"
+    )
+    meta = iceberg._load_metadata(root)
+    sch = iceberg._current_schema(meta)
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            for k in ("element-id", "key-id", "value-id"):
+                if k in t:
+                    ids.append(t[k])
+            for f in t.get("fields", []):
+                ids.append(f["id"])
+                walk(f.get("type"))
+
+    for f in sch["fields"]:
+        ids.append(f["id"])
+        walk(f.get("type"))
+    assert len(set(ids)) == len(ids)  # unique across the whole tree
+    assert meta["last-column-id"] >= max(ids)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted((r.id, r.geo, r.tags) for r in back.collect()) == [
+        (1, None, None),
+        (2, None, None),
+    ]
+    df2 = spark.createDataFrame(
+        [(3, "z", (1.5, 2.5), ["a"], ((9,), [None]))],
+        "id bigint, t string, geo struct<lat:double,lon:double>, "
+        "tags array<string>, "
+        "deep struct<g:struct<x:bigint>, ys:array<decimal(10,2)>>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    r3 = next(
+        r for r in iceberg.read_iceberg(spark, root).collect() if r.id == 3
+    )
+    assert r3.geo["lat"] == 1.5 and r3.deep["g"]["x"] == 9
+
+
+def test_add_nested_column_fail_louds(spark, tmp_path):
+    root = str(tmp_path / "addf")
+    iceberg.write_iceberg(
+        spark,
+        spark.createDataFrame([(1,)], "id bigint"),
+        root,
+        format_version=3,
+    )
+    with pytest.raises(NotImplementedError, match="Default values"):
+        iceberg.add_iceberg_column(
+            root, "s", "struct<a:long>", default='{"1": 0}'
+        )
+    with pytest.raises(ValueError, match="REQUIRED"):
+        iceberg.add_iceberg_column(root, "s", "struct<a:long>", required=True)
+    with pytest.raises((ValueError, NotImplementedError)):
+        iceberg.add_iceberg_column(root, "s", "struct<a:unknowntype>")
+    with pytest.raises(ValueError, match="trailing|expected"):
+        iceberg.add_iceberg_column(root, "s", "struct<a:long> x")
+
+
+def test_primitive_defaults_beside_nested_columns(spark, tmp_path):
+    """Primitive column defaults must keep working on a table that ALSO
+    carries nested columns (VERDICT r13 item 5 done-criterion)."""
+    root = str(tmp_path / "dflt")
+    df = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b"))],
+        "id bigint, s struct<n:bigint,t:string>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=3)
+    iceberg.add_iceberg_column(root, "region", "string", default="emea")
+    iceberg.add_iceberg_column(root, "extra", "struct<w:long>")
+    back = iceberg.read_iceberg(spark, root)
+    rows = sorted(
+        (r.id, r.s["n"], r.region, r.extra) for r in back.collect()
+    )
+    # old files: primitive default surfaces, nested column backfills null
+    assert rows == [(1, 10, "emea", None), (2, 20, "emea", None)]
+    df2 = spark.createDataFrame(
+        [(3, (30, "c"), "apac", (7,))],
+        "id bigint, s struct<n:bigint,t:string>, region string, "
+        "extra struct<w:bigint>",
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=3)
+    rows = sorted(
+        (r.id, r.s["n"], r.region, r.extra["w"] if r.extra else None)
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert rows == [(1, 10, "emea", None), (2, 20, "emea", None), (3, 30, "apac", 7)]

@@ -89,8 +89,12 @@ def test_variant_write_gates(spark, tmp_path):
 
 def test_variant_defaults_stay_refused(spark, tmp_path):
     root = _mk(spark, tmp_path)
+    # ADD COLUMN variant works (round 14) — defaults on it refuse
     with pytest.raises((NotImplementedError, ValueError)):
-        iceberg.add_iceberg_column(root, "w", "variant")
+        iceberg.add_iceberg_column(root, "w", "variant", default="1")
+    iceberg.add_iceberg_column(root, "w", "variant")
+    back = iceberg.read_iceberg(spark, root)
+    assert back.selectExpr("count(w) AS n").collect()[0].n == 0  # null backfill
 
 
 def test_variant_in_v2_metadata_refused(spark, tmp_path):
