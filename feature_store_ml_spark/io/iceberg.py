@@ -65,8 +65,8 @@ records/arrays since round 14); nested entries in a foreign name
 mapping; inner renames on non-parquet data files, on tables with
 column defaults, or when a live file lacks member field ids (compact
 first — struct-member renames land in round 13, ANY-depth dotted
-paths in round 14, via rename_iceberg_nested_field); the
-file-source streaming tail of inner-renamed tables;
+paths in round 14, via rename_iceberg_nested_field; the file-source
+streaming tail of inner-renamed tables materializes since round 14);
 write_iceberg(branch='main') and schema evolution through a side
 branch; zoneless wall-clock ORC files declared timestamptz.
 """

@@ -122,7 +122,33 @@ def sync_iceberg_spool(
                     "PAR1 — refusing to spool a mislabeled file"
                 )
             locals_.append(f)
-        _check_footers_match_schema(meta, locals_, path, spark=spark)
+        if locals_ and _footers_mismatch_schema(meta, locals_, path, spark):
+            # inner-renamed / renamed / variant footers: a symlink would
+            # name-resolve wrong — MATERIALIZE these files' rows through
+            # the batch reader instead (round 14; rides the rewrite
+            # materializer's crash-safe ledger)
+            if spark is None:
+                raise NotImplementedError(
+                    f"{path}: files need name-safe materialization into "
+                    "the spool (rename evolution / variant footers) — "
+                    "pass spark= (or use stream_from_iceberg)"
+                )
+            # crash-replay guard: a PRE-rename sync may already have
+            # symlinked some of these files for this sid — materializing
+            # them again would duplicate their rows. Skip exactly the
+            # ones whose deterministic link name exists.
+            by_src = {src: e for e, src in zip(entries, locals_)}
+            todo_paths = []
+            for i, src in enumerate(sorted(locals_)):
+                link = os.path.join(
+                    spool_dir,
+                    f"{sid:020d}-{i:05d}-{os.path.basename(src)}",
+                )
+                if not os.path.lexists(link):
+                    todo_paths.append(by_src[src]["path"])
+            if todo_paths:
+                rewrite_batch.append((sid, todo_paths))
+            return
         # snapshot ids are monotone (max+1 allocation), so prefixing
         # with the owning snapshot id keeps discovery order aligned
         # with commit order; within one snapshot sorted basenames are
@@ -510,38 +536,46 @@ def _recover_partial_materialization(spool_dir: str, mark_dir: str) -> None:
     os.remove(ledger_path)
 
 
-def _check_footers_match_schema(
+def _footers_mismatch_schema(
     meta: dict, files: list[str], path: str, spark=None
-) -> None:
-    """Refuse to spool files whose footer column names no longer match the
-    CURRENT schema (rename evolution): the file source resolves by NAME,
-    so a renamed column would silently read as NULL. The batch reader
-    (read_iceberg) handles these via field-id grouping — point users
-    there."""
+) -> bool:
+    """True when linking these parquet files into a NAME-resolving file
+    source would silently misread them: the table had an inner
+    struct-member rename (fsml.field-id-read — member names diverge
+    somewhere in history), a file stores a renamed top-level column
+    under its old physical name, or a footer is unreadable to pyarrow
+    (VARIANT). Round 14 (VERDICT r13 item 7): callers MATERIALIZE such
+    files through the batch reader (field-id / member resolution,
+    current declared names) into spool parquet instead of refusing."""
     from ..io.lakehouse import _group_files_by_field_ids
 
     if (meta.get("properties") or {}).get("fsml.field-id-read") == "true":
-        raise NotImplementedError(
-            f"{path}: the table had an inner struct-member rename "
-            "(field-id reads) — the file-source tail resolves by name; "
-            "use batch read_iceberg / read_iceberg_cdf instead"
-        )
+        return True
     cur = _ice._current_schema(meta)
     want = {
         f["id"]: f["name"] for f in cur.get("fields", []) if "id" in f
     }
     if not want:
-        return
+        return False
     for phys_by_fid, gfiles in _group_files_by_field_ids(files, spark=spark):
+        if not phys_by_fid:
+            # unstamped OR unreadable (variant) footers: prove each one
+            # readable and carrying the current names; otherwise
+            # materialize (never silent-null)
+            import pyarrow.parquet as _pq0
+
+            for gf in gfiles:
+                try:
+                    names = set(_pq0.read_schema(gf).names)
+                except Exception:
+                    return True
+                if not set(want.values()) <= names:
+                    return True
+            continue
         for fid, phys in phys_by_fid.items():
             if fid in want and want[fid] != phys:
-                raise NotImplementedError(
-                    f"{path}: file {os.path.basename(gfiles[0])} stores "
-                    f"field {fid} as {phys!r} but the current schema "
-                    f"names it {want[fid]!r} (rename evolution) — the "
-                    "file-source tail resolves by name; use batch "
-                    "read_iceberg (field-id resolution) instead"
-                )
+                return True
+    return False
 
 
 def stream_from_iceberg(
@@ -683,13 +717,18 @@ def sync_iceberg_cdf_spool(
             # through the format-aware CDF reader
             materialize = True
         if not materialize and added_local:
-            _check_footers_match_schema(
-                meta, added_local, path, spark=spark
-            )
-            for f in added_local:
-                if not want_names <= set(pq.read_schema(f).names):
-                    materialize = True  # partition cols live in metadata
-                    break
+            if _footers_mismatch_schema(meta, added_local, path, spark):
+                materialize = True  # rename evolution / variant footers
+            else:
+                for f in added_local:
+                    try:
+                        fnames = set(pq.read_schema(f).names)
+                    except Exception:
+                        materialize = True  # unreadable footer (VARIANT)
+                        break
+                    if not want_names <= fnames:
+                        materialize = True  # partition cols in metadata
+                        break
         if materialize:
             key = f"{seq:020d}-{sid}"
             covered = os.path.exists(
