@@ -8696,7 +8696,14 @@ _FINAL_ORDER = [
     # -- round 6 continuation: selective overwrite (replaceWhere backfill),
     #    Iceberg rollback (restore twin), Iceberg keyed MERGE (MoR upsert
     #    with partition moves + inserts)
-    "e1_iceberg_merge",
+    "e1_iceberg_orc_delete",  # round-14 rotation: never-window
+                               # oracle-backed tail joiner (round 9:
+                               # merge-on-read DML on ORC data files,
+                               # synthesized row identity) — displaces
+                               # e1_iceberg_merge (driver-green r6-r13;
+                               # MoR MERGE family stays in-window via
+                               # e1_iceberg_rowfmt_dml + e1_delta_merge_
+                               # set/sync + incoming e1_iceberg_merge_sync)
     "e1_convert_with_deletes",  # round 7: DV⇄pos-delete carry + mapped ids
     "e1_delta_identity",        # round 7: GENERATED ALWAYS + HWM advance
     "e1_delta_row_tracking",    # round 7: stable row ids + domain metadata
@@ -8712,7 +8719,12 @@ _FINAL_ORDER = [
     "e1_sql_cross_format",   # one SQL over Delta+Iceberg+parquet views
     "e11_chunking",          # LLM pre-tokenization chunking, exact oracle
     "e11_bm25_search",       # round 7: Okapi BM25 top-k, exact oracle
-    "e14_png_checksums",     # PNG encode→decode lifecycle, analytic oracle
+    "e14_jpeg_progressive",  # round-14 rotation: never-window tail
+                             # joiner (round 9: SOF2 progressive decode,
+                             # bit-identical-to-baseline parity oracle) —
+                             # displaces e14_png_checksums (driver-green
+                             # r6-r13; e14 family stays in-window via
+                             # e14_jpeg_decode + this query)
     "e13_stream_iceberg_cdf",   # round 11: full mutation matrix over AVRO
                                 # (update + equality-delete commits) —
                                 # displaces e13_stream_from_delta_partitioned
@@ -8759,7 +8771,12 @@ _FINAL_ORDER = [
                             # dims + deterministic lossy-band flags
     "e1_delta_analyze",     # round 8: Delta ANALYZE + incremental sketch
                             # merge, exact COUNT(DISTINCT) oracle
-    "e12_scd2",             # round 7: SCD2 dimension history, exact oracle
+    "e1_iceberg_merge_sync",  # round-14 rotation: never-window tail
+                              # joiner (round 8: MoR whenNotMatchedBy
+                              # SourceDelete slice sync, exact oracle) —
+                              # displaces e12_scd2 (driver-green r7-r13;
+                              # e12 family stays in-window via
+                              # e12_feature_embeddings + the swept tail)
     "e5_window_distribution",
     # -- round-1-green keepers
     "e3_join_asof",
@@ -8768,6 +8785,12 @@ _FINAL_ORDER = [
                             # displaced by e1_iceberg_variant_write;
                             # time-travel/rollback family stays in-window
                             # via e1_iceberg_wap + e1_iceberg_refs
+    "e1_iceberg_merge",     # rotated out r14 (driver-green r6-r13),
+                            # displaced by e1_iceberg_orc_delete
+    "e14_png_checksums",    # rotated out r14 (driver-green r6-r13),
+                            # displaced by e14_jpeg_progressive
+    "e12_scd2",             # rotated out r14 (driver-green r7-r13),
+                            # displaced by e1_iceberg_merge_sync
     # rotated out r7, displaced by e1_convert_with_deletes,
     # e1_delta_identity and e11_bm25_search (all driver-green r5+r6;
     # TPC-H family keeps q2/q4/q6/q7/q8/q19/q20 in-window, e11 family
@@ -8787,11 +8810,6 @@ _FINAL_ORDER = [
     "e4_agg_groupby",       # displaced by e17_packing_invariants (r6-
                             # green; e4 family keeps e4_cube in bench +
                             # median/linreg in the swept tail)
-    "e14_jpeg_progressive",  # round 9: SOF2 progressive decode,
-                             # bit-identical-to-baseline parity oracle
-    "e1_iceberg_orc_delete",  # round 9: merge-on-read DML on ORC data
-                              # files (synthesized row identity), exact
-                              # oracle
     "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
                             # e14 family keeps e14_png_checksums in-window)
     "q20_dominant_supplier",  # displaced by e12_scd2 (r5+r6 driver-green;
@@ -9043,8 +9061,6 @@ _FINAL_ORDER = [
                                      # lifecycle, exact oracle (tail:
                                      # in-query consolidation assert +
                                      # sweep hash gate)
-    "e1_iceberg_merge_sync",  # round 8: MoR whenNotMatchedBySourceDelete,
-                              # same oracle as the Delta twin (tail)
 ]
 
 
