@@ -59,9 +59,9 @@ staging of variant columns and defaults on variant (the parquet write
 surface lands in round 14);
 column DEFAULTS on nested/variant types (spec §Default values forbids
 them; add_iceberg_column of nested types itself lands in round 14);
-ORC data-file staging of nested columns, and temporal/decimal members
-or map columns on the AVRO nested staging leg (struct/list stage as
-records/arrays since round 14); nested entries in a foreign name
+temporal/decimal members and map columns on the AVRO/ORC nested
+staging legs (struct/list stage as records/arrays resp. native ORC
+nested types since round 14); nested entries in a foreign name
 mapping; inner renames on non-parquet data files, on tables with
 column defaults, or when a live file lacks member field ids (compact
 first — struct-member renames land in round 13, ANY-depth dotted
@@ -2835,6 +2835,48 @@ _ICE_TO_PA_ORC = {
 }
 
 
+def _pa_orc_nested_type(t):
+    """Iceberg NESTED type -> pyarrow type for ORC staging (round 14):
+    struct -> pa.struct with ``iceberg.id`` metadata per member (the
+    attribute the Iceberg ORC spec mandates; pyarrow round-trips it),
+    list -> pa.list_ with the element id. Members limited to the simple
+    primitives — temporal/decimal members and maps refuse at the driver
+    before the job launches."""
+    import pyarrow as pa
+
+    if isinstance(t, str):
+        return {
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "string": pa.string(),
+        }[t]
+    if t.get("type") == "struct":
+        return pa.struct(
+            [
+                pa.field(
+                    g["name"],
+                    _pa_orc_nested_type(g["type"]),
+                    metadata={"iceberg.id": str(g["id"])}
+                    if g.get("id") is not None
+                    else None,
+                )
+                for g in t.get("fields", [])
+            ]
+        )
+    return pa.list_(
+        pa.field(
+            "element",
+            _pa_orc_nested_type(t["element"]),
+            metadata={"iceberg.id": str(t["element-id"])}
+            if t.get("element-id") is not None
+            else None,
+        )
+    )
+
+
 def _pa_orc_type(name: str):
     import pyarrow as pa
 
@@ -2876,16 +2918,45 @@ def _stage_orc_data(
 
     from pyspark.sql import functions as F
 
-    pa_kinds: dict[str, str] = {}
+    def _check_orc_nested(t, hint: str):
+        if isinstance(t, str):
+            if t not in (
+                "int", "long", "float", "double", "boolean", "string"
+            ):
+                raise NotImplementedError(
+                    f"write_iceberg(data_format='orc'): nested member "
+                    f"{hint!r} of type {t!r} has no supported orc "
+                    "encoding inside a nested column (use parquet)"
+                )
+            return
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for g in t.get("fields", []):
+                _check_orc_nested(g["type"], f"{hint}.{g['name']}")
+            return
+        if isinstance(t, dict) and t.get("type") == "list":
+            _check_orc_nested(t["element"], f"{hint}.element")
+            return
+        raise NotImplementedError(
+            f"write_iceberg(data_format='orc'): column {hint!r} of type "
+            f"{t!r} has no supported orc data encoding (use parquet)"
+        )
+
+    pa_kinds: dict[str, object] = {}
     for f in ice_fields:
         t = f.get("type")
-        k = _ICE_TO_PA_ORC.get(t) if isinstance(t, str) else None
-        if k is None:
-            raise NotImplementedError(
-                f"write_iceberg(data_format='orc'): column "
-                f"{f.get('name')!r} of type {t!r} has no supported orc "
-                "data encoding (use parquet)"
-            )
+        if isinstance(t, str):
+            k = _ICE_TO_PA_ORC.get(t)
+            if k is None:
+                raise NotImplementedError(
+                    f"write_iceberg(data_format='orc'): column "
+                    f"{f.get('name')!r} of type {t!r} has no supported "
+                    "orc data encoding (use parquet)"
+                )
+        else:
+            # struct/list stage natively via pyarrow (round 14); the
+            # kind slot carries the ICE TYPE DICT for the worker builder
+            _check_orc_nested(t, f["name"])
+            k = t
         pa_kinds[f["name"]] = k
     field_meta = _json.dumps(
         [[f["name"], pa_kinds[f["name"]], f["id"]] for f in ice_fields]
@@ -2918,7 +2989,11 @@ def _stage_orc_data(
         schema = _pa.schema(
             [
                 _pa.field(
-                    n, _pa_orc_type(k), metadata={"iceberg.id": str(fid)}
+                    n,
+                    _pa_orc_type(k)
+                    if isinstance(k, str)
+                    else _pa_orc_nested_type(k),
+                    metadata={"iceberg.id": str(fid)},
                 )
                 for n, k, fid in spec
             ]
@@ -2969,7 +3044,9 @@ def _stage_orc_data(
                 for n, k, _fid in spec:
                     arr = tbl[n]
                     nulls = arr.null_count
-                    if nulls == len(arr):
+                    if nulls == len(arr) or not isinstance(k, str):
+                        # nested: null count only — manifests carry no
+                        # bounds for nested fields (spec-optional)
                         stats[n] = [nulls, None, None]
                         continue
                     mm = _pc.min_max(arr)

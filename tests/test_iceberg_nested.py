@@ -188,19 +188,21 @@ def test_nested_stays_refused_where_it_must(spark, tmp_path):
     assert {r.flag for r in iceberg.read_iceberg(spark, root).collect()} == {
         None
     }
-    # AVRO staging of nested lands in round 14 — ORC still refuses, and
-    # temporal members inside nested refuse on the avro leg
-    root2 = str(tmp_path / "orc")
-    df = spark.createDataFrame([(1, [1.0])], "id bigint, vec array<double>")
-    with pytest.raises(NotImplementedError, match="orc"):
-        iceberg.write_iceberg(spark, df, root2, data_format="orc")
-    root3 = str(tmp_path / "avro_ts")
+    # AVRO/ORC staging of struct/list lands in round 14 — temporal
+    # members inside nested still refuse on both legs (no
+    # physical-conversion matrix there; use parquet)
     df2 = spark.createDataFrame(
         [(1, (__import__("datetime").datetime(2024, 1, 1),))],
         "id bigint, s struct<ts:timestamp>",
     )
     with pytest.raises(NotImplementedError, match="nested"):
-        iceberg.write_iceberg(spark, df2, root3, data_format="avro")
+        iceberg.write_iceberg(
+            spark, df2, str(tmp_path / "avro_ts"), data_format="avro"
+        )
+    with pytest.raises(NotImplementedError, match="nested"):
+        iceberg.write_iceberg(
+            spark, df2, str(tmp_path / "orc_ts"), data_format="orc"
+        )
 
 
 def test_nested_name_mapping_top_level(spark, tmp_path):
@@ -387,3 +389,32 @@ def test_avro_nested_lifecycle(spark, tmp_path):
     )
     r = iceberg.read_iceberg(spark, root2).collect()[0]
     assert r.d["g"]["w"] == 7 and list(r.d["ys"]) == [1.0]
+
+
+def test_orc_nested_lifecycle(spark, tmp_path):
+    """Round 14: struct/list columns stage natively as ORC nested types
+    (iceberg.id attributes per member) — write, rename, MoR delete,
+    UPDATE compose; values round-trip exactly."""
+    import glob
+
+    root = str(tmp_path / "orcn")
+    df = spark.createDataFrame(
+        [
+            (i, (i * 10, f"t{i}"), [float(i)], None if i == 2 else (i,))
+            for i in range(6)
+        ],
+        "id bigint, s struct<n:bigint,t:string>, vec array<double>, "
+        "u struct<a:bigint>",
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2, data_format="orc")
+    back = iceberg.read_iceberg(spark, root)
+    rows = sorted((r.id, r.s["n"], list(r.vec), r.u) for r in back.collect())
+    assert rows == [
+        (i, i * 10, [float(i)], None if i == 2 else (i,)) for i in range(6)
+    ]
+    iceberg.rename_iceberg_column(root, "s", "meta")
+    iceberg.delete_iceberg(spark, root, "id = 1")
+    iceberg.update_iceberg(spark, root, {"id": "id + 100"}, "meta.n = 40")
+    got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
+    assert got == [0, 2, 3, 5, 104]
+    assert glob.glob(f"{root}/data/*.orc")  # same-format staging
