@@ -8392,25 +8392,46 @@ def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
     usable for data skipping (_decode_bound length-sniffs the narrow
     encoding). Returns the new schema id.
 
-    Fail-loud: unknown column, non-promotion change, nested types, and
-    columns any partition spec derives from (new manifests would encode
-    the partition struct under the wide type while old ones carry the
-    narrow type — a rewrite-free ambiguity this module refuses rather
-    than papers over)."""
+    ``name`` accepts a DOTTED struct-member path (round 14):
+    ``widen_iceberg_column(t, "s.n", "long")`` widens the member —
+    nested field ids are column identity like top-level ones, and
+    Spark's parquet reader performs leaf promotions at any nesting.
+
+    Fail-loud: unknown column, non-promotion change, widening a whole
+    nested container, and columns any partition spec derives from (new
+    manifests would encode the partition struct under the wide type
+    while old ones carry the narrow type — a rewrite-free ambiguity
+    this module refuses rather than papers over)."""
     meta = _load_metadata(path)
     cur = _current_schema(meta)
-    target = next((f for f in cur.get("fields", []) if f["name"] == name), None)
-    if target is None:
-        raise ValueError(
-            f"{path}: no column {name!r} "
-            f"(have {[f['name'] for f in cur.get('fields', [])]})"
+    parts = name.split(".")
+    fields_here = cur.get("fields", [])
+    target = None
+    for depth, comp in enumerate(parts):
+        target = next(
+            (f for f in fields_here if f["name"] == comp), None
         )
+        if target is None:
+            where = ".".join(parts[:depth]) or "top level"
+            raise ValueError(
+                f"{path}: no column {comp!r} at {where} "
+                f"(have {[f['name'] for f in fields_here]})"
+            )
+        if depth < len(parts) - 1:
+            t = target.get("type")
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{path}: {'.'.join(parts[: depth + 1])!r} is not a "
+                    "struct — dotted widening paths walk struct members"
+                )
+            fields_here = t.get("fields", [])
     new_type = new_type.strip().lower().replace(" ", "")
     old_type = target.get("type")
     if not isinstance(old_type, str):
         raise NotImplementedError(
-            f"{path}: {name!r} is a nested type — widening nested fields "
-            "is not implemented"
+            f"{path}: {name!r} is a nested CONTAINER — widening applies "
+            "to primitive fields (address a struct member by its dotted "
+            "path)"
         )
     if old_type == new_type:
         raise ValueError(f"{path}: {name!r} is already {new_type}")
@@ -8430,11 +8451,28 @@ def widen_iceberg_column(path: str, name: str, new_type: str) -> int:
                     "widening it would fork the manifests' partition "
                     "struct encoding; rewrite via overwrite instead"
                 )
-    new_fields = [
-        {**f, "type": new_type} if f["name"] == name else dict(f)
-        for f in cur["fields"]
-    ]
-    return _commit_schema_evolution(path, new_fields)
+
+    def _widen(fields_at, depth) -> list:
+        out = []
+        for f in fields_at:
+            if f["name"] != parts[depth]:
+                out.append(dict(f))
+            elif depth == len(parts) - 1:
+                out.append({**f, "type": new_type})
+            else:
+                ft = f["type"]
+                out.append(
+                    {
+                        **f,
+                        "type": {
+                            **ft,
+                            "fields": _widen(ft["fields"], depth + 1),
+                        },
+                    }
+                )
+        return out
+
+    return _commit_schema_evolution(path, _widen(cur["fields"], 0))
 
 
 def _parse_ice_type_string(src: str, alloc):

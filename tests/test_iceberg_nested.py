@@ -418,3 +418,37 @@ def test_orc_nested_lifecycle(spark, tmp_path):
     got = sorted(r.id for r in iceberg.read_iceberg(spark, root).collect())
     assert got == [0, 2, 3, 5, 104]
     assert glob.glob(f"{root}/data/*.orc")  # same-format staging
+
+
+def test_widen_nested_member(spark, tmp_path):
+    """Round 14: ALTER COLUMN TYPE on a struct MEMBER by dotted path —
+    zero-rewrite; narrow files promote at the parquet leaf, wide
+    appends compose, projected access works across generations."""
+    root = str(tmp_path / "wn")
+    df = spark.createDataFrame(
+        [(1, (5, 1.5)), (2, (7, 2.5))], "id bigint, s struct<n:int, x:float>"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=2)
+    files_before = set(iceberg._live_data_files(root))
+    iceberg.widen_iceberg_column(root, "s.n", "long")
+    iceberg.widen_iceberg_column(root, "s.x", "double")
+    assert set(iceberg._live_data_files(root)) == files_before
+    df2 = spark.createDataFrame(
+        [(3, (2**40, 3.5))], "id bigint, s struct<n:bigint, x:double>"
+    )
+    iceberg.write_iceberg(spark, df2, root, format_version=2)
+    back = iceberg.read_iceberg(spark, root)
+    assert sorted((r.id, r.s["n"]) for r in back.collect()) == [
+        (1, 5), (2, 7), (3, 2**40),
+    ]
+    proj = back.selectExpr("id", "s.n AS v")
+    assert sorted((r.id, r.v) for r in proj.collect()) == [
+        (1, 5), (2, 7), (3, 2**40),
+    ]
+    # fail-louds: whole container, non-promotion, bad path
+    with pytest.raises(NotImplementedError, match="CONTAINER"):
+        iceberg.widen_iceberg_column(root, "s", "long")
+    with pytest.raises(ValueError, match="not an allowed"):
+        iceberg.widen_iceberg_column(root, "s.x", "string")
+    with pytest.raises(ValueError, match="no column"):
+        iceberg.widen_iceberg_column(root, "s.zz", "long")

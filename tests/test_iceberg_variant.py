@@ -259,3 +259,28 @@ def test_variant_convert_then_append(spark, tmp_path):
         .collect()
     )
     assert got == list(range(7))
+
+
+def test_variant_streaming_spool_materializes(spark, tmp_path):
+    """Round 14: the file-source tail over a variant table MATERIALIZES
+    its files (pyarrow cannot probe the footers, so symlinks could not
+    be proven name-safe); values decode off the spool."""
+    from feature_store_ml_spark.streaming import iceberg_source
+
+    root = str(tmp_path / "vs")
+    spool = str(tmp_path / "spool")
+    df = spark.range(8).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    )
+    iceberg.write_iceberg(spark, df, root, format_version=3)
+    snap = iceberg_source.sync_iceberg_spool(root, spool, spark=spark)
+    assert snap == iceberg._load_metadata(root)["current-snapshot-id"]
+    got = spark.read.parquet(spool)
+    vals = sorted(
+        r.a
+        for r in got.selectExpr("variant_get(v, '$.a', 'long') AS a").collect()
+    )
+    assert vals == list(range(8))
+    # idempotent re-sync
+    iceberg_source.sync_iceberg_spool(root, spool, spark=spark)
+    assert spark.read.parquet(spool).count() == 8
