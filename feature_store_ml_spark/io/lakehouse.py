@@ -345,6 +345,31 @@ def _column_mapping(meta: dict) -> dict[str, str] | None:
     return out
 
 
+def _assign_nested_mapping_ids(type_json, ctr) -> None:
+    """Walk a Delta JSON type assigning ``delta.columnMapping.id`` +
+    ``physicalName`` to every nested StructField (round 14 — standard
+    delta-spark stamps nested members too, and the Delta→Iceberg
+    conversion derives Iceberg member ids from exactly this metadata).
+    Member physicalName stays the member's OWN name: this writer never
+    physically renames members, so files keep logical member names and
+    name-resolution reads stay correct; only TOP-level columns get
+    opaque physical names."""
+    if not isinstance(type_json, dict):
+        return
+    if type_json.get("type") == "struct":
+        for f in type_json.get("fields", []):
+            md = dict(f.get("metadata") or {})
+            md["delta.columnMapping.id"] = next(ctr)
+            md["delta.columnMapping.physicalName"] = f["name"]
+            f["metadata"] = md
+            _assign_nested_mapping_ids(f.get("type"), ctr)
+    elif type_json.get("type") == "array":
+        _assign_nested_mapping_ids(type_json.get("elementType"), ctr)
+    elif type_json.get("type") == "map":
+        _assign_nested_mapping_ids(type_json.get("keyType"), ctr)
+        _assign_nested_mapping_ids(type_json.get("valueType"), ctr)
+
+
 def _field_ids(meta: dict) -> dict[str, int]:
     """Logical name -> delta.columnMapping.id for an ID-mode table."""
     schema = json.loads(meta["schemaString"])
@@ -546,6 +571,12 @@ def _group_files_by_field_ids(
     return list(groups.values())
 
 
+def _nested_spark_types():
+    from pyspark.sql import types as T
+
+    return (T.StructType, T.ArrayType, T.MapType)
+
+
 def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     """Rename a LOGICAL-named frame to the table's physical column names
     before a staging write (no-op for unmapped tables) — data files must
@@ -560,6 +591,99 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     if meta and meta.get("schemaString") and _mapping_mode(meta) == "id":
         fids = _field_ids(meta)
         mapping = _physical_names(meta)
+        delta_fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        if any(
+            isinstance(f.dataType, _nested_spark_types())
+            for f in df.schema.fields
+        ):
+            # NESTED columns (round 14): member ids stamp via df.to()
+            # — alias metadata covers only top level; Spark's
+            # fieldId.write copies nested StructField metadata into the
+            # footers (the Iceberg stamp's twin), which is what lets
+            # the Delta->Iceberg conversion prove member resolution
+            from pyspark.sql import types as T
+
+            def _stamped(spark_dt, delta_t):
+                if isinstance(spark_dt, T.StructType) and isinstance(
+                    delta_t, dict
+                ):
+                    by = {
+                        g["name"]: g for g in delta_t.get("fields", [])
+                    }
+                    out = []
+                    for sf in spark_dt.fields:
+                        g = by.get(sf.name) or {}
+                        gmd = g.get("metadata") or {}
+                        mid = gmd.get("delta.columnMapping.id")
+                        out.append(
+                            T.StructField(
+                                gmd.get(
+                                    "delta.columnMapping.physicalName",
+                                    sf.name,
+                                ),
+                                _stamped(sf.dataType, g.get("type")),
+                                sf.nullable,
+                                metadata={"parquet.field.id": int(mid)}
+                                if mid is not None
+                                else {},
+                            )
+                        )
+                    return T.StructType(out)
+                if isinstance(spark_dt, T.ArrayType) and isinstance(
+                    delta_t, dict
+                ):
+                    return T.ArrayType(
+                        _stamped(
+                            spark_dt.elementType, delta_t.get("elementType")
+                        ),
+                        spark_dt.containsNull,
+                    )
+                if isinstance(spark_dt, T.MapType) and isinstance(
+                    delta_t, dict
+                ):
+                    return T.MapType(
+                        _stamped(spark_dt.keyType, delta_t.get("keyType")),
+                        _stamped(
+                            spark_dt.valueType, delta_t.get("valueType")
+                        ),
+                        spark_dt.valueContainsNull,
+                    )
+                return spark_dt
+
+            fields = []
+            for f in df.schema.fields:
+                d = delta_fields.get(f.name) or {}
+                fields.append(
+                    T.StructField(
+                        mapping.get(f.name, f.name),
+                        _stamped(f.dataType, d.get("type")),
+                        f.nullable,
+                        metadata={"parquet.field.id": fids[f.name]}
+                        if f.name in fids
+                        else {},
+                    )
+                )
+            # df.to() matches BY NAME — rename to physical first, then
+            # attach the id metadata (a direct .to() with renamed
+            # fields silently null-fills every column). TOP-level ids
+            # ride the alias (df.to only applies metadata to columns it
+            # REBUILDS — a plain long passes through and would lose its
+            # id); nested member ids ride the .to().
+            renamed = df.select(
+                *[
+                    F.col(c).alias(
+                        mapping.get(c, c),
+                        metadata={"parquet.field.id": fids[c]}
+                        if c in fids
+                        else {},
+                    )
+                    for c in df.columns
+                ]
+            )
+            return renamed.to(T.StructType(fields))
         return df.select(
             *[
                 F.col(c).alias(
@@ -3166,16 +3290,23 @@ def write_delta(
                 "table to name mode)"
             )
         sch = json.loads(df.schema.json())
-        for i, fld in enumerate(sch["fields"], start=1):
+        import itertools as _it
+
+        _cm_ctr = _it.count(1)
+        for fld in sch["fields"]:
             md = dict(fld.get("metadata") or {})
-            md["delta.columnMapping.id"] = i
+            md["delta.columnMapping.id"] = next(_cm_ctr)
             md["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4().hex[:8]}"
             fld["metadata"] = md
+            # nested members get ids too (depth-first, standard
+            # delta-spark shape) — see _assign_nested_mapping_ids
+            _assign_nested_mapping_ids(fld.get("type"), _cm_ctr)
+        _cm_max = next(_cm_ctr) - 1
         cm_meta = {
             "schemaString": json.dumps(sch),
             "configuration": {
                 "delta.columnMapping.mode": column_mapping,
-                "delta.columnMapping.maxColumnId": str(len(sch["fields"])),
+                "delta.columnMapping.maxColumnId": str(_cm_max),
             },
         }
     if txn is not None:
@@ -3337,16 +3468,45 @@ def write_delta(
                     # omitted maxColumnId must not cause id collisions
                     # (two logical names on one parquet field id reads
                     # the wrong column silently in id mode)
-                    next_id = max(
-                        [int(conf0.get("delta.columnMapping.maxColumnId", 0))]
-                        + [
-                            int(
-                                (f.get("metadata") or {}).get(
-                                    "delta.columnMapping.id", 0
+                    def _all_cm_ids(fields_json):
+                        out = []
+
+                        def walk_t(t):
+                            if not isinstance(t, dict):
+                                return
+                            if t.get("type") == "struct":
+                                for g in t.get("fields", []):
+                                    out.append(
+                                        int(
+                                            (g.get("metadata") or {}).get(
+                                                "delta.columnMapping.id", 0
+                                            )
+                                        )
+                                    )
+                                    walk_t(g.get("type"))
+                            elif t.get("type") == "array":
+                                walk_t(t.get("elementType"))
+                            elif t.get("type") == "map":
+                                walk_t(t.get("keyType"))
+                                walk_t(t.get("valueType"))
+
+                        for f in fields_json:
+                            out.append(
+                                int(
+                                    (f.get("metadata") or {}).get(
+                                        "delta.columnMapping.id", 0
+                                    )
                                 )
                             )
-                            for f in prior_fields.values()
-                        ]
+                            walk_t(f.get("type"))
+                        return out
+
+                    # NESTED member ids count toward the HWM too (round
+                    # 14): a fresh id colliding with a live member id
+                    # reads the wrong column silently in id mode
+                    next_id = max(
+                        [int(conf0.get("delta.columnMapping.maxColumnId", 0))]
+                        + _all_cm_ids(list(prior_fields.values()))
                     )
                     used_phys = {
                         (f.get("metadata") or {}).get(
@@ -3377,6 +3537,11 @@ def write_delta(
                             "delta.columnMapping.physicalName": phys,
                             "delta.columnMapping.id": next_id,
                         }
+                        import itertools as _it2
+
+                        _nctr = _it2.count(next_id + 1)
+                        _assign_nested_mapping_ids(fld.get("type"), _nctr)
+                        next_id = next(_nctr) - 1
                     conf0["delta.columnMapping.maxColumnId"] = str(next_id)
                     evolved_schema_json = json.dumps(ev)
                     # downstream staging (_to_physical) and the metaData
@@ -5462,13 +5627,18 @@ def enable_delta_column_mapping(spark: SparkSession, path: str) -> int:
     if conf.get("delta.columnMapping.mode") in ("name", "id"):
         return _next_version(_delta_log_dir(path)) - 1
     schema = json.loads(meta["schemaString"])
-    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0))
-    for i, f in enumerate(schema["fields"], start=1):
+    import itertools as _it
+
+    _ctr = _it.count(int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1)
+    for f in schema["fields"]:
         md = dict(f.get("metadata") or {})
         md["delta.columnMapping.physicalName"] = f["name"]
-        md["delta.columnMapping.id"] = i
-        max_id = max(max_id, i)
+        md["delta.columnMapping.id"] = next(_ctr)
         f["metadata"] = md
+        # nested members upgrade too (physicalName = own name — that is
+        # what the existing files carry)
+        _assign_nested_mapping_ids(f.get("type"), _ctr)
+    max_id = next(_ctr) - 1
     conf["delta.columnMapping.mode"] = "name"
     conf["delta.columnMapping.maxColumnId"] = str(max_id)
     now_ms = int(_time.time() * 1000)

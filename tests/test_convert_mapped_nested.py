@@ -176,22 +176,109 @@ def test_foreign_mapped_nested_without_member_fids_refuses(spark, tmp_path):
         convert.convert_delta_to_iceberg(spark, root)
 
 
-def test_own_top_mapped_nested_keeps_fresh_ids(spark, tmp_path):
-    """This repo's own mapped writer assigns TOP-LEVEL ids only; members
-    stay under logical names in the files — fresh member ids + name
-    resolution stay correct (round-13 contract), no read property."""
+def test_own_mapped_writer_stamps_and_derives(spark, tmp_path):
+    """Round 14: this repo's own mapped writer assigns nested member
+    columnMapping ids (standard delta-spark shape, physicalName = the
+    member's own name) and stamps member field ids into id-mode
+    footers — conversion DERIVES those ids and the member-resolving
+    read leg engages."""
     root = str(tmp_path / "own")
     df = spark.createDataFrame(
         [(i, (i * 10, f"t{i}")) for i in range(6)],
         "id bigint, s struct<a:bigint,b:string>",
     )
     lakehouse.write_delta(spark, df, root, column_mapping="id")
+    _, meta_d = lakehouse._replay_log_adds(root)
+    sch = json.loads(meta_d["schemaString"])
+    s_f = next(f for f in sch["fields"] if f["name"] == "s")
+    mids = {
+        g["name"]: g["metadata"]["delta.columnMapping.id"]
+        for g in s_f["type"]["fields"]
+    }
+    assert set(mids) == {"a", "b"} and len(set(mids.values())) == 2
+    assert int(
+        meta_d["configuration"]["delta.columnMapping.maxColumnId"]
+    ) >= max(mids.values())
+    convert.convert_delta_to_iceberg(spark, root)
+    meta = iceberg._load_metadata(root)
+    i_s = next(
+        f
+        for f in iceberg._current_schema(meta)["fields"]
+        if f["name"] == "s"
+    )
+    assert {g["name"]: g["id"] for g in i_s["type"]["fields"]} == mids
+    assert (meta.get("properties") or {}).get("fsml.field-id-read") == "true"
+    back = iceberg.read_iceberg(spark, root)
+    got = sorted((r.id, r.s["a"]) for r in back.collect())
+    assert got == [(i, i * 10) for i in range(6)]
+
+
+def test_top_only_mapped_foreign_table_keeps_fresh_ids(spark, tmp_path):
+    """A mapped table whose Delta metadata carries NO member ids (e.g.
+    pre-round-14 tables from this writer): members are stored under
+    logical names — fresh member ids + name resolution stay correct
+    (the round-13 contract), no read property."""
+    root = str(tmp_path / "toponly")
+    df = spark.createDataFrame(
+        [(i, (i * 10, f"t{i}")) for i in range(6)],
+        "id bigint, s struct<a:bigint,b:string>",
+    )
+    lakehouse.write_delta(spark, df, root, column_mapping="id")
+    # strip the member metadata: simulate a top-only-mapped table
+    import os
+
+    log = os.path.join(root, "_delta_log", "00000000000000000000.json")
+    lines = [json.loads(ln) for ln in open(log)]
+    for a in lines:
+        md = a.get("metaData")
+        if not md:
+            continue
+        sch = json.loads(md["schemaString"])
+        for f in sch["fields"]:
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                for g in t["fields"]:
+                    g["metadata"] = {}
+        md["schemaString"] = json.dumps(sch)
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
     convert.convert_delta_to_iceberg(spark, root)
     meta = iceberg._load_metadata(root)
     assert (meta.get("properties") or {}).get("fsml.field-id-read") is None
     back = iceberg.read_iceberg(spark, root)
     got = sorted((r.id, r.s["a"]) for r in back.collect())
     assert got == [(i, i * 10) for i in range(6)]
+
+
+def test_delta_mapped_nested_dml_roundtrip(spark, tmp_path):
+    """MERGE + DELETE + rename on an id-mode mapped NESTED Delta table,
+    then conversion — every staged generation resolves."""
+    root = str(tmp_path / "dml")
+    df = spark.createDataFrame(
+        [(i, (i * 10, f"t{i}"), [float(i)]) for i in range(6)],
+        "id bigint, s struct<n:bigint,t:string>, vec array<double>",
+    )
+    lakehouse.write_delta(spark, df, root, column_mapping="id")
+    src = spark.createDataFrame(
+        [(2, (999, "z"), [9.9]), (10, (100, "w"), [1.0])],
+        "id bigint, s struct<n:bigint,t:string>, vec array<double>",
+    )
+    lakehouse.merge_delta(spark, src, root, keys=["id"])
+    lakehouse.delete_delta(spark, root, "s.n = 30")
+    lakehouse.rename_delta_column(spark, root, "s", "meta")
+    want = [(0, 0), (1, 10), (2, 999), (4, 40), (5, 50), (10, 100)]
+    got = sorted(
+        (r.id, r.meta["n"])
+        for r in lakehouse.read_delta(spark, root).collect()
+    )
+    assert got == want
+    convert.convert_delta_to_iceberg(spark, root)
+    got_i = sorted(
+        (r.id, r.meta["n"])
+        for r in iceberg.read_iceberg(spark, root).collect()
+    )
+    assert got_i == want
 
 
 def test_mapped_nested_partitioned_refuses(spark, tmp_path):
