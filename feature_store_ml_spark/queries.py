@@ -6085,6 +6085,152 @@ def e1_delta_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_iceberg_nested_rowfmt",
+    """
+    WITH live AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id % 6 <> 0
+    ),
+    per AS (
+      SELECT CAST(CASE WHEN vec_id % 11 = 0 THEN label + 100 ELSE label END
+                  % 5 AS INT) AS lbl,
+             CAST(len(embedding) AS BIGINT) AS dim
+      FROM live)
+    SELECT lbl, COUNT(*) AS n, CAST(SUM(dim) AS BIGINT) AS sum_dim
+    FROM per GROUP BY lbl
+    """,
+)
+def e1_iceberg_nested_rowfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED columns on AVRO data files (round 14 — struct->record
+    with member field-id attributes, list->array; io/iceberg
+    _stage_avro_data): write embeddings nested (vec list + a struct
+    carrying label and dim) as an AVRO-file Iceberg table, RENAME the
+    struct column (old containers resolve by field-id attribute),
+    MoR-DELETE a slice, UPDATE the label member through the renamed
+    column (same-format replacement staging), and aggregate over the
+    struct members across all three file generations. The oracle
+    recomputes from the raw embeddings parquet with the same
+    delete+update applied — a member mis-decoded from any generation
+    breaks count and hash alike."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from .io import iceberg
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = f"{tempfile.gettempdir()}/fsml_iceberg_nested_rowfmt"
+    shutil.rmtree(path, ignore_errors=True)
+    nested = e.select(
+        "vec_id",
+        F.col("embedding").alias("vec"),
+        F.struct(
+            F.col("label").cast("long").alias("lab"),
+            F.size("embedding").cast("long").alias("dim"),
+        ).alias("meta"),
+    )
+    iceberg.write_iceberg(spark, nested, path, format_version=2,
+                          data_format="avro")
+    iceberg.rename_iceberg_column(path, "meta", "info")
+    iceberg.delete_iceberg(spark, path, "vec_id % 6 = 0")
+    iceberg.update_iceberg(
+        spark, path,
+        {"info": "named_struct('lab', info.lab + 100, 'dim', info.dim)"},
+        "vec_id % 11 = 0",
+    )
+    if not _glob.glob(f"{path}/data/*.avro"):
+        raise AssertionError("rowfmt table must stage AVRO data files")
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy(
+        (F.col("info.lab") % 5).cast("int").alias("lbl")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("info.dim").cast("long").alias("sum_dim"),
+    )
+
+
+@register(
+    "e1_delta_mapped_nested",
+    """
+    WITH live AS (
+      SELECT vec_id, label FROM embeddings WHERE vec_id % 7 <> 0
+    ),
+    per AS (
+      SELECT CAST(CASE WHEN vec_id % 9 = 0 THEN label * 2 ELSE label END
+                  % 4 AS INT) AS lbl
+      FROM live)
+    SELECT lbl, COUNT(*) AS n FROM per GROUP BY lbl
+    """,
+)
+def e1_delta_mapped_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED nested Delta -> Iceberg end-to-end (round 14 —
+    standard delta-spark shape): create an id-mode mapped table whose
+    struct MEMBERS carry their own columnMapping ids (stamped into the
+    footers by the df.to staging leg), MERGE a slice (members mutate
+    through the mapped write path), DELETE, RENAME the struct, convert
+    to Iceberg — the conversion DERIVES the member ids from the Delta
+    metadata (fresh ids would silently NULL every member for an
+    id-resolving reader) — and aggregate off the ICEBERG read through
+    the member-resolving scan leg. In-query asserts pin the id
+    derivation; the oracle recomputes from the raw embeddings parquet
+    with the same merge+delete applied."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .io import convert, iceberg, lakehouse
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = f"{tempfile.gettempdir()}/fsml_delta_mapped_nested_q"
+    shutil.rmtree(path, ignore_errors=True)
+    nested = e.select(
+        "vec_id",
+        F.struct(
+            F.col("label").cast("long").alias("lab"),
+            F.size("embedding").cast("long").alias("dim"),
+        ).alias("meta"),
+    )
+    lakehouse.write_delta(spark, nested, path, column_mapping="id")
+    upd = nested.where(F.col("vec_id") % 9 == 0).select(
+        "vec_id",
+        F.struct(
+            (F.col("meta.lab") * 2).alias("lab"),
+            F.col("meta.dim").alias("dim"),
+        ).alias("meta"),
+    )
+    lakehouse.merge_delta(spark, upd, path, keys=["vec_id"])
+    lakehouse.delete_delta(spark, path, "vec_id % 7 = 0")
+    lakehouse.rename_delta_column(spark, path, "meta", "info")
+    convert.convert_delta_to_iceberg(spark, path)
+    _, dmeta = lakehouse._replay_log_adds(path)
+    d_members = {
+        g["name"]: g["metadata"]["delta.columnMapping.id"]
+        for g in next(
+            f
+            for f in _json.loads(dmeta["schemaString"])["fields"]
+            if f["name"] == "info"
+        )["type"]["fields"]
+    }
+    imeta = iceberg._load_metadata(path)
+    i_members = {
+        g["name"]: g["id"]
+        for g in next(
+            f
+            for f in iceberg._current_schema(imeta)["fields"]
+            if f["name"] == "info"
+        )["type"]["fields"]
+    }
+    if i_members != d_members:
+        raise AssertionError(
+            f"conversion must DERIVE member ids: {i_members} != {d_members}"
+        )
+    back = iceberg.read_iceberg(spark, path)
+    return back.groupBy(
+        (F.col("info.lab") % 4).cast("int").alias("lbl")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "e1_iceberg_avro",
     """
     SELECT o_orderpriority AS priority,
@@ -8825,6 +8971,16 @@ _FINAL_ORDER = [
     "e4_agg_groupby",       # displaced by e17_packing_invariants (r6-
                             # green; e4 family keeps e4_cube in bench +
                             # median/linreg in the swept tail)
+    "e1_iceberg_nested_rowfmt",  # round 14 tail joiner: nested struct/
+                                 # list on AVRO data files — rename +
+                                 # MoR delete + member UPDATE across
+                                 # three container generations, exact
+                                 # oracle (sweep-verified)
+    "e1_delta_mapped_nested",    # round 14 tail joiner: id-mode mapped
+                                 # NESTED Delta -> MERGE/DELETE/rename
+                                 # -> conversion derives member ids ->
+                                 # Iceberg member-resolving read, exact
+                                 # oracle (sweep-verified)
     "e14_resize_meta",      # displaced by e1_delta_row_dml (r6-green;
                             # e14 family keeps e14_png_checksums in-window)
     "q20_dominant_supplier",  # displaced by e12_scd2 (r5+r6 driver-green;
@@ -9121,8 +9277,10 @@ def _apply_final_order() -> None:
     # column-defaults query and the parquet-migrate query are
     # tail-registered
     # 118 -> 119 round 14: e1_iceberg_variant_write entered the window
-    # displacing e1_iceberg_rollback (driver-green r6-r13) to the tail
-    assert n_oracle_tail <= 119, f"{n_oracle_tail} oracle-backed queries outside window"
+    # displacing e1_iceberg_rollback (driver-green r6-r13) to the tail;
+    # -> 121 with the two round-14 tail joiners (nested-rowfmt DML and
+    # the mapped-nested conversion lifecycle, both sweep-verified)
+    assert n_oracle_tail <= 121, f"{n_oracle_tail} oracle-backed queries outside window"
     _REGISTRY = {n: _REGISTRY[n] for n in _FINAL_ORDER}
 
 
