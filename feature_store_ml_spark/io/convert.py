@@ -44,6 +44,8 @@ as unpartitioned on that dimension.
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 import json
 import os
 from urllib.parse import unquote
@@ -309,7 +311,7 @@ def _gather_file_stats(
 
     n_parts = max(32, len(paths) // 2000)
     rows = (
-        spark.createDataFrame([(p,) for p in paths], "path string")
+        local_rows_df(spark, [(p,) for p in paths], "path string")
         .repartition(n_parts)
         .mapInPandas(batch, "blob string")
         .collect()
@@ -345,7 +347,7 @@ def _write_pos_deletes(
         )
         for rel, desc in sorted(dv_descs.items())
     ]
-    bdf = spark.createDataFrame(blobs, "file_path string, dv binary")
+    bdf = local_rows_df(spark, blobs, "file_path string, dv binary")
 
     def _expand(batches):
         import pandas as pd
@@ -455,7 +457,7 @@ def _pos_deletes_to_bitmaps(
 
         _nf = _by_fmt["avro"] + _by_fmt["orc"]
         fmt_raw = (
-            spark.createDataFrame([(p,) for p in _nf], "path string")
+            local_rows_df(spark, [(p,) for p in _nf], "path string")
             .repartition(min(len(_nf), 64))
             .mapInPandas(
                 _rowfmt_batches, "file_path string, pos long, _src string"
@@ -501,14 +503,14 @@ def _pos_deletes_to_bitmaps(
 
         _pf = _by_fmt["puffin"]
         pf_raw = (
-            spark.createDataFrame([(p,) for p in _pf], "path string")
+            local_rows_df(spark, [(p,) for p in _pf], "path string")
             .repartition(min(len(_pf), 64))
             .mapInPandas(
                 _puffin_batches, "file_path string, pos long, _src string"
             )
         )
         raw = pf_raw if raw is None else raw.unionByName(pf_raw)
-    src_df = spark.createDataFrame(del_rows, "_src2 string, _del_seq long")
+    src_df = local_rows_df(spark, del_rows, "_src2 string, _del_seq long")
     distinct = [
         r["file_path"] for r in raw.select("file_path").distinct().collect()
     ]
@@ -520,8 +522,8 @@ def _pos_deletes_to_bitmaps(
         # delete in a special-char partition dir
         ab = os.path.abspath(iceberg._localize_decoded(u, table_root))
         mapping.append((u, os.path.relpath(ab, root_abs).replace(os.sep, "/")))
-    map_df = spark.createDataFrame(mapping, "_raw string, _rel string")
-    dseq_df = spark.createDataFrame(
+    map_df = local_rows_df(spark, mapping, "_raw string, _rel string")
+    dseq_df = local_rows_df(spark, 
         [
             (
                 os.path.relpath(os.path.abspath(d["path"]), root_abs).replace(
@@ -608,7 +610,7 @@ def _deletes_to_bitmaps_via_survivors(
     if not rows:
         return {}
     universe = (
-        spark.createDataFrame(rows, "_fp string, _rel string, _n long")
+        local_rows_df(spark, rows, "_fp string, _rel string, _n long")
         .select(
             "_fp",
             "_rel",

@@ -73,6 +73,8 @@ branch; zoneless wall-clock ORC files declared timestamptz.
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 import json
 import os
 import re
@@ -1157,7 +1159,7 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
 
     def _mapped(paths, batches_fn):
         return (
-            spark.createDataFrame([(p,) for p in paths], "path string")
+            local_rows_df(spark, [(p,) for p in paths], "path string")
             .repartition(min(len(paths), 64))
             .mapInPandas(batches_fn, "file_path string, pos long")
         )
@@ -1396,7 +1398,7 @@ def _read_eq_delete_keys(
                 )
 
     keys = (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(os.path.abspath(dfile),)], "path string"
         )
         .mapInPandas(_decode, out_schema)
@@ -1479,7 +1481,7 @@ def _join_out_positions(
         (raw, "file:" + os.path.abspath(_localize_decoded(raw, table_root)))
         for raw in distinct_paths
     ]
-    map_df = spark.createDataFrame(mapping, "_raw_fp string, _del_fp string")
+    map_df = local_rows_df(spark, mapping, "_raw_fp string, _del_fp string")
     deleted = del_df.join(
         F.broadcast(map_df), del_df["file_path"] == F.col("_raw_fp")
     ).select("_del_fp", F.col("pos").alias("_del_pos"))
@@ -1581,7 +1583,7 @@ def read_iceberg_changes(
                     "metadata": {},
                 }
             )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [], StructType.fromJson({"type": "struct", "fields": spark_fields})
         )
     # route non-parquet added files through the rowfmt readers (round 9)
@@ -5153,7 +5155,7 @@ def read_iceberg(
                     empty_schema = empty_schema.add(
                         "_row_id", LongType()
                     ).add("_last_updated_sequence_number", LongType())
-                return spark.createDataFrame([], empty_schema)
+                return local_rows_df(spark, [], empty_schema)
             raise ValueError(f"{path}: _only_paths matched no data files")
     if where:
         # scan-planning DATA SKIPPING: manifest partition tuples + column
@@ -5164,7 +5166,7 @@ def read_iceberg(
         if not data:
             empty_schema = _declared_spark_schema(meta)
             if empty_schema is not None:
-                return spark.createDataFrame([], empty_schema)
+                return local_rows_df(spark, [], empty_schema)
     files = [d["path"] for d in data]
     if not files:
         raise ValueError(
@@ -5435,7 +5437,7 @@ def read_iceberg(
                 (fn, *[m.get(c) for c in cols])
                 for fn, m in part_backfill.items()
             ]
-            lut = spark.createDataFrame(
+            lut = local_rows_df(spark, 
                 rows,
                 StructType(
                     [StructField("_pb_file", StringType(), False)]
@@ -5602,7 +5604,7 @@ def read_iceberg_row_ids(
         )
         for d in plan
     ]
-    m = spark.createDataFrame(
+    m = local_rows_df(spark, 
         mapping, "_l_fp string, _l_first long, _l_seq long"
     )
     out = (
@@ -6383,8 +6385,8 @@ def _stage_data_entry(
         data_files = _backfill_unreadable_rowcounts(
             rows.sparkSession, data_files
         )
-        for f, rows, _sz, _pv in list(data_files):
-            if rows == 0:
+        for f, n_rows_f, _sz, _pv in list(data_files):
+            if n_rows_f == 0:
                 os.remove(f)
         data_files = [e for e in data_files if e[1] != 0]
     if not data_files:
@@ -7999,7 +8001,7 @@ def read_iceberg_cdf(
                         cache[raw] = uri
                     pairs.append((uri, p_))
             if pairs:
-                pos_df = spark.createDataFrame(pairs, "_del_fp string, _del_pos long")
+                pos_df = local_rows_df(spark, pairs, "_del_fp string, _del_pos long")
                 dead_rows = (
                     tagged.join(
                         F.broadcast(pos_df),
@@ -8075,7 +8077,7 @@ def read_iceberg_cdf(
                 StructField("_commit_snapshot_id", LongType(), False),
             ]
         )
-        return spark.createDataFrame([], empty)
+        return local_rows_df(spark, [], empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -8252,7 +8254,15 @@ def rename_iceberg_nested_field(
                     "files are not implemented (parquet only)"
                 )
             lp = _local_path(d["path"])
-            sch = pq.read_schema(lp)
+            try:
+                sch = pq.read_schema(lp)
+            except Exception as exc:
+                raise NotImplementedError(
+                    f"{lp}: footer is unreadable (VARIANT logical type?) — "
+                    "inner renames require probing every live file's member "
+                    "ids and this footer cannot be parsed by pyarrow; "
+                    "compact the table to readable footers first"
+                ) from exc
 
             def _child_by_fid(container, fid_want, name_fallback):
                 """container: a schema (top) or a struct type node."""
@@ -9438,7 +9448,7 @@ def _read_avro_data(
                 yield out[out_names]
 
     paths = [e["path"] for e in entries]
-    pdf = spark.createDataFrame(
+    pdf = local_rows_df(spark, 
         [(p, backfill_json[p]) for p in paths], "path string, backfill string"
     ).repartition(min(len(paths), 64))
     return pdf.mapInPandas(_batches, out_schema)
@@ -9602,7 +9612,7 @@ def _read_orc_data(
                 yield out[out_names]
 
     paths = [e["path"] for e in entries]
-    pdf = spark.createDataFrame(
+    pdf = local_rows_df(spark, 
         [(p, backfill_json[p]) for p in paths], "path string, backfill string"
     ).repartition(min(len(paths), 64))
     return pdf.mapInPandas(_batches, out_schema)

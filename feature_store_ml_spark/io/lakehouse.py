@@ -35,6 +35,8 @@ mapping; writer features beyond the supported protocol versions.
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 import json
 import os
 import re
@@ -458,19 +460,25 @@ def _manifest_rows(f: str, log: str, follow_sidecars: bool = False):
 DISTRIBUTED_FOOTER_THRESHOLD = 10_000
 
 
-def _footer_fid_map(path: str, nested: bool = False) -> "dict[int, str] | None":
-    """field-id -> physical-name map of ONE parquet footer; ``None`` when
-    pyarrow cannot decode the footer at all (VARIANT Thrift logical
-    type, pyarrow 16). ``nested=True`` walks the full struct tree (the
-    inner-rename resolution needs member ids); default is top-level
-    only. Shared VERBATIM by the driver loop and the distributed
-    mapInPandas branch so the two paths cannot drift."""
+def _footer_probe_one(
+    path: str, nested: bool = False
+) -> "tuple[dict[int, str] | None, list[str] | None]":
+    """(field-id -> physical-name map, top-level column names) of ONE
+    parquet footer — both ``None`` when pyarrow cannot decode the footer
+    at all (VARIANT Thrift logical type, pyarrow 16). One footer read
+    serves both consumers: the fid grouping AND the name-subset check
+    streaming's ``_footers_mismatch_schema`` runs (which used to re-read
+    every unstamped footer sequentially on the driver). ``nested=True``
+    walks the full struct tree (the inner-rename resolution needs member
+    ids); default is top-level only. Shared VERBATIM by the driver loop
+    and the distributed mapInPandas branch so the two paths cannot
+    drift."""
     import pyarrow.parquet as pq
 
     try:
         schema = pq.read_schema(path)
     except Exception:
-        return None
+        return None, None
     out: dict[int, str] = {}
 
     def walk(field):
@@ -484,7 +492,13 @@ def _footer_fid_map(path: str, nested: bool = False) -> "dict[int, str] | None":
 
     for f in schema:
         walk(f)
-    return out
+    return out, list(schema.names)
+
+
+def _footer_fid_map(path: str, nested: bool = False) -> "dict[int, str] | None":
+    """field-id -> physical-name map of ONE parquet footer; ``None`` when
+    pyarrow cannot decode the footer (see _footer_probe_one)."""
+    return _footer_probe_one(path, nested)[0]
 
 
 def _footer_fid_maps(
@@ -492,14 +506,19 @@ def _footer_fid_maps(
     spark=None,
     nested: bool = False,
     threshold: "int | None" = None,
-) -> "dict[str, dict[int, str] | None]":
-    """{path: fid->name map | None(unreadable footer)} for every file.
+    with_names: bool = False,
+):
+    """{path: fid->name map | None(unreadable footer)} for every file —
+    or, with ``with_names=True``, {path: (fid map | None, top-level
+    column names | None)} from the SAME single footer read per file.
     Sequential driver loop below ``threshold`` files; above it (and with
     a session to use), ONE Arrow-batched Spark job — each file is an
     independent footer read, embarrassingly parallel. Job/driver
     agreement is property-tested (tests/test_footer_probe.py)."""
     limit = DISTRIBUTED_FOOTER_THRESHOLD if threshold is None else threshold
     if spark is None or len(files) <= limit:
+        if with_names:
+            return {f: _footer_probe_one(f, nested) for f in files}
         return {f: _footer_fid_map(f, nested) for f in files}
 
     nested_flag = bool(nested)
@@ -507,33 +526,48 @@ def _footer_fid_maps(
     def _probe(batches):
         import pandas as pd
 
-        from feature_store_ml_spark.io.lakehouse import _footer_fid_map as _m
+        from feature_store_ml_spark.io.lakehouse import (
+            _footer_probe_one as _m,
+        )
 
         for pdf in batches:
             blobs = []
+            nameblobs = []
             for pth in pdf["path"]:
-                m = _m(pth, nested_flag)
+                m, names = _m(pth, nested_flag)
                 blobs.append(
                     None
                     if m is None
                     else json.dumps({str(k): v for k, v in m.items()})
                 )
-            yield pd.DataFrame({"path": pdf["path"], "fids": blobs})
+                nameblobs.append(
+                    None if names is None else json.dumps(names)
+                )
+            yield pd.DataFrame(
+                {"path": pdf["path"], "fids": blobs, "names": nameblobs}
+            )
 
     n_parts = max(32, len(files) // 2000)
     rows = (
-        spark.createDataFrame([(f,) for f in files], "path string")
+        local_rows_df(spark, [(f,) for f in files], "path string")
         .repartition(n_parts)
-        .mapInPandas(_probe, "path string, fids string")
+        .mapInPandas(_probe, "path string, fids string, names string")
         .collect()
     )
     out: dict = {}
     for r in rows:
-        out[r["path"]] = (
+        fids = (
             None
             if r["fids"] is None
             else {int(k): v for k, v in json.loads(r["fids"]).items()}
         )
+        if with_names:
+            out[r["path"]] = (
+                fids,
+                None if r["names"] is None else json.loads(r["names"]),
+            )
+        else:
+            out[r["path"]] = fids
     missing = [f for f in files if f not in out]
     if missing:
         raise RuntimeError(
@@ -1303,7 +1337,7 @@ def _apply_dv_filter(
     # materializes on the driver (round 6; mirrors the write side's
     # executor-side bitmap construction). Join unhinted: AQE broadcasts
     # small position sets and shuffles genuinely huge ones.
-    bdf = spark.createDataFrame(blobs, "_dv_fp string, _dv_blob binary, _dv_card long")
+    bdf = local_rows_df(spark, blobs, "_dv_fp string, _dv_blob binary, _dv_card long")
 
     def _explode(batches):
         import pandas as pd
@@ -1817,7 +1851,7 @@ def read_delta(
             from pyspark.sql.types import StructType
 
             declared = StructType.fromJson(json.loads(meta["schemaString"]))
-            return spark.createDataFrame([], declared)
+            return local_rows_df(spark, [], declared)
     files = [os.path.join(path, p) for p in adds]
     if not files:
         raise ValueError(
@@ -1944,7 +1978,7 @@ def read_delta_changes(
         _, meta = _replay_log(path)
         if not meta.get("schemaString"):
             raise ValueError(f"{path}: no new files and no declared schema")
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [], StructType.fromJson(json.loads(meta["schemaString"]))
         )
     return spark.read.parquet(*added)
@@ -6242,7 +6276,7 @@ def read_delta_cdf(
             for v, f, positions in deletes
             for p in positions
         ]
-        pos_df = spark.createDataFrame(
+        pos_df = local_rows_df(spark, 
             del_pairs, "_dv_fp string, _dv_ri long, _commit_version long"
         )
         del_files = sorted({f for _, f, _ in deletes})
@@ -6276,7 +6310,7 @@ def read_delta_cdf(
                 StructField("_commit_version", LongType(), False),
             ]
         )
-        return spark.createDataFrame([], empty)
+        return local_rows_df(spark, [], empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -6448,7 +6482,7 @@ def _scan_with_row_ids(
                 -1 if rcv is None else int(rcv),  # 0 is a real version
             )
         )
-    m = spark.createDataFrame(rows, "_rt_fp string, _rt_base long, _rt_ver long")
+    m = local_rows_df(spark, rows, "_rt_fp string, _rt_base long, _rt_ver long")
     branches = []
     if plain:
         s = _scan_files(spark, path, plain, meta, adds_map, with_metadata=True)
@@ -6473,7 +6507,7 @@ def _scan_with_row_ids(
             )
         )
     if not branches:  # empty snapshot (e.g. overwritten with zero rows)
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [],
             StructType(
                 list(declared.fields)

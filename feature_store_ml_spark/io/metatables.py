@@ -15,6 +15,8 @@ engine's metadata table materializes for planning)."""
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 import json
 import os
 
@@ -56,7 +58,7 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
         "snapshot_id long, parent_id long, timestamp_ms long, operation string, "
         "sequence_number long, summary string, is_current boolean"
     )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def iceberg_files(spark: SparkSession, path: str, snapshot_id: int | None = None) -> DataFrame:
@@ -103,7 +105,7 @@ def iceberg_files(spark: SparkSession, path: str, snapshot_id: int | None = None
         "file_path string, content string, record_count long, "
         "file_size_in_bytes long, sequence_number long, partition string"
     )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def iceberg_partitions(
@@ -152,7 +154,7 @@ def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
         }
         for e in meta.get("snapshot-log", [])
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "timestamp_ms long, snapshot_id long, is_current_ancestor boolean"
     )
 
@@ -207,7 +209,7 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
                 "n_removes": n_removes,
             }
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "version long, timestamp_ms long, operation string, "
         "operationParameters string, n_adds int, n_removes int",
@@ -238,7 +240,7 @@ def delta_detail(spark: SparkSession, path: str) -> DataFrame:
         "numFiles long, sizeInBytes long, properties string, "
         "minReaderVersion int, minWriterVersion int"
     )
-    return spark.createDataFrame([row], schema)
+    return local_rows_df(spark, [row], schema)
 
 
 def delta_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -274,7 +276,7 @@ def delta_files(spark: SparkSession, path: str, version: int | None = None) -> D
         "path string, size_bytes long, num_records long, "
         "has_deletion_vector boolean, partitionValues string, has_stats boolean"
     )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
@@ -306,7 +308,7 @@ def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
             }
         )
     schema = "name string, type string, snapshot_id long, retained boolean"
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)
 
 
 def iceberg_manifests(
@@ -346,4 +348,4 @@ def iceberg_manifests(
         "path string, length long, content string, sequence_number long, "
         "added_snapshot_id long"
     )
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)

@@ -772,18 +772,37 @@ def prune_adds_distributed(
         for pdf in batches:
             keep = [
                 file_may_match(
-                    conjuncts, json.loads(aj), schema_types, part_cols, mapping
+                    conjuncts,
+                    {
+                        "stats": st,
+                        "partitionValues": json.loads(pv) if pv else {},
+                    },
+                    schema_types,
+                    part_cols,
+                    mapping,
                 )
-                for aj in pdf["add_json"]
+                for st, pv in zip(pdf["stats"], pdf["pv_json"])
             ]
             yield pd.DataFrame({"rel": pdf["rel"][keep]})
 
     import pandas as pd
 
+    # ship only the two add fields the evaluator reads (stats is ALREADY a
+    # JSON string in the add action — re-encoding the whole add would pay
+    # an O(len(stats)) re-escape per file on the driver; guide §2.3,
+    # project before the exchange)
     pdf = pd.DataFrame(
         {
             "rel": list(adds.keys()),
-            "add_json": [json.dumps(a) for a in adds.values()],
+            "stats": [
+                a.get("stats") if isinstance(a.get("stats"), str)
+                else (json.dumps(a["stats"]) if a.get("stats") else None)
+                for a in adds.values()
+            ],
+            "pv_json": [
+                json.dumps(pv) if (pv := a.get("partitionValues")) else None
+                for a in adds.values()
+            ],
         }
     )
     df = spark.createDataFrame(pdf)  # Arrow-batched when enabled

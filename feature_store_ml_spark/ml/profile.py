@@ -6,6 +6,8 @@ presentation — SURVEY.md §2A R19 note).
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,7 +26,7 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     """
     lo, hi = df.select(F.min(col), F.max(col)).first()
     if lo is None or hi is None:
-        return df.sparkSession.createDataFrame(
+        return local_rows_df(df.sparkSession, 
             [], "bin int, bin_lo double, bin_hi double, n long"
         )
     width = (hi - lo) / nbins or 1.0
@@ -62,7 +64,7 @@ def histogram_kde(
 
     lo, hi = df.select(F.min(col), F.max(col)).first()
     if lo is None or hi is None:  # empty / all-null column: no bin range
-        return df.sparkSession.createDataFrame(
+        return local_rows_df(df.sparkSession, 
             [], "bin int, bin_lo double, bin_hi double, n long, density double"
         )
     width = (hi - lo) / nbins or 1.0

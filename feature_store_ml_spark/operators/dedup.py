@@ -25,6 +25,8 @@ dedup of a growing corpus).
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -744,7 +746,7 @@ def semantic_dedup(
     )
     model = km.fit(base)
     centers = [c.tolist() for c in model.clusterCenters()]
-    centers_df = df.sparkSession.createDataFrame(
+    centers_df = local_rows_df(df.sparkSession, 
         [(i, c) for i, c in enumerate(centers)],
         "sem_cluster int, _center array<double>",
     )

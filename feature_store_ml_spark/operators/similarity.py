@@ -26,6 +26,8 @@ batching wins.
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -308,7 +310,7 @@ def _ivf_fit_assign(
     assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cluster")
     corpus_v.unpersist()
     centers = [c.tolist() for c in model.clusterCenters()]
-    centers_df = corpus.sparkSession.createDataFrame(
+    centers_df = local_rows_df(corpus.sparkSession, 
         [(i, c) for i, c in enumerate(centers)], "cluster int, center array<double>"
     )
     return assigned, centers_df

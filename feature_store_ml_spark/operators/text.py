@@ -8,6 +8,8 @@ Column) so callers compose them into a single projection — one pass over
 
 from __future__ import annotations
 
+from ..localframe import local_rows_df
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -495,7 +497,7 @@ def bm25_topk(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
+    qdf = local_rows_df(spark, 
         list(queries), "query_id string, query_text string"
     )
     qterms = qdf.select(

@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES (advisoryPartitionSizeInBytes,
+        # Spark default 64m) instead of stopping coalescing at the core count:
+        # parallelismFirst=true (the Spark default) exists to avoid surprises
+        # when first enabling AQE and the docs themselves recommend false.
+        # With it true, every tiny internal shuffle (DML staging, CDF diffs,
+        # metadata joins) fans out to `cpus` near-empty tasks AND every staged
+        # write then lands `cpus` near-empty files that downstream scans pay
+        # per-file open cost for (guide §2.2, §6). Sizing by bytes is
+        # scale-correct: at 100 TB the same setting yields advisory-sized
+        # (not fewer) partitions, and it is core-count-independent, so the
+        # driver's reduced-core scaling run measures the same plan.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

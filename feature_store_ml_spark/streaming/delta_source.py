@@ -705,12 +705,13 @@ def stream_delta_cdf(
         # footers (O(#cdc files), driver metadata) and route
         # rename-spanning streams through the MATERIALIZED leg, which
         # resolves per commit (round 11 — formerly a loud refusal).
-        import pyarrow.parquet as _pq
+        from ..io.lakehouse import _footer_fid_maps as _probe_all
 
         want0 = {f.name for f in schema0.fields} | {"_change_type"}
         log = lakehouse._delta_log_dir(path)
+        cdc_paths: list[str] = []
         for name in sorted(os.listdir(log)):
-            if materialize or not lakehouse._is_commit_json(name):
+            if not lakehouse._is_commit_json(name):
                 continue
             if int(name[:20]) <= since_version:
                 continue
@@ -720,14 +721,19 @@ def stream_delta_cdf(
                     if not line:
                         continue
                     action = json.loads(line)
-                    if "cdc" not in action:
-                        continue
-                    f = os.path.join(path, action["cdc"]["path"])
-                    if not set(_pq.read_schema(f).names) <= want0:
-                        materialize = True
-                        break
-            if materialize:
-                break
+                    if "cdc" in action:
+                        cdc_paths.append(
+                            os.path.join(path, action["cdc"]["path"])
+                        )
+        if cdc_paths:
+            # one batched probe (distributed above the footer threshold)
+            # instead of a sequential read_schema per cdc file
+            probes = _probe_all(cdc_paths, spark=spark, with_names=True)
+            for f in cdc_paths:
+                names = probes[f][1]
+                if names is None or not set(names) <= want0:
+                    materialize = True
+                    break
     # the two legs lay the spool out differently (links+Hive dirs vs
     # per-commit materialized dirs) — a spool must never mix them, so
     # the first sync stamps its mode and a resume under the other mode

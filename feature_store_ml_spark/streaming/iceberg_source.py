@@ -537,7 +537,7 @@ def _recover_partial_materialization(spool_dir: str, mark_dir: str) -> None:
 
 
 def _footers_mismatch_schema(
-    meta: dict, files: list[str], path: str, spark=None
+    meta: dict, files: list[str], path: str, spark=None, probes=None
 ) -> bool:
     """True when linking these parquet files into a NAME-resolving file
     source would silently misread them: the table had an inner
@@ -547,7 +547,7 @@ def _footers_mismatch_schema(
     (VARIANT). Round 14 (VERDICT r13 item 7): callers MATERIALIZE such
     files through the batch reader (field-id / member resolution,
     current declared names) into spool parquet instead of refusing."""
-    from ..io.lakehouse import _group_files_by_field_ids
+    from ..io.lakehouse import _footer_fid_maps
 
     if (meta.get("properties") or {}).get("fsml.field-id-read") == "true":
         return True
@@ -557,20 +557,23 @@ def _footers_mismatch_schema(
     }
     if not want:
         return False
-    for phys_by_fid, gfiles in _group_files_by_field_ids(files, spark=spark):
+    # ONE footer read per file yields both the fid map and the top-level
+    # names (ADVICE r14: the name-subset check used to re-read every
+    # unstamped footer sequentially on the driver right after the fid
+    # probe had parsed it — reintroducing the O(#files) serial loop the
+    # distributed probe exists to remove). Callers that need the same
+    # probe for their own checks pass it in via ``probes``.
+    if probes is None:
+        probes = _footer_fid_maps(files, spark=spark, with_names=True)
+    want_names = set(want.values())
+    for f in files:
+        phys_by_fid, names = probes[f]
         if not phys_by_fid:
             # unstamped OR unreadable (variant) footers: prove each one
             # readable and carrying the current names; otherwise
             # materialize (never silent-null)
-            import pyarrow.parquet as _pq0
-
-            for gf in gfiles:
-                try:
-                    names = set(_pq0.read_schema(gf).names)
-                except Exception:
-                    return True
-                if not set(want.values()) <= names:
-                    return True
+            if names is None or not want_names <= set(names):
+                return True
             continue
         for fid, phys in phys_by_fid.items():
             if fid in want and want[fid] != phys:
@@ -640,8 +643,6 @@ def sync_iceberg_cdf_spool(
     commit order) plus its id, so ``stream_iceberg_cdf`` surfaces
     ``_commit_snapshot_id`` from the path for inserts. Idempotent.
     Returns the current snapshot id to checkpoint."""
-    import pyarrow.parquet as pq
-
     from .delta_source import _publish_cdf_batch, _recover_cdf_batch
 
     meta = _ice._load_metadata(path)
@@ -717,16 +718,23 @@ def sync_iceberg_cdf_spool(
             # through the format-aware CDF reader
             materialize = True
         if not materialize and added_local:
-            if _footers_mismatch_schema(meta, added_local, path, spark):
+            # ONE footer probe serves both checks (the mismatch test and
+            # the projected-partition-column test) — formerly each file's
+            # footer was read twice, serially, per sync
+            from ..io.lakehouse import _footer_fid_maps as _probe_all
+
+            probes = _probe_all(added_local, spark=spark, with_names=True)
+            if _footers_mismatch_schema(
+                meta, added_local, path, spark, probes=probes
+            ):
                 materialize = True  # rename evolution / variant footers
             else:
                 for f in added_local:
-                    try:
-                        fnames = set(pq.read_schema(f).names)
-                    except Exception:
+                    fnames = probes[f][1]
+                    if fnames is None:
                         materialize = True  # unreadable footer (VARIANT)
                         break
-                    if not want_names <= fnames:
+                    if not want_names <= set(fnames):
                         materialize = True  # partition cols in metadata
                         break
         if materialize:

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from feature_store_ml_spark.io.lakehouse import (
     _footer_fid_map,
     _footer_fid_maps,
+    _footer_probe_one,
     _group_files_by_field_ids,
 )
 
@@ -133,3 +134,46 @@ def test_threshold_dispatch(spark, tmp_path, monkeypatch):
     assert not calls
     _footer_fid_maps([f], spark=spark, threshold=0)
     assert calls
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(_col, min_size=1, max_size=4), min_size=1, max_size=3))
+def test_with_names_job_agrees_with_driver_loop(
+    spark, tmp_path_factory, per_file
+):
+    """with_names=True returns (fid map, top-level names) from ONE footer
+    read, identically on the driver loop and the distributed job — the
+    contract streaming's _footers_mismatch_schema relies on to avoid a
+    second serial per-file read."""
+    d = tmp_path_factory.mktemp("probe_names")
+    files = []
+    for i, cols in enumerate(per_file):
+        sch = _mk_schema(cols)
+        t = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in sch], schema=sch
+        )
+        f = str(d / f"f{i}.parquet")
+        pq.write_table(t, f)
+        files.append(f)
+    drv = {f: _footer_probe_one(f) for f in files}
+    job = _footer_fid_maps(files, spark=spark, threshold=0, with_names=True)
+    assert job == drv
+    for f in files:
+        fids, names = drv[f]
+        assert names == pq.read_schema(f).names
+        assert fids == _footer_fid_map(f)
+
+
+def test_with_names_variant_footer_is_none_none(spark, tmp_path):
+    d = str(tmp_path / "vn")
+    spark.range(3).selectExpr(
+        "id", "parse_json(to_json(struct(id AS a))) AS v"
+    ).repartition(1).write.parquet(d)
+    vf = glob.glob(os.path.join(d, "*.parquet"))[0]
+    assert _footer_probe_one(vf) == (None, None)
+    job = _footer_fid_maps([vf], spark=spark, threshold=0, with_names=True)
+    assert job[vf] == (None, None)
