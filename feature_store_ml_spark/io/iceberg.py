@@ -1470,11 +1470,47 @@ def _join_out_positions(
     shuffle join for genuinely huge ones."""
     from pyspark.sql import functions as F
 
+    import pyarrow.orc as _pa_orc
+    import pyarrow.parquet as pq
+
+    from . import puffin as _puf
+
     del_df = _read_pos_delete_pairs(spark, delete_files)
-    distinct_paths = [
-        r["file_path"]
-        for r in del_df.select("file_path").distinct().collect()
-    ]
+    _by = _delete_files_by_fmt(delete_files)
+    #: puffin footers are read ONCE driver-side and serve both the
+    #: distinct-path set and the cardinality sum below
+    _puffin_blobs = {
+        f: [
+            b
+            for b in _puf.read_puffin(f)[0]
+            if b.get("type") == _puf.BLOB_TYPE_DV
+        ]
+        for f in _by["puffin"]
+    }
+    if not (_by["parquet"] or _by["avro"] or _by["orc"]):
+        # ALL-puffin delete set (v3 DV tables): the referenced data file
+        # of every DV blob is right in the puffin metadata the driver
+        # already parses for cardinality — no Spark job needed for the
+        # distinct-path mapping (formerly a distinct().collect() per
+        # MoR read, 2-3 AQE stage-jobs each)
+        refs = set()
+        for f, blobs in _puffin_blobs.items():
+            for b in blobs:
+                ref = (b.get("properties") or {}).get(
+                    "referenced-data-file"
+                )
+                if not ref:
+                    raise ValueError(
+                        f"{f}: deletion-vector blob without "
+                        "referenced-data-file property"
+                    )
+                refs.add(ref)
+        distinct_paths = sorted(refs)
+    else:
+        distinct_paths = [
+            r["file_path"]
+            for r in del_df.select("file_path").distinct().collect()
+        ]
     if not distinct_paths:
         return tagged
     mapping = [
@@ -1489,26 +1525,15 @@ def _join_out_positions(
     # files) driver metadata): small delete sets broadcast explicitly so
     # the data scan is never shuffled; mass deletes leave the choice to
     # AQE (shuffle join) rather than OOM a forced broadcast.
-    import pyarrow.orc as _pa_orc
-    import pyarrow.parquet as pq
-
-    _by = _delete_files_by_fmt(delete_files)
-
-    def _puffin_cardinality(f: str) -> int:
-        from . import puffin as _puf
-
-        blobs, _props = _puf.read_puffin(f)
-        return sum(
-            int((b.get("properties") or {}).get("cardinality", 0))
-            for b in blobs
-            if b.get("type") == _puf.BLOB_TYPE_DV
-        )
-
     total_rows = (
         sum(pq.ParquetFile(f).metadata.num_rows for f in _by["parquet"])
         + sum(avro_lite.count_container_records(f) for f in _by["avro"])
         + sum(_pa_orc.ORCFile(f).nrows for f in _by["orc"])
-        + sum(_puffin_cardinality(f) for f in _by["puffin"])
+        + sum(
+            int((b.get("properties") or {}).get("cardinality", 0))
+            for blobs in _puffin_blobs.values()
+            for b in blobs
+        )
     )
     if total_rows <= 5_000_000:
         deleted = F.broadcast(deleted)
@@ -3604,6 +3629,21 @@ def write_iceberg(
                 derive_cols[n].cast("string").alias(f"_p_{n}")
                 for n in partition_by
             ],
+        )
+        # write.distribution-mode=hash (Iceberg spark-writes docs, guide
+        # §6): cluster rows by partition tuple before the partitioned
+        # write so tasks write whole partitions in PARALLEL — an
+        # unclustered input (often 1 scan task) otherwise opens a writer
+        # per partition value serially (measured: a ~900-value
+        # day-transform write was one 4 s task). Explicit N (the
+        # cluster's slot count — core-count-derived, not a constant) so
+        # AQE's byte-based coalescing doesn't collapse the fan-out: the
+        # bottleneck here is per-FILE writer setup, not bytes. Each
+        # partition value still lands in exactly one task, so the
+        # 1-file-per-partition layout is unchanged.
+        _n_slots = df.sparkSession.sparkContext.defaultParallelism
+        staged = staged.repartition(
+            _n_slots, *[f"_p_{c}" for c in partition_by]
         )
         staged.write.partitionBy(*[f"_p_{c}" for c in partition_by]).parquet(staging)
     else:
@@ -6326,6 +6366,10 @@ def _stage_data_entry(
             )
         shutil.rmtree(staging, ignore_errors=True)
     elif pfields_parsed:
+        # hash-distribute by partition tuple before the partitioned
+        # write (write.distribution-mode=hash — same rationale and
+        # layout-invariance as the write_iceberg staging write)
+        _n_slots = rows.sparkSession.sparkContext.defaultParallelism
         (
             rows.select(
                 "*",
@@ -6333,6 +6377,9 @@ def _stage_data_entry(
                     c["col"].cast("string").alias(f"_p_{c['name']}")
                     for c in pfields_parsed
                 ],
+            )
+            .repartition(
+                _n_slots, *[f"_p_{c['name']}" for c in pfields_parsed]
             )
             .write.partitionBy(*[f"_p_{c['name']}" for c in pfields_parsed])
             .parquet(staging)

@@ -473,12 +473,27 @@ def _footer_probe_one(
     ids); default is top-level only. Shared VERBATIM by the driver loop
     and the distributed mapInPandas branch so the two paths cannot
     drift."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # open via OSFile when the path is plain-local: read_schema(path)
+    # pays a filesystem-resolution round per call (~1/3 of the probe,
+    # measured 64us -> 42us per footer). Paths the OSFile cannot open
+    # (URIs, object stores) fall back to the resolving form — only a
+    # failed PARSE may classify a footer unreadable.
     try:
-        schema = pq.read_schema(path)
+        fh = pa.OSFile(path, "rb")
     except Exception:
-        return None, None
+        try:
+            schema = pq.read_schema(path)
+        except Exception:
+            return None, None
+    else:
+        try:
+            with fh:
+                schema = pq.read_schema(fh)
+        except Exception:
+            return None, None
     out: dict[int, str] = {}
 
     def walk(field):
@@ -548,26 +563,25 @@ def _footer_fid_maps(
             )
 
     n_parts = max(32, len(files) // 2000)
-    rows = (
+    pdf = (
         local_rows_df(spark, [(f,) for f in files], "path string")
         .repartition(n_parts)
         .mapInPandas(_probe, "path string, fids string, names string")
-        .collect()
+        # Arrow-batched transfer: row-pickle collect() costs ~30us/row of
+        # driver-side deserialization at 10^5-file counts
+        .toPandas()
     )
     out: dict = {}
-    for r in rows:
+    for pth, fj, nj in zip(pdf["path"], pdf["fids"], pdf["names"]):
         fids = (
             None
-            if r["fids"] is None
-            else {int(k): v for k, v in json.loads(r["fids"]).items()}
+            if fj is None
+            else {int(k): v for k, v in json.loads(fj).items()}
         )
         if with_names:
-            out[r["path"]] = (
-                fids,
-                None if r["names"] is None else json.loads(r["names"]),
-            )
+            out[pth] = (fids, None if nj is None else json.loads(nj))
         else:
-            out[r["path"]] = fids
+            out[pth] = fids
     missing = [f for f in files if f not in out]
     if missing:
         raise RuntimeError(
