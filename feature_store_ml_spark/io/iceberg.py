@@ -1153,8 +1153,13 @@ def _read_pos_delete_pairs(spark: SparkSession, delete_files: list[str]):
     by_fmt = _delete_files_by_fmt(delete_files)
     parts = []
     if by_fmt["parquet"]:
+        # explicit schema: position-delete files carry the spec-fixed
+        # (file_path string, pos long) pair, so schema inference — a
+        # footer-reading driver job per MoR read — measures nothing
         parts.append(
-            spark.read.parquet(*by_fmt["parquet"]).select("file_path", "pos")
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(*by_fmt["parquet"])
+            .select("file_path", "pos")
         )
 
     def _mapped(paths, batches_fn):
@@ -6067,11 +6072,21 @@ def _stage_position_deletes(
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging = os.path.join(data_dir, f"_staging_{uuid.uuid4().hex[:12]}")
-    (
-        pairs_df.repartitionByRange("file_path", "pos")
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(staging)
-    )
+    # persist the matched pairs: repartitionByRange runs a SAMPLING pass
+    # before the shuffle, and without the cache that pass re-executes the
+    # full delete-filtered MoR scan feeding pairs_df — two table scans
+    # per DELETE instead of one. The cached rows are the (path, pos)
+    # pairs only: O(#deleted rows) of strings+longs, the same bound the
+    # distributed delete write already accepts shuffling.
+    pairs_df = pairs_df.persist()
+    try:
+        (
+            pairs_df.repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(staging)
+        )
+    finally:
+        pairs_df.unpersist()
     run = uuid.uuid4().hex
     del_files: list[tuple[str, int]] = []
     for i, part in enumerate(
