@@ -83,6 +83,7 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 from . import avro_lite
+from . import nativesrc as _nativesrc
 
 #: manifest-entry status values, per spec
 _STATUS_DELETED = 2
@@ -5134,7 +5135,11 @@ def read_iceberg(
         snapshot_id = resolve_iceberg_ref(_load_metadata(path), ref)
     if snapshot_id is not None and as_of_ms is not None:
         raise ValueError("read_iceberg: pass snapshot_id OR as_of_ms, not both")
-    if not _lineage_cols and _only_paths is None:
+    if (
+        not _lineage_cols
+        and _only_paths is None
+        and not _nativesrc.known_absent(spark, "iceberg")
+    ):
         # lineage scans skip the native-jar attempt: the materialized
         # lineage columns resolve through OUR field-id machinery;
         # subset scans (_only_paths — incremental compaction's selected
@@ -5157,6 +5162,10 @@ def read_iceberg(
                 and "Failed to find" not in str(exc)
             ):
                 raise
+            # each doomed attempt costs a JVM exception round trip
+            # (~0.15-0.4 s); remember the classification for this
+            # application so only the first read pays it
+            _nativesrc.mark_absent(spark, "iceberg")
     if snapshot_id is not None or as_of_ms is not None:
         meta = _load_metadata(path)
         if as_of_ms is not None:

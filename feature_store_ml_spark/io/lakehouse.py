@@ -43,6 +43,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import nativesrc as _nativesrc
 from . import skipping
 
 _MAX_SUPPORTED_READER_VERSION = 1
@@ -1846,15 +1847,22 @@ def read_delta(
         raise ValueError("read_delta: pass version OR timestamp_ms, not both")
     if timestamp_ms is not None:
         version = version_as_of_timestamp(path, timestamp_ms)
-    try:
-        reader = spark.read.format("delta")
-        if version is not None:
-            reader = reader.option("versionAsOf", str(version))
-        native = reader.load(path)
-        return native.filter(where) if where else native
-    except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
-        if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
-            raise
+    if not _nativesrc.known_absent(spark, "delta"):
+        try:
+            reader = spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", str(version))
+            native = reader.load(path)
+            return native.filter(where) if where else native
+        except Exception as exc:  # jar absent → DATA_SOURCE_NOT_FOUND at plan time
+            if (
+                "DATA_SOURCE_NOT_FOUND" not in str(exc)
+                and "Failed to find" not in str(exc)
+            ):
+                raise
+            # remember the classification: each doomed native attempt
+            # costs a full JVM exception round trip (see io/nativesrc)
+            _nativesrc.mark_absent(spark, "delta")
     adds, meta = _replay_log_adds(path, max_version=version)
     if where:
         # dispatches to a distributed mapInPandas evaluation above
@@ -3367,6 +3375,7 @@ def write_delta(
             cm_meta is not None
             or identity_columns is not None
             or row_tracking
+            or _nativesrc.known_absent(spark, "delta")
         ):
             raise _FallbackWriter()  # native option plumbing not wired
         writer = df.write.format("delta").mode(mode)
@@ -3387,6 +3396,9 @@ def write_delta(
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
+        # remember the classification: each doomed native attempt costs
+        # a full JVM exception round trip (see io/nativesrc)
+        _nativesrc.mark_absent(spark, "delta")
 
     os.makedirs(path, exist_ok=True)
     log = _delta_log_dir(path)

@@ -1,0 +1,31 @@
+"""Once-per-application memo of native DataSource availability.
+
+``spark.read.format("iceberg").load(...)`` on a classpath without the
+runtime jar fails at PLAN time with DATA_SOURCE_NOT_FOUND — but each
+such failure costs a full JVM exception round trip: the JVM builds the
+exception + stack trace, py4j stringifies it, and pyspark's
+``convert_exception`` walks the cause chain with further py4j calls
+(measured 0.15-0.4 s per failed ``load``). The fallback readers/writers
+used to pay that on EVERY call.
+
+The classpath cannot change inside a running application, so the
+absent classification is memoized per ``(applicationId, source name)``:
+only the first attempt pays the probe, every later call skips straight
+to the pure-python path. When the jar IS present nothing is memoized
+and the native path keeps being used unconditionally.
+"""
+
+from __future__ import annotations
+
+_ABSENT: set[tuple[str, str]] = set()
+
+
+def known_absent(spark, name: str) -> bool:
+    """True when this application already proved ``format(name)`` has no
+    registered DataSource (so the caller can skip the doomed attempt)."""
+    return (spark.sparkContext.applicationId, name) in _ABSENT
+
+
+def mark_absent(spark, name: str) -> None:
+    """Record a DATA_SOURCE_NOT_FOUND classification for this application."""
+    _ABSENT.add((spark.sparkContext.applicationId, name))
