@@ -10,21 +10,101 @@ slices vs ~0.4 s at one slice. Engine-internal metadata frames (file
 lists, path mappings, DV blob tables, single-row results) are evaluated
 once per downstream job, so the waste multiplies across a DML lifecycle.
 
-``local_rows_df`` is the drop-in replacement: explicit slice count,
-defaulting to one slice per 10k rows. This is NOT a local[32] tune — the
-rows here are driver-held metadata (O(#files) at most), and on a real
-cluster the same single-digit slice count is correct: the fan-out for
+``local_rows_df`` goes one step further than an explicit slice count
+(the round-15 first cut): when the row values convert cleanly to Arrow,
+the frame is built as a ``pyarrow.Table`` and handed to
+``createDataFrame``, which plans it as a pure-JVM ``LocalTableScan`` —
+ZERO Python tasks per downstream action (measured ~0.13 s vs ~0.27 s
+per action for the one-slice RDD form, and no Python-worker occupancy).
+Anything Arrow cannot represent falls back to the RDD path with an
+explicit small slice count. This is NOT a local[32] tune — the rows
+here are driver-held metadata (O(#files) at most), and the fan-out for
 heavy work happens in the explicit ``repartition(n)`` the heavy paths
 already apply downstream of these frames.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 
 #: rows per slice before adding parallelism — local metadata rows are
 #: tiny; slicing exists only to bound single-task memory, not for speed
 _ROWS_PER_SLICE = 10_000
+
+
+def _as_struct_type(spark: SparkSession, schema):
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        return schema
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(schema)
+    return None
+
+
+def _has_session_tz_timestamp(dt) -> bool:
+    """True when the type tree contains a session-timezone TIMESTAMP:
+    the RDD path interprets naive datetimes in the SESSION timezone while
+    the Arrow path pins them to UTC — divergent under a non-UTC session
+    (the driver-robustness mode), so such frames keep the RDD path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_has_session_tz_timestamp(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_session_tz_timestamp(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_session_tz_timestamp(dt.keyType) or _has_session_tz_timestamp(
+            dt.valueType
+        )
+    return False
+
+
+def _arrow_local_df(spark: SparkSession, rows: list, schema) -> "DataFrame | None":
+    """Build the frame as a pyarrow Table (JVM LocalTableScan, no Python
+    tasks at evaluation time) — None when the schema or the values do
+    not convert exactly (caller falls back to the RDD path)."""
+    try:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        st = _as_struct_type(spark, schema)
+        if st is None or _has_session_tz_timestamp(st):
+            return None
+        arrow_schema = to_arrow_schema(st)
+        names = [f.name for f in st.fields]
+        cols: list[list] = [[] for _ in names]
+        for r in rows:
+            if isinstance(r, dict):
+                for i, n in enumerate(names):
+                    cols[i].append(r.get(n))
+            elif isinstance(r, Row):
+                d = r.asDict()
+                for i, n in enumerate(names):
+                    cols[i].append(d.get(n))
+            else:
+                if len(r) != len(names):
+                    return None
+                for i, v in enumerate(r):
+                    cols[i].append(v)
+        arrays = [
+            pa.array(c, type=arrow_schema.field(i).type)
+            for i, c in enumerate(cols)
+        ]
+        tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
+        return spark.createDataFrame(tbl, schema=st)
+    except Exception:
+        return None
 
 
 def local_rows_df(
@@ -33,9 +113,13 @@ def local_rows_df(
     schema,
     slices: int | None = None,
 ) -> DataFrame:
-    """``createDataFrame`` for small driver-side row lists with an
-    explicit, small slice count (see module docstring)."""
+    """``createDataFrame`` for small driver-side row lists, planned as a
+    JVM LocalTableScan when possible, else an RDD with an explicit,
+    small slice count (see module docstring)."""
     rows = rows if isinstance(rows, list) else list(rows)
+    df = _arrow_local_df(spark, rows, schema)
+    if df is not None:
+        return df
     if not rows:
         # 0-row frames: one empty slice, not defaultParallelism of them
         rdd = spark.sparkContext.parallelize([], 1)

@@ -54,6 +54,18 @@ def get_spark(
         # (not fewer) partitions, and it is core-count-independent, so the
         # driver's reduced-core scaling run measures the same plan.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Let AQE re-plan CACHED frames too (off by default for
+        # output-partitioning compat only — SPARK-38389): without it every
+        # persisted frame (MERGE cardinality checks, DELETE pair staging)
+        # materializes at the static shuffle.partitions count, walling off
+        # the byte-sized coalescing above. No engine path depends on
+        # cached output partitioning; at scale this coalesces cached
+        # intermediates to advisory-sized partitions exactly like
+        # uncached ones.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
