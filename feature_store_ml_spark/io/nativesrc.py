@@ -20,12 +20,25 @@ from __future__ import annotations
 _ABSENT: set[tuple[str, str]] = set()
 
 
+def _app_id(spark) -> str:
+    """applicationId with a per-session memo: the property itself costs
+    py4j round trips, and the memo is read on every lakehouse call."""
+    aid = getattr(spark, "_fsml_app_id", None)
+    if aid is None:
+        aid = spark.sparkContext.applicationId
+        try:
+            spark._fsml_app_id = aid
+        except Exception:
+            pass
+    return aid
+
+
 def known_absent(spark, name: str) -> bool:
     """True when this application already proved ``format(name)`` has no
     registered DataSource (so the caller can skip the doomed attempt)."""
-    return (spark.sparkContext.applicationId, name) in _ABSENT
+    return (_app_id(spark), name) in _ABSENT
 
 
 def mark_absent(spark, name: str) -> None:
     """Record a DATA_SOURCE_NOT_FOUND classification for this application."""
-    _ABSENT.add((spark.sparkContext.applicationId, name))
+    _ABSENT.add((_app_id(spark), name))

@@ -32,15 +32,25 @@ from pyspark.sql import DataFrame, Row, SparkSession
 _ROWS_PER_SLICE = 10_000
 
 
+#: DDL string -> StructType memo: _parse_datatype_string costs a py4j
+#: round trip per call and the engine re-uses a small set of schema
+#: strings (file lists, DV tables, pair maps) on every DML commit
+_DDL_CACHE: dict[str, object] = {}
+
+
 def _as_struct_type(spark: SparkSession, schema):
     from pyspark.sql.types import StructType
 
     if isinstance(schema, StructType):
         return schema
     if isinstance(schema, str):
-        from pyspark.sql.types import _parse_datatype_string
+        st = _DDL_CACHE.get(schema)
+        if st is None:
+            from pyspark.sql.types import _parse_datatype_string
 
-        return _parse_datatype_string(schema)
+            st = _parse_datatype_string(schema)
+            _DDL_CACHE[schema] = st
+        return st
     return None
 
 
