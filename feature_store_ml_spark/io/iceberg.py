@@ -2356,6 +2356,37 @@ def _decode_bound(b: bytes, ice_type: str):
     return None
 
 
+#: bytes of estimated input per partitioned-staging writer task. The
+#: hash-distribute before a partitionBy write (write.distribution-mode=
+#: hash, guide §6) needs enough tasks to parallelize writer setup and
+#: the write bytes, and no more: a core-count fan-out (round 15) made
+#: every tiny DML staging pay a `defaultParallelism`-task shuffle —
+#: core-count-proportional by construction (the r15 driver bench ran
+#: e1_iceberg_merge 2x slower at 32 cores than at 8). 1 MiB/task with a
+#: floor of 4 keeps multi-value writer setup parallel (N=1 serializes
+#: ~5 ms/file of writer open/commit; measured +0.5-0.7 s on the ~25-56
+#: value lifecycle writes) while staying core-count-independent below
+#: the slot cap. At scale the estimate exceeds the cap and this is
+#: exactly the old slot-count fan-out.
+_STAGE_FANOUT_TARGET_BYTES = 1 << 20
+
+
+def _stage_fanout(df: DataFrame) -> int:
+    """Partition count for the pre-partitionBy hash distribution, sized
+    by the frame's Catalyst size estimate (guide §2.2: partition by
+    data, not cores). Falls back to the slot count when the estimate is
+    unavailable. Any N keeps the one-file-per-partition-value layout:
+    hash distribution sends each partition tuple to exactly one task."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return par
+    return min(par, max(4, -(-est // _STAGE_FANOUT_TARGET_BYTES)))
+
+
 def _pq_num_rows_or_none(path: str) -> "int | None":
     """Footer row count via pyarrow, or None when the footer cannot be
     decoded (VARIANT Thrift logical type, pyarrow 16) — callers backfill
@@ -3647,9 +3678,8 @@ def write_iceberg(
         # bottleneck here is per-FILE writer setup, not bytes. Each
         # partition value still lands in exactly one task, so the
         # 1-file-per-partition layout is unchanged.
-        _n_slots = df.sparkSession.sparkContext.defaultParallelism
         staged = staged.repartition(
-            _n_slots, *[f"_p_{c}" for c in partition_by]
+            _stage_fanout(staged), *[f"_p_{c}" for c in partition_by]
         )
         staged.write.partitionBy(*[f"_p_{c}" for c in partition_by]).parquet(staging)
     else:
@@ -4765,10 +4795,11 @@ def _prune_data_entries(
         }
         return {"stats": stats or None, "partitionValues": pv}
 
+    _compiled = skipping.compile_conjuncts(conjuncts, schema_types, part_cols)
     kept = [
         d
         for d in data
-        if skipping.file_may_match(conjuncts, _as_add(d), schema_types, part_cols)
+        if skipping._compiled_may_match(_compiled, _as_add(d))
         and _bucket_may_match(d)
     ]
     return kept, len(data) - len(kept)
@@ -5164,8 +5195,10 @@ def read_iceberg(
                 raise
             # each doomed attempt costs a JVM exception round trip
             # (~0.15-0.4 s); remember the classification for this
-            # application so only the first read pays it
-            _nativesrc.mark_absent(spark, "iceberg")
+            # application so only the first read pays it — memoized on
+            # the PRECISE signature only (see io/nativesrc)
+            if _nativesrc.is_source_not_found(exc):
+                _nativesrc.mark_absent(spark, "iceberg")
     if snapshot_id is not None or as_of_ms is not None:
         meta = _load_metadata(path)
         if as_of_ms is not None:
@@ -6393,17 +6426,17 @@ def _stage_data_entry(
         # hash-distribute by partition tuple before the partitioned
         # write (write.distribution-mode=hash — same rationale and
         # layout-invariance as the write_iceberg staging write)
-        _n_slots = rows.sparkSession.sparkContext.defaultParallelism
+        _sel = rows.select(
+            "*",
+            *[
+                c["col"].cast("string").alias(f"_p_{c['name']}")
+                for c in pfields_parsed
+            ],
+        )
         (
-            rows.select(
-                "*",
-                *[
-                    c["col"].cast("string").alias(f"_p_{c['name']}")
-                    for c in pfields_parsed
-                ],
-            )
-            .repartition(
-                _n_slots, *[f"_p_{c['name']}" for c in pfields_parsed]
+            _sel.repartition(
+                _stage_fanout(_sel),
+                *[f"_p_{c['name']}" for c in pfields_parsed],
             )
             .write.partitionBy(*[f"_p_{c['name']}" for c in pfields_parsed])
             .parquet(staging)

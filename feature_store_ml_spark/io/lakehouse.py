@@ -1860,9 +1860,12 @@ def read_delta(
                 and "Failed to find" not in str(exc)
             ):
                 raise
-            # remember the classification: each doomed native attempt
-            # costs a full JVM exception round trip (see io/nativesrc)
-            _nativesrc.mark_absent(spark, "delta")
+            # remember the classification so later calls skip the doomed
+            # attempt (a JVM exception round trip each, see io/nativesrc)
+            # — but only on the PRECISE missing-source signature; the
+            # broad match above stays one-shot
+            if _nativesrc.is_source_not_found(exc):
+                _nativesrc.mark_absent(spark, "delta")
     adds, meta = _replay_log_adds(path, max_version=version)
     if where:
         # dispatches to a distributed mapInPandas evaluation above
@@ -3396,9 +3399,10 @@ def write_delta(
     except Exception as exc:
         if "DATA_SOURCE_NOT_FOUND" not in str(exc) and "Failed to find" not in str(exc):
             raise
-        # remember the classification: each doomed native attempt costs
-        # a full JVM exception round trip (see io/nativesrc)
-        _nativesrc.mark_absent(spark, "delta")
+        # memoize only the PRECISE missing-source signature (the broad
+        # match above stays one-shot — see io/nativesrc)
+        if _nativesrc.is_source_not_found(exc):
+            _nativesrc.mark_absent(spark, "delta")
 
     os.makedirs(path, exist_ok=True)
     log = _delta_log_dir(path)

@@ -42,3 +42,26 @@ def known_absent(spark, name: str) -> bool:
 def mark_absent(spark, name: str) -> None:
     """Record a DATA_SOURCE_NOT_FOUND classification for this application."""
     _ABSENT.add((_app_id(spark), name))
+
+
+def is_source_not_found(exc: BaseException) -> bool:
+    """PRECISE missing-DataSource classification — the only one callers
+    may memoize. The per-call fallback match is deliberately broader
+    ('Failed to find' anywhere in the message), but memoizing on that
+    would let one unrelated error whose text happens to contain the
+    fragment permanently disable the native path for the whole
+    application (and the pure-python fallback caps at reader feature
+    levels the native jar may exceed)."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException):
+            try:
+                cond = exc.getCondition()
+            except Exception:
+                cond = getattr(exc, "errorClass", None)
+            if cond == "DATA_SOURCE_NOT_FOUND":
+                return True
+    except ImportError:
+        pass
+    return "Failed to find the data source" in str(exc)

@@ -45,6 +45,7 @@ __all__ = [
     "footer_column_stats",
     "collect_file_stats",
     "parse_conjuncts",
+    "compile_conjuncts",
     "file_may_match",
     "prune_adds",
     "prune_adds_distributed",
@@ -535,89 +536,56 @@ def _cmp_may_match(op: str, lit, lo, hi, *, max_exact: bool = True):
     return True
 
 
-def file_may_match(
+def compile_conjuncts(
     conjuncts,
-    add: dict,
     schema_types: dict[str, str],
     partition_cols: list[str],
     mapping: dict[str, str] | None = None,
-) -> bool:
-    """Conservative per-file test: False only when stats/partition values
-    PROVE no row in the file satisfies every conjunct."""
-    stats = None
-    raw = add.get("stats")
-    if raw:
-        try:
-            stats = json.loads(raw) if isinstance(raw, str) else raw
-        except (ValueError, TypeError):
-            stats = None
-    pv = add.get("partitionValues") or {}
+):
+    """Pre-resolve everything about a predicate that does not depend on
+    the file being tested (guide §4.5 — init once per plan, not per
+    file): schema lookups, physical-name mapping, literal coercion and
+    op dispatch all happen ONCE here; the per-file evaluator then only
+    parses that file's stats/partition values and compares. Conjuncts
+    that can never refute a file (unknown column, non-coercible literal)
+    compile away entirely. Decisions are identical to the historical
+    inline evaluation by construction — each compiled form is the same
+    branch the old per-file loop took."""
+    compiled: list[tuple] = []
     for col, op, lit in conjuncts:
         spark_type = schema_types.get(col)
         if spark_type is None:
             continue  # unknown column (computed?) — no skipping
         phys = (mapping or {}).get(col, col)
         if col in partition_cols:
-            if col not in pv and phys not in pv:
-                continue
-            raw_pv = pv.get(col, pv.get(phys))
             if op == "isnull":
-                if raw_pv is not None:
-                    return False
-                continue
-            if op == "notnull":
-                if raw_pv is None:
-                    return False
-                continue
-            if raw_pv is None:
-                return False  # NULL partition: no comparison matches
-            if op == "in":
-                ok = False
+                compiled.append(("p_isnull", col, phys, None, None))
+            elif op == "notnull":
+                compiled.append(("p_notnull", col, phys, None, None))
+            elif op == "in":
+                vals = []
+                noop = False
                 for lt in lit:
                     c = _coerce(lt[0], lt[1], spark_type)
                     if c is None:
-                        ok = True
+                        # a non-coercible literal keeps the file (the old
+                        # loop broke out with ok=True) — conjunct is a no-op
+                        noop = True
                         break
-                    v = _partition_to_domain(raw_pv, c[1])
-                    if v is None or v == c[0]:
-                        ok = True
-                        break
-                if not ok:
-                    return False
-                continue
-            c = _coerce(lit[0], lit[1], spark_type) if lit else None
-            if c is None:
-                continue
-            v = _partition_to_domain(raw_pv, c[1])
-            if v is None:
-                continue
-            if not _cmp_may_match(op, c[0], v, v):
-                return False
-            continue
-        # data column: consult file stats
-        if stats is None:
-            continue
-        num = stats.get("numRecords")
-        nulls = (stats.get("nullCount") or {}).get(phys)
-        all_null = num is not None and nulls is not None and nulls == num and num > 0
-        if op == "isnull":
-            if nulls == 0 and num is not None and num > 0:
-                return False
-            continue
-        if op == "notnull":
-            if all_null:
-                return False
-            continue
-        if all_null:
-            return False  # every comparison against NULL fails
-        first = lit[0] if op == "in" else lit
-        c0 = _coerce(first[0], first[1], spark_type) if first else None
-        if c0 is None and op != "in":
-            continue
-        domain = c0[1] if c0 else None
-        if op == "in":
-            # find the shared domain from the first coercible literal
+                    vals.append(c)
+                if not noop:
+                    compiled.append(("p_in", col, phys, vals, None))
+            else:
+                c = _coerce(lit[0], lit[1], spark_type) if lit else None
+                if c is not None:
+                    compiled.append(("p_cmp", col, phys, c[0], (op, c[1])))
+        elif op == "isnull":
+            compiled.append(("s_isnull", col, phys, None, None))
+        elif op == "notnull":
+            compiled.append(("s_notnull", col, phys, None, None))
+        elif op == "in":
             coerced = []
+            domain = None
             bail = False
             for lt in lit:
                 c = _coerce(lt[0], lt[1], spark_type)
@@ -626,24 +594,111 @@ def file_may_match(
                     break
                 coerced.append(c[0])
                 domain = c[1]
-            if bail or not coerced:
+            if not bail and coerced:
+                compiled.append(("s_in", col, phys, coerced, domain))
+        else:
+            c0 = _coerce(lit[0], lit[1], spark_type) if lit else None
+            if c0 is not None:
+                compiled.append(("s_cmp", col, phys, c0[0], (op, c0[1])))
+    return compiled
+
+
+def _compiled_may_match(compiled, add: dict) -> bool:
+    """Per-file half of the split evaluator: stats parsed once, then a
+    direct dispatch over the pre-compiled conjuncts."""
+    stats = None
+    raw = add.get("stats")
+    if raw:
+        try:
+            stats = json.loads(raw) if isinstance(raw, str) else raw
+        except (ValueError, TypeError):
+            stats = None
+    pv = add.get("partitionValues") or {}
+    for kind, col, phys, litv, extra in compiled:
+        if kind[0] == "p":
+            if col not in pv and phys not in pv:
                 continue
+            raw_pv = pv.get(col, pv.get(phys))
+            if kind == "p_isnull":
+                if raw_pv is not None:
+                    return False
+                continue
+            if kind == "p_notnull":
+                if raw_pv is None:
+                    return False
+                continue
+            if raw_pv is None:
+                return False  # NULL partition: no comparison matches
+            if kind == "p_in":
+                ok = False
+                for v_lit, domain in litv:
+                    v = _partition_to_domain(raw_pv, domain)
+                    if v is None or v == v_lit:
+                        ok = True
+                        break
+                if not ok:
+                    return False
+                continue
+            # p_cmp
+            op, domain = extra
+            v = _partition_to_domain(raw_pv, domain)
+            if v is None:
+                continue
+            if not _cmp_may_match(op, litv, v, v):
+                return False
+            continue
+        # data column: consult file stats
+        if stats is None:
+            continue
+        num = stats.get("numRecords")
+        nulls = (stats.get("nullCount") or {}).get(phys)
+        all_null = num is not None and nulls is not None and nulls == num and num > 0
+        if kind == "s_isnull":
+            if nulls == 0 and num is not None and num > 0:
+                return False
+            continue
+        if kind == "s_notnull":
+            if all_null:
+                return False
+            continue
+        if all_null:
+            return False  # every comparison against NULL fails
+        if kind == "s_in":
+            domain = extra
             lo = _stat_to_domain((stats.get("minValues") or {}).get(phys), domain)
             hi = _stat_to_domain((stats.get("maxValues") or {}).get(phys), domain)
             if lo is None and hi is None:
                 continue
-            if not any(_cmp_may_match("=", v, lo, hi) for v in coerced):
+            if not any(_cmp_may_match("=", v, lo, hi) for v in litv):
                 return False
             continue
+        # s_cmp
+        op, domain = extra
         lo = _stat_to_domain((stats.get("minValues") or {}).get(phys), domain)
         hi = _stat_to_domain((stats.get("maxValues") or {}).get(phys), domain)
         if lo is None and hi is None:
             continue
         # string maxima can be absent-by-truncation; '!=' pruning needs the
         # max to be an attained value, which a missing max never is
-        if not _cmp_may_match(op, c0[0], lo, hi, max_exact=hi is not None):
+        if not _cmp_may_match(op, litv, lo, hi, max_exact=hi is not None):
             return False
     return True
+
+
+def file_may_match(
+    conjuncts,
+    add: dict,
+    schema_types: dict[str, str],
+    partition_cols: list[str],
+    mapping: dict[str, str] | None = None,
+) -> bool:
+    """Conservative per-file test: False only when stats/partition values
+    PROVE no row in the file satisfies every conjunct. One-shot form of
+    compile_conjuncts + _compiled_may_match — loops hoist the compile."""
+    return _compiled_may_match(
+        compile_conjuncts(conjuncts, schema_types, partition_cols, mapping),
+        add,
+    )
 
 
 def _utc_session() -> bool:
@@ -728,10 +783,11 @@ def prune_adds(
     if prep is None:
         return adds, 0
     conjuncts, schema_types, part_cols, mapping = prep
+    compiled = compile_conjuncts(conjuncts, schema_types, part_cols, mapping)
     kept = {
         rel: a
         for rel, a in adds.items()
-        if file_may_match(conjuncts, a, schema_types, part_cols, mapping)
+        if _compiled_may_match(compiled, a)
     }
     return kept, len(adds) - len(kept)
 
@@ -766,20 +822,19 @@ def prune_adds_distributed(
         return adds, 0
     conjuncts, schema_types, part_cols, mapping = prep
 
+    compiled = compile_conjuncts(conjuncts, schema_types, part_cols, mapping)
+
     def _eval(batches):
         import pandas as pd
 
         for pdf in batches:
             keep = [
-                file_may_match(
-                    conjuncts,
+                _compiled_may_match(
+                    compiled,
                     {
                         "stats": st,
                         "partitionValues": json.loads(pv) if pv else {},
                     },
-                    schema_types,
-                    part_cols,
-                    mapping,
                 )
                 for st, pv in zip(pdf["stats"], pdf["pv_json"])
             ]

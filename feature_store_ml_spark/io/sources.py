@@ -64,8 +64,23 @@ def _events_ts_to_ntz(observed_dtype: str):
     )
 
 
+#: bytes of input per task for the ``parallelize`` fan-out. Sizing the
+#: fan-out by the table's bytes (guide §2.2) instead of the core count
+#: keeps tiny tables from paying `defaultParallelism` near-empty tasks:
+#: measured on the 594 KB documents table at 32 cores, a 32-way fan-out
+#: ran the downstream JVM aggregations ~1.5x SLOWER than an 8-10-way one
+#: (per-task fixed cost > compute), and the 8-core driver run saw the
+#: same plan — i.e. the old width was core-count-derived overhead, not
+#: parallelism. CPU-bound Python codec paths opt out via ``wide=True``.
+PARALLELIZE_TARGET_BYTES = 64 * 1024
+
+
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool = False,
+    wide: bool = False,
 ) -> DataFrame:
     """Load one of the standard tables with its declared schema.
 
@@ -80,8 +95,13 @@ def load_table(
     scan yields far fewer partitions than the cluster has slots, insert a
     round-robin repartition — predicates and column pruning still push
     below the exchange, so the shuffle carries only filtered/pruned rows.
-    On production multi-file tables (100 TB = thousands of row groups)
-    the condition is false and this is a no-op.
+    The width is sized by the table's BYTES (PARALLELIZE_TARGET_BYTES per
+    task, capped at the slot count); ``wide=True`` requests the full slot
+    count instead — for downstream per-row work that dwarfs the bytes
+    (the pure-Python image codecs), where a task per slot is the right
+    shape no matter how small the input is (guide §4). On production
+    multi-file tables (100 TB = thousands of row groups) the condition
+    is false and this is a no-op.
     """
     if name not in schemas.TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {sorted(schemas.TABLES)}")
@@ -110,7 +130,12 @@ def load_table(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
         if n_bytes is not None and n_bytes / max_part < max(2, par // 4):
-            df = df.repartition(par)
+            n_parts = (
+                par
+                if wide
+                else min(par, max(2, -(-n_bytes // PARALLELIZE_TARGET_BYTES)))
+            )
+            df = df.repartition(n_parts)
     return df
 
 

@@ -79,6 +79,29 @@ def _has_session_tz_timestamp(dt) -> bool:
     return False
 
 
+def _any_non_nullable(dt) -> bool:
+    """True when the type tree declares any non-nullable member: the RDD
+    path verifies nullability (createDataFrame verifySchema) while
+    ``pa.array`` accepts None regardless, so such schemas keep the RDD
+    path — the two construction paths must stay behavior-identical."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType):
+        return any(
+            (not f.nullable) or _any_non_nullable(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, ArrayType):
+        return (not dt.containsNull) or _any_non_nullable(dt.elementType)
+    if isinstance(dt, MapType):
+        return (
+            (not dt.valueContainsNull)
+            or _any_non_nullable(dt.keyType)
+            or _any_non_nullable(dt.valueType)
+        )
+    return False
+
+
 def _arrow_local_df(spark: SparkSession, rows: list, schema) -> "DataFrame | None":
     """Build the frame as a pyarrow Table (JVM LocalTableScan, no Python
     tasks at evaluation time) — None when the schema or the values do
@@ -87,10 +110,13 @@ def _arrow_local_df(spark: SparkSession, rows: list, schema) -> "DataFrame | Non
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
+    except ImportError:
+        return None
 
-        st = _as_struct_type(spark, schema)
-        if st is None or _has_session_tz_timestamp(st):
-            return None
+    st = _as_struct_type(spark, schema)
+    if st is None or _has_session_tz_timestamp(st) or _any_non_nullable(st):
+        return None
+    try:
         arrow_schema = to_arrow_schema(st)
         names = [f.name for f in st.fields]
         cols: list[list] = [[] for _ in names]
@@ -113,7 +139,12 @@ def _arrow_local_df(spark: SparkSession, rows: list, schema) -> "DataFrame | Non
         ]
         tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
         return spark.createDataFrame(tbl, schema=st)
-    except Exception:
+    except (pa.ArrowException, ValueError, TypeError, OverflowError):
+        # expected conversion misses (values outside the Arrow type's
+        # domain, unrepresentable nesting) — the RDD path handles them.
+        # Anything else (a pyarrow install problem, a to_arrow_schema
+        # regression) propagates: a silent blanket fallback would let the
+        # LocalTableScan optimization quietly stop applying.
         return None
 
 

@@ -2765,12 +2765,12 @@ def e1_footer_probe_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io.lakehouse import _footer_fid_map, _footer_fid_maps
 
     # the path fixture is CACHED across runs (layout-versioned): the
-    # measurement target is the PROBE, and per-run symlink churn on
-    # this filesystem swings seconds of pure setup noise — the same
+    # measurement target is the PROBE, and per-run link churn on this
+    # filesystem swings seconds of pure setup noise — the same
     # reasoning as the warm-cache pin discipline in bench.py
     n = 50_000
     base = (
-        f"{__import__('tempfile').gettempdir()}/fsml_footer_planning_v1_{n}"
+        f"{__import__('tempfile').gettempdir()}/fsml_footer_planning_v2_{n}"
     )
     real_dir = _os.path.join(base, "real")
     link_dir = _os.path.join(base, "links")
@@ -2814,7 +2814,16 @@ def e1_footer_probe_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 reals.append(f)
         _os.makedirs(link_dir)
         for i, pth in enumerate(links):
-            _os.symlink(reals[i % len(reals)], pth)
+            # HARD links (v2): every probe path resolves in ONE dentry
+            # lookup straight to one of the 40 shared inodes — a symlink
+            # adds a readlink + a second full path resolution per open,
+            # which made the probe's cost swing with the dentry-cache
+            # state of a hot session (r15 driver read 8.5 s vs the 4.7 s
+            # idle band). Every path still pays a real footer open+parse.
+            try:
+                _os.link(reals[i % len(reals)], pth)
+            except OSError:
+                _os.symlink(reals[i % len(reals)], pth)
     job = _footer_fid_maps(links, spark=spark)  # n >> threshold: the job
     drv = {f: _footer_fid_map(f) for f in links}
     if job != drv:
@@ -2871,32 +2880,25 @@ def e1_prune_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partitionColumns": [],
         "configuration": {},
     }
-    # the synthetic add map is CACHED in-process across runs (input
-    # synthesis, not probe output — the same reasoning as
-    # e1_footer_probe_planning's on-disk symlink fixture): the
-    # measurement target is the PRUNE, and rebuilding 100k stats strings
-    # is ~2 s of driver-side json encoding that measures nothing. The
-    # stats strings themselves are f-string-rendered JSON (identical
-    # parse to the json.dumps originals, ~5x cheaper to produce).
-    global _PRUNE_PLANNING_ADDS
-    try:
-        adds = _PRUNE_PLANNING_ADDS
-    except NameError:
-        adds = {
-            f"part-{i:06d}.parquet": {
-                "path": f"part-{i:06d}.parquet",
-                "partitionValues": {},
-                "size": 1,
-                "stats": (
-                    '{"numRecords": 100, '
-                    f'"minValues": {{"k": {i * 100}, "m": 0}}, '
-                    f'"maxValues": {{"k": {i * 100 + 99}, "m": 49}}, '
-                    '"nullCount": {"k": 0, "m": 2}}'
-                ),
-            }
-            for i in range(n)
+    # fixture synthesis runs in FULL on every invocation (the r15
+    # cross-run memo is removed per the round-15 verdict: best-of-N
+    # reporting must not exclude work the first run pays). The stats
+    # strings are f-string-rendered JSON — identical parse to the
+    # json.dumps originals, ~5x cheaper to produce.
+    adds = {
+        f"part-{i:06d}.parquet": {
+            "path": f"part-{i:06d}.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "stats": (
+                '{"numRecords": 100, '
+                f'"minValues": {{"k": {i * 100}, "m": 0}}, '
+                f'"maxValues": {{"k": {i * 100 + 99}, "m": 49}}, '
+                '"nullCount": {"k": 0, "m": 2}}'
+            ),
         }
-        _PRUNE_PLANNING_ADDS = adds
+        for i in range(n)
+    }
     pred = "k >= 5000000 AND k < 5001000 AND m < 10"
     kept_j, skipped_j = skipping.prune_adds_distributed(spark, adds, meta, pred)
     kept_d, skipped_d = skipping.prune_adds(adds, meta, pred)
@@ -6680,7 +6682,7 @@ def e14_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition implies — so the ok-flags are deterministic booleans, and
     one broken Huffman code, quant cell or color-transform coefficient
     flips a flag and breaks the hash."""
-    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    d = load_table(spark, sf_dir, "documents", parallelize=True, wide=True)
     feats = multimodal.image_features(multimodal.synth_jpeg(d))
     exp_r = F.expr(
         "aggregate(sequence(0, width - 1), 0L,"
@@ -6724,7 +6726,7 @@ def e14_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer checksums are compared exactly, a far tighter oracle than a
     lossy band. One wrong refinement bit, EOB-run step or scan-band
     boundary anywhere in Annex G flips a flag and breaks the hash."""
-    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    d = load_table(spark, sf_dir, "documents", parallelize=True, wide=True)
     base = multimodal.image_checksums(multimodal.synth_jpeg(d))
     prog = multimodal.image_checksums(
         multimodal.synth_jpeg(d, progressive=True)

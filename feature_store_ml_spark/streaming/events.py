@@ -9,12 +9,30 @@ O(windows-in-flight), not O(history).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
+
+#: state-store shuffle partitions for the bounded streaming replays.
+#: Structured Streaming never re-plans with AQE, so a stateful stage runs
+#: at the session's raw ``spark.sql.shuffle.partitions`` — which this
+#: engine sizes to the core count for BATCH plans (where AQE coalesces by
+#: bytes). For streams that raw value is core-count-proportional pure
+#: overhead: every micro-batch pays one state-store (checkpoint delta
+#: file, commit, restore) per partition, and the partition count is
+#: frozen into the checkpoint at the first batch. Real deployments size
+#: state partitions by expected state bytes, not cores (the count cannot
+#: change without a checkpoint reset). The replays here carry well under
+#: one advisory partition (64 MB) of state per key-group; 8 partitions
+#: bounds per-batch state-store overhead while keeping the stateful
+#: stage parallel. Production streams override via env.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("FSML_STREAM_SHUFFLE_PARTITIONS", "8")
+)
 
 
 def _streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,14 +116,25 @@ def run_stream_to_table(spark: SparkSession, streaming_df: DataFrame, mode: str 
     """Drive a (bounded) streaming query to completion through a memory sink
     and return the materialized result as a batch DataFrame."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    # Pin the stream's state-partition count for the query's lifetime
+    # (see STREAM_SHUFFLE_PARTITIONS) and restore the session value for
+    # the batch plans that follow. The conf is read when each micro-batch
+    # is planned, i.e. strictly before awaitTermination returns.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            streaming_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

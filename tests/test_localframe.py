@@ -77,10 +77,32 @@ def test_session_tz_timestamp_stays_off_arrow(spark):
         StructType([StructField("s", StringType()), StructField("n", LongType())])
     )
     # the public entry still produces a correct frame via the RDD path
+    # (order-insensitive: collect() order is not contractual)
     rows = [(datetime.datetime(2021, 3, 4, 5, 6, 7),), (None,)]
     df = local_rows_df(spark, rows, "ts timestamp")
-    got = [r[0] for r in df.collect()]
-    assert got[0] == datetime.datetime(2021, 3, 4, 5, 6, 7) or got[1] is None
+    got = sorted((r[0] for r in df.collect()), key=str)
+    assert got == sorted(
+        [datetime.datetime(2021, 3, 4, 5, 6, 7), None], key=str
+    )
+
+
+def test_non_nullable_schema_stays_off_arrow(spark):
+    # pa.array would silently accept None for a nullable=False field; the
+    # RDD path's verifySchema rejects it — so such schemas must refuse
+    # the Arrow path to keep the two constructions behavior-identical
+    st = StructType([StructField("s", StringType(), nullable=False)])
+    assert _arrow_local_df(spark, [("a",)], st) is None
+    nested = StructType(
+        [
+            StructField(
+                "a", ArrayType(LongType(), containsNull=False), nullable=True
+            )
+        ]
+    )
+    assert _arrow_local_df(spark, [([1, 2],)], nested) is None
+    # and the public entry still evaluates correctly via the RDD path
+    df = local_rows_df(spark, [("a",), ("b",)], st)
+    assert sorted(r[0] for r in df.collect()) == ["a", "b"]
 
 
 def test_value_mismatch_falls_back_or_raises_consistently(spark):
