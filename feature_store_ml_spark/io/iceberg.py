@@ -6147,6 +6147,58 @@ def _stage_position_deletes(
     return _delete_manifest_entry(meta_dir, snap_id, seq, del_files, None), set()
 
 
+def _stage_delete_and_data(
+    spark: SparkSession,
+    path: str,
+    prior_meta: dict,
+    pairs_df: DataFrame,
+    adds_df: "DataFrame | None",
+    snap_id: int,
+    seq: int,
+    data_format: str = "parquet",
+) -> "tuple[tuple[dict | None, set[str]], dict | None]":
+    """Stage a mutation's TWO halves — the delete content and the
+    replacement data files — CONCURRENTLY from two driver threads
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially). The halves are independent: both derive from the
+    caller's (persisted) matched scan, whose cache fill the block
+    manager serializes per partition, so the scan computes once and the
+    second staging reads it from cache while the first's driver-side
+    manifest/footer work proceeds — the driver-side half of one staging
+    overlaps the cluster-side half of the other. File names are
+    uuid-fresh and the manifests are disjoint, so the commit sees
+    exactly what the sequential order produced. Returns
+    ``((del_entry, dv_drops), data_entry)``."""
+    if adds_df is None:
+        return (
+            _stage_position_deletes(
+                spark, path, prior_meta, pairs_df, snap_id, seq
+            ),
+            None,
+        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_del = pool.submit(
+            inheritable_thread_target(
+                lambda: _stage_position_deletes(
+                    spark, path, prior_meta, pairs_df, snap_id, seq
+                )
+            )
+        )
+        f_data = pool.submit(
+            inheritable_thread_target(
+                lambda: _stage_data_entry(
+                    path, prior_meta, adds_df, snap_id, seq,
+                    data_format=data_format,
+                )
+            )
+        )
+        return f_del.result(), f_data.result()
+
+
 def delete_iceberg(
     spark: SparkSession,
     path: str,
@@ -6662,24 +6714,12 @@ def update_iceberg(
         data_dir = os.path.join(path, "data")
         os.makedirs(data_dir, exist_ok=True)
 
+        # the two staged halves, CONCURRENT (guide §2.6; both read the
+        # persisted `matched` scan — see _stage_delete_and_data):
         # 1. delete content for the matched rows: v2 position-delete
         #    files / v3 deletion vectors — distributed either way, the
         #    matched positions never reach the driver (v3 collects only
         #    O(#touched files) bitmap blobs)
-        del_entry, _dv_drops = _stage_position_deletes(
-            spark, path, prior_meta,
-            matched.select(
-                F.col("_fp").alias("file_path"),
-                F.col("_ri").cast("long").alias("pos"),
-            ),
-            snap_id, seq,
-        )
-        if del_entry is None:
-            return _commit_delete_snapshot(
-                path, prior_meta, prior_version, snap_id, seq, now_ms,
-                None, operation="overwrite", summary_props=_upd_summary,
-            )
-
         # 2. transformed rows as new data files — the shared staging tail
         #    (field-id stamping, partition re-derivation, stats) lives in
         #    _stage_data_entry; an update to a partition SOURCE column
@@ -6687,9 +6727,21 @@ def update_iceberg(
         updated = matched.withColumns(
             {c: F.expr(e).cast(declared_types[c]) for c, e in set.items()}
         ).select(*names, *([_ROW_ID_COL] if _lineage else []))
-        data_entry = _stage_data_entry(
-            path, prior_meta, updated, snap_id, seq, data_format=_dml_fmt
+        (del_entry, _dv_drops), data_entry = _stage_delete_and_data(
+            spark, path, prior_meta,
+            matched.select(
+                F.col("_fp").alias("file_path"),
+                F.col("_ri").cast("long").alias("pos"),
+            ),
+            updated, snap_id, seq, data_format=_dml_fmt,
         )
+        if del_entry is None:
+            # nothing matched — the adds side staged nothing either (both
+            # derive from the same empty matched scan): no-op snapshot
+            return _commit_delete_snapshot(
+                path, prior_meta, prior_version, snap_id, seq, now_ms,
+                None, operation="overwrite", summary_props=_upd_summary,
+            )
         return _commit_delete_snapshot(
             path, prior_meta, prior_version, snap_id, seq, now_ms,
             [del_entry] + ([data_entry] if data_entry else []),
@@ -7203,20 +7255,16 @@ def merge_iceberg(
             )
 
         now_ms = int(_time.time() * 1000)
-        del_entry, _dv_drops = _stage_position_deletes(
+        # both staged halves run concurrently (guide §2.6 — see
+        # _stage_delete_and_data); `dead` and `adds_df` derive from the
+        # same persisted frames, which the block manager fills once
+        (del_entry, _dv_drops), data_entry = _stage_delete_and_data(
             spark, path, prior_meta,
             dead.select(
                 F.col("_fp").alias("file_path"),
                 F.col("_ri").cast("long").alias("pos"),
             ),
-            snap_id, seq,
-        )
-        data_entry = (
-            _stage_data_entry(
-                path, prior_meta, adds_df, snap_id, seq, data_format=_dml_fmt
-            )
-            if adds_df is not None
-            else None
+            adds_df, snap_id, seq, data_format=_dml_fmt,
         )
         entries = [e for e in (del_entry, data_entry) if e]
         return _commit_delete_snapshot(
